@@ -1,0 +1,178 @@
+"""Deterministic synthetic source-code table — the engine's primary input.
+
+The north rule's input is a Parquet table of source-code repositories with
+columns ``(repo, path, commit, lang, content)`` (BASELINE.json input_hint).
+The sandbox testdata has no such table, so we DERIVE one deterministically
+from the driver's ``documents`` table with formulas that are expressible
+identically in DuckDB SQL — which lets every validation check carry a real
+SQL oracle (the driver compares Ray output vs DuckDB on the same parquet).
+
+Planted defects (deterministic, so golden verdicts are computable — mirrors
+FIXTURES.md F1):
+- ``lang IS NULL``        when doc_id % 200 == 0      (null-rate check)
+- ``content = ''``        when doc_id % 500 == 3      (row check)
+- duplicated rows         when doc_id % 101 == 1      (uniqueness check)
+- parent table ``repos``  omits repo_id == 7          (referential check)
+
+``repo`` is skewed (cube-law over a uniform residue) to exercise salted-key
+handling, mirroring real repo/file distributions.
+
+Scale-up for benchmarks: ``read_codetable(sf_dir, replicate=K)`` emits K
+commit-variants per document (distinct ``commit`` values), multiplying rows
+without changing the per-row distributions. K=1 is the oracle-checked shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+__all__ = ["codetable_cte", "read_codetable", "read_repos", "attach_codetable_views",
+           "CODETABLE_SCHEMA", "add_content_sha256"]
+
+CODETABLE_SCHEMA = pa.schema([
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("commit", pa.string()),
+    ("lang", pa.string()),
+    ("content", pa.string()),
+])
+
+_EXT = {"en": ".py", "zh": ".c", "es": ".js", "de": ".go", "fr": ".rs"}
+_N_REPOS = 40  # repo_id in [0, 40); cube-law skew toward 0
+_ORPHAN_REPO_ID = 7  # repos table omits this id -> RI violations
+
+
+def _repo_ids(doc_id: np.ndarray) -> np.ndarray:
+    x = (doc_id % 97) / 97.0
+    return np.floor(x * x * x * _N_REPOS).astype(np.int64)
+
+
+def _md5_hex(strings: list[str]) -> np.ndarray:
+    return np.array([hashlib.md5(s.encode()).hexdigest() for s in strings], dtype=object)
+
+
+def _derive_batch(batch: pa.Table, replicate: int = 1) -> pa.Table:
+    """documents batch -> codetable batch (vectorized except the md5 loop,
+    which is inherent to per-row commit ids; ~1 us/row)."""
+    doc_id = batch.column("doc_id").to_numpy()
+    lang = batch.column("lang").to_pylist()
+    text = batch.column("text").to_pylist()
+
+    rid = _repo_ids(doc_id)
+    org = rid % 7
+    repo = np.array([f"org{o}/repo{r}" for o, r in zip(org, rid)], dtype=object)
+    path = np.array(
+        [f"src/m{d % 13}/f{d}{_EXT.get(lg, '.rs')}" for d, lg in zip(doc_id, lang)],
+        dtype=object,
+    )
+    lang_out = [None if d % 200 == 0 else lg for d, lg in zip(doc_id, lang)]
+    content = [("" if d % 500 == 3 else t) for d, t in zip(doc_id, text)]
+
+    tables = []
+    for k in range(replicate):
+        suffix = "" if k == 0 else f":{k}"
+        commit = _md5_hex([f"{r}:{d}{suffix}" for r, d in zip(repo, doc_id)])
+        t = pa.table({
+            "repo": pa.array(repo, pa.string()),
+            "path": pa.array(path, pa.string()),
+            "commit": pa.array(commit, pa.string()),
+            "lang": pa.array(lang_out, pa.string()),
+            "content": pa.array(content, pa.string()),
+        })
+        # planted duplicates: rows with doc_id % 101 == 1 appear twice
+        dup_mask = (doc_id % 101) == 1
+        if dup_mask.any():
+            t = pa.concat_tables([t, t.filter(pa.array(dup_mask))])
+        tables.append(t)
+    return pa.concat_tables(tables)
+
+
+def read_codetable(sf_dir: str, replicate: int = 1, with_sha256: bool = True) -> "ray.data.Dataset":
+    """The source-code table as a streaming Ray Dataset.
+
+    Reads only the needed columns of documents.parquet (prune-at-read) and
+    derives codetable rows per batch; sha256 of content is stamped at ingest
+    (the end-to-end per-row invariant)."""
+    if replicate < 1:
+        raise ValueError(f"replicate must be >= 1, got {replicate}")
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(lambda b: _derive_batch(b, replicate), batch_format="pyarrow")
+    if with_sha256:
+        ds = ds.map_batches(add_content_sha256, batch_format="pyarrow")
+    return ds
+
+
+def add_content_sha256(batch: pa.Table) -> pa.Table:
+    """Stamp ``content_sha256`` (hex) — preserved byte-for-byte by every
+    downstream stage; the engine's per-row invariant."""
+    if "content_sha256" in batch.column_names:
+        return batch
+    sha = [hashlib.sha256(s.encode()).hexdigest() if s is not None else None
+           for s in batch.column("content").to_pylist()]
+    return batch.append_column("content_sha256", pa.array(sha, pa.string()))
+
+
+def read_repos(sf_dir: str) -> "ray.data.Dataset":
+    """Parent dimension table repos(repo, stars) — small; broadcast side of
+    the referential-integrity check."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        rid = np.unique(_repo_ids(batch.column("doc_id").to_numpy()))
+        rid = rid[rid != _ORPHAN_REPO_ID]
+        repo = [f"org{r % 7}/repo{r}" for r in rid]
+        return pa.table({"repo": pa.array(repo, pa.string()),
+                         "stars": pa.array(rid * 100 + 1, pa.int64())})
+
+    # distinct across blocks via groupby on the (tiny) per-block distincts
+    return ds.map_batches(derive, batch_format="pyarrow").groupby("repo").max("stars") \
+             .map_batches(lambda b: b.rename_columns(["repo", "stars"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle side — MUST mirror _derive_batch exactly.
+# ---------------------------------------------------------------------------
+
+def codetable_cte() -> str:
+    """SQL CTE prefix defining `codetable` and `repos` views over the
+    pre-registered `documents` view, row-for-row identical to
+    read_codetable(sf_dir, replicate=1)."""
+    return f"""
+WITH __base AS (
+  SELECT doc_id,
+         CAST(floor(pow((doc_id % 97) / 97.0, 3.0) * {_N_REPOS}) AS BIGINT) AS repo_id,
+         lang AS orig_lang, text
+  FROM documents
+), __ct0 AS (
+  SELECT doc_id, repo_id,
+    'org' || CAST(repo_id % 7 AS VARCHAR) || '/repo' || CAST(repo_id AS VARCHAR) AS repo,
+    'src/m' || CAST(doc_id % 13 AS VARCHAR) || '/f' || CAST(doc_id AS VARCHAR) ||
+      CASE orig_lang WHEN 'en' THEN '.py' WHEN 'zh' THEN '.c' WHEN 'es' THEN '.js'
+                     WHEN 'de' THEN '.go' ELSE '.rs' END AS path,
+    md5('org' || CAST(repo_id % 7 AS VARCHAR) || '/repo' || CAST(repo_id AS VARCHAR)
+        || ':' || CAST(doc_id AS VARCHAR)) AS "commit",
+    CASE WHEN doc_id % 200 = 0 THEN NULL ELSE orig_lang END AS lang,
+    CASE WHEN doc_id % 500 = 3 THEN '' ELSE text END AS content
+  FROM __base
+), codetable AS (
+  SELECT repo, path, "commit", lang, content FROM __ct0
+  UNION ALL
+  SELECT repo, path, "commit", lang, content FROM __ct0 WHERE doc_id % 101 = 1
+), repos AS (
+  SELECT DISTINCT repo, repo_id * 100 + 1 AS stars FROM __ct0 WHERE repo_id <> {_ORPHAN_REPO_ID}
+)
+"""
+
+
+def attach_codetable_views(con) -> None:
+    """Register codetable/repos as DuckDB views (for local testing; the
+    driver oracle embeds codetable_cte() inline instead)."""
+    con.execute("CREATE OR REPLACE VIEW codetable AS "
+                + codetable_cte() + " SELECT * FROM codetable")

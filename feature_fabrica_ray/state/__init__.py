@@ -1,0 +1,18 @@
+"""Mergeable partial-aggregate state (sketches) for distributed two-phase
+aggregation: compute a small state per Arrow block inside ``map_batches``,
+merge associatively (groupby-aggregate or driver-side — states are KB-sized),
+then broadcast the result into downstream stages."""
+
+from .hashing import combine_hashes, hash64, hash64_multi
+from .histogram import (CategoricalFreq, NumericHistogram, ks_from_counts,
+                        psi_categorical, psi_from_counts)
+from .hll import HLL
+from .tdigest import TDigest
+from .welford import Moments
+
+__all__ = [
+    "hash64", "hash64_multi", "combine_hashes",
+    "Moments", "HLL", "TDigest",
+    "NumericHistogram", "CategoricalFreq",
+    "psi_from_counts", "ks_from_counts", "psi_categorical",
+]

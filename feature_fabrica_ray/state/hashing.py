@@ -1,0 +1,87 @@
+"""Deterministic, vectorized 64-bit hashing for distributed sketches.
+
+Every sketch (HLL, MinHash, SimHash) and every salted/hash-partitioned
+shuffle key in this engine needs a hash that is (a) vectorized — no Python
+loop per row — and (b) stable across worker processes (Python's builtin
+``hash`` is salted per process and would break sketch merges).
+
+We use polars' xxhash-based ``Series.hash`` (stable within a polars
+version, seedable) as the vectorized kernel, falling back to a numpy
+FNV-1a implementation when polars is unavailable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+try:
+    import polars as pl
+
+    _HAS_POLARS = True
+except ImportError:  # pragma: no cover
+    _HAS_POLARS = False
+
+__all__ = ["hash64", "hash64_multi", "combine_hashes"]
+
+# Odd multipliers for universal-hash derivation of k hash families from one
+# base hash: h_i(x) = (a_i * h(x) + b_i) mod 2^64 (Carter-Wegman style).
+_A0 = np.uint64(0x9E3779B97F4A7C15)
+_B0 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _to_series(values) -> "pl.Series":
+    if isinstance(values, pl.Series):
+        return values
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        return pl.from_arrow(values)
+    return pl.Series(values)
+
+
+def _fnv1a_fallback(values, seed: int) -> np.ndarray:  # pragma: no cover
+    import hashlib
+
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        h = hashlib.blake2b(repr(v).encode(), digest_size=8, salt=seed.to_bytes(8, "little"))
+        out[i] = np.frombuffer(h.digest(), dtype=np.uint64)[0]
+    return out
+
+
+def hash64(values, seed: int = 0) -> np.ndarray:
+    """Vectorized deterministic 64-bit hash of a string/numeric column.
+
+    Accepts a pyarrow Array/ChunkedArray, polars Series, numpy array or
+    list; returns ``np.uint64`` array of the same length. Nulls hash to a
+    fixed value (polars semantics), so they never collide randomly.
+    """
+    if _HAS_POLARS:
+        s = _to_series(values)
+        return s.hash(seed=np.uint64(seed) & np.uint64(0xFFFFFFFFFFFFFFFF)).to_numpy().astype(np.uint64)
+    return _fnv1a_fallback(list(values), seed)
+
+
+def hash64_multi(base: np.ndarray, k: int, seed: int = 1) -> np.ndarray:
+    """Derive ``k`` independent-ish hash families from one base hash array.
+
+    Returns shape ``(k, n)`` uint64. Used by MinHash (k permutations) so the
+    expensive string hash runs once per value, not k times.
+    """
+    base = base.astype(np.uint64, copy=False)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=k, dtype=np.uint64) * np.uint64(2) + np.uint64(1)  # odd
+    b = rng.integers(0, 2**63, size=k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return a[:, None] * base[None, :] + b[:, None]
+
+
+def combine_hashes(*cols: np.ndarray) -> np.ndarray:
+    """Order-dependent combine of several uint64 hash columns into one.
+
+    Used for composite keys (repo, path, commit) -> one shuffle/sketch key.
+    """
+    acc = cols[0].astype(np.uint64, copy=True)
+    for c in cols[1:]:
+        with np.errstate(over="ignore"):
+            acc = (acc ^ c.astype(np.uint64)) * _A0 + _B0
+    return acc

@@ -1,0 +1,118 @@
+"""Sketch-merge correctness: results must be exact (Welford) or within
+error bounds (HLL, t-digest) and invariant to partitioning — the property
+that makes global two-phase aggregation correct at any parallelism level
+(SURVEY.md §2.3 key semantic decision)."""
+
+import numpy as np
+import pytest
+
+from feature_fabrica_ray.state import (HLL, CategoricalFreq, Moments,
+                                       NumericHistogram, TDigest, hash64,
+                                       ks_from_counts, psi_from_counts)
+
+
+@pytest.fixture(scope="module")
+def data():
+    return np.random.default_rng(7).lognormal(6, 1.2, 50_000)
+
+
+@pytest.mark.parametrize("nsplits", [1, 3, 8, 17])
+def test_welford_partition_invariance(data, nsplits):
+    whole = Moments.from_array(data)
+    merged = Moments()
+    for part in np.array_split(data, nsplits):
+        merged = merged.merge(Moments.from_array(part))
+    assert merged.count == whole.count == data.size
+    assert merged.mean == pytest.approx(whole.mean, rel=1e-12)
+    assert merged.std == pytest.approx(whole.std, rel=1e-9)
+    assert merged.min == whole.min and merged.max == whole.max
+
+
+def test_welford_nulls():
+    arr = np.array([1.0, 2.0, 3.0, 4.0])
+    mask = np.array([False, True, False, True])
+    m = Moments.from_array(arr, mask)
+    assert m.count == 2 and m.null_count == 2
+    assert m.mean == 2.0 and m.null_rate == 0.5
+
+
+def test_welford_matches_numpy(data):
+    m = Moments.from_array(data)
+    assert m.mean == pytest.approx(data.mean(), rel=1e-12)
+    assert m.std == pytest.approx(data.std(), rel=1e-9)  # population std
+
+
+@pytest.mark.parametrize("true_card", [50, 5_000, 200_000])
+def test_hll_accuracy_and_merge_order(true_card):
+    vals = np.array([f"key-{i % true_card}" for i in range(true_card * 2)])
+    splits = np.array_split(vals, 9)
+    h_fwd = HLL()
+    for s in splits:
+        h_fwd = h_fwd.merge(HLL().add_column(list(s)))
+    h_rev = HLL()
+    for s in reversed(splits):
+        h_rev = h_rev.merge(HLL().add_column(list(s)))
+    # merge-order invariance (register max is commutative)
+    assert np.array_equal(h_fwd.registers, h_rev.registers)
+    assert h_fwd.estimate() == pytest.approx(true_card, rel=0.02)
+
+
+def test_hll_serialization_roundtrip():
+    h = HLL().add_column(["a", "b", "c"])
+    h2 = HLL.from_bytes(h.to_bytes())
+    assert np.array_equal(h.registers, h2.registers)
+
+
+def test_tdigest_rank_error(data):
+    parts = np.array_split(data, 13)
+    td = TDigest()
+    for p in parts:
+        td = td.merge(TDigest.from_array(p))
+    for q in (0.01, 0.25, 0.5, 0.75, 0.95, 0.99):
+        est = td.quantile(q)
+        rank_err = abs((data <= est).mean() - q)
+        assert rank_err < 0.01, (q, rank_err)
+    assert td.count == data.size
+
+
+def test_tdigest_extremes(data):
+    td = TDigest.from_array(data)
+    assert td.quantile(0.0) == data.min()
+    assert td.quantile(1.0) == data.max()
+
+
+def test_tdigest_serialization(data):
+    td = TDigest.from_array(data[:1000])
+    td2 = TDigest.from_bytes(td.to_bytes())
+    assert td2.quantile(0.5) == td.quantile(0.5)
+
+
+def test_histogram_merge_and_drift(data):
+    edges_lo, edges_hi = float(data.min()), float(data.max())
+    h_all = NumericHistogram.equal_width(edges_lo, edges_hi, 64).add(data)
+    h_merged = NumericHistogram.equal_width(edges_lo, edges_hi, 64)
+    for p in np.array_split(data, 5):
+        h_merged = h_merged.merge(
+            NumericHistogram.equal_width(edges_lo, edges_hi, 64).add(p))
+    assert np.array_equal(h_all.counts, h_merged.counts)
+    # self-drift is exactly zero; shifted drift triggers
+    assert psi_from_counts(h_all.full_counts(), h_merged.full_counts()) == 0.0
+    h_shift = NumericHistogram.equal_width(edges_lo, edges_hi, 64).add(data * 2.0)
+    assert psi_from_counts(h_all.full_counts(), h_shift.full_counts()) > 0.2
+    assert ks_from_counts(h_all.full_counts(), h_shift.full_counts()) > 0.1
+
+
+def test_categorical_freq_merge():
+    a = CategoricalFreq().add(None, {"py": 10, "go": 5})
+    b = CategoricalFreq().add(None, {"py": 1, "rs": 2})
+    m = a.merge(b)
+    assert m.counts == {"py": 11, "go": 5, "rs": 2}
+
+
+def test_hash64_deterministic_across_reprs():
+    import pyarrow as pa
+
+    a = hash64(["x", "y", "x"])
+    b = hash64(pa.array(["x", "y", "x"]))
+    assert np.array_equal(a, b)
+    assert a[0] == a[2] and a[0] != a[1]
