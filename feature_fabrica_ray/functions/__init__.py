@@ -1,0 +1,32 @@
+"""Vectorized transformation library (full operator parity with the
+reference's transform/ package, re-expressed as Arrow kernels —
+SURVEY.md §2.2-2.5)."""
+
+from . import registry
+from .aggregate import GROUP_REDUCTIONS, GroupByReduce
+from .base import (BatchCtx, ColumnRef, Transformation, TransformationError,
+                   arrow_type_from_name, as_arrow, as_numpy)
+from .datetime import (DateTimeAdd, DateTimeDifference, DateTimeExtract,
+                       DateTimeSubtract, ExtractDayofWeek)
+from .generic import AsType, FeatureImporter
+from .math import (ABSTransform, ClipTransform, DivideReduce, DivideTransform,
+                   ExpTransform, KBinsDiscretize, LogTransform, MinMaxTransform,
+                   MultiplyReduce, PowerTransform, ScaleFeature, SqrtTransform,
+                   SubtractReduce, SumReduce, ZScoreTransform)
+from .strings import (BinaryEncode, ConcatenateReduce, LabelEncode,
+                      OneHotEncode, OrdinalEncode, Split, Strip, ToLower,
+                      ToUpper)
+
+__all__ = [
+    "registry", "Transformation", "TransformationError", "ColumnRef", "BatchCtx",
+    "arrow_type_from_name", "as_arrow", "as_numpy",
+    "ScaleFeature", "LogTransform", "ExpTransform", "SqrtTransform",
+    "PowerTransform", "ABSTransform", "ClipTransform", "DivideTransform",
+    "ZScoreTransform", "MinMaxTransform", "KBinsDiscretize",
+    "SumReduce", "SubtractReduce", "MultiplyReduce", "DivideReduce",
+    "ToLower", "ToUpper", "Strip", "Split", "ConcatenateReduce",
+    "OneHotEncode", "LabelEncode", "OrdinalEncode", "BinaryEncode",
+    "DateTimeDifference", "DateTimeAdd", "DateTimeSubtract", "DateTimeExtract",
+    "ExtractDayofWeek", "AsType", "FeatureImporter",
+    "GroupByReduce", "GROUP_REDUCTIONS",
+]

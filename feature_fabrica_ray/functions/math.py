@@ -1,0 +1,287 @@
+"""Numeric transforms (reference: feature_fabrica/transform/math.py) as
+pyarrow.compute kernels — zero-copy per batch, no Python loops.
+
+Self-fitting z-score / min-max / k-bins are global two-phase aggregates
+here (partial Welford/t-digest per block -> merge -> broadcast), NOT
+per-batch fits — see SURVEY.md §2.3 for why this deliberately diverges
+from the reference's batched behavior (math.py:158-167,194-207,223)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .base import ColumnRef, Transformation, TransformationError, as_arrow, as_numpy
+
+__all__ = ["ScaleFeature", "LogTransform", "ExpTransform", "SqrtTransform",
+           "PowerTransform", "ABSTransform", "ClipTransform", "DivideTransform",
+           "ZScoreTransform", "MinMaxTransform", "KBinsDiscretize",
+           "SumReduce", "SubtractReduce", "MultiplyReduce", "DivideReduce"]
+
+
+def _f64(data):
+    """Promote integer/other arrow arrays to float64 for float-valued kernels
+    (matches numpy's float promotion in the reference)."""
+    arr = as_arrow(data)
+    if pa.types.is_floating(arr.type):
+        return arr
+    return arr.cast(pa.float64())
+
+
+class ScaleFeature(Transformation):
+    """x * factor (reference: transform/math.py:94-103); factor may be a
+    scalar or another feature (broadcast column)."""
+
+    _name_ = "scale"
+    _ref_params_ = ("factor",)
+
+    def __init__(self, factor):
+        self.factor = factor
+
+    def execute(self, data):
+        return pc.multiply(_f64(data), self._scalar_or_col(self.factor))
+
+    def _scalar_or_col(self, v):
+        v = self._val(v)
+        return _f64(v) if isinstance(v, (pa.Array, pa.ChunkedArray)) else pa.scalar(float(v))
+
+
+class LogTransform(Transformation):
+    """Natural log (reference: transform/math.py:106-110)."""
+
+    _name_ = "log"
+
+    def execute(self, data):
+        return pc.ln(_f64(data))
+
+
+class ExpTransform(Transformation):
+    """e**x (reference: transform/math.py:113-117)."""
+
+    _name_ = "exp"
+
+    def execute(self, data):
+        return pc.exp(_f64(data))
+
+
+class SqrtTransform(Transformation):
+    """sqrt(x) (reference: transform/math.py:120-124)."""
+
+    _name_ = "sqrt"
+
+    def execute(self, data):
+        return pc.sqrt(_f64(data))
+
+
+class PowerTransform(Transformation):
+    """x ** power (reference: transform/math.py:127-136)."""
+
+    _name_ = "pow"
+    _ref_params_ = ("power",)
+
+    def __init__(self, power):
+        self.power = power
+
+    def execute(self, data):
+        p = self._val(self.power)
+        p = _f64(p) if isinstance(p, (pa.Array, pa.ChunkedArray)) else pa.scalar(float(p))
+        return pc.power(_f64(data), p)
+
+
+class ABSTransform(Transformation):
+    """|x| (reference: transform/math.py:138-142)."""
+
+    _name_ = "abs"
+
+    def execute(self, data):
+        return pc.abs(as_arrow(data))
+
+
+class ClipTransform(Transformation):
+    """clip(x, min, max); bounds may be scalars or features
+    (reference: transform/math.py:169-179)."""
+
+    _name_ = "clip"
+    _ref_params_ = ("min", "max")
+
+    def __init__(self, min=None, max=None):
+        self.min = min
+        self.max = max
+
+    def execute(self, data):
+        out = _f64(data)
+        if self.min is not None:
+            mn = self._val(self.min)
+            mn = _f64(mn) if isinstance(mn, (pa.Array, pa.ChunkedArray)) else pa.scalar(float(mn))
+            out = pc.max_element_wise(out, mn)
+        if self.max is not None:
+            mx = self._val(self.max)
+            mx = _f64(mx) if isinstance(mx, (pa.Array, pa.ChunkedArray)) else pa.scalar(float(mx))
+            out = pc.min_element_wise(out, mx)
+        return out
+
+
+class DivideTransform(Transformation):
+    """numerator/x or x/denominator — exactly one side bound at init
+    (reference: transform/math.py:61-91, init check at math.py:70-72)."""
+
+    _name_ = "divide"
+    _ref_params_ = ("numerator", "denominator")
+
+    def __init__(self, numerator=None, denominator=None):
+        if (numerator is None) == (denominator is None):
+            raise TransformationError(
+                "divide: exactly one of numerator/denominator must be given")
+        self.numerator = numerator
+        self.denominator = denominator
+
+    def execute(self, data):
+        x = _f64(data)
+        if self.numerator is not None:
+            num = self._val(self.numerator)
+            num = _f64(num) if isinstance(num, (pa.Array, pa.ChunkedArray)) else pa.scalar(float(num))
+            return pc.divide(num, x)
+        den = self._val(self.denominator)
+        den = _f64(den) if isinstance(den, (pa.Array, pa.ChunkedArray)) else pa.scalar(float(den))
+        return pc.divide(x, den)
+
+
+# ---------------------------------------------------------------------------
+# self-fitting two-phase ops
+# ---------------------------------------------------------------------------
+
+class ZScoreTransform(Transformation):
+    """(x - mean)/std. With mean/std given: stateless (reference:
+    math.py:144-157). Without: a GLOBAL two-phase aggregate — the planner
+    streams a Welford pass over the chain input and broadcasts the merged
+    moments (divergence from per-batch reference noted in module docstring);
+    std is population std, matching numpy/SQL stddev_pop."""
+
+    _name_ = "z_score"
+
+    def __init__(self, mean=None, std_dev=None):
+        self.mean = mean
+        self.std_dev = std_dev
+
+    def fit_request(self):
+        return None if self.mean is not None else "moments"
+
+    def set_fitted(self, moments):
+        self.mean = moments.mean
+        self.std_dev = moments.std
+
+    def execute(self, data):
+        if self.mean is None:
+            raise TransformationError("z_score not fitted (planner must run fit pass)")
+        return pc.divide(pc.subtract(_f64(data), pa.scalar(float(self.mean))),
+                         pa.scalar(float(self.std_dev)))
+
+
+class MinMaxTransform(Transformation):
+    """(x - min)/(max - min); same global-fit duality
+    (reference: math.py:182-207)."""
+
+    _name_ = "min_max"
+
+    def __init__(self, min=None, max=None):
+        self.min = min
+        self.max = max
+
+    def fit_request(self):
+        return None if self.min is not None else "moments"
+
+    def set_fitted(self, moments):
+        self.min = moments.min
+        self.max = moments.max
+
+    def execute(self, data):
+        if self.min is None:
+            raise TransformationError("min_max not fitted")
+        lo, hi = float(self.min), float(self.max)
+        return pc.divide(pc.subtract(_f64(data), pa.scalar(lo)), pa.scalar(hi - lo))
+
+
+class KBinsDiscretize(Transformation):
+    """Ordinal k-bins discretization (reference: math.py:209-227, sklearn
+    KBinsDiscretizer semantics). strategy='uniform' bins on [min,max];
+    'quantile' bins on global t-digest quantiles. Edges come from a global
+    fit pass; the rightmost bin is closed (x == max -> last bin), matching
+    sklearn. Output int32 bin ids."""
+
+    _name_ = "kbins_discretize"
+
+    def __init__(self, n_bins: int = 5, strategy: str = "uniform", edges=None):
+        if strategy not in ("uniform", "quantile"):
+            raise TransformationError(f"kbins strategy {strategy!r} not supported")
+        self.n_bins = int(n_bins)
+        self.strategy = strategy
+        self.edges = list(edges) if edges is not None else None
+
+    def fit_request(self):
+        if self.edges is not None:
+            return None
+        return "moments" if self.strategy == "uniform" else "quantiles"
+
+    def set_fitted(self, fitted):
+        if self.strategy == "uniform":
+            self.edges = list(np.linspace(fitted.min, fitted.max, self.n_bins + 1))
+        else:
+            qs = np.linspace(0, 1, self.n_bins + 1)
+            self.edges = [fitted.quantile(q) for q in qs]
+
+    def execute(self, data):
+        if self.edges is None:
+            raise TransformationError("kbins not fitted")
+        x = as_numpy(_f64(data)).astype(np.float64)
+        edges = np.asarray(self.edges, dtype=np.float64)
+        bins = np.searchsorted(edges[1:-1], x, side="right").astype(np.int32)
+        return pa.array(bins, pa.int32())
+
+
+# ---------------------------------------------------------------------------
+# N-ary elementwise reduces across columns (bound to infix + - * / in the
+# expression language; reference: transform/math.py:13-59)
+# ---------------------------------------------------------------------------
+
+class _BaseReduce(Transformation):
+    _ref_params_ = ("iterable",)
+    _kernel = None
+
+    def __init__(self, iterable):
+        self.iterable = list(iterable)
+
+    def execute(self):
+        vals = []
+        for v in self.iterable:
+            v = self._val(v)
+            if isinstance(v, (pa.Array, pa.ChunkedArray)):
+                vals.append(_f64(v))
+            elif isinstance(v, Transformation):
+                raise TransformationError("nested transformation operand not flattened")
+            else:
+                vals.append(pa.scalar(float(v)))
+        out = vals[0]
+        for v in vals[1:]:
+            out = self._kernel(out, v)
+        return out
+
+
+class SumReduce(_BaseReduce):
+    _name_ = "sum_reduce"
+    _kernel = staticmethod(pc.add)
+
+
+class SubtractReduce(_BaseReduce):
+    _name_ = "subtract_reduce"
+    _kernel = staticmethod(pc.subtract)
+
+
+class MultiplyReduce(_BaseReduce):
+    _name_ = "multiply_reduce"
+    _kernel = staticmethod(pc.multiply)
+
+
+class DivideReduce(_BaseReduce):
+    _name_ = "divide_reduce"
+    _kernel = staticmethod(pc.divide)

@@ -1,0 +1,265 @@
+"""FeatureEngine — compiles a YAML spec and executes it over a
+``ray.data.Dataset`` (the reference FeatureManager's role, re-planned for
+streaming execution; reference: feature_fabrica/core.py:128-351).
+
+Physical plan per DAG level (reference levels: core.py:186-260):
+
+1. FIT PASSES — every self-fitting op (z_score/min_max/kbins/encoders
+   without params) gets a global two-phase aggregate: one extra streaming
+   pass over the upstream Dataset computes per-block partials (Welford
+   moments / distinct sets / t-digests), merged driver-side (KB-sized) and
+   broadcast into the op. We deliberately RECOMPUTE the upstream rather
+   than materialize it: at 100 TB, re-streaming blocks through the
+   (deterministic, idempotent) upstream map stages is cheaper than pinning
+   the whole intermediate dataset in the object store.
+2. SHUFFLE STAGES — group_reduce window features lower to
+   ``groupby(key).map_groups`` (hash-partitioned exchange, row count
+   preserved, order NOT preserved — comparisons must be key-based).
+3. ONE FUSED ``map_batches`` evaluating all remaining (pure-vector)
+   features of the level over zero-copy Arrow batches; intermediates that
+   other features reference as ``feat:stage`` are published as extra
+   columns.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.aggregate import GroupByReduce
+from ..functions.base import BatchCtx, ColumnRef, TransformationError, as_arrow
+from ..spec.expressions import Call, Infix, Node, Ref, Tup
+from ..spec.models import (CompiledFeature, build_features, level_features)
+from ..spec.yaml_loader import load_spec
+from ..state import Moments, TDigest
+
+__all__ = ["FeatureEngine"]
+
+
+def _replace_node(tree: Node, old: Node, new: Node) -> Node:
+    if tree is old:
+        return new
+    if isinstance(tree, Call) and tree.recv is not None:
+        tree.recv = _replace_node(tree.recv, old, new)
+    elif isinstance(tree, Infix):
+        tree.left = _replace_node(tree.left, old, new)
+        tree.right = _replace_node(tree.right, old, new)
+    elif isinstance(tree, Tup):
+        tree.items = [_replace_node(it, old, new) for it in tree.items]
+    return tree
+
+
+def _finalize(val, ty: pa.DataType):
+    """Cast a feature's final value to its declared dtype. List-typed
+    outputs (one-hot etc.) keep their layout — the declared dtype describes
+    the element type (reference quirk: validate-only, features.py:59-84)."""
+    arr = as_arrow(val)
+    if pa.types.is_nested(arr.type):
+        return arr
+    if arr.type == ty:
+        return arr
+    return arr.cast(ty, safe=False)
+
+
+class FeatureEngine:
+    """Compile once (driver-side, pure Python), run on any Dataset.
+
+    >>> eng = FeatureEngine("features.yaml")
+    >>> out = eng.transform(ray.data.read_parquet(...))
+    """
+
+    def __init__(self, spec: str | dict):
+        spec_dict = load_spec(spec)
+        self.features = build_features(spec_dict)
+        self.levels = level_features(self.features)
+        self.groups: dict[str, list[str]] = {}
+        for f in self.features.values():
+            if f.spec.group:
+                self.groups.setdefault(f.spec.group, []).append(f.name)
+        self._mark_published_intermediates()
+
+    # ------------------------------------------------------------------
+    def _mark_published_intermediates(self) -> None:
+        """Find every ``feat:stage`` reference and mark the producing Call
+        node to publish its output as that column (reference promise
+        publication: promise_manager.py:84-85)."""
+        needed: set[tuple[str, str]] = set()
+        for f in self.features.values():
+            if f.tree is None:
+                continue
+            for n in f.tree.walk():
+                if isinstance(n, Ref) and n.stage:
+                    needed.add((n.name, n.stage))
+        self._published: set[str] = set()
+        for feat_name, stage in needed:
+            feat = self.features.get(feat_name)
+            if feat is None or feat.tree is None:
+                raise TransformationError(
+                    f"intermediate ref {feat_name}:{stage} has no producing feature")
+            hit = None
+            for n in feat.tree.walk():
+                if isinstance(n, Call) and (
+                        n.fn_name == stage or getattr(n, "stage_key", None) == stage):
+                    hit = n
+            if hit is None:
+                raise TransformationError(
+                    f"feature {feat_name} has no stage {stage!r} to publish")
+            hit.publish_as = f"{feat_name}:{stage}"
+            self._published.add(f"{feat_name}:{stage}")
+
+    # ------------------------------------------------------------------
+    def transform(self, ds, select_groups: list[str] | None = None,
+                  keep_input: bool = True):
+        """Execute the DAG over a Dataset; returns the Dataset with feature
+        columns appended (and inputs kept unless keep_input=False)."""
+        input_cols = list(ds.schema().names)
+        for level, feats in self.levels.items():
+            ds = self._run_fit_passes(ds, feats)
+            for f in [f for f in feats if self._root_shuffles(f)]:
+                ds = self._apply_group_reduce(ds, f)
+            # after lowering, every feature has a pure tree -> one fused pass
+            ds = self._fused_level_pass(ds, feats)
+        drop = [c for c in self._published]
+        if not keep_input:
+            drop += [c for c in input_cols if c not in self.features]
+        if select_groups:
+            keep_feats = {n for g in select_groups for n in self.groups.get(g, [])}
+            drop += [f.name for f in self.features.values()
+                     if f.name not in keep_feats and f.name not in input_cols]
+        if drop:
+            ds = ds.map_batches(
+                lambda b, d=tuple(drop): b.drop_columns([c for c in d if c in b.column_names]),
+                batch_format="pyarrow")
+        return ds
+
+    # -- fit passes ----------------------------------------------------
+    def _run_fit_passes(self, ds, feats: list[CompiledFeature]):
+        requests: list[tuple[CompiledFeature, Call, str]] = []
+        for f in feats:
+            for call in f.calls():
+                kind = call.transform.fit_request()
+                if kind:
+                    requests.append((f, call, kind))
+        if not requests:
+            return ds
+
+        feat_names = [(f.spec.input or f.name) for f, _, _ in requests]
+        recvs = [c.recv for _, c, _ in requests]
+        kinds = [k for _, _, k in requests]
+
+        def partials(batch: pa.Table) -> pa.Table:
+            ctx = BatchCtx(batch)
+            out: dict[str, list] = {}
+            for i, (fname, recv, kind) in enumerate(zip(feat_names, recvs, kinds)):
+                data = ctx.cols.get(fname)
+                val = as_arrow(recv.eval(data, ctx)) if recv is not None else data
+                if kind == "moments":
+                    arr = val.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+                    m = Moments.from_array(arr)
+                    m.null_count = val.null_count
+                    out[f"fit_{i}"] = [json.dumps(m.to_dict())]
+                elif kind == "distinct":
+                    uniq = val.drop_null().unique().to_pylist()
+                    out[f"fit_{i}"] = [json.dumps(sorted(map(str, uniq)))]
+                elif kind == "quantiles":
+                    arr = val.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+                    out[f"fit_{i}"] = [TDigest.from_array(arr).to_bytes()]
+                else:  # pragma: no cover
+                    raise TransformationError(f"unknown fit kind {kind}")
+            return pa.table(out)
+
+        rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+        for i, (f, call, kind) in enumerate(requests):
+            blobs = [r[f"fit_{i}"] for r in rows]
+            if kind == "moments":
+                m = Moments()
+                for b in blobs:
+                    m = m.merge(Moments.from_dict(json.loads(b)))
+                call.transform.set_fitted(m)
+            elif kind == "distinct":
+                vals: set = set()
+                for b in blobs:
+                    vals.update(json.loads(b))
+                call.transform.set_fitted(vals)
+            else:
+                call.transform.set_fitted(TDigest.merge_bytes(blobs))
+        return ds
+
+    # -- shuffle (window) stages ---------------------------------------
+    def _root_shuffles(self, f: CompiledFeature) -> bool:
+        return any(isinstance(c.transform, GroupByReduce) for c in f.calls())
+
+    def _apply_group_reduce(self, ds, f: CompiledFeature):
+        """Lower every GroupByReduce node (deepest-first) to a hash-shuffle
+        stage; rewrite the tree so the remaining ops are pure."""
+        counter = 0
+        while True:
+            nodes = [n for n in f.tree.walk()
+                     if isinstance(n, Call) and isinstance(n.transform, GroupByReduce)]
+            if not nodes:
+                break
+            node = nodes[-1]  # walk yields parents before children; take deepest
+            gr: GroupByReduce = node.transform
+            key = gr.key_feature
+            key_col = key.key if isinstance(key, ColumnRef) else str(key)
+            tmp_in = f"__gr_in__{f.name}_{counter}"
+            tmp_out = f"__gr_out__{f.name}_{counter}"
+            counter += 1
+            recv = node.recv
+
+            def add_input(batch: pa.Table, recv=recv, fname=(f.spec.input or f.name), tmp=tmp_in) -> pa.Table:
+                ctx = BatchCtx(batch)
+                data = ctx.cols.get(fname)
+                val = as_arrow(recv.eval(data, ctx))
+                return batch.append_column(tmp, val)
+
+            ds = ds.map_batches(add_input, batch_format="pyarrow")
+
+            def per_group(df: pd.DataFrame, gr=gr, tmp_in=tmp_in, tmp_out=tmp_out) -> pd.DataFrame:
+                df = df.copy()
+                df[tmp_out] = gr.reduce_group(df[tmp_in])
+                return df
+
+            ds = ds.groupby(key_col).map_groups(per_group, batch_format="pandas")
+            ds = ds.map_batches(lambda b, t=tmp_in: b.drop_columns([t]),
+                                batch_format="pyarrow")
+            f.tree = _replace_node(f.tree, node, Ref(tmp_out, None))
+            # tmp_out is a plain column now; drop it after the fused pass
+            self._published.add(tmp_out)
+        return ds
+
+    # -- fused vector pass ---------------------------------------------
+    def _fused_level_pass(self, ds, feats: list[CompiledFeature]):
+        if not feats:
+            return ds
+        specs = [(f.name, f.spec.input or f.name, f.tree, f.spec.arrow_type) for f in feats]
+        published = self._published
+
+        def fn(batch: pa.Table) -> pa.Table:
+            ctx = BatchCtx(batch)
+            for name, input_col, tree, ty in specs:
+                raw = ctx.cols.get(input_col)
+                if tree is None:
+                    if raw is None:
+                        raise TransformationError(
+                            f"feature {name} has no input column and no transformation")
+                    val = raw
+                else:
+                    val = tree.eval(raw, ctx)
+                if not isinstance(val, (pa.Array, pa.ChunkedArray, np.ndarray, list)):
+                    val = pa.array([val] * ctx.num_rows)  # scalar broadcast
+                ctx.put(name, _finalize(val, ty))
+            keep = list(batch.column_names)
+            keep += [n for n in ctx.cols if n not in keep and
+                     (n in self.features or n in published)]
+            return ctx.to_table(keep)
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    # ------------------------------------------------------------------
+    def feature_names(self) -> list[str]:
+        return list(self.features)

@@ -1,0 +1,227 @@
+"""End-to-end FeatureEngine tests over Ray Datasets with YAML specs —
+mirrors the reference's e2e layer (tests/test_core.py goldens, FIXTURES.md
+F2/F3): derived values, nested expressions, intermediate-stage imports,
+group selection, window aggregates, global-fit ops, cyclic detection."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from feature_fabrica_ray.spec import CyclicDependencyError
+from feature_fabrica_ray.stages import FeatureEngine
+
+BASIC_SPEC = """
+feature_a:
+  description: raw numeric input a
+  data_type: int32
+feature_b:
+  description: raw numeric input b
+  data_type: int32
+feature_c:
+  description: half of a plus two b
+  data_type: float32
+  dependencies: [feature_a, feature_b]
+  transformation: "(feature_a + 2 * feature_b) / 2"
+feature_d:
+  description: a times six over two
+  data_type: float32
+  dependencies: [feature_a]
+  transformation: "(feature_a * 6) / 2"
+"""
+
+
+def _ds(d):
+    return ray.data.from_pandas(pd.DataFrame(d))
+
+
+def test_basic_dag_golden(ray_session):
+    # reference golden: a=10,b=20 -> c = (10+2*20)/2 = 25.0 (test_core.py:28)
+    eng = FeatureEngine(BASIC_SPEC)
+    out = eng.transform(_ds({"feature_a": [10, 30], "feature_b": [20, 40]})).to_pandas()
+    assert out["feature_c"].tolist() == [25.0, 55.0]
+    assert out["feature_d"].tolist() == [30.0, 90.0]
+    assert out["feature_c"].dtype == np.float32
+
+
+def test_nested_expression_identities(ray_session):
+    # reference: (a+b)/(a+b)=1, ((a+b)*2)/(a+b)=2 (test_core.py:96-116)
+    spec = """
+a: {description: raw input a, data_type: float64}
+b: {description: raw input b, data_type: float64}
+one:
+  description: ratio of sum to itself
+  data_type: float64
+  dependencies: [a, b]
+  transformation: "(a + b) / (a + b)"
+two:
+  description: doubled ratio identity
+  data_type: float64
+  dependencies: [a, b]
+  transformation: "((a + b) * 2) / (a + b)"
+"""
+    out = FeatureEngine(spec).transform(
+        _ds({"a": [3.0, 7.0], "b": [4.0, 9.0]})).to_pandas()
+    assert out["one"].tolist() == [1.0, 1.0]
+    assert out["two"].tolist() == [2.0, 2.0]
+
+
+def test_chain_and_intermediate_stage_import(ray_session):
+    # reference: feature_e:upper imported into concat ->
+    # ["ORANGEorange", "APPLEapple"] (test_core.py:71-89)
+    spec = """
+feature_e:
+  description: fruit string chain
+  data_type: str
+  transformation: "().upper().lower()"
+feature_g:
+  description: concat of upper and lower stages
+  data_type: str
+  dependencies: [feature_e]
+  transformation: "(feature_e:upper, feature_e:lower).concat()"
+"""
+    out = FeatureEngine(spec).transform(
+        _ds({"feature_e": ["Orange", "Apple"]})).to_pandas()
+    assert out["feature_e"].tolist() == ["orange", "apple"]
+    assert out["feature_g"].tolist() == ["ORANGEorange", "APPLEapple"]
+
+
+def test_strip_and_one_hot(ray_session):
+    spec = """
+feature_f:
+  description: stripped fruit string
+  data_type: str
+  transformation: "().strip()"
+fruit_onehot:
+  description: one hot of fruit
+  data_type: int32
+  dependencies: [feature_f]
+  transformation: "(feature_f).one_hot(categories=['apple','orange'])"
+"""
+    out = FeatureEngine(spec).transform(_ds({"feature_f": ["orange ", " apple"]})).to_pandas()
+    assert out["feature_f"].tolist() == ["orange", "apple"]
+    assert [list(v) for v in out["fruit_onehot"]] == [[0, 1], [1, 0]]
+
+
+def test_group_reduce_window_golden(ray_session):
+    # reference golden: mean per key broadcast back -> [3.5,3.5,4,4,5.5,5.5]
+    # (test_core.py:118-128); order lost in shuffle -> compare by key
+    spec = """
+key: {description: group key column, data_type: int64}
+val: {description: value column for aggregation, data_type: float64}
+group_mean:
+  description: per key mean broadcast to rows
+  data_type: float64
+  dependencies: [key, val]
+  transformation: "(val).group_reduce(key_feature=key, agg=mean)"
+"""
+    out = FeatureEngine(spec).transform(
+        _ds({"key": [1, 1, 2, 2, 3, 3], "val": [2.0, 5.0, 2.0, 6.0, 2.0, 9.0]})
+    ).to_pandas().sort_values(["key", "val"]).reset_index(drop=True)
+    assert out["group_mean"].tolist() == [3.5, 3.5, 4.0, 4.0, 5.5, 5.5]
+    assert len(out) == 6  # row count preserved (window semantics)
+
+
+def test_group_reduce_uneven_and_string_key(ray_session):
+    # reference: uneven groups sum -> [5,5,9,9,6]; string concat per key
+    # (test_aggregate_transform.py:19-28,80-106)
+    spec = """
+k: {description: string group key, data_type: str}
+v: {description: int value column, data_type: int64}
+group_sum:
+  description: per key sum broadcast to rows
+  data_type: int64
+  dependencies: [k, v]
+  transformation: "(v).group_reduce(key_feature=k, agg=sum)"
+"""
+    out = FeatureEngine(spec).transform(
+        _ds({"k": ["a", "a", "b", "b", "c"], "v": [2, 3, 4, 5, 6]})
+    ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    assert out["group_sum"].tolist() == [5, 5, 9, 9, 6]
+
+
+def test_global_fit_zscore_and_minmax(ray_session):
+    # self-fitting ops must use GLOBAL stats regardless of block splits
+    vals = np.arange(100, dtype=np.float64)
+    spec = """
+x: {description: raw numeric column, data_type: float64}
+z:
+  description: global z score of x
+  data_type: float64
+  dependencies: [x]
+  transformation: "(x).z_score()"
+mm:
+  description: global min max of x
+  data_type: float64
+  dependencies: [x]
+  transformation: "(x).min_max()"
+"""
+    ds = _ds({"x": vals}).repartition(7)  # force multiple blocks
+    out = FeatureEngine(spec).transform(ds).to_pandas().sort_values("x")
+    np.testing.assert_allclose(out["z"].to_numpy(),
+                               (vals - vals.mean()) / vals.std(), rtol=1e-12)
+    np.testing.assert_allclose(out["mm"].to_numpy(), vals / 99.0, rtol=1e-12)
+
+
+def test_global_fit_label_encode(ray_session):
+    # self-fitting encoder == given-categories encoder with global sorted
+    # distincts, regardless of partitioning (F4 two-pass correctness)
+    spec = """
+fruit: {description: fruit string column, data_type: str}
+code:
+  description: label code of fruit
+  data_type: int32
+  dependencies: [fruit]
+  transformation: "(fruit).label_encode()"
+"""
+    ds = _ds({"fruit": ["cherry", "apple", "banana", "apple", "cherry"]}).repartition(3)
+    out = FeatureEngine(spec).transform(ds).to_pandas().sort_values("fruit")
+    got = dict(zip(out["fruit"], out["code"]))
+    assert got == {"apple": 0, "banana": 1, "cherry": 2}
+
+
+def test_select_groups(ray_session):
+    spec = """
+a: {description: raw input a, data_type: float64}
+doubled:
+  description: two times a
+  data_type: float64
+  group: out
+  dependencies: [a]
+  transformation: "(a) * 2"
+tripled:
+  description: three times a
+  data_type: float64
+  group: other
+  dependencies: [a]
+  transformation: "(a) * 3"
+"""
+    out = FeatureEngine(spec).transform(
+        _ds({"a": [1.0]}), select_groups=["out"]).to_pandas()
+    assert "doubled" in out.columns and "tripled" not in out.columns
+
+
+def test_cyclic_dependency_raises():
+    spec = """
+p:
+  description: cyclic feature p
+  data_type: float64
+  dependencies: [q]
+  transformation: "(q) * 2"
+q:
+  description: cyclic feature q
+  data_type: float64
+  dependencies: [p]
+  transformation: "(p) * 2"
+"""
+    with pytest.raises(CyclicDependencyError):
+        FeatureEngine(spec)
+
+
+def test_invalid_specs_rejected():
+    import pydantic
+
+    with pytest.raises(pydantic.ValidationError):
+        FeatureEngine({"f": {"description": "ok", "data_type": "float64"}})  # desc <5
+    with pytest.raises(Exception):
+        FeatureEngine({"f": {"description": "long enough", "data_type": "notatype"}})

@@ -1,0 +1,236 @@
+"""Per-operator unit tests on tiny literal arrays with exact goldens —
+mirrors the reference's test strategy (SURVEY.md §5; fixtures F2/F4/F5/F6
+in FIXTURES.md). No Ray session needed: operators are pure Arrow kernels."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from feature_fabrica_ray.functions import (ABSTransform, AsType, BinaryEncode,
+                                           ClipTransform, ConcatenateReduce,
+                                           DateTimeAdd, DateTimeDifference,
+                                           DateTimeExtract, DateTimeSubtract,
+                                           DivideTransform, ExpTransform,
+                                           ExtractDayofWeek, FeatureImporter,
+                                           KBinsDiscretize, LabelEncode,
+                                           LogTransform, MinMaxTransform,
+                                           OneHotEncode, OrdinalEncode,
+                                           PowerTransform, ScaleFeature, Split,
+                                           SqrtTransform, Strip, SumReduce,
+                                           ToLower, ToUpper,
+                                           TransformationError, ZScoreTransform,
+                                           BatchCtx)
+from feature_fabrica_ray.state import Moments, TDigest
+
+
+def run(t, data=None, ctx_cols=None):
+    ctx = BatchCtx(pa.table(ctx_cols or {"__dummy": [0]}))
+    return t(data, ctx)
+
+
+def lst(a):
+    return a.to_pylist()
+
+
+# -- math (reference: tests/test_math_transform.py) -------------------------
+
+def test_scale():
+    assert lst(run(ScaleFeature(2.5), pa.array([1, 2, 4]))) == [2.5, 5.0, 10.0]
+
+
+def test_scale_by_feature():
+    t = ScaleFeature("f")
+    t.compile({"f"})
+    out = run(t, pa.array([1.0, 2.0]), {"f": [10.0, 20.0]})
+    assert lst(out) == [10.0, 40.0]
+
+
+def test_log_exp_sqrt_pow_abs():
+    assert lst(run(LogTransform(), pa.array([1.0, np.e]))) == pytest.approx([0.0, 1.0])
+    assert lst(run(ExpTransform(), pa.array([0.0, 1.0]))) == pytest.approx([1.0, np.e])
+    assert lst(run(SqrtTransform(), pa.array([4, 9]))) == [2.0, 3.0]
+    assert lst(run(PowerTransform(3), pa.array([2.0]))) == [8.0]
+    assert lst(run(ABSTransform(), pa.array([-1, 2, -3]))) == [1, 2, 3]
+
+
+def test_clip():
+    assert lst(run(ClipTransform(min=0, max=5), pa.array([-2, 3, 9]))) == [0.0, 3.0, 5.0]
+
+
+def test_divide_both_sides():
+    assert lst(run(DivideTransform(denominator=2), pa.array([4.0, 6.0]))) == [2.0, 3.0]
+    assert lst(run(DivideTransform(numerator=12), pa.array([4.0, 6.0]))) == [3.0, 2.0]
+    with pytest.raises(TransformationError):
+        DivideTransform()
+    with pytest.raises(TransformationError):
+        DivideTransform(numerator=1, denominator=2)
+
+
+def test_zscore_given_params():
+    # reference golden: mean=5 std=2 on [3,5,7] -> [-1,0,1]
+    assert lst(run(ZScoreTransform(mean=5, std_dev=2), pa.array([3.0, 5.0, 7.0]))) == [-1.0, 0.0, 1.0]
+
+
+def test_zscore_global_fit_equals_whole_dataset():
+    x = np.array([1.0, 4.0, 10.0, 15.0, 21.0, 25.0])
+    t = ZScoreTransform()
+    assert t.fit_request() == "moments"
+    t.set_fitted(Moments.from_array(x))
+    out = np.array(lst(run(t, pa.array(x))))
+    np.testing.assert_allclose(out, (x - x.mean()) / x.std(), rtol=1e-12)
+
+
+def test_minmax_global_fit():
+    x = np.array([0.0, 5.0, 10.0])
+    t = MinMaxTransform()
+    t.set_fitted(Moments.from_array(x))
+    assert lst(run(t, pa.array(x))) == [0.0, 0.5, 1.0]
+
+
+def test_kbins_uniform_golden():
+    # reference golden: [1,4,10,15,21,25], 3 uniform bins -> [0,0,1,1,2,2]
+    x = np.array([1.0, 4.0, 10.0, 15.0, 21.0, 25.0])
+    t = KBinsDiscretize(n_bins=3, strategy="uniform")
+    t.set_fitted(Moments.from_array(x))
+    assert lst(run(t, pa.array(x))) == [0, 0, 1, 1, 2, 2]
+
+
+def test_kbins_quantile():
+    x = np.linspace(0, 100, 101)
+    t = KBinsDiscretize(n_bins=4, strategy="quantile")
+    assert t.fit_request() == "quantiles"
+    t.set_fitted(TDigest.from_array(x))
+    out = np.array(lst(run(t, pa.array(x))))
+    assert out.min() == 0 and out.max() == 3
+    assert np.all(np.diff(out) >= 0)
+
+
+def test_sum_reduce_columns_and_scalars():
+    t = SumReduce(["a", "b", 1])
+    t.compile({"a", "b"})
+    out = run(t, None, {"a": [1.0, 2.0], "b": [10.0, 20.0]})
+    assert lst(out) == [12.0, 23.0]
+
+
+# -- strings / encoders (reference: tests/test_string_transform.py) ---------
+
+def test_case_strip_split():
+    assert lst(run(ToLower(), pa.array(["AbC"]))) == ["abc"]
+    assert lst(run(ToUpper(), pa.array(["aBc"]))) == ["ABC"]
+    assert lst(run(Strip(), pa.array(["  orange  "]))) == ["orange"]
+    assert lst(run(Strip(chars="x"), pa.array(["xxaxx"]))) == ["a"]
+    assert lst(run(Split(delimiter="/"), pa.array(["a/b/c"]))) == [["a", "b", "c"]]
+
+
+def test_concat_elementwise():
+    t = ConcatenateReduce(iterable=["a", "b"])
+    t.compile({"a", "b"})
+    out = run(t, None, {"a": ["ORANGE", "APPLE"], "b": ["orange", "apple"]})
+    assert lst(out) == ["ORANGEorange", "APPLEapple"]
+
+
+def test_one_hot_golden():
+    # reference golden: categories [apple, banana, orange]; [apple, orange]
+    t = OneHotEncode(categories=["banana", "apple", "orange"])
+    out = run(t, pa.array(["apple", "orange"]))
+    assert lst(out) == [[1, 0, 0], [0, 0, 1]]
+
+
+def test_one_hot_unknown_ignore_and_error():
+    t = OneHotEncode(categories=["apple", "orange"], handle_unknown="ignore")
+    assert lst(run(t, pa.array(["kiwi"]))) == [[0, 0]]
+    t2 = OneHotEncode(categories=["apple", "orange"])
+    with pytest.raises(TransformationError, match="kiwi"):
+        run(t2, pa.array(["kiwi"]))
+
+
+def test_label_ordinal_codes():
+    t = LabelEncode(categories=["apple", "banana", "orange"])
+    assert lst(run(t, pa.array(["apple", "orange"]))) == [0, 2]
+    t2 = OrdinalEncode(categories=["apple", "banana", "orange"],
+                       handle_unknown="use_encoded_value")
+    assert lst(run(t2, pa.array(["orange", "kiwi"]))) == [2, -1]
+
+
+def test_binary_encode_golden():
+    # 4 categories -> 2 bits; codes blue=0 green=1 red=2 yellow=3
+    t = BinaryEncode(categories=["red", "blue", "green", "yellow"])
+    out = run(t, pa.array(["blue", "green", "red", "yellow"]))
+    assert lst(out) == [[0, 0], [0, 1], [1, 0], [1, 1]]
+
+
+def test_encoder_self_fit_equals_given_categories():
+    # F4: self-fitting must equal given-categories when categories ==
+    # globally sorted distincts (two-pass correctness)
+    vals = pa.array(["b", "a", "c", "a"])
+    t = LabelEncode()
+    assert t.fit_request() == "distinct"
+    t.set_fitted({"c", "a", "b"})
+    t2 = LabelEncode(categories=["a", "b", "c"])
+    assert lst(run(t, vals)) == lst(run(t2, vals))
+
+
+# -- datetime (reference: tests/test_datetime_transform.py) -----------------
+
+def test_datetime_diff_days_and_seconds():
+    ts = pa.array(["2023-01-05", "2023-01-10"]).cast(pa.timestamp("us"))
+    out = run(DateTimeDifference(initial_date="2023-01-01", compute_unit="D"), ts)
+    assert lst(out) == [4, 9]
+    out2 = run(DateTimeDifference(initial_date="2023-01-01", compute_unit="s"), ts)
+    assert lst(out2) == [345600, 777600]
+
+
+def test_datetime_add_sub():
+    ts = pa.array(["2024-09-11"]).cast(pa.timestamp("us"))
+    out = run(DateTimeAdd(n=2, compute_unit="D"), ts)
+    assert str(out[0]) == "2024-09-13 00:00:00"
+    out2 = run(DateTimeSubtract(n=5, compute_unit="h"), ts)
+    assert str(out2[0]) == "2024-09-10 19:00:00"
+
+
+def test_datetime_extract():
+    ts = pa.array(["2024-09-10 12:30:45"]).cast(pa.timestamp("us"))
+    got = {c: lst(run(DateTimeExtract(component=c), ts))[0]
+           for c in ("Y", "M", "D", "h", "m", "s")}
+    assert got == {"Y": 2024, "M": 9, "D": 10, "h": 12, "m": 30, "s": 45}
+
+
+def test_day_of_week_golden():
+    # reference golden: 2024-09-11/12/13 -> [2,3,4] wed/thu/fri (Monday=0)
+    ts = pa.array(["2024-09-11", "2024-09-12", "2024-09-13"]).cast(pa.timestamp("us"))
+    assert lst(run(ExtractDayofWeek(), ts)) == [2, 3, 4]
+    assert lst(run(ExtractDayofWeek(as_name=True), ts)) == ["wednesday", "thursday", "friday"]
+
+
+# -- generic ----------------------------------------------------------------
+
+def test_astype():
+    out = run(AsType("float32"), pa.array([1, 2]))
+    assert out.type == pa.float32()
+    with pytest.raises(TransformationError):
+        AsType("not_a_dtype")
+
+
+def test_importer_single_and_multi():
+    t = FeatureImporter(feature="a")
+    t.compile({"a"})
+    assert lst(run(t, None, {"a": [1, 2]})) == [1, 2]
+    t2 = FeatureImporter(features=["a", "b"])
+    t2.compile({"a", "b"})
+    vals = run(t2, None, {"a": [1], "b": [2]})
+    assert [lst(v) for v in vals] == [[1], [2]]
+
+
+def test_importer_stage_ref():
+    t = FeatureImporter(feature="f", stage="upper")
+    t.compile({"f"})
+    assert lst(run(t, None, {"f:upper": ["X"], "f": ["x"]})) == ["X"]
+
+
+def test_registry_lookup():
+    from feature_fabrica_ray.functions import registry
+
+    assert registry.get("scale") is ScaleFeature
+    assert registry.get("feature_fabrica_ray.functions.math.ScaleFeature") is ScaleFeature
+    with pytest.raises(KeyError):
+        registry.get("nope")
