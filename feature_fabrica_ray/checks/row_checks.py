@@ -1,0 +1,155 @@
+"""Row-level constraint checks: vectorized violation masks over Arrow
+batches.
+
+Each check produces a boolean mask (True = violation) from one zero-copy
+batch — no Python loops in the hot path. Regex state is compiled once per
+worker via pyarrow's kernel (pattern shipped in the closure). These are the
+``map_batches`` stage of the validation suite; keyed checks (uniqueness,
+referential) live in their own modules because they need a shuffle or a
+broadcast.
+
+Check spec model mirrors the engine's feature-spec ergonomics: plain dicts
+from YAML, validated eagerly at compile time.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["RowCheck", "NotNullCheck", "MinLengthCheck", "RegexCheck",
+           "AcceptedValuesCheck", "RangeCheck", "MembershipCheck",
+           "build_row_check", "CheckSpecError"]
+
+
+class CheckSpecError(ValueError):
+    pass
+
+
+class RowCheck:
+    """A named, vectorized violation-mask producer."""
+
+    kind = "row"
+
+    def __init__(self, name: str, column: str, max_violation_rate: float = 0.0):
+        self.name = name
+        self.column = column
+        # a partition FAILS when its violation rate exceeds this threshold
+        self.max_violation_rate = float(max_violation_rate)
+
+    def mask(self, batch: pa.Table) -> pa.BooleanArray:  # pragma: no cover
+        raise NotImplementedError
+
+    def detail(self) -> str:
+        return self.name
+
+    def _col(self, batch: pa.Table):
+        if self.column not in batch.column_names:
+            raise CheckSpecError(f"check {self.name}: column {self.column!r} "
+                                 f"missing from batch {batch.column_names}")
+        return batch.column(self.column)
+
+
+class NotNullCheck(RowCheck):
+    def mask(self, batch):
+        return pc.is_null(self._col(batch))
+
+
+class MinLengthCheck(RowCheck):
+    """Violation when utf8 length < min_length (min_length=1 == non-empty)."""
+
+    def __init__(self, name, column, min_length: int = 1, **kw):
+        super().__init__(name, column, **kw)
+        self.min_length = int(min_length)
+
+    def mask(self, batch):
+        col = self._col(batch)
+        short = pc.less(pc.utf8_length(col), self.min_length)
+        return pc.fill_null(short, True)  # null counts as too-short
+
+
+class RegexCheck(RowCheck):
+    """Violation when the value does NOT fully match the pattern."""
+
+    def __init__(self, name, column, pattern: str, **kw):
+        super().__init__(name, column, **kw)
+        self.pattern = pattern
+
+    def mask(self, batch):
+        col = self._col(batch)
+        ok = pc.match_substring_regex(col, f"^(?:{self.pattern})$")
+        return pc.fill_null(pc.invert(ok), True)
+
+
+class AcceptedValuesCheck(RowCheck):
+    """Violation when the value is outside the accepted set (nulls pass —
+    pair with not_null to forbid them)."""
+
+    def __init__(self, name, column, values, **kw):
+        super().__init__(name, column, **kw)
+        self.values = list(values)
+
+    def mask(self, batch):
+        col = self._col(batch)
+        ok = pc.is_in(col, value_set=pa.array(self.values))
+        return pc.and_(pc.invert(ok), pc.is_valid(col))
+
+
+class RangeCheck(RowCheck):
+    """Violation when value < min or > max (nulls pass)."""
+
+    def __init__(self, name, column, min=None, max=None, **kw):
+        super().__init__(name, column, **kw)
+        if min is None and max is None:
+            raise CheckSpecError(f"range check {name}: need min and/or max")
+        self.min = min
+        self.max = max
+
+    def mask(self, batch):
+        col = self._col(batch)
+        bad = pa.array([False] * len(col))
+        if self.min is not None:
+            bad = pc.or_(bad, pc.fill_null(pc.less(col, self.min), False))
+        if self.max is not None:
+            bad = pc.or_(bad, pc.fill_null(pc.greater(col, self.max), False))
+        return bad
+
+
+class MembershipCheck(RowCheck):
+    """Violation when the value is NOT in a broadcast key set — the row
+    form of the referential-integrity check: the parent key set is
+    collected once on the driver, shipped via the closure/object store,
+    and tested per batch with a vectorized is_in (SURVEY.md §2.4: broadcast
+    semi/anti join)."""
+
+    def __init__(self, name, column, key_set, **kw):
+        super().__init__(name, column, **kw)
+        self._keys = pa.array(sorted(key_set))
+
+    def mask(self, batch):
+        col = self._col(batch)
+        ok = pc.is_in(col, value_set=self._keys)
+        return pc.and_(pc.invert(ok), pc.is_valid(col))
+
+
+_ROW_CHECKS = {
+    "not_null": NotNullCheck,
+    "min_length": MinLengthCheck,
+    "regex": RegexCheck,
+    "accepted_values": AcceptedValuesCheck,
+    "range": RangeCheck,
+}
+
+
+def build_row_check(spec: dict) -> RowCheck:
+    spec = dict(spec)
+    kind = spec.pop("type")
+    cls = _ROW_CHECKS.get(kind)
+    if cls is None:
+        raise CheckSpecError(f"unknown row check type {kind!r}")
+    column = spec.pop("column")
+    name = spec.pop("name", f"{kind}:{column}")
+    try:
+        return cls(name, column, **spec)
+    except TypeError as e:
+        raise CheckSpecError(f"bad params for {kind} check: {e}") from e

@@ -1,0 +1,141 @@
+"""Check-suite spec: parse a YAML/dict list of checks into typed check
+objects, split by execution strategy.
+
+Strategies (SURVEY.md §4.3):
+- row checks      -> fused single-pass ``map_batches`` violation masks
+- referential     -> broadcast parent-key set -> becomes a row check
+- unique          -> hash shuffle pipeline (checks/uniqueness.py)
+- stats           -> mergeable sketch partials in the same single pass
+- drift           -> fixed-edge histogram partials vs broadcast baseline
+- schema          -> plan-time column/type assertion
+
+Example spec::
+
+    checks:
+      - {type: not_null, column: lang}
+      - {type: min_length, column: content, min_length: 1}
+      - {type: regex, column: commit, pattern: "[0-9a-f]{32}"}
+      - {type: unique, columns: [repo, path, commit]}
+      - {type: referential, column: repo, parent: repos, parent_column: repo}
+      - {type: stats, column: size_bytes, quantiles: [0.5, 0.95], distinct: true}
+      - {type: drift, column: size_bytes, method: psi, threshold: 0.2}
+      - {type: schema, columns: {repo: string, lang: string}}
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import yaml
+
+from .row_checks import CheckSpecError, RowCheck, build_row_check
+
+__all__ = ["CheckSuite", "UniqueCheck", "ReferentialCheck", "StatsCheck",
+           "DriftCheck", "SchemaCheck"]
+
+
+@dataclass
+class UniqueCheck:
+    name: str
+    columns: list[str]
+    kind: str = "unique"
+    max_violation_rate: float = 0.0
+
+
+@dataclass
+class ReferentialCheck:
+    name: str
+    column: str
+    parent: str          # key into the `parents` mapping passed at run time
+    parent_column: str
+    kind: str = "referential"
+    max_violation_rate: float = 0.0
+
+
+@dataclass
+class StatsCheck:
+    name: str
+    column: str
+    quantiles: list[float] = field(default_factory=list)
+    distinct: bool = False
+    numeric: bool = True  # False -> categorical (distinct/freq only)
+    kind: str = "stats"
+
+
+@dataclass
+class DriftCheck:
+    name: str
+    column: str
+    method: str = "psi"            # psi | ks
+    threshold: float = 0.2
+    categorical: bool = False
+    bins: int = 64
+    baseline: dict | None = None   # from ValidationRunner.compute_baseline
+    kind: str = "drift"
+
+
+@dataclass
+class SchemaCheck:
+    name: str
+    columns: dict[str, str]        # name -> arrow type name (prefix match)
+    strict: bool = False           # True: no extra columns allowed
+    kind: str = "schema"
+
+
+class CheckSuite:
+    def __init__(self, spec: str | dict | list):
+        if isinstance(spec, str):
+            spec = yaml.safe_load(spec)
+        if isinstance(spec, dict):
+            spec = spec.get("checks", [])
+        self.row_checks: list[RowCheck] = []
+        self.unique_checks: list[UniqueCheck] = []
+        self.referential_checks: list[ReferentialCheck] = []
+        self.stats_checks: list[StatsCheck] = []
+        self.drift_checks: list[DriftCheck] = []
+        self.schema_checks: list[SchemaCheck] = []
+        for raw in spec:
+            self._add(dict(raw))
+
+    def _add(self, raw: dict) -> None:
+        kind = raw.get("type")
+        if kind in ("not_null", "min_length", "regex", "accepted_values", "range"):
+            self.row_checks.append(build_row_check(raw))
+        elif kind == "unique":
+            cols = raw["columns"]
+            self.unique_checks.append(UniqueCheck(
+                name=raw.get("name", f"unique:{'+'.join(cols)}"), columns=cols,
+                max_violation_rate=raw.get("max_violation_rate", 0.0)))
+        elif kind == "referential":
+            self.referential_checks.append(ReferentialCheck(
+                name=raw.get("name", f"referential:{raw['column']}"),
+                column=raw["column"], parent=raw["parent"],
+                parent_column=raw.get("parent_column", raw["column"]),
+                max_violation_rate=raw.get("max_violation_rate", 0.0)))
+        elif kind == "stats":
+            self.stats_checks.append(StatsCheck(
+                name=raw.get("name", f"stats:{raw['column']}"),
+                column=raw["column"], quantiles=raw.get("quantiles", []),
+                distinct=raw.get("distinct", False),
+                numeric=raw.get("numeric", True)))
+        elif kind == "drift":
+            self.drift_checks.append(DriftCheck(
+                name=raw.get("name", f"drift:{raw['column']}"),
+                column=raw["column"], method=raw.get("method", "psi"),
+                threshold=raw.get("threshold", 0.2),
+                categorical=raw.get("categorical", False),
+                bins=raw.get("bins", 64), baseline=raw.get("baseline")))
+        elif kind == "schema":
+            self.schema_checks.append(SchemaCheck(
+                name=raw.get("name", "schema"), columns=raw["columns"],
+                strict=raw.get("strict", False)))
+        else:
+            raise CheckSpecError(f"unknown check type {kind!r}")
+
+    def all_names(self) -> list[str]:
+        return ([c.name for c in self.row_checks]
+                + [c.name for c in self.unique_checks]
+                + [c.name for c in self.referential_checks]
+                + [c.name for c in self.stats_checks]
+                + [c.name for c in self.drift_checks]
+                + [c.name for c in self.schema_checks])

@@ -1,0 +1,412 @@
+"""The validation runner — executes a CheckSuite over a Ray Dataset in as
+few streaming passes as the check semantics allow.
+
+Physical plan (north rule; SURVEY.md §3.4, §4.3):
+
+- PASS 1 (single fused ``map_batches``, zero-copy Arrow): per batch —
+  deterministic partition id ``pid = hash64(partition_col) % P``; all row
+  checks (incl. referential lowered to a broadcast membership test) as
+  vectorized violation masks; per-(pid, check) violation counts; mergeable
+  sketch partials (Welford / HLL / t-digest / fixed-edge histograms) for
+  stats + drift. The pass emits ONLY small records (violations + counts +
+  sketches), so the output is materialized once and consumed repeatedly
+  without re-running the input pipeline; the 100 TB input itself streams
+  through with backpressure and is never pinned.
+- PASS 2 (uniqueness, only if requested): hash-shuffle pipeline over the
+  pruned key-hash column — see checks/uniqueness.py.
+- Driver: merge KB-sized sketches, assemble per-partition and global
+  verdicts.
+
+Partition ids are content-derived (hash of ``partition_col``), NOT block
+ids — stable across parallelism levels, which is what makes verdicts
+byte-comparable between N- and 4N-CPU runs and lets checkpoint resume key
+off them."""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..checks.row_checks import MembershipCheck, RowCheck
+from ..checks.suite import CheckSuite, DriftCheck, StatsCheck
+from ..state import (HLL, CategoricalFreq, Moments, NumericHistogram, TDigest,
+                     hash64, ks_from_counts, psi_categorical, psi_from_counts)
+from .uniqueness import uniqueness_violations
+
+__all__ = ["ValidationResult", "run_suite", "compute_baseline"]
+
+_ROWS = "__rows__"
+
+
+@dataclass
+class ValidationResult:
+    verdicts: pd.DataFrame          # check, pid, n_rows, n_violations, rate, metric, passed
+    violations: pd.DataFrame        # pid, check, detail + key columns
+    stats: pd.DataFrame             # one row per stats column
+    n_rows: int = 0
+    baselines: dict = field(default_factory=dict)
+
+    @property
+    def passed(self) -> bool:
+        return bool(self.verdicts["passed"].all())
+
+    def global_verdicts(self) -> pd.DataFrame:
+        return self.verdicts[self.verdicts["pid"] == -1].reset_index(drop=True)
+
+
+def _union_schema(key_columns: list[str]) -> pa.Schema:
+    fields = [("record_type", pa.string()), ("pid", pa.int32()),
+              ("check", pa.string()), ("detail", pa.string()),
+              ("n_rows", pa.int64()), ("n_viol", pa.int64()),
+              ("column", pa.string()), ("sketch_kind", pa.string()),
+              ("payload", pa.binary())]
+    return pa.schema([(k, pa.string()) for k in key_columns] + fields)
+
+
+def _empty_cols(schema: pa.Schema, n: int) -> dict:
+    return {f.name: pa.nulls(n, f.type) for f in schema}
+
+
+class _ValidatorStage:
+    """The fused pass-1 batch function. Pure w.r.t. the batch (idempotent
+    under Ray task retries); all state (check objects, broadcast parent key
+    sets, baseline edges) is baked into the serialized closure once."""
+
+    def __init__(self, row_checks: list[RowCheck], stats_checks: list[StatsCheck],
+                 drift_checks: list[DriftCheck], partition_col: str,
+                 num_partitions: int, key_columns: list[str]):
+        self.row_checks = row_checks
+        self.stats_checks = stats_checks
+        self.drift_checks = drift_checks
+        self.partition_col = partition_col
+        self.P = num_partitions
+        self.key_columns = key_columns
+        self.schema = _union_schema(key_columns)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        pid = (hash64(batch.column(self.partition_col)) % np.uint64(self.P)).astype(np.int32)
+        out_tables: list[pa.Table] = []
+
+        # per-pid row counts (denominator for violation rates)
+        pids, counts = np.unique(pid, return_counts=True)
+        out_tables.append(self._records(
+            record_type="counts", pid=pids.tolist(), check=[_ROWS] * len(pids),
+            n_rows=counts.tolist(), n_viol=[0] * len(pids)))
+
+        for chk in self.row_checks:
+            mask = chk.mask(batch)
+            mask_np = np.asarray(mask.to_numpy(zero_copy_only=False), dtype=bool)
+            nv = int(mask_np.sum())
+            if nv:
+                # violation rows: key columns + detail
+                viol = batch.filter(mask)
+                keys = {k: viol.column(k).cast(pa.string()) for k in self.key_columns
+                        if k in viol.column_names}
+                vp, vc = np.unique(pid[mask_np], return_counts=True)
+                out_tables.append(self._records(
+                    record_type="counts", pid=vp.tolist(), check=[chk.name] * len(vp),
+                    n_rows=[0] * len(vp), n_viol=vc.tolist()))
+                cols = _empty_cols(self.schema, nv)
+                for k, v in keys.items():
+                    cols[k] = v
+                cols["record_type"] = pa.array(["violation"] * nv)
+                cols["pid"] = pa.array(pid[mask_np], pa.int32())
+                cols["check"] = pa.array([chk.name] * nv)
+                cols["detail"] = pa.array([chk.detail()] * nv)
+                out_tables.append(pa.table(cols, schema=self.schema))
+
+        for sc in self.stats_checks:
+            col = batch.column(sc.column)
+            sketches: dict[str, bytes] = {}
+            if sc.numeric:
+                vals = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+                m = Moments.from_array(vals)
+                m.null_count = col.null_count
+                sketches["moments"] = json.dumps(m.to_dict()).encode()
+                if sc.quantiles:
+                    sketches["tdigest"] = TDigest.from_array(vals).to_bytes()
+            else:
+                m = Moments(count=n - col.null_count, null_count=col.null_count)
+                sketches["moments"] = json.dumps(m.to_dict()).encode()
+            if sc.distinct:
+                sketches["hll"] = HLL().add_column(col).to_bytes()
+            for kind, payload in sketches.items():
+                out_tables.append(self._records(
+                    record_type="sketch", pid=[-1], check=[sc.name],
+                    column=[sc.column], sketch_kind=[kind], payload=[payload]))
+
+        for dc in self.drift_checks:
+            col = batch.column(dc.column)
+            if dc.categorical:
+                vc = pd.Series(col.to_pandas()).value_counts(dropna=False)
+                freq = {("\0null" if pd.isna(k) else str(k)): int(v) for k, v in vc.items()}
+                payload = json.dumps(freq).encode()
+                kind = "catfreq"
+            else:
+                edges = np.asarray(dc.baseline["edges"], dtype=np.float64)
+                h = NumericHistogram(edges).add(
+                    col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64))
+                payload = json.dumps(h.to_dict()).encode()
+                kind = "hist"
+            out_tables.append(self._records(
+                record_type="sketch", pid=[-1], check=[dc.name],
+                column=[dc.column], sketch_kind=[kind], payload=[payload]))
+
+        return pa.concat_tables(out_tables)
+
+    def _records(self, **kw) -> pa.Table:
+        n = next(len(v) for v in kw.values() if isinstance(v, (list, np.ndarray)))
+        cols = _empty_cols(self.schema, n)
+        for k, v in kw.items():
+            if not isinstance(v, (list, np.ndarray)):
+                v = [v] * n  # broadcast scalar field
+            cols[k] = pa.array(list(v), self.schema.field(k).type)
+        return pa.table(cols, schema=self.schema)
+
+
+def _collect_parent_keys(parent) -> set:
+    """Small-side collection for the broadcast referential check. At true
+    scale swap in a Bloom filter / co-group join when the parent key set
+    stops fitting on the driver (documented scale path, SURVEY.md §2.4)."""
+    try:
+        import ray.data
+
+        if isinstance(parent, ray.data.Dataset):
+            return set(r[parent.schema().names[0]] for r in parent.take_all())
+    except ImportError:  # pragma: no cover
+        pass
+    return set(parent)
+
+
+def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
+              partition_col: str = "repo", num_partitions: int = 64,
+              key_columns: list[str] | None = None) -> ValidationResult:
+    """Run the full constraint suite; returns per-partition + global
+    verdicts, violation rows, and the stats profile."""
+    parents = parents or {}
+    key_columns = key_columns or [c for c in ("repo", "path", "commit", "content_sha256")
+                                  if c in ds.schema().names]
+
+    # referential -> broadcast membership row checks
+    row_checks = list(suite.row_checks)
+    for rc in suite.referential_checks:
+        parent = parents.get(rc.parent)
+        if parent is None:
+            raise ValueError(f"referential check {rc.name}: parents[{rc.parent!r}] not given")
+        if hasattr(parent, "select_columns"):
+            parent = parent.select_columns([rc.parent_column])
+        keys = _collect_parent_keys(parent)
+        mc = MembershipCheck(rc.name, rc.column, keys,
+                             max_violation_rate=rc.max_violation_rate)
+        row_checks.append(mc)
+
+    # schema checks: plan-time
+    schema_verdicts = []
+    sch = ds.schema()
+    have = dict(zip(sch.names, [str(t) for t in sch.types]))
+    for sc in suite.schema_checks:
+        bad = []
+        for cname, tprefix in sc.columns.items():
+            if cname not in have:
+                bad.append(f"missing:{cname}")
+            elif not have[cname].startswith(tprefix):
+                bad.append(f"type:{cname}={have[cname]}!~{tprefix}")
+        if sc.strict:
+            bad += [f"extra:{c}" for c in have if c not in sc.columns]
+        schema_verdicts.append((sc.name, bad))
+
+    # drift baselines must be bound before pass 1
+    for dc in suite.drift_checks:
+        if dc.baseline is None:
+            raise ValueError(f"drift check {dc.name}: no baseline bound "
+                             f"(use compute_baseline + bind_baselines)")
+
+    stage = _ValidatorStage(row_checks, suite.stats_checks, suite.drift_checks,
+                            partition_col, num_partitions, key_columns)
+    out = ds.map_batches(stage, batch_format="pyarrow").materialize()
+
+    records = out.to_pandas()   # small by construction (no raw rows)
+    n_rows_total = 0
+    verdict_rows = []
+    counts = records[records["record_type"] == "counts"]
+    rows_per_pid = (counts[counts["check"] == _ROWS]
+                    .groupby("pid")["n_rows"].sum())
+    n_rows_total = int(rows_per_pid.sum())
+
+    check_threshold = {c.name: c.max_violation_rate for c in row_checks}
+    for chk in row_checks:
+        viol_per_pid = (counts[counts["check"] == chk.name]
+                        .groupby("pid")["n_viol"].sum())
+        for pid_val, nr in rows_per_pid.items():
+            nv = int(viol_per_pid.get(pid_val, 0))
+            rate = nv / nr if nr else 0.0
+            verdict_rows.append((chk.name, int(pid_val), int(nr), nv, rate, np.nan,
+                                 rate <= check_threshold[chk.name]))
+        nv = int(viol_per_pid.sum())
+        rate = nv / n_rows_total if n_rows_total else 0.0
+        verdict_rows.append((chk.name, -1, n_rows_total, nv, rate, np.nan,
+                             rate <= check_threshold[chk.name]))
+
+    for name, bad in schema_verdicts:
+        verdict_rows.append((name, -1, n_rows_total, len(bad), 0.0, np.nan, not bad))
+
+    # stats assembly
+    sketches = records[records["record_type"] == "sketch"]
+    stats_rows = []
+    for sc in suite.stats_checks:
+        sel = sketches[sketches["check"] == sc.name]
+        m = Moments()
+        for b in sel[sel["sketch_kind"] == "moments"]["payload"]:
+            m = m.merge(Moments.from_dict(json.loads(bytes(b))))
+        row = {"column": sc.column, "count": m.count, "null_count": m.null_count,
+               "null_rate": m.null_rate,
+               "mean": m.mean if sc.numeric else np.nan,
+               "std": m.std if sc.numeric else np.nan,
+               "min": m.min if sc.numeric else np.nan,
+               "max": m.max if sc.numeric else np.nan,
+               "sum": m.sum if sc.numeric else np.nan}
+        if sc.distinct:
+            h = HLL.merge_bytes([bytes(b) for b in
+                                 sel[sel["sketch_kind"] == "hll"]["payload"]])
+            row["distinct_est"] = h.estimate()
+        if sc.quantiles:
+            td = TDigest.merge_bytes([bytes(b) for b in
+                                      sel[sel["sketch_kind"] == "tdigest"]["payload"]])
+            for q in sc.quantiles:
+                row[f"q{q}"] = td.quantile(q)
+        stats_rows.append(row)
+
+    # drift assembly
+    for dc in suite.drift_checks:
+        sel = sketches[sketches["check"] == dc.name]
+        if dc.categorical:
+            freq = CategoricalFreq()
+            for b in sel[sel["sketch_kind"] == "catfreq"]["payload"]:
+                freq = freq.merge(CategoricalFreq.from_dict(json.loads(bytes(b))))
+            metric = psi_categorical(dc.baseline["freq"], dict(freq.counts))
+        else:
+            h = None
+            for b in sel[sel["sketch_kind"] == "hist"]["payload"]:
+                hh = NumericHistogram.from_dict(json.loads(bytes(b)))
+                h = hh if h is None else h.merge(hh)
+            base_counts = np.array(dc.baseline["full_counts"], dtype=np.float64)
+            cur = h.full_counts() if h is not None else np.zeros_like(base_counts)
+            metric = (psi_from_counts(base_counts, cur) if dc.method == "psi"
+                      else ks_from_counts(base_counts, cur))
+        verdict_rows.append((dc.name, -1, n_rows_total, 0, 0.0, metric,
+                             metric <= dc.threshold))
+
+    # violations
+    viol = records[records["record_type"] == "violation"].copy()
+    keep = key_columns + ["pid", "check", "detail"]
+    violations = viol[keep].reset_index(drop=True) if len(viol) else \
+        pd.DataFrame(columns=keep)
+
+    # uniqueness (pass 2: hash shuffle)
+    for uc in suite.unique_checks:
+        uv = uniqueness_violations(ds, uc.columns, partition_col=partition_col,
+                                   num_partitions=num_partitions,
+                                   key_columns=key_columns)
+        uv["check"] = uc.name
+        uv["detail"] = uc.name
+        nv = len(uv)
+        per_pid = uv.groupby("pid").size() if nv else pd.Series(dtype=int)
+        for pid_val, nr in rows_per_pid.items():
+            npv = int(per_pid.get(pid_val, 0))
+            rate = npv / nr if nr else 0.0
+            verdict_rows.append((uc.name, int(pid_val), int(nr), npv, rate, np.nan,
+                                 rate <= uc.max_violation_rate))
+        rate = nv / n_rows_total if n_rows_total else 0.0
+        verdict_rows.append((uc.name, -1, n_rows_total, nv, rate, np.nan,
+                             rate <= uc.max_violation_rate))
+        violations = pd.concat([violations, uv[keep]], ignore_index=True)
+
+    verdicts = pd.DataFrame(verdict_rows, columns=[
+        "check", "pid", "n_rows", "n_violations", "violation_rate", "metric", "passed"])
+    stats = pd.DataFrame(stats_rows)
+    return ValidationResult(verdicts=verdicts, violations=violations, stats=stats,
+                            n_rows=n_rows_total,
+                            baselines={dc.name: dc.baseline for dc in suite.drift_checks})
+
+
+# ---------------------------------------------------------------------------
+# drift baselines
+# ---------------------------------------------------------------------------
+
+def compute_baseline(ds, drift_checks: list[DriftCheck]) -> dict:
+    """Build drift baselines from a reference Dataset.
+
+    Numeric columns: a moments pre-pass finds [min, max] -> fixed equal-width
+    edges -> a histogram pass; categorical: one frequency pass. Returns a
+    JSON-able dict {check_name: baseline}; bind with ``bind_baselines``."""
+    numeric = [dc for dc in drift_checks if not dc.categorical]
+    categorical = [dc for dc in drift_checks if dc.categorical]
+    baselines: dict[str, dict] = {}
+
+    if numeric:
+        def momentum(batch: pa.Table) -> pa.Table:
+            out = {}
+            for dc in numeric:
+                arr = batch.column(dc.column).drop_null() \
+                    .to_numpy(zero_copy_only=False).astype(np.float64)
+                out[dc.name] = [json.dumps(Moments.from_array(arr).to_dict())]
+            return pa.table(out)
+
+        rows = ds.map_batches(momentum, batch_format="pyarrow").take_all()
+        edges = {}
+        for dc in numeric:
+            m = Moments()
+            for r in rows:
+                m = m.merge(Moments.from_dict(json.loads(r[dc.name])))
+            edges[dc.name] = np.linspace(m.min, m.max, dc.bins + 1)
+
+        def hists(batch: pa.Table) -> pa.Table:
+            out = {}
+            for dc in numeric:
+                arr = batch.column(dc.column).drop_null() \
+                    .to_numpy(zero_copy_only=False).astype(np.float64)
+                out[dc.name] = [json.dumps(NumericHistogram(edges[dc.name]).add(arr).to_dict())]
+            return pa.table(out)
+
+        rows = ds.map_batches(hists, batch_format="pyarrow").take_all()
+        for dc in numeric:
+            h = None
+            for r in rows:
+                hh = NumericHistogram.from_dict(json.loads(r[dc.name]))
+                h = hh if h is None else h.merge(hh)
+            baselines[dc.name] = {"edges": h.edges.tolist(),
+                                  "counts": h.counts.tolist(),
+                                  "full_counts": h.full_counts().tolist()}
+
+    if categorical:
+        def freqs(batch: pa.Table) -> pa.Table:
+            out = {}
+            for dc in categorical:
+                vc = pd.Series(batch.column(dc.column).to_pandas()).value_counts(dropna=False)
+                out[dc.name] = [json.dumps({("\0null" if pd.isna(k) else str(k)): int(v)
+                                            for k, v in vc.items()})]
+            return pa.table(out)
+
+        rows = ds.map_batches(freqs, batch_format="pyarrow").take_all()
+        for dc in categorical:
+            f = CategoricalFreq()
+            for r in rows:
+                f = f.merge(CategoricalFreq.from_dict(json.loads(r[dc.name])))
+            baselines[dc.name] = {"freq": dict(f.counts)}
+    return baselines
+
+
+def bind_baselines(suite: CheckSuite, baselines: dict) -> CheckSuite:
+    for dc in suite.drift_checks:
+        if dc.name in baselines:
+            dc.baseline = baselines[dc.name]
+    return suite
+
+
+__all__.append("bind_baselines")

@@ -1,0 +1,203 @@
+"""Validation-suite e2e over the codetable with DuckDB golden counts —
+the north rule's verdict/violation semantics (FIXTURES.md F7): planted
+defects are found exactly, verdicts are per-partition + global, stats
+match SQL, drift triggers on a shifted distribution, and everything is
+invariant to input partitioning."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from feature_fabrica_ray.checks import CheckSuite
+from feature_fabrica_ray.pipelines import (bind_baselines, compute_baseline,
+                                           run_suite)
+from feature_fabrica_ray.sources import codetable_cte, read_codetable, read_repos
+
+SF = "/root/testdata/sf0.01"
+
+SUITE_YAML = """
+checks:
+  - {type: schema, columns: {repo: string, path: string, commit: string,
+                             lang: string, content: string}}
+  - {type: not_null, column: lang}
+  - {type: min_length, column: content, min_length: 1}
+  - {type: regex, column: commit, pattern: "[0-9a-f]{32}"}
+  - {type: accepted_values, column: lang, values: [en, zh, es, de, fr]}
+  - {type: range, column: size_bytes, min: 0, max: 100000}
+  - {type: unique, columns: [repo, path, commit]}
+  - {type: referential, column: repo, parent: repos, parent_column: repo}
+  - {type: stats, column: size_bytes, quantiles: [0.5, 0.95], distinct: false}
+  - {type: stats, column: repo, numeric: false, distinct: true}
+"""
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    return con
+
+
+def _input_ds():
+    return read_codetable(SF).map_batches(
+        lambda b: b.append_column(
+            "size_bytes", pc.utf8_length(b.column("content")).cast(pa.int64())),
+        batch_format="pyarrow")
+
+
+@pytest.fixture(scope="module")
+def result(ray_session):
+    suite = CheckSuite(SUITE_YAML)
+    return run_suite(_input_ds(), suite, parents={"repos": read_repos(SF)},
+                     num_partitions=8)
+
+
+def _golden(duck, sql):
+    return duck.execute(codetable_cte() + sql).fetchone()[0]
+
+
+def test_null_lang_count(result, duck):
+    g = result.global_verdicts().set_index("check")
+    exp = _golden(duck, "SELECT count(*) FROM codetable WHERE lang IS NULL")
+    assert g.loc["not_null:lang", "n_violations"] == exp
+    assert bool(g.loc["not_null:lang", "passed"]) == (exp == 0)
+
+
+def test_empty_content_count(result, duck):
+    g = result.global_verdicts().set_index("check")
+    exp = _golden(duck, "SELECT count(*) FROM codetable WHERE length(content) < 1")
+    assert g.loc["min_length:content", "n_violations"] == exp
+
+
+def test_commit_regex_all_pass(result):
+    g = result.global_verdicts().set_index("check")
+    assert g.loc["regex:commit", "n_violations"] == 0
+    assert bool(g.loc["regex:commit", "passed"])
+
+
+def test_accepted_values(result, duck):
+    g = result.global_verdicts().set_index("check")
+    exp = _golden(duck, "SELECT count(*) FROM codetable WHERE lang IS NOT NULL "
+                        "AND lang NOT IN ('en','zh','es','de','fr')")
+    assert g.loc["accepted_values:lang", "n_violations"] == exp
+
+
+def test_unique_violations_match_sql(result, duck):
+    exp = _golden(duck, """
+        SELECT count(*) FROM (
+          SELECT repo, path, "commit", count(*) AS c FROM codetable
+          GROUP BY 1,2,3 HAVING count(*) > 1) d
+        JOIN codetable c USING (repo, path, "commit")""")
+    # SQL join above counts each dup row once per matching key
+    g = result.global_verdicts().set_index("check")
+    assert g.loc["unique:repo+path+commit", "n_violations"] == exp
+    assert exp > 0  # planted duplicates exist
+
+
+def test_referential_orphans_match_sql(result, duck):
+    exp = _golden(duck, """
+        SELECT count(*) FROM codetable c WHERE NOT EXISTS
+          (SELECT 1 FROM repos r WHERE r.repo = c.repo)""")
+    g = result.global_verdicts().set_index("check")
+    assert g.loc["referential:repo", "n_violations"] == exp
+    assert exp > 0  # planted orphans exist
+
+
+def test_stats_match_sql(result, duck):
+    row = result.stats.set_index("column").loc["size_bytes"]
+    exp = duck.execute(codetable_cte() + """
+        SELECT count(size_bytes), avg(size_bytes), stddev_pop(size_bytes),
+               min(size_bytes), max(size_bytes)
+        FROM (SELECT length(content) AS size_bytes FROM codetable)""").fetchone()
+    assert row["count"] == exp[0]
+    assert row["mean"] == pytest.approx(exp[1], rel=1e-12)
+    assert row["std"] == pytest.approx(exp[2], rel=1e-9)
+    assert row["min"] == exp[3] and row["max"] == exp[4]
+
+
+def test_distinct_repo_estimate(result, duck):
+    exp = _golden(duck, "SELECT count(DISTINCT repo) FROM codetable")
+    est = result.stats.set_index("column").loc["repo", "distinct_est"]
+    assert est == pytest.approx(exp, rel=0.05)
+
+
+def test_quantiles_rank_error(result, duck):
+    df = duck.execute(codetable_cte() +
+                      "SELECT length(content) AS sb FROM codetable").df()
+    sb = df["sb"].to_numpy(dtype=float)
+    row = result.stats.set_index("column").loc["size_bytes"]
+    for q in (0.5, 0.95):
+        est = row[f"q{q}"]
+        rank_err = abs((sb <= est).mean() - q)
+        assert rank_err < 0.02, (q, est, rank_err)
+
+
+def test_per_partition_verdicts_cover_all_rows(result):
+    v = result.verdicts
+    per_pid = v[(v["check"] == "not_null:lang") & (v["pid"] >= 0)]
+    assert per_pid["n_rows"].sum() == result.n_rows
+    assert result.n_rows == 505  # codetable rows at sf0.01
+
+
+def test_partition_invariance(ray_session):
+    """Verdicts and violations are identical when the input arrives in a
+    different block layout (the N vs 4N determinism requirement)."""
+    suite1 = CheckSuite(SUITE_YAML)
+    suite2 = CheckSuite(SUITE_YAML)
+    r1 = run_suite(_input_ds(), suite1, parents={"repos": read_repos(SF)},
+                   num_partitions=8)
+    r2 = run_suite(_input_ds().repartition(13), suite2,
+                   parents={"repos": read_repos(SF)}, num_partitions=8)
+    v1 = r1.verdicts.sort_values(["check", "pid"]).reset_index(drop=True)
+    v2 = r2.verdicts.sort_values(["check", "pid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(v1, v2)
+    key = ["check", "repo", "path", "commit"]
+    a = r1.violations.sort_values(key).reset_index(drop=True)
+    b = r2.violations.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key], b[key])
+
+
+def test_drift_self_zero_and_shift_fails(ray_session):
+    ds = _input_ds()
+    suite = CheckSuite("""
+checks:
+  - {type: drift, column: size_bytes, method: psi, threshold: 0.1}
+  - {type: drift, column: lang, method: psi, threshold: 0.1, categorical: true}
+""")
+    baselines = compute_baseline(ds, suite.drift_checks)
+    bind_baselines(suite, baselines)
+    r = run_suite(ds, suite, num_partitions=8)
+    g = r.global_verdicts().set_index("check")
+    assert g.loc["drift:size_bytes", "metric"] == pytest.approx(0.0, abs=1e-12)
+    assert bool(g.loc["drift:size_bytes", "passed"])
+    assert bool(g.loc["drift:lang", "passed"])
+
+    # shifted data: double the size of python files -> numeric drift fails
+    shifted = ds.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("size_bytes"), "size_bytes",
+            pc.multiply(b.column("size_bytes"), 3)),
+        batch_format="pyarrow")
+    suite2 = CheckSuite("""
+checks:
+  - {type: drift, column: size_bytes, method: psi, threshold: 0.1}
+""")
+    bind_baselines(suite2, baselines)
+    r2 = run_suite(shifted, suite2, num_partitions=8)
+    g2 = r2.global_verdicts().set_index("check")
+    assert g2.loc["drift:size_bytes", "metric"] > 0.5
+    assert not bool(g2.loc["drift:size_bytes", "passed"])
+
+
+def test_schema_check_detects_missing(ray_session):
+    suite = CheckSuite("""
+checks:
+  - {type: schema, columns: {repo: string, nope: string}}
+""")
+    r = run_suite(_input_ds(), suite, num_partitions=4)
+    g = r.global_verdicts().set_index("check")
+    assert not bool(g.loc["schema", "passed"])
