@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship validation suite at sf0.001; ``queries()``
+exposes every implemented pipeline/operator (SURVEY.md §2) as a callable
+over an ``sf_dir``; ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+each SQL-expressible query (same column names — the driver hashes values
+after sorting columns by name).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Float policy: every float column that crosses the Ray/DuckDB comparison is
+rounded to a fixed number of decimals ON BOTH SIDES; exact-representable
+quantities (integer-valued doubles, counts) are left exact. Approximate
+sketches (HLL / t-digest) are exposed as rows-only queries (no oracle) by
+design — their oracle is the exactness-under-merge pytest layer.
 """
 
 from __future__ import annotations
@@ -18,27 +21,587 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from feature_fabrica_ray.checks import CheckSuite
+from feature_fabrica_ray.pipelines import run_suite, uniqueness_violations
+from feature_fabrica_ray.sources import (codetable_cte, read_codetable,
+                                         read_repos)
+from feature_fabrica_ray.stages import FeatureEngine
+
+CT = codetable_cte()  # CTE prefix defining codetable + repos over documents
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _round_cols(ds, spec: dict[str, int]):
+    """Round float columns to fixed decimals (comparison stability).
+    half_away_from_zero matches DuckDB's ROUND (pyarrow defaults to
+    banker's rounding, which diverges at exact .5 boundaries)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for col, nd in spec.items():
+            i = batch.column_names.index(col)
+            batch = batch.set_column(
+                i, col, pc.round(pc.cast(batch.column(col), pa.float64()),
+                                 ndigits=nd, round_mode="half_towards_infinity"))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def _round_away(x, nd: int):
+    """DuckDB-compatible scalar/Series rounding (half away from zero)."""
+    scale = 10.0 ** nd
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def _select(ds, cols: list[str]):
+    return ds.map_batches(lambda b, c=tuple(cols): b.select(list(c)),
+                          batch_format="pyarrow", batch_size=None)
+
+
+_SIZE_BYTES = """
+checks:
+  - {type: not_null, column: lang}
+  - {type: min_length, column: content, min_length: 1}
+  - {type: regex, column: commit, pattern: "[0-9a-f]{32}"}
+  - {type: accepted_values, column: lang, values: [en, zh, es, de, fr]}
+"""
+
+
+def _codetable_suite_result(sf_dir: str):
+    suite = CheckSuite(_SIZE_BYTES + """
+  - {type: unique, columns: [repo, path, commit]}
+  - {type: referential, column: repo, parent: repos, parent_column: repo}
+""")
+    ds = read_codetable(sf_dir, with_sha256=False)
+    return run_suite(ds, suite, parents={"repos": read_repos(sf_dir)},
+                     num_partitions=8, key_columns=["repo", "path", "commit"])
+
+
+# ---------------------------------------------------------------------------
+# validation-engine queries (codetable; oracle = codetable CTE over documents)
+# ---------------------------------------------------------------------------
+
+def q_vl_suite_verdicts(sf_dir: str) -> pd.DataFrame:
+    res = _codetable_suite_result(sf_dir)
+    g = res.global_verdicts()
+    out = g[["check", "n_rows", "n_violations"]].copy()
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_VERDICT_ORACLE = CT + """
+, tot AS (SELECT count(*) AS n FROM codetable)
+SELECT 'not_null:lang' AS "check", tot.n AS n_rows,
+       (SELECT count(*) FROM codetable WHERE lang IS NULL) AS n_violations FROM tot
+UNION ALL SELECT 'min_length:content', tot.n,
+       (SELECT count(*) FROM codetable WHERE content IS NULL OR length(content) < 1) FROM tot
+UNION ALL SELECT 'regex:commit', tot.n,
+       (SELECT count(*) FROM codetable WHERE "commit" IS NULL
+          OR NOT regexp_matches("commit", '^(?:[0-9a-f]{32})$')) FROM tot
+UNION ALL SELECT 'accepted_values:lang', tot.n,
+       (SELECT count(*) FROM codetable
+         WHERE lang IS NOT NULL AND lang NOT IN ('en','zh','es','de','fr')) FROM tot
+UNION ALL SELECT 'unique:repo+path+commit', tot.n,
+       (SELECT count(*) FROM (
+          SELECT count(*) OVER (PARTITION BY repo, path, "commit") AS c
+          FROM codetable) WHERE c > 1) FROM tot
+UNION ALL SELECT 'referential:repo', tot.n,
+       (SELECT count(*) FROM codetable
+         WHERE repo NOT IN (SELECT repo FROM repos)) FROM tot
+"""
+
+
+def q_vl_violation_rows(sf_dir: str) -> pd.DataFrame:
+    suite = CheckSuite("""
+checks:
+  - {type: not_null, column: lang}
+  - {type: min_length, column: content, min_length: 1}
+""")
+    res = run_suite(read_codetable(sf_dir, with_sha256=False), suite,
+                    num_partitions=8, key_columns=["repo", "path", "commit"])
+    v = res.violations[["check", "repo", "path", "commit"]].copy()
+    return v.reset_index(drop=True)
+
+
+_VIOLATION_ORACLE = CT + """
+SELECT 'not_null:lang' AS "check", repo, path, "commit" FROM codetable WHERE lang IS NULL
+UNION ALL
+SELECT 'min_length:content', repo, path, "commit" FROM codetable
+ WHERE content IS NULL OR length(content) < 1
+"""
+
+
+def q_vl_uniqueness_rows(sf_dir: str) -> pd.DataFrame:
+    ds = read_codetable(sf_dir, with_sha256=False)
+    uv = uniqueness_violations(ds, ["repo", "path", "commit"],
+                               key_columns=["repo", "path", "commit"])
+    return uv[["repo", "path", "commit"]].reset_index(drop=True)
+
+
+_UNIQUENESS_ORACLE = CT + """
+SELECT repo, path, "commit" FROM (
+  SELECT repo, path, "commit",
+         count(*) OVER (PARTITION BY repo, path, "commit") AS c
+  FROM codetable) WHERE c > 1
+"""
+
+
+def q_vl_referential_orphans(sf_dir: str):
+    import ray.data  # noqa: F401  (session owned by caller)
+
+    parent_keys = set(r["repo"] for r in read_repos(sf_dir).take_all())
+    keys = pa.array(sorted(parent_keys))
+    ds = read_codetable(sf_dir, with_sha256=False)
+
+    def orphans(batch: pa.Table) -> pa.Table:
+        col = batch.column("repo")
+        bad = pc.invert(pc.is_in(col, value_set=keys))
+        return batch.filter(bad).select(["repo"])
+
+    # distinct orphan repos via groupby (dedup shuffle on a tiny column)
+    return ds.map_batches(orphans, batch_format="pyarrow", batch_size=None) \
+             .groupby("repo", num_partitions=16).count() \
+             .map_batches(lambda b: b.select(["repo"]), batch_format="pyarrow", batch_size=None)
+
+
+_ORPHAN_ORACLE = CT + """
+SELECT DISTINCT repo FROM codetable WHERE repo NOT IN (SELECT repo FROM repos)
+"""
+
+
+def q_vl_stats_size(sf_dir: str) -> pd.DataFrame:
+    suite = CheckSuite("""
+checks:
+  - {type: stats, column: size_bytes}
+""")
+    ds = read_codetable(sf_dir, with_sha256=False).map_batches(
+        lambda b: b.append_column(
+            "size_bytes", pc.utf8_length(b.column("content")).cast(pa.int64())),
+        batch_format="pyarrow", batch_size=None)
+    res = run_suite(ds, suite, num_partitions=8,
+                    key_columns=["repo", "path", "commit"])
+    s = res.stats.iloc[0]
+    return pd.DataFrame([{
+        "column": "size_bytes",
+        "cnt": int(s["count"]), "nulls": int(s["null_count"]),
+        "nmin": int(s["min"]), "nmax": int(s["max"]), "nsum": int(s["sum"]),
+        "mean_r": float(_round_away(float(s["mean"]), 6)),
+    }])
+
+
+_STATS_ORACLE = CT + """
+SELECT 'size_bytes' AS "column", count(length(content)) AS cnt,
+       sum(CASE WHEN content IS NULL THEN 1 ELSE 0 END) AS nulls,
+       min(length(content)) AS nmin, max(length(content)) AS nmax,
+       sum(length(content)) AS nsum,
+       round(avg(length(content)), 6) AS mean_r
+FROM codetable
+"""
+
+
+def q_vl_content_sha256(sf_dir: str):
+    ds = read_codetable(sf_dir, with_sha256=True)
+    return _select(ds, ["repo", "path", "commit", "content_sha256"])
+
+
+_SHA_ORACLE = CT + """
+SELECT repo, path, "commit", sha256(content) AS content_sha256 FROM codetable
+"""
+
+
+def q_vl_distinct_repo(sf_dir: str) -> pd.DataFrame:
+    # exact distinct via dedup shuffle on the pruned key column
+    ds = read_codetable(sf_dir, with_sha256=False)
+    n = _select(ds, ["repo"]).groupby("repo", num_partitions=16).count().count()
+    return pd.DataFrame([{"n_distinct": int(n)}])
+
+
+_DISTINCT_ORACLE = CT + "SELECT count(DISTINCT repo) AS n_distinct FROM codetable"
+
+
+def q_vl_stats_sketches(sf_dir: str) -> pd.DataFrame:
+    """HLL distinct + t-digest quantiles — approximate by design, no SQL
+    oracle (rows-only check); exactness bounds are pytest-verified."""
+    suite = CheckSuite("""
+checks:
+  - {type: stats, column: size_bytes, quantiles: [0.5, 0.95]}
+  - {type: stats, column: repo, numeric: false, distinct: true}
+""")
+    ds = read_codetable(sf_dir, with_sha256=False).map_batches(
+        lambda b: b.append_column(
+            "size_bytes", pc.utf8_length(b.column("content")).cast(pa.int64())),
+        batch_format="pyarrow", batch_size=None)
+    res = run_suite(ds, suite, num_partitions=8,
+                    key_columns=["repo", "path", "commit"])
+    return res.stats
+
+
+# ---------------------------------------------------------------------------
+# feature-engine queries (SURVEY.md §2.2-2.5 operators over TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+_MATH_SPEC = """
+l_quantity: {description: raw lineitem quantity, data_type: float64}
+l_extendedprice: {description: raw extended price, data_type: float64}
+l_discount: {description: raw discount fraction, data_type: float64}
+l_tax: {description: raw tax fraction, data_type: float64}
+qty_x3:
+  description: quantity scaled by three
+  data_type: float64
+  dependencies: [l_quantity]
+  transformation: "(l_quantity).scale(factor=3.0)"
+price_log:
+  description: natural log of price
+  data_type: float64
+  dependencies: [l_extendedprice]
+  transformation: "(l_extendedprice).log()"
+disc_sqrt:
+  description: square root of discount
+  data_type: float64
+  dependencies: [l_discount]
+  transformation: "(l_discount).sqrt()"
+tax_clip:
+  description: tax clipped to band
+  data_type: float64
+  dependencies: [l_tax]
+  transformation: "(l_tax).clip(min=0.02, max=0.06)"
+qty_sq:
+  description: quantity squared power
+  data_type: float64
+  dependencies: [l_quantity]
+  transformation: "(l_quantity).pow(power=2)"
+price_per_qty:
+  description: price divided by quantity
+  data_type: float64
+  dependencies: [l_extendedprice, l_quantity]
+  transformation: "(l_extendedprice / l_quantity)"
+qty_abs_neg:
+  description: abs of negated quantity chain
+  data_type: float64
+  dependencies: [l_quantity]
+  transformation: "(l_quantity).scale(factor=-1.0).abs()"
+"""
+
+_MATH_COLS = ["l_orderkey", "l_linenumber", "qty_x3", "price_log", "disc_sqrt",
+              "tax_clip", "qty_sq", "price_per_qty", "qty_abs_neg"]
+
+
+def q_ft_math_chain(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax"])
+    out = FeatureEngine(_MATH_SPEC).transform(ds)
+    out = _round_cols(out, {"price_log": 6, "disc_sqrt": 6, "price_per_qty": 6})
+    return _select(out, _MATH_COLS)
+
+
+_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_quantity * 3.0 AS qty_x3,
+       round(ln(l_extendedprice), 6) AS price_log,
+       round(sqrt(l_discount), 6) AS disc_sqrt,
+       least(greatest(l_tax, 0.02), 0.06) AS tax_clip,
+       l_quantity * l_quantity AS qty_sq,
+       round(l_extendedprice / l_quantity, 6) AS price_per_qty,
+       abs(l_quantity * -1.0) AS qty_abs_neg
+FROM lineitem
+"""
+
+_FITTED_SPEC = """
+l_quantity: {description: raw lineitem quantity, data_type: float64}
+l_extendedprice: {description: raw extended price, data_type: float64}
+qty_z:
+  description: global z score of quantity
+  data_type: float64
+  dependencies: [l_quantity]
+  transformation: "(l_quantity).z_score()"
+price_mm:
+  description: global min max of price
+  data_type: float64
+  dependencies: [l_extendedprice]
+  transformation: "(l_extendedprice).min_max()"
+"""
+
+
+def q_ft_fitted_global(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+    out = FeatureEngine(_FITTED_SPEC).transform(ds)
+    out = _round_cols(out, {"qty_z": 5, "price_mm": 6})
+    return _select(out, ["l_orderkey", "l_linenumber", "qty_z", "price_mm"])
+
+
+_FITTED_ORACLE = """
+WITH m AS (SELECT avg(l_quantity) AS mu, stddev_pop(l_quantity) AS sd,
+                  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       round((l_quantity - m.mu) / m.sd, 5) AS qty_z,
+       round((l_extendedprice - m.lo) / (m.hi - m.lo), 6) AS price_mm
+FROM lineitem, m
+"""
+
+_STRINGS_SPEC = """
+lang: {description: document language code, data_type: str}
+source: {description: document source tag, data_type: str}
+lang_up:
+  description: upper cased language
+  data_type: str
+  dependencies: [lang]
+  transformation: "(lang).upper()"
+src_strip:
+  description: whitespace stripped source
+  data_type: str
+  dependencies: [source]
+  transformation: "(source).strip()"
+combo:
+  description: lang concatenated with source
+  data_type: str
+  dependencies: [lang, source]
+  transformation: "(lang, source).concat()"
+lang_case:
+  description: chained upper then lower roundtrip
+  data_type: str
+  dependencies: [lang]
+  transformation: "(lang).upper().lower()"
+"""
+
+
+def q_ft_strings(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "source"])
+    out = FeatureEngine(_STRINGS_SPEC).transform(ds)
+    return _select(out, ["doc_id", "lang_up", "src_strip", "combo", "lang_case"])
+
+
+_STRINGS_ORACLE = """
+SELECT doc_id, upper(lang) AS lang_up, trim(source) AS src_strip,
+       lang || source AS combo, lower(upper(lang)) AS lang_case
+FROM documents
+"""
+
+_DATETIME_SPEC = """
+l_shipdate: {description: lineitem ship timestamp, data_type: datetime64}
+ship_year:
+  description: year of ship date
+  data_type: int32
+  dependencies: [l_shipdate]
+  transformation: "(l_shipdate).datetime_extract(component='Y')"
+ship_month:
+  description: month of ship date
+  data_type: int32
+  dependencies: [l_shipdate]
+  transformation: "(l_shipdate).datetime_extract(component='M')"
+ship_dow:
+  description: day of week monday zero
+  data_type: int32
+  dependencies: [l_shipdate]
+  transformation: "(l_shipdate).datetime_day_of_week()"
+days_since_92:
+  description: days since nineteen ninety two
+  data_type: int64
+  dependencies: [l_shipdate]
+  transformation: "(l_shipdate).datetime_diff(initial_date='1992-01-01', compute_unit='D')"
+"""
+
+
+def q_ft_datetime(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+    out = FeatureEngine(_DATETIME_SPEC).transform(ds)
+    return _select(out, ["l_orderkey", "l_linenumber", "ship_year", "ship_month",
+                         "ship_dow", "days_since_92"])
+
+
+_DATETIME_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(month(l_shipdate) AS INT) AS ship_month,
+       CAST(isodow(l_shipdate) - 1 AS INT) AS ship_dow,
+       date_diff('day', TIMESTAMP '1992-01-01', l_shipdate) AS days_since_92
+FROM lineitem
+"""
+
+_GROUP_SPEC = """
+l_returnflag: {description: return flag group key, data_type: str}
+l_quantity: {description: raw lineitem quantity, data_type: float64}
+qty_flag_mean:
+  description: mean quantity per return flag
+  data_type: float64
+  dependencies: [l_returnflag, l_quantity]
+  transformation: "(l_quantity).group_reduce(key_feature=l_returnflag, agg=mean)"
+qty_flag_max:
+  description: max quantity per return flag
+  data_type: float64
+  dependencies: [l_returnflag, l_quantity]
+  transformation: "(l_quantity).group_reduce(key_feature=l_returnflag, agg=max)"
+"""
+
+
+def q_ft_group_reduce(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
+    out = FeatureEngine(_GROUP_SPEC).transform(ds)
+    out = _round_cols(out, {"qty_flag_mean": 6})
+    return _select(out, ["l_orderkey", "l_linenumber", "qty_flag_mean",
+                         "qty_flag_max"])
+
+
+_GROUP_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(avg(l_quantity) OVER (PARTITION BY l_returnflag), 6) AS qty_flag_mean,
+       max(l_quantity) OVER (PARTITION BY l_returnflag) AS qty_flag_max
+FROM lineitem
+"""
+
+_ENCODER_SPEC = """
+l_returnflag: {description: return flag category column, data_type: str}
+l_linestatus: {description: line status category column, data_type: str}
+flag_label:
+  description: label encoded return flag
+  data_type: int32
+  dependencies: [l_returnflag]
+  transformation: "(l_returnflag).label_encode(categories=['A','N','R'])"
+status_ord:
+  description: ordinal encoded line status global fit
+  data_type: int32
+  dependencies: [l_linestatus]
+  transformation: "(l_linestatus).ordinal_encode()"
+"""
+
+
+def q_ft_encoders(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"])
+    out = FeatureEngine(_ENCODER_SPEC).transform(ds)
+    return _select(out, ["l_orderkey", "l_linenumber", "flag_label", "status_ord"])
+
+
+_ENCODER_ORACLE = """
+WITH vocab AS (
+  SELECT l_linestatus AS v,
+         CAST(row_number() OVER (ORDER BY l_linestatus) - 1 AS INT) AS code
+  FROM (SELECT DISTINCT l_linestatus FROM lineitem)
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 WHEN 'R' THEN 2
+            ELSE -1 END AS INT) AS flag_label,
+       (SELECT code FROM vocab WHERE v = l_linestatus) AS status_ord
+FROM lineitem
+"""
+
+
+def q_agg_q1(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style pricing summary: partial aggregation inside
+    map_batches (combiner), tiny final merge on the driver — the
+    shuffle-free shape for low-cardinality group keys at 100 TB."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+            cnt=("l_quantity", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), sum_price=("sum_price", "sum"),
+        cnt=("cnt", "sum"))
+    out["avg_qty"] = _round_away(out["sum_qty"] / out["cnt"], 6)
+    out["sum_price"] = _round_away(out["sum_price"], 1)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_price",
+                "avg_qty", "cnt"]]
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 1) AS sum_price,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full constraint suite over the sf0.001 codetable; returns
+    the global verdicts DataFrame (stable schema, >= 1 row)."""
+    res = _codetable_suite_result("/root/testdata/sf0.001")
+    return res.global_verdicts()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "vl_suite_verdicts": q_vl_suite_verdicts,
+        "vl_violation_rows": q_vl_violation_rows,
+        "vl_uniqueness_rows": q_vl_uniqueness_rows,
+        "vl_referential_orphans": q_vl_referential_orphans,
+        "vl_stats_size": q_vl_stats_size,
+        "vl_content_sha256": q_vl_content_sha256,
+        "vl_distinct_repo": q_vl_distinct_repo,
+        "vl_stats_sketches": q_vl_stats_sketches,
+        "ft_math_chain": q_ft_math_chain,
+        "ft_fitted_global": q_ft_fitted_global,
+        "ft_strings": q_ft_strings,
+        "ft_datetime": q_ft_datetime,
+        "ft_group_reduce": q_ft_group_reduce,
+        "ft_encoders": q_ft_encoders,
+        "agg_q1": q_agg_q1,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "vl_suite_verdicts": _VERDICT_ORACLE,
+        "vl_violation_rows": _VIOLATION_ORACLE,
+        "vl_uniqueness_rows": _UNIQUENESS_ORACLE,
+        "vl_referential_orphans": _ORPHAN_ORACLE,
+        "vl_stats_size": _STATS_ORACLE,
+        "vl_content_sha256": _SHA_ORACLE,
+        "vl_distinct_repo": _DISTINCT_ORACLE,
+        # vl_stats_sketches: approximate -> rows-only check (by design)
+        "ft_math_chain": _MATH_ORACLE,
+        "ft_fitted_global": _FITTED_ORACLE,
+        "ft_strings": _STRINGS_ORACLE,
+        "ft_datetime": _DATETIME_ORACLE,
+        "ft_group_reduce": _GROUP_ORACLE,
+        "ft_encoders": _ENCODER_ORACLE,
+        "agg_q1": _Q1_ORACLE,
+    }

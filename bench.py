@@ -1,0 +1,224 @@
+"""Headline benchmark: full constraint-suite throughput over the
+source-code table (the north-rule metric), plus representative operator
+pipelines. Prints ONE JSON line.
+
+Default input: $GRAFT_SF_DIR (/root/testdata/sf0.1); CPUs from
+$RAY_GRAFT_CPUS (default 32). The codetable is scaled up with
+replicate=$GRAFT_REPLICATE deterministic commit-variants per document
+(default 200 -> ~1M rows at sf0.1) so the run measures streaming
+throughput, not fixed overhead.
+
+--scaling: runs the suite benchmark twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency = (rps_32 / rps_8) / 4  (sandbox
+stand-in for the N vs 4N node cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "200"))
+
+SUITE_YAML = """
+checks:
+  - {type: schema, columns: {repo: string, path: string, commit: string,
+                             lang: string, content: string}}
+  - {type: not_null, column: lang}
+  - {type: min_length, column: content, min_length: 1}
+  - {type: regex, column: commit, pattern: "[0-9a-f]{32}"}
+  - {type: accepted_values, column: lang, values: [en, zh, es, de, fr]}
+  - {type: unique, columns: [repo, path, commit]}
+  - {type: referential, column: repo, parent: repos, parent_column: repo}
+  - {type: stats, column: size_bytes, quantiles: [0.5, 0.95]}
+  - {type: stats, column: repo, numeric: false, distinct: true}
+"""
+
+
+def _consume(ds) -> int:
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        n += b.num_rows
+    return n
+
+
+def _with_size(ds):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda b: b.append_column(
+            "size_bytes", pc.utf8_length(b.column("content")).cast(pa.int64())),
+        batch_format="pyarrow", batch_size=None)
+
+
+def bench_suite() -> tuple[float, int]:
+    from feature_fabrica_ray.checks import CheckSuite
+    from feature_fabrica_ray.pipelines import run_suite
+    from feature_fabrica_ray.sources import read_codetable, read_repos
+
+    suite = CheckSuite(SUITE_YAML)
+    ds = _with_size(read_codetable(SF_DIR, replicate=REPLICATE, with_sha256=False))
+    t0 = time.perf_counter()
+    res = run_suite(ds, suite, parents={"repos": read_repos(SF_DIR)},
+                    num_partitions=64)
+    return time.perf_counter() - t0, res.n_rows
+
+
+def bench_uniqueness() -> tuple[float, int]:
+    from feature_fabrica_ray.pipelines import uniqueness_violations
+    from feature_fabrica_ray.sources import read_codetable
+
+    ds = read_codetable(SF_DIR, replicate=REPLICATE, with_sha256=False)
+    t0 = time.perf_counter()
+    uv = uniqueness_violations(ds, ["repo", "path", "commit"])
+    return time.perf_counter() - t0, len(uv)
+
+
+def bench_sha256() -> tuple[float, int]:
+    from feature_fabrica_ray.sources import read_codetable
+
+    ds = read_codetable(SF_DIR, replicate=REPLICATE, with_sha256=True)
+    t0 = time.perf_counter()
+    n = _consume(ds.select_columns(["content_sha256"]))
+    return time.perf_counter() - t0, n
+
+
+def bench_transform() -> tuple[float, int]:
+    import ray.data
+
+    from feature_fabrica_ray.stages import FeatureEngine
+
+    spec = """
+l_quantity: {description: raw lineitem quantity, data_type: float64}
+l_extendedprice: {description: raw extended price, data_type: float64}
+qty_z:
+  description: global z score of quantity
+  data_type: float64
+  dependencies: [l_quantity]
+  transformation: "(l_quantity).z_score()"
+price_log:
+  description: log of price
+  data_type: float64
+  dependencies: [l_extendedprice]
+  transformation: "(l_extendedprice).log()"
+ratio:
+  description: price over quantity
+  data_type: float64
+  dependencies: [l_extendedprice, l_quantity]
+  transformation: "(l_extendedprice / l_quantity)"
+"""
+    ds = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                               columns=["l_quantity", "l_extendedprice"])
+    t0 = time.perf_counter()
+    n = _consume(FeatureEngine(spec).transform(ds))
+    return time.perf_counter() - t0, n
+
+
+def bench_group_reduce() -> tuple[float, int]:
+    import ray.data
+
+    from feature_fabrica_ray.stages import FeatureEngine
+
+    spec = """
+l_returnflag: {description: return flag group key, data_type: str}
+l_quantity: {description: raw lineitem quantity, data_type: float64}
+qty_flag_mean:
+  description: mean quantity per return flag
+  data_type: float64
+  dependencies: [l_returnflag, l_quantity]
+  transformation: "(l_quantity).group_reduce(key_feature=l_returnflag, agg=mean)"
+"""
+    ds = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity"])
+    t0 = time.perf_counter()
+    n = _consume(FeatureEngine(spec).transform(ds))
+    return time.perf_counter() - t0, n
+
+
+BENCHES = {
+    "suite": bench_suite,
+    "uniqueness": bench_uniqueness,
+    "sha256": bench_sha256,
+    "transform": bench_transform,
+    "group_reduce": bench_group_reduce,
+}
+
+
+def _warmup() -> None:
+    """Spin up the Ray worker pool + shuffle machinery before timing:
+    measured numbers are steady-state throughput, not process forking."""
+    import ray.data
+
+    ds = ray.data.range(200_000, override_num_blocks=NUM_CPUS)
+    ds = ds.map_batches(lambda b: b, batch_format="pyarrow", batch_size=None)
+    ds.groupby("id", num_partitions=8).count().count()
+
+
+def run(names: list[str]) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    _warmup()
+    queries: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        sec, n = BENCHES[name]()
+        queries[name] = round(sec, 3)
+        rows[name] = n
+    out = {
+        "metric": "validated rows/sec (full constraint-suite throughput)",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": rows,
+        "replicate": REPLICATE,
+    }
+    if "suite" in queries and queries["suite"] > 0:
+        out["validated_rows_per_sec"] = round(rows["suite"] / queries["suite"], 1)
+    ray.shutdown()
+    return out
+
+
+def scaling() -> dict:
+    env = dict(os.environ)
+    results = {}
+    for cpus in (8, 32):
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        p = subprocess.run([sys.executable, __file__, "--single", "suite"],
+                           env=env, capture_output=True, text=True, timeout=3600)
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    rps8 = results[8]["validated_rows_per_sec"]
+    rps32 = results[32]["validated_rows_per_sec"]
+    eff = (rps32 / rps8) / 4.0
+    return {
+        "metric": "scaling efficiency (validated rows/sec, 8 -> 32 CPUs)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "rows_per_sec_8cpus": rps8,
+        "rows_per_sec_32cpus": rps32,
+        "suite_sec_8cpus": results[8]["queries"]["suite"],
+        "suite_sec_32cpus": results[32]["queries"]["suite"],
+        "sf": results[32]["sf"],
+        "replicate": REPLICATE,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling()))
+    elif "--single" in sys.argv:
+        name = sys.argv[sys.argv.index("--single") + 1]
+        print(json.dumps(run([name])))
+    else:
+        print(json.dumps(run(list(BENCHES))))

