@@ -557,6 +557,176 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # ---------------------------------------------------------------------------
+# training-data pipelines (text analysis, dedup, similarity, multimodal)
+# ---------------------------------------------------------------------------
+
+def q_ta_textstats(sf_dir: str):
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import text_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = text_stats(ds)
+    out = _round_cols(out, {"digit_ratio": 6, "punct_ratio": 6})
+    return _select(out, ["doc_id", "n_chars", "n_tokens", "n_digits", "n_punct",
+                         "digit_ratio", "punct_ratio"])
+
+
+_TEXTSTATS_ORACLE = r"""
+SELECT doc_id, n_chars, n_tokens, n_digits, n_punct,
+       round(n_digits / greatest(n_chars, 1)::DOUBLE, 6) AS digit_ratio,
+       round(n_punct / greatest(n_chars, 1)::DOUBLE, 6) AS punct_ratio
+FROM (
+  SELECT doc_id, length(text) AS n_chars,
+         length(regexp_extract_all(text, '\S+')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+  FROM documents)
+"""
+
+
+def q_ta_quality(sf_dir: str):
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import add_quality
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = add_quality(ds)
+    out = _round_cols(out, {"quality": 6})
+    return _select(out, ["doc_id", "n_tokens", "distinct_tokens", "quality"])
+
+
+_QUALITY_ORACLE = r"""
+SELECT doc_id, n_tokens, distinct_tokens,
+       round((distinct_tokens / greatest(n_tokens, 1)::DOUBLE)
+             * least(n_tokens / 100.0, 1.0)
+             * (1.0 - n_punct / greatest(n_chars, 1)::DOUBLE), 6) AS quality
+FROM (
+  SELECT doc_id,
+         length(regexp_extract_all(text, '\S+')) AS n_tokens,
+         length(list_distinct(regexp_extract_all(text, '\S+'))) AS distinct_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+  FROM documents)
+"""
+
+
+def q_ta_langid_fingerprint(sf_dir: str):
+    """Language-ID heuristic + rolling-hash fingerprint — heuristic
+    outputs, rows-only (pytest asserts detection goldens)."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import add_fingerprint, add_lang_id
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return _select(add_fingerprint(add_lang_id(ds)),
+                   ["doc_id", "lang_id", "fingerprint"])
+
+
+def q_dd_exact(sf_dir: str):
+    from feature_fabrica_ray.pipelines import exact_dedup_counts
+
+    ds = read_codetable(sf_dir, with_sha256=False)
+    return exact_dedup_counts(ds, ["repo", "path", "commit"])
+
+
+_DD_EXACT_ORACLE = CT + """
+SELECT count(*) AS n_rows,
+       count(DISTINCT repo || chr(31) || path || chr(31) || "commit") AS n_distinct,
+       (SELECT count(*) FROM (
+          SELECT count(*) OVER (PARTITION BY repo, path, "commit") AS c
+          FROM codetable) WHERE c > 1) AS n_dup_rows
+FROM codetable
+"""
+
+
+def q_dd_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs with exact Jaccard verify — not
+    SQL-expressible; pytest asserts planted-pair recovery and
+    partitioning invariance."""
+    from feature_fabrica_ray.pipelines import minhash_lsh_pairs
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_dd_simhash(sf_dir: str):
+    from feature_fabrica_ray.pipelines import simhash_pairs
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def q_ss_cosine_topk(sf_dir: str):
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import cosine_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    qdf = ds.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
+    Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    out = cosine_topk(ds, Q, k=10)
+    out["score"] = _round_away(out["score"], 5)
+    return out
+
+
+_COSINE_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+s AS (SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]), 6) AS sim
+      FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id, round(sim, 5) AS score, rank FROM (
+  SELECT query_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+  FROM s) WHERE rank <= 10
+"""
+
+
+def q_ss_ivf_topk(sf_dir: str):
+    """IVF ANN — approximate by design (rows-only; pytest asserts recall
+    >= 0.7 vs the brute-force baseline)."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import ivf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    qdf = ds.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
+    Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    return ivf_topk(ds, Q, k=10)
+
+
+def q_mm_decode(sf_dir: str):
+    """Actor-pool binary decode: header fields are SQL-checkable (the
+    payload header derives from doc_id); body stats rows-only in pytest."""
+    from feature_fabrica_ray.pipelines import decode_pipeline
+
+    out = decode_pipeline(sf_dir, concurrency=4)
+    return _select(out, ["media_id", "media_type", "n_bytes", "width", "height"])
+
+
+_MM_ORACLE = """
+SELECT doc_id AS media_id, 'image' AS media_type,
+       8 + strlen(text) AS n_bytes,
+       16 + doc_id % 64 AS width,
+       16 + (doc_id * 7) % 48 AS height
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -584,6 +754,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_group_reduce": q_ft_group_reduce,
         "ft_encoders": q_ft_encoders,
         "agg_q1": q_agg_q1,
+        "ta_textstats": q_ta_textstats,
+        "ta_quality": q_ta_quality,
+        "ta_langid_fingerprint": q_ta_langid_fingerprint,
+        "dd_exact": q_dd_exact,
+        "dd_minhash": q_dd_minhash,
+        "dd_simhash": q_dd_simhash,
+        "ss_cosine_topk": q_ss_cosine_topk,
+        "ss_ivf_topk": q_ss_ivf_topk,
+        "mm_decode": q_mm_decode,
     }
 
 
@@ -604,4 +783,12 @@ def oracle_sql() -> dict[str, str]:
         "ft_group_reduce": _GROUP_ORACLE,
         "ft_encoders": _ENCODER_ORACLE,
         "agg_q1": _Q1_ORACLE,
+        "ta_textstats": _TEXTSTATS_ORACLE,
+        "ta_quality": _QUALITY_ORACLE,
+        # ta_langid_fingerprint: heuristic -> rows-only (pytest goldens)
+        "dd_exact": _DD_EXACT_ORACLE,
+        # dd_minhash / dd_simhash: sketch-based -> rows-only (pytest)
+        "ss_cosine_topk": _COSINE_ORACLE,
+        # ss_ivf_topk: approximate -> rows-only (pytest recall bound)
+        "mm_decode": _MM_ORACLE,
     }

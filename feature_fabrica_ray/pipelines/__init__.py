@@ -1,9 +1,19 @@
 """End-to-end pipelines: validation suite runner, uniqueness shuffle,
 dedup, similarity search, text analysis."""
 
+from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
+                    minhash_lsh_pairs, ngram_jaccard, simhash_pairs)
+from .multimodal import DecodeImageFeatures, FrameSampler, decode_pipeline
+from .similarity import cosine_topk, fit_centroids, ivf_topk
+from .textstats import add_fingerprint, add_lang_id, add_quality, text_stats
 from .uniqueness import uniqueness_violations
 from .validate import (ValidationResult, bind_baselines, compute_baseline,
                        run_suite)
 
 __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines",
-           "uniqueness_violations"]
+           "uniqueness_violations",
+           "exact_dedup_counts", "minhash_lsh_pairs", "simhash_pairs",
+           "ngram_jaccard", "embedding_neardup_pairs",
+           "cosine_topk", "ivf_topk", "fit_centroids",
+           "text_stats", "add_quality", "add_lang_id", "add_fingerprint",
+           "DecodeImageFeatures", "FrameSampler", "decode_pipeline"]

@@ -1,0 +1,397 @@
+"""Deduplication pipelines for training-data curation: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale shapes (all reuse the bucket-grouped shuffle from uniqueness.py —
+shuffle keys are uniform hashes, so Zipf-skewed repos/langs never skew
+the exchange):
+
+- exact:      hash keys -> bucket groupby -> per-bucket distinct/dups.
+- minhash:    per-batch vectorized shingle+signature -> emit (band,
+              band_hash) rows -> bucket groupby finds colliding bands ->
+              candidate pairs -> exact Jaccard verify on a second pruned
+              pass over ONLY the candidate documents.
+- simhash:    per-batch 64-bit signatures -> 4x16-bit band blocking
+              (pigeonhole: hamming<=3 pairs share >=1 of 4 bands) ->
+              verify by exact hamming distance.
+- embedding:  random-hyperplane signature blocking -> within-bucket
+              exact cosine (numpy matmul) -> threshold.
+
+Candidate sets are tiny by construction (near-dups are rare), so pair
+verification collects candidates to the driver; everything over the full
+table is map_batches / bucket-groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state import combine_hashes, hash64, hash64_multi
+from ..tuning import shuffle_partitions
+from .textstats import kgram_hashes
+
+__all__ = ["exact_dedup_counts", "minhash_lsh_pairs", "simhash_pairs",
+           "ngram_jaccard", "embedding_neardup_pairs", "minhash_signatures",
+           "simhash_signatures"]
+
+_FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_counts(ds, columns: list[str]) -> pd.DataFrame:
+    """(n_rows, n_distinct, n_dup_rows) over the key columns — the exact-
+    dedup survey: how many rows survive keep-one-per-key. One pruned
+    bucket-grouped shuffle of 8 bytes/row."""
+    n_shuffle = shuffle_partitions()
+    n_buckets = n_shuffle * 16
+
+    def project(batch: pa.Table) -> pa.Table:
+        h = combine_hashes(*[hash64(batch.column(c)) for c in columns])
+        return pa.table({
+            "key_hash": pa.array(h.view(np.int64), pa.int64()),
+            "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+        })
+
+    def bucket_stats(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("key_hash").to_numpy(), return_counts=True)
+        return pa.table({"n_rows": pa.array([int(c.sum())], pa.int64()),
+                         "n_distinct": pa.array([int(u.size)], pa.int64()),
+                         "n_dup_rows": pa.array([int(c[c > 1].sum())], pa.int64())})
+
+    parts = (ds.map_batches(project, batch_format="pyarrow", batch_size=None)
+             .groupby("bucket", num_partitions=n_shuffle)
+             .map_groups(bucket_stats, batch_format="pyarrow")
+             .to_pandas())
+    return pd.DataFrame([{
+        "n_rows": int(parts["n_rows"].sum()),
+        "n_distinct": int(parts["n_distinct"].sum()),
+        "n_dup_rows": int(parts["n_dup_rows"].sum()),
+    }])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _row_segments(row_of: np.ndarray, n_rows: int) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted order, segment starts) for reduceat over per-row groups."""
+    order = np.argsort(row_of, kind="stable")
+    r = row_of[order]
+    starts = np.flatnonzero(np.concatenate([[True], r[1:] != r[:-1]]))
+    return order, starts
+
+
+def minhash_signatures(col: pa.Array, num_perm: int = 64, k: int = 5) -> np.ndarray:
+    """(num_perm, n_rows) uint64 MinHash signature matrix of a string
+    column. Shingle hashing is one flat vectorized pass (textstats.kgram);
+    each permutation is one universal-hash remap + segmented min."""
+    h, row_of = kgram_hashes(col, k=k)
+    n_rows = 0 if len(col) == 0 else len(col)
+    sig = np.full((num_perm, n_rows), _FULL, np.uint64)
+    if h.size == 0:
+        return sig
+    order, starts = _row_segments(row_of, n_rows)
+    hs = h[order]
+    rows_present = row_of[order][starts]
+    perms = hash64_multi(hs, num_perm, seed=7)          # (num_perm, n_sh)
+    for p in range(num_perm):
+        sig[p, rows_present] = np.minimum.reduceat(perms[p], starts)
+    return sig
+
+
+def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(bands, n) uint64: combined hash of each band's signature rows."""
+    num_perm, n = sig.shape
+    r = num_perm // bands
+    return np.stack([combine_hashes(*sig[b * r:(b + 1) * r]) for b in range(bands)])
+
+
+def _collect_colliding(pairs_ds) -> set[tuple]:
+    """bucket-grouped band collisions -> unique candidate id pairs."""
+    out: set[tuple] = set()
+    for row in pairs_ds.take_all():
+        out.add((row["id_a"], row["id_b"]))
+    return out
+
+
+def _bucket_pairs(t: pa.Table) -> pa.Table:
+    """Within one shuffle bucket: ids sharing a band_hash -> pairs."""
+    bh = t.column("band_hash").to_numpy()
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(bh, kind="stable")
+    bhs, idss = bh[order], ids[order]
+    starts = np.flatnonzero(np.concatenate([[True], bhs[1:] != bhs[:-1]]))
+    ends = np.concatenate([starts[1:], [bhs.size]])
+    a_out, b_out = [], []
+    for s, e in zip(starts, ends):     # collision groups are tiny and rare
+        if e - s < 2:
+            continue
+        grp = np.unique(idss[s:e])
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                a_out.append(grp[i])
+                b_out.append(grp[j])
+    return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                     "id_b": pa.array(b_out, pa.int64())})
+
+
+def _shingle_sets(ds, text_col: str, id_col: str, ids: np.ndarray, k: int) -> dict:
+    """Second pruned pass: sorted unique shingle-hash array per candidate
+    id (candidates only — the full table never ships its shingles)."""
+    id_set = pa.array(np.unique(ids).astype(np.int64), pa.int64())
+
+    def extract(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(id_col).cast(pa.int64()), value_set=id_set)
+        sel = batch.filter(mask)
+        if sel.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "shingles": pa.array([], pa.list_(pa.int64()))})
+        h, row_of = kgram_hashes(sel.column(text_col), k=k)
+        out_ids, out_lists = [], []
+        sel_ids = sel.column(id_col).to_numpy(zero_copy_only=False)
+        for r in range(sel.num_rows):  # candidates are rare; fine per row
+            out_ids.append(int(sel_ids[r]))
+            out_lists.append(np.unique(h[row_of == r]).view(np.int64).tolist())
+        return pa.table({id_col: pa.array(out_ids, pa.int64()),
+                         "shingles": pa.array(out_lists, pa.list_(pa.int64()))})
+
+    rows = ds.map_batches(extract, batch_format="pyarrow", batch_size=None).take_all()
+    return {r[id_col]: np.asarray(r["shingles"], dtype=np.int64) for r in rows}
+
+
+def ngram_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted unique hash arrays."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / (a.size + b.size - inter)
+
+
+def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 64, bands: int = 16, k: int = 5,
+                      threshold: float = 0.5) -> pd.DataFrame:
+    """Near-duplicate pairs with exact-verified n-gram Jaccard >= threshold.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, sorted. bands=16 of
+    r=4 rows catches Jaccard ~0.5+ with high probability."""
+    n_shuffle = shuffle_partitions()
+    n_buckets = n_shuffle * 16
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(batch.column(text_col), num_perm=num_perm, k=k)
+        bh = _band_hashes(sig, bands)                  # (bands, n)
+        n = sig.shape[1]
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        band_ids = np.repeat(np.arange(bands, dtype=np.uint64), n)
+        flat = bh.reshape(-1)
+        with np.errstate(over="ignore"):
+            keyed = flat * np.uint64(0x9E3779B97F4A7C15) + band_ids  # band-scoped
+        return pa.table({
+            "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
+            "band_hash": pa.array(keyed.view(np.int64), pa.int64()),
+            "bucket": pa.array((keyed % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+        })
+
+    cand_ds = (ds.map_batches(emit_bands, batch_format="pyarrow", batch_size=None)
+               .groupby("bucket", num_partitions=n_shuffle)
+               .map_groups(_bucket_pairs, batch_format="pyarrow"))
+    cands = _collect_colliding(cand_ds)
+    if not cands:
+        return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
+    ids = np.array(sorted({i for p in cands for i in p}), dtype=np.int64)
+    shingles = _shingle_sets(ds, text_col, id_col, ids, k)
+    rows = []
+    for a, b in sorted(cands):
+        j = ngram_jaccard(shingles[a], shingles[b])
+        if j >= threshold:
+            rows.append((int(min(a, b)), int(max(a, b)), round(float(j), 6)))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(col: pa.Array) -> np.ndarray:
+    """64-bit SimHash per row from whitespace-token hashes: per-bit
+    weighted majority, fully vectorized (unpack bits -> segmented sums)."""
+    from .textstats import token_hashes
+
+    n_rows = len(col)
+    th, row_of = token_hashes(col)
+    if th.size == 0:
+        return np.zeros(n_rows, np.uint64)
+    bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little").astype(np.int32)   # (n_tok, 64)
+    contrib = bits * 2 - 1
+    order, starts = _row_segments(row_of, n_rows)
+    rows_present = row_of[order][starts]
+    sums = np.add.reduceat(contrib[order], starts, axis=0)     # (n_present, 64)
+    sig_bits = (sums > 0).astype(np.uint8)
+    packed = np.packbits(sig_bits, axis=1, bitorder="little").view(np.uint64).ravel()
+    out = np.zeros(n_rows, np.uint64)
+    out[rows_present] = packed
+    return out
+
+
+def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs by SimHash: 4x16-bit band blocking (any pair within
+    hamming<=3 shares at least one exact 16-bit band), exact popcount
+    verify. Returns (id_a, id_b, hamming)."""
+    n_shuffle = shuffle_partitions()
+    n_buckets = n_shuffle * 16
+
+    def emit(batch: pa.Table) -> pa.Table:
+        sig = simhash_signatures(batch.column(text_col))
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = sig.size
+        parts = []
+        for b in range(4):
+            band = (sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            with np.errstate(over="ignore"):
+                keyed = band * np.uint64(0x9E3779B97F4A7C15) + np.uint64(b)
+            parts.append(pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "band_hash": pa.array(keyed.view(np.int64), pa.int64()),
+                "bucket": pa.array((keyed % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+                "sig": pa.array(sig.view(np.int64), pa.int64()),
+            }))
+        return pa.concat_tables(parts)
+
+    def bucket_pairs_sig(t: pa.Table) -> pa.Table:
+        bh = t.column("band_hash").to_numpy()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = t.column("sig").to_numpy(zero_copy_only=False)
+        order = np.argsort(bh, kind="stable")
+        bhs = bh[order]
+        starts = np.flatnonzero(np.concatenate([[True], bhs[1:] != bhs[:-1]]))
+        ends = np.concatenate([starts[1:], [bhs.size]])
+        a_o, b_o, h_o = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            grp_idx = order[s:e]
+            grp = sorted({(int(ids[i]), int(sigs[i])) for i in grp_idx})
+            for i in range(len(grp)):
+                for j in range(i + 1, len(grp)):
+                    if grp[i][0] == grp[j][0]:
+                        continue
+                    x = np.uint64(grp[i][1]) ^ np.uint64(grp[j][1])
+                    ham = int(bin(int(x)).count("1"))
+                    if ham <= max_hamming:
+                        a_o.append(grp[i][0])
+                        b_o.append(grp[j][0])
+                        h_o.append(ham)
+        return pa.table({"id_a": pa.array(a_o, pa.int64()),
+                         "id_b": pa.array(b_o, pa.int64()),
+                         "hamming": pa.array(h_o, pa.int64())})
+
+    rows = (ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+            .groupby("bucket", num_partitions=n_shuffle)
+            .map_groups(bucket_pairs_sig, batch_format="pyarrow")
+            .to_pandas())
+    if rows.empty:
+        return pd.DataFrame(columns=["id_a", "id_b", "hamming"])
+    return (rows.drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> / tensor-extension column."""
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if isinstance(col.type, pa.BaseExtensionType):  # ray tensor extension
+        M = np.asarray(col.to_numpy(zero_copy_only=False).tolist(), dtype=np.float64)
+        return M if n else M.reshape(0, 0)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                            threshold: float = 0.95, n_planes: int = 8,
+                            n_tables: int = 4, dim: int | None = None) -> pd.DataFrame:
+    """Near-duplicate pairs by cosine similarity >= threshold.
+
+    Blocking: ``n_tables`` independent random-hyperplane signatures of
+    ``n_planes`` bits; near-identical vectors collide in at least one
+    table w.h.p. Within-bucket verification is an exact numpy matmul.
+    Returns (id_a, id_b, cosine)."""
+    n_shuffle = shuffle_partitions()
+    n_buckets = n_shuffle * 16
+    rng = np.random.default_rng(42)
+    planes = None  # lazily sized from the first batch
+
+    def make_planes(d):
+        r = np.random.default_rng(42)
+        return [r.standard_normal((d, n_planes)) for _ in range(n_tables)]
+
+    def emit(batch: pa.Table) -> pa.Table:
+        V = _vectors(batch, vec_col)
+        n, d = V.shape
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = V / np.maximum(norms, 1e-12)
+        pls = make_planes(d)
+        parts = []
+        pow2 = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+        for t_i, P in enumerate(pls):
+            bits = (Vn @ P > 0).astype(np.uint64)
+            code = (bits * pow2[None, :]).sum(axis=1, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                keyed = code * np.uint64(0x9E3779B97F4A7C15) + np.uint64(t_i)
+            parts.append(pa.table({
+                "vid": pa.array(ids, pa.int64()),
+                "band_hash": pa.array(keyed.view(np.int64), pa.int64()),
+                "bucket": pa.array((keyed % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+                "vec": pa.array([row.tolist() for row in Vn], pa.list_(pa.float64())),
+            }))
+        return pa.concat_tables(parts)
+
+    def bucket_verify(t: pa.Table) -> pa.Table:
+        bh = t.column("band_hash").to_numpy()
+        ids = t.column("vid").to_numpy(zero_copy_only=False)
+        V = _vectors(t, "vec")
+        order = np.argsort(bh, kind="stable")
+        bhs = bh[order]
+        starts = np.flatnonzero(np.concatenate([[True], bhs[1:] != bhs[:-1]]))
+        ends = np.concatenate([starts[1:], [bhs.size]])
+        a_o, b_o, c_o = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            uniq_ids, first = np.unique(ids[idx], return_index=True)
+            if uniq_ids.size < 2:
+                continue
+            sub = V[idx[first]]
+            S = sub @ sub.T
+            ii, jj = np.triu_indices(uniq_ids.size, k=1)
+            hit = S[ii, jj] >= threshold
+            for i, j, c in zip(ii[hit], jj[hit], S[ii, jj][hit]):
+                a_o.append(int(uniq_ids[i]))
+                b_o.append(int(uniq_ids[j]))
+                c_o.append(round(float(c), 6))
+        return pa.table({"id_a": pa.array(a_o, pa.int64()),
+                         "id_b": pa.array(b_o, pa.int64()),
+                         "cosine": pa.array(c_o, pa.float64())})
+
+    rows = (ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+            .groupby("bucket", num_partitions=n_shuffle)
+            .map_groups(bucket_verify, batch_format="pyarrow")
+            .to_pandas())
+    if rows.empty:
+        return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+    return (rows.drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))

@@ -1,0 +1,148 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``cosine_topk``: brute-force baseline — the query matrix is normalized
+  once, broadcast via ``ray.put``, and every block computes a numpy
+  matmul + per-block top-k; the driver merges tiny per-block partials.
+  Exact, embarrassingly parallel, zero shuffle.
+- ``ivf_topk``: the scale path — k-means centroids fit once on a sample
+  (driver-side, deterministic), every vector assigned to its nearest
+  centroid in one map pass; queries probe only the ``nprobe`` closest
+  centroid lists, so each block does a masked matmul over the probed
+  subset. Recall<1 by construction; pytest asserts recall against the
+  brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["cosine_topk", "ivf_topk", "fit_centroids"]
+
+
+def _vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> / tensor-extension column."""
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if isinstance(col.type, pa.BaseExtensionType):  # ray tensor extension
+        M = np.asarray(col.to_numpy(zero_copy_only=False).tolist(), dtype=np.float64)
+        return M if n else M.reshape(0, 0)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def _merge_topk(parts: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Merge per-block partial top-k lists into the global top-k per query.
+    Deterministic tie-break: higher score first, then lower vec_id."""
+    parts = parts.sort_values(["query_id", "score", "vec_id"],
+                              ascending=[True, False, True], kind="mergesort")
+    out = parts.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "vec_id", "score", "rank"]]
+
+
+def cosine_topk(ds, queries: np.ndarray, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
+    """Exact cosine top-k of each query row against the dataset.
+
+    Returns (query_id, vec_id, score, rank) — scores rounded to 6 for
+    cross-engine comparison stability."""
+    import ray
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(Q)  # broadcast once, read per task — never re-shipped per batch
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        Qn = ray.get(q_ref)
+        V = _vectors(batch, vec_col)
+        if V.shape[0] == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        S = Qn @ _normalize(V).T                     # (q, n_block)
+        kk = min(k, S.shape[1])
+        top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        qid = np.repeat(np.arange(S.shape[0], dtype=np.int64), kk)
+        vid = ids[top.ravel()]
+        sc = np.take_along_axis(S, top, axis=1).ravel()
+        return pa.table({"query_id": pa.array(qid, pa.int64()),
+                         "vec_id": pa.array(vid, pa.int64()),
+                         "score": pa.array(np.round(sc, 6), pa.float64())})
+
+    parts = ds.map_batches(block_topk, batch_format="pyarrow", batch_size=None).to_pandas()
+    return _merge_topk(parts, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+def fit_centroids(ds, nlist: int = 16, vec_col: str = "embedding",
+                  sample_rows: int = 4096, iters: int = 10) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (kmeans++-lite
+    seeding by striding the sample). Centroids are KB-sized — broadcast
+    state, never a shuffle."""
+    sample = ds.limit(sample_rows).to_pandas()
+    X = _normalize(np.asarray([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
+    idx = np.linspace(0, len(X) - 1, nlist).astype(np.int64)
+    C = X[idx].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(nlist):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 16,
+             nprobe: int = 6, vec_col: str = "embedding",
+             id_col: str = "vec_id", centroids: np.ndarray | None = None) -> pd.DataFrame:
+    """IVF-style ANN: probe only the ``nprobe`` nearest centroid lists per
+    query. Same output schema as cosine_topk."""
+    import ray
+
+    C = fit_centroids(ds, nlist=nlist, vec_col=vec_col) if centroids is None else centroids
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]          # (q, nprobe)
+    # mask[q, c] = query q probes centroid c
+    mask = np.zeros((Q.shape[0], C.shape[0]), dtype=bool)
+    np.put_along_axis(mask, probe, True, axis=1)
+    state = ray.put((Q, C, mask))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        Qn, Cn, probe_mask = ray.get(state)
+        V = _vectors(batch, vec_col)
+        if V.shape[0] == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        Vn = _normalize(V)
+        cid = (Vn @ Cn.T).argmax(axis=1)                        # assignment pass
+        S = Qn @ Vn.T                                           # (q, n)
+        allowed = probe_mask[:, cid]                            # (q, n)
+        S = np.where(allowed, S, -np.inf)
+        kk = min(k, S.shape[1])
+        top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        sc = np.take_along_axis(S, top, axis=1)
+        qid = np.repeat(np.arange(S.shape[0], dtype=np.int64), kk)
+        vid = ids[top.ravel()]
+        flat_sc = sc.ravel()
+        keep = np.isfinite(flat_sc)
+        return pa.table({"query_id": pa.array(qid[keep], pa.int64()),
+                         "vec_id": pa.array(vid[keep], pa.int64()),
+                         "score": pa.array(np.round(flat_sc[keep], 6), pa.float64())})
+
+    parts = ds.map_batches(block_topk, batch_format="pyarrow", batch_size=None).to_pandas()
+    return _merge_topk(parts, k)

@@ -1,0 +1,240 @@
+"""Text analysis over the documents/codetable text columns — the
+training-data-pipeline operators (language ID, quality scoring, token
+counting, document fingerprinting), all vectorized per Arrow batch.
+
+Scale shape: every function is a stateless ``map_batches`` stage
+(closure-compiled patterns / stopword profiles — no per-batch setup, no
+Python loop over rows in any hot path). The only nontrivial kernel is the
+flat rolling k-gram hash shared with MinHash dedup (see ``_kgram``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["text_stats", "add_quality", "add_lang_id", "add_fingerprint",
+           "kgram_hashes", "token_hashes"]
+
+_B = np.uint64(1099511628211)          # FNV prime as polynomial base
+_TOKEN_RE = r"\S+"
+
+
+# ---------------------------------------------------------------------------
+# flat vectorized k-gram rolling hash (shared with MinHash / fingerprints)
+# ---------------------------------------------------------------------------
+
+def _flat_utf8(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 buffer, row offsets) of a string column, zero-copy where
+    arrow allows. Nulls become empty strings."""
+    col = pc.fill_null(col, "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # ensure plain string array with flat offsets
+    col = col.cast(pa.string())
+    buf = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)
+    raw = np.frombuffer(col.buffers()[1], dtype=np.int32)
+    off = raw[col.offset:col.offset + len(col) + 1].astype(np.int64)
+    return buf, off
+
+
+def kgram_hashes(col: pa.Array, k: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """All character k-gram hashes of every row, computed in ONE vectorized
+    pass over the batch's flat utf8 buffer.
+
+    Returns (hashes uint64, row_id int64) where hashes crossing row
+    boundaries are already removed. Rows shorter than k contribute a single
+    whole-row hash so short documents still fingerprint."""
+    buf, off = _flat_utf8(col)
+    n_rows = len(off) - 1
+    if buf.size == 0:
+        return np.zeros(n_rows, np.uint64), np.arange(n_rows, dtype=np.int64)
+    data = buf.astype(np.uint64)
+    n = data.size
+    if n < k:
+        pad = np.zeros(k, np.uint64)
+        pad[:n] = data
+        data, n = pad, k
+    win = np.lib.stride_tricks.sliding_window_view(data, k)  # (n-k+1, k)
+    powers = np.empty(k, np.uint64)
+    powers[k - 1] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(k - 2, -1, -1):
+            powers[i] = powers[i + 1] * _B
+    with np.errstate(over="ignore"):
+        h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        h = h * _B + np.uint64(0x9E3779B97F4A7C15)  # final mix
+
+    starts = off[:-1]
+    lens = np.diff(off)
+    # positions p in [starts[r], off[r+1]-k] belong to row r
+    pos = np.arange(h.size, dtype=np.int64)
+    row_of = np.searchsorted(off[1:], pos, side="right")
+    row_of = np.clip(row_of, 0, n_rows - 1)
+    valid = (pos <= (off[row_of + 1] - k)) & (pos >= off[row_of])
+    out_h, out_r = h[valid], row_of[valid]
+    # rows with len in (0, k): hash the whole (short) row once
+    short = np.nonzero((lens > 0) & (lens < k))[0]
+    if short.size:
+        sh = np.empty(short.size, np.uint64)
+        for j, r in enumerate(short):  # rare path: rows shorter than k chars
+            with np.errstate(over="ignore"):
+                sh[j] = (data[off[r]:off[r + 1]] * powers[:lens[r]]).sum(dtype=np.uint64) * _B
+        out_h = np.concatenate([out_h, sh])
+        out_r = np.concatenate([out_r, short.astype(np.int64)])
+    return out_h, out_r
+
+
+def token_hashes(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-token hashes of every row -> (hashes uint64, row_id).
+    Tokenization + hashing stay in Arrow/polars kernels."""
+    from ..state import hash64
+
+    toks = pc.split_pattern_regex(pc.fill_null(col, ""), pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    keep = nonempty.to_numpy(zero_copy_only=False)
+    return hash64(flat.filter(nonempty)), row_of[keep]
+
+
+# ---------------------------------------------------------------------------
+# stats / quality
+# ---------------------------------------------------------------------------
+
+
+def _set_col(batch: pa.Table, name: str, arr) -> pa.Table:
+    """Append or overwrite a column (input tables may already carry a
+    same-named column, e.g. documents.n_chars)."""
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, arr)
+    return batch.append_column(name, arr)
+
+def text_stats(ds, text_col: str = "text"):
+    """Append n_chars, n_tokens, n_digits, n_punct, digit_ratio,
+    punct_ratio columns (all pyarrow kernels)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_col), "")
+        n_chars = pc.utf8_length(col).cast(pa.int64())
+        n_tokens = pc.count_substring_regex(col, pattern=_TOKEN_RE).cast(pa.int64())
+        n_digits = pc.count_substring_regex(col, pattern=r"[0-9]").cast(pa.int64())
+        n_punct = pc.count_substring_regex(col, pattern=r"[[:punct:]]").cast(pa.int64())
+        denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+        batch = _set_col(batch, "n_chars", n_chars)
+        batch = _set_col(batch, "n_tokens", n_tokens)
+        batch = _set_col(batch, "n_digits", n_digits)
+        batch = _set_col(batch, "n_punct", n_punct)
+        batch = _set_col(batch,
+            "digit_ratio", pc.divide(n_digits.cast(pa.float64()), denom.cast(pa.float64())))
+        batch = _set_col(batch,
+            "punct_ratio", pc.divide(n_punct.cast(pa.float64()), denom.cast(pa.float64())))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def _distinct_per_row(hashes: np.ndarray, row_of: np.ndarray, n_rows: int) -> np.ndarray:
+    """Distinct count per row from (hash, row) pairs — one lexsort, no
+    per-row Python."""
+    if hashes.size == 0:
+        return np.zeros(n_rows, np.int64)
+    order = np.lexsort((hashes, row_of))
+    h, r = hashes[order], row_of[order]
+    new = np.empty(h.size, dtype=bool)
+    new[0] = True
+    new[1:] = (h[1:] != h[:-1]) | (r[1:] != r[:-1])
+    return np.bincount(r[new], minlength=n_rows).astype(np.int64)
+
+
+def add_quality(ds, text_col: str = "text"):
+    """Quality score in [0,1]: token diversity x length saturation x
+    punctuation penalty — the standard cheap pre-filter for web/code
+    training corpora. Exact formula (SQL-expressible, see oracle):
+    (distinct_tokens/n_tokens) * min(n_tokens/100, 1) * (1 - punct_ratio)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_col), "")
+        n = batch.num_rows
+        th, tr = token_hashes(col)
+        n_tokens = np.bincount(tr, minlength=n).astype(np.float64)
+        distinct = _distinct_per_row(th, tr, n).astype(np.float64)
+        n_chars = pc.utf8_length(col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        n_punct = pc.count_substring_regex(col, pattern=r"[[:punct:]]") \
+            .cast(pa.float64()).to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            diversity = np.where(n_tokens > 0, distinct / np.maximum(n_tokens, 1), 0.0)
+            sat = np.minimum(n_tokens / 100.0, 1.0)
+            punct_pen = 1.0 - n_punct / np.maximum(n_chars, 1.0)
+        q = diversity * sat * punct_pen
+        batch = _set_col(batch, "n_tokens", pa.array(n_tokens.astype(np.int64)))
+        batch = _set_col(batch, "distinct_tokens", pa.array(distinct.astype(np.int64)))
+        return _set_col(batch, "quality", pa.array(q, pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "on",
+           "with", "as", "was", "at", "by", "an", "be", "this", "are", "or"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "se", "del",
+           "las", "por", "con", "una", "su", "para", "es", "al", "lo", "como"},
+    "de": {"der", "die", "und", "in", "den", "von", "zu", "das", "mit",
+           "sich", "des", "auf", "für", "ist", "im", "dem", "nicht", "ein",
+           "eine", "als"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "du", "une",
+           "que", "est", "pour", "qui", "dans", "par", "plus", "pas", "au",
+           "sur"},
+}
+
+
+def add_lang_id(ds, text_col: str = "text", min_hits: int = 2):
+    """Append ``lang_id``: argmax of stopword-profile hit counts (ties and
+    low-evidence rows -> 'unknown'). Profiles are hashed once at plan time
+    and the per-batch score is a vectorized isin per language."""
+    from ..state import hash64
+
+    langs = sorted(_STOPWORDS)
+    profiles = {lg: np.sort(hash64(sorted(_STOPWORDS[lg]))) for lg in langs}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+        n = batch.num_rows
+        th, tr = token_hashes(col)
+        scores = np.zeros((len(langs), n), np.int64)
+        for i, lg in enumerate(langs):
+            hit = np.isin(th, profiles[lg], assume_unique=False)
+            scores[i] = np.bincount(tr[hit], minlength=n)
+        best = scores.argmax(axis=0)
+        best_score = scores.max(axis=0)
+        runner = np.sort(scores, axis=0)[-2] if len(langs) > 1 else np.zeros(n)
+        decided = (best_score >= min_hits) & (best_score > runner)
+        out = np.where(decided, np.array(langs, dtype=object)[best], "unknown")
+        return _set_col(batch, "lang_id", pa.array(out, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (rolling-hash min-sketch)
+# ---------------------------------------------------------------------------
+
+def add_fingerprint(ds, text_col: str = "text", k: int = 8):
+    """Append ``fingerprint``: min k-gram rolling hash per document
+    (int64) — equal documents always agree; a cheap first-stage near-dup
+    blocking key (full MinHash lives in pipelines/dedup.py)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        h, r = kgram_hashes(batch.column(text_col), k=k)
+        fp = np.full(n, np.uint64(0xFFFFFFFFFFFFFFFF))
+        np.minimum.at(fp, r, h)
+        return _set_col(batch, "fingerprint", pa.array(fp.view(np.int64), pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,256 @@
+"""Training-data pipeline tests: text analysis, dedup (exact / MinHash /
+SimHash / embedding), similarity search, multimodal decode — golden
+values on tiny tables + planted-defect recovery + partitioning
+invariance (the properties the SQL oracle can't express)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from feature_fabrica_ray.pipelines import (add_fingerprint, add_lang_id,
+                                           add_quality, cosine_topk,
+                                           decode_pipeline,
+                                           embedding_neardup_pairs,
+                                           exact_dedup_counts, ivf_topk,
+                                           minhash_lsh_pairs, ngram_jaccard,
+                                           simhash_pairs, text_stats)
+from feature_fabrica_ray.pipelines.dedup import (minhash_signatures,
+                                                 simhash_signatures)
+from feature_fabrica_ray.pipelines.textstats import kgram_hashes
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ds(df, blocks=1):
+    ds = ray.data.from_pandas(df)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_text_stats_golden(ray_session):
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["Hi! 42 x9.", "a b  a", ""]})
+    out = text_stats(_ds(df)).to_pandas().sort_values("doc_id")
+    assert out["n_chars"].tolist() == [10, 6, 0]
+    assert out["n_tokens"].tolist() == [3, 3, 0]
+    assert out["n_digits"].tolist() == [3, 0, 0]
+    assert out["n_punct"].tolist() == [2, 0, 0]
+    assert out["punct_ratio"].tolist()[0] == pytest.approx(0.2)
+
+
+def test_quality_formula(ray_session):
+    df = pd.DataFrame({"doc_id": [0], "text": ["a b a c"]})
+    out = add_quality(_ds(df)).to_pandas()
+    # 4 tokens, 3 distinct, 0 punct -> (3/4) * min(4/100,1) * 1
+    assert out["n_tokens"][0] == 4
+    assert out["distinct_tokens"][0] == 3
+    assert out["quality"][0] == pytest.approx(0.75 * 0.04)
+
+
+def test_lang_id_detects(ray_session):
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": [
+        "the cat sat on the mat and it was happy with this",
+        "el perro corre por la calle y se va para su casa",
+        "der Hund läuft auf der Straße und die Katze ist im Haus",
+        "zz qq ww",  # no stopword evidence
+    ]})
+    out = add_lang_id(_ds(df)).to_pandas().sort_values("doc_id")
+    assert out["lang_id"].tolist() == ["en", "es", "de", "unknown"]
+
+
+def test_fingerprint_equal_docs_agree(ray_session):
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["the same document text here",
+                                "the same document text here",
+                                "completely different content!"]})
+    out = add_fingerprint(_ds(df)).to_pandas().sort_values("doc_id")
+    assert out["fingerprint"][0] == out["fingerprint"][1]
+
+
+def test_kgram_partition_invariance():
+    import pyarrow as pa
+
+    texts = ["alpha beta gamma delta", "second document body", "x"]
+    whole = pa.array(texts)
+    h_all = {}
+    for i in range(3):
+        h, r = kgram_hashes(pa.array([texts[i]]), k=5)
+        h_all[i] = sorted(h.tolist())
+    h2, r2 = kgram_hashes(whole, k=5)
+    for i in range(3):
+        assert sorted(h2[r2 == i].tolist()) == h_all[i]
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_counts_codetable(ray_session):
+    from feature_fabrica_ray.sources import read_codetable
+
+    out = exact_dedup_counts(read_codetable(SF, with_sha256=False),
+                             ["repo", "path", "commit"])
+    assert out["n_rows"][0] == 505
+    assert out["n_distinct"][0] == 500
+    assert out["n_dup_rows"][0] == 10
+
+
+def _neardup_df():
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta",
+             "iota", "kappa", "lod", "mu", "nu", "xi", "omicron", "pi"]
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(30)]
+    near = [t + " tailword" for t in texts[:5]]          # jaccard ~ .9
+    return pd.DataFrame({"doc_id": list(range(30)) + list(range(100, 105)),
+                         "text": texts + near})
+
+
+def test_minhash_finds_planted_pairs(ray_session):
+    pairs = minhash_lsh_pairs(_ds(_neardup_df()), threshold=0.5)
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    for i in range(5):
+        assert (i, 100 + i) in found
+    assert (pairs["jaccard"] >= 0.5).all()
+
+
+def test_minhash_partition_invariant(ray_session):
+    p1 = minhash_lsh_pairs(_ds(_neardup_df(), blocks=1), threshold=0.5)
+    p4 = minhash_lsh_pairs(_ds(_neardup_df(), blocks=4), threshold=0.5)
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b", "jaccard"]].values.tolist()))
+    assert key(p1) == key(p4)
+
+
+def test_minhash_identical_docs_jaccard_one(ray_session):
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["identical body of text here"] * 2})
+    pairs = minhash_lsh_pairs(_ds(df), threshold=0.9)
+    assert pairs[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    assert pairs["jaccard"][0] == 1.0
+
+
+def test_simhash_identical_zero_hamming(ray_session):
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["same tokens in this doc", "same tokens in this doc",
+                                "utterly unrelated words entirely"]})
+    pairs = simhash_pairs(_ds(df))
+    assert [1, 2] in pairs[["id_a", "id_b"]].values.tolist()
+    row = pairs[(pairs.id_a == 1) & (pairs.id_b == 2)]
+    assert row["hamming"].iloc[0] == 0
+
+
+def test_simhash_signature_deterministic():
+    import pyarrow as pa
+
+    s1 = simhash_signatures(pa.array(["a b c", "x y"]))
+    s2 = simhash_signatures(pa.array(["a b c", "x y"]))
+    assert (s1 == s2).all()
+
+
+def test_ngram_jaccard_exact():
+    a = np.array([1, 2, 3, 4], dtype=np.int64)
+    b = np.array([3, 4, 5, 6], dtype=np.int64)
+    assert ngram_jaccard(a, b) == pytest.approx(2 / 6)
+
+
+def test_minhash_estimates_jaccard():
+    import pyarrow as pa
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "the quick brown fox jumps over the lazy cat again and again"
+    sig = minhash_signatures(pa.array([t1, t2]), num_perm=256, k=5)
+    est = (sig[:, 0] == sig[:, 1]).mean()
+    h1, r1 = kgram_hashes(pa.array([t1]), k=5)
+    h2, _ = kgram_hashes(pa.array([t2]), k=5)
+    true_j = ngram_jaccard(np.unique(h1), np.unique(h2))
+    assert abs(est - true_j) < 0.12
+
+
+def test_embedding_neardup_planted(ray_session):
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((40, 16))
+    V[35] = V[0] + 0.001 * rng.standard_normal(16)       # planted near-dup
+    df = pd.DataFrame({"vec_id": range(40),
+                       "embedding": [v.astype(np.float32).tolist() for v in V]})
+    pairs = embedding_neardup_pairs(_ds(df), threshold=0.99)
+    assert [0, 35] in pairs[["id_a", "id_b"]].values.tolist()
+    assert (pairs["cosine"] >= 0.99).all()
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+def test_cosine_topk_matches_numpy(emb_ds):
+    df = emb_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    M = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Q = Mn[:2]
+    out = cosine_topk(emb_ds, M[:2], k=5)
+    S = Q @ Mn.T
+    for qi in range(2):
+        expect = np.argsort(-np.round(S[qi], 6), kind="stable")[:5]
+        got = out[out.query_id == qi].sort_values("rank")["vec_id"].tolist()
+        assert got[0] == qi                       # self is nearest
+        assert set(got) == set(df["vec_id"].iloc[expect])
+
+
+def test_cosine_topk_block_invariant(emb_ds, ray_session):
+    df = emb_ds.to_pandas()
+    M = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    r1 = cosine_topk(_ds(df, blocks=1), M[:2], k=5)
+    r8 = cosine_topk(_ds(df, blocks=8), M[:2], k=5)
+    assert r1.values.tolist() == r8.values.tolist()
+
+
+def test_ivf_recall(emb_ds):
+    df = emb_ds.to_pandas()
+    M = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    Q = M[:5]
+    exact = cosine_topk(emb_ds, Q, k=10)
+    approx = ivf_topk(emb_ds, Q, k=10)
+    e = set(map(tuple, exact[["query_id", "vec_id"]].values.tolist()))
+    a = set(map(tuple, approx[["query_id", "vec_id"]].values.tolist()))
+    assert len(e & a) / len(e) >= 0.7
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def test_decode_stub_golden(ray_session):
+    out = decode_pipeline(SF, concurrency=2).to_pandas().sort_values("media_id")
+    row = out.iloc[0]                                   # doc_id 0
+    assert row["width"] == 16 and row["height"] == 16
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]) \
+        .to_pandas().sort_values("doc_id")
+    body = docs["text"].iloc[0].encode()
+    assert row["n_bytes"] == 8 + len(body)
+    b = np.frombuffer(body, dtype=np.uint8)
+    assert row["mean_byte"] == pytest.approx(b.mean(), abs=1e-5)
+    counts = np.bincount(b, minlength=256)
+    p = counts[counts > 0] / b.size
+    assert row["byte_entropy"] == pytest.approx(-(p * np.log2(p)).sum(), abs=1e-5)
+
+
+def test_frame_sampler(ray_session):
+    from feature_fabrica_ray.pipelines import FrameSampler
+    from feature_fabrica_ray.pipelines.multimodal import synth_media_table
+
+    ds = synth_media_table(SF, media_type="video")
+    frames = ds.limit(10).map_batches(FrameSampler, concurrency=1,
+                                      batch_format="pyarrow").to_pandas()
+    assert {"media_id", "frame_idx", "frame"} <= set(frames.columns)
+    # every sampled frame is a full frame_bytes slice except possibly none
+    assert (frames["frame_idx"] % 4 == 0).all()
