@@ -50,6 +50,7 @@ class ValidationResult:
     stats: pd.DataFrame             # one row per stats column
     n_rows: int = 0
     baselines: dict = field(default_factory=dict)
+    digests: dict = field(default_factory=dict)  # pid -> xor content digest (int)
 
     @property
     def passed(self) -> bool:
@@ -69,7 +70,12 @@ def _union_schema(key_columns: list[str]) -> pa.Schema:
 
 
 def _empty_cols(schema: pa.Schema, n: int) -> dict:
-    return {f.name: pa.nulls(n, f.type) for f in schema}
+    """Default record fields: ints are 0 (nullable int64 would round-trip
+    through pandas as float64 and corrupt 64-bit digest values), the rest
+    null."""
+    return {f.name: (pa.array(np.zeros(n, np.int64))
+                     if pa.types.is_integer(f.type) else pa.nulls(n, f.type))
+            for f in schema}
 
 
 class _ValidatorStage:
@@ -98,6 +104,18 @@ class _ValidatorStage:
         out_tables.append(self._records(
             record_type="counts", pid=pids.tolist(), check=[_ROWS] * len(pids),
             n_rows=counts.tolist(), n_viol=[0] * len(pids)))
+
+        # per-pid content digest (xor of row sha hashes — order-independent,
+        # mergeable across batches/shards; the lineage/resume fingerprint)
+        if "content_sha256" in batch.column_names:
+            h = hash64(batch.column("content_sha256"))
+            acc = np.zeros(len(pids), np.uint64)
+            pid_index = np.searchsorted(pids, pid)
+            np.bitwise_xor.at(acc, pid_index, h)
+            out_tables.append(self._records(
+                record_type="digest", pid=pids.tolist(),
+                check=["__digest__"] * len(pids),
+                n_rows=acc.view(np.int64).tolist(), n_viol=[0] * len(pids)))
 
         for chk in self.row_checks:
             mask = chk.mask(batch)
@@ -327,11 +345,20 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
                              rate <= uc.max_violation_rate))
         violations = pd.concat([violations, uv[keep]], ignore_index=True)
 
+    # per-pid content digests (xor-merge across batches)
+    digests: dict[int, int] = {}
+    drec = records[records["record_type"] == "digest"]
+    for pid_val, grp in drec.groupby("pid"):
+        acc = np.uint64(0)
+        for v in grp["n_rows"]:
+            acc ^= np.int64(v).astype(np.uint64)
+        digests[int(pid_val)] = int(acc.view(np.int64))
+
     verdicts = pd.DataFrame(verdict_rows, columns=[
         "check", "pid", "n_rows", "n_violations", "violation_rate", "metric", "passed"])
     stats = pd.DataFrame(stats_rows)
     return ValidationResult(verdicts=verdicts, violations=violations, stats=stats,
-                            n_rows=n_rows_total,
+                            n_rows=n_rows_total, digests=digests,
                             baselines={dc.name: dc.baseline for dc in suite.drift_checks})
 
 

@@ -1,0 +1,94 @@
+"""Checkpoint/resume semantics (north rule): sharded == unsharded,
+resume skips committed shards, digests xor-merge exactly."""
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from feature_fabrica_ray.checks import CheckSuite
+from feature_fabrica_ray.pipelines import (codetable_shards, merge_results,
+                                           run_suite, validate_resumable)
+from feature_fabrica_ray.sources import read_codetable
+
+SF = "/root/testdata/sf0.001"
+
+SUITE = CheckSuite("""
+checks:
+  - {type: not_null, column: lang}
+  - {type: min_length, column: content, min_length: 1}
+  - {type: unique, columns: [repo, path, commit]}
+""")
+
+
+def _unsharded(ray_session):
+    ds = read_codetable(SF).map_batches(
+        lambda b: b.append_column(
+            "size_bytes", pc.utf8_length(b.column("content")).cast(pa.int64())),
+        batch_format="pyarrow", batch_size=None)
+    return run_suite(ds, SUITE, num_partitions=8)
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _g(res, check):
+    g = res.verdicts[res.verdicts["pid"] == -1].set_index("check")
+    return int(g.loc[check, "n_violations"])
+
+
+def test_sharded_equals_unsharded(ray_session, out_dir):
+    full = _unsharded(ray_session)
+    shards = codetable_shards(SF, n_shards=3)
+    out = validate_resumable(shards, SUITE, out_dir, num_partitions=8)
+    assert out["skipped"] == []
+    merged = out["result"]
+    assert merged.n_rows == full.n_rows
+    for chk in ["not_null:lang", "min_length:content", "unique:repo+path+commit"]:
+        assert _g(merged, chk) == _g(full, chk)
+    # per-pid xor digests merge to the same values as the single pass
+    assert merged.digests == full.digests
+    assert len(merged.violations) == len(full.violations)
+
+
+def test_resume_skips_completed(ray_session, out_dir):
+    shards = codetable_shards(SF, n_shards=3)
+    first = validate_resumable(shards, SUITE, out_dir, num_partitions=8)
+    assert sorted(first["completed"]) == ["0000", "0001", "0002"]
+    # simulate a crash on shard 0001: wipe its commit marker
+    os.remove(os.path.join(out_dir, "shard=0001", "_SUCCESS"))
+    second = validate_resumable(shards, SUITE, out_dir, num_partitions=8)
+    assert second["completed"] == ["0001"]
+    assert sorted(second["skipped"]) == ["0000", "0002"]
+    assert second["result"].n_rows == first["result"].n_rows
+    assert second["result"].digests == first["result"].digests
+
+
+def test_merge_ignores_uncommitted_shards(ray_session, out_dir):
+    shards = codetable_shards(SF, n_shards=2)
+    validate_resumable(shards, SUITE, out_dir, num_partitions=8)
+    # a half-written shard dir without _SUCCESS must not poison the merge
+    bad = os.path.join(out_dir, "shard=9999")
+    os.makedirs(bad)
+    pd.DataFrame({"x": [1]}).to_parquet(os.path.join(bad, "verdicts.parquet"))
+    merged = merge_results(out_dir)
+    assert merged.n_rows == 505
+
+
+def test_lineage_records_written(ray_session, out_dir):
+    import json
+
+    shards = codetable_shards(SF, n_shards=2)
+    validate_resumable(shards, SUITE, out_dir, num_partitions=8)
+    with open(os.path.join(out_dir, "shard=0000", "lineage.json")) as f:
+        lin = json.load(f)
+    assert lin["shard"] == "0000"
+    assert lin["n_rows"] > 0
+    assert lin["wall_s"] > 0
+    assert lin["digests"]          # per-pid xor digests present
+    assert "unique:repo+path+commit" in lin["checks"]
