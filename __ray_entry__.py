@@ -556,6 +556,43 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_jn_priority(sf_dir: str) -> pd.DataFrame:
+    """Broadcast (map-side) hash join: lineitem x orders on orderkey, then
+    a partial-aggregated rollup per order priority — the fact x dimension
+    enrichment shape (no shuffle of the big side)."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import broadcast_join
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+    joined = broadcast_join(li, orders, left_on="l_orderkey",
+                            right_on="o_orderkey",
+                            right_columns=["o_orderkey", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            cnt=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        cnt=("cnt", "sum"), sum_qty=("sum_qty", "sum"))
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["o_orderpriority", "cnt", "sum_qty"]]
+
+
+_JOIN_ORACLE = """
+SELECT o_orderpriority, count(*) AS cnt, sum(l_quantity) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipelines (text analysis, dedup, similarity, multimodal)
 # ---------------------------------------------------------------------------
@@ -754,6 +791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_group_reduce": q_ft_group_reduce,
         "ft_encoders": q_ft_encoders,
         "agg_q1": q_agg_q1,
+        "jn_priority": q_jn_priority,
         "ta_textstats": q_ta_textstats,
         "ta_quality": q_ta_quality,
         "ta_langid_fingerprint": q_ta_langid_fingerprint,
@@ -783,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_group_reduce": _GROUP_ORACLE,
         "ft_encoders": _ENCODER_ORACLE,
         "agg_q1": _Q1_ORACLE,
+        "jn_priority": _JOIN_ORACLE,
         "ta_textstats": _TEXTSTATS_ORACLE,
         "ta_quality": _QUALITY_ORACLE,
         # ta_langid_fingerprint: heuristic -> rows-only (pytest goldens)

@@ -2,6 +2,7 @@
 dedup, similarity search, text analysis."""
 
 from .checkpoint import codetable_shards, merge_results, validate_resumable
+from .join import broadcast_join
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
                     minhash_lsh_pairs, ngram_jaccard, simhash_pairs)
 from .multimodal import DecodeImageFeatures, FrameSampler, decode_pipeline
@@ -18,4 +19,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "cosine_topk", "ivf_topk", "fit_centroids",
            "text_stats", "add_quality", "add_lang_id", "add_fingerprint",
            "DecodeImageFeatures", "FrameSampler", "decode_pipeline",
-           "validate_resumable", "merge_results", "codetable_shards"]
+           "validate_resumable", "merge_results", "codetable_shards",
+           "broadcast_join"]

@@ -12,8 +12,15 @@ FNV-1a implementation when polars is unavailable.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
+
+# Parallelism belongs to Ray (one task per core), not to rayon inside every
+# worker: an unpinned polars pool spawns machine-width threads PER WORKER,
+# oversubscribing the node and silently breaking CPU-scaling measurements.
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
 try:
     import polars as pl

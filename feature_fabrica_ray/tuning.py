@@ -13,7 +13,26 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["shuffle_partitions"]
+__all__ = ["shuffle_partitions", "read_blocks"]
+
+
+def read_blocks() -> int:
+    """Target block count for small-file reads whose downstream stages
+    EXPAND rows (e.g. the replicated synthetic derive): without an
+    explicit override a 3 KB parquet file reads as a handful of blocks
+    and caps the whole pipeline's parallelism at that block count, no
+    matter how many CPUs the cluster has. ~4 blocks per CPU keeps every
+    core fed while staying coarse enough to amortize per-task overhead."""
+    env = os.environ.get("FFR_READ_BLOCKS")
+    if env:
+        return int(env)
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover
+        cpus = 8
+    return max(16, min(4 * cpus, 512))
 
 
 def shuffle_partitions() -> int:

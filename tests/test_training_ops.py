@@ -254,3 +254,33 @@ def test_frame_sampler(ray_session):
     assert {"media_id", "frame_idx", "frame"} <= set(frames.columns)
     # every sampled frame is a full frame_bytes slice except possibly none
     assert (frames["frame_idx"] % 4 == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# broadcast join
+# ---------------------------------------------------------------------------
+
+def test_broadcast_join_inner_and_anti(ray_session):
+    from feature_fabrica_ray.pipelines import broadcast_join
+
+    left = _ds(pd.DataFrame({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]}))
+    right = pd.DataFrame({"k": [1, 2, 2, 5], "w": [10, 20, 21, 50]})
+    inner = broadcast_join(left, right, left_on="k").to_pandas() \
+        .sort_values(["k", "w"]).reset_index(drop=True)
+    assert inner[["k", "w"]].values.tolist() == [[1, 10], [2, 20], [2, 21]]
+    anti = broadcast_join(left, right, left_on="k", how="left anti").to_pandas()
+    assert sorted(anti["k"].tolist()) == [3, 4]
+
+
+def test_broadcast_join_guards_large_side(ray_session):
+    from feature_fabrica_ray.pipelines.join import _MAX_BROADCAST_ROWS, broadcast_join
+    import feature_fabrica_ray.pipelines.join as jn
+
+    left = _ds(pd.DataFrame({"k": [1]}))
+    old = jn._MAX_BROADCAST_ROWS
+    jn._MAX_BROADCAST_ROWS = 2
+    try:
+        with pytest.raises(ValueError, match="too large to"):
+            broadcast_join(left, pd.DataFrame({"k": [1, 2, 3]}), left_on="k")
+    finally:
+        jn._MAX_BROADCAST_ROWS = old
