@@ -289,10 +289,26 @@ qty_abs_neg:
   data_type: float64
   dependencies: [l_quantity]
   transformation: "(l_quantity).scale(factor=-1.0).abs()"
+disc_exp:
+  description: exponential of discount
+  data_type: float64
+  dependencies: [l_discount]
+  transformation: "(l_discount).exp()"
+qty_int:
+  description: quantity as integer via astype
+  data_type: int32
+  dependencies: [l_quantity]
+  transformation: "(l_quantity).astype(dtype='int32')"
+qty_bin:
+  description: quantity bucketed with fixed edges
+  data_type: int32
+  dependencies: [l_quantity]
+  transformation: "(l_quantity).kbins_discretize(edges=[0.5, 10.5, 20.5, 30.5, 40.5, 50.5])"
 """
 
 _MATH_COLS = ["l_orderkey", "l_linenumber", "qty_x3", "price_log", "disc_sqrt",
-              "tax_clip", "qty_sq", "price_per_qty", "qty_abs_neg"]
+              "tax_clip", "qty_sq", "price_per_qty", "qty_abs_neg",
+              "disc_exp", "qty_int", "qty_bin"]
 
 
 def q_ft_math_chain(sf_dir: str):
@@ -303,7 +319,8 @@ def q_ft_math_chain(sf_dir: str):
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
                  "l_discount", "l_tax"])
     out = FeatureEngine(_MATH_SPEC).transform(ds)
-    out = _round_cols(out, {"price_log": 6, "disc_sqrt": 6, "price_per_qty": 6})
+    out = _round_cols(out, {"price_log": 6, "disc_sqrt": 6, "price_per_qty": 6,
+                            "disc_exp": 6})
     return _select(out, _MATH_COLS)
 
 
@@ -315,7 +332,12 @@ SELECT l_orderkey, l_linenumber,
        least(greatest(l_tax, 0.02), 0.06) AS tax_clip,
        l_quantity * l_quantity AS qty_sq,
        round(l_extendedprice / l_quantity, 6) AS price_per_qty,
-       abs(l_quantity * -1.0) AS qty_abs_neg
+       abs(l_quantity * -1.0) AS qty_abs_neg,
+       round(exp(l_discount), 6) AS disc_exp,
+       CAST(l_quantity AS INT) AS qty_int,
+       CAST(CASE WHEN l_quantity < 10.5 THEN 0 WHEN l_quantity < 20.5 THEN 1
+                 WHEN l_quantity < 30.5 THEN 2 WHEN l_quantity < 40.5 THEN 3
+                 ELSE 4 END AS INT) AS qty_bin
 FROM lineitem
 """
 
@@ -419,6 +441,21 @@ days_since_92:
   data_type: int64
   dependencies: [l_shipdate]
   transformation: "(l_shipdate).datetime_diff(initial_date='1992-01-01', compute_unit='D')"
+ship_plus7_days:
+  description: add a week then count days
+  data_type: int64
+  dependencies: [l_shipdate]
+  transformation: "(l_shipdate).datetime_add(n=7).datetime_diff(initial_date='1992-01-01', compute_unit='D')"
+ship_minus2_days:
+  description: subtract two days then count days
+  data_type: int64
+  dependencies: [l_shipdate]
+  transformation: "(l_shipdate).datetime_sub(n=2).datetime_diff(initial_date='1992-01-01', compute_unit='D')"
+ship_dow_name:
+  description: lowercase weekday name of shipment
+  data_type: str
+  dependencies: [l_shipdate]
+  transformation: "(l_shipdate).datetime_day_of_week(as_name=True)"
 """
 
 
@@ -429,7 +466,8 @@ def q_ft_datetime(sf_dir: str):
                                columns=["l_orderkey", "l_linenumber", "l_shipdate"])
     out = FeatureEngine(_DATETIME_SPEC).transform(ds)
     return _select(out, ["l_orderkey", "l_linenumber", "ship_year", "ship_month",
-                         "ship_dow", "days_since_92"])
+                         "ship_dow", "days_since_92", "ship_plus7_days",
+                         "ship_minus2_days", "ship_dow_name"])
 
 
 _DATETIME_ORACLE = """
@@ -437,7 +475,10 @@ SELECT l_orderkey, l_linenumber,
        CAST(year(l_shipdate) AS INT) AS ship_year,
        CAST(month(l_shipdate) AS INT) AS ship_month,
        CAST(isodow(l_shipdate) - 1 AS INT) AS ship_dow,
-       date_diff('day', TIMESTAMP '1992-01-01', l_shipdate) AS days_since_92
+       date_diff('day', TIMESTAMP '1992-01-01', l_shipdate) AS days_since_92,
+       date_diff('day', TIMESTAMP '1992-01-01', l_shipdate + INTERVAL 7 DAY) AS ship_plus7_days,
+       date_diff('day', TIMESTAMP '1992-01-01', l_shipdate - INTERVAL 2 DAY) AS ship_minus2_days,
+       lower(dayname(l_shipdate)) AS ship_dow_name
 FROM lineitem
 """
 
@@ -454,6 +495,16 @@ qty_flag_max:
   data_type: float64
   dependencies: [l_returnflag, l_quantity]
   transformation: "(l_quantity).group_reduce(key_feature=l_returnflag, agg=max)"
+qty_flag_median:
+  description: median quantity per return flag
+  data_type: float64
+  dependencies: [l_returnflag, l_quantity]
+  transformation: "(l_quantity).group_reduce(key_feature=l_returnflag, agg=median)"
+qty_flag_sum:
+  description: sum of quantity per return flag
+  data_type: float64
+  dependencies: [l_returnflag, l_quantity]
+  transformation: "(l_quantity).group_reduce(key_feature=l_returnflag, agg=sum)"
 """
 
 
@@ -466,13 +517,15 @@ def q_ft_group_reduce(sf_dir: str):
     out = FeatureEngine(_GROUP_SPEC).transform(ds)
     out = _round_cols(out, {"qty_flag_mean": 6})
     return _select(out, ["l_orderkey", "l_linenumber", "qty_flag_mean",
-                         "qty_flag_max"])
+                         "qty_flag_max", "qty_flag_median", "qty_flag_sum"])
 
 
 _GROUP_ORACLE = """
 SELECT l_orderkey, l_linenumber,
        round(avg(l_quantity) OVER (PARTITION BY l_returnflag), 6) AS qty_flag_mean,
-       max(l_quantity) OVER (PARTITION BY l_returnflag) AS qty_flag_max
+       max(l_quantity) OVER (PARTITION BY l_returnflag) AS qty_flag_max,
+       median(l_quantity) OVER (PARTITION BY l_returnflag) AS qty_flag_median,
+       sum(l_quantity) OVER (PARTITION BY l_returnflag) AS qty_flag_sum
 FROM lineitem
 """
 
@@ -554,6 +607,39 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+def q_vl_drift(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift checks (PSI on numeric histogram + categorical
+    frequency, KS on numeric) vs a baseline computed from the same table
+    with the planted-shift variant — sketch-based, rows-only (pytest
+    asserts trigger/no-trigger goldens)."""
+    from feature_fabrica_ray.checks.suite import DriftCheck
+    from feature_fabrica_ray.pipelines import (bind_baselines,
+                                               compute_baseline, run_suite)
+
+    def with_size(ds):
+        return ds.map_batches(
+            lambda b: b.append_column(
+                "size_bytes", pc.utf8_length(b.column("content")).cast(pa.int64())),
+            batch_format="pyarrow", batch_size=None)
+
+    base_ds = with_size(read_codetable(sf_dir, with_sha256=False))
+    checks = [DriftCheck(name="drift:size_psi", column="size_bytes", method="psi"),
+              DriftCheck(name="drift:size_ks", column="size_bytes", method="ks",
+                         threshold=0.1),
+              DriftCheck(name="drift:lang", column="lang", categorical=True,
+                         method="psi")]
+    baselines = compute_baseline(base_ds, checks)
+    suite = CheckSuite([])
+    suite.drift_checks = checks
+    bind_baselines(suite, baselines)
+    res = run_suite(base_ds, suite, num_partitions=8,
+                    key_columns=["repo", "path", "commit"])
+    g = res.global_verdicts()[["check", "metric", "passed"]].copy()
+    g["metric"] = _round_away(g["metric"].astype(float), 6)
+    g["passed"] = g["passed"].astype(bool)
+    return g.reset_index(drop=True)
 
 
 def q_jn_priority(sf_dir: str) -> pd.DataFrame:
@@ -792,6 +878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_encoders": q_ft_encoders,
         "agg_q1": q_agg_q1,
         "jn_priority": q_jn_priority,
+        "vl_drift": q_vl_drift,
         "ta_textstats": q_ta_textstats,
         "ta_quality": q_ta_quality,
         "ta_langid_fingerprint": q_ta_langid_fingerprint,

@@ -5,7 +5,7 @@ pipelines. Prints ONE JSON line.
 Default input: $GRAFT_SF_DIR (/root/testdata/sf0.1); CPUs from
 $RAY_GRAFT_CPUS (default 32). The codetable is scaled up with
 replicate=$GRAFT_REPLICATE deterministic commit-variants per document
-(default 200 -> ~1M rows at sf0.1) so the run measures streaming
+(default 1000 -> ~5M rows at sf0.1) so the run measures streaming
 throughput, not fixed overhead.
 
 --scaling: runs the suite benchmark twice in FRESH subprocesses at
@@ -30,7 +30,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "200"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "1000"))
 
 SUITE_YAML = """
 checks:

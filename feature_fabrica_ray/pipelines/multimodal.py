@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["MEDIA_SCHEMA", "synth_media_table", "DecodeImageFeatures",
-           "FrameSampler", "decode_pipeline"]
+           "DecodeAudioFeatures", "FrameSampler", "decode_pipeline"]
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -119,6 +119,42 @@ class DecodeImageFeatures:
         out = out.append_column("mean_byte", pa.array(np.round(means, 6), pa.float64()))
         out = out.append_column("byte_entropy", pa.array(np.round(ents, 6), pa.float64()))
         return out
+
+
+class DecodeAudioFeatures:
+    """Actor-pool audio feature stage (same contract shape as images):
+    codec gated behind ``soundfile``; the deterministic fake treats the
+    body as int8 PCM and emits (n_samples, rms, zero_crossings) — the
+    canonical cheap audio features."""
+
+    def __init__(self, sample_rate: int = 16_000):
+        self.sample_rate = sample_rate
+        try:  # real codec path — not installed in this container
+            import soundfile  # noqa: F401
+
+            self._sf = soundfile
+        except ImportError:
+            self._sf = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n_samples = np.zeros(len(payloads), np.int64)
+        rms = np.zeros(len(payloads), np.float64)
+        zc = np.zeros(len(payloads), np.int64)
+        for i, p in enumerate(payloads):
+            if self._sf is not None:  # pragma: no cover
+                raise NotImplementedError(
+                    "real audio decoding requires soundfile; the fake PCM "
+                    "decoder below defines the contract")
+            pcm = np.frombuffer(p[8:], dtype=np.int8).astype(np.float64)
+            n_samples[i] = pcm.size
+            if pcm.size:
+                rms[i] = float(np.sqrt((pcm ** 2).mean()))
+                zc[i] = int((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).sum())
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("n_samples", pa.array(n_samples, pa.int64()))
+        out = out.append_column("rms", pa.array(np.round(rms, 6), pa.float64()))
+        return out.append_column("zero_crossings", pa.array(zc, pa.int64()))
 
 
 class FrameSampler:

@@ -284,3 +284,22 @@ def test_broadcast_join_guards_large_side(ray_session):
             broadcast_join(left, pd.DataFrame({"k": [1, 2, 3]}), left_on="k")
     finally:
         jn._MAX_BROADCAST_ROWS = old
+
+
+def test_decode_audio_stub(ray_session):
+    from feature_fabrica_ray.pipelines.multimodal import (DecodeAudioFeatures,
+                                                          synth_media_table)
+
+    ds = synth_media_table(SF, media_type="audio")
+    out = ds.limit(5).map_batches(DecodeAudioFeatures, concurrency=1,
+                                  batch_format="pyarrow").to_pandas() \
+        .sort_values("media_id")
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]) \
+        .to_pandas().sort_values("doc_id")
+    body = docs["text"].iloc[0].encode()
+    pcm = np.frombuffer(body, dtype=np.int8).astype(np.float64)
+    row = out.iloc[0]
+    assert row["n_samples"] == len(body)
+    assert row["rms"] == pytest.approx(np.sqrt((pcm ** 2).mean()), abs=1e-5)
