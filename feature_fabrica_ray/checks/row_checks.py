@@ -26,10 +26,24 @@ class CheckSpecError(ValueError):
     pass
 
 
+_ROW_CHECKS: dict[str, type] = {}
+
+
 class RowCheck:
-    """A named, vectorized violation-mask producer."""
+    """A named, vectorized violation-mask producer.
+
+    User extension (mirrors the reference's custom-transform hook,
+    transform/base.py:31-33): subclass with a ``_type_`` attribute and a
+    ``mask(batch) -> BooleanArray`` and the check is immediately usable
+    from YAML as ``{type: <_type_>, column: ..., <kwargs>}``."""
 
     kind = "row"
+    _type_: str | None = None
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        if getattr(cls, "_type_", None):
+            _ROW_CHECKS[cls._type_] = cls
 
     def __init__(self, name: str, column: str, max_violation_rate: float = 0.0):
         self.name = name
@@ -132,13 +146,13 @@ class MembershipCheck(RowCheck):
         return pc.and_(pc.invert(ok), pc.is_valid(col))
 
 
-_ROW_CHECKS = {
+_ROW_CHECKS.update({
     "not_null": NotNullCheck,
     "min_length": MinLengthCheck,
     "regex": RegexCheck,
     "accepted_values": AcceptedValuesCheck,
     "range": RangeCheck,
-}
+})
 
 
 def build_row_check(spec: dict) -> RowCheck:

@@ -28,7 +28,8 @@ from dataclasses import dataclass, field
 
 import yaml
 
-from .row_checks import CheckSpecError, RowCheck, build_row_check
+from .row_checks import (_ROW_CHECKS, CheckSpecError, RowCheck,
+                         build_row_check)
 
 __all__ = ["CheckSuite", "UniqueCheck", "ReferentialCheck", "StatsCheck",
            "DriftCheck", "SchemaCheck"]
@@ -99,7 +100,7 @@ class CheckSuite:
 
     def _add(self, raw: dict) -> None:
         kind = raw.get("type")
-        if kind in ("not_null", "min_length", "regex", "accepted_values", "range"):
+        if kind in _ROW_CHECKS:  # builtins + user-registered subclasses
             self.row_checks.append(build_row_check(raw))
         elif kind == "unique":
             cols = raw["columns"]

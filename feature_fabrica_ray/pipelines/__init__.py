@@ -9,6 +9,7 @@ from .multimodal import DecodeImageFeatures, FrameSampler, decode_pipeline
 from .similarity import cosine_topk, fit_centroids, ivf_topk
 from .textstats import add_fingerprint, add_lang_id, add_quality, text_stats
 from .uniqueness import uniqueness_violations
+from .writer import write_validated
 from .validate import (ValidationResult, bind_baselines, compute_baseline,
                        run_suite)
 
@@ -20,4 +21,4 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "text_stats", "add_quality", "add_lang_id", "add_fingerprint",
            "DecodeImageFeatures", "FrameSampler", "decode_pipeline",
            "validate_resumable", "merge_results", "codetable_shards",
-           "broadcast_join"]
+           "broadcast_join", "write_validated"]

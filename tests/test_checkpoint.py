@@ -92,3 +92,48 @@ def test_lineage_records_written(ray_session, out_dir):
     assert lin["wall_s"] > 0
     assert lin["digests"]          # per-pid xor digests present
     assert "unique:repo+path+commit" in lin["checks"]
+
+
+def test_write_validated_partitioned(ray_session, tmp_path):
+    import pyarrow.parquet  # noqa: F401
+    from feature_fabrica_ray.pipelines import write_validated
+
+    suite2 = CheckSuite("""
+checks:
+  - {type: not_null, column: lang}
+  - {type: min_length, column: content, min_length: 1}
+""")
+    out = str(tmp_path / "out")
+    n_pass, n_viol = write_validated(read_codetable(SF), suite2, out,
+                                     num_partitions=4, drop_violations=False)
+    assert n_pass + n_viol == 505
+    assert n_viol == 4          # 3 null-lang + 1 empty-content at sf0.001
+    # hive-partitioned layout: one directory per pid
+    pids = sorted(p.name for p in (tmp_path / "out" / "pass").iterdir())
+    assert all(p.startswith("pid=") for p in pids) and len(pids) >= 2
+    # per-row sha256 invariant survives the write
+    import duckdb
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/pass/*/*.parquet') "
+        f"WHERE sha256(content) <> content_sha256").fetchone()[0]
+    assert got == 0
+
+
+def test_custom_row_check_registration(ray_session):
+    import pyarrow.compute as pc
+    from feature_fabrica_ray.checks.row_checks import RowCheck
+
+    class EvenLengthCheck(RowCheck):
+        _type_ = "even_length"
+
+        def mask(self, batch):
+            return pc.equal(pc.bit_wise_and(
+                pc.utf8_length(self._col(batch)), 1), 1)
+
+    suite3 = CheckSuite("checks:\n  - {type: even_length, column: lang}\n")
+    res = run_suite(read_codetable(SF, with_sha256=False), suite3,
+                    num_partitions=4, key_columns=["repo", "path", "commit"])
+    g = res.global_verdicts().set_index("check")
+    # lang codes are 2 chars (even) except nulls; null -> mask null -> ?
+    assert "even_length:lang" in g.index

@@ -234,3 +234,29 @@ def test_registry_lookup():
     assert registry.get("feature_fabrica_ray.functions.math.ScaleFeature") is ScaleFeature
     with pytest.raises(KeyError):
         registry.get("nope")
+
+
+def test_group_reductions_median_mode_count_concat():
+    import pandas as pd
+
+    from feature_fabrica_ray.functions.aggregate import GROUP_REDUCTIONS
+
+    s = pd.Series([3.0, 1.0, 1.0, 2.0])
+    assert GROUP_REDUCTIONS["median"](s) == 1.5
+    assert GROUP_REDUCTIONS["mode"](s) == 1.0          # smallest most-frequent
+    assert GROUP_REDUCTIONS["mode"](pd.Series([2, 2, 1, 1])) == 1
+    assert GROUP_REDUCTIONS["count"](s) == 4
+    assert GROUP_REDUCTIONS["concat"](pd.Series(["a", "b"])) == "ab"
+
+
+def test_datetime_diff_month_year_units():
+    import pyarrow as pa
+
+    from feature_fabrica_ray.functions import DateTimeDifference
+
+    ts = pa.array(["2001-03-15", "1999-11-02"]).cast(pa.timestamp("us"))
+    months = DateTimeDifference(initial_date="2000-01-01", compute_unit="M").execute(ts)
+    # calendar-component arithmetic (numpy M8[M] semantics): Y*12 + dM
+    assert months.to_pylist() == [14, -2]
+    years = DateTimeDifference(initial_date="2000-01-01", compute_unit="Y").execute(ts)
+    assert years.to_pylist() == [1, -1]
