@@ -178,10 +178,14 @@ def run(names: list[str]) -> dict:
     _warmup()
     queries: dict[str, float] = {}
     rows: dict[str, int] = {}
+    import gc
+
     for name in names:
         sec, n = BENCHES[name]()
         queries[name] = round(sec, 3)
         rows[name] = n
+        gc.collect()   # drop refs to materialized datasets so the object
+        # store frees them before the next benchmark (no cross-pollution)
     out = {
         "metric": "validated rows/sec (full constraint-suite throughput)",
         "value": round(sum(queries.values()), 3),
