@@ -766,6 +766,58 @@ FROM codetable
 """
 
 
+def q_dd_dedup_rows(sf_dir: str) -> pd.DataFrame:
+    """Keep-one-per-key exact dedup (big side never shuffles): per-repo
+    surviving row counts match SELECT DISTINCT."""
+    from feature_fabrica_ray.pipelines import exact_dedup_rows
+
+    ds = read_codetable(sf_dir, with_sha256=False)
+    deduped = exact_dedup_rows(ds, ["repo", "path", "commit"])
+
+    def per_repo(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("repo", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = deduped.map_batches(per_repo, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+    out = parts.groupby("repo", as_index=False).agg(n=("n", "sum"))
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+_DEDUP_ROWS_ORACLE = CT + """
+SELECT repo, count(*) AS n FROM (
+  SELECT DISTINCT repo, path, "commit" FROM codetable) GROUP BY repo
+"""
+
+
+def q_agg_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-3 line items per return flag by extended price (per-block
+    partial top-k -> tiny driver merge; deterministic tie-breaks)."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import topk_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"])
+    out = topk_per_group(ds, ["l_returnflag"], "l_extendedprice", k=3,
+                         tiebreak_cols=["l_orderkey", "l_linenumber"])
+    out["rank"] = out["rank"].astype("int64")
+    return out[["l_returnflag", "l_extendedprice", "l_orderkey",
+                "l_linenumber", "rank"]]
+
+
+_TOPK_ORACLE = """
+SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber, rank FROM (
+  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+         CAST(row_number() OVER (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rank
+  FROM lineitem) WHERE rank <= 3
+"""
+
+
 def q_dd_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs with exact Jaccard verify — not
     SQL-expressible; pytest asserts planted-pair recovery and
@@ -883,6 +935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_quality": q_ta_quality,
         "ta_langid_fingerprint": q_ta_langid_fingerprint,
         "dd_exact": q_dd_exact,
+        "dd_dedup_rows": q_dd_dedup_rows,
+        "agg_topk": q_agg_topk,
         "dd_minhash": q_dd_minhash,
         "dd_simhash": q_dd_simhash,
         "ss_cosine_topk": q_ss_cosine_topk,
@@ -913,6 +967,8 @@ def oracle_sql() -> dict[str, str]:
         "ta_quality": _QUALITY_ORACLE,
         # ta_langid_fingerprint: heuristic -> rows-only (pytest goldens)
         "dd_exact": _DD_EXACT_ORACLE,
+        "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
+        "agg_topk": _TOPK_ORACLE,
         # dd_minhash / dd_simhash: sketch-based -> rows-only (pytest)
         "ss_cosine_topk": _COSINE_ORACLE,
         # ss_ivf_topk: approximate -> rows-only (pytest recall bound)

@@ -4,10 +4,12 @@ dedup, similarity search, text analysis."""
 from .checkpoint import codetable_shards, merge_results, validate_resumable
 from .join import broadcast_join
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
-                    minhash_lsh_pairs, ngram_jaccard, simhash_pairs)
+                    exact_dedup_rows, minhash_lsh_pairs, ngram_jaccard,
+                    simhash_pairs)
 from .multimodal import DecodeImageFeatures, FrameSampler, decode_pipeline
 from .similarity import cosine_topk, fit_centroids, ivf_topk
 from .textstats import add_fingerprint, add_lang_id, add_quality, text_stats
+from .topk import topk_per_group
 from .uniqueness import uniqueness_violations
 from .writer import write_validated
 from .validate import (ValidationResult, bind_baselines, compute_baseline,
@@ -15,7 +17,8 @@ from .validate import (ValidationResult, bind_baselines, compute_baseline,
 
 __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines",
            "uniqueness_violations",
-           "exact_dedup_counts", "minhash_lsh_pairs", "simhash_pairs",
+           "exact_dedup_counts", "exact_dedup_rows", "minhash_lsh_pairs", "simhash_pairs",
+           "topk_per_group",
            "ngram_jaccard", "embedding_neardup_pairs",
            "cosine_topk", "ivf_topk", "fit_centroids",
            "text_stats", "add_quality", "add_lang_id", "add_fingerprint",

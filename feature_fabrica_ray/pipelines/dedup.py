@@ -74,6 +74,63 @@ def exact_dedup_counts(ds, columns: list[str]) -> pd.DataFrame:
     }])
 
 
+def exact_dedup_rows(ds, columns: list[str], *, tiebreak: str | None = None):
+    """Keep exactly one row per key tuple, WITHOUT shuffling full rows.
+
+    Scale shape: (1) the cheap bucket pipeline finds the (rare) duplicated
+    key hashes; (2) those hashes broadcast; (3) unique rows stream through
+    a membership filter untouched — the big side never enters a shuffle;
+    (4) only the duplicate candidates (tiny) are collected, one
+    representative per key chosen deterministically (min ``tiebreak``
+    column value, else lexicographic min over the key columns' row), and
+    appended back as a small dataset. Returns a Dataset.
+    """
+    import ray.data
+
+    n_shuffle = shuffle_partitions()
+    n_buckets = n_shuffle * 16
+
+    def project(batch: pa.Table) -> pa.Table:
+        h = combine_hashes(*[hash64(batch.column(c)) for c in columns])
+        return pa.table({
+            "key_hash": pa.array(h.view(np.int64), pa.int64()),
+            "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+        })
+
+    def bucket_dups(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("key_hash").to_numpy(), return_counts=True)
+        return pa.table({"key_hash": pa.array(u[c > 1], pa.int64())})
+
+    dup_rows = (ds.map_batches(project, batch_format="pyarrow", batch_size=None)
+                .groupby("bucket", num_partitions=n_shuffle)
+                .map_groups(bucket_dups, batch_format="pyarrow")
+                .take_all())
+    if not dup_rows:
+        return ds
+    dup_set = pa.array(np.array([r["key_hash"] for r in dup_rows], np.int64),
+                       pa.int64())
+
+    def keep_unique(batch: pa.Table) -> pa.Table:
+        h = pa.array(combine_hashes(
+            *[hash64(batch.column(c)) for c in columns]).view(np.int64), pa.int64())
+        return batch.filter(pc.invert(pc.is_in(h, value_set=dup_set)))
+
+    def dup_candidates(batch: pa.Table) -> pa.Table:
+        h = pa.array(combine_hashes(
+            *[hash64(batch.column(c)) for c in columns]).view(np.int64), pa.int64())
+        return batch.filter(pc.is_in(h, value_set=dup_set))
+
+    unique_part = ds.map_batches(keep_unique, batch_format="pyarrow", batch_size=None)
+    cands = ds.map_batches(dup_candidates, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    sort_cols = list(columns) + ([tiebreak] if tiebreak else
+                                 [c for c in cands.columns if c not in columns])
+    reps = (cands.sort_values(sort_cols, kind="mergesort")
+            .drop_duplicates(columns, keep="first"))
+    reps_ds = ray.data.from_arrow(pa.Table.from_pandas(reps, preserve_index=False))
+    return unique_part.union(reps_ds)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -303,3 +303,34 @@ def test_decode_audio_stub(ray_session):
     row = out.iloc[0]
     assert row["n_samples"] == len(body)
     assert row["rms"] == pytest.approx(np.sqrt((pcm ** 2).mean()), abs=1e-5)
+
+
+def test_exact_dedup_rows_keeps_one_per_key(ray_session):
+    from feature_fabrica_ray.pipelines import exact_dedup_rows
+    from feature_fabrica_ray.sources import read_codetable
+
+    ds = read_codetable(SF, with_sha256=False)
+    deduped = exact_dedup_rows(ds, ["repo", "path", "commit"]).to_pandas()
+    assert len(deduped) == 500                      # 505 rows, 5 dup keys
+    assert not deduped.duplicated(["repo", "path", "commit"]).any()
+
+
+def test_exact_dedup_rows_no_dups_passthrough(ray_session):
+    from feature_fabrica_ray.pipelines import exact_dedup_rows
+
+    df = pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    out = exact_dedup_rows(_ds(df), ["k"]).to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 2, 3]
+
+
+def test_topk_per_group_golden(ray_session):
+    from feature_fabrica_ray.pipelines import topk_per_group
+
+    df = pd.DataFrame({"g": ["a", "a", "a", "b", "b"],
+                       "v": [3.0, 1.0, 2.0, 9.0, 9.0],
+                       "id": [1, 2, 3, 4, 5]})
+    out = topk_per_group(_ds(df, blocks=3), ["g"], "v", k=2,
+                         tiebreak_cols=["id"])
+    got = out[["g", "v", "id", "rank"]].values.tolist()
+    assert got == [["a", 3.0, 1, 1], ["a", 2.0, 3, 2],
+                   ["b", 9.0, 4, 1], ["b", 9.0, 5, 2]]
