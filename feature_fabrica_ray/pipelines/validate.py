@@ -250,6 +250,9 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     out = ds.map_batches(stage, batch_format="pyarrow", batch_size=None).materialize()
 
     records = out.to_pandas()   # small by construction (no raw rows)
+    if records.empty:           # empty input/shard: keep the union schema
+        records = pa.table(_empty_cols(stage.schema, 0),
+                           schema=stage.schema).to_pandas()
     n_rows_total = 0
     verdict_rows = []
     counts = records[records["record_type"] == "counts"]

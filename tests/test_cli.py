@@ -1,0 +1,74 @@
+"""CLI (the ``ray job submit`` surface): validate + transform + resume."""
+
+import json
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    t = pa.table({"repo": ["a/r1", "a/r1", "b/r2", "b/r2"],
+                  "path": ["p1", "p1", "p2", "p3"],
+                  "commit": ["c1", "c1", "c2", "c3"],
+                  "lang": ["en", None, "es", "en"],
+                  "content": ["hello", "hello", "", "world"]})
+    pq.write_table(t, str(d / "input.parquet"))
+    (d / "suite.yaml").write_text("""
+checks:
+  - {type: not_null, column: lang}
+  - {type: min_length, column: content, min_length: 1}
+  - {type: unique, columns: [repo, path, commit]}
+""")
+    (d / "spec.yaml").write_text("""
+lang: {description: language code column, data_type: str}
+lang_up:
+  description: upper cased language
+  data_type: str
+  dependencies: [lang]
+  transformation: "(lang).upper()"
+""")
+    return d
+
+
+def _run(*args):
+    p = subprocess.run([sys.executable, "-m", "feature_fabrica_ray.cli", *args],
+                       capture_output=True, text=True, timeout=300,
+                       cwd="/root/repo")
+    assert p.returncode == 0, p.stderr[-2000:]
+    return [json.loads(l) for l in p.stdout.strip().splitlines()
+            if l.startswith("{")]
+
+
+def test_cli_validate(workdir):
+    out = _run("validate", "--input", str(workdir / "input.parquet"),
+               "--suite", str(workdir / "suite.yaml"),
+               "--out", str(workdir / "o1"))
+    assert out[-1]["n_rows"] == 4 and out[-1]["passed"] is False
+
+
+def test_cli_validate_sharded_resume(workdir):
+    args = ("validate", "--input", str(workdir / "input.parquet"),
+            "--suite", str(workdir / "suite.yaml"),
+            "--out", str(workdir / "o2"), "--shards", "3")
+    first = _run(*args)[-1]
+    assert sorted(first["completed"]) == ["0000", "0001", "0002"]
+    second = _run(*args)[-1]
+    assert second["completed"] == [] and len(second["skipped"]) == 3
+    assert second["n_rows"] == first["n_rows"] == 4
+
+
+def test_cli_transform(workdir):
+    out = _run("transform", "--input", str(workdir / "input.parquet"),
+               "--spec", str(workdir / "spec.yaml"),
+               "--out", str(workdir / "tf"))
+    assert out[-1]["features"] == ["lang", "lang_up"]
+    import glob
+
+    files = glob.glob(str(workdir / "tf" / "*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    assert "lang_up" in t.column_names

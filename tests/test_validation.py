@@ -201,3 +201,31 @@ checks:
     r = run_suite(_input_ds(), suite, num_partitions=4)
     g = r.global_verdicts().set_index("check")
     assert not bool(g.loc["schema", "passed"])
+
+
+def test_drift_actor_pool_matches_fused(ray_session):
+    """Actor-pool drift stage (baselines in actor state) produces the same
+    metrics as the fused single-pass path."""
+    from feature_fabrica_ray.checks.suite import DriftCheck
+    from feature_fabrica_ray.pipelines import (bind_baselines, compute_baseline,
+                                               drift_report, run_suite)
+
+    checks = [DriftCheck(name="drift:size_bytes", column="size_bytes",
+                         method="psi", threshold=0.1),
+              DriftCheck(name="drift:lang", column="lang", categorical=True,
+                         method="psi", threshold=0.1)]
+    ds = _input_ds()
+    baselines = compute_baseline(ds, checks)
+    for dc in checks:
+        dc.baseline = baselines[dc.name]
+    actor_out = drift_report(ds, checks, concurrency=2).set_index("check")
+
+    from feature_fabrica_ray.checks import CheckSuite
+    suite = CheckSuite([])
+    suite.drift_checks = checks
+    fused = run_suite(ds, suite, num_partitions=8).global_verdicts() \
+        .set_index("check")
+    for name in ("drift:size_bytes", "drift:lang"):
+        assert actor_out.loc[name, "metric"] == pytest.approx(
+            float(fused.loc[name, "metric"]), abs=1e-12)
+        assert bool(actor_out.loc[name, "passed"])
