@@ -219,20 +219,80 @@ class FeatureEngine:
 
             ds = ds.map_batches(add_input, batch_format="pyarrow", batch_size=None)
 
-            def per_group(df: pd.DataFrame, gr=gr, tmp_in=tmp_in, tmp_out=tmp_out) -> pd.DataFrame:
-                df = df.copy()
-                df[tmp_out] = gr.reduce_group(df[tmp_in])
-                return df
+            from ..functions.aggregate import ALGEBRAIC
 
-            from ..tuning import shuffle_partitions
-            ds = ds.groupby(key_col, num_partitions=shuffle_partitions()) \
-                   .map_groups(per_group, batch_format="pandas")
+            broadcast_done = False
+            if gr.agg in ALGEBRAIC:
+                # skew-proof two-step: per-block partial (sum/count/min/max
+                # per key) -> tiny driver merge -> broadcast lookup. No
+                # shuffle, no per-group task — a Zipf-hot key costs the
+                # same as any other. Holistic aggs (median/mode/concat)
+                # and very-high-cardinality keys fall through to the
+                # map_groups shuffle below.
+                res = self._group_reduce_broadcast(ds, gr, key_col, tmp_in, tmp_out)
+                if res is not None:
+                    ds = res
+                    broadcast_done = True
+            if not broadcast_done:
+                def per_group(df: pd.DataFrame, gr=gr, tmp_in=tmp_in,
+                              tmp_out=tmp_out) -> pd.DataFrame:
+                    df = df.copy()
+                    df[tmp_out] = gr.reduce_group(df[tmp_in])
+                    return df
+
+                from ..tuning import shuffle_partitions
+                ds = ds.groupby(key_col, num_partitions=shuffle_partitions()) \
+                       .map_groups(per_group, batch_format="pandas")
             ds = ds.map_batches(lambda b, t=tmp_in: b.drop_columns([t]),
                                 batch_format="pyarrow", batch_size=None)
             f.tree = _replace_node(f.tree, node, Ref(tmp_out, None))
             # tmp_out is a plain column now; drop it after the fused pass
             self._published.add(tmp_out)
         return ds
+
+    def _group_reduce_broadcast(self, ds, gr, key_col: str, tmp_in: str,
+                                tmp_out: str):
+        """Algebraic window reduce as partial-aggregate + broadcast join:
+        one streaming pass emits (key, sum, count, min, max) per block;
+        the merged per-key table (small — one row per distinct key) is
+        broadcast and mapped back onto every row in a second pass."""
+        import ray
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({key_col: batch.column(key_col).to_pandas(),
+                               "v": batch.column(tmp_in).to_pandas()})
+            g = df.groupby(key_col)["v"].agg(["sum", "count", "min", "max"]) \
+                .reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+        if len(parts) > 2_000_000:
+            # per-key table no longer "small": the broadcast would strain
+            # the driver — signal the caller to use the shuffle path
+            return None
+        merged = parts.groupby(key_col).agg(
+            s=("sum", "sum"), c=("count", "sum"),
+            mn=("min", "min"), mx=("max", "max"))
+        if gr.agg == "sum":
+            lut = merged["s"]
+        elif gr.agg == "count":
+            lut = merged["c"]
+        elif gr.agg == "mean":
+            lut = merged["s"] / merged["c"]
+        elif gr.agg == "min":
+            lut = merged["mn"]
+        else:
+            lut = merged["mx"]
+        lut_ref = ray.put(lut.to_dict())
+
+        def attach(batch: pa.Table) -> pa.Table:
+            lu = ray.get(lut_ref)
+            keys = batch.column(key_col).to_pandas()
+            vals = keys.map(lu).astype(np.float64)
+            return batch.append_column(tmp_out, pa.array(vals, pa.float64()))
+
+        return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
 
     # -- fused vector pass ---------------------------------------------
     def _fused_level_pass(self, ds, feats: list[CompiledFeature]):
