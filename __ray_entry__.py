@@ -902,6 +902,78 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# event-stream operators (windowed aggregate, sessionization, JSON extract)
+# ---------------------------------------------------------------------------
+
+def q_ev_window(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import tumbling_window_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id", "value"])
+    out = tumbling_window_agg(ds, "ts", "user_id", "value", width_s=3600)
+    out["sum_v"] = _round_away(out["sum_v"], 6)
+    return out
+
+
+_EV_WINDOW_ORACLE = """
+SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       count(*) AS n, round(sum(value), 6) AS sum_v
+FROM events GROUP BY user_id, window_start
+"""
+
+
+def q_ev_sessions(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id", "value"])
+    out = sessionize(ds, "ts", "user_id", "value", "event_id", gap_s=1800)
+    out["sum_v"] = _round_away(out["sum_v"], 6)
+    return out
+
+
+_EV_SESSIONS_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN date_diff('microsecond',
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, round(sum(value), 6) AS sum_v,
+       date_diff('microsecond', min(ts), max(ts)) AS duration_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_ev_json(sf_dir: str):
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import extract_json_int
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "props"])
+    out = extract_json_int(ds, "props", "k", "prop_k")
+    return _select(out, ["event_id", "prop_k"])
+
+
+_EV_JSON_ORACLE = r"""
+SELECT event_id,
+       CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -942,6 +1014,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ss_cosine_topk": q_ss_cosine_topk,
         "ss_ivf_topk": q_ss_ivf_topk,
         "mm_decode": q_mm_decode,
+        "ev_window": q_ev_window,
+        "ev_sessions": q_ev_sessions,
+        "ev_json": q_ev_json,
     }
 
 
@@ -973,4 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "ss_cosine_topk": _COSINE_ORACLE,
         # ss_ivf_topk: approximate -> rows-only (pytest recall bound)
         "mm_decode": _MM_ORACLE,
+        "ev_window": _EV_WINDOW_ORACLE,
+        "ev_sessions": _EV_SESSIONS_ORACLE,
+        "ev_json": _EV_JSON_ORACLE,
     }

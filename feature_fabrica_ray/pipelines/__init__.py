@@ -2,6 +2,7 @@
 dedup, similarity search, text analysis."""
 
 from .checkpoint import codetable_shards, merge_results, validate_resumable
+from .events import extract_json_int, sessionize, tumbling_window_agg
 from .drift_actor import DriftSketchActor, drift_report
 from .join import broadcast_join
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
@@ -25,4 +26,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "text_stats", "add_quality", "add_lang_id", "add_fingerprint",
            "DecodeImageFeatures", "FrameSampler", "decode_pipeline",
            "validate_resumable", "merge_results", "codetable_shards",
-           "broadcast_join", "write_validated", "drift_report", "DriftSketchActor"]
+           "broadcast_join", "write_validated", "drift_report", "DriftSketchActor",
+           "tumbling_window_agg", "sessionize", "extract_json_int"]

@@ -1,0 +1,101 @@
+"""Event-stream operators: tumbling-window aggregates, gap-based
+sessionization, JSON property extraction.
+
+Scale shapes:
+- ``tumbling_window_agg``: the combiner pattern — per-block partial
+  (key, window) aggregates, then a final merge over the (small) partial
+  table. The exchange carries one row per (key, window) per block, never
+  raw events.
+- ``sessionize``: inherently per-key sequential (each session depends on
+  the previous event's timestamp), so it hash-partitions by key and runs
+  one vectorized pass per user group — the canonical
+  ``groupby(key).map_groups`` stage. Zipf-hot users bound a single
+  group's size; for million-event users, split sessions per (user, day)
+  first.
+- ``extract_json_int``: a stateless regex kernel (``pc.extract_regex``)
+  — no Python JSON parsing per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..tuning import shuffle_partitions
+
+__all__ = ["tumbling_window_agg", "sessionize", "extract_json_int"]
+
+
+def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
+                        width_s: int = 3600) -> pd.DataFrame:
+    """Per (key, tumbling window) event count + value sum. Window start =
+    epoch-aligned floor(ts / width). Returns (key, window_start, n, sum_v)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        win = (ts // (width_s * 1_000_000)) * (width_s * 1_000_000)
+        df = pd.DataFrame({key_col: batch.column(key_col).to_pandas(),
+                           "window_us": win,
+                           "v": batch.column(value_col).to_pandas()})
+        g = df.groupby([key_col, "window_us"], as_index=False).agg(
+            n=("v", "size"), sum_v=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    out = parts.groupby([key_col, "window_us"], as_index=False).agg(
+        n=("n", "sum"), sum_v=("sum_v", "sum"))
+    out["window_start"] = pd.to_datetime(out.pop("window_us"), unit="us")
+    out["n"] = out["n"].astype("int64")
+    return out[[key_col, "window_start", "n", "sum_v"]]
+
+
+def sessionize(ds, ts_col: str, key_col: str, value_col: str,
+               order_col: str, gap_s: int = 1800) -> pd.DataFrame:
+    """Gap-based sessions per key: a new session starts when the gap to
+    the previous event exceeds ``gap_s``. Returns per-session rows
+    (key, session_id, n_events, sum_v, duration_s); session ids are
+    0-based in (ts, order_col) order within each key."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        # normalize to integer microseconds regardless of the datetime64
+        # unit pandas chose (ns pre-2.0, us from arrow round-trips)
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        new_s = np.zeros(len(df), dtype=np.int64)
+        if len(df) > 1:
+            new_s[1:] = (np.diff(ts) > gap_s * 1_000_000).astype(np.int64)
+        sid = np.cumsum(new_s)
+        df = df.assign(session_id=sid, __ts_us=ts)
+        g = df.groupby("session_id", as_index=False).agg(
+            n_events=(order_col, "size"), sum_v=(value_col, "sum"),
+            t0=("__ts_us", "min"), t1=("__ts_us", "max"))
+        g["duration_us"] = (g["t1"] - g["t0"]).astype("int64")
+        g[key_col] = df[key_col].iloc[0]
+        return g[[key_col, "session_id", "n_events", "sum_v", "duration_us"]]
+
+    cols = [key_col, ts_col, value_col, order_col]
+    out = (ds.map_batches(lambda b, c=tuple(cols): b.select(list(c)),
+                          batch_format="pyarrow", batch_size=None)
+           .groupby(key_col, num_partitions=shuffle_partitions())
+           .map_groups(per_user, batch_format="pandas")
+           .to_pandas())
+    out["session_id"] = out["session_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def extract_json_int(ds, col: str, key: str, out_col: str):
+    """Append ``out_col``: integer value of ``key`` in a flat JSON-object
+    string column, via one vectorized regex kernel (null when absent)."""
+    pattern = rf'"{key}"\s*:\s*(?P<v>-?\d+)'
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(pc.fill_null(batch.column(col), ""), pattern=pattern)
+        vals = pc.struct_field(m, "v").cast(pa.int64())
+        return batch.append_column(out_col, vals)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
