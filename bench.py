@@ -151,12 +151,51 @@ qty_flag_mean:
     return time.perf_counter() - t0, n
 
 
+def bench_minhash() -> tuple[float, int]:
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    return time.perf_counter() - t0, len(pairs)
+
+
+def bench_window() -> tuple[float, int]:
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import tumbling_window_agg
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet",
+                               columns=["ts", "user_id", "value"])
+    t0 = time.perf_counter()
+    out = tumbling_window_agg(ds, "ts", "user_id", "value", width_s=3600)
+    return time.perf_counter() - t0, len(out)
+
+
+def bench_sessionize() -> tuple[float, int]:
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import sessionize
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet",
+                               columns=["event_id", "ts", "user_id", "value"])
+    t0 = time.perf_counter()
+    out = sessionize(ds, "ts", "user_id", "value", "event_id")
+    return time.perf_counter() - t0, len(out)
+
+
 BENCHES = {
     "suite": bench_suite,
     "uniqueness": bench_uniqueness,
     "sha256": bench_sha256,
     "transform": bench_transform,
     "group_reduce": bench_group_reduce,
+    "minhash": bench_minhash,
+    "window": bench_window,
+    "sessionize": bench_sessionize,
 }
 
 
