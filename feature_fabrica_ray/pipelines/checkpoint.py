@@ -31,7 +31,22 @@ import numpy as np
 import pandas as pd
 
 from ..checks.suite import CheckSuite
-from .validate import ValidationResult, run_suite
+from .validate import (ValidationResult, merge_sketch_states, run_suite,
+                       stats_row_from_state)
+
+
+def _encode_state(state: dict) -> dict:
+    import base64
+
+    return {k: (base64.b64encode(v).decode() if isinstance(v, bytes) else v)
+            for k, v in state.items()}
+
+
+def _decode_state(state: dict) -> dict:
+    import base64
+
+    return {k: (base64.b64decode(v) if k in ("hll", "tdigest") else v)
+            for k, v in state.items()}
 
 __all__ = ["validate_resumable", "merge_results", "codetable_shards"]
 
@@ -106,6 +121,10 @@ def validate_resumable(shards: dict[str, Callable], suite: CheckSuite,
             "wall_s": round(wall, 3),
             "digests": {str(k): int(v) for k, v in res.digests.items()},
             "checks": suite.all_names(),
+            # mergeable sketch state (KB-sized): lets the shard merger
+            # rebuild exact global stats without re-reading any data
+            "sketches": {name: _encode_state(st)
+                         for name, st in res.sketch_state.items()},
         }
         tmp = os.path.join(sdir, "lineage.json.tmp")
         with open(tmp, "w") as f:
@@ -126,6 +145,7 @@ def merge_results(out_dir: str) -> ValidationResult:
     merged counts; digests xor; violations concatenate."""
     verdict_parts, violation_parts = [], []
     digests: dict[int, int] = {}
+    sketch_parts: dict[str, list] = {}
     n_rows = 0
     for name in sorted(os.listdir(out_dir)):
         sdir = os.path.join(out_dir, name)
@@ -143,6 +163,8 @@ def merge_results(out_dir: str) -> ValidationResult:
             p = int(pid)
             acc = (digests.get(p, 0) & mask) ^ (int(d) & mask)
             digests[p] = acc - (1 << 64) if acc >= (1 << 63) else acc  # signed view
+        for name, st in lin.get("sketches", {}).items():
+            sketch_parts.setdefault(name, []).append(_decode_state(st))
 
     if not verdict_parts:
         empty = pd.DataFrame(columns=["check", "pid", "n_rows", "n_violations",
@@ -160,5 +182,11 @@ def merge_results(out_dir: str) -> ValidationResult:
     merged["passed"] = merged["n_violations"] == 0
     violations = pd.concat(violation_parts, ignore_index=True) \
         if violation_parts else pd.DataFrame()
+    # exact global stats from the per-shard mergeable sketches
+    merged_state = {name: merge_sketch_states(parts)
+                    for name, parts in sketch_parts.items()}
+    stats = pd.DataFrame([stats_row_from_state(st)
+                          for st in merged_state.values()])
     return ValidationResult(verdicts=merged, violations=violations,
-                            stats=pd.DataFrame(), n_rows=n_rows, digests=digests)
+                            stats=stats, n_rows=n_rows, digests=digests,
+                            sketch_state=merged_state)

@@ -51,6 +51,7 @@ class ValidationResult:
     n_rows: int = 0
     baselines: dict = field(default_factory=dict)
     digests: dict = field(default_factory=dict)  # pid -> xor content digest (int)
+    sketch_state: dict = field(default_factory=dict)  # check -> mergeable state
 
     @property
     def passed(self) -> bool:
@@ -188,6 +189,40 @@ class _ValidatorStage:
         return pa.table(cols, schema=self.schema)
 
 
+def stats_row_from_state(state: dict) -> dict:
+    """One stats-report row from merged sketch state (shared by the
+    single-pass runner and the checkpoint shard merger)."""
+    m = Moments.from_dict(state["moments"])
+    numeric = state["numeric"]
+    row = {"column": state["column"], "count": m.count,
+           "null_count": m.null_count, "null_rate": m.null_rate,
+           "mean": m.mean if numeric else np.nan,
+           "std": m.std if numeric else np.nan,
+           "min": m.min if numeric else np.nan,
+           "max": m.max if numeric else np.nan,
+           "sum": m.sum if numeric else np.nan}
+    if state.get("distinct"):
+        row["distinct_est"] = HLL.from_bytes(state["hll"]).estimate()
+    for q in state.get("quantiles", []):
+        row[f"q{q}"] = TDigest.from_bytes(state["tdigest"]).quantile(q)
+    return row
+
+
+def merge_sketch_states(states: list[dict]) -> dict:
+    """Associatively merge per-shard sketch states for one check."""
+    out = dict(states[0])
+    m = Moments.from_dict(states[0]["moments"])
+    for s in states[1:]:
+        m = m.merge(Moments.from_dict(s["moments"]))
+    out["moments"] = m.to_dict()
+    if out.get("distinct"):
+        out["hll"] = HLL.merge_bytes([s["hll"] for s in states]).to_bytes()
+    if out.get("quantiles"):
+        out["tdigest"] = TDigest.merge_bytes(
+            [s["tdigest"] for s in states]).to_bytes()
+    return out
+
+
 def _collect_parent_keys(parent) -> set:
     """Small-side collection for the broadcast referential check. At true
     scale swap in a Bloom filter / co-group join when the parent key set
@@ -277,31 +312,29 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     for name, bad in schema_verdicts:
         verdict_rows.append((name, -1, n_rows_total, len(bad), 0.0, np.nan, not bad))
 
-    # stats assembly
+    # stats assembly — merged sketch STATE is kept (ValidationResult.
+    # sketch_state) so checkpointed shards can merge stats exactly
     sketches = records[records["record_type"] == "sketch"]
     stats_rows = []
+    sketch_state: dict[str, dict] = {}
     for sc in suite.stats_checks:
         sel = sketches[sketches["check"] == sc.name]
         m = Moments()
         for b in sel[sel["sketch_kind"] == "moments"]["payload"]:
             m = m.merge(Moments.from_dict(json.loads(bytes(b))))
-        row = {"column": sc.column, "count": m.count, "null_count": m.null_count,
-               "null_rate": m.null_rate,
-               "mean": m.mean if sc.numeric else np.nan,
-               "std": m.std if sc.numeric else np.nan,
-               "min": m.min if sc.numeric else np.nan,
-               "max": m.max if sc.numeric else np.nan,
-               "sum": m.sum if sc.numeric else np.nan}
+        state = {"column": sc.column, "numeric": sc.numeric,
+                 "distinct": sc.distinct, "quantiles": list(sc.quantiles),
+                 "moments": m.to_dict()}
         if sc.distinct:
-            h = HLL.merge_bytes([bytes(b) for b in
-                                 sel[sel["sketch_kind"] == "hll"]["payload"]])
-            row["distinct_est"] = h.estimate()
+            state["hll"] = HLL.merge_bytes(
+                [bytes(b) for b in sel[sel["sketch_kind"] == "hll"]["payload"]]
+            ).to_bytes()
         if sc.quantiles:
-            td = TDigest.merge_bytes([bytes(b) for b in
-                                      sel[sel["sketch_kind"] == "tdigest"]["payload"]])
-            for q in sc.quantiles:
-                row[f"q{q}"] = td.quantile(q)
-        stats_rows.append(row)
+            state["tdigest"] = TDigest.merge_bytes(
+                [bytes(b) for b in sel[sel["sketch_kind"] == "tdigest"]["payload"]]
+            ).to_bytes()
+        sketch_state[sc.name] = state
+        stats_rows.append(stats_row_from_state(state))
 
     # drift assembly
     for dc in suite.drift_checks:
@@ -362,6 +395,7 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     stats = pd.DataFrame(stats_rows)
     return ValidationResult(verdicts=verdicts, violations=violations, stats=stats,
                             n_rows=n_rows_total, digests=digests,
+                            sketch_state=sketch_state,
                             baselines={dc.name: dc.baseline for dc in suite.drift_checks})
 
 

@@ -137,3 +137,36 @@ def test_custom_row_check_registration(ray_session):
     g = res.global_verdicts().set_index("check")
     # lang codes are 2 chars (even) except nulls; null -> mask null -> ?
     assert "even_length:lang" in g.index
+
+
+def test_sharded_stats_merge_exact(ray_session, out_dir):
+    """Global stats rebuilt from per-shard sketch state match a single
+    unsharded pass: moments exactly, HLL registers exactly (max-merge is
+    associative), t-digest quantiles within rank tolerance."""
+    suite_s = CheckSuite("""
+checks:
+  - {type: stats, column: size_bytes, quantiles: [0.5, 0.95], distinct: true}
+  - {type: stats, column: repo, numeric: false, distinct: true}
+""")
+    full = run_suite(_input_wsize(), suite_s, num_partitions=8)
+    shards = codetable_shards(SF, n_shards=3)
+    out = validate_resumable(shards, suite_s, out_dir, num_partitions=8)
+    ms = out["result"].stats.set_index("column")
+    fs = full.stats.set_index("column")
+    for col in ("size_bytes", "repo"):
+        assert ms.loc[col, "count"] == fs.loc[col, "count"]
+        assert ms.loc[col, "distinct_est"] == pytest.approx(
+            fs.loc[col, "distinct_est"])      # HLL merge: exact registers
+    assert ms.loc["size_bytes", "mean"] == pytest.approx(
+        fs.loc["size_bytes", "mean"], rel=1e-12)
+    assert ms.loc["size_bytes", "sum"] == fs.loc["size_bytes", "sum"]
+    assert ms.loc["size_bytes", "q0.5"] == pytest.approx(
+        fs.loc["size_bytes", "q0.5"], rel=0.05)
+
+
+def _input_wsize():
+    ds = read_codetable(SF)
+    return ds.map_batches(
+        lambda b: b.append_column(
+            "size_bytes", pc.utf8_length(b.column("content")).cast(pa.int64())),
+        batch_format="pyarrow", batch_size=None)

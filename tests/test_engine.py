@@ -225,3 +225,31 @@ def test_invalid_specs_rejected():
         FeatureEngine({"f": {"description": "ok", "data_type": "float64"}})  # desc <5
     with pytest.raises(Exception):
         FeatureEngine({"f": {"description": "long enough", "data_type": "notatype"}})
+
+
+def test_global_fit_on_derived_feature(ray_session):
+    """Self-fitting op whose input is itself a computed feature (level-2
+    fit): the fit pass must see the upstream feature's values."""
+    spec = """
+a: {description: raw input column a, data_type: float64}
+b: {description: raw input column b, data_type: float64}
+ab_sum:
+  description: sum of a and b
+  data_type: float64
+  dependencies: [a, b]
+  transformation: "(a + b)"
+ab_z:
+  description: z score of the derived sum
+  data_type: float64
+  dependencies: [ab_sum]
+  transformation: "(ab_sum).z_score()"
+"""
+    import numpy as np
+
+    vals_a = [1.0, 2.0, 3.0, 4.0]
+    vals_b = [10.0, 20.0, 30.0, 40.0]
+    out = FeatureEngine(spec).transform(
+        _ds({"a": vals_a, "b": vals_b})).to_pandas().sort_values("a")
+    s = np.array(vals_a) + np.array(vals_b)
+    expect = (s - s.mean()) / s.std()
+    assert out["ab_z"].to_numpy() == pytest.approx(expect)
