@@ -253,3 +253,16 @@ ab_z:
     s = np.array(vals_a) + np.array(vals_b)
     expect = (s - s.mean()) / s.std()
     assert out["ab_z"].to_numpy() == pytest.approx(expect)
+
+
+def test_example_spec_file(ray_session):
+    """examples/basic_features.yaml runs end-to-end (reference parity:
+    examples/basic_features.yaml + test_core.py goldens)."""
+    with open("/root/repo/examples/basic_features.yaml") as f:
+        eng = FeatureEngine(f.read())
+    out = eng.transform(_ds({
+        "feature_a": [10, 20], "feature_b": [20, 40],
+        "feature_e": ["Orange", "Apple"]})).to_pandas().sort_values("feature_a")
+    assert out["feature_c"].tolist() == [25.0, 50.0]
+    assert out["feature_g"].tolist() == ["ORANGEorange", "APPLEapple"]
+    assert out["feature_scaled"].tolist()[0] == pytest.approx(-1.0)
