@@ -141,9 +141,13 @@ _PC_OPS = {"+": pc.add, "-": pc.subtract, "*": pc.multiply, "/": pc.divide}
 
 
 def _num(x):
-    """Promote ints to float64 arrays like numpy arithmetic in the reference."""
+    """Promote ints to float64 arrays like numpy arithmetic in the reference.
+    Scalar-only subexpressions yield pa.Scalar — unwrap before re-wrapping
+    so nested constant folds ((2 + 2) + a) keep composing."""
     if isinstance(x, (pa.Array, pa.ChunkedArray)):
         return x.cast(pa.float64()) if not pa.types.is_floating(x.type) else x
+    if isinstance(x, pa.Scalar):
+        x = x.as_py()
     return pa.scalar(float(x))
 
 

@@ -313,6 +313,8 @@ class FeatureEngine:
                 else:
                     val = tree.eval(raw, ctx)
                 if not isinstance(val, (pa.Array, pa.ChunkedArray, np.ndarray, list)):
+                    if isinstance(val, pa.Scalar):
+                        val = val.as_py()
                     val = pa.array([val] * ctx.num_rows)  # scalar broadcast
                 ctx.put(name, _finalize(val, ty))
             keep = list(batch.column_names)

@@ -266,3 +266,52 @@ def test_example_spec_file(ray_session):
     assert out["feature_c"].tolist() == [25.0, 50.0]
     assert out["feature_g"].tolist() == ["ORANGEorange", "APPLEapple"]
     assert out["feature_scaled"].tolist()[0] == pytest.approx(-1.0)
+
+
+def test_group_reduce_string_concat(ray_session):
+    # reference: string-concat reduction per key -> ['23','23','45','45','67','67']
+    # (test_aggregate_transform.py:80-106); holistic agg -> map_groups path
+    spec = """
+k: {description: int group key column, data_type: int64}
+s: {description: string value column, data_type: str}
+group_cat:
+  description: per key concatenated strings
+  data_type: str
+  dependencies: [k, s]
+  transformation: "(s).group_reduce(key_feature=k, agg=concat)"
+"""
+    out = FeatureEngine(spec).transform(
+        _ds({"k": [1, 1, 2, 2, 3, 3], "s": ["2", "3", "4", "5", "6", "7"]})
+    ).to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
+    assert out["group_cat"].tolist() == ["23", "23", "45", "45", "67", "67"]
+
+
+def test_group_reduce_mode_engine(ray_session):
+    spec = """
+k: {description: int group key column, data_type: int64}
+v: {description: value column for mode, data_type: float64}
+group_mode:
+  description: per key smallest most frequent value
+  data_type: float64
+  dependencies: [k, v]
+  transformation: "(v).group_reduce(key_feature=k, agg=mode)"
+"""
+    out = FeatureEngine(spec).transform(
+        _ds({"k": [1, 1, 1, 2, 2], "v": [5.0, 5.0, 1.0, 7.0, 3.0]})
+    ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    assert out["group_mode"].tolist() == [5.0, 5.0, 5.0, 3.0, 3.0]
+
+
+def test_constant_expression_broadcasts(ray_session):
+    """A fully-constant expression broadcasts to every row (pa.Scalar
+    results are unwrapped — found by the expression property test)."""
+    spec = """
+a: {description: raw input column a, data_type: float64}
+four:
+  description: constant two plus two
+  data_type: float64
+  dependencies: [a]
+  transformation: "(2 + 2) + (a - a)"
+"""
+    out = FeatureEngine(spec).transform(_ds({"a": [1.0, 2.0, 3.0]})).to_pandas()
+    assert out["four"].tolist() == [4.0, 4.0, 4.0]
