@@ -146,6 +146,27 @@ class MembershipCheck(RowCheck):
         return pc.and_(pc.invert(ok), pc.is_valid(col))
 
 
+class BloomMembershipCheck(RowCheck):
+    """Referential membership against a broadcast BLOOM FILTER — the
+    scale form of MembershipCheck for parent key sets too large to ship
+    as a plain set (SURVEY.md §2.4). False positives (rate p, chosen at
+    build) let an orphan slip through; never flags a valid row."""
+
+    def __init__(self, name, column, bloom_bytes: bytes, **kw):
+        from ..state import BloomFilter
+
+        super().__init__(name, column, **kw)
+        self._bloom = BloomFilter.from_bytes(bloom_bytes)
+
+    def mask(self, batch):
+        import numpy as np
+
+        col = self._col(batch)
+        present = self._bloom.contains(col)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        return pa.array(np.asarray(~present) & np.asarray(valid))
+
+
 _ROW_CHECKS.update({
     "not_null": NotNullCheck,
     "min_length": MinLengthCheck,

@@ -239,7 +239,8 @@ def _collect_parent_keys(parent) -> set:
 
 def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
               partition_col: str = "repo", num_partitions: int = 64,
-              key_columns: list[str] | None = None) -> ValidationResult:
+              key_columns: list[str] | None = None,
+              bloom_threshold: int = 2_000_000) -> ValidationResult:
     """Run the full constraint suite; returns per-partition + global
     verdicts, violation rows, and the stats profile."""
     parents = parents or {}
@@ -255,8 +256,19 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
         if hasattr(parent, "select_columns"):
             parent = parent.select_columns([rc.parent_column])
         keys = _collect_parent_keys(parent)
-        mc = MembershipCheck(rc.name, rc.column, keys,
-                             max_violation_rate=rc.max_violation_rate)
+        if len(keys) > bloom_threshold:
+            # parent key set too large for a plain broadcast set: ship a
+            # Bloom filter instead (false-positive rate 1e-4 — an orphan
+            # slips with that probability; valid rows never flag)
+            from ..checks.row_checks import BloomMembershipCheck
+            from ..state import BloomFilter
+
+            bloom = BloomFilter(len(keys)).add(sorted(keys))
+            mc = BloomMembershipCheck(rc.name, rc.column, bloom.to_bytes(),
+                                      max_violation_rate=rc.max_violation_rate)
+        else:
+            mc = MembershipCheck(rc.name, rc.column, keys,
+                                 max_violation_rate=rc.max_violation_rate)
         row_checks.append(mc)
 
     # schema checks: plan-time
@@ -273,6 +285,19 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
         if sc.strict:
             bad += [f"extra:{c}" for c in have if c not in sc.columns]
         schema_verdicts.append((sc.name, bad))
+
+    # prune to the columns the suite actually touches (schema checks saw
+    # the full schema above): unneeded wide columns never leave the read
+    needed = {partition_col, *key_columns}
+    needed |= {c.column for c in row_checks}
+    needed |= {c.column for c in suite.stats_checks}
+    needed |= {c.column for c in suite.drift_checks}
+    for uc in suite.unique_checks:
+        needed |= set(uc.columns)
+    needed.add("content_sha256")   # lineage digests, when the column exists
+    keep = [c for c in sch.names if c in needed]
+    if len(keep) < len(sch.names):
+        ds = ds.select_columns(keep)
 
     # drift baselines must be bound before pass 1
     for dc in suite.drift_checks:

@@ -3,6 +3,7 @@ aggregation: compute a small state per Arrow block inside ``map_batches``,
 merge associatively (groupby-aggregate or driver-side — states are KB-sized),
 then broadcast the result into downstream stages."""
 
+from .bloom import BloomFilter
 from .hashing import combine_hashes, hash64, hash64_multi
 from .histogram import (CategoricalFreq, NumericHistogram, ks_from_counts,
                         psi_categorical, psi_from_counts)
@@ -11,7 +12,7 @@ from .tdigest import TDigest
 from .welford import Moments
 
 __all__ = [
-    "hash64", "hash64_multi", "combine_hashes",
+    "hash64", "hash64_multi", "combine_hashes", "BloomFilter",
     "Moments", "HLL", "TDigest",
     "NumericHistogram", "CategoricalFreq",
     "psi_from_counts", "ks_from_counts", "psi_categorical",

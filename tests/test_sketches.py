@@ -116,3 +116,27 @@ def test_hash64_deterministic_across_reprs():
     b = hash64(pa.array(["x", "y", "x"]))
     assert np.array_equal(a, b)
     assert a[0] == a[2] and a[0] != a[1]
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (referential scale path)
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    from feature_fabrica_ray.state import BloomFilter
+
+    keys = [f"org{i}/repo{i}" for i in range(20_000)]
+    bf = BloomFilter(len(keys), fp_rate=1e-3).add(keys)
+    assert bf.contains(keys).all()                      # never a false negative
+    probes = [f"missing{i}" for i in range(50_000)]
+    fp = bf.contains(probes).mean()
+    assert fp < 5e-3                                    # ~p with slack
+
+
+def test_bloom_serialization_roundtrip():
+    from feature_fabrica_ray.state import BloomFilter
+
+    bf = BloomFilter(100).add(["a", "b", "c"])
+    rt = BloomFilter.from_bytes(bf.to_bytes())
+    assert rt.contains(["a", "b", "c"]).all()
+    assert not rt.contains(["zz"]).any()

@@ -229,3 +229,21 @@ def test_drift_actor_pool_matches_fused(ray_session):
         assert actor_out.loc[name, "metric"] == pytest.approx(
             float(fused.loc[name, "metric"]), abs=1e-12)
         assert bool(actor_out.loc[name, "passed"])
+
+
+def test_referential_bloom_path_equals_exact(ray_session):
+    """Forcing the Bloom scale path (threshold 0) finds the same orphan
+    rows as the exact broadcast set on the planted-orphan fixture."""
+    suite_r = CheckSuite("""
+checks:
+  - {type: referential, column: repo, parent: repos, parent_column: repo}
+""")
+    exact = run_suite(read_codetable(SF, with_sha256=False), suite_r,
+                      parents={"repos": read_repos(SF)}, num_partitions=8)
+    bloom = run_suite(read_codetable(SF, with_sha256=False), suite_r,
+                      parents={"repos": read_repos(SF)}, num_partitions=8,
+                      bloom_threshold=0)
+    ge = exact.global_verdicts().set_index("check")
+    gb = bloom.global_verdicts().set_index("check")
+    assert int(gb.loc["referential:repo", "n_violations"]) == \
+        int(ge.loc["referential:repo", "n_violations"]) > 0
