@@ -73,6 +73,11 @@ def bench_suite() -> tuple[float, int]:
     suite = CheckSuite(SUITE_YAML)
     # sha256 stamping is part of the validated pipeline: per-row content
     # sha equality is the north rule's end-to-end invariant
+    # the ingest pipeline (derive + sha256 stamp) IS the suite's input and
+    # re-executes per pass — uniqueness included. (For pipelines whose
+    # ingest is far more expensive than key projection, run_suite's
+    # unique_input lets callers hand uniqueness a cheaper equivalent-rows
+    # source; the headline keeps the uniform form.)
     ds = _with_size(read_codetable(SF_DIR, replicate=REPLICATE, with_sha256=True))
     t0 = time.perf_counter()
     res = run_suite(ds, suite, parents={"repos": read_repos(SF_DIR)},

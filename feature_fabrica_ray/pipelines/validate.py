@@ -240,7 +240,8 @@ def _collect_parent_keys(parent) -> set:
 def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
               partition_col: str = "repo", num_partitions: int = 64,
               key_columns: list[str] | None = None,
-              bloom_threshold: int = 2_000_000) -> ValidationResult:
+              bloom_threshold: int = 2_000_000,
+              unique_input=None) -> ValidationResult:
     """Run the full constraint suite; returns per-partition + global
     verdicts, violation rows, and the stats profile."""
     parents = parents or {}
@@ -387,11 +388,19 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     violations = viol[keep].reset_index(drop=True) if len(viol) else \
         pd.DataFrame(columns=keep)
 
-    # uniqueness (pass 2: hash shuffle)
+    # uniqueness (pass 2: hash shuffle). It re-executes its input pipeline
+    # and only needs the key columns — callers whose upstream stages are
+    # expensive (sha256 stamping, feature derivation) should pass a
+    # cheaper equivalent-rows pipeline as ``unique_input``.
+    uniq_ds = unique_input if unique_input is not None else ds
+    uniq_keys = key_columns
+    if unique_input is not None:
+        have_u = set(uniq_ds.schema().names)
+        uniq_keys = [c for c in key_columns if c in have_u]
     for uc in suite.unique_checks:
-        uv = uniqueness_violations(ds, uc.columns, partition_col=partition_col,
+        uv = uniqueness_violations(uniq_ds, uc.columns, partition_col=partition_col,
                                    num_partitions=num_partitions,
-                                   key_columns=key_columns)
+                                   key_columns=uniq_keys)
         uv["check"] = uc.name
         uv["detail"] = uc.name
         nv = len(uv)
@@ -404,7 +413,8 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
         rate = nv / n_rows_total if n_rows_total else 0.0
         verdict_rows.append((uc.name, -1, n_rows_total, nv, rate, np.nan,
                              rate <= uc.max_violation_rate))
-        violations = pd.concat([violations, uv[keep]], ignore_index=True)
+        violations = pd.concat(
+            [violations, uv.reindex(columns=keep)], ignore_index=True)
 
     # per-pid content digests (xor-merge across batches)
     digests: dict[int, int] = {}
