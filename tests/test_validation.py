@@ -247,3 +247,14 @@ checks:
     gb = bloom.global_verdicts().set_index("check")
     assert int(gb.loc["referential:repo", "n_violations"]) == \
         int(ge.loc["referential:repo", "n_violations"]) > 0
+
+
+def test_uniqueness_invariant_to_partition_count(ray_session):
+    from feature_fabrica_ray.pipelines import uniqueness_violations
+
+    a = uniqueness_violations(read_codetable(SF, with_sha256=False),
+                              ["repo", "path", "commit"], num_partitions=4)
+    b = uniqueness_violations(read_codetable(SF, with_sha256=False),
+                              ["repo", "path", "commit"], num_partitions=64)
+    key = lambda df: sorted(map(tuple, df[["repo", "path", "commit"]].values.tolist()))
+    assert key(a) == key(b) and len(a) == 10
