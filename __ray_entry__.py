@@ -901,6 +901,48 @@ FROM documents
 """
 
 
+def q_pr_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Whole-table profile (one fused pass): exact moments per numeric
+    column, SQL-checkable."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import profile_table
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"])
+    prof = profile_table(ds, distinct=False, partition_col="l_quantity")
+    out = prof[["column", "count", "null_count", "min", "max", "mean", "std"]].copy()
+    out["count"] = out["count"].astype("int64")
+    out["null_count"] = out["null_count"].astype("int64")
+    out["mean"] = _round_away(out["mean"], 6)
+    out["std"] = _round_away(out["std"], 5)
+    out["min"] = _round_away(out["min"], 6)
+    out["max"] = _round_away(out["max"], 6)
+    return out
+
+
+_PROFILE_ORACLE = """
+SELECT col AS "column", cnt AS count, n_nulls AS null_count,
+       round(mn, 6) AS min, round(mx, 6) AS max,
+       round(avg_v, 6) AS mean, round(sd, 5) AS std
+FROM (
+  SELECT 'l_quantity' AS col, count(l_quantity) cnt,
+         count(*) - count(l_quantity) n_nulls, min(l_quantity) mn,
+         max(l_quantity) mx, avg(l_quantity) avg_v,
+         stddev_pop(l_quantity) sd FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(l_extendedprice),
+         count(*) - count(l_extendedprice), min(l_extendedprice),
+         max(l_extendedprice), avg(l_extendedprice),
+         stddev_pop(l_extendedprice) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(l_discount), count(*) - count(l_discount),
+         min(l_discount), max(l_discount), avg(l_discount),
+         stddev_pop(l_discount) FROM lineitem)
+"""
+
+
 # ---------------------------------------------------------------------------
 # event-stream operators (windowed aggregate, sessionization, JSON extract)
 # ---------------------------------------------------------------------------
@@ -1017,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_window": q_ev_window,
         "ev_sessions": q_ev_sessions,
         "ev_json": q_ev_json,
+        "pr_lineitem": q_pr_lineitem,
     }
 
 
@@ -1051,4 +1094,5 @@ def oracle_sql() -> dict[str, str]:
         "ev_window": _EV_WINDOW_ORACLE,
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,
+        "pr_lineitem": _PROFILE_ORACLE,
     }

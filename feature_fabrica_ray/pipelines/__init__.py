@@ -15,7 +15,7 @@ from .topk import topk_per_group
 from .uniqueness import uniqueness_violations
 from .writer import write_validated
 from .validate import (ValidationResult, bind_baselines, compute_baseline,
-                       run_suite)
+                       profile_table, run_suite)
 
 __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines",
            "uniqueness_violations",
@@ -27,4 +27,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "DecodeImageFeatures", "FrameSampler", "decode_pipeline",
            "validate_resumable", "merge_results", "codetable_shards",
            "broadcast_join", "write_validated", "drift_report", "DriftSketchActor",
-           "tumbling_window_agg", "sessionize", "extract_json_int"]
+           "tumbling_window_agg", "sessionize", "extract_json_int",
+           "profile_table"]

@@ -38,7 +38,8 @@ from ..state import (HLL, CategoricalFreq, Moments, NumericHistogram, TDigest,
                      hash64, ks_from_counts, psi_categorical, psi_from_counts)
 from .uniqueness import uniqueness_violations
 
-__all__ = ["ValidationResult", "run_suite", "compute_baseline"]
+__all__ = ["ValidationResult", "run_suite", "compute_baseline",
+           "profile_table", "stats_row_from_state", "merge_sketch_states"]
 
 _ROWS = "__rows__"
 
@@ -509,3 +510,28 @@ def bind_baselines(suite: CheckSuite, baselines: dict) -> CheckSuite:
 
 
 __all__.append("bind_baselines")
+
+
+def profile_table(ds, *, columns: list[str] | None = None,
+                  quantiles: list[float] | None = None,
+                  distinct: bool = True, num_partitions: int = 64,
+                  partition_col: str | None = None) -> pd.DataFrame:
+    """One-pass profile of every (or the given) column: count, null rate,
+    min/max/mean/std/sum for numerics, HLL distinct for all, t-digest
+    quantiles for numerics — the data-profiling front door built on the
+    same fused pass as the validation suite."""
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    cols = columns or sch.names
+    checks = []
+    for c in cols:
+        numeric = pa.types.is_integer(types[c]) or pa.types.is_floating(types[c])
+        checks.append(StatsCheck(
+            name=f"stats:{c}", column=c, numeric=numeric,
+            distinct=distinct, quantiles=list(quantiles or []) if numeric else []))
+    suite = CheckSuite([])
+    suite.stats_checks = checks
+    pcol = partition_col or cols[0]
+    res = run_suite(ds, suite, num_partitions=num_partitions,
+                    partition_col=pcol, key_columns=[pcol])
+    return res.stats

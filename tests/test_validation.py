@@ -258,3 +258,14 @@ def test_uniqueness_invariant_to_partition_count(ray_session):
                               ["repo", "path", "commit"], num_partitions=64)
     key = lambda df: sorted(map(tuple, df[["repo", "path", "commit"]].values.tolist()))
     assert key(a) == key(b) and len(a) == 10
+
+
+def test_profile_table(ray_session):
+    from feature_fabrica_ray.pipelines import profile_table
+
+    prof = profile_table(_input_ds(), quantiles=[0.5], num_partitions=4) \
+        .set_index("column")
+    assert prof.loc["size_bytes", "count"] > 0
+    assert prof.loc["repo", "distinct_est"] == pytest.approx(38, abs=2)
+    assert prof.loc["size_bytes", "q0.5"] > 0
+    assert np.isnan(prof.loc["lang", "mean"])   # non-numeric -> moments NaN
