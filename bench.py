@@ -218,7 +218,12 @@ def run(names: list[str]) -> dict:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False  # stdout stays
+    # exactly one JSON line for the driver
     _warmup()
     queries: dict[str, float] = {}
     rows: dict[str, int] = {}
