@@ -9,6 +9,7 @@ from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
                     exact_dedup_rows, minhash_lsh_pairs, ngram_jaccard,
                     simhash_pairs)
 from .multimodal import DecodeImageFeatures, FrameSampler, decode_pipeline
+from .sampling import hash_sample
 from .similarity import cosine_topk, fit_centroids, ivf_topk
 from .textstats import add_fingerprint, add_lang_id, add_quality, text_stats
 from .topk import topk_per_group
@@ -28,4 +29,4 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "validate_resumable", "merge_results", "codetable_shards",
            "broadcast_join", "write_validated", "drift_report", "DriftSketchActor",
            "tumbling_window_agg", "sessionize", "extract_json_int",
-           "profile_table"]
+           "profile_table", "hash_sample"]

@@ -334,3 +334,19 @@ def test_topk_per_group_golden(ray_session):
     got = out[["g", "v", "id", "rank"]].values.tolist()
     assert got == [["a", 3.0, 1, 1], ["a", 2.0, 3, 2],
                    ["b", 9.0, 4, 1], ["b", 9.0, 5, 2]]
+
+
+def test_hash_sample_deterministic_and_partition_invariant(ray_session):
+    from feature_fabrica_ray.pipelines import hash_sample
+
+    df = pd.DataFrame({"k": [f"key{i}" for i in range(2000)],
+                       "v": range(2000)})
+    s1 = hash_sample(_ds(df, blocks=1), ["k"], 0.25).to_pandas()
+    s8 = hash_sample(_ds(df, blocks=8), ["k"], 0.25).to_pandas()
+    assert sorted(s1["k"]) == sorted(s8["k"])          # layout-invariant
+    assert 0.18 < len(s1) / 2000 < 0.32                # ~fraction
+    s1b = hash_sample(_ds(df), ["k"], 0.25).to_pandas()
+    assert sorted(s1["k"]) == sorted(s1b["k"])         # rerun-stable
+    # nested property: a 10% sample is a subset of the 25% sample
+    s_small = hash_sample(_ds(df), ["k"], 0.10).to_pandas()
+    assert set(s_small["k"]) <= set(s1["k"])
