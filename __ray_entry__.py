@@ -200,9 +200,9 @@ checks:
 
 _STATS_ORACLE = CT + """
 SELECT 'size_bytes' AS "column", count(length(content)) AS cnt,
-       sum(CASE WHEN content IS NULL THEN 1 ELSE 0 END) AS nulls,
+       CAST(sum(CASE WHEN content IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
        min(length(content)) AS nmin, max(length(content)) AS nmax,
-       sum(length(content)) AS nsum,
+       CAST(sum(length(content)) AS BIGINT) AS nsum,
        round(avg(length(content)), 6) AS mean_r
 FROM codetable
 """

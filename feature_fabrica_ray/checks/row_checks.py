@@ -138,7 +138,8 @@ class MembershipCheck(RowCheck):
 
     def __init__(self, name, column, key_set, **kw):
         super().__init__(name, column, **kw)
-        self._keys = pa.array(sorted(key_set))
+        # null parent keys count as absent (and would crash sorted())
+        self._keys = pa.array(sorted(k for k in key_set if k is not None))
 
     def mask(self, batch):
         col = self._col(batch)

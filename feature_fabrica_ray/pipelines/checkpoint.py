@@ -31,7 +31,8 @@ import numpy as np
 import pandas as pd
 
 from ..checks.suite import CheckSuite
-from .validate import (ValidationResult, merge_sketch_states, run_suite,
+from .validate import (ValidationResult, drift_metric_from_state,
+                       merge_drift_states, merge_sketch_states, run_suite,
                        stats_row_from_state)
 
 
@@ -47,6 +48,15 @@ def _decode_state(state: dict) -> dict:
 
     return {k: (base64.b64decode(v) if k in ("hll", "tdigest") else v)
             for k, v in state.items()}
+
+def _suite_thresholds(suite: CheckSuite) -> dict[str, float]:
+    """check name -> max_violation_rate (checks without one are
+    zero-tolerance; drift checks are handled via their own state)."""
+    thr: dict[str, float] = {}
+    for c in suite.row_checks + suite.referential_checks + suite.unique_checks:
+        thr[c.name] = float(getattr(c, "max_violation_rate", 0.0))
+    return thr
+
 
 __all__ = ["validate_resumable", "merge_results", "codetable_shards"]
 
@@ -121,10 +131,16 @@ def validate_resumable(shards: dict[str, Callable], suite: CheckSuite,
             "wall_s": round(wall, 3),
             "digests": {str(k): int(v) for k, v in res.digests.items()},
             "checks": suite.all_names(),
+            # per-check pass thresholds so the merger applies each check's
+            # max_violation_rate to the MERGED rate (not hardcoded zero)
+            "thresholds": _suite_thresholds(suite),
             # mergeable sketch state (KB-sized): lets the shard merger
             # rebuild exact global stats without re-reading any data
             "sketches": {name: _encode_state(st)
                          for name, st in res.sketch_state.items()},
+            # mergeable drift state + baseline/threshold: the merger
+            # recomputes the drift metric GLOBALLY from merged sketches
+            "drift": res.drift_state,
         }
         tmp = os.path.join(sdir, "lineage.json.tmp")
         with open(tmp, "w") as f:
@@ -146,6 +162,8 @@ def merge_results(out_dir: str) -> ValidationResult:
     verdict_parts, violation_parts = [], []
     digests: dict[int, int] = {}
     sketch_parts: dict[str, list] = {}
+    drift_parts: dict[str, list] = {}
+    thresholds: dict[str, float] = {}
     n_rows = 0
     for name in sorted(os.listdir(out_dir)):
         sdir = os.path.join(out_dir, name)
@@ -158,6 +176,7 @@ def merge_results(out_dir: str) -> ValidationResult:
         with open(os.path.join(sdir, "lineage.json")) as f:
             lin = json.load(f)
         n_rows += lin["n_rows"]
+        thresholds.update(lin.get("thresholds", {}))
         mask = (1 << 64) - 1
         for pid, d in lin.get("digests", {}).items():
             p = int(pid)
@@ -165,6 +184,8 @@ def merge_results(out_dir: str) -> ValidationResult:
             digests[p] = acc - (1 << 64) if acc >= (1 << 63) else acc  # signed view
         for name, st in lin.get("sketches", {}).items():
             sketch_parts.setdefault(name, []).append(_decode_state(st))
+        for name, st in lin.get("drift", {}).items():
+            drift_parts.setdefault(name, []).append(st)
 
     if not verdict_parts:
         empty = pd.DataFrame(columns=["check", "pid", "n_rows", "n_violations",
@@ -177,9 +198,23 @@ def merge_results(out_dir: str) -> ValidationResult:
                    metric=("metric", "max")))
     merged["violation_rate"] = np.where(
         merged["n_rows"] > 0, merged["n_violations"] / merged["n_rows"], 0.0)
-    # pass iff zero-tolerance holds on merged counts (thresholded checks
-    # re-evaluate in the caller if a nonzero max_violation_rate was used)
-    merged["passed"] = merged["n_violations"] == 0
+    # pass iff each check's own max_violation_rate holds on the MERGED
+    # rate (checks without a persisted threshold are zero-tolerance);
+    # violations with no counted rows (schema checks on empty shards)
+    # can't hide behind a 0/0 rate
+    merged["passed"] = (merged["violation_rate"] <=
+                        merged["check"].map(thresholds).fillna(0.0).to_numpy()) \
+        & ~((merged["n_rows"] == 0) & (merged["n_violations"] > 0))
+    # drift verdicts: recompute the metric GLOBALLY from merged sketch
+    # state (a per-shard max is not the global statistic, and a drift
+    # failure carries n_violations=0 so the count rule can't see it)
+    merged_drift = {name: merge_drift_states(parts)
+                    for name, parts in drift_parts.items()}
+    for name, dstate in merged_drift.items():
+        metric = drift_metric_from_state(dstate)
+        sel = merged["check"] == name
+        merged.loc[sel, "metric"] = metric
+        merged.loc[sel, "passed"] = metric <= dstate["threshold"]
     violations = pd.concat(violation_parts, ignore_index=True) \
         if violation_parts else pd.DataFrame()
     # exact global stats from the per-shard mergeable sketches
@@ -189,4 +224,4 @@ def merge_results(out_dir: str) -> ValidationResult:
                           for st in merged_state.values()])
     return ValidationResult(verdicts=merged, violations=violations,
                             stats=stats, n_rows=n_rows, digests=digests,
-                            sketch_state=merged_state)
+                            sketch_state=merged_state, drift_state=merged_drift)

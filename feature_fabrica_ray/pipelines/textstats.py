@@ -49,7 +49,9 @@ def kgram_hashes(col: pa.Array, k: int = 8) -> tuple[np.ndarray, np.ndarray]:
     buf, off = _flat_utf8(col)
     n_rows = len(off) - 1
     if buf.size == 0:
-        return np.zeros(n_rows, np.uint64), np.arange(n_rows, dtype=np.int64)
+        # all-empty batch: emit NO hashes, matching what empty rows get in
+        # a mixed batch — fingerprints must not depend on batch layout
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
     data = buf.astype(np.uint64)
     n = data.size
     if n < k:

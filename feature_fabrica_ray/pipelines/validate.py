@@ -39,7 +39,8 @@ from ..state import (HLL, CategoricalFreq, Moments, NumericHistogram, TDigest,
 from .uniqueness import uniqueness_violations
 
 __all__ = ["ValidationResult", "run_suite", "compute_baseline",
-           "profile_table", "stats_row_from_state", "merge_sketch_states"]
+           "profile_table", "stats_row_from_state", "merge_sketch_states",
+           "drift_metric_from_state", "merge_drift_states"]
 
 _ROWS = "__rows__"
 
@@ -53,6 +54,7 @@ class ValidationResult:
     baselines: dict = field(default_factory=dict)
     digests: dict = field(default_factory=dict)  # pid -> xor content digest (int)
     sketch_state: dict = field(default_factory=dict)  # check -> mergeable state
+    drift_state: dict = field(default_factory=dict)  # drift check -> freq/hist + threshold
 
     @property
     def passed(self) -> bool:
@@ -224,6 +226,40 @@ def merge_sketch_states(states: list[dict]) -> dict:
     return out
 
 
+def drift_metric_from_state(state: dict) -> float:
+    """Recompute the drift metric from (merged) drift sketch state — the
+    single definition used by both the one-shot runner and the checkpoint
+    shard merger, so merged shards get a globally-recomputed statistic."""
+    baseline = state["baseline"]
+    if state["categorical"]:
+        return psi_categorical(baseline["freq"], state["freq"])
+    base_counts = np.array(baseline["full_counts"], dtype=np.float64)
+    h = state.get("hist")
+    cur = (NumericHistogram.from_dict(h).full_counts() if h is not None
+           else np.zeros_like(base_counts))
+    return (psi_from_counts(base_counts, cur) if state["method"] == "psi"
+            else ks_from_counts(base_counts, cur))
+
+
+def merge_drift_states(states: list[dict]) -> dict:
+    """Associatively merge per-shard drift states for one check."""
+    out = dict(states[0])
+    if out["categorical"]:
+        freq = CategoricalFreq()
+        for s in states:
+            freq = freq.merge(CategoricalFreq.from_dict(s["freq"]))
+        out["freq"] = dict(freq.counts)
+    else:
+        h = None
+        for s in states:
+            if s.get("hist") is None:
+                continue
+            hh = NumericHistogram.from_dict(s["hist"])
+            h = hh if h is None else h.merge(hh)
+        out["hist"] = h.to_dict() if h is not None else None
+    return out
+
+
 def _collect_parent_keys(parent) -> set:
     """Small-side collection for the broadcast referential check. At true
     scale swap in a Bloom filter / co-group join when the parent key set
@@ -258,6 +294,7 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
         if hasattr(parent, "select_columns"):
             parent = parent.select_columns([rc.parent_column])
         keys = _collect_parent_keys(parent)
+        keys.discard(None)  # null parent keys are absent, not sort-crashers
         if len(keys) > bloom_threshold:
             # parent key set too large for a plain broadcast set: ship a
             # Bloom filter instead (false-positive rate 1e-4 — an orphan
@@ -363,23 +400,28 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
         sketch_state[sc.name] = state
         stats_rows.append(stats_row_from_state(state))
 
-    # drift assembly
+    # drift assembly — merged drift STATE is kept (ValidationResult.
+    # drift_state) so checkpointed shards can recompute the GLOBAL metric
+    # from merged sketches instead of taking a per-shard max
+    drift_state: dict[str, dict] = {}
     for dc in suite.drift_checks:
         sel = sketches[sketches["check"] == dc.name]
+        dstate = {"column": dc.column, "categorical": dc.categorical,
+                  "method": dc.method, "threshold": dc.threshold,
+                  "baseline": dc.baseline}
         if dc.categorical:
             freq = CategoricalFreq()
             for b in sel[sel["sketch_kind"] == "catfreq"]["payload"]:
                 freq = freq.merge(CategoricalFreq.from_dict(json.loads(bytes(b))))
-            metric = psi_categorical(dc.baseline["freq"], dict(freq.counts))
+            dstate["freq"] = dict(freq.counts)
         else:
             h = None
             for b in sel[sel["sketch_kind"] == "hist"]["payload"]:
                 hh = NumericHistogram.from_dict(json.loads(bytes(b)))
                 h = hh if h is None else h.merge(hh)
-            base_counts = np.array(dc.baseline["full_counts"], dtype=np.float64)
-            cur = h.full_counts() if h is not None else np.zeros_like(base_counts)
-            metric = (psi_from_counts(base_counts, cur) if dc.method == "psi"
-                      else ks_from_counts(base_counts, cur))
+            dstate["hist"] = h.to_dict() if h is not None else None
+        metric = drift_metric_from_state(dstate)
+        drift_state[dc.name] = dstate
         verdict_rows.append((dc.name, -1, n_rows_total, 0, 0.0, metric,
                              metric <= dc.threshold))
 
@@ -431,7 +473,7 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     stats = pd.DataFrame(stats_rows)
     return ValidationResult(verdicts=verdicts, violations=violations, stats=stats,
                             n_rows=n_rows_total, digests=digests,
-                            sketch_state=sketch_state,
+                            sketch_state=sketch_state, drift_state=drift_state,
                             baselines={dc.name: dc.baseline for dc in suite.drift_checks})
 
 

@@ -115,20 +115,29 @@ class FeatureEngine:
     def transform(self, ds, select_groups: list[str] | None = None,
                   keep_input: bool = True):
         """Execute the DAG over a Dataset; returns the Dataset with feature
-        columns appended (and inputs kept unless keep_input=False)."""
+        columns appended (and inputs kept unless keep_input=False).
+
+        The compiled plan (feature trees + transform objects) is COPIED per
+        invocation: group_reduce lowering rewrites trees and fit passes set
+        fitted state, and neither may leak into the engine — 'compile once,
+        run on any Dataset' means transform() is repeatable."""
+        import copy
+
+        features, levels = copy.deepcopy((self.features, self.levels))
+        published = set(self._published)
         input_cols = list(ds.schema().names)
-        for level, feats in self.levels.items():
+        for level, feats in levels.items():
             ds = self._run_fit_passes(ds, feats)
             for f in [f for f in feats if self._root_shuffles(f)]:
-                ds = self._apply_group_reduce(ds, f)
+                ds = self._apply_group_reduce(ds, f, published)
             # after lowering, every feature has a pure tree -> one fused pass
-            ds = self._fused_level_pass(ds, feats)
-        drop = [c for c in self._published]
+            ds = self._fused_level_pass(ds, feats, features, published)
+        drop = list(published)
         if not keep_input:
-            drop += [c for c in input_cols if c not in self.features]
+            drop += [c for c in input_cols if c not in features]
         if select_groups:
             keep_feats = {n for g in select_groups for n in self.groups.get(g, [])}
-            drop += [f.name for f in self.features.values()
+            drop += [f.name for f in features.values()
                      if f.name not in keep_feats and f.name not in input_cols]
         if drop:
             ds = ds.map_batches(
@@ -193,9 +202,10 @@ class FeatureEngine:
     def _root_shuffles(self, f: CompiledFeature) -> bool:
         return any(isinstance(c.transform, GroupByReduce) for c in f.calls())
 
-    def _apply_group_reduce(self, ds, f: CompiledFeature):
+    def _apply_group_reduce(self, ds, f: CompiledFeature, published: set):
         """Lower every GroupByReduce node (deepest-first) to a hash-shuffle
-        stage; rewrite the tree so the remaining ops are pure."""
+        stage; rewrite the tree so the remaining ops are pure. Operates on
+        the per-call plan copy — never on the engine's compiled trees."""
         counter = 0
         while True:
             nodes = [n for n in f.tree.walk()
@@ -247,43 +257,51 @@ class FeatureEngine:
                                 batch_format="pyarrow", batch_size=None)
             f.tree = _replace_node(f.tree, node, Ref(tmp_out, None))
             # tmp_out is a plain column now; drop it after the fused pass
-            self._published.add(tmp_out)
+            published.add(tmp_out)
         return ds
 
     def _group_reduce_broadcast(self, ds, gr, key_col: str, tmp_in: str,
-                                tmp_out: str):
+                                tmp_out: str, max_keys: int = 2_000_000):
         """Algebraic window reduce as partial-aggregate + broadcast join:
-        one streaming pass emits (key, sum, count, min, max) per block;
-        the merged per-key table (small — one row per distinct key) is
-        broadcast and mapped back onto every row in a second pass."""
+        one streaming pass emits an Arrow (key, sum, count, min, max)
+        partial per block; the partials are merged in a DISTRIBUTED
+        groupby (small shuffle — partials only, never raw rows), and the
+        driver collects nothing until the merged per-key row count is
+        known to fit the broadcast guard. A high-cardinality key (10^8
+        repos) therefore falls back to the shuffle path without ever
+        materializing num_blocks x keys_per_block rows on the driver."""
         import ray
+        from ray.data.aggregate import Max, Min, Sum
 
         def partial(batch: pa.Table) -> pa.Table:
-            df = pd.DataFrame({key_col: batch.column(key_col).to_pandas(),
-                               "v": batch.column(tmp_in).to_pandas()})
-            g = df.groupby(key_col)["v"].agg(["sum", "count", "min", "max"]) \
-                .reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            t = pa.table({key_col: batch.column(key_col),
+                          "v": batch.column(tmp_in)})
+            g = t.group_by(key_col).aggregate(
+                [("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max")])
+            return pa.table({key_col: g.column(key_col),
+                             "s": g.column("v_sum"),
+                             "c": g.column("v_count").cast(pa.int64()),
+                             "mn": g.column("v_min"), "mx": g.column("v_max")})
 
-        parts = ds.map_batches(partial, batch_format="pyarrow",
-                               batch_size=None).to_pandas()
-        if len(parts) > 2_000_000:
-            # per-key table no longer "small": the broadcast would strain
-            # the driver — signal the caller to use the shuffle path
+        parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        merged_ds = parts.groupby(key_col).aggregate(
+            Sum("s"), Sum("c"), Min("mn"), Max("mx")).materialize()
+        if merged_ds.count() > max_keys:
+            # per-key table not "small": the broadcast would strain the
+            # driver — signal the caller to use the shuffle path
             return None
-        merged = parts.groupby(key_col).agg(
-            s=("sum", "sum"), c=("count", "sum"),
-            mn=("min", "min"), mx=("max", "max"))
+        merged = merged_ds.to_pandas().set_index(key_col)
+        merged = merged[merged.index.notna()]  # null keys -> no lookup hit
         if gr.agg == "sum":
-            lut = merged["s"]
+            lut = merged["sum(s)"]
         elif gr.agg == "count":
-            lut = merged["c"]
+            lut = merged["sum(c)"]
         elif gr.agg == "mean":
-            lut = merged["s"] / merged["c"]
+            lut = merged["sum(s)"] / merged["sum(c)"]
         elif gr.agg == "min":
-            lut = merged["mn"]
+            lut = merged["min(mn)"]
         else:
-            lut = merged["mx"]
+            lut = merged["max(mx)"]
         lut_ref = ray.put(lut.to_dict())
 
         def attach(batch: pa.Table) -> pa.Table:
@@ -295,11 +313,13 @@ class FeatureEngine:
         return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
 
     # -- fused vector pass ---------------------------------------------
-    def _fused_level_pass(self, ds, feats: list[CompiledFeature]):
+    def _fused_level_pass(self, ds, feats: list[CompiledFeature],
+                          features: dict, published: set):
         if not feats:
             return ds
         specs = [(f.name, f.spec.input or f.name, f.tree, f.spec.arrow_type) for f in feats]
-        published = self._published
+        feat_names = frozenset(features)
+        pub = frozenset(published)
 
         def fn(batch: pa.Table) -> pa.Table:
             ctx = BatchCtx(batch)
@@ -319,7 +339,7 @@ class FeatureEngine:
                 ctx.put(name, _finalize(val, ty))
             keep = list(batch.column_names)
             keep += [n for n in ctx.cols if n not in keep and
-                     (n in self.features or n in published)]
+                     (n in feat_names or n in pub)]
             return ctx.to_table(keep)
 
         return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

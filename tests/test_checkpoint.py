@@ -170,3 +170,62 @@ def _input_wsize():
         lambda b: b.append_column(
             "size_bytes", pc.utf8_length(b.column("content")).cast(pa.int64())),
         batch_format="pyarrow", batch_size=None)
+
+
+def test_merge_drift_and_threshold_verdicts(ray_session, out_dir):
+    """merge_results must (a) recompute the drift metric GLOBALLY from
+    merged sketches and fail a drift check that drifted (a drift failure
+    carries n_violations=0, invisible to a count rule), and (b) apply each
+    check's max_violation_rate to the merged rate, not zero tolerance."""
+    from feature_fabrica_ray.pipelines import bind_baselines, compute_baseline
+    from feature_fabrica_ray.state import hash64
+
+    def base_input():
+        return read_codetable(SF).map_batches(
+            lambda b: b.append_column(
+                "size_bytes", pc.utf8_length(b.column("content")).cast(pa.int64())),
+            batch_format="pyarrow", batch_size=None)
+
+    def shifted_input():
+        return base_input().map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("size_bytes"), "size_bytes",
+                pc.multiply(b.column("size_bytes"), 3)),
+            batch_format="pyarrow", batch_size=None)
+
+    suite = CheckSuite("""
+checks:
+  - {type: drift, column: size_bytes, method: psi, threshold: 0.1}
+  - {type: min_length, column: content, min_length: 1, max_violation_rate: 0.5}
+""")
+    baselines = compute_baseline(base_input(), suite.drift_checks)
+    bind_baselines(suite, baselines)
+
+    def make_shard(k, n=2):
+        def build():
+            def f(b):
+                import numpy as np
+                h = hash64(b.column("path")) % np.uint64(n)
+                return b.filter(pa.array(h == np.uint64(k)))
+            return shifted_input().map_batches(f, batch_format="pyarrow",
+                                               batch_size=None)
+        return build
+
+    shards = {f"{k}": make_shard(k) for k in range(2)}
+    merged = validate_resumable(shards, suite, out_dir, num_partitions=8)["result"]
+    g = merged[merged["pid"] == -1].set_index("check") \
+        if isinstance(merged, pd.DataFrame) else \
+        merged.verdicts[merged.verdicts["pid"] == -1].set_index("check")
+
+    # drift failed in every shard -> merged must be FAILED with the metric
+    # recomputed globally (== the unsharded metric, exactly: same edges)
+    full = run_suite(shifted_input(), suite, num_partitions=8)
+    gf = full.global_verdicts().set_index("check")
+    assert not bool(g.loc["drift:size_bytes", "passed"])
+    assert g.loc["drift:size_bytes", "metric"] == pytest.approx(
+        gf.loc["drift:size_bytes", "metric"], rel=1e-12)
+
+    # min_length HAS violations but the 0.5 threshold holds on the merged
+    # rate -> merged verdict is PASSED (not zero-tolerance)
+    assert int(g.loc["min_length:content", "n_violations"]) > 0
+    assert bool(g.loc["min_length:content", "passed"])

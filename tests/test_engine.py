@@ -315,3 +315,36 @@ four:
 """
     out = FeatureEngine(spec).transform(_ds({"a": [1.0, 2.0, 3.0]})).to_pandas()
     assert out["four"].tolist() == [4.0, 4.0, 4.0]
+
+
+def test_engine_reusable_across_transforms(ray_session):
+    """'Compile once, run on any Dataset': transform() must not rewrite the
+    compiled trees (group_reduce lowering) or leak fitted state (z_score)
+    into the engine — a second call runs, and fits on ITS OWN data."""
+    spec = """
+key: {description: group key, data_type: int64}
+x: {description: numeric input, data_type: float64}
+gm:
+  description: per key mean broadcast to rows
+  data_type: float64
+  dependencies: [key, x]
+  transformation: "(x).group_reduce(key_feature=key, agg=mean)"
+z:
+  description: globally fitted z score
+  data_type: float64
+  dependencies: [x]
+  transformation: "(x).z_score()"
+"""
+    eng = FeatureEngine(spec)
+    d1 = {"key": [1, 1, 2, 2], "x": [1.0, 3.0, 5.0, 7.0]}
+    out1 = eng.transform(_ds(d1)).to_pandas().sort_values("x").reset_index(drop=True)
+    out1b = eng.transform(_ds(d1)).to_pandas().sort_values("x").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out1, out1b)
+
+    # different data: group means and the z fit must come from d2, not d1
+    d2 = {"key": [1, 1, 2, 2], "x": [10.0, 20.0, 30.0, 40.0]}
+    out2 = eng.transform(_ds(d2)).to_pandas().sort_values("x").reset_index(drop=True)
+    assert out2["gm"].tolist() == [15.0, 15.0, 35.0, 35.0]
+    v = np.array(d2["x"])
+    np.testing.assert_allclose(out2["z"].to_numpy(), (v - v.mean()) / v.std(),
+                               rtol=1e-12)

@@ -350,3 +350,19 @@ def test_hash_sample_deterministic_and_partition_invariant(ray_session):
     # nested property: a 10% sample is a subset of the 25% sample
     s_small = hash_sample(_ds(df), ["k"], 0.10).to_pandas()
     assert set(s_small["k"]) <= set(s1["k"])
+
+
+def test_fingerprint_empty_doc_batch_invariance(ray_session):
+    """An empty document's fingerprint must not depend on whether its batch
+    contained other (non-empty) rows: all-empty batches emit no k-gram
+    hashes, same as empty rows inside a mixed batch."""
+    mixed = add_fingerprint(_ds(pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["", "hello world"]}))).to_pandas()
+    alone = add_fingerprint(_ds(pd.DataFrame(
+        {"doc_id": [0], "text": [""]}))).to_pandas()
+    fp_mixed = mixed.set_index("doc_id").loc[0, "fingerprint"]
+    fp_alone = alone.set_index("doc_id").loc[0, "fingerprint"]
+    assert fp_mixed == fp_alone
+    import pyarrow as pa
+    h, r = kgram_hashes(pa.array(["", ""]))
+    assert len(h) == 0 and len(r) == 0

@@ -269,3 +269,21 @@ def test_profile_table(ray_session):
     assert prof.loc["repo", "distinct_est"] == pytest.approx(38, abs=2)
     assert prof.loc["size_bytes", "q0.5"] > 0
     assert np.isnan(prof.loc["lang", "mean"])   # non-numeric -> moments NaN
+
+
+def test_referential_null_parent_key_is_absent(ray_session):
+    """A null key in the parent table must be treated as absent (not crash
+    sorted() while building the broadcast membership set)."""
+    import ray.data
+    parent = ray.data.from_pandas(pd.DataFrame({"repo": ["r1", None]}))
+    child = ray.data.from_pandas(pd.DataFrame(
+        {"repo": ["r1", "r1", "rX"], "path": ["a", "b", "c"],
+         "commit": ["0" * 32] * 3}))
+    suite = CheckSuite("""
+checks:
+  - {type: referential, column: repo, parent: repos, parent_column: repo}
+""")
+    r = run_suite(child, suite, parents={"repos": parent}, num_partitions=4,
+                  key_columns=["repo", "path"])
+    g = r.global_verdicts().set_index("check")
+    assert int(g.loc["referential:repo", "n_violations"]) == 1
