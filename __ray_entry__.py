@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 from feature_fabrica_ray.checks import CheckSuite
 from feature_fabrica_ray.pipelines import run_suite, uniqueness_violations
 from feature_fabrica_ray.sources import (codetable_cte, read_codetable,
-                                         read_repos)
+                                         read_parquet_clean, read_repos)
 from feature_fabrica_ray.stages import FeatureEngine
 
 CT = codetable_cte()  # CTE prefix defining codetable + repos over documents
@@ -314,7 +314,7 @@ _MATH_COLS = ["l_orderkey", "l_linenumber", "qty_x3", "price_log", "disc_sqrt",
 def q_ft_math_chain(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
                  "l_discount", "l_tax"])
@@ -360,7 +360,7 @@ price_mm:
 def q_ft_fitted_global(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
     out = FeatureEngine(_FITTED_SPEC).transform(ds)
@@ -407,7 +407,7 @@ lang_case:
 def q_ft_strings(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang", "source"])
     out = FeatureEngine(_STRINGS_SPEC).transform(ds)
     return _select(out, ["doc_id", "lang_up", "src_strip", "combo", "lang_case"])
@@ -462,7 +462,7 @@ ship_dow_name:
 def q_ft_datetime(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_linenumber", "l_shipdate"])
     out = FeatureEngine(_DATETIME_SPEC).transform(ds)
     return _select(out, ["l_orderkey", "l_linenumber", "ship_year", "ship_month",
@@ -511,7 +511,7 @@ qty_flag_sum:
 def q_ft_group_reduce(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
     out = FeatureEngine(_GROUP_SPEC).transform(ds)
@@ -548,7 +548,7 @@ status_ord:
 def q_ft_encoders(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"])
     out = FeatureEngine(_ENCODER_SPEC).transform(ds)
@@ -575,17 +575,20 @@ def q_agg_q1(sf_dir: str) -> pd.DataFrame:
     shuffle-free shape for low-cardinality group keys at 100 TB."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_price=("l_extendedprice", "sum"),
-            cnt=("l_quantity", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # Arrow-native combiner: no pandas detour, canonical schema
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("l_quantity", "count", pc.CountOptions(mode="all"))])
+        return pa.table({"l_returnflag": g.column("l_returnflag"),
+                         "l_linestatus": g.column("l_linestatus"),
+                         "sum_qty": g.column("l_quantity_sum"),
+                         "sum_price": g.column("l_extendedprice_sum"),
+                         "cnt": g.column("l_quantity_count").cast(pa.int64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
     out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
@@ -650,19 +653,21 @@ def q_jn_priority(sf_dir: str) -> pd.DataFrame:
 
     from feature_fabrica_ray.pipelines import broadcast_join
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_quantity"])
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_orderpriority"])
     joined = broadcast_join(li, orders, left_on="l_orderkey",
                             right_on="o_orderkey",
                             right_columns=["o_orderkey", "o_orderpriority"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("o_orderpriority", as_index=False).agg(
-            cnt=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = batch.group_by("o_orderpriority").aggregate(
+            [("l_quantity", "count", pc.CountOptions(mode="all")),
+             ("l_quantity", "sum")])
+        return pa.table({"o_orderpriority": g.column("o_orderpriority"),
+                         "cnt": g.column("l_quantity_count").cast(pa.int64()),
+                         "sum_qty": g.column("l_quantity_sum")})
 
     parts = joined.map_batches(partial, batch_format="pyarrow",
                                batch_size=None).to_pandas()
@@ -688,7 +693,7 @@ def q_ta_textstats(sf_dir: str):
 
     from feature_fabrica_ray.pipelines import text_stats
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     out = text_stats(ds)
     out = _round_cols(out, {"digit_ratio": 6, "punct_ratio": 6})
@@ -714,7 +719,7 @@ def q_ta_quality(sf_dir: str):
 
     from feature_fabrica_ray.pipelines import add_quality
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     out = add_quality(ds)
     out = _round_cols(out, {"quality": 6})
@@ -743,7 +748,7 @@ def q_ta_langid_fingerprint(sf_dir: str):
 
     from feature_fabrica_ray.pipelines import add_fingerprint, add_lang_id
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return _select(add_fingerprint(add_lang_id(ds)),
                    ["doc_id", "lang_id", "fingerprint"])
@@ -775,9 +780,10 @@ def q_dd_dedup_rows(sf_dir: str) -> pd.DataFrame:
     deduped = exact_dedup_rows(ds, ["repo", "path", "commit"])
 
     def per_repo(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().groupby("repo", as_index=False).size() \
-            .rename(columns={"size": "n"})
-        return pa.Table.from_pandas(df, preserve_index=False)
+        g = batch.group_by("repo").aggregate(
+            [("path", "count", pc.CountOptions(mode="all"))])
+        return pa.table({"repo": g.column("repo"),
+                         "n": g.column("path_count").cast(pa.int64())})
 
     parts = deduped.map_batches(per_repo, batch_format="pyarrow",
                                 batch_size=None).to_pandas()
@@ -799,7 +805,7 @@ def q_agg_topk(sf_dir: str) -> pd.DataFrame:
 
     from feature_fabrica_ray.pipelines import topk_per_group
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"])
     out = topk_per_group(ds, ["l_returnflag"], "l_extendedprice", k=3,
@@ -826,7 +832,7 @@ def q_dd_minhash(sf_dir: str):
 
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5)
 
@@ -836,7 +842,7 @@ def q_dd_simhash(sf_dir: str):
 
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
 
@@ -846,7 +852,7 @@ def q_ss_cosine_topk(sf_dir: str):
 
     from feature_fabrica_ray.pipelines import cosine_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     qdf = ds.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
     Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
@@ -876,7 +882,7 @@ def q_ss_ivf_topk(sf_dir: str):
 
     from feature_fabrica_ray.pipelines import ivf_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     qdf = ds.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
     Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
@@ -908,7 +914,7 @@ def q_pr_lineitem(sf_dir: str) -> pd.DataFrame:
 
     from feature_fabrica_ray.pipelines import profile_table
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_quantity", "l_extendedprice", "l_discount"])
     prof = profile_table(ds, distinct=False, partition_col="l_quantity")
@@ -952,7 +958,7 @@ def q_ev_window(sf_dir: str) -> pd.DataFrame:
 
     from feature_fabrica_ray.pipelines import tumbling_window_agg
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["ts", "user_id", "value"])
     out = tumbling_window_agg(ds, "ts", "user_id", "value", width_s=3600)
     out["sum_v"] = _round_away(out["sum_v"], 6)
@@ -971,7 +977,7 @@ def q_ev_sessions(sf_dir: str) -> pd.DataFrame:
 
     from feature_fabrica_ray.pipelines import sessionize
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id", "value"])
     out = sessionize(ds, "ts", "user_id", "value", "event_id", gap_s=1800)
     out["sum_v"] = _round_away(out["sum_v"], 6)
@@ -1002,7 +1008,7 @@ def q_ev_json(sf_dir: str):
 
     from feature_fabrica_ray.pipelines import extract_json_int
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id", "props"])
     out = extract_json_int(ds, "props", "k", "prop_k")
     return _select(out, ["event_id", "prop_k"])

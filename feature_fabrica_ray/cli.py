@@ -34,14 +34,14 @@ def cmd_validate(args) -> int:
 
     from .checks import CheckSuite
     from .pipelines import run_suite, validate_resumable, write_validated
-    from .sources import add_content_sha256
+    from .sources import add_content_sha256, read_parquet_clean
 
     _ensure_ray()
     with open(args.suite) as f:
         suite = CheckSuite(f.read())
 
     def build():
-        ds = ray.data.read_parquet(args.input)
+        ds = read_parquet_clean(args.input)
         return ds.map_batches(add_content_sha256, batch_format="pyarrow",
                               batch_size=None) if args.sha256 else ds
 
@@ -89,12 +89,13 @@ def cmd_validate(args) -> int:
 def cmd_transform(args) -> int:
     import ray.data
 
+    from .sources import read_parquet_clean
     from .stages import FeatureEngine
 
     _ensure_ray()
     with open(args.spec) as f:
         eng = FeatureEngine(f.read())
-    ds = ray.data.read_parquet(args.input)
+    ds = read_parquet_clean(args.input)
     out = eng.transform(ds, select_groups=args.groups or None)
     out.write_parquet(args.out)
     print(json.dumps({"features": eng.feature_names()}))

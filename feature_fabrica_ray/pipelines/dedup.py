@@ -127,7 +127,9 @@ def exact_dedup_rows(ds, columns: list[str], *, tiebreak: str | None = None):
                                  [c for c in cands.columns if c not in columns])
     reps = (cands.sort_values(sort_cols, kind="mergesort")
             .drop_duplicates(columns, keep="first"))
-    reps_ds = ray.data.from_arrow(pa.Table.from_pandas(reps, preserve_index=False))
+    reps_ds = ray.data.from_arrow(
+        pa.Table.from_pandas(reps, preserve_index=False)
+        .replace_schema_metadata(None))
     return unique_part.union(reps_ds)
 
 
@@ -376,6 +378,29 @@ def _vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
 
+def _candidate_vectors(ds, vec_col: str, id_col: str, ids: np.ndarray) -> dict:
+    """Second pruned pass: normalized vector per CANDIDATE id — only
+    collision candidates ship their payload; the full embedding table
+    never re-enters the exchange (same pattern as _shingle_sets)."""
+    id_set = pa.array(np.unique(ids).astype(np.int64), pa.int64())
+
+    def extract(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(id_col).cast(pa.int64()), value_set=id_set)
+        sel = batch.filter(mask)
+        if sel.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.float64()))})
+        V = _vectors(sel, vec_col)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sel_ids = sel.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(sel_ids, pa.int64()),
+                         "vec": pa.array([r.tolist() for r in Vn],
+                                         pa.list_(pa.float64()))})
+
+    rows = ds.map_batches(extract, batch_format="pyarrow", batch_size=None).take_all()
+    return {r[id_col]: np.asarray(r["vec"], dtype=np.float64) for r in rows}
+
+
 def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                             threshold: float = 0.95, n_planes: int = 8,
                             n_tables: int = 4, dim: int | None = None) -> pd.DataFrame:
@@ -383,12 +408,12 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_i
 
     Blocking: ``n_tables`` independent random-hyperplane signatures of
     ``n_planes`` bits; near-identical vectors collide in at least one
-    table w.h.p. Within-bucket verification is an exact numpy matmul.
+    table w.h.p. The band exchange ships IDS ONLY (24 B/row/table — the
+    vector itself never enters the shuffle); candidate vectors are
+    fetched in a second pruned pass and verified with exact dot products.
     Returns (id_a, id_b, cosine)."""
     n_shuffle = shuffle_partitions()
     n_buckets = n_shuffle * 16
-    rng = np.random.default_rng(42)
-    planes = None  # lazily sized from the first batch
 
     def make_planes(d):
         r = np.random.default_rng(42)
@@ -398,8 +423,7 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_i
         V = _vectors(batch, vec_col)
         n, d = V.shape
         ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        norms = np.linalg.norm(V, axis=1, keepdims=True)
-        Vn = V / np.maximum(norms, 1e-12)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         pls = make_planes(d)
         parts = []
         pow2 = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
@@ -409,46 +433,23 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_i
             with np.errstate(over="ignore"):
                 keyed = code * np.uint64(0x9E3779B97F4A7C15) + np.uint64(t_i)
             parts.append(pa.table({
-                "vid": pa.array(ids, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
                 "band_hash": pa.array(keyed.view(np.int64), pa.int64()),
                 "bucket": pa.array((keyed % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
-                "vec": pa.array([row.tolist() for row in Vn], pa.list_(pa.float64())),
             }))
         return pa.concat_tables(parts)
 
-    def bucket_verify(t: pa.Table) -> pa.Table:
-        bh = t.column("band_hash").to_numpy()
-        ids = t.column("vid").to_numpy(zero_copy_only=False)
-        V = _vectors(t, "vec")
-        order = np.argsort(bh, kind="stable")
-        bhs = bh[order]
-        starts = np.flatnonzero(np.concatenate([[True], bhs[1:] != bhs[:-1]]))
-        ends = np.concatenate([starts[1:], [bhs.size]])
-        a_o, b_o, c_o = [], [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            idx = order[s:e]
-            uniq_ids, first = np.unique(ids[idx], return_index=True)
-            if uniq_ids.size < 2:
-                continue
-            sub = V[idx[first]]
-            S = sub @ sub.T
-            ii, jj = np.triu_indices(uniq_ids.size, k=1)
-            hit = S[ii, jj] >= threshold
-            for i, j, c in zip(ii[hit], jj[hit], S[ii, jj][hit]):
-                a_o.append(int(uniq_ids[i]))
-                b_o.append(int(uniq_ids[j]))
-                c_o.append(round(float(c), 6))
-        return pa.table({"id_a": pa.array(a_o, pa.int64()),
-                         "id_b": pa.array(b_o, pa.int64()),
-                         "cosine": pa.array(c_o, pa.float64())})
-
-    rows = (ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
-            .groupby("bucket", num_partitions=n_shuffle)
-            .map_groups(bucket_verify, batch_format="pyarrow")
-            .to_pandas())
-    if rows.empty:
+    cand_ds = (ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+               .groupby("bucket", num_partitions=n_shuffle)
+               .map_groups(_bucket_pairs, batch_format="pyarrow"))
+    cands = _collect_colliding(cand_ds)
+    if not cands:
         return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
-    return (rows.drop_duplicates(["id_a", "id_b"])
-            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    ids = np.array(sorted({i for p in cands for i in p}), dtype=np.int64)
+    vecs = _candidate_vectors(ds, vec_col, id_col, ids)
+    rows = []
+    for a, b in sorted(cands):
+        c = float(vecs[a] @ vecs[b])
+        if c >= threshold:
+            rows.append((int(min(a, b)), int(max(a, b)), round(c, 6)))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])

@@ -34,15 +34,19 @@ def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
     epoch-aligned floor(ts / width). Returns (key, window_start, n, sum_v)."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native partial: no pandas detour, no schema metadata
         ts = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         win = (ts // (width_s * 1_000_000)) * (width_s * 1_000_000)
-        df = pd.DataFrame({key_col: batch.column(key_col).to_pandas(),
-                           "window_us": win,
-                           "v": batch.column(value_col).to_pandas()})
-        g = df.groupby([key_col, "window_us"], as_index=False).agg(
-            n=("v", "size"), sum_v=("v", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table({key_col: batch.column(key_col),
+                      "window_us": pa.array(win, pa.int64()),
+                      "v": batch.column(value_col)})
+        g = t.group_by([key_col, "window_us"]).aggregate(
+            [("v", "count", pc.CountOptions(mode="all")), ("v", "sum")])
+        return pa.table({key_col: g.column(key_col),
+                         "window_us": g.column("window_us"),
+                         "n": g.column("v_count").cast(pa.int64()),
+                         "sum_v": g.column("v_sum")})
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=None).to_pandas()

@@ -33,7 +33,7 @@ def _collect_small(right, columns: list[str] | None) -> pa.Table:
         raise ValueError(
             f"broadcast_join small side has {out.num_rows} rows — too large to "
             f"broadcast; use a co-group join (groupby(key).map_groups) instead")
-    return out
+    return out.replace_schema_metadata(None)  # keep joined schemas canonical
 
 
 def broadcast_join(ds, right, *, left_on: str | list[str],

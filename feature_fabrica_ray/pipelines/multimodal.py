@@ -37,10 +37,10 @@ def synth_media_table(sf_dir: str, media_type: str = "image"):
     """Deterministic media table derived from documents: payload = 8-byte
     width/height header + utf8 text bytes. Stands in for real encoded
     media so the plumbing is exercised end-to-end."""
-    import ray.data
+    from ..sources import read_parquet_clean
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
 
     def derive(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()

@@ -30,7 +30,8 @@ def topk_per_group(ds, group_cols: list[str], value_col: str, k: int,
                             + [not descending] + [True] * len(tiebreak_cols),
                             kind="mergesort")
         top = df.groupby(group_cols, as_index=False).head(k)
-        return pa.Table.from_pandas(top, preserve_index=False)
+        return pa.Table.from_pandas(top, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=None).to_pandas()

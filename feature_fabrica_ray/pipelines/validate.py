@@ -260,18 +260,69 @@ def merge_drift_states(states: list[dict]) -> dict:
     return out
 
 
-def _collect_parent_keys(parent) -> set:
-    """Small-side collection for the broadcast referential check. At true
-    scale swap in a Bloom filter / co-group join when the parent key set
-    stops fitting on the driver (documented scale path, SURVEY.md §2.4)."""
+def _parent_membership(parent, bloom_threshold: int,
+                       fp_rate: float = 1e-4) -> tuple[str, object]:
+    """Build the broadcastable membership structure for a referential
+    check WITHOUT materializing the parent key column on the driver.
+
+    Returns ``("set", keys)`` (plain broadcast set) or
+    ``("bloom", bloom_bytes)`` (scale path, SURVEY.md §2.4).
+
+    Dataset parents: one streaming pass emits, per block, an HLL partial
+    plus the block's distinct keys; the driver merges the KB-sized HLLs
+    to estimate global cardinality FIRST, and only unions the per-block
+    distinct lists when the estimate fits the plain broadcast. Otherwise
+    a second pass builds per-block partial Bloom filters of identical
+    geometry that OR-merge on the driver — the huge parent key set never
+    lands on the driver as rows on either path."""
+    from ..state import BloomFilter
+
     try:
         import ray.data
 
-        if isinstance(parent, ray.data.Dataset):
-            return set(r[parent.schema().names[0]] for r in parent.take_all())
+        is_ds = isinstance(parent, ray.data.Dataset)
     except ImportError:  # pragma: no cover
-        pass
-    return set(parent)
+        is_ds = False
+    if not is_ds:
+        keys = set(parent)
+        keys.discard(None)
+        if len(keys) <= bloom_threshold:
+            return "set", keys
+        return "bloom", BloomFilter(len(keys), fp_rate).add(sorted(keys)).to_bytes()
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        uniq = pc.unique(batch.column(0).combine_chunks().drop_null())
+        hll_b = HLL().add_column(uniq).to_bytes()
+        keys = pa.ListArray.from_arrays(
+            pa.array([0, len(uniq)], pa.int32()), uniq)
+        return pa.table({"hll": pa.array([hll_b], pa.binary()), "keys": keys})
+
+    rows = parent.map_batches(sketch, batch_format="pyarrow",
+                              batch_size=None).take_all()
+    if not rows:
+        return "set", set()
+    est = HLL.merge_bytes([r["hll"] for r in rows]).estimate()
+    if est <= bloom_threshold:
+        keys = set()
+        for r in rows:
+            keys.update(r["keys"])
+        keys.discard(None)
+        return "set", keys
+
+    # scale path: per-block partial Blooms, same geometry -> bitwise OR
+    n_est = int(est * 1.2) + 1024
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_est, fp_rate).add(batch.column(0).drop_null())
+        return pa.table({"bloom": pa.array([bf.to_bytes()], pa.binary())})
+
+    parts = parent.map_batches(partial_bloom, batch_format="pyarrow",
+                               batch_size=None).take_all()
+    bits = None
+    for r in parts:
+        b = np.frombuffer(r["bloom"][24:], np.uint64)
+        bits = b.copy() if bits is None else np.bitwise_or(bits, b)
+    return "bloom", bytes(parts[0]["bloom"][:24]) + bits.tobytes()
 
 
 def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
@@ -293,20 +344,17 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
             raise ValueError(f"referential check {rc.name}: parents[{rc.parent!r}] not given")
         if hasattr(parent, "select_columns"):
             parent = parent.select_columns([rc.parent_column])
-        keys = _collect_parent_keys(parent)
-        keys.discard(None)  # null parent keys are absent, not sort-crashers
-        if len(keys) > bloom_threshold:
+        kind, payload = _parent_membership(parent, bloom_threshold)
+        if kind == "bloom":
             # parent key set too large for a plain broadcast set: ship a
             # Bloom filter instead (false-positive rate 1e-4 — an orphan
             # slips with that probability; valid rows never flag)
             from ..checks.row_checks import BloomMembershipCheck
-            from ..state import BloomFilter
 
-            bloom = BloomFilter(len(keys)).add(sorted(keys))
-            mc = BloomMembershipCheck(rc.name, rc.column, bloom.to_bytes(),
+            mc = BloomMembershipCheck(rc.name, rc.column, payload,
                                       max_violation_rate=rc.max_violation_rate)
         else:
-            mc = MembershipCheck(rc.name, rc.column, keys,
+            mc = MembershipCheck(rc.name, rc.column, payload,
                                  max_violation_rate=rc.max_violation_rate)
         row_checks.append(mc)
 

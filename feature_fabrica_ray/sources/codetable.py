@@ -142,9 +142,11 @@ def read_codetable(sf_dir: str, replicate: int = 1, with_sha256: bool = True) ->
         raise ValueError(f"replicate must be >= 1, got {replicate}")
     from ..tuning import read_blocks
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "lang", "text"],
-                               override_num_blocks=read_blocks())
+    from .reader import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "text"],
+                            override_num_blocks=read_blocks())
     ds = ds.map_batches(lambda b: _derive_batch(b, replicate), batch_format="pyarrow", batch_size=None)
     if with_sha256:
         ds = ds.map_batches(add_content_sha256, batch_format="pyarrow", batch_size=None)
@@ -170,7 +172,9 @@ def read_repos(sf_dir: str) -> "ray.data.Dataset":
     cached = _REPOS_CACHE.get(sf_dir)
     if cached is not None:
         return ray.data.from_arrow(cached)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    from .reader import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def derive(batch: pa.Table) -> pa.Table:
         rid = np.unique(_repo_ids(batch.column("doc_id").to_numpy()))

@@ -253,8 +253,12 @@ class FeatureEngine:
                 from ..tuning import shuffle_partitions
                 ds = ds.groupby(key_col, num_partitions=shuffle_partitions()) \
                        .map_groups(per_group, batch_format="pandas")
-            ds = ds.map_batches(lambda b, t=tmp_in: b.drop_columns([t]),
-                                batch_format="pyarrow", batch_size=None)
+            # drop the temp input AND strip pandas schema metadata that the
+            # pandas map_groups round trip attaches (keeps schemas hashable
+            # for Ray's block-schema dedup)
+            ds = ds.map_batches(
+                lambda b, t=tmp_in: b.drop_columns([t]).replace_schema_metadata(None),
+                batch_format="pyarrow", batch_size=None)
             f.tree = _replace_node(f.tree, node, Ref(tmp_out, None))
             # tmp_out is a plain column now; drop it after the fused pass
             published.add(tmp_out)

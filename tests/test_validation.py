@@ -287,3 +287,26 @@ checks:
                   key_columns=["repo", "path"])
     g = r.global_verdicts().set_index("check")
     assert int(g.loc["referential:repo", "n_violations"]) == 1
+
+
+def test_referential_bloom_distributed_multiblock(ray_session):
+    """The Bloom scale path builds per-block partial filters merged by
+    bitwise OR — a multi-block parent must flag exactly the same orphans
+    as the exact broadcast set (no driver-side key materialization)."""
+    suite_r = CheckSuite("""
+checks:
+  - {type: referential, column: repo, parent: repos, parent_column: repo}
+""")
+    parent = read_repos(SF).repartition(8)   # force many partial Blooms
+    exact = run_suite(read_codetable(SF, with_sha256=False), suite_r,
+                      parents={"repos": parent}, num_partitions=8)
+    bloom = run_suite(read_codetable(SF, with_sha256=False), suite_r,
+                      parents={"repos": parent}, num_partitions=8,
+                      bloom_threshold=0)
+    ge = exact.global_verdicts().set_index("check")
+    gb = bloom.global_verdicts().set_index("check")
+    assert int(gb.loc["referential:repo", "n_violations"]) == \
+        int(ge.loc["referential:repo", "n_violations"]) > 0
+    ke = sorted(exact.violations["repo"])
+    kb = sorted(bloom.violations["repo"])
+    assert ke == kb
