@@ -890,19 +890,24 @@ def q_ss_ivf_topk(sf_dir: str):
 
 
 def q_mm_decode(sf_dir: str):
-    """Actor-pool binary decode: header fields are SQL-checkable (the
-    payload header derives from doc_id); body stats rows-only in pytest."""
+    """Actor-pool binary decode: header fields AND the body mean byte are
+    SQL-checkable (payload = u32 header from doc_id + utf8 text bytes);
+    entropy stays rows-only in pytest."""
     from feature_fabrica_ray.pipelines import decode_pipeline
 
     out = decode_pipeline(sf_dir, concurrency=4)
-    return _select(out, ["media_id", "media_type", "n_bytes", "width", "height"])
+    return _select(out, ["media_id", "media_type", "n_bytes", "width",
+                         "height", "mean_byte"])
 
 
 _MM_ORACLE = """
 SELECT doc_id AS media_id, 'image' AS media_type,
        8 + strlen(text) AS n_bytes,
        16 + doc_id % 64 AS width,
-       16 + (doc_id * 7) % 48 AS height
+       16 + (doc_id * 7) % 48 AS height,
+       CASE WHEN strlen(text) = 0 THEN 0.0 ELSE round(
+         list_aggregate(list_transform(split(text, ''), x -> ord(x)), 'sum')
+         / CAST(strlen(text) AS DOUBLE), 6) END AS mean_byte
 FROM documents
 """
 

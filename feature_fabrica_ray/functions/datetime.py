@@ -22,6 +22,13 @@ DAYS_OF_WEEK = ["monday", "tuesday", "wednesday", "thursday", "friday",
 
 _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "D": 86400, "W": 7 * 86400}
 
+# diff units relative to the engine's us-resolution timestamps
+# (reference accepts the full numpy range as..Y, datetime.py:46-47)
+_UNIT_DIV_US = {"us": 1, "ms": 1_000, "s": 1_000_000, "m": 60_000_000,
+                "h": 3_600_000_000, "D": 86_400_000_000,
+                "W": 7 * 86_400_000_000}
+_UNIT_MUL_US = {"ns": 1_000, "ps": 1_000_000, "fs": 10 ** 9, "as": 10 ** 12}
+
 
 def _to_ts(data) -> pa.Array:
     arr = as_arrow(data)
@@ -75,10 +82,13 @@ class DateTimeDifference(Transformation):
                 return pc.subtract(ly, ry)
             lm, rm = pc.month(left), pc.month(right)
             return pc.add(pc.multiply(pc.subtract(ly, ry), 12), pc.subtract(lm, rm))
-        if unit not in _UNIT_SECONDS:
-            raise TransformationError(f"unsupported compute_unit {unit!r}")
         diff_us = pc.cast(pc.subtract(left, right), pa.int64())
-        return pc.divide(diff_us, pa.scalar(_UNIT_SECONDS[unit] * 1_000_000, pa.int64()))
+        if unit in _UNIT_MUL_US:   # sub-microsecond: scale up (numpy parity;
+            # as/fs overflow int64 exactly where numpy's timedelta64 does)
+            return pc.multiply(diff_us, pa.scalar(_UNIT_MUL_US[unit], pa.int64()))
+        if unit not in _UNIT_DIV_US:
+            raise TransformationError(f"unsupported compute_unit {unit!r}")
+        return pc.divide(diff_us, pa.scalar(_UNIT_DIV_US[unit], pa.int64()))
 
 
 class _DateTimeShift(Transformation):

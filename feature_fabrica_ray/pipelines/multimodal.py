@@ -77,8 +77,6 @@ class DecodeImageFeatures:
             self._pil = Image
         except ImportError:
             self._pil = None
-        # deterministic fake-decode state (entropy LUT), built once per actor
-        self._log2 = np.log2(np.arange(1, 65536, dtype=np.float64))
 
     def _decode_real(self, payload: bytes):  # pragma: no cover
         raise NotImplementedError(
@@ -94,25 +92,47 @@ class DecodeImageFeatures:
         raw_off = np.frombuffer(payloads.buffers()[1], dtype=np.int32)
         off = raw_off[payloads.offset:payloads.offset + len(payloads) + 1].astype(np.int64)
         n = len(payloads)
+        if self._pil is not None:  # pragma: no cover
+            for i in range(n):
+                self._decode_real(buf[off[i]:off[i + 1]].tobytes())
+        lens = np.diff(off)
+        has_hdr = lens >= 8
+
+        # header parse, vectorized: gather the 8 header bytes of every
+        # headered row and combine little-endian
         widths = np.zeros(n, np.int64)
         heights = np.zeros(n, np.int64)
+        if has_hdr.any():
+            hpos = off[:-1][has_hdr][:, None] + np.arange(8)     # (m, 8)
+            hb = buf[hpos].astype(np.int64)                      # (m, 8)
+            sh = np.array([1, 1 << 8, 1 << 16, 1 << 24])
+            widths[has_hdr] = (hb[:, :4] * sh).sum(axis=1)
+            heights[has_hdr] = (hb[:, 4:] * sh).sum(axis=1)
+
+        # body stats, one pass over the flat buffer: mark header bytes via
+        # a delta/cumsum mask, then segmented mean (weighted bincount) and
+        # per-row 256-bin histograms (combined-index bincount) for entropy
+        delta = np.zeros(buf.size + 1, np.int64)
+        hs = off[:-1][has_hdr]
+        np.add.at(delta, hs, 1)
+        np.add.at(delta, hs + 8, -1)
+        is_body = np.cumsum(delta[:-1]) == 0
+        row_of = np.repeat(np.arange(n), lens)
+        body_row = row_of[is_body]
+        body_bytes = buf[is_body].astype(np.int64)
+        body_len = lens - 8 * has_hdr
+
         means = np.zeros(n, np.float64)
         ents = np.zeros(n, np.float64)
-        for i in range(n):  # header parse per row; body stats vectorized
-            s, e = off[i], off[i + 1]
-            if self._pil is not None:
-                self._decode_real(buf[s:e].tobytes())
-            if e - s >= 8:
-                widths[i] = int(buf[s:s + 4].view(np.uint32)[0])
-                heights[i] = int(buf[s + 4:s + 8].view(np.uint32)[0])
-                body = buf[s + 8:e]
-            else:
-                body = buf[s:e]
-            if body.size:
-                means[i] = float(body.mean())
-                counts = np.bincount(body, minlength=256)
-                p = counts[counts > 0] / body.size
-                ents[i] = float(-(p * np.log2(p)).sum())
+        nz = body_len > 0
+        if body_bytes.size:
+            sums = np.bincount(body_row, weights=body_bytes, minlength=n)
+            means[nz] = sums[nz] / body_len[nz]
+            counts = np.bincount(body_row * 256 + body_bytes,
+                                 minlength=n * 256).reshape(n, 256)
+            p = counts / np.maximum(body_len, 1)[:, None]
+            plogp = np.where(p > 0, p * np.log2(np.maximum(p, 1e-300)), 0.0)
+            ents[nz] = -plogp.sum(axis=1)[nz]
         out = batch.drop_columns(["payload"])
         out = out.append_column("width", pa.array(widths, pa.int64()))
         out = out.append_column("height", pa.array(heights, pa.int64()))
@@ -137,20 +157,39 @@ class DecodeAudioFeatures:
             self._sf = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column("payload").to_pylist()
-        n_samples = np.zeros(len(payloads), np.int64)
-        rms = np.zeros(len(payloads), np.float64)
-        zc = np.zeros(len(payloads), np.int64)
-        for i, p in enumerate(payloads):
-            if self._sf is not None:  # pragma: no cover
-                raise NotImplementedError(
-                    "real audio decoding requires soundfile; the fake PCM "
-                    "decoder below defines the contract")
-            pcm = np.frombuffer(p[8:], dtype=np.int8).astype(np.float64)
-            n_samples[i] = pcm.size
-            if pcm.size:
-                rms[i] = float(np.sqrt((pcm ** 2).mean()))
-                zc[i] = int((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).sum())
+        if self._sf is not None:  # pragma: no cover
+            raise NotImplementedError(
+                "real audio decoding requires soundfile; the fake PCM "
+                "decoder below defines the contract")
+        payloads = batch.column("payload")
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        buf = np.frombuffer(payloads.buffers()[2] or b"", dtype=np.uint8)
+        raw_off = np.frombuffer(payloads.buffers()[1], dtype=np.int32)
+        off = raw_off[payloads.offset:payloads.offset + len(payloads) + 1].astype(np.int64)
+        n = len(payloads)
+        lens = np.diff(off)
+        # fake PCM body = bytes after the 8-byte header, viewed as int8 —
+        # one flat segmented pass (weighted bincounts), no per-row loop
+        body_start = off[:-1] + np.minimum(lens, 8)
+        n_samples = np.maximum(lens - 8, 0)
+        row_of = np.repeat(np.arange(n), lens)
+        delta = np.zeros(buf.size + 1, np.int64)
+        np.add.at(delta, off[:-1], 1)
+        np.add.at(delta, body_start, -1)
+        is_body = np.cumsum(delta[:-1]) == 0
+        pcm = buf[is_body].view(np.int8).astype(np.float64)
+        pcm_row = row_of[is_body]
+        rms = np.zeros(n, np.float64)
+        zc = np.zeros(n, np.int64)
+        if pcm.size:
+            nz = n_samples > 0
+            sq = np.bincount(pcm_row, weights=pcm * pcm, minlength=n)
+            rms[nz] = np.sqrt(sq[nz] / n_samples[nz])
+            if pcm.size > 1:
+                flips = (np.signbit(pcm[1:]) != np.signbit(pcm[:-1])) \
+                    & (pcm_row[1:] == pcm_row[:-1])
+                zc = np.bincount(pcm_row[1:][flips], minlength=n).astype(np.int64)
         out = batch.drop_columns(["payload"])
         out = out.append_column("n_samples", pa.array(n_samples, pa.int64()))
         out = out.append_column("rms", pa.array(np.round(rms, 6), pa.float64()))

@@ -121,17 +121,49 @@ class FeatureEngine:
         invocation: group_reduce lowering rewrites trees and fit passes set
         fitted state, and neither may leak into the engine — 'compile once,
         run on any Dataset' means transform() is repeatable."""
+        ds, _ = self._execute(ds, select_groups, keep_input, lineage=False)
+        return ds
+
+    def transform_with_lineage(self, ds, select_groups: list[str] | None = None,
+                               keep_input: bool = True):
+        """``transform`` plus per-stage lineage (reference TNode parity:
+        models/data_struct.py:9-46, core.py:90-125 — per executed
+        transformation stage: wall time, shape, output digest).
+
+        Returns ``(dataset, lineage)`` where lineage has one row per
+        (level, feature): ``level, feature, n_rows, wall_s, digest`` —
+        the digest is an order-independent xor of per-row hash64 values,
+        comparable across parallelism levels. Materializes at each level
+        boundary to time it, so this is the observability mode (the
+        reference's ``log_transformation_chain=True`` analogue);
+        production runs use ``transform``."""
+        return self._execute(ds, select_groups, keep_input, lineage=True)
+
+    def _execute(self, ds, select_groups, keep_input, lineage: bool):
         import copy
+        import time
 
         features, levels = copy.deepcopy((self.features, self.levels))
         published = set(self._published)
         input_cols = list(ds.schema().names)
+        lin_rows: list[dict] = []
         for level, feats in levels.items():
+            t0 = time.perf_counter()
             ds = self._run_fit_passes(ds, feats)
             for f in [f for f in feats if self._root_shuffles(f)]:
                 ds = self._apply_group_reduce(ds, f, published)
             # after lowering, every feature has a pure tree -> one fused pass
             ds = self._fused_level_pass(ds, feats, features, published)
+            if lineage:
+                ds = ds.materialize()
+                wall = time.perf_counter() - t0
+                n_rows = ds.count()
+                digs = self._level_digests(ds, [f.name for f in feats])
+                for f in feats:
+                    lin_rows.append({"level": level, "feature": f.name,
+                                     "n_rows": n_rows,
+                                     "wall_s": round(wall, 6),
+                                     "digest": digs.get(f.name)})
         drop = list(published)
         if not keep_input:
             drop += [c for c in input_cols if c not in features]
@@ -143,7 +175,34 @@ class FeatureEngine:
             ds = ds.map_batches(
                 lambda b, d=tuple(drop): b.drop_columns([c for c in d if c in b.column_names]),
                 batch_format="pyarrow", batch_size=None)
-        return ds
+        return ds, (pd.DataFrame(lin_rows) if lineage else None)
+
+    def _level_digests(self, ds, names: list[str]) -> dict[str, int]:
+        """Order-independent xor-of-hash64 digest per feature column:
+        per-batch partials xor-merge on the driver (KB-sized exchange)."""
+        from ..state import hash64
+
+        def partial(batch: pa.Table) -> pa.Table:
+            out = {}
+            for nm in names:
+                if nm not in batch.column_names:
+                    continue
+                col = batch.column(nm)
+                try:
+                    h = hash64(col)
+                except Exception:
+                    h = hash64(col.cast(pa.string()))
+                acc = np.bitwise_xor.reduce(h) if h.size else np.uint64(0)
+                out[nm] = [int(acc.astype(np.int64))]
+            return pa.table(out)
+
+        rows = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None).take_all()
+        digs: dict[str, int] = {}
+        for r in rows:
+            for nm, v in r.items():
+                digs[nm] = digs.get(nm, 0) ^ (int(v) & ((1 << 64) - 1))
+        return digs
 
     # -- fit passes ----------------------------------------------------
     def _run_fit_passes(self, ds, feats: list[CompiledFeature]):

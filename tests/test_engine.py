@@ -348,3 +348,41 @@ z:
     v = np.array(d2["x"])
     np.testing.assert_allclose(out2["z"].to_numpy(), (v - v.mean()) / v.std(),
                                rtol=1e-12)
+
+
+def test_transform_with_lineage(ray_session):
+    """Per-stage lineage (reference TNode parity): one row per
+    (level, feature) with wall time, shape, and an order-independent
+    output digest that is invariant to input partitioning."""
+    spec = """
+a: {description: input a, data_type: float64}
+b:
+  description: a scaled
+  data_type: float64
+  dependencies: [a]
+  transformation: "(a).scale(factor=2)"
+c:
+  description: b plus one
+  data_type: float64
+  dependencies: [b]
+  transformation: "(b) + 1"
+"""
+    eng = FeatureEngine(spec)
+    d = {"a": [1.0, 2.0, 3.0, 4.0]}
+    out, lin = eng.transform_with_lineage(_ds(d))
+    df = out.to_pandas().sort_values("a").reset_index(drop=True)
+    assert df["c"].tolist() == [3.0, 5.0, 7.0, 9.0]
+    # one lineage row per feature, shaped and timed
+    assert set(lin["feature"]) == {"a", "b", "c"}
+    assert (lin["n_rows"] == 4).all()
+    assert (lin["wall_s"] >= 0).all()
+    assert lin["digest"].notna().all()
+    # digests are partition-invariant (xor of row hashes)
+    _, lin2 = eng.transform_with_lineage(_ds(d).repartition(3))
+    m1 = lin.set_index("feature")["digest"]
+    m2 = lin2.set_index("feature")["digest"]
+    for f in ["a", "b", "c"]:
+        assert m1[f] == m2[f]
+    # plain transform unchanged by the refactor
+    out2 = eng.transform(_ds(d)).to_pandas().sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(df, out2)

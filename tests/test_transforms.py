@@ -260,3 +260,20 @@ def test_datetime_diff_month_year_units():
     assert months.to_pylist() == [14, -2]
     years = DateTimeDifference(initial_date="2000-01-01", compute_unit="Y").execute(ts)
     assert years.to_pylist() == [1, -1]
+
+
+def test_datetime_diff_subsecond_units():
+    """Reference accepts the full numpy unit range as..Y
+    (reference transform/datetime.py:46-47): sub-second diffs must match
+    numpy's timedelta64 astype semantics on us-resolution timestamps."""
+    import numpy as np
+    ts = pa.array(["2023-01-01T00:00:01.234567",
+                   "2023-01-01T00:00:00.000001"]).cast(pa.timestamp("us"))
+    base = np.datetime64("2023-01-01T00:00:00", "us")
+    np_ts = np.array(["2023-01-01T00:00:01.234567",
+                      "2023-01-01T00:00:00.000001"], dtype="datetime64[us]")
+    for unit in ["ms", "us", "ns"]:
+        out = run(DateTimeDifference(initial_date="2023-01-01T00:00:00",
+                                     compute_unit=unit), ts)
+        expect = (np_ts - base).astype(f"timedelta64[{unit}]").astype(np.int64)
+        assert lst(out) == expect.tolist(), unit
