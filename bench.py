@@ -105,8 +105,7 @@ def bench_sha256() -> tuple[float, int]:
 
 
 def bench_transform() -> tuple[float, int]:
-    import ray.data
-
+    from feature_fabrica_ray.sources import read_parquet_clean
     from feature_fabrica_ray.stages import FeatureEngine
 
     spec = """
@@ -128,7 +127,7 @@ ratio:
   dependencies: [l_extendedprice, l_quantity]
   transformation: "(l_extendedprice / l_quantity)"
 """
-    ds = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet",
+    ds = read_parquet_clean(f"{SF_DIR}/lineitem.parquet",
                                columns=["l_quantity", "l_extendedprice"])
     t0 = time.perf_counter()
     n = _consume(FeatureEngine(spec).transform(ds))
@@ -136,8 +135,7 @@ ratio:
 
 
 def bench_group_reduce() -> tuple[float, int]:
-    import ray.data
-
+    from feature_fabrica_ray.sources import read_parquet_clean
     from feature_fabrica_ray.stages import FeatureEngine
 
     spec = """
@@ -149,7 +147,7 @@ qty_flag_mean:
   dependencies: [l_returnflag, l_quantity]
   transformation: "(l_quantity).group_reduce(key_feature=l_returnflag, agg=mean)"
 """
-    ds = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet",
+    ds = read_parquet_clean(f"{SF_DIR}/lineitem.parquet",
                                columns=["l_returnflag", "l_quantity"])
     t0 = time.perf_counter()
     n = _consume(FeatureEngine(spec).transform(ds))
@@ -157,11 +155,11 @@ qty_flag_mean:
 
 
 def bench_minhash() -> tuple[float, int]:
-    import ray.data
+    from feature_fabrica_ray.sources import read_parquet_clean
 
     from feature_fabrica_ray.pipelines import minhash_lsh_pairs
 
-    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+    ds = read_parquet_clean(f"{SF_DIR}/documents.parquet",
                                columns=["doc_id", "text"])
     t0 = time.perf_counter()
     pairs = minhash_lsh_pairs(ds, threshold=0.5)
@@ -169,11 +167,11 @@ def bench_minhash() -> tuple[float, int]:
 
 
 def bench_window() -> tuple[float, int]:
-    import ray.data
+    from feature_fabrica_ray.sources import read_parquet_clean
 
     from feature_fabrica_ray.pipelines import tumbling_window_agg
 
-    ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet",
+    ds = read_parquet_clean(f"{SF_DIR}/events.parquet",
                                columns=["ts", "user_id", "value"])
     t0 = time.perf_counter()
     out = tumbling_window_agg(ds, "ts", "user_id", "value", width_s=3600)
@@ -181,11 +179,11 @@ def bench_window() -> tuple[float, int]:
 
 
 def bench_sessionize() -> tuple[float, int]:
-    import ray.data
+    from feature_fabrica_ray.sources import read_parquet_clean
 
     from feature_fabrica_ray.pipelines import sessionize
 
-    ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet",
+    ds = read_parquet_clean(f"{SF_DIR}/events.parquet",
                                columns=["event_id", "ts", "user_id", "value"])
     t0 = time.perf_counter()
     out = sessionize(ds, "ts", "user_id", "value", "event_id")
