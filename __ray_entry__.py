@@ -684,6 +684,44 @@ GROUP BY o_orderpriority
 """
 
 
+def q_jn_asof(sf_dir: str):
+    """Co-group AS-OF join (custom operator, SURVEY §2.4 extension): each
+    'view' event matched to the same user's most recent 'click' at or
+    before it — ONE hash shuffle of the tagged union of both sides, then
+    a vectorized per-key searchsorted (pipelines/asof.py). Inner-matched
+    rows compared against DuckDB's native ASOF JOIN."""
+    from feature_fabrica_ray.pipelines import asof_join
+
+    def typed(et, cols):
+        ds = read_parquet_clean(
+            f"{sf_dir}/events.parquet",
+            columns=list(dict.fromkeys(cols + ["event_type"])))
+        return ds.map_batches(
+            lambda b, e=et, c=tuple(cols): b.filter(
+                pc.equal(b.column("event_type"), e)).select(list(c)),
+            batch_format="pyarrow", batch_size=None)
+
+    left = typed("view", ["event_id", "ts", "user_id"])
+    right = typed("click", ["user_id", "ts", "value"])
+    out = asof_join(left, right, on="ts", by="user_id", right_cols=["value"])
+
+    def fin(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("value")))
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "click_value": t.column("value")})
+
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+_ASOF_ORACLE = """
+SELECT l.event_id, l.user_id, r.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'view') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipelines (text analysis, dedup, similarity, multimodal)
 # ---------------------------------------------------------------------------
@@ -835,6 +873,28 @@ def q_dd_minhash(sf_dir: str):
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_dd_minhash_distributed(sf_dir: str):
+    """Dup-heavy-corpus MinHash path: pairs + shingles stay distributed
+    (Bloom-pruned co-group verify) — pytest asserts exact equality with
+    the driver-verify form; rows-only here."""
+    from feature_fabrica_ray.pipelines import minhash_lsh_pairs_distributed
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return minhash_lsh_pairs_distributed(ds, threshold=0.5)
+
+
+def q_dd_neardup_rows(sf_dir: str):
+    """Keep-one-per-near-dup-cluster (union-find over verified LSH pairs,
+    broadcast drop set): returns surviving (doc_id) rows; rows-only
+    (heuristic blocking has no SQL oracle)."""
+    from feature_fabrica_ray.pipelines import neardup_dedup_rows
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return _select(neardup_dedup_rows(ds, threshold=0.5), ["doc_id"])
 
 
 def q_dd_simhash(sf_dir: str):
@@ -1055,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_encoders": q_ft_encoders,
         "agg_q1": q_agg_q1,
         "jn_priority": q_jn_priority,
+        "jn_asof": q_jn_asof,
         "vl_drift": q_vl_drift,
         "ta_textstats": q_ta_textstats,
         "ta_quality": q_ta_quality,
@@ -1063,6 +1124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_dedup_rows": q_dd_dedup_rows,
         "agg_topk": q_agg_topk,
         "dd_minhash": q_dd_minhash,
+        "dd_minhash_distributed": q_dd_minhash_distributed,
+        "dd_neardup_rows": q_dd_neardup_rows,
         "dd_simhash": q_dd_simhash,
         "ss_cosine_topk": q_ss_cosine_topk,
         "ss_ivf_topk": q_ss_ivf_topk,
@@ -1092,6 +1155,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_encoders": _ENCODER_ORACLE,
         "agg_q1": _Q1_ORACLE,
         "jn_priority": _JOIN_ORACLE,
+        "jn_asof": _ASOF_ORACLE,
         "ta_textstats": _TEXTSTATS_ORACLE,
         "ta_quality": _QUALITY_ORACLE,
         # ta_langid_fingerprint: heuristic -> rows-only (pytest goldens)

@@ -1,13 +1,15 @@
 """End-to-end pipelines: validation suite runner, uniqueness shuffle,
 dedup, similarity search, text analysis."""
 
+from .asof import asof_join, asof_join_broadcast
 from .checkpoint import codetable_shards, merge_results, validate_resumable
 from .events import extract_json_int, sessionize, tumbling_window_agg
 from .drift_actor import DriftSketchActor, drift_report
 from .join import broadcast_join
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
-                    exact_dedup_rows, minhash_lsh_pairs, ngram_jaccard,
-                    simhash_pairs)
+                    exact_dedup_rows, minhash_lsh_pairs,
+                    minhash_lsh_pairs_distributed, neardup_clusters,
+                    neardup_dedup_rows, ngram_jaccard, simhash_pairs)
 from .multimodal import DecodeImageFeatures, FrameSampler, decode_pipeline
 from .sampling import hash_sample
 from .similarity import cosine_topk, fit_centroids, ivf_topk
@@ -29,4 +31,6 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "validate_resumable", "merge_results", "codetable_shards",
            "broadcast_join", "write_validated", "drift_report", "DriftSketchActor",
            "tumbling_window_agg", "sessionize", "extract_json_int",
-           "profile_table", "hash_sample"]
+           "profile_table", "hash_sample", "asof_join", "asof_join_broadcast",
+           "minhash_lsh_pairs_distributed", "neardup_clusters",
+           "neardup_dedup_rows"]

@@ -32,7 +32,9 @@ from ..state import combine_hashes, hash64, hash64_multi
 from ..tuning import shuffle_partitions
 from .textstats import kgram_hashes
 
-__all__ = ["exact_dedup_counts", "minhash_lsh_pairs", "simhash_pairs",
+__all__ = ["exact_dedup_counts", "minhash_lsh_pairs",
+           "minhash_lsh_pairs_distributed", "neardup_clusters",
+           "neardup_dedup_rows", "simhash_pairs",
            "ngram_jaccard", "embedding_neardup_pairs", "minhash_signatures",
            "simhash_signatures"]
 
@@ -270,6 +272,227 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         if j >= threshold:
             rows.append((int(min(a, b)), int(max(a, b)), round(float(j), 6)))
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+def neardup_clusters(pairs: pd.DataFrame) -> dict[int, int]:
+    """Union-find over verified near-dup pairs -> {doc_id: cluster_rep}
+    (rep = min id in the connected component). Pairs are the verified
+    near-dup OUTPUT — small under the rare-dup assumption — so the
+    union-find runs driver-side (the standard final step after a
+    distributed pair generation)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:    # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes: set[int] = set()
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        a, b = int(a), int(b)
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in nodes}
+
+
+def neardup_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id",
+                       threshold: float = 0.5, pairs: pd.DataFrame | None = None,
+                       **lsh_kw):
+    """Keep ONE representative (min id) per near-duplicate cluster.
+
+    MinHash+LSH pairs -> union-find clusters -> the (small) non-
+    representative id set broadcasts into a membership filter; the big
+    side streams through untouched — same shape as exact_dedup_rows.
+    Pass precomputed ``pairs`` to reuse an existing LSH run."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold,
+                                  **lsh_kw)
+    reps = neardup_clusters(pairs)
+    drop = np.array(sorted(x for x, r in reps.items() if r != x), np.int64)
+    if drop.size == 0:
+        return ds
+    drop_set = pa.array(drop, pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        return batch.filter(pc.invert(pc.is_in(ids, value_set=drop_set)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def minhash_lsh_pairs_distributed(ds, text_col: str = "text",
+                                  id_col: str = "doc_id", num_perm: int = 64,
+                                  bands: int = 16, k: int = 5,
+                                  threshold: float = 0.5):
+    """The dup-heavy-corpus form of ``minhash_lsh_pairs``: candidate
+    pairs and shingle payloads NEVER collect to the driver.
+
+    - band exchange (ids only) -> distinct candidate pairs via a keyed
+      groupby (stays distributed);
+    - a Bloom filter of candidate ids (built from per-block partial
+      filters, OR-merged — MB-sized regardless of pair count) prunes the
+      shingle-extraction pass;
+    - shingle lists co-group with pairs in two keyed shuffles (attach
+      side A, then side B), exact Jaccard verified inside map_groups.
+
+    Returns a Dataset (id_a, id_b, jaccard). The driver only ever holds
+    the Bloom filter, not pairs or shingles."""
+    from ..state import BloomFilter
+
+    n_shuffle = shuffle_partitions()
+    n_buckets = n_shuffle * 16
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(batch.column(text_col), num_perm=num_perm, k=k)
+        bh = _band_hashes(sig, bands)
+        n = sig.shape[1]
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        band_ids = np.repeat(np.arange(bands, dtype=np.uint64), n)
+        flat = bh.reshape(-1)
+        with np.errstate(over="ignore"):
+            keyed = flat * np.uint64(0x9E3779B97F4A7C15) + band_ids
+        return pa.table({
+            "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
+            "band_hash": pa.array(keyed.view(np.int64), pa.int64()),
+            "bucket": pa.array((keyed % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+        })
+
+    pairs_ds = (ds.map_batches(emit_bands, batch_format="pyarrow", batch_size=None)
+                .groupby("bucket", num_partitions=n_shuffle)
+                .map_groups(_bucket_pairs, batch_format="pyarrow")
+                .groupby(["id_a", "id_b"], num_partitions=n_shuffle)
+                .count()
+                .map_batches(lambda b: b.select(["id_a", "id_b"]),
+                             batch_format="pyarrow", batch_size=None)
+                .materialize())
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}))
+
+    # candidate-id Bloom from per-block partial filters (same geometry ->
+    # bitwise OR; false positives only add pruned-pass rows, never pairs)
+    n_est = 2 * n_pairs + 1024
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_est, 1e-4)
+        bf.add(batch.column("id_a"))
+        bf.add(batch.column("id_b"))
+        return pa.table({"bloom": pa.array([bf.to_bytes()], pa.binary())})
+
+    parts = pairs_ds.map_batches(partial_bloom, batch_format="pyarrow",
+                                 batch_size=None).take_all()
+    bits = None
+    for r in parts:
+        b = np.frombuffer(r["bloom"][24:], np.uint64)
+        bits = b.copy() if bits is None else np.bitwise_or(bits, b)
+    bloom_bytes = bytes(parts[0]["bloom"][:24]) + bits.tobytes()
+
+    def extract_shingles(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter.from_bytes(bloom_bytes)
+        ids = batch.column(id_col).cast(pa.int64())
+        sel = batch.filter(pa.array(bf.contains(ids)))
+        if sel.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.list_(pa.int64()))})
+        h, row_of = kgram_hashes(sel.column(text_col), k=k)
+        sel_ids = sel.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lists = [np.unique(h[row_of == r]).view(np.int64).tolist()
+                 for r in range(sel.num_rows)]
+        return pa.table({"key": pa.array(sel_ids, pa.int64()),
+                         "sh": pa.array(lists, pa.list_(pa.int64()))})
+
+    shingles = ds.map_batches(extract_shingles, batch_format="pyarrow",
+                              batch_size=None)
+
+    def attach(side_col: str, carry: list[str]):
+        """One keyed co-group: pair rows pick up the shingle list of
+        their ``side_col`` id."""
+        def tag_pairs(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {"key": batch.column(side_col).cast(pa.int64()),
+                    "id_a": batch.column("id_a"), "id_b": batch.column("id_b"),
+                    "sh": pa.nulls(n, pa.list_(pa.int64())),
+                    "side": pa.array(np.ones(n, np.int8))}
+            for c in carry:
+                cols[c] = batch.column(c)
+            return pa.table(cols)
+
+        def tag_shingles(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {"key": batch.column("key"),
+                    "id_a": pa.nulls(n, pa.int64()),
+                    "id_b": pa.nulls(n, pa.int64()),
+                    "sh": batch.column("sh"),
+                    "side": pa.array(np.zeros(n, np.int8))}
+            for c in carry:
+                cols[c] = pa.nulls(n, pa.list_(pa.int64()))
+            return pa.table(cols)
+
+        return tag_pairs, tag_shingles
+
+    def join_side(pairs_in, side_col: str, out_col: str, carry: list[str]):
+        tag_pairs, tag_shingles = attach(side_col, carry)
+        tagged = pairs_in.map_batches(tag_pairs, batch_format="pyarrow",
+                                      batch_size=None).union(
+            shingles.map_batches(tag_shingles, batch_format="pyarrow",
+                                 batch_size=None))
+
+        def per_key(t: pa.Table) -> pa.Table:
+            side = t.column("side").to_numpy(zero_copy_only=False)
+            sh_rows = t.filter(pa.array(side == 0))
+            pr = t.filter(pa.array(side == 1))
+            if pr.num_rows == 0:
+                out = {"id_a": pa.array([], pa.int64()),
+                       "id_b": pa.array([], pa.int64()),
+                       out_col: pa.array([], pa.list_(pa.int64()))}
+                for c in carry:
+                    out[c] = pa.array([], pa.list_(pa.int64()))
+                return pa.table(out)
+            sh = (sh_rows.column("sh")[0] if sh_rows.num_rows else
+                  pa.scalar([], pa.list_(pa.int64())))
+            out = {"id_a": pr.column("id_a"), "id_b": pr.column("id_b"),
+                   out_col: pa.array([sh.as_py()] * pr.num_rows,
+                                     pa.list_(pa.int64()))}
+            for c in carry:
+                out[c] = pr.column(c)
+            return pa.table(out)
+
+        return tagged.groupby("key", num_partitions=n_shuffle) \
+            .map_groups(per_key, batch_format="pyarrow")
+
+    with_a = join_side(pairs_ds, "id_a", "sh_a", [])
+    with_ab = join_side(with_a, "id_b", "sh_b", ["sh_a"])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b_ids = batch.column("id_b").to_numpy(zero_copy_only=False)
+        sh_a = batch.column("sh_a").to_pylist()
+        sh_b = batch.column("sh_b").to_pylist()
+        rows = []
+        for i in range(len(batch)):    # per candidate PAIR (output scale)
+            j = ngram_jaccard(np.asarray(sh_a[i], np.int64),
+                              np.asarray(sh_b[i], np.int64))
+            if j >= threshold:
+                rows.append((int(min(a_ids[i], b_ids[i])),
+                             int(max(a_ids[i], b_ids[i])), round(float(j), 6)))
+        rows.sort()
+        return pa.table({"id_a": pa.array([r[0] for r in rows], pa.int64()),
+                         "id_b": pa.array([r[1] for r in rows], pa.int64()),
+                         "jaccard": pa.array([r[2] for r in rows], pa.float64())})
+
+    return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------

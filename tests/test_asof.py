@@ -1,0 +1,80 @@
+"""As-of join: both physical forms (broadcast map-side, co-group
+shuffle) must agree with pandas merge_asof exactly, including forward
+direction and tolerance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from feature_fabrica_ray.pipelines import asof_join, asof_join_broadcast
+
+
+def _fixture(seed=3, n_l=400, n_r=150, keys=12):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "lid": np.arange(n_l),
+        "k": rng.integers(0, keys, n_l),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10 ** 6, n_l), unit="s"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, keys, n_r),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10 ** 6, n_r), unit="s"),
+        "rv": rng.random(n_r).round(3),
+    })
+    return left, right
+
+
+def _expected(left, right, direction="backward", tolerance=None):
+    kw = {"tolerance": pd.Timedelta(microseconds=tolerance)} if tolerance else {}
+    return pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                         on="ts", by="k", direction=direction, **kw) \
+        .sort_values("lid")["rv"].to_numpy()
+
+
+def _nan_eq(a, b):
+    return bool(((np.isnan(a) & np.isnan(b)) | (a == b)).all())
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_both_forms_match_pandas(ray_session, direction):
+    left, right = _fixture()
+    lds = ray.data.from_pandas(left).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(3)
+    exp = _expected(left, right, direction)
+    bc = asof_join_broadcast(lds, rds, on="ts", by="k", right_cols=["rv"],
+                             direction=direction) \
+        .to_pandas().sort_values("lid")["rv"].to_numpy()
+    cg = asof_join(lds, rds, on="ts", by="k", right_cols=["rv"],
+                   direction=direction) \
+        .to_pandas().sort_values("lid")["rv"].to_numpy()
+    assert _nan_eq(exp, bc)
+    assert _nan_eq(exp, cg)
+
+
+def test_asof_tolerance(ray_session):
+    left, right = _fixture(seed=9)
+    tol = 50_000 * 1_000_000  # 50k seconds, in us
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+    exp = _expected(left, right, "backward", tolerance=tol)
+    bc = asof_join_broadcast(lds, rds, on="ts", by="k", right_cols=["rv"],
+                             tolerance_us=tol) \
+        .to_pandas().sort_values("lid")["rv"].to_numpy()
+    assert np.isnan(exp).any()          # tolerance actually drops matches
+    assert _nan_eq(exp, bc)
+
+
+def test_asof_unmatched_key_and_empty_right_group(ray_session):
+    left = pd.DataFrame({"lid": [0, 1], "k": [99, 1],
+                         "ts": pd.to_datetime(["2024-01-02", "2024-01-02"])})
+    right = pd.DataFrame({"k": [1], "ts": pd.to_datetime(["2024-01-01"]),
+                          "rv": [7.0]})
+    out = asof_join_broadcast(ray.data.from_pandas(left),
+                              ray.data.from_pandas(right),
+                              on="ts", by="k", right_cols=["rv"]) \
+        .to_pandas().set_index("lid")
+    assert np.isnan(out.loc[0, "rv"])
+    assert out.loc[1, "rv"] == 7.0

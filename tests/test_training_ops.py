@@ -366,3 +366,49 @@ def test_fingerprint_empty_doc_batch_invariance(ray_session):
     import pyarrow as pa
     h, r = kgram_hashes(pa.array(["", ""]))
     assert len(h) == 0 and len(r) == 0
+
+
+def test_minhash_distributed_equals_driver(ray_session):
+    """The dup-heavy scale path (pairs/shingles never collect to the
+    driver) must produce exactly the driver version's verified pairs,
+    and be partition-invariant."""
+    from feature_fabrica_ray.pipelines import minhash_lsh_pairs_distributed
+
+    drv = minhash_lsh_pairs(_ds(_neardup_df()), threshold=0.5)
+    dst = minhash_lsh_pairs_distributed(_ds(_neardup_df(), blocks=4),
+                                        threshold=0.5).to_pandas()
+    key = lambda df: sorted(map(tuple,
+                                df[["id_a", "id_b", "jaccard"]].values.tolist()))
+    assert key(drv) == key(dst)
+    dst1 = minhash_lsh_pairs_distributed(_ds(_neardup_df(), blocks=1),
+                                         threshold=0.5).to_pandas()
+    assert key(dst1) == key(dst)
+
+
+def test_minhash_distributed_no_pairs(ray_session):
+    from feature_fabrica_ray.pipelines import minhash_lsh_pairs_distributed
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["first completely different words here",
+                                "zebra quagga okapi gnu eland bongo kudu"]})
+    out = minhash_lsh_pairs_distributed(_ds(df), threshold=0.5).to_pandas()
+    assert len(out) == 0
+
+
+def test_neardup_dedup_rows_keeps_cluster_representative(ray_session):
+    """Union-find clustering: each near-dup cluster keeps only its min
+    id; unique docs are untouched."""
+    from feature_fabrica_ray.pipelines import (neardup_clusters,
+                                               neardup_dedup_rows)
+
+    df = _neardup_df()
+    out = neardup_dedup_rows(_ds(df, blocks=3), threshold=0.5).to_pandas()
+    ids = set(out["doc_id"])
+    for i in range(5):
+        assert i in ids            # representative (min id) survives
+        assert 100 + i not in ids  # its near-dup is dropped
+    assert set(range(5, 30)) <= ids
+    # transitive clusters: a-b and b-c merge into one component
+    pairs = pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]})
+    reps = neardup_clusters(pairs)
+    assert reps[1] == reps[2] == reps[3] == 1
