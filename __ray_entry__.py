@@ -722,6 +722,81 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
 """
 
 
+def q_jn_range(sf_dir: str) -> pd.DataFrame:
+    """Broadcast RANGE join (custom operator): each lineitem matched to
+    the quantity band whose [lo, hi) contains it — sorted band table
+    broadcast once, vectorized searchsorted per block, zero shuffle —
+    then a per-band partial-agg rollup."""
+    from feature_fabrica_ray.pipelines import broadcast_range_join
+
+    bands = pa.table({"band": ["low", "mid", "high"],
+                      "lo": [0.0, 10.0, 25.0],
+                      "hi": [10.0, 25.0, 100.0]})
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity"])
+    joined = broadcast_range_join(ds, bands, value_col="l_quantity",
+                                  how="inner")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("band").aggregate(
+            [("l_quantity", "count", pc.CountOptions(mode="all")),
+             ("l_quantity", "sum")])
+        return pa.table({"band": g.column("band"),
+                         "cnt": g.column("l_quantity_count").cast(pa.int64()),
+                         "sum_qty": g.column("l_quantity_sum")})
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    out = parts.groupby("band", as_index=False).agg(
+        cnt=("cnt", "sum"), sum_qty=("sum_qty", "sum"))
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["band", "cnt", "sum_qty"]]
+
+
+_RANGE_ORACLE = """
+WITH bands(band, lo, hi) AS (VALUES ('low', 0, 10), ('mid', 10, 25),
+                                    ('high', 25, 100))
+SELECT band, count(*) AS cnt, sum(l_quantity) AS sum_qty
+FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band
+"""
+
+
+def q_agg_sort_limit(sf_dir: str):
+    """Ray Data's distributed sort + limit (§2.6): global top-100
+    lineitems by extended price with deterministic tiebreaks."""
+    cols = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=cols)
+    out = ds.sort(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                  descending=[True, False, False]).limit(100)
+    return _select(out, cols)
+
+
+_SORT_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def q_ta_vocab(sf_dir: str):
+    """Corpus vocabulary build: per-token tf (occurrences) and df
+    (containing docs) via the combiner pattern — per-block Arrow
+    two-level group_by partials, one keyed groupby over distinct tokens."""
+    from feature_fabrica_ray.pipelines import token_counts
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return token_counts(ds)
+
+
+_VOCAB_ORACLE = r"""
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+      FROM documents)
+WHERE token <> '' GROUP BY token
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipelines (text analysis, dedup, similarity, multimodal)
 # ---------------------------------------------------------------------------
@@ -1116,6 +1191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_q1": q_agg_q1,
         "jn_priority": q_jn_priority,
         "jn_asof": q_jn_asof,
+        "jn_range": q_jn_range,
+        "agg_sort_limit": q_agg_sort_limit,
+        "ta_vocab": q_ta_vocab,
         "vl_drift": q_vl_drift,
         "ta_textstats": q_ta_textstats,
         "ta_quality": q_ta_quality,
@@ -1156,6 +1234,9 @@ def oracle_sql() -> dict[str, str]:
         "agg_q1": _Q1_ORACLE,
         "jn_priority": _JOIN_ORACLE,
         "jn_asof": _ASOF_ORACLE,
+        "jn_range": _RANGE_ORACLE,
+        "agg_sort_limit": _SORT_ORACLE,
+        "ta_vocab": _VOCAB_ORACLE,
         "ta_textstats": _TEXTSTATS_ORACLE,
         "ta_quality": _QUALITY_ORACLE,
         # ta_langid_fingerprint: heuristic -> rows-only (pytest goldens)

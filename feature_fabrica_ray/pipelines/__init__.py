@@ -5,7 +5,7 @@ from .asof import asof_join, asof_join_broadcast
 from .checkpoint import codetable_shards, merge_results, validate_resumable
 from .events import extract_json_int, sessionize, tumbling_window_agg
 from .drift_actor import DriftSketchActor, drift_report
-from .join import broadcast_join
+from .join import broadcast_join, broadcast_range_join
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
                     exact_dedup_rows, minhash_lsh_pairs,
                     minhash_lsh_pairs_distributed, neardup_clusters,
@@ -13,7 +13,8 @@ from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
 from .multimodal import DecodeImageFeatures, FrameSampler, decode_pipeline
 from .sampling import hash_sample
 from .similarity import cosine_topk, fit_centroids, ivf_topk
-from .textstats import add_fingerprint, add_lang_id, add_quality, text_stats
+from .textstats import (add_fingerprint, add_lang_id, add_quality,
+                        text_stats, token_counts)
 from .topk import topk_per_group
 from .uniqueness import uniqueness_violations
 from .writer import write_validated
@@ -33,4 +34,4 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "tumbling_window_agg", "sessionize", "extract_json_int",
            "profile_table", "hash_sample", "asof_join", "asof_join_broadcast",
            "minhash_lsh_pairs_distributed", "neardup_clusters",
-           "neardup_dedup_rows"]
+           "neardup_dedup_rows", "broadcast_range_join", "token_counts"]

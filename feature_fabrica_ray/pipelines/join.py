@@ -11,9 +11,11 @@ the small side stays small."""
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-__all__ = ["broadcast_join"]
+__all__ = ["broadcast_join", "broadcast_range_join"]
 
 _MAX_BROADCAST_ROWS = 5_000_000  # guard: a "small side" must actually be small
 
@@ -56,5 +58,51 @@ def broadcast_join(ds, right, *, left_on: str | list[str],
         rt = ray.get(ref)
         return batch.join(rt, keys=left_keys, right_keys=right_keys,
                           join_type=how)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def broadcast_range_join(ds, bands, *, value_col: str, lo_col: str = "lo",
+                         hi_col: str = "hi", how: str = "left"):
+    """Map-side RANGE join: each row matched to the band whose
+    ``[lo, hi)`` interval contains ``value_col`` (bands must be
+    non-overlapping). The band table is dimension-sized: sorted once on
+    the driver, broadcast, and every block resolves membership with one
+    vectorized searchsorted — zero shuffle.
+
+    how: 'left' keeps unmatched rows with null band columns; 'inner'
+    drops them. Band columns (all except lo/hi) are appended."""
+    import ray
+
+    if isinstance(bands, pa.Table):
+        bt = bands
+    else:                                    # pandas
+        bt = pa.Table.from_pandas(bands, preserve_index=False)
+    bt = bt.replace_schema_metadata(None)
+    order = pc.sort_indices(bt, sort_keys=[(lo_col, "ascending")])
+    bt = bt.take(order).combine_chunks()
+    los = bt.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    his = bt.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    if (his[:-1] > los[1:]).any() if len(los) > 1 else False:
+        raise ValueError("broadcast_range_join: bands overlap")
+    out_cols = [c for c in bt.column_names if c not in (lo_col, hi_col)]
+    ref = ray.put((bt, los, his))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bt, los, his = ray.get(ref)
+        v = batch.column(value_col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(los, v, side="right") - 1
+        ok = (idx >= 0) & np.isfinite(v)
+        ok &= v < his[np.maximum(idx, 0)]
+        take = pa.array(np.where(ok, idx, 0), pa.int64())
+        null_mask = pa.array(~ok)
+        for c in out_cols:
+            vals = bt.column(c).take(take)
+            vals = pc.if_else(null_mask, pa.nulls(len(batch), vals.type), vals)
+            batch = batch.append_column(c, vals)
+        if how == "inner":
+            batch = batch.filter(pa.array(ok))
+        return batch
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

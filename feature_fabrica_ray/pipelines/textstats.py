@@ -15,7 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["text_stats", "add_quality", "add_lang_id", "add_fingerprint",
-           "kgram_hashes", "token_hashes"]
+           "kgram_hashes", "token_hashes", "token_counts"]
 
 _B = np.uint64(1099511628211)          # FNV prime as polynomial base
 _TOKEN_RE = r"\S+"
@@ -240,3 +240,48 @@ def add_fingerprint(ds, text_col: str = "text", k: int = 8):
         return _set_col(batch, "fingerprint", pa.array(fp.view(np.int64), pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary build (token tf / df)
+# ---------------------------------------------------------------------------
+
+def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus vocabulary: one row per whitespace token with ``tf`` (total
+    occurrences) and ``df`` (number of documents containing it).
+
+    Scale shape: the combiner pattern — each block computes its own
+    (token, tf, df) partial with pure Arrow kernels (split -> flatten ->
+    two-level group_by), then ONE keyed groupby over the partials (rows =
+    distinct tokens per block, never raw token occurrences) sums tf/df.
+    ``df`` partials add exactly because a document lives in one row of
+    one block. Returns a Dataset (token, tf, df)."""
+    from ray.data.aggregate import Sum
+
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(batch.column(text_col), ""))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks)
+        flat = pa.table({
+            "token": pc.list_flatten(toks),
+            "doc": pc.take(batch.column(id_col), parent),
+        }).filter(pc.not_equal(pc.list_flatten(toks), ""))
+        per_doc = flat.group_by(["token", "doc"]).aggregate([("doc", "count")])
+        g = per_doc.group_by("token").aggregate(
+            [("doc_count", "sum"), ("doc", "count")])
+        return pa.table({"token": g.column("token"),
+                         "tf": g.column("doc_count_sum").cast(pa.int64()),
+                         "df": g.column("doc_count").cast(pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = parts.groupby("token", num_partitions=shuffle_partitions()) \
+        .aggregate(Sum("tf"), Sum("df"))
+    return merged.map_batches(
+        lambda b: pa.table({"token": b.column("token"),
+                            "tf": b.column("sum(tf)").cast(pa.int64()),
+                            "df": b.column("sum(df)").cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None)

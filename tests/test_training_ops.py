@@ -412,3 +412,35 @@ def test_neardup_dedup_rows_keeps_cluster_representative(ray_session):
     pairs = pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]})
     reps = neardup_clusters(pairs)
     assert reps[1] == reps[2] == reps[3] == 1
+
+
+def test_broadcast_range_join(ray_session):
+    from feature_fabrica_ray.pipelines import broadcast_range_join
+    import pyarrow as pa
+
+    bands = pa.table({"band": ["a", "b"], "lo": [0.0, 10.0],
+                      "hi": [10.0, 20.0]})
+    df = pd.DataFrame({"v": [0.0, 9.999, 10.0, 19.0, 25.0, np.nan]})
+    out = broadcast_range_join(_ds(df, blocks=2), bands, value_col="v") \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    assert out["band"].tolist()[:4] == ["a", "a", "b", "b"]
+    assert out["band"].isna().tolist()[4:] == [True, True]  # 25.0, nan
+    inner = broadcast_range_join(_ds(df), bands, value_col="v",
+                                 how="inner").to_pandas()
+    assert len(inner) == 4
+    bad = pa.table({"band": ["a", "b"], "lo": [0.0, 5.0], "hi": [10.0, 20.0]})
+    with pytest.raises(ValueError, match="overlap"):
+        broadcast_range_join(_ds(df), bad, value_col="v")
+
+
+def test_token_counts_tf_df(ray_session):
+    from feature_fabrica_ray.pipelines import token_counts
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a b a", " b  c ", ""]})
+    out = token_counts(_ds(df, blocks=2)).to_pandas() \
+        .set_index("token").sort_index()
+    assert out.loc["a", "tf"] == 2 and out.loc["a", "df"] == 1
+    assert out.loc["b", "tf"] == 2 and out.loc["b", "df"] == 2
+    assert out.loc["c", "tf"] == 1 and out.loc["c", "df"] == 1
+    assert len(out) == 3          # no empty-string token
