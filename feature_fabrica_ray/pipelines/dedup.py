@@ -649,10 +649,12 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_i
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         pls = make_planes(d)
         parts = []
-        pow2 = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+        pow2 = (1 << np.arange(n_planes, dtype=np.int64))
         for t_i, P in enumerate(pls):
-            bits = (Vn @ P > 0).astype(np.uint64)
-            code = (bits * pow2[None, :]).sum(axis=1, dtype=np.uint64)
+            # int64 lane: numpy's uint64 broadcast multiply is a slow
+            # buffered path (see state/hashing.hash64_multi)
+            bits = (Vn @ P > 0).astype(np.int64)
+            code = (bits * pow2[None, :]).sum(axis=1).astype(np.uint64)
             with np.errstate(over="ignore"):
                 keyed = code * np.uint64(0x9E3779B97F4A7C15) + np.uint64(t_i)
             parts.append(pa.table({

@@ -58,14 +58,19 @@ def kgram_hashes(col: pa.Array, k: int = 8) -> tuple[np.ndarray, np.ndarray]:
         pad = np.zeros(k, np.uint64)
         pad[:n] = data
         data, n = pad, k
-    win = np.lib.stride_tricks.sliding_window_view(data, k)  # (n-k+1, k)
     powers = np.empty(k, np.uint64)
     powers[k - 1] = np.uint64(1)
     with np.errstate(over="ignore"):
         for i in range(k - 2, -1, -1):
             powers[i] = powers[i + 1] * _B
+    # accumulate k scalar-multiplied CONTIGUOUS slices instead of a
+    # strided-window broadcast multiply: numpy's uint64 broadcast path is
+    # ~100x slower than its scalar form (see state/hashing.hash64_multi)
+    m = n - k + 1
+    h = np.zeros(m, np.uint64)
     with np.errstate(over="ignore"):
-        h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        for i in range(k):
+            h += data[i:m + i] * powers[i]
         h = h * _B + np.uint64(0x9E3779B97F4A7C15)  # final mix
 
     starts = off[:-1]

@@ -78,8 +78,16 @@ def hash64_multi(base: np.ndarray, k: int, seed: int = 1) -> np.ndarray:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 2**63, size=k, dtype=np.uint64) * np.uint64(2) + np.uint64(1)  # odd
     b = rng.integers(0, 2**63, size=k, dtype=np.uint64)
+    # scalar-multiply per family, NOT `a[:,None] * base[None,:]`: numpy's
+    # uint64 BROADCAST multiply takes a non-SIMD buffered path ~100x
+    # slower than the scalar form (measured 10.7s vs 0.08s on 8M elems,
+    # numpy 1.26) — same math, contiguous fast loops
+    out = np.empty((k, base.size), np.uint64)
     with np.errstate(over="ignore"):
-        return a[:, None] * base[None, :] + b[:, None]
+        for i in range(k):
+            np.multiply(base, a[i], out=out[i])
+            out[i] += b[i]
+    return out
 
 
 def combine_hashes(*cols: np.ndarray) -> np.ndarray:
