@@ -797,6 +797,61 @@ WHERE token <> '' GROUP BY token
 """
 
 
+def q_jn_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Large x large equi-join via Ray Data's native hash join (both
+    sides hash-partition on the key — the co-group exchange the
+    broadcast join explicitly avoids), then the same per-priority
+    rollup as jn_priority so the oracle is identical SQL."""
+    from feature_fabrica_ray.pipelines import shuffle_join
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderpriority"])
+    joined = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_orderpriority").aggregate(
+            [("l_quantity", "count", pc.CountOptions(mode="all")),
+             ("l_quantity", "sum")])
+        return pa.table({"o_orderpriority": g.column("o_orderpriority"),
+                         "cnt": g.column("l_quantity_count").cast(pa.int64()),
+                         "sum_qty": g.column("l_quantity_sum")})
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        cnt=("cnt", "sum"), sum_qty=("sum_qty", "sum"))
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["o_orderpriority", "cnt", "sum_qty"]]
+
+
+_EV_SLIDING_W, _EV_SLIDING_H = 3600, 900
+
+
+def q_ev_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding (hopping) window aggregate: 1h windows every 15min — each
+    event contributes to width/hop windows; combiner partials only."""
+    from feature_fabrica_ray.pipelines import sliding_window_agg
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id", "value"])
+    out = sliding_window_agg(ds, "ts", "user_id", "value",
+                             width_s=_EV_SLIDING_W, hop_s=_EV_SLIDING_H)
+    out["sum_v"] = _round_away(out["sum_v"], 6)
+    return out
+
+
+_SLIDING_ORACLE = f"""
+SELECT user_id,
+       (epoch_us(ts) // {_EV_SLIDING_H * 1_000_000} - j)
+         * {_EV_SLIDING_H * 1_000_000} AS window_us,
+       count(*) AS n, round(sum(value), 6) AS sum_v
+FROM events, (SELECT unnest(range(0, {_EV_SLIDING_W // _EV_SLIDING_H})) AS j)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipelines (text analysis, dedup, similarity, multimodal)
 # ---------------------------------------------------------------------------
@@ -1194,6 +1249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jn_range": q_jn_range,
         "agg_sort_limit": q_agg_sort_limit,
         "ta_vocab": q_ta_vocab,
+        "jn_shuffle": q_jn_shuffle,
+        "ev_sliding": q_ev_sliding,
         "vl_drift": q_vl_drift,
         "ta_textstats": q_ta_textstats,
         "ta_quality": q_ta_quality,
@@ -1237,6 +1294,8 @@ def oracle_sql() -> dict[str, str]:
         "jn_range": _RANGE_ORACLE,
         "agg_sort_limit": _SORT_ORACLE,
         "ta_vocab": _VOCAB_ORACLE,
+        "jn_shuffle": _JOIN_ORACLE,
+        "ev_sliding": _SLIDING_ORACLE,
         "ta_textstats": _TEXTSTATS_ORACLE,
         "ta_quality": _QUALITY_ORACLE,
         # ta_langid_fingerprint: heuristic -> rows-only (pytest goldens)

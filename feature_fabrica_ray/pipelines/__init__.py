@@ -3,9 +3,10 @@ dedup, similarity search, text analysis."""
 
 from .asof import asof_join, asof_join_broadcast
 from .checkpoint import codetable_shards, merge_results, validate_resumable
-from .events import extract_json_int, sessionize, tumbling_window_agg
+from .events import (extract_json_int, sessionize,
+                     sliding_window_agg, tumbling_window_agg)
 from .drift_actor import DriftSketchActor, drift_report
-from .join import broadcast_join, broadcast_range_join
+from .join import broadcast_join, broadcast_range_join, shuffle_join
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
                     exact_dedup_rows, minhash_lsh_pairs,
                     minhash_lsh_pairs_distributed, neardup_clusters,
@@ -34,4 +35,4 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "tumbling_window_agg", "sessionize", "extract_json_int",
            "profile_table", "hash_sample", "asof_join", "asof_join_broadcast",
            "minhash_lsh_pairs_distributed", "neardup_clusters",
-           "neardup_dedup_rows", "broadcast_range_join", "token_counts"]
+           "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg"]

@@ -25,7 +25,8 @@ import pyarrow.compute as pc
 
 from ..tuning import shuffle_partitions
 
-__all__ = ["tumbling_window_agg", "sessionize", "extract_json_int"]
+__all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
+           "extract_json_int"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -55,6 +56,46 @@ def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
     out["window_start"] = pd.to_datetime(out.pop("window_us"), unit="us")
     out["n"] = out["n"].astype("int64")
     return out[[key_col, "window_start", "n", "sum_v"]]
+
+
+def sliding_window_agg(ds, ts_col: str, key_col: str, value_col: str,
+                       width_s: int = 3600, hop_s: int = 900) -> pd.DataFrame:
+    """Per (key, SLIDING window) event count + value sum: windows of
+    ``width_s`` starting every ``hop_s`` (width must be a multiple of
+    hop). Each event lands in width/hop windows — the partial emits that
+    many (key, window) combinations per block (still one row per
+    DISTINCT combination, never raw events), then the same combiner
+    merge as tumbling. Returns (key, window_us, n, sum_v) with the
+    window start in integer epoch microseconds."""
+    if width_s % hop_s:
+        raise ValueError("width_s must be a multiple of hop_s")
+    m = width_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(ts)
+        base = ts // hop_us
+        js = np.repeat(np.arange(m, dtype=np.int64), n)
+        wins = (np.tile(base, m) - js) * hop_us
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), m))
+        t = pa.table({key_col: pc.take(batch.column(key_col), idx),
+                      "window_us": pa.array(wins, pa.int64()),
+                      "v": pc.take(batch.column(value_col), idx)})
+        g = t.group_by([key_col, "window_us"]).aggregate(
+            [("v", "count", pc.CountOptions(mode="all")), ("v", "sum")])
+        return pa.table({key_col: g.column(key_col),
+                         "window_us": g.column("window_us"),
+                         "n": g.column("v_count").cast(pa.int64()),
+                         "sum_v": g.column("v_sum")})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    out = parts.groupby([key_col, "window_us"], as_index=False).agg(
+        n=("n", "sum"), sum_v=("sum_v", "sum"))
+    out["n"] = out["n"].astype("int64")
+    return out[[key_col, "window_us", "n", "sum_v"]]
 
 
 def sessionize(ds, ts_col: str, key_col: str, value_col: str,

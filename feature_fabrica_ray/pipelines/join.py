@@ -15,7 +15,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["broadcast_join", "broadcast_range_join"]
+__all__ = ["broadcast_join", "broadcast_range_join", "shuffle_join"]
 
 _MAX_BROADCAST_ROWS = 5_000_000  # guard: a "small side" must actually be small
 
@@ -106,3 +106,19 @@ def broadcast_range_join(ds, bands, *, value_col: str, lo_col: str = "lo",
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def shuffle_join(left, right, *, on, right_on=None, how: str = "inner",
+                 num_partitions: int | None = None):
+    """Large x large equi-join: Ray Data's native hash join (both sides
+    hash-partition on the key across ``num_partitions`` aggregators) —
+    the co-group exchange ``broadcast_join`` explicitly does not do.
+    Use when the small side stops fitting the broadcast guard."""
+    from ..tuning import shuffle_partitions
+
+    on = (on,) if isinstance(on, str) else tuple(on)
+    right_on = None if right_on is None else (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on))
+    return left.join(right, join_type=how,
+                     num_partitions=num_partitions or shuffle_partitions(),
+                     on=on, right_on=right_on)

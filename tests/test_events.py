@@ -73,3 +73,53 @@ def test_extract_json_int(ray_session):
     vals = out["prop_k"].tolist()
     assert vals[0] == 69 and vals[1] == -3
     assert pd.isna(vals[2]) and pd.isna(vals[3])
+
+
+def test_sliding_window_golden(ray_session):
+    """width=2h, hop=1h: each event lands in exactly 2 windows; counts
+    per (key, window) match a hand-computed golden and are
+    block-layout invariant."""
+    from feature_fabrica_ray.pipelines import sliding_window_agg
+
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:50",
+                              "2024-01-01 01:10"]),
+        "user_id": [1, 1, 1],
+        "value": [1.0, 2.0, 4.0],
+    })
+    out = sliding_window_agg(_ds(df), "ts", "user_id", "value",
+                             width_s=7200, hop_s=3600) \
+        .sort_values("window_us").reset_index(drop=True)
+    h = 3_600_000_000
+    base = int(pd.Timestamp("2024-01-01").value // 1000)
+    got = {(int(r.window_us) - base) // h: (int(r.n), float(r.sum_v))
+           for r in out.itertuples()}
+    # window starting at -1h covers [−1h,1h): events at 0:10, 0:50
+    assert got[-1] == (2, 3.0)
+    # window at 0h covers [0,2h): all three events
+    assert got[0] == (3, 7.0)
+    # window at 1h covers [1h,3h): event at 1:10 only
+    assert got[1] == (1, 4.0)
+    out4 = sliding_window_agg(_ds(df, blocks=3), "ts", "user_id", "value",
+                              width_s=7200, hop_s=3600) \
+        .sort_values("window_us").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out4)
+
+    with pytest.raises(ValueError):
+        sliding_window_agg(_ds(df), "ts", "user_id", "value",
+                           width_s=7200, hop_s=3500)
+
+
+def test_shuffle_join_equals_broadcast(ray_session):
+    """Native hash join (large x large path) returns the same joined
+    rows as the broadcast map-side join."""
+    from feature_fabrica_ray.pipelines import broadcast_join, shuffle_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 4], "v": [10, 20, 21, 30, 40]})
+    right = pd.DataFrame({"k": [1, 2, 3], "name": ["a", "b", "c"]})
+    lds, rds = _ds(left, blocks=2), _ds(right)
+    b = broadcast_join(lds, rds, left_on="k").to_pandas() \
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    s = shuffle_join(lds, rds, on="k", num_partitions=4).to_pandas() \
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b[["k", "v", "name"]], s[["k", "v", "name"]])
