@@ -960,6 +960,29 @@ def q_dd_dedup_rows(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+
+
+def q_dd_dedup_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Dup-heavy keep-one dedup (full-row hash shuffle, pick-first per
+    group — no driver collection): same per-repo rollup and SQL oracle
+    as the broadcast form."""
+    from feature_fabrica_ray.pipelines import exact_dedup_rows_shuffle
+
+    ds = read_codetable(sf_dir, with_sha256=False)
+    deduped = exact_dedup_rows_shuffle(ds, ["repo", "path", "commit"])
+
+    def per_repo(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("repo").aggregate(
+            [("path", "count", pc.CountOptions(mode="all"))])
+        return pa.table({"repo": g.column("repo"),
+                         "n": g.column("path_count").cast(pa.int64())})
+
+    parts = deduped.map_batches(per_repo, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+    out = parts.groupby("repo", as_index=False).agg(n=("n", "sum"))
+    out["n"] = out["n"].astype("int64")
+    return out
+
 _DEDUP_ROWS_ORACLE = CT + """
 SELECT repo, count(*) AS n FROM (
   SELECT DISTINCT repo, path, "commit" FROM codetable) GROUP BY repo
@@ -1261,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_minhash": q_dd_minhash,
         "dd_minhash_distributed": q_dd_minhash_distributed,
         "dd_neardup_rows": q_dd_neardup_rows,
+        "dd_dedup_shuffle": q_dd_dedup_shuffle,
         "dd_simhash": q_dd_simhash,
         "ss_cosine_topk": q_ss_cosine_topk,
         "ss_ivf_topk": q_ss_ivf_topk,
@@ -1301,6 +1325,7 @@ def oracle_sql() -> dict[str, str]:
         # ta_langid_fingerprint: heuristic -> rows-only (pytest goldens)
         "dd_exact": _DD_EXACT_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
+        "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,
         # dd_minhash / dd_simhash: sketch-based -> rows-only (pytest)
         "ss_cosine_topk": _COSINE_ORACLE,

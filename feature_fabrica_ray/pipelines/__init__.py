@@ -8,11 +8,12 @@ from .events import (extract_json_int, sessionize,
 from .drift_actor import DriftSketchActor, drift_report
 from .join import broadcast_join, broadcast_range_join, shuffle_join
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
-                    exact_dedup_rows, minhash_lsh_pairs,
+                    exact_dedup_rows, exact_dedup_rows_shuffle,
+                    minhash_lsh_pairs,
                     minhash_lsh_pairs_distributed, neardup_clusters,
                     neardup_dedup_rows, ngram_jaccard, simhash_pairs)
 from .multimodal import DecodeImageFeatures, FrameSampler, decode_pipeline
-from .sampling import hash_sample
+from .sampling import hash_sample, stratified_sample
 from .similarity import cosine_topk, fit_centroids, ivf_topk
 from .textstats import (add_fingerprint, add_lang_id, add_quality,
                         text_stats, token_counts)
@@ -35,4 +36,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "tumbling_window_agg", "sessionize", "extract_json_int",
            "profile_table", "hash_sample", "asof_join", "asof_join_broadcast",
            "minhash_lsh_pairs_distributed", "neardup_clusters",
-           "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg"]
+           "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg", "stratified_sample",
+           "exact_dedup_rows_shuffle"]

@@ -32,7 +32,8 @@ from ..state import combine_hashes, hash64, hash64_multi
 from ..tuning import shuffle_partitions
 from .textstats import kgram_hashes
 
-__all__ = ["exact_dedup_counts", "minhash_lsh_pairs",
+__all__ = ["exact_dedup_counts", "exact_dedup_rows_shuffle",
+           "minhash_lsh_pairs",
            "minhash_lsh_pairs_distributed", "neardup_clusters",
            "neardup_dedup_rows", "simhash_pairs",
            "ngram_jaccard", "embedding_neardup_pairs", "minhash_signatures",
@@ -272,6 +273,32 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         if j >= threshold:
             rows.append((int(min(a, b)), int(max(a, b)), round(float(j), 6)))
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+def exact_dedup_rows_shuffle(ds, columns: list[str], *,
+                             tiebreak: str | None = None,
+                             num_partitions: int | None = None):
+    """Dup-HEAVY form of ``exact_dedup_rows``: when duplicates are not
+    rare (web crawls run 40-60%% exact dups) the broadcast dup-hash set
+    and driver-collected candidates stop being small. This form pays
+    the textbook cost instead — ONE full-row hash shuffle on the key,
+    deterministic pick-first per group — and never touches the driver.
+    Returns a Dataset; representative = min ``tiebreak`` (else
+    lexicographic min over the non-key columns, matching
+    exact_dedup_rows)."""
+    import ray.data  # noqa: F401
+
+    def first_per_key(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 1:
+            return t
+        tb = [tiebreak] if tiebreak else \
+            [c for c in t.column_names if c not in columns]
+        order = pc.sort_indices(t, sort_keys=[(c, "ascending") for c in tb])
+        return t.take(order[:1])
+
+    return ds.groupby(columns,
+                      num_partitions=num_partitions or shuffle_partitions()) \
+        .map_groups(first_per_key, batch_format="pyarrow")
 
 
 def neardup_clusters(pairs: pd.DataFrame) -> dict[int, int]:

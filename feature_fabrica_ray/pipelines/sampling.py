@@ -15,7 +15,7 @@ import pyarrow as pa
 
 from ..state import combine_hashes, hash64
 
-__all__ = ["hash_sample"]
+__all__ = ["hash_sample", "stratified_sample"]
 
 _D = np.uint64(1 << 32)
 
@@ -32,6 +32,44 @@ def hash_sample(ds, key_columns: list[str], fraction: float, seed: int = 0):
         h = combine_hashes(*[hash64(batch.column(c), seed=seed)
                              for c in key_columns])
         keep = (h % _D) < threshold
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def stratified_sample(ds, strata_col: str, fractions: dict,
+                      key_columns: list[str] | None = None, seed: int = 0,
+                      default_fraction: float = 0.0):
+    """Per-stratum deterministic hash sampling: rows in stratum ``s``
+    are kept with probability ``fractions[s]`` (strata absent from the
+    dict use ``default_fraction``). Same stability guarantees as
+    ``hash_sample`` — membership is a pure function of the sampling key,
+    invariant to partitioning and reruns. Stateless map, no shuffle;
+    the per-stratum threshold table is baked into the closure (strata
+    are assumed dimension-sized: languages, sources, quality buckets)."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0,1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1]")
+    key_columns = key_columns or [strata_col]
+    thresholds = {s: np.uint64(int(f * float(_D)))
+                  for s, f in fractions.items()}
+    default_thr = np.uint64(int(default_fraction * float(_D)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = combine_hashes(*[hash64(batch.column(c), seed=seed)
+                             for c in key_columns])
+        # vectorized per-row threshold: dict lookups only per DISTINCT
+        # stratum in the batch (factorize), not per row
+        codes, uniques = pd.factorize(batch.column(strata_col).to_pandas())
+        lut = np.array([thresholds.get(u, default_thr) for u in uniques],
+                       np.uint64) if len(uniques) else np.zeros(0, np.uint64)
+        thr = np.where(codes >= 0, lut[np.maximum(codes, 0)], default_thr) \
+            .astype(np.uint64)
+        keep = (h % _D) < thr
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

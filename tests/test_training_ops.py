@@ -444,3 +444,43 @@ def test_token_counts_tf_df(ray_session):
     assert out.loc["b", "tf"] == 2 and out.loc["b", "df"] == 2
     assert out.loc["c", "tf"] == 1 and out.loc["c", "df"] == 1
     assert len(out) == 3          # no empty-string token
+
+
+def test_exact_dedup_shuffle_equals_broadcast_form(ray_session):
+    """The dup-heavy full-shuffle dedup keeps exactly the same rows as
+    the broadcast form (deterministic pick-first per key)."""
+    from feature_fabrica_ray.pipelines import (exact_dedup_rows,
+                                               exact_dedup_rows_shuffle)
+    from feature_fabrica_ray.sources import read_codetable
+
+    key = ["repo", "path", "commit"]
+    a = exact_dedup_rows(read_codetable(SF, with_sha256=False), key) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    b = exact_dedup_rows_shuffle(read_codetable(SF, with_sha256=False), key) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_stratified_sample(ray_session):
+    """Per-stratum fractions hold (0 and 1 exactly; others approximately),
+    and membership is partition-invariant and nested like hash_sample."""
+    from feature_fabrica_ray.pipelines import stratified_sample
+
+    n = 4000
+    df = pd.DataFrame({"k": np.arange(n),
+                       "lang": np.where(np.arange(n) % 2 == 0, "en", "zh")})
+    fr = {"en": 1.0, "zh": 0.25}
+    out = stratified_sample(_ds(df, blocks=4), "lang", fr,
+                            key_columns=["k"]).to_pandas()
+    en = out[out["lang"] == "en"]
+    zh = out[out["lang"] == "zh"]
+    assert len(en) == n // 2                       # fraction 1.0 keeps all
+    assert abs(len(zh) / (n // 2) - 0.25) < 0.05   # ~25%
+    # unknown stratum defaults to 0
+    df2 = df.assign(lang="fr")
+    assert stratified_sample(_ds(df2), "lang", fr,
+                             key_columns=["k"]).count() == 0
+    # partition invariance
+    out1 = stratified_sample(_ds(df, blocks=1), "lang", fr,
+                             key_columns=["k"]).to_pandas()
+    assert sorted(out["k"]) == sorted(out1["k"])
