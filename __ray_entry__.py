@@ -797,6 +797,38 @@ WHERE token <> '' GROUP BY token
 """
 
 
+
+def q_ta_tfidf(sf_dir: str):
+    """Top-5 TF-IDF terms per document: distributed vocabulary build
+    (token_counts) -> dimension-sized (token, df) broadcast -> stateless
+    per-block scoring and per-doc top-k (a document lives in exactly one
+    block, so tf needs no exchange)."""
+    from feature_fabrica_ray.pipelines import tfidf_top_terms
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=5)
+
+
+_TFIDF_ORACLE = r"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+             FROM documents),
+     tok2 AS (SELECT * FROM tok WHERE token <> ''),
+     n AS (SELECT count(*) AS n_docs FROM documents),
+     df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY token),
+     tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+     scored AS (SELECT tf.doc_id, tf.token,
+                       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                         AS tfidf
+                FROM tf JOIN df USING (token) CROSS JOIN n),
+     ranked AS (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, token)
+                  AS "rank" FROM scored)
+SELECT doc_id, token, tfidf, CAST("rank" AS BIGINT) AS "rank"
+FROM ranked WHERE "rank" <= 5
+"""
+
+
 def q_jn_shuffle(sf_dir: str) -> pd.DataFrame:
     """Large x large equi-join via Ray Data's native hash join (both
     sides hash-partition on the key — the co-group exchange the
@@ -1272,6 +1304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jn_range": q_jn_range,
         "agg_sort_limit": q_agg_sort_limit,
         "ta_vocab": q_ta_vocab,
+        "ta_tfidf": q_ta_tfidf,
         "jn_shuffle": q_jn_shuffle,
         "ev_sliding": q_ev_sliding,
         "vl_drift": q_vl_drift,
@@ -1318,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
         "jn_range": _RANGE_ORACLE,
         "agg_sort_limit": _SORT_ORACLE,
         "ta_vocab": _VOCAB_ORACLE,
+        "ta_tfidf": _TFIDF_ORACLE,
         "jn_shuffle": _JOIN_ORACLE,
         "ev_sliding": _SLIDING_ORACLE,
         "ta_textstats": _TEXTSTATS_ORACLE,

@@ -15,7 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["text_stats", "add_quality", "add_lang_id", "add_fingerprint",
-           "kgram_hashes", "token_hashes", "token_counts"]
+           "kgram_hashes", "token_hashes", "token_counts", "tfidf_top_terms"]
 
 _B = np.uint64(1099511628211)          # FNV prime as polynomial base
 _TOKEN_RE = r"\S+"
@@ -290,3 +290,74 @@ def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
                             "tf": b.column("sum(tf)").cast(pa.int64()),
                             "df": b.column("sum(df)").cast(pa.int64())}),
         batch_format="pyarrow", batch_size=None)
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 5, n_docs: int | None = None,
+                    max_vocab_broadcast: int = 5_000_000):
+    """Top-``k`` TF-IDF terms per document (score = tf * ln(N/df),
+    ranked by rounded score desc then token asc — deterministic ties).
+
+    Scale shape: ``token_counts`` builds the (token, df) vocabulary
+    distributedly; the vocabulary (one row per DISTINCT token —
+    dimension-sized for natural language) broadcasts via ``ray.put``
+    and a stateless map scores each document locally (a document lives
+    in exactly one row of one block, so per-doc tf needs no exchange)
+    and emits its top-k. Vocabularies beyond ``max_vocab_broadcast``
+    raise — co-group the tokens through ``shuffle_join`` instead.
+    Returns a Dataset (doc_id, token, tfidf, rank)."""
+    import ray
+
+    if n_docs is None:
+        n_docs = ds.count()
+    vocab = token_counts(ds, text_col, id_col).materialize()
+    if vocab.count() > max_vocab_broadcast:
+        raise ValueError(
+            f"vocabulary has {vocab.count()} tokens — too large to "
+            f"broadcast; co-group tokens with df via shuffle_join instead")
+    vt = pa.concat_tables(ray.get(vocab.to_arrow_refs()))
+    df_map = dict(zip(vt.column("token").to_pylist(),
+                      vt.column("df").to_numpy(zero_copy_only=False)))
+    ref = ray.put(df_map)
+    ln_n = float(np.log(max(n_docs, 1)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        df_map = ray.get(ref)
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(batch.column(text_col), ""))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks)
+        flat_tok = pc.list_flatten(toks)
+        keep = pc.not_equal(flat_tok, "")
+        flat = pa.table({"token": flat_tok,
+                         "doc": pc.take(batch.column(id_col), parent)}) \
+            .filter(keep)
+        g = flat.group_by(["doc", "token"]).aggregate([("token", "count")])
+        docs = g.column("doc").to_numpy(zero_copy_only=False)
+        tokens = g.column("token").to_pylist()
+        tf = g.column("token_count").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        # df lookup once per DISTINCT token in the group table
+        uniq, inv = np.unique(tokens, return_inverse=True)
+        dfs = np.array([df_map.get(t, 1) for t in uniq], np.float64)[inv]
+        # half-away rounding (SQL ROUND semantics); scores are >= 0
+        tfidf = np.floor(tf * (ln_n - np.log(dfs)) * 1e6 + 0.5) / 1e6
+        # per-doc top-k: one lexsort (doc asc, score desc, token asc)
+        tok_rank = np.unique(np.asarray(tokens, dtype=object),
+                             return_inverse=True)[1]
+        order = np.lexsort((tok_rank, -tfidf, docs))
+        d = docs[order]
+        new_doc = np.concatenate([[True], d[1:] != d[:-1]])
+        pos = np.arange(d.size) - \
+            np.maximum.accumulate(np.where(new_doc, np.arange(d.size), 0))
+        sel = order[pos < k]
+        rank = (pos[pos < k] + 1).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(docs[sel], pa.int64()),
+            "token": pa.array([tokens[i] for i in sel], pa.string()),
+            "tfidf": pa.array(tfidf[sel], pa.float64()),
+            "rank": pa.array(rank, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -346,14 +346,29 @@ class FeatureEngine:
                              "c": g.column("v_count").cast(pa.int64()),
                              "mn": g.column("v_min"), "mx": g.column("v_max")})
 
-        parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        merged_ds = parts.groupby(key_col).aggregate(
-            Sum("s"), Sum("c"), Min("mn"), Max("mx")).materialize()
-        if merged_ds.count() > max_keys:
-            # per-key table not "small": the broadcast would strain the
-            # driver — signal the caller to use the shuffle path
-            return None
-        merged = merged_ds.to_pandas().set_index(key_col)
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).materialize()
+        if parts.count() <= max_keys:
+            # common case (low-cardinality key): the per-block partials
+            # themselves fit the guard — merge them on the driver, no
+            # extra shuffle. The count is materialized METADATA, so the
+            # guard is decided before any row reaches the driver.
+            merged = parts.to_pandas().rename(
+                columns={"s": "sum(s)", "c": "sum(c)",
+                         "mn": "min(mn)", "mx": "max(mx)"}) \
+                .groupby(key_col).agg({"sum(s)": "sum", "sum(c)": "sum",
+                                       "min(mn)": "min", "max(mx)": "max"})
+        else:
+            # many partial rows: merge DISTRIBUTEDLY (small shuffle of
+            # partials, never raw rows) and only collect if the merged
+            # per-key table fits the broadcast guard
+            merged_ds = parts.groupby(key_col).aggregate(
+                Sum("s"), Sum("c"), Min("mn"), Max("mx")).materialize()
+            if merged_ds.count() > max_keys:
+                # per-key table not "small": the broadcast would strain
+                # the driver — signal the caller to use the shuffle path
+                return None
+            merged = merged_ds.to_pandas().set_index(key_col)
         merged = merged[merged.index.notna()]  # null keys -> no lookup hit
         if gr.agg == "sum":
             lut = merged["sum(s)"]

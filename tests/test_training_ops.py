@@ -484,3 +484,28 @@ def test_stratified_sample(ray_session):
     out1 = stratified_sample(_ds(df, blocks=1), "lang", fr,
                              key_columns=["k"]).to_pandas()
     assert sorted(out["k"]) == sorted(out1["k"])
+
+
+def test_tfidf_top_terms(ray_session):
+    """tf * ln(N/df) scoring with deterministic ranks; invariant to
+    block layout; ubiquitous tokens score zero."""
+    from feature_fabrica_ray.pipelines import tfidf_top_terms
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["apple apple banana common",
+                 "banana cherry common",
+                 "common cherry"],
+    })
+    out = tfidf_top_terms(_ds(df, blocks=2), k=2).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    d1 = out[out["doc_id"] == 1]
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert d1.iloc[0]["token"] == "apple"
+    assert d1.iloc[0]["tfidf"] == pytest.approx(2 * np.log(3), abs=1e-6)
+    assert d1.iloc[1]["token"] == "banana"
+    # 'common' is in every doc -> tfidf 0, ranks below everything else
+    assert "common" not in set(d1["token"])
+    out1 = tfidf_top_terms(_ds(df, blocks=1), k=2).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out1)
