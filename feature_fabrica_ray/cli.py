@@ -96,7 +96,14 @@ def cmd_transform(args) -> int:
     with open(args.spec) as f:
         eng = FeatureEngine(f.read())
     ds = read_parquet_clean(args.input)
-    out = eng.transform(ds, select_groups=args.groups or None)
+    if args.lineage:
+        # reference log_transformation_chain analogue: per-stage wall
+        # time + row count + xor output digest, written as a sidecar
+        out, lineage = eng.transform_with_lineage(
+            ds, select_groups=args.groups or None)
+        lineage.to_json(args.lineage, orient="records")
+    else:
+        out = eng.transform(ds, select_groups=args.groups or None)
     out.write_parquet(args.out)
     print(json.dumps({"features": eng.feature_names()}))
     return 0
@@ -122,6 +129,7 @@ def main(argv=None) -> int:
     t.add_argument("--spec", required=True)
     t.add_argument("--out", required=True)
     t.add_argument("--groups", nargs="*")
+    t.add_argument("--lineage", help="write per-stage lineage JSON here")
     t.set_defaults(fn=cmd_transform)
 
     args = p.parse_args(argv)

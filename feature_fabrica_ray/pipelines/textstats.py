@@ -285,11 +285,19 @@ def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     merged = parts.groupby("token", num_partitions=shuffle_partitions()) \
         .aggregate(Sum("tf"), Sum("df"))
-    return merged.map_batches(
-        lambda b: pa.table({"token": b.column("token"),
-                            "tf": b.column("sum(tf)").cast(pa.int64()),
-                            "df": b.column("sum(df)").cast(pa.int64())}),
-        batch_format="pyarrow", batch_size=None)
+
+    _empty = pa.table({"token": pa.array([], pa.string()),
+                       "tf": pa.array([], pa.int64()),
+                       "df": pa.array([], pa.int64())})
+
+    def rename(b: pa.Table) -> pa.Table:
+        if "token" not in b.column_names:   # empty reduce partition:
+            return _empty                   # Ray emits a schema-less block
+        return pa.table({"token": b.column("token"),
+                         "tf": b.column("sum(tf)").cast(pa.int64()),
+                         "df": b.column("sum(df)").cast(pa.int64())})
+
+    return merged.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
 def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -315,7 +323,10 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
         raise ValueError(
             f"vocabulary has {vocab.count()} tokens — too large to "
             f"broadcast; co-group tokens with df via shuffle_join instead")
-    vt = pa.concat_tables(ray.get(vocab.to_arrow_refs()))
+    blocks = [t for t in ray.get(vocab.to_arrow_refs()) if t.num_rows]
+    vt = pa.concat_tables(blocks) if blocks else \
+        pa.table({"token": pa.array([], pa.string()),
+                  "df": pa.array([], pa.int64())})
     df_map = dict(zip(vt.column("token").to_pylist(),
                       vt.column("df").to_numpy(zero_copy_only=False)))
     ref = ray.put(df_map)

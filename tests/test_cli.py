@@ -72,3 +72,19 @@ def test_cli_transform(workdir):
     files = glob.glob(str(workdir / "tf" / "*.parquet"))
     t = pa.concat_tables([pq.read_table(f) for f in files])
     assert "lang_up" in t.column_names
+
+
+def test_cli_transform_lineage(workdir):
+    import json as _json
+
+    lin_path = workdir / "lineage.json"
+    out = _run("transform", "--input", str(workdir / "input.parquet"),
+               "--spec", str(workdir / "spec.yaml"),
+               "--out", str(workdir / "tf2"),
+               "--lineage", str(lin_path))
+    assert out[-1]["features"] == ["lang", "lang_up"]
+    rows = _json.loads(lin_path.read_text())
+    assert {r["feature"] for r in rows} == {"lang", "lang_up"}
+    for r in rows:
+        assert r["wall_s"] >= 0 and r["n_rows"] > 0
+        assert r["digest"] is not None
