@@ -829,6 +829,35 @@ FROM ranked WHERE "rank" <= 5
 """
 
 
+
+def q_ta_chunks(sf_dir: str):
+    """Context-window chunking: each document split into 32-token
+    whitespace chunks (vectorized list_slice + binary_join flat-map) —
+    the embarrassing-parallel stage before tokenization/embedding."""
+    from feature_fabrica_ray.pipelines import chunk_documents
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return chunk_documents(ds, max_tokens=32)
+
+
+_CHUNKS_ORACLE = r"""
+WITH d AS (SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+     c AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+     e AS (SELECT doc_id, toks, n,
+                  unnest(range(0, CASE WHEN n = 0 THEN 0
+                                  ELSE ((n - 1) // 32) + 1 END)) AS chunk_id
+           FROM c)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(toks[chunk_id*32+1 : chunk_id*32+32], ' ') AS chunk_text,
+       CAST(least(32, n - chunk_id*32) AS BIGINT) AS n_tokens
+FROM e
+"""
+
+
 def q_jn_shuffle(sf_dir: str) -> pd.DataFrame:
     """Large x large equi-join via Ray Data's native hash join (both
     sides hash-partition on the key — the co-group exchange the
@@ -1305,6 +1334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_sort_limit": q_agg_sort_limit,
         "ta_vocab": q_ta_vocab,
         "ta_tfidf": q_ta_tfidf,
+        "ta_chunks": q_ta_chunks,
         "jn_shuffle": q_jn_shuffle,
         "ev_sliding": q_ev_sliding,
         "vl_drift": q_vl_drift,
@@ -1352,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_sort_limit": _SORT_ORACLE,
         "ta_vocab": _VOCAB_ORACLE,
         "ta_tfidf": _TFIDF_ORACLE,
+        "ta_chunks": _CHUNKS_ORACLE,
         "jn_shuffle": _JOIN_ORACLE,
         "ev_sliding": _SLIDING_ORACLE,
         "ta_textstats": _TEXTSTATS_ORACLE,

@@ -16,6 +16,7 @@ from .multimodal import DecodeImageFeatures, FrameSampler, decode_pipeline
 from .sampling import hash_sample, stratified_sample
 from .similarity import cosine_topk, fit_centroids, ivf_topk
 from .textstats import (add_fingerprint, add_lang_id, add_quality,
+                        chunk_documents,
                         text_stats, tfidf_top_terms, token_counts)
 from .topk import topk_per_group
 from .uniqueness import uniqueness_violations
@@ -37,4 +38,4 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "profile_table", "hash_sample", "asof_join", "asof_join_broadcast",
            "minhash_lsh_pairs_distributed", "neardup_clusters",
            "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg", "stratified_sample",
-           "exact_dedup_rows_shuffle", "tfidf_top_terms"]
+           "exact_dedup_rows_shuffle", "tfidf_top_terms", "chunk_documents"]

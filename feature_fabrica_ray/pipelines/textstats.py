@@ -15,7 +15,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["text_stats", "add_quality", "add_lang_id", "add_fingerprint",
-           "kgram_hashes", "token_hashes", "token_counts", "tfidf_top_terms"]
+           "kgram_hashes", "token_hashes", "token_counts", "tfidf_top_terms",
+           "chunk_documents"]
 
 _B = np.uint64(1099511628211)          # FNV prime as polynomial base
 _TOKEN_RE = r"\S+"
@@ -372,3 +373,59 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# document chunking (context-window splitting)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
+                    max_tokens: int = 128, stride: int | None = None):
+    """Split each document into token-window chunks of ``max_tokens``
+    whitespace tokens, hopping by ``stride`` (default = max_tokens,
+    i.e. non-overlapping; stride < max_tokens gives overlapping
+    context windows). Emits (doc_id, chunk_id, chunk_text, n_tokens).
+
+    Fully vectorized flat-map: one split per batch, then one
+    list_slice + binary_join per CHUNK INDEX present in the batch (not
+    per row). Empty documents produce no chunks. Stateless map — chunks
+    of a document never need to see other documents, so this is the
+    embarrassing-parallel stage before embedding/tokenization."""
+    if stride is None:
+        stride = max_tokens
+    if stride <= 0 or max_tokens <= 0 or stride > max_tokens:
+        raise ValueError("need 0 < stride <= max_tokens")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(pc.fill_null(batch.column(text_col), ""))
+        toks = pc.split_pattern_regex(txt, pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = np.where(pc.equal(txt, "").to_numpy(zero_copy_only=False), 0, n)
+        # chunks per doc: windows [i*stride, i*stride+max_tokens) while
+        # i*stride < n
+        m = np.where(n == 0, 0, (np.maximum(n - 1, 0) // stride) + 1)
+        ids = batch.column(id_col)
+        parts = []
+        for i in range(int(m.max()) if m.size else 0):
+            sel = np.flatnonzero(m > i)
+            idx = pa.array(sel, pa.int64())
+            sl = pc.list_slice(pc.take(toks, idx), start=i * stride,
+                               stop=i * stride + max_tokens)
+            parts.append(pa.table({
+                id_col: pc.take(ids, idx),
+                "chunk_id": pa.array(np.full(sel.size, i, np.int64)),
+                "chunk_text": pc.binary_join(sl, " "),
+                "n_tokens": pa.array(
+                    np.minimum(max_tokens, n[sel] - i * stride), pa.int64()),
+            }))
+        if not parts:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64())})
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

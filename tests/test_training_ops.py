@@ -509,3 +509,27 @@ def test_tfidf_top_terms(ray_session):
     out1 = tfidf_top_terms(_ds(df, blocks=1), k=2).to_pandas() \
         .sort_values(["doc_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out1)
+
+
+def test_chunk_documents(ray_session):
+    """Non-overlapping and overlapping windows; empty docs emit nothing;
+    block-layout invariant."""
+    from feature_fabrica_ray.pipelines import chunk_documents
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a b c d e", " x  y ", ""]})
+    out = chunk_documents(_ds(df, blocks=2), max_tokens=2).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    got = list(map(tuple, out[["doc_id", "chunk_id", "chunk_text",
+                               "n_tokens"]].values))
+    assert got == [(1, 0, "a b", 2), (1, 1, "c d", 2), (1, 2, "e", 1),
+                   (2, 0, "x y", 2)]
+    # overlapping: stride 1, width 2 -> windows at every token
+    ov = chunk_documents(_ds(df), max_tokens=2, stride=1).to_pandas()
+    d1 = ov[ov["doc_id"] == 1].sort_values("chunk_id")
+    assert d1["chunk_text"].tolist() == ["a b", "b c", "c d", "d e", "e"]
+    out1 = chunk_documents(_ds(df, blocks=1), max_tokens=2).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out1)
+    with pytest.raises(ValueError):
+        chunk_documents(_ds(df), max_tokens=2, stride=3)
