@@ -858,6 +858,42 @@ FROM e
 """
 
 
+
+def q_sm_group_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic k-per-group sampling as a composition: stamp a
+    SQL-replicable order hash (md5 of the id), then reuse the
+    topk_per_group combiner ascending — uniform-ish 5 docs per lang,
+    stable across reruns and partitioning."""
+    import hashlib
+
+    from feature_fabrica_ray.pipelines import topk_per_group
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return batch.append_column("h", pa.array(h, pa.string()))
+
+    out = topk_per_group(ds.map_batches(stamp, batch_format="pyarrow",
+                                        batch_size=None),
+                         ["lang"], "h", k=5, tiebreak_cols=["doc_id"],
+                         descending=False)
+    out = out[["lang", "doc_id", "rank"]].copy()
+    out["rank"] = out["rank"].astype("int64")
+    return out
+
+
+_GROUP_SAMPLE_ORACLE = """
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS "rank"
+FROM (SELECT lang, doc_id, row_number() OVER (
+          PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        AS rn FROM documents)
+WHERE rn <= 5
+"""
+
+
 def q_jn_shuffle(sf_dir: str) -> pd.DataFrame:
     """Large x large equi-join via Ray Data's native hash join (both
     sides hash-partition on the key — the co-group exchange the
@@ -1335,6 +1371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_vocab": q_ta_vocab,
         "ta_tfidf": q_ta_tfidf,
         "ta_chunks": q_ta_chunks,
+        "sm_group_sample": q_sm_group_sample,
         "jn_shuffle": q_jn_shuffle,
         "ev_sliding": q_ev_sliding,
         "vl_drift": q_vl_drift,
@@ -1383,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_vocab": _VOCAB_ORACLE,
         "ta_tfidf": _TFIDF_ORACLE,
         "ta_chunks": _CHUNKS_ORACLE,
+        "sm_group_sample": _GROUP_SAMPLE_ORACLE,
         "jn_shuffle": _JOIN_ORACLE,
         "ev_sliding": _SLIDING_ORACLE,
         "ta_textstats": _TEXTSTATS_ORACLE,

@@ -310,3 +310,27 @@ checks:
     ke = sorted(exact.violations["repo"])
     kb = sorted(bloom.violations["repo"])
     assert ke == kb
+
+
+def test_suite_on_empty_input(ray_session):
+    """Zero-row input: verdicts exist for every check (all passing,
+    n_rows 0), no crash in stats/drift/uniqueness assembly."""
+    import ray.data
+    empty = ray.data.from_arrow(pa.table({
+        "repo": pa.array([], pa.string()), "path": pa.array([], pa.string()),
+        "commit": pa.array([], pa.string()), "lang": pa.array([], pa.string()),
+        "content": pa.array([], pa.string()),
+        "size_bytes": pa.array([], pa.int64())}))
+    suite = CheckSuite("""
+checks:
+  - {type: not_null, column: lang}
+  - {type: unique, columns: [repo, path, commit]}
+  - {type: stats, column: size_bytes}
+""")
+    r = run_suite(empty, suite, num_partitions=4,
+                  key_columns=["repo", "path", "commit"])
+    assert r.n_rows == 0
+    g = r.global_verdicts().set_index("check")
+    assert bool(g.loc["not_null:lang", "passed"])
+    assert bool(g.loc["unique:repo+path+commit", "passed"])
+    assert len(r.violations) == 0
