@@ -1222,6 +1222,55 @@ FROM documents
 """
 
 
+
+def q_mm_audio(sf_dir: str):
+    """Actor-pool audio (PCM) feature stage: n_samples, RMS, and
+    zero-crossings over the int8 body — fully SQL-checkable on the
+    deterministic payload contract (ASCII bodies are all-positive int8,
+    so zero_crossings is identically 0)."""
+    from feature_fabrica_ray.pipelines import audio_pipeline
+
+    out = audio_pipeline(sf_dir, concurrency=4)
+    return _select(out, ["media_id", "media_type", "n_bytes", "n_samples",
+                         "rms", "zero_crossings"])
+
+
+_MM_AUDIO_ORACLE = """
+SELECT doc_id AS media_id, 'audio' AS media_type,
+       8 + strlen(text) AS n_bytes,
+       strlen(text) AS n_samples,
+       CASE WHEN strlen(text) = 0 THEN 0.0 ELSE round(sqrt(
+         list_aggregate(list_transform(split(text, ''), x -> ord(x) * ord(x)),
+                        'sum') / CAST(strlen(text) AS DOUBLE)), 6) END AS rms,
+       CAST(0 AS BIGINT) AS zero_crossings
+FROM documents
+"""
+
+
+def q_mm_frames(sf_dir: str):
+    """Actor-pool video frame sampling: every 4th 256-byte pseudo-frame
+    of the body, one row per sampled frame — layout SQL-checkable via
+    substr arithmetic."""
+    from feature_fabrica_ray.pipelines import frame_pipeline
+
+    out = frame_pipeline(sf_dir, stride=4, frame_bytes=256)
+
+    def as_text(batch: pa.Table) -> pa.Table:
+        return pa.table({"media_id": batch.column("media_id"),
+                         "frame_idx": batch.column("frame_idx"),
+                         "frame_text": batch.column("frame").cast(pa.string())})
+
+    return out.map_batches(as_text, batch_format="pyarrow", batch_size=None)
+
+
+_MM_FRAMES_ORACLE = """
+SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+       substr(text, CAST(f * 256 + 1 AS BIGINT), 256) AS frame_text
+FROM documents, LATERAL (SELECT unnest(range(0, strlen(text) // 256)) AS f)
+WHERE f % 4 = 0
+"""
+
+
 def q_pr_lineitem(sf_dir: str) -> pd.DataFrame:
     """Whole-table profile (one fused pass): exact moments per numeric
     column, SQL-checkable."""
@@ -1389,6 +1438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ss_cosine_topk": q_ss_cosine_topk,
         "ss_ivf_topk": q_ss_ivf_topk,
         "mm_decode": q_mm_decode,
+        "mm_audio": q_mm_audio,
+        "mm_frames": q_mm_frames,
         "ev_window": q_ev_window,
         "ev_sessions": q_ev_sessions,
         "ev_json": q_ev_json,
@@ -1434,6 +1485,8 @@ def oracle_sql() -> dict[str, str]:
         "ss_cosine_topk": _COSINE_ORACLE,
         # ss_ivf_topk: approximate -> rows-only (pytest recall bound)
         "mm_decode": _MM_ORACLE,
+        "mm_audio": _MM_AUDIO_ORACLE,
+        "mm_frames": _MM_FRAMES_ORACLE,
         "ev_window": _EV_WINDOW_ORACLE,
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,

@@ -12,7 +12,8 @@ from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
                     minhash_lsh_pairs,
                     minhash_lsh_pairs_distributed, neardup_clusters,
                     neardup_dedup_rows, ngram_jaccard, simhash_pairs)
-from .multimodal import DecodeImageFeatures, FrameSampler, decode_pipeline
+from .multimodal import (DecodeImageFeatures, FrameSampler,
+                         audio_pipeline, decode_pipeline, frame_pipeline)
 from .sampling import hash_sample, stratified_sample
 from .similarity import cosine_topk, fit_centroids, ivf_topk
 from .textstats import (add_fingerprint, add_lang_id, add_quality,
@@ -38,4 +39,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "profile_table", "hash_sample", "asof_join", "asof_join_broadcast",
            "minhash_lsh_pairs_distributed", "neardup_clusters",
            "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg", "stratified_sample",
-           "exact_dedup_rows_shuffle", "tfidf_top_terms", "chunk_documents"]
+           "exact_dedup_rows_shuffle", "tfidf_top_terms", "chunk_documents", "audio_pipeline",
+           "frame_pipeline"]

@@ -23,7 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["MEDIA_SCHEMA", "synth_media_table", "DecodeImageFeatures",
-           "DecodeAudioFeatures", "FrameSampler", "decode_pipeline"]
+           "DecodeAudioFeatures", "FrameSampler", "decode_pipeline",
+           "audio_pipeline", "frame_pipeline"]
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -229,3 +230,23 @@ def decode_pipeline(sf_dir: str, concurrency: int = 4, batch_size: int = 256):
     return ds.map_batches(DecodeImageFeatures, concurrency=concurrency,
                           batch_size=batch_size, num_cpus=1,
                           batch_format="pyarrow")
+
+
+def audio_pipeline(sf_dir: str, concurrency: int = 4, batch_size: int = 256):
+    """media table (audio) -> actor-pool PCM feature extraction."""
+    ds = synth_media_table(sf_dir, media_type="audio")
+    return ds.map_batches(DecodeAudioFeatures, concurrency=concurrency,
+                          batch_size=batch_size, num_cpus=1,
+                          batch_format="pyarrow")
+
+
+def frame_pipeline(sf_dir: str, stride: int = 4, frame_bytes: int = 256,
+                   concurrency: int = 4, batch_size: int = 256):
+    """media table (video) -> actor-pool frame sampling: one row per
+    sampled pseudo-frame."""
+    ds = synth_media_table(sf_dir, media_type="video")
+    return ds.map_batches(FrameSampler,
+                          fn_constructor_kwargs={"stride": stride,
+                                                 "frame_bytes": frame_bytes},
+                          concurrency=concurrency, batch_size=batch_size,
+                          num_cpus=1, batch_format="pyarrow")
