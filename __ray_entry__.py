@@ -1271,6 +1271,31 @@ WHERE f % 4 = 0
 """
 
 
+
+def q_ev_cumsum(sf_dir: str) -> pd.DataFrame:
+    """SQL-window-function parity: running sum + row number per user in
+    (ts, event_id) order — groupby(key).map_groups sort + cumsum (the
+    per-key-sequential shape)."""
+    from feature_fabrica_ray.pipelines import cumulative_agg
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id", "value"])
+    out = cumulative_agg(ds, "ts", "user_id", "value", "event_id")         .to_pandas()[["event_id", "user_id", "cum_v", "rn"]]
+    out["cum_v"] = _round_away(out["cum_v"], 6)
+    out["rn"] = out["rn"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_CUMSUM_ORACLE = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             6) AS cum_v,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS rn
+FROM events
+"""
+
+
 def q_pr_lineitem(sf_dir: str) -> pd.DataFrame:
     """Whole-table profile (one fused pass): exact moments per numeric
     column, SQL-checkable."""
@@ -1443,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_window": q_ev_window,
         "ev_sessions": q_ev_sessions,
         "ev_json": q_ev_json,
+        "ev_cumsum": q_ev_cumsum,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -1474,6 +1500,7 @@ def oracle_sql() -> dict[str, str]:
         "sm_group_sample": _GROUP_SAMPLE_ORACLE,
         "jn_shuffle": _JOIN_ORACLE,
         "ev_sliding": _SLIDING_ORACLE,
+        "ev_cumsum": _CUMSUM_ORACLE,
         "ta_textstats": _TEXTSTATS_ORACLE,
         "ta_quality": _QUALITY_ORACLE,
         # ta_langid_fingerprint: heuristic -> rows-only (pytest goldens)

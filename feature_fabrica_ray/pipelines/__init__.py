@@ -3,7 +3,7 @@ dedup, similarity search, text analysis."""
 
 from .asof import asof_join, asof_join_broadcast
 from .checkpoint import codetable_shards, merge_results, validate_resumable
-from .events import (extract_json_int, sessionize,
+from .events import (cumulative_agg, extract_json_int, sessionize,
                      sliding_window_agg, tumbling_window_agg)
 from .drift_actor import DriftSketchActor, drift_report
 from .join import broadcast_join, broadcast_range_join, shuffle_join
@@ -40,4 +40,4 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "minhash_lsh_pairs_distributed", "neardup_clusters",
            "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg", "stratified_sample",
            "exact_dedup_rows_shuffle", "tfidf_top_terms", "chunk_documents", "audio_pipeline",
-           "frame_pipeline"]
+           "frame_pipeline", "cumulative_agg"]

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 from ..tuning import shuffle_partitions
 
 __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
-           "extract_json_int"]
+           "extract_json_int", "cumulative_agg"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -144,3 +144,27 @@ def extract_json_int(ds, col: str, key: str, out_col: str):
         return batch.append_column(out_col, vals)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def cumulative_agg(ds, ts_col: str, key_col: str, value_col: str,
+                   order_col: str):
+    """SQL-window-function style running aggregates per key: for every
+    event, the running ``sum(value)`` and 1-based row number over
+    (ts, order_col) order within its key — ``SUM(...) OVER (PARTITION BY
+    key ORDER BY ts, order)`` semantics.
+
+    Inherently per-key sequential (each row depends on its predecessors),
+    so it hash-partitions on the key and runs one vectorized
+    sort + cumsum per group — the same shape (and same Zipf-hot-key
+    bound) as sessionize. Returns a Dataset with ``cum_v`` and ``rn``
+    appended."""
+    from ..tuning import shuffle_partitions
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        df = df.assign(cum_v=df[value_col].cumsum(),
+                       rn=np.arange(1, len(df) + 1, dtype=np.int64))
+        return df
+
+    return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas")

@@ -123,3 +123,22 @@ def test_shuffle_join_equals_broadcast(ray_session):
     s = shuffle_join(lds, rds, on="k", num_partitions=4).to_pandas() \
         .sort_values(["k", "v"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(b[["k", "v", "name"]], s[["k", "v", "name"]])
+
+
+def test_cumulative_agg_golden(ray_session):
+    """Running sum + row number per key in (ts, order) order, block-
+    layout invariant."""
+    from feature_fabrica_ray.pipelines import cumulative_agg
+
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00",
+                              "2024-01-01 02:00", "2024-01-01 00:30"]),
+        "user_id": [1, 1, 1, 2],
+        "event_id": [10, 11, 12, 13],
+        "value": [1.0, 2.0, 4.0, 9.0],
+    })
+    out = cumulative_agg(_ds(df, blocks=3), "ts", "user_id", "value",
+                         "event_id").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out["cum_v"].tolist() == [1.0, 3.0, 7.0, 9.0]
+    assert out["rn"].tolist() == [1, 2, 3, 1]
