@@ -356,8 +356,9 @@ class FeatureEngine:
             merged = parts.to_pandas().rename(
                 columns={"s": "sum(s)", "c": "sum(c)",
                          "mn": "min(mn)", "mx": "max(mx)"}) \
-                .groupby(key_col).agg({"sum(s)": "sum", "sum(c)": "sum",
-                                       "min(mn)": "min", "max(mx)": "max"})
+                .groupby(key_col, dropna=False) \
+                .agg({"sum(s)": "sum", "sum(c)": "sum",
+                      "min(mn)": "min", "max(mx)": "max"})
         else:
             # many partial rows: merge DISTRIBUTEDLY (small shuffle of
             # partials, never raw rows) and only collect if the merged
@@ -369,7 +370,6 @@ class FeatureEngine:
                 # the driver — signal the caller to use the shuffle path
                 return None
             merged = merged_ds.to_pandas().set_index(key_col)
-        merged = merged[merged.index.notna()]  # null keys -> no lookup hit
         if gr.agg == "sum":
             lut = merged["sum(s)"]
         elif gr.agg == "count":
@@ -380,12 +380,19 @@ class FeatureEngine:
             lut = merged["min(mn)"]
         else:
             lut = merged["max(mx)"]
-        lut_ref = ray.put(lut.to_dict())
+        # null keys form their own group (SQL PARTITION BY semantics —
+        # what the map_groups shuffle path already does); a NaN dict key
+        # is unreliable as a lookup key, so its value ships separately
+        null_mask = lut.index.isna()
+        null_val = float(lut[null_mask].iloc[0]) if null_mask.any() else None
+        lut_ref = ray.put((lut[~null_mask].to_dict(), null_val))
 
         def attach(batch: pa.Table) -> pa.Table:
-            lu = ray.get(lut_ref)
+            lu, null_val = ray.get(lut_ref)
             keys = batch.column(key_col).to_pandas()
             vals = keys.map(lu).astype(np.float64)
+            if null_val is not None:
+                vals[keys.isna()] = null_val
             return batch.append_column(tmp_out, pa.array(vals, pa.float64()))
 
         return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)

@@ -386,3 +386,25 @@ c:
     # plain transform unchanged by the refactor
     out2 = eng.transform(_ds(d)).to_pandas().sort_values("a").reset_index(drop=True)
     pd.testing.assert_frame_equal(df, out2)
+
+
+def test_group_reduce_null_keys_form_a_group(ray_session):
+    """SQL PARTITION BY semantics on BOTH physical paths: null keys are
+    a group of their own (broadcast/algebraic and shuffle/holistic agree)."""
+    base = """
+key: {description: group key column, data_type: str}
+val: {description: value column here, data_type: float64}
+gm:
+  description: aggregated value per key
+  data_type: float64
+  dependencies: [key, val]
+  transformation: "(val).group_reduce(key_feature=key, agg=AGG)"
+"""
+    df = pd.DataFrame({"key": ["a", "a", None, None],
+                       "val": [1.0, 3.0, 10.0, 20.0]})
+    mean_out = FeatureEngine(base.replace("AGG", "mean")).transform(
+        _ds(df)).to_pandas().sort_values("val")["gm"].tolist()
+    assert mean_out == [2.0, 2.0, 15.0, 15.0]          # broadcast path
+    med_out = FeatureEngine(base.replace("AGG", "median")).transform(
+        _ds(df)).to_pandas().sort_values("val")["gm"].tolist()
+    assert med_out == [2.0, 2.0, 15.0, 15.0]           # shuffle path
