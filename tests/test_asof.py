@@ -78,3 +78,38 @@ def test_asof_unmatched_key_and_empty_right_group(ray_session):
         .to_pandas().set_index("lid")
     assert np.isnan(out.loc[0, "rv"])
     assert out.loc[1, "rv"] == 7.0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 7, 42])
+def test_asof_randomized_vs_pandas(ray_session, seed):
+    """Randomized agreement with pandas merge_asof across seeds,
+    duplicate timestamps included."""
+    rng = np.random.default_rng(seed)
+    n_l, n_r = 300, 120
+    # coarse timestamps force duplicate (key, ts) collisions
+    left = pd.DataFrame({
+        "lid": np.arange(n_l),
+        "k": rng.integers(0, 6, n_l),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 50, n_l), unit="h"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 6, n_r),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 50, n_r), unit="h"),
+        "rv": np.arange(n_r, dtype=np.float64),  # distinct values
+    })
+    # dedupe (k, ts) on the right: with ties pandas keeps the LAST row
+    # in sort order and so do we — dedupe to make the expectation unique
+    right = right.drop_duplicates(["k", "ts"], keep="last")
+    exp = _expected(left, right)
+    got = asof_join_broadcast(ray.data.from_pandas(left).repartition(4),
+                              ray.data.from_pandas(right),
+                              on="ts", by="k", right_cols=["rv"]) \
+        .to_pandas().sort_values("lid")["rv"].to_numpy()
+    assert _nan_eq(exp, got)
+    cg = asof_join(ray.data.from_pandas(left).repartition(4),
+                   ray.data.from_pandas(right).repartition(3),
+                   on="ts", by="k", right_cols=["rv"]) \
+        .to_pandas().sort_values("lid")["rv"].to_numpy()
+    assert _nan_eq(exp, cg)
