@@ -178,7 +178,13 @@ def asof_join(left, right, *, on: str, by: str, right_cols: list[str],
         is_r = df["__side"].to_numpy() == 1
         ldf = df[~is_r]
         if not len(ldf):
-            return ldf.drop(columns=["__side", "__rts"]).iloc[:0]
+            # right-only key: emit zero rows with the SAME schema as
+            # matched groups (left cols + matched right cols)
+            out = ldf.drop(columns=["__side", "__rts"]
+                           + [f"__r_{c}" for c in out_rcols]).iloc[:0]
+            for c in out_rcols:
+                out[c] = np.empty(0, np.float64)
+            return out
         rdf = df[is_r]
         rts = np.sort(rdf["__rts"].to_numpy(dtype=np.int64)) if len(rdf) \
             else np.empty(0, np.int64)

@@ -113,3 +113,16 @@ def test_asof_randomized_vs_pandas(ray_session, seed):
                    on="ts", by="k", right_cols=["rv"]) \
         .to_pandas().sort_values("lid")["rv"].to_numpy()
     assert _nan_eq(exp, cg)
+
+
+def test_asof_right_only_key(ray_session):
+    """A key present only on the right side must not break the co-group
+    schema (its group has zero left rows)."""
+    left = pd.DataFrame({"lid": [0], "k": [1],
+                         "ts": pd.to_datetime(["2024-01-02"])})
+    right = pd.DataFrame({"k": [1, 99], "ts": pd.to_datetime(
+        ["2024-01-01", "2024-01-01"]), "rv": [7.0, 8.0]})
+    out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    on="ts", by="k", right_cols=["rv"]).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["rv"] == 7.0
