@@ -80,8 +80,11 @@ def asof_join_broadcast(left, right, *, on: str, by: str,
 
     cols = [by, on] + [c for c in right_cols if c not in (by, on)]
     if hasattr(right, "select_columns"):     # ray Dataset
-        rt = pa.concat_tables(
-            ray.get(right.select_columns(cols).to_arrow_refs()))
+        sel = right.select_columns(cols)
+        blocks = [t for t in ray.get(sel.to_arrow_refs()) if t.num_rows]
+        sch = sel.schema()
+        rt = pa.concat_tables(blocks) if blocks else pa.table(
+            {n: pa.array([], t) for n, t in zip(sch.names, sch.types)})
     elif isinstance(right, pa.Table):
         rt = right.select(cols)
     else:

@@ -293,6 +293,8 @@ def exact_dedup_rows_shuffle(ds, columns: list[str], *,
             return t
         tb = [tiebreak] if tiebreak else \
             [c for c in t.column_names if c not in columns]
+        if not tb:          # key-only schema: rows are identical tuples
+            return t.slice(0, 1)
         order = pc.sort_indices(t, sort_keys=[(c, "ascending") for c in tb])
         return t.take(order[:1])
 

@@ -533,3 +533,13 @@ def test_chunk_documents(ray_session):
     pd.testing.assert_frame_equal(out, out1)
     with pytest.raises(ValueError):
         chunk_documents(_ds(df), max_tokens=2, stride=3)
+
+
+def test_exact_dedup_shuffle_key_only_schema(ray_session):
+    """A table consisting only of the key columns still dedups (no
+    tiebreak columns to sort by)."""
+    from feature_fabrica_ray.pipelines import exact_dedup_rows_shuffle
+
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": [1, 1, 2]})
+    out = exact_dedup_rows_shuffle(_ds(df, blocks=2), ["a", "b"]).to_pandas()
+    assert sorted(map(tuple, out.values.tolist())) == [("x", 1), ("y", 2)]
