@@ -155,6 +155,18 @@ SELECT repo, path, "commit" FROM (
 """
 
 
+
+def q_vl_uniqueness_shuffle(sf_dir: str):
+    """Dup-heavy uniqueness form: duplicate rows via one full-row hash
+    shuffle, zero driver collection — same SQL oracle as the
+    hash-projection form."""
+    from feature_fabrica_ray.pipelines import uniqueness_violations_ds
+
+    ds = read_codetable(sf_dir, with_sha256=False)
+    return _select(uniqueness_violations_ds(ds, ["repo", "path", "commit"]),
+                   ["repo", "path", "commit"])
+
+
 def q_vl_referential_orphans(sf_dir: str):
     import ray.data  # noqa: F401  (session owned by caller)
 
@@ -1426,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_suite_verdicts": q_vl_suite_verdicts,
         "vl_violation_rows": q_vl_violation_rows,
         "vl_uniqueness_rows": q_vl_uniqueness_rows,
+        "vl_uniqueness_shuffle": q_vl_uniqueness_shuffle,
         "vl_referential_orphans": q_vl_referential_orphans,
         "vl_stats_size": q_vl_stats_size,
         "vl_content_sha256": q_vl_content_sha256,
@@ -1478,6 +1491,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_suite_verdicts": _VERDICT_ORACLE,
         "vl_violation_rows": _VIOLATION_ORACLE,
         "vl_uniqueness_rows": _UNIQUENESS_ORACLE,
+        "vl_uniqueness_shuffle": _UNIQUENESS_ORACLE,
         "vl_referential_orphans": _ORPHAN_ORACLE,
         "vl_stats_size": _STATS_ORACLE,
         "vl_content_sha256": _SHA_ORACLE,

@@ -20,13 +20,13 @@ from .textstats import (add_fingerprint, add_lang_id, add_quality,
                         chunk_documents,
                         text_stats, tfidf_top_terms, token_counts)
 from .topk import topk_per_group
-from .uniqueness import uniqueness_violations
+from .uniqueness import uniqueness_violations, uniqueness_violations_ds
 from .writer import write_validated
 from .validate import (ValidationResult, bind_baselines, compute_baseline,
                        profile_table, run_suite)
 
 __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines",
-           "uniqueness_violations",
+           "uniqueness_violations", "uniqueness_violations_ds",
            "exact_dedup_counts", "exact_dedup_rows", "minhash_lsh_pairs", "simhash_pairs",
            "topk_per_group",
            "ngram_jaccard", "embedding_neardup_pairs",

@@ -33,7 +33,7 @@ import pyarrow as pa
 from ..state import combine_hashes, hash64
 from ..tuning import shuffle_partitions
 
-__all__ = ["uniqueness_violations"]
+__all__ = ["uniqueness_violations", "uniqueness_violations_ds"]
 
 _SEP = "\x1f"
 
@@ -93,3 +93,20 @@ def uniqueness_violations(ds, columns: list[str], *, partition_col: str = "repo"
         key_tuple = key_tuple + _SEP + cands[c].astype(str)
     sizes = key_tuple.map(key_tuple.value_counts())
     return cands[sizes > 1].reset_index(drop=True)
+
+
+def uniqueness_violations_ds(ds, columns: list[str], *,
+                             num_partitions: int | None = None):
+    """Dup-HEAVY form: all duplicate-key rows as a DATASET — one
+    full-row hash shuffle on the key tuple, per-group size check,
+    nothing collected to the driver (the hash-projection form above
+    assumes duplicates are rare enough to broadcast/collect; a 40%-dup
+    web crawl breaks that). Write the result or aggregate it
+    downstream; row order is not defined."""
+    from ..tuning import shuffle_partitions as _sp
+
+    def dups_only(t: pa.Table) -> pa.Table:
+        return t if t.num_rows > 1 else t.slice(0, 0)
+
+    return ds.groupby(columns, num_partitions=num_partitions or _sp()) \
+        .map_groups(dups_only, batch_format="pyarrow")

@@ -334,3 +334,19 @@ checks:
     assert bool(g.loc["not_null:lang", "passed"])
     assert bool(g.loc["unique:repo+path+commit", "passed"])
     assert len(r.violations) == 0
+
+
+def test_uniqueness_ds_form_equals_collected(ray_session):
+    """The dup-heavy Dataset form returns exactly the rows the
+    hash-projection form collects."""
+    from feature_fabrica_ray.pipelines import (uniqueness_violations,
+                                               uniqueness_violations_ds)
+
+    ds = read_codetable(SF, with_sha256=False)
+    a = uniqueness_violations(ds, ["repo", "path", "commit"],
+                              key_columns=["repo", "path", "commit"])
+    b = uniqueness_violations_ds(read_codetable(SF, with_sha256=False),
+                                 ["repo", "path", "commit"]).to_pandas()
+    key = ["repo", "path", "commit"]
+    assert sorted(map(tuple, a[key].values.tolist())) == \
+        sorted(map(tuple, b[key].values.tolist()))
