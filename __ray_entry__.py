@@ -1211,6 +1211,20 @@ def q_ss_ivf_topk(sf_dir: str):
     return ivf_topk(ds, Q, k=10)
 
 
+
+def q_ss_pca(sf_dir: str):
+    """PCA dimensionality reduction before ANN: basis fit on a
+    deterministic sample (KB-sized broadcast state), one matmul per
+    block. Rows-only (an SVD basis has no SQL oracle); pytest asserts
+    near-exact reconstruction on rank-k data."""
+    from feature_fabrica_ray.pipelines import fit_pca, pca_project
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    basis = fit_pca(ds, n_components=8)
+    return _select(pca_project(ds, basis), ["vec_id", "embedding_pca"])
+
+
 def q_mm_decode(sf_dir: str):
     """Actor-pool binary decode: header fields AND the body mean byte are
     SQL-checkable (payload = u32 header from doc_id + utf8 text bytes);
@@ -1475,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_simhash": q_dd_simhash,
         "ss_cosine_topk": q_ss_cosine_topk,
         "ss_ivf_topk": q_ss_ivf_topk,
+        "ss_pca": q_ss_pca,
         "mm_decode": q_mm_decode,
         "mm_audio": q_mm_audio,
         "mm_frames": q_mm_frames,

@@ -15,7 +15,8 @@ from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
 from .multimodal import (DecodeImageFeatures, FrameSampler,
                          audio_pipeline, decode_pipeline, frame_pipeline)
 from .sampling import hash_sample, stratified_sample
-from .similarity import cosine_topk, fit_centroids, ivf_topk
+from .similarity import (cosine_topk, fit_centroids, fit_pca,
+                         ivf_topk, normalize_embeddings, pca_project)
 from .textstats import (add_fingerprint, add_lang_id, add_quality,
                         chunk_documents,
                         text_stats, tfidf_top_terms, token_counts)
@@ -40,4 +41,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "minhash_lsh_pairs_distributed", "neardup_clusters",
            "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg", "stratified_sample",
            "exact_dedup_rows_shuffle", "tfidf_top_terms", "chunk_documents", "audio_pipeline",
-           "frame_pipeline", "cumulative_agg"]
+           "frame_pipeline", "cumulative_agg", "normalize_embeddings",
+           "fit_pca", "pca_project"]

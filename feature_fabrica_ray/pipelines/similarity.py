@@ -19,7 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["cosine_topk", "ivf_topk", "fit_centroids"]
+__all__ = ["cosine_topk", "ivf_topk", "fit_centroids",
+           "normalize_embeddings", "fit_pca", "pca_project"]
 
 
 def _vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
@@ -146,3 +147,56 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 16,
 
     parts = ds.map_batches(block_topk, batch_format="pyarrow", batch_size=None).to_pandas()
     return _merge_topk(parts, k)
+
+
+def normalize_embeddings(ds, vec_col: str = "embedding",
+                         out_col: str | None = None):
+    """L2-normalize an embedding column (stateless map; unit-norm
+    vectors make cosine = dot product downstream)."""
+    out_col = out_col or vec_col
+
+    def fn(batch: pa.Table) -> pa.Table:
+        V = _normalize(_vectors(batch, vec_col))
+        arr = pa.array(list(map(list, V)), pa.list_(pa.float64()))
+        if out_col in batch.column_names:
+            return batch.set_column(batch.column_names.index(out_col),
+                                    out_col, arr)
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def fit_pca(ds, n_components: int, vec_col: str = "embedding",
+            sample_size: int = 4096) -> dict:
+    """Fit a PCA basis on a deterministic sample (driver-side numpy SVD
+    — the components are KB-sized broadcast state, same pattern as
+    fit_centroids). Returns {"mean": (d,), "components": (k, d)}."""
+    sample = ds.limit(sample_size).to_pandas()
+    M = np.asarray([np.asarray(v, np.float64) for v in sample[vec_col]])
+    mean = M.mean(axis=0)
+    _, _, vt = np.linalg.svd(M - mean, full_matrices=False)
+    # deterministic sign: largest-|.| coordinate of each component >= 0
+    comp = vt[:n_components]
+    signs = np.sign(comp[np.arange(len(comp)),
+                         np.abs(comp).argmax(axis=1)])
+    return {"mean": mean, "components": comp * signs[:, None]}
+
+
+def pca_project(ds, basis: dict, vec_col: str = "embedding",
+                out_col: str = "embedding_pca"):
+    """Project embeddings onto a fitted PCA basis — broadcast the
+    KB-sized basis via ``ray.put``, one matmul per block (the standard
+    dimensionality-reduction stage before ANN at scale)."""
+    import ray
+
+    ref = ray.put((np.asarray(basis["mean"], np.float64),
+                   np.asarray(basis["components"], np.float64)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mean, comp = ray.get(ref)
+        V = _vectors(batch, vec_col)
+        P = (V - mean) @ comp.T
+        arr = pa.array(list(map(list, P)), pa.list_(pa.float64()))
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -543,3 +543,35 @@ def test_exact_dedup_shuffle_key_only_schema(ray_session):
     df = pd.DataFrame({"a": ["x", "x", "y"], "b": [1, 1, 2]})
     out = exact_dedup_rows_shuffle(_ds(df, blocks=2), ["a", "b"]).to_pandas()
     assert sorted(map(tuple, out.values.tolist())) == [("x", 1), ("y", 2)]
+
+
+def test_pca_project_and_normalize(ray_session):
+    """PCA on a known low-rank embedding recovers the dominant
+    directions (reconstruction error ~0 for rank-2 data); projection is
+    partition-invariant; normalize gives unit norms."""
+    from feature_fabrica_ray.pipelines import (fit_pca, normalize_embeddings,
+                                               pca_project)
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    basis2 = rng.standard_normal((2, 8))
+    coeffs = rng.standard_normal((200, 2))
+    V = coeffs @ basis2                      # exact rank-2 data
+    df = pd.DataFrame({"vec_id": np.arange(200),
+                       "embedding": list(map(list, V))})
+    ds = ray.data.from_pandas(df).repartition(3)
+    basis = fit_pca(ds, n_components=2)
+    out = pca_project(ds, basis).to_pandas().sort_values("vec_id")
+    P = np.asarray([np.asarray(r, np.float64) for r in out["embedding_pca"]])
+    # reconstruct from 2 components: rank-2 data -> near-exact
+    rec = P @ np.asarray(basis["components"]) + np.asarray(basis["mean"])
+    assert np.abs(rec - V).max() < 1e-8
+    out1 = pca_project(ray.data.from_pandas(df), basis).to_pandas() \
+        .sort_values("vec_id")
+    P1 = np.asarray([np.asarray(r, np.float64) for r in out1["embedding_pca"]])
+    np.testing.assert_allclose(P, P1, rtol=1e-12)
+
+    nrm = normalize_embeddings(ds).to_pandas()
+    norms = np.array([np.linalg.norm(np.asarray(v, np.float64))
+                      for v in nrm["embedding"]])
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-9)
