@@ -191,6 +191,28 @@ def bench_sessionize() -> tuple[float, int]:
     return time.perf_counter() - t0, len(out)
 
 
+def bench_vocab() -> tuple[float, int]:
+    from feature_fabrica_ray.pipelines import token_counts
+    from feature_fabrica_ray.sources import read_parquet_clean
+
+    ds = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                            columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    n = token_counts(ds).count()
+    return time.perf_counter() - t0, n
+
+
+def bench_chunks() -> tuple[float, int]:
+    from feature_fabrica_ray.pipelines import chunk_documents
+    from feature_fabrica_ray.sources import read_parquet_clean
+
+    ds = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                            columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    n = _consume(chunk_documents(ds, max_tokens=32))
+    return time.perf_counter() - t0, n
+
+
 BENCHES = {
     "suite": bench_suite,
     "uniqueness": bench_uniqueness,
@@ -200,6 +222,8 @@ BENCHES = {
     "minhash": bench_minhash,
     "window": bench_window,
     "sessionize": bench_sessionize,
+    "vocab": bench_vocab,
+    "chunks": bench_chunks,
 }
 
 
