@@ -575,3 +575,34 @@ def test_pca_project_and_normalize(ray_session):
     norms = np.array([np.linalg.norm(np.asarray(v, np.float64))
                       for v in nrm["embedding"]])
     np.testing.assert_allclose(norms, 1.0, rtol=1e-9)
+
+
+def test_minhash_distributed_dup_heavy_corpus(ray_session):
+    """The distributed path's reason to exist: a corpus where HALF the
+    documents are near-dups (100 clusters x 3 variants) still verifies
+    exactly the same pairs as the driver form."""
+    from feature_fabrica_ray.pipelines import minhash_lsh_pairs_distributed
+
+    rng = np.random.default_rng(11)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                      "theta", "iota", "kappa", "lom", "mu", "nu"])
+    rows = []
+    for c in range(100):
+        base = " ".join(rng.choice(vocab, size=30))
+        rows.append((c * 10, base))
+        rows.append((c * 10 + 1, base + " tailone"))
+        rows.append((c * 10 + 2, base + " tailtwo"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    drv = minhash_lsh_pairs(_ds(df, blocks=4), threshold=0.5)
+    dst = minhash_lsh_pairs_distributed(_ds(df, blocks=4),
+                                        threshold=0.5).to_pandas()
+    key = lambda d: sorted(map(tuple,
+                               d[["id_a", "id_b", "jaccard"]].values.tolist()))
+    assert key(drv) == key(dst)
+    # every planted cluster yields its 3 intra-cluster pairs
+    found = {(a, b) for a, b in dst[["id_a", "id_b"]].values.tolist()}
+    for c in range(100):
+        ids = [c * 10, c * 10 + 1, c * 10 + 2]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                assert (ids[i], ids[j]) in found
