@@ -16,9 +16,11 @@ the exchange):
 - embedding:  random-hyperplane signature blocking -> within-bucket
               exact cosine (numpy matmul) -> threshold.
 
-Candidate sets are tiny by construction (near-dups are rare), so pair
-verification collects candidates to the driver; everything over the full
-table is map_batches / bucket-groupby.
+Two verification regimes: the default pipelines assume near-dups are
+RARE (candidate pairs collect to the driver for exact verification);
+the ``*_distributed`` / ``*_shuffle`` forms are for dup-heavy corpora
+(web crawls) — pairs, shingles and duplicate rows stay distributed,
+with a Bloom filter of candidate ids as the only driver-held state.
 """
 
 from __future__ import annotations
