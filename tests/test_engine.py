@@ -408,3 +408,26 @@ gm:
     med_out = FeatureEngine(base.replace("AGG", "median")).transform(
         _ds(df)).to_pandas().sort_values("val")["gm"].tolist()
     assert med_out == [2.0, 2.0, 15.0, 15.0]           # shuffle path
+
+
+def test_lineage_with_group_reduce(ray_session):
+    """Lineage mode works through shuffle-lowered levels (group_reduce)
+    and digests stay partition-invariant."""
+    spec = """
+key: {description: group key column, data_type: int64}
+x: {description: numeric input col, data_type: float64}
+gsum:
+  description: per key sum broadcast
+  data_type: float64
+  dependencies: [key, x]
+  transformation: "(x).group_reduce(key_feature=key, agg=sum)"
+"""
+    eng = FeatureEngine(spec)
+    d = {"key": [1, 1, 2], "x": [1.0, 2.0, 5.0]}
+    out, lin = eng.transform_with_lineage(_ds(d))
+    assert out.to_pandas().sort_values("x")["gsum"].tolist() == [3.0, 3.0, 5.0]
+    assert "gsum" in set(lin["feature"])
+    _, lin2 = eng.transform_with_lineage(_ds(d).repartition(2))
+    m1 = lin.set_index("feature")["digest"]
+    m2 = lin2.set_index("feature")["digest"]
+    assert m1["gsum"] == m2["gsum"]
