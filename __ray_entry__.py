@@ -1322,6 +1322,28 @@ FROM events
 """
 
 
+
+def q_mm_resize(sf_dir: str):
+    """Actor-pool resize -> decode composition: nearest-neighbor
+    downsample to 16x16 under the fake-pixel contract, then the feature
+    decoder runs on the RESIZED payloads (two chained actor stages).
+    Rows-only; pytest pins the exact index math and padding."""
+    from feature_fabrica_ray.pipelines import (DecodeImageFeatures,
+                                               resize_pipeline)
+
+    # two chained pools must leave CPUs for the feeding read tasks: pool
+    # sizes that sum to the whole session starve the pipeline
+    resized = resize_pipeline(sf_dir, out_w=16, out_h=16, concurrency=2)
+    dropped = resized.map_batches(
+        lambda b: b.drop_columns(["width", "height"]),
+        batch_format="pyarrow", batch_size=None)
+    out = dropped.map_batches(DecodeImageFeatures, concurrency=2,
+                              batch_size=256, num_cpus=1,
+                              batch_format="pyarrow")
+    return _select(out, ["media_id", "width", "height", "n_bytes",
+                         "mean_byte"])
+
+
 def q_pr_lineitem(sf_dir: str) -> pd.DataFrame:
     """Whole-table profile (one fused pass): exact moments per numeric
     column, SQL-checkable."""
@@ -1493,6 +1515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_decode": q_mm_decode,
         "mm_audio": q_mm_audio,
         "mm_frames": q_mm_frames,
+        "mm_resize": q_mm_resize,
         "ev_window": q_ev_window,
         "ev_sessions": q_ev_sessions,
         "ev_json": q_ev_json,

@@ -13,7 +13,8 @@ from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
                     minhash_lsh_pairs_distributed, neardup_clusters,
                     neardup_dedup_rows, ngram_jaccard, simhash_pairs)
 from .multimodal import (DecodeImageFeatures, FrameSampler,
-                         audio_pipeline, decode_pipeline, frame_pipeline)
+                         ResizeImage, audio_pipeline, decode_pipeline,
+                         frame_pipeline, resize_pipeline)
 from .sampling import hash_sample, stratified_sample
 from .similarity import (cosine_topk, fit_centroids, fit_pca,
                          ivf_topk, normalize_embeddings, pca_project)
@@ -42,4 +43,4 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg", "stratified_sample",
            "exact_dedup_rows_shuffle", "tfidf_top_terms", "chunk_documents", "audio_pipeline",
            "frame_pipeline", "cumulative_agg", "normalize_embeddings",
-           "fit_pca", "pca_project"]
+           "fit_pca", "pca_project", "ResizeImage", "resize_pipeline"]

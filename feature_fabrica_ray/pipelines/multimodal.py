@@ -23,8 +23,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["MEDIA_SCHEMA", "synth_media_table", "DecodeImageFeatures",
-           "DecodeAudioFeatures", "FrameSampler", "decode_pipeline",
-           "audio_pipeline", "frame_pipeline"]
+           "DecodeAudioFeatures", "FrameSampler", "ResizeImage",
+           "decode_pipeline", "audio_pipeline", "frame_pipeline",
+           "resize_pipeline"]
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -248,5 +249,90 @@ def frame_pipeline(sf_dir: str, stride: int = 4, frame_bytes: int = 256,
     return ds.map_batches(FrameSampler,
                           fn_constructor_kwargs={"stride": stride,
                                                  "frame_bytes": frame_bytes},
+                          concurrency=concurrency, batch_size=batch_size,
+                          num_cpus=1, batch_format="pyarrow")
+
+
+class ResizeImage:
+    """Actor-pool resize stage: nearest-neighbor downsample of the fake
+    pixel grid to ``(out_w, out_h)``, emitting a NEW payload (header +
+    resized body). Contract: the body is a row-major ``width x height``
+    grid, truncated/zero-padded to ``width*height`` bytes. Real codecs
+    would decode-resize-encode; the Ray plumbing (actor state, batch
+    layout, output schema) is the tested contract.
+
+    Vectorized: per batch, one (n, out_w*out_h) gather-index matrix
+    built from the width/height columns — no per-row Python loop."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload")
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        buf = np.frombuffer(payloads.buffers()[2] or b"", dtype=np.uint8)
+        raw_off = np.frombuffer(payloads.buffers()[1], dtype=np.int32)
+        off = raw_off[payloads.offset:payloads.offset + len(payloads) + 1] \
+            .astype(np.int64)
+        n = len(payloads)
+        lens = np.diff(off)
+        ow, oh = self.out_w, self.out_h
+
+        # source geometry from the 8-byte header (0 when headerless)
+        widths = np.zeros(n, np.int64)
+        heights = np.zeros(n, np.int64)
+        has_hdr = lens >= 8
+        if has_hdr.any():
+            hpos = off[:-1][has_hdr][:, None] + np.arange(8)
+            hb = buf[hpos].astype(np.int64)
+            sh = np.array([1, 1 << 8, 1 << 16, 1 << 24])
+            widths[has_hdr] = (hb[:, :4] * sh).sum(axis=1)
+            heights[has_hdr] = (hb[:, 4:] * sh).sum(axis=1)
+        widths = np.maximum(widths, 1)
+        heights = np.maximum(heights, 1)
+
+        # nearest-neighbor source coordinates per output pixel, for every
+        # row at once: (n, oh*ow) index matrix into each row's pixel grid
+        oy = np.arange(oh)
+        ox = np.arange(ow)
+        sy = (oy[None, :] * heights[:, None]) // oh          # (n, oh)
+        sx = (ox[None, :] * widths[:, None]) // ow           # (n, ow)
+        flat_idx = (sy[:, :, None] * widths[:, None, None]
+                    + sx[:, None, :]).reshape(n, oh * ow)     # (n, oh*ow)
+        body_start = off[:-1] + 8 * has_hdr
+        body_len = np.maximum(lens - 8 * has_hdr, 0)
+        # clamp reads past the body to a zero byte (zero-pad contract)
+        valid = flat_idx < body_len[:, None]
+        gidx = np.where(valid, body_start[:, None] + flat_idx, 0)
+        pixels = np.where(valid, buf[gidx] if buf.size else 0, 0) \
+            .astype(np.uint8)
+
+        header = np.empty((n, 8), np.uint8)
+        header[:, 0:4] = np.frombuffer(
+            np.uint32(ow).tobytes(), np.uint8)[None, :]
+        header[:, 4:8] = np.frombuffer(
+            np.uint32(oh).tobytes(), np.uint8)[None, :]
+        out_rows = np.concatenate([header, pixels], axis=1)
+        out_payload = pa.array([r.tobytes() for r in out_rows], pa.binary())
+        t = pa.table({
+            "media_id": batch.column("media_id"),
+            "media_type": batch.column("media_type"),
+            "payload": out_payload,
+            "n_bytes": pa.array(np.full(n, 8 + oh * ow, np.int64)),
+            "width": pa.array(np.full(n, ow, np.int64)),
+            "height": pa.array(np.full(n, oh, np.int64)),
+        })
+        return t
+
+
+def resize_pipeline(sf_dir: str, out_w: int = 16, out_h: int = 16,
+                    concurrency: int = 4, batch_size: int = 256):
+    """media table -> actor-pool nearest-neighbor resize."""
+    ds = synth_media_table(sf_dir)
+    return ds.map_batches(ResizeImage,
+                          fn_constructor_kwargs={"out_w": out_w,
+                                                 "out_h": out_h},
                           concurrency=concurrency, batch_size=batch_size,
                           num_cpus=1, batch_format="pyarrow")

@@ -606,3 +606,34 @@ def test_minhash_distributed_dup_heavy_corpus(ray_session):
         for i in range(3):
             for j in range(i + 1, 3):
                 assert (ids[i], ids[j]) in found
+
+
+def test_resize_image_golden(ray_session):
+    """Nearest-neighbor resize under the fake-pixel contract: exact
+    source-index math, zero-padding past the body, new header stamped."""
+    import pyarrow as pa
+    import ray.data
+    from feature_fabrica_ray.pipelines import ResizeImage
+
+    def payload(w, h, body):
+        return np.uint32(w).tobytes() + np.uint32(h).tobytes() + bytes(body)
+
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "media_type": pa.array(["image"] * 2, pa.string()),
+        "payload": pa.array([payload(4, 2, range(8)),
+                             payload(4, 2, range(3))],   # short body -> pad
+                            pa.binary()),
+        "n_bytes": pa.array([16, 11], pa.int64()),
+    })
+    out = ray.data.from_arrow(t).map_batches(
+        ResizeImage, fn_constructor_kwargs={"out_w": 2, "out_h": 1},
+        concurrency=1, batch_format="pyarrow").to_pandas() \
+        .set_index("media_id")
+    p1 = out.loc[1, "payload"]
+    assert p1[8:] == bytes([0, 2])          # pixels (0,0) and (0,2)
+    assert np.frombuffer(p1[:4], np.uint32)[0] == 2   # new width header
+    p2 = out.loc[2, "payload"]
+    assert p2[8:] == bytes([0, 2])          # body[2] present, rest padded
+    assert (out["n_bytes"] == 10).all()
+    assert (out["width"] == 2).all() and (out["height"] == 1).all()
