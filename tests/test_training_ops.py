@@ -637,3 +637,20 @@ def test_resize_image_golden(ray_session):
     assert p2[8:] == bytes([0, 2])          # body[2] present, rest padded
     assert (out["n_bytes"] == 10).all()
     assert (out["width"] == 2).all() and (out["height"] == 1).all()
+
+
+def test_text_ops_on_empty_input(ray_session):
+    """Zero-row datasets flow through the text operators without
+    crashing and produce typed empty outputs."""
+    import pyarrow as pa
+    import ray.data
+    from feature_fabrica_ray.pipelines import (chunk_documents,
+                                               tfidf_top_terms, token_counts)
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert token_counts(empty).count() == 0
+    assert chunk_documents(empty, max_tokens=8).count() == 0
+    assert tfidf_top_terms(empty, k=3).count() == 0
+    assert len(minhash_lsh_pairs(empty)) == 0
