@@ -18,9 +18,7 @@ byte_entropy). Real decoders produce the same feature schema.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 __all__ = ["MEDIA_SCHEMA", "synth_media_table", "DecodeImageFeatures",
            "DecodeAudioFeatures", "FrameSampler", "ResizeImage",

@@ -24,7 +24,6 @@ Physical plan per DAG level (reference levels: core.py:186-260):
 from __future__ import annotations
 
 import json
-from typing import Any
 
 import numpy as np
 import pandas as pd
