@@ -392,6 +392,38 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
             raise ValueError(f"drift check {dc.name}: no baseline bound "
                              f"(use compute_baseline + bind_baselines)")
 
+    # kick off the uniqueness pass CONCURRENTLY with pass 1: the two
+    # pipelines are independent until verdict assembly, so running them
+    # from separate driver threads lets Ray's scheduler interleave their
+    # tasks and fill the idle gaps of each pipeline's serial phases
+    # (projection -> shuffle -> collect). Same results, better utilization.
+    uniq_ds = unique_input if unique_input is not None else ds
+    uniq_keys = key_columns
+    if unique_input is not None:
+        have_u = set(uniq_ds.schema().names)
+        uniq_keys = [c for c in key_columns if c in have_u]
+    uniq_out: dict = {}
+    uniq_thread = None
+    if suite.unique_checks:
+        import threading
+
+        def _run_uniqueness():
+            try:
+                import time as _time
+
+                # let pass-1's first wave warm the worker pool (clean
+                # module imports) before the second pipeline's tasks land
+                _time.sleep(1.0)
+                for uc in suite.unique_checks:
+                    uniq_out[uc.name] = uniqueness_violations(
+                        uniq_ds, uc.columns, partition_col=partition_col,
+                        num_partitions=num_partitions, key_columns=uniq_keys)
+            except BaseException as e:  # re-raised on join
+                uniq_out["__error__"] = e
+
+        uniq_thread = threading.Thread(target=_run_uniqueness, daemon=True)
+        uniq_thread.start()
+
     stage = _ValidatorStage(row_checks, suite.stats_checks, suite.drift_checks,
                             partition_col, num_partitions, key_columns)
     out = ds.map_batches(stage, batch_format="pyarrow", batch_size=None).materialize()
@@ -479,19 +511,17 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     violations = viol[keep].reset_index(drop=True) if len(viol) else \
         pd.DataFrame(columns=keep)
 
-    # uniqueness (pass 2: hash shuffle). It re-executes its input pipeline
-    # and only needs the key columns — callers whose upstream stages are
+    # uniqueness (pass 2: hash shuffle) — already running concurrently
+    # with pass 1 (see above); it re-executes its input pipeline and only
+    # needs the key columns, so callers whose upstream stages are
     # expensive (sha256 stamping, feature derivation) should pass a
     # cheaper equivalent-rows pipeline as ``unique_input``.
-    uniq_ds = unique_input if unique_input is not None else ds
-    uniq_keys = key_columns
-    if unique_input is not None:
-        have_u = set(uniq_ds.schema().names)
-        uniq_keys = [c for c in key_columns if c in have_u]
+    if uniq_thread is not None:
+        uniq_thread.join()
+        if "__error__" in uniq_out:
+            raise uniq_out["__error__"]
     for uc in suite.unique_checks:
-        uv = uniqueness_violations(uniq_ds, uc.columns, partition_col=partition_col,
-                                   num_partitions=num_partitions,
-                                   key_columns=uniq_keys)
+        uv = uniq_out[uc.name]
         uv["check"] = uc.name
         uv["detail"] = uc.name
         nv = len(uv)

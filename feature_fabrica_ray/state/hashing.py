@@ -63,8 +63,30 @@ def hash64(values, seed: int = 0) -> np.ndarray:
     fixed value (polars semantics), so they never collide randomly.
     """
     if _HAS_POLARS:
-        s = _to_series(values)
-        return s.hash(seed=np.uint64(seed) & np.uint64(0xFFFFFFFFFFFFFFFF)).to_numpy().astype(np.uint64)
+        last = None
+        for _ in range(16):
+            try:
+                s = _to_series(values)
+                return s.hash(seed=np.uint64(seed)
+                              & np.uint64(0xFFFFFFFFFFFFFFFF)) \
+                    .to_numpy().astype(np.uint64)
+            except AttributeError as e:
+                # torn polars lazy-import state, seen in fresh workers when
+                # two Datasets execute concurrently; retry after forcing a
+                # clean reimport. If it stays torn we RAISE (Ray's task
+                # retry gets a fresh worker) — never silently fall back to
+                # a different hash function mid-run, which would corrupt
+                # shuffles and sketches.
+                last = e
+                import importlib
+                import time as _time
+
+                try:
+                    importlib.reload(pl)
+                except Exception:
+                    pass
+                _time.sleep(0.05)
+        raise last
     return _fnv1a_fallback(list(values), seed)
 
 
