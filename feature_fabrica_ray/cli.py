@@ -62,7 +62,8 @@ def cmd_validate(args) -> int:
 
         shards = {f"{k:04d}": shard_builder(k) for k in range(args.shards)}
         out = validate_resumable(shards, suite, args.out,
-                                 num_partitions=args.partitions)
+                                 num_partitions=args.partitions,
+                                 max_parallel_shards=args.parallel_shards)
         res = out["result"]
         print(json.dumps({"completed": out["completed"],
                           "skipped": out["skipped"],
@@ -120,6 +121,7 @@ def main(argv=None) -> int:
     v.add_argument("--shards", type=int, default=1)
     v.add_argument("--shard-col", default="path")
     v.add_argument("--partitions", type=int, default=64)
+    v.add_argument("--parallel-shards", type=int, default=1)
     v.add_argument("--sha256", action="store_true", default=True)
     v.add_argument("--write-rows", action="store_true")
     v.set_defaults(fn=cmd_validate)

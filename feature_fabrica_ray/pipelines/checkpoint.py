@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from collections.abc import Callable
 
@@ -108,51 +109,90 @@ def _shard_dir(out_dir: str, shard_id: str) -> str:
 def validate_resumable(shards: dict[str, Callable], suite: CheckSuite,
                        out_dir: str, *, parents: dict | None = None,
                        num_partitions: int = 64,
-                       key_columns: list[str] | None = None) -> dict:
+                       key_columns: list[str] | None = None,
+                       max_parallel_shards: int = 1) -> dict:
     """Run the suite per shard with checkpoint commit; returns
-    {"completed": [...], "skipped": [...], "result": merged ValidationResult}."""
+    {"completed": [...], "skipped": [...], "result": merged ValidationResult}.
+
+    ``max_parallel_shards > 1`` runs that many shard pipelines from
+    concurrent driver threads — shard outputs are independent
+    directories with atomic commits, so parallelism changes nothing
+    about resume semantics; it just lets Ray interleave the pipelines'
+    tasks (same scheduler-filling effect as the suite's overlapped
+    uniqueness pass)."""
     os.makedirs(out_dir, exist_ok=True)
-    completed, skipped = [], []
+    completed, skipped, todo = [], [], []
     for shard_id, build in shards.items():
         sdir = _shard_dir(out_dir, shard_id)
         if os.path.exists(os.path.join(sdir, "_SUCCESS")):
             skipped.append(shard_id)
-            continue
-        os.makedirs(sdir, exist_ok=True)
-        t0 = time.perf_counter()
-        res = run_suite(build(), suite, parents=parents,
-                        num_partitions=num_partitions, key_columns=key_columns)
-        wall = time.perf_counter() - t0
-        res.verdicts.to_parquet(os.path.join(sdir, "verdicts.parquet"))
-        res.violations.to_parquet(os.path.join(sdir, "violations.parquet"))
-        lineage = {
-            "shard": shard_id,
-            "n_rows": int(res.n_rows),
-            "wall_s": round(wall, 3),
-            "digests": {str(k): int(v) for k, v in res.digests.items()},
-            "checks": suite.all_names(),
-            # per-check pass thresholds so the merger applies each check's
-            # max_violation_rate to the MERGED rate (not hardcoded zero)
-            "thresholds": _suite_thresholds(suite),
-            # mergeable sketch state (KB-sized): lets the shard merger
-            # rebuild exact global stats without re-reading any data
-            "sketches": {name: _encode_state(st)
-                         for name, st in res.sketch_state.items()},
-            # mergeable drift state + baseline/threshold: the merger
-            # recomputes the drift metric GLOBALLY from merged sketches
-            "drift": res.drift_state,
-        }
-        tmp = os.path.join(sdir, "lineage.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(lineage, f)
-        os.replace(tmp, os.path.join(sdir, "lineage.json"))
-        # commit marker LAST: a crash before this point leaves no _SUCCESS,
-        # so the rerun redoes the shard (writes above are idempotent)
-        with open(os.path.join(sdir, "_SUCCESS"), "w") as f:
-            f.write("ok\n")
-        completed.append(shard_id)
+        else:
+            todo.append((shard_id, build))
+    if max_parallel_shards > 1 and len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_parallel_shards) as pool:
+            list(pool.map(lambda sb: _run_one_shard(
+                sb[0], sb[1], suite, out_dir, parents, num_partitions,
+                key_columns), todo))
+        completed = [sid for sid, _ in todo]
+    else:
+        for shard_id, build in todo:
+            _run_one_shard(shard_id, build, suite, out_dir, parents,
+                           num_partitions, key_columns)
+            completed.append(shard_id)
     return {"completed": completed, "skipped": skipped,
             "result": merge_results(out_dir)}
+
+
+# Serializes plan-time Dataset construction across shard threads.
+# ray.data.read_parquet's path resolution lazily imports
+# fsspec.implementations.http; with aiohttp absent that import fails and
+# is retried on every call, and two threads importing at once can observe
+# a torn half-initialized module (plain ImportError instead of the
+# ModuleNotFoundError Ray catches). Planning is milliseconds — execution,
+# the part worth parallelizing, happens later under run_suite.
+_PLAN_LOCK = threading.Lock()
+
+
+def _run_one_shard(shard_id: str, build: Callable, suite: CheckSuite,
+                   out_dir: str, parents, num_partitions,
+                   key_columns) -> None:
+    sdir = _shard_dir(out_dir, shard_id)
+    os.makedirs(sdir, exist_ok=True)
+    t0 = time.perf_counter()
+    with _PLAN_LOCK:
+        ds = build()
+    res = run_suite(ds, suite, parents=parents,
+                    num_partitions=num_partitions, key_columns=key_columns)
+    wall = time.perf_counter() - t0
+    res.verdicts.to_parquet(os.path.join(sdir, "verdicts.parquet"))
+    res.violations.to_parquet(os.path.join(sdir, "violations.parquet"))
+    lineage = {
+        "shard": shard_id,
+        "n_rows": int(res.n_rows),
+        "wall_s": round(wall, 3),
+        "digests": {str(k): int(v) for k, v in res.digests.items()},
+        "checks": suite.all_names(),
+        # per-check pass thresholds so the merger applies each check's
+        # max_violation_rate to the MERGED rate (not hardcoded zero)
+        "thresholds": _suite_thresholds(suite),
+        # mergeable sketch state (KB-sized): lets the shard merger
+        # rebuild exact global stats without re-reading any data
+        "sketches": {name: _encode_state(st)
+                     for name, st in res.sketch_state.items()},
+        # mergeable drift state + baseline/threshold: the merger
+        # recomputes the drift metric GLOBALLY from merged sketches
+        "drift": res.drift_state,
+    }
+    tmp = os.path.join(sdir, "lineage.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(lineage, f)
+    os.replace(tmp, os.path.join(sdir, "lineage.json"))
+    # commit marker LAST: a crash before this point leaves no _SUCCESS,
+    # so the rerun redoes the shard (writes above are idempotent)
+    with open(os.path.join(sdir, "_SUCCESS"), "w") as f:
+        f.write("ok\n")
 
 
 def merge_results(out_dir: str) -> ValidationResult:

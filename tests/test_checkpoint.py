@@ -229,3 +229,19 @@ checks:
     # rate -> merged verdict is PASSED (not zero-tolerance)
     assert int(g.loc["min_length:content", "n_violations"]) > 0
     assert bool(g.loc["min_length:content", "passed"])
+
+
+def test_parallel_shards_equal_sequential(ray_session, out_dir):
+    """max_parallel_shards=3 produces exactly the sequential result
+    (independent shard dirs + atomic commits make order irrelevant)."""
+    shards = codetable_shards(SF, n_shards=3)
+    seq = validate_resumable(shards, SUITE, out_dir, num_partitions=8)["result"]
+    par_dir = out_dir + "_par"
+    par = validate_resumable(codetable_shards(SF, n_shards=3), SUITE, par_dir,
+                             num_partitions=8,
+                             max_parallel_shards=3)["result"]
+    assert par.n_rows == seq.n_rows
+    assert par.digests == seq.digests
+    a = seq.verdicts.sort_values(["check", "pid"]).reset_index(drop=True)
+    b = par.verdicts.sort_values(["check", "pid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
