@@ -166,8 +166,10 @@ class _ValidatorStage:
         for dc in self.drift_checks:
             col = batch.column(dc.column)
             if dc.categorical:
-                vc = pd.Series(col.to_pandas()).value_counts(dropna=False)
-                freq = {("\0null" if pd.isna(k) else str(k)): int(v) for k, v in vc.items()}
+                vc = pc.value_counts(col.combine_chunks())
+                freq = {("\0null" if v is None else str(v)): int(c)
+                        for v, c in zip(vc.field("values").to_pylist(),
+                                        vc.field("counts").to_pylist())}
                 payload = json.dumps(freq).encode()
                 kind = "catfreq"
             else:
