@@ -1031,6 +1031,157 @@ def q_ta_langid_fingerprint(sf_dir: str):
                    ["doc_id", "lang_id", "fingerprint"])
 
 
+def _augment_pii(ds):
+    """Append ``aug``: text + a deterministic email/URL/IP suffix built
+    from existing columns (the synthetic corpus has no organic PII, so
+    both sides construct identical targets for the redactor)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        d = pc.cast(batch.column("doc_id"), pa.string())
+        m200 = pa.array((did % 200).astype(str), pa.string())
+        m256 = pa.array((did % 256).astype(str), pa.string())
+        aug = pc.binary_join_element_wise(
+            pc.fill_null(batch.column("text"), ""), " contact ",
+            batch.column("source"), "-", d,
+            "@mail.example.com see https://example.com/d/", d,
+            " from 10.", m200, ".0.", m256, "")
+        return batch.append_column("aug", aug)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def q_ta_redact(sf_dir: str):
+    """PII/URL redaction: counts on the original text, placeholder
+    substitution — value-hash compares the full redacted strings."""
+    from feature_fabrica_ray.pipelines import redact_text
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "source"])
+    out = redact_text(_augment_pii(ds), text_col="aug")
+    return _select(out, ["doc_id", "n_emails", "n_urls", "n_ips", "redacted"])
+
+
+_REDACT_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact ' || source || '-' || doc_id
+              || '@mail.example.com see https://example.com/d/' || doc_id
+              || ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 256)
+         AS aug
+  FROM documents)
+SELECT doc_id,
+       length(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       length(regexp_extract_all(aug, 'https?://[^\s]+')) AS n_urls,
+       length(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\s]+', '<URL>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+FROM aug
+"""
+
+
+def q_ta_gopher(sf_dir: str):
+    """Gopher-style quality metrics + pass flag over documents."""
+    from feature_fabrica_ray.pipelines import gopher_quality
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = gopher_quality(ds)
+    return _select(out, ["doc_id", "n_words", "mean_word_len",
+                         "top_word_frac", "alpha_word_frac",
+                         "passes_gopher"])
+
+
+_GOPHER_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\S+') AS t,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+  FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n_words, n_nonspace,
+         len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+'))) AS n_alpha
+  FROM toks),
+tw AS (
+  SELECT doc_id, max(cnt) AS top_cnt FROM (
+    SELECT doc_id, w, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+    GROUP BY doc_id, w)
+  GROUP BY doc_id),
+m AS (
+  SELECT b.doc_id, b.n_words,
+         round(b.n_nonspace / greatest(b.n_words, 1)::DOUBLE, 6) AS mean_word_len,
+         round(coalesce(tw.top_cnt, 0) / greatest(b.n_words, 1)::DOUBLE, 6) AS top_word_frac,
+         round(b.n_alpha / greatest(b.n_words, 1)::DOUBLE, 6) AS alpha_word_frac
+  FROM base b LEFT JOIN tw USING (doc_id))
+SELECT doc_id, n_words, mean_word_len, top_word_frac, alpha_word_frac,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND top_word_frac <= 0.15
+        AND alpha_word_frac >= 0.80) AS passes_gopher
+FROM m
+"""
+
+
+def q_dd_decontaminate(sf_dir: str):
+    """Token 8-gram decontamination: docs with doc_id % 20 == 0 act as
+    the benchmark corpus, the rest as training data."""
+    from feature_fabrica_ray.pipelines import decontaminate
+
+    def _mod_filter(want_bench: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (did % 20 == 0) if want_bench else (did % 20 != 0)
+            return batch.filter(pa.array(mask))
+        return fn
+
+    src = lambda: read_parquet_clean(  # noqa: E731
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench = src().map_batches(_mod_filter(True), batch_format="pyarrow",
+                              batch_size=None)
+    train = src().map_batches(_mod_filter(False), batch_format="pyarrow",
+                              batch_size=None)
+    out = decontaminate(train, bench, n=8)
+    return _select(out, ["doc_id", "n_contaminated", "contaminated"])
+
+
+_DECON_ORACLE = r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+hits AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_contaminated
+         FROM grams g JOIN bench b USING (gram)
+         WHERE g.doc_id % 20 <> 0 GROUP BY g.doc_id)
+SELECT d.doc_id, CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       coalesce(h.n_contaminated, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 20 <> 0
+"""
+
+
+def q_agg_salted(sf_dir: str):
+    """Two-stage salted aggregation over the 5-value (maximally hot)
+    ``lang`` key — the explicit skew-breaker shape."""
+    from feature_fabrica_ray.pipelines import salted_group_agg
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+    return salted_group_agg(ds, key="lang", value="n_chars")
+
+
+_SALTED_ORACLE = """
+SELECT lang, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS total,
+       round(avg(n_chars), 6) AS mean_r
+FROM documents GROUP BY lang
+"""
+
+
 def q_dd_exact(sf_dir: str):
     from feature_fabrica_ray.pipelines import exact_dedup_counts
 
@@ -1501,6 +1652,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_textstats": q_ta_textstats,
         "ta_quality": q_ta_quality,
         "ta_langid_fingerprint": q_ta_langid_fingerprint,
+        "ta_redact": q_ta_redact,
+        "ta_gopher": q_ta_gopher,
+        "dd_decontaminate": q_dd_decontaminate,
+        "agg_salted": q_agg_salted,
         "dd_exact": q_dd_exact,
         "dd_dedup_rows": q_dd_dedup_rows,
         "agg_topk": q_agg_topk,
@@ -1556,6 +1711,10 @@ def oracle_sql() -> dict[str, str]:
         "ta_textstats": _TEXTSTATS_ORACLE,
         "ta_quality": _QUALITY_ORACLE,
         # ta_langid_fingerprint: heuristic -> rows-only (pytest goldens)
+        "ta_redact": _REDACT_ORACLE,
+        "ta_gopher": _GOPHER_ORACLE,
+        "dd_decontaminate": _DECON_ORACLE,
+        "agg_salted": _SALTED_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,

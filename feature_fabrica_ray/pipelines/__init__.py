@@ -2,6 +2,8 @@
 dedup, similarity search, text analysis."""
 
 from .asof import asof_join, asof_join_broadcast
+from .curation import (decontaminate, gopher_quality, redact_text,
+                       salted_group_agg, token_ngram_hashes)
 from .checkpoint import codetable_shards, merge_results, validate_resumable
 from .events import (cumulative_agg, extract_json_int, sessionize,
                      sliding_window_agg, tumbling_window_agg)
@@ -43,4 +45,6 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg", "stratified_sample",
            "exact_dedup_rows_shuffle", "tfidf_top_terms", "chunk_documents", "audio_pipeline",
            "frame_pipeline", "cumulative_agg", "normalize_embeddings",
-           "fit_pca", "pca_project", "ResizeImage", "resize_pipeline"]
+           "fit_pca", "pca_project", "ResizeImage", "resize_pipeline",
+           "redact_text", "gopher_quality", "decontaminate",
+           "token_ngram_hashes", "salted_group_agg"]

@@ -1,0 +1,296 @@
+"""Corpus-curation operators for training-data pipelines: PII/URL
+redaction, Gopher-style repetition/quality filters, benchmark
+decontamination, and explicit salted hot-key aggregation.
+
+These extend the reference's transform library (feature-fabrica has no
+curation stages; cf. /root/reference/feature_fabrica/transform/string.py
+for its closest string ops) with the standard large-corpus cleaning
+passes (Rae et al. 2021 "Scaling Language Models" App. A quality
+heuristics; n-gram decontamination as in GPT-3 App. C).
+
+Scale shape: redaction and quality metrics are stateless vectorized
+``map_batches`` stages (RE2 kernels + one lexsort per batch — no Python
+row loops). Decontamination broadcasts the benchmark's n-gram hash set
+(benchmark-sized by definition — a few million grams, MBs) via
+``ray.put`` and flags training docs in a stateless map: zero shuffle of
+the 100 TB side. Salted aggregation is the classic two-stage skew
+breaker: stage 1 groups by (key, salt) so one hot key spreads over
+``salts`` reduce partitions, stage 2 merges the per-salt partials
+(rows <= distinct_keys x salts, tiny).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textstats import _flat_utf8  # noqa: F401  (re-exported family)
+from .textstats import _distinct_per_row, _set_col, token_hashes
+
+__all__ = ["redact_text", "gopher_quality", "token_ngram_hashes",
+           "decontaminate", "salted_group_agg"]
+
+_B = np.uint64(1099511628211)  # FNV prime, same base as textstats kgrams
+
+# RE2 syntax — identical engine in pyarrow.compute and DuckDB, so the
+# SQL oracles use the same pattern strings verbatim.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_text(ds, text_col: str = "text", out_col: str = "redacted"):
+    """Replace emails, then URLs, then IPv4 literals with placeholder
+    tokens; count matches of each type on the ORIGINAL text.
+
+    Appends ``n_emails / n_urls / n_ips`` (int64) and ``out_col``
+    (string). Replacement order is fixed (email -> url -> ip) so results
+    are deterministic when patterns overlap.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_col), "")
+        n_emails = pc.count_substring_regex(col, pattern=EMAIL_RE).cast(pa.int64())
+        n_urls = pc.count_substring_regex(col, pattern=URL_RE).cast(pa.int64())
+        n_ips = pc.count_substring_regex(col, pattern=IPV4_RE).cast(pa.int64())
+        red = pc.replace_substring_regex(col, pattern=EMAIL_RE,
+                                         replacement="<EMAIL>")
+        red = pc.replace_substring_regex(red, pattern=URL_RE,
+                                         replacement="<URL>")
+        red = pc.replace_substring_regex(red, pattern=IPV4_RE,
+                                         replacement="<IP>")
+        batch = _set_col(batch, "n_emails", n_emails)
+        batch = _set_col(batch, "n_urls", n_urls)
+        batch = _set_col(batch, "n_ips", n_ips)
+        return _set_col(batch, out_col, red)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def _max_run_per_row(hashes: np.ndarray, row_of: np.ndarray,
+                     n_rows: int) -> np.ndarray:
+    """Largest repeat-count of any single value per row, from (hash, row)
+    pairs — one lexsort, no per-row Python. Empty rows get 0."""
+    out = np.zeros(n_rows, np.int64)
+    if hashes.size == 0:
+        return out
+    order = np.lexsort((hashes, row_of))
+    h, r = hashes[order], row_of[order]
+    new = np.empty(h.size, dtype=bool)
+    new[0] = True
+    new[1:] = (h[1:] != h[:-1]) | (r[1:] != r[:-1])
+    starts = np.flatnonzero(new)
+    runs = np.diff(np.concatenate([starts, [h.size]]))
+    np.maximum.at(out, r[starts], runs)
+    return out
+
+
+def gopher_quality(ds, text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_top_word_frac: float = 0.15,
+                   min_alpha_word_frac: float = 0.80):
+    """Gopher-style document quality metrics + pass flag (Rae et al.
+    2021, App. A): word count bounds, mean word length bounds, the
+    top-word repetition fraction, and the alphabetic-word fraction.
+
+    Appends ``n_words`` (int64), ``mean_word_len`` / ``top_word_frac`` /
+    ``alpha_word_frac`` (float64, rounded to 6 dp so the flag is
+    reproducible across engines) and ``passes_gopher`` (bool, computed
+    from the rounded metrics).
+    """
+
+    def _r6(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * 1e6 + 0.5) / 1e6   # half-away, matches SQL ROUND
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_col), "")
+        n = batch.num_rows
+        th, tr = token_hashes(col)
+        n_words = np.bincount(tr, minlength=n).astype(np.int64)
+        denom = np.maximum(n_words, 1).astype(np.float64)
+        n_nonspace = pc.count_substring_regex(col, pattern=r"\S") \
+            .cast(pa.float64()).to_numpy(zero_copy_only=False)
+        mean_wl = _r6(n_nonspace / denom)
+        top_frac = _r6(_max_run_per_row(th, tr, n) / denom)
+        # alphabetic tokens: full-match [A-Za-z]+ over the flat token list
+        toks = pc.split_pattern_regex(col, pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        alpha = pc.match_substring_regex(flat, pattern=r"^[A-Za-z]+$") \
+            .to_numpy(zero_copy_only=False)
+        n_alpha = np.bincount(row_of[alpha], minlength=n)
+        alpha_frac = _r6(n_alpha / denom)
+        passes = ((n_words >= min_words) & (n_words <= max_words)
+                  & (mean_wl >= min_mean_word_len)
+                  & (mean_wl <= max_mean_word_len)
+                  & (top_frac <= max_top_word_frac)
+                  & (alpha_frac >= min_alpha_word_frac))
+        batch = _set_col(batch, "n_words", pa.array(n_words))
+        batch = _set_col(batch, "mean_word_len", pa.array(mean_wl, pa.float64()))
+        batch = _set_col(batch, "top_word_frac", pa.array(top_frac, pa.float64()))
+        batch = _set_col(batch, "alpha_word_frac",
+                         pa.array(alpha_frac, pa.float64()))
+        return _set_col(batch, "passes_gopher", pa.array(passes, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def token_ngram_hashes(col: pa.Array, n: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """All token ``n``-gram hashes of every row -> (hashes uint64,
+    row_id int64). Rows with fewer than ``n`` tokens emit nothing.
+
+    One whitespace tokenization + one rolling polynomial pass over the
+    batch's flat token-hash array (windows crossing row boundaries
+    masked out) — the token-level sibling of ``kgram_hashes``.
+    """
+    th, tr = token_hashes(col)
+    n_rows = len(col)
+    empty = (np.zeros(0, np.uint64), np.zeros(0, np.int64))
+    m = th.size - n + 1
+    if m <= 0:
+        return empty
+    counts = np.bincount(tr, minlength=n_rows)
+    off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    powers = np.empty(n, np.uint64)
+    powers[n - 1] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(n - 2, -1, -1):
+            powers[i] = powers[i + 1] * _B
+    # scalar-multiplied contiguous slices, NOT a strided broadcast —
+    # numpy's uint64 broadcast multiply is ~100x slower (see
+    # state/hashing.hash64_multi)
+    h = np.zeros(m, np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(n):
+            h += th[i:m + i] * powers[i]
+        h = h * _B + np.uint64(0x9E3779B97F4A7C15)
+    pos = np.arange(m, dtype=np.int64)
+    row_of = np.searchsorted(off[1:], pos, side="right")
+    row_of = np.clip(row_of, 0, n_rows - 1)
+    valid = (pos >= off[row_of]) & (pos <= off[row_of + 1] - n)
+    return h[valid], row_of[valid]
+
+
+def decontaminate(ds, bench, n: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  max_grams_broadcast: int = 50_000_000):
+    """Flag training documents sharing any token ``n``-gram with a
+    benchmark/eval corpus (GPT-3-style decontamination).
+
+    Appends ``n_contaminated`` (distinct benchmark n-grams present in
+    the doc, int64) and ``contaminated`` (bool).
+
+    Scale shape: the benchmark side is benchmark-sized by definition —
+    its distinct gram hashes (8 bytes each) are reduced per block, then
+    driver-merged and broadcast once via ``ray.put``; the training side
+    is a stateless map (sorted-array membership via searchsorted), so
+    the big side never shuffles. Membership is by 64-bit hash: a
+    false flag needs a hash collision between a training gram and a
+    benchmark gram (P < |grams|^2 / 2^64 — negligible; documented
+    rather than verified because the flag, unlike dedup, drops data
+    conservatively). Benchmark gram sets beyond ``max_grams_broadcast``
+    raise — co-group via a shuffle join instead.
+    """
+    import ray
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        h, _ = token_ngram_hashes(batch.column(text_col), n=n)
+        return pa.table({"gram": pa.array(np.unique(h).view(np.int64),
+                                          pa.int64())})
+
+    parts = [t for t in ray.get(
+        bench.map_batches(bench_partial, batch_format="pyarrow",
+                          batch_size=None).to_arrow_refs()) if t.num_rows]
+    if parts:
+        # sort in UINT64 order (the probe order) — the int64 view used
+        # for Arrow transport sorts differently for hashes >= 2^63
+        merged = np.unique(np.concatenate(
+            [t.column("gram").to_numpy(zero_copy_only=False)
+             for t in parts]).view(np.uint64))
+    else:
+        merged = np.zeros(0, np.uint64)
+    if merged.size > max_grams_broadcast:
+        raise ValueError(
+            f"benchmark has {merged.size} distinct {n}-grams — too large "
+            f"to broadcast; co-group grams via a shuffle join instead")
+    ref = ray.put(merged)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        grams = ray.get(ref)
+        nr = batch.num_rows
+        h, r = token_ngram_hashes(batch.column(text_col), n=n)
+        if grams.size:
+            idx = np.minimum(np.searchsorted(grams, h), grams.size - 1)
+            hit = grams[idx] == h
+        else:
+            hit = np.zeros(h.size, bool)
+        n_hits = _distinct_per_row(h[hit], r[hit], nr)
+        batch = _set_col(batch, "n_contaminated", pa.array(n_hits))
+        return _set_col(batch, "contaminated",
+                        pa.array(n_hits > 0, pa.bool_()))
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+def salted_group_agg(ds, key: str, value: str, salts: int | None = None):
+    """Sum/count/mean of ``value`` per ``key`` via two-stage SALTED
+    aggregation — the explicit skew breaker for hot keys.
+
+    A direct ``groupby(key)`` hashes every row of one hot key into the
+    same reduce partition (a 5-value key over 100 TB = 5 working
+    reducers). Stage 1 here groups by ``(key, salt)`` where the salt is
+    a row-position derived int in [0, salts): each hot key spreads over
+    ``salts`` partitions and each reducer sees ~1/salts of it. Stage 2
+    merges the per-salt partials — at most distinct_keys x salts rows,
+    KB-sized. The salt deliberately does NOT depend on the key or the
+    data values; any row-uniformizer works since stage 2 re-merges.
+
+    Returns a Dataset (key, n_rows, total, mean_r) with ``mean_r``
+    rounded to 6 dp.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..tuning import shuffle_partitions
+
+    s = salts or shuffle_partitions()
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = np.arange(batch.num_rows, dtype=np.int64) % s
+        return batch.select([key, value]).append_column(
+            "__salt", pa.array(salt))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow",
+                            batch_size=None)
+    stage1 = salted.groupby([key, "__salt"], num_partitions=s) \
+        .aggregate(Sum(value), Count())
+
+    # stage 2: the per-salt partials are <= distinct_keys x salts rows
+    # (KB-sized) — one concat + one local Arrow group_by beats a second
+    # shuffle, and always emits the canonical schema (empty included)
+    def merge(b: pa.Table) -> pa.Table:
+        if key not in b.column_names or b.num_rows == 0:
+            return pa.table({key: pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64()),
+                             "mean_r": pa.array([], pa.float64())})
+        g = b.group_by(key).aggregate(
+            [(f"sum({value})", "sum"), ("count()", "sum")])
+        total = g.column(f"sum({value})_sum").cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        cnt = g.column("count()_sum").cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        mean = np.floor(total / np.maximum(cnt, 1.0) * 1e6 + 0.5) / 1e6
+        return pa.table({key: g.column(key),
+                         "n_rows": g.column("count()_sum").cast(pa.int64()),
+                         "total": g.column(f"sum({value})_sum").cast(pa.int64()),
+                         "mean_r": pa.array(mean, pa.float64())})
+
+    return stage1.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,146 @@
+"""Curation-operator tests: redaction goldens, Gopher metric formulas,
+n-gram decontamination (planted contamination + layout invariance),
+salted aggregation vs a plain pandas groupby."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from feature_fabrica_ray.pipelines import (decontaminate, gopher_quality,
+                                           redact_text, salted_group_agg,
+                                           token_ngram_hashes)
+
+
+def _ds(df, blocks=1):
+    ds = ray.data.from_pandas(df)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+# ---------------------------------------------------------------------------
+# redaction
+# ---------------------------------------------------------------------------
+
+def test_redact_golden(ray_session):
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": [
+        "mail bob.smith+x@corp.example.org now",
+        "see https://a.example.com/p?q=1 and http://b.io",
+        "host 192.168.0.1 up, 999.1.2.3 is not clipped by \\b",
+        "clean text only",
+    ]})
+    out = redact_text(_ds(df)).to_pandas().sort_values("doc_id")
+    assert out["n_emails"].tolist() == [1, 0, 0, 0]
+    assert out["n_urls"].tolist() == [0, 2, 0, 0]
+    # 999.1.2.3: \d{1,3} matches '999' and \b holds at digit/space edges,
+    # so BOTH literals count — documents the regex's (standard) laxity
+    assert out["n_ips"].tolist() == [0, 0, 2, 0]
+    assert out["redacted"].tolist() == [
+        "mail <EMAIL> now",
+        "see <URL> and <URL>",
+        "host <IP> up, <IP> is not clipped by \\b",
+        "clean text only",
+    ]
+
+
+def test_redact_nulls(ray_session):
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([None], pa.string())})
+    out = redact_text(ray.data.from_arrow(t)).to_pandas()
+    assert out["redacted"].tolist() == [""]
+    assert out["n_emails"].tolist() == [0]
+
+
+# ---------------------------------------------------------------------------
+# gopher quality
+# ---------------------------------------------------------------------------
+
+def test_gopher_formulas(ray_session):
+    # 4 words: "aa aa bb3 cc" -> mean_wl = 9/4, top_frac = 2/4,
+    # alpha_frac = 3/4 (bb3 is not purely alphabetic)
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["aa aa bb3 cc", ""]})
+    out = gopher_quality(_ds(df)).to_pandas().sort_values("doc_id")
+    assert out["n_words"].tolist() == [4, 0]
+    assert out["mean_word_len"][0] == pytest.approx(2.25)
+    assert out["top_word_frac"][0] == pytest.approx(0.5)
+    assert out["alpha_word_frac"][0] == pytest.approx(0.75)
+    assert out["passes_gopher"].tolist() == [False, False]
+
+
+def test_gopher_pass_flag(ray_session):
+    good = " ".join(f"word{i%37}also" for i in range(80))
+    df = pd.DataFrame({"doc_id": [0], "text": [good]})
+    out = gopher_quality(_ds(df)).to_pandas()
+    # 80 words, low repetition — but tokens contain digits, so alpha
+    # fraction fails; loosening the threshold flips the flag
+    assert not out["passes_gopher"][0]
+    out2 = gopher_quality(_ds(df), min_alpha_word_frac=0.0).to_pandas()
+    assert out2["passes_gopher"][0]
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_token_ngram_short_rows_empty():
+    h, r = token_ngram_hashes(pa.array(["a b c", "", "x"]), n=8)
+    assert h.size == 0 and r.size == 0
+
+
+def test_decontaminate_planted(ray_session):
+    secret = "alpha bravo charlie delta echo foxtrot golf hotel"
+    bench = pd.DataFrame({"doc_id": [100], "text": [f"prefix {secret} suffix"]})
+    train = pd.DataFrame({"doc_id": [0, 1, 2], "text": [
+        f"noise {secret} more noise",          # contains the 8-gram
+        "alpha bravo charlie delta echo foxtrot golf",  # only 7 of 8
+        "totally unrelated words here again and again today",
+    ]})
+    out = decontaminate(_ds(train, blocks=3), _ds(bench), n=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["contaminated"].tolist() == [True, False, False]
+    assert out["n_contaminated"].iloc[0] >= 1
+
+
+def test_decontaminate_layout_invariant(ray_session):
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(30)]
+    docs = [" ".join(rng.choice(words, 40)) for _ in range(60)]
+    train = pd.DataFrame({"doc_id": range(60), "text": docs})
+    bench = pd.DataFrame({"doc_id": [999], "text": [docs[13]]})
+    a = decontaminate(_ds(train, blocks=1), _ds(bench), n=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = decontaminate(_ds(train, blocks=7), _ds(bench), n=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert bool(a["contaminated"][13])
+
+
+def test_decontaminate_empty_bench(ray_session):
+    train = pd.DataFrame({"doc_id": [0], "text": ["some words " * 10]})
+    bench = pd.DataFrame({"doc_id": [], "text": []}).astype(
+        {"doc_id": "int64", "text": "object"})
+    out = decontaminate(_ds(train), _ds(bench), n=8).to_pandas()
+    assert out["contaminated"].tolist() == [False]
+
+
+# ---------------------------------------------------------------------------
+# salted aggregation
+# ---------------------------------------------------------------------------
+
+def test_salted_agg_matches_pandas(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        # one maximally hot key + a long tail
+        "k": np.where(rng.random(5000) < 0.8, "hot",
+                      rng.integers(0, 20, 5000).astype(str)),
+        "v": rng.integers(0, 1000, 5000),
+    })
+    out = salted_group_agg(_ds(df, blocks=8), "k", "v", salts=16) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    exp = df.groupby("k")["v"].agg(["count", "sum", "mean"]).reset_index() \
+        .sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == exp["k"].tolist()
+    assert out["n_rows"].tolist() == exp["count"].tolist()
+    assert out["total"].tolist() == exp["sum"].tolist()
+    np.testing.assert_allclose(out["mean_r"], exp["mean"].round(6),
+                               atol=1e-6)
