@@ -270,13 +270,16 @@ def _parent_membership(parent, bloom_threshold: int,
     Returns ``("set", keys)`` (plain broadcast set) or
     ``("bloom", bloom_bytes)`` (scale path, SURVEY.md §2.4).
 
-    Dataset parents: one streaming pass emits, per block, an HLL partial
-    plus the block's distinct keys; the driver merges the KB-sized HLLs
-    to estimate global cardinality FIRST, and only unions the per-block
-    distinct lists when the estimate fits the plain broadcast. Otherwise
-    a second pass builds per-block partial Bloom filters of identical
-    geometry that OR-merge on the driver — the huge parent key set never
-    lands on the driver as rows on either path."""
+    Dataset parents: one streaming pass emits ONLY a KB-sized HLL
+    partial per block; the driver merges them to estimate global
+    cardinality FIRST and nothing else reaches the driver until the
+    path is chosen. When the estimate fits the plain broadcast, a
+    second pass reduces to per-block distinct keys and dedups them
+    DISTRIBUTEDLY (groupby) before collecting the <= threshold global
+    distinct rows. Otherwise the second pass builds per-block partial
+    Bloom filters of identical geometry that OR-merge on the driver —
+    the huge parent key set never lands on the driver as rows on
+    either path."""
     from ..state import BloomFilter
 
     try:
@@ -295,9 +298,7 @@ def _parent_membership(parent, bloom_threshold: int,
     def sketch(batch: pa.Table) -> pa.Table:
         uniq = pc.unique(batch.column(0).combine_chunks().drop_null())
         hll_b = HLL().add_column(uniq).to_bytes()
-        keys = pa.ListArray.from_arrays(
-            pa.array([0, len(uniq)], pa.int32()), uniq)
-        return pa.table({"hll": pa.array([hll_b], pa.binary()), "keys": keys})
+        return pa.table({"hll": pa.array([hll_b], pa.binary())})
 
     rows = parent.map_batches(sketch, batch_format="pyarrow",
                               batch_size=None).take_all()
@@ -305,9 +306,18 @@ def _parent_membership(parent, bloom_threshold: int,
         return "set", set()
     est = HLL.merge_bytes([r["hll"] for r in rows]).estimate()
     if est <= bloom_threshold:
-        keys = set()
-        for r in rows:
-            keys.update(r["keys"])
+        kname = parent.schema().names[0]
+
+        def block_distinct(batch: pa.Table) -> pa.Table:
+            uniq = pc.unique(batch.column(0).combine_chunks().drop_null())
+            return pa.table({kname: uniq})
+
+        # distributed dedup of the per-block distincts: the driver only
+        # ever receives the <= bloom_threshold GLOBAL distinct keys,
+        # not the (potentially blocks x distinct) per-block union
+        reduced = parent.map_batches(block_distinct, batch_format="pyarrow",
+                                     batch_size=None)
+        keys = set(reduced.unique(kname))
         keys.discard(None)
         return "set", keys
 
