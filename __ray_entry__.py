@@ -1126,6 +1126,39 @@ FROM m
 """
 
 
+def q_ta_repetition(sf_dir: str):
+    """Duplicate bigram/trigram fractions + BPE-ish subword token count."""
+    from feature_fabrica_ray.pipelines import repetition_stats
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = repetition_stats(ds)
+    return _select(out, ["doc_id", "n_bigrams", "dup_bigram_frac",
+                         "n_trigrams", "dup_trigram_frac", "n_bpe_tokens"])
+
+
+_REPETITION_ORACLE = r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+g2 AS (SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS g
+       FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+s2 AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+       FROM g2 GROUP BY doc_id),
+g3 AS (SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS g
+       FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+s3 AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+       FROM g3 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(s2.total, 0) AS BIGINT) AS n_bigrams,
+       round(CASE WHEN coalesce(s2.total, 0) > 0
+             THEN 1.0 - s2.dist / s2.total::DOUBLE ELSE 0 END, 6) AS dup_bigram_frac,
+       CAST(coalesce(s3.total, 0) AS BIGINT) AS n_trigrams,
+       round(CASE WHEN coalesce(s3.total, 0) > 0
+             THEN 1.0 - s3.dist / s3.total::DOUBLE ELSE 0 END, 6) AS dup_trigram_frac,
+       length(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS n_bpe_tokens
+FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+"""
+
+
 def q_dd_decontaminate(sf_dir: str):
     """Token 8-gram decontamination: docs with doc_id % 20 == 0 act as
     the benchmark corpus, the rest as training data."""
@@ -1654,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_langid_fingerprint": q_ta_langid_fingerprint,
         "ta_redact": q_ta_redact,
         "ta_gopher": q_ta_gopher,
+        "ta_repetition": q_ta_repetition,
         "dd_decontaminate": q_dd_decontaminate,
         "agg_salted": q_agg_salted,
         "dd_exact": q_dd_exact,
@@ -1713,6 +1747,7 @@ def oracle_sql() -> dict[str, str]:
         # ta_langid_fingerprint: heuristic -> rows-only (pytest goldens)
         "ta_redact": _REDACT_ORACLE,
         "ta_gopher": _GOPHER_ORACLE,
+        "ta_repetition": _REPETITION_ORACLE,
         "dd_decontaminate": _DECON_ORACLE,
         "agg_salted": _SALTED_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,

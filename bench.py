@@ -213,6 +213,31 @@ def bench_chunks() -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
+def bench_curation() -> tuple[float, int]:
+    """Quality + repetition metrics fused with decontamination flags —
+    the standard curation pre-filter chain over documents."""
+    from feature_fabrica_ray.pipelines import (decontaminate, gopher_quality,
+                                               repetition_stats)
+    from feature_fabrica_ray.sources import read_parquet_clean
+
+    import numpy as _np
+    import pyarrow as _pa
+
+    src = lambda: read_parquet_clean(  # noqa: E731
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+    def keep_bench(b):
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(_pa.array(did % 20 == 0))
+
+    t0 = time.perf_counter()
+    bench_side = src().map_batches(keep_bench, batch_format="pyarrow",
+                                   batch_size=None)
+    out = decontaminate(repetition_stats(gopher_quality(src())), bench_side)
+    n = _consume(out)
+    return time.perf_counter() - t0, n
+
+
 BENCHES = {
     "suite": bench_suite,
     "uniqueness": bench_uniqueness,
@@ -224,6 +249,7 @@ BENCHES = {
     "sessionize": bench_sessionize,
     "vocab": bench_vocab,
     "chunks": bench_chunks,
+    "curation": bench_curation,
 }
 
 

@@ -29,7 +29,11 @@ from .textstats import _flat_utf8  # noqa: F401  (re-exported family)
 from .textstats import _distinct_per_row, _set_col, token_hashes
 
 __all__ = ["redact_text", "gopher_quality", "token_ngram_hashes",
-           "decontaminate", "salted_group_agg"]
+           "decontaminate", "salted_group_agg", "repetition_stats"]
+
+# GPT-2-style pre-tokenizer, reduced to RE2 (no lookahead): letter runs,
+# digit runs, and symbol runs, each with an optional leading space
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
 
 _B = np.uint64(1099511628211)  # FNV prime, same base as textstats kgrams
 
@@ -142,6 +146,41 @@ def gopher_quality(ds, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def repetition_stats(ds, text_col: str = "text"):
+    """Repetition + tokenizer-granularity metrics per document:
+    duplicate token bigram/trigram fractions (the Gopher repetition
+    signals below the top-word level) and a BPE-ish subword token count.
+
+    Appends ``n_bigrams`` / ``n_trigrams`` / ``n_bpe_tokens`` (int64) and
+    ``dup_bigram_frac`` / ``dup_trigram_frac`` (float64, 6 dp,
+    1 - distinct/total, 0 for docs too short to form a gram). One
+    tokenization feeds both gram sizes; everything stays in the flat
+    (hash, row) representation — no per-row Python.
+    """
+
+    def _r6(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        n_rows = batch.num_rows
+        th, tr = token_hashes(pc.fill_null(col, ""))
+        out = batch
+        for n, label in ((2, "bigram"), (3, "trigram")):
+            h, r = _ngrams_from_hashes(th, tr, n_rows, n)
+            total = np.bincount(r, minlength=n_rows).astype(np.int64)
+            dist = _distinct_per_row(h, r, n_rows)
+            frac = _r6(np.where(total > 0, 1.0 - dist / np.maximum(total, 1), 0.0))
+            out = _set_col(out, f"n_{label}s", pa.array(total))
+            out = _set_col(out, f"dup_{label}_frac",
+                           pa.array(frac, pa.float64()))
+        bpe = pc.count_substring_regex(pc.fill_null(col, ""),
+                                       pattern=BPE_RE).cast(pa.int64())
+        return _set_col(out, "n_bpe_tokens", bpe)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def token_ngram_hashes(col: pa.Array, n: int = 8) -> tuple[np.ndarray, np.ndarray]:
     """All token ``n``-gram hashes of every row -> (hashes uint64,
     row_id int64). Rows with fewer than ``n`` tokens emit nothing.
@@ -151,7 +190,13 @@ def token_ngram_hashes(col: pa.Array, n: int = 8) -> tuple[np.ndarray, np.ndarra
     masked out) — the token-level sibling of ``kgram_hashes``.
     """
     th, tr = token_hashes(col)
-    n_rows = len(col)
+    return _ngrams_from_hashes(th, tr, len(col), n)
+
+
+def _ngrams_from_hashes(th: np.ndarray, tr: np.ndarray, n_rows: int,
+                        n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling n-gram combine over precomputed (token hash, row) pairs —
+    lets one tokenization feed several gram sizes."""
     empty = (np.zeros(0, np.uint64), np.zeros(0, np.int64))
     m = th.size - n + 1
     if m <= 0:

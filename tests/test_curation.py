@@ -144,3 +144,32 @@ def test_salted_agg_matches_pandas(ray_session):
     assert out["total"].tolist() == exp["sum"].tolist()
     np.testing.assert_allclose(out["mean_r"], exp["mean"].round(6),
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# repetition stats
+# ---------------------------------------------------------------------------
+
+def test_repetition_formulas(ray_session):
+    from feature_fabrica_ray.pipelines import repetition_stats
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": [
+        "a b a b a",   # bigrams: ab ba ab ba -> 4 total 2 distinct
+        "x y z",       # bigrams: xy yz -> no dups; trigram: xyz -> 1
+        "solo",        # too short for any gram
+    ]})
+    out = repetition_stats(_ds(df, blocks=2)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_bigrams"].tolist() == [4, 2, 0]
+    assert out["dup_bigram_frac"].tolist() == [0.5, 0.0, 0.0]
+    assert out["n_trigrams"].tolist() == [3, 1, 0]
+    # trigrams of doc 0: aba bab aba -> 3 total, 2 distinct
+    assert out["dup_trigram_frac"].iloc[0] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["n_bpe_tokens"].tolist() == [5, 3, 1]
+
+
+def test_bpe_token_count_mixed(ray_session):
+    from feature_fabrica_ray.pipelines import repetition_stats
+    # "ab12,cd" -> runs: "ab" "12" "," "cd"; " x!" -> " x" "!"
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["ab12,cd", "q x!"]})
+    out = repetition_stats(_ds(df)).to_pandas().sort_values("doc_id")
+    assert out["n_bpe_tokens"].tolist() == [4, 3]
