@@ -173,3 +173,34 @@ def test_bpe_token_count_mixed(ray_session):
     df = pd.DataFrame({"doc_id": [0, 1], "text": ["ab12,cd", "q x!"]})
     out = repetition_stats(_ds(df)).to_pandas().sort_values("doc_id")
     assert out["n_bpe_tokens"].tolist() == [4, 3]
+
+
+# ---------------------------------------------------------------------------
+# property tests (kernel vs naive python reference, no Ray needed)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8), st.integers(2, 4))
+def test_token_ngrams_match_naive(docs, n):
+    h, r = token_ngram_hashes(pa.array(docs, pa.string()), n=n)
+    # counts per row match the naive sliding-window count
+    got = np.bincount(r, minlength=len(docs)).tolist()
+    want = [max(len(d.split()) - n + 1, 0) for d in docs]
+    assert got == want
+    # equal token windows hash equally; distinct-per-row matches naive
+    dist = np.zeros(len(docs), np.int64)
+    if h.size:
+        from feature_fabrica_ray.pipelines.textstats import _distinct_per_row
+        dist = _distinct_per_row(h, r, len(docs))
+    naive = []
+    for d in docs:
+        t = d.split()
+        naive.append(len({tuple(t[i:i + n]) for i in range(len(t) - n + 1)}))
+    assert dist.tolist() == naive
