@@ -1159,6 +1159,29 @@ FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
 """
 
 
+def q_ta_common_ngrams(sf_dir: str):
+    """Boilerplate-span mining: token bigrams present in >= 8% of all
+    documents, with corpus tf/df — combiner partials, one keyed groupby
+    over distinct-ngram rows, threshold filter before the driver."""
+    from feature_fabrica_ray.pipelines import common_ngrams
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return common_ngrams(ds, n=2, min_frac=0.08)
+
+
+_COMMON_NGRAMS_ORACLE = r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+g AS (SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS ngram
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+f AS (SELECT ngram, count(*) AS tf, count(DISTINCT doc_id) AS df
+      FROM g GROUP BY ngram)
+SELECT ngram, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM f, (SELECT count(*) AS nd FROM documents)
+WHERE df >= 0.08 * nd
+"""
+
+
 def q_dd_decontaminate(sf_dir: str):
     """Token 8-gram decontamination: docs with doc_id % 20 == 0 act as
     the benchmark corpus, the rest as training data."""
@@ -1688,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_redact": q_ta_redact,
         "ta_gopher": q_ta_gopher,
         "ta_repetition": q_ta_repetition,
+        "ta_common_ngrams": q_ta_common_ngrams,
         "dd_decontaminate": q_dd_decontaminate,
         "agg_salted": q_agg_salted,
         "dd_exact": q_dd_exact,
@@ -1748,6 +1772,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_redact": _REDACT_ORACLE,
         "ta_gopher": _GOPHER_ORACLE,
         "ta_repetition": _REPETITION_ORACLE,
+        "ta_common_ngrams": _COMMON_NGRAMS_ORACLE,
         "dd_decontaminate": _DECON_ORACLE,
         "agg_salted": _SALTED_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,

@@ -2,8 +2,8 @@
 dedup, similarity search, text analysis."""
 
 from .asof import asof_join, asof_join_broadcast
-from .curation import (decontaminate, gopher_quality, redact_text,
-                       repetition_stats, salted_group_agg,
+from .curation import (common_ngrams, decontaminate, gopher_quality,
+                       redact_text, repetition_stats, salted_group_agg,
                        token_ngram_hashes)
 from .checkpoint import codetable_shards, merge_results, validate_resumable
 from .events import (cumulative_agg, extract_json_int, sessionize,
@@ -48,4 +48,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "frame_pipeline", "cumulative_agg", "normalize_embeddings",
            "fit_pca", "pca_project", "ResizeImage", "resize_pipeline",
            "redact_text", "gopher_quality", "decontaminate",
-           "token_ngram_hashes", "salted_group_agg", "repetition_stats"]
+           "token_ngram_hashes", "salted_group_agg", "repetition_stats",
+           "common_ngrams"]

@@ -29,7 +29,8 @@ from .textstats import _flat_utf8  # noqa: F401  (re-exported family)
 from .textstats import _distinct_per_row, _set_col, token_hashes
 
 __all__ = ["redact_text", "gopher_quality", "token_ngram_hashes",
-           "decontaminate", "salted_group_agg", "repetition_stats"]
+           "decontaminate", "salted_group_agg", "repetition_stats",
+           "common_ngrams"]
 
 # GPT-2-style pre-tokenizer, reduced to RE2 (no lookahead): letter runs,
 # digit runs, and symbol runs, each with an optional leading space
@@ -339,3 +340,91 @@ def salted_group_agg(ds, key: str, value: str, salts: int | None = None):
 
     return stage1.repartition(1).map_batches(
         merge, batch_format="pyarrow", batch_size=None)
+
+
+def common_ngrams(ds, n: int = 2, min_frac: float = 0.08,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n_docs: int | None = None):
+    """Corpus-frequent token n-grams — boilerplate-span mining: every
+    whitespace-token ``n``-gram appearing in at least ``min_frac`` of all
+    documents, with its total frequency ``tf`` and document frequency
+    ``df``. (The classic "duplicated line / template text" detector,
+    phrased over token windows; cf. Rae et al. 2021 App. A repeated-
+    passage filters.)
+
+    Scale shape: the combiner pattern, same as ``token_counts`` — each
+    block builds n-gram strings in ONE vectorized pass (split ->
+    flatten -> shifted ``binary_join_element_wise`` over the flat token
+    array, windows crossing row boundaries masked out), counts distinct
+    docs per n-gram LOCALLY (a doc lives in exactly one row of one
+    block, so block df partials add exactly), then one keyed groupby
+    over partials (rows = distinct n-grams per block, never raw
+    occurrences) sums tf/df, and the >= threshold filter prunes to the
+    tiny hot set before anything reaches the driver.
+
+    Returns a Dataset (ngram, tf, df).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..tuning import shuffle_partitions
+
+    if n_docs is None:
+        n_docs = ds.count()
+    thr = float(min_frac) * float(n_docs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"ngram": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64())})
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(batch.column(text_col), ""))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # drop empty tokens (leading/trailing whitespace artifacts) so the
+        # token sequence matches regex \S+ extraction exactly
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not nonempty.all():
+            flat = flat.filter(pa.array(nonempty))
+            parent = parent[nonempty]
+        m = len(flat) - n + 1
+        if m <= 0:
+            return empty
+        # a window starting at flat position i is valid iff all n tokens
+        # belong to the same row
+        valid = parent[:m] == parent[n - 1:]
+        if not valid.any():
+            return empty
+        shifted = [flat.slice(j, m) for j in range(n)]
+        ngram = pc.binary_join_element_wise(*shifted, " ")
+        doc = pc.take(batch.column(id_col), pa.array(parent[:m]))
+        t = pa.table({"ngram": ngram, "doc": doc}) \
+            .filter(pa.array(valid))
+        per_doc = t.group_by(["ngram", "doc"]).aggregate([("doc", "count")])
+        g = per_doc.group_by("ngram").aggregate(
+            [("doc_count", "sum"), ("doc", "count")])
+        return pa.table({"ngram": g.column("ngram"),
+                         "tf": g.column("doc_count_sum").cast(pa.int64()),
+                         "df": g.column("doc_count").cast(pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = parts.groupby("ngram", num_partitions=shuffle_partitions()) \
+        .aggregate(Sum("tf"), Sum("df"))
+
+    _empty = pa.table({"ngram": pa.array([], pa.string()),
+                       "tf": pa.array([], pa.int64()),
+                       "df": pa.array([], pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "ngram" not in b.column_names:
+            return _empty
+        out = pa.table({"ngram": b.column("ngram"),
+                        "tf": b.column("sum(tf)").cast(pa.int64()),
+                        "df": b.column("sum(df)").cast(pa.int64())})
+        return out.filter(pc.greater_equal(
+            pc.cast(out.column("df"), pa.float64()), thr))
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)

@@ -6,10 +6,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+import ray
 import ray.data
 
-from feature_fabrica_ray.pipelines import (decontaminate, gopher_quality,
-                                           redact_text, salted_group_agg,
+from feature_fabrica_ray.pipelines import (common_ngrams, decontaminate,
+                                           gopher_quality, redact_text,
+                                           salted_group_agg,
                                            token_ngram_hashes)
 
 
@@ -204,3 +206,37 @@ def test_token_ngrams_match_naive(docs, n):
         t = d.split()
         naive.append(len({tuple(t[i:i + n]) for i in range(len(t) - n + 1)}))
     assert dist.tolist() == naive
+
+
+# ---------------------------------------------------------------------------
+# common_ngrams (boilerplate-span mining)
+# ---------------------------------------------------------------------------
+
+def test_common_ngrams_counts(ray_session):
+    docs = ["the quick fox", "the quick dog", "slow quick fox", ""]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    out = common_ngrams(_ds(df), n=2, min_frac=0.5).to_pandas() \
+        .sort_values("ngram").reset_index(drop=True)
+    # "the quick" in docs 0,1 (df=2); "quick fox" in docs 0,2 (df=2);
+    # threshold 0.5*4 = 2 -> exactly those two
+    assert out["ngram"].tolist() == ["quick fox", "the quick"]
+    assert out["tf"].tolist() == [2, 2]
+    assert out["df"].tolist() == [2, 2]
+
+
+def test_common_ngrams_partition_invariant(ray_session):
+    docs = [f"a b c d{i % 3}" for i in range(40)]
+    df = pd.DataFrame({"doc_id": range(40), "text": docs})
+    a = common_ngrams(_ds(df), n=2, min_frac=0.2, n_docs=40).to_pandas()
+    b = common_ngrams(ray.data.from_pandas(df).repartition(7), n=2,
+                      min_frac=0.2, n_docs=40).to_pandas()
+    key = lambda t: sorted(map(tuple, t[["ngram", "tf", "df"]].to_numpy()))
+    assert key(a) == key(b)
+
+
+def test_common_ngrams_dup_tokens_within_doc(ray_session):
+    # same bigram repeated within ONE doc: tf counts occurrences, df docs
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["x y x y", "x y"]})
+    out = common_ngrams(_ds(df), n=2, min_frac=0.9).to_pandas()
+    row = out[out["ngram"] == "x y"].iloc[0]
+    assert (row["tf"], row["df"]) == (3, 2)
