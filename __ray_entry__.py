@@ -1159,6 +1159,25 @@ FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
 """
 
 
+def q_agg_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-lang p50/p90 of document length via the value-histogram
+    combiner (distinct (lang, n_chars) rows exchange; no sort, no raw-row
+    shuffle) — oracle-checkable against quantile_cont."""
+    from feature_fabrica_ray.pipelines import group_quantiles
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+    return group_quantiles(ds, "lang", "n_chars", qs=(0.5, 0.9))
+
+
+_QUANTILES_ORACLE = """
+SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS q_50,
+       round(quantile_cont(n_chars, 0.9), 6) AS q_90,
+       count(n_chars) AS n
+FROM documents GROUP BY lang
+"""
+
+
 def q_ta_common_ngrams(sf_dir: str):
     """Boilerplate-span mining: token bigrams present in >= 8% of all
     documents, with corpus tf/df — combiner partials, one keyed groupby
@@ -1712,6 +1731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_gopher": q_ta_gopher,
         "ta_repetition": q_ta_repetition,
         "ta_common_ngrams": q_ta_common_ngrams,
+        "agg_quantiles": q_agg_quantiles,
         "dd_decontaminate": q_dd_decontaminate,
         "agg_salted": q_agg_salted,
         "dd_exact": q_dd_exact,
@@ -1773,6 +1793,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_gopher": _GOPHER_ORACLE,
         "ta_repetition": _REPETITION_ORACLE,
         "ta_common_ngrams": _COMMON_NGRAMS_ORACLE,
+        "agg_quantiles": _QUANTILES_ORACLE,
         "dd_decontaminate": _DECON_ORACLE,
         "agg_salted": _SALTED_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,

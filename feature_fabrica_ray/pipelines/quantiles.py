@@ -1,0 +1,87 @@
+"""Exact per-group quantiles via value-histogram combiners.
+
+For a metric whose VALUE DOMAIN is bounded (lengths, counts, scores —
+the usual per-column validation metrics), exact quantiles need no sort
+and no raw-row shuffle: each block counts (group, value) pairs, one
+keyed groupby sums the partials, and the final (group, value, count)
+histogram — rows = distinct pairs, independent of table size — yields
+the exact interpolated quantile. This complements the t-digest sketch
+(``state/tdigest.py``), which is the path for unbounded/continuous
+domains where the histogram itself would blow up; here the result is
+EXACT, so it can be oracle-checked against ``quantile_cont``.
+
+Interpolation matches SQL ``quantile_cont`` / numpy ``linear``:
+position ``q * (N - 1)`` over the expanded sorted multiset, linear
+between the two bracketing order statistics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["group_quantiles"]
+
+
+def _weighted_quantile(values: np.ndarray, counts: np.ndarray,
+                       qs: tuple[float, ...]) -> list[float]:
+    """quantile_cont over the multiset {values[i] x counts[i]} without
+    expansion: order statistic k = first v whose cumulative count > k."""
+    order = np.argsort(values, kind="mergesort")
+    v, c = values[order].astype(np.float64), counts[order]
+    cum = np.cumsum(c)                       # cum[j] = # elements <= v[j]
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        pos = q * (n - 1)
+        i0, i1 = int(np.floor(pos)), int(np.ceil(pos))
+        frac = pos - i0
+        lo = v[np.searchsorted(cum, i0 + 1)]  # 0-based order stat i0
+        hi = v[np.searchsorted(cum, i1 + 1)]
+        out.append(lo * (1.0 - frac) + hi * frac)
+    return out
+
+
+def group_quantiles(ds, group_col: str, value_col: str,
+                    qs: tuple[float, ...] = (0.5, 0.9)) -> pd.DataFrame:
+    """Exact interpolated quantiles of ``value_col`` per ``group_col``.
+
+    Returns a pandas DataFrame (group, q_<pct>..., n) with quantiles
+    rounded to 6 dp (half-away, matching SQL ROUND). The exchange
+    carries only distinct (group, value) rows per block; the collected
+    final histogram is bounded by the value domain, not the row count.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = batch.select([group_col, value_col]) \
+            .filter(pc.is_valid(batch.column(value_col)))  # nulls excluded,
+        g = t.group_by([group_col, value_col]) \
+            .aggregate([(value_col, "count",
+                         pc.CountOptions(mode="all"))])    # like quantile_cont
+        cnt = g.column(f"{value_col}_count").cast(pa.int64())
+        return pa.table({group_col: g.column(group_col),
+                         value_col: g.column(value_col),
+                         "c": cnt})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    hist = parts.groupby([group_col, value_col],
+                         num_partitions=shuffle_partitions()) \
+        .aggregate(Sum("c")).to_pandas()
+    hist = hist.rename(columns={"sum(c)": "c"})
+
+    rows = []
+    for key, sub in hist.groupby(group_col, dropna=False, sort=True):
+        vals = sub[value_col].to_numpy()
+        cnts = sub["c"].to_numpy(dtype=np.int64)
+        quants = _weighted_quantile(vals, cnts, qs)
+        rec = {group_col: key, "n": int(cnts.sum())}
+        for q, x in zip(qs, quants):
+            rec[f"q_{int(round(q * 100))}"] = np.floor(x * 1e6 + 0.5) / 1e6
+        rows.append(rec)
+    cols = [group_col, *(f"q_{int(round(q * 100))}" for q in qs), "n"]
+    return pd.DataFrame(rows)[cols]

@@ -654,3 +654,29 @@ def test_text_ops_on_empty_input(ray_session):
     assert chunk_documents(empty, max_tokens=8).count() == 0
     assert tfidf_top_terms(empty, k=3).count() == 0
     assert len(minhash_lsh_pairs(empty)) == 0
+
+
+# ---------------------------------------------------------------------------
+# group_quantiles (exact value-histogram quantiles)
+# ---------------------------------------------------------------------------
+
+def test_group_quantiles_matches_numpy(ray_session):
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], 300),
+                       "v": rng.integers(0, 50, 300)})
+    from feature_fabrica_ray.pipelines import group_quantiles
+    out = group_quantiles(ray.data.from_pandas(df).repartition(5),
+                          "g", "v", qs=(0.5, 0.9)).set_index("g")
+    for g, sub in df.groupby("g"):
+        want50 = np.floor(np.percentile(sub["v"], 50) * 1e6 + 0.5) / 1e6
+        want90 = np.floor(np.percentile(sub["v"], 90) * 1e6 + 0.5) / 1e6
+        assert out.loc[g, "q_50"] == want50
+        assert out.loc[g, "q_90"] == want90
+        assert out.loc[g, "n"] == len(sub)
+
+
+def test_group_quantiles_nulls_excluded(ray_session):
+    df = pd.DataFrame({"g": ["a"] * 4, "v": [1.0, None, 3.0, None]})
+    from feature_fabrica_ray.pipelines import group_quantiles
+    out = group_quantiles(ray.data.from_pandas(df), "g", "v", qs=(0.5,))
+    assert out.loc[0, "n"] == 2 and out.loc[0, "q_50"] == 2.0
