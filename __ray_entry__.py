@@ -1178,6 +1178,18 @@ FROM documents GROUP BY lang
 """
 
 
+def q_sp_pack(sf_dir: str):
+    """Sequence packing assignment (greedy next-fit into 4096-char
+    contexts, id-sharded). Stateful greedy recurrence — no SQL oracle;
+    rows-only check plus pytest equivalence to the naive algorithm."""
+    from feature_fabrica_ray.pipelines import pack_sequences
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    return pack_sequences(ds, id_col="doc_id", len_col="n_chars",
+                          context_len=4096, n_shards=16)
+
+
 def q_ta_common_ngrams(sf_dir: str):
     """Boilerplate-span mining: token bigrams present in >= 8% of all
     documents, with corpus tf/df — combiner partials, one keyed groupby
@@ -1732,6 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_repetition": q_ta_repetition,
         "ta_common_ngrams": q_ta_common_ngrams,
         "agg_quantiles": q_agg_quantiles,
+        "sp_pack": q_sp_pack,
         "dd_decontaminate": q_dd_decontaminate,
         "agg_salted": q_agg_salted,
         "dd_exact": q_dd_exact,

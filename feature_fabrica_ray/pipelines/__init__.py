@@ -5,6 +5,7 @@ from .asof import asof_join, asof_join_broadcast
 from .curation import (common_ngrams, decontaminate, gopher_quality,
                        redact_text, repetition_stats, salted_group_agg,
                        token_ngram_hashes)
+from .packing import pack_sequences
 from .quantiles import group_quantiles
 from .checkpoint import codetable_shards, merge_results, validate_resumable
 from .events import (cumulative_agg, extract_json_int, sessionize,
@@ -50,4 +51,4 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "fit_pca", "pca_project", "ResizeImage", "resize_pipeline",
            "redact_text", "gopher_quality", "decontaminate",
            "token_ngram_hashes", "salted_group_agg", "repetition_stats",
-           "common_ngrams", "group_quantiles"]
+           "common_ngrams", "group_quantiles", "pack_sequences"]

@@ -680,3 +680,62 @@ def test_group_quantiles_nulls_excluded(ray_session):
     from feature_fabrica_ray.pipelines import group_quantiles
     out = group_quantiles(ray.data.from_pandas(df), "g", "v", qs=(0.5,))
     assert out.loc[0, "n"] == 2 and out.loc[0, "q_50"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences (greedy next-fit context packing)
+# ---------------------------------------------------------------------------
+
+def _naive_next_fit(lens, context):
+    seq, off, cur, fill = [], [], 0, 0
+    for ln in lens:
+        if fill > 0 and fill + ln > context:
+            cur += 1; fill = 0
+        seq.append(cur); off.append(fill); fill += ln
+    return seq, off
+
+
+def test_pack_sequences_matches_naive(ray_session):
+    from feature_fabrica_ray.pipelines import pack_sequences
+    rng = np.random.default_rng(3)
+    n = 200
+    df = pd.DataFrame({"doc_id": range(n),
+                       "n_tokens": rng.integers(1, 900, n)})
+    out = pack_sequences(ray.data.from_pandas(df).repartition(6),
+                         context_len=2048, n_shards=4).to_pandas()
+    assert len(out) == n
+    for shard in range(4):
+        sub = out[out["doc_id"] % 4 == shard].sort_values("doc_id")
+        seq, off = _naive_next_fit(sub["n_tokens"].tolist(), 2048)
+        base = sub["pack_id"].iloc[0] - seq[0]
+        assert (sub["pack_id"] - base).tolist() == seq
+        assert sub["pack_offset"].tolist() == off
+    # no pack total exceeds the context unless it is a single oversize doc
+    g = out.groupby("pack_id").agg(total=("n_tokens", "sum"),
+                                   cnt=("n_tokens", "count"))
+    assert ((g["total"] <= 2048) | (g["cnt"] == 1)).all()
+
+
+def test_pack_sequences_partition_invariant(ray_session):
+    from feature_fabrica_ray.pipelines import pack_sequences
+    df = pd.DataFrame({"doc_id": range(60),
+                       "n_tokens": [700] * 60})
+    a = pack_sequences(ray.data.from_pandas(df).repartition(2),
+                       context_len=2048, n_shards=3).to_pandas()
+    b = pack_sequences(ray.data.from_pandas(df).repartition(9),
+                       context_len=2048, n_shards=3).to_pandas()
+    key = lambda t: t.sort_values("doc_id")[
+        ["doc_id", "pack_id", "pack_offset"]].to_numpy().tolist()
+    assert key(a) == key(b)
+    # 700-token docs: 2 per pack (1400 fits, 2100 does not)
+    assert a.groupby("pack_id").size().max() == 2
+
+
+def test_pack_sequences_oversize_doc(ray_session):
+    from feature_fabrica_ray.pipelines import pack_sequences
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "n_tokens": [100, 5000, 100]})
+    out = pack_sequences(ray.data.from_pandas(df), context_len=2048,
+                         n_shards=1).to_pandas().sort_values("doc_id")
+    assert out["truncated"].tolist() == [False, True, False]
+    assert len(set(out["pack_id"])) == 3   # oversize doc sits alone
