@@ -1178,6 +1178,26 @@ FROM documents GROUP BY lang
 """
 
 
+def q_ss_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table: per-block
+    partial (count, sum, inertia) rows, KB-sized broadcast centroids.
+    Iterative model fit — no SQL oracle; rows-only check plus pytest
+    planted-blob recovery."""
+    from feature_fabrica_ray.pipelines import kmeans, kmeans_assign
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    C, sizes, _ = kmeans(ds, k=8, iters=10)
+    out = kmeans_assign(ds, C).map_batches(
+        lambda b: b.select(["cluster"]).group_by("cluster").aggregate(
+            [("cluster", "count", pc.CountOptions(mode="all"))]),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    out = out.groupby("cluster", as_index=False) \
+        .agg(size=("cluster_count", "sum")).sort_values("cluster")
+    out["size"] = out["size"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_sp_pack(sf_dir: str):
     """Sequence packing assignment (greedy next-fit into 4096-char
     contexts, id-sharded). Stateful greedy recurrence — no SQL oracle;
@@ -1745,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_common_ngrams": q_ta_common_ngrams,
         "agg_quantiles": q_agg_quantiles,
         "sp_pack": q_sp_pack,
+        "ss_kmeans": q_ss_kmeans,
         "dd_decontaminate": q_dd_decontaminate,
         "agg_salted": q_agg_salted,
         "dd_exact": q_dd_exact,

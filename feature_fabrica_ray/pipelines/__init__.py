@@ -22,7 +22,8 @@ from .multimodal import (DecodeImageFeatures, FrameSampler,
                          frame_pipeline, resize_pipeline)
 from .sampling import hash_sample, stratified_sample
 from .similarity import (cosine_topk, fit_centroids, fit_pca,
-                         ivf_topk, normalize_embeddings, pca_project)
+                         ivf_topk, kmeans, kmeans_assign,
+                         normalize_embeddings, pca_project)
 from .textstats import (add_fingerprint, add_lang_id, add_quality,
                         chunk_documents,
                         text_stats, tfidf_top_terms, token_counts)
@@ -51,4 +52,4 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "fit_pca", "pca_project", "ResizeImage", "resize_pipeline",
            "redact_text", "gopher_quality", "decontaminate",
            "token_ngram_hashes", "salted_group_agg", "repetition_stats",
-           "common_ngrams", "group_quantiles", "pack_sequences"]
+           "common_ngrams", "group_quantiles", "pack_sequences", "kmeans", "kmeans_assign"]

@@ -20,7 +20,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["cosine_topk", "ivf_topk", "fit_centroids",
-           "normalize_embeddings", "fit_pca", "pca_project"]
+           "normalize_embeddings", "fit_pca", "pca_project",
+           "kmeans", "kmeans_assign"]
 
 
 def _vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
@@ -198,5 +199,109 @@ def pca_project(ds, basis: dict, vec_col: str = "embedding",
         P = (V - mean) @ comp.T
         arr = pa.array(list(map(list, P)), pa.list_(pa.float64()))
         return batch.append_column(out_col, arr)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (full-corpus Lloyd's)
+# ---------------------------------------------------------------------------
+
+def kmeans(ds, k: int = 8, iters: int = 10, vec_col: str = "embedding",
+           init: np.ndarray | None = None, tol: float = 1e-6):
+    """Full-dataset Lloyd's k-means (Euclidean), the distributed form:
+    per iteration the centroid matrix (k x d, KB-sized) is broadcast via
+    ``ray.put``; each block assigns its vectors with one matmul and emits
+    ONLY per-centroid partial (count, sum-vector, inertia) rows — k rows
+    per block, never raw vectors — and the driver merge + update is a
+    k x d reduction. Unlike ``fit_centroids`` (sample-based seeding for
+    IVF), every row of the corpus contributes to every iteration.
+
+    Returns (centroids (k, d) float64, sizes (k,) int64, inertia float).
+    Deterministic: init defaults to evenly-strided rows of the first
+    block, ties in assignment go to the lower centroid id (argmin).
+    """
+    import ray
+
+    if init is None:
+        head = ds.limit(max(k * 4, k)).to_pandas()
+        X0 = np.asarray([np.asarray(v, np.float64) for v in head[vec_col]])
+        idx = np.linspace(0, len(X0) - 1, k).astype(np.int64)
+        C = X0[idx].copy()
+    else:
+        C = np.asarray(init, np.float64).copy()
+    d = C.shape[1]
+    sizes = np.zeros(k, np.int64)
+    inertia = float("inf")
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            Cc = ray.get(_ref)
+            X = _vectors(batch, vec_col)
+            if X.size == 0:
+                return pa.table({"cid": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "inert": pa.array([], pa.float64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64()))})
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+            dots = X @ Cc.T
+            dist = (X * X).sum(1, keepdims=True) - 2.0 * dots \
+                + (Cc * Cc).sum(1)
+            a = dist.argmin(axis=1)
+            cnt = np.bincount(a, minlength=len(Cc)).astype(np.int64)
+            inert = np.bincount(a, weights=dist[np.arange(len(a)), a],
+                                minlength=len(Cc))
+            sums = np.zeros_like(Cc)
+            np.add.at(sums, a, X)
+            return pa.table({
+                "cid": pa.array(np.arange(len(Cc), dtype=np.int64)),
+                "cnt": pa.array(cnt),
+                "inert": pa.array(np.maximum(inert, 0.0), pa.float64()),
+                "vsum": pa.array([r.tolist() for r in sums],
+                                 pa.list_(pa.float64())),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+        cnt = np.zeros(k, np.int64)
+        s = np.zeros((k, d), np.float64)
+        np.add.at(cnt, parts["cid"].to_numpy(), parts["cnt"].to_numpy())
+        np.add.at(s, parts["cid"].to_numpy(),
+                  np.asarray([np.asarray(v) for v in parts["vsum"]]))
+        new_inertia = float(parts["inert"].sum())
+        nonempty = cnt > 0
+        C_new = C.copy()
+        C_new[nonempty] = s[nonempty] / cnt[nonempty, None]
+        sizes = cnt
+        moved = float(np.abs(C_new - C).max())
+        C = C_new
+        if inertia - new_inertia < tol and moved < tol:
+            inertia = new_inertia
+            break
+        inertia = new_inertia
+
+    return C, sizes, inertia
+
+
+def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
+                  out_col: str = "cluster"):
+    """Label every row with its nearest (Euclidean) centroid id — a
+    stateless broadcast map; centroids ship once via ``ray.put``."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, np.float64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(ref)
+        X = _vectors(batch, vec_col)
+        if X.size == 0:
+            a = np.zeros(batch.num_rows, np.int64)
+        else:
+            dist = (X * X).sum(1, keepdims=True) - 2.0 * (X @ Cc.T) \
+                + (Cc * Cc).sum(1)
+            a = dist.argmin(axis=1).astype(np.int64)
+        return batch.append_column(out_col, pa.array(a, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -739,3 +739,47 @@ def test_pack_sequences_oversize_doc(ray_session):
                          n_shards=1).to_pandas().sort_values("doc_id")
     assert out["truncated"].tolist() == [False, True, False]
     assert len(set(out["pack_id"])) == 3   # oversize doc sits alone
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means
+# ---------------------------------------------------------------------------
+
+def _blob_df(n_per=60, d=8, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = np.array([[10.0] * d, [-10.0] * d, [10.0] * (d // 2) + [-10.0] * (d - d // 2)])
+    rows, labels = [], []
+    for c, ctr in enumerate(centers):
+        rows.append(ctr + rng.normal(0, 0.5, (n_per, d)))
+        labels += [c] * n_per
+    X = np.vstack(rows)
+    order = rng.permutation(len(X))
+    return pd.DataFrame({"vec_id": range(len(X)),
+                         "embedding": [X[i].tolist() for i in order],
+                         "true": np.asarray(labels)[order]})
+
+
+def test_kmeans_recovers_planted_blobs(ray_session):
+    from feature_fabrica_ray.pipelines import kmeans, kmeans_assign
+    df = _blob_df()
+    ds = ray.data.from_pandas(df).repartition(4)
+    C, sizes, inertia = kmeans(ds, k=3, iters=10)
+    assert sorted(sizes.tolist()) == [60, 60, 60]
+    # each recovered centroid sits within 1.0 of a planted center
+    planted = np.array([[10.0] * 8, [-10.0] * 8, [10.0] * 4 + [-10.0] * 4])
+    for c in C:
+        assert np.min(np.linalg.norm(planted - c, axis=1)) < 1.0
+    # assignment is pure within planted clusters
+    out = kmeans_assign(ds, C).to_pandas()
+    purity = out.groupby("true")["cluster"].nunique()
+    assert (purity == 1).all()
+    # inertia ~ n * d * var = 180*8*0.25 = 360; allow slack
+    assert inertia < 600
+
+
+def test_kmeans_partition_invariant_sizes(ray_session):
+    from feature_fabrica_ray.pipelines import kmeans
+    df = _blob_df(seed=5)
+    a = kmeans(ray.data.from_pandas(df).repartition(2), k=3, iters=5)
+    b = kmeans(ray.data.from_pandas(df).repartition(7), k=3, iters=5)
+    assert sorted(a[1].tolist()) == sorted(b[1].tolist())
