@@ -1580,6 +1580,51 @@ FROM events
 """
 
 
+def q_ev_rolling(sf_dir: str) -> pd.DataFrame:
+    """Row-based rolling window parity: sum/mean of value over the last
+    4 rows per user in (ts, event_id) order — hash-partitioned per-key
+    sliding-window pass (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)."""
+    from feature_fabrica_ray.pipelines import rolling_agg
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id", "value"])
+    out = rolling_agg(ds, "ts", "user_id", "value", "event_id", window=4) \
+        .to_pandas()[["event_id", "user_id", "roll_sum", "roll_avg"]]
+    out["roll_sum"] = _round_away(out["roll_sum"], 6)
+    out["roll_avg"] = _round_away(out["roll_avg"], 6)
+    return out.reset_index(drop=True)
+
+
+_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 6) AS roll_sum,
+       round(avg(value) OVER w, 6) AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_agg_distinct_group(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT source) + COUNT(*) per lang over documents —
+    per-block distinct-pair combiner, keyed shuffle of deduped pairs
+    only, one output row per key."""
+    from feature_fabrica_ray.pipelines import distinct_count_per_group
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+    return distinct_count_per_group(ds, "lang", "source")
+
+
+_DISTINCT_GROUP_ORACLE = """
+SELECT lang,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_distinct,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents
+GROUP BY lang
+"""
+
+
 
 def q_mm_resize(sf_dir: str):
     """Actor-pool resize -> decode composition: nearest-neighbor
@@ -1787,6 +1832,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_sessions": q_ev_sessions,
         "ev_json": q_ev_json,
         "ev_cumsum": q_ev_cumsum,
+        "ev_rolling": q_ev_rolling,
+        "agg_distinct_group": q_agg_distinct_group,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -1820,6 +1867,8 @@ def oracle_sql() -> dict[str, str]:
         "jn_shuffle": _JOIN_ORACLE,
         "ev_sliding": _SLIDING_ORACLE,
         "ev_cumsum": _CUMSUM_ORACLE,
+        "ev_rolling": _ROLLING_ORACLE,
+        "agg_distinct_group": _DISTINCT_GROUP_ORACLE,
         "ta_textstats": _TEXTSTATS_ORACLE,
         "ta_quality": _QUALITY_ORACLE,
         # ta_langid_fingerprint: heuristic -> rows-only (pytest goldens)

@@ -8,8 +8,9 @@ from .curation import (common_ngrams, decontaminate, gopher_quality,
 from .packing import pack_sequences
 from .quantiles import group_quantiles
 from .checkpoint import codetable_shards, merge_results, validate_resumable
-from .events import (cumulative_agg, extract_json_int, sessionize,
-                     sliding_window_agg, tumbling_window_agg)
+from .events import (cumulative_agg, extract_json_int, rolling_agg,
+                     sessionize, sliding_window_agg, tumbling_window_agg)
+from .grouped import distinct_count_per_group
 from .drift_actor import DriftSketchActor, drift_report
 from .join import broadcast_join, broadcast_range_join, shuffle_join
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
@@ -52,4 +53,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "fit_pca", "pca_project", "ResizeImage", "resize_pipeline",
            "redact_text", "gopher_quality", "decontaminate",
            "token_ngram_hashes", "salted_group_agg", "repetition_stats",
-           "common_ngrams", "group_quantiles", "pack_sequences", "kmeans", "kmeans_assign"]
+           "common_ngrams", "group_quantiles", "pack_sequences", "kmeans", "kmeans_assign",
+           "rolling_agg", "distinct_count_per_group"]

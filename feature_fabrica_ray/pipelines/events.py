@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 from ..tuning import shuffle_partitions
 
 __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
-           "extract_json_int", "cumulative_agg"]
+           "extract_json_int", "cumulative_agg", "rolling_agg"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -165,6 +165,42 @@ def cumulative_agg(ds, ts_col: str, key_col: str, value_col: str,
         df = df.assign(cum_v=df[value_col].cumsum(),
                        rn=np.arange(1, len(df) + 1, dtype=np.int64))
         return df
+
+    return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas")
+
+
+def rolling_agg(ds, ts_col: str, key_col: str, value_col: str,
+                order_col: str, window: int = 4):
+    """Row-based rolling aggregates per key: for every event, the sum and
+    mean of ``value`` over the last ``window`` rows (including itself) in
+    (ts, order_col) order within its key — ``SUM(...) OVER (PARTITION BY
+    key ORDER BY ts, order ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW)`` semantics.
+
+    Same physical shape (and same Zipf-hot-key bound) as
+    ``cumulative_agg``: hash-partition on the key, one vectorized
+    sort + sliding-window pass per group. Each full window is summed
+    FRESH from its ``window`` values (``sliding_window_view``), not via
+    cumsum differencing, so floating-point error stays O(window * eps)
+    per row instead of accumulating over the group. Returns a Dataset
+    with ``roll_sum`` and ``roll_avg`` appended."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        v = df[value_col].to_numpy(dtype=np.float64)
+        n = v.size
+        sums = np.empty(n, np.float64)
+        head = np.minimum(np.arange(n, dtype=np.int64) + 1, window)
+        if n >= window:
+            sums[window - 1:] = np.lib.stride_tricks \
+                .sliding_window_view(v, window).sum(axis=1)
+        m = min(window - 1, n)
+        if m:
+            sums[:m] = np.cumsum(v[:m])
+        return df.assign(roll_sum=sums, roll_avg=sums / head)
 
     return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
         .map_groups(per_key, batch_format="pandas")

@@ -142,3 +142,74 @@ def test_cumulative_agg_golden(ray_session):
         .sort_values("event_id").reset_index(drop=True)
     assert out["cum_v"].tolist() == [1.0, 3.0, 7.0, 9.0]
     assert out["rn"].tolist() == [1, 2, 3, 1]
+
+
+def test_rolling_agg_golden(ray_session):
+    """window=3 rolling sum/avg per key vs a hand-computed golden,
+    including the short head windows; block-layout invariant."""
+    from feature_fabrica_ray.pipelines import rolling_agg
+
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00",
+                              "2024-01-01 02:00", "2024-01-01 03:00",
+                              "2024-01-01 00:30"]),
+        "user_id": [1, 1, 1, 1, 2],
+        "event_id": [10, 11, 12, 13, 14],
+        "value": [1.0, 2.0, 4.0, 8.0, 9.0],
+    })
+    for blocks in (1, 3):
+        out = rolling_agg(_ds(df, blocks=blocks), "ts", "user_id", "value",
+                          "event_id", window=3).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert out["roll_sum"].tolist() == [1.0, 3.0, 7.0, 14.0, 9.0]
+        assert out["roll_avg"].tolist() == [1.0, 1.5, 7.0 / 3, 14.0 / 3, 9.0]
+
+
+def test_rolling_agg_matches_pandas(ray_session):
+    """Randomized agreement with pandas groupby().rolling() across a
+    window larger than some groups."""
+    from feature_fabrica_ray.pipelines import rolling_agg
+
+    rng = np.random.default_rng(7)
+    n = 200
+    df = pd.DataFrame({
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10_000, n), unit="s"),
+        "user_id": rng.integers(0, 9, n),
+        "event_id": np.arange(n),
+        "value": rng.normal(100.0, 30.0, n).round(3),
+    })
+    out = rolling_agg(_ds(df, blocks=4), "ts", "user_id", "value",
+                      "event_id", window=5).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    r = exp.groupby("user_id")["value"].rolling(5, min_periods=1)
+    exp["roll_sum"] = r.sum().to_numpy()
+    exp["roll_avg"] = r.mean().to_numpy()
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    np.testing.assert_allclose(out["roll_sum"], exp["roll_sum"], atol=1e-9)
+    np.testing.assert_allclose(out["roll_avg"], exp["roll_avg"], atol=1e-9)
+
+
+def test_rolling_agg_window_validation(ray_session):
+    from feature_fabrica_ray.pipelines import rolling_agg
+
+    with pytest.raises(ValueError):
+        rolling_agg(_ds(_events()), "ts", "user_id", "value", "event_id",
+                    window=0)
+
+
+def test_distinct_count_per_group(ray_session):
+    """Exact per-key COUNT(DISTINCT v)/COUNT(*): nulls count as rows but
+    not as distinct values; block-layout invariant."""
+    from feature_fabrica_ray.pipelines import distinct_count_per_group
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "c"],
+        "v": ["x", "x", "y", "z", None, None],
+    })
+    for blocks in (1, 4):
+        out = distinct_count_per_group(_ds(df, blocks=blocks), "k", "v")
+        assert out["k"].tolist() == ["a", "b", "c"]
+        assert out["n_distinct"].tolist() == [2, 1, 0]
+        assert out["n_rows"].tolist() == [3, 2, 1]
