@@ -1625,6 +1625,45 @@ GROUP BY lang
 """
 
 
+def q_agg_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP (lang, source): one finest-level combiner pass +
+    one keyed shuffle; every coarser level derived from the merged
+    finest table (rolled-up cells are NULL)."""
+    from feature_fabrica_ray.pipelines import rollup_agg
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source", "n_chars"])
+    out = rollup_agg(ds, ["lang", "source"], "n_chars")
+    out["sum_v"] = _round_away(out["sum_v"], 6)
+    return out
+
+
+_ROLLUP_ORACLE = """
+SELECT lang, source, round(sum(n_chars), 6) AS sum_v,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""
+
+
+def q_pr_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width histogram of n_chars (width 50, 12 bins, clamped):
+    per-block bincount combiner — only nbins-long count vectors move."""
+    from feature_fabrica_ray.pipelines import histogram_fixed
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["n_chars"])
+    return histogram_fixed(ds, "n_chars", lo=0, width=50, nbins=12)
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(least(greatest(n_chars // 50, 0), 11) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents
+GROUP BY 1
+"""
+
+
 
 def q_mm_resize(sf_dir: str):
     """Actor-pool resize -> decode composition: nearest-neighbor
@@ -1834,6 +1873,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_cumsum": q_ev_cumsum,
         "ev_rolling": q_ev_rolling,
         "agg_distinct_group": q_agg_distinct_group,
+        "agg_rollup": q_agg_rollup,
+        "pr_histogram": q_pr_histogram,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -1869,6 +1910,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_cumsum": _CUMSUM_ORACLE,
         "ev_rolling": _ROLLING_ORACLE,
         "agg_distinct_group": _DISTINCT_GROUP_ORACLE,
+        "agg_rollup": _ROLLUP_ORACLE,
+        "pr_histogram": _HISTOGRAM_ORACLE,
         "ta_textstats": _TEXTSTATS_ORACLE,
         "ta_quality": _QUALITY_ORACLE,
         # ta_langid_fingerprint: heuristic -> rows-only (pytest goldens)

@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from ..tuning import shuffle_partitions
 
-__all__ = ["distinct_count_per_group"]
+__all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed"]
 
 
 def distinct_count_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -55,3 +55,82 @@ def distinct_count_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
            .map_groups(per_key, batch_format="pandas")
            .to_pandas())
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def rollup_agg(ds, group_cols: list[str], value_col: str) -> pd.DataFrame:
+    """``GROUP BY ROLLUP(group_cols)``: sum(value) + count(*) at every
+    prefix granularity (finest, each prefix, grand total), rolled-up
+    columns emitted as NULL.
+
+    Physical shape: per-block finest-level Arrow combiner, then ONE
+    keyed shuffle merges the partials distributedly — the driver only
+    ever receives the merged finest table, whose size is the distinct
+    finest-combo count (i.e. the unavoidable size of the ROLLUP result
+    itself). Every coarser level is derived from that merged table
+    without touching the input again, so an L-level rollup costs one
+    pass + one shuffle, not L of either.
+
+    Note: as in SQL ROLLUP, a genuine NULL group value is
+    indistinguishable from a rolled-up cell in the output; use
+    sentinel-filled keys upstream if the domain contains nulls.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([*group_cols, value_col]) \
+            .group_by(group_cols).aggregate([(value_col, "sum"),
+                                             ([], "count_all")])
+        cols = {c: g.column(c) for c in group_cols}
+        cols["sum_v"] = g.column(f"{value_col}_sum").cast(pa.float64())
+        cols["n_rows"] = g.column("count_all").cast(pa.int64())
+        return pa.table(cols)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_cols, as_index=False, dropna=False).agg(
+            sum_v=("sum_v", "sum"), n_rows=("n_rows", "sum"))
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+              .groupby(group_cols, num_partitions=shuffle_partitions())
+              .map_groups(merge, batch_format="pandas")
+              .to_pandas())
+
+    levels = [finest]
+    for lvl in range(len(group_cols) - 1, -1, -1):
+        keep = group_cols[:lvl]
+        if keep:
+            g = finest.groupby(keep, as_index=False, dropna=False).agg(
+                sum_v=("sum_v", "sum"), n_rows=("n_rows", "sum"))
+        else:
+            g = pd.DataFrame({"sum_v": [finest["sum_v"].sum()],
+                              "n_rows": [finest["n_rows"].sum()]})
+        for c in group_cols[lvl:]:
+            g[c] = None
+        levels.append(g[[*group_cols, "sum_v", "n_rows"]])
+
+    out = pd.concat(levels, ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    for c in group_cols:  # rolled-up cells must be None, never NaN
+        out[c] = out[c].astype(object).where(out[c].notna(), None)
+    return out.reset_index(drop=True)
+
+
+def histogram_fixed(ds, col: str, lo: int, width: int,
+                    nbins: int) -> pd.DataFrame:
+    """Fixed-width histogram of an integer column: bin = clip(floor(
+    (x - lo) / width), 0, nbins-1), exact integer arithmetic. Per-block
+    ``np.bincount`` combiner — each block contributes an nbins-long
+    count vector and only those vectors move; empty bins are dropped
+    from the result (SQL GROUP BY parity). Returns (bin, n)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.clip((x - lo) // width, 0, nbins - 1)
+        counts = np.bincount(idx, minlength=nbins)
+        return pa.table({"bin": pa.array(np.arange(nbins, dtype=np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    out = parts.groupby("bin", as_index=False).agg(n=("n", "sum"))
+    out = out[out["n"] > 0]
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)

@@ -213,3 +213,36 @@ def test_distinct_count_per_group(ray_session):
         assert out["k"].tolist() == ["a", "b", "c"]
         assert out["n_distinct"].tolist() == [2, 1, 0]
         assert out["n_rows"].tolist() == [3, 2, 1]
+
+
+def test_rollup_agg_golden(ray_session):
+    """Two-level ROLLUP sums/counts vs hand-computed golden; rolled-up
+    cells are None; block-layout invariant."""
+    from feature_fabrica_ray.pipelines import rollup_agg
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "x", "y"],
+        "b": ["p", "p", "q", "p"],
+        "v": [1, 2, 4, 8],
+    })
+    for blocks in (1, 3):
+        out = rollup_agg(_ds(df, blocks=blocks), ["a", "b"], "v")
+        got = {(r.a, r.b): (r.sum_v, r.n_rows) for r in out.itertuples()}
+        assert got == {("x", "p"): (3.0, 2), ("x", "q"): (4.0, 1),
+                       ("y", "p"): (8.0, 1), ("x", None): (7.0, 3),
+                       ("y", None): (8.0, 1), (None, None): (15.0, 4)}
+        assert len(out) == 6
+
+
+def test_histogram_fixed(ray_session):
+    """Exact integer binning with clamping at both ends; empty bins are
+    dropped; block-layout invariant."""
+    from feature_fabrica_ray.pipelines import histogram_fixed
+
+    df = pd.DataFrame({"x": [0, 5, 10, 19, 20, 99, 100, 100, 250]})
+    for blocks in (1, 4):
+        out = histogram_fixed(_ds(df, blocks=blocks), "x",
+                              lo=0, width=10, nbins=11)
+        got = dict(zip(out["bin"], out["n"]))
+        # 250 clamps into the last bin (10); bin 9 (90..99) holds 99
+        assert got == {0: 2, 1: 2, 2: 1, 9: 1, 10: 3}
