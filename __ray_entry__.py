@@ -220,6 +220,37 @@ FROM codetable
 """
 
 
+def q_vl_group_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-SEGMENT stats: count/nulls/min/max/sum/mean of size_bytes per
+    lang (incl. the planted NULL-lang segment) — per-block Arrow
+    group_by combiner + one keyed shuffle of the partials; answers
+    'which segment is broken', complementing the global fused-pass
+    stats."""
+    from feature_fabrica_ray.pipelines import grouped_stats
+
+    ds = read_codetable(sf_dir, with_sha256=False).map_batches(
+        lambda b: b.append_column(
+            "size_bytes", pc.utf8_length(b.column("content")).cast(pa.int64())),
+        batch_format="pyarrow", batch_size=None)
+    out = grouped_stats(ds, "lang", "size_bytes")
+    out["nsum"] = _round_away(out["nsum"], 6)
+    out["mean"] = _round_away(out["mean"], 6)
+    return out[["lang", "cnt", "nulls", "nmin", "nmax", "nsum", "mean"]]
+
+
+_GROUP_STATS_ORACLE = CT + """
+SELECT lang,
+       CAST(count(length(content)) AS BIGINT) AS cnt,
+       CAST(count(*) - count(length(content)) AS BIGINT) AS nulls,
+       CAST(min(length(content)) AS DOUBLE) AS nmin,
+       CAST(max(length(content)) AS DOUBLE) AS nmax,
+       round(CAST(sum(length(content)) AS DOUBLE), 6) AS nsum,
+       round(avg(length(content)), 6) AS mean
+FROM codetable
+GROUP BY lang
+"""
+
+
 def q_vl_content_sha256(sf_dir: str):
     ds = read_codetable(sf_dir, with_sha256=True)
     return _select(ds, ["repo", "path", "commit", "content_sha256"])
@@ -1822,6 +1853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_content_sha256": q_vl_content_sha256,
         "vl_distinct_repo": q_vl_distinct_repo,
         "vl_stats_sketches": q_vl_stats_sketches,
+        "vl_group_stats": q_vl_group_stats,
         "ft_math_chain": q_ft_math_chain,
         "ft_fitted_global": q_ft_fitted_global,
         "ft_strings": q_ft_strings,
@@ -1887,6 +1919,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_uniqueness_shuffle": _UNIQUENESS_ORACLE,
         "vl_referential_orphans": _ORPHAN_ORACLE,
         "vl_stats_size": _STATS_ORACLE,
+        "vl_group_stats": _GROUP_STATS_ORACLE,
         "vl_content_sha256": _SHA_ORACLE,
         "vl_distinct_repo": _DISTINCT_ORACLE,
         # vl_stats_sketches: approximate -> rows-only check (by design)

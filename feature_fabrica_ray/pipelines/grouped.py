@@ -21,10 +21,21 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..tuning import shuffle_partitions
 
-__all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed"]
+
+def _with_shuffle_key(t: pa.Table, key_col: str) -> pa.Table:
+    """Append a null-safe string shuffle key: Ray's sort-based groupby
+    cannot compare None with real values, so nulls map to the engine's
+    "\\0null" sentinel (own group, SQL GROUP BY semantics) and the
+    original column rides along for output."""
+    k = pc.fill_null(pc.cast(t.column(key_col), pa.string()), "\0null")
+    return t.append_column("__gkey", k)
+
+__all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
+           "grouped_stats"]
 
 
 def distinct_count_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -39,9 +50,11 @@ def distinct_count_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.select([key_col, val_col]) \
             .group_by([key_col, val_col]).aggregate([([], "count_all")])
-        return pa.table({key_col: g.column(key_col),
-                         val_col: g.column(val_col),
-                         "cnt": g.column("count_all").cast(pa.int64())})
+        return _with_shuffle_key(
+            pa.table({key_col: g.column(key_col),
+                      val_col: g.column(val_col),
+                      "cnt": g.column("count_all").cast(pa.int64())}),
+            key_col)
 
     def per_key(df: pd.DataFrame) -> pd.DataFrame:
         vals = df[val_col]
@@ -51,10 +64,11 @@ def distinct_count_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
             "n_rows": np.array([int(df["cnt"].sum())], np.int64)})
 
     out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby(key_col, num_partitions=shuffle_partitions())
+           .groupby("__gkey", num_partitions=shuffle_partitions())
            .map_groups(per_key, batch_format="pandas")
            .to_pandas())
-    return out.sort_values(key_col).reset_index(drop=True)
+    key = out[key_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
 
 
 def rollup_agg(ds, group_cols: list[str], value_col: str) -> pd.DataFrame:
@@ -134,3 +148,56 @@ def histogram_fixed(ds, col: str, lo: int, width: int,
     out = out[out["n"] > 0]
     out["n"] = out["n"].astype("int64")
     return out.sort_values("bin").reset_index(drop=True)
+
+
+def grouped_stats(ds, group_col: str, col: str,
+                  max_null_rate: float | None = None) -> pd.DataFrame:
+    """Per-SEGMENT column stats: count / nulls / min / max / sum / mean
+    of ``col`` within each value of ``group_col`` — the validation
+    engine's answer to "WHICH segment is broken" (global stats are the
+    fused-pass stats checks in ``pipelines/validate.py``).
+
+    Algebraic combiner shape: per-block Arrow ``group_by`` partials
+    (count, count_all, min, max, sum — one row per group per block),
+    one keyed shuffle of those partials, exact merge per key. Null
+    group values form their own segment. min/max/sum are emitted as
+    float64 so all-null segments are representable (NaN), matching SQL
+    aggregate-over-empty semantics.
+
+    With ``max_null_rate`` set, a boolean ``passed`` column applies the
+    per-segment null-rate threshold (violation form of the check).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col, col]).group_by([group_col]).aggregate(
+            [(col, "count"), ([], "count_all"),
+             (col, "min"), (col, "max"), (col, "sum")])
+        return _with_shuffle_key(pa.table({
+            group_col: g.column(group_col),
+            "cnt": g.column(f"{col}_count").cast(pa.int64()),
+            "n_rows": g.column("count_all").cast(pa.int64()),
+            "nmin": g.column(f"{col}_min").cast(pa.float64()),
+            "nmax": g.column(f"{col}_max").cast(pa.float64()),
+            "nsum": g.column(f"{col}_sum").cast(pa.float64())}), group_col)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = int(df["cnt"].sum())
+        return pd.DataFrame({
+            group_col: [df[group_col].iloc[0]],
+            "cnt": np.array([cnt], np.int64),
+            "nulls": np.array([int(df["n_rows"].sum()) - cnt], np.int64),
+            "nmin": [df["nmin"].min()],
+            "nmax": [df["nmax"].max()],
+            "nsum": [df["nsum"].sum() if cnt else np.nan]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    with np.errstate(invalid="ignore"):
+        out["mean"] = out["nsum"] / out["cnt"].where(out["cnt"] > 0)
+    if max_null_rate is not None:
+        rate = out["nulls"] / (out["cnt"] + out["nulls"])
+        out["passed"] = rate <= max_null_rate
+    key = out[group_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)

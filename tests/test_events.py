@@ -246,3 +246,29 @@ def test_histogram_fixed(ray_session):
         got = dict(zip(out["bin"], out["n"]))
         # 250 clamps into the last bin (10); bin 9 (90..99) holds 99
         assert got == {0: 2, 1: 2, 2: 1, 9: 1, 10: 3}
+
+
+def test_grouped_stats(ray_session):
+    """Per-segment count/nulls/min/max/sum/mean with a NULL segment key,
+    an all-null segment, and the null-rate threshold form."""
+    from feature_fabrica_ray.pipelines import grouped_stats
+
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "b", None, None, "c"],
+        "x": [1.0, 3.0, None, 5.0, 7.0, 9.0, None],
+    })
+    for blocks in (1, 3):
+        out = grouped_stats(_ds(df, blocks=blocks), "g", "x",
+                            max_null_rate=0.4)
+        by = {r.g: r for r in out.itertuples()}
+        a = by["a"]
+        assert (a.cnt, a.nulls, a.nmin, a.nmax, a.nsum, a.mean) == \
+            (2, 1, 1.0, 3.0, 4.0, 2.0)
+        assert bool(a.passed)        # null rate 1/3 <= 0.4
+        c = by["c"]
+        assert (c.cnt, c.nulls) == (0, 1)
+        assert np.isnan(c.nmin) and np.isnan(c.nsum) and np.isnan(c.mean)
+        none_key = by[None]
+        assert (none_key.cnt, none_key.nulls, none_key.nsum) == (2, 0, 16.0)
+        assert bool(by["b"].passed) and bool(none_key.passed)
+        assert not bool(c.passed)
