@@ -1636,6 +1636,30 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_ev_lag(sf_dir: str) -> pd.DataFrame:
+    """LAG/LEAD window-function parity (+ delta vs previous event) per
+    user in (ts, event_id) order — null at partition edges."""
+    from feature_fabrica_ray.pipelines import lag_lead
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id", "value"])
+    out = lag_lead(ds, "ts", "user_id", "value", "event_id", offset=1) \
+        .to_pandas()[["event_id", "user_id", "lag_v", "lead_v", "delta_prev"]]
+    for c in ("lag_v", "lead_v", "delta_prev"):
+        out[c] = _round_away(out[c], 6)
+    return out.reset_index(drop=True)
+
+
+_LAG_ORACLE = """
+SELECT event_id, user_id,
+       round(lag(value, 1) OVER w, 6) AS lag_v,
+       round(lead(value, 1) OVER w, 6) AS lead_v,
+       round(value - lag(value, 1) OVER w, 6) AS delta_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_agg_distinct_group(sf_dir: str) -> pd.DataFrame:
     """Exact COUNT(DISTINCT source) + COUNT(*) per lang over documents —
     per-block distinct-pair combiner, keyed shuffle of deduped pairs
@@ -1904,6 +1928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_json": q_ev_json,
         "ev_cumsum": q_ev_cumsum,
         "ev_rolling": q_ev_rolling,
+        "ev_lag": q_ev_lag,
         "agg_distinct_group": q_agg_distinct_group,
         "agg_rollup": q_agg_rollup,
         "pr_histogram": q_pr_histogram,
@@ -1942,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_sliding": _SLIDING_ORACLE,
         "ev_cumsum": _CUMSUM_ORACLE,
         "ev_rolling": _ROLLING_ORACLE,
+        "ev_lag": _LAG_ORACLE,
         "agg_distinct_group": _DISTINCT_GROUP_ORACLE,
         "agg_rollup": _ROLLUP_ORACLE,
         "pr_histogram": _HISTOGRAM_ORACLE,

@@ -8,8 +8,9 @@ from .curation import (common_ngrams, decontaminate, gopher_quality,
 from .packing import pack_sequences
 from .quantiles import group_quantiles
 from .checkpoint import codetable_shards, merge_results, validate_resumable
-from .events import (cumulative_agg, extract_json_int, rolling_agg,
-                     sessionize, sliding_window_agg, tumbling_window_agg)
+from .events import (cumulative_agg, extract_json_int, lag_lead,
+                     rolling_agg, sessionize, sliding_window_agg,
+                     tumbling_window_agg)
 from .grouped import (distinct_count_per_group, grouped_stats,
                       histogram_fixed, rollup_agg)
 from .drift_actor import DriftSketchActor, drift_report
@@ -56,4 +57,4 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "token_ngram_hashes", "salted_group_agg", "repetition_stats",
            "common_ngrams", "group_quantiles", "pack_sequences", "kmeans", "kmeans_assign",
            "rolling_agg", "distinct_count_per_group", "rollup_agg",
-           "histogram_fixed", "grouped_stats"]
+           "histogram_fixed", "grouped_stats", "lag_lead"]

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 from ..tuning import shuffle_partitions
 
 __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
-           "extract_json_int", "cumulative_agg", "rolling_agg"]
+           "extract_json_int", "cumulative_agg", "rolling_agg", "lag_lead"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -201,6 +201,32 @@ def rolling_agg(ds, ts_col: str, key_col: str, value_col: str,
         if m:
             sums[:m] = np.cumsum(v[:m])
         return df.assign(roll_sum=sums, roll_avg=sums / head)
+
+    return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas")
+
+
+def lag_lead(ds, ts_col: str, key_col: str, value_col: str,
+             order_col: str, offset: int = 1):
+    """``LAG(value, offset)`` / ``LEAD(value, offset)`` per key over
+    (ts, order_col) order — null at the partition edges, SQL window
+    semantics. Same physical shape as ``cumulative_agg``: hash-partition
+    on the key, one vectorized sort + shift per group. Also emits
+    ``delta_prev`` (value - lag, null on the first ``offset`` rows),
+    the common change-over-previous-event feature. Returns a Dataset
+    with ``lag_v``, ``lead_v``, ``delta_prev`` appended."""
+    if offset < 1:
+        raise ValueError(f"offset must be >= 1, got {offset}")
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        v = df[value_col].to_numpy(dtype=np.float64)
+        lag = np.full(v.size, np.nan)
+        lead = np.full(v.size, np.nan)
+        if v.size > offset:
+            lag[offset:] = v[:-offset]
+            lead[:-offset] = v[offset:]
+        return df.assign(lag_v=lag, lead_v=lead, delta_prev=v - lag)
 
     return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
         .map_groups(per_key, batch_format="pandas")

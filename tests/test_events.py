@@ -272,3 +272,32 @@ def test_grouped_stats(ray_session):
         assert (none_key.cnt, none_key.nulls, none_key.nsum) == (2, 0, 16.0)
         assert bool(by["b"].passed) and bool(none_key.passed)
         assert not bool(c.passed)
+
+
+def test_lag_lead_golden(ray_session):
+    """LAG/LEAD with offset 2: nulls at both partition edges, delta only
+    where lag exists; block-layout invariant."""
+    from feature_fabrica_ray.pipelines import lag_lead
+
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00",
+                              "2024-01-01 02:00", "2024-01-01 03:00",
+                              "2024-01-01 00:30"]),
+        "user_id": [1, 1, 1, 1, 2],
+        "event_id": [10, 11, 12, 13, 14],
+        "value": [1.0, 2.0, 4.0, 8.0, 9.0],
+    })
+    for blocks in (1, 3):
+        out = lag_lead(_ds(df, blocks=blocks), "ts", "user_id", "value",
+                       "event_id", offset=2).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        lag = out["lag_v"].tolist()
+        lead = out["lead_v"].tolist()
+        assert np.isnan(lag[0]) and np.isnan(lag[1]) and np.isnan(lag[4])
+        assert lag[2:4] == [1.0, 2.0]
+        assert lead[0:2] == [4.0, 8.0]
+        assert np.isnan(lead[2]) and np.isnan(lead[3]) and np.isnan(lead[4])
+        assert out["delta_prev"][2:4].tolist() == [3.0, 6.0]
+
+    with pytest.raises(ValueError):
+        lag_lead(_ds(df), "ts", "user_id", "value", "event_id", offset=0)
