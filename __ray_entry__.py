@@ -190,6 +190,45 @@ SELECT DISTINCT repo FROM codetable WHERE repo NOT IN (SELECT repo FROM repos)
 """
 
 
+def q_vl_conditional(sf_dir: str) -> pd.DataFrame:
+    """Row-scoped checks (dbt `where` / GE `row_condition`): each check
+    applies only to rows matching its scope predicate, and its
+    violation-rate denominator is the IN-SCOPE row count (checks/
+    row_checks.py::_compile_where; fused-pass scoped counts in
+    pipelines/validate.py)."""
+    suite = CheckSuite("""
+checks:
+  - {type: min_length, column: content, min_length: 1, name: en_nonempty,
+     where: {column: lang, op: ==, value: en}}
+  - {type: regex, column: commit, pattern: "[0-9a-f]{32}", name: zh_es_commit,
+     where: {column: lang, op: in, value: [zh, es]}}
+  - {type: not_null, column: content, name: nolang_content,
+     where: {column: lang, op: is_null}}
+""")
+    res = run_suite(read_codetable(sf_dir, with_sha256=False), suite,
+                    num_partitions=8, key_columns=["repo", "path", "commit"])
+    g = res.global_verdicts()
+    out = g[["check", "n_rows", "n_violations"]].copy()
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_CONDITIONAL_ORACLE = CT + """
+SELECT 'en_nonempty' AS "check",
+       (SELECT count(*) FROM codetable WHERE lang = 'en') AS n_rows,
+       (SELECT count(*) FROM codetable WHERE lang = 'en'
+          AND (content IS NULL OR length(content) < 1)) AS n_violations
+UNION ALL SELECT 'zh_es_commit',
+       (SELECT count(*) FROM codetable WHERE lang IN ('zh','es')),
+       (SELECT count(*) FROM codetable WHERE lang IN ('zh','es')
+          AND ("commit" IS NULL OR NOT regexp_matches("commit", '^(?:[0-9a-f]{32})$')))
+UNION ALL SELECT 'nolang_content',
+       (SELECT count(*) FROM codetable WHERE lang IS NULL),
+       (SELECT count(*) FROM codetable WHERE lang IS NULL AND content IS NULL)
+"""
+
+
 def q_vl_stats_size(sf_dir: str) -> pd.DataFrame:
     suite = CheckSuite("""
 checks:
@@ -937,6 +976,53 @@ WHERE rn <= 5
 """
 
 
+def q_sm_hash_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash sampling (pipelines/sampling.hash_sample):
+    keep a row iff hash(doc_id) < fraction-threshold — membership is a
+    pure function of the key, stable across reruns / resumes / block
+    layouts. md5 mode here so DuckDB replicates the exact selection;
+    the scale path is the vectorized hash64 kernel (invariance-tested
+    in test_training_ops.py)."""
+    from feature_fabrica_ray.pipelines import hash_sample
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+    out = hash_sample(ds, ["doc_id"], fraction=0.25, method="md5").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+_HASH_SAMPLE_ORACLE = """
+SELECT doc_id, lang FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'
+"""
+
+
+def q_sm_stratified(sf_dir: str) -> pd.DataFrame:
+    """Stratified deterministic sampling
+    (pipelines/sampling.stratified_sample): per-lang keep fractions
+    (en 0.5, zh 0.25, others 0.125), keyed on doc_id. md5 mode so the
+    oracle CASE expression replicates the selection byte-for-byte."""
+    from feature_fabrica_ray.pipelines import stratified_sample
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+    out = stratified_sample(ds, "lang", {"en": 0.5, "zh": 0.25},
+                            key_columns=["doc_id"], default_fraction=0.125,
+                            method="md5").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+_STRATIFIED_ORACLE = """
+SELECT doc_id, lang FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) <
+      CASE lang WHEN 'en' THEN '80000000000000000000000000000000'
+                WHEN 'zh' THEN '40000000000000000000000000000000'
+                ELSE '20000000000000000000000000000000' END
+"""
+
+
 def q_jn_shuffle(sf_dir: str) -> pd.DataFrame:
     """Large x large equi-join via Ray Data's native hash join (both
     sides hash-partition on the key — the co-group exchange the
@@ -1458,6 +1544,39 @@ def q_dd_simhash(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3)
 
 
+def q_dd_embedding(sf_dir: str):
+    """Embedding-cosine near-dup pairs (hyperplane-LSH blocking, ids-only
+    band exchange, exact dot-product verify — pipelines/dedup.py).
+    The raw table has no near-dup pairs at threshold 0.95, so the query
+    demonstrates the operator on input ∪ perturbed-copies-of-first-20
+    (ids offset by 100000, deterministic seed) and returns the recovered
+    (id_a, id_b) pairs; rows-only (LSH blocking has no SQL oracle)."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import embedding_neardup_pairs
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    head = ds.filter(expr="vec_id < 20").to_pandas()
+    rng = np.random.default_rng(7)
+    ids, vecs = [], []
+    for _, r in head.iterrows():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        noise = rng.standard_normal(v.shape)
+        v2 = v + 0.001 * np.linalg.norm(v) * noise / max(np.linalg.norm(noise), 1e-12)
+        ids.append(int(r["vec_id"]) + 100000)
+        vecs.append(v2.astype(np.float32).tolist())
+    planted = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                        "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    both = ds.union(ray.data.from_arrow(planted))
+    out = embedding_neardup_pairs(both, vec_col="embedding", id_col="vec_id",
+                                  threshold=0.95)
+    out = out[["id_a", "id_b"]].copy()
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_ss_cosine_topk(sf_dir: str):
     import ray.data
 
@@ -1465,7 +1584,7 @@ def q_ss_cosine_topk(sf_dir: str):
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    qdf = ds.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
+    qdf = ds.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
     Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
     out = cosine_topk(ds, Q, k=10)
     out["score"] = _round_away(out["score"], 5)
@@ -1495,7 +1614,7 @@ def q_ss_ivf_topk(sf_dir: str):
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    qdf = ds.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
+    qdf = ds.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
     Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
     return ivf_topk(ds, Q, k=10)
 
@@ -1873,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_uniqueness_rows": q_vl_uniqueness_rows,
         "vl_uniqueness_shuffle": q_vl_uniqueness_shuffle,
         "vl_referential_orphans": q_vl_referential_orphans,
+        "vl_conditional": q_vl_conditional,
         "vl_stats_size": q_vl_stats_size,
         "vl_content_sha256": q_vl_content_sha256,
         "vl_distinct_repo": q_vl_distinct_repo,
@@ -1893,6 +2013,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_tfidf": q_ta_tfidf,
         "ta_chunks": q_ta_chunks,
         "sm_group_sample": q_sm_group_sample,
+        "sm_hash_sample": q_sm_hash_sample,
+        "sm_stratified": q_sm_stratified,
+        "dd_embedding": q_dd_embedding,
         "jn_shuffle": q_jn_shuffle,
         "ev_sliding": q_ev_sliding,
         "vl_drift": q_vl_drift,
@@ -1943,6 +2066,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_uniqueness_rows": _UNIQUENESS_ORACLE,
         "vl_uniqueness_shuffle": _UNIQUENESS_ORACLE,
         "vl_referential_orphans": _ORPHAN_ORACLE,
+        "vl_conditional": _CONDITIONAL_ORACLE,
         "vl_stats_size": _STATS_ORACLE,
         "vl_group_stats": _GROUP_STATS_ORACLE,
         "vl_content_sha256": _SHA_ORACLE,
@@ -1963,6 +2087,9 @@ def oracle_sql() -> dict[str, str]:
         "ta_tfidf": _TFIDF_ORACLE,
         "ta_chunks": _CHUNKS_ORACLE,
         "sm_group_sample": _GROUP_SAMPLE_ORACLE,
+        "sm_hash_sample": _HASH_SAMPLE_ORACLE,
+        "sm_stratified": _STRATIFIED_ORACLE,
+        # dd_embedding: LSH blocking -> rows-only (planted-pair pytest)
         "jn_shuffle": _JOIN_ORACLE,
         "ev_sliding": _SLIDING_ORACLE,
         "ev_cumsum": _CUMSUM_ORACLE,

@@ -28,6 +28,54 @@ class CheckSpecError(ValueError):
 
 _ROW_CHECKS: dict[str, type] = {}
 
+# ops accepted in a check's `where:` scope predicate
+_WHERE_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "not_in",
+              "is_null", "not_null")
+
+
+def _compile_where(where: dict):
+    """Compile a ``where`` spec into a vectorized scope-mask function
+    (True = row is in scope). Spec: ``{column, op, value}`` with op one
+    of ==/!=/</<=/>/>=/in/not_in/is_null/not_null (dbt's ``where`` /
+    Great Expectations' ``row_condition`` shape). A null scope-column
+    value puts the row OUT of scope (except for ``is_null``)."""
+    w = dict(where)
+    col = w.pop("column", None)
+    op = w.pop("op", "==")
+    val = w.pop("value", None)
+    if col is None:
+        raise CheckSpecError("where: needs a column")
+    if op not in _WHERE_OPS:
+        raise CheckSpecError(f"where: unknown op {op!r} (one of {_WHERE_OPS})")
+    if op in ("is_null", "not_null"):
+        if val is not None:
+            raise CheckSpecError(f"where: op {op!r} takes no value")
+    elif val is None:
+        raise CheckSpecError(f"where: op {op!r} needs a value")
+    if w:
+        raise CheckSpecError(f"where: unknown keys {sorted(w)}")
+
+    def scope(batch: pa.Table) -> pa.BooleanArray:
+        if col not in batch.column_names:
+            raise CheckSpecError(f"where: column {col!r} missing from batch "
+                                 f"{batch.column_names}")
+        c = batch.column(col)
+        if op == "is_null":
+            return pc.is_null(c)
+        if op == "not_null":
+            return pc.is_valid(c)
+        if op == "in":
+            m = pc.is_in(c, value_set=pa.array(list(val)))
+        elif op == "not_in":
+            m = pc.invert(pc.is_in(c, value_set=pa.array(list(val))))
+        else:
+            m = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                 "<=": pc.less_equal, ">": pc.greater,
+                 ">=": pc.greater_equal}[op](c, val)
+        return pc.fill_null(m, False)
+
+    return scope
+
 
 class RowCheck:
     """A named, vectorized violation-mask producer.
@@ -45,11 +93,20 @@ class RowCheck:
         if getattr(cls, "_type_", None):
             _ROW_CHECKS[cls._type_] = cls
 
-    def __init__(self, name: str, column: str, max_violation_rate: float = 0.0):
+    def __init__(self, name: str, column: str, max_violation_rate: float = 0.0,
+                 where: dict | None = None):
         self.name = name
         self.column = column
         # a partition FAILS when its violation rate exceeds this threshold
         self.max_violation_rate = float(max_violation_rate)
+        # optional row-scope predicate: the check only applies (and its
+        # violation-rate denominator only counts) rows where this holds
+        self.where = dict(where) if where else None
+        self._scope = _compile_where(where) if where else None
+
+    def scope_mask(self, batch: pa.Table) -> pa.BooleanArray:
+        """In-scope mask (no nulls); only call when ``self.where`` is set."""
+        return self._scope(batch)
 
     def mask(self, batch: pa.Table) -> pa.BooleanArray:  # pragma: no cover
         raise NotImplementedError

@@ -23,7 +23,8 @@ from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
 from .multimodal import (DecodeImageFeatures, FrameSampler,
                          ResizeImage, audio_pipeline, decode_pipeline,
                          frame_pipeline, resize_pipeline)
-from .sampling import hash_sample, stratified_sample
+from .sampling import (hash_sample, md5_fraction_threshold, md5_hex_column,
+                       stratified_sample)
 from .similarity import (cosine_topk, fit_centroids, fit_pca,
                          ivf_topk, kmeans, kmeans_assign,
                          normalize_embeddings, pca_project)
@@ -50,6 +51,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "profile_table", "hash_sample", "asof_join", "asof_join_broadcast",
            "minhash_lsh_pairs_distributed", "neardup_clusters",
            "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg", "stratified_sample",
+           "md5_fraction_threshold", "md5_hex_column",
            "exact_dedup_rows_shuffle", "tfidf_top_terms", "chunk_documents", "audio_pipeline",
            "frame_pipeline", "cumulative_agg", "normalize_embeddings",
            "fit_pca", "pca_project", "ResizeImage", "resize_pipeline",

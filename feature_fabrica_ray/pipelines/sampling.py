@@ -15,17 +15,63 @@ import pyarrow as pa
 
 from ..state import combine_hashes, hash64
 
-__all__ = ["hash_sample", "stratified_sample"]
+__all__ = ["hash_sample", "stratified_sample", "md5_hex_column",
+           "md5_fraction_threshold"]
 
 _D = np.uint64(1 << 32)
 
 
-def hash_sample(ds, key_columns: list[str], fraction: float, seed: int = 0):
-    """Keep a deterministic ~``fraction`` of rows keyed by
-    ``key_columns`` (all rows sharing a key are kept or dropped
-    together — sampling by document, user, repo...)."""
+def md5_fraction_threshold(fraction: float) -> str:
+    """32-char lowercase hex threshold t such that
+    ``md5_hex(key) < t`` keeps a uniform ~``fraction`` of keys.
+    md5 hex digests are fixed-width, so lexicographic comparison equals
+    numeric comparison — the predicate is replicable in ANSI SQL as
+    ``md5(CAST(key AS VARCHAR)) < '<t>'``."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(int(fraction * float(16 ** 32)), "032x")
+
+
+def md5_hex_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """md5 hex digest of each value's string form (``str(v)`` ==
+    DuckDB's ``CAST(v AS VARCHAR)`` for ints/strings). Per-row hashlib
+    loop — md5 mode exists for SQL-replicable sampling demos; the scale
+    path is the vectorized ``hash64`` kernel."""
+    import hashlib
+
+    vals = col.to_pylist()
+    return pa.array([None if v is None
+                     else hashlib.md5(str(v).encode()).hexdigest()
+                     for v in vals], pa.string())
+
+
+def hash_sample(ds, key_columns: list[str], fraction: float, seed: int = 0,
+                method: str = "hash64"):
+    """Keep a deterministic ~``fraction`` of rows keyed by
+    ``key_columns`` (all rows sharing a key are kept or dropped
+    together — sampling by document, user, repo...).
+
+    ``method="hash64"`` (default) is the scale path: vectorized 64-bit
+    hash kernel, no per-row Python. ``method="md5"`` (single key column
+    only) uses the md5 hex digest so the selection is replicable in
+    ANSI SQL (``md5(CAST(key AS VARCHAR)) < threshold``) — used by the
+    oracle-matched driver query; same stability guarantees."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if method == "md5":
+        if len(key_columns) != 1:
+            raise ValueError("md5 mode samples on exactly one key column")
+        thr_hex = md5_fraction_threshold(fraction)
+        key = key_columns[0]
+
+        def fn_md5(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            hexes = md5_hex_column(batch.column(key))
+            keep = pc.fill_null(pc.less(hexes, thr_hex), False)
+            return batch.filter(keep)
+
+        return ds.map_batches(fn_md5, batch_format="pyarrow", batch_size=None)
     threshold = np.uint64(int(fraction * float(_D)))
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -39,7 +85,7 @@ def hash_sample(ds, key_columns: list[str], fraction: float, seed: int = 0):
 
 def stratified_sample(ds, strata_col: str, fractions: dict,
                       key_columns: list[str] | None = None, seed: int = 0,
-                      default_fraction: float = 0.0):
+                      default_fraction: float = 0.0, method: str = "hash64"):
     """Per-stratum deterministic hash sampling: rows in stratum ``s``
     are kept with probability ``fractions[s]`` (strata absent from the
     dict use ``default_fraction``). Same stability guarantees as
@@ -53,6 +99,21 @@ def stratified_sample(ds, strata_col: str, fractions: dict,
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError(f"default_fraction must be in [0,1]")
     key_columns = key_columns or [strata_col]
+    if method == "md5":
+        if len(key_columns) != 1:
+            raise ValueError("md5 mode samples on exactly one key column")
+        hex_thr = {s: md5_fraction_threshold(f) for s, f in fractions.items()}
+        default_hex = md5_fraction_threshold(default_fraction)
+        key = key_columns[0]
+
+        def fn_md5(batch: pa.Table) -> pa.Table:
+            hexes = md5_hex_column(batch.column(key)).to_pylist()
+            strata = batch.column(strata_col).to_pylist()
+            keep = [h is not None and h < hex_thr.get(s, default_hex)
+                    for h, s in zip(hexes, strata)]
+            return batch.filter(pa.array(keep, pa.bool_()))
+
+        return ds.map_batches(fn_md5, batch_format="pyarrow", batch_size=None)
     thresholds = {s: np.uint64(int(f * float(_D)))
                   for s, f in fractions.items()}
     default_thr = np.uint64(int(default_fraction * float(_D)))

@@ -43,6 +43,7 @@ __all__ = ["ValidationResult", "run_suite", "compute_baseline",
            "drift_metric_from_state", "merge_drift_states"]
 
 _ROWS = "__rows__"
+_SCOPE_PREFIX = "__scope__:"   # per-check in-scope row counts (where:)
 
 
 @dataclass
@@ -123,6 +124,18 @@ class _ValidatorStage:
 
         for chk in self.row_checks:
             mask = chk.mask(batch)
+            if chk.where is not None:
+                # scoped check: violations only inside the scope; emit the
+                # per-pid IN-SCOPE counts as this check's own denominator
+                sm = chk.scope_mask(batch)
+                mask = pc.and_(mask, sm)
+                sm_np = np.asarray(sm.to_numpy(zero_copy_only=False), dtype=bool)
+                sp, sc_counts = np.unique(pid[sm_np], return_counts=True)
+                if len(sp):
+                    out_tables.append(self._records(
+                        record_type="counts", pid=sp.tolist(),
+                        check=[_SCOPE_PREFIX + chk.name] * len(sp),
+                        n_rows=sc_counts.tolist(), n_viol=[0] * len(sp)))
             mask_np = np.asarray(mask.to_numpy(zero_copy_only=False), dtype=bool)
             nv = int(mask_np.sum())
             if nv:
@@ -389,6 +402,7 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     # the full schema above): unneeded wide columns never leave the read
     needed = {partition_col, *key_columns}
     needed |= {c.column for c in row_checks}
+    needed |= {c.where["column"] for c in row_checks if c.where is not None}
     needed |= {c.column for c in suite.stats_checks}
     needed |= {c.column for c in suite.drift_checks}
     for uc in suite.unique_checks:
@@ -455,14 +469,21 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     for chk in row_checks:
         viol_per_pid = (counts[counts["check"] == chk.name]
                         .groupby("pid")["n_viol"].sum())
-        for pid_val, nr in rows_per_pid.items():
+        if chk.where is not None:
+            # scoped check: denominator is the check's own in-scope counts
+            denom_per_pid = (counts[counts["check"] == _SCOPE_PREFIX + chk.name]
+                             .groupby("pid")["n_rows"].sum())
+            denom_total = int(denom_per_pid.sum())
+        else:
+            denom_per_pid, denom_total = rows_per_pid, n_rows_total
+        for pid_val, nr in denom_per_pid.items():
             nv = int(viol_per_pid.get(pid_val, 0))
             rate = nv / nr if nr else 0.0
             verdict_rows.append((chk.name, int(pid_val), int(nr), nv, rate, np.nan,
                                  rate <= check_threshold[chk.name]))
         nv = int(viol_per_pid.sum())
-        rate = nv / n_rows_total if n_rows_total else 0.0
-        verdict_rows.append((chk.name, -1, n_rows_total, nv, rate, np.nan,
+        rate = nv / denom_total if denom_total else 0.0
+        verdict_rows.append((chk.name, -1, denom_total, nv, rate, np.nan,
                              rate <= check_threshold[chk.name]))
 
     for name, bad in schema_verdicts:

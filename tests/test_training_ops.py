@@ -352,6 +352,35 @@ def test_hash_sample_deterministic_and_partition_invariant(ray_session):
     assert set(s_small["k"]) <= set(s1["k"])
 
 
+def test_hash_sample_md5_mode_matches_sql_predicate(ray_session):
+    """md5 mode keeps exactly the rows whose md5 hex digest of str(key)
+    is below the fraction threshold — the SQL-replicable contract the
+    sm_hash_sample / sm_stratified oracles rely on."""
+    import hashlib
+
+    from feature_fabrica_ray.pipelines import (hash_sample,
+                                               md5_fraction_threshold,
+                                               stratified_sample)
+
+    assert md5_fraction_threshold(0.25) == "4" + "0" * 31
+    df = pd.DataFrame({"k": np.arange(1000, dtype=np.int64),
+                       "lang": np.where(np.arange(1000) % 2 == 0, "en", "zh")})
+    out = hash_sample(_ds(df, blocks=4), ["k"], 0.25, method="md5").to_pandas()
+    expect = {i for i in range(1000)
+              if hashlib.md5(str(i).encode()).hexdigest() < "4" + "0" * 31}
+    assert set(out["k"]) == expect
+    # stratified md5 mode: per-stratum thresholds, same predicate
+    fr = {"en": 0.5}
+    s = stratified_sample(_ds(df, blocks=4), "lang", fr, key_columns=["k"],
+                          default_fraction=0.125, method="md5").to_pandas()
+    exp2 = {i for i in range(1000)
+            if hashlib.md5(str(i).encode()).hexdigest() <
+            ("8" + "0" * 31 if i % 2 == 0 else "2" + "0" * 31)}
+    assert set(s["k"]) == exp2
+    with pytest.raises(ValueError):
+        hash_sample(_ds(df), ["k", "lang"], 0.25, method="md5")
+
+
 def test_fingerprint_empty_doc_batch_invariance(ray_session):
     """An empty document's fingerprint must not depend on whether its batch
     contained other (non-empty) rows: all-empty batches emit no k-gram

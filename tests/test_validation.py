@@ -203,6 +203,69 @@ checks:
     assert not bool(g.loc["schema", "passed"])
 
 
+def test_scoped_check_where_predicate(ray_session, duck):
+    """A check with a `where:` scope only applies to in-scope rows: the
+    violation-rate denominator is the in-scope count (per pid and
+    globally), out-of-scope rows never violate, and the same check
+    unscoped sees strictly more rows. Golden via DuckDB."""
+    suite = CheckSuite("""
+checks:
+  - {type: min_length, column: content, min_length: 1, name: en_nonempty,
+     where: {column: lang, op: ==, value: en}}
+  - {type: min_length, column: content, min_length: 1, name: all_nonempty}
+""")
+    r = run_suite(_input_ds(), suite, num_partitions=8)
+    g = r.global_verdicts().set_index("check")
+    n_en = _golden(duck, "SELECT count(*) FROM codetable WHERE lang = 'en'")
+    nv_en = _golden(duck, "SELECT count(*) FROM codetable WHERE lang = 'en' "
+                          "AND (content IS NULL OR length(content) = 0)")
+    n_all = _golden(duck, "SELECT count(*) FROM codetable")
+    nv_all = _golden(duck, "SELECT count(*) FROM codetable "
+                           "WHERE content IS NULL OR length(content) = 0")
+    assert int(g.loc["en_nonempty", "n_rows"]) == n_en
+    assert int(g.loc["en_nonempty", "n_violations"]) == nv_en
+    assert int(g.loc["all_nonempty", "n_rows"]) == n_all
+    assert int(g.loc["all_nonempty", "n_violations"]) == nv_all
+    assert n_en < n_all
+    # per-pid rows for the scoped check sum to the scoped denominator
+    per_pid = r.verdicts[(r.verdicts["check"] == "en_nonempty")
+                         & (r.verdicts["pid"] >= 0)]
+    assert int(per_pid["n_rows"].sum()) == n_en
+    # violation rows only come from in-scope rows
+    v = r.violations[r.violations["check"] == "en_nonempty"]
+    assert len(v) == nv_en
+    # scope ops validate eagerly
+    with pytest.raises(Exception):
+        CheckSuite("""
+checks:
+  - {type: not_null, column: lang, where: {column: lang, op: "~="}}
+""")
+
+
+def test_scoped_check_checkpoint_merge(ray_session, tmp_path):
+    """Sharded resume: scoped-check denominators merge as the SUM of
+    per-shard in-scope counts, not the global row count."""
+    from feature_fabrica_ray.pipelines.checkpoint import (codetable_shards,
+                                                          validate_resumable)
+
+    suite_yaml = """
+checks:
+  - {type: min_length, column: content, min_length: 1, name: en_nonempty,
+     where: {column: lang, op: ==, value: en}}
+"""
+    out_dir = str(tmp_path / "ckpt")
+    shards = codetable_shards(SF, n_shards=3)
+    merged = validate_resumable(shards, CheckSuite(suite_yaml), out_dir,
+                                num_partitions=8)["result"]
+    g = merged.verdicts[merged.verdicts["pid"] == -1].set_index("check")
+    one = run_suite(read_codetable(SF), CheckSuite(suite_yaml),
+                    num_partitions=8)
+    go = one.global_verdicts().set_index("check")
+    assert int(g.loc["en_nonempty", "n_rows"]) == int(go.loc["en_nonempty", "n_rows"])
+    assert int(g.loc["en_nonempty", "n_violations"]) == \
+        int(go.loc["en_nonempty", "n_violations"])
+
+
 def test_drift_actor_pool_matches_fused(ray_session):
     """Actor-pool drift stage (baselines in actor state) produces the same
     metrics as the fused single-pass path."""
