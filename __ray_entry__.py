@@ -229,6 +229,47 @@ UNION ALL SELECT 'nolang_content',
 """
 
 
+def q_vl_compare(sf_dir: str) -> pd.DataFrame:
+    """Cross-column compare checks (checks/row_checks.py::CompareCheck)
+    + severity levels: the stored n_chars must equal the recomputed text
+    length (error severity, holds by construction), and a deliberately
+    strict `<` variant at warn severity reports every row without
+    failing the suite (ValidationResult.passed stays True)."""
+    suite = CheckSuite("""
+checks:
+  - {type: compare, column: n_chars, other: text_len, op: ==, name: chars_match}
+  - {type: compare, column: n_chars, other: text_len, op: "<",
+     name: chars_strictly_less, severity: warn}
+""")
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "n_chars"]) \
+        .map_batches(lambda b: b.append_column(
+            "text_len", pc.utf8_length(b.column("text")).cast(pa.int64())),
+            batch_format="pyarrow", batch_size=None)
+    res = run_suite(ds, suite, partition_col="doc_id", num_partitions=8,
+                    key_columns=["doc_id"])
+    assert res.passed  # warn severity never gates
+    g = res.global_verdicts()
+    out = g[["check", "n_rows", "n_violations", "severity"]].copy()
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_COMPARE_ORACLE = """
+SELECT 'chars_match' AS "check",
+       (SELECT count(*) FROM documents) AS n_rows,
+       (SELECT count(*) FROM documents
+          WHERE NOT (n_chars = length(text))) AS n_violations,
+       'error' AS severity
+UNION ALL SELECT 'chars_strictly_less',
+       (SELECT count(*) FROM documents),
+       (SELECT count(*) FROM documents
+          WHERE NOT (n_chars < length(text))),
+       'warn'
+"""
+
+
 def q_vl_stats_size(sf_dir: str) -> pd.DataFrame:
     suite = CheckSuite("""
 checks:
@@ -1993,6 +2034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_uniqueness_shuffle": q_vl_uniqueness_shuffle,
         "vl_referential_orphans": q_vl_referential_orphans,
         "vl_conditional": q_vl_conditional,
+        "vl_compare": q_vl_compare,
         "vl_stats_size": q_vl_stats_size,
         "vl_content_sha256": q_vl_content_sha256,
         "vl_distinct_repo": q_vl_distinct_repo,
@@ -2067,6 +2109,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_uniqueness_shuffle": _UNIQUENESS_ORACLE,
         "vl_referential_orphans": _ORPHAN_ORACLE,
         "vl_conditional": _CONDITIONAL_ORACLE,
+        "vl_compare": _COMPARE_ORACLE,
         "vl_stats_size": _STATS_ORACLE,
         "vl_group_stats": _GROUP_STATS_ORACLE,
         "vl_content_sha256": _SHA_ORACLE,

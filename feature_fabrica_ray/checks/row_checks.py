@@ -18,8 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["RowCheck", "NotNullCheck", "MinLengthCheck", "RegexCheck",
-           "AcceptedValuesCheck", "RangeCheck", "MembershipCheck",
-           "build_row_check", "CheckSpecError"]
+           "AcceptedValuesCheck", "RangeCheck", "CompareCheck",
+           "MembershipCheck", "build_row_check", "CheckSpecError"]
 
 
 class CheckSpecError(ValueError):
@@ -94,11 +94,18 @@ class RowCheck:
             _ROW_CHECKS[cls._type_] = cls
 
     def __init__(self, name: str, column: str, max_violation_rate: float = 0.0,
-                 where: dict | None = None):
+                 where: dict | None = None, severity: str = "error"):
         self.name = name
         self.column = column
         # a partition FAILS when its violation rate exceeds this threshold
         self.max_violation_rate = float(max_violation_rate)
+        # "error" (default) fails the suite; "warn" is reported (verdict
+        # row passed=False, violations collected) but never fails the
+        # suite-level ValidationResult.passed() (dbt severity semantics)
+        if severity not in ("error", "warn"):
+            raise CheckSpecError(f"check {name}: severity must be "
+                                 f"error|warn, got {severity!r}")
+        self.severity = severity
         # optional row-scope predicate: the check only applies (and its
         # violation-rate denominator only counts) rows where this holds
         self.where = dict(where) if where else None
@@ -184,6 +191,32 @@ class RangeCheck(RowCheck):
         if self.max is not None:
             bad = pc.or_(bad, pc.fill_null(pc.greater(col, self.max), False))
         return bad
+
+
+class CompareCheck(RowCheck):
+    """Cross-COLUMN comparison: violation when NOT (column <op> other)
+    row-wise (dbt's expression test shape). Rows where either side is
+    null pass — pair with not_null to forbid nulls."""
+
+    _type_ = "compare"
+
+    def __init__(self, name, column, other: str, op: str = "<=", **kw):
+        super().__init__(name, column, **kw)
+        if op not in ("==", "!=", "<", "<=", ">", ">="):
+            raise CheckSpecError(f"compare check {name}: bad op {op!r}")
+        self.other = other
+        self.op = op
+
+    def mask(self, batch):
+        col = self._col(batch)
+        if self.other not in batch.column_names:
+            raise CheckSpecError(f"check {self.name}: column {self.other!r} "
+                                 f"missing from batch {batch.column_names}")
+        oth = batch.column(self.other)
+        ok = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+              "<=": pc.less_equal, ">": pc.greater,
+              ">=": pc.greater_equal}[self.op](col, oth)
+        return pc.fill_null(pc.invert(ok), False)  # null side passes
 
 
 class MembershipCheck(RowCheck):

@@ -41,6 +41,7 @@ class UniqueCheck:
     columns: list[str]
     kind: str = "unique"
     max_violation_rate: float = 0.0
+    severity: str = "error"
 
 
 @dataclass
@@ -51,6 +52,7 @@ class ReferentialCheck:
     parent_column: str
     kind: str = "referential"
     max_violation_rate: float = 0.0
+    severity: str = "error"
 
 
 @dataclass
@@ -73,6 +75,7 @@ class DriftCheck:
     bins: int = 64
     baseline: dict | None = None   # from ValidationRunner.compute_baseline
     kind: str = "drift"
+    severity: str = "error"
 
 
 @dataclass
@@ -81,6 +84,7 @@ class SchemaCheck:
     columns: dict[str, str]        # name -> arrow type name (prefix match)
     strict: bool = False           # True: no extra columns allowed
     kind: str = "schema"
+    severity: str = "error"
 
 
 class CheckSuite:
@@ -106,13 +110,15 @@ class CheckSuite:
             cols = raw["columns"]
             self.unique_checks.append(UniqueCheck(
                 name=raw.get("name", f"unique:{'+'.join(cols)}"), columns=cols,
-                max_violation_rate=raw.get("max_violation_rate", 0.0)))
+                max_violation_rate=raw.get("max_violation_rate", 0.0),
+                severity=raw.get("severity", "error")))
         elif kind == "referential":
             self.referential_checks.append(ReferentialCheck(
                 name=raw.get("name", f"referential:{raw['column']}"),
                 column=raw["column"], parent=raw["parent"],
                 parent_column=raw.get("parent_column", raw["column"]),
-                max_violation_rate=raw.get("max_violation_rate", 0.0)))
+                max_violation_rate=raw.get("max_violation_rate", 0.0),
+                severity=raw.get("severity", "error")))
         elif kind == "stats":
             self.stats_checks.append(StatsCheck(
                 name=raw.get("name", f"stats:{raw['column']}"),
@@ -125,11 +131,13 @@ class CheckSuite:
                 column=raw["column"], method=raw.get("method", "psi"),
                 threshold=raw.get("threshold", 0.2),
                 categorical=raw.get("categorical", False),
-                bins=raw.get("bins", 64), baseline=raw.get("baseline")))
+                bins=raw.get("bins", 64), baseline=raw.get("baseline"),
+                severity=raw.get("severity", "error")))
         elif kind == "schema":
             self.schema_checks.append(SchemaCheck(
                 name=raw.get("name", "schema"), columns=raw["columns"],
-                strict=raw.get("strict", False)))
+                strict=raw.get("strict", False),
+                severity=raw.get("severity", "error")))
         else:
             raise CheckSpecError(f"unknown check type {kind!r}")
 

@@ -59,6 +59,16 @@ def _suite_thresholds(suite: CheckSuite) -> dict[str, float]:
     return thr
 
 
+def _suite_severities(suite: CheckSuite) -> dict[str, str]:
+    """check name -> severity, so merged verdicts keep warn/error."""
+    sev: dict[str, str] = {}
+    for c in (suite.row_checks + suite.referential_checks
+              + suite.unique_checks + suite.drift_checks
+              + suite.schema_checks):
+        sev[c.name] = getattr(c, "severity", "error")
+    return sev
+
+
 __all__ = ["validate_resumable", "merge_results", "codetable_shards"]
 
 _ROWS = "__rows__"
@@ -177,6 +187,7 @@ def _run_one_shard(shard_id: str, build: Callable, suite: CheckSuite,
         # per-check pass thresholds so the merger applies each check's
         # max_violation_rate to the MERGED rate (not hardcoded zero)
         "thresholds": _suite_thresholds(suite),
+        "severities": _suite_severities(suite),
         # mergeable sketch state (KB-sized): lets the shard merger
         # rebuild exact global stats without re-reading any data
         "sketches": {name: _encode_state(st)
@@ -204,6 +215,7 @@ def merge_results(out_dir: str) -> ValidationResult:
     sketch_parts: dict[str, list] = {}
     drift_parts: dict[str, list] = {}
     thresholds: dict[str, float] = {}
+    severities: dict[str, str] = {}
     n_rows = 0
     for name in sorted(os.listdir(out_dir)):
         sdir = os.path.join(out_dir, name)
@@ -217,6 +229,7 @@ def merge_results(out_dir: str) -> ValidationResult:
             lin = json.load(f)
         n_rows += lin["n_rows"]
         thresholds.update(lin.get("thresholds", {}))
+        severities.update(lin.get("severities", {}))
         mask = (1 << 64) - 1
         for pid, d in lin.get("digests", {}).items():
             p = int(pid)
@@ -236,6 +249,7 @@ def merge_results(out_dir: str) -> ValidationResult:
     merged = (allv.groupby(["check", "pid"], as_index=False)
               .agg(n_rows=("n_rows", "sum"), n_violations=("n_violations", "sum"),
                    metric=("metric", "max")))
+    merged["severity"] = merged["check"].map(severities).fillna("error")
     merged["violation_rate"] = np.where(
         merged["n_rows"] > 0, merged["n_violations"] / merged["n_rows"], 0.0)
     # pass iff each check's own max_violation_rate holds on the MERGED

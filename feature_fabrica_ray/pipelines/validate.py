@@ -59,7 +59,10 @@ class ValidationResult:
 
     @property
     def passed(self) -> bool:
-        return bool(self.verdicts["passed"].all())
+        v = self.verdicts
+        if "severity" in v.columns:   # warn-severity failures don't gate
+            return bool((v["passed"] | (v["severity"] == "warn")).all())
+        return bool(v["passed"].all())
 
     def global_verdicts(self) -> pd.DataFrame:
         return self.verdicts[self.verdicts["pid"] == -1].reset_index(drop=True)
@@ -377,10 +380,12 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
             from ..checks.row_checks import BloomMembershipCheck
 
             mc = BloomMembershipCheck(rc.name, rc.column, payload,
-                                      max_violation_rate=rc.max_violation_rate)
+                                      max_violation_rate=rc.max_violation_rate,
+                                      severity=rc.severity)
         else:
             mc = MembershipCheck(rc.name, rc.column, payload,
-                                 max_violation_rate=rc.max_violation_rate)
+                                 max_violation_rate=rc.max_violation_rate,
+                                 severity=rc.severity)
         row_checks.append(mc)
 
     # schema checks: plan-time
@@ -403,6 +408,7 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     needed = {partition_col, *key_columns}
     needed |= {c.column for c in row_checks}
     needed |= {c.where["column"] for c in row_checks if c.where is not None}
+    needed |= {c.other for c in row_checks if hasattr(c, "other")}
     needed |= {c.column for c in suite.stats_checks}
     needed |= {c.column for c in suite.drift_checks}
     for uc in suite.unique_checks:
@@ -581,6 +587,11 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
 
     verdicts = pd.DataFrame(verdict_rows, columns=[
         "check", "pid", "n_rows", "n_violations", "violation_rate", "metric", "passed"])
+    # severity per check: "warn" rows report but never fail the suite
+    sev_map = {c.name: getattr(c, "severity", "error") for c in row_checks}
+    for group in (suite.unique_checks, suite.drift_checks, suite.schema_checks):
+        sev_map.update({c.name: c.severity for c in group})
+    verdicts["severity"] = verdicts["check"].map(sev_map).fillna("error")
     stats = pd.DataFrame(stats_rows)
     return ValidationResult(verdicts=verdicts, violations=violations, stats=stats,
                             n_rows=n_rows_total, digests=digests,

@@ -266,6 +266,79 @@ checks:
         int(go.loc["en_nonempty", "n_violations"])
 
 
+def test_compare_check_cross_column(ray_session, duck):
+    """compare: violation when NOT (column <op> other) row-wise; nulls on
+    either side pass. Golden via DuckDB on a derived pair of columns."""
+    ds = _input_ds().map_batches(
+        lambda b: b.append_column(
+            "half_size", pc.cast(pc.divide(b.column("size_bytes"), 2), pa.int64())),
+        batch_format="pyarrow")
+    suite = CheckSuite("""
+checks:
+  - {type: compare, column: half_size, other: size_bytes, op: "<=", name: half_le}
+  - {type: compare, column: size_bytes, other: half_size, op: "<", name: lt_half}
+""")
+    r = run_suite(ds, suite, num_partitions=8)
+    g = r.global_verdicts().set_index("check")
+    # half <= full always holds (non-negative sizes)
+    assert int(g.loc["half_le", "n_violations"]) == 0
+    nv = _golden(duck, "SELECT count(*) FROM codetable "
+                       "WHERE NOT (length(content) < length(content) // 2)")
+    assert int(g.loc["lt_half", "n_violations"]) == nv
+    assert nv > 0
+    # bad op rejected eagerly
+    with pytest.raises(Exception):
+        CheckSuite("""
+checks:
+  - {type: compare, column: a, other: b, op: "~"}
+""")
+
+
+def test_severity_warn_does_not_gate(ray_session):
+    """A warn-severity check reports its failure (verdict passed=False,
+    violations collected) but ValidationResult.passed() stays True;
+    the same check at error severity gates."""
+    warn_suite = CheckSuite("""
+checks:
+  - {type: not_null, column: lang, severity: warn}
+""")
+    r = run_suite(_input_ds(), warn_suite, num_partitions=8)
+    g = r.global_verdicts().set_index("check")
+    assert int(g.loc["not_null:lang", "n_violations"]) > 0
+    assert not bool(g.loc["not_null:lang", "passed"])
+    assert g.loc["not_null:lang", "severity"] == "warn"
+    assert r.passed                         # warn never gates
+    err_suite = CheckSuite("""
+checks:
+  - {type: not_null, column: lang}
+""")
+    r2 = run_suite(_input_ds(), err_suite, num_partitions=8)
+    assert not r2.passed
+    # invalid severity rejected eagerly
+    with pytest.raises(Exception):
+        CheckSuite("""
+checks:
+  - {type: not_null, column: lang, severity: loud}
+""")
+
+
+def test_severity_survives_checkpoint_merge(ray_session, tmp_path):
+    from feature_fabrica_ray.pipelines.checkpoint import (codetable_shards,
+                                                          validate_resumable)
+
+    suite = CheckSuite("""
+checks:
+  - {type: not_null, column: lang, severity: warn}
+""")
+    merged = validate_resumable(codetable_shards(SF, n_shards=2), suite,
+                                str(tmp_path / "ckpt"),
+                                num_partitions=8)["result"]
+    g = merged.verdicts[merged.verdicts["pid"] == -1].set_index("check")
+    assert g.loc["not_null:lang", "severity"] == "warn"
+    assert not bool(g.loc["not_null:lang", "passed"])
+    assert merged.passed
+
+
 def test_drift_actor_pool_matches_fused(ray_session):
     """Actor-pool drift stage (baselines in actor state) produces the same
     metrics as the fused single-pass path."""
