@@ -270,6 +270,59 @@ UNION ALL SELECT 'chars_strictly_less',
 """
 
 
+def q_vl_freshness(sf_dir: str) -> pd.DataFrame:
+    """Per-segment data-freshness check (pipelines/grouped.py::
+    freshness_check): max event ts per event_type, integer-second lag
+    behind a fixed as_of instant, fresh = lag <= 30 min. Algebraic
+    max-combiner + one keyed shuffle of |segments| partials."""
+    from feature_fabrica_ray.pipelines import freshness_check
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+    out = freshness_check(ds, "ts", "event_type",
+                          as_of="2024-01-31 00:00:00", max_lag_s=1800)
+    out = out[["event_type", "lag_s", "fresh"]].copy()
+    out["lag_s"] = out["lag_s"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_FRESHNESS_ORACLE = """
+SELECT event_type,
+       (epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(max(ts)))
+         // 1000000 AS lag_s,
+       ((epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(max(ts)))
+         // 1000000) <= 1800 AS fresh
+FROM events GROUP BY event_type
+"""
+
+
+def q_vl_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-segment outlier rows (pipelines/grouped.py::grouped_outliers):
+    |value - mean| > 2.5 * stddev_pop within each event_type. Phase 1
+    computes exact per-segment moments from per-block (n, sum, sumsq)
+    partials; phase 2 broadcasts the tiny bounds table into a stateless
+    filter — no full-table shuffle either way."""
+    from feature_fabrica_ray.pipelines import grouped_outliers
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+    out = grouped_outliers(ds, "event_type", "value", k=2.5,
+                           id_cols=["event_id"]).to_pandas()
+    out = out[["event_id", "event_type"]].copy()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_OUTLIERS_ORACLE = """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type, value,
+         avg(value) OVER (PARTITION BY event_type) AS m,
+         stddev_pop(value) OVER (PARTITION BY event_type) AS s
+  FROM events)
+WHERE abs(value - m) > 2.5 * s
+"""
+
+
 def q_vl_stats_size(sf_dir: str) -> pd.DataFrame:
     suite = CheckSuite("""
 checks:
@@ -2035,6 +2088,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_referential_orphans": q_vl_referential_orphans,
         "vl_conditional": q_vl_conditional,
         "vl_compare": q_vl_compare,
+        "vl_freshness": q_vl_freshness,
+        "vl_outliers": q_vl_outliers,
         "vl_stats_size": q_vl_stats_size,
         "vl_content_sha256": q_vl_content_sha256,
         "vl_distinct_repo": q_vl_distinct_repo,
@@ -2110,6 +2165,8 @@ def oracle_sql() -> dict[str, str]:
         "vl_referential_orphans": _ORPHAN_ORACLE,
         "vl_conditional": _CONDITIONAL_ORACLE,
         "vl_compare": _COMPARE_ORACLE,
+        "vl_freshness": _FRESHNESS_ORACLE,
+        "vl_outliers": _OUTLIERS_ORACLE,
         "vl_stats_size": _STATS_ORACLE,
         "vl_group_stats": _GROUP_STATS_ORACLE,
         "vl_content_sha256": _SHA_ORACLE,

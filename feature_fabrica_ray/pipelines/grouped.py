@@ -35,7 +35,7 @@ def _with_shuffle_key(t: pa.Table, key_col: str) -> pa.Table:
     return t.append_column("__gkey", k)
 
 __all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
-           "grouped_stats"]
+           "grouped_stats", "freshness_check", "grouped_outliers"]
 
 
 def distinct_count_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -201,3 +201,97 @@ def grouped_stats(ds, group_col: str, col: str,
         out["passed"] = rate <= max_null_rate
     key = out[group_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
+
+
+def freshness_check(ds, ts_col: str, group_col: str, as_of,
+                    max_lag_s: float) -> pd.DataFrame:
+    """Per-SEGMENT data freshness: max(``ts_col``) within each value of
+    ``group_col``, its lag in seconds behind the explicit ``as_of``
+    reference instant, and a ``fresh`` verdict (lag <= ``max_lag_s``).
+    ``as_of`` is a parameter, not wall clock, so runs are deterministic
+    and resumable.
+
+    Same algebraic-combiner shape as ``grouped_stats``: per-block max
+    partials (one row per group per block), one keyed shuffle, exact
+    merge — the event stream itself never moves."""
+    as_of64 = np.datetime64(pd.Timestamp(as_of), "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col, ts_col]).group_by([group_col]) \
+            .aggregate([(ts_col, "max")])
+        return _with_shuffle_key(pa.table({
+            group_col: g.column(group_col),
+            "mx": g.column(f"{ts_col}_max").cast(pa.timestamp("us"))}),
+            group_col)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                             "max_ts": [df["mx"].max()]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    lag_us = (as_of64 - out["max_ts"].to_numpy().astype("datetime64[us]")) \
+        .astype("timedelta64[us]").astype(np.int64)
+    out["lag_s"] = lag_us // 1_000_000   # floor, exact integer microseconds
+    out["fresh"] = out["lag_s"] <= max_lag_s
+    key = out[group_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
+
+
+def grouped_outliers(ds, group_col: str, val_col: str, k: float = 3.0,
+                     id_cols: list[str] | None = None):
+    """Per-segment outlier ROWS: |value - mean_g| > k * stddev_pop_g
+    within each ``group_col`` segment.
+
+    Two phases, both streaming: (1) per-block (count, sum, sum-of-
+    squares) partials per group -> keyed shuffle -> exact global
+    mean/std per group (a |groups|-row table); (2) the per-group
+    (mean, k*std) table broadcasts into a stateless filter
+    ``map_batches`` — the input streams through twice but never
+    shuffles, and only outlier rows come out. Segments are assumed
+    dimension-sized (event types, langs); for unbounded group keys use
+    a quantile-based rule instead."""
+    id_cols = id_cols or []
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(val_col).cast(pa.float64())
+        b2 = pa.table({group_col: batch.column(group_col), "v": v,
+                       "v2": pc.multiply(v, v)})
+        g = b2.group_by([group_col]).aggregate(
+            [("v", "count"), ("v", "sum"), ("v2", "sum")])
+        return _with_shuffle_key(pa.table({
+            group_col: g.column(group_col),
+            "cnt": g.column("v_count").cast(pa.int64()),
+            "s1": g.column("v_sum").cast(pa.float64()),
+            "s2": g.column("v2_sum").cast(pa.float64())}), group_col)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["cnt"].sum())
+        s1, s2 = float(df["s1"].sum()), float(df["s2"].sum())
+        m = s1 / n if n else np.nan
+        var = max(s2 / n - m * m, 0.0) if n else np.nan
+        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                             "mean": [m], "std": [np.sqrt(var)]})
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+             .groupby("__gkey", num_partitions=shuffle_partitions())
+             .map_groups(per_key, batch_format="pandas")
+             .to_pandas())
+    bounds = {r[group_col]: (r["mean"], k * r["std"])
+              for _, r in stats.iterrows()}
+
+    def flag(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        v = batch.column(val_col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        mk = np.array([bounds.get(g, (np.nan, np.nan)) for g in groups],
+                      np.float64).reshape(-1, 2)
+        with np.errstate(invalid="ignore"):
+            keep = np.abs(v - mk[:, 0]) > mk[:, 1]
+        keep &= ~np.isnan(v)
+        return batch.select(id_cols + [group_col, val_col]) \
+            .filter(pa.array(keep.astype(bool)))
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)

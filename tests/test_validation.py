@@ -339,6 +339,61 @@ checks:
     assert merged.passed
 
 
+def test_freshness_check(ray_session):
+    """Exact integer-second lags vs a fixed as_of; fresh flag per
+    segment; invariant to block layout."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import freshness_check
+
+    df = pd.DataFrame({
+        "g": ["a", "a", "b", "b", "c"],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 11:59:30",
+                              "2024-01-01 10:00:00", "2024-01-01 09:00:00",
+                              "2024-01-01 11:59:59.400000"],
+                             format="mixed")})
+    out = freshness_check(ray.data.from_pandas(df).repartition(3), "ts", "g",
+                          as_of="2024-01-01 12:00:00", max_lag_s=60)
+    got = out.set_index("g")
+    assert got.loc["a", "lag_s"] == 30 and bool(got.loc["a", "fresh"])
+    assert got.loc["b", "lag_s"] == 7200 and not bool(got.loc["b", "fresh"])
+    assert got.loc["c", "lag_s"] == 0 and bool(got.loc["c", "fresh"])  # floor
+    out1 = freshness_check(ray.data.from_pandas(df), "ts", "g",
+                           as_of="2024-01-01 12:00:00", max_lag_s=60)
+    pd.testing.assert_frame_equal(out, out1)
+
+
+def test_grouped_outliers(ray_session):
+    """Planted per-segment outliers are flagged exactly (|v-m| > k*std
+    with exact pooled moments); nulls never flag; layout-invariant."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import grouped_outliers
+
+    rng = np.random.default_rng(3)
+    n = 500
+    base = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                         "g": np.where(np.arange(n) % 2 == 0, "x", "y"),
+                         "v": rng.standard_normal(n)})
+    base.loc[7, "v"] = 40.0      # planted, group y
+    base.loc[10, "v"] = -35.0    # planted, group x
+    base.loc[11, "v"] = np.nan
+    out = grouped_outliers(ray.data.from_pandas(base).repartition(4),
+                           "g", "v", k=3.0, id_cols=["id"]).to_pandas()
+    ids = set(out["id"])
+    assert {7, 10} <= ids and 11 not in ids
+    # exact agreement with a numpy oracle
+    exp = set()
+    for g in ("x", "y"):
+        sel = base[(base["g"] == g) & base["v"].notna()]
+        m, s = sel["v"].mean(), sel["v"].std(ddof=0)
+        exp |= set(sel[np.abs(sel["v"] - m) > 3.0 * s]["id"])
+    assert ids == exp
+    out1 = grouped_outliers(ray.data.from_pandas(base), "g", "v", k=3.0,
+                            id_cols=["id"]).to_pandas()
+    assert set(out1["id"]) == ids
+
+
 def test_drift_actor_pool_matches_fused(ray_session):
     """Actor-pool drift stage (baselines in actor state) produces the same
     metrics as the fused single-pass path."""
