@@ -323,6 +323,34 @@ WHERE abs(value - m) > 2.5 * s
 """
 
 
+def q_vl_segment_drift(sf_dir: str) -> pd.DataFrame:
+    """Per-segment drift triage (pipelines/validate.py::segment_drift):
+    WHICH event_type's value distribution moved. Current = events with
+    'click' values deterministically tripled; baseline = raw events.
+    Only the shifted segment fails; identical segments measure PSI 0.
+    Rows-only (PSI smoothing has no clean SQL form); pytest-bounded in
+    test_validation.py."""
+    from feature_fabrica_ray.pipelines import segment_drift
+
+    base = read_parquet_clean(f"{sf_dir}/events.parquet",
+                              columns=["event_type", "value"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        mult = pc.if_else(pc.equal(batch.column("event_type"), "click"),
+                          3.0, 1.0)
+        return batch.set_column(batch.column_names.index("value"), "value",
+                                pc.multiply(batch.column("value"), mult))
+
+    cur = base.map_batches(shift, batch_format="pyarrow", batch_size=None)
+    out = segment_drift(cur, "event_type", "value", base,
+                        method="psi", threshold=0.1)
+    assert not bool(out.set_index("event_type").loc["click", "passed"])
+    out["metric"] = _round_away(out["metric"], 6)
+    out["n_base"] = out["n_base"].astype("int64")
+    out["n_cur"] = out["n_cur"].astype("int64")
+    return out
+
+
 def q_vl_stats_size(sf_dir: str) -> pd.DataFrame:
     suite = CheckSuite("""
 checks:
@@ -2089,6 +2117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_conditional": q_vl_conditional,
         "vl_compare": q_vl_compare,
         "vl_freshness": q_vl_freshness,
+        "vl_segment_drift": q_vl_segment_drift,
         "vl_outliers": q_vl_outliers,
         "vl_stats_size": q_vl_stats_size,
         "vl_content_sha256": q_vl_content_sha256,

@@ -36,7 +36,7 @@ from .topk import topk_per_group
 from .uniqueness import uniqueness_violations, uniqueness_violations_ds
 from .writer import write_validated
 from .validate import (ValidationResult, bind_baselines, compute_baseline,
-                       profile_table, run_suite)
+                       profile_table, run_suite, segment_drift)
 
 __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines",
            "uniqueness_violations", "uniqueness_violations_ds",
@@ -53,7 +53,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "minhash_lsh_pairs_distributed", "neardup_clusters",
            "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg", "stratified_sample",
            "md5_fraction_threshold", "md5_hex_column",
-           "freshness_check", "grouped_outliers",
+           "freshness_check", "grouped_outliers", "segment_drift",
            "exact_dedup_rows_shuffle", "tfidf_top_terms", "chunk_documents", "audio_pipeline",
            "frame_pipeline", "cumulative_agg", "normalize_embeddings",
            "fit_pca", "pca_project", "ResizeImage", "resize_pipeline",

@@ -699,3 +699,74 @@ def profile_table(ds, *, columns: list[str] | None = None,
     res = run_suite(ds, suite, num_partitions=num_partitions,
                     partition_col=pcol, key_columns=[pcol])
     return res.stats
+
+
+def segment_drift(ds, group_col: str, col: str, baseline_ds, *,
+                  method: str = "psi", threshold: float = 0.2,
+                  bins: int = 64) -> pd.DataFrame:
+    """Per-SEGMENT distribution drift: WHICH segment moved?
+
+    The global drift check (DriftCheck) answers "did the column move";
+    this answers the triage question per ``group_col`` segment. Shared
+    fixed edges come from the BASELINE's global [min, max] (one moments
+    pre-pass) so every segment histograms onto the same grid; each
+    dataset then streams once, emitting a (bins+2)-long count vector
+    per (block, segment) — KB-sized partials, merged per segment on the
+    driver (segments are assumed dimension-sized: langs, sources,
+    event types). Metric per segment = PSI or KS on the merged count
+    vectors; segments present on only one side still get a (large,
+    finite) metric via the standard zero-floor smoothing. Null segment
+    values form their own segment."""
+    if method not in ("psi", "ks"):
+        raise ValueError(f"method must be psi|ks, got {method!r}")
+
+    def momentum(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col).drop_null() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"m": [json.dumps(Moments.from_array(arr).to_dict())]})
+
+    rows = baseline_ds.map_batches(momentum, batch_format="pyarrow",
+                                   batch_size=None).take_all()
+    m = Moments()
+    for r in rows:
+        m = m.merge(Moments.from_dict(json.loads(r["m"])))
+    lo, hi = m.min, (m.max if m.max > m.min else m.min + 1.0)
+    edges = np.linspace(lo, hi, bins + 1)
+
+    def hist_partials(batch: pa.Table) -> pa.Table:
+        seg = pc.fill_null(pc.cast(batch.column(group_col), pa.string()),
+                           "\0null").to_pandas()
+        vals = batch.column(col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        segs, counts = [], []
+        for u in pd.unique(seg):
+            h = NumericHistogram(edges).add(vals[(seg == u).to_numpy()])
+            segs.append(u)
+            counts.append(h.full_counts().astype(np.int64).tolist())
+        return pa.table({"seg": pa.array(segs, pa.string()),
+                         "fc": pa.array(counts, pa.list_(pa.int64()))})
+
+    def merged_counts(d) -> dict[str, np.ndarray]:
+        parts = d.map_batches(hist_partials, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+        acc: dict[str, np.ndarray] = {}
+        for seg, fc in zip(parts["seg"], parts["fc"]):
+            v = np.asarray(fc, dtype=np.float64)
+            acc[seg] = acc.get(seg, 0) + v
+        return acc
+
+    base, cur = merged_counts(baseline_ds), merged_counts(ds)
+    zeros = np.zeros(bins + 2, np.float64)
+    fn = psi_from_counts if method == "psi" else ks_from_counts
+    out_rows = []
+    for seg in sorted(set(base) | set(cur)):
+        b, c = base.get(seg, zeros), cur.get(seg, zeros)
+        metric = fn(b, c)
+        out_rows.append((None if seg == "\0null" else seg,
+                         int(b.sum()), int(c.sum()), metric,
+                         metric <= threshold))
+    return pd.DataFrame(out_rows, columns=[group_col, "n_base", "n_cur",
+                                           "metric", "passed"])
+
+
+__all__.append("segment_drift")

@@ -394,6 +394,51 @@ def test_grouped_outliers(ray_session):
     assert set(out1["id"]) == ids
 
 
+def test_segment_drift_triage(ray_session):
+    """Per-segment drift: identical segments measure 0; a shift applied
+    to ONE segment fails only that segment; a segment present on only
+    one side reports large drift; null segments form their own row."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import segment_drift
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame({"g": np.where(np.arange(n) % 3 == 0, "a",
+                                     np.where(np.arange(n) % 3 == 1, "b", "c")),
+                       "v": rng.standard_normal(n)})
+    cur = df.copy()
+    cur.loc[cur["g"] == "b", "v"] *= 5.0     # only segment b drifts
+    out = segment_drift(ray.data.from_pandas(cur).repartition(4), "g", "v",
+                        ray.data.from_pandas(df).repartition(3),
+                        method="psi", threshold=0.1)
+    got = out.set_index("g")
+    assert got.loc["a", "metric"] == pytest.approx(0.0, abs=1e-12)
+    assert bool(got.loc["a", "passed"]) and bool(got.loc["c", "passed"])
+    assert got.loc["b", "metric"] > 0.5 and not bool(got.loc["b", "passed"])
+    # ks method agrees on the verdict pattern
+    out_ks = segment_drift(ray.data.from_pandas(cur), "g", "v",
+                           ray.data.from_pandas(df), method="ks",
+                           threshold=0.1)
+    gks = out_ks.set_index("g")
+    assert not bool(gks.loc["b", "passed"]) and bool(gks.loc["a", "passed"])
+    # one-sided segment: present only in current
+    cur2 = pd.concat([df, pd.DataFrame({"g": ["new"] * 50,
+                                        "v": rng.standard_normal(50)})],
+                     ignore_index=True)
+    out2 = segment_drift(ray.data.from_pandas(cur2), "g", "v",
+                         ray.data.from_pandas(df), threshold=0.1)
+    g2 = out2.set_index("g")
+    assert int(g2.loc["new", "n_base"]) == 0
+    assert not bool(g2.loc["new", "passed"])
+    # null segment handled
+    cur3 = df.copy()
+    cur3.loc[:10, "g"] = None
+    out3 = segment_drift(ray.data.from_pandas(cur3), "g", "v",
+                         ray.data.from_pandas(df), threshold=0.1)
+    assert out3["g"].isna().any()
+
+
 def test_drift_actor_pool_matches_fused(ray_session):
     """Actor-pool drift stage (baselines in actor state) produces the same
     metrics as the fused single-pass path."""
