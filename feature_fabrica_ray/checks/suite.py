@@ -32,7 +32,7 @@ from .row_checks import (_ROW_CHECKS, CheckSpecError, RowCheck,
                          build_row_check)
 
 __all__ = ["CheckSuite", "UniqueCheck", "ReferentialCheck", "StatsCheck",
-           "DriftCheck", "SchemaCheck"]
+           "DriftCheck", "SchemaCheck", "FreshnessCheck"]
 
 
 @dataclass
@@ -79,6 +79,22 @@ class DriftCheck:
 
 
 @dataclass
+class FreshnessCheck:
+    """Per-segment staleness: max(ts_col) within each group_col segment
+    must lag the explicit ``as_of`` instant by at most ``max_lag_s``
+    seconds. ``as_of`` is part of the spec (not wall clock) so runs are
+    deterministic and checkpoint-resumable; per-segment max timestamps
+    are algebraic partials that merge across shards."""
+    name: str
+    column: str                    # timestamp column
+    group: str                     # segment column
+    as_of: str                     # ISO instant the lag is measured against
+    max_lag_s: float = 3600.0
+    kind: str = "freshness"
+    severity: str = "error"
+
+
+@dataclass
 class SchemaCheck:
     name: str
     columns: dict[str, str]        # name -> arrow type name (prefix match)
@@ -99,6 +115,7 @@ class CheckSuite:
         self.stats_checks: list[StatsCheck] = []
         self.drift_checks: list[DriftCheck] = []
         self.schema_checks: list[SchemaCheck] = []
+        self.freshness_checks: list[FreshnessCheck] = []
         for raw in spec:
             self._add(dict(raw))
 
@@ -133,6 +150,13 @@ class CheckSuite:
                 categorical=raw.get("categorical", False),
                 bins=raw.get("bins", 64), baseline=raw.get("baseline"),
                 severity=raw.get("severity", "error")))
+        elif kind == "freshness":
+            self.freshness_checks.append(FreshnessCheck(
+                name=raw.get("name", f"freshness:{raw['column']}"),
+                column=raw["column"], group=raw["group"],
+                as_of=raw["as_of"],
+                max_lag_s=float(raw.get("max_lag_s", 3600.0)),
+                severity=raw.get("severity", "error")))
         elif kind == "schema":
             self.schema_checks.append(SchemaCheck(
                 name=raw.get("name", "schema"), columns=raw["columns"],
@@ -147,4 +171,5 @@ class CheckSuite:
                 + [c.name for c in self.referential_checks]
                 + [c.name for c in self.stats_checks]
                 + [c.name for c in self.drift_checks]
-                + [c.name for c in self.schema_checks])
+                + [c.name for c in self.schema_checks]
+                + [c.name for c in self.freshness_checks])

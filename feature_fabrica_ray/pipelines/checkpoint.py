@@ -33,8 +33,9 @@ import pandas as pd
 
 from ..checks.suite import CheckSuite
 from .validate import (ValidationResult, drift_metric_from_state,
-                       merge_drift_states, merge_sketch_states, run_suite,
-                       stats_row_from_state)
+                       freshness_verdict_from_state, merge_drift_states,
+                       merge_freshness_states, merge_sketch_states,
+                       run_suite, stats_row_from_state)
 
 
 def _encode_state(state: dict) -> dict:
@@ -64,7 +65,8 @@ def _suite_severities(suite: CheckSuite) -> dict[str, str]:
     sev: dict[str, str] = {}
     for c in (suite.row_checks + suite.referential_checks
               + suite.unique_checks + suite.drift_checks
-              + suite.schema_checks):
+              + suite.schema_checks
+              + getattr(suite, "freshness_checks", [])):
         sev[c.name] = getattr(c, "severity", "error")
     return sev
 
@@ -120,6 +122,7 @@ def validate_resumable(shards: dict[str, Callable], suite: CheckSuite,
                        out_dir: str, *, parents: dict | None = None,
                        num_partitions: int = 64,
                        key_columns: list[str] | None = None,
+                       partition_col: str = "repo",
                        max_parallel_shards: int = 1) -> dict:
     """Run the suite per shard with checkpoint commit; returns
     {"completed": [...], "skipped": [...], "result": merged ValidationResult}.
@@ -144,12 +147,12 @@ def validate_resumable(shards: dict[str, Callable], suite: CheckSuite,
         with ThreadPoolExecutor(max_workers=max_parallel_shards) as pool:
             list(pool.map(lambda sb: _run_one_shard(
                 sb[0], sb[1], suite, out_dir, parents, num_partitions,
-                key_columns), todo))
+                key_columns, partition_col), todo))
         completed = [sid for sid, _ in todo]
     else:
         for shard_id, build in todo:
             _run_one_shard(shard_id, build, suite, out_dir, parents,
-                           num_partitions, key_columns)
+                           num_partitions, key_columns, partition_col)
             completed.append(shard_id)
     return {"completed": completed, "skipped": skipped,
             "result": merge_results(out_dir)}
@@ -167,14 +170,15 @@ _PLAN_LOCK = threading.Lock()
 
 def _run_one_shard(shard_id: str, build: Callable, suite: CheckSuite,
                    out_dir: str, parents, num_partitions,
-                   key_columns) -> None:
+                   key_columns, partition_col: str = "repo") -> None:
     sdir = _shard_dir(out_dir, shard_id)
     os.makedirs(sdir, exist_ok=True)
     t0 = time.perf_counter()
     with _PLAN_LOCK:
         ds = build()
     res = run_suite(ds, suite, parents=parents,
-                    num_partitions=num_partitions, key_columns=key_columns)
+                    num_partitions=num_partitions, key_columns=key_columns,
+                    partition_col=partition_col)
     wall = time.perf_counter() - t0
     res.verdicts.to_parquet(os.path.join(sdir, "verdicts.parquet"))
     res.violations.to_parquet(os.path.join(sdir, "violations.parquet"))
@@ -195,6 +199,9 @@ def _run_one_shard(shard_id: str, build: Callable, suite: CheckSuite,
         # mergeable drift state + baseline/threshold: the merger
         # recomputes the drift metric GLOBALLY from merged sketches
         "drift": res.drift_state,
+        # mergeable per-segment max timestamps: the merger recomputes
+        # freshness verdicts from MERGED maxima, not per-shard verdicts
+        "freshness": res.freshness_state,
     }
     tmp = os.path.join(sdir, "lineage.json.tmp")
     with open(tmp, "w") as f:
@@ -214,6 +221,7 @@ def merge_results(out_dir: str) -> ValidationResult:
     digests: dict[int, int] = {}
     sketch_parts: dict[str, list] = {}
     drift_parts: dict[str, list] = {}
+    fresh_parts: dict[str, list] = {}
     thresholds: dict[str, float] = {}
     severities: dict[str, str] = {}
     n_rows = 0
@@ -239,6 +247,8 @@ def merge_results(out_dir: str) -> ValidationResult:
             sketch_parts.setdefault(name, []).append(_decode_state(st))
         for name, st in lin.get("drift", {}).items():
             drift_parts.setdefault(name, []).append(st)
+        for name, st in lin.get("freshness", {}).items():
+            fresh_parts.setdefault(name, []).append(st)
 
     if not verdict_parts:
         empty = pd.DataFrame(columns=["check", "pid", "n_rows", "n_violations",
@@ -269,8 +279,33 @@ def merge_results(out_dir: str) -> ValidationResult:
         sel = merged["check"] == name
         merged.loc[sel, "metric"] = metric
         merged.loc[sel, "passed"] = metric <= dstate["threshold"]
+    # freshness verdicts: recompute from MERGED per-segment maxima (a
+    # sum of per-shard segment counts / a max of per-shard verdicts is
+    # not the global answer; a segment stale in one shard may be fresh
+    # in the union)
+    merged_fresh = {name: merge_freshness_states(parts)
+                    for name, parts in fresh_parts.items()}
+    for name, st in merged_fresh.items():
+        v = freshness_verdict_from_state(st)
+        sel = merged["check"] == name
+        merged.loc[sel, "n_rows"] = v["n_segments"]
+        merged.loc[sel, "n_violations"] = v["n_stale"]
+        merged.loc[sel, "violation_rate"] = v["rate"]
+        merged.loc[sel, "metric"] = v["max_lag_s"]
+        merged.loc[sel, "passed"] = v["passed"]
     violations = pd.concat(violation_parts, ignore_index=True) \
         if violation_parts else pd.DataFrame()
+    if merged_fresh and len(violations):
+        # drop per-shard stale-segment rows and rebuild from merged maxima
+        violations = violations[~violations["check"].isin(set(merged_fresh))]
+    for name, st in merged_fresh.items():
+        det = freshness_verdict_from_state(st)["stale_details"]
+        if det:
+            vrows = pd.DataFrame({"pid": np.full(len(det), -1, np.int64),
+                                  "check": name, "detail": det})
+            cols = violations.columns if len(violations.columns) else vrows.columns
+            violations = pd.concat([violations, vrows.reindex(columns=cols)],
+                                   ignore_index=True)
     # exact global stats from the per-shard mergeable sketches
     merged_state = {name: merge_sketch_states(parts)
                     for name, parts in sketch_parts.items()}

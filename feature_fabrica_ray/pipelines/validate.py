@@ -40,7 +40,8 @@ from .uniqueness import uniqueness_violations
 
 __all__ = ["ValidationResult", "run_suite", "compute_baseline",
            "profile_table", "stats_row_from_state", "merge_sketch_states",
-           "drift_metric_from_state", "merge_drift_states"]
+           "drift_metric_from_state", "merge_drift_states",
+           "merge_freshness_states", "freshness_verdict_from_state"]
 
 _ROWS = "__rows__"
 _SCOPE_PREFIX = "__scope__:"   # per-check in-scope row counts (where:)
@@ -56,6 +57,7 @@ class ValidationResult:
     digests: dict = field(default_factory=dict)  # pid -> xor content digest (int)
     sketch_state: dict = field(default_factory=dict)  # check -> mergeable state
     drift_state: dict = field(default_factory=dict)  # drift check -> freq/hist + threshold
+    freshness_state: dict = field(default_factory=dict)  # check -> seg max-ts (us) + spec
 
     @property
     def passed(self) -> bool:
@@ -259,6 +261,36 @@ def drift_metric_from_state(state: dict) -> float:
             else ks_from_counts(base_counts, cur))
 
 
+def merge_freshness_states(states: list[dict]) -> dict:
+    """Associatively merge per-shard freshness states: per-segment max
+    timestamp is an algebraic max."""
+    out = dict(states[0])
+    seg: dict[str, int] = {}
+    for s in states:
+        for k, v in s["seg_max_us"].items():
+            seg[k] = max(seg.get(k, v), int(v))
+    out["seg_max_us"] = seg
+    return out
+
+
+def freshness_verdict_from_state(state: dict) -> dict:
+    """Recompute the global freshness verdict row fields + stale-segment
+    details from (merged) state — the single definition used by both the
+    one-shot runner's merge path and the checkpoint shard merger."""
+    as_of_us = int(np.datetime64(pd.Timestamp(state["as_of"]), "us")
+                   .astype(np.int64))
+    lag = {k: (as_of_us - int(v)) // 1_000_000
+           for k, v in state["seg_max_us"].items()}
+    stale = {k: v for k, v in lag.items() if v > state["max_lag_s"]}
+    n_seg = len(lag)
+    return {"n_segments": n_seg, "n_stale": len(stale),
+            "rate": len(stale) / n_seg if n_seg else 0.0,
+            "max_lag_s": float(max(lag.values())) if lag else 0.0,
+            "passed": not stale,
+            "stale_details": [f"{k}: lag_s={v}"
+                              for k, v in sorted(stale.items())]}
+
+
 def merge_drift_states(states: list[dict]) -> dict:
     """Associatively merge per-shard drift states for one check."""
     out = dict(states[0])
@@ -409,6 +441,8 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     needed |= {c.column for c in row_checks}
     needed |= {c.where["column"] for c in row_checks if c.where is not None}
     needed |= {c.other for c in row_checks if hasattr(c, "other")}
+    for fc in getattr(suite, "freshness_checks", []):
+        needed |= {fc.column, fc.group}
     needed |= {c.column for c in suite.stats_checks}
     needed |= {c.column for c in suite.drift_checks}
     for uc in suite.unique_checks:
@@ -576,6 +610,34 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
         violations = pd.concat(
             [violations, uv.reindex(columns=keep)], ignore_index=True)
 
+    # freshness (pass 3, declarative form of grouped.freshness_check):
+    # per-segment max-ts partials + one keyed shuffle of |segments| rows;
+    # one global verdict row per check, stale segments as violation rows.
+    # Per-segment max timestamps are kept as mergeable state (int us) so
+    # checkpoint shards recompute verdicts from the MERGED maxima.
+    freshness_state: dict[str, dict] = {}
+    for fc in getattr(suite, "freshness_checks", []):
+        from .grouped import freshness_check as _fresh
+
+        fr = _fresh(ds, fc.column, fc.group, as_of=fc.as_of,
+                    max_lag_s=fc.max_lag_s)
+        seg_max = {("\0null" if pd.isna(s) else str(s)):
+                   int(np.datetime64(t, "us").astype(np.int64))
+                   for s, t in zip(fr[fc.group], fr["max_ts"])}
+        state = {"as_of": fc.as_of, "group": fc.group,
+                 "max_lag_s": fc.max_lag_s, "seg_max_us": seg_max}
+        freshness_state[fc.name] = state
+        # single verdict definition shared with the checkpoint merger
+        v = freshness_verdict_from_state(state)
+        verdict_rows.append((fc.name, -1, v["n_segments"], v["n_stale"],
+                             v["rate"], v["max_lag_s"], v["passed"]))
+        if v["stale_details"]:
+            vrows = pd.DataFrame({
+                "pid": np.full(len(v["stale_details"]), -1, np.int64),
+                "check": fc.name, "detail": v["stale_details"]})
+            violations = pd.concat([violations, vrows.reindex(columns=keep)],
+                                   ignore_index=True)
+
     # per-pid content digests (xor-merge across batches)
     digests: dict[int, int] = {}
     drec = records[records["record_type"] == "digest"]
@@ -589,13 +651,15 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
         "check", "pid", "n_rows", "n_violations", "violation_rate", "metric", "passed"])
     # severity per check: "warn" rows report but never fail the suite
     sev_map = {c.name: getattr(c, "severity", "error") for c in row_checks}
-    for group in (suite.unique_checks, suite.drift_checks, suite.schema_checks):
+    for group in (suite.unique_checks, suite.drift_checks, suite.schema_checks,
+                  getattr(suite, "freshness_checks", [])):
         sev_map.update({c.name: c.severity for c in group})
     verdicts["severity"] = verdicts["check"].map(sev_map).fillna("error")
     stats = pd.DataFrame(stats_rows)
     return ValidationResult(verdicts=verdicts, violations=violations, stats=stats,
                             n_rows=n_rows_total, digests=digests,
                             sketch_state=sketch_state, drift_state=drift_state,
+                            freshness_state=freshness_state,
                             baselines={dc.name: dc.baseline for dc in suite.drift_checks})
 
 

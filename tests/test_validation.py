@@ -394,6 +394,75 @@ def test_grouped_outliers(ray_session):
     assert set(out1["id"]) == ids
 
 
+def test_freshness_suite_check(ray_session):
+    """Declarative freshness in the suite YAML: one global verdict row
+    (n_rows = segments, n_violations = stale segments, metric = max
+    lag), stale segments as violation rows, severity respected."""
+    import ray.data
+
+    df = pd.DataFrame({
+        "g": ["a", "a", "b"],
+        "ts": pd.to_datetime(["2024-01-01 11:59:50", "2024-01-01 06:00:00",
+                              "2024-01-01 11:00:00"])})
+    suite = CheckSuite("""
+checks:
+  - {type: freshness, column: ts, group: g, as_of: "2024-01-01 12:00:00",
+     max_lag_s: 60, name: fresh_g, severity: warn}
+""")
+    r = run_suite(ray.data.from_pandas(df), suite, partition_col="g",
+                  num_partitions=4, key_columns=["g"])
+    g = r.global_verdicts().set_index("check")
+    assert int(g.loc["fresh_g", "n_rows"]) == 2          # segments
+    assert int(g.loc["fresh_g", "n_violations"]) == 1    # b stale
+    assert g.loc["fresh_g", "metric"] == 3600.0          # max lag
+    assert not bool(g.loc["fresh_g", "passed"])
+    assert r.passed                                      # warn severity
+    v = r.violations[r.violations["check"] == "fresh_g"]
+    assert list(v["detail"]) == ["b: lag_s=3600"]
+
+
+def test_freshness_checkpoint_merge_recomputes(ray_session, tmp_path):
+    """A segment stale within one shard but fresh in the union must
+    merge to FRESH: verdicts recompute from merged per-segment maxima,
+    not from per-shard verdicts."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines.checkpoint import (merge_results,
+                                                          validate_resumable)
+
+    # shard 1 has only old 'a' events (stale in isolation); shard 2 has
+    # a recent 'a' event -> merged 'a' is fresh. 'b' stale everywhere.
+    s1 = pd.DataFrame({"g": ["a", "b"],
+                       "ts": pd.to_datetime(["2024-01-01 00:00:00",
+                                             "2024-01-01 00:00:00"])})
+    s2 = pd.DataFrame({"g": ["a"],
+                       "ts": pd.to_datetime(["2024-01-01 11:59:59"])})
+    yaml = """
+checks:
+  - {type: freshness, column: ts, group: g, as_of: "2024-01-01 12:00:00",
+     max_lag_s: 60, name: fresh_g}
+"""
+    shards = {"s1": lambda: ray.data.from_pandas(s1),
+              "s2": lambda: ray.data.from_pandas(s2)}
+    out = validate_resumable(shards, CheckSuite(yaml),
+                             str(tmp_path / "ck"), num_partitions=4,
+                             key_columns=["g"], partition_col="g")
+    merged = out["result"]
+    g = merged.verdicts[merged.verdicts["pid"] == -1].set_index("check")
+    assert int(g.loc["fresh_g", "n_rows"]) == 2
+    assert int(g.loc["fresh_g", "n_violations"]) == 1    # only b
+    assert not bool(g.loc["fresh_g", "passed"])
+    v = merged.violations[merged.violations["check"] == "fresh_g"]
+    assert list(v["detail"]) == ["b: lag_s=43200"]
+    # equality with the one-shot run over the union
+    both = pd.concat([s1, s2], ignore_index=True)
+    one = run_suite(ray.data.from_pandas(both), CheckSuite(yaml),
+                    partition_col="g", num_partitions=4, key_columns=["g"])
+    go = one.global_verdicts().set_index("check")
+    for col in ("n_rows", "n_violations", "metric"):
+        assert g.loc["fresh_g", col] == go.loc["fresh_g", col]
+
+
 def test_segment_drift_triage(ray_session):
     """Per-segment drift: identical segments measure 0; a shift applied
     to ONE segment fails only that segment; a segment present on only
