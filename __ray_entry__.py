@@ -1982,6 +1982,30 @@ def q_mm_resize(sf_dir: str):
                          "mean_byte"])
 
 
+def q_pr_correlation(sf_dir: str) -> pd.DataFrame:
+    """Per-segment Pearson correlation profiling (pipelines/grouped.py::
+    grouped_correlation): corr(l_quantity, l_extendedprice) per
+    l_returnflag from per-block six-moment partials — exact, one keyed
+    shuffle of |segments| x blocks tiny rows."""
+    from feature_fabrica_ray.pipelines import grouped_correlation
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_correlation(ds, "l_returnflag", "l_quantity",
+                              "l_extendedprice")
+    out["corr"] = _round_away(out["corr"], 6)
+    out["n"] = out["n"].astype("int64")
+    return out[["l_returnflag", "n", "corr"]]
+
+
+_CORRELATION_ORACLE = """
+SELECT l_returnflag, count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS "corr"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_pr_lineitem(sf_dir: str) -> pd.DataFrame:
     """Whole-table profile (one fused pass): exact moments per numeric
     column, SQL-checkable."""
@@ -2181,6 +2205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_distinct_group": q_agg_distinct_group,
         "agg_rollup": q_agg_rollup,
         "pr_histogram": q_pr_histogram,
+        "pr_correlation": q_pr_correlation,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -2250,5 +2275,6 @@ def oracle_sql() -> dict[str, str]:
         "ev_window": _EV_WINDOW_ORACLE,
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,
+        "pr_correlation": _CORRELATION_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

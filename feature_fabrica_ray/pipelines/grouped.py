@@ -35,7 +35,8 @@ def _with_shuffle_key(t: pa.Table, key_col: str) -> pa.Table:
     return t.append_column("__gkey", k)
 
 __all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
-           "grouped_stats", "freshness_check", "grouped_outliers"]
+           "grouped_stats", "freshness_check", "grouped_outliers",
+           "grouped_correlation"]
 
 
 def distinct_count_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -295,3 +296,54 @@ def grouped_outliers(ds, group_col: str, val_col: str, k: float = 3.0,
             .filter(pa.array(keep.astype(bool)))
 
     return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_correlation(ds, group_col: str, col_x: str,
+                        col_y: str) -> pd.DataFrame:
+    """Exact Pearson correlation of two columns within each segment.
+
+    Per-block (n, Σx, Σy, Σx², Σy², Σxy) partials per group — six
+    float64s per (block, segment) — one keyed shuffle, exact merge:
+    corr = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²)),
+    identical for sample and population conventions. Rows where either
+    side is null are excluded (SQL corr semantics). Degenerate segments
+    (n < 2 or zero variance) yield NaN."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(col_x).cast(pa.float64())
+        y = batch.column(col_y).cast(pa.float64())
+        both = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        t = pa.table({group_col: batch.column(group_col), "x": x, "y": y}) \
+            .filter(both)
+        xv = t.column("x")
+        yv = t.column("y")
+        b2 = pa.table({group_col: t.column(group_col), "x": xv, "y": yv,
+                       "xx": pc.multiply(xv, xv), "yy": pc.multiply(yv, yv),
+                       "xy": pc.multiply(xv, yv)})
+        g = b2.group_by([group_col]).aggregate(
+            [("x", "count"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
+        return _with_shuffle_key(pa.table({
+            group_col: g.column(group_col),
+            "n": g.column("x_count").cast(pa.int64()),
+            "sx": g.column("x_sum"), "sy": g.column("y_sum"),
+            "sxx": g.column("xx_sum"), "syy": g.column("yy_sum"),
+            "sxy": g.column("xy_sum")}), group_col)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        sx, sy = float(df["sx"].sum()), float(df["sy"].sum())
+        sxx, syy = float(df["sxx"].sum()), float(df["syy"].sum())
+        sxy = float(df["sxy"].sum())
+        num = n * sxy - sx * sy
+        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        corr = num / np.sqrt(den2) if n >= 2 and den2 > 0 else np.nan
+        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                             "n": np.array([n], np.int64), "corr": [corr]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    key = out[group_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)

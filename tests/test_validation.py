@@ -463,6 +463,34 @@ checks:
         assert g.loc["fresh_g", col] == go.loc["fresh_g", col]
 
 
+def test_grouped_correlation(ray_session):
+    """Exact per-segment Pearson correlation vs numpy corrcoef; rows
+    with a null on either side are excluded; degenerate segments
+    (constant column) yield NaN; layout-invariant."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import grouped_correlation
+
+    rng = np.random.default_rng(5)
+    n = 1000
+    x = rng.standard_normal(n)
+    df = pd.DataFrame({"g": np.where(np.arange(n) % 2 == 0, "a", "b"),
+                       "x": x, "y": 2 * x + rng.standard_normal(n) * 0.5})
+    df.loc[3, "y"] = np.nan          # excluded pair
+    df.loc[df["g"] == "b", "y"] = 7.0  # constant -> NaN corr
+    out = grouped_correlation(ray.data.from_pandas(df).repartition(4),
+                              "g", "x", "y").set_index("g")
+    sel = df[(df["g"] == "a") & df["y"].notna()]
+    exp = np.corrcoef(sel["x"], sel["y"])[0, 1]
+    assert out.loc["a", "corr"] == pytest.approx(exp, abs=1e-9)
+    assert int(out.loc["a", "n"]) == len(sel)
+    assert np.isnan(out.loc["b", "corr"])
+    out1 = grouped_correlation(ray.data.from_pandas(df), "g", "x", "y") \
+        .set_index("g")
+    assert out1.loc["a", "corr"] == pytest.approx(out.loc["a", "corr"],
+                                                  abs=1e-12)
+
+
 def test_segment_drift_triage(ray_session):
     """Per-segment drift: identical segments measure 0; a shift applied
     to ONE segment fails only that segment; a segment present on only
