@@ -1982,6 +1982,22 @@ def q_mm_resize(sf_dir: str):
                          "mean_byte"])
 
 
+def q_agg_distinct_hll(sf_dir: str) -> pd.DataFrame:
+    """HLL scale path for per-group COUNT(DISTINCT) (pipelines/grouped.
+    py::approx_distinct_per_group): one ~16 KB sketch per (block,
+    group) enters the shuffle regardless of value cardinality.
+    Rows-only (estimate, ~0.8% rel. error — pytest bounds it vs
+    exact); the exact form is the oracle-matched agg_distinct_group."""
+    from feature_fabrica_ray.pipelines import approx_distinct_per_group
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+    out = approx_distinct_per_group(ds, "event_type", "user_id")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_distinct_est"] = _round_away(out["n_distinct_est"], 2)
+    return out
+
+
 def q_pr_correlation(sf_dir: str) -> pd.DataFrame:
     """Per-segment Pearson correlation profiling (pipelines/grouped.py::
     grouped_correlation): corr(l_quantity, l_extendedprice) per
@@ -2203,6 +2219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_rolling": q_ev_rolling,
         "ev_lag": q_ev_lag,
         "agg_distinct_group": q_agg_distinct_group,
+        "agg_distinct_hll": q_agg_distinct_hll,
         "agg_rollup": q_agg_rollup,
         "pr_histogram": q_pr_histogram,
         "pr_correlation": q_pr_correlation,

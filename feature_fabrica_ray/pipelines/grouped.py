@@ -36,7 +36,7 @@ def _with_shuffle_key(t: pa.Table, key_col: str) -> pa.Table:
 
 __all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
            "grouped_stats", "freshness_check", "grouped_outliers",
-           "grouped_correlation"]
+           "grouped_correlation", "approx_distinct_per_group"]
 
 
 def distinct_count_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -346,4 +346,48 @@ def grouped_correlation(ds, group_col: str, col_x: str,
            .map_groups(per_key, batch_format="pandas")
            .to_pandas())
     key = out[group_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
+
+
+def approx_distinct_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
+    """Approximate ``COUNT(DISTINCT val)`` per key via per-group HLL
+    sketches — the SCALE path for ``distinct_count_per_group``.
+
+    The exact form shuffles every block-local distinct (key, value)
+    pair; with high-cardinality values (user ids, content hashes) that
+    exchange approaches input size. Here each block emits ONE ~16 KB
+    HLL (p=14, ~0.8% rel. error) per group it contains, the keyed
+    shuffle carries |groups| x blocks sketch rows regardless of value
+    cardinality, and sketches OR-merge per key. ``n_rows`` stays
+    exact. Returns (key, n_distinct_est float, n_rows) sorted by key."""
+    from ..state import HLL
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = pc.fill_null(pc.cast(batch.column(key_col), pa.string()),
+                            "\0null").to_pandas()
+        out_k, out_h, out_n = [], [], []
+        for u in pd.unique(keys):
+            mask = pa.array((keys == u).to_numpy())
+            vals = batch.filter(mask).column(val_col).drop_null()
+            out_k.append(u)
+            out_h.append(HLL().add_column(vals).to_bytes())
+            out_n.append(int(mask.true_count))
+        t = pa.table({key_col: pa.array(out_k, pa.string()),
+                      "hll": pa.array(out_h, pa.binary()),
+                      "cnt": pa.array(out_n, pa.int64())})
+        return t.append_column("__gkey", t.column(key_col))
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        est = HLL.merge_bytes([bytes(b) for b in df["hll"]]).estimate()
+        return pd.DataFrame({
+            key_col: [df[key_col].iloc[0]],
+            "n_distinct_est": [float(est)],
+            "n_rows": np.array([int(df["cnt"].sum())], np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    out[key_col] = out[key_col].where(out[key_col] != "\0null", None)
+    key = out[key_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)

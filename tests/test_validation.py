@@ -463,6 +463,34 @@ checks:
         assert g.loc["fresh_g", col] == go.loc["fresh_g", col]
 
 
+def test_approx_distinct_per_group(ray_session):
+    """HLL per-group distinct estimate within 2% of exact on thousands
+    of distinct values; n_rows exact; layout-invariant (HLL merge is
+    associative + commutative); null keys form their own group."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import (approx_distinct_per_group,
+                                               distinct_count_per_group)
+
+    rng = np.random.default_rng(9)
+    n = 20000
+    df = pd.DataFrame({"g": np.where(np.arange(n) % 2 == 0, "a", "b"),
+                       "v": rng.integers(0, 5000, n)})
+    df.loc[:99, "g"] = None
+    approx = approx_distinct_per_group(
+        ray.data.from_pandas(df).repartition(4), "g", "v")
+    exact = distinct_count_per_group(ray.data.from_pandas(df), "g", "v")
+    a = approx.set_index(approx["g"].astype(str))
+    e = exact.set_index(exact["g"].astype(str))
+    for k in ("a", "b", "None"):
+        rel = abs(a.loc[k, "n_distinct_est"] / e.loc[k, "n_distinct"] - 1)
+        assert rel < 0.02, (k, rel)
+        assert int(a.loc[k, "n_rows"]) == int(e.loc[k, "n_rows"])
+    approx1 = approx_distinct_per_group(ray.data.from_pandas(df), "g", "v")
+    pd.testing.assert_frame_equal(approx.reset_index(drop=True),
+                                  approx1.reset_index(drop=True))
+
+
 def test_grouped_correlation(ray_session):
     """Exact per-segment Pearson correlation vs numpy corrcoef; rows
     with a null on either side are excluded; degenerate segments
