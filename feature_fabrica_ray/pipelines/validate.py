@@ -58,6 +58,7 @@ class ValidationResult:
     sketch_state: dict = field(default_factory=dict)  # check -> mergeable state
     drift_state: dict = field(default_factory=dict)  # drift check -> freq/hist + threshold
     freshness_state: dict = field(default_factory=dict)  # check -> seg max-ts (us) + spec
+    pid_rows: dict = field(default_factory=dict)  # pid -> row count (skew diagnostics)
 
     @property
     def passed(self) -> bool:
@@ -68,6 +69,21 @@ class ValidationResult:
 
     def global_verdicts(self) -> pd.DataFrame:
         return self.verdicts[self.verdicts["pid"] == -1].reset_index(drop=True)
+
+    def partition_skew(self) -> dict:
+        """Partition-balance diagnostics from the per-pid row counts:
+        ``max/mean`` is the straggler factor an all-to-all shuffle or
+        per-partition writer would see (1.0 = perfectly balanced). Use
+        it to decide whether the partition key needs salting before
+        scaling a run up."""
+        if not self.pid_rows:
+            return {"partitions": 0, "rows": 0, "max_over_mean": 1.0,
+                    "cv": 0.0}
+        c = np.array(list(self.pid_rows.values()), dtype=np.float64)
+        mean = float(c.mean())
+        return {"partitions": int(len(c)), "rows": int(c.sum()),
+                "max_over_mean": float(c.max() / mean) if mean else 1.0,
+                "cv": float(c.std() / mean) if mean else 0.0}
 
 
 def _union_schema(key_columns: list[str]) -> pa.Schema:
@@ -660,6 +676,8 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
                             n_rows=n_rows_total, digests=digests,
                             sketch_state=sketch_state, drift_state=drift_state,
                             freshness_state=freshness_state,
+                            pid_rows={int(p): int(n)
+                                      for p, n in rows_per_pid.items()},
                             baselines={dc.name: dc.baseline for dc in suite.drift_checks})
 
 

@@ -463,6 +463,17 @@ checks:
         assert g.loc["fresh_g", col] == go.loc["fresh_g", col]
 
 
+def test_partition_skew_diagnostics(result):
+    """partition_skew reports per-pid balance: counts cover all rows,
+    and a content-derived hash partitioning of ~38 repos over 8 pids is
+    within a sane straggler bound."""
+    sk = result.partition_skew()
+    assert sk["rows"] == result.n_rows
+    assert sk["partitions"] <= 8
+    assert 1.0 <= sk["max_over_mean"] < 4.0
+    assert sk["cv"] >= 0.0
+
+
 def test_approx_distinct_per_group(ray_session):
     """HLL per-group distinct estimate within 2% of exact on thousands
     of distinct values; n_rows exact; layout-invariant (HLL merge is
