@@ -1942,6 +1942,27 @@ GROUP BY ROLLUP (lang, source)
 """
 
 
+def q_agg_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE (lang, source): same one-pass finest combiner +
+    single keyed shuffle as ROLLUP; all 2^L subset levels derived from
+    the merged finest table (pipelines/grouped.py::cube_agg)."""
+    from feature_fabrica_ray.pipelines import cube_agg
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source", "n_chars"])
+    out = cube_agg(ds, ["lang", "source"], "n_chars")
+    out["sum_v"] = _round_away(out["sum_v"], 6)
+    return out
+
+
+_CUBE_ORACLE = """
+SELECT lang, source, round(sum(n_chars), 6) AS sum_v,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
 def q_pr_histogram(sf_dir: str) -> pd.DataFrame:
     """Fixed-width histogram of n_chars (width 50, 12 bins, clamped):
     per-block bincount combiner — only nbins-long count vectors move."""
@@ -2221,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_distinct_group": q_agg_distinct_group,
         "agg_distinct_hll": q_agg_distinct_hll,
         "agg_rollup": q_agg_rollup,
+        "agg_cube": q_agg_cube,
         "pr_histogram": q_pr_histogram,
         "pr_correlation": q_pr_correlation,
         "pr_lineitem": q_pr_lineitem,
@@ -2268,6 +2290,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_lag": _LAG_ORACLE,
         "agg_distinct_group": _DISTINCT_GROUP_ORACLE,
         "agg_rollup": _ROLLUP_ORACLE,
+        "agg_cube": _CUBE_ORACLE,
         "pr_histogram": _HISTOGRAM_ORACLE,
         "ta_textstats": _TEXTSTATS_ORACLE,
         "ta_quality": _QUALITY_ORACLE,

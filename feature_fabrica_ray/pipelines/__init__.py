@@ -13,7 +13,7 @@ from .events import (cumulative_agg, extract_json_int, lag_lead,
                      tumbling_window_agg)
 from .grouped import (approx_distinct_per_group, distinct_count_per_group,
                       freshness_check, grouped_correlation, grouped_outliers,
-                      grouped_stats, histogram_fixed, rollup_agg)
+                      grouped_stats, histogram_fixed, rollup_agg, cube_agg)
 from .drift_actor import DriftSketchActor, drift_report
 from .join import broadcast_join, broadcast_range_join, shuffle_join
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
@@ -54,7 +54,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg", "stratified_sample",
            "md5_fraction_threshold", "md5_hex_column",
            "freshness_check", "grouped_outliers", "segment_drift",
-           "grouped_correlation", "approx_distinct_per_group",
+           "grouped_correlation", "approx_distinct_per_group", "cube_agg",
            "exact_dedup_rows_shuffle", "tfidf_top_terms", "chunk_documents", "audio_pipeline",
            "frame_pipeline", "cumulative_agg", "normalize_embeddings",
            "fit_pca", "pca_project", "ResizeImage", "resize_pipeline",

@@ -36,7 +36,7 @@ def _with_shuffle_key(t: pa.Table, key_col: str) -> pa.Table:
 
 __all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
            "grouped_stats", "freshness_check", "grouped_outliers",
-           "grouped_correlation", "approx_distinct_per_group"]
+           "grouped_correlation", "approx_distinct_per_group", "cube_agg"]
 
 
 def distinct_count_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -391,3 +391,55 @@ def approx_distinct_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
     out[key_col] = out[key_col].where(out[key_col] != "\0null", None)
     key = out[key_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
+
+
+def cube_agg(ds, group_cols: list[str], value_col: str) -> pd.DataFrame:
+    """``GROUP BY CUBE(group_cols)``: sum(value) + count(*) at every
+    SUBSET granularity (2^L levels), absent columns emitted as NULL.
+
+    Same physical shape as ``rollup_agg``: one finest-level per-block
+    combiner + ONE keyed shuffle produce the merged finest table; all
+    2^L - 1 coarser subsets derive from it driver-side without touching
+    the input again. Shares ROLLUP's NULL caveat for group values."""
+    from itertools import combinations
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([*group_cols, value_col]) \
+            .group_by(group_cols).aggregate([(value_col, "sum"),
+                                             ([], "count_all")])
+        cols = {c: g.column(c) for c in group_cols}
+        cols["sum_v"] = g.column(f"{value_col}_sum").cast(pa.float64())
+        cols["n_rows"] = g.column("count_all").cast(pa.int64())
+        return pa.table(cols)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_cols, as_index=False, dropna=False).agg(
+            sum_v=("sum_v", "sum"), n_rows=("n_rows", "sum"))
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+              .groupby(group_cols, num_partitions=shuffle_partitions())
+              .map_groups(merge, batch_format="pandas")
+              .to_pandas())
+
+    levels = []
+    for r in range(len(group_cols), -1, -1):
+        for keep in combinations(group_cols, r):
+            if r == len(group_cols):
+                g = finest.copy()
+            elif keep:
+                g = finest.groupby(list(keep), as_index=False,
+                                   dropna=False).agg(
+                    sum_v=("sum_v", "sum"), n_rows=("n_rows", "sum"))
+            else:
+                g = pd.DataFrame({"sum_v": [finest["sum_v"].sum()],
+                                  "n_rows": [finest["n_rows"].sum()]})
+            for c in group_cols:
+                if c not in keep:
+                    g[c] = None
+            levels.append(g[[*group_cols, "sum_v", "n_rows"]])
+
+    out = pd.concat(levels, ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    for c in group_cols:  # absent cells must be None, never NaN
+        out[c] = out[c].astype(object).where(out[c].notna(), None)
+    return out.reset_index(drop=True)

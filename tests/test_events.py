@@ -234,6 +234,26 @@ def test_rollup_agg_golden(ray_session):
         assert len(out) == 6
 
 
+def test_cube_agg_golden(ray_session):
+    """Two-level CUBE: all 4 subset levels vs hand-computed golden —
+    ROLLUP's levels plus the (None, b) slice; block-layout invariant."""
+    from feature_fabrica_ray.pipelines import cube_agg
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "x", "y"],
+        "b": ["p", "p", "q", "p"],
+        "v": [1, 2, 4, 8],
+    })
+    for blocks in (1, 3):
+        out = cube_agg(_ds(df, blocks=blocks), ["a", "b"], "v")
+        got = {(r.a, r.b): (r.sum_v, r.n_rows) for r in out.itertuples()}
+        assert got == {("x", "p"): (3.0, 2), ("x", "q"): (4.0, 1),
+                       ("y", "p"): (8.0, 1), ("x", None): (7.0, 3),
+                       ("y", None): (8.0, 1), (None, "p"): (11.0, 3),
+                       (None, "q"): (4.0, 1), (None, None): (15.0, 4)}
+        assert len(out) == 8
+
+
 def test_histogram_fixed(ray_session):
     """Exact integer binning with clamping at both ends; empty bins are
     dropped; block-layout invariant."""
