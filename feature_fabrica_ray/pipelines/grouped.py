@@ -284,13 +284,21 @@ def grouped_outliers(ds, group_col: str, val_col: str, k: float = 3.0,
               for _, r in stats.iterrows()}
 
     def flag(batch: pa.Table) -> pa.Table:
-        groups = batch.column(group_col).to_pylist()
+        # dict lookups per DISTINCT segment in the batch (factorize),
+        # not per row — this stage streams the full input a second time
+        codes, uniques = pd.factorize(batch.column(group_col).to_pandas())
+        lut = (np.array([bounds.get(u, (np.nan, np.nan)) for u in uniques],
+                        np.float64).reshape(-1, 2)
+               if len(uniques) else np.zeros((0, 2)))
+        safe = np.maximum(codes, 0)
+        m = np.where(codes >= 0, lut[safe, 0], np.nan) if len(uniques) \
+            else np.full(len(codes), np.nan)
+        t = np.where(codes >= 0, lut[safe, 1], np.nan) if len(uniques) \
+            else np.full(len(codes), np.nan)
         v = batch.column(val_col).cast(pa.float64()) \
             .to_numpy(zero_copy_only=False)
-        mk = np.array([bounds.get(g, (np.nan, np.nan)) for g in groups],
-                      np.float64).reshape(-1, 2)
         with np.errstate(invalid="ignore"):
-            keep = np.abs(v - mk[:, 0]) > mk[:, 1]
+            keep = np.abs(v - m) > t
         keep &= ~np.isnan(v)
         return batch.select(id_cols + [group_col, val_col]) \
             .filter(pa.array(keep.astype(bool)))
