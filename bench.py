@@ -238,6 +238,31 @@ def bench_curation() -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
+def bench_segstats() -> tuple[float, int]:
+    """Per-segment validation triage bundle: freshness lag per
+    event_type, outlier rows (two streaming passes, broadcast bounds),
+    and exact Pearson correlation per l_returnflag."""
+    from feature_fabrica_ray.pipelines import (freshness_check,
+                                               grouped_correlation,
+                                               grouped_outliers)
+    from feature_fabrica_ray.sources import read_parquet_clean
+
+    t0 = time.perf_counter()
+    ev = read_parquet_clean(f"{SF_DIR}/events.parquet",
+                            columns=["event_id", "event_type", "value", "ts"])
+    fr = freshness_check(ev, "ts", "event_type",
+                         as_of="2024-01-31 00:00:00", max_lag_s=1800)
+    out = grouped_outliers(ev, "event_type", "value", k=2.5,
+                           id_cols=["event_id"])
+    n = _consume(out) + len(fr)
+    li = read_parquet_clean(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    corr = grouped_correlation(li, "l_returnflag", "l_quantity",
+                               "l_extendedprice")
+    return time.perf_counter() - t0, n + len(corr)
+
+
 BENCHES = {
     "suite": bench_suite,
     "uniqueness": bench_uniqueness,
@@ -250,6 +275,7 @@ BENCHES = {
     "vocab": bench_vocab,
     "chunks": bench_chunks,
     "curation": bench_curation,
+    "segstats": bench_segstats,
 }
 
 
