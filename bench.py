@@ -298,6 +298,15 @@ def run(names: list[str]) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False  # stdout stays
+    # grouped combiners legitimately leave some shuffle partitions empty
+    # (dimension-sized segments << num_partitions); Ray logs a WARNING
+    # per empty block ("RefBundle with a different schema ... new
+    # schema:") that would flood the recorded bench output
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
     # exactly one JSON line for the driver
     _warmup()
     queries: dict[str, float] = {}
