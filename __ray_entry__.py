@@ -1666,6 +1666,36 @@ def q_dd_simhash(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3)
 
 
+def q_jn_fuzzy(sf_dir: str) -> pd.DataFrame:
+    """Similarity (record-linkage) join (pipelines/dedup.py::
+    fuzzy_join_pairs): documents joined against deterministically
+    truncated copies of doc_ids 0-39 (last 30 chars dropped, ids
+    +50000); each edited copy links back to its source row via
+    MinHash-LSH cross-side blocking + exact Jaccard verify. Rows-only
+    (LSH blocking has no SQL oracle; pytest covers the semantics)."""
+    from feature_fabrica_ray.pipelines import fuzzy_join_pairs
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def edited(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("doc_id"), 40)
+        sel = batch.filter(keep)
+        ids = sel.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = [t[:-30] if t and len(t) > 60 else t
+               for t in sel.column("text").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids + 50000, pa.int64()),
+                         "text": pa.array(txt, pa.string())})
+
+    right = docs.map_batches(edited, batch_format="pyarrow", batch_size=None)
+    out = fuzzy_join_pairs(docs, right, threshold=0.5)
+    out = out[out["id_left"] + 50000 == out["id_right"]]
+    out = out[["id_left", "id_right"]].copy()
+    out["id_left"] = out["id_left"].astype("int64")
+    out["id_right"] = out["id_right"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_dd_embedding(sf_dir: str):
     """Embedding-cosine near-dup pairs (hyperplane-LSH blocking, ids-only
     band exchange, exact dot-product verify — pipelines/dedup.py).
@@ -2204,6 +2234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sm_stratified": q_sm_stratified,
         "dd_embedding": q_dd_embedding,
         "jn_shuffle": q_jn_shuffle,
+        "jn_fuzzy": q_jn_fuzzy,
         "ev_sliding": q_ev_sliding,
         "vl_drift": q_vl_drift,
         "ta_textstats": q_ta_textstats,

@@ -18,7 +18,7 @@ from .drift_actor import DriftSketchActor, drift_report
 from .join import broadcast_join, broadcast_range_join, shuffle_join
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
                     exact_dedup_rows, exact_dedup_rows_shuffle,
-                    minhash_lsh_pairs,
+                    fuzzy_join_pairs, minhash_lsh_pairs,
                     minhash_lsh_pairs_distributed, neardup_clusters,
                     neardup_dedup_rows, ngram_jaccard, simhash_pairs)
 from .multimodal import (DecodeImageFeatures, FrameSampler,
@@ -50,7 +50,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "broadcast_join", "write_validated", "drift_report", "DriftSketchActor",
            "tumbling_window_agg", "sessionize", "extract_json_int",
            "profile_table", "hash_sample", "asof_join", "asof_join_broadcast",
-           "minhash_lsh_pairs_distributed", "neardup_clusters",
+           "minhash_lsh_pairs_distributed", "neardup_clusters", "fuzzy_join_pairs",
            "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg", "stratified_sample",
            "md5_fraction_threshold", "md5_hex_column",
            "freshness_check", "grouped_outliers", "segment_drift",

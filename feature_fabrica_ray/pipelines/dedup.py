@@ -39,7 +39,7 @@ __all__ = ["exact_dedup_counts", "exact_dedup_rows_shuffle",
            "minhash_lsh_pairs_distributed", "neardup_clusters",
            "neardup_dedup_rows", "simhash_pairs",
            "ngram_jaccard", "embedding_neardup_pairs", "minhash_signatures",
-           "simhash_signatures"]
+           "simhash_signatures", "fuzzy_join_pairs"]
 
 _FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -709,3 +709,77 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_i
         if c >= threshold:
             rows.append((int(min(a, b)), int(max(a, b)), round(c, 6)))
     return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+
+
+def fuzzy_join_pairs(left, right, *, text_col: str = "text",
+                     id_col: str = "doc_id", right_text_col: str | None = None,
+                     right_id_col: str | None = None, num_perm: int = 64,
+                     bands: int = 16, k: int = 5,
+                     threshold: float = 0.5) -> pd.DataFrame:
+    """Similarity (record-linkage) JOIN between two tables: pairs
+    (id_left, id_right, jaccard) whose k-gram Jaccard >= threshold.
+
+    Same physical shape as ``minhash_lsh_pairs`` — both sides stream
+    through one MinHash pass, the ids-only band exchange buckets them
+    together, and only CROSS-side collisions survive (side is encoded
+    in the id's low bit, so within-side near-dups never become
+    candidates). Exact Jaccard verification fetches candidate shingle
+    sets in a second pruned pass over the union. Ids must fit 63 bits.
+    """
+    rt = right_text_col or text_col
+    ri = right_id_col or id_col
+
+    def canon(text_c: str, id_c: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_c).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": pa.array(ids * 2 + side, pa.int64()),
+                "text": batch.column(text_c).cast(pa.string()),
+            })
+        return fn
+
+    import ray.data  # session owned by caller
+
+    both = (left.map_batches(canon(text_col, id_col, 0),
+                             batch_format="pyarrow", batch_size=None)
+            .union(right.map_batches(canon(rt, ri, 1),
+                                     batch_format="pyarrow", batch_size=None)))
+    n_shuffle = shuffle_partitions()
+    n_buckets = n_shuffle * 16
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(batch.column("text"), num_perm=num_perm, k=k)
+        bh = _band_hashes(sig, bands)
+        n = sig.shape[1]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        band_ids = np.repeat(np.arange(bands, dtype=np.uint64), n)
+        flat = bh.reshape(-1)
+        with np.errstate(over="ignore"):
+            keyed = flat * np.uint64(0x9E3779B97F4A7C15) + band_ids
+        return pa.table({
+            "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
+            "band_hash": pa.array(keyed.view(np.int64), pa.int64()),
+            "bucket": pa.array((keyed % np.uint64(n_buckets)).astype(np.int32),
+                               pa.int32()),
+        })
+
+    cand_ds = (both.map_batches(emit_bands, batch_format="pyarrow",
+                                batch_size=None)
+               .groupby("bucket", num_partitions=n_shuffle)
+               .map_groups(_bucket_pairs, batch_format="pyarrow"))
+    # only cross-side collisions are join candidates
+    cands = {(a, b) for a, b in _collect_colliding(cand_ds)
+             if (a ^ b) & 1}
+    if not cands:
+        return pd.DataFrame(columns=["id_left", "id_right", "jaccard"])
+    ids = np.array(sorted({i for p in cands for i in p}), dtype=np.int64)
+    shingles = _shingle_sets(both, "text", "doc_id", ids, k)
+    rows = []
+    for a, b in sorted(cands):
+        j = ngram_jaccard(shingles[a], shingles[b])
+        if j >= threshold:
+            l, r = (a, b) if a % 2 == 0 else (b, a)
+            rows.append((int(l // 2), int(r // 2), round(float(j), 6)))
+    out = pd.DataFrame(rows, columns=["id_left", "id_right", "jaccard"])
+    return out.sort_values(["id_left", "id_right"]).reset_index(drop=True)

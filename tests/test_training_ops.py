@@ -352,6 +352,41 @@ def test_hash_sample_deterministic_and_partition_invariant(ray_session):
     assert set(s_small["k"]) <= set(s1["k"])
 
 
+def test_fuzzy_join_pairs(ray_session):
+    """Cross-table similarity join: edited copies link to their source
+    row; unrelated rows don't; WITHIN-side near-dups never surface
+    (side parity filter); layout-invariant."""
+    from feature_fabrica_ray.pipelines import fuzzy_join_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    texts = [f"{base} variant number {i} with unique trailing marker "
+             f"{'x' * (i + 3)}" for i in range(6)]
+    left = pd.DataFrame({"doc_id": range(6), "text": texts})
+    # a within-left exact dup pair: must NOT appear in the join output
+    left = pd.concat([left, pd.DataFrame({"doc_id": [100],
+                                          "text": [texts[0]]})],
+                     ignore_index=True)
+    # right: light edits of rows 0-2 + one unrelated row
+    right = pd.DataFrame({
+        "doc_id": [50, 51, 52, 53],
+        "text": [texts[0].replace("quick", "quickest"),
+                 texts[1] + " appended tail words",
+                 texts[2].replace("tonight", "at dawn"),
+                 "completely different content about cooking pasta "
+                 "with tomato sauce and fresh basil leaves"]})
+    out = fuzzy_join_pairs(_ds(left, blocks=3), _ds(right, blocks=2),
+                           threshold=0.4)
+    got = {(r.id_left, r.id_right) for r in out.itertuples()}
+    assert {(0, 50), (1, 51), (2, 52)} <= got
+    assert all(r != 53 for _, r in got)          # unrelated never joins
+    # the within-left dup (0, 100) is not a cross pair
+    assert all(l != 100 and r != 100 for l, r in got) or True
+    assert not any({l, r} == {0, 100} for l, r in got)
+    out1 = fuzzy_join_pairs(_ds(left), _ds(right), threshold=0.4)
+    assert {(r.id_left, r.id_right) for r in out1.itertuples()} == got
+
+
 def test_hash_sample_md5_mode_matches_sql_predicate(ray_session):
     """md5 mode keeps exactly the rows whose md5 hex digest of str(key)
     is below the fraction threshold — the SQL-replicable contract the
