@@ -32,7 +32,7 @@ from .row_checks import (_ROW_CHECKS, CheckSpecError, RowCheck,
                          build_row_check)
 
 __all__ = ["CheckSuite", "UniqueCheck", "ReferentialCheck", "StatsCheck",
-           "DriftCheck", "SchemaCheck", "FreshnessCheck"]
+           "DriftCheck", "SchemaCheck", "FreshnessCheck", "GroupStatsCheck"]
 
 
 @dataclass
@@ -95,6 +95,21 @@ class FreshnessCheck:
 
 
 @dataclass
+class GroupStatsCheck:
+    """Per-segment null-rate threshold: within each ``group`` segment,
+    nulls(column)/rows must stay <= ``max_null_rate``. Answers "WHICH
+    segment is broken" declaratively; per-segment (rows, nulls) counts
+    are algebraic partials that merge exactly across checkpoint
+    shards."""
+    name: str
+    column: str
+    group: str
+    max_null_rate: float = 0.0
+    kind: str = "group_stats"
+    severity: str = "error"
+
+
+@dataclass
 class SchemaCheck:
     name: str
     columns: dict[str, str]        # name -> arrow type name (prefix match)
@@ -116,6 +131,7 @@ class CheckSuite:
         self.drift_checks: list[DriftCheck] = []
         self.schema_checks: list[SchemaCheck] = []
         self.freshness_checks: list[FreshnessCheck] = []
+        self.group_stats_checks: list[GroupStatsCheck] = []
         for raw in spec:
             self._add(dict(raw))
 
@@ -157,6 +173,12 @@ class CheckSuite:
                 as_of=raw["as_of"],
                 max_lag_s=float(raw.get("max_lag_s", 3600.0)),
                 severity=raw.get("severity", "error")))
+        elif kind == "group_stats":
+            self.group_stats_checks.append(GroupStatsCheck(
+                name=raw.get("name", f"group_stats:{raw['column']}"),
+                column=raw["column"], group=raw["group"],
+                max_null_rate=float(raw.get("max_null_rate", 0.0)),
+                severity=raw.get("severity", "error")))
         elif kind == "schema":
             self.schema_checks.append(SchemaCheck(
                 name=raw.get("name", "schema"), columns=raw["columns"],
@@ -172,4 +194,5 @@ class CheckSuite:
                 + [c.name for c in self.stats_checks]
                 + [c.name for c in self.drift_checks]
                 + [c.name for c in self.schema_checks]
-                + [c.name for c in self.freshness_checks])
+                + [c.name for c in self.freshness_checks]
+                + [c.name for c in self.group_stats_checks])

@@ -33,9 +33,10 @@ import pandas as pd
 
 from ..checks.suite import CheckSuite
 from .validate import (ValidationResult, drift_metric_from_state,
-                       freshness_verdict_from_state, merge_drift_states,
-                       merge_freshness_states, merge_sketch_states,
-                       run_suite, stats_row_from_state)
+                       freshness_verdict_from_state,
+                       group_stats_verdict_from_state, merge_drift_states,
+                       merge_freshness_states, merge_group_stats_states,
+                       merge_sketch_states, run_suite, stats_row_from_state)
 
 
 def _encode_state(state: dict) -> dict:
@@ -66,7 +67,8 @@ def _suite_severities(suite: CheckSuite) -> dict[str, str]:
     for c in (suite.row_checks + suite.referential_checks
               + suite.unique_checks + suite.drift_checks
               + suite.schema_checks
-              + getattr(suite, "freshness_checks", [])):
+              + getattr(suite, "freshness_checks", [])
+              + getattr(suite, "group_stats_checks", [])):
         sev[c.name] = getattr(c, "severity", "error")
     return sev
 
@@ -202,6 +204,8 @@ def _run_one_shard(shard_id: str, build: Callable, suite: CheckSuite,
         # mergeable per-segment max timestamps: the merger recomputes
         # freshness verdicts from MERGED maxima, not per-shard verdicts
         "freshness": res.freshness_state,
+        # mergeable per-segment (rows, nulls) counts, same recompute rule
+        "group_stats": res.group_stats_state,
     }
     tmp = os.path.join(sdir, "lineage.json.tmp")
     with open(tmp, "w") as f:
@@ -222,6 +226,7 @@ def merge_results(out_dir: str) -> ValidationResult:
     sketch_parts: dict[str, list] = {}
     drift_parts: dict[str, list] = {}
     fresh_parts: dict[str, list] = {}
+    gstats_parts: dict[str, list] = {}
     thresholds: dict[str, float] = {}
     severities: dict[str, str] = {}
     n_rows = 0
@@ -249,6 +254,8 @@ def merge_results(out_dir: str) -> ValidationResult:
             drift_parts.setdefault(name, []).append(st)
         for name, st in lin.get("freshness", {}).items():
             fresh_parts.setdefault(name, []).append(st)
+        for name, st in lin.get("group_stats", {}).items():
+            gstats_parts.setdefault(name, []).append(st)
 
     if not verdict_parts:
         empty = pd.DataFrame(columns=["check", "pid", "n_rows", "n_violations",
@@ -293,8 +300,30 @@ def merge_results(out_dir: str) -> ValidationResult:
         merged.loc[sel, "violation_rate"] = v["rate"]
         merged.loc[sel, "metric"] = v["max_lag_s"]
         merged.loc[sel, "passed"] = v["passed"]
+    # group_stats verdicts: same recompute-from-merged-counts rule (a
+    # segment over threshold in one shard may be under it in the union)
+    merged_gstats = {name: merge_group_stats_states(parts)
+                     for name, parts in gstats_parts.items()}
+    for name, st in merged_gstats.items():
+        v = group_stats_verdict_from_state(st)
+        sel = merged["check"] == name
+        merged.loc[sel, "n_rows"] = v["n_segments"]
+        merged.loc[sel, "n_violations"] = v["n_bad"]
+        merged.loc[sel, "violation_rate"] = v["rate"]
+        merged.loc[sel, "metric"] = v["worst_null_rate"]
+        merged.loc[sel, "passed"] = v["passed"]
     violations = pd.concat(violation_parts, ignore_index=True) \
         if violation_parts else pd.DataFrame()
+    if merged_gstats and len(violations):
+        violations = violations[~violations["check"].isin(set(merged_gstats))]
+    for name, st in merged_gstats.items():
+        det = group_stats_verdict_from_state(st)["bad_details"]
+        if det:
+            vrows = pd.DataFrame({"pid": np.full(len(det), -1, np.int64),
+                                  "check": name, "detail": det})
+            cols = violations.columns if len(violations.columns) else vrows.columns
+            violations = pd.concat([violations, vrows.reindex(columns=cols)],
+                                   ignore_index=True)
     if merged_fresh and len(violations):
         # drop per-shard stale-segment rows and rebuild from merged maxima
         violations = violations[~violations["check"].isin(set(merged_fresh))]

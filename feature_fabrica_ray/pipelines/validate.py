@@ -41,7 +41,8 @@ from .uniqueness import uniqueness_violations
 __all__ = ["ValidationResult", "run_suite", "compute_baseline",
            "profile_table", "stats_row_from_state", "merge_sketch_states",
            "drift_metric_from_state", "merge_drift_states",
-           "merge_freshness_states", "freshness_verdict_from_state"]
+           "merge_freshness_states", "freshness_verdict_from_state",
+           "merge_group_stats_states", "group_stats_verdict_from_state"]
 
 _ROWS = "__rows__"
 _SCOPE_PREFIX = "__scope__:"   # per-check in-scope row counts (where:)
@@ -59,6 +60,7 @@ class ValidationResult:
     drift_state: dict = field(default_factory=dict)  # drift check -> freq/hist + threshold
     freshness_state: dict = field(default_factory=dict)  # check -> seg max-ts (us) + spec
     pid_rows: dict = field(default_factory=dict)  # pid -> row count (skew diagnostics)
+    group_stats_state: dict = field(default_factory=dict)  # check -> seg (rows, nulls)
 
     @property
     def passed(self) -> bool:
@@ -307,6 +309,39 @@ def freshness_verdict_from_state(state: dict) -> dict:
                               for k, v in sorted(stale.items())]}
 
 
+def merge_group_stats_states(states: list[dict]) -> dict:
+    """Associatively merge per-shard group-stats states: per-segment
+    (rows, nulls) counts add."""
+    out = dict(states[0])
+    seg: dict[str, list[int]] = {}
+    for s in states:
+        for k, (rows, nulls) in s["seg_counts"].items():
+            acc = seg.setdefault(k, [0, 0])
+            acc[0] += int(rows)
+            acc[1] += int(nulls)
+    out["seg_counts"] = seg
+    return out
+
+
+def group_stats_verdict_from_state(state: dict) -> dict:
+    """Recompute the per-segment null-rate verdict from (merged) state —
+    shared by the one-shot runner and the checkpoint merger."""
+    thr = state["max_null_rate"]
+    bad = {}
+    worst = 0.0
+    for k, (rows, nulls) in state["seg_counts"].items():
+        rate = nulls / rows if rows else 0.0
+        worst = max(worst, rate)
+        if rate > thr:
+            bad[k] = rate
+    n_seg = len(state["seg_counts"])
+    return {"n_segments": n_seg, "n_bad": len(bad),
+            "rate": len(bad) / n_seg if n_seg else 0.0,
+            "worst_null_rate": worst, "passed": not bad,
+            "bad_details": [f"{k}: null_rate={v:.6f}"
+                            for k, v in sorted(bad.items())]}
+
+
 def merge_drift_states(states: list[dict]) -> dict:
     """Associatively merge per-shard drift states for one check."""
     out = dict(states[0])
@@ -459,6 +494,8 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     needed |= {c.other for c in row_checks if hasattr(c, "other")}
     for fc in getattr(suite, "freshness_checks", []):
         needed |= {fc.column, fc.group}
+    for gc in getattr(suite, "group_stats_checks", []):
+        needed |= {gc.column, gc.group}
     needed |= {c.column for c in suite.stats_checks}
     needed |= {c.column for c in suite.drift_checks}
     for uc in suite.unique_checks:
@@ -654,6 +691,32 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
             violations = pd.concat([violations, vrows.reindex(columns=keep)],
                                    ignore_index=True)
 
+    # group_stats (declarative per-segment null-rate): per-segment
+    # (rows, nulls) from the grouped_stats combiner; counts are exactly
+    # mergeable state for checkpoint shards
+    group_stats_state: dict[str, dict] = {}
+    for gc in getattr(suite, "group_stats_checks", []):
+        from .grouped import grouped_stats as _gstats
+
+        gs = _gstats(ds, gc.group, gc.column)
+        seg_counts = {("\0null" if pd.isna(s) else str(s)):
+                      [int(c) + int(nl), int(nl)]
+                      for s, c, nl in zip(gs[gc.group], gs["cnt"],
+                                          gs["nulls"])}
+        gstate = {"column": gc.column, "group": gc.group,
+                  "max_null_rate": gc.max_null_rate,
+                  "seg_counts": seg_counts}
+        group_stats_state[gc.name] = gstate
+        v = group_stats_verdict_from_state(gstate)
+        verdict_rows.append((gc.name, -1, v["n_segments"], v["n_bad"],
+                             v["rate"], v["worst_null_rate"], v["passed"]))
+        if v["bad_details"]:
+            vrows = pd.DataFrame({
+                "pid": np.full(len(v["bad_details"]), -1, np.int64),
+                "check": gc.name, "detail": v["bad_details"]})
+            violations = pd.concat([violations, vrows.reindex(columns=keep)],
+                                   ignore_index=True)
+
     # per-pid content digests (xor-merge across batches)
     digests: dict[int, int] = {}
     drec = records[records["record_type"] == "digest"]
@@ -668,7 +731,8 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     # severity per check: "warn" rows report but never fail the suite
     sev_map = {c.name: getattr(c, "severity", "error") for c in row_checks}
     for group in (suite.unique_checks, suite.drift_checks, suite.schema_checks,
-                  getattr(suite, "freshness_checks", [])):
+                  getattr(suite, "freshness_checks", []),
+                  getattr(suite, "group_stats_checks", [])):
         sev_map.update({c.name: c.severity for c in group})
     verdicts["severity"] = verdicts["check"].map(sev_map).fillna("error")
     stats = pd.DataFrame(stats_rows)
@@ -676,6 +740,7 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
                             n_rows=n_rows_total, digests=digests,
                             sketch_state=sketch_state, drift_state=drift_state,
                             freshness_state=freshness_state,
+                            group_stats_state=group_stats_state,
                             pid_rows={int(p): int(n)
                                       for p, n in rows_per_pid.items()},
                             baselines={dc.name: dc.baseline for dc in suite.drift_checks})

@@ -530,6 +530,47 @@ def test_grouped_correlation(ray_session):
                                                   abs=1e-12)
 
 
+def test_group_stats_suite_check(ray_session, tmp_path):
+    """Declarative per-segment null-rate check: only segments over the
+    threshold fail; sharded merge recomputes from merged counts (a
+    segment over threshold within one shard but under it in the union
+    merges to passing)."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines.checkpoint import validate_resumable
+
+    yaml = """
+checks:
+  - {type: group_stats, column: v, group: g, max_null_rate: 0.4,
+     name: null_by_g}
+"""
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 4,
+                       "v": [1.0, None, None, None, 1.0, 1.0, 1.0, None]})
+    r = run_suite(ray.data.from_pandas(df), CheckSuite(yaml),
+                  partition_col="g", num_partitions=4, key_columns=["g"])
+    g = r.global_verdicts().set_index("check")
+    assert int(g.loc["null_by_g", "n_rows"]) == 2        # segments
+    assert int(g.loc["null_by_g", "n_violations"]) == 1  # only a (75%)
+    assert g.loc["null_by_g", "metric"] == pytest.approx(0.75)
+    assert not bool(g.loc["null_by_g", "passed"])
+    v = r.violations[r.violations["check"] == "null_by_g"]
+    assert list(v["detail"]) == ["a: null_rate=0.750000"]
+    # sharded: shard1 has b at 100% nulls, shard2 has b all non-null ->
+    # union b = 1/4 nulls, UNDER the threshold; a stays over
+    s1 = pd.DataFrame({"g": ["a", "a", "b"], "v": [None, None, None]})
+    s2 = pd.DataFrame({"g": ["a", "b", "b", "b"],
+                       "v": [1.0, 1.0, 1.0, 1.0]})
+    shards = {"s1": lambda: ray.data.from_pandas(s1),
+              "s2": lambda: ray.data.from_pandas(s2)}
+    merged = validate_resumable(shards, CheckSuite(yaml),
+                                str(tmp_path / "gs"), num_partitions=4,
+                                key_columns=["g"], partition_col="g")["result"]
+    gm = merged.verdicts[merged.verdicts["pid"] == -1].set_index("check")
+    assert int(gm.loc["null_by_g", "n_violations"]) == 1   # only a
+    vm = merged.violations[merged.violations["check"] == "null_by_g"]
+    assert list(vm["detail"]) == ["a: null_rate=0.666667"]
+
+
 def test_segment_drift_triage(ray_session):
     """Per-segment drift: identical segments measure 0; a shift applied
     to ONE segment fails only that segment; a segment present on only
