@@ -68,7 +68,7 @@ def cmd_validate(args) -> int:
         print(json.dumps({"completed": out["completed"],
                           "skipped": out["skipped"],
                           "n_rows": res.n_rows,
-                          "passed": bool(res.verdicts["passed"].all())}))
+                          "passed": res.passed}))  # severity-aware
     else:
         import os
 
@@ -77,7 +77,8 @@ def cmd_validate(args) -> int:
         res.verdicts.to_parquet(f"{args.out}/verdicts.parquet")
         res.violations.to_parquet(f"{args.out}/violations.parquet")
         print(json.dumps({"n_rows": res.n_rows, "passed": res.passed,
-                          "n_violations": int(res.verdicts["n_violations"].sum())}))
+                          "n_violations": int(res.verdicts["n_violations"].sum()),
+                          "partition_skew": res.partition_skew()}))
     if args.write_rows:
         n_pass, n_viol = write_validated(build(), suite, f"{args.out}/rows",
                                          partition_col=args.shard_col,
