@@ -1145,6 +1145,92 @@ WHERE md5(CAST(doc_id AS VARCHAR)) <
 """
 
 
+def q_sm_weighted(sf_dir: str) -> pd.DataFrame:
+    """Weighted (importance) sampling
+    (pipelines/sampling.weighted_hash_sample): keep each document with
+    probability min(1, nchars/4000) — longer documents preferentially —
+    keyed on doc_id. md5 mode so DuckDB replicates the selection
+    bit-for-bit (same IEEE-double weight arithmetic, same md5-prefix
+    uniform draw); the scale path is the vectorized hash64 kernel."""
+    from feature_fabrica_ray.pipelines import weighted_hash_sample
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "text"])
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(pc.fill_null(batch.column("text"), "")) \
+            .cast(pa.float64())
+        w = pc.min_element_wise(pc.divide(n, 4000.0), 1.0)
+        return batch.append_column("w", w)
+
+    ds = ds.map_batches(add_w, batch_format="pyarrow", batch_size=None)
+    out = weighted_hash_sample(ds, ["doc_id"], "w", method="md5")
+    out = _select(out, ["doc_id", "lang"]).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+_WEIGHTED_ORACLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      < floor(least(1.0, length(coalesce(text, '')) / 4000.0) * 4294967296)
+"""
+
+
+def q_jn_anti(sf_dir: str) -> pd.DataFrame:
+    """Anti join via the broadcast join's 'left anti' mode: customers
+    with no 1-URGENT order. The big side streams through a stateless
+    map; only the matching key set of the dimension side is broadcast
+    once via ray.put — the standard shape for NOT EXISTS filters
+    against the 100 TB fact table (no shuffle of either side)."""
+    from feature_fabrica_ray.pipelines import broadcast_join
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderpriority"])
+    urgent = orders.filter(expr="o_orderpriority == '1-URGENT'")
+    out = broadcast_join(cust, urgent, left_on="c_custkey",
+                         right_on="o_custkey", right_columns=["o_custkey"],
+                         how="left anti").to_pandas()
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_jn_semi(sf_dir: str) -> pd.DataFrame:
+    """Semi join via the broadcast join's 'left semi' mode: customers
+    with at least one 1-URGENT order. Each left row survives at most
+    once regardless of how many right rows match — the EXISTS shape,
+    map-side like jn_anti."""
+    from feature_fabrica_ray.pipelines import broadcast_join
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderpriority"])
+    urgent = orders.filter(
+        expr="o_orderpriority == '1-URGENT'")
+    out = broadcast_join(cust, urgent, left_on="c_custkey",
+                         right_on="o_custkey", right_columns=["o_custkey"],
+                         how="left semi").to_pandas()
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
 def q_jn_shuffle(sf_dir: str) -> pd.DataFrame:
     """Large x large equi-join via Ray Data's native hash join (both
     sides hash-partition on the key — the co-group exchange the
@@ -1319,6 +1405,27 @@ SELECT doc_id,
            'https?://[^\s]+', '<URL>', 'g'),
          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
 FROM aug
+"""
+
+
+def q_ta_normalize(sf_dir: str):
+    """Dedup-oriented text canonicalization
+    (pipelines/curation.normalize_text): lowercase + collapse whitespace
+    runs + trim, the standard pre-pass so near-identical crawls hash
+    equal. Value-hash compares the full normalized strings (the 8-byte
+    norm_hash dedup key is pytest-covered; it has no SQL analogue)."""
+    from feature_fabrica_ray.pipelines import normalize_text
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = normalize_text(ds, text_col="text", with_hash=False)
+    return _select(out, ["doc_id", "norm"])
+
+
+_NORMALIZE_ORACLE = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS norm
+FROM documents
 """
 
 
@@ -2232,8 +2339,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sm_group_sample": q_sm_group_sample,
         "sm_hash_sample": q_sm_hash_sample,
         "sm_stratified": q_sm_stratified,
+        "sm_weighted": q_sm_weighted,
         "dd_embedding": q_dd_embedding,
         "jn_shuffle": q_jn_shuffle,
+        "jn_anti": q_jn_anti,
+        "jn_semi": q_jn_semi,
         "jn_fuzzy": q_jn_fuzzy,
         "ev_sliding": q_ev_sliding,
         "vl_drift": q_vl_drift,
@@ -2241,6 +2351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_quality": q_ta_quality,
         "ta_langid_fingerprint": q_ta_langid_fingerprint,
         "ta_redact": q_ta_redact,
+        "ta_normalize": q_ta_normalize,
         "ta_gopher": q_ta_gopher,
         "ta_repetition": q_ta_repetition,
         "ta_common_ngrams": q_ta_common_ngrams,
@@ -2313,8 +2424,11 @@ def oracle_sql() -> dict[str, str]:
         "sm_group_sample": _GROUP_SAMPLE_ORACLE,
         "sm_hash_sample": _HASH_SAMPLE_ORACLE,
         "sm_stratified": _STRATIFIED_ORACLE,
+        "sm_weighted": _WEIGHTED_ORACLE,
         # dd_embedding: LSH blocking -> rows-only (planted-pair pytest)
         "jn_shuffle": _JOIN_ORACLE,
+        "jn_anti": _ANTI_ORACLE,
+        "jn_semi": _SEMI_ORACLE,
         "ev_sliding": _SLIDING_ORACLE,
         "ev_cumsum": _CUMSUM_ORACLE,
         "ev_rolling": _ROLLING_ORACLE,
@@ -2327,6 +2441,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_quality": _QUALITY_ORACLE,
         # ta_langid_fingerprint: heuristic -> rows-only (pytest goldens)
         "ta_redact": _REDACT_ORACLE,
+        "ta_normalize": _NORMALIZE_ORACLE,
         "ta_gopher": _GOPHER_ORACLE,
         "ta_repetition": _REPETITION_ORACLE,
         "ta_common_ngrams": _COMMON_NGRAMS_ORACLE,

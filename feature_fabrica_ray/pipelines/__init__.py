@@ -3,8 +3,8 @@ dedup, similarity search, text analysis."""
 
 from .asof import asof_join, asof_join_broadcast
 from .curation import (common_ngrams, decontaminate, gopher_quality,
-                       redact_text, repetition_stats, salted_group_agg,
-                       token_ngram_hashes)
+                       normalize_text, redact_text, repetition_stats,
+                       salted_group_agg, token_ngram_hashes)
 from .packing import pack_sequences
 from .quantiles import group_quantiles
 from .checkpoint import codetable_shards, merge_results, validate_resumable
@@ -25,7 +25,7 @@ from .multimodal import (DecodeImageFeatures, FrameSampler,
                          ResizeImage, audio_pipeline, decode_pipeline,
                          frame_pipeline, resize_pipeline)
 from .sampling import (hash_sample, md5_fraction_threshold, md5_hex_column,
-                       stratified_sample)
+                       stratified_sample, weighted_hash_sample)
 from .similarity import (cosine_topk, fit_centroids, fit_pca,
                          ivf_topk, kmeans, kmeans_assign,
                          normalize_embeddings, pca_project)
@@ -62,4 +62,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "token_ngram_hashes", "salted_group_agg", "repetition_stats",
            "common_ngrams", "group_quantiles", "pack_sequences", "kmeans", "kmeans_assign",
            "rolling_agg", "distinct_count_per_group", "rollup_agg",
-           "histogram_fixed", "grouped_stats", "lag_lead"]
+           "histogram_fixed", "grouped_stats", "lag_lead",
+           "weighted_hash_sample", "normalize_text"]

@@ -28,9 +28,9 @@ import pyarrow.compute as pc
 from .textstats import _flat_utf8  # noqa: F401  (re-exported family)
 from .textstats import _distinct_per_row, _set_col, token_hashes
 
-__all__ = ["redact_text", "gopher_quality", "token_ngram_hashes",
-           "decontaminate", "salted_group_agg", "repetition_stats",
-           "common_ngrams"]
+__all__ = ["redact_text", "normalize_text", "gopher_quality",
+           "token_ngram_hashes", "decontaminate", "salted_group_agg",
+           "repetition_stats", "common_ngrams"]
 
 # GPT-2-style pre-tokenizer, reduced to RE2 (no lookahead): letter runs,
 # digit runs, and symbol runs, each with an optional leading space
@@ -89,6 +89,38 @@ def _max_run_per_row(hashes: np.ndarray, row_of: np.ndarray,
     runs = np.diff(np.concatenate([starts, [h.size]]))
     np.maximum.at(out, r[starts], runs)
     return out
+
+
+def normalize_text(ds, text_col: str = "text", out_col: str = "norm",
+                   with_hash: bool = True):
+    """Canonicalize text ahead of exact dedup: lowercase, collapse every
+    whitespace run to one space, trim. Two near-identical crawls of the
+    same page then hash equal, so the standard pre-pass before
+    ``exact_dedup_rows(columns=[out_col])`` catches case/whitespace-only
+    duplicates that byte-exact dedup misses.
+
+    Appends ``out_col`` (string) and, when ``with_hash``, ``norm_hash``
+    (the vectorized 64-bit content hash of the normalized form — the
+    8-byte dedup key, so downstream dedup never re-reads the text).
+    Stateless vectorized map (RE2 kernel, identical regex engine to
+    DuckDB so the oracle uses the same pattern verbatim); no shuffle."""
+    from ..state import hash64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_col), "")
+        # trim plain spaces only (all \s runs were just collapsed to
+        # ' '), matching ANSI/DuckDB trim() exactly
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(col),
+                                       pattern=r"\s+", replacement=" "),
+            characters=" ")
+        batch = _set_col(batch, out_col, norm)
+        if with_hash:
+            h = hash64(norm).view(np.int64)
+            batch = _set_col(batch, "norm_hash", pa.array(h, pa.int64()))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def gopher_quality(ds, text_col: str = "text",

@@ -15,8 +15,8 @@ import pyarrow as pa
 
 from ..state import combine_hashes, hash64
 
-__all__ = ["hash_sample", "stratified_sample", "md5_hex_column",
-           "md5_fraction_threshold"]
+__all__ = ["hash_sample", "stratified_sample", "weighted_hash_sample",
+           "md5_hex_column", "md5_fraction_threshold"]
 
 _D = np.uint64(1 << 32)
 
@@ -78,6 +78,56 @@ def hash_sample(ds, key_columns: list[str], fraction: float, seed: int = 0,
         h = combine_hashes(*[hash64(batch.column(c), seed=seed)
                              for c in key_columns])
         keep = (h % _D) < threshold
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def weighted_hash_sample(ds, key_columns: list[str], weight_col: str,
+                         seed: int = 0, method: str = "hash64"):
+    """Importance sampling: keep each row with probability equal to its
+    ``weight_col`` value (clipped to [0,1]; null weight drops the row),
+    deterministically keyed on ``key_columns`` — e.g. keep long/high-
+    quality documents preferentially while downsampling boilerplate.
+    Same stability guarantees as ``hash_sample``: membership is a pure
+    function of (key, weight), invariant to partitioning and reruns.
+    Stateless map, no shuffle.
+
+    ``method="hash64"`` is the vectorized scale path. ``method="md5"``
+    (single key column) keeps a row iff
+    ``int(md5_hex(key)[:8], 16) < floor(weight * 2^32)`` — replicable in
+    ANSI SQL as ``('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))
+    ::UBIGINT < floor(<weight expr> * 4294967296)`` (DuckDB), which the
+    driver oracle uses."""
+    _D_F = float(_D)
+
+    def _thresholds(batch: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        w = pc.fill_null(batch.column(weight_col), 0.0) \
+            .cast(pa.float64()).to_numpy(zero_copy_only=False)
+        return np.floor(np.clip(w, 0.0, 1.0) * _D_F)
+
+    if method == "md5":
+        if len(key_columns) != 1:
+            raise ValueError("md5 mode samples on exactly one key column")
+        key = key_columns[0]
+
+        def fn_md5(batch: pa.Table) -> pa.Table:
+            thr = _thresholds(batch)
+            hexes = md5_hex_column(batch.column(key)).to_pylist()
+            u = np.array([_D if h is None else int(h[:8], 16)
+                          for h in hexes], np.float64)
+            return batch.filter(pa.array(u < thr))
+
+        return ds.map_batches(fn_md5, batch_format="pyarrow", batch_size=None)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        thr = _thresholds(batch)
+        h = combine_hashes(*[hash64(batch.column(c), seed=seed)
+                             for c in key_columns])
+        # (h mod 2^32) <= 2^32 and thr <= 2^32 are both exact in float64
+        keep = (h % _D).astype(np.float64) < thr
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -240,3 +240,23 @@ def test_common_ngrams_dup_tokens_within_doc(ray_session):
     out = common_ngrams(_ds(df), n=2, min_frac=0.9).to_pandas()
     row = out[out["ngram"] == "x y"].iloc[0]
     assert (row["tf"], row["df"]) == (3, 2)
+
+
+def test_normalize_text(ray_session):
+    """Case/whitespace variants of the same text normalize to the same
+    string and the same 8-byte norm_hash dedup key; distinct texts keep
+    distinct keys; nulls normalize to the empty string."""
+    from feature_fabrica_ray.pipelines import normalize_text
+
+    df = pd.DataFrame({"doc_id": range(5),
+                       "text": ["Hello   World", "  hello\tworld\n",
+                                "HELLO WORLD", "other text", None]})
+    out = normalize_text(_ds(df, blocks=2)).to_pandas().sort_values("doc_id")
+    assert list(out["norm"]) == ["hello world"] * 3 + ["other text", ""]
+    h = list(out["norm_hash"])
+    assert h[0] == h[1] == h[2] and h[3] != h[0]
+    # ready-made dedup key: exact dedup on norm_hash collapses the trio
+    from feature_fabrica_ray.pipelines import exact_dedup_rows
+    dd = exact_dedup_rows(normalize_text(_ds(df, blocks=2)),
+                          ["norm_hash"], tiebreak="doc_id").to_pandas()
+    assert len(dd) == 3 and set(dd["doc_id"]) == {0, 3, 4}

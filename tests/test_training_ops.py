@@ -847,3 +847,57 @@ def test_kmeans_partition_invariant_sizes(ray_session):
     a = kmeans(ray.data.from_pandas(df).repartition(2), k=3, iters=5)
     b = kmeans(ray.data.from_pandas(df).repartition(7), k=3, iters=5)
     assert sorted(a[1].tolist()) == sorted(b[1].tolist())
+
+
+def test_weighted_hash_sample(ray_session):
+    """Keep-probability equals the weight column: weight 0 drops, weight
+    1 keeps, fractional weights select the md5/hash64 sub-uniform draw;
+    membership is partition-invariant and monotone in the weight."""
+    import hashlib
+
+    from feature_fabrica_ray.pipelines import weighted_hash_sample
+
+    n = 3000
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                       "w": np.where(np.arange(n) % 3 == 0, 0.0,
+                            np.where(np.arange(n) % 3 == 1, 1.0, 0.25))})
+    out = weighted_hash_sample(_ds(df, blocks=1), ["k"], "w").to_pandas()
+    out8 = weighted_hash_sample(_ds(df, blocks=8), ["k"], "w").to_pandas()
+    assert sorted(out["k"]) == sorted(out8["k"])        # layout-invariant
+    kept = set(out["k"])
+    assert not any(k % 3 == 0 for k in kept)            # w=0 never kept
+    assert all(k in kept for k in range(n) if k % 3 == 1)  # w=1 always kept
+    frac = sum(1 for k in kept if k % 3 == 2) / (n / 3)
+    assert 0.15 < frac < 0.35                           # ~w for w=0.25
+    # monotone: raising every weight only adds rows
+    df2 = df.assign(w=np.minimum(1.0, df["w"] + 0.25))
+    out2 = weighted_hash_sample(_ds(df2), ["k"], "w").to_pandas()
+    assert kept <= set(out2["k"])
+    # null / out-of-range weights: null drops, >1 clips to 1
+    df3 = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                        "w": [None, 7.5] * 50})
+    out3 = weighted_hash_sample(_ds(df3), ["k"], "w").to_pandas()
+    assert sorted(out3["k"]) == [k for k in range(100) if k % 2 == 1]
+    # md5 mode matches the SQL predicate the sm_weighted oracle uses
+    m = weighted_hash_sample(_ds(df, blocks=4), ["k"], "w",
+                             method="md5").to_pandas()
+    expect = {k for k, w in zip(df["k"], df["w"])
+              if int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+              < np.floor(w * 4294967296.0)}
+    assert set(m["k"]) == expect
+
+
+def test_broadcast_join_semi_anti(ray_session):
+    """'left semi' keeps each matching left row exactly once even when
+    the right side has duplicate keys; 'left anti' keeps the complement;
+    both preserve left columns only."""
+    from feature_fabrica_ray.pipelines import broadcast_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 5], "x": list("abcde")})
+    right = pd.DataFrame({"k": [2, 2, 2, 4], "y": [9, 8, 7, 6]})
+    semi = broadcast_join(_ds(left, blocks=3), right, left_on="k",
+                          right_columns=["k"], how="left semi").to_pandas()
+    assert sorted(semi["k"]) == [2, 4] and list(semi.columns) == ["k", "x"]
+    anti = broadcast_join(_ds(left, blocks=3), right, left_on="k",
+                          right_columns=["k"], how="left anti").to_pandas()
+    assert sorted(anti["k"]) == [1, 3, 5] and list(anti.columns) == ["k", "x"]
