@@ -1231,6 +1231,56 @@ WHERE EXISTS (SELECT 1 FROM orders
 """
 
 
+def q_jn_left(sf_dir: str) -> pd.DataFrame:
+    """Left-outer broadcast join: every lineitem survives, enriched with
+    its order's priority only when that order is 1-URGENT — unmatched
+    rows keep a NULL priority and form their own rollup group (the
+    LEFT JOIN ... GROUP BY shape with a null key, exercised end to end
+    through the partial-aggregate combiner)."""
+    from feature_fabrica_ray.pipelines import broadcast_join
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderpriority"])
+    urgent = orders.filter(expr="o_orderpriority == '1-URGENT'")
+    joined = broadcast_join(li, urgent, left_on="l_orderkey",
+                            right_on="o_orderkey",
+                            right_columns=["o_orderkey", "o_orderpriority"],
+                            how="left outer")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # label the unmatched (NULL-priority) rollup group explicitly so
+        # the null representation never depends on the pandas detour
+        pri = pc.fill_null(batch.column("o_orderpriority"), "(none)")
+        batch = batch.set_column(
+            batch.schema.get_field_index("o_orderpriority"),
+            "o_orderpriority", pri)
+        g = batch.group_by("o_orderpriority").aggregate(
+            [("l_quantity", "count", pc.CountOptions(mode="all")),
+             ("l_quantity", "sum")])
+        return pa.table({"o_orderpriority": g.column("o_orderpriority"),
+                         "cnt": g.column("l_quantity_count").cast(pa.int64()),
+                         "sum_qty": g.column("l_quantity_sum")})
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        cnt=("cnt", "sum"), sum_qty=("sum_qty", "sum"))
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
+_LEFT_ORACLE = """
+SELECT coalesce(o_orderpriority, '(none)') AS o_orderpriority,
+       count(*) AS cnt, sum(l_quantity) AS sum_qty
+FROM lineitem LEFT JOIN (SELECT * FROM orders
+                         WHERE o_orderpriority = '1-URGENT') o
+     ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 def q_jn_shuffle(sf_dir: str) -> pd.DataFrame:
     """Large x large equi-join via Ray Data's native hash join (both
     sides hash-partition on the key — the co-group exchange the
@@ -2344,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jn_shuffle": q_jn_shuffle,
         "jn_anti": q_jn_anti,
         "jn_semi": q_jn_semi,
+        "jn_left": q_jn_left,
         "jn_fuzzy": q_jn_fuzzy,
         "ev_sliding": q_ev_sliding,
         "vl_drift": q_vl_drift,
@@ -2429,6 +2480,7 @@ def oracle_sql() -> dict[str, str]:
         "jn_shuffle": _JOIN_ORACLE,
         "jn_anti": _ANTI_ORACLE,
         "jn_semi": _SEMI_ORACLE,
+        "jn_left": _LEFT_ORACLE,
         "ev_sliding": _SLIDING_ORACLE,
         "ev_cumsum": _CUMSUM_ORACLE,
         "ev_rolling": _ROLLING_ORACLE,
