@@ -412,6 +412,45 @@ GROUP BY lang
 """
 
 
+def q_vl_quantile(sf_dir: str) -> pd.DataFrame:
+    """Declarative quantile_bound checks (checks/suite.py::
+    QuantileBoundCheck): distribution-shape verdicts from the fused
+    pass's mergeable t-digest sketches — no extra pass over the data,
+    recomputed from MERGED digests on checkpointed shards. Bounds sit
+    far from the true quantiles (p50=307, p90=484, p99=538 at sf0.01)
+    so the approximate estimate and the exact SQL verdict always
+    agree on pass/fail."""
+    from feature_fabrica_ray.checks import CheckSuite
+    from feature_fabrica_ray.pipelines import run_suite
+
+    ds = read_codetable(sf_dir, with_sha256=False).map_batches(
+        lambda b: b.append_column(
+            "size_bytes", pc.utf8_length(b.column("content")).cast(pa.int64())),
+        batch_format="pyarrow", batch_size=None)
+    suite = CheckSuite("""
+checks:
+  - {type: quantile_bound, column: size_bytes, q: 0.5, min: 100, max: 500, name: p50_band}
+  - {type: quantile_bound, column: size_bytes, q: 0.9, max: 600, name: p90_cap}
+  - {type: quantile_bound, column: size_bytes, q: 0.99, max: 100, name: p99_cap, severity: warn}
+""")
+    g = run_suite(ds, suite).global_verdicts()
+    out = g[["check", "passed"]].copy().sort_values("check") \
+        .reset_index(drop=True)
+    return out
+
+
+_QUANTILE_ORACLE = CT + """
+SELECT 'p50_band' AS "check",
+       quantile_cont(length(content), 0.5) BETWEEN 100 AND 500 AS passed
+FROM codetable
+UNION ALL
+SELECT 'p90_cap', quantile_cont(length(content), 0.9) <= 600 FROM codetable
+UNION ALL
+SELECT 'p99_cap', quantile_cont(length(content), 0.99) <= 100 FROM codetable
+ORDER BY "check"
+"""
+
+
 def q_vl_content_sha256(sf_dir: str):
     ds = read_codetable(sf_dir, with_sha256=True)
     return _select(ds, ["repo", "path", "commit", "content_sha256"])
@@ -2372,6 +2411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_distinct_repo": q_vl_distinct_repo,
         "vl_stats_sketches": q_vl_stats_sketches,
         "vl_group_stats": q_vl_group_stats,
+        "vl_quantile": q_vl_quantile,
         "ft_math_chain": q_ft_math_chain,
         "ft_fitted_global": q_ft_fitted_global,
         "ft_strings": q_ft_strings,
@@ -2455,6 +2495,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_outliers": _OUTLIERS_ORACLE,
         "vl_stats_size": _STATS_ORACLE,
         "vl_group_stats": _GROUP_STATS_ORACLE,
+        "vl_quantile": _QUANTILE_ORACLE,
         "vl_content_sha256": _SHA_ORACLE,
         "vl_distinct_repo": _DISTINCT_ORACLE,
         # vl_stats_sketches: approximate -> rows-only check (by design)

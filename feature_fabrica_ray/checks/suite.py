@@ -18,6 +18,7 @@ Example spec::
       - {type: unique, columns: [repo, path, commit]}
       - {type: referential, column: repo, parent: repos, parent_column: repo}
       - {type: stats, column: size_bytes, quantiles: [0.5, 0.95], distinct: true}
+      - {type: quantile_bound, column: size_bytes, q: 0.95, max: 4096}
       - {type: drift, column: size_bytes, method: psi, threshold: 0.2}
       - {type: schema, columns: {repo: string, lang: string}}
 """
@@ -32,7 +33,8 @@ from .row_checks import (_ROW_CHECKS, CheckSpecError, RowCheck,
                          build_row_check)
 
 __all__ = ["CheckSuite", "UniqueCheck", "ReferentialCheck", "StatsCheck",
-           "DriftCheck", "SchemaCheck", "FreshnessCheck", "GroupStatsCheck"]
+           "DriftCheck", "SchemaCheck", "FreshnessCheck", "GroupStatsCheck",
+           "QuantileBoundCheck"]
 
 
 @dataclass
@@ -110,6 +112,25 @@ class GroupStatsCheck:
 
 
 @dataclass
+class QuantileBoundCheck:
+    """Distribution-shape bound: the ``q``-quantile of ``column`` must
+    lie within [lo, hi] (e.g. "p95 of content size <= 4 KB"). The
+    estimate comes from the suite's mergeable t-digest sketches, so the
+    check costs no extra pass, works on checkpointed shards (the merger
+    recomputes the quantile from the MERGED digest, never a per-shard
+    max), and stays KB-sized at any data scale. The verdict's ``metric``
+    column carries the estimated quantile. Empty/all-null columns pass
+    with a NaN metric (no evidence of violation)."""
+    name: str
+    column: str
+    q: float = 0.5
+    lo: float = float("-inf")
+    hi: float = float("inf")
+    kind: str = "quantile_bound"
+    severity: str = "error"
+
+
+@dataclass
 class SchemaCheck:
     name: str
     columns: dict[str, str]        # name -> arrow type name (prefix match)
@@ -132,6 +153,7 @@ class CheckSuite:
         self.schema_checks: list[SchemaCheck] = []
         self.freshness_checks: list[FreshnessCheck] = []
         self.group_stats_checks: list[GroupStatsCheck] = []
+        self.quantile_checks: list[QuantileBoundCheck] = []
         for raw in spec:
             self._add(dict(raw))
 
@@ -179,6 +201,19 @@ class CheckSuite:
                 column=raw["column"], group=raw["group"],
                 max_null_rate=float(raw.get("max_null_rate", 0.0)),
                 severity=raw.get("severity", "error")))
+        elif kind == "quantile_bound":
+            if "min" not in raw and "max" not in raw:
+                raise CheckSpecError(
+                    "quantile_bound needs at least one of min:/max:")
+            q = float(raw.get("q", 0.5))
+            if not 0.0 <= q <= 1.0:
+                raise CheckSpecError(f"quantile_bound q must be in [0,1], got {q}")
+            self.quantile_checks.append(QuantileBoundCheck(
+                name=raw.get("name", f"quantile_bound:{raw['column']}@q{q}"),
+                column=raw["column"], q=q,
+                lo=float(raw.get("min", float("-inf"))),
+                hi=float(raw.get("max", float("inf"))),
+                severity=raw.get("severity", "error")))
         elif kind == "schema":
             self.schema_checks.append(SchemaCheck(
                 name=raw.get("name", "schema"), columns=raw["columns"],
@@ -195,4 +230,5 @@ class CheckSuite:
                 + [c.name for c in self.drift_checks]
                 + [c.name for c in self.schema_checks]
                 + [c.name for c in self.freshness_checks]
-                + [c.name for c in self.group_stats_checks])
+                + [c.name for c in self.group_stats_checks]
+                + [c.name for c in self.quantile_checks])

@@ -36,7 +36,9 @@ from .validate import (ValidationResult, drift_metric_from_state,
                        freshness_verdict_from_state,
                        group_stats_verdict_from_state, merge_drift_states,
                        merge_freshness_states, merge_group_stats_states,
-                       merge_sketch_states, run_suite, stats_row_from_state)
+                       merge_quantile_states, merge_sketch_states,
+                       quantile_verdict_from_state, run_suite,
+                       stats_row_from_state)
 
 
 def _encode_state(state: dict) -> dict:
@@ -68,7 +70,8 @@ def _suite_severities(suite: CheckSuite) -> dict[str, str]:
               + suite.unique_checks + suite.drift_checks
               + suite.schema_checks
               + getattr(suite, "freshness_checks", [])
-              + getattr(suite, "group_stats_checks", [])):
+              + getattr(suite, "group_stats_checks", [])
+              + getattr(suite, "quantile_checks", [])):
         sev[c.name] = getattr(c, "severity", "error")
     return sev
 
@@ -206,6 +209,10 @@ def _run_one_shard(shard_id: str, build: Callable, suite: CheckSuite,
         "freshness": res.freshness_state,
         # mergeable per-segment (rows, nulls) counts, same recompute rule
         "group_stats": res.group_stats_state,
+        # mergeable t-digests + bounds: the merger recomputes each
+        # quantile_bound verdict from the MERGED digest
+        "quantile": {name: _encode_state(st)
+                     for name, st in res.quantile_state.items()},
     }
     tmp = os.path.join(sdir, "lineage.json.tmp")
     with open(tmp, "w") as f:
@@ -227,6 +234,7 @@ def merge_results(out_dir: str) -> ValidationResult:
     drift_parts: dict[str, list] = {}
     fresh_parts: dict[str, list] = {}
     gstats_parts: dict[str, list] = {}
+    quantile_parts: dict[str, list] = {}
     thresholds: dict[str, float] = {}
     severities: dict[str, str] = {}
     n_rows = 0
@@ -256,6 +264,8 @@ def merge_results(out_dir: str) -> ValidationResult:
             fresh_parts.setdefault(name, []).append(st)
         for name, st in lin.get("group_stats", {}).items():
             gstats_parts.setdefault(name, []).append(st)
+        for name, st in lin.get("quantile", {}).items():
+            quantile_parts.setdefault(name, []).append(_decode_state(st))
 
     if not verdict_parts:
         empty = pd.DataFrame(columns=["check", "pid", "n_rows", "n_violations",
@@ -300,6 +310,16 @@ def merge_results(out_dir: str) -> ValidationResult:
         merged.loc[sel, "violation_rate"] = v["rate"]
         merged.loc[sel, "metric"] = v["max_lag_s"]
         merged.loc[sel, "passed"] = v["passed"]
+    # quantile_bound verdicts: recompute the quantile from the MERGED
+    # t-digest (a per-shard max of quantile estimates is not the global
+    # quantile; a quantile failure carries n_violations=0 like drift)
+    merged_quant = {name: merge_quantile_states(parts)
+                    for name, parts in quantile_parts.items()}
+    for name, st in merged_quant.items():
+        v = quantile_verdict_from_state(st)
+        sel = merged["check"] == name
+        merged.loc[sel, "metric"] = v["value"]
+        merged.loc[sel, "passed"] = v["passed"]
     # group_stats verdicts: same recompute-from-merged-counts rule (a
     # segment over threshold in one shard may be under it in the union)
     merged_gstats = {name: merge_group_stats_states(parts)
@@ -342,4 +362,5 @@ def merge_results(out_dir: str) -> ValidationResult:
                           for st in merged_state.values()])
     return ValidationResult(verdicts=merged, violations=violations,
                             stats=stats, n_rows=n_rows, digests=digests,
-                            sketch_state=merged_state, drift_state=merged_drift)
+                            sketch_state=merged_state, drift_state=merged_drift,
+                            quantile_state=merged_quant)

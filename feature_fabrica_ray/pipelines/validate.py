@@ -42,7 +42,8 @@ __all__ = ["ValidationResult", "run_suite", "compute_baseline",
            "profile_table", "stats_row_from_state", "merge_sketch_states",
            "drift_metric_from_state", "merge_drift_states",
            "merge_freshness_states", "freshness_verdict_from_state",
-           "merge_group_stats_states", "group_stats_verdict_from_state"]
+           "merge_group_stats_states", "group_stats_verdict_from_state",
+           "merge_quantile_states", "quantile_verdict_from_state"]
 
 _ROWS = "__rows__"
 _SCOPE_PREFIX = "__scope__:"   # per-check in-scope row counts (where:)
@@ -61,6 +62,7 @@ class ValidationResult:
     freshness_state: dict = field(default_factory=dict)  # check -> seg max-ts (us) + spec
     pid_rows: dict = field(default_factory=dict)  # pid -> row count (skew diagnostics)
     group_stats_state: dict = field(default_factory=dict)  # check -> seg (rows, nulls)
+    quantile_state: dict = field(default_factory=dict)  # quantile_bound -> tdigest + bounds
 
     @property
     def passed(self) -> bool:
@@ -261,6 +263,27 @@ def merge_sketch_states(states: list[dict]) -> dict:
     if out.get("quantiles"):
         out["tdigest"] = TDigest.merge_bytes(
             [s["tdigest"] for s in states]).to_bytes()
+    return out
+
+
+def quantile_verdict_from_state(state: dict) -> dict:
+    """Verdict for one quantile_bound check from (merged) t-digest state —
+    the single definition used by both the one-shot runner and the
+    checkpoint shard merger, so merged shards get a quantile recomputed
+    from the MERGED digest (a per-shard max of quantiles is not the
+    global quantile). Empty/all-null data passes with a NaN metric."""
+    val = TDigest.from_bytes(state["tdigest"]).quantile(state["q"])
+    if np.isnan(val):
+        return {"value": float("nan"), "passed": True}
+    return {"value": float(val),
+            "passed": bool(state["lo"] <= val <= state["hi"])}
+
+
+def merge_quantile_states(states: list[dict]) -> dict:
+    """Associatively merge per-shard quantile_bound states."""
+    out = dict(states[0])
+    out["tdigest"] = TDigest.merge_bytes(
+        [s["tdigest"] for s in states]).to_bytes()
     return out
 
 
@@ -497,6 +520,7 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     for gc in getattr(suite, "group_stats_checks", []):
         needed |= {gc.column, gc.group}
     needed |= {c.column for c in suite.stats_checks}
+    needed |= {c.column for c in getattr(suite, "quantile_checks", [])}
     needed |= {c.column for c in suite.drift_checks}
     for uc in suite.unique_checks:
         needed |= set(uc.columns)
@@ -543,7 +567,13 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
         uniq_thread = threading.Thread(target=_run_uniqueness, daemon=True)
         uniq_thread.start()
 
-    stage = _ValidatorStage(row_checks, suite.stats_checks, suite.drift_checks,
+    # quantile_bound checks ride on the stats sketching machinery: each
+    # becomes a synthetic single-quantile StatsCheck in the fused pass
+    # (moments + t-digest partials tagged with the check's name)
+    stage_stats = list(suite.stats_checks) + [
+        StatsCheck(name=qc.name, column=qc.column, quantiles=[qc.q])
+        for qc in getattr(suite, "quantile_checks", [])]
+    stage = _ValidatorStage(row_checks, stage_stats, suite.drift_checks,
                             partition_col, num_partitions, key_columns)
     out = ds.map_batches(stage, batch_format="pyarrow", batch_size=None).materialize()
 
@@ -605,6 +635,21 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
             ).to_bytes()
         sketch_state[sc.name] = state
         stats_rows.append(stats_row_from_state(state))
+
+    # quantile_bound assembly — one merged t-digest per check; the
+    # verdict's metric column carries the estimated quantile
+    quantile_state: dict[str, dict] = {}
+    for qc in getattr(suite, "quantile_checks", []):
+        sel = sketches[sketches["check"] == qc.name]
+        qstate = {"column": qc.column, "q": qc.q, "lo": qc.lo, "hi": qc.hi,
+                  "tdigest": TDigest.merge_bytes(
+                      [bytes(b) for b in
+                       sel[sel["sketch_kind"] == "tdigest"]["payload"]]
+                  ).to_bytes()}
+        quantile_state[qc.name] = qstate
+        v = quantile_verdict_from_state(qstate)
+        verdict_rows.append((qc.name, -1, n_rows_total, 0, 0.0,
+                             v["value"], v["passed"]))
 
     # drift assembly — merged drift STATE is kept (ValidationResult.
     # drift_state) so checkpointed shards can recompute the GLOBAL metric
@@ -732,7 +777,8 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     sev_map = {c.name: getattr(c, "severity", "error") for c in row_checks}
     for group in (suite.unique_checks, suite.drift_checks, suite.schema_checks,
                   getattr(suite, "freshness_checks", []),
-                  getattr(suite, "group_stats_checks", [])):
+                  getattr(suite, "group_stats_checks", []),
+                  getattr(suite, "quantile_checks", [])):
         sev_map.update({c.name: c.severity for c in group})
     verdicts["severity"] = verdicts["check"].map(sev_map).fillna("error")
     stats = pd.DataFrame(stats_rows)
@@ -741,6 +787,7 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
                             sketch_state=sketch_state, drift_state=drift_state,
                             freshness_state=freshness_state,
                             group_stats_state=group_stats_state,
+                            quantile_state=quantile_state,
                             pid_rows={int(p): int(n)
                                       for p, n in rows_per_pid.items()},
                             baselines={dc.name: dc.baseline for dc in suite.drift_checks})

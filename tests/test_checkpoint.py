@@ -245,3 +245,49 @@ def test_parallel_shards_equal_sequential(ray_session, out_dir):
     a = seq.verdicts.sort_values(["check", "pid"]).reset_index(drop=True)
     b = par.verdicts.sort_values(["check", "pid"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_merge_quantile_bound_from_merged_digest(ray_session, out_dir):
+    """Sharded quantile_bound verdicts must come from the MERGED t-digest:
+    shard 1 holds the small half and shard 2 the large half of the data,
+    so each shard's own p90 is far from the global p90 — the merged
+    verdict must match the unsharded run's metric and pass/fail."""
+    from feature_fabrica_ray.state import hash64
+
+    suite_yaml = """
+checks:
+  - {type: quantile_bound, column: size_bytes, q: 0.9, min: 1, name: p90_floor}
+  - {type: quantile_bound, column: size_bytes, q: 0.9, max: 2, name: p90_cap}
+"""
+
+    def make_shard(k):
+        def build():
+            def f(b):
+                import numpy as np
+                sz = pc.utf8_length(b.column("content")).cast(pa.int64())
+                b = b.append_column("size_bytes", sz)
+                med = 40  # split around a mid value, not row hash
+                keep = pc.less(sz, med) if k == 0 else pc.greater_equal(sz, med)
+                return b.filter(keep)
+            return read_codetable(SF).map_batches(f, batch_format="pyarrow",
+                                                  batch_size=None)
+        return build
+
+    shards = {f"{k}": make_shard(k) for k in range(2)}
+    merged = validate_resumable(shards, CheckSuite(suite_yaml), out_dir,
+                                num_partitions=8)["result"]
+    full_ds = read_codetable(SF).map_batches(
+        lambda b: b.append_column(
+            "size_bytes", pc.utf8_length(b.column("content")).cast(pa.int64())),
+        batch_format="pyarrow", batch_size=None)
+    full = run_suite(full_ds, CheckSuite(suite_yaml), num_partitions=8)
+    g = merged.verdicts[merged.verdicts["pid"] == -1].set_index("check")
+    gf = full.global_verdicts().set_index("check")
+    for name in ("p90_floor", "p90_cap"):
+        assert g.loc[name, "metric"] == pytest.approx(
+            gf.loc[name, "metric"], rel=0.05)
+        assert bool(g.loc[name, "passed"]) == bool(gf.loc[name, "passed"])
+    # the global p90 is way above 2 -> cap must FAIL even though neither
+    # per-shard estimate is authoritative
+    assert not bool(g.loc["p90_cap", "passed"])
+    assert bool(g.loc["p90_floor", "passed"])

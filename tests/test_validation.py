@@ -763,3 +763,47 @@ def test_uniqueness_ds_form_equals_collected(ray_session):
     key = ["repo", "path", "commit"]
     assert sorted(map(tuple, a[key].values.tolist())) == \
         sorted(map(tuple, b[key].values.tolist()))
+
+
+def test_quantile_bound_check(ray_session):
+    """Declarative distribution-shape bound: p95/p50 of a known uniform
+    distribution judged against [min, max] from the suite's merged
+    t-digest; warn severity reports but never gates; a spec without
+    bounds is rejected."""
+    import ray
+
+    from feature_fabrica_ray.checks import CheckSpecError
+
+    df = pd.DataFrame({"v": np.arange(1.0, 1001.0),
+                       "k": ["a", "b"] * 500})
+    ds = ray.data.from_pandas(df).repartition(4)
+    suite = CheckSuite("""
+checks:
+  - {type: quantile_bound, column: v, q: 0.95, max: 990, name: p95_ok}
+  - {type: quantile_bound, column: v, q: 0.95, max: 100, name: p95_bad, severity: warn}
+  - {type: quantile_bound, column: v, q: 0.5, min: 400, max: 600, name: p50_band}
+""")
+    res = run_suite(ds, suite, partition_col="k", num_partitions=4)
+    g = res.global_verdicts().set_index("check")
+    assert bool(g.loc["p95_ok", "passed"])
+    assert abs(g.loc["p95_ok", "metric"] - 950.0) < 25     # estimate ~p95
+    assert not bool(g.loc["p95_bad", "passed"])
+    assert bool(g.loc["p50_band", "passed"])
+    assert res.passed                                      # warn doesn't gate
+    # error severity on a failing bound gates the suite
+    bad = CheckSuite(
+        "checks:\n  - {type: quantile_bound, column: v, q: 0.95, max: 100}")
+    assert not run_suite(ds, bad, partition_col="k", num_partitions=4).passed
+    with pytest.raises(CheckSpecError):
+        CheckSuite("checks:\n  - {type: quantile_bound, column: v, q: 0.5}")
+    with pytest.raises(CheckSpecError):
+        CheckSuite("checks:\n  - {type: quantile_bound, column: v, q: 1.5, max: 1}")
+    # all-null column: passes with NaN metric (no evidence of violation)
+    dfn = pd.DataFrame({"v": pd.array([None] * 50, dtype="float64"),
+                        "k": ["a"] * 50})
+    rn = run_suite(ray.data.from_pandas(dfn),
+                   CheckSuite("checks:\n"
+                              "  - {type: quantile_bound, column: v, q: 0.9, max: 10, name: qn}"),
+                   partition_col="k", num_partitions=2)
+    gn = rn.global_verdicts().set_index("check")
+    assert bool(gn.loc["qn", "passed"]) and np.isnan(gn.loc["qn", "metric"])
