@@ -2147,6 +2147,39 @@ GROUP BY lang
 """
 
 
+def q_agg_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot / long-to-wide conditional aggregation
+    (pipelines/grouped.pivot_agg): events per day x event_type, one
+    count column per type — SQL's COUNT(CASE WHEN ...) GROUP BY shape,
+    executed as per-block conditional partials + one keyed shuffle of
+    |days x blocks| partial rows."""
+    from feature_fabrica_ray.pipelines import pivot_agg
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "day", pc.strftime(batch.column("ts"), format="%Y-%m-%d"))
+
+    ds = ds.map_batches(add_day, batch_format="pyarrow", batch_size=None)
+    out = pivot_agg(ds, "day", "event_type", None, values=types,
+                    agg="count")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+_PIVOT_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click_count,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error_count,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_count,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_agg_rollup(sf_dir: str) -> pd.DataFrame:
     """GROUP BY ROLLUP (lang, source): one finest-level combiner pass +
     one keyed shuffle; every coarser level derived from the merged
@@ -2476,6 +2509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_distinct_hll": q_agg_distinct_hll,
         "agg_rollup": q_agg_rollup,
         "agg_cube": q_agg_cube,
+        "agg_pivot": q_agg_pivot,
         "pr_histogram": q_pr_histogram,
         "pr_correlation": q_pr_correlation,
         "pr_lineitem": q_pr_lineitem,
@@ -2529,6 +2563,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_distinct_group": _DISTINCT_GROUP_ORACLE,
         "agg_rollup": _ROLLUP_ORACLE,
         "agg_cube": _CUBE_ORACLE,
+        "agg_pivot": _PIVOT_ORACLE,
         "pr_histogram": _HISTOGRAM_ORACLE,
         "ta_textstats": _TEXTSTATS_ORACLE,
         "ta_quality": _QUALITY_ORACLE,

@@ -13,7 +13,8 @@ from .events import (cumulative_agg, extract_json_int, lag_lead,
                      tumbling_window_agg)
 from .grouped import (approx_distinct_per_group, distinct_count_per_group,
                       freshness_check, grouped_correlation, grouped_outliers,
-                      grouped_stats, histogram_fixed, rollup_agg, cube_agg)
+                      grouped_stats, histogram_fixed, pivot_agg, rollup_agg,
+                      cube_agg)
 from .drift_actor import DriftSketchActor, drift_report
 from .join import broadcast_join, broadcast_range_join, shuffle_join
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
@@ -63,4 +64,4 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "common_ngrams", "group_quantiles", "pack_sequences", "kmeans", "kmeans_assign",
            "rolling_agg", "distinct_count_per_group", "rollup_agg",
            "histogram_fixed", "grouped_stats", "lag_lead",
-           "weighted_hash_sample", "normalize_text"]
+           "weighted_hash_sample", "normalize_text", "pivot_agg"]

@@ -36,7 +36,8 @@ def _with_shuffle_key(t: pa.Table, key_col: str) -> pa.Table:
 
 __all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
            "grouped_stats", "freshness_check", "grouped_outliers",
-           "grouped_correlation", "approx_distinct_per_group", "cube_agg"]
+           "grouped_correlation", "approx_distinct_per_group", "cube_agg",
+           "pivot_agg"]
 
 
 def distinct_count_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -149,6 +150,62 @@ def histogram_fixed(ds, col: str, lo: int, width: int,
     out = out[out["n"] > 0]
     out["n"] = out["n"].astype("int64")
     return out.sort_values("bin").reset_index(drop=True)
+
+
+def pivot_agg(ds, key_col: str, pivot_col: str, value_col: str | None,
+              values: list, agg: str = "sum") -> pd.DataFrame:
+    """Pivot (long -> wide conditional aggregation): one output row per
+    ``key_col`` value, one ``<v>_<agg>`` column per entry of ``values``
+    holding ``agg(value_col)`` over the rows where ``pivot_col == v`` —
+    SQL's ``SUM(CASE WHEN pivot = v THEN value END) ... GROUP BY key``.
+
+    ``values`` is the spec-time column set (dimension-sized, like
+    sampling strata or one-hot vocabularies — pivot columns must be
+    known to build a stable schema); rows with unlisted pivot values
+    are ignored. ``agg``: 'sum' | 'count'. Cells with no matching rows
+    are 0 (COALESCE semantics).
+
+    Algebraic combiner shape: each block collapses to one row per key
+    holding conditional partials (vectorized ``if_else`` + one Arrow
+    ``group_by`` per block — no per-value scan of the batch), then one
+    keyed shuffle of those |keys x blocks| partial rows and an exact
+    per-key merge. Null keys form their own group.
+    """
+    if agg not in ("sum", "count"):
+        raise ValueError(f"agg must be 'sum' or 'count', got {agg!r}")
+    if agg == "sum" and value_col is None:
+        raise ValueError("agg='sum' needs a value_col (count does not)")
+    names = [f"{v}_{agg}" for v in values]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pv = batch.column(pivot_col)
+        val = batch.column(value_col) if value_col is not None else None
+        cols = {key_col: batch.column(key_col)}
+        for v, name in zip(values, names):
+            mask = pc.equal(pv, v)
+            if agg == "count":
+                cols[name] = pc.cast(pc.fill_null(mask, False), pa.int64())
+            else:
+                cols[name] = pc.if_else(pc.fill_null(mask, False), val,
+                                        pa.scalar(0.0, pa.float64()))
+        g = pa.table(cols).group_by([key_col]).aggregate(
+            [(n, "sum") for n in names])
+        out = {key_col: g.column(key_col)}
+        for n in names:
+            out[n] = g.column(f"{n}_sum")
+        return _with_shuffle_key(pa.table(out), key_col)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        row = {key_col: [df[key_col].iloc[0]]}
+        for n in names:
+            s = df[n].sum()
+            row[n] = np.array([s], np.int64) if agg == "count" else [float(s)]
+        return pd.DataFrame(row)
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("__gkey", num_partitions=shuffle_partitions())
+            .map_groups(per_key, batch_format="pandas")
+            .to_pandas())
 
 
 def grouped_stats(ds, group_col: str, col: str,

@@ -807,3 +807,43 @@ checks:
                    partition_col="k", num_partitions=2)
     gn = rn.global_verdicts().set_index("check")
     assert bool(gn.loc["qn", "passed"]) and np.isnan(gn.loc["qn", "metric"])
+
+
+def test_pivot_agg(ray_session):
+    """Pivot matches pandas pivot_table exactly on integer-valued data:
+    sum and count aggs, null keys form their own group, unlisted pivot
+    values are ignored, empty cells are 0, layout-invariant."""
+    import ray
+
+    from feature_fabrica_ray.pipelines import pivot_agg
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", None], 400),
+        "p": rng.choice(["x", "y", "z", "other"], 400),
+        "v": rng.randint(0, 50, 400).astype("float64")})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = pivot_agg(ds, "k", "p", "v", values=["x", "y", "z"], agg="sum") \
+        .sort_values("k", na_position="last").reset_index(drop=True)
+    exp = (df.groupby("k", dropna=False)
+             .apply(lambda g: pd.Series(
+                 {f"{v}_sum": g.loc[g["p"] == v, "v"].sum()
+                  for v in ["x", "y", "z"]}), include_groups=False)
+             .reset_index().sort_values("k", na_position="last")
+             .reset_index(drop=True))
+    for v in ["x", "y", "z"]:
+        assert out[f"{v}_sum"].tolist() == exp[f"{v}_sum"].tolist()
+    cnt = pivot_agg(ds, "k", "p", None, values=["x", "y"], agg="count")
+    exp_c = df.groupby("k", dropna=False).apply(
+        lambda g: int((g["p"] == "x").sum()), include_groups=False)
+    got_c = {("\0null" if pd.isna(r["k"]) else r["k"]): r["x_count"]
+             for _, r in cnt.iterrows()}
+    for k, v in exp_c.items():
+        kk = "\0null" if pd.isna(k) else k
+        assert got_c[kk] == v
+    b = pivot_agg(ray.data.from_pandas(df).repartition(11), "k", "p", "v",
+                  values=["x", "y", "z"], agg="sum")
+    assert sorted(map(tuple, b.fillna("~").to_numpy().tolist())) == \
+           sorted(map(tuple, out.fillna("~").to_numpy().tolist()))
+    with pytest.raises(ValueError):
+        pivot_agg(ds, "k", "p", None, values=["x"], agg="sum")
