@@ -1518,6 +1518,33 @@ FROM documents
 """
 
 
+def q_ta_codestats(sf_dir: str):
+    """Per-file line metrics over the source-code table
+    (pipelines/textstats.code_line_stats): line count / longest line /
+    non-empty lines — the code-corpus quality signals (minified or
+    generated files have huge max_line_len) — computed in ONE vectorized
+    newline scan of the flat utf8 buffer, no per-row Python."""
+    from feature_fabrica_ray.pipelines import code_line_stats
+
+    ds = read_codetable(sf_dir, with_sha256=False)
+    out = code_line_stats(ds, text_col="content")
+    return _select(out, ["repo", "path", "commit", "n_lines",
+                         "max_line_len", "n_nonempty_lines"])
+
+
+_CODESTATS_ORACLE = CT + """
+SELECT repo, path, "commit",
+       CAST(len(string_split(coalesce(content, ''), chr(10))) AS BIGINT)
+           AS n_lines,
+       CAST(coalesce(list_max(list_transform(
+                string_split(coalesce(content, ''), chr(10)),
+                x -> strlen(x))), 0) AS BIGINT) AS max_line_len,
+       CAST(len(list_filter(string_split(coalesce(content, ''), chr(10)),
+                x -> strlen(x) > 0)) AS BIGINT) AS n_nonempty_lines
+FROM codetable
+"""
+
+
 def q_ta_gopher(sf_dir: str):
     """Gopher-style quality metrics + pass flag over documents."""
     from feature_fabrica_ray.pipelines import gopher_quality
@@ -2476,6 +2503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_langid_fingerprint": q_ta_langid_fingerprint,
         "ta_redact": q_ta_redact,
         "ta_normalize": q_ta_normalize,
+        "ta_codestats": q_ta_codestats,
         "ta_gopher": q_ta_gopher,
         "ta_repetition": q_ta_repetition,
         "ta_common_ngrams": q_ta_common_ngrams,
@@ -2570,6 +2598,7 @@ def oracle_sql() -> dict[str, str]:
         # ta_langid_fingerprint: heuristic -> rows-only (pytest goldens)
         "ta_redact": _REDACT_ORACLE,
         "ta_normalize": _NORMALIZE_ORACLE,
+        "ta_codestats": _CODESTATS_ORACLE,
         "ta_gopher": _GOPHER_ORACLE,
         "ta_repetition": _REPETITION_ORACLE,
         "ta_common_ngrams": _COMMON_NGRAMS_ORACLE,

@@ -31,7 +31,7 @@ from .similarity import (cosine_topk, fit_centroids, fit_pca,
                          ivf_topk, kmeans, kmeans_assign,
                          normalize_embeddings, pca_project)
 from .textstats import (add_fingerprint, add_lang_id, add_quality,
-                        chunk_documents,
+                        chunk_documents, code_line_stats,
                         text_stats, tfidf_top_terms, token_counts)
 from .topk import topk_per_group
 from .uniqueness import uniqueness_violations, uniqueness_violations_ds
@@ -64,4 +64,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "common_ngrams", "group_quantiles", "pack_sequences", "kmeans", "kmeans_assign",
            "rolling_agg", "distinct_count_per_group", "rollup_agg",
            "histogram_fixed", "grouped_stats", "lag_lead",
-           "weighted_hash_sample", "normalize_text", "pivot_agg"]
+           "weighted_hash_sample", "normalize_text", "pivot_agg",
+           "code_line_stats"]

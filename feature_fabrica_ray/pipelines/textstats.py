@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 
 __all__ = ["text_stats", "add_quality", "add_lang_id", "add_fingerprint",
            "kgram_hashes", "token_hashes", "token_counts", "tfidf_top_terms",
-           "chunk_documents"]
+           "chunk_documents", "code_line_stats"]
 
 _B = np.uint64(1099511628211)          # FNV prime as polynomial base
 _TOKEN_RE = r"\S+"
@@ -111,6 +111,49 @@ def token_hashes(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 # stats / quality
 # ---------------------------------------------------------------------------
+
+
+def code_line_stats(ds, text_col: str = "content"):
+    """Per-file line metrics for source-code tables: ``n_lines``
+    (SQL ``string_split(s, \\n)`` semantics — empty/null text is one
+    empty line, a trailing newline adds a final empty line),
+    ``max_line_len`` and ``n_nonempty_lines`` (lengths in BYTES, ==
+    chars for ASCII sources; DuckDB ``strlen``).
+
+    Fully vectorized, zero shuffle: ONE newline scan of the batch's
+    flat utf8 buffer; every line of every row becomes a (start, end)
+    segment by pairing the sorted line starts (row starts + newline+1
+    positions) with the sorted line ends (newline positions + row
+    ends) — segments of consecutive rows meet only at boundary points,
+    so the i-th smallest start always pairs with the i-th smallest end.
+    Per-row max/count reduce via ``reduceat`` on the row-major
+    segments. No per-row Python."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        buf, off = _flat_utf8(col)
+        n = len(off) - 1
+        nl = np.flatnonzero(buf == 10)
+        nl = nl[(nl >= off[0]) & (nl < off[-1])]
+        n_nl = np.bincount(np.searchsorted(off[1:], nl, side="right"),
+                           minlength=n).astype(np.int64)
+        counts = n_nl + 1                    # lines per row (>= 1)
+        starts = np.sort(np.concatenate([off[:-1], nl + 1]))
+        ends = np.sort(np.concatenate([nl, off[1:]]))
+        line_len = ends - starts
+        row_first = np.cumsum(counts) - counts
+        max_len = np.maximum.reduceat(line_len, row_first) if n else \
+            np.zeros(0, np.int64)
+        line_row = np.repeat(np.arange(n, dtype=np.int64), counts)
+        nonempty = np.bincount(line_row[line_len > 0],
+                               minlength=n).astype(np.int64)
+        batch = _set_col(batch, "n_lines", pa.array(counts, pa.int64()))
+        batch = _set_col(batch, "max_line_len", pa.array(max_len, pa.int64()))
+        batch = _set_col(batch, "n_nonempty_lines",
+                         pa.array(nonempty, pa.int64()))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def _set_col(batch: pa.Table, name: str, arr) -> pa.Table:

@@ -901,3 +901,27 @@ def test_broadcast_join_semi_anti(ray_session):
     anti = broadcast_join(_ds(left, blocks=3), right, left_on="k",
                           right_columns=["k"], how="left anti").to_pandas()
     assert sorted(anti["k"]) == [1, 3, 5] and list(anti.columns) == ["k", "x"]
+
+
+def test_code_line_stats(ray_session):
+    """SQL string_split semantics: empty/null text is one empty line, a
+    trailing newline adds a final empty line; max/nonempty per row from
+    the single flat-buffer scan match a per-row python reference."""
+    from feature_fabrica_ray.pipelines import code_line_stats
+
+    texts = ["ab\nc", "", None, "x\n", "\n\n", "one line",
+             "a\n\nbb\nccc\n", "\nlead", "t\nmid\n\nend"]
+    df = pd.DataFrame({"i": range(len(texts)), "content": texts})
+    out = code_line_stats(_ds(df, blocks=3), text_col="content") \
+        .to_pandas().sort_values("i").reset_index(drop=True)
+
+    def ref(s):
+        lines = (s or "").split("\n")
+        return (len(lines), max(len(x) for x in lines),
+                sum(1 for x in lines if x))
+
+    for i, s in enumerate(texts):
+        exp = ref(s)
+        got = (int(out.loc[i, "n_lines"]), int(out.loc[i, "max_line_len"]),
+               int(out.loc[i, "n_nonempty_lines"]))
+        assert got == exp, (i, s, got, exp)
