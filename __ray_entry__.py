@@ -1529,7 +1529,8 @@ def q_ta_codestats(sf_dir: str):
     ds = read_codetable(sf_dir, with_sha256=False)
     out = code_line_stats(ds, text_col="content")
     return _select(out, ["repo", "path", "commit", "n_lines",
-                         "max_line_len", "n_nonempty_lines"])
+                         "max_line_len", "n_nonempty_lines",
+                         "n_comment_lines"])
 
 
 _CODESTATS_ORACLE = CT + """
@@ -1540,7 +1541,10 @@ SELECT repo, path, "commit",
                 string_split(coalesce(content, ''), chr(10)),
                 x -> strlen(x))), 0) AS BIGINT) AS max_line_len,
        CAST(len(list_filter(string_split(coalesce(content, ''), chr(10)),
-                x -> strlen(x) > 0)) AS BIGINT) AS n_nonempty_lines
+                x -> strlen(x) > 0)) AS BIGINT) AS n_nonempty_lines,
+       CAST(len(list_filter(string_split(coalesce(content, ''), chr(10)),
+                x -> regexp_matches(x, '^[ \t]*(#|//)')))
+            AS BIGINT) AS n_comment_lines
 FROM codetable
 """
 

@@ -113,12 +113,15 @@ def token_hashes(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def code_line_stats(ds, text_col: str = "content"):
+def code_line_stats(ds, text_col: str = "content",
+                    comment_prefixes: tuple = ("#", "//")):
     """Per-file line metrics for source-code tables: ``n_lines``
     (SQL ``string_split(s, \\n)`` semantics — empty/null text is one
     empty line, a trailing newline adds a final empty line),
-    ``max_line_len`` and ``n_nonempty_lines`` (lengths in BYTES, ==
-    chars for ASCII sources; DuckDB ``strlen``).
+    ``max_line_len``, ``n_nonempty_lines`` (lengths in BYTES, ==
+    chars for ASCII sources; DuckDB ``strlen``) and
+    ``n_comment_lines`` (lines whose first non-space/tab bytes are one
+    of ``comment_prefixes`` — SQL ``regexp_matches(x, '^[ \\t]*(#|//)')``).
 
     Fully vectorized, zero shuffle: ONE newline scan of the batch's
     flat utf8 buffer; every line of every row becomes a (start, end)
@@ -147,10 +150,36 @@ def code_line_stats(ds, text_col: str = "content"):
         line_row = np.repeat(np.arange(n, dtype=np.int64), counts)
         nonempty = np.bincount(line_row[line_len > 0],
                                minlength=n).astype(np.int64)
+
+        # comment lines: the first non-space/tab byte(s) of each line.
+        # Vectorized skip-indent: positions of all non-[ \t] bytes, then
+        # one searchsorted gives each line's first such position.
+        ns = np.flatnonzero((buf != 32) & (buf != 9))
+        if ns.size:
+            idx = np.searchsorted(ns, starts)
+            first = np.where(idx < ns.size, ns[np.minimum(idx, ns.size - 1)],
+                             np.int64(buf.size))
+        else:
+            first = np.full(starts.size, buf.size, np.int64)
+        has_body = first < ends                  # a non-indent byte in-line
+        is_comment = np.zeros(starts.size, bool)
+        pos = first[has_body]
+        for p in comment_prefixes:
+            pb = p.encode()
+            ok = np.ones(pos.size, bool)
+            for j, byte in enumerate(pb):
+                pj = pos + j
+                ok &= (pj < ends[has_body]) & (buf[np.minimum(pj, buf.size - 1)] == byte)
+            is_comment[has_body] |= ok
+        n_comment = np.bincount(line_row[is_comment],
+                                minlength=n).astype(np.int64)
+
         batch = _set_col(batch, "n_lines", pa.array(counts, pa.int64()))
         batch = _set_col(batch, "max_line_len", pa.array(max_len, pa.int64()))
         batch = _set_col(batch, "n_nonempty_lines",
                          pa.array(nonempty, pa.int64()))
+        batch = _set_col(batch, "n_comment_lines",
+                         pa.array(n_comment, pa.int64()))
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

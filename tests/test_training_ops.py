@@ -910,18 +910,24 @@ def test_code_line_stats(ray_session):
     from feature_fabrica_ray.pipelines import code_line_stats
 
     texts = ["ab\nc", "", None, "x\n", "\n\n", "one line",
-             "a\n\nbb\nccc\n", "\nlead", "t\nmid\n\nend"]
+             "a\n\nbb\nccc\n", "\nlead", "t\nmid\n\nend",
+             "# c\n  # ind\n\t// tab\ncode # not\n   / half\n#",
+             "  \n //x\n/ /no"]
     df = pd.DataFrame({"i": range(len(texts)), "content": texts})
     out = code_line_stats(_ds(df, blocks=3), text_col="content") \
         .to_pandas().sort_values("i").reset_index(drop=True)
 
+    import re
+
     def ref(s):
         lines = (s or "").split("\n")
         return (len(lines), max(len(x) for x in lines),
-                sum(1 for x in lines if x))
+                sum(1 for x in lines if x),
+                sum(1 for x in lines if re.match(r"^[ \t]*(#|//)", x)))
 
     for i, s in enumerate(texts):
         exp = ref(s)
         got = (int(out.loc[i, "n_lines"]), int(out.loc[i, "max_line_len"]),
-               int(out.loc[i, "n_nonempty_lines"]))
+               int(out.loc[i, "n_nonempty_lines"]),
+               int(out.loc[i, "n_comment_lines"]))
         assert got == exp, (i, s, got, exp)
