@@ -451,6 +451,40 @@ ORDER BY "check"
 """
 
 
+def q_vl_distinct_bound(sf_dir: str) -> pd.DataFrame:
+    """Declarative cardinality expectations (checks/suite.py::
+    DistinctBoundCheck): distinct-count verdicts from the fused pass's
+    mergeable HLL sketches — no extra pass, recomputed from MERGED
+    sketches on checkpointed shards. Bounds sit far from the true
+    cardinalities (38 repos, 5 langs at sf0.01) so the <=0.82%-error
+    estimate and the exact SQL verdict always agree on pass/fail."""
+    from feature_fabrica_ray.checks import CheckSuite
+    from feature_fabrica_ray.pipelines import run_suite
+
+    suite = CheckSuite("""
+checks:
+  - {type: distinct_bound, column: repo, min: 10, max: 1000, name: repo_card}
+  - {type: distinct_bound, column: lang, max: 64, name: lang_card}
+  - {type: distinct_bound, column: lang, min: 1000, name: lang_card_floor, severity: warn}
+""")
+    g = run_suite(read_codetable(sf_dir, with_sha256=False),
+                  suite).global_verdicts()
+    return g[["check", "passed"]].copy().sort_values("check") \
+        .reset_index(drop=True)
+
+
+_DISTINCT_BOUND_ORACLE = CT + """
+SELECT 'lang_card' AS "check",
+       count(DISTINCT lang) <= 64 AS passed FROM codetable
+UNION ALL
+SELECT 'lang_card_floor', count(DISTINCT lang) >= 1000 FROM codetable
+UNION ALL
+SELECT 'repo_card',
+       count(DISTINCT repo) BETWEEN 10 AND 1000 FROM codetable
+ORDER BY "check"
+"""
+
+
 def q_vl_content_sha256(sf_dir: str):
     ds = read_codetable(sf_dir, with_sha256=True)
     return _select(ds, ["repo", "path", "commit", "content_sha256"])
@@ -2476,6 +2510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_stats_sketches": q_vl_stats_sketches,
         "vl_group_stats": q_vl_group_stats,
         "vl_quantile": q_vl_quantile,
+        "vl_distinct_bound": q_vl_distinct_bound,
         "ft_math_chain": q_ft_math_chain,
         "ft_fitted_global": q_ft_fitted_global,
         "ft_strings": q_ft_strings,
@@ -2562,6 +2597,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_stats_size": _STATS_ORACLE,
         "vl_group_stats": _GROUP_STATS_ORACLE,
         "vl_quantile": _QUANTILE_ORACLE,
+        "vl_distinct_bound": _DISTINCT_BOUND_ORACLE,
         "vl_content_sha256": _SHA_ORACLE,
         "vl_distinct_repo": _DISTINCT_ORACLE,
         # vl_stats_sketches: approximate -> rows-only check (by design)

@@ -19,6 +19,7 @@ Example spec::
       - {type: referential, column: repo, parent: repos, parent_column: repo}
       - {type: stats, column: size_bytes, quantiles: [0.5, 0.95], distinct: true}
       - {type: quantile_bound, column: size_bytes, q: 0.95, max: 4096}
+      - {type: distinct_bound, column: lang, min: 2, max: 50}
       - {type: drift, column: size_bytes, method: psi, threshold: 0.2}
       - {type: schema, columns: {repo: string, lang: string}}
 """
@@ -34,7 +35,7 @@ from .row_checks import (_ROW_CHECKS, CheckSpecError, RowCheck,
 
 __all__ = ["CheckSuite", "UniqueCheck", "ReferentialCheck", "StatsCheck",
            "DriftCheck", "SchemaCheck", "FreshnessCheck", "GroupStatsCheck",
-           "QuantileBoundCheck"]
+           "QuantileBoundCheck", "DistinctBoundCheck"]
 
 
 @dataclass
@@ -131,6 +132,23 @@ class QuantileBoundCheck:
 
 
 @dataclass
+class DistinctBoundCheck:
+    """Cardinality expectation: the number of distinct values of
+    ``column`` must lie within [lo, hi] (e.g. "lang has 5-40 distinct
+    values", "event_type has exactly 5"). Estimated from the suite's
+    mergeable HyperLogLog sketches (<=0.82% rel. error at 2^14
+    registers) — no extra pass, KB-sized at any scale, recomputed from
+    the MERGED sketch on checkpointed shards. ``metric`` carries the
+    estimate; bounds should leave margin for the HLL error."""
+    name: str
+    column: str
+    lo: float = 0.0
+    hi: float = float("inf")
+    kind: str = "distinct_bound"
+    severity: str = "error"
+
+
+@dataclass
 class SchemaCheck:
     name: str
     columns: dict[str, str]        # name -> arrow type name (prefix match)
@@ -154,6 +172,7 @@ class CheckSuite:
         self.freshness_checks: list[FreshnessCheck] = []
         self.group_stats_checks: list[GroupStatsCheck] = []
         self.quantile_checks: list[QuantileBoundCheck] = []
+        self.distinct_checks: list[DistinctBoundCheck] = []
         for raw in spec:
             self._add(dict(raw))
 
@@ -214,6 +233,16 @@ class CheckSuite:
                 lo=float(raw.get("min", float("-inf"))),
                 hi=float(raw.get("max", float("inf"))),
                 severity=raw.get("severity", "error")))
+        elif kind == "distinct_bound":
+            if "min" not in raw and "max" not in raw:
+                raise CheckSpecError(
+                    "distinct_bound needs at least one of min:/max:")
+            self.distinct_checks.append(DistinctBoundCheck(
+                name=raw.get("name", f"distinct_bound:{raw['column']}"),
+                column=raw["column"],
+                lo=float(raw.get("min", 0.0)),
+                hi=float(raw.get("max", float("inf"))),
+                severity=raw.get("severity", "error")))
         elif kind == "schema":
             self.schema_checks.append(SchemaCheck(
                 name=raw.get("name", "schema"), columns=raw["columns"],
@@ -231,4 +260,5 @@ class CheckSuite:
                 + [c.name for c in self.schema_checks]
                 + [c.name for c in self.freshness_checks]
                 + [c.name for c in self.group_stats_checks]
-                + [c.name for c in self.quantile_checks])
+                + [c.name for c in self.quantile_checks]
+                + [c.name for c in self.distinct_checks])

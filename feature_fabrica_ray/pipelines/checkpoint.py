@@ -36,6 +36,7 @@ from .validate import (ValidationResult, drift_metric_from_state,
                        freshness_verdict_from_state,
                        group_stats_verdict_from_state, merge_drift_states,
                        merge_freshness_states, merge_group_stats_states,
+                       distinct_verdict_from_state, merge_distinct_states,
                        merge_quantile_states, merge_sketch_states,
                        quantile_verdict_from_state, run_suite,
                        stats_row_from_state)
@@ -71,7 +72,8 @@ def _suite_severities(suite: CheckSuite) -> dict[str, str]:
               + suite.schema_checks
               + getattr(suite, "freshness_checks", [])
               + getattr(suite, "group_stats_checks", [])
-              + getattr(suite, "quantile_checks", [])):
+              + getattr(suite, "quantile_checks", [])
+              + getattr(suite, "distinct_checks", [])):
         sev[c.name] = getattr(c, "severity", "error")
     return sev
 
@@ -213,6 +215,10 @@ def _run_one_shard(shard_id: str, build: Callable, suite: CheckSuite,
         # quantile_bound verdict from the MERGED digest
         "quantile": {name: _encode_state(st)
                      for name, st in res.quantile_state.items()},
+        # mergeable HLLs + bounds: distinct counts do NOT add across
+        # shards, the merger recomputes from the MERGED sketch
+        "distinct_bound": {name: _encode_state(st)
+                           for name, st in res.distinct_state.items()},
     }
     tmp = os.path.join(sdir, "lineage.json.tmp")
     with open(tmp, "w") as f:
@@ -235,6 +241,7 @@ def merge_results(out_dir: str) -> ValidationResult:
     fresh_parts: dict[str, list] = {}
     gstats_parts: dict[str, list] = {}
     quantile_parts: dict[str, list] = {}
+    distinct_parts: dict[str, list] = {}
     thresholds: dict[str, float] = {}
     severities: dict[str, str] = {}
     n_rows = 0
@@ -266,6 +273,8 @@ def merge_results(out_dir: str) -> ValidationResult:
             gstats_parts.setdefault(name, []).append(st)
         for name, st in lin.get("quantile", {}).items():
             quantile_parts.setdefault(name, []).append(_decode_state(st))
+        for name, st in lin.get("distinct_bound", {}).items():
+            distinct_parts.setdefault(name, []).append(_decode_state(st))
 
     if not verdict_parts:
         empty = pd.DataFrame(columns=["check", "pid", "n_rows", "n_violations",
@@ -320,6 +329,16 @@ def merge_results(out_dir: str) -> ValidationResult:
         sel = merged["check"] == name
         merged.loc[sel, "metric"] = v["value"]
         merged.loc[sel, "passed"] = v["passed"]
+    # distinct_bound verdicts: recompute the cardinality from the MERGED
+    # HLL (per-shard distinct counts do not add: values recur across
+    # shards; n_violations=0 like drift, the metric carries the verdict)
+    merged_dist = {name: merge_distinct_states(parts)
+                   for name, parts in distinct_parts.items()}
+    for name, st in merged_dist.items():
+        v = distinct_verdict_from_state(st)
+        sel = merged["check"] == name
+        merged.loc[sel, "metric"] = v["value"]
+        merged.loc[sel, "passed"] = v["passed"]
     # group_stats verdicts: same recompute-from-merged-counts rule (a
     # segment over threshold in one shard may be under it in the union)
     merged_gstats = {name: merge_group_stats_states(parts)
@@ -363,4 +382,5 @@ def merge_results(out_dir: str) -> ValidationResult:
     return ValidationResult(verdicts=merged, violations=violations,
                             stats=stats, n_rows=n_rows, digests=digests,
                             sketch_state=merged_state, drift_state=merged_drift,
-                            quantile_state=merged_quant)
+                            quantile_state=merged_quant,
+                            distinct_state=merged_dist)

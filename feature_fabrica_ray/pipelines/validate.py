@@ -43,7 +43,8 @@ __all__ = ["ValidationResult", "run_suite", "compute_baseline",
            "drift_metric_from_state", "merge_drift_states",
            "merge_freshness_states", "freshness_verdict_from_state",
            "merge_group_stats_states", "group_stats_verdict_from_state",
-           "merge_quantile_states", "quantile_verdict_from_state"]
+           "merge_quantile_states", "quantile_verdict_from_state",
+           "merge_distinct_states", "distinct_verdict_from_state"]
 
 _ROWS = "__rows__"
 _SCOPE_PREFIX = "__scope__:"   # per-check in-scope row counts (where:)
@@ -63,6 +64,7 @@ class ValidationResult:
     pid_rows: dict = field(default_factory=dict)  # pid -> row count (skew diagnostics)
     group_stats_state: dict = field(default_factory=dict)  # check -> seg (rows, nulls)
     quantile_state: dict = field(default_factory=dict)  # quantile_bound -> tdigest + bounds
+    distinct_state: dict = field(default_factory=dict)  # distinct_bound -> hll + bounds
 
     @property
     def passed(self) -> bool:
@@ -277,6 +279,27 @@ def quantile_verdict_from_state(state: dict) -> dict:
         return {"value": float("nan"), "passed": True}
     return {"value": float(val),
             "passed": bool(state["lo"] <= val <= state["hi"])}
+
+
+def distinct_verdict_from_state(state: dict) -> dict:
+    """Verdict for one distinct_bound check from (merged) HLL state —
+    shared by the one-shot runner and the checkpoint shard merger, so
+    merged shards get a cardinality recomputed from the MERGED sketch
+    (per-shard distinct counts do NOT add: values recur across shards).
+    The estimate is rounded to the nearest integer — cardinality is
+    integral, and the raw estimator is biased epsilon-high on tiny sets
+    (2 distinct -> 2.0001), which would fail an exact bound like
+    [2, 2]."""
+    est = float(np.rint(HLL.from_bytes(state["hll"]).estimate()))
+    return {"value": est,
+            "passed": bool(state["lo"] <= est <= state["hi"])}
+
+
+def merge_distinct_states(states: list[dict]) -> dict:
+    """Associatively merge per-shard distinct_bound states."""
+    out = dict(states[0])
+    out["hll"] = HLL.merge_bytes([s["hll"] for s in states]).to_bytes()
+    return out
 
 
 def merge_quantile_states(states: list[dict]) -> dict:
@@ -521,6 +544,7 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
         needed |= {gc.column, gc.group}
     needed |= {c.column for c in suite.stats_checks}
     needed |= {c.column for c in getattr(suite, "quantile_checks", [])}
+    needed |= {c.column for c in getattr(suite, "distinct_checks", [])}
     needed |= {c.column for c in suite.drift_checks}
     for uc in suite.unique_checks:
         needed |= set(uc.columns)
@@ -572,7 +596,10 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     # (moments + t-digest partials tagged with the check's name)
     stage_stats = list(suite.stats_checks) + [
         StatsCheck(name=qc.name, column=qc.column, quantiles=[qc.q])
-        for qc in getattr(suite, "quantile_checks", [])]
+        for qc in getattr(suite, "quantile_checks", [])] + [
+        StatsCheck(name=dc.name, column=dc.column, distinct=True,
+                   numeric=False)
+        for dc in getattr(suite, "distinct_checks", [])]
     stage = _ValidatorStage(row_checks, stage_stats, suite.drift_checks,
                             partition_col, num_partitions, key_columns)
     out = ds.map_batches(stage, batch_format="pyarrow", batch_size=None).materialize()
@@ -649,6 +676,21 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
         quantile_state[qc.name] = qstate
         v = quantile_verdict_from_state(qstate)
         verdict_rows.append((qc.name, -1, n_rows_total, 0, 0.0,
+                             v["value"], v["passed"]))
+
+    # distinct_bound assembly — one merged HLL per check; the verdict's
+    # metric column carries the cardinality estimate
+    distinct_state: dict[str, dict] = {}
+    for dc in getattr(suite, "distinct_checks", []):
+        sel = sketches[sketches["check"] == dc.name]
+        dstate = {"column": dc.column, "lo": dc.lo, "hi": dc.hi,
+                  "hll": HLL.merge_bytes(
+                      [bytes(b) for b in
+                       sel[sel["sketch_kind"] == "hll"]["payload"]]
+                  ).to_bytes()}
+        distinct_state[dc.name] = dstate
+        v = distinct_verdict_from_state(dstate)
+        verdict_rows.append((dc.name, -1, n_rows_total, 0, 0.0,
                              v["value"], v["passed"]))
 
     # drift assembly — merged drift STATE is kept (ValidationResult.
@@ -778,7 +820,8 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     for group in (suite.unique_checks, suite.drift_checks, suite.schema_checks,
                   getattr(suite, "freshness_checks", []),
                   getattr(suite, "group_stats_checks", []),
-                  getattr(suite, "quantile_checks", [])):
+                  getattr(suite, "quantile_checks", []),
+                  getattr(suite, "distinct_checks", [])):
         sev_map.update({c.name: c.severity for c in group})
     verdicts["severity"] = verdicts["check"].map(sev_map).fillna("error")
     stats = pd.DataFrame(stats_rows)
@@ -788,6 +831,7 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
                             freshness_state=freshness_state,
                             group_stats_state=group_stats_state,
                             quantile_state=quantile_state,
+                            distinct_state=distinct_state,
                             pid_rows={int(p): int(n)
                                       for p, n in rows_per_pid.items()},
                             baselines={dc.name: dc.baseline for dc in suite.drift_checks})

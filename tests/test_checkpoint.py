@@ -291,3 +291,28 @@ checks:
     # per-shard estimate is authoritative
     assert not bool(g.loc["p90_cap", "passed"])
     assert bool(g.loc["p90_floor", "passed"])
+
+
+def test_merge_distinct_bound_not_additive(ray_session, out_dir):
+    """Distinct counts do NOT add across shards (the same values recur
+    in every shard): the merged distinct_bound verdict must equal the
+    unsharded one, not the per-shard sum. The codetable's ~38 repos all
+    appear in both path-hash shards, so summing per-shard estimates
+    (~76) would break the max bound that the true merged count (~38)
+    satisfies."""
+    suite_yaml = """
+checks:
+  - {type: distinct_bound, column: repo, min: 10, max: 60, name: repo_card}
+"""
+    shards = codetable_shards(SF, n_shards=2)
+    merged = validate_resumable(shards, CheckSuite(suite_yaml), out_dir,
+                                num_partitions=8)["result"]
+    full = run_suite(read_codetable(SF), CheckSuite(suite_yaml),
+                     num_partitions=8)
+    g = merged.verdicts[merged.verdicts["pid"] == -1].set_index("check")
+    gf = full.global_verdicts().set_index("check")
+    assert g.loc["repo_card", "metric"] == pytest.approx(
+        gf.loc["repo_card", "metric"], rel=1e-9)
+    assert bool(g.loc["repo_card", "passed"])
+    # and the estimate is the true cardinality, not the per-shard sum
+    assert g.loc["repo_card", "metric"] < 60

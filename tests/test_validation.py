@@ -847,3 +847,32 @@ def test_pivot_agg(ray_session):
            sorted(map(tuple, out.fillna("~").to_numpy().tolist()))
     with pytest.raises(ValueError):
         pivot_agg(ds, "k", "p", None, values=["x"], agg="sum")
+
+
+def test_distinct_bound_check(ray_session):
+    """Cardinality expectation: distinct(column) judged against
+    [min, max] from the suite's merged HLL; exact at small
+    cardinalities; warn severity reports but never gates; specs
+    without bounds are rejected."""
+    import ray
+
+    from feature_fabrica_ray.checks import CheckSpecError
+
+    df = pd.DataFrame({"v": [f"val{i % 7}" for i in range(500)],
+                       "k": ["a", "b"] * 250})
+    ds = ray.data.from_pandas(df).repartition(4)
+    suite = CheckSuite("""
+checks:
+  - {type: distinct_bound, column: v, min: 5, max: 10, name: card_ok}
+  - {type: distinct_bound, column: v, max: 3, name: card_bad, severity: warn}
+  - {type: distinct_bound, column: k, min: 2, max: 2, name: card_exact}
+""")
+    res = run_suite(ds, suite, partition_col="k", num_partitions=4)
+    g = res.global_verdicts().set_index("check")
+    assert bool(g.loc["card_ok", "passed"])
+    assert g.loc["card_ok", "metric"] == pytest.approx(7, abs=0.5)
+    assert not bool(g.loc["card_bad", "passed"])
+    assert bool(g.loc["card_exact", "passed"])
+    assert res.passed                                     # warn doesn't gate
+    with pytest.raises(CheckSpecError):
+        CheckSuite("checks:\n  - {type: distinct_bound, column: v}")
