@@ -40,6 +40,15 @@ def cmd_validate(args) -> int:
     with open(args.suite) as f:
         suite = CheckSuite(f.read())
 
+    # --parent repos=/path/repos.parquet, repeatable: the referential
+    # checks' parent tables (read pruned at run time)
+    parents = {}
+    for spec in args.parent or []:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--parent expects name=path.parquet, got {spec!r}")
+        parents[name] = read_parquet_clean(path)
+
     def build():
         ds = read_parquet_clean(args.input)
         return ds.map_batches(add_content_sha256, batch_format="pyarrow",
@@ -62,6 +71,7 @@ def cmd_validate(args) -> int:
 
         shards = {f"{k:04d}": shard_builder(k) for k in range(args.shards)}
         out = validate_resumable(shards, suite, args.out,
+                                 parents=parents,
                                  num_partitions=args.partitions,
                                  max_parallel_shards=args.parallel_shards)
         res = out["result"]
@@ -73,11 +83,14 @@ def cmd_validate(args) -> int:
         import os
 
         os.makedirs(args.out, exist_ok=True)
-        res = run_suite(build(), suite, num_partitions=args.partitions)
+        res = run_suite(build(), suite, parents=parents,
+                        num_partitions=args.partitions)
         res.verdicts.to_parquet(f"{args.out}/verdicts.parquet")
         res.violations.to_parquet(f"{args.out}/violations.parquet")
+        nv = int(res.verdicts.loc[res.verdicts["pid"] == -1,
+                                  "n_violations"].sum())  # global rows only
         print(json.dumps({"n_rows": res.n_rows, "passed": res.passed,
-                          "n_violations": int(res.verdicts["n_violations"].sum()),
+                          "n_violations": nv,
                           "partition_skew": res.partition_skew()}))
     if args.write_rows:
         n_pass, n_viol = write_validated(build(), suite, f"{args.out}/rows",
@@ -125,6 +138,8 @@ def main(argv=None) -> int:
     v.add_argument("--parallel-shards", type=int, default=1)
     v.add_argument("--sha256", action="store_true", default=True)
     v.add_argument("--write-rows", action="store_true")
+    v.add_argument("--parent", action="append", metavar="NAME=PATH",
+                   help="parent table for referential checks, repeatable")
     v.set_defaults(fn=cmd_validate)
 
     t = sub.add_parser("transform")

@@ -16,7 +16,8 @@ def workdir(tmp_path_factory):
                   "path": ["p1", "p1", "p2", "p3"],
                   "commit": ["c1", "c1", "c2", "c3"],
                   "lang": ["en", None, "es", "en"],
-                  "content": ["hello", "hello", "", "world"]})
+                  "content": ["hello", "hello", "", "world"],
+                  "size": [5, 5, 0, 5]})
     pq.write_table(t, str(d / "input.parquet"))
     (d / "suite.yaml").write_text("""
 checks:
@@ -88,3 +89,23 @@ def test_cli_transform_lineage(workdir):
     for r in rows:
         assert r["wall_s"] >= 0 and r["n_rows"] > 0
         assert r["digest"] is not None
+
+
+def test_cli_validate_parents_and_sketch_checks(workdir):
+    """--parent NAME=PATH feeds referential checks; quantile_bound and
+    distinct_bound run through the CLI surface (verdict gates the
+    'passed' output; the orphan repo fails referential)."""
+    pq.write_table(pa.table({"repo": ["a/r1"]}),  # b/r2 is an orphan
+                   str(workdir / "repos.parquet"))
+    (workdir / "suite2.yaml").write_text("""
+checks:
+  - {type: referential, column: repo, parent: repos, parent_column: repo}
+  - {type: quantile_bound, column: size, q: 0.5, max: 100, name: p50_cap}
+  - {type: distinct_bound, column: repo, min: 2, max: 10, name: repo_card}
+""")
+    out = _run("validate", "--input", str(workdir / "input.parquet"),
+               "--suite", str(workdir / "suite2.yaml"),
+               "--parent", f"repos={workdir / 'repos.parquet'}",
+               "--out", str(workdir / "o_par"))
+    assert out[-1]["passed"] is False        # orphans exist
+    assert out[-1]["n_violations"] == 2      # two b/r2 rows
