@@ -1856,6 +1856,36 @@ SELECT repo, count(*) AS n FROM (
 """
 
 
+def q_ev_latest(sf_dir: str) -> pd.DataFrame:
+    """Keep-latest-row-per-key (CDC upsert compaction / snapshot view):
+    each user's most recent event by ts, event_id tiebreak — the
+    argmax-per-key shape via the per-group top-k combiner with k=1
+    (per-block partials of one row per user, tiny driver merge; no
+    full-row shuffle)."""
+    from feature_fabrica_ray.pipelines import topk_per_group
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+    # event_type rides along as a trailing tiebreak (event_id is unique,
+    # so it never affects which row wins)
+    out = topk_per_group(ds, ["user_id"], "ts", k=1,
+                         tiebreak_cols=["event_id", "event_type"])
+    out["user_id"] = out["user_id"].astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    return out[["user_id", "ts", "event_id", "event_type"]]
+
+
+_LATEST_ORACLE = """
+SELECT user_id, ts, event_id, event_type FROM (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id) AS rn
+  FROM events) t
+WHERE rn = 1
+"""
+
+
 def q_agg_topk(sf_dir: str) -> pd.DataFrame:
     """Top-3 line items per return flag by extended price (per-block
     partial top-k -> tiny driver merge; deterministic tie-breaks)."""
@@ -2572,6 +2602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_cumsum": q_ev_cumsum,
         "ev_rolling": q_ev_rolling,
         "ev_lag": q_ev_lag,
+        "ev_latest": q_ev_latest,
         "agg_distinct_group": q_agg_distinct_group,
         "agg_distinct_hll": q_agg_distinct_hll,
         "agg_rollup": q_agg_rollup,
@@ -2628,6 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_cumsum": _CUMSUM_ORACLE,
         "ev_rolling": _ROLLING_ORACLE,
         "ev_lag": _LAG_ORACLE,
+        "ev_latest": _LATEST_ORACLE,
         "agg_distinct_group": _DISTINCT_GROUP_ORACLE,
         "agg_rollup": _ROLLUP_ORACLE,
         "agg_cube": _CUBE_ORACLE,

@@ -532,6 +532,17 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
             bad += [f"extra:{c}" for c in have if c not in sc.columns]
         schema_verdicts.append((sc.name, bad))
 
+    # quantile_bound needs a numeric (or temporal) column — fail at plan
+    # time with a clear message, not a cast error deep in the fused pass
+    _NUMERIC_PREFIXES = ("int", "uint", "float", "double", "decimal",
+                         "halffloat", "bool")
+    for qc in getattr(suite, "quantile_checks", []):
+        t = have.get(qc.column)
+        if t is not None and not t.startswith(_NUMERIC_PREFIXES):
+            raise ValueError(
+                f"quantile_bound check {qc.name}: column {qc.column!r} has "
+                f"non-numeric type {t} — quantiles need a numeric column")
+
     # prune to the columns the suite actually touches (schema checks saw
     # the full schema above): unneeded wide columns never leave the read
     needed = {partition_col, *key_columns}

@@ -876,3 +876,13 @@ checks:
     assert res.passed                                     # warn doesn't gate
     with pytest.raises(CheckSpecError):
         CheckSuite("checks:\n  - {type: distinct_bound, column: v}")
+
+
+def test_quantile_bound_rejects_non_numeric(ray_session):
+    import ray
+
+    df = pd.DataFrame({"s": ["a", "b"], "k": ["x", "y"]})
+    suite = CheckSuite(
+        "checks:\n  - {type: quantile_bound, column: s, q: 0.5, max: 1}")
+    with pytest.raises(ValueError, match="non-numeric"):
+        run_suite(ray.data.from_pandas(df), suite, partition_col="k")
