@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["strip_pandas_meta", "read_parquet_clean"]
+__all__ = ["strip_pandas_meta", "read_parquet_clean",
+           "read_csv_clean", "read_json_clean"]
 
 
 def strip_pandas_meta(t: pa.Table) -> pa.Table:
@@ -44,3 +45,32 @@ def read_parquet_clean(path, **kwargs):
             return ray.data.read_parquet(path, **kwargs).map_batches(
                 strip_pandas_meta, batch_format="pyarrow", batch_size=None)
     return ray.data.read_parquet(path, **kwargs)
+
+
+def read_csv_clean(path, *, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_csv`` with canonical (metadata-free) schemas and
+    optional column pruning. CSV carries no column statistics, so
+    pruning happens right after parse (the text of every column is
+    still read — prefer parquet for 100 TB inputs; CSV is the
+    ingest-from-export path)."""
+    import ray.data
+
+    ds = ray.data.read_csv(path, **kwargs)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds.map_batches(strip_pandas_meta, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def read_json_clean(path, *, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_json`` (newline-delimited JSON) with canonical
+    schemas and optional column pruning. Same caveat as CSV: no
+    row-group pruning exists for JSONL — this is the log-ingest path,
+    not the 100 TB scan path."""
+    import ray.data
+
+    ds = ray.data.read_json(path, **kwargs)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds.map_batches(strip_pandas_meta, batch_format="pyarrow",
+                          batch_size=None)

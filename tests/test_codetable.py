@@ -65,3 +65,32 @@ def test_replicate_scales_rows(ray_session):
     n1 = read_codetable(SF, replicate=1, with_sha256=False).count()
     n3 = read_codetable(SF, replicate=3, with_sha256=False).count()
     assert n3 == 3 * n1
+
+
+def test_csv_and_json_readers(ray_session, tmp_path):
+    """CSV / JSONL ingest paths: same rows as the parquet read, canonical
+    metadata-free schemas, column pruning, and the result feeds the
+    validation suite unchanged."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from feature_fabrica_ray.sources import read_csv_clean, read_json_clean
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "lang", "n_chars"])
+    df = t.to_pandas()
+    csv_p = tmp_path / "docs.csv"
+    df.to_csv(csv_p, index=False)
+    jsn_p = tmp_path / "docs.jsonl"
+    with open(jsn_p, "w") as f:
+        for r in df.to_dict("records"):
+            f.write(_json.dumps(r) + "\n")
+
+    for reader, path in ((read_csv_clean, csv_p), (read_json_clean, jsn_p)):
+        ds = reader(str(path), columns=["doc_id", "lang"])
+        assert ds.schema().names == ["doc_id", "lang"]
+        out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(out) == len(df)
+        assert out["doc_id"].tolist() == sorted(df["doc_id"].tolist())
+        assert set(out["lang"]) == set(df["lang"])
