@@ -1678,6 +1678,20 @@ FROM documents GROUP BY lang
 """
 
 
+def q_agg_quantiles_approx(sf_dir: str) -> pd.DataFrame:
+    """SCALE path for agg_quantiles (pipelines/grouped.
+    approx_group_quantiles): per-lang p50/p90 from per-group t-digest
+    sketches — the exchange carries |groups| x blocks KB-sized digests
+    regardless of value cardinality (the exact form's exchange grows
+    with the distinct-value count). Rows-only by design (~1% rank
+    error; pytest bounds it against the exact quantiles)."""
+    from feature_fabrica_ray.pipelines import approx_group_quantiles
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+    return approx_group_quantiles(ds, "lang", "n_chars", qs=(0.5, 0.9))
+
+
 def q_ss_kmeans(sf_dir: str) -> pd.DataFrame:
     """Distributed Lloyd's k-means over the embeddings table: per-block
     partial (count, sum, inertia) rows, KB-sized broadcast centroids.
@@ -2577,6 +2591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_repetition": q_ta_repetition,
         "ta_common_ngrams": q_ta_common_ngrams,
         "agg_quantiles": q_agg_quantiles,
+        "agg_quantiles_approx": q_agg_quantiles_approx,
         "sp_pack": q_sp_pack,
         "ss_kmeans": q_ss_kmeans,
         "dd_decontaminate": q_dd_decontaminate,

@@ -11,7 +11,8 @@ from .checkpoint import codetable_shards, merge_results, validate_resumable
 from .events import (cumulative_agg, extract_json_int, lag_lead,
                      rolling_agg, sessionize, sliding_window_agg,
                      tumbling_window_agg)
-from .grouped import (approx_distinct_per_group, distinct_count_per_group,
+from .grouped import (approx_distinct_per_group, approx_group_quantiles,
+                      distinct_count_per_group,
                       freshness_check, grouped_correlation, grouped_outliers,
                       grouped_stats, histogram_fixed, pivot_agg, rollup_agg,
                       cube_agg)
@@ -65,4 +66,4 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "rolling_agg", "distinct_count_per_group", "rollup_agg",
            "histogram_fixed", "grouped_stats", "lag_lead",
            "weighted_hash_sample", "normalize_text", "pivot_agg",
-           "code_line_stats"]
+           "code_line_stats", "approx_group_quantiles"]

@@ -37,6 +37,7 @@ def _with_shuffle_key(t: pa.Table, key_col: str) -> pa.Table:
 __all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
            "grouped_stats", "freshness_check", "grouped_outliers",
            "grouped_correlation", "approx_distinct_per_group", "cube_agg",
+           "approx_group_quantiles",
            "pivot_agg"]
 
 
@@ -448,6 +449,56 @@ def approx_distinct_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
             key_col: [df[key_col].iloc[0]],
             "n_distinct_est": [float(est)],
             "n_rows": np.array([int(df["cnt"].sum())], np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    out[key_col] = out[key_col].where(out[key_col] != "\0null", None)
+    key = out[key_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
+
+
+def approx_group_quantiles(ds, key_col: str, val_col: str,
+                           qs: tuple = (0.5, 0.9)) -> pd.DataFrame:
+    """Approximate per-group quantiles via per-group t-digest sketches —
+    the SCALE path for ``quantiles.group_quantiles``.
+
+    The exact form's exchange carries distinct (group, value) pairs;
+    with continuous values (latencies, sizes, scores) that approaches
+    input size. Here each block emits ONE KB-sized t-digest per group
+    it contains, the keyed shuffle carries |groups| x blocks sketch
+    rows regardless of value cardinality, and digests merge per key
+    (rank error ~1%, invariant to value cardinality). ``n_rows`` stays
+    exact. Returns (key, q_<pct>..., n_rows) sorted by key; null keys
+    form their own group, all-null groups get NaN quantiles."""
+    from ..state import TDigest
+
+    names = [f"q_{int(q * 100)}" for q in qs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = pc.fill_null(pc.cast(batch.column(key_col), pa.string()),
+                            "\0null").to_pandas()
+        out_k, out_t, out_n = [], [], []
+        for u in pd.unique(keys):
+            mask = pa.array((keys == u).to_numpy())
+            vals = batch.filter(mask).column(val_col).drop_null() \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            out_k.append(u)
+            out_t.append(TDigest.from_array(vals).to_bytes())
+            out_n.append(int(mask.true_count))
+        t = pa.table({key_col: pa.array(out_k, pa.string()),
+                      "td": pa.array(out_t, pa.binary()),
+                      "cnt": pa.array(out_n, pa.int64())})
+        return t.append_column("__gkey", t.column(key_col))
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        td = TDigest.merge_bytes([bytes(b) for b in df["td"]])
+        row = {key_col: [df[key_col].iloc[0]]}
+        for q, name in zip(qs, names):
+            row[name] = [float(td.quantile(q))]
+        row["n_rows"] = np.array([int(df["cnt"].sum())], np.int64)
+        return pd.DataFrame(row)
 
     out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
            .groupby("__gkey", num_partitions=shuffle_partitions())

@@ -886,3 +886,35 @@ def test_quantile_bound_rejects_non_numeric(ray_session):
         "checks:\n  - {type: quantile_bound, column: s, q: 0.5, max: 1}")
     with pytest.raises(ValueError, match="non-numeric"):
         run_suite(ray.data.from_pandas(df), suite, partition_col="k")
+
+
+def test_approx_group_quantiles(ray_session):
+    """t-digest scale path tracks the exact per-group quantiles within
+    rank tolerance; n_rows exact; null keys form their own group;
+    all-null value groups give NaN; layout-invariant estimates."""
+    import ray
+
+    from feature_fabrica_ray.pipelines import approx_group_quantiles
+
+    rng = np.random.RandomState(3)
+    n = 6000
+    df = pd.DataFrame({"k": rng.choice(["a", "b", None], n),
+                       "v": rng.gamma(2.0, 10.0, n)})
+    df.loc[df["k"].isna(), "v"] = np.nan     # the null-key group: all-null
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = approx_group_quantiles(ds, "k", "v", qs=(0.5, 0.9))
+    got = {r["k"]: r for _, r in out.iterrows()}
+    for k in ("a", "b"):
+        sel = df[df["k"] == k]["v"]
+        assert got[k]["n_rows"] == len(sel)
+        for q, name in ((0.5, "q_50"), (0.9, "q_90")):
+            exact = sel.quantile(q)
+            # rank tolerance: estimate lies between nearby exact ranks
+            lo, hi = sel.quantile(max(0.0, q - 0.03)), sel.quantile(min(1.0, q + 0.03))
+            assert lo <= got[k][name] <= hi, (k, name, got[k][name], exact)
+    assert np.isnan(got[None]["q_50"])       # all-null group
+    out2 = approx_group_quantiles(ray.data.from_pandas(df).repartition(11),
+                                  "k", "v", qs=(0.5, 0.9))
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), out2.reset_index(drop=True),
+        check_exact=False, rtol=0.02)
