@@ -655,6 +655,58 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem, m
 """
 
+_IMPUTE_SPEC = """
+qty_n: {description: quantity with planted nulls, data_type: float64}
+qty_mean:
+  description: nulls filled with the GLOBAL mean (fitted like z_score)
+  data_type: float64
+  dependencies: [qty_n]
+  transformation: "(qty_n).impute()"
+qty_const:
+  description: nulls filled with a constant
+  data_type: float64
+  dependencies: [qty_n]
+  transformation: "(qty_n).impute(strategy='constant', value=-1.0)"
+"""
+
+
+def q_ft_impute(sf_dir: str):
+    """Null imputation (functions/math.py::ImputeTransform): constant
+    fill (stateless) and global-mean fill — the mean comes from the
+    engine's streamed Welford fit pass and is broadcast into the
+    stateless fill stage, the z_score/min_max two-phase-fit shape.
+    Nulls are planted on l_orderkey % 7 == 0 (testdata has no numeric
+    nulls)."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False) % 7 != 0
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return batch.append_column("qty_n",
+                                   pa.array(q, pa.float64(), mask=~ok))
+
+    ds = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    out = FeatureEngine(_IMPUTE_SPEC).transform(ds)
+    out = _round_cols(out, {"qty_mean": 6, "qty_const": 6})
+    return _select(out, ["l_orderkey", "l_linenumber", "qty_mean",
+                         "qty_const"])
+
+
+_IMPUTE_ORACLE = """
+WITH src AS (SELECT l_orderkey, l_linenumber,
+                    CASE WHEN l_orderkey % 7 <> 0 THEN l_quantity END AS qty_n
+             FROM lineitem),
+     m AS (SELECT avg(qty_n) AS mu FROM src)
+SELECT l_orderkey, l_linenumber,
+       round(coalesce(qty_n, m.mu), 6) AS qty_mean,
+       round(coalesce(qty_n, -1.0), 6) AS qty_const
+FROM src, m
+"""
+
+
 _STRINGS_SPEC = """
 lang: {description: document language code, data_type: str}
 source: {description: document source tag, data_type: str}
@@ -2557,6 +2609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_distinct_bound": q_vl_distinct_bound,
         "ft_math_chain": q_ft_math_chain,
         "ft_fitted_global": q_ft_fitted_global,
+        "ft_impute": q_ft_impute,
         "ft_strings": q_ft_strings,
         "ft_datetime": q_ft_datetime,
         "ft_group_reduce": q_ft_group_reduce,
@@ -2649,6 +2702,7 @@ def oracle_sql() -> dict[str, str]:
         # vl_stats_sketches: approximate -> rows-only check (by design)
         "ft_math_chain": _MATH_ORACLE,
         "ft_fitted_global": _FITTED_ORACLE,
+        "ft_impute": _IMPUTE_ORACLE,
         "ft_strings": _STRINGS_ORACLE,
         "ft_datetime": _DATETIME_ORACLE,
         "ft_group_reduce": _GROUP_ORACLE,

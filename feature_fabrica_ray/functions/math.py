@@ -202,6 +202,41 @@ class MinMaxTransform(Transformation):
         return pc.divide(pc.subtract(_f64(data), pa.scalar(lo)), pa.scalar(hi - lo))
 
 
+class ImputeTransform(Transformation):
+    """Fill nulls in a numeric column: with ``value`` given, a stateless
+    constant fill; with ``strategy='mean'`` (default) or ``'median'``, a
+    GLOBAL two-phase fit like z_score/min_max — the planner streams one
+    Welford (mean) or t-digest (median) pass over the chain input and
+    broadcasts the fitted fill value (extension beyond the reference's
+    transform set; cf. /root/reference/feature_fabrica/transform/math.py
+    for its fitted-scaler duals). Output is float64."""
+
+    _name_ = "impute"
+
+    def __init__(self, strategy: str = "mean", value=None):
+        if strategy not in ("mean", "median", "constant"):
+            raise TransformationError(
+                f"impute strategy must be mean|median|constant, got {strategy!r}")
+        if strategy == "constant" and value is None:
+            raise TransformationError("impute(strategy='constant') needs value=")
+        self.strategy = strategy
+        self.value = value
+
+    def fit_request(self):
+        if self.value is not None or self.strategy == "constant":
+            return None
+        return "moments" if self.strategy == "mean" else "quantiles"
+
+    def set_fitted(self, state):
+        self.value = state.mean if self.strategy == "mean" \
+            else state.quantile(0.5)
+
+    def execute(self, data):
+        if self.value is None:
+            raise TransformationError("impute not fitted (planner must run fit pass)")
+        return pc.fill_null(_f64(data), pa.scalar(float(self.value)))
+
+
 class KBinsDiscretize(Transformation):
     """Ordinal k-bins discretization (reference: math.py:209-227, sklearn
     KBinsDiscretizer semantics). strategy='uniform' bins on [min,max];

@@ -431,3 +431,42 @@ gsum:
     m1 = lin.set_index("feature")["digest"]
     m2 = lin2.set_index("feature")["digest"]
     assert m1["gsum"] == m2["gsum"]
+
+
+def test_impute_strategies(ray_session):
+    """impute: constant fill is stateless; mean/median are global
+    two-phase fits over the non-null values (median via the t-digest
+    fit pass — exact on small data); nulls-only change, non-null rows
+    untouched; bad strategy / missing constant rejected at parse."""
+    import pandas as pd
+
+    from feature_fabrica_ray.functions import TransformationError
+    from feature_fabrica_ray.functions.math import ImputeTransform
+
+    spec = """
+x: {description: values with nulls, data_type: float64}
+x_mean:
+  description: mean filled
+  data_type: float64
+  dependencies: [x]
+  transformation: "(x).impute()"
+x_med:
+  description: median filled
+  data_type: float64
+  dependencies: [x]
+  transformation: "(x).impute(strategy='median')"
+x_c:
+  description: constant filled
+  data_type: float64
+  dependencies: [x]
+  transformation: "(x).impute(strategy='constant', value=9.5)"
+"""
+    vals = [1.0, None, 2.0, 6.0, None]     # mean 3.0, median 2.0
+    out = FeatureEngine(spec).transform(_ds({"x": vals})).to_pandas()
+    assert out["x_mean"].tolist() == [1.0, 3.0, 2.0, 6.0, 3.0]
+    assert out["x_med"].tolist() == [1.0, 2.0, 2.0, 6.0, 2.0]
+    assert out["x_c"].tolist() == [1.0, 9.5, 2.0, 6.0, 9.5]
+    with pytest.raises(TransformationError):
+        ImputeTransform(strategy="mode")
+    with pytest.raises(TransformationError):
+        ImputeTransform(strategy="constant")
