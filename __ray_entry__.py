@@ -707,6 +707,53 @@ FROM src, m
 """
 
 
+_WINSOR_SPEC = """
+l_extendedprice: {description: raw extended price, data_type: float64}
+l_quantity: {description: raw lineitem quantity, data_type: float64}
+price_w:
+  description: price winsorized into the fitted global [p1, p99]
+  data_type: float64
+  dependencies: [l_extendedprice]
+  transformation: "(l_extendedprice).winsorize(lower=0.01, upper=0.99)"
+qty_r:
+  description: quantity robust-scaled by the fitted global median / IQR
+  data_type: float64
+  dependencies: [l_quantity]
+  transformation: "(l_quantity).robust_scale()"
+"""
+
+
+def q_ft_winsorize(sf_dir: str):
+    """Fitted outlier scalers (functions/math.py::WinsorizeTransform /
+    RobustScaleTransform): the engine streams ONE exact value-histogram
+    fit pass (state/vhist.py — mergeable distinct-value counts, the
+    global-fit dual of pipelines/quantiles.group_quantiles) and
+    broadcasts the fitted p1/p99 clip bounds and median/IQR into the
+    stateless fused pass; exact interpolation matches SQL
+    quantile_cont, so the whole two-phase fit is oracle-checked."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice"])
+    out = FeatureEngine(_WINSOR_SPEC).transform(ds)
+    out = _round_cols(out, {"price_w": 6, "qty_r": 6})
+    return _select(out, ["l_orderkey", "l_linenumber", "price_w", "qty_r"])
+
+
+_WINSOR_ORACLE = """
+WITH m AS (SELECT quantile_cont(l_extendedprice, 0.01) AS p1,
+                  quantile_cont(l_extendedprice, 0.99) AS p99,
+                  quantile_cont(l_quantity, 0.5)  AS med,
+                  quantile_cont(l_quantity, 0.75)
+                    - quantile_cont(l_quantity, 0.25) AS iqr
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       round(LEAST(GREATEST(l_extendedprice, m.p1), m.p99), 6) AS price_w,
+       round((l_quantity - m.med) / m.iqr, 6) AS qty_r
+FROM lineitem, m
+"""
+
+
 _STRINGS_SPEC = """
 lang: {description: document language code, data_type: str}
 source: {description: document source tag, data_type: str}
@@ -2610,6 +2657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_math_chain": q_ft_math_chain,
         "ft_fitted_global": q_ft_fitted_global,
         "ft_impute": q_ft_impute,
+        "ft_winsorize": q_ft_winsorize,
         "ft_strings": q_ft_strings,
         "ft_datetime": q_ft_datetime,
         "ft_group_reduce": q_ft_group_reduce,
@@ -2703,6 +2751,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_math_chain": _MATH_ORACLE,
         "ft_fitted_global": _FITTED_ORACLE,
         "ft_impute": _IMPUTE_ORACLE,
+        "ft_winsorize": _WINSOR_ORACLE,
         "ft_strings": _STRINGS_ORACLE,
         "ft_datetime": _DATETIME_ORACLE,
         "ft_group_reduce": _GROUP_ORACLE,

@@ -10,9 +10,11 @@ from .datetime import (DateTimeAdd, DateTimeDifference, DateTimeExtract,
                        DateTimeSubtract, ExtractDayofWeek)
 from .generic import AsType, FeatureImporter
 from .math import (ABSTransform, ClipTransform, DivideReduce, DivideTransform,
-                   ExpTransform, KBinsDiscretize, LogTransform, MinMaxTransform,
-                   MultiplyReduce, PowerTransform, ScaleFeature, SqrtTransform,
-                   SubtractReduce, SumReduce, ZScoreTransform)
+                   ExpTransform, ImputeTransform, KBinsDiscretize, LogTransform,
+                   MinMaxTransform, MultiplyReduce, PowerTransform,
+                   RobustScaleTransform, ScaleFeature, SqrtTransform,
+                   SubtractReduce, SumReduce, WinsorizeTransform,
+                   ZScoreTransform)
 from .strings import (BinaryEncode, ConcatenateReduce, LabelEncode,
                       OneHotEncode, OrdinalEncode, Split, Strip, ToLower,
                       ToUpper)
@@ -23,6 +25,7 @@ __all__ = [
     "ScaleFeature", "LogTransform", "ExpTransform", "SqrtTransform",
     "PowerTransform", "ABSTransform", "ClipTransform", "DivideTransform",
     "ZScoreTransform", "MinMaxTransform", "KBinsDiscretize",
+    "ImputeTransform", "WinsorizeTransform", "RobustScaleTransform",
     "SumReduce", "SubtractReduce", "MultiplyReduce", "DivideReduce",
     "ToLower", "ToUpper", "Strip", "Split", "ConcatenateReduce",
     "OneHotEncode", "LabelEncode", "OrdinalEncode", "BinaryEncode",

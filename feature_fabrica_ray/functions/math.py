@@ -237,6 +237,78 @@ class ImputeTransform(Transformation):
         return pc.fill_null(_f64(data), pa.scalar(float(self.value)))
 
 
+class WinsorizeTransform(Transformation):
+    """Clip x into its fitted global [quantile(lower), quantile(upper)] —
+    outlier winsorization (an extension of the reference's fitted-scaler
+    family; cf. /root/reference/feature_fabrica/transform/math.py:144-207
+    for the two-phase-fit shape it reuses). With ``lo``/``hi`` given:
+    stateless clip. ``exact=True`` (default) fits an exact mergeable
+    value-count histogram (``state/vhist.py``) — right for bounded value
+    domains and oracle-identical to SQL ``quantile_cont``; ``exact=False``
+    fits a t-digest for unbounded/continuous domains where the exact
+    histogram would exceed its cap. Nulls stay null."""
+
+    _name_ = "winsorize"
+
+    def __init__(self, lower=0.01, upper=0.99, lo=None, hi=None, exact=True):
+        if not 0.0 <= float(lower) < float(upper) <= 1.0:
+            raise TransformationError(
+                f"winsorize needs 0 <= lower < upper <= 1, got {lower}/{upper}")
+        self.lower = float(lower)
+        self.upper = float(upper)
+        self.lo = lo
+        self.hi = hi
+        self.exact = bool(exact)
+
+    def fit_request(self):
+        if self.lo is not None and self.hi is not None:
+            return None
+        return "quantiles_exact" if self.exact else "quantiles"
+
+    def set_fitted(self, state):
+        self.lo = state.quantile(self.lower)
+        self.hi = state.quantile(self.upper)
+
+    def execute(self, data):
+        if self.lo is None or self.hi is None:
+            raise TransformationError("winsorize not fitted (planner must run fit pass)")
+        x = pc.max_element_wise(_f64(data), pa.scalar(float(self.lo)),
+                                skip_nulls=False)
+        return pc.min_element_wise(x, pa.scalar(float(self.hi)),
+                                   skip_nulls=False)
+
+
+class RobustScaleTransform(Transformation):
+    """(x - median) / IQR — sklearn RobustScaler semantics, outlier-robust
+    dual of z_score. Same global two-phase fit and exact/t-digest duality
+    as winsorize; with ``center``/``scale`` given: stateless."""
+
+    _name_ = "robust_scale"
+
+    def __init__(self, center=None, scale=None, exact=True):
+        self.center = center
+        self.scale = scale
+        self.exact = bool(exact)
+
+    def fit_request(self):
+        if self.center is not None and self.scale is not None:
+            return None
+        return "quantiles_exact" if self.exact else "quantiles"
+
+    def set_fitted(self, state):
+        self.center = state.quantile(0.5)
+        iqr = state.quantile(0.75) - state.quantile(0.25)
+        if iqr == 0:
+            raise TransformationError("robust_scale: fitted IQR is zero")
+        self.scale = iqr
+
+    def execute(self, data):
+        if self.center is None or self.scale is None:
+            raise TransformationError("robust_scale not fitted (planner must run fit pass)")
+        return pc.divide(pc.subtract(_f64(data), pa.scalar(float(self.center))),
+                         pa.scalar(float(self.scale)))
+
+
 class KBinsDiscretize(Transformation):
     """Ordinal k-bins discretization (reference: math.py:209-227, sklearn
     KBinsDiscretizer semantics). strategy='uniform' bins on [min,max];

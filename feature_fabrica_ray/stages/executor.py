@@ -34,7 +34,7 @@ from ..functions.base import BatchCtx, ColumnRef, TransformationError, as_arrow
 from ..spec.expressions import Call, Infix, Node, Ref, Tup
 from ..spec.models import (CompiledFeature, build_features, level_features)
 from ..spec.yaml_loader import load_spec
-from ..state import Moments, TDigest
+from ..state import Moments, TDigest, ValueHist
 
 __all__ = ["FeatureEngine"]
 
@@ -235,6 +235,9 @@ class FeatureEngine:
                 elif kind == "quantiles":
                     arr = val.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
                     out[f"fit_{i}"] = [TDigest.from_array(arr).to_bytes()]
+                elif kind == "quantiles_exact":
+                    arr = val.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+                    out[f"fit_{i}"] = [ValueHist.from_array(arr).to_bytes()]
                 else:  # pragma: no cover
                     raise TransformationError(f"unknown fit kind {kind}")
             return pa.table(out)
@@ -252,6 +255,8 @@ class FeatureEngine:
                 for b in blobs:
                     vals.update(json.loads(b))
                 call.transform.set_fitted(vals)
+            elif kind == "quantiles_exact":
+                call.transform.set_fitted(ValueHist.merge_bytes(blobs))
             else:
                 call.transform.set_fitted(TDigest.merge_bytes(blobs))
         return ds

@@ -9,11 +9,12 @@ from .histogram import (CategoricalFreq, NumericHistogram, ks_from_counts,
                         psi_categorical, psi_from_counts)
 from .hll import HLL
 from .tdigest import TDigest
+from .vhist import ValueHist
 from .welford import Moments
 
 __all__ = [
     "hash64", "hash64_multi", "combine_hashes", "BloomFilter",
-    "Moments", "HLL", "TDigest",
+    "Moments", "HLL", "TDigest", "ValueHist",
     "NumericHistogram", "CategoricalFreq",
     "psi_from_counts", "ks_from_counts", "psi_categorical",
 ]

@@ -470,3 +470,72 @@ x_c:
         ImputeTransform(strategy="mode")
     with pytest.raises(TransformationError):
         ImputeTransform(strategy="constant")
+
+
+def test_winsorize_and_robust_scale(ray_session):
+    """winsorize / robust_scale: exact value-histogram two-phase fit
+    (quantiles_exact kind) matches numpy linear (= SQL quantile_cont)
+    bounds at any partitioning; explicit bounds are stateless; nulls
+    stay null; bad quantile order rejected at parse."""
+    import numpy as np
+
+    from feature_fabrica_ray.functions import TransformationError
+    from feature_fabrica_ray.functions.math import WinsorizeTransform
+
+    spec = """
+x: {description: skewed values with a null, data_type: float64}
+xw:
+  description: winsorized into the fitted [p10, p90]
+  data_type: float64
+  dependencies: [x]
+  transformation: "(x).winsorize(lower=0.1, upper=0.9)"
+xr:
+  description: robust scaled (median / IQR)
+  data_type: float64
+  dependencies: [x]
+  transformation: "(x).robust_scale()"
+xs:
+  description: stateless explicit-bounds form
+  data_type: float64
+  dependencies: [x]
+  transformation: "(x).winsorize(lo=2.0, hi=4.0)"
+"""
+    vals = [float(v) for v in range(1, 12)] + [1000.0, None]
+    arr = np.array(vals[:-1])
+    lo, hi = np.quantile(arr, 0.1), np.quantile(arr, 0.9)
+    med = np.quantile(arr, 0.5)
+    iqr = np.quantile(arr, 0.75) - np.quantile(arr, 0.25)
+    for parts in (1, 3):
+        out = FeatureEngine(spec).transform(
+            _ds({"x": vals}).repartition(parts)).to_pandas()
+        got = out.sort_values("x", na_position="last")
+        want_w = np.clip(arr, lo, hi)
+        np.testing.assert_allclose(
+            got["xw"].to_numpy()[:-1], np.sort(want_w), rtol=1e-12)
+        np.testing.assert_allclose(
+            got["xr"].to_numpy()[:-1], np.sort((arr - med) / iqr), rtol=1e-12)
+        np.testing.assert_allclose(
+            got["xs"].to_numpy()[:-1], np.sort(np.clip(arr, 2.0, 4.0)),
+            rtol=1e-12)
+        assert got[["xw", "xr", "xs"]].iloc[-1].isna().all()  # null stays null
+    with pytest.raises(TransformationError):
+        WinsorizeTransform(lower=0.9, upper=0.1)
+
+
+def test_winsorize_tdigest_scale_path(ray_session):
+    """exact=False takes the t-digest fit (unbounded-domain scale path):
+    approximate bounds, but the outlier is still clipped and the body
+    preserved."""
+    spec = """
+x: {description: values, data_type: float64}
+xw:
+  description: t-digest winsorize
+  data_type: float64
+  dependencies: [x]
+  transformation: "(x).winsorize(lower=0.05, upper=0.95, exact=False)"
+"""
+    vals = [float(v) for v in range(100)] + [10_000.0]
+    out = FeatureEngine(spec).transform(_ds({"x": vals})).to_pandas()
+    assert out["xw"].max() < 10_000.0          # outlier clipped
+    body = out.sort_values("x")["xw"].to_numpy()[10:90]
+    assert (body == np.arange(10, 90, dtype=float)).all()  # body untouched

@@ -140,3 +140,38 @@ def test_bloom_serialization_roundtrip():
     rt = BloomFilter.from_bytes(bf.to_bytes())
     assert rt.contains(["a", "b", "c"]).all()
     assert not rt.contains(["zz"]).any()
+
+
+# ---------------------------------------------------------------------------
+
+def test_valuehist_exact_quantiles_merge_invariant():
+    """ValueHist (the quantiles_exact fit state): quantiles over merged
+    per-block partials equal single-pass quantiles AND numpy's linear
+    (= SQL quantile_cont) interpolation, for any block layout."""
+    from feature_fabrica_ray.state import ValueHist
+
+    rng = np.random.default_rng(11)
+    arr = np.round(rng.gamma(2.0, 40.0, 5000), 2)
+    whole = ValueHist.from_array(arr)
+    for seed in (0, 1):
+        cuts = np.sort(rng.integers(1, arr.size - 1, size=6))
+        blobs = [ValueHist.from_array(b).to_bytes()
+                 for b in np.array_split(arr, cuts)]
+        merged = ValueHist.merge_bytes(blobs)
+        for q in (0.0, 0.01, 0.25, 0.5, 0.9, 1.0):
+            assert merged.quantile(q) == whole.quantile(q)
+            assert merged.quantile(q) == pytest.approx(
+                np.quantile(arr, q), abs=1e-9)
+
+
+def test_valuehist_cap_and_edge_cases():
+    from feature_fabrica_ray.state import ValueHist
+
+    with pytest.raises(ValueError, match="cap"):
+        ValueHist.from_array(np.arange(50.0), cap=10)
+    empty = ValueHist.from_array(np.array([np.nan]))    # NaNs dropped
+    assert empty.total == 0
+    with pytest.raises(ValueError, match="empty"):
+        empty.quantile(0.5)
+    one = ValueHist.from_array(np.array([7.0, 7.0]))
+    assert one.quantile(0.0) == one.quantile(1.0) == 7.0
