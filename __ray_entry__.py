@@ -667,6 +667,11 @@ qty_const:
   data_type: float64
   dependencies: [qty_n]
   transformation: "(qty_n).impute(strategy='constant', value=-1.0)"
+qty_med:
+  description: nulls filled with the GLOBAL median (exact value-histogram fit)
+  data_type: float64
+  dependencies: [qty_n]
+  transformation: "(qty_n).impute(strategy='median')"
 """
 
 
@@ -690,19 +695,20 @@ def q_ft_impute(sf_dir: str):
 
     ds = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
     out = FeatureEngine(_IMPUTE_SPEC).transform(ds)
-    out = _round_cols(out, {"qty_mean": 6, "qty_const": 6})
+    out = _round_cols(out, {"qty_mean": 6, "qty_const": 6, "qty_med": 6})
     return _select(out, ["l_orderkey", "l_linenumber", "qty_mean",
-                         "qty_const"])
+                         "qty_const", "qty_med"])
 
 
 _IMPUTE_ORACLE = """
 WITH src AS (SELECT l_orderkey, l_linenumber,
                     CASE WHEN l_orderkey % 7 <> 0 THEN l_quantity END AS qty_n
              FROM lineitem),
-     m AS (SELECT avg(qty_n) AS mu FROM src)
+     m AS (SELECT avg(qty_n) AS mu, quantile_cont(qty_n, 0.5) AS med FROM src)
 SELECT l_orderkey, l_linenumber,
        round(coalesce(qty_n, m.mu), 6) AS qty_mean,
-       round(coalesce(qty_n, -1.0), 6) AS qty_const
+       round(coalesce(qty_n, -1.0), 6) AS qty_const,
+       round(coalesce(qty_n, m.med), 6) AS qty_med
 FROM src, m
 """
 

@@ -206,14 +206,17 @@ class ImputeTransform(Transformation):
     """Fill nulls in a numeric column: with ``value`` given, a stateless
     constant fill; with ``strategy='mean'`` (default) or ``'median'``, a
     GLOBAL two-phase fit like z_score/min_max — the planner streams one
-    Welford (mean) or t-digest (median) pass over the chain input and
+    Welford (mean) or quantile (median) pass over the chain input and
     broadcasts the fitted fill value (extension beyond the reference's
     transform set; cf. /root/reference/feature_fabrica/transform/math.py
-    for its fitted-scaler duals). Output is float64."""
+    for its fitted-scaler duals). The median fit is EXACT by default
+    (value-count histogram, ``state/vhist.py`` — SQL-median-identical);
+    ``exact=False`` switches to the t-digest scale path for unbounded
+    value domains. Output is float64."""
 
     _name_ = "impute"
 
-    def __init__(self, strategy: str = "mean", value=None):
+    def __init__(self, strategy: str = "mean", value=None, exact=True):
         if strategy not in ("mean", "median", "constant"):
             raise TransformationError(
                 f"impute strategy must be mean|median|constant, got {strategy!r}")
@@ -221,11 +224,14 @@ class ImputeTransform(Transformation):
             raise TransformationError("impute(strategy='constant') needs value=")
         self.strategy = strategy
         self.value = value
+        self.exact = bool(exact)
 
     def fit_request(self):
         if self.value is not None or self.strategy == "constant":
             return None
-        return "moments" if self.strategy == "mean" else "quantiles"
+        if self.strategy == "mean":
+            return "moments"
+        return "quantiles_exact" if self.exact else "quantiles"
 
     def set_fitted(self, state):
         self.value = state.mean if self.strategy == "mean" \

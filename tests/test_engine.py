@@ -451,10 +451,15 @@ x_mean:
   dependencies: [x]
   transformation: "(x).impute()"
 x_med:
-  description: median filled
+  description: median filled (exact value-histogram fit)
   data_type: float64
   dependencies: [x]
   transformation: "(x).impute(strategy='median')"
+x_medt:
+  description: median filled via the t-digest scale path
+  data_type: float64
+  dependencies: [x]
+  transformation: "(x).impute(strategy='median', exact=False)"
 x_c:
   description: constant filled
   data_type: float64
@@ -465,6 +470,7 @@ x_c:
     out = FeatureEngine(spec).transform(_ds({"x": vals})).to_pandas()
     assert out["x_mean"].tolist() == [1.0, 3.0, 2.0, 6.0, 3.0]
     assert out["x_med"].tolist() == [1.0, 2.0, 2.0, 6.0, 2.0]
+    assert out["x_medt"].tolist() == [1.0, 2.0, 2.0, 6.0, 2.0]
     assert out["x_c"].tolist() == [1.0, 9.5, 2.0, 6.0, 9.5]
     with pytest.raises(TransformationError):
         ImputeTransform(strategy="mode")
