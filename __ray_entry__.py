@@ -726,6 +726,11 @@ qty_r:
   data_type: float64
   dependencies: [l_quantity]
   transformation: "(l_quantity).robust_scale()"
+qty_qb:
+  description: quantity binned on fitted exact quartile edges
+  data_type: int32
+  dependencies: [l_quantity]
+  transformation: "(l_quantity).kbins_discretize(n_bins=4, strategy='quantile')"
 """
 
 
@@ -743,7 +748,8 @@ def q_ft_winsorize(sf_dir: str):
                  "l_extendedprice"])
     out = FeatureEngine(_WINSOR_SPEC).transform(ds)
     out = _round_cols(out, {"price_w": 6, "qty_r": 6})
-    return _select(out, ["l_orderkey", "l_linenumber", "price_w", "qty_r"])
+    return _select(out, ["l_orderkey", "l_linenumber", "price_w", "qty_r",
+                         "qty_qb"])
 
 
 _WINSOR_ORACLE = """
@@ -751,11 +757,16 @@ WITH m AS (SELECT quantile_cont(l_extendedprice, 0.01) AS p1,
                   quantile_cont(l_extendedprice, 0.99) AS p99,
                   quantile_cont(l_quantity, 0.5)  AS med,
                   quantile_cont(l_quantity, 0.75)
-                    - quantile_cont(l_quantity, 0.25) AS iqr
+                    - quantile_cont(l_quantity, 0.25) AS iqr,
+                  quantile_cont(l_quantity, 0.25) AS e1,
+                  quantile_cont(l_quantity, 0.5)  AS e2,
+                  quantile_cont(l_quantity, 0.75) AS e3
            FROM lineitem)
 SELECT l_orderkey, l_linenumber,
        round(LEAST(GREATEST(l_extendedprice, m.p1), m.p99), 6) AS price_w,
-       round((l_quantity - m.med) / m.iqr, 6) AS qty_r
+       round((l_quantity - m.med) / m.iqr, 6) AS qty_r,
+       (CAST(l_quantity >= m.e1 AS INTEGER) + CAST(l_quantity >= m.e2 AS INTEGER)
+        + CAST(l_quantity >= m.e3 AS INTEGER)) AS qty_qb
 FROM lineitem, m
 """
 

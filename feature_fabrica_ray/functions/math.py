@@ -318,23 +318,29 @@ class RobustScaleTransform(Transformation):
 class KBinsDiscretize(Transformation):
     """Ordinal k-bins discretization (reference: math.py:209-227, sklearn
     KBinsDiscretizer semantics). strategy='uniform' bins on [min,max];
-    'quantile' bins on global t-digest quantiles. Edges come from a global
-    fit pass; the rightmost bin is closed (x == max -> last bin), matching
+    'quantile' bins on fitted global quantiles — EXACT by default (value-
+    count histogram fit, SQL-quantile_cont-identical edges), t-digest via
+    ``exact=False`` for unbounded domains. Edges come from a global fit
+    pass; the rightmost bin is closed (x == max -> last bin), matching
     sklearn. Output int32 bin ids."""
 
     _name_ = "kbins_discretize"
 
-    def __init__(self, n_bins: int = 5, strategy: str = "uniform", edges=None):
+    def __init__(self, n_bins: int = 5, strategy: str = "uniform", edges=None,
+                 exact=True):
         if strategy not in ("uniform", "quantile"):
             raise TransformationError(f"kbins strategy {strategy!r} not supported")
         self.n_bins = int(n_bins)
         self.strategy = strategy
         self.edges = list(edges) if edges is not None else None
+        self.exact = bool(exact)
 
     def fit_request(self):
         if self.edges is not None:
             return None
-        return "moments" if self.strategy == "uniform" else "quantiles"
+        if self.strategy == "uniform":
+            return "moments"
+        return "quantiles_exact" if self.exact else "quantiles"
 
     def set_fitted(self, fitted):
         if self.strategy == "uniform":

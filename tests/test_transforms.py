@@ -98,8 +98,10 @@ def test_kbins_uniform_golden():
 def test_kbins_quantile():
     x = np.linspace(0, 100, 101)
     t = KBinsDiscretize(n_bins=4, strategy="quantile")
-    assert t.fit_request() == "quantiles"
-    t.set_fitted(TDigest.from_array(x))
+    assert t.fit_request() == "quantiles_exact"   # exact fit is the default
+    assert KBinsDiscretize(n_bins=4, strategy="quantile",
+                           exact=False).fit_request() == "quantiles"
+    t.set_fitted(TDigest.from_array(x))           # set_fitted is state-agnostic
     out = np.array(lst(run(t, pa.array(x))))
     assert out.min() == 0 and out.max() == 3
     assert np.all(np.diff(out) >= 0)
