@@ -752,6 +752,38 @@ def q_ft_winsorize(sf_dir: str):
                          "qty_qb"])
 
 
+_PRANK_SPEC = """
+l_quantity: {description: raw lineitem quantity, data_type: float64}
+qty_pr:
+  description: global empirical-CDF percent rank of quantity
+  data_type: float64
+  dependencies: [l_quantity]
+  transformation: "(l_quantity).percent_rank()"
+"""
+
+
+def q_ft_percent_rank(sf_dir: str):
+    """Rank / quantile transform (functions/math.py::PercentRankTransform,
+    sklearn QuantileTransformer uniform output): one exact value-histogram
+    fit pass, then the histogram itself broadcasts into the fused pass and
+    each batch computes count(values < x)/(N-1) by searchsorted — SQL
+    percent_rank() semantics including tie groups (l_quantity has 50
+    distinct values, so every rank is a tie group)."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    out = FeatureEngine(_PRANK_SPEC).transform(ds)
+    out = _round_cols(out, {"qty_pr": 6})
+    return _select(out, ["l_orderkey", "l_linenumber", "qty_pr"])
+
+
+_PRANK_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(percent_rank() OVER (ORDER BY l_quantity), 6) AS qty_pr
+FROM lineitem
+"""
+
+
 _WINSOR_ORACLE = """
 WITH m AS (SELECT quantile_cont(l_extendedprice, 0.01) AS p1,
                   quantile_cont(l_extendedprice, 0.99) AS p99,
@@ -2675,6 +2707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_fitted_global": q_ft_fitted_global,
         "ft_impute": q_ft_impute,
         "ft_winsorize": q_ft_winsorize,
+        "ft_percent_rank": q_ft_percent_rank,
         "ft_strings": q_ft_strings,
         "ft_datetime": q_ft_datetime,
         "ft_group_reduce": q_ft_group_reduce,
@@ -2769,6 +2802,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_fitted_global": _FITTED_ORACLE,
         "ft_impute": _IMPUTE_ORACLE,
         "ft_winsorize": _WINSOR_ORACLE,
+        "ft_percent_rank": _PRANK_ORACLE,
         "ft_strings": _STRINGS_ORACLE,
         "ft_datetime": _DATETIME_ORACLE,
         "ft_group_reduce": _GROUP_ORACLE,

@@ -315,6 +315,40 @@ class RobustScaleTransform(Transformation):
                          pa.scalar(float(self.scale)))
 
 
+class PercentRankTransform(Transformation):
+    """Empirical-CDF rank transform (sklearn QuantileTransformer's uniform
+    output, SQL ``percent_rank()``): x -> count(values < x) / (N - 1) over
+    the GLOBALLY fitted distribution, ties sharing their group's first
+    rank. Unlike the scalar-fitted scalers, the broadcast state is the
+    value histogram itself (like encoder vocabularies — capped, KB-to-MB
+    sized). ``exact=False`` uses the t-digest CDF approximation for
+    unbounded value domains. Nulls stay null."""
+
+    _name_ = "percent_rank"
+
+    def __init__(self, exact=True):
+        self.state = None
+        self.exact = bool(exact)
+
+    def fit_request(self):
+        return "quantiles_exact" if self.exact else "quantiles"
+
+    def set_fitted(self, state):
+        self.state = state
+
+    def execute(self, data):
+        if self.state is None:
+            raise TransformationError(
+                "percent_rank not fitted (planner must run fit pass)")
+        x = _f64(data).to_numpy(zero_copy_only=False)
+        nulls = np.isnan(x)
+        safe = np.where(nulls, 0.0, x)
+        pr = (self.state.percent_rank_of(safe)
+              if hasattr(self.state, "percent_rank_of")
+              else self.state.cdf(safe))
+        return pa.array(pr, pa.float64(), mask=nulls)
+
+
 class KBinsDiscretize(Transformation):
     """Ordinal k-bins discretization (reference: math.py:209-227, sklearn
     KBinsDiscretizer semantics). strategy='uniform' bins on [min,max];

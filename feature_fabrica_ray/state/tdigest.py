@@ -101,6 +101,21 @@ class TDigest:
     def quantiles(self, qs) -> list[float]:
         return [self.quantile(q) for q in qs]
 
+    def cdf(self, xs) -> np.ndarray:
+        """Approximate CDF at each x (the inverse of ``quantile``'s
+        interpolation over centroid mid-ranks), vectorized."""
+        xs = np.asarray(xs, dtype=np.float64)
+        if self.means.size == 0:
+            return np.full(xs.shape, np.nan)
+        total = self.weights.sum()
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        out = np.interp(xs, self.means, cum) / total
+        if np.isfinite(self._min):
+            out = np.where(xs <= self._min, 0.0, out)
+        if np.isfinite(self._max):
+            out = np.where(xs >= self._max, 1.0, out)
+        return np.clip(out, 0.0, 1.0)
+
     @property
     def count(self) -> float:
         return float(self.weights.sum())

@@ -89,6 +89,18 @@ class ValueHist:
         hi = float(self.values[np.searchsorted(cum, i0 + 2)])
         return lo + (hi - lo) * frac
 
+    def percent_rank_of(self, xs: np.ndarray) -> np.ndarray:
+        """SQL ``percent_rank()`` over the fitted multiset, vectorized:
+        count(values < x) / (N - 1) — ties share the first rank of their
+        group, exactly as the window function assigns them."""
+        if self.values.size == 0:
+            raise ValueError("ValueHist.percent_rank_of on empty histogram")
+        cum = np.cumsum(self.counts)
+        n = int(cum[-1])
+        idx = np.searchsorted(self.values, xs, side="left")
+        below = np.where(idx > 0, cum[np.maximum(idx - 1, 0)], 0)
+        return below / max(n - 1, 1)
+
     # -- fit-pass exchange format (length-prefixed packed arrays) -------
     def to_bytes(self) -> bytes:
         return (struct.pack("<Q", self.values.size)

@@ -545,3 +545,41 @@ xw:
     assert out["xw"].max() < 10_000.0          # outlier clipped
     body = out.sort_values("x")["xw"].to_numpy()[10:90]
     assert (body == np.arange(10, 90, dtype=float)).all()  # body untouched
+
+
+def test_percent_rank(ray_session):
+    """percent_rank: exact empirical-CDF fit — SQL percent_rank()
+    semantics (count(v < x)/(N-1), ties share first rank), partition
+    invariant, nulls stay null; exact=False rides the t-digest CDF."""
+    import numpy as np
+
+    spec = """
+x: {description: values with ties and a null, data_type: float64}
+pr:
+  description: exact percent rank
+  data_type: float64
+  dependencies: [x]
+  transformation: "(x).percent_rank()"
+prt:
+  description: t-digest approximate percent rank
+  data_type: float64
+  dependencies: [x]
+  transformation: "(x).percent_rank(exact=False)"
+"""
+    vals = [3.0, 1.0, 3.0, 7.0, 1.0, 5.0, None]
+    arr = np.array([v for v in vals if v is not None])
+    n = arr.size
+    want = {v: np.sum(arr < v) / (n - 1) for v in set(arr)}
+    for parts in (1, 3):
+        out = FeatureEngine(spec).transform(
+            _ds({"x": vals}).repartition(parts)).to_pandas()
+        for _, r in out.iterrows():
+            if r["x"] != r["x"] or r["x"] is None:
+                assert r[["pr", "prt"]].isna().all()
+            else:
+                assert r["pr"] == want[r["x"]]
+                assert 0.0 <= r["prt"] <= 1.0
+        # approximate CDF must agree on the extremes and stay monotone
+        srt = out.dropna().sort_values("x")
+        assert srt["prt"].iloc[0] == 0.0 and srt["prt"].iloc[-1] == 1.0
+        assert (np.diff(srt["prt"].to_numpy()) >= 0).all()
