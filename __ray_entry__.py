@@ -631,6 +631,11 @@ price_mm:
   data_type: float64
   dependencies: [l_extendedprice]
   transformation: "(l_extendedprice).min_max()"
+price_ma:
+  description: price scaled by its fitted global max absolute value
+  data_type: float64
+  dependencies: [l_extendedprice]
+  transformation: "(l_extendedprice).max_abs()"
 """
 
 
@@ -641,17 +646,21 @@ def q_ft_fitted_global(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
     out = FeatureEngine(_FITTED_SPEC).transform(ds)
-    out = _round_cols(out, {"qty_z": 5, "price_mm": 6})
-    return _select(out, ["l_orderkey", "l_linenumber", "qty_z", "price_mm"])
+    out = _round_cols(out, {"qty_z": 5, "price_mm": 6, "price_ma": 6})
+    return _select(out, ["l_orderkey", "l_linenumber", "qty_z", "price_mm",
+                         "price_ma"])
 
 
 _FITTED_ORACLE = """
 WITH m AS (SELECT avg(l_quantity) AS mu, stddev_pop(l_quantity) AS sd,
-                  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+                  GREATEST(ABS(min(l_extendedprice)),
+                           ABS(max(l_extendedprice))) AS ma
            FROM lineitem)
 SELECT l_orderkey, l_linenumber,
        round((l_quantity - m.mu) / m.sd, 5) AS qty_z,
-       round((l_extendedprice - m.lo) / (m.hi - m.lo), 6) AS price_mm
+       round((l_extendedprice - m.lo) / (m.hi - m.lo), 6) AS price_mm,
+       round(l_extendedprice / m.ma, 6) AS price_ma
 FROM lineitem, m
 """
 

@@ -11,7 +11,8 @@ from .datetime import (DateTimeAdd, DateTimeDifference, DateTimeExtract,
 from .generic import AsType, FeatureImporter
 from .math import (ABSTransform, ClipTransform, DivideReduce, DivideTransform,
                    ExpTransform, ImputeTransform, KBinsDiscretize, LogTransform,
-                   MinMaxTransform, MultiplyReduce, PercentRankTransform,
+                   MaxAbsTransform, MinMaxTransform, MultiplyReduce,
+                   PercentRankTransform,
                    PowerTransform,
                    RobustScaleTransform, ScaleFeature, SqrtTransform,
                    SubtractReduce, SumReduce, WinsorizeTransform,
@@ -27,7 +28,7 @@ __all__ = [
     "PowerTransform", "ABSTransform", "ClipTransform", "DivideTransform",
     "ZScoreTransform", "MinMaxTransform", "KBinsDiscretize",
     "ImputeTransform", "WinsorizeTransform", "RobustScaleTransform",
-    "PercentRankTransform",
+    "PercentRankTransform", "MaxAbsTransform",
     "SumReduce", "SubtractReduce", "MultiplyReduce", "DivideReduce",
     "ToLower", "ToUpper", "Strip", "Split", "ConcatenateReduce",
     "OneHotEncode", "LabelEncode", "OrdinalEncode", "BinaryEncode",

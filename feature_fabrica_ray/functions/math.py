@@ -202,6 +202,30 @@ class MinMaxTransform(Transformation):
         return pc.divide(pc.subtract(_f64(data), pa.scalar(lo)), pa.scalar(hi - lo))
 
 
+class MaxAbsTransform(Transformation):
+    """x / max(|x|) — sklearn MaxAbsScaler (keeps sign and sparsity, output
+    in [-1, 1]). Same global Welford/min-max fit pass as z_score/min_max;
+    with ``max_abs`` given: stateless."""
+
+    _name_ = "max_abs"
+
+    def __init__(self, max_abs=None):
+        self.max_abs = max_abs
+
+    def fit_request(self):
+        return None if self.max_abs is not None else "moments"
+
+    def set_fitted(self, moments):
+        self.max_abs = max(abs(moments.min), abs(moments.max))
+
+    def execute(self, data):
+        if self.max_abs is None:
+            raise TransformationError("max_abs not fitted (planner must run fit pass)")
+        if self.max_abs == 0:
+            raise TransformationError("max_abs: all-zero column")
+        return pc.divide(_f64(data), pa.scalar(float(self.max_abs)))
+
+
 class ImputeTransform(Transformation):
     """Fill nulls in a numeric column: with ``value`` given, a stateless
     constant fill; with ``strategy='mean'`` (default) or ``'median'``, a

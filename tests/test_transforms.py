@@ -279,3 +279,17 @@ def test_datetime_diff_subsecond_units():
                                      compute_unit=unit), ts)
         expect = (np_ts - base).astype(f"timedelta64[{unit}]").astype(np.int64)
         assert lst(out) == expect.tolist(), unit
+
+
+def test_max_abs_scaler():
+    from feature_fabrica_ray.functions import MaxAbsTransform, TransformationError
+    x = np.array([-8.0, 2.0, 4.0])
+    t = MaxAbsTransform()
+    assert t.fit_request() == "moments"
+    t.set_fitted(Moments.from_array(x))
+    assert lst(run(t, pa.array(x))) == [-1.0, 0.25, 0.5]
+    assert MaxAbsTransform(max_abs=2.0).fit_request() is None  # stateless form
+    z = MaxAbsTransform()
+    z.set_fitted(Moments.from_array(np.zeros(3)))
+    with pytest.raises(TransformationError):
+        run(z, pa.array(np.zeros(3)))
