@@ -175,3 +175,36 @@ def test_valuehist_cap_and_edge_cases():
         empty.quantile(0.5)
     one = ValueHist.from_array(np.array([7.0, 7.0]))
     assert one.quantile(0.0) == one.quantile(1.0) == 7.0
+
+
+def test_valuehist_property_matches_numpy():
+    """Property: for ANY multiset and ANY q, merged-from-random-splits
+    ValueHist quantiles equal numpy's linear interpolation (= SQL
+    quantile_cont), and percent_rank_of equals the count(v<x)/(N-1)
+    definition."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from feature_fabrica_ray.state import ValueHist
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(min_value=-50, max_value=50),
+                    min_size=2, max_size=200),
+           st.floats(min_value=0.0, max_value=1.0,
+                     allow_nan=False, allow_infinity=False),
+           st.integers(min_value=0, max_value=2**32 - 1))
+    def prop(xs, q, seed):
+        arr = np.asarray(xs, dtype=np.float64)
+        rng = np.random.default_rng(seed)
+        ncuts = int(rng.integers(0, min(4, arr.size - 1) + 1))
+        cuts = np.sort(rng.integers(1, arr.size, size=ncuts)) if ncuts else []
+        vh = ValueHist.merge_bytes(
+            [ValueHist.from_array(b).to_bytes()
+             for b in np.array_split(arr, cuts)])
+        assert vh.quantile(q) == pytest.approx(np.quantile(arr, q), abs=1e-9)
+        n = arr.size
+        for x in arr[:5]:
+            want = np.sum(arr < x) / (n - 1)
+            assert vh.percent_rank_of(np.array([x]))[0] == pytest.approx(want)
+
+    prop()
