@@ -36,6 +36,33 @@ from ..spec.models import (CompiledFeature, build_features, level_features)
 from ..spec.yaml_loader import load_spec
 from ..state import Moments, TDigest, ValueHist
 
+
+def _merge_fit_blobs(kind: str, blobs: list):
+    """Associatively merge serialized fit partials of one kind (used at
+    every tree-merge level and for the final driver fold)."""
+    if kind == "moments":
+        m = Moments()
+        for b in blobs:
+            m = m.merge(Moments.from_dict(json.loads(b)))
+        return m
+    if kind == "distinct":
+        vals: set = set()
+        for b in blobs:
+            vals.update(json.loads(b))
+        return vals
+    if kind == "quantiles_exact":
+        return ValueHist.merge_bytes(blobs)
+    return TDigest.merge_bytes(blobs)
+
+
+def _serialize_fit_state(kind: str, state):
+    """Inverse of the per-block partial encoding (same wire format)."""
+    if kind == "moments":
+        return json.dumps(state.to_dict())
+    if kind == "distinct":
+        return json.dumps(sorted(state))
+    return state.to_bytes()
+
 __all__ = ["FeatureEngine"]
 
 
@@ -242,23 +269,28 @@ class FeatureEngine:
                     raise TransformationError(f"unknown fit kind {kind}")
             return pa.table(out)
 
-        rows = ds.map_batches(partials, batch_format="pyarrow", batch_size=None).take_all()
+        def combine(batch: pa.Table) -> pa.Table:
+            # tree-merge level: fold this batch's per-block partials into
+            # ONE row so the driver receives O(n_blocks / 64^levels)
+            # partials rather than one per block (the quantiles_exact /
+            # distinct partials can be MBs each at wide value domains)
+            if batch.num_rows <= 1:
+                return batch
+            out: dict[str, list] = {}
+            for i, kind in enumerate(kinds):
+                blobs = batch.column(f"fit_{i}").to_pylist()
+                out[f"fit_{i}"] = [_serialize_fit_state(
+                    kind, _merge_fit_blobs(kind, blobs))]
+            return pa.table(out)
+
+        parts = ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        for _ in range(2):
+            parts = parts.map_batches(combine, batch_format="pyarrow",
+                                      batch_size=64)
+        rows = parts.take_all()
         for i, (f, call, kind) in enumerate(requests):
             blobs = [r[f"fit_{i}"] for r in rows]
-            if kind == "moments":
-                m = Moments()
-                for b in blobs:
-                    m = m.merge(Moments.from_dict(json.loads(b)))
-                call.transform.set_fitted(m)
-            elif kind == "distinct":
-                vals: set = set()
-                for b in blobs:
-                    vals.update(json.loads(b))
-                call.transform.set_fitted(vals)
-            elif kind == "quantiles_exact":
-                call.transform.set_fitted(ValueHist.merge_bytes(blobs))
-            else:
-                call.transform.set_fitted(TDigest.merge_bytes(blobs))
+            call.transform.set_fitted(_merge_fit_blobs(kind, blobs))
         return ds
 
     # -- shuffle (window) stages ---------------------------------------
