@@ -2118,6 +2118,19 @@ def q_dd_neardup_rows(sf_dir: str):
     return _select(neardup_dedup_rows(ds, threshold=0.5), ["doc_id"])
 
 
+def q_dd_neardup_distributed(sf_dir: str):
+    """Zero-driver keep-one near-dup dedup: distributed LSH pairs ->
+    distributed connected-components label propagation -> anti join.
+    Rows-only (heuristic blocking has no SQL oracle); pytest proves
+    equality with the driver union-find form."""
+    from feature_fabrica_ray.pipelines import neardup_dedup_rows_distributed
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return _select(neardup_dedup_rows_distributed(ds, threshold=0.5),
+                   ["doc_id"])
+
+
 def q_dd_simhash(sf_dir: str):
     from feature_fabrica_ray.pipelines import simhash_pairs
 
@@ -2390,6 +2403,84 @@ SELECT event_id, user_id,
        round(value - lag(value, 1) OVER w, 6) AS delta_prev
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_ev_rank(sf_dir: str) -> pd.DataFrame:
+    """RANK/DENSE_RANK over value DESC (SQL tie semantics: equal values
+    share a rank, RANK leaves gaps) + NTILE(4) over the deterministic
+    (value DESC, event_id) order, per user — one keyed shuffle, one
+    vectorized run-length pass per group."""
+    from feature_fabrica_ray.pipelines import rank_ntile
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "value"])
+    out = rank_ntile(ds, "user_id", "value", "event_id", tiles=4) \
+        .to_pandas()[["event_id", "user_id", "rnk", "drnk", "ntl"]]
+    return out.reset_index(drop=True)
+
+
+_RANK_ORACLE = """
+SELECT event_id, user_id,
+       rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS drnk,
+       ntile(4) OVER (PARTITION BY user_id
+                      ORDER BY value DESC, event_id) AS ntl
+FROM events
+"""
+
+
+def q_agg_mode(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group mode of l_quantity per returnflag — distinct-pair
+    count combiner, keyed shuffle of partials only, deterministic
+    smallest-value tiebreak."""
+    from feature_fabrica_ray.pipelines import mode_per_group
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity"])
+    out = mode_per_group(ds, "l_returnflag", "l_quantity")
+    out["mode_v"] = _round_away(out["mode_v"], 6)
+    return out
+
+
+_MODE_ORACLE = """
+SELECT l_returnflag, round(mode_v, 6) AS mode_v, mode_n FROM (
+  SELECT l_returnflag, l_quantity AS mode_v,
+         CAST(count(*) AS BIGINT) AS mode_n,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY count(*) DESC, l_quantity ASC) AS rn
+  FROM lineitem WHERE l_quantity IS NOT NULL
+  GROUP BY l_returnflag, l_quantity) WHERE rn = 1
+"""
+
+
+def q_st_setops(sf_dir: str) -> pd.DataFrame:
+    """Distinct set operations between lineitem part keys and the part
+    table's key set — per-block distinct partials, one keyed shuffle,
+    native Max-flag aggregate, stateless filter; counts only reach the
+    driver."""
+    from feature_fabrica_ray.pipelines import set_op_keys
+
+    a = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey"])
+    b = read_parquet_clean(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey"])
+    rows = [(op, int(set_op_keys(a, b, "l_partkey", "p_partkey", op)
+                     .count()))
+            for op in ("union", "intersect", "except")]
+    return pd.DataFrame(rows, columns=["op", "n"])
+
+
+_SETOPS_ORACLE = """
+SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT l_partkey AS k FROM lineitem UNION SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'intersect', CAST(count(*) AS BIGINT) FROM (
+  SELECT l_partkey AS k FROM lineitem INTERSECT
+  SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'except', CAST(count(*) AS BIGINT) FROM (
+  SELECT l_partkey AS k FROM lineitem EXCEPT SELECT p_partkey FROM part)
 """
 
 
@@ -2762,6 +2853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_minhash": q_dd_minhash,
         "dd_minhash_distributed": q_dd_minhash_distributed,
         "dd_neardup_rows": q_dd_neardup_rows,
+        "dd_neardup_distributed": q_dd_neardup_distributed,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
         "dd_simhash": q_dd_simhash,
         "ss_cosine_topk": q_ss_cosine_topk,
@@ -2777,7 +2869,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_cumsum": q_ev_cumsum,
         "ev_rolling": q_ev_rolling,
         "ev_lag": q_ev_lag,
+        "ev_rank": q_ev_rank,
         "ev_latest": q_ev_latest,
+        "agg_mode": q_agg_mode,
+        "st_setops": q_st_setops,
         "agg_distinct_group": q_agg_distinct_group,
         "agg_distinct_hll": q_agg_distinct_hll,
         "agg_rollup": q_agg_rollup,
@@ -2837,7 +2932,10 @@ def oracle_sql() -> dict[str, str]:
         "ev_cumsum": _CUMSUM_ORACLE,
         "ev_rolling": _ROLLING_ORACLE,
         "ev_lag": _LAG_ORACLE,
+        "ev_rank": _RANK_ORACLE,
         "ev_latest": _LATEST_ORACLE,
+        "agg_mode": _MODE_ORACLE,
+        "st_setops": _SETOPS_ORACLE,
         "agg_distinct_group": _DISTINCT_GROUP_ORACLE,
         "agg_rollup": _ROLLUP_ORACLE,
         "agg_cube": _CUBE_ORACLE,

@@ -9,19 +9,23 @@ from .packing import pack_sequences
 from .quantiles import group_quantiles
 from .checkpoint import codetable_shards, merge_results, validate_resumable
 from .events import (cumulative_agg, extract_json_int, lag_lead,
-                     rolling_agg, sessionize, sliding_window_agg,
+                     rank_ntile, rolling_agg, sessionize, sliding_window_agg,
                      tumbling_window_agg)
 from .grouped import (approx_distinct_per_group, approx_group_quantiles,
                       distinct_count_per_group,
                       freshness_check, grouped_correlation, grouped_outliers,
-                      grouped_stats, histogram_fixed, pivot_agg, rollup_agg,
+                      grouped_stats, histogram_fixed, mode_per_group,
+                      pivot_agg, rollup_agg,
                       cube_agg)
 from .drift_actor import DriftSketchActor, drift_report
 from .join import broadcast_join, broadcast_range_join, shuffle_join
+from .setops import set_op_keys
+from .graph import connected_components
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
                     exact_dedup_rows, exact_dedup_rows_shuffle,
                     fuzzy_join_pairs, minhash_lsh_pairs,
                     minhash_lsh_pairs_distributed, neardup_clusters,
+                    neardup_dedup_rows_distributed,
                     neardup_dedup_rows, ngram_jaccard, simhash_pairs)
 from .multimodal import (DecodeImageFeatures, FrameSampler,
                          ResizeImage, audio_pipeline, decode_pipeline,
@@ -66,4 +70,6 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "rolling_agg", "distinct_count_per_group", "rollup_agg",
            "histogram_fixed", "grouped_stats", "lag_lead",
            "weighted_hash_sample", "normalize_text", "pivot_agg",
-           "code_line_stats", "approx_group_quantiles"]
+           "code_line_stats", "approx_group_quantiles",
+           "rank_ntile", "mode_per_group", "set_op_keys",
+           "connected_components", "neardup_dedup_rows_distributed"]

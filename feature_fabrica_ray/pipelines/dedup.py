@@ -783,3 +783,57 @@ def fuzzy_join_pairs(left, right, *, text_col: str = "text",
             rows.append((int(l // 2), int(r // 2), round(float(j), 6)))
     out = pd.DataFrame(rows, columns=["id_left", "id_right", "jaccard"])
     return out.sort_values(["id_left", "id_right"]).reset_index(drop=True)
+
+
+def neardup_dedup_rows_distributed(ds, text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   threshold: float = 0.5,
+                                   pairs=None, **lsh_kw):
+    """Dup-heavy keep-one near-dup dedup: NOTHING ever lands on the
+    driver — the scale path that removes `neardup_dedup_rows`'s
+    rare-dup assumption (its driver union-find + broadcast drop set).
+
+    Pairs come from ``minhash_lsh_pairs_distributed`` (ids-only band
+    exchange, Bloom-pruned verify), clusters from the distributed
+    ``connected_components`` label propagation, and the drop set — every
+    node whose component representative isn't itself — anti-joins the
+    corpus via ONE native left-outer hash join + a stateless null-marker
+    filter. Pass precomputed ``pairs`` (a Dataset with id_a/id_b) to
+    reuse an existing LSH run. Returns the surviving rows as a Dataset.
+    """
+    from .graph import connected_components
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs_distributed(
+            ds, text_col, id_col, threshold=threshold, **lsh_kw)
+    labels = connected_components(pairs, a_col="id_a", b_col="id_b")
+
+    def non_reps(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("node"), batch.column("comp"))
+        return pa.table({"__drop_id": batch.column("node").filter(keep),
+                         "__drop": pa.array(
+                             np.ones(int(pc.sum(keep).as_py() or 0),
+                                     np.int8))})
+
+    # Compact the drop side to empty-block-free balanced blocks before
+    # the native hash join (Ray only schema-broadcasts off the first
+    # streamed block and skips empty ones — see graph.py's note), and
+    # skip the join entirely when nothing is marked for dropping.
+    drop = labels.map_batches(non_reps, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    n_drop = drop.count()
+    if n_drop == 0:
+        return ds
+    drop = drop.repartition(min(shuffle_partitions(), n_drop))
+    joined = ds.join(drop, join_type="left_outer", on=(id_col,),
+                     right_on=("__drop_id",),
+                     num_partitions=shuffle_partitions())
+
+    def keep_unmarked(batch: pa.Table) -> pa.Table:
+        mask = pc.is_null(batch.column("__drop"))
+        cols = [c for c in batch.column_names
+                if c not in ("__drop", "__drop_id")]
+        return batch.filter(mask).select(cols)
+
+    return joined.map_batches(keep_unmarked, batch_format="pyarrow",
+                              batch_size=None)

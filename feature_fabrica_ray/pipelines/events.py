@@ -206,6 +206,47 @@ def rolling_agg(ds, ts_col: str, key_col: str, value_col: str,
         .map_groups(per_key, batch_format="pandas")
 
 
+def rank_ntile(ds, key_col: str, value_col: str, order_col: str,
+               tiles: int = 4):
+    """Ranking window functions per key: ``RANK()`` and ``DENSE_RANK()``
+    over ``value DESC`` (SQL tie semantics — equal values share a rank,
+    RANK leaves gaps, DENSE_RANK doesn't) plus ``NTILE(tiles)`` over the
+    deterministic total order (value DESC, order_col ASC) — SQL NTILE
+    bucket sizing: the first ``n_rows % tiles`` buckets get one extra row.
+
+    Same physical shape (and same Zipf-hot-key bound) as
+    ``cumulative_agg``: hash-partition on the key, one vectorized
+    sort + run-length pass per group. Returns a Dataset with ``rnk``,
+    ``drnk``, ``ntl`` appended (all int64)."""
+    if tiles < 1:
+        raise ValueError(f"tiles must be >= 1, got {tiles}")
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        o = df[order_col].to_numpy()
+        idx = np.lexsort((o, -v))            # value DESC, order ASC
+        n = v.size
+        vs = v[idx]
+        starts = np.empty(n, np.bool_)
+        starts[0] = True
+        starts[1:] = vs[1:] != vs[:-1]       # new tie-run begins
+        pos = np.arange(n, dtype=np.int64)
+        rnk_sorted = np.maximum.accumulate(np.where(starts, pos + 1, 0))
+        drnk_sorted = np.cumsum(starts).astype(np.int64)
+        q, r = divmod(n, tiles)
+        ntl_sorted = np.where(
+            pos < r * (q + 1),
+            pos // (q + 1),
+            r + (pos - r * (q + 1)) // max(q, 1)) + 1
+        inv = np.empty(n, np.int64)
+        inv[idx] = pos
+        return df.assign(rnk=rnk_sorted[inv], drnk=drnk_sorted[inv],
+                         ntl=ntl_sorted[inv].astype(np.int64))
+
+    return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas")
+
+
 def lag_lead(ds, ts_col: str, key_col: str, value_col: str,
              order_col: str, offset: int = 1):
     """``LAG(value, offset)`` / ``LEAD(value, offset)`` per key over

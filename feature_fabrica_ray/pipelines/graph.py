@@ -1,0 +1,140 @@
+"""Distributed connected components via min-label propagation.
+
+The near-dup keep-one path needs the connected components of the
+LSH-candidate pair graph (each component keeps its smallest doc id).
+`neardup_clusters` (dedup.py) does this with a driver-side union-find,
+which is the right call while near-dup pairs are rare; on a dup-heavy
+web corpus the pair set itself is web-scale and this module is the
+scale path: everything stays in Datasets, the driver only sees one
+convergence scalar per iteration.
+
+Algorithm: symmetrize the edges once, seed every node's label with its
+own id, then repeat
+
+    label[n] <- min(label[n], min over neighbors m of label[m])
+
+until the global label sum stops changing (labels only ever decrease,
+so an unchanged sum means a fixed point). Each round is ONE hash join
+(neighbor label lookup) plus ONE keyed min-aggregate — both native Ray
+Data shuffles, no per-key Python. Rounds needed = graph diameter;
+near-dup components are small and dense (a handful of rounds), while a
+pathological million-node chain would need the alternating
+large-star/small-star variant — documented, not needed for the dedup
+workload this serves.
+
+The labels Dataset (one row per distinct node — orders of magnitude
+smaller than the edge set) is materialized once per round because it
+is the iteration state, exactly like the centroids in
+``similarity.kmeans`` (there the state is KB-sized and driver-held;
+here it stays distributed because node count scales with the corpus).
+
+Reference parity: feature-fabrica has no graph operators; this backs
+the dedup family (SURVEY §8.3) at dup-heavy scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..tuning import shuffle_partitions
+
+__all__ = ["connected_components"]
+
+
+def _canon2(names: list[str]):
+    """Canonical-schema guard for post-shuffle blocks: Ray's hash
+    shuffle emits EMPTY partitions with no schema at all; every stage
+    here re-emits (int64, int64) under the given names so downstream
+    joins/unions always see one schema (same pattern as
+    curation.salted_group_agg's merge guard)."""
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns != 2:
+            empty = pa.array([], pa.int64())
+            return pa.table({names[0]: empty, names[1]: empty})
+        return t.rename_columns(names)
+    return fn
+
+
+def connected_components(edges, a_col: str = "a", b_col: str = "b",
+                         max_iters: int = 50):
+    """Components of the undirected graph given by integer-id edge rows.
+
+    Returns a Dataset (node, comp) covering every node that appears in
+    at least one edge, where ``comp`` is the smallest node id in the
+    node's component (the canonical representative). Ids must be
+    integers (the convergence test sums them). Raises RuntimeError if
+    ``max_iters`` rounds don't reach a fixed point.
+    """
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = batch.column(b_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"src": np.concatenate([a, b]),
+                         "dst": np.concatenate([b, a])})
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    nparts = shuffle_partitions()
+
+    # Ray's native hash join broadcasts each side's schema to its
+    # aggregators only with the FIRST block it streams — and skips the
+    # broadcast entirely if that block is empty (hash_shuffle.py:223) —
+    # so a join input with empty blocks makes schema-less partitions
+    # crash pyarrow's join. Compact every join input to
+    # min(nparts, n_rows) balanced blocks (a linear split-merge, not a
+    # shuffle); counts are free because the inputs are materialized.
+    n_edge_rows = sym.count()
+    if n_edge_rows == 0:
+        import ray.data as _rd
+        empty = pa.array([], pa.int64())
+        return _rd.from_arrow(pa.table({"node": empty, "comp": empty}))
+    sym = sym.repartition(min(nparts, n_edge_rows)).materialize()
+
+    def seed(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("src").unique()
+        return pa.table({"node": nodes, "label": nodes})
+
+    labels = (sym.map_batches(seed, batch_format="pyarrow", batch_size=None)
+              .groupby("node", num_partitions=nparts).min("label")
+              .map_batches(_canon2(["node", "label"]),
+                           batch_format="pyarrow", batch_size=None)
+              .materialize())
+    n_nodes = labels.count()          # constant across rounds
+    labels = labels.repartition(min(nparts, n_nodes)).materialize()
+    prev_sum = labels.sum("label")
+
+    def min_label(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            empty = pa.array([], pa.int64())
+            return pa.table({"node": empty, "label": empty})
+        g = batch.group_by("node").aggregate([("label", "min")])
+        return pa.table({"node": g.column("node"),
+                         "label": g.column("label_min")})
+
+    for _ in range(max_iters):
+        # neighbor labels: for every edge (src, dst), dst's current label
+        nbr = sym.join(labels, join_type="inner", on=("dst",),
+                       right_on=("node",), num_partitions=nparts) \
+            .select_columns(["src", "label"]) \
+            .map_batches(_canon2(["node", "label"]),
+                         batch_format="pyarrow", batch_size=None)
+        labels = (labels.union(nbr)
+                  .map_batches(min_label, batch_format="pyarrow",
+                               batch_size=None)
+                  .groupby("node", num_partitions=nparts).min("label")
+                  .map_batches(_canon2(["node", "label"]),
+                               batch_format="pyarrow", batch_size=None)
+                  .repartition(min(nparts, n_nodes))
+                  .materialize())
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            return labels.map_batches(_canon2(["node", "comp"]),
+                                      batch_format="pyarrow",
+                                      batch_size=None)
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected_components: no fixed point after "
+                       f"{max_iters} rounds (graph diameter too large; "
+                       f"use the large-star/small-star variant)")

@@ -38,7 +38,49 @@ __all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
            "grouped_stats", "freshness_check", "grouped_outliers",
            "grouped_correlation", "approx_distinct_per_group", "cube_agg",
            "approx_group_quantiles",
-           "pivot_agg"]
+           "pivot_agg", "mode_per_group"]
+
+
+def mode_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
+    """Exact per-group mode: the most frequent non-null ``val`` per key,
+    ties broken toward the smallest value (deterministic, unlike bare
+    SQL ``mode()``). Returns (key, mode_v, mode_n) sorted by key.
+
+    Same physical shape as ``distinct_count_per_group``: each block
+    collapses to its distinct (key, value) pairs with counts, only those
+    partials enter the ONE keyed shuffle, and each reduce partition
+    emits one row per key — the raw table never moves and value
+    cardinality per block (not row count) bounds the exchange.
+
+    Reference parity: feature-fabrica's GroupByReduce supports
+    ``how="mode"`` per group (transform/aggregate.py:92, pandas
+    ``.mode().iloc[0]``); this is the distributed combiner form.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, val_col]).filter(
+            pc.is_valid(batch.column(val_col)))
+        g = t.group_by([key_col, val_col]).aggregate([([], "count_all")])
+        return _with_shuffle_key(
+            pa.table({key_col: g.column(key_col),
+                      val_col: g.column(val_col),
+                      "cnt": g.column("count_all").cast(pa.int64())}),
+            key_col)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        # a group only exists if >=1 non-null partial row reached it
+        m = df.groupby(val_col, sort=True)["cnt"].sum()
+        best = m.idxmax()                    # idxmax takes the FIRST max -> smallest val
+        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
+                             "mode_v": [best],
+                             "mode_n": np.array([int(m.loc[best])], np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    key = out[key_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
 
 
 def distinct_count_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:

@@ -321,3 +321,94 @@ def test_lag_lead_golden(ray_session):
 
     with pytest.raises(ValueError):
         lag_lead(_ds(df), "ts", "user_id", "value", "event_id", offset=0)
+
+
+def test_rank_ntile_golden(ray_session):
+    """RANK leaves gaps on ties, DENSE_RANK doesn't; NTILE(4) fills the
+    first n%4 buckets with one extra row; a 2-row key gets one row per
+    bucket. Block-layout invariant."""
+    from feature_fabrica_ray.pipelines import rank_ntile
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 1, 1, 1, 2, 2],
+        "event_id": [1, 2, 3, 4, 5, 6, 7, 8, 9],
+        "value": [5.0, 5.0, 3.0, 3.0, 3.0, 1.0, 9.0, 2.0, 2.0],
+    })
+    for blocks in (1, 3):
+        out = rank_ntile(_ds(df, blocks=blocks), "user_id", "value",
+                         "event_id", tiles=4).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert out["rnk"].tolist() == [2, 2, 4, 4, 4, 7, 1, 1, 1]
+        assert out["drnk"].tolist() == [2, 2, 3, 3, 3, 4, 1, 1, 1]
+        assert out["ntl"].tolist() == [1, 2, 2, 3, 3, 4, 1, 1, 2]
+
+    with pytest.raises(ValueError):
+        rank_ntile(_ds(df), "user_id", "value", "event_id", tiles=0)
+
+
+def test_rank_ntile_random_vs_pandas(ray_session):
+    """Randomized RANK/DENSE_RANK equality with pandas groupby.rank
+    (method='min'/'dense', descending), plus NTILE bucket-size law:
+    sizes differ by at most 1 and are non-increasing."""
+    from feature_fabrica_ray.pipelines import rank_ntile
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 5, 200),
+        "event_id": np.arange(200),
+        "value": rng.integers(0, 8, 200).astype(np.float64),
+    })
+    out = rank_ntile(_ds(df, blocks=4), "user_id", "value", "event_id",
+                     tiles=3).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    g = df.groupby("user_id")["value"]
+    assert out["rnk"].tolist() == \
+        g.rank(method="min", ascending=False).astype(int).tolist()
+    assert out["drnk"].tolist() == \
+        g.rank(method="dense", ascending=False).astype(int).tolist()
+    for _, part in out.groupby("user_id"):
+        sizes = part["ntl"].value_counts().sort_index()
+        assert sizes.max() - sizes.min() <= 1
+        assert (sizes.diff().dropna() <= 0).all()
+        assert sizes.sum() == len(part)
+
+
+def test_mode_per_group(ray_session):
+    """Exact per-group mode: ties break toward the smallest value, null
+    values never win, an all-null key emits no row. Block-layout
+    invariant."""
+    from feature_fabrica_ray.pipelines import mode_per_group
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 4 + ["c"] * 2,
+        "v": [2.0, 2.0, 1.0, 1.0, 3.0,     # a: tie 2x2 vs 1x2 -> 1.0
+              7.0, None, 7.0, 5.0,         # b: 7.0 x2 (null ignored)
+              None, None],                 # c: all null -> no row
+    })
+    for blocks in (1, 3):
+        out = mode_per_group(_ds(df, blocks=blocks), "k", "v")
+        assert out["k"].tolist() == ["a", "b"]
+        assert out["mode_v"].tolist() == [1.0, 7.0]
+        assert out["mode_n"].tolist() == [2, 2]
+
+
+def test_set_op_keys(ray_session):
+    """SQL DISTINCT set semantics incl. null keys comparing equal:
+    union/intersect/except over int keys with duplicates and nulls."""
+    from feature_fabrica_ray.pipelines import set_op_keys
+
+    a = _ds(pd.DataFrame({"x": pd.array([1, 2, 2, 3, None],
+                                        dtype="Int64")}), blocks=2)
+    b = _ds(pd.DataFrame({"y": pd.array([2, 4, None], dtype="Int64")}))
+
+    def keys(op):
+        out = set_op_keys(a, b, "x", "y", op).to_pandas()["k"]
+        return sorted([None if pd.isna(v) else int(v) for v in out],
+                      key=lambda v: (v is None, v))
+
+    assert keys("union") == [1, 2, 3, 4, None]
+    assert keys("intersect") == [2, None]
+    assert keys("except") == [1, 3]
+
+    with pytest.raises(ValueError):
+        set_op_keys(a, b, "x", "y", "xor")

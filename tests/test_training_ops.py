@@ -931,3 +931,51 @@ def test_code_line_stats(ray_session):
                int(out.loc[i, "n_nonempty_lines"]),
                int(out.loc[i, "n_comment_lines"]))
         assert got == exp, (i, s, got, exp)
+
+
+def test_connected_components_vs_union_find(ray_session):
+    """Distributed label propagation finds exactly the union-find
+    components (rep = min id) on a random graph plus a planted 9-node
+    chain (exercises multi-round propagation) and an isolated pair."""
+    from feature_fabrica_ray.pipelines import (connected_components,
+                                               neardup_clusters)
+
+    rng = np.random.default_rng(3)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, (80, 2))
+             if a != b]
+    edges += [(100 + i, 101 + i) for i in range(8)]      # chain 100..108
+    edges += [(200, 201)]
+    pairs = pd.DataFrame(edges, columns=["id_a", "id_b"])
+    want = neardup_clusters(pairs)
+
+    got = connected_components(_ds(pairs, blocks=3), "id_a", "id_b") \
+        .to_pandas()
+    got_map = dict(zip(got["node"].astype(int), got["comp"].astype(int)))
+    assert got_map == want
+    assert all(got_map[n] == 100 for n in range(100, 109))
+
+
+def test_neardup_dedup_distributed_equals_driver(ray_session):
+    """The zero-driver keep-one path (distributed pairs -> distributed
+    components -> anti join) keeps exactly the rows the driver
+    union-find form keeps, on a dup-heavy corpus."""
+    from feature_fabrica_ray.pipelines import (
+        neardup_dedup_rows, neardup_dedup_rows_distributed)
+
+    rng = np.random.default_rng(5)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "epsilon",
+                      "zeta", "theta", "iota", "kappa", "lom"])
+    rows = []
+    for c in range(40):
+        base = " ".join(rng.choice(vocab, size=25))
+        rows.append((c * 10, base))
+        rows.append((c * 10 + 1, base + " tailone"))
+        rows.append((c * 10 + 5, " ".join(rng.choice(vocab, size=25))))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    drv = neardup_dedup_rows(_ds(df, blocks=4), threshold=0.5) \
+        .to_pandas()["doc_id"]
+    dst = neardup_dedup_rows_distributed(_ds(df, blocks=4), threshold=0.5) \
+        .to_pandas()["doc_id"]
+    assert sorted(drv) == sorted(dst)
+    assert len(dst) < len(df)                 # something was deduped
