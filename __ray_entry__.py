@@ -853,6 +853,111 @@ SELECT doc_id, upper(lang) AS lang_up, trim(source) AS src_strip,
 FROM documents
 """
 
+_REGEX_SPEC = """
+text: {description: document text, data_type: str}
+lang: {description: language code, data_type: str}
+source: {description: source tag, data_type: str}
+first_word:
+  description: leading lowercase word of the text
+  data_type: str
+  dependencies: [text]
+  transformation: "(text).regex_extract(pattern='^[a-z]+')"
+src_num:
+  description: numeric suffix of the source tag via group capture
+  data_type: str
+  dependencies: [source]
+  transformation: "(source).regex_extract(pattern='([a-z]+)([0-9]+)', group=2)"
+no_vowels:
+  description: language with every vowel starred
+  data_type: str
+  dependencies: [lang]
+  transformation: "(lang).regex_replace(pattern='[aeiou]', replacement='*')"
+first_vowel:
+  description: language with only the first vowel starred
+  data_type: str
+  dependencies: [lang]
+  transformation: "(lang).regex_replace(pattern='[aeiou]', replacement='*', all=False)"
+text8:
+  description: eight characters from position three
+  data_type: str
+  dependencies: [text]
+  transformation: "(text).substr(start=3, length=8)"
+lang_pad:
+  description: language left padded to five
+  data_type: str
+  dependencies: [lang]
+  transformation: "(lang).lpad(width=5, fill='_')"
+src_pad:
+  description: source right padded and truncated to four
+  data_type: str
+  dependencies: [source]
+  transformation: "(source).rpad(width=4, fill='x')"
+text_len:
+  description: codepoint length of the text
+  data_type: int64
+  dependencies: [text]
+  transformation: "(text).str_len()"
+has_data:
+  description: text mentions data
+  data_type: bool
+  dependencies: [text]
+  transformation: "(text).contains(sub='data')"
+is_src1:
+  description: source begins with src1
+  data_type: bool
+  dependencies: [source]
+  transformation: "(source).starts_with(prefix='src1')"
+ends_zero:
+  description: source ends with a zero
+  data_type: bool
+  dependencies: [source]
+  transformation: "(source).ends_with(suffix='0')"
+src_at:
+  description: literal replacement of the src prefix
+  data_type: str
+  dependencies: [source]
+  transformation: "(source).replace(old='src', new='s@')"
+has_digit_word:
+  description: text contains a digit
+  data_type: bool
+  dependencies: [text]
+  transformation: "(text).regex_match(pattern='[0-9]')"
+"""
+
+
+def q_ft_regex(sf_dir: str):
+    """Regex / substring string family (regex_extract incl. numbered
+    group capture, regex_replace first-vs-all, substr, lpad/rpad with
+    SQL truncation, str_len, contains/starts_with/ends_with, literal
+    replace, regex_match) — all RE2 Arrow kernels, hash-exact vs
+    DuckDB's string functions."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang", "source"])
+    out = FeatureEngine(_REGEX_SPEC).transform(ds)
+    return _select(out, ["doc_id", "first_word", "src_num", "no_vowels",
+                         "first_vowel", "text8", "lang_pad", "src_pad",
+                         "text_len", "has_data", "is_src1", "ends_zero",
+                         "src_at", "has_digit_word"])
+
+
+_REGEX_ORACLE = """
+SELECT doc_id,
+       regexp_extract(text, '^[a-z]+') AS first_word,
+       regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS src_num,
+       regexp_replace(lang, '[aeiou]', '*', 'g') AS no_vowels,
+       regexp_replace(lang, '[aeiou]', '*') AS first_vowel,
+       substr(text, 3, 8) AS text8,
+       lpad(lang, 5, '_') AS lang_pad,
+       rpad(source, 4, 'x') AS src_pad,
+       length(text) AS text_len,
+       contains(text, 'data') AS has_data,
+       starts_with(source, 'src1') AS is_src1,
+       ends_with(source, '0') AS ends_zero,
+       replace(source, 'src', 's@') AS src_at,
+       regexp_matches(text, '[0-9]') AS has_digit_word
+FROM documents
+"""
+
 _DATETIME_SPEC = """
 l_shipdate: {description: lineitem ship timestamp, data_type: datetime64}
 ship_year:
@@ -2382,6 +2487,31 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_ev_time_rolling(sf_dir: str) -> pd.DataFrame:
+    """Time-RANGE rolling window parity: sum/count of value over the
+    trailing 10 minutes per user (RANGE BETWEEN INTERVAL 600 SECOND
+    PRECEDING AND CURRENT ROW incl. the peer rule) — hash-partitioned
+    per-key searchsorted + prefix-sum pass."""
+    from feature_fabrica_ray.pipelines import time_rolling_agg
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id", "value"])
+    out = time_rolling_agg(ds, "ts", "user_id", "value", span_s=600) \
+        .to_pandas()[["event_id", "user_id", "tsum", "tcnt"]]
+    out["tsum"] = _round_away(out["tsum"], 6)
+    return out.reset_index(drop=True)
+
+
+_TIME_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 6) AS tsum,
+       CAST(count(*) OVER w AS BIGINT) AS tcnt
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 600 SECOND PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_ev_lag(sf_dir: str) -> pd.DataFrame:
     """LAG/LEAD window-function parity (+ delta vs previous event) per
     user in (ts, event_id) order — null at partition edges."""
@@ -2555,6 +2685,29 @@ SELECT lang, source, round(sum(n_chars), 6) AS sum_v,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM documents
 GROUP BY ROLLUP (lang, source)
+"""
+
+
+def q_agg_grouping_sets(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY GROUPING SETS ((lang, source), (lang), ()): the general
+    form ROLLUP/CUBE are sugar for — same one-pass finest combiner +
+    single keyed shuffle; each requested set derived from the merged
+    finest table (pipelines/grouped.py::grouping_sets_agg)."""
+    from feature_fabrica_ray.pipelines import grouping_sets_agg
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source", "n_chars"])
+    out = grouping_sets_agg(ds, ["lang", "source"], "n_chars",
+                            sets=[["lang", "source"], ["source"], []])
+    out["sum_v"] = _round_away(out["sum_v"], 6)
+    return out
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT lang, source, round(sum(n_chars), 6) AS sum_v,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (source), ())
 """
 
 
@@ -2809,6 +2962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_winsorize": q_ft_winsorize,
         "ft_percent_rank": q_ft_percent_rank,
         "ft_strings": q_ft_strings,
+        "ft_regex": q_ft_regex,
         "ft_datetime": q_ft_datetime,
         "ft_group_reduce": q_ft_group_reduce,
         "ft_encoders": q_ft_encoders,
@@ -2868,6 +3022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_json": q_ev_json,
         "ev_cumsum": q_ev_cumsum,
         "ev_rolling": q_ev_rolling,
+        "ev_time_rolling": q_ev_time_rolling,
         "ev_lag": q_ev_lag,
         "ev_rank": q_ev_rank,
         "ev_latest": q_ev_latest,
@@ -2876,6 +3031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_distinct_group": q_agg_distinct_group,
         "agg_distinct_hll": q_agg_distinct_hll,
         "agg_rollup": q_agg_rollup,
+        "agg_grouping_sets": q_agg_grouping_sets,
         "agg_cube": q_agg_cube,
         "agg_pivot": q_agg_pivot,
         "pr_histogram": q_pr_histogram,
@@ -2908,6 +3064,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_winsorize": _WINSOR_ORACLE,
         "ft_percent_rank": _PRANK_ORACLE,
         "ft_strings": _STRINGS_ORACLE,
+        "ft_regex": _REGEX_ORACLE,
         "ft_datetime": _DATETIME_ORACLE,
         "ft_group_reduce": _GROUP_ORACLE,
         "ft_encoders": _ENCODER_ORACLE,
@@ -2931,6 +3088,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_sliding": _SLIDING_ORACLE,
         "ev_cumsum": _CUMSUM_ORACLE,
         "ev_rolling": _ROLLING_ORACLE,
+        "ev_time_rolling": _TIME_ROLLING_ORACLE,
         "ev_lag": _LAG_ORACLE,
         "ev_rank": _RANK_ORACLE,
         "ev_latest": _LATEST_ORACLE,
@@ -2938,6 +3096,7 @@ def oracle_sql() -> dict[str, str]:
         "st_setops": _SETOPS_ORACLE,
         "agg_distinct_group": _DISTINCT_GROUP_ORACLE,
         "agg_rollup": _ROLLUP_ORACLE,
+        "agg_grouping_sets": _GROUPING_SETS_ORACLE,
         "agg_cube": _CUBE_ORACLE,
         "agg_pivot": _PIVOT_ORACLE,
         "pr_histogram": _HISTOGRAM_ORACLE,

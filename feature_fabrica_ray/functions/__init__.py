@@ -17,9 +17,11 @@ from .math import (ABSTransform, ClipTransform, DivideReduce, DivideTransform,
                    RobustScaleTransform, ScaleFeature, SqrtTransform,
                    SubtractReduce, SumReduce, WinsorizeTransform,
                    ZScoreTransform)
-from .strings import (BinaryEncode, ConcatenateReduce, LabelEncode,
-                      OneHotEncode, OrdinalEncode, Split, Strip, ToLower,
-                      ToUpper)
+from .strings import (BinaryEncode, ConcatenateReduce, Contains, EndsWith,
+                      LabelEncode, OneHotEncode, OrdinalEncode, PadLeft,
+                      PadRight, RegexExtract, RegexMatch, RegexReplace,
+                      Replace, Split, StartsWith, Strip, StrLen, Substring,
+                      ToLower, ToUpper)
 
 __all__ = [
     "registry", "Transformation", "TransformationError", "ColumnRef", "BatchCtx",
@@ -32,6 +34,8 @@ __all__ = [
     "SumReduce", "SubtractReduce", "MultiplyReduce", "DivideReduce",
     "ToLower", "ToUpper", "Strip", "Split", "ConcatenateReduce",
     "OneHotEncode", "LabelEncode", "OrdinalEncode", "BinaryEncode",
+    "RegexExtract", "RegexReplace", "RegexMatch", "Substring", "Replace",
+    "PadLeft", "PadRight", "StrLen", "Contains", "StartsWith", "EndsWith",
     "DateTimeDifference", "DateTimeAdd", "DateTimeSubtract", "DateTimeExtract",
     "ExtractDayofWeek", "AsType", "FeatureImporter",
     "GroupByReduce", "GROUP_REDUCTIONS",

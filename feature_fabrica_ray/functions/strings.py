@@ -18,7 +18,10 @@ import pyarrow.compute as pc
 from .base import Transformation, TransformationError, as_arrow, as_numpy
 
 __all__ = ["ToLower", "ToUpper", "Strip", "Split", "ConcatenateReduce",
-           "OneHotEncode", "LabelEncode", "OrdinalEncode", "BinaryEncode"]
+           "OneHotEncode", "LabelEncode", "OrdinalEncode", "BinaryEncode",
+           "RegexExtract", "RegexReplace", "RegexMatch", "Substring",
+           "Replace", "PadLeft", "PadRight", "StrLen", "Contains",
+           "StartsWith", "EndsWith"]
 
 
 class ToLower(Transformation):
@@ -89,6 +92,220 @@ class ConcatenateReduce(Transformation):
         else:
             raise TransformationError("concat: no operands bound")
         return pc.binary_join_element_wise(*vals, "")
+
+
+# ---------------------------------------------------------------------------
+# regex / substring family (beyond the reference's five string ops; SQL
+# parity documented per class so every one is DuckDB-oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def _name_groups(pattern: str) -> str:
+    """Rewrite unnamed capture groups ``(`` to named ``(?P<g1>`` etc. so
+    pyarrow's ``extract_regex`` (which only addresses NAMED groups) can
+    serve integer group indexes. Skips escaped parens, char classes and
+    ``(?...)`` extension groups."""
+    out, gid, in_class, esc = [], 0, False, False
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if esc:
+            out.append(ch); esc = False
+        elif ch == "\\":
+            out.append(ch); esc = True
+        elif in_class:
+            out.append(ch)
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            out.append(ch); in_class = True
+        elif ch == "(" and (i + 1 >= n or pattern[i + 1] != "?"):
+            gid += 1
+            out.append(f"(?P<g{gid}>")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+class RegexExtract(Transformation):
+    """Extract a regex group (RE2 syntax): ``group=0`` is the whole
+    match, ``group=N`` the Nth capture group, or a named group. No
+    match -> '' (DuckDB ``regexp_extract`` parity)."""
+
+    _name_ = "regex_extract"
+
+    def __init__(self, pattern: str, group: int | str = 0):
+        if isinstance(group, int) and group == 0:
+            self.pattern = f"(?P<g0>{pattern})"
+            self.field = "g0"
+        elif isinstance(group, int):
+            if group < 0:
+                raise TransformationError(f"group must be >= 0, got {group}")
+            self.pattern = _name_groups(pattern)
+            self.field = f"g{group}"
+        else:
+            self.pattern = pattern
+            self.field = group
+
+    def execute(self, data):
+        arr = as_arrow(data)
+        struct = pc.extract_regex(arr, self.pattern)
+        if self.field not in [f.name for f in struct.type]:
+            raise TransformationError(
+                f"regex_extract: no group {self.field!r} in pattern")
+        filled = pc.fill_null(pc.struct_field(struct, self.field), "")
+        # no match -> '' (DuckDB parity) but NULL input stays NULL
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return pc.if_else(pc.is_valid(arr), filled,
+                          pa.nulls(len(arr), pa.string()))
+
+
+class RegexReplace(Transformation):
+    """Replace regex matches (RE2; ``\\1`` backrefs). ``all=True``
+    replaces every occurrence (DuckDB ``regexp_replace(..., 'g')``),
+    ``all=False`` only the first (DuckDB default)."""
+
+    _name_ = "regex_replace"
+
+    def __init__(self, pattern: str, replacement: str = "", all: bool = True):
+        self.pattern = pattern
+        self.replacement = replacement
+        self.max = -1 if all else 1
+
+    def execute(self, data):
+        return pc.replace_substring_regex(
+            as_arrow(data), self.pattern, self.replacement,
+            max_replacements=self.max)
+
+
+class RegexMatch(Transformation):
+    """True where the regex matches anywhere in the string (DuckDB
+    ``regexp_matches`` parity)."""
+
+    _name_ = "regex_match"
+
+    def __init__(self, pattern: str):
+        self.pattern = pattern
+
+    def execute(self, data):
+        return pc.match_substring_regex(as_arrow(data), self.pattern)
+
+
+class Substring(Transformation):
+    """1-based SQL ``substr(s, start[, length])``; ``length`` omitted
+    takes the rest of the string (codepoint semantics)."""
+
+    _name_ = "substr"
+
+    def __init__(self, start: int = 1, length: int | None = None):
+        if start < 1:
+            raise TransformationError(
+                f"substr: start is 1-based, got {start}")
+        if length is not None and length < 0:
+            raise TransformationError(
+                f"substr: length must be >= 0, got {length}")
+        self.start = start
+        self.length = length
+
+    def execute(self, data):
+        stop = None if self.length is None else self.start - 1 + self.length
+        return pc.utf8_slice_codeunits(as_arrow(data), self.start - 1, stop)
+
+
+class Replace(Transformation):
+    """Literal substring replacement of EVERY occurrence (SQL
+    ``replace(s, old, new)`` parity)."""
+
+    _name_ = "replace"
+
+    def __init__(self, old: str, new: str = ""):
+        if not old:
+            raise TransformationError("replace: old must be non-empty")
+        self.old = old
+        self.new = new
+
+    def execute(self, data):
+        return pc.replace_substring(as_arrow(data), self.old, self.new)
+
+
+class _PadBase(Transformation):
+    _side_ = ""
+
+    def __init__(self, width: int, fill: str = " "):
+        if width < 0:
+            raise TransformationError(f"pad: width must be >= 0, got {width}")
+        if len(fill) != 1:
+            raise TransformationError("pad: fill must be a single character")
+        self.width = width
+        self.fill = fill
+
+    def execute(self, data):
+        arr = as_arrow(data)
+        pad = (pc.utf8_lpad if self._side_ == "l" else pc.utf8_rpad)(
+            arr, self.width, self.fill)
+        # SQL lpad/rpad TRUNCATE to width when the input is longer;
+        # Arrow's pad kernels never truncate, so slice to width after.
+        return pc.utf8_slice_codeunits(pad, 0, self.width)
+
+
+class PadLeft(_PadBase):
+    """SQL ``lpad(s, width, fill)`` incl. its truncate-to-width rule."""
+
+    _name_ = "lpad"
+    _side_ = "l"
+
+
+class PadRight(_PadBase):
+    """SQL ``rpad(s, width, fill)`` incl. its truncate-to-width rule."""
+
+    _name_ = "rpad"
+    _side_ = "r"
+
+
+class StrLen(Transformation):
+    """Codepoint length (DuckDB ``length()`` chars, not bytes)."""
+
+    _name_ = "str_len"
+
+    def execute(self, data):
+        return pc.cast(pc.utf8_length(as_arrow(data)), pa.int64())
+
+
+class Contains(Transformation):
+    """True where the literal substring occurs (SQL ``contains``)."""
+
+    _name_ = "contains"
+
+    def __init__(self, sub: str):
+        self.sub = sub
+
+    def execute(self, data):
+        return pc.match_substring(as_arrow(data), self.sub)
+
+
+class StartsWith(Transformation):
+    """True where the string starts with the literal prefix."""
+
+    _name_ = "starts_with"
+
+    def __init__(self, prefix: str):
+        self.prefix = prefix
+
+    def execute(self, data):
+        return pc.starts_with(as_arrow(data), self.prefix)
+
+
+class EndsWith(Transformation):
+    """True where the string ends with the literal suffix."""
+
+    _name_ = "ends_with"
+
+    def __init__(self, suffix: str):
+        self.suffix = suffix
+
+    def execute(self, data):
+        return pc.ends_with(as_arrow(data), self.suffix)
 
 
 # ---------------------------------------------------------------------------

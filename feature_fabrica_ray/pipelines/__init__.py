@@ -10,11 +10,12 @@ from .quantiles import group_quantiles
 from .checkpoint import codetable_shards, merge_results, validate_resumable
 from .events import (cumulative_agg, extract_json_int, lag_lead,
                      rank_ntile, rolling_agg, sessionize, sliding_window_agg,
-                     tumbling_window_agg)
+                     time_rolling_agg, tumbling_window_agg)
 from .grouped import (approx_distinct_per_group, approx_group_quantiles,
                       distinct_count_per_group,
                       freshness_check, grouped_correlation, grouped_outliers,
-                      grouped_stats, histogram_fixed, mode_per_group,
+                      grouped_stats, grouping_sets_agg, histogram_fixed,
+                      mode_per_group,
                       pivot_agg, rollup_agg,
                       cube_agg)
 from .drift_actor import DriftSketchActor, drift_report
@@ -72,4 +73,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "weighted_hash_sample", "normalize_text", "pivot_agg",
            "code_line_stats", "approx_group_quantiles",
            "rank_ntile", "mode_per_group", "set_op_keys",
-           "connected_components", "neardup_dedup_rows_distributed"]
+           "connected_components", "neardup_dedup_rows_distributed",
+           "grouping_sets_agg", "time_rolling_agg"]

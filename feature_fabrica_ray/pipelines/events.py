@@ -206,6 +206,39 @@ def rolling_agg(ds, ts_col: str, key_col: str, value_col: str,
         .map_groups(per_key, batch_format="pandas")
 
 
+def time_rolling_agg(ds, ts_col: str, key_col: str, value_col: str,
+                     span_s: int = 300):
+    """Time-RANGE rolling aggregates per key: for every event, the sum
+    and row count of ``value`` over the trailing ``span_s`` seconds —
+    ``SUM(...) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    INTERVAL span_s SECOND PRECEDING AND CURRENT ROW)`` semantics,
+    including RANGE's peer rule (rows tied on ``ts`` all see the full
+    peer group, both boundaries inclusive).
+
+    Same physical shape (and same Zipf-hot-key bound) as
+    ``cumulative_agg``: hash-partition on the key, then per group one
+    sort + two vectorized ``searchsorted`` calls find each row's window
+    [first ts >= t - span, last peer of t] and a prefix-sum difference
+    evaluates it — O(n log n) per group, no per-row Python. Returns a
+    Dataset with ``tsum`` (float64) and ``tcnt`` (int64) appended."""
+    if span_s < 0:
+        raise ValueError(f"span_s must be >= 0, got {span_s}")
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ts_col, kind="mergesort")
+        t = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        span = np.int64(span_s) * 1_000_000
+        lo = np.searchsorted(t, t - span, side="left")
+        hi = np.searchsorted(t, t, side="right")
+        cv = np.concatenate(([0.0], np.cumsum(v)))
+        return df.assign(tsum=cv[hi] - cv[lo],
+                         tcnt=(hi - lo).astype(np.int64))
+
+    return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas")
+
+
 def rank_ntile(ds, key_col: str, value_col: str, order_col: str,
                tiles: int = 4):
     """Ranking window functions per key: ``RANK()`` and ``DENSE_RANK()``

@@ -38,7 +38,7 @@ __all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
            "grouped_stats", "freshness_check", "grouped_outliers",
            "grouped_correlation", "approx_distinct_per_group", "cube_agg",
            "approx_group_quantiles",
-           "pivot_agg", "mode_per_group"]
+           "pivot_agg", "mode_per_group", "grouping_sets_agg"]
 
 
 def mode_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -595,6 +595,67 @@ def cube_agg(ds, group_cols: list[str], value_col: str) -> pd.DataFrame:
                 if c not in keep:
                     g[c] = None
             levels.append(g[[*group_cols, "sum_v", "n_rows"]])
+
+    out = pd.concat(levels, ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    for c in group_cols:  # absent cells must be None, never NaN
+        out[c] = out[c].astype(object).where(out[c].notna(), None)
+    return out.reset_index(drop=True)
+
+
+def grouping_sets_agg(ds, group_cols: list[str], value_col: str,
+                      sets: list[list[str]]) -> pd.DataFrame:
+    """``GROUP BY GROUPING SETS(sets)``: sum(value) + count(*) at each
+    explicitly requested subset of ``group_cols`` (the general form
+    ROLLUP and CUBE are sugar for), absent columns emitted as NULL.
+
+    Same physical shape as ``rollup_agg``/``cube_agg``: one finest-level
+    per-block combiner + ONE keyed shuffle produce the merged finest
+    table; every requested set derives from it driver-side without
+    touching the input again — so the cost is one pass + one shuffle
+    regardless of how many sets are asked for. A duplicated set emits
+    its rows twice (SQL parity). Shares ROLLUP's NULL caveat for group
+    values."""
+    known = set(group_cols)
+    for s in sets:
+        bad = [c for c in s if c not in known]
+        if bad:
+            raise ValueError(f"grouping set columns {bad} not in "
+                             f"group_cols {group_cols}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([*group_cols, value_col]) \
+            .group_by(group_cols).aggregate([(value_col, "sum"),
+                                             ([], "count_all")])
+        cols = {c: g.column(c) for c in group_cols}
+        cols["sum_v"] = g.column(f"{value_col}_sum").cast(pa.float64())
+        cols["n_rows"] = g.column("count_all").cast(pa.int64())
+        return pa.table(cols)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_cols, as_index=False, dropna=False).agg(
+            sum_v=("sum_v", "sum"), n_rows=("n_rows", "sum"))
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+              .groupby(group_cols, num_partitions=shuffle_partitions())
+              .map_groups(merge, batch_format="pandas")
+              .to_pandas())
+
+    levels = []
+    for s in sets:
+        keep = [c for c in group_cols if c in s]   # canonical order
+        if keep == list(group_cols):
+            g = finest.copy()
+        elif keep:
+            g = finest.groupby(keep, as_index=False, dropna=False).agg(
+                sum_v=("sum_v", "sum"), n_rows=("n_rows", "sum"))
+        else:
+            g = pd.DataFrame({"sum_v": [finest["sum_v"].sum()],
+                              "n_rows": [finest["n_rows"].sum()]})
+        for c in group_cols:
+            if c not in keep:
+                g[c] = None
+        levels.append(g[[*group_cols, "sum_v", "n_rows"]])
 
     out = pd.concat(levels, ignore_index=True)
     out["n_rows"] = out["n_rows"].astype("int64")

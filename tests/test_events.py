@@ -254,6 +254,32 @@ def test_cube_agg_golden(ray_session):
         assert len(out) == 8
 
 
+def test_grouping_sets_agg(ray_session):
+    """Explicit GROUPING SETS: only the requested levels appear, a
+    duplicated set duplicates its rows (SQL parity), unknown columns
+    raise; block-layout invariant."""
+    from feature_fabrica_ray.pipelines import grouping_sets_agg
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "x", "y"],
+        "b": ["p", "p", "q", "p"],
+        "v": [1, 2, 4, 8],
+    })
+    for blocks in (1, 3):
+        out = grouping_sets_agg(_ds(df, blocks=blocks), ["a", "b"], "v",
+                                sets=[["b"], []])
+        got = {(r.a, r.b): (r.sum_v, r.n_rows) for r in out.itertuples()}
+        assert got == {(None, "p"): (11.0, 3), (None, "q"): (4.0, 1),
+                       (None, None): (15.0, 4)}
+        assert len(out) == 3
+
+    dup = grouping_sets_agg(_ds(df), ["a", "b"], "v", sets=[[], []])
+    assert len(dup) == 2 and dup["sum_v"].tolist() == [15.0, 15.0]
+
+    with pytest.raises(ValueError):
+        grouping_sets_agg(_ds(df), ["a", "b"], "v", sets=[["nope"]])
+
+
 def test_histogram_fixed(ray_session):
     """Exact integer binning with clamping at both ends; empty bins are
     dropped; block-layout invariant."""
@@ -321,6 +347,49 @@ def test_lag_lead_golden(ray_session):
 
     with pytest.raises(ValueError):
         lag_lead(_ds(df), "ts", "user_id", "value", "event_id", offset=0)
+
+
+def test_time_rolling_agg(ray_session):
+    """RANGE-window semantics vs a brute-force reference: trailing-span
+    sums/counts with inclusive boundaries and the peer rule (ts ties all
+    see the full peer group). Block-layout invariant."""
+    from feature_fabrica_ray.pipelines import time_rolling_agg
+
+    rng = np.random.default_rng(11)
+    n = 120
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    secs = np.sort(rng.integers(0, 400, n))
+    secs[10] = secs[11] = secs[12]          # planted peer group
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 4, n),
+        "ts": base + secs.astype("timedelta64[s]"),
+        "value": rng.uniform(0, 10, n).round(2),
+    })
+    span = 60
+
+    def brute(g):
+        t = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy()
+        lo_t = t - span * 1_000_000
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "bsum": [v[(t >= lo) & (t <= cur)].sum()
+                     for lo, cur in zip(lo_t, t)],
+            "bcnt": [int(((t >= lo) & (t <= cur)).sum())
+                     for lo, cur in zip(lo_t, t)]})
+
+    want = pd.concat([brute(g) for _, g in df.groupby("user_id")]) \
+        .sort_values("event_id").reset_index(drop=True)
+    for blocks in (1, 4):
+        out = time_rolling_agg(_ds(df, blocks=blocks), "ts", "user_id",
+                               "value", span_s=span).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert np.allclose(out["tsum"], want["bsum"])
+        assert out["tcnt"].tolist() == want["bcnt"].tolist()
+
+    with pytest.raises(ValueError):
+        time_rolling_agg(_ds(df), "ts", "user_id", "value", span_s=-1)
 
 
 def test_rank_ntile_golden(ray_session):

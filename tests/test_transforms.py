@@ -293,3 +293,48 @@ def test_max_abs_scaler():
     z.set_fitted(Moments.from_array(np.zeros(3)))
     with pytest.raises(TransformationError):
         run(z, pa.array(np.zeros(3)))
+
+
+def test_regex_family():
+    """RE2 string kernels vs hand goldens: extract (group 0, numbered
+    group via the unnamed->named rewrite, no-match -> '', NULL -> NULL),
+    replace (first vs all), match, substr (1-based), literal replace,
+    lpad/rpad incl. SQL truncate-to-width, str_len, predicates."""
+    from feature_fabrica_ray.functions import (Contains, EndsWith, PadLeft,
+                                               PadRight, RegexExtract,
+                                               RegexMatch, RegexReplace,
+                                               Replace, StartsWith, StrLen,
+                                               Substring)
+    arr = pa.array(["src10", "abc", None, ""])
+    assert lst(run(RegexExtract("[a-z]+"), arr)) == ["src", "abc", None, ""]
+    assert lst(run(RegexExtract("([a-z]+)([0-9]+)", group=2), arr)) == \
+        ["10", "", None, ""]
+    assert lst(run(RegexExtract("(?P<tag>[a-z]+)", group="tag"), arr)) == \
+        ["src", "abc", None, ""]
+    # group rewrite skips escaped parens and char classes
+    assert lst(run(RegexExtract(r"\(([a-z]+)[)(]", group=1),
+                   pa.array(["(ab)", "(cd("]))) == ["ab", "cd"]
+    assert lst(run(RegexReplace("[aeiou]", "*"), pa.array(["banana"]))) == \
+        ["b*n*n*"]
+    assert lst(run(RegexReplace("[aeiou]", "*", all=False),
+                   pa.array(["banana"]))) == ["b*nana"]
+    assert lst(run(RegexMatch("[0-9]"), arr)) == [True, False, None, False]
+    assert lst(run(Substring(3, 2), pa.array(["abcdef", "ab"]))) == ["cd", ""]
+    assert lst(run(Substring(2), pa.array(["abcdef"]))) == ["bcdef"]
+    assert lst(run(Replace("src", "s@"), arr)) == ["s@10", "abc", None, ""]
+    assert lst(run(PadLeft(4, "0"), pa.array(["ab", "abcdef"]))) == \
+        ["00ab", "abcd"]
+    assert lst(run(PadRight(4, "x"), pa.array(["ab", "abcdef"]))) == \
+        ["abxx", "abcd"]
+    assert lst(run(StrLen(), arr)) == [5, 3, None, 0]
+    assert lst(run(Contains("rc"), arr)) == [True, False, None, False]
+    assert lst(run(StartsWith("sr"), arr)) == [True, False, None, False]
+    assert lst(run(EndsWith("0"), arr)) == [True, False, None, False]
+    with pytest.raises(TransformationError):
+        Substring(0)
+    with pytest.raises(TransformationError):
+        PadLeft(3, "xy")
+    with pytest.raises(TransformationError):
+        Replace("")
+    with pytest.raises(TransformationError):
+        run(RegexExtract("([a-z]+)", group=3), arr)
