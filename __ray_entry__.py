@@ -2512,6 +2512,78 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_ev_first_last(sf_dir: str) -> pd.DataFrame:
+    """FIRST_VALUE / LAST_VALUE over the whole partition per user in
+    (ts, event_id) order (LAST_VALUE with the UNBOUNDED FOLLOWING
+    frame) — one keyed shuffle, one vectorized lexsort-argmin/argmax
+    per group."""
+    from feature_fabrica_ray.pipelines import first_last_value
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id", "value"])
+    out = first_last_value(ds, "ts", "user_id", "value", "event_id") \
+        .to_pandas()[["event_id", "user_id", "fv", "lv"]]
+    out["fv"] = _round_away(out["fv"], 6)
+    out["lv"] = _round_away(out["lv"], 6)
+    return out.reset_index(drop=True)
+
+
+_FIRST_LAST_ORACLE = """
+SELECT event_id, user_id,
+       round(first_value(value) OVER w, 6) AS fv,
+       round(last_value(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           6) AS lv
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_ta_words(sf_dir: str):
+    """SQL UNNEST parity: split each document into words and explode to
+    one (doc_id, pos, word) row per token — a stateless vectorized
+    flat-map, no shuffle (pipelines/reshape.py::explode_list)."""
+    from feature_fabrica_ray.pipelines import explode_list
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def add_words(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "words", pc.split_pattern(batch.column("text"), " ")) \
+            .drop_columns(["text"])
+
+    ds = ds.map_batches(add_words, batch_format="pyarrow", batch_size=None)
+    return _select(explode_list(ds, "words", pos_col="p", val_col="w"),
+                   ["doc_id", "p", "w"])
+
+
+_WORDS_ORACLE = """
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS p,
+       unnest(string_split(text, ' ')) AS w
+FROM documents
+"""
+
+
+def q_agg_strings(sf_dir: str) -> pd.DataFrame:
+    """string_agg(source, ',' ORDER BY doc_id) per lang — the three
+    projected columns (never the table) enter ONE null-safe keyed
+    shuffle; per-group sort + join is vectorized."""
+    from feature_fabrica_ray.pipelines import string_agg_per_group
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "source"])
+    return string_agg_per_group(ds, "lang", "source", "doc_id", sep=",")
+
+
+_STRING_AGG_ORACLE = """
+SELECT lang, string_agg(source, ',' ORDER BY doc_id) AS agg_s
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_ev_lag(sf_dir: str) -> pd.DataFrame:
     """LAG/LEAD window-function parity (+ delta vs previous event) per
     user in (ts, event_id) order — null at partition edges."""
@@ -3023,6 +3095,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_cumsum": q_ev_cumsum,
         "ev_rolling": q_ev_rolling,
         "ev_time_rolling": q_ev_time_rolling,
+        "ev_first_last": q_ev_first_last,
+        "ta_words": q_ta_words,
+        "agg_strings": q_agg_strings,
         "ev_lag": q_ev_lag,
         "ev_rank": q_ev_rank,
         "ev_latest": q_ev_latest,
@@ -3089,6 +3164,9 @@ def oracle_sql() -> dict[str, str]:
         "ev_cumsum": _CUMSUM_ORACLE,
         "ev_rolling": _ROLLING_ORACLE,
         "ev_time_rolling": _TIME_ROLLING_ORACLE,
+        "ev_first_last": _FIRST_LAST_ORACLE,
+        "ta_words": _WORDS_ORACLE,
+        "agg_strings": _STRING_AGG_ORACLE,
         "ev_lag": _LAG_ORACLE,
         "ev_rank": _RANK_ORACLE,
         "ev_latest": _LATEST_ORACLE,

@@ -8,15 +8,17 @@ from .curation import (common_ngrams, decontaminate, gopher_quality,
 from .packing import pack_sequences
 from .quantiles import group_quantiles
 from .checkpoint import codetable_shards, merge_results, validate_resumable
-from .events import (cumulative_agg, extract_json_int, lag_lead,
+from .events import (cumulative_agg, extract_json_int, first_last_value,
+                     lag_lead,
                      rank_ntile, rolling_agg, sessionize, sliding_window_agg,
                      time_rolling_agg, tumbling_window_agg)
+from .reshape import explode_list
 from .grouped import (approx_distinct_per_group, approx_group_quantiles,
                       distinct_count_per_group,
                       freshness_check, grouped_correlation, grouped_outliers,
                       grouped_stats, grouping_sets_agg, histogram_fixed,
                       mode_per_group,
-                      pivot_agg, rollup_agg,
+                      pivot_agg, rollup_agg, string_agg_per_group,
                       cube_agg)
 from .drift_actor import DriftSketchActor, drift_report
 from .join import broadcast_join, broadcast_range_join, shuffle_join
@@ -74,4 +76,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "code_line_stats", "approx_group_quantiles",
            "rank_ntile", "mode_per_group", "set_op_keys",
            "connected_components", "neardup_dedup_rows_distributed",
-           "grouping_sets_agg", "time_rolling_agg"]
+           "grouping_sets_agg", "time_rolling_agg", "explode_list",
+           "string_agg_per_group", "first_last_value"]

@@ -280,6 +280,28 @@ def rank_ntile(ds, key_col: str, value_col: str, order_col: str,
         .map_groups(per_key, batch_format="pandas")
 
 
+def first_last_value(ds, ts_col: str, key_col: str, value_col: str,
+                     order_col: str):
+    """``FIRST_VALUE(value)`` / ``LAST_VALUE(value)`` over the whole
+    partition per key in (ts, order_col) order — LAST_VALUE with the
+    ``ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING`` frame
+    (the one people actually want, not SQL's current-row default).
+
+    Same physical shape as ``cumulative_agg``: hash-partition on the
+    key, one vectorized argmin/argmax of the (ts, order) order per
+    group — no sort needed. Returns a Dataset with ``fv`` and ``lv``
+    appended."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df[order_col].to_numpy(),
+                            df[ts_col].to_numpy()))
+        v = df[value_col].to_numpy()
+        return df.assign(fv=v[order[0]], lv=v[order[-1]])
+
+    return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas")
+
+
 def lag_lead(ds, ts_col: str, key_col: str, value_col: str,
              order_col: str, offset: int = 1):
     """``LAG(value, offset)`` / ``LEAD(value, offset)`` per key over

@@ -38,7 +38,40 @@ __all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
            "grouped_stats", "freshness_check", "grouped_outliers",
            "grouped_correlation", "approx_distinct_per_group", "cube_agg",
            "approx_group_quantiles",
-           "pivot_agg", "mode_per_group", "grouping_sets_agg"]
+           "pivot_agg", "mode_per_group", "grouping_sets_agg",
+           "string_agg_per_group"]
+
+
+def string_agg_per_group(ds, key_col: str, val_col: str, order_col: str,
+                         sep: str = ",") -> pd.DataFrame:
+    """SQL ``string_agg(val, sep ORDER BY order_col)`` per key: nulls
+    are skipped, an all-null group aggregates to NULL (SQL parity).
+    Returns (key, agg_s) sorted by key.
+
+    Holistic by nature — every (key, val, order) triple must reach its
+    key's reduce partition, so this is ONE null-safe keyed shuffle of
+    the three projected columns and a vectorized sort + join per group.
+    Unlike the combiner-shaped aggregates in this module there is no
+    partial-aggregation escape; the projection (never the full table)
+    is the exchange, and per-key output size is inherently the
+    concatenation length."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df.sort_values(order_col, kind="mergesort")[val_col].dropna()
+        s = sep.join(vals.astype(str)) if len(vals) else None
+        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
+                             "agg_s": [s]})
+
+    def project(batch: pa.Table) -> pa.Table:
+        return _with_shuffle_key(
+            batch.select([key_col, val_col, order_col]), key_col)
+
+    out = (ds.map_batches(project, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    key = out[key_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
 
 
 def mode_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:

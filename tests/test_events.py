@@ -481,3 +481,68 @@ def test_set_op_keys(ray_session):
 
     with pytest.raises(ValueError):
         set_op_keys(a, b, "x", "y", "xor")
+
+
+def test_explode_list(ray_session):
+    """SQL UNNEST parity: one row per element with 1-based position,
+    NULL and empty lists emit no rows, other columns repeat; stateless
+    per-block (layout invariant by construction)."""
+    import pyarrow as pa
+
+    from feature_fabrica_ray.pipelines import explode_list
+
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "tag": ["a", "b", "c", "d"],
+        "xs": pa.array([[10, 20], [], None, [30]],
+                       pa.list_(pa.int64())),
+    })
+    import ray.data
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        out = explode_list(ds, "xs", pos_col="p", val_col="v") \
+            .to_pandas().sort_values(["id", "p"]).reset_index(drop=True)
+        assert out["id"].tolist() == [1, 1, 4]
+        assert out["tag"].tolist() == ["a", "a", "d"]
+        assert out["p"].tolist() == [1, 2, 1]
+        assert out["v"].tolist() == [10, 20, 30]
+
+
+def test_string_agg_per_group(ray_session):
+    """string_agg with ORDER BY and SQL null rules: nulls skipped,
+    all-null group -> NULL, null group key gets its own row; layout
+    invariant."""
+    from feature_fabrica_ray.pipelines import string_agg_per_group
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", None],
+        "v": ["z", None, "x", None, None, "q"],
+        "o": [3, 2, 1, 1, 2, 1],
+    })
+    for blocks in (1, 3):
+        out = string_agg_per_group(_ds(df, blocks=blocks), "k", "v", "o",
+                                   sep="|")
+        got = dict(zip(out["k"], out["agg_s"]))
+        assert got["a"] == "x|z"            # ordered by o, null skipped
+        assert got["b"] is None             # all-null -> NULL
+        assert got[None] == "q"
+
+
+def test_first_last_value(ray_session):
+    """FIRST_VALUE/LAST_VALUE over the whole partition in (ts, order)
+    order incl. the ts-tie broken by order_col; layout invariant."""
+    from feature_fabrica_ray.pipelines import first_last_value
+
+    base = np.datetime64("2024-01-01", "us")
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 9, 9],
+        "ts": base + np.array([5, 0, 0, 2, 1]).astype("timedelta64[s]"),
+        "value": [50.0, 20.0, 30.0, 1.0, 2.0],
+    })
+    for blocks in (1, 2):
+        out = first_last_value(_ds(df, blocks=blocks), "ts", "user_id",
+                               "value", "event_id").to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert out["fv"].tolist() == [20.0, 20.0, 20.0, 2.0, 2.0]
+        assert out["lv"].tolist() == [50.0, 50.0, 50.0, 1.0, 1.0]
