@@ -2686,6 +2686,70 @@ SELECT 'except', CAST(count(*) AS BIGINT) FROM (
 """
 
 
+def q_jn_bloom(sf_dir: str) -> pd.DataFrame:
+    """Bloom-pruned inner join: lineitem vs the small filtered slice of
+    part (p_size = 1) — per-block partial Blooms of the right keys
+    OR-merge on the driver, broadcast once, and left rows that cannot
+    match are dropped map-side BEFORE the hash-join shuffle. Result
+    identical to a plain inner join (false positives only admit extra
+    rows into the exact join); aggregated per part key to keep the
+    compared output small."""
+    from feature_fabrica_ray.pipelines import bloom_filtered_join
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_quantity"])
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_size"]) \
+        .filter(lambda r: r["p_size"] == 1)
+    joined = bloom_filtered_join(li, part, on="l_partkey",
+                                 right_on="p_partkey")
+
+    def agg(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_partkey"]).aggregate(
+            [("l_quantity", "sum"), ([], "count_all")])
+        return pa.table({"l_partkey": g.column("l_partkey"),
+                         "qty": g.column("l_quantity_sum")
+                                 .cast(pa.float64()),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    parts = joined.map_batches(agg, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    out = parts.groupby("l_partkey", as_index=False).agg(
+        qty=("qty", "sum"), n=("n", "sum"))
+    out["qty"] = _round_away(out["qty"], 6)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+_BLOOM_JOIN_ORACLE = """
+SELECT l_partkey, round(sum(l_quantity), 6) AS qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size = 1
+GROUP BY l_partkey
+"""
+
+
+def q_agg_heavy(sf_dir: str) -> pd.DataFrame:
+    """Top-5 most frequent lang values via mergeable SpaceSaving
+    sketches (k=64 > true distinct count, so the sketch is EXACT and
+    err = 0 — the oracle checks that; the approximate regime is
+    pytest-bounded). Only one ~KB sketch per block leaves the pass."""
+    from feature_fabrica_ray.pipelines import approx_heavy_hitters
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang"])
+    return approx_heavy_hitters(ds, "lang", k=64, top=5)
+
+
+_HEAVY_ORACLE = """
+SELECT lang AS v, CAST(count(*) AS BIGINT) AS est,
+       CAST(0 AS BIGINT) AS err
+FROM documents WHERE lang IS NOT NULL
+GROUP BY lang ORDER BY est DESC, v LIMIT 5
+"""
+
+
 def q_agg_distinct_group(sf_dir: str) -> pd.DataFrame:
     """Exact COUNT(DISTINCT source) + COUNT(*) per lang over documents —
     per-block distinct-pair combiner, keyed shuffle of deduped pairs
@@ -3102,6 +3166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_rank": q_ev_rank,
         "ev_latest": q_ev_latest,
         "agg_mode": q_agg_mode,
+        "jn_bloom": q_jn_bloom,
+        "agg_heavy": q_agg_heavy,
         "st_setops": q_st_setops,
         "agg_distinct_group": q_agg_distinct_group,
         "agg_distinct_hll": q_agg_distinct_hll,
@@ -3171,6 +3237,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_rank": _RANK_ORACLE,
         "ev_latest": _LATEST_ORACLE,
         "agg_mode": _MODE_ORACLE,
+        "jn_bloom": _BLOOM_JOIN_ORACLE,
+        "agg_heavy": _HEAVY_ORACLE,
         "st_setops": _SETOPS_ORACLE,
         "agg_distinct_group": _DISTINCT_GROUP_ORACLE,
         "agg_rollup": _ROLLUP_ORACLE,

@@ -21,7 +21,8 @@ from .grouped import (approx_distinct_per_group, approx_group_quantiles,
                       pivot_agg, rollup_agg, string_agg_per_group,
                       cube_agg)
 from .drift_actor import DriftSketchActor, drift_report
-from .join import broadcast_join, broadcast_range_join, shuffle_join
+from .join import (bloom_filtered_join, broadcast_join,
+                   broadcast_range_join, shuffle_join)
 from .setops import set_op_keys
 from .graph import connected_components
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
@@ -41,7 +42,7 @@ from .similarity import (cosine_topk, fit_centroids, fit_pca,
 from .textstats import (add_fingerprint, add_lang_id, add_quality,
                         chunk_documents, code_line_stats,
                         text_stats, tfidf_top_terms, token_counts)
-from .topk import topk_per_group
+from .topk import approx_heavy_hitters, topk_per_group
 from .uniqueness import uniqueness_violations, uniqueness_violations_ds
 from .writer import write_validated
 from .validate import (ValidationResult, bind_baselines, compute_baseline,
@@ -77,4 +78,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "rank_ntile", "mode_per_group", "set_op_keys",
            "connected_components", "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list",
+           "bloom_filtered_join", "approx_heavy_hitters",
            "string_agg_per_group", "first_last_value"]

@@ -15,7 +15,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["broadcast_join", "broadcast_range_join", "shuffle_join"]
+__all__ = ["broadcast_join", "broadcast_range_join", "shuffle_join",
+           "bloom_filtered_join"]
 
 _MAX_BROADCAST_ROWS = 5_000_000  # guard: a "small side" must actually be small
 
@@ -122,3 +123,63 @@ def shuffle_join(left, right, *, on, right_on=None, how: str = "inner",
     return left.join(right, join_type=how,
                      num_partitions=num_partitions or shuffle_partitions(),
                      on=on, right_on=right_on)
+
+
+def bloom_filtered_join(left, right, *, on: str, right_on: str | None = None,
+                        how: str = "inner", fp_rate: float = 1e-4,
+                        num_partitions: int | None = None):
+    """Bloom-pruned large x large equi-join: before the all-to-all hash
+    join, LEFT rows whose key cannot exist on the right are dropped
+    map-side by probing a Bloom filter of the right side's keys — the
+    classic shuffle-volume reducer when the join is selective (most left
+    rows match nothing, e.g. fact table vs a filtered dimension).
+
+    The filter is built DISTRIBUTEDLY: per-block partial Blooms of
+    identical geometry (same technique as the referential-check scale
+    path, validate.py::_parent_payload), OR-merged on the driver (the
+    KB..MB filter is the only thing collected), broadcast once via
+    ``ray.put``. False positives only let a few extra rows into the
+    exact join — the result is identical to ``shuffle_join``; false
+    negatives are impossible, so no matching row is ever lost.
+
+    Inner joins only: an OUTER join must keep unmatched left rows (so
+    pre-filtering is wrong) and semi/anti need an exact membership
+    structure anyway. Costs one extra pass over the right side (the
+    Bloom build) — worth it when left is much bigger than right and the
+    join is selective.
+    """
+    import ray
+
+    from ..state import BloomFilter
+    from ..tuning import shuffle_partitions
+
+    if how != "inner":
+        raise ValueError(f"bloom_filtered_join: how={how!r} unsupported — "
+                         f"only inner joins can be Bloom-pruned safely")
+    rkey = right_on or on
+    right = right.materialize()
+    n_est = int(right.count() * 1.2) + 1024
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_est, fp_rate).add(batch.column(rkey).drop_null())
+        return pa.table({"bloom": pa.array([bf.to_bytes()], pa.binary())})
+
+    parts = right.map_batches(partial_bloom, batch_format="pyarrow",
+                              batch_size=None).take_all()
+    header = bytes(parts[0]["bloom"][:24])
+    bits = None
+    for r in parts:
+        b = np.frombuffer(r["bloom"][24:], np.uint64)
+        bits = b.copy() if bits is None else np.bitwise_or(bits, b)
+    bloom_ref = ray.put(header + bits.tobytes())
+
+    def prune(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter.from_bytes(ray.get(bloom_ref))
+        keys = batch.column(on)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return batch.filter(pa.array(bf.contains(keys)))
+
+    pruned = left.map_batches(prune, batch_format="pyarrow", batch_size=None)
+    return pruned.join(right, join_type="inner", on=(on,), right_on=(rkey,),
+                       num_partitions=num_partitions or shuffle_partitions())

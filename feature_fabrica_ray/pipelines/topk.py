@@ -12,7 +12,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["topk_per_group"]
+__all__ = ["topk_per_group", "approx_heavy_hitters"]
 
 
 def topk_per_group(ds, group_cols: list[str], value_col: str, k: int,
@@ -42,3 +42,37 @@ def topk_per_group(ds, group_cols: list[str], value_col: str, k: int,
     out = merged.groupby(group_cols, as_index=False).head(k).reset_index(drop=True)
     out["rank"] = out.groupby(group_cols).cumcount() + 1
     return out
+
+
+def approx_heavy_hitters(ds, col: str, k: int = 256,
+                         top: int = 10) -> pd.DataFrame:
+    """Approximate top-``top`` most frequent values of ``col`` via
+    mergeable SpaceSaving sketches (``state/spacesaving.py``) — the
+    UNBOUNDED-cardinality path for frequency ranking: each block folds
+    its exact value counts into a k-counter sketch, only those k-sized
+    sketches leave the block (one ~KB row each, like the Bloom/HLL
+    partials), and the driver merges them. Exact when ``k`` exceeds the
+    true distinct count; otherwise est overcounts by at most ``err``
+    and any value with frequency > n/k is guaranteed present. Nulls are
+    ignored. Returns (v, est, err) as a DataFrame, est-desc order with
+    a deterministic string tiebreak."""
+    from ..state import SpaceSaving
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([col]).filter(
+            pa.compute.is_valid(batch.column(col)))
+        g = t.group_by([col]).aggregate([([], "count_all")])
+        sk = SpaceSaving(k).add_counts(g.column(col).to_pylist(),
+                                       g.column("count_all").to_pylist())
+        return pa.table({"sk": pa.array([sk.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).take_all()
+    merged = SpaceSaving(k)
+    for r in parts:
+        merged.merge(SpaceSaving.from_bytes(r["sk"]))
+    rows = merged.top(top)
+    return pd.DataFrame({
+        "v": [r[0] for r in rows],
+        "est": pd.array([r[1] for r in rows], dtype="int64"),
+        "err": pd.array([r[2] for r in rows], dtype="int64")})

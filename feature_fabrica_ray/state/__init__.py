@@ -8,13 +8,14 @@ from .hashing import combine_hashes, hash64, hash64_multi
 from .histogram import (CategoricalFreq, NumericHistogram, ks_from_counts,
                         psi_categorical, psi_from_counts)
 from .hll import HLL
+from .spacesaving import SpaceSaving
 from .tdigest import TDigest
 from .vhist import ValueHist
 from .welford import Moments
 
 __all__ = [
     "hash64", "hash64_multi", "combine_hashes", "BloomFilter",
-    "Moments", "HLL", "TDigest", "ValueHist",
+    "Moments", "HLL", "TDigest", "ValueHist", "SpaceSaving",
     "NumericHistogram", "CategoricalFreq",
     "psi_from_counts", "ks_from_counts", "psi_categorical",
 ]

@@ -546,3 +546,28 @@ def test_first_last_value(ray_session):
             .sort_values("event_id").reset_index(drop=True)
         assert out["fv"].tolist() == [20.0, 20.0, 20.0, 2.0, 2.0]
         assert out["lv"].tolist() == [50.0, 50.0, 50.0, 1.0, 1.0]
+
+
+def test_bloom_filtered_join_equals_shuffle(ray_session):
+    """Bloom pre-filter never changes the inner-join result (false
+    positives are re-checked by the exact join, false negatives are
+    impossible); outer joins are rejected."""
+    from feature_fabrica_ray.pipelines import (bloom_filtered_join,
+                                               shuffle_join)
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({"k": rng.integers(0, 1000, 500),
+                         "v": np.arange(500)})
+    right = pd.DataFrame({"k2": np.arange(0, 1000, 37),   # selective
+                          "w": np.arange(0, 1000, 37) * 2})
+    lds, rds = _ds(left, blocks=4), _ds(right, blocks=2)
+    b = bloom_filtered_join(lds, rds, on="k", right_on="k2") \
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    s = shuffle_join(lds, rds, on="k", right_on="k2", num_partitions=8) \
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b[["k", "v", "w"]], s[["k", "v", "w"]])
+    assert (b["k"].to_numpy() % 37 == 0).all()     # join is selective
+
+    with pytest.raises(ValueError):
+        bloom_filtered_join(lds, rds, on="k", right_on="k2",
+                            how="left outer")

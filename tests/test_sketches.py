@@ -208,3 +208,58 @@ def test_valuehist_property_matches_numpy():
             assert vh.percent_rank_of(np.array([x]))[0] == pytest.approx(want)
 
     prop()
+
+
+def test_spacesaving_exact_when_k_large():
+    """With k above the true distinct count nothing is evicted: the
+    sketch is exact with err 0, regardless of how the stream is split
+    into batches."""
+    from feature_fabrica_ray.state import SpaceSaving
+
+    vals = ["a"] * 50 + ["b"] * 30 + ["c"] * 19 + ["d"]
+    rng = np.random.default_rng(3)
+    rng.shuffle(vals)
+    for nsplits in (1, 4, 7):
+        sk = SpaceSaving(16)
+        for chunk in np.array_split(np.array(vals, object), nsplits):
+            u, c = np.unique(chunk, return_counts=True)
+            sk.add_counts(u.tolist(), c.tolist())
+        assert sk.top(4) == [("a", 50, 0), ("b", 30, 0),
+                             ("c", 19, 0), ("d", 1, 0)]
+
+
+def test_spacesaving_bounds_on_zipf():
+    """Approximate regime (k << distinct): est never undercounts,
+    est - err never overcounts, and every value with true count > n/k
+    is present in the sketch — on a Zipf stream, across block splits
+    AND merge orders (sequential vs pairwise tree)."""
+    from feature_fabrica_ray.state import SpaceSaving
+
+    rng = np.random.default_rng(11)
+    vals = rng.zipf(1.5, 8000)
+    vals = vals[vals < 10_000]
+    true = {v: int(c) for v, c in
+            zip(*np.unique(vals, return_counts=True))}
+    k = 32
+
+    def sketch_of(chunk):
+        u, c = np.unique(chunk, return_counts=True)
+        return SpaceSaving(k).add_counts(u.tolist(), c.tolist())
+
+    chunks = np.array_split(vals, 16)
+    seq = SpaceSaving(k)
+    for ch in chunks:
+        seq.merge(sketch_of(ch))
+    parts = [sketch_of(ch) for ch in chunks]
+    while len(parts) > 1:          # pairwise tree merge
+        parts = [parts[i].merge(parts[i + 1]) if i + 1 < len(parts)
+                 else parts[i] for i in range(0, len(parts), 2)]
+    for sk in (seq, parts[0]):
+        assert len(sk.counts) <= k
+        for v, est in sk.counts.items():
+            assert est >= true[v]                      # never undercounts
+            assert est - sk.errs[v] <= true[v]         # bounded overcount
+        thresh = vals.size / k
+        for v, c in true.items():
+            if c > thresh:
+                assert v in sk.counts, (v, c, thresh)
