@@ -998,6 +998,72 @@ ship_dow_name:
 """
 
 
+_DATETIME2_SPEC = """
+l_shipdate: {description: lineitem ship timestamp, data_type: datetime64}
+l_quantity: {description: ordered quantity, data_type: float64}
+l_discount: {description: line discount, data_type: float64}
+ship_day:
+  description: ship date truncated to the day
+  data_type: datetime64
+  dependencies: [l_shipdate]
+  transformation: "(l_shipdate).datetime_trunc(unit='day')"
+ship_week:
+  description: ship date truncated to the monday week start
+  data_type: datetime64
+  dependencies: [l_shipdate]
+  transformation: "(l_shipdate).datetime_trunc(unit='week')"
+ship_quarter:
+  description: ship date truncated to the quarter
+  data_type: datetime64
+  dependencies: [l_shipdate]
+  transformation: "(l_shipdate).datetime_trunc(unit='quarter')"
+hi:
+  description: per row greatest of quantity and scaled discount
+  data_type: float64
+  dependencies: [l_quantity, l_discount]
+  transformation: "(l_quantity, l_discount).greatest()"
+lo:
+  description: per row least of quantity and scaled discount
+  data_type: float64
+  dependencies: [l_quantity, l_discount]
+  transformation: "(l_quantity, l_discount).least()"
+coal:
+  description: first non null of quantity then discount
+  data_type: float64
+  dependencies: [l_quantity, l_discount]
+  transformation: "(l_quantity, l_discount).coalesce()"
+"""
+
+
+def q_ft_datetime2(sf_dir: str):
+    """date_trunc family (day/week/quarter — SQL boundary semantics,
+    Monday weeks) + n-ary coalesce/least/greatest elementwise SQL
+    functions, all single Arrow kernels in the expression language."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_shipdate",
+                 "l_quantity", "l_discount"])
+    out = FeatureEngine(_DATETIME2_SPEC).transform(ds)
+    df = _select(out, ["l_orderkey", "l_linenumber", "ship_day",
+                       "ship_week", "ship_quarter", "hi", "lo", "coal"]) \
+        .to_pandas()
+    for c in ("hi", "lo", "coal"):
+        df[c] = _round_away(df[c], 6)
+    return df.reset_index(drop=True)
+
+
+_DATETIME2_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       date_trunc('day', l_shipdate) AS ship_day,
+       date_trunc('week', l_shipdate) AS ship_week,
+       date_trunc('quarter', l_shipdate) AS ship_quarter,
+       round(greatest(l_quantity, l_discount), 6) AS hi,
+       round(least(l_quantity, l_discount), 6) AS lo,
+       round(coalesce(l_quantity, l_discount), 6) AS coal
+FROM lineitem
+"""
+
+
 def q_ft_datetime(sf_dir: str):
     import ray.data
 
@@ -1935,6 +2001,25 @@ def q_agg_quantiles(sf_dir: str) -> pd.DataFrame:
 _QUANTILES_ORACLE = """
 SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS q_50,
        round(quantile_cont(n_chars, 0.9), 6) AS q_90,
+       count(n_chars) AS n
+FROM documents GROUP BY lang
+"""
+
+
+def q_agg_quantiles_disc(sf_dir: str) -> pd.DataFrame:
+    """percentile_disc variant of agg_quantiles: the smallest occurring
+    element at or above the quantile position (no interpolation) — same
+    value-histogram combiner, oracle vs DuckDB quantile_disc."""
+    from feature_fabrica_ray.pipelines import group_quantiles
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+    return group_quantiles(ds, "lang", "n_chars", qs=(0.5, 0.9), disc=True)
+
+
+_QUANTILES_DISC_ORACLE = """
+SELECT lang, round(quantile_disc(n_chars, 0.5), 6) AS q_50,
+       round(quantile_disc(n_chars, 0.9), 6) AS q_90,
        count(n_chars) AS n
 FROM documents GROUP BY lang
 """
@@ -3099,6 +3184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_percent_rank": q_ft_percent_rank,
         "ft_strings": q_ft_strings,
         "ft_regex": q_ft_regex,
+        "ft_datetime2": q_ft_datetime2,
         "ft_datetime": q_ft_datetime,
         "ft_group_reduce": q_ft_group_reduce,
         "ft_encoders": q_ft_encoders,
@@ -3132,6 +3218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_repetition": q_ta_repetition,
         "ta_common_ngrams": q_ta_common_ngrams,
         "agg_quantiles": q_agg_quantiles,
+        "agg_quantiles_disc": q_agg_quantiles_disc,
         "agg_quantiles_approx": q_agg_quantiles_approx,
         "sp_pack": q_sp_pack,
         "ss_kmeans": q_ss_kmeans,
@@ -3206,6 +3293,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_percent_rank": _PRANK_ORACLE,
         "ft_strings": _STRINGS_ORACLE,
         "ft_regex": _REGEX_ORACLE,
+        "ft_datetime2": _DATETIME2_ORACLE,
         "ft_datetime": _DATETIME_ORACLE,
         "ft_group_reduce": _GROUP_ORACLE,
         "ft_encoders": _ENCODER_ORACLE,
@@ -3256,6 +3344,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_repetition": _REPETITION_ORACLE,
         "ta_common_ngrams": _COMMON_NGRAMS_ORACLE,
         "agg_quantiles": _QUANTILES_ORACLE,
+        "agg_quantiles_disc": _QUANTILES_DISC_ORACLE,
         "dd_decontaminate": _DECON_ORACLE,
         "agg_salted": _SALTED_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,

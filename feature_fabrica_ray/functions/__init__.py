@@ -7,8 +7,9 @@ from .aggregate import GROUP_REDUCTIONS, GroupByReduce
 from .base import (BatchCtx, ColumnRef, Transformation, TransformationError,
                    arrow_type_from_name, as_arrow, as_numpy)
 from .datetime import (DateTimeAdd, DateTimeDifference, DateTimeExtract,
-                       DateTimeSubtract, ExtractDayofWeek)
-from .generic import AsType, FeatureImporter
+                       DateTimeSubtract, DateTimeTrunc, ExtractDayofWeek)
+from .generic import (AsType, CoalesceReduce, FeatureImporter,
+                      GreatestReduce, LeastReduce)
 from .math import (ABSTransform, ClipTransform, DivideReduce, DivideTransform,
                    ExpTransform, ImputeTransform, KBinsDiscretize, LogTransform,
                    MaxAbsTransform, MinMaxTransform, MultiplyReduce,
@@ -37,6 +38,7 @@ __all__ = [
     "RegexExtract", "RegexReplace", "RegexMatch", "Substring", "Replace",
     "PadLeft", "PadRight", "StrLen", "Contains", "StartsWith", "EndsWith",
     "DateTimeDifference", "DateTimeAdd", "DateTimeSubtract", "DateTimeExtract",
-    "ExtractDayofWeek", "AsType", "FeatureImporter",
+    "ExtractDayofWeek", "DateTimeTrunc", "AsType", "FeatureImporter",
+    "CoalesceReduce", "LeastReduce", "GreatestReduce",
     "GroupByReduce", "GROUP_REDUCTIONS",
 ]

@@ -15,7 +15,8 @@ import pyarrow.compute as pc
 from .base import Transformation, TransformationError, as_arrow
 
 __all__ = ["DateTimeDifference", "DateTimeAdd", "DateTimeSubtract",
-           "DateTimeExtract", "ExtractDayofWeek", "DAYS_OF_WEEK"]
+           "DateTimeExtract", "DateTimeTrunc", "ExtractDayofWeek",
+           "DAYS_OF_WEEK"]
 
 DAYS_OF_WEEK = ["monday", "tuesday", "wednesday", "thursday", "friday",
                 "saturday", "sunday"]
@@ -148,6 +149,27 @@ class DateTimeExtract(Transformation):
 
     def execute(self, data):
         return pc.cast(self._KERNELS[self.component](_to_ts(data)), pa.int32())
+
+
+class DateTimeTrunc(Transformation):
+    """Truncate timestamps to a calendar boundary (SQL ``date_trunc``
+    parity: week starts Monday, quarter/year on calendar boundaries) —
+    one ``floor_temporal`` Arrow kernel. Beyond the reference's datetime
+    family; completes it for windowing/bucketing specs."""
+
+    _name_ = "datetime_trunc"
+    _UNITS = ("microsecond", "millisecond", "second", "minute", "hour",
+              "day", "week", "month", "quarter", "year")
+
+    def __init__(self, unit: str = "day"):
+        if unit not in self._UNITS:
+            raise TransformationError(
+                f"datetime_trunc: unit must be one of {self._UNITS}, "
+                f"got {unit!r}")
+        self.unit = unit
+
+    def execute(self, data):
+        return pc.floor_temporal(_to_ts(data), unit=self.unit)
 
 
 class ExtractDayofWeek(Transformation):

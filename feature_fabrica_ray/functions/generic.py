@@ -9,7 +9,54 @@ import pyarrow.compute as pc
 from .base import (ColumnRef, Transformation, TransformationError, arrow_type_from_name,
                    as_arrow)
 
-__all__ = ["AsType", "FeatureImporter"]
+__all__ = ["AsType", "FeatureImporter", "CoalesceReduce", "LeastReduce",
+           "GreatestReduce"]
+
+
+class _ElementwiseNaryBase(Transformation):
+    """N-ary elementwise SQL-function family over bound operands or a
+    tuple input ``(a, b).fn()`` — same operand plumbing as concat
+    (strings.py::ConcatenateReduce)."""
+
+    _ref_params_ = ("iterable",)
+    _kernel = None
+
+    def __init__(self, iterable=None):
+        self.iterable = list(iterable) if iterable is not None else None
+
+    def execute(self, data=None):
+        if self.iterable is not None:
+            vals = [as_arrow(self._val(v)) for v in self.iterable]
+        elif isinstance(data, (list, tuple)):
+            vals = [as_arrow(v) for v in data]
+        else:
+            raise TransformationError(f"{self._name_}: no operands bound")
+        if len(vals) < 2:
+            raise TransformationError(f"{self._name_}: needs >= 2 operands")
+        return self._kernel(*vals)
+
+
+class CoalesceReduce(_ElementwiseNaryBase):
+    """SQL ``coalesce(a, b, ...)``: first non-null per row."""
+
+    _name_ = "coalesce"
+    _kernel = staticmethod(pc.coalesce)
+
+
+class LeastReduce(_ElementwiseNaryBase):
+    """SQL ``least(a, b, ...)``: per-row minimum, nulls skipped
+    (all-null row -> null — DuckDB parity)."""
+
+    _name_ = "least"
+    _kernel = staticmethod(pc.min_element_wise)
+
+
+class GreatestReduce(_ElementwiseNaryBase):
+    """SQL ``greatest(a, b, ...)``: per-row maximum, nulls skipped
+    (all-null row -> null — DuckDB parity)."""
+
+    _name_ = "greatest"
+    _kernel = staticmethod(pc.max_element_wise)
 
 
 class AsType(Transformation):

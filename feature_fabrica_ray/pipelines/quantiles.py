@@ -25,15 +25,23 @@ __all__ = ["group_quantiles"]
 
 
 def _weighted_quantile(values: np.ndarray, counts: np.ndarray,
-                       qs: tuple[float, ...]) -> list[float]:
-    """quantile_cont over the multiset {values[i] x counts[i]} without
-    expansion: order statistic k = first v whose cumulative count > k."""
+                       qs: tuple[float, ...],
+                       disc: bool = False) -> list[float]:
+    """quantile_cont (or, with ``disc``, quantile_disc) over the
+    multiset {values[i] x counts[i]} without expansion: order statistic
+    k = first v whose cumulative count > k. disc = SQL percentile_disc:
+    the smallest ELEMENT whose cumulative fraction >= q (no
+    interpolation, always a value that occurs)."""
     order = np.argsort(values, kind="mergesort")
     v, c = values[order].astype(np.float64), counts[order]
     cum = np.cumsum(c)                       # cum[j] = # elements <= v[j]
     n = int(cum[-1])
     out = []
     for q in qs:
+        if disc:
+            k = max(int(np.ceil(q * n)) - 1, 0)
+            out.append(float(v[np.searchsorted(cum, k + 1)]))
+            continue
         pos = q * (n - 1)
         i0, i1 = int(np.floor(pos)), int(np.ceil(pos))
         frac = pos - i0
@@ -44,8 +52,11 @@ def _weighted_quantile(values: np.ndarray, counts: np.ndarray,
 
 
 def group_quantiles(ds, group_col: str, value_col: str,
-                    qs: tuple[float, ...] = (0.5, 0.9)) -> pd.DataFrame:
-    """Exact interpolated quantiles of ``value_col`` per ``group_col``.
+                    qs: tuple[float, ...] = (0.5, 0.9),
+                    disc: bool = False) -> pd.DataFrame:
+    """Exact interpolated quantiles of ``value_col`` per ``group_col``
+    (``disc=True`` switches to SQL percentile_disc semantics — the
+    smallest occurring element at or above the quantile position).
 
     Returns a pandas DataFrame (group, q_<pct>..., n) with quantiles
     rounded to 6 dp (half-away, matching SQL ROUND). The exchange
@@ -78,7 +89,7 @@ def group_quantiles(ds, group_col: str, value_col: str,
     for key, sub in hist.groupby(group_col, dropna=False, sort=True):
         vals = sub[value_col].to_numpy()
         cnts = sub["c"].to_numpy(dtype=np.int64)
-        quants = _weighted_quantile(vals, cnts, qs)
+        quants = _weighted_quantile(vals, cnts, qs, disc=disc)
         rec = {group_col: key, "n": int(cnts.sum())}
         for q, x in zip(qs, quants):
             rec[f"q_{int(round(q * 100))}"] = np.floor(x * 1e6 + 0.5) / 1e6

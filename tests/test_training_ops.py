@@ -739,6 +739,26 @@ def test_group_quantiles_matches_numpy(ray_session):
         assert out.loc[g, "n"] == len(sub)
 
 
+def test_group_quantiles_disc(ray_session):
+    """percentile_disc semantics: the smallest occurring element whose
+    cumulative fraction >= q — numpy's inverted_cdf method; always an
+    element of the multiset, block-layout invariant."""
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"g": rng.choice(["a", "b"], 200),
+                       "v": rng.integers(0, 40, 200)})
+    from feature_fabrica_ray.pipelines import group_quantiles
+    for blocks in (1, 5):
+        out = group_quantiles(ray.data.from_pandas(df).repartition(blocks),
+                              "g", "v", qs=(0.5, 0.9),
+                              disc=True).set_index("g")
+        for g, sub in df.groupby("g"):
+            for q, col in ((0.5, "q_50"), (0.9, "q_90")):
+                want = float(np.percentile(sub["v"], q * 100,
+                                           method="inverted_cdf"))
+                assert out.loc[g, col] == want, (g, q)
+                assert out.loc[g, col] in set(sub["v"])   # occurring value
+
+
 def test_group_quantiles_nulls_excluded(ray_session):
     df = pd.DataFrame({"g": ["a"] * 4, "v": [1.0, None, 3.0, None]})
     from feature_fabrica_ray.pipelines import group_quantiles

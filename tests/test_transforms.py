@@ -338,3 +338,33 @@ def test_regex_family():
         Replace("")
     with pytest.raises(TransformationError):
         run(RegexExtract("([a-z]+)", group=3), arr)
+
+
+def test_datetime_trunc_and_nary_sql_fns():
+    """date_trunc boundaries (Monday weeks, calendar quarters) and the
+    coalesce/least/greatest null rules (skip nulls, all-null -> null),
+    both operand forms."""
+    from feature_fabrica_ray.functions import (CoalesceReduce,
+                                               DateTimeTrunc,
+                                               GreatestReduce, LeastReduce)
+    ts = pa.array(["2024-03-15T13:45:11.123456",
+                   "2023-12-31T23:59:59"]).cast(pa.timestamp("us"))
+    import datetime as dt
+    assert lst(run(DateTimeTrunc("week"), ts)) == \
+        [dt.datetime(2024, 3, 11), dt.datetime(2023, 12, 25)]
+    assert lst(run(DateTimeTrunc("quarter"), ts)) == \
+        [dt.datetime(2024, 1, 1), dt.datetime(2023, 10, 1)]
+    assert lst(run(DateTimeTrunc("hour"), ts)) == \
+        [dt.datetime(2024, 3, 15, 13), dt.datetime(2023, 12, 31, 23)]
+    with pytest.raises(TransformationError):
+        DateTimeTrunc("fortnight")
+
+    a = pa.array([1.0, None, None])
+    b = pa.array([5.0, 7.0, None])
+    assert lst(run(CoalesceReduce(), (a, b))) == [1.0, 7.0, None]
+    assert lst(run(LeastReduce(), (a, b))) == [1.0, 7.0, None]
+    assert lst(run(GreatestReduce(), (a, b))) == [5.0, 7.0, None]
+    with pytest.raises(TransformationError):
+        run(GreatestReduce(), (a,))
+    with pytest.raises(TransformationError):
+        run(GreatestReduce(), None)
