@@ -2025,6 +2025,49 @@ FROM documents GROUP BY lang
 """
 
 
+def q_pr_shape(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag skewness + excess kurtosis of l_quantity via
+    mergeable Pébay M3/M4 sketches — one 5-scalar state per (block,
+    key) is all that shuffles; adjusted sample definitions match DuckDB
+    skewness()/kurtosis() exactly."""
+    from feature_fabrica_ray.pipelines import grouped_shape
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity"])
+    out = grouped_shape(ds, "l_returnflag", "l_quantity")
+    out["skew"] = _round_away(out["skew"], 6)
+    out["kurt"] = _round_away(out["kurt"], 6)
+    return out
+
+
+_SHAPE_ORACLE = """
+SELECT l_returnflag, round(skewness(l_quantity), 6) AS skew,
+       round(kurtosis(l_quantity), 6) AS kurt,
+       CAST(count(l_quantity) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_entropy(sf_dir: str) -> pd.DataFrame:
+    """Exact Shannon entropy (log2, DuckDB entropy() parity) of the
+    source distribution per lang — distinct-pair count combiner, one
+    keyed shuffle of partials, vectorized -sum p log2 p per key."""
+    from feature_fabrica_ray.pipelines import entropy_per_group
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+    out = entropy_per_group(ds, "lang", "source")
+    out["entropy"] = _round_away(out["entropy"], 6)
+    return out
+
+
+_ENTROPY_ORACLE = """
+SELECT lang, round(entropy(source), 6) AS entropy,
+       CAST(count(source) AS BIGINT) AS n
+FROM documents GROUP BY lang
+"""
+
+
 def q_agg_quantiles_approx(sf_dir: str) -> pd.DataFrame:
     """SCALE path for agg_quantiles (pipelines/grouped.
     approx_group_quantiles): per-lang p50/p90 from per-group t-digest
@@ -3219,6 +3262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_common_ngrams": q_ta_common_ngrams,
         "agg_quantiles": q_agg_quantiles,
         "agg_quantiles_disc": q_agg_quantiles_disc,
+        "pr_shape": q_pr_shape,
+        "agg_entropy": q_agg_entropy,
         "agg_quantiles_approx": q_agg_quantiles_approx,
         "sp_pack": q_sp_pack,
         "ss_kmeans": q_ss_kmeans,
@@ -3345,6 +3390,8 @@ def oracle_sql() -> dict[str, str]:
         "ta_common_ngrams": _COMMON_NGRAMS_ORACLE,
         "agg_quantiles": _QUANTILES_ORACLE,
         "agg_quantiles_disc": _QUANTILES_DISC_ORACLE,
+        "pr_shape": _SHAPE_ORACLE,
+        "agg_entropy": _ENTROPY_ORACLE,
         "dd_decontaminate": _DECON_ORACLE,
         "agg_salted": _SALTED_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,

@@ -14,9 +14,11 @@ from .events import (cumulative_agg, extract_json_int, first_last_value,
                      time_rolling_agg, tumbling_window_agg)
 from .reshape import explode_list
 from .grouped import (approx_distinct_per_group, approx_group_quantiles,
+                      entropy_per_group,
                       distinct_count_per_group,
                       freshness_check, grouped_correlation, grouped_outliers,
-                      grouped_stats, grouping_sets_agg, histogram_fixed,
+                      grouped_shape, grouped_stats, grouping_sets_agg,
+                      histogram_fixed,
                       mode_per_group,
                       pivot_agg, rollup_agg, string_agg_per_group,
                       cube_agg)
@@ -79,4 +81,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "connected_components", "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list",
            "bloom_filtered_join", "approx_heavy_hitters",
-           "string_agg_per_group", "first_last_value"]
+           "string_agg_per_group", "first_last_value", "grouped_shape",
+           "entropy_per_group"]

@@ -39,7 +39,64 @@ __all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
            "grouped_correlation", "approx_distinct_per_group", "cube_agg",
            "approx_group_quantiles",
            "pivot_agg", "mode_per_group", "grouping_sets_agg",
-           "string_agg_per_group"]
+           "string_agg_per_group", "grouped_shape", "entropy_per_group"]
+
+
+def grouped_shape(ds, key_col: str, val_col: str) -> pd.DataFrame:
+    """Exact per-group skewness + excess kurtosis (SQL/pandas ADJUSTED
+    sample definitions — DuckDB skewness()/kurtosis()) via mergeable
+    higher-moment sketches (``state/welford.py::HigherMoments``, Pébay
+    pairwise M3/M4): each block reduces to one 5-scalar state per key
+    (fully vectorized — per-key means via groupby transform, centered
+    power sums via one groupby), only those states enter the keyed
+    shuffle, and each reduce partition merges its key's states.
+    Returns (key, skew, kurt, n) sorted by key."""
+    from ..state import HigherMoments
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        df = df[df[val_col].notna()]
+        if not len(df):
+            return _with_shuffle_key(pa.table({
+                key_col: pa.array([], batch.schema.field(key_col).type),
+                "n": pa.array([], pa.int64()),
+                "mean": pa.array([], pa.float64()),
+                "m2": pa.array([], pa.float64()),
+                "m3": pa.array([], pa.float64()),
+                "m4": pa.array([], pa.float64())}), key_col)
+        v = df[val_col].astype(np.float64)
+        g = df.groupby(key_col, dropna=False, sort=False)
+        d = v - g[val_col].transform("mean").astype(np.float64)
+        d2 = d * d
+        cen = pd.DataFrame({key_col: df[key_col], "n": 1, "s": v,
+                            "m2": d2, "m3": d2 * d, "m4": d2 * d2}) \
+            .groupby(key_col, dropna=False, sort=False).sum()
+        out = pa.table({
+            key_col: pa.array(cen.index.to_numpy(),
+                              batch.schema.field(key_col).type),
+            "n": pa.array(cen["n"].to_numpy(np.int64)),
+            "mean": pa.array((cen["s"] / cen["n"]).to_numpy(np.float64)),
+            "m2": pa.array(cen["m2"].to_numpy(np.float64)),
+            "m3": pa.array(cen["m3"].to_numpy(np.float64)),
+            "m4": pa.array(cen["m4"].to_numpy(np.float64))})
+        return _with_shuffle_key(out, key_col)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        hm = HigherMoments()
+        for r in df.itertuples():            # one row per contributing block
+            hm = hm.merge(HigherMoments(int(r.n), float(r.mean),
+                                        float(r.m2), float(r.m3),
+                                        float(r.m4)))
+        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
+                             "skew": [hm.skewness], "kurt": [hm.kurtosis],
+                             "n": np.array([hm.count], np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    key = out[key_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
 
 
 def string_agg_per_group(ds, key_col: str, val_col: str, order_col: str,
@@ -107,6 +164,41 @@ def mode_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
         return pd.DataFrame({key_col: [df[key_col].iloc[0]],
                              "mode_v": [best],
                              "mode_n": np.array([int(m.loc[best])], np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    key = out[key_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
+
+
+def entropy_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
+    """Exact Shannon entropy (log2, DuckDB ``entropy()`` parity) of the
+    non-null value distribution per key. Same physical shape as
+    ``mode_per_group``: blocks collapse to distinct (key, value) counts,
+    only those partials enter ONE keyed shuffle, each reduce partition
+    sums per-value counts and evaluates -sum p log2 p vectorized.
+    Returns (key, entropy, n) sorted by key."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, val_col]).filter(
+            pc.is_valid(batch.column(val_col)))
+        g = t.group_by([key_col, val_col]).aggregate([([], "count_all")])
+        return _with_shuffle_key(
+            pa.table({key_col: g.column(key_col),
+                      val_col: g.column(val_col),
+                      "cnt": g.column("count_all").cast(pa.int64())}),
+            key_col)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(val_col)["cnt"].sum().to_numpy(np.float64)
+        n = c.sum()
+        p = c / n
+        h = float(-(p * np.log2(p)).sum())
+        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
+                             "entropy": [h],
+                             "n": np.array([int(n)], np.int64)})
 
     out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
            .groupby("__gkey", num_partitions=shuffle_partitions())

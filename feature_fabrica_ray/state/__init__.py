@@ -11,11 +11,11 @@ from .hll import HLL
 from .spacesaving import SpaceSaving
 from .tdigest import TDigest
 from .vhist import ValueHist
-from .welford import Moments
+from .welford import HigherMoments, Moments
 
 __all__ = [
     "hash64", "hash64_multi", "combine_hashes", "BloomFilter",
-    "Moments", "HLL", "TDigest", "ValueHist", "SpaceSaving",
+    "Moments", "HigherMoments", "HLL", "TDigest", "ValueHist", "SpaceSaving",
     "NumericHistogram", "CategoricalFreq",
     "psi_from_counts", "ks_from_counts", "psi_categorical",
 ]

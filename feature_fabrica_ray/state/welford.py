@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["Moments"]
+__all__ = ["Moments", "HigherMoments"]
 
 
 @dataclass
@@ -95,3 +95,79 @@ class Moments:
     @classmethod
     def from_dict(cls, d: dict) -> "Moments":
         return cls(**{k: d[k] for k in ("count", "null_count", "mean", "m2", "min", "max", "sum")})
+
+
+@dataclass
+class HigherMoments:
+    """Third/fourth central moments in mergeable form (Pébay 2008
+    pairwise-update formulas — the M3/M4 extension of Chan's parallel
+    variance above). Exposes SQL/pandas ADJUSTED sample skewness (G1)
+    and excess kurtosis (G2), which DuckDB's skewness()/kurtosis() and
+    pandas .skew()/.kurt() both implement."""
+
+    count: int = 0
+    mean: float = 0.0
+    m2: float = 0.0
+    m3: float = 0.0
+    m4: float = 0.0
+
+    @classmethod
+    def from_array(cls, arr: np.ndarray) -> "HigherMoments":
+        arr = np.asarray(arr, dtype=np.float64)
+        arr = arr[np.isfinite(arr)]
+        n = int(arr.size)
+        if n == 0:
+            return cls()
+        mean = float(arr.mean())
+        d = arr - mean
+        d2 = d * d
+        return cls(count=n, mean=mean, m2=float(d2.sum()),
+                   m3=float((d2 * d).sum()), m4=float((d2 * d2).sum()))
+
+    def merge(self, other: "HigherMoments") -> "HigherMoments":
+        na, nb = self.count, other.count
+        if nb == 0:
+            return HigherMoments(na, self.mean, self.m2, self.m3, self.m4)
+        if na == 0:
+            return HigherMoments(nb, other.mean, other.m2, other.m3,
+                                 other.m4)
+        n = na + nb
+        d = other.mean - self.mean
+        d2, d3, d4 = d * d, d ** 3, d ** 4
+        mean = self.mean + d * nb / n
+        m2 = self.m2 + other.m2 + d2 * na * nb / n
+        m3 = (self.m3 + other.m3
+              + d3 * na * nb * (na - nb) / (n * n)
+              + 3.0 * d * (na * other.m2 - nb * self.m2) / n)
+        m4 = (self.m4 + other.m4
+              + d4 * na * nb * (na * na - na * nb + nb * nb) / (n ** 3)
+              + 6.0 * d2 * (na * na * other.m2 + nb * nb * self.m2) / (n * n)
+              + 4.0 * d * (na * other.m3 - nb * self.m3) / n)
+        return HigherMoments(n, mean, m2, m3, m4)
+
+    @property
+    def skewness(self) -> float:
+        """Adjusted sample skewness G1 (DuckDB skewness / pandas skew)."""
+        n = self.count
+        if n < 3 or self.m2 <= 0:
+            return float("nan")
+        g1 = (self.m3 / n) / (self.m2 / n) ** 1.5
+        return g1 * math.sqrt(n * (n - 1.0)) / (n - 2.0)
+
+    @property
+    def kurtosis(self) -> float:
+        """Adjusted sample excess kurtosis G2 (DuckDB kurtosis /
+        pandas kurt)."""
+        n = self.count
+        if n < 4 or self.m2 <= 0:
+            return float("nan")
+        g2 = n * self.m4 / (self.m2 * self.m2) - 3.0
+        return ((n + 1.0) * g2 + 6.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))
+
+    def to_dict(self) -> dict:
+        return {"count": self.count, "mean": self.mean, "m2": self.m2,
+                "m3": self.m3, "m4": self.m4}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "HigherMoments":
+        return cls(**{k: d[k] for k in ("count", "mean", "m2", "m3", "m4")})

@@ -571,3 +571,30 @@ def test_bloom_filtered_join_equals_shuffle(ray_session):
     with pytest.raises(ValueError):
         bloom_filtered_join(lds, rds, on="k", right_on="k2",
                             how="left outer")
+
+
+def test_grouped_shape_and_entropy(ray_session):
+    """Per-group skewness/kurtosis equal pandas skew()/kurt() and
+    entropy equals -sum p log2 p, incl. a null-value row being skipped;
+    block-layout invariant."""
+    from feature_fabrica_ray.pipelines import entropy_per_group, grouped_shape
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 300),
+        "v": rng.gamma(2.0, 3.0, 300),
+        "c": rng.choice(["x", "y", "z"], 300),
+    })
+    df.loc[5, "v"] = None
+    df.loc[7, "c"] = None
+    for blocks in (1, 4):
+        shape = grouped_shape(_ds(df, blocks=blocks), "k", "v").set_index("k")
+        ent = entropy_per_group(_ds(df, blocks=blocks), "k", "c").set_index("k")
+        for g, sub in df.groupby("k"):
+            vv = sub["v"].dropna()
+            assert abs(shape.loc[g, "skew"] - vv.skew()) < 1e-9
+            assert abs(shape.loc[g, "kurt"] - vv.kurt()) < 1e-9
+            assert shape.loc[g, "n"] == len(vv)
+            cnt = sub["c"].dropna().value_counts().to_numpy(np.float64)
+            p = cnt / cnt.sum()
+            assert abs(ent.loc[g, "entropy"] - float(-(p * np.log2(p)).sum())) < 1e-12

@@ -263,3 +263,24 @@ def test_spacesaving_bounds_on_zipf():
         for v, c in true.items():
             if c > thresh:
                 assert v in sk.counts, (v, c, thresh)
+
+
+def test_higher_moments_merge_matches_pandas():
+    """Pébay M3/M4 pairwise merge: adjusted skewness/kurtosis from
+    merged chunk sketches equal pandas .skew()/.kurt() (the DuckDB
+    definitions) regardless of split count or merge order."""
+    from feature_fabrica_ray.state import HigherMoments
+
+    rng = np.random.default_rng(5)
+    x = rng.gamma(2.0, 3.0, 1000)
+    import pandas as pd
+    want_s, want_k = pd.Series(x).skew(), pd.Series(x).kurt()
+    for nsplits in (1, 7, 16):
+        m = HigherMoments()
+        for chunk in np.array_split(x, nsplits):
+            m = m.merge(HigherMoments.from_array(chunk))
+        assert abs(m.skewness - want_s) < 1e-9
+        assert abs(m.kurtosis - want_k) < 1e-9
+    # degenerate guards
+    assert np.isnan(HigherMoments.from_array(np.array([1.0, 2.0])).skewness)
+    assert np.isnan(HigherMoments.from_array(np.ones(10)).kurtosis)
