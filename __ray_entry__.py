@@ -2351,6 +2351,23 @@ def q_dd_neardup_rows(sf_dir: str):
     return _select(neardup_dedup_rows(ds, threshold=0.5), ["doc_id"])
 
 
+def q_tp_curate(sf_dir: str):
+    """End-to-end corpus curation composed as ONE streaming pipeline:
+    Gopher quality gate -> dedup canonicalization -> exact keep-one
+    dedup (the only shuffle) -> token-window chunking -> greedy sequence
+    packing. Rows-only (chunk/pack recurrences have no SQL oracle);
+    pytest verifies layout determinism + stage invariants."""
+    from feature_fabrica_ray.pipelines import curate_corpus
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return _select(curate_corpus(ds, min_words=10, max_tokens=32,
+                                 context_len=128,
+                                 gopher_kw={"max_top_word_frac": 0.5}),
+                   ["doc_id", "chunk_id", "n_tokens", "pack_id",
+                    "pack_offset", "truncated"])
+
+
 def q_dd_neardup_distributed(sf_dir: str):
     """Zero-driver keep-one near-dup dedup: distributed LSH pairs ->
     distributed connected-components label propagation -> anti join.
@@ -3276,6 +3293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_minhash_distributed": q_dd_minhash_distributed,
         "dd_neardup_rows": q_dd_neardup_rows,
         "dd_neardup_distributed": q_dd_neardup_distributed,
+        "tp_curate": q_tp_curate,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
         "dd_simhash": q_dd_simhash,
         "ss_cosine_topk": q_ss_cosine_topk,

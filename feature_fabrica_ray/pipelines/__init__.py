@@ -12,6 +12,7 @@ from .events import (cumulative_agg, extract_json_int, first_last_value,
                      lag_lead,
                      rank_ntile, rolling_agg, sessionize, sliding_window_agg,
                      time_rolling_agg, tumbling_window_agg)
+from .corpus import curate_corpus
 from .reshape import explode_list
 from .grouped import (approx_distinct_per_group, approx_group_quantiles,
                       entropy_per_group,
@@ -82,4 +83,4 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "grouping_sets_agg", "time_rolling_agg", "explode_list",
            "bloom_filtered_join", "approx_heavy_hitters",
            "string_agg_per_group", "first_last_value", "grouped_shape",
-           "entropy_per_group"]
+           "entropy_per_group", "curate_corpus"]

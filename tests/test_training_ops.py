@@ -999,3 +999,56 @@ def test_neardup_dedup_distributed_equals_driver(ray_session):
         .to_pandas()["doc_id"]
     assert sorted(drv) == sorted(dst)
     assert len(dst) < len(df)                 # something was deduped
+
+
+def test_curate_corpus_invariants(ray_session):
+    """The composed curation chain (gopher gate -> normalize -> exact
+    dedup -> chunk -> pack) is block-layout deterministic and satisfies
+    its stage invariants: no duplicate normalized text survives (rep =
+    min doc id), chunk token counts tile each kept doc, every
+    non-truncated pack fits the context window."""
+    from feature_fabrica_ray.pipelines import curate_corpus
+
+    rng = np.random.default_rng(17)
+    syl = ["ba", "be", "bi", "bo", "bu", "da", "de", "di", "do", "du",
+           "ka", "ke", "ki", "ko", "ku", "ma", "me", "mi", "mo", "mu"]
+    vocab = np.array([a + b for a in syl for b in syl])   # 400 alpha words
+    rows = []
+    for i in range(30):
+        words = rng.integers(12, 40)
+        rows.append((i, " ".join(rng.choice(vocab, words))))
+    rows.append((100, rows[3][1].upper()))          # case-only duplicate
+    rows.append((101, "  " + rows[5][1] + "  "))    # whitespace-only dup
+    rows.append((102, "short text"))                # fails min_words
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    outs = []
+    for blocks in (1, 4):
+        out = curate_corpus(_ds(df, blocks=blocks), min_words=10,
+                            max_tokens=8, context_len=32, n_shards=4,
+                            gopher_kw={"max_top_word_frac": 0.5}) \
+            .to_pandas().sort_values(["doc_id", "chunk_id"]) \
+            .reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+
+    kept_docs = set(out["doc_id"])
+    assert 102 not in kept_docs                     # quality-gated
+    assert 100 not in kept_docs and 101 not in kept_docs  # deduped
+    assert 3 in kept_docs and 5 in kept_docs        # min-id reps kept
+    # chunk token counts tile each doc: all chunks full except the last
+    for d, sub in out.groupby("doc_id"):
+        sub = sub.sort_values("chunk_id")
+        assert (sub["n_tokens"].iloc[:-1] == 8).all()
+        assert 1 <= sub["n_tokens"].iloc[-1] <= 8
+    # packing: per-pack token sums fit the context unless truncated
+    tot = out.groupby("pack_id").agg(s=("n_tokens", "sum"),
+                                     t=("truncated", "any"))
+    assert ((tot["s"] <= 32) | tot["t"]).all()
+    # offsets are the running sum within each pack
+    for _, sub in out.groupby("pack_id"):
+        sub = sub.sort_values("pack_offset")
+        assert sub["pack_offset"].iloc[0] == 0
+        assert (sub["pack_offset"].to_numpy()[1:]
+                == np.cumsum(sub["n_tokens"].to_numpy())[:-1]).all()
