@@ -3207,6 +3207,62 @@ FROM events
 """
 
 
+def q_ev_json_str(sf_dir: str):
+    """String-valued JSON key extraction (json_extract_string parity
+    for flat objects): both sides build the same JSON object from
+    documents columns, then extract one string key — one vectorized
+    regex kernel, no shuffle."""
+    from feature_fabrica_ray.pipelines import extract_json_str
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "source"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        js = pc.binary_join_element_wise(
+            '{"lang": "', pc.fill_null(batch.column("lang"), ""),
+            '", "src": "', pc.fill_null(batch.column("source"), ""),
+            '"}', "")
+        return pa.table({"doc_id": batch.column("doc_id"), "props": js})
+
+    out = extract_json_str(ds.map_batches(build, batch_format="pyarrow",
+                                          batch_size=None),
+                           "props", "src", "src_val")
+    return _select(out, ["doc_id", "src_val"])
+
+
+_EV_JSON_STR_ORACLE = r"""
+SELECT doc_id,
+       regexp_extract('{"lang": "' || coalesce(lang, '') || '", "src": "'
+                      || coalesce(source, '') || '"}',
+                      '"src"\s*:\s*"([^"\\]*)"', 1) AS src_val
+FROM documents
+"""
+
+
+def q_ev_prank(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK / CUME_DIST per user over value ASC (SQL tie
+    semantics incl. peers-inclusive cume_dist) — one keyed shuffle,
+    one vectorized run-length pass per group."""
+    from feature_fabrica_ray.pipelines import percent_rank_window
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "value"])
+    out = percent_rank_window(ds, "user_id", "value") \
+        .to_pandas()[["event_id", "user_id", "prnk", "cd"]]
+    out["prnk"] = _round_away(out["prnk"], 6)
+    out["cd"] = _round_away(out["cd"], 6)
+    return out.reset_index(drop=True)
+
+
+_EV_PRANK_ORACLE = """
+SELECT event_id, user_id,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist() OVER w, 6) AS cd
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3314,6 +3370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_strings": q_agg_strings,
         "ev_lag": q_ev_lag,
         "ev_rank": q_ev_rank,
+        "ev_prank": q_ev_prank,
+        "ev_json_str": q_ev_json_str,
         "ev_latest": q_ev_latest,
         "agg_mode": q_agg_mode,
         "jn_bloom": q_jn_bloom,
@@ -3386,6 +3444,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_strings": _STRING_AGG_ORACLE,
         "ev_lag": _LAG_ORACLE,
         "ev_rank": _RANK_ORACLE,
+        "ev_prank": _EV_PRANK_ORACLE,
+        "ev_json_str": _EV_JSON_STR_ORACLE,
         "ev_latest": _LATEST_ORACLE,
         "agg_mode": _MODE_ORACLE,
         "jn_bloom": _BLOOM_JOIN_ORACLE,

@@ -8,7 +8,8 @@ from .curation import (common_ngrams, decontaminate, gopher_quality,
 from .packing import pack_sequences
 from .quantiles import group_quantiles
 from .checkpoint import codetable_shards, merge_results, validate_resumable
-from .events import (cumulative_agg, extract_json_int, first_last_value,
+from .events import (cumulative_agg, extract_json_int, extract_json_str,
+                     first_last_value, percent_rank_window,
                      lag_lead,
                      rank_ntile, rolling_agg, sessionize, sliding_window_agg,
                      time_rolling_agg, tumbling_window_agg)
@@ -83,4 +84,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "grouping_sets_agg", "time_rolling_agg", "explode_list",
            "bloom_filtered_join", "approx_heavy_hitters",
            "string_agg_per_group", "first_last_value", "grouped_shape",
-           "entropy_per_group", "curate_corpus"]
+           "entropy_per_group", "curate_corpus",
+           "extract_json_str", "percent_rank_window"]

@@ -146,6 +146,54 @@ def extract_json_int(ds, col: str, key: str, out_col: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def extract_json_str(ds, col: str, key: str, out_col: str):
+    """Append ``out_col``: string value of ``key`` in a flat JSON-object
+    string column (simple values without escaped quotes), via one
+    vectorized regex kernel — null when the key is absent. DuckDB
+    ``json_extract_string`` parity for flat objects."""
+    pattern = rf'"{key}"\s*:\s*"(?P<v>[^"\\]*)"'
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(pc.fill_null(batch.column(col), ""),
+                             pattern=pattern)
+        return batch.append_column(out_col, pc.struct_field(m, "v"))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def percent_rank_window(ds, key_col: str, value_col: str):
+    """``PERCENT_RANK()`` and ``CUME_DIST()`` over ``value`` ASC per key
+    (SQL tie semantics: percent_rank = (rank-1)/(n-1) with min-rank
+    ties, cume_dist = peers-inclusive count / n). Same physical shape
+    as ``rank_ntile``: one keyed shuffle, one vectorized sort +
+    run-length pass per group. Returns a Dataset with ``prnk`` and
+    ``cd`` (float64) appended."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        n = v.size
+        order = np.argsort(v, kind="mergesort")
+        vs = v[order]
+        starts = np.empty(n, np.bool_)
+        starts[0] = True
+        starts[1:] = vs[1:] != vs[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        rnk_sorted = np.maximum.accumulate(np.where(starts, pos + 1, 0))
+        # last index of each tie run + 1 = peers-inclusive count
+        run_id = np.cumsum(starts) - 1
+        run_last = np.zeros(run_id[-1] + 1, np.int64)
+        np.maximum.at(run_last, run_id, pos + 1)
+        cd_sorted = run_last[run_id] / n
+        pr_sorted = (rnk_sorted - 1) / (n - 1) if n > 1 \
+            else np.zeros(n, np.float64)
+        inv = np.empty(n, np.int64)
+        inv[order] = pos
+        return df.assign(prnk=pr_sorted[inv], cd=cd_sorted[inv])
+
+    return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas")
+
+
 def cumulative_agg(ds, ts_col: str, key_col: str, value_col: str,
                    order_col: str):
     """SQL-window-function style running aggregates per key: for every

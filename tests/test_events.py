@@ -598,3 +598,34 @@ def test_grouped_shape_and_entropy(ray_session):
             cnt = sub["c"].dropna().value_counts().to_numpy(np.float64)
             p = cnt / cnt.sum()
             assert abs(ent.loc[g, "entropy"] - float(-(p * np.log2(p)).sum())) < 1e-12
+
+
+def test_percent_rank_window_and_json_str(ray_session):
+    """percent_rank/cume_dist tie semantics vs pandas (min-rank ties,
+    peers-inclusive cume_dist), single-row key -> 0.0; string JSON
+    extraction returns null for missing keys and null input."""
+    from feature_fabrica_ray.pipelines import (extract_json_str,
+                                               percent_rank_window)
+
+    df = pd.DataFrame({
+        "event_id": range(6),
+        "user_id": [1, 1, 1, 1, 1, 2],
+        "value": [3.0, 1.0, 3.0, 2.0, 5.0, 9.0],
+    })
+    out = percent_rank_window(_ds(df, blocks=2), "user_id", "value") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    g = df[df.user_id == 1]["value"]
+    want_pr = ((g.rank(method="min") - 1) / (len(g) - 1)).tolist()
+    want_cd = (g.rank(method="max") / len(g)).tolist()
+    assert out["prnk"].tolist()[:5] == pytest.approx(want_pr)
+    assert out["cd"].tolist()[:5] == pytest.approx(want_cd)
+    assert out["prnk"].iloc[5] == 0.0 and out["cd"].iloc[5] == 1.0
+
+    js = pd.DataFrame({"id": [1, 2, 3],
+                       "props": ['{"a": "x", "b": "y"}', '{"a": "z"}',
+                                 None]})
+    got = extract_json_str(_ds(js), "props", "b", "b_val").to_pandas() \
+        .sort_values("id")
+    assert got["b_val"].tolist()[0] == "y"
+    assert pd.isna(got["b_val"].tolist()[1])
+    assert pd.isna(got["b_val"].tolist()[2])
