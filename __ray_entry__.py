@@ -835,6 +835,21 @@ lang_case:
   data_type: str
   dependencies: [lang]
   transformation: "(lang).upper().lower()"
+src_part:
+  description: second field of the source split on r
+  data_type: str
+  dependencies: [source]
+  transformation: "(source).split_part(sep='r', n=2)"
+lang_rev:
+  description: reversed language code
+  data_type: str
+  dependencies: [lang]
+  transformation: "(lang).reverse()"
+lang_rep:
+  description: language repeated twice
+  data_type: str
+  dependencies: [lang]
+  transformation: "(lang).repeat(n=2)"
 """
 
 
@@ -844,12 +859,15 @@ def q_ft_strings(sf_dir: str):
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang", "source"])
     out = FeatureEngine(_STRINGS_SPEC).transform(ds)
-    return _select(out, ["doc_id", "lang_up", "src_strip", "combo", "lang_case"])
+    return _select(out, ["doc_id", "lang_up", "src_strip", "combo",
+                         "lang_case", "src_part", "lang_rev", "lang_rep"])
 
 
 _STRINGS_ORACLE = """
 SELECT doc_id, upper(lang) AS lang_up, trim(source) AS src_strip,
-       lang || source AS combo, lower(upper(lang)) AS lang_case
+       lang || source AS combo, lower(upper(lang)) AS lang_case,
+       split_part(source, 'r', 2) AS src_part,
+       reverse(lang) AS lang_rev, repeat(lang, 2) AS lang_rep
 FROM documents
 """
 

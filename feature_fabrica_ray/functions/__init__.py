@@ -19,6 +19,7 @@ from .math import (ABSTransform, ClipTransform, DivideReduce, DivideTransform,
                    SubtractReduce, SumReduce, WinsorizeTransform,
                    ZScoreTransform)
 from .strings import (BinaryEncode, ConcatenateReduce, Contains, EndsWith,
+                      Repeat, Reverse, SplitPart,
                       LabelEncode, OneHotEncode, OrdinalEncode, PadLeft,
                       PadRight, RegexExtract, RegexMatch, RegexReplace,
                       Replace, Split, StartsWith, Strip, StrLen, Substring,
@@ -37,6 +38,7 @@ __all__ = [
     "OneHotEncode", "LabelEncode", "OrdinalEncode", "BinaryEncode",
     "RegexExtract", "RegexReplace", "RegexMatch", "Substring", "Replace",
     "PadLeft", "PadRight", "StrLen", "Contains", "StartsWith", "EndsWith",
+    "SplitPart", "Reverse", "Repeat",
     "DateTimeDifference", "DateTimeAdd", "DateTimeSubtract", "DateTimeExtract",
     "ExtractDayofWeek", "DateTimeTrunc", "AsType", "FeatureImporter",
     "CoalesceReduce", "LeastReduce", "GreatestReduce",

@@ -21,7 +21,7 @@ __all__ = ["ToLower", "ToUpper", "Strip", "Split", "ConcatenateReduce",
            "OneHotEncode", "LabelEncode", "OrdinalEncode", "BinaryEncode",
            "RegexExtract", "RegexReplace", "RegexMatch", "Substring",
            "Replace", "PadLeft", "PadRight", "StrLen", "Contains",
-           "StartsWith", "EndsWith"]
+           "StartsWith", "EndsWith", "SplitPart", "Reverse", "Repeat"]
 
 
 class ToLower(Transformation):
@@ -261,6 +261,50 @@ class PadRight(_PadBase):
 
     _name_ = "rpad"
     _side_ = "r"
+
+
+class SplitPart(Transformation):
+    """SQL ``split_part(s, sep, n)``: the 1-based nth field after
+    splitting on the literal separator; out-of-range -> '' (DuckDB
+    parity). One split + one list-slice + one join kernel."""
+
+    _name_ = "split_part"
+
+    def __init__(self, sep: str, n: int):
+        if not sep:
+            raise TransformationError("split_part: sep must be non-empty")
+        if n < 1:
+            raise TransformationError(f"split_part: n is 1-based, got {n}")
+        self.sep = sep
+        self.n = n
+
+    def execute(self, data):
+        parts = pc.split_pattern(as_arrow(data), self.sep)
+        sliced = pc.list_slice(parts, self.n - 1, self.n)
+        return pc.binary_join(sliced, "")
+
+
+class Reverse(Transformation):
+    """Codepoint reversal (SQL ``reverse`` on ASCII/BMP text)."""
+
+    _name_ = "reverse"
+
+    def execute(self, data):
+        return pc.utf8_reverse(as_arrow(data))
+
+
+class Repeat(Transformation):
+    """SQL ``repeat(s, n)``; n = 0 gives ''."""
+
+    _name_ = "repeat"
+
+    def __init__(self, n: int):
+        if n < 0:
+            raise TransformationError(f"repeat: n must be >= 0, got {n}")
+        self.n = n
+
+    def execute(self, data):
+        return pc.binary_repeat(as_arrow(data), self.n)
 
 
 class StrLen(Transformation):

@@ -368,3 +368,21 @@ def test_datetime_trunc_and_nary_sql_fns():
         run(GreatestReduce(), (a,))
     with pytest.raises(TransformationError):
         run(GreatestReduce(), None)
+
+
+def test_split_part_reverse_repeat():
+    """SQL split_part (1-based, out-of-range -> ''), reverse, repeat —
+    DuckDB-parity goldens incl. null propagation and arg validation."""
+    from feature_fabrica_ray.functions import Repeat, Reverse, SplitPart
+    arr = pa.array(["a,b,c", "x", None, ""])
+    assert lst(run(SplitPart(",", 2), arr)) == ["b", "", None, ""]
+    assert lst(run(SplitPart(",", 1), arr)) == ["a", "x", None, ""]
+    assert lst(run(Reverse(), pa.array(["abc", None]))) == ["cba", None]
+    assert lst(run(Repeat(3), pa.array(["ab", None]))) == ["ababab", None]
+    assert lst(run(Repeat(0), pa.array(["ab"]))) == [""]
+    with pytest.raises(TransformationError):
+        SplitPart("", 1)
+    with pytest.raises(TransformationError):
+        SplitPart(",", 0)
+    with pytest.raises(TransformationError):
+        Repeat(-1)
