@@ -451,6 +451,44 @@ ORDER BY "check"
 """
 
 
+def q_vl_shape(sf_dir: str) -> pd.DataFrame:
+    """Declarative distribution-shape expectations (checks/suite.py::
+    ShapeBoundCheck): skewness / excess-kurtosis verdicts from the fused
+    pass's mergeable Pébay M3/M4 moments — no extra pass, EXACT (the
+    merge is algebraic), recomputed from MERGED moments on checkpointed
+    shards; so unlike the sketch-backed bounds both the metric VALUE and
+    the verdict are oracle-checked against DuckDB skewness()/kurtosis()."""
+    from feature_fabrica_ray.checks import CheckSuite
+    from feature_fabrica_ray.pipelines import run_suite
+
+    ds = read_codetable(sf_dir, with_sha256=False).map_batches(
+        lambda b: b.append_column(
+            "size_bytes", pc.utf8_length(b.column("content")).cast(pa.int64())),
+        batch_format="pyarrow", batch_size=None)
+    suite = CheckSuite("""
+checks:
+  - {type: shape_bound, column: size_bytes, stat: skewness, min: -2, max: 2, name: skew_band}
+  - {type: shape_bound, column: size_bytes, stat: kurtosis, max: -3, name: kurt_cap, severity: warn}
+""")
+    g = run_suite(ds, suite).global_verdicts()
+    out = g[["check", "metric", "passed"]].copy().sort_values("check") \
+        .reset_index(drop=True)
+    out["metric"] = _round_away(out["metric"], 6)
+    return out
+
+
+_SHAPE_BOUND_ORACLE = CT + """
+SELECT 'kurt_cap' AS "check", round(kurtosis(length(content)), 6) AS metric,
+       kurtosis(length(content)) <= -3 AS passed
+FROM codetable
+UNION ALL
+SELECT 'skew_band', round(skewness(length(content)), 6),
+       skewness(length(content)) BETWEEN -2 AND 2
+FROM codetable
+ORDER BY "check"
+"""
+
+
 def q_vl_distinct_bound(sf_dir: str) -> pd.DataFrame:
     """Declarative cardinality expectations (checks/suite.py::
     DistinctBoundCheck): distinct-count verdicts from the fused pass's
@@ -3310,6 +3348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_stats_sketches": q_vl_stats_sketches,
         "vl_group_stats": q_vl_group_stats,
         "vl_quantile": q_vl_quantile,
+        "vl_shape": q_vl_shape,
         "vl_distinct_bound": q_vl_distinct_bound,
         "ft_math_chain": q_ft_math_chain,
         "ft_fitted_global": q_ft_fitted_global,
@@ -3421,6 +3460,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_stats_size": _STATS_ORACLE,
         "vl_group_stats": _GROUP_STATS_ORACLE,
         "vl_quantile": _QUANTILE_ORACLE,
+        "vl_shape": _SHAPE_BOUND_ORACLE,
         "vl_distinct_bound": _DISTINCT_BOUND_ORACLE,
         "vl_content_sha256": _SHA_ORACLE,
         "vl_distinct_repo": _DISTINCT_ORACLE,

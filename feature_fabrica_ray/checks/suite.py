@@ -20,6 +20,7 @@ Example spec::
       - {type: stats, column: size_bytes, quantiles: [0.5, 0.95], distinct: true}
       - {type: quantile_bound, column: size_bytes, q: 0.95, max: 4096}
       - {type: distinct_bound, column: lang, min: 2, max: 50}
+      - {type: shape_bound, column: size_bytes, stat: skewness, max: 5.0}
       - {type: drift, column: size_bytes, method: psi, threshold: 0.2}
       - {type: schema, columns: {repo: string, lang: string}}
 """
@@ -35,7 +36,7 @@ from .row_checks import (_ROW_CHECKS, CheckSpecError, RowCheck,
 
 __all__ = ["CheckSuite", "UniqueCheck", "ReferentialCheck", "StatsCheck",
            "DriftCheck", "SchemaCheck", "FreshnessCheck", "GroupStatsCheck",
-           "QuantileBoundCheck", "DistinctBoundCheck"]
+           "QuantileBoundCheck", "DistinctBoundCheck", "ShapeBoundCheck"]
 
 
 @dataclass
@@ -65,6 +66,7 @@ class StatsCheck:
     quantiles: list[float] = field(default_factory=list)
     distinct: bool = False
     numeric: bool = True  # False -> categorical (distinct/freq only)
+    shape: bool = False   # also sketch M3/M4 (skewness/kurtosis)
     kind: str = "stats"
 
 
@@ -149,6 +151,24 @@ class DistinctBoundCheck:
 
 
 @dataclass
+class ShapeBoundCheck:
+    """Distribution-shape expectation: the ADJUSTED sample skewness or
+    excess kurtosis (DuckDB skewness()/kurtosis() definitions) of
+    ``column`` must lie within [lo, hi]. Computed EXACTLY from the fused
+    pass's mergeable Pébay M3/M4 states (state/welford.py::
+    HigherMoments) — no extra pass, 5 scalars per block, recomputed from
+    the MERGED state on checkpointed shards (per-shard skewness does NOT
+    average). ``metric`` carries the statistic."""
+    name: str
+    column: str
+    stat: str = "skewness"         # skewness | kurtosis
+    lo: float = float("-inf")
+    hi: float = float("inf")
+    kind: str = "shape_bound"
+    severity: str = "error"
+
+
+@dataclass
 class SchemaCheck:
     name: str
     columns: dict[str, str]        # name -> arrow type name (prefix match)
@@ -173,6 +193,7 @@ class CheckSuite:
         self.group_stats_checks: list[GroupStatsCheck] = []
         self.quantile_checks: list[QuantileBoundCheck] = []
         self.distinct_checks: list[DistinctBoundCheck] = []
+        self.shape_checks: list[ShapeBoundCheck] = []
         for raw in spec:
             self._add(dict(raw))
 
@@ -243,6 +264,20 @@ class CheckSuite:
                 lo=float(raw.get("min", 0.0)),
                 hi=float(raw.get("max", float("inf"))),
                 severity=raw.get("severity", "error")))
+        elif kind == "shape_bound":
+            if "min" not in raw and "max" not in raw:
+                raise CheckSpecError(
+                    "shape_bound needs at least one of min:/max:")
+            stat = raw.get("stat", "skewness")
+            if stat not in ("skewness", "kurtosis"):
+                raise CheckSpecError(
+                    f"shape_bound stat must be skewness|kurtosis, got {stat!r}")
+            self.shape_checks.append(ShapeBoundCheck(
+                name=raw.get("name", f"shape_bound:{raw['column']}@{stat}"),
+                column=raw["column"], stat=stat,
+                lo=float(raw.get("min", float("-inf"))),
+                hi=float(raw.get("max", float("inf"))),
+                severity=raw.get("severity", "error")))
         elif kind == "schema":
             self.schema_checks.append(SchemaCheck(
                 name=raw.get("name", "schema"), columns=raw["columns"],
@@ -261,4 +296,5 @@ class CheckSuite:
                 + [c.name for c in self.freshness_checks]
                 + [c.name for c in self.group_stats_checks]
                 + [c.name for c in self.quantile_checks]
-                + [c.name for c in self.distinct_checks])
+                + [c.name for c in self.distinct_checks]
+                + [c.name for c in self.shape_checks])

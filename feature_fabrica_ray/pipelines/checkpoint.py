@@ -38,6 +38,7 @@ from .validate import (ValidationResult, drift_metric_from_state,
                        merge_freshness_states, merge_group_stats_states,
                        distinct_verdict_from_state, merge_distinct_states,
                        merge_quantile_states, merge_sketch_states,
+                       merge_shape_states, shape_verdict_from_state,
                        quantile_verdict_from_state, run_suite,
                        stats_row_from_state)
 
@@ -73,7 +74,8 @@ def _suite_severities(suite: CheckSuite) -> dict[str, str]:
               + getattr(suite, "freshness_checks", [])
               + getattr(suite, "group_stats_checks", [])
               + getattr(suite, "quantile_checks", [])
-              + getattr(suite, "distinct_checks", [])):
+              + getattr(suite, "distinct_checks", [])
+              + getattr(suite, "shape_checks", [])):
         sev[c.name] = getattr(c, "severity", "error")
     return sev
 
@@ -219,6 +221,11 @@ def _run_one_shard(shard_id: str, build: Callable, suite: CheckSuite,
         # shards, the merger recomputes from the MERGED sketch
         "distinct_bound": {name: _encode_state(st)
                            for name, st in res.distinct_state.items()},
+        # mergeable Pébay M3/M4 moments + bounds: skewness/kurtosis do
+        # NOT average across shards, the merger recomputes from the
+        # MERGED moments
+        "shape_bound": {name: _encode_state(st)
+                        for name, st in res.shape_state.items()},
     }
     tmp = os.path.join(sdir, "lineage.json.tmp")
     with open(tmp, "w") as f:
@@ -242,6 +249,7 @@ def merge_results(out_dir: str) -> ValidationResult:
     gstats_parts: dict[str, list] = {}
     quantile_parts: dict[str, list] = {}
     distinct_parts: dict[str, list] = {}
+    shape_parts: dict[str, list] = {}
     thresholds: dict[str, float] = {}
     severities: dict[str, str] = {}
     n_rows = 0
@@ -275,6 +283,8 @@ def merge_results(out_dir: str) -> ValidationResult:
             quantile_parts.setdefault(name, []).append(_decode_state(st))
         for name, st in lin.get("distinct_bound", {}).items():
             distinct_parts.setdefault(name, []).append(_decode_state(st))
+        for name, st in lin.get("shape_bound", {}).items():
+            shape_parts.setdefault(name, []).append(_decode_state(st))
 
     if not verdict_parts:
         empty = pd.DataFrame(columns=["check", "pid", "n_rows", "n_violations",
@@ -336,6 +346,16 @@ def merge_results(out_dir: str) -> ValidationResult:
                    for name, parts in distinct_parts.items()}
     for name, st in merged_dist.items():
         v = distinct_verdict_from_state(st)
+        sel = merged["check"] == name
+        merged.loc[sel, "metric"] = v["value"]
+        merged.loc[sel, "passed"] = v["passed"]
+    # shape_bound verdicts: recompute skewness/kurtosis from the MERGED
+    # Pébay moments (per-shard statistics do not average; n_violations=0
+    # like drift, the metric carries the statistic)
+    merged_shape = {name: merge_shape_states(parts)
+                    for name, parts in shape_parts.items()}
+    for name, st in merged_shape.items():
+        v = shape_verdict_from_state(st)
         sel = merged["check"] == name
         merged.loc[sel, "metric"] = v["value"]
         merged.loc[sel, "passed"] = v["passed"]

@@ -34,7 +34,8 @@ import pyarrow.compute as pc
 
 from ..checks.row_checks import MembershipCheck, RowCheck
 from ..checks.suite import CheckSuite, DriftCheck, StatsCheck
-from ..state import (HLL, CategoricalFreq, Moments, NumericHistogram, TDigest,
+from ..state import (HLL, CategoricalFreq, HigherMoments, Moments,
+                     NumericHistogram, TDigest,
                      hash64, ks_from_counts, psi_categorical, psi_from_counts)
 from .uniqueness import uniqueness_violations
 
@@ -44,7 +45,8 @@ __all__ = ["ValidationResult", "run_suite", "compute_baseline",
            "merge_freshness_states", "freshness_verdict_from_state",
            "merge_group_stats_states", "group_stats_verdict_from_state",
            "merge_quantile_states", "quantile_verdict_from_state",
-           "merge_distinct_states", "distinct_verdict_from_state"]
+           "merge_distinct_states", "distinct_verdict_from_state",
+           "merge_shape_states", "shape_verdict_from_state"]
 
 _ROWS = "__rows__"
 _SCOPE_PREFIX = "__scope__:"   # per-check in-scope row counts (where:)
@@ -65,6 +67,7 @@ class ValidationResult:
     group_stats_state: dict = field(default_factory=dict)  # check -> seg (rows, nulls)
     quantile_state: dict = field(default_factory=dict)  # quantile_bound -> tdigest + bounds
     distinct_state: dict = field(default_factory=dict)  # distinct_bound -> hll + bounds
+    shape_state: dict = field(default_factory=dict)  # shape_bound -> Pébay M3/M4 + bounds
 
     @property
     def passed(self) -> bool:
@@ -193,6 +196,9 @@ class _ValidatorStage:
                 sketches["moments"] = json.dumps(m.to_dict()).encode()
                 if sc.quantiles:
                     sketches["tdigest"] = TDigest.from_array(vals).to_bytes()
+                if getattr(sc, "shape", False):
+                    sketches["hmom"] = json.dumps(
+                        HigherMoments.from_array(vals).to_dict()).encode()
             else:
                 m = Moments(count=n - col.null_count, null_count=col.null_count)
                 sketches["moments"] = json.dumps(m.to_dict()).encode()
@@ -299,6 +305,27 @@ def merge_distinct_states(states: list[dict]) -> dict:
     """Associatively merge per-shard distinct_bound states."""
     out = dict(states[0])
     out["hll"] = HLL.merge_bytes([s["hll"] for s in states]).to_bytes()
+    return out
+
+
+def shape_verdict_from_state(state: dict) -> dict:
+    """Verdict for one shape_bound check from (merged) Pébay M3/M4
+    state — shared by the one-shot runner and the checkpoint shard
+    merger, so merged shards get the statistic recomputed from the
+    MERGED moments (per-shard skewness/kurtosis do NOT average)."""
+    hm = HigherMoments.from_dict(state["hmom"])
+    val = hm.skewness if state["stat"] == "skewness" else hm.kurtosis
+    ok = (not np.isnan(val)) and state["lo"] <= val <= state["hi"]
+    return {"value": float(val), "passed": bool(ok)}
+
+
+def merge_shape_states(states: list[dict]) -> dict:
+    """Associatively merge per-shard shape_bound states."""
+    out = dict(states[0])
+    hm = HigherMoments()
+    for s in states:
+        hm = hm.merge(HigherMoments.from_dict(s["hmom"]))
+    out["hmom"] = hm.to_dict()
     return out
 
 
@@ -542,6 +569,12 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
             raise ValueError(
                 f"quantile_bound check {qc.name}: column {qc.column!r} has "
                 f"non-numeric type {t} — quantiles need a numeric column")
+    for sc_ in getattr(suite, "shape_checks", []):
+        t = have.get(sc_.column)
+        if t is not None and not t.startswith(_NUMERIC_PREFIXES):
+            raise ValueError(
+                f"shape_bound check {sc_.name}: column {sc_.column!r} has "
+                f"non-numeric type {t} — skewness/kurtosis need a numeric column")
 
     # prune to the columns the suite actually touches (schema checks saw
     # the full schema above): unneeded wide columns never leave the read
@@ -556,6 +589,7 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     needed |= {c.column for c in suite.stats_checks}
     needed |= {c.column for c in getattr(suite, "quantile_checks", [])}
     needed |= {c.column for c in getattr(suite, "distinct_checks", [])}
+    needed |= {c.column for c in getattr(suite, "shape_checks", [])}
     needed |= {c.column for c in suite.drift_checks}
     for uc in suite.unique_checks:
         needed |= set(uc.columns)
@@ -610,7 +644,9 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
         for qc in getattr(suite, "quantile_checks", [])] + [
         StatsCheck(name=dc.name, column=dc.column, distinct=True,
                    numeric=False)
-        for dc in getattr(suite, "distinct_checks", [])]
+        for dc in getattr(suite, "distinct_checks", [])] + [
+        StatsCheck(name=sh.name, column=sh.column, shape=True)
+        for sh in getattr(suite, "shape_checks", [])]
     stage = _ValidatorStage(row_checks, stage_stats, suite.drift_checks,
                             partition_col, num_partitions, key_columns)
     out = ds.map_batches(stage, batch_format="pyarrow", batch_size=None).materialize()
@@ -702,6 +738,21 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
         distinct_state[dc.name] = dstate
         v = distinct_verdict_from_state(dstate)
         verdict_rows.append((dc.name, -1, n_rows_total, 0, 0.0,
+                             v["value"], v["passed"]))
+
+    # shape_bound assembly — one merged Pébay M3/M4 state per check;
+    # the verdict's metric column carries the statistic
+    shape_state: dict[str, dict] = {}
+    for sh in getattr(suite, "shape_checks", []):
+        sel = sketches[sketches["check"] == sh.name]
+        hm = HigherMoments()
+        for b in sel[sel["sketch_kind"] == "hmom"]["payload"]:
+            hm = hm.merge(HigherMoments.from_dict(json.loads(bytes(b))))
+        sstate = {"column": sh.column, "stat": sh.stat, "lo": sh.lo,
+                  "hi": sh.hi, "hmom": hm.to_dict()}
+        shape_state[sh.name] = sstate
+        v = shape_verdict_from_state(sstate)
+        verdict_rows.append((sh.name, -1, n_rows_total, 0, 0.0,
                              v["value"], v["passed"]))
 
     # drift assembly — merged drift STATE is kept (ValidationResult.
@@ -843,6 +894,7 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
                             group_stats_state=group_stats_state,
                             quantile_state=quantile_state,
                             distinct_state=distinct_state,
+                            shape_state=shape_state,
                             pid_rows={int(p): int(n)
                                       for p, n in rows_per_pid.items()},
                             baselines={dc.name: dc.baseline for dc in suite.drift_checks})

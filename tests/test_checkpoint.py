@@ -316,3 +316,43 @@ checks:
     assert bool(g.loc["repo_card", "passed"])
     # and the estimate is the true cardinality, not the per-shard sum
     assert g.loc["repo_card", "metric"] < 60
+
+def test_merge_shape_bound_from_merged_moments(ray_session, out_dir):
+    """Sharded shape_bound verdicts must come from the MERGED Pébay
+    moments: shard 1 holds the small half and shard 2 the large half,
+    so each shard's own skewness is near zero while the global
+    distribution is strongly skewed — the merged verdict must equal the
+    unsharded run's statistic EXACTLY (the merge is algebraic, not an
+    estimate) and reproduce its pass/fail."""
+    suite_yaml = """
+checks:
+  - {type: shape_bound, column: size_bytes, stat: skewness, max: 0.2, name: skew_cap}
+  - {type: shape_bound, column: size_bytes, stat: kurtosis, min: -10, name: kurt_floor}
+"""
+
+    def make_shard(k):
+        def build():
+            def f(b):
+                sz = pc.utf8_length(b.column("content")).cast(pa.int64())
+                b = b.append_column("size_bytes", sz)
+                med = 40
+                keep = pc.less(sz, med) if k == 0 else pc.greater_equal(sz, med)
+                return b.filter(keep)
+            return read_codetable(SF).map_batches(f, batch_format="pyarrow",
+                                                  batch_size=None)
+        return build
+
+    shards = {f"{k}": make_shard(k) for k in range(2)}
+    merged = validate_resumable(shards, CheckSuite(suite_yaml), out_dir,
+                                num_partitions=8)["result"]
+    full_ds = read_codetable(SF).map_batches(
+        lambda b: b.append_column(
+            "size_bytes", pc.utf8_length(b.column("content")).cast(pa.int64())),
+        batch_format="pyarrow", batch_size=None)
+    full = run_suite(full_ds, CheckSuite(suite_yaml), num_partitions=8)
+    g = merged.verdicts[merged.verdicts["pid"] == -1].set_index("check")
+    gf = full.global_verdicts().set_index("check")
+    for name in ("skew_cap", "kurt_floor"):
+        assert g.loc[name, "metric"] == pytest.approx(
+            gf.loc[name, "metric"], rel=1e-9, abs=1e-9)
+        assert bool(g.loc[name, "passed"]) == bool(gf.loc[name, "passed"])
