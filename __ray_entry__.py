@@ -489,6 +489,42 @@ ORDER BY "check"
 """
 
 
+def q_vl_top_share(sf_dir: str) -> pd.DataFrame:
+    """Declarative dominance expectations (checks/suite.py::
+    TopShareBoundCheck): the most frequent value's share from the fused
+    pass's mergeable SpaceSaving sketches — no extra pass, EXACT here
+    (k=256 > the 5 distinct langs), recomputed from MERGED sketches on
+    checkpointed shards; metric value AND verdict oracle-checked."""
+    from feature_fabrica_ray.checks import CheckSuite
+    from feature_fabrica_ray.pipelines import run_suite
+
+    ds = read_codetable(sf_dir, with_sha256=False)
+    suite = CheckSuite("""
+checks:
+  - {type: top_share_bound, column: lang, max_share: 0.9, name: lang_dom_ok}
+  - {type: top_share_bound, column: lang, max_share: 0.1, name: lang_dom_tight, severity: warn}
+""")
+    g = run_suite(ds, suite).global_verdicts()
+    out = g[["check", "metric", "passed"]].copy().sort_values("check") \
+        .reset_index(drop=True)
+    out["metric"] = _round_away(out["metric"], 6)
+    return out
+
+
+_TOP_SHARE_ORACLE = CT + """
+SELECT 'lang_dom_ok' AS "check", round(s, 6) AS metric, s <= 0.9 AS passed
+FROM (SELECT max(c) * 1.0 / sum(c) AS s FROM (
+        SELECT count(*) AS c FROM codetable
+        WHERE lang IS NOT NULL GROUP BY lang))
+UNION ALL
+SELECT 'lang_dom_tight', round(s, 6), s <= 0.1
+FROM (SELECT max(c) * 1.0 / sum(c) AS s FROM (
+        SELECT count(*) AS c FROM codetable
+        WHERE lang IS NOT NULL GROUP BY lang))
+ORDER BY "check"
+"""
+
+
 def q_vl_distinct_bound(sf_dir: str) -> pd.DataFrame:
     """Declarative cardinality expectations (checks/suite.py::
     DistinctBoundCheck): distinct-count verdicts from the fused pass's
@@ -3349,6 +3385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_group_stats": q_vl_group_stats,
         "vl_quantile": q_vl_quantile,
         "vl_shape": q_vl_shape,
+        "vl_top_share": q_vl_top_share,
         "vl_distinct_bound": q_vl_distinct_bound,
         "ft_math_chain": q_ft_math_chain,
         "ft_fitted_global": q_ft_fitted_global,
@@ -3461,6 +3498,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_group_stats": _GROUP_STATS_ORACLE,
         "vl_quantile": _QUANTILE_ORACLE,
         "vl_shape": _SHAPE_BOUND_ORACLE,
+        "vl_top_share": _TOP_SHARE_ORACLE,
         "vl_distinct_bound": _DISTINCT_BOUND_ORACLE,
         "vl_content_sha256": _SHA_ORACLE,
         "vl_distinct_repo": _DISTINCT_ORACLE,

@@ -21,6 +21,7 @@ Example spec::
       - {type: quantile_bound, column: size_bytes, q: 0.95, max: 4096}
       - {type: distinct_bound, column: lang, min: 2, max: 50}
       - {type: shape_bound, column: size_bytes, stat: skewness, max: 5.0}
+      - {type: top_share_bound, column: lang, max_share: 0.9}
       - {type: drift, column: size_bytes, method: psi, threshold: 0.2}
       - {type: schema, columns: {repo: string, lang: string}}
 """
@@ -36,7 +37,8 @@ from .row_checks import (_ROW_CHECKS, CheckSpecError, RowCheck,
 
 __all__ = ["CheckSuite", "UniqueCheck", "ReferentialCheck", "StatsCheck",
            "DriftCheck", "SchemaCheck", "FreshnessCheck", "GroupStatsCheck",
-           "QuantileBoundCheck", "DistinctBoundCheck", "ShapeBoundCheck"]
+           "QuantileBoundCheck", "DistinctBoundCheck", "ShapeBoundCheck",
+           "TopShareBoundCheck"]
 
 
 @dataclass
@@ -67,6 +69,8 @@ class StatsCheck:
     distinct: bool = False
     numeric: bool = True  # False -> categorical (distinct/freq only)
     shape: bool = False   # also sketch M3/M4 (skewness/kurtosis)
+    top_share: bool = False  # also sketch SpaceSaving heavy hitters
+    ss_k: int = 256          # SpaceSaving counter budget
     kind: str = "stats"
 
 
@@ -169,6 +173,24 @@ class ShapeBoundCheck:
 
 
 @dataclass
+class TopShareBoundCheck:
+    """Dominance / imbalance expectation: the share of the single most
+    frequent non-null value of ``column`` must not exceed ``max_share``
+    (e.g. "no one language is >90% of the corpus"). Estimated from the
+    fused pass's mergeable SpaceSaving sketches (state/spacesaving.py)
+    — exact when the sketch's k exceeds the column's distinct count,
+    otherwise the estimate only ever OVERCOUNTS (so a pass is
+    trustworthy; set max_share with margin for a borderline fail).
+    ``metric`` carries the estimated top share."""
+    name: str
+    column: str
+    max_share: float = 1.0
+    k: int = 256
+    kind: str = "top_share_bound"
+    severity: str = "error"
+
+
+@dataclass
 class SchemaCheck:
     name: str
     columns: dict[str, str]        # name -> arrow type name (prefix match)
@@ -194,6 +216,7 @@ class CheckSuite:
         self.quantile_checks: list[QuantileBoundCheck] = []
         self.distinct_checks: list[DistinctBoundCheck] = []
         self.shape_checks: list[ShapeBoundCheck] = []
+        self.top_share_checks: list[TopShareBoundCheck] = []
         for raw in spec:
             self._add(dict(raw))
 
@@ -278,6 +301,18 @@ class CheckSuite:
                 lo=float(raw.get("min", float("-inf"))),
                 hi=float(raw.get("max", float("inf"))),
                 severity=raw.get("severity", "error")))
+        elif kind == "top_share_bound":
+            if "max_share" not in raw:
+                raise CheckSpecError("top_share_bound needs max_share:")
+            ms = float(raw["max_share"])
+            if not 0.0 < ms <= 1.0:
+                raise CheckSpecError(
+                    f"top_share_bound max_share must be in (0,1], got {ms}")
+            self.top_share_checks.append(TopShareBoundCheck(
+                name=raw.get("name", f"top_share_bound:{raw['column']}"),
+                column=raw["column"], max_share=ms,
+                k=int(raw.get("k", 256)),
+                severity=raw.get("severity", "error")))
         elif kind == "schema":
             self.schema_checks.append(SchemaCheck(
                 name=raw.get("name", "schema"), columns=raw["columns"],
@@ -297,4 +332,5 @@ class CheckSuite:
                 + [c.name for c in self.group_stats_checks]
                 + [c.name for c in self.quantile_checks]
                 + [c.name for c in self.distinct_checks]
-                + [c.name for c in self.shape_checks])
+                + [c.name for c in self.shape_checks]
+                + [c.name for c in self.top_share_checks])

@@ -39,6 +39,7 @@ from .validate import (ValidationResult, drift_metric_from_state,
                        distinct_verdict_from_state, merge_distinct_states,
                        merge_quantile_states, merge_sketch_states,
                        merge_shape_states, shape_verdict_from_state,
+                       merge_top_share_states, top_share_verdict_from_state,
                        quantile_verdict_from_state, run_suite,
                        stats_row_from_state)
 
@@ -53,7 +54,7 @@ def _encode_state(state: dict) -> dict:
 def _decode_state(state: dict) -> dict:
     import base64
 
-    return {k: (base64.b64decode(v) if k in ("hll", "tdigest") else v)
+    return {k: (base64.b64decode(v) if k in ("hll", "tdigest", "ss") else v)
             for k, v in state.items()}
 
 def _suite_thresholds(suite: CheckSuite) -> dict[str, float]:
@@ -75,7 +76,8 @@ def _suite_severities(suite: CheckSuite) -> dict[str, str]:
               + getattr(suite, "group_stats_checks", [])
               + getattr(suite, "quantile_checks", [])
               + getattr(suite, "distinct_checks", [])
-              + getattr(suite, "shape_checks", [])):
+              + getattr(suite, "shape_checks", [])
+              + getattr(suite, "top_share_checks", [])):
         sev[c.name] = getattr(c, "severity", "error")
     return sev
 
@@ -226,6 +228,10 @@ def _run_one_shard(shard_id: str, build: Callable, suite: CheckSuite,
         # MERGED moments
         "shape_bound": {name: _encode_state(st)
                         for name, st in res.shape_state.items()},
+        # mergeable SpaceSaving sketches + counts: the top value of the
+        # union needs the MERGED sketch, per-shard shares never combine
+        "top_share": {name: _encode_state(st)
+                      for name, st in res.top_share_state.items()},
     }
     tmp = os.path.join(sdir, "lineage.json.tmp")
     with open(tmp, "w") as f:
@@ -250,6 +256,7 @@ def merge_results(out_dir: str) -> ValidationResult:
     quantile_parts: dict[str, list] = {}
     distinct_parts: dict[str, list] = {}
     shape_parts: dict[str, list] = {}
+    top_share_parts: dict[str, list] = {}
     thresholds: dict[str, float] = {}
     severities: dict[str, str] = {}
     n_rows = 0
@@ -285,6 +292,8 @@ def merge_results(out_dir: str) -> ValidationResult:
             distinct_parts.setdefault(name, []).append(_decode_state(st))
         for name, st in lin.get("shape_bound", {}).items():
             shape_parts.setdefault(name, []).append(_decode_state(st))
+        for name, st in lin.get("top_share", {}).items():
+            top_share_parts.setdefault(name, []).append(_decode_state(st))
 
     if not verdict_parts:
         empty = pd.DataFrame(columns=["check", "pid", "n_rows", "n_violations",
@@ -356,6 +365,15 @@ def merge_results(out_dir: str) -> ValidationResult:
                     for name, parts in shape_parts.items()}
     for name, st in merged_shape.items():
         v = shape_verdict_from_state(st)
+        sel = merged["check"] == name
+        merged.loc[sel, "metric"] = v["value"]
+        merged.loc[sel, "passed"] = v["passed"]
+    # top_share verdicts: recompute the top share from the MERGED
+    # SpaceSaving sketch + merged counts
+    merged_ts = {name: merge_top_share_states(parts)
+                 for name, parts in top_share_parts.items()}
+    for name, st in merged_ts.items():
+        v = top_share_verdict_from_state(st)
         sel = merged["check"] == name
         merged.loc[sel, "metric"] = v["value"]
         merged.loc[sel, "passed"] = v["passed"]

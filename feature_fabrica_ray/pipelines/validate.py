@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 from ..checks.row_checks import MembershipCheck, RowCheck
 from ..checks.suite import CheckSuite, DriftCheck, StatsCheck
 from ..state import (HLL, CategoricalFreq, HigherMoments, Moments,
-                     NumericHistogram, TDigest,
+                     NumericHistogram, SpaceSaving, TDigest,
                      hash64, ks_from_counts, psi_categorical, psi_from_counts)
 from .uniqueness import uniqueness_violations
 
@@ -46,7 +46,8 @@ __all__ = ["ValidationResult", "run_suite", "compute_baseline",
            "merge_group_stats_states", "group_stats_verdict_from_state",
            "merge_quantile_states", "quantile_verdict_from_state",
            "merge_distinct_states", "distinct_verdict_from_state",
-           "merge_shape_states", "shape_verdict_from_state"]
+           "merge_shape_states", "shape_verdict_from_state",
+           "merge_top_share_states", "top_share_verdict_from_state"]
 
 _ROWS = "__rows__"
 _SCOPE_PREFIX = "__scope__:"   # per-check in-scope row counts (where:)
@@ -68,6 +69,7 @@ class ValidationResult:
     quantile_state: dict = field(default_factory=dict)  # quantile_bound -> tdigest + bounds
     distinct_state: dict = field(default_factory=dict)  # distinct_bound -> hll + bounds
     shape_state: dict = field(default_factory=dict)  # shape_bound -> Pébay M3/M4 + bounds
+    top_share_state: dict = field(default_factory=dict)  # top_share_bound -> SpaceSaving + n
 
     @property
     def passed(self) -> bool:
@@ -204,6 +206,12 @@ class _ValidatorStage:
                 sketches["moments"] = json.dumps(m.to_dict()).encode()
             if sc.distinct:
                 sketches["hll"] = HLL().add_column(col).to_bytes()
+            if getattr(sc, "top_share", False):
+                vc = pc.value_counts(col.drop_null().combine_chunks())
+                ss = SpaceSaving(getattr(sc, "ss_k", 256)).add_counts(
+                    [str(v) for v in vc.field("values").to_pylist()],
+                    vc.field("counts").to_pylist())
+                sketches["ssketch"] = ss.to_bytes()
             for kind, payload in sketches.items():
                 out_tables.append(self._records(
                     record_type="sketch", pid=[-1], check=[sc.name],
@@ -326,6 +334,30 @@ def merge_shape_states(states: list[dict]) -> dict:
     for s in states:
         hm = hm.merge(HigherMoments.from_dict(s["hmom"]))
     out["hmom"] = hm.to_dict()
+    return out
+
+
+def top_share_verdict_from_state(state: dict) -> dict:
+    """Verdict for one top_share_bound check from (merged) SpaceSaving
+    state + merged non-null count — shared by the one-shot runner and
+    the checkpoint shard merger (per-shard shares do NOT combine: the
+    top value of the union needs the merged sketch)."""
+    ss = SpaceSaving.from_bytes(state["ss"])
+    n = int(state["n"])
+    top = ss.top(1)
+    share = (top[0][1] / n) if (top and n) else 0.0
+    return {"value": float(share),
+            "passed": bool(share <= state["max_share"])}
+
+
+def merge_top_share_states(states: list[dict]) -> dict:
+    """Associatively merge per-shard top_share_bound states."""
+    out = dict(states[0])
+    ss = SpaceSaving.from_bytes(states[0]["ss"])
+    for s in states[1:]:
+        ss.merge(SpaceSaving.from_bytes(s["ss"]))
+    out["ss"] = ss.to_bytes()
+    out["n"] = int(sum(s["n"] for s in states))
     return out
 
 
@@ -590,6 +622,7 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     needed |= {c.column for c in getattr(suite, "quantile_checks", [])}
     needed |= {c.column for c in getattr(suite, "distinct_checks", [])}
     needed |= {c.column for c in getattr(suite, "shape_checks", [])}
+    needed |= {c.column for c in getattr(suite, "top_share_checks", [])}
     needed |= {c.column for c in suite.drift_checks}
     for uc in suite.unique_checks:
         needed |= set(uc.columns)
@@ -646,7 +679,10 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
                    numeric=False)
         for dc in getattr(suite, "distinct_checks", [])] + [
         StatsCheck(name=sh.name, column=sh.column, shape=True)
-        for sh in getattr(suite, "shape_checks", [])]
+        for sh in getattr(suite, "shape_checks", [])] + [
+        StatsCheck(name=tc.name, column=tc.column, numeric=False,
+                   top_share=True, ss_k=tc.k)
+        for tc in getattr(suite, "top_share_checks", [])]
     stage = _ValidatorStage(row_checks, stage_stats, suite.drift_checks,
                             partition_col, num_partitions, key_columns)
     out = ds.map_batches(stage, batch_format="pyarrow", batch_size=None).materialize()
@@ -753,6 +789,24 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
         shape_state[sh.name] = sstate
         v = shape_verdict_from_state(sstate)
         verdict_rows.append((sh.name, -1, n_rows_total, 0, 0.0,
+                             v["value"], v["passed"]))
+
+    # top_share_bound assembly — one merged SpaceSaving sketch + the
+    # merged non-null count per check; metric carries the top share
+    top_share_state: dict[str, dict] = {}
+    for tc in getattr(suite, "top_share_checks", []):
+        sel = sketches[sketches["check"] == tc.name]
+        ss = SpaceSaving(tc.k)
+        for b in sel[sel["sketch_kind"] == "ssketch"]["payload"]:
+            ss.merge(SpaceSaving.from_bytes(bytes(b)))
+        mm = Moments()
+        for b in sel[sel["sketch_kind"] == "moments"]["payload"]:
+            mm = mm.merge(Moments.from_dict(json.loads(bytes(b))))
+        tstate = {"column": tc.column, "max_share": tc.max_share,
+                  "ss": ss.to_bytes(), "n": int(mm.count)}
+        top_share_state[tc.name] = tstate
+        v = top_share_verdict_from_state(tstate)
+        verdict_rows.append((tc.name, -1, n_rows_total, 0, 0.0,
                              v["value"], v["passed"]))
 
     # drift assembly — merged drift STATE is kept (ValidationResult.
@@ -895,6 +949,7 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
                             quantile_state=quantile_state,
                             distinct_state=distinct_state,
                             shape_state=shape_state,
+                            top_share_state=top_share_state,
                             pid_rows={int(p): int(n)
                                       for p, n in rows_per_pid.items()},
                             baselines={dc.name: dc.baseline for dc in suite.drift_checks})

@@ -356,3 +356,36 @@ checks:
         assert g.loc[name, "metric"] == pytest.approx(
             gf.loc[name, "metric"], rel=1e-9, abs=1e-9)
         assert bool(g.loc[name, "passed"]) == bool(gf.loc[name, "passed"])
+
+def test_merge_top_share_from_merged_sketch(ray_session, out_dir):
+    """Sharded top_share_bound verdicts must come from the MERGED
+    SpaceSaving sketch + merged counts: each shard is dominated by a
+    different lang (share 1.0 locally), while the union is balanced —
+    the merged verdict must equal the unsharded run's share exactly
+    (k > distinct -> exact sketch)."""
+    suite_yaml = """
+checks:
+  - {type: top_share_bound, column: lang, max_share: 0.8, name: lang_dom}
+"""
+
+    def make_shard(k):
+        def build():
+            def f(b):
+                keep = pc.equal(b.column("lang"), "en") if k == 0 \
+                    else pc.invert(pc.equal(b.column("lang"), "en"))
+                return b.filter(pc.fill_null(keep, k != 0))
+            return read_codetable(SF).map_batches(f, batch_format="pyarrow",
+                                                  batch_size=None)
+        return build
+
+    shards = {f"{k}": make_shard(k) for k in range(2)}
+    merged = validate_resumable(shards, CheckSuite(suite_yaml), out_dir,
+                                num_partitions=8)["result"]
+    full = run_suite(read_codetable(SF), CheckSuite(suite_yaml),
+                     num_partitions=8)
+    g = merged.verdicts[merged.verdicts["pid"] == -1].set_index("check")
+    gf = full.global_verdicts().set_index("check")
+    assert g.loc["lang_dom", "metric"] == pytest.approx(
+        gf.loc["lang_dom", "metric"], abs=1e-12)
+    assert bool(g.loc["lang_dom", "passed"]) == \
+        bool(gf.loc["lang_dom", "passed"])
