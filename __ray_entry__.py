@@ -525,6 +525,31 @@ ORDER BY "check"
 """
 
 
+def q_vl_infer(sf_dir: str) -> pd.DataFrame:
+    """Suite inference (the baseline-then-validate profiler workflow):
+    profile the table once, GENERATE a check spec with slack margins
+    (schema / null-rate caps / numeric range + quantile bands /
+    distinct bounds), then run the generated suite back over the same
+    table — every inferred expectation must pass. Rows-only (the spec
+    is generated, not declared); pytest proves cross-scale transfer
+    and planted-shift detection."""
+    from feature_fabrica_ray.checks import CheckSuite
+    from feature_fabrica_ray.pipelines import infer_checks, run_suite
+
+    def with_size(d):
+        return read_codetable(d, with_sha256=False).map_batches(
+            lambda b: b.append_column(
+                "size_bytes",
+                pc.utf8_length(b.column("content")).cast(pa.int64())),
+            batch_format="pyarrow", batch_size=None)
+
+    spec = infer_checks(with_size(sf_dir), partition_col="repo")
+    g = run_suite(with_size(sf_dir), CheckSuite(spec),
+                  partition_col="repo").global_verdicts()
+    return g[["check", "passed"]].sort_values("check") \
+        .reset_index(drop=True)
+
+
 def q_vl_distinct_bound(sf_dir: str) -> pd.DataFrame:
     """Declarative cardinality expectations (checks/suite.py::
     DistinctBoundCheck): distinct-count verdicts from the fused pass's
@@ -3386,6 +3411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_quantile": q_vl_quantile,
         "vl_shape": q_vl_shape,
         "vl_top_share": q_vl_top_share,
+        "vl_infer": q_vl_infer,
         "vl_distinct_bound": q_vl_distinct_bound,
         "ft_math_chain": q_ft_math_chain,
         "ft_fitted_global": q_ft_fitted_global,

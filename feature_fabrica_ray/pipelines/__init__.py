@@ -50,7 +50,7 @@ from .topk import approx_heavy_hitters, topk_per_group
 from .uniqueness import uniqueness_violations, uniqueness_violations_ds
 from .writer import write_validated
 from .validate import (ValidationResult, bind_baselines, compute_baseline,
-                       profile_table, run_suite, segment_drift)
+                       infer_checks, profile_table, run_suite, segment_drift)
 
 __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines",
            "uniqueness_violations", "uniqueness_violations_ds",
@@ -85,4 +85,4 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "bloom_filtered_join", "approx_heavy_hitters",
            "string_agg_per_group", "first_last_value", "grouped_shape",
            "entropy_per_group", "curate_corpus",
-           "extract_json_str", "percent_rank_window"]
+           "extract_json_str", "percent_rank_window", "infer_checks"]

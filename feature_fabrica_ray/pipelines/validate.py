@@ -47,7 +47,8 @@ __all__ = ["ValidationResult", "run_suite", "compute_baseline",
            "merge_quantile_states", "quantile_verdict_from_state",
            "merge_distinct_states", "distinct_verdict_from_state",
            "merge_shape_states", "shape_verdict_from_state",
-           "merge_top_share_states", "top_share_verdict_from_state"]
+           "merge_top_share_states", "top_share_verdict_from_state",
+           "infer_checks"]
 
 _ROWS = "__rows__"
 _SCOPE_PREFIX = "__scope__:"   # per-check in-scope row counts (where:)
@@ -1055,6 +1056,66 @@ def profile_table(ds, *, columns: list[str] | None = None,
     res = run_suite(ds, suite, num_partitions=num_partitions,
                     partition_col=pcol, key_columns=[pcol])
     return res.stats
+
+
+def infer_checks(ds, *, quantiles: tuple[float, ...] = (0.5, 0.95),
+                 null_slack: float = 2.0, range_slack: float = 0.05,
+                 distinct_slack: float = 2.0,
+                 num_partitions: int = 64,
+                 partition_col: str | None = None) -> list[dict]:
+    """Profile ``ds`` once and GENERATE a check spec that passes on data
+    distributed like it, with explicit slack margins (the
+    Great-Expectations-profiler workflow: baseline a healthy snapshot,
+    validate future loads against it). Returns a plain list-of-dicts
+    spec — inspect/edit it, then ``CheckSuite(spec)``.
+
+    Generated per column: a schema type expectation; a null-rate cap at
+    ``null_slack`` x the observed rate (plain ``not_null`` when the
+    profile saw zero nulls); for numerics a ``range`` check widened by
+    ``range_slack`` x the observed span and ``quantile_bound`` bands at
+    each requested quantile; for every column a ``distinct_bound`` at
+    [1, ceil(distinct_est x distinct_slack)] (HLL error + growth
+    margin). One fused profiling pass — the same machinery as
+    ``profile_table``."""
+    sch = ds.schema()
+    types = dict(zip(sch.names, [str(t) for t in sch.types]))
+    prof = profile_table(ds, quantiles=list(quantiles),
+                         num_partitions=num_partitions,
+                         partition_col=partition_col)
+    spec: list[dict] = [{
+        "type": "schema", "name": "inferred:schema",
+        "columns": {c: t for c, t in types.items()}}]
+    for row in prof.to_dict("records"):     # itertuples mangles "q0.5"
+        c = row["column"]
+        if row["null_rate"] == 0.0:
+            spec.append({"type": "not_null", "column": c,
+                         "name": f"inferred:not_null:{c}"})
+        else:
+            spec.append({"type": "not_null", "column": c,
+                         "name": f"inferred:null_rate:{c}",
+                         "max_violation_rate":
+                             min(1.0, float(row["null_rate"]) * null_slack)})
+        if not np.isnan(row["mean"]):         # numeric column
+            span = float(row["max"] - row["min"])                 or abs(float(row["max"])) or 1.0
+            pad = span * range_slack
+            spec.append({"type": "range", "column": c,
+                         "name": f"inferred:range:{c}",
+                         "min": float(row["min"]) - pad,
+                         "max": float(row["max"]) + pad})
+            for q in quantiles:
+                obs = float(row[f"q{q}"])
+                spec.append({"type": "quantile_bound", "column": c,
+                             "q": float(q),
+                             "name": f"inferred:q{q}:{c}",
+                             "min": obs - span * 0.5,
+                             "max": obs + span * 0.5})
+        d = float(row.get("distinct_est", float("nan")))
+        if not np.isnan(d):
+            spec.append({"type": "distinct_bound", "column": c,
+                         "name": f"inferred:distinct:{c}",
+                         "min": 1,
+                         "max": int(np.ceil(d * distinct_slack))})
+    return spec
 
 
 def segment_drift(ds, group_col: str, col: str, baseline_ds, *,

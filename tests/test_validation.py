@@ -918,3 +918,43 @@ def test_approx_group_quantiles(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), out2.reset_index(drop=True),
         check_exact=False, rtol=0.02)
+
+
+def test_infer_checks_cross_scale(ray_session):
+    """The profiler-generated suite passes on a LARGER sample of the
+    same distribution (the baseline-then-validate workflow) incl. the
+    numeric range/quantile bands, and a planted distribution shift
+    fails exactly the expectations it violates."""
+    from feature_fabrica_ray.pipelines import infer_checks, run_suite
+
+    def with_size(sf):
+        return read_codetable(sf, with_sha256=False).map_batches(
+            lambda b: b.append_column(
+                "size_bytes",
+                pc.utf8_length(b.column("content")).cast(pa.int64())),
+            batch_format="pyarrow", batch_size=None)
+
+    spec = infer_checks(with_size("/root/testdata/sf0.001"),
+                        partition_col="repo")
+    kinds = {d["type"] for d in spec}
+    assert {"schema", "not_null", "distinct_bound", "range",
+            "quantile_bound"} <= kinds
+
+    res = run_suite(with_size("/root/testdata/sf0.01"), CheckSuite(spec),
+                    partition_col="repo")
+    g = res.global_verdicts()
+    assert g["passed"].all(), g[~g["passed"]]["check"].tolist()
+
+    # planted shift: inflate size_bytes 100x -> range + quantile bands
+    # on size_bytes must fail, everything else still passes
+    def inflate(b):
+        return b.set_column(
+            b.column_names.index("size_bytes"), "size_bytes",
+            pc.multiply(b.column("size_bytes"), pa.scalar(100, pa.int64())))
+    shifted = with_size("/root/testdata/sf0.01").map_batches(
+        inflate, batch_format="pyarrow", batch_size=None)
+    g2 = run_suite(shifted, CheckSuite(spec), partition_col="repo") \
+        .global_verdicts().set_index("check")
+    assert not bool(g2.loc["inferred:range:size_bytes", "passed"])
+    assert not bool(g2.loc["inferred:q0.95:size_bytes", "passed"])
+    assert bool(g2.loc["inferred:distinct:repo", "passed"])
