@@ -127,7 +127,8 @@ def shuffle_join(left, right, *, on, right_on=None, how: str = "inner",
 
 def bloom_filtered_join(left, right, *, on: str, right_on: str | None = None,
                         how: str = "inner", fp_rate: float = 1e-4,
-                        num_partitions: int | None = None):
+                        num_partitions: int | None = None,
+                        max_bloom_bytes: int = 64 * 1024 * 1024):
     """Bloom-pruned large x large equi-join: before the all-to-all hash
     join, LEFT rows whose key cannot exist on the right are dropped
     map-side by probing a Bloom filter of the right side's keys — the
@@ -146,7 +147,10 @@ def bloom_filtered_join(left, right, *, on: str, right_on: str | None = None,
     pre-filtering is wrong) and semi/anti need an exact membership
     structure anyway. Costs one extra pass over the right side (the
     Bloom build) — worth it when left is much bigger than right and the
-    join is selective.
+    join is selective. When the filter would exceed ``max_bloom_bytes``
+    (i.e. the right key set is too big for ANY broadcast structure),
+    the pre-filter is skipped and this degrades gracefully to the plain
+    hash join — identical result either way.
     """
     import ray
 
@@ -158,7 +162,25 @@ def bloom_filtered_join(left, right, *, on: str, right_on: str | None = None,
                          f"only inner joins can be Bloom-pruned safely")
     rkey = right_on or on
     right = right.materialize()
-    n_est = int(right.count() * 1.2) + 1024
+    n_right = right.count()
+    n_est = int(n_right * 1.2) + 1024
+
+    # OR-mergeable partials must share FULL geometry, so every partial
+    # is filter-sized: the build only pays off while the filter itself
+    # stays broadcast-sized. Beyond the cap (default 64 MB ≈ 2.2e8 keys
+    # at fp 1e-4), skip the pre-filter and run the plain hash join —
+    # never ship blocks x GB of filter bytes for a "optimization".
+    probe = BloomFilter(n_est, fp_rate)
+    if probe.m // 8 > max_bloom_bytes:
+        return left.join(right, join_type="inner", on=(on,),
+                         right_on=(rkey,),
+                         num_partitions=num_partitions
+                         or shuffle_partitions())
+    # compact so at most ~shuffle_partitions() filter-sized partials
+    # move (the right side is materialized; counts are free)
+    nparts = shuffle_partitions()
+    if right.num_blocks() > nparts:
+        right = right.repartition(min(nparts, max(n_right, 1))).materialize()
 
     def partial_bloom(batch: pa.Table) -> pa.Table:
         bf = BloomFilter(n_est, fp_rate).add(batch.column(rkey).drop_null())

@@ -572,6 +572,12 @@ def test_bloom_filtered_join_equals_shuffle(ray_session):
         bloom_filtered_join(lds, rds, on="k", right_on="k2",
                             how="left outer")
 
+    # over-cap filter -> graceful fallback to the plain hash join
+    fb = bloom_filtered_join(lds, rds, on="k", right_on="k2",
+                             max_bloom_bytes=1) \
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fb[["k", "v", "w"]], s[["k", "v", "w"]])
+
 
 def test_grouped_shape_and_entropy(ray_session):
     """Per-group skewness/kurtosis equal pandas skew()/kurt() and
