@@ -66,8 +66,21 @@ def approx_heavy_hitters(ds, col: str, k: int = 256,
                                        g.column("count_all").to_pylist())
         return pa.table({"sk": pa.array([sk.to_bytes()], pa.binary())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=None).take_all()
+    def merge_block(batch: pa.Table) -> pa.Table:
+        sk = SpaceSaving(k)
+        for b in batch.column("sk"):
+            sk.merge(SpaceSaving.from_bytes(bytes(b.as_py())))
+        return pa.table({"sk": pa.array([sk.to_bytes()], pa.binary())})
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    # pre-merge DISTRIBUTEDLY so the driver sees at most ~32 sketches,
+    # not one per block (at web scale blocks x KB is still gigabytes)
+    if parts_ds.num_blocks() > 32:
+        parts_ds = parts_ds.repartition(32) \
+            .map_batches(merge_block, batch_format="pyarrow",
+                         batch_size=None)
+    parts = parts_ds.take_all()
     merged = SpaceSaving(k)
     for r in parts:
         merged.merge(SpaceSaving.from_bytes(r["sk"]))
