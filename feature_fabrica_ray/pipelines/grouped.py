@@ -392,19 +392,34 @@ def grouped_stats(ds, group_col: str, col: str,
 
     With ``max_null_rate`` set, a boolean ``passed`` column applies the
     per-segment null-rate threshold (violation form of the check).
+
+    Non-numeric columns get the counts-only form (min/max/sum emitted
+    as NaN) — the declarative ``group_stats`` suite check only needs
+    (rows, nulls), so e.g. a per-lang null-rate check on a string
+    column works.
     """
+    numeric = True
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.select([group_col, col]).group_by([group_col]).aggregate(
-            [(col, "count"), ([], "count_all"),
-             (col, "min"), (col, "max"), (col, "sum")])
+        t = batch.column(col).type
+        if pa.types.is_integer(t) or pa.types.is_floating(t) \
+                or pa.types.is_boolean(t) or pa.types.is_decimal(t):
+            g = batch.select([group_col, col]).group_by([group_col]) \
+                .aggregate([(col, "count"), ([], "count_all"),
+                            (col, "min"), (col, "max"), (col, "sum")])
+            nmin = g.column(f"{col}_min").cast(pa.float64())
+            nmax = g.column(f"{col}_max").cast(pa.float64())
+            nsum = g.column(f"{col}_sum").cast(pa.float64())
+        else:                     # counts-only for non-numeric columns
+            g = batch.select([group_col, col]).group_by([group_col]) \
+                .aggregate([(col, "count"), ([], "count_all")])
+            nan = pa.array(np.full(g.num_rows, np.nan), pa.float64())
+            nmin = nmax = nsum = nan
         return _with_shuffle_key(pa.table({
             group_col: g.column(group_col),
             "cnt": g.column(f"{col}_count").cast(pa.int64()),
             "n_rows": g.column("count_all").cast(pa.int64()),
-            "nmin": g.column(f"{col}_min").cast(pa.float64()),
-            "nmax": g.column(f"{col}_max").cast(pa.float64()),
-            "nsum": g.column(f"{col}_sum").cast(pa.float64())}), group_col)
+            "nmin": nmin, "nmax": nmax, "nsum": nsum}), group_col)
 
     def per_key(df: pd.DataFrame) -> pd.DataFrame:
         cnt = int(df["cnt"].sum())
@@ -414,7 +429,7 @@ def grouped_stats(ds, group_col: str, col: str,
             "nulls": np.array([int(df["n_rows"].sum()) - cnt], np.int64),
             "nmin": [df["nmin"].min()],
             "nmax": [df["nmax"].max()],
-            "nsum": [df["nsum"].sum() if cnt else np.nan]})
+            "nsum": [df["nsum"].sum(min_count=1) if cnt else np.nan]})
 
     out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
            .groupby("__gkey", num_partitions=shuffle_partitions())

@@ -958,3 +958,57 @@ def test_infer_checks_cross_scale(ray_session):
     assert not bool(g2.loc["inferred:range:size_bytes", "passed"])
     assert not bool(g2.loc["inferred:q0.95:size_bytes", "passed"])
     assert bool(g2.loc["inferred:distinct:repo", "passed"])
+
+
+def test_group_stats_on_string_column(ray_session):
+    """The declarative group_stats check only needs (rows, nulls), so it
+    must work on non-numeric columns (counts-only combiner; min/max/sum
+    come back NaN). Regression: Arrow's group_by cannot SUM strings."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import grouped_stats, run_suite
+
+    df = pd.DataFrame({"g": ["a", "a", "b", "b", "b"],
+                       "s": ["x", None, "y", "z", None]})
+    out = grouped_stats(ray.data.from_pandas(df).repartition(2),
+                        "g", "s").set_index("g")
+    assert out.loc["a", "cnt"] == 1 and out.loc["a", "nulls"] == 1
+    assert out.loc["b", "cnt"] == 2 and out.loc["b", "nulls"] == 1
+    assert np.isnan(out.loc["a", "nmin"]) and np.isnan(out.loc["a", "nsum"])
+
+    suite = CheckSuite("""
+checks:
+  - {type: group_stats, column: s, group: g, max_null_rate: 0.4,
+     name: s_nulls_by_g}
+""")
+    g = run_suite(ray.data.from_pandas(df).repartition(2), suite,
+                  partition_col="g").global_verdicts().set_index("check")
+    assert not bool(g.loc["s_nulls_by_g", "passed"])   # a: 50% > 40%
+
+
+def test_example_suite_runs_end_to_end(ray_session):
+    """examples/code_validation_suite.yaml (all 12 declarative check
+    kinds incl. shape_bound / top_share_bound / string-column
+    group_stats) parses and runs over the sf0.001 codetable."""
+    from feature_fabrica_ray.pipelines import run_suite
+    from feature_fabrica_ray.sources import read_repos
+
+    with open("/root/repo/examples/code_validation_suite.yaml") as f:
+        suite = CheckSuite(f.read())
+
+    def derive(b):
+        sz = pc.utf8_length(b.column("content")).cast(pa.int64())
+        return b.append_column("size_bytes", sz) \
+                .append_column("content_len", sz)
+
+    ds = read_codetable("/root/testdata/sf0.001").map_batches(
+        derive, batch_format="pyarrow", batch_size=None)
+    res = run_suite(ds, suite,
+                    parents={"repos": read_repos("/root/testdata/sf0.001")},
+                    num_partitions=8)
+    g = res.global_verdicts().set_index("check")
+    # stats checks report rows, not verdicts
+    assert len(g) == len(suite.all_names()) - len(suite.stats_checks)
+    assert bool(g.loc["size_skew_band", "passed"])
+    assert bool(g.loc["lang_dominance", "passed"])
+    assert bool(g.loc["content_nulls_by_lang", "passed"])
