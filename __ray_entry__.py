@@ -717,6 +717,65 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem
 """
 
+_ROUNDING_SPEC = """
+l_orderkey: {description: raw order key, data_type: int64}
+l_linenumber: {description: raw line number, data_type: int64}
+l_quantity: {description: raw quantity, data_type: float64}
+l_discount: {description: raw discount, data_type: float64}
+qty_round:
+  description: half away from zero rounding of qty over 2
+  data_type: float64
+  dependencies: [l_quantity]
+  transformation: "(l_quantity).divide(denominator=2).round()"
+qty_floor:
+  description: floor of a negative-valued quotient
+  data_type: float64
+  dependencies: [l_quantity]
+  transformation: "(l_quantity).divide(denominator=-3).floor()"
+qty_ceil:
+  description: ceil of qty over 3
+  data_type: float64
+  dependencies: [l_quantity]
+  transformation: "(l_quantity).divide(denominator=3).ceil()"
+qty_trunc:
+  description: truncation toward zero of a negative quotient
+  data_type: float64
+  dependencies: [l_quantity]
+  transformation: "(l_quantity).divide(denominator=-3).trunc()"
+disc_sign:
+  description: sign of centered discount
+  data_type: float64
+  dependencies: [l_discount]
+  transformation: "(l_discount - 0.05).sign()"
+"""
+
+_ROUNDING_COLS = ["l_orderkey", "l_linenumber", "qty_round", "qty_floor",
+                  "qty_ceil", "qty_trunc", "disc_sign"]
+
+
+def q_ft_rounding(sf_dir: str):
+    """SQL rounding family (round half-away-from-zero / floor / ceil /
+    trunc / sign) as stateless pyarrow kernels in the expression language
+    (functions/math.py::RoundTransform..SignTransform). The reference's
+    math family (transform/math.py) has no rounding ops; these complete
+    it for SQL parity."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+    out = FeatureEngine(_ROUNDING_SPEC).transform(ds)
+    return _select(out, _ROUNDING_COLS)
+
+
+_ROUNDING_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(l_quantity / 2, 0) AS qty_round,
+       floor(l_quantity / -3) AS qty_floor,
+       ceil(l_quantity / 3) AS qty_ceil,
+       trunc(l_quantity / -3) AS qty_trunc,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+FROM lineitem
+"""
+
 _FITTED_SPEC = """
 l_quantity: {description: raw lineitem quantity, data_type: float64}
 l_extendedprice: {description: raw extended price, data_type: float64}
@@ -3414,6 +3473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_infer": q_vl_infer,
         "vl_distinct_bound": q_vl_distinct_bound,
         "ft_math_chain": q_ft_math_chain,
+        "ft_rounding": q_ft_rounding,
         "ft_fitted_global": q_ft_fitted_global,
         "ft_impute": q_ft_impute,
         "ft_winsorize": q_ft_winsorize,
@@ -3530,6 +3590,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_distinct_repo": _DISTINCT_ORACLE,
         # vl_stats_sketches: approximate -> rows-only check (by design)
         "ft_math_chain": _MATH_ORACLE,
+        "ft_rounding": _ROUNDING_ORACLE,
         "ft_fitted_global": _FITTED_ORACLE,
         "ft_impute": _IMPUTE_ORACLE,
         "ft_winsorize": _WINSOR_ORACLE,

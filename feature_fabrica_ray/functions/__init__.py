@@ -10,14 +10,16 @@ from .datetime import (DateTimeAdd, DateTimeDifference, DateTimeExtract,
                        DateTimeSubtract, DateTimeTrunc, ExtractDayofWeek)
 from .generic import (AsType, CoalesceReduce, FeatureImporter,
                       GreatestReduce, LeastReduce)
-from .math import (ABSTransform, ClipTransform, DivideReduce, DivideTransform,
-                   ExpTransform, ImputeTransform, KBinsDiscretize, LogTransform,
+from .math import (ABSTransform, CeilTransform, ClipTransform, DivideReduce,
+                   DivideTransform,
+                   ExpTransform, FloorTransform, ImputeTransform,
+                   KBinsDiscretize, LogTransform,
                    MaxAbsTransform, MinMaxTransform, MultiplyReduce,
                    PercentRankTransform,
-                   PowerTransform,
-                   RobustScaleTransform, ScaleFeature, SqrtTransform,
-                   SubtractReduce, SumReduce, WinsorizeTransform,
-                   ZScoreTransform)
+                   PowerTransform, RobustScaleTransform, RoundTransform,
+                   ScaleFeature, SignTransform, SqrtTransform,
+                   SubtractReduce, SumReduce, TruncTransform,
+                   WinsorizeTransform, ZScoreTransform)
 from .strings import (BinaryEncode, ConcatenateReduce, Contains, EndsWith,
                       Repeat, Reverse, SplitPart,
                       LabelEncode, OneHotEncode, OrdinalEncode, PadLeft,

@@ -17,6 +17,8 @@ from .base import ColumnRef, Transformation, TransformationError, as_arrow, as_n
 __all__ = ["ScaleFeature", "LogTransform", "ExpTransform", "SqrtTransform",
            "PowerTransform", "ABSTransform", "ClipTransform", "DivideTransform",
            "ZScoreTransform", "MinMaxTransform", "KBinsDiscretize",
+           "RoundTransform", "FloorTransform", "CeilTransform",
+           "TruncTransform", "SignTransform",
            "SumReduce", "SubtractReduce", "MultiplyReduce", "DivideReduce"]
 
 
@@ -414,6 +416,59 @@ class KBinsDiscretize(Transformation):
         edges = np.asarray(self.edges, dtype=np.float64)
         bins = np.searchsorted(edges[1:-1], x, side="right").astype(np.int32)
         return pa.array(bins, pa.int32())
+
+
+class RoundTransform(Transformation):
+    """round(x, ndigits) with SQL semantics: ties round HALF AWAY FROM
+    ZERO (DuckDB/ANSI round; pyarrow round_mode 'half_towards_infinity'),
+    not banker's rounding — pc.round's default half_to_even is overridden.
+    Extends the reference's math family (transform/math.py has no
+    rounding ops)."""
+
+    _name_ = "round"
+
+    def __init__(self, ndigits: int = 0):
+        self.ndigits = int(ndigits)
+
+    def execute(self, data):
+        return pc.round(_f64(data), ndigits=self.ndigits,
+                        round_mode="half_towards_infinity")
+
+
+class FloorTransform(Transformation):
+    """floor(x) — largest integer-valued float <= x."""
+
+    _name_ = "floor"
+
+    def execute(self, data):
+        return pc.floor(_f64(data))
+
+
+class CeilTransform(Transformation):
+    """ceil(x) — smallest integer-valued float >= x."""
+
+    _name_ = "ceil"
+
+    def execute(self, data):
+        return pc.ceil(_f64(data))
+
+
+class TruncTransform(Transformation):
+    """trunc(x) — round toward zero (SQL trunc)."""
+
+    _name_ = "trunc"
+
+    def execute(self, data):
+        return pc.trunc(_f64(data))
+
+
+class SignTransform(Transformation):
+    """sign(x) in {-1, 0, 1} as float64 (SQL sign; NaN propagates)."""
+
+    _name_ = "sign"
+
+    def execute(self, data):
+        return pc.sign(_f64(data))
 
 
 # ---------------------------------------------------------------------------

@@ -386,3 +386,23 @@ def test_split_part_reverse_repeat():
         SplitPart(",", 0)
     with pytest.raises(TransformationError):
         Repeat(-1)
+
+
+def test_rounding_family():
+    """SQL rounding semantics: round is HALF AWAY FROM ZERO (2.5 -> 3,
+    -2.5 -> -3, never banker's 2), trunc goes toward zero while floor
+    goes toward -inf on negatives, sign is -1/0/1."""
+    from feature_fabrica_ray.functions import (CeilTransform, FloorTransform,
+                                               RoundTransform, SignTransform,
+                                               TruncTransform)
+    x = pa.array([2.5, -2.5, 1.4, -1.4, 0.0])
+    assert lst(run(RoundTransform(), x)) == [3.0, -3.0, 1.0, -1.0, 0.0]
+    assert lst(run(RoundTransform(ndigits=1), pa.array([0.25, -0.25]))) == \
+        [0.3, -0.3]
+    assert lst(run(FloorTransform(), x)) == [2.0, -3.0, 1.0, -2.0, 0.0]
+    assert lst(run(CeilTransform(), x)) == [3.0, -2.0, 2.0, -1.0, 0.0]
+    assert lst(run(TruncTransform(), x)) == [2.0, -2.0, 1.0, -1.0, 0.0]
+    assert lst(run(SignTransform(), x)) == [1.0, -1.0, 1.0, -1.0, 0.0]
+    # nulls propagate; integers promote to float64
+    out = run(RoundTransform(), pa.array([None, 7], pa.int64()))
+    assert lst(out) == [None, 7.0]
