@@ -3124,6 +3124,29 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_rs_unpivot(sf_dir: str):
+    """SQL UNPIVOT (wide-to-long, the inverse of agg_pivot): three
+    measure columns melt to (measure, value) rows — a stateless
+    per-block flat-map, no shuffle (pipelines/reshape.py::unpivot)."""
+    from feature_fabrica_ray.pipelines import unpivot
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                 "l_tax"])
+    out = unpivot(ds, ["l_quantity", "l_discount", "l_tax"],
+                  name_col="measure", val_col="value")
+    return _select(out, ["l_orderkey", "l_linenumber", "measure", "value"])
+
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+           FROM lineitem)
+  ON l_quantity, l_discount, l_tax INTO NAME measure VALUE value)
+"""
+
+
 def q_agg_rollup(sf_dir: str) -> pd.DataFrame:
     """GROUP BY ROLLUP (lang, source): one finest-level combiner pass +
     one keyed shuffle; every coarser level derived from the merged
@@ -3563,6 +3586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_grouping_sets": q_agg_grouping_sets,
         "agg_cube": q_agg_cube,
         "agg_pivot": q_agg_pivot,
+        "rs_unpivot": q_rs_unpivot,
         "pr_histogram": q_pr_histogram,
         "pr_correlation": q_pr_correlation,
         "pr_lineitem": q_pr_lineitem,
@@ -3639,6 +3663,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_grouping_sets": _GROUPING_SETS_ORACLE,
         "agg_cube": _CUBE_ORACLE,
         "agg_pivot": _PIVOT_ORACLE,
+        "rs_unpivot": _UNPIVOT_ORACLE,
         "pr_histogram": _HISTOGRAM_ORACLE,
         "ta_textstats": _TEXTSTATS_ORACLE,
         "ta_quality": _QUALITY_ORACLE,

@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["explode_list"]
+__all__ = ["explode_list", "unpivot"]
 
 
 def explode_list(ds, list_col: str, pos_col: str = "pos",
@@ -49,5 +49,42 @@ def explode_list(ds, list_col: str, pos_col: str = "pos",
         rest = batch.drop_columns([list_col]).take(parent)
         return rest.append_column(pos_col, pa.array(pos, pa.int64())) \
                    .append_column(val_col, flat)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def unpivot(ds, value_cols: list[str], name_col: str = "name",
+            val_col: str = "value", drop_null: bool = True):
+    """Wide-to-long reshape (SQL UNPIVOT, the inverse of
+    ``grouped.pivot_agg``): one output row per (input row, column in
+    ``value_cols``), with ``name_col`` holding the source column's name
+    and ``val_col`` its value; all other columns repeat. NULL cells emit
+    no row by default (DuckDB UNPIVOT parity; ``drop_null=False`` keeps
+    them). Stateless per-block flat-map — no shuffle, streams at any
+    scale; output is ``len(value_cols)``x the input row count.
+
+    The measure columns are unified to a common type: float64 when all
+    are numeric, utf8 otherwise (SQL UNPIVOT requires compatible types).
+    """
+    if not value_cols:
+        raise ValueError("unpivot: value_cols must be non-empty")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        numeric = all(
+            pa.types.is_integer(batch.schema.field(c).type)
+            or pa.types.is_floating(batch.schema.field(c).type)
+            for c in value_cols)
+        common = pa.float64() if numeric else pa.string()
+        rest = batch.drop_columns(value_cols)
+        pieces = []
+        for c in value_cols:
+            vals = batch.column(c).cast(common)
+            piece = rest.append_column(
+                name_col, pa.array([c] * len(batch), pa.string())) \
+                .append_column(val_col, vals)
+            if drop_null:
+                piece = piece.filter(pc.is_valid(vals))
+            pieces.append(piece)
+        return pa.concat_tables(pieces)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -635,3 +635,34 @@ def test_percent_rank_window_and_json_str(ray_session):
     assert got["b_val"].tolist()[0] == "y"
     assert pd.isna(got["b_val"].tolist()[1])
     assert pd.isna(got["b_val"].tolist()[2])
+
+
+def test_unpivot(ray_session):
+    """SQL UNPIVOT parity: one (name, value) row per non-null measure
+    cell, other columns repeat, numeric measures unify to float64;
+    drop_null=False keeps NULL cells; stateless per-block (layout
+    invariant by construction)."""
+    import pyarrow as pa
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import unpivot
+
+    tbl = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "a": pa.array([10, None], pa.int64()),
+        "b": pa.array([1.5, 2.5], pa.float64()),
+    })
+    for blocks in (1, 2):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        out = unpivot(ds, ["a", "b"]) \
+            .to_pandas().sort_values(["id", "name"]).reset_index(drop=True)
+        assert out["id"].tolist() == [1, 1, 2]
+        assert out["name"].tolist() == ["a", "b", "b"]
+        assert out["value"].tolist() == [10.0, 1.5, 2.5]
+    kept = unpivot(ray.data.from_arrow(tbl), ["a", "b"], drop_null=False) \
+        .to_pandas()
+    assert len(kept) == 4 and kept["value"].isna().sum() == 1
+    # string measures unify to utf8
+    st = pa.table({"id": [1], "x": ["u"], "y": [None]})
+    out = unpivot(ray.data.from_arrow(st), ["x", "y"]).to_pandas()
+    assert out["name"].tolist() == ["x"] and out["value"].tolist() == ["u"]
