@@ -1887,6 +1887,66 @@ def q_jn_shuffle(sf_dir: str) -> pd.DataFrame:
     return out[["o_orderpriority", "cnt", "sum_qty"]]
 
 
+def q_jn_full(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join via Ray Data's native hash join: per-source doc
+    counts for lang='fr' vs lang='zh' (each side has sources the other
+    lacks, so both unmatched directions are exercised); Ray coalesces
+    the key column, matching SQL USING semantics."""
+    from feature_fabrica_ray.pipelines import shuffle_join
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["lang", "source"])
+
+    def side(lang: str, out_name: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.equal(batch.column("lang"), lang))
+            g = b.group_by("source").aggregate([("lang", "count")])
+            return pa.table({"source": g.column("source"),
+                             out_name: g.column("lang_count").cast(pa.int64())})
+
+        parts = docs.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None).to_pandas()
+        merged = parts.groupby("source", as_index=False)[out_name].sum()
+        merged[out_name] = merged[out_name].astype("int64")
+        import ray.data
+        return ray.data.from_pandas(merged)
+
+    out = shuffle_join(side("fr", "fr_docs"), side("zh", "zh_docs"),
+                       on="source", how="full_outer").to_pandas()
+    return out[["source", "fr_docs", "zh_docs"]]
+
+
+_JN_FULL_ORACLE = """
+SELECT source, fr_docs, zh_docs
+FROM (SELECT source, CAST(count(*) AS BIGINT) AS fr_docs
+      FROM documents WHERE lang = 'fr' GROUP BY source) l
+FULL OUTER JOIN
+     (SELECT source, CAST(count(*) AS BIGINT) AS zh_docs
+      FROM documents WHERE lang = 'zh' GROUP BY source) r
+USING (source)
+"""
+
+
+def q_jn_cross(sf_dir: str):
+    """CROSS JOIN with a broadcast dimension side: every region row
+    paired with every nation row map-side, no shuffle
+    (pipelines/join.py::broadcast_cross_join)."""
+    from feature_fabrica_ray.pipelines import broadcast_cross_join
+
+    region = read_parquet_clean(f"{sf_dir}/region.parquet",
+                                columns=["r_regionkey", "r_name"])
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet",
+                                columns=["n_nationkey", "n_name"])
+    out = broadcast_cross_join(region, nation)
+    return _select(out, ["r_regionkey", "r_name", "n_nationkey", "n_name"])
+
+
+_JN_CROSS_ORACLE = """
+SELECT r_regionkey, r_name, n_nationkey, n_name
+FROM region CROSS JOIN nation
+"""
+
+
 _EV_SLIDING_W, _EV_SLIDING_H = 3600, 900
 
 
@@ -3521,6 +3581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sm_weighted": q_sm_weighted,
         "dd_embedding": q_dd_embedding,
         "jn_shuffle": q_jn_shuffle,
+        "jn_full": q_jn_full,
+        "jn_cross": q_jn_cross,
         "jn_anti": q_jn_anti,
         "jn_semi": q_jn_semi,
         "jn_left": q_jn_left,
@@ -3639,6 +3701,8 @@ def oracle_sql() -> dict[str, str]:
         "sm_weighted": _WEIGHTED_ORACLE,
         # dd_embedding: LSH blocking -> rows-only (planted-pair pytest)
         "jn_shuffle": _JOIN_ORACLE,
+        "jn_full": _JN_FULL_ORACLE,
+        "jn_cross": _JN_CROSS_ORACLE,
         "jn_anti": _ANTI_ORACLE,
         "jn_semi": _SEMI_ORACLE,
         "jn_left": _LEFT_ORACLE,

@@ -25,8 +25,8 @@ from .grouped import (approx_distinct_per_group, approx_group_quantiles,
                       pivot_agg, rollup_agg, string_agg_per_group,
                       cube_agg)
 from .drift_actor import DriftSketchActor, drift_report
-from .join import (bloom_filtered_join, broadcast_join,
-                   broadcast_range_join, shuffle_join)
+from .join import (bloom_filtered_join, broadcast_cross_join,
+                   broadcast_join, broadcast_range_join, shuffle_join)
 from .setops import set_op_keys
 from .graph import connected_components
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
@@ -82,7 +82,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "rank_ntile", "mode_per_group", "set_op_keys",
            "connected_components", "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",
-           "bloom_filtered_join", "approx_heavy_hitters",
+           "bloom_filtered_join", "broadcast_cross_join", "approx_heavy_hitters",
            "string_agg_per_group", "first_last_value", "grouped_shape",
            "entropy_per_group", "curate_corpus",
            "extract_json_str", "percent_rank_window", "infer_checks"]

@@ -15,8 +15,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["broadcast_join", "broadcast_range_join", "shuffle_join",
-           "bloom_filtered_join"]
+__all__ = ["broadcast_join", "broadcast_cross_join", "broadcast_range_join",
+           "shuffle_join", "bloom_filtered_join"]
 
 _MAX_BROADCAST_ROWS = 5_000_000  # guard: a "small side" must actually be small
 
@@ -61,6 +61,41 @@ def broadcast_join(ds, right, *, left_on: str | list[str],
                           join_type=how)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def broadcast_cross_join(ds, right, *, right_columns: list[str] | None = None,
+                         max_right_rows: int = 10_000,
+                         batch_size: int | None = 4096):
+    """Cartesian product of every row of ``ds`` with a DIMENSION-sized
+    ``right`` table (SQL CROSS JOIN). The right side is broadcast once
+    via ``ray.put``; each block expands map-side with two vectorized
+    takes — no shuffle, streams at any scale on the left.
+
+    Output is ``len(right)``x the input, so the right side is guarded
+    much tighter than ``broadcast_join`` (default 10k rows) and
+    ``batch_size`` defaults small to bound the expanded block size. A
+    large x large cross join is a deliberate non-goal: at 100 TB it is
+    an output-size bug, not a missing feature."""
+    import ray
+
+    small = _collect_small(right, right_columns)
+    if small.num_rows > max_right_rows:
+        raise ValueError(
+            f"broadcast_cross_join right side has {small.num_rows} rows > "
+            f"max_right_rows={max_right_rows}; a cross join this size "
+            f"explodes the output — restructure the pipeline instead")
+    ref = ray.put(small)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rt = ray.get(ref)
+        n, m = batch.num_rows, rt.num_rows
+        out = batch.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), m)))
+        tile = pa.array(np.tile(np.arange(m, dtype=np.int64), n))
+        for c in rt.column_names:
+            out = out.append_column(c, rt.column(c).take(tile))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 def broadcast_range_join(ds, bands, *, value_col: str, lo_col: str = "lo",

@@ -1052,3 +1052,39 @@ def test_curate_corpus_invariants(ray_session):
         assert sub["pack_offset"].iloc[0] == 0
         assert (sub["pack_offset"].to_numpy()[1:]
                 == np.cumsum(sub["n_tokens"].to_numpy())[:-1]).all()
+
+
+def test_broadcast_cross_join(ray_session):
+    """Cartesian expansion: n x m rows, left and right columns zipped in
+    the right order; the right-side guard rejects a cross join that
+    would explode the output."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import broadcast_cross_join
+
+    left = ray.data.from_pandas(pd.DataFrame({"a": [1, 2, 3]})).repartition(2)
+    right = pd.DataFrame({"b": ["x", "y"]})
+    out = broadcast_cross_join(left, right).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(out) == 6
+    assert out["a"].tolist() == [1, 1, 2, 2, 3, 3]
+    assert out["b"].tolist() == ["x", "y"] * 3
+    with pytest.raises(ValueError):
+        broadcast_cross_join(left, pd.DataFrame({"b": range(50)}),
+                             max_right_rows=10)
+
+
+def test_shuffle_join_full_outer(ray_session):
+    """FULL OUTER keeps unmatched rows from BOTH sides with nulls on
+    the other side; the key column is coalesced (SQL USING parity)."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import shuffle_join
+
+    l = ray.data.from_pandas(pd.DataFrame({"k": ["a", "b"], "lv": [1, 2]}))
+    r = ray.data.from_pandas(pd.DataFrame({"k": ["b", "c"], "rv": [20, 30]}))
+    out = shuffle_join(l, r, on="k", how="full_outer", num_partitions=2) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == ["a", "b", "c"]
+    assert out["lv"].fillna(-1).tolist() == [1, 2, -1]
+    assert out["rv"].fillna(-1).tolist() == [-1, 20, 30]
