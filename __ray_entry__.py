@@ -2338,6 +2338,33 @@ def q_ss_kmeans(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_sp_shuffle(sf_dir: str):
+    """Deterministic global training-data shuffle: every document gets a
+    reproducible shuffled position = row_number over md5(doc_id) order
+    (pipelines/reshape.py::global_row_number — range-exchange sort +
+    per-block offset stamping via raw tasks; only block row-counts touch
+    the driver). md5 mode exists for SQL parity; the scale path keys the
+    sort on the 8-byte hash64 instead."""
+    from feature_fabrica_ray.pipelines import global_row_number, md5_hex_column
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("mk", md5_hex_column(batch.column("doc_id")))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+    out = global_row_number(keyed, "mk", id_col="pos")
+    return _select(out, ["doc_id", "pos"])
+
+
+_SP_SHUFFLE_ORACLE = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS pos
+FROM documents
+"""
+
+
 def q_sp_pack(sf_dir: str):
     """Sequence packing assignment (greedy next-fit into 4096-char
     contexts, id-sharded). Stateful greedy recurrence — no SQL oracle;
@@ -3604,6 +3631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_entropy": q_agg_entropy,
         "agg_quantiles_approx": q_agg_quantiles_approx,
         "sp_pack": q_sp_pack,
+        "sp_shuffle": q_sp_shuffle,
         "ss_kmeans": q_ss_kmeans,
         "dd_decontaminate": q_dd_decontaminate,
         "agg_salted": q_agg_salted,
@@ -3744,6 +3772,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_entropy": _ENTROPY_ORACLE,
         "dd_decontaminate": _DECON_ORACLE,
         "agg_salted": _SALTED_ORACLE,
+        "sp_shuffle": _SP_SHUFFLE_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,

@@ -14,7 +14,7 @@ from .events import (cumulative_agg, extract_json_int, extract_json_str,
                      rank_ntile, rolling_agg, sessionize, sliding_window_agg,
                      time_rolling_agg, tumbling_window_agg)
 from .corpus import curate_corpus
-from .reshape import explode_list, unpivot
+from .reshape import explode_list, global_row_number, unpivot
 from .grouped import (approx_distinct_per_group, approx_group_quantiles,
                       entropy_per_group,
                       distinct_count_per_group,
@@ -82,6 +82,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "rank_ntile", "mode_per_group", "set_op_keys",
            "connected_components", "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",
+           "global_row_number",
            "bloom_filtered_join", "broadcast_cross_join", "approx_heavy_hitters",
            "string_agg_per_group", "first_last_value", "grouped_shape",
            "entropy_per_group", "curate_corpus",

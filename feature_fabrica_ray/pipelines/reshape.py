@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["explode_list", "unpivot"]
+__all__ = ["explode_list", "unpivot", "global_row_number"]
 
 
 def explode_list(ds, list_col: str, pos_col: str = "pos",
@@ -88,3 +88,47 @@ def unpivot(ds, value_cols: list[str], name_col: str = "name",
         return pa.concat_tables(pieces)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def global_row_number(ds, sort_keys, *, id_col: str = "row_num",
+                      base: int = 1, descending: bool = False):
+    """SQL ``row_number() OVER (ORDER BY sort_keys)`` — a global total
+    order. ``ds.sort`` is the unavoidable all-to-all range exchange
+    (Ray samples key boundaries, so skew is the sort's problem); then
+    each sorted block is stamped with its offset range by a raw Ray
+    task. Only the per-block ROW COUNTS ever reach the driver (one int
+    per block, read from block metadata); the cumulative offsets are
+    shipped back with the task args and every block numbers itself —
+    no data moves twice. Raw tasks (not ``map_batches``) are used
+    because a batch UDF cannot know its block's global position; this
+    is the documented Dataset-API escape hatch.
+
+    Ties in ``sort_keys`` get an arbitrary (but total) order, exactly
+    like SQL row_number without a fully-deterministic key — pass a
+    unique tiebreaker column for reproducible output. The flagship use
+    is the deterministic TRAINING-DATA SHUFFLE: sort by a (salted)
+    hash of the document key and the row numbers are a reproducible
+    global shuffle order (see __ray_entry__.q_sp_shuffle).
+
+    Note ``ray.data.range(n).zip(sorted)`` would NOT work: zip aligns
+    row counts but does not preserve the id dataset's block ORDER
+    (verified empirically), so the stamped ids would be permuted.
+    """
+    import ray
+    import ray.data
+
+    out = ds.sort(sort_keys, descending=descending).materialize()
+
+    @ray.remote
+    def stamp(block, start: int) -> pa.Table:
+        if not isinstance(block, pa.Table):   # pandas-backed block
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        ids = np.arange(start, start + block.num_rows, dtype=np.int64)
+        return block.append_column(id_col, pa.array(ids, pa.int64()))
+
+    refs, offset = [], base
+    for bundle in out.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            refs.append(stamp.remote(block_ref, offset))
+            offset += meta.num_rows
+    return ray.data.from_arrow_refs(refs)

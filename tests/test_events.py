@@ -666,3 +666,26 @@ def test_unpivot(ray_session):
     st = pa.table({"id": [1], "x": ["u"], "y": [None]})
     out = unpivot(ray.data.from_arrow(st), ["x", "y"]).to_pandas()
     assert out["name"].tolist() == ["x"] and out["value"].tolist() == ["u"]
+
+
+def test_global_row_number(ray_session):
+    """row_number() OVER (ORDER BY k): positions are the exact sort
+    ranks regardless of input block layout; descending and base=0
+    variants; each row numbered exactly once."""
+    import numpy as np
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import global_row_number
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": rng.permutation(300), "v": np.arange(300)})
+    for blocks in (1, 5):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = global_row_number(ds, "k").to_pandas()
+        assert sorted(out["row_num"]) == list(range(1, 301))
+        assert (out.sort_values("k")["row_num"].values
+                == np.arange(1, 301)).all()
+    desc = global_row_number(ray.data.from_pandas(df), "k",
+                             descending=True, base=0).to_pandas()
+    assert (desc.sort_values("k", ascending=False)["row_num"].values
+            == np.arange(300)).all()
