@@ -2338,6 +2338,35 @@ def q_ss_kmeans(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_vl_monotonic(sf_dir: str) -> pd.DataFrame:
+    """Ordered-within-key expectation: per user, event `value` ordered
+    by ts must be non-decreasing; violations = consecutive drops (SQL
+    lag() comparison, NULLs never violate). Projection-only keyed
+    shuffle + one vectorized sort/diff per key
+    (pipelines/grouped.py::monotonic_violations)."""
+    from feature_fabrica_ray.pipelines.grouped import monotonic_violations
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+    out = monotonic_violations(ds, "user_id", "ts", "value")
+    return out[["user_id", "n_rows", "n_violations", "passed"]
+               ].assign(user_id=out["user_id"].astype("int64"))
+
+
+_MONOTONIC_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN value < prev THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_violations,
+       coalesce(sum(CASE WHEN value < prev THEN 1 ELSE 0 END), 0) = 0
+           AS passed
+FROM (SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events)
+GROUP BY user_id
+"""
+
+
 def q_sp_shuffle(sf_dir: str):
     """Deterministic global training-data shuffle: every document gets a
     reproducible shuffled position = row_number over md5(doc_id) order
@@ -3581,6 +3610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_shape": q_vl_shape,
         "vl_top_share": q_vl_top_share,
         "vl_infer": q_vl_infer,
+        "vl_monotonic": q_vl_monotonic,
         "vl_distinct_bound": q_vl_distinct_bound,
         "ft_math_chain": q_ft_math_chain,
         "ft_rounding": q_ft_rounding,
@@ -3773,6 +3803,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_decontaminate": _DECON_ORACLE,
         "agg_salted": _SALTED_ORACLE,
         "sp_shuffle": _SP_SHUFFLE_ORACLE,
+        "vl_monotonic": _MONOTONIC_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,

@@ -1012,3 +1012,35 @@ def test_example_suite_runs_end_to_end(ray_session):
     assert bool(g.loc["size_skew_band", "passed"])
     assert bool(g.loc["lang_dominance", "passed"])
     assert bool(g.loc["content_nulls_by_lang", "passed"])
+
+
+def test_monotonic_violations(ray_session):
+    """Consecutive-pair rule per key: non_decreasing counts drops only,
+    strict 'increasing' also counts ties, NULL values/predecessors never
+    violate, NULL order keys sort last; layout invariant."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines.grouped import monotonic_violations
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 3 + ["c"] * 2,
+        "o": [1, 2, 3, 4, 1, 2, 3, 1, 2],
+        "v": [1.0, 1.0, 0.5, 2.0,    # a: one drop (1.0 -> 0.5)
+              3.0, None, 2.0,        # b: NULL gaps never violate
+              5.0, 6.0],             # c: clean
+    })
+    for blocks in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = monotonic_violations(ds, "k", "o", "v")
+        assert out["k"].tolist() == ["a", "b", "c"]
+        assert out["n_violations"].tolist() == [1, 0, 0]
+        assert out["passed"].tolist() == [False, True, True]
+    strict = monotonic_violations(ray.data.from_pandas(df), "k", "o", "v",
+                                  direction="increasing")
+    assert strict["n_violations"].tolist() == [2, 0, 0]  # tie counts too
+    dec = monotonic_violations(ray.data.from_pandas(df), "k", "o", "v",
+                               direction="non_increasing")
+    assert dec["n_violations"].tolist() == [1, 0, 1]
+    with pytest.raises(ValueError):
+        monotonic_violations(ray.data.from_pandas(df), "k", "o", "v",
+                             direction="sideways")
