@@ -2429,6 +2429,36 @@ WHERE df >= 0.08 * nd
 """
 
 
+def q_dd_boilerplate(sf_dir: str):
+    """CCNet-style duplicated-segment removal: segments (token
+    granularity on this corpus — the delimiter is the caller's choice)
+    present in >= 78% of documents are deleted and each document is
+    reassembled from its surviving segments in order; fully-scrubbed
+    docs go NULL (pipelines/curation.py::remove_frequent_lines — df
+    combiner + one keyed shuffle of distinct segments, broadcast hot
+    set, stateless scrub)."""
+    from feature_fabrica_ray.pipelines import remove_frequent_lines
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = remove_frequent_lines(ds, min_frac=0.78, delim=" ")
+    return _select(out, ["doc_id", "cleaned"])
+
+
+_BOILERPLATE_ORACLE = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents),
+hot AS (SELECT seg FROM w GROUP BY seg
+        HAVING count(DISTINCT doc_id) >= 0.78 * (SELECT c FROM n)),
+agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS cleaned
+        FROM w WHERE seg NOT IN (SELECT seg FROM hot)
+        GROUP BY doc_id)
+SELECT d.doc_id, a.cleaned FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_dd_decontaminate(sf_dir: str):
     """Token 8-gram decontamination: docs with doc_id % 20 == 0 act as
     the benchmark corpus, the rest as training data."""
@@ -3664,6 +3694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sp_shuffle": q_sp_shuffle,
         "ss_kmeans": q_ss_kmeans,
         "dd_decontaminate": q_dd_decontaminate,
+        "dd_boilerplate": q_dd_boilerplate,
         "agg_salted": q_agg_salted,
         "dd_exact": q_dd_exact,
         "dd_dedup_rows": q_dd_dedup_rows,
@@ -3801,6 +3832,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_shape": _SHAPE_ORACLE,
         "agg_entropy": _ENTROPY_ORACLE,
         "dd_decontaminate": _DECON_ORACLE,
+        "dd_boilerplate": _BOILERPLATE_ORACLE,
         "agg_salted": _SALTED_ORACLE,
         "sp_shuffle": _SP_SHUFFLE_ORACLE,
         "vl_monotonic": _MONOTONIC_ORACLE,

@@ -30,7 +30,7 @@ from .textstats import _distinct_per_row, _set_col, token_hashes
 
 __all__ = ["redact_text", "normalize_text", "gopher_quality",
            "token_ngram_hashes", "decontaminate", "salted_group_agg",
-           "repetition_stats", "common_ngrams"]
+           "repetition_stats", "common_ngrams", "remove_frequent_lines"]
 
 # GPT-2-style pre-tokenizer, reduced to RE2 (no lookahead): letter runs,
 # digit runs, and symbol runs, each with an optional leading space
@@ -460,3 +460,106 @@ def common_ngrams(ds, n: int = 2, min_frac: float = 0.08,
 
     return merged.map_batches(finish, batch_format="pyarrow",
                               batch_size=None)
+
+
+_MAX_FREQUENT_SEGMENTS = 2_000_000  # broadcast guard: hot set must be small
+
+
+def remove_frequent_lines(ds, *, min_frac: float | None = None,
+                          min_docs: int | None = None, delim: str = "\n",
+                          text_col: str = "text", out_col: str = "cleaned",
+                          n_docs: int | None = None):
+    """CCNet-style duplicated-segment removal: delete every
+    delim-separated segment (line / sentence / token, caller's choice)
+    that appears in at least ``min_docs`` documents (or ``min_frac`` of
+    the corpus), then reassemble each document from its surviving
+    segments in original order. The classic boilerplate scrubber
+    (headers, footers, nav text) from Wenzek et al. 2019 (CCNet) §3.1,
+    phrased over an arbitrary delimiter. ``common_ngrams`` MINES the
+    hot spans; this op REMOVES them.
+
+    Scale shape, two passes, both vectorized:
+      1. df-count combiner — each block collapses to its distinct
+         (segment, local doc) pairs, then to per-segment doc counts
+         (distinct segments per block, never raw occurrences, enter
+         ONE keyed shuffle); the >= threshold filter prunes to the hot
+         set BEFORE collection, and only that boilerplate set (small
+         by definition — guarded) is broadcast via ``ray.put``.
+      2. stateless scrub — re-split, drop hot segments with one
+         vectorized ``is_in``, rebuild list offsets from a bincount,
+         ``binary_join`` back. No shuffle.
+
+    SQL parity: a document whose every segment is removed (and a NULL
+    input) yields NULL, matching string_agg-over-no-rows through a
+    LEFT JOIN. A document with no hot segments round-trips
+    byte-identical. Returns the input Dataset + ``out_col``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..tuning import shuffle_partitions
+
+    if (min_frac is None) == (min_docs is None):
+        raise ValueError("remove_frequent_lines: give exactly one of "
+                         "min_frac / min_docs")
+    if min_docs is None:
+        if n_docs is None:
+            n_docs = ds.count()
+        min_docs = float(min_frac) * float(n_docs)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        segs = pc.split_pattern(batch.column(text_col), delim)
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        flat = pc.list_flatten(segs)          # null texts emit no segments
+        parent = pc.list_parent_indices(segs)
+        pairs = pa.table({"seg": flat, "p": parent}) \
+            .group_by(["seg", "p"]).aggregate([([], "count_all")])
+        g = pairs.group_by("seg").aggregate([([], "count_all")])
+        return pa.table({"seg": g.column("seg"),
+                         "df": g.column("count_all").cast(pa.int64())})
+
+    parts = ds.map_batches(df_partial, batch_format="pyarrow",
+                           batch_size=None)
+    merged = parts.groupby("seg", num_partitions=shuffle_partitions()) \
+        .aggregate(Sum("df"))
+
+    def hot_only(b: pa.Table) -> pa.Table:
+        if "seg" not in b.column_names:
+            return pa.table({"seg": pa.array([], pa.string())})
+        keep = pc.greater_equal(pc.cast(b.column("sum(df)"), pa.float64()),
+                                pa.scalar(float(min_docs)))
+        return pa.table({"seg": b.column("seg").filter(keep)})
+
+    hot = merged.map_batches(hot_only, batch_format="pyarrow",
+                             batch_size=None).take_all()
+    if len(hot) > _MAX_FREQUENT_SEGMENTS:
+        raise ValueError(
+            f"remove_frequent_lines: {len(hot)} segments cross the "
+            f"threshold — too many to broadcast; raise the threshold "
+            f"(a 'boilerplate' set this large means the corpus is mostly "
+            f"duplicated text: dedup documents first)")
+    hot_ref = ray.put(pa.array([r["seg"] for r in hot], pa.string()))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        hot_set = ray.get(hot_ref)
+        segs = pc.split_pattern(batch.column(text_col), delim)
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        flat = pc.list_flatten(segs)
+        parent = pc.list_parent_indices(segs).to_numpy(zero_copy_only=False)
+        keep = pc.invert(pc.is_in(flat, value_set=hot_set)) \
+            .to_numpy(zero_copy_only=False)
+        kept_flat = flat.filter(pa.array(keep))
+        counts = np.bincount(parent[keep], minlength=batch.num_rows)
+        offsets = np.zeros(batch.num_rows + 1, np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     kept_flat),
+            pa.scalar(delim))
+        joined = pc.if_else(pa.array(counts == 0),
+                            pa.nulls(batch.num_rows, pa.string()), joined)
+        return batch.append_column(out_col, joined)
+
+    return ds.map_batches(scrub, batch_format="pyarrow", batch_size=None)

@@ -260,3 +260,37 @@ def test_normalize_text(ray_session):
     dd = exact_dedup_rows(normalize_text(_ds(df, blocks=2)),
                           ["norm_hash"], tiebreak="doc_id").to_pandas()
     assert len(dd) == 3 and set(dd["doc_id"]) == {0, 3, 4}
+
+
+def test_remove_frequent_lines(ray_session):
+    """Planted boilerplate: the header line in 3/4 docs is removed at
+    min_docs=3, unique lines survive in order, a NULL text and a doc
+    that was ALL boilerplate both yield NULL (SQL string_agg-over-
+    no-rows parity); clean docs round-trip byte-identical; layout
+    invariant."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import remove_frequent_lines
+
+    hdr = "COPYRIGHT HEADER"
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [f"{hdr}\nalpha\nbeta", f"{hdr}\ngamma", hdr,
+                 "delta\nepsilon", None],
+    })
+    for blocks in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = remove_frequent_lines(ds, min_docs=3).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out["cleaned"].tolist() == [
+            "alpha\nbeta", "gamma", None, "delta\nepsilon", None]
+    # fraction form: hdr is in 3/5 docs -> min_frac 0.5 removes it
+    out = remove_frequent_lines(ray.data.from_pandas(df),
+                                min_frac=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["cleaned"][0] == "alpha\nbeta"
+    with pytest.raises(ValueError):
+        remove_frequent_lines(ray.data.from_pandas(df))
+    with pytest.raises(ValueError):
+        remove_frequent_lines(ray.data.from_pandas(df), min_docs=2,
+                              min_frac=0.5)
