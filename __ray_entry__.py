@@ -1697,6 +1697,35 @@ WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'
 """
 
 
+def q_sm_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split assignment
+    (pipelines/sampling.hash_split): 80/10/10 by key-hash range, all
+    rows of a key land in the same split (no train/eval leakage),
+    stable across reruns and layouts. md5 mode so the DuckDB CASE
+    expression replicates every label byte-for-byte; the scale path is
+    the vectorized hash64 kernel."""
+    from feature_fabrica_ray.pipelines import hash_split
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    out = hash_split(ds, ["doc_id"],
+                     {"train": 0.8, "val": 0.1, "test": 0.1},
+                     method="md5").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "split"]]
+
+
+_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR))
+                 < 'ccccccccccccd0000000000000000000' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR))
+                 < 'e6666666666668000000000000000000' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_sm_stratified(sf_dir: str) -> pd.DataFrame:
     """Stratified deterministic sampling
     (pipelines/sampling.stratified_sample): per-lang keep fractions
@@ -3438,6 +3467,33 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_pr_regression(sf_dir: str) -> pd.DataFrame:
+    """Per-segment simple linear regression (SQL regr_slope/intercept/
+    r2): extendedprice fit on quantity per returnflag from the SAME
+    six-moment per-block partials as pr_correlation — exact merge, one
+    keyed shuffle (pipelines/grouped.py::grouped_regression)."""
+    from feature_fabrica_ray.pipelines import grouped_regression
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_regression(ds, "l_returnflag", "l_quantity",
+                             "l_extendedprice")
+    for c in ("slope", "intercept", "r2"):
+        out[c] = _round_away(out[c], 6)
+    out["n"] = out["n"].astype("int64")
+    return out[["l_returnflag", "n", "slope", "intercept", "r2"]]
+
+
+_REGRESSION_ORACLE = """
+SELECT l_returnflag, count(*) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_pr_lineitem(sf_dir: str) -> pd.DataFrame:
     """Whole-table profile (one fused pass): exact moments per numeric
     column, SQL-checkable."""
@@ -3665,6 +3721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sm_group_sample": q_sm_group_sample,
         "sm_hash_sample": q_sm_hash_sample,
         "sm_stratified": q_sm_stratified,
+        "sm_split": q_sm_split,
         "sm_weighted": q_sm_weighted,
         "dd_embedding": q_dd_embedding,
         "jn_shuffle": q_jn_shuffle,
@@ -3740,6 +3797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rs_unpivot": q_rs_unpivot,
         "pr_histogram": q_pr_histogram,
         "pr_correlation": q_pr_correlation,
+        "pr_regression": q_pr_regression,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -3787,6 +3845,7 @@ def oracle_sql() -> dict[str, str]:
         "sm_group_sample": _GROUP_SAMPLE_ORACLE,
         "sm_hash_sample": _HASH_SAMPLE_ORACLE,
         "sm_stratified": _STRATIFIED_ORACLE,
+        "sm_split": _SPLIT_ORACLE,
         "sm_weighted": _WEIGHTED_ORACLE,
         # dd_embedding: LSH blocking -> rows-only (planted-pair pytest)
         "jn_shuffle": _JOIN_ORACLE,
@@ -3850,5 +3909,6 @@ def oracle_sql() -> dict[str, str]:
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,
         "pr_correlation": _CORRELATION_ORACLE,
+        "pr_regression": _REGRESSION_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

@@ -20,6 +20,7 @@ from .grouped import (approx_distinct_per_group, approx_group_quantiles,
                       entropy_per_group,
                       distinct_count_per_group,
                       freshness_check, grouped_correlation, grouped_outliers,
+                      grouped_regression,
                       grouped_shape, grouped_stats, grouping_sets_agg,
                       histogram_fixed,
                       mode_per_group,
@@ -39,7 +40,8 @@ from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
 from .multimodal import (DecodeImageFeatures, FrameSampler,
                          ResizeImage, audio_pipeline, decode_pipeline,
                          frame_pipeline, resize_pipeline)
-from .sampling import (hash_sample, md5_fraction_threshold, md5_hex_column,
+from .sampling import (hash_sample, hash_split, md5_fraction_threshold,
+                       md5_hex_column,
                        stratified_sample, weighted_hash_sample)
 from .similarity import (cosine_topk, fit_centroids, fit_pca,
                          ivf_topk, kmeans, kmeans_assign,
@@ -64,12 +66,12 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "validate_resumable", "merge_results", "codetable_shards",
            "broadcast_join", "write_validated", "drift_report", "DriftSketchActor",
            "tumbling_window_agg", "sessionize", "extract_json_int",
-           "profile_table", "hash_sample", "asof_join", "asof_join_broadcast",
+           "profile_table", "hash_sample", "hash_split", "asof_join", "asof_join_broadcast",
            "minhash_lsh_pairs_distributed", "neardup_clusters", "fuzzy_join_pairs",
            "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg", "stratified_sample",
            "md5_fraction_threshold", "md5_hex_column",
            "freshness_check", "grouped_outliers", "segment_drift",
-           "grouped_correlation", "approx_distinct_per_group", "cube_agg",
+           "grouped_correlation", "grouped_regression", "approx_distinct_per_group", "cube_agg",
            "exact_dedup_rows_shuffle", "tfidf_top_terms", "chunk_documents", "audio_pipeline",
            "frame_pipeline", "cumulative_agg", "normalize_embeddings",
            "fit_pca", "pca_project", "ResizeImage", "resize_pipeline",

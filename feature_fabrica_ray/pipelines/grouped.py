@@ -40,7 +40,7 @@ __all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
            "approx_group_quantiles",
            "pivot_agg", "mode_per_group", "grouping_sets_agg",
            "string_agg_per_group", "grouped_shape", "entropy_per_group",
-           "monotonic_violations"]
+           "monotonic_violations", "grouped_regression"]
 
 
 def grouped_shape(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -847,3 +847,71 @@ def monotonic_violations(ds, key_col: str, order_col: str, val_col: str,
            .map_groups(per_key, batch_format="pandas")
            .to_pandas())
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def grouped_regression(ds, group_col: str, x_col: str,
+                       y_col: str) -> pd.DataFrame:
+    """Exact simple linear regression of ``y`` on ``x`` within each
+    segment — SQL ``regr_slope(y, x)`` / ``regr_intercept`` /
+    ``regr_r2`` semantics. Same physical shape (and the same six
+    per-(block, segment) float64 partials) as ``grouped_correlation``:
+    one keyed shuffle of tiny moment rows, exact merge, so the fit is
+    identical no matter how blocks split.
+
+      slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+      intercept = ȳ − slope·x̄
+      r2        = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²)),
+                  with SQL's edge rules: var(x)=0 → all NULL;
+                  var(y)=0 → r2=1.
+
+    Rows where either side is null are excluded (SQL pair semantics);
+    a segment with zero valid pairs is omitted from the output (the
+    keyed partials never see it — callers wanting SQL's NULL row for
+    such segments should left-join against the segment list).
+    Returns (group, n, slope, intercept, r2) sorted by group."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).cast(pa.float64())
+        y = batch.column(y_col).cast(pa.float64())
+        both = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        t = pa.table({group_col: batch.column(group_col), "x": x, "y": y}) \
+            .filter(both)
+        xv, yv = t.column("x"), t.column("y")
+        b2 = pa.table({group_col: t.column(group_col), "x": xv, "y": yv,
+                       "xx": pc.multiply(xv, xv), "yy": pc.multiply(yv, yv),
+                       "xy": pc.multiply(xv, yv)})
+        g = b2.group_by([group_col]).aggregate(
+            [("x", "count"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
+        return _with_shuffle_key(pa.table({
+            group_col: g.column(group_col),
+            "n": g.column("x_count").cast(pa.int64()),
+            "sx": g.column("x_sum"), "sy": g.column("y_sum"),
+            "sxx": g.column("xx_sum"), "syy": g.column("yy_sum"),
+            "sxy": g.column("xy_sum")}), group_col)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        sx, sy = float(df["sx"].sum()), float(df["sy"].sum())
+        sxx, syy = float(df["sxx"].sum()), float(df["syy"].sum())
+        sxy = float(df["sxy"].sum())
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        if n == 0 or vx <= 0:
+            slope = intercept = r2 = np.nan
+        else:
+            slope = cov / vx
+            intercept = (sy - slope * sx) / n
+            r2 = 1.0 if vy == 0 else (cov * cov) / (vx * vy)
+        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                             "n": np.array([n], np.int64),
+                             "slope": [slope], "intercept": [intercept],
+                             "r2": [r2]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    key = out[group_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)

@@ -12,11 +12,12 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..state import combine_hashes, hash64
 
 __all__ = ["hash_sample", "stratified_sample", "weighted_hash_sample",
-           "md5_hex_column", "md5_fraction_threshold"]
+           "md5_hex_column", "md5_fraction_threshold", "hash_split"]
 
 _D = np.uint64(1 << 32)
 
@@ -182,5 +183,58 @@ def stratified_sample(ds, strata_col: str, fractions: dict,
             .astype(np.uint64)
         keep = (h % _D) < thr
         return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def hash_split(ds, key_columns: list[str], fractions: dict[str, float],
+               out_col: str = "split", seed: int = 0,
+               method: str = "hash64"):
+    """Deterministic train/val/test assignment: every row gets a split
+    label from ``fractions`` (e.g. ``{"train": .8, "val": .1,
+    "test": .1}``, must sum to 1) chosen by where its key hash lands in
+    [0, 1) partitioned into cumulative ranges — all rows sharing a key
+    land in the SAME split (no leakage between train and eval for a
+    duplicated document/user), membership is a pure function of the key
+    (invariant to partitioning, reruns, and adding data later).
+    Stateless map, no shuffle; appends ``out_col``.
+
+    ``method="hash64"`` is the vectorized scale path; ``method="md5"``
+    (single key column) makes the assignment replicable in ANSI SQL via
+    CASE over ``md5(CAST(key AS VARCHAR))`` hex thresholds
+    (``md5_fraction_threshold`` of each cumulative fraction), which the
+    driver oracle uses."""
+    names = list(fractions)
+    fr = np.array([float(fractions[k]) for k in names])
+    if (fr < 0).any() or abs(fr.sum() - 1.0) > 1e-9:
+        raise ValueError(f"fractions must be >= 0 and sum to 1, got "
+                         f"{fractions}")
+    cum = np.cumsum(fr)
+
+    if method == "md5":
+        if len(key_columns) != 1:
+            raise ValueError("md5 mode splits on exactly one key column")
+        key = key_columns[0]
+        bounds = [md5_fraction_threshold(f) for f in cum[:-1]]
+
+        def fn_md5(batch: pa.Table) -> pa.Table:
+            hexes = md5_hex_column(batch.column(key))
+            lab = pa.array([names[-1]] * len(batch), pa.string())
+            for name, b in zip(reversed(names[:-1]), reversed(bounds)):
+                lab = pc.if_else(pc.fill_null(pc.less(hexes, b), False),
+                                 pa.scalar(name), lab)
+            return batch.append_column(out_col, lab)
+
+        return ds.map_batches(fn_md5, batch_format="pyarrow",
+                              batch_size=None)
+
+    edges = np.floor(cum[:-1] * float(_D)).astype(np.uint64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = combine_hashes(*[hash64(batch.column(c), seed=seed)
+                             for c in key_columns]) % _D
+        idx = np.searchsorted(edges, h, side="right")
+        lab = pa.array(np.asarray(names, object)[idx], pa.string())
+        return batch.append_column(out_col, lab)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -1044,3 +1044,66 @@ def test_monotonic_violations(ray_session):
     with pytest.raises(ValueError):
         monotonic_violations(ray.data.from_pandas(df), "k", "o", "v",
                              direction="sideways")
+
+
+def test_grouped_regression(ray_session):
+    """Slope/intercept/r2 match a direct numpy least-squares fit per
+    group regardless of block layout; null pairs excluded; zero-variance
+    x gives NULLs, constant y gives r2=1."""
+    import numpy as np
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import grouped_regression
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=60)
+    df = pd.DataFrame({
+        "k": ["a"] * 30 + ["b"] * 30,
+        "x": x,
+        "y": np.where(np.arange(60) < 30, 2.0 * x + 1.0 + rng.normal(
+            scale=.1, size=60), -x + 5),
+    })
+    df.loc[3, "y"] = None  # excluded pair
+    for blocks in (1, 4):
+        out = grouped_regression(
+            ray.data.from_pandas(df).repartition(blocks), "k", "x", "y")
+        a = df.dropna()
+        for key, row in zip(("a", "b"), out.itertuples()):
+            g = a[a["k"] == key]
+            sl, ic = np.polyfit(g["x"], g["y"], 1)
+            assert abs(row.slope - sl) < 1e-9
+            assert abs(row.intercept - ic) < 1e-9
+            r = np.corrcoef(g["x"], g["y"])[0, 1]
+            assert abs(row.r2 - r * r) < 1e-9
+    deg = pd.DataFrame({"k": ["c"] * 3 + ["d"] * 3,
+                        "x": [1.0, 1.0, 1.0, 1, 2, 3],
+                        "y": [1.0, 2.0, 3.0, 7, 7, 7]})
+    out = grouped_regression(ray.data.from_pandas(deg), "k", "x", "y")
+    assert np.isnan(out.loc[0, "slope"])      # var(x)=0
+    assert out.loc[1, "r2"] == 1.0            # var(y)=0
+
+
+def test_hash_split(ray_session):
+    """Split labels are a pure function of the key (layout/rerun
+    invariant), fractions land near targets, labels partition the rows,
+    and duplicate keys always co-locate; bad fractions rejected."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import hash_split
+
+    df = pd.DataFrame({"k": np.arange(2000) % 1000})  # every key twice
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    outs = []
+    for blocks in (1, 5):
+        out = hash_split(ray.data.from_pandas(df).repartition(blocks),
+                         ["k"], fr).to_pandas()
+        outs.append(out.sort_values(["k", "split"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    assert set(out["split"]) == {"train", "val", "test"}
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.06
+    # same key -> same split, always
+    assert (out.groupby("k")["split"].nunique() == 1).all()
+    with pytest.raises(ValueError):
+        hash_split(ray.data.from_pandas(df), ["k"], {"a": 0.5, "b": 0.4})
