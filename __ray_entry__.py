@@ -2488,6 +2488,32 @@ SELECT d.doc_id, a.cleaned FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_dd_intradoc(sf_dir: str):
+    """Intra-document repeated-segment dedup (CCNet's within-page half):
+    each document keeps only the FIRST occurrence of every segment, in
+    place — entirely stateless and shuffle-free
+    (pipelines/curation.py::dedup_lines_within_doc)."""
+    from feature_fabrica_ray.pipelines import dedup_lines_within_doc
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = dedup_lines_within_doc(ds, delim=" ")
+    return _select(out, ["doc_id", "cleaned"])
+
+
+_INTRADOC_ORACLE = """
+WITH w AS (
+  SELECT doc_id, seg, pos,
+         row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) AS rn
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)),
+agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS cleaned
+        FROM w WHERE rn = 1 GROUP BY doc_id)
+SELECT d.doc_id, a.cleaned FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_dd_decontaminate(sf_dir: str):
     """Token 8-gram decontamination: docs with doc_id % 20 == 0 act as
     the benchmark corpus, the rest as training data."""
@@ -3752,6 +3778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ss_kmeans": q_ss_kmeans,
         "dd_decontaminate": q_dd_decontaminate,
         "dd_boilerplate": q_dd_boilerplate,
+        "dd_intradoc": q_dd_intradoc,
         "agg_salted": q_agg_salted,
         "dd_exact": q_dd_exact,
         "dd_dedup_rows": q_dd_dedup_rows,
@@ -3892,6 +3919,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_entropy": _ENTROPY_ORACLE,
         "dd_decontaminate": _DECON_ORACLE,
         "dd_boilerplate": _BOILERPLATE_ORACLE,
+        "dd_intradoc": _INTRADOC_ORACLE,
         "agg_salted": _SALTED_ORACLE,
         "sp_shuffle": _SP_SHUFFLE_ORACLE,
         "vl_monotonic": _MONOTONIC_ORACLE,

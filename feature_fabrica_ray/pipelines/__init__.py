@@ -2,7 +2,8 @@
 dedup, similarity search, text analysis."""
 
 from .asof import asof_join, asof_join_broadcast
-from .curation import (common_ngrams, decontaminate, gopher_quality,
+from .curation import (common_ngrams, decontaminate,
+                       dedup_lines_within_doc, gopher_quality,
                        normalize_text, redact_text, remove_frequent_lines,
                        repetition_stats,
                        salted_group_agg, token_ngram_hashes)
@@ -77,7 +78,8 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "fit_pca", "pca_project", "ResizeImage", "resize_pipeline",
            "redact_text", "gopher_quality", "decontaminate",
            "token_ngram_hashes", "salted_group_agg", "repetition_stats",
-           "common_ngrams", "remove_frequent_lines", "group_quantiles", "pack_sequences", "kmeans", "kmeans_assign",
+           "common_ngrams", "remove_frequent_lines", "dedup_lines_within_doc",
+           "group_quantiles", "pack_sequences", "kmeans", "kmeans_assign",
            "rolling_agg", "distinct_count_per_group", "rollup_agg",
            "histogram_fixed", "grouped_stats", "lag_lead",
            "weighted_hash_sample", "normalize_text", "pivot_agg",

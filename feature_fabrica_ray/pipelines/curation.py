@@ -30,7 +30,8 @@ from .textstats import _distinct_per_row, _set_col, token_hashes
 
 __all__ = ["redact_text", "normalize_text", "gopher_quality",
            "token_ngram_hashes", "decontaminate", "salted_group_agg",
-           "repetition_stats", "common_ngrams", "remove_frequent_lines"]
+           "repetition_stats", "common_ngrams", "remove_frequent_lines",
+           "dedup_lines_within_doc"]
 
 # GPT-2-style pre-tokenizer, reduced to RE2 (no lookahead): letter runs,
 # digit runs, and symbol runs, each with an optional leading space
@@ -563,3 +564,45 @@ def remove_frequent_lines(ds, *, min_frac: float | None = None,
         return batch.append_column(out_col, joined)
 
     return ds.map_batches(scrub, batch_format="pyarrow", batch_size=None)
+
+
+def dedup_lines_within_doc(ds, *, delim: str = "\n", text_col: str = "text",
+                           out_col: str = "cleaned"):
+    """Remove REPEATED delim-separated segments within each document,
+    keeping the first occurrence in place — the intra-document half of
+    CCNet-style line dedup (``remove_frequent_lines`` is the
+    cross-corpus half). Collapses copy-pasted paragraphs, repeated
+    navigation strings and template stutter inside a single page.
+
+    Entirely STATELESS: first-occurrence detection is per row, so this
+    is one vectorized pass per block (split -> dictionary-encode ->
+    np.unique first-index over packed (row, code) keys -> rebuild +
+    join) with NO shuffle and no broadcast state — it streams at any
+    scale. NULL text stays NULL; a document without repeats round-trips
+    byte-identical. Returns the input Dataset + ``out_col``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        segs = pc.split_pattern(batch.column(text_col), delim)
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        flat = pc.list_flatten(segs)
+        parent = pc.list_parent_indices(segs).to_numpy(zero_copy_only=False)
+        codes = flat.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        comb = (parent.astype(np.uint64) << np.uint64(32)) | codes
+        keep = np.zeros(len(flat), bool)
+        _, first = np.unique(comb, return_index=True)
+        keep[first] = True
+        kept_flat = flat.filter(pa.array(keep))
+        counts = np.bincount(parent[keep], minlength=batch.num_rows)
+        offsets = np.zeros(batch.num_rows + 1, np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     kept_flat),
+            pa.scalar(delim))
+        joined = pc.if_else(pa.array(counts == 0),
+                            pa.nulls(batch.num_rows, pa.string()), joined)
+        return batch.append_column(out_col, joined)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -294,3 +294,23 @@ def test_remove_frequent_lines(ray_session):
     with pytest.raises(ValueError):
         remove_frequent_lines(ray.data.from_pandas(df), min_docs=2,
                               min_frac=0.5)
+
+
+def test_dedup_lines_within_doc(ray_session):
+    """First occurrence of each segment survives in place, later repeats
+    vanish; docs without repeats round-trip byte-identical; NULL stays
+    NULL; empty string survives as its own (single) segment; layout
+    invariant (stateless per block)."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import dedup_lines_within_doc
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a\nb\na\nc\nb", "x\ny", None, ""],
+    })
+    for blocks in (1, 2):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = dedup_lines_within_doc(ds).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out["cleaned"].tolist() == ["a\nb\nc", "x\ny", None, ""]
