@@ -2993,7 +2993,8 @@ def q_ev_rolling(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["event_id", "ts", "user_id", "value"])
     out = rolling_agg(ds, "ts", "user_id", "value", "event_id", window=4) \
-        .to_pandas()[["event_id", "user_id", "roll_sum", "roll_avg"]]
+        .to_pandas()[["event_id", "user_id", "roll_sum", "roll_avg",
+                      "roll_min", "roll_max"]]
     out["roll_sum"] = _round_away(out["roll_sum"], 6)
     out["roll_avg"] = _round_away(out["roll_avg"], 6)
     return out.reset_index(drop=True)
@@ -3002,7 +3003,9 @@ def q_ev_rolling(sf_dir: str) -> pd.DataFrame:
 _ROLLING_ORACLE = """
 SELECT event_id, user_id,
        round(sum(value) OVER w, 6) AS roll_sum,
-       round(avg(value) OVER w, 6) AS roll_avg
+       round(avg(value) OVER w, 6) AS roll_avg,
+       min(value) OVER w AS roll_min,
+       max(value) OVER w AS roll_max
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)

@@ -232,7 +232,8 @@ def rolling_agg(ds, ts_col: str, key_col: str, value_col: str,
     FRESH from its ``window`` values (``sliding_window_view``), not via
     cumsum differencing, so floating-point error stays O(window * eps)
     per row instead of accumulating over the group. Returns a Dataset
-    with ``roll_sum`` and ``roll_avg`` appended."""
+    with ``roll_sum``, ``roll_avg``, ``roll_min`` and ``roll_max``
+    appended (min/max over the same frame — MIN/MAX OVER w)."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
 
@@ -241,14 +242,21 @@ def rolling_agg(ds, ts_col: str, key_col: str, value_col: str,
         v = df[value_col].to_numpy(dtype=np.float64)
         n = v.size
         sums = np.empty(n, np.float64)
+        mins = np.empty(n, np.float64)
+        maxs = np.empty(n, np.float64)
         head = np.minimum(np.arange(n, dtype=np.int64) + 1, window)
         if n >= window:
-            sums[window - 1:] = np.lib.stride_tricks \
-                .sliding_window_view(v, window).sum(axis=1)
+            sw = np.lib.stride_tricks.sliding_window_view(v, window)
+            sums[window - 1:] = sw.sum(axis=1)
+            mins[window - 1:] = sw.min(axis=1)
+            maxs[window - 1:] = sw.max(axis=1)
         m = min(window - 1, n)
         if m:
             sums[:m] = np.cumsum(v[:m])
-        return df.assign(roll_sum=sums, roll_avg=sums / head)
+            mins[:m] = np.minimum.accumulate(v[:m])
+            maxs[:m] = np.maximum.accumulate(v[:m])
+        return df.assign(roll_sum=sums, roll_avg=sums / head,
+                         roll_min=mins, roll_max=maxs)
 
     return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
         .map_groups(per_key, batch_format="pandas")

@@ -163,6 +163,8 @@ def test_rolling_agg_golden(ray_session):
             .sort_values("event_id").reset_index(drop=True)
         assert out["roll_sum"].tolist() == [1.0, 3.0, 7.0, 14.0, 9.0]
         assert out["roll_avg"].tolist() == [1.0, 1.5, 7.0 / 3, 14.0 / 3, 9.0]
+        assert out["roll_min"].tolist() == [1.0, 1.0, 1.0, 2.0, 9.0]
+        assert out["roll_max"].tolist() == [1.0, 2.0, 4.0, 8.0, 9.0]
 
 
 def test_rolling_agg_matches_pandas(ray_session):
@@ -186,9 +188,13 @@ def test_rolling_agg_matches_pandas(ray_session):
     r = exp.groupby("user_id")["value"].rolling(5, min_periods=1)
     exp["roll_sum"] = r.sum().to_numpy()
     exp["roll_avg"] = r.mean().to_numpy()
+    exp["roll_min"] = r.min().to_numpy()
+    exp["roll_max"] = r.max().to_numpy()
     exp = exp.sort_values("event_id").reset_index(drop=True)
     np.testing.assert_allclose(out["roll_sum"], exp["roll_sum"], atol=1e-9)
     np.testing.assert_allclose(out["roll_avg"], exp["roll_avg"], atol=1e-9)
+    np.testing.assert_allclose(out["roll_min"], exp["roll_min"], atol=0)
+    np.testing.assert_allclose(out["roll_max"], exp["roll_max"], atol=0)
 
 
 def test_rolling_agg_window_validation(ray_session):
