@@ -2458,6 +2458,68 @@ WHERE df >= 0.08 * nd
 """
 
 
+def q_tp_mix(sf_dir: str):
+    """Weighted corpus mixing with repetition factors (Pile-style): en
+    docs at weight 1.5 (every doc once + a deterministic half again as
+    epoch 2), fr docs at weight 0.5 — epoch-stamped unions + key-hash
+    partial epochs, zero shuffle (pipelines/corpus.py::mix_corpora).
+    md5 mode so the partial-epoch membership is SQL-replicable."""
+    from feature_fabrica_ray.pipelines import mix_corpora
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang"])
+    en = docs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en")),
+        batch_format="pyarrow", batch_size=None)
+    fr = docs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "fr")),
+        batch_format="pyarrow", batch_size=None)
+    out = mix_corpora([(en, 1.5), (fr, 0.5)], ["doc_id"], method="md5")
+    return _select(out, ["doc_id", "lang", "epoch"])
+
+
+_MIX_ORACLE = """
+SELECT doc_id, lang, CAST(1 AS BIGINT) AS epoch
+FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, lang, CAST(2 AS BIGINT)
+FROM documents WHERE lang = 'en'
+  AND md5(CAST(doc_id AS VARCHAR)) < '80000000000000000000000000000000'
+UNION ALL
+SELECT doc_id, lang, CAST(1 AS BIGINT)
+FROM documents WHERE lang = 'fr'
+  AND md5(CAST(doc_id AS VARCHAR)) < '80000000000000000000000000000000'
+"""
+
+
+def q_vl_outliers_iqr(sf_dir: str):
+    """Per-segment Tukey-fence outlier rows: events whose value leaves
+    [q1 - 1.5 IQR, q3 + 1.5 IQR] of their event_type — exact quantile
+    fit via the value-histogram combiner, broadcast fences, stateless
+    filter (pipelines/grouped.py::grouped_outliers_iqr); the robust
+    dual of vl_outliers' mean/std fence."""
+    from feature_fabrica_ray.pipelines import grouped_outliers_iqr
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+    out = grouped_outliers_iqr(ds, "event_type", "value", k=1.5)
+    out = _round_cols(out, {"lo": 6, "hi": 6})
+    return _select(out, ["event_id", "event_type", "value", "lo", "hi"])
+
+
+_OUTLIERS_IQR_ORACLE = """
+WITH q AS (SELECT event_type,
+                  round(quantile_cont(value, 0.25), 6) AS q1,
+                  round(quantile_cont(value, 0.75), 6) AS q3
+           FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+       round(q3 + 1.5 * (q3 - q1), 6) AS hi
+FROM events e JOIN q USING (event_type)
+WHERE e.value < q1 - 1.5 * (q3 - q1) OR e.value > q3 + 1.5 * (q3 - q1)
+"""
+
+
 def q_dd_boilerplate(sf_dir: str):
     """CCNet-style duplicated-segment removal: segments (token
     granularity on this corpus — the delimiter is the caller's choice)
@@ -3716,6 +3778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_freshness": q_vl_freshness,
         "vl_segment_drift": q_vl_segment_drift,
         "vl_outliers": q_vl_outliers,
+        "vl_outliers_iqr": q_vl_outliers_iqr,
         "vl_stats_size": q_vl_stats_size,
         "vl_content_sha256": q_vl_content_sha256,
         "vl_distinct_repo": q_vl_distinct_repo,
@@ -3791,6 +3854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_neardup_rows": q_dd_neardup_rows,
         "dd_neardup_distributed": q_dd_neardup_distributed,
         "tp_curate": q_tp_curate,
+        "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
         "dd_simhash": q_dd_simhash,
         "ss_cosine_topk": q_ss_cosine_topk,
@@ -3843,6 +3907,8 @@ def oracle_sql() -> dict[str, str]:
         "vl_compare": _COMPARE_ORACLE,
         "vl_freshness": _FRESHNESS_ORACLE,
         "vl_outliers": _OUTLIERS_ORACLE,
+        "vl_outliers_iqr": _OUTLIERS_IQR_ORACLE,
+        "tp_mix": _MIX_ORACLE,
         "vl_stats_size": _STATS_ORACLE,
         "vl_group_stats": _GROUP_STATS_ORACLE,
         "vl_quantile": _QUANTILE_ORACLE,

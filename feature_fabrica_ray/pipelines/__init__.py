@@ -15,13 +15,13 @@ from .events import (cumulative_agg, extract_json_int, extract_json_str,
                      lag_lead,
                      rank_ntile, rolling_agg, sessionize, sliding_window_agg,
                      time_rolling_agg, tumbling_window_agg)
-from .corpus import curate_corpus
+from .corpus import curate_corpus, mix_corpora
 from .reshape import explode_list, global_row_number, unpivot
 from .grouped import (approx_distinct_per_group, approx_group_quantiles,
                       entropy_per_group,
                       distinct_count_per_group,
                       freshness_check, grouped_correlation, grouped_outliers,
-                      grouped_regression,
+                      grouped_outliers_iqr, grouped_regression,
                       grouped_shape, grouped_stats, grouping_sets_agg,
                       histogram_fixed,
                       mode_per_group,
@@ -71,7 +71,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "minhash_lsh_pairs_distributed", "neardup_clusters", "fuzzy_join_pairs",
            "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg", "stratified_sample",
            "md5_fraction_threshold", "md5_hex_column",
-           "freshness_check", "grouped_outliers", "segment_drift",
+           "freshness_check", "grouped_outliers", "grouped_outliers_iqr", "segment_drift",
            "grouped_correlation", "grouped_regression", "approx_distinct_per_group", "cube_agg",
            "exact_dedup_rows_shuffle", "tfidf_top_terms", "chunk_documents", "audio_pipeline",
            "frame_pipeline", "cumulative_agg", "normalize_embeddings",
@@ -90,5 +90,5 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "global_row_number",
            "bloom_filtered_join", "broadcast_cross_join", "approx_heavy_hitters",
            "string_agg_per_group", "first_last_value", "grouped_shape",
-           "entropy_per_group", "curate_corpus",
+           "entropy_per_group", "curate_corpus", "mix_corpora",
            "extract_json_str", "percent_rank_window", "infer_checks"]

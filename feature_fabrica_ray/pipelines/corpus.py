@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["curate_corpus"]
+__all__ = ["curate_corpus", "mix_corpora"]
 
 
 def curate_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -84,3 +84,49 @@ def curate_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return packed.map_batches(finish, batch_format="pyarrow",
                               batch_size=None)
+
+
+def mix_corpora(sources, key_columns: list[str], *, epoch_col: str = "epoch",
+                seed: int = 0, method: str = "hash64"):
+    """Weighted training-data mixing with repetition factors (the Pile /
+    Llama-style corpus weights): each ``(dataset, weight)`` source
+    contributes ``floor(weight)`` full epochs plus one partial epoch
+    holding a deterministic ``frac(weight)`` key-sample — weight 1.5
+    means "every document once, half of them twice". Each copy is
+    stamped with a 1-based ``epoch_col`` so a downstream global shuffle
+    (``global_row_number`` keyed on hash(key, epoch)) spreads the
+    repeats instead of clustering them.
+
+    Everything is lazy and shuffle-free: epoch stamping is a stateless
+    map, partial epochs are ``hash_sample`` (membership a pure function
+    of the key — stable across reruns / layouts / resumes), and the
+    union is Ray's zero-cost block concatenation. All sources must
+    share a schema (SQL UNION ALL discipline). ``method="md5"`` makes
+    the partial-epoch selection replicable in ANSI SQL."""
+    import numpy as np
+
+    from .sampling import hash_sample
+
+    def stamp(ds, epoch: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                epoch_col, pa.array(np.full(b.num_rows, epoch), pa.int64()))
+        return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+    out = None
+    for ds, weight in sources:
+        w = float(weight)
+        if w < 0:
+            raise ValueError(f"mix_corpora: negative weight {w}")
+        full = int(np.floor(w + 1e-12))
+        frac = w - full
+        pieces = [stamp(ds, e) for e in range(1, full + 1)]
+        if frac > 1e-12:
+            pieces.append(stamp(
+                hash_sample(ds, key_columns, frac, seed=seed, method=method),
+                full + 1))
+        for p in pieces:
+            out = p if out is None else out.union(p)
+    if out is None:
+        raise ValueError("mix_corpora: no sources with positive weight")
+    return out

@@ -40,7 +40,8 @@ __all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
            "approx_group_quantiles",
            "pivot_agg", "mode_per_group", "grouping_sets_agg",
            "string_agg_per_group", "grouped_shape", "entropy_per_group",
-           "monotonic_violations", "grouped_regression"]
+           "monotonic_violations", "grouped_regression",
+           "grouped_outliers_iqr"]
 
 
 def grouped_shape(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -915,3 +916,48 @@ def grouped_regression(ds, group_col: str, x_col: str,
            .to_pandas())
     key = out[group_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
+
+
+def grouped_outliers_iqr(ds, group_col: str, val_col: str,
+                         k: float = 1.5):
+    """Per-segment ROBUST outlier rows — Tukey's fence: flag rows where
+    ``val`` falls outside [q1 - k·IQR, q3 + k·IQR] of the row's OWN
+    segment (the quantile-based dual of ``grouped_outliers``' mean/std
+    z-fence, immune to the outliers inflating the fence itself).
+
+    Two phases, like every fitted filter here: an EXACT per-segment
+    q1/q3 fit via the mergeable value-histogram combiner
+    (``quantiles.group_quantiles`` — only distinct (segment, value)
+    rows per block enter the one keyed shuffle), then the segment ->
+    fence table (|segments| rows) broadcasts via ``ray.put`` and a
+    stateless vectorized filter emits only the violating rows. The
+    table itself never shuffles. Rows with NULL value or NULL segment
+    are never outliers (SQL comparison/join semantics). Returns a
+    Dataset of the outlier rows + ``lo`` / ``hi`` fence columns."""
+    import ray
+
+    from .quantiles import group_quantiles
+
+    q = group_quantiles(ds, group_col, val_col, qs=(0.25, 0.75))
+    q = q[q[group_col].notna()]   # SQL join semantics: NULL segment
+    q1 = q["q_25"].to_numpy(np.float64)
+    q3 = q["q_75"].to_numpy(np.float64)
+    iqr = q3 - q1
+    fences = pa.table({
+        group_col: pa.array(q[group_col]),
+        "lo": pa.array(q1 - k * iqr, pa.float64()),
+        "hi": pa.array(q3 + k * iqr, pa.float64())})
+    ref = ray.put(fences)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        f = ray.get(ref)
+        idx = pc.index_in(batch.column(group_col),
+                          value_set=f.column(group_col).combine_chunks())
+        lo = f.column("lo").take(idx)
+        hi = f.column("hi").take(idx)
+        v = batch.column(val_col).cast(pa.float64())
+        out = pc.or_(pc.less(v, lo), pc.greater(v, hi))
+        batch = batch.append_column("lo", lo).append_column("hi", hi)
+        return batch.filter(out)   # null mask (null v/segment) drops
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)

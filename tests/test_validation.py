@@ -1107,3 +1107,55 @@ def test_hash_split(ray_session):
     assert (out.groupby("k")["split"].nunique() == 1).all()
     with pytest.raises(ValueError):
         hash_split(ray.data.from_pandas(df), ["k"], {"a": 0.5, "b": 0.4})
+
+
+def test_grouped_outliers_iqr(ray_session):
+    """Tukey fence per segment: a planted far point is flagged with its
+    segment's own fence; NULL value and NULL segment rows never flag;
+    quiet segments emit nothing; layout invariant."""
+    import numpy as np
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import grouped_outliers_iqr
+
+    base = np.linspace(10.0, 20.0, 41)
+    df = pd.DataFrame({
+        "k": ["a"] * 42 + ["b"] * 41 + [None],
+        "v": np.concatenate([base, [1000.0], base + 100, [np.nan]]),
+    })
+    for blocks in (1, 4):
+        out = grouped_outliers_iqr(
+            ray.data.from_pandas(df).repartition(blocks), "k", "v") \
+            .to_pandas()
+        assert out["v"].tolist() == [1000.0]
+        assert out["k"].tolist() == ["a"]
+        assert out["lo"].iloc[0] < 10 and out["hi"].iloc[0] < 1000
+
+
+def test_mix_corpora(ray_session):
+    """Repetition-factor mixing: weight 2.25 gives two full epochs plus
+    a deterministic quarter epoch; partial-epoch membership is a pure
+    function of the key (layout invariant); epoch stamps are 1-based;
+    bad weights rejected."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import mix_corpora
+
+    df = pd.DataFrame({"k": np.arange(1000)})
+    src = ray.data.from_pandas(df)
+    outs = []
+    for blocks in (1, 4):
+        out = mix_corpora([(ray.data.from_pandas(df).repartition(blocks),
+                            2.25)], ["k"]).to_pandas()
+        outs.append(out.sort_values(["k", "epoch"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    counts = out["epoch"].value_counts()
+    assert counts[1] == 1000 and counts[2] == 1000
+    assert abs(counts[3] - 250) < 60
+    # every epoch-3 key also exists in epochs 1 and 2
+    assert (out.groupby("k")["epoch"].max() >= 2).all()
+    with pytest.raises(ValueError):
+        mix_corpora([(src, -1.0)], ["k"])
+    with pytest.raises(ValueError):
+        mix_corpora([(src, 0.0)], ["k"])
