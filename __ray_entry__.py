@@ -717,6 +717,45 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem
 """
 
+_HASH_BUCKET_SPEC = """
+doc_id: {description: raw document id, data_type: int64}
+lang: {description: document language code, data_type: str}
+source: {description: document source tag, data_type: str}
+lang_bucket:
+  description: hashing-trick bucket of the language code
+  data_type: int32
+  dependencies: [lang]
+  transformation: "(lang).hash_bucket(n_buckets=8, method='md5')"
+source_bucket:
+  description: hashing-trick bucket of the source tag
+  data_type: int32
+  dependencies: [source]
+  transformation: "(source).hash_bucket(n_buckets=5, method='md5')"
+"""
+
+
+def q_ft_hash_bucket(sf_dir: str):
+    """Hashing-trick categorical encoder (functions/strings.py::
+    HashBucket): fit-free bucket = hash(value) % n for high-cardinality
+    vocabularies — no fit pass, no broadcast state, NULL-safe. md5 mode
+    here so DuckDB replicates every bucket; the scale path is the
+    vectorized hash64 kernel."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "source"])
+    out = FeatureEngine(_HASH_BUCKET_SPEC).transform(ds)
+    return _select(out, ["doc_id", "lang_bucket", "source_bucket"])
+
+
+_HASH_BUCKET_ORACLE = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(lang), 1, 8))::UBIGINT % 8 AS INT)
+           AS lang_bucket,
+       CAST(('0x' || substr(md5(source), 1, 8))::UBIGINT % 5 AS INT)
+           AS source_bucket
+FROM documents
+"""
+
+
 _ROUNDING_SPEC = """
 l_orderkey: {description: raw order key, data_type: int64}
 l_linenumber: {description: raw line number, data_type: int64}
@@ -3558,6 +3597,29 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_agg_wavg(sf_dir: str) -> pd.DataFrame:
+    """Exact weighted mean per group (quantity-weighted price per
+    returnflag): three-scalar algebraic combiner per block x key, one
+    keyed shuffle (pipelines/grouped.py::weighted_avg_per_group)."""
+    from feature_fabrica_ray.pipelines import weighted_avg_per_group
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = weighted_avg_per_group(ds, "l_returnflag", "l_extendedprice",
+                                 "l_quantity")
+    out["wavg"] = _round_away(out["wavg"], 6)
+    out["n"] = out["n"].astype("int64")
+    return out[["l_returnflag", "n", "wavg"]]
+
+
+_WAVG_ORACLE = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 6) AS wavg
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_pr_regression(sf_dir: str) -> pd.DataFrame:
     """Per-segment simple linear regression (SQL regr_slope/intercept/
     r2): extendedprice fit on quantity per returnflag from the SAME
@@ -3802,6 +3864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_datetime": q_ft_datetime,
         "ft_group_reduce": q_ft_group_reduce,
         "ft_encoders": q_ft_encoders,
+        "ft_hash_bucket": q_ft_hash_bucket,
         "agg_q1": q_agg_q1,
         "jn_priority": q_jn_priority,
         "jn_asof": q_jn_asof,
@@ -3892,6 +3955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_histogram": q_pr_histogram,
         "pr_correlation": q_pr_correlation,
         "pr_regression": q_pr_regression,
+        "agg_wavg": q_agg_wavg,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -3920,6 +3984,7 @@ def oracle_sql() -> dict[str, str]:
         # vl_stats_sketches: approximate -> rows-only check (by design)
         "ft_math_chain": _MATH_ORACLE,
         "ft_rounding": _ROUNDING_ORACLE,
+        "ft_hash_bucket": _HASH_BUCKET_ORACLE,
         "ft_fitted_global": _FITTED_ORACLE,
         "ft_impute": _IMPUTE_ORACLE,
         "ft_winsorize": _WINSOR_ORACLE,
@@ -4007,5 +4072,6 @@ def oracle_sql() -> dict[str, str]:
         "ev_json": _EV_JSON_ORACLE,
         "pr_correlation": _CORRELATION_ORACLE,
         "pr_regression": _REGRESSION_ORACLE,
+        "agg_wavg": _WAVG_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

@@ -21,6 +21,7 @@ from .math import (ABSTransform, CeilTransform, ClipTransform, DivideReduce,
                    SubtractReduce, SumReduce, TruncTransform,
                    WinsorizeTransform, ZScoreTransform)
 from .strings import (BinaryEncode, ConcatenateReduce, Contains, EndsWith,
+                      HashBucket,
                       Repeat, Reverse, SplitPart,
                       LabelEncode, OneHotEncode, OrdinalEncode, PadLeft,
                       PadRight, RegexExtract, RegexMatch, RegexReplace,

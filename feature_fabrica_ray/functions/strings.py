@@ -21,7 +21,8 @@ __all__ = ["ToLower", "ToUpper", "Strip", "Split", "ConcatenateReduce",
            "OneHotEncode", "LabelEncode", "OrdinalEncode", "BinaryEncode",
            "RegexExtract", "RegexReplace", "RegexMatch", "Substring",
            "Replace", "PadLeft", "PadRight", "StrLen", "Contains",
-           "StartsWith", "EndsWith", "SplitPart", "Reverse", "Repeat"]
+           "StartsWith", "EndsWith", "SplitPart", "Reverse", "Repeat",
+           "HashBucket"]
 
 
 class ToLower(Transformation):
@@ -437,3 +438,50 @@ class BinaryEncode(_CategoricalBase):
         shifted[codes < 0] = 0
         return pa.FixedSizeListArray.from_arrays(
             pa.array(shifted.reshape(-1).astype(np.int32), pa.int32()), nbits)
+
+
+class HashBucket(Transformation):
+    """Hashing-trick categorical encoder (sklearn FeatureHasher /
+    HashingVectorizer idea): ``bucket = hash(value) % n_buckets`` as
+    int32, NULL in -> NULL out. The fit-free encoder for
+    high-cardinality categoricals whose vocabulary would not fit a
+    broadcast (label_encode's scale escape): no fit pass, no state, no
+    shuffle — a pure stateless map with deterministic collisions.
+
+    ``method="hash64"`` (default) is the vectorized scale path;
+    ``method="md5"`` buckets on ``int(md5_hex(str(v))[:8], 16)`` so the
+    assignment is replicable in ANSI SQL:
+    ``('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::UBIGINT % n``.
+    """
+
+    _name_ = "hash_bucket"
+
+    def __init__(self, n_buckets: int, method: str = "hash64",
+                 seed: int = 0):
+        if int(n_buckets) < 1:
+            raise TransformationError(
+                f"hash_bucket: n_buckets must be >= 1, got {n_buckets}")
+        if method not in ("hash64", "md5"):
+            raise TransformationError(
+                f"hash_bucket: unknown method {method!r}")
+        self.n_buckets = int(n_buckets)
+        self.method = method
+        self.seed = int(seed)
+
+    def execute(self, data):
+        arr = as_arrow(data)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if self.method == "md5":
+            from ..pipelines.sampling import md5_hex_column
+
+            hexes = md5_hex_column(arr)
+            vals = [None if h is None else int(h[:8], 16) % self.n_buckets
+                    for h in hexes.to_pylist()]
+            return pa.array(vals, pa.int32())
+        from ..state import hash64
+
+        b = (hash64(arr, seed=self.seed)
+             % np.uint64(self.n_buckets)).astype(np.int32)
+        return pc.if_else(pc.is_valid(arr), pa.array(b, pa.int32()),
+                          pa.nulls(len(arr), pa.int32()))

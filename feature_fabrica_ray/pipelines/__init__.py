@@ -26,6 +26,7 @@ from .grouped import (approx_distinct_per_group, approx_group_quantiles,
                       histogram_fixed,
                       mode_per_group,
                       pivot_agg, rollup_agg, string_agg_per_group,
+                      weighted_avg_per_group,
                       cube_agg)
 from .drift_actor import DriftSketchActor, drift_report
 from .join import (bloom_filtered_join, broadcast_cross_join,
@@ -81,6 +82,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "common_ngrams", "remove_frequent_lines", "dedup_lines_within_doc",
            "group_quantiles", "pack_sequences", "kmeans", "kmeans_assign",
            "rolling_agg", "distinct_count_per_group", "rollup_agg",
+           "weighted_avg_per_group",
            "histogram_fixed", "grouped_stats", "lag_lead",
            "weighted_hash_sample", "normalize_text", "pivot_agg",
            "code_line_stats", "approx_group_quantiles",

@@ -41,7 +41,7 @@ __all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
            "pivot_agg", "mode_per_group", "grouping_sets_agg",
            "string_agg_per_group", "grouped_shape", "entropy_per_group",
            "monotonic_violations", "grouped_regression",
-           "grouped_outliers_iqr"]
+           "grouped_outliers_iqr", "weighted_avg_per_group"]
 
 
 def grouped_shape(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -961,3 +961,44 @@ def grouped_outliers_iqr(ds, group_col: str, val_col: str,
         return batch.filter(out)   # null mask (null v/segment) drops
 
     return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+def weighted_avg_per_group(ds, key_col: str, val_col: str,
+                           weight_col: str) -> pd.DataFrame:
+    """Exact weighted mean ``Σ(w·v)/Σw`` per key — the canonical
+    algebraic combiner: each block collapses to (Σwv, Σw, n) per key
+    (three float64s per block x key are the WHOLE exchange), one
+    null-safe keyed shuffle, exact merge. Pairs where value OR weight
+    is null are excluded (SQL ``sum(w*v)`` semantics); a group whose
+    every pair is null yields NULL. Returns (key, wavg, n) sorted."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(val_col).cast(pa.float64())
+        w = batch.column(weight_col).cast(pa.float64())
+        both = pc.and_(pc.is_valid(v), pc.is_valid(w))
+        zero = pa.scalar(0.0, pa.float64())
+        t = pa.table({key_col: batch.column(key_col),
+                      "wv": pc.if_else(both, pc.multiply(w, v), zero),
+                      "w": pc.if_else(both, w, zero),
+                      "ok": both.cast(pa.int64())})
+        g = t.group_by([key_col]).aggregate(
+            [("wv", "sum"), ("w", "sum"), ("ok", "sum")])
+        return _with_shuffle_key(pa.table({
+            key_col: g.column(key_col),
+            "swv": g.column("wv_sum"), "sw": g.column("w_sum"),
+            "n": g.column("ok_sum").cast(pa.int64())}), key_col)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        swv, sw = float(df["swv"].sum()), float(df["sw"].sum())
+        wavg = swv / sw if n and sw != 0 else np.nan
+        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
+                             "wavg": [wavg],
+                             "n": np.array([n], np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    key = out[key_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)

@@ -406,3 +406,27 @@ def test_rounding_family():
     # nulls propagate; integers promote to float64
     out = run(RoundTransform(), pa.array([None, 7], pa.int64()))
     assert lst(out) == [None, 7.0]
+
+
+def test_hash_bucket():
+    """Fit-free hashing-trick encoder: buckets in [0, n), NULL -> NULL,
+    deterministic across calls, md5 mode matches the SQL formula,
+    invalid args rejected."""
+    import hashlib
+
+    from feature_fabrica_ray.functions import HashBucket, TransformationError
+    vals = pa.array(["en", "fr", None, "zh", "en"])
+    out = run(HashBucket(8), vals)
+    out2 = run(HashBucket(8), vals)
+    assert lst(out) == lst(out2)
+    assert all(v is None or 0 <= v < 8 for v in lst(out))
+    assert lst(out)[2] is None and lst(out)[0] == lst(out)[4]
+    md5 = lst(run(HashBucket(8, method="md5"), vals))
+    exp = [None if v is None else
+           int(hashlib.md5(v.encode()).hexdigest()[:8], 16) % 8
+           for v in vals.to_pylist()]
+    assert md5 == exp
+    with pytest.raises(TransformationError):
+        HashBucket(0)
+    with pytest.raises(TransformationError):
+        HashBucket(4, method="sha1")

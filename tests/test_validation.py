@@ -1159,3 +1159,26 @@ def test_mix_corpora(ray_session):
         mix_corpora([(src, -1.0)], ["k"])
     with pytest.raises(ValueError):
         mix_corpora([(src, 0.0)], ["k"])
+
+
+def test_weighted_avg_per_group(ray_session):
+    """wavg == sum(w*v)/sum(w) per key with null pairs excluded; an
+    all-null group yields NULL; layout invariant."""
+    import numpy as np
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import weighted_avg_per_group
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "c"],
+        "v": [10.0, 20.0, None, 4.0, 8.0, None],
+        "w": [1.0, 3.0, 5.0, 1.0, None, 2.0],
+    })
+    for blocks in (1, 3):
+        out = weighted_avg_per_group(
+            ray.data.from_pandas(df).repartition(blocks), "k", "v", "w")
+        assert out["k"].tolist() == ["a", "b", "c"]
+        assert abs(out["wavg"][0] - (10 + 60) / 4.0) < 1e-12
+        assert out["wavg"][1] == 4.0
+        assert np.isnan(out["wavg"][2])
+        assert out["n"].tolist() == [2, 1, 0]
