@@ -53,7 +53,7 @@ from .textstats import (add_fingerprint, add_lang_id, add_quality,
                         text_stats, tfidf_top_terms, token_counts)
 from .topk import approx_heavy_hitters, topk_per_group
 from .uniqueness import uniqueness_violations, uniqueness_violations_ds
-from .writer import write_validated
+from .writer import write_jsonl_sharded, write_validated
 from .validate import (ValidationResult, bind_baselines, compute_baseline,
                        infer_checks, profile_table, run_suite, segment_drift)
 
@@ -66,7 +66,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "text_stats", "add_quality", "add_lang_id", "add_fingerprint",
            "DecodeImageFeatures", "FrameSampler", "decode_pipeline",
            "validate_resumable", "merge_results", "codetable_shards",
-           "broadcast_join", "write_validated", "drift_report", "DriftSketchActor",
+           "broadcast_join", "write_validated", "write_jsonl_sharded", "drift_report", "DriftSketchActor",
            "tumbling_window_agg", "sessionize", "extract_json_int",
            "profile_table", "hash_sample", "hash_split", "asof_join", "asof_join_broadcast",
            "minhash_lsh_pairs_distributed", "neardup_clusters", "fuzzy_join_pairs",

@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 from ..checks.suite import CheckSuite
 from ..state import hash64
 
-__all__ = ["write_validated"]
+__all__ = ["write_validated", "write_jsonl_sharded"]
 
 
 def write_validated(ds, suite: CheckSuite, out_dir: str, *,
@@ -62,3 +62,39 @@ def write_validated(ds, suite: CheckSuite, out_dir: str, *,
 
     n_pass = ray.data.read_parquet(f"{out_dir}/pass").count()
     return n_pass, n_viol
+
+
+def write_jsonl_sharded(ds, out_dir: str, *, shard_col: str | None = None,
+                        num_shards: int = 64) -> int:
+    """JSONL export for training-loader interchange: sharded
+    ``{out_dir}/shard-N/part-*.jsonl`` directories (never one giant
+    file), sharded on ``hash64(shard_col) % num_shards`` when a column
+    is given — content-derived, so a re-run lands every row in the same
+    shard dir — or on Ray's block layout otherwise. Each block task
+    appends its rows to its shards directly (streaming write, zero
+    shuffle, nothing collects to the driver); the ``shard`` value is
+    also a column in each row. Returns the row count written.
+    Parquet is the scan-path format (``write_validated``); JSONL exists
+    because tokenizer/loader toolchains commonly want it."""
+    import os
+    import uuid
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if shard_col is None:
+            shard = np.zeros(batch.num_rows, np.int32)
+        else:
+            shard = (hash64(batch.column(shard_col))
+                     % np.uint64(num_shards)).astype(np.int32)
+        batch = batch.append_column("shard", pa.array(shard, pa.int32()))
+        for s in np.unique(shard):
+            sub = batch.filter(pa.array(shard == s))
+            d = os.path.join(out_dir, f"shard-{int(s)}")
+            os.makedirs(d, exist_ok=True)
+            sub.to_pandas().to_json(
+                os.path.join(d, f"part-{uuid.uuid4().hex}.jsonl"),
+                orient="records", lines=True)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    counts = ds.map_batches(write_block, batch_format="pyarrow",
+                            batch_size=None).take_all()
+    return int(sum(r["n"] for r in counts))

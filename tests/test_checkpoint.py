@@ -389,3 +389,24 @@ checks:
         gf.loc["lang_dom", "metric"], abs=1e-12)
     assert bool(g.loc["lang_dom", "passed"]) == \
         bool(gf.loc["lang_dom", "passed"])
+
+
+def test_write_jsonl_sharded(ray_session, tmp_path):
+    """JSONL sink: shard dirs are content-derived (same rows -> same
+    shard across reruns), every row round-trips through read_json."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import write_jsonl_sharded
+
+    df = pd.DataFrame({"k": [f"r{i}" for i in range(100)],
+                       "v": list(range(100))})
+    out = str(tmp_path / "jsonl")
+    n = write_jsonl_sharded(ray.data.from_pandas(df).repartition(4), out,
+                            shard_col="k", num_shards=8)
+    assert n == 100
+    back = ray.data.read_json(out).to_pandas()
+    assert len(back) == 100
+    assert sorted(back["v"]) == list(range(100))
+    assert back.groupby("k")["shard"].nunique().max() == 1
+    import glob
+    assert len(glob.glob(f"{out}/shard-*")) > 1
