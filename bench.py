@@ -263,6 +263,21 @@ def bench_segstats() -> tuple[float, int]:
     return time.perf_counter() - t0, n + len(corr)
 
 
+def bench_boilerplate() -> tuple[float, int]:
+    """CCNet-style frequent-segment removal over documents: df combiner
+    + one keyed shuffle of distinct segments, broadcast hot set,
+    stateless scrub (token granularity on this corpus)."""
+    from feature_fabrica_ray.pipelines import remove_frequent_lines
+    from feature_fabrica_ray.sources import read_parquet_clean
+
+    t0 = time.perf_counter()
+    src = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                             columns=["doc_id", "text"])
+    out = remove_frequent_lines(src, min_frac=0.5, delim=" ")
+    n = _consume(out)
+    return time.perf_counter() - t0, n
+
+
 BENCHES = {
     "suite": bench_suite,
     "uniqueness": bench_uniqueness,
@@ -276,6 +291,7 @@ BENCHES = {
     "chunks": bench_chunks,
     "curation": bench_curation,
     "segstats": bench_segstats,
+    "boilerplate": bench_boilerplate,
 }
 
 
