@@ -3597,6 +3597,51 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_pr_chi2(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence profiling of (lang, source): contingency
+    built by the distinct-pair combiner (one keyed shuffle of per-block
+    cell counts), statistic evaluated over the full cross product incl.
+    empty cells (pipelines/grouped.py::chi_square_independence)."""
+    from feature_fabrica_ray.pipelines import chi_square_independence
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+    r = chi_square_independence(ds, "lang", "source")
+    return pd.DataFrame({
+        "chi2": [float(_round_away(pd.Series([r["chi2"]]), 6).iloc[0])],
+        "dof": np.array([r["dof"]], np.int64),
+        "n": np.array([r["n"]], np.int64),
+        "cramers_v": [float(_round_away(pd.Series([r["cramers_v"]]),
+                                        6).iloc[0])]})
+
+
+_CHI2_ORACLE = """
+WITH c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+           FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY lang, source),
+tot AS (SELECT sum(o) AS n FROM c),
+ra AS (SELECT lang, sum(o) AS rs FROM c GROUP BY lang),
+cb AS (SELECT source, sum(o) AS cs FROM c GROUP BY source),
+cell AS (SELECT g.rs, g.cs, coalesce(c.o, 0) AS o
+         FROM (SELECT ra.lang, cb.source, ra.rs, cb.cs
+               FROM ra CROSS JOIN cb) g
+         LEFT JOIN c ON g.lang = c.lang AND g.source = c.source),
+stat AS (SELECT sum((o - rs * cs / (SELECT n FROM tot)) ^ 2
+                    / (rs * cs / (SELECT n FROM tot))) AS chi2
+         FROM cell)
+SELECT round(chi2, 6) AS chi2,
+       CAST(((SELECT count(*) FROM ra) - 1)
+            * ((SELECT count(*) FROM cb) - 1) AS BIGINT) AS dof,
+       CAST((SELECT n FROM tot) AS BIGINT) AS n,
+       round(sqrt(chi2 / ((SELECT n FROM tot)
+                          * least((SELECT count(*) FROM ra) - 1,
+                                  (SELECT count(*) FROM cb) - 1))), 6)
+           AS cramers_v
+FROM stat
+"""
+
+
 def q_agg_wavg(sf_dir: str) -> pd.DataFrame:
     """Exact weighted mean per group (quantity-weighted price per
     returnflag): three-scalar algebraic combiner per block x key, one
@@ -3956,6 +4001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_correlation": q_pr_correlation,
         "pr_regression": q_pr_regression,
         "agg_wavg": q_agg_wavg,
+        "pr_chi2": q_pr_chi2,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -4073,5 +4119,6 @@ def oracle_sql() -> dict[str, str]:
         "pr_correlation": _CORRELATION_ORACLE,
         "pr_regression": _REGRESSION_ORACLE,
         "agg_wavg": _WAVG_ORACLE,
+        "pr_chi2": _CHI2_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

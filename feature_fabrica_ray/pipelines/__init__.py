@@ -18,6 +18,7 @@ from .events import (cumulative_agg, extract_json_int, extract_json_str,
 from .corpus import curate_corpus, mix_corpora
 from .reshape import explode_list, global_row_number, unpivot
 from .grouped import (approx_distinct_per_group, approx_group_quantiles,
+                      chi_square_independence,
                       entropy_per_group,
                       distinct_count_per_group,
                       freshness_check, grouped_correlation, grouped_outliers,
@@ -82,7 +83,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "common_ngrams", "remove_frequent_lines", "dedup_lines_within_doc",
            "group_quantiles", "pack_sequences", "kmeans", "kmeans_assign",
            "rolling_agg", "distinct_count_per_group", "rollup_agg",
-           "weighted_avg_per_group",
+           "weighted_avg_per_group", "chi_square_independence",
            "histogram_fixed", "grouped_stats", "lag_lead",
            "weighted_hash_sample", "normalize_text", "pivot_agg",
            "code_line_stats", "approx_group_quantiles",

@@ -41,7 +41,8 @@ __all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
            "pivot_agg", "mode_per_group", "grouping_sets_agg",
            "string_agg_per_group", "grouped_shape", "entropy_per_group",
            "monotonic_violations", "grouped_regression",
-           "grouped_outliers_iqr", "weighted_avg_per_group"]
+           "grouped_outliers_iqr", "weighted_avg_per_group",
+           "chi_square_independence"]
 
 
 def grouped_shape(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -1002,3 +1003,66 @@ def weighted_avg_per_group(ds, key_col: str, val_col: str,
            .to_pandas())
     key = out[key_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
+
+
+_MAX_CONTINGENCY_CELLS = 1_000_000  # |A| x |B| guard for the driver table
+
+
+def chi_square_independence(ds, col_a: str, col_b: str) -> dict:
+    """Pearson chi-square test of independence between two categorical
+    columns — the data-profiling "are these columns related" check
+    (e.g. does `lang` depend on `source`). Rows with a NULL on either
+    side are excluded.
+
+    Scale shape: the contingency table is built with the distinct-pair
+    combiner (each block collapses to its (a, b) counts; only those
+    partials move in ONE keyed shuffle), and only the merged |A|x|B|
+    table — bounded by category-product, guarded — reaches the driver,
+    where the statistic is evaluated over the FULL cross product
+    (empty cells contribute their expected count, as the test
+    requires). Returns {chi2, dof, n, cramers_v, n_a, n_b}."""
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([col_a, col_b])
+        t = t.filter(pc.and_(pc.is_valid(t.column(col_a)),
+                             pc.is_valid(t.column(col_b))))
+        g = t.group_by([col_a, col_b]).aggregate([([], "count_all")])
+        out = pa.table({col_a: g.column(col_a), col_b: g.column(col_b),
+                        "cnt": g.column("count_all").cast(pa.int64())})
+        k = pc.binary_join_element_wise(
+            pc.cast(out.column(col_a), pa.string()),
+            pc.cast(out.column(col_b), pa.string()), "\0")
+        return out.append_column("__gkey", k)
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({col_a: [df[col_a].iloc[0]],
+                             col_b: [df[col_b].iloc[0]],
+                             "cnt": np.array([int(df["cnt"].sum())],
+                                             np.int64)})
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("__gkey", num_partitions=shuffle_partitions())
+             .map_groups(per_cell, batch_format="pandas")
+             .to_pandas())
+    mat = cells.pivot_table(index=col_a, columns=col_b, values="cnt",
+                            aggfunc="sum", fill_value=0).to_numpy(np.float64)
+    if mat.size > _MAX_CONTINGENCY_CELLS:
+        raise ValueError(
+            f"chi_square_independence: contingency has {mat.size} cells — "
+            f"these columns are not low-cardinality categoricals")
+    n = mat.sum()
+    ra = mat.sum(axis=1, keepdims=True)
+    cb = mat.sum(axis=0, keepdims=True)
+    dof = (mat.shape[0] - 1) * (mat.shape[1] - 1)
+    if n == 0 or dof == 0:
+        return {"chi2": float("nan"), "dof": int(dof), "n": int(n),
+                "cramers_v": float("nan"),
+                "n_a": mat.shape[0], "n_b": mat.shape[1]}
+    exp = ra @ cb / n
+    chi2 = float(((mat - exp) ** 2 / exp).sum())
+    v = float(np.sqrt(chi2 / (n * min(mat.shape[0] - 1,
+                                      mat.shape[1] - 1))))
+    return {"chi2": chi2, "dof": int(dof), "n": int(n), "cramers_v": v,
+            "n_a": mat.shape[0], "n_b": mat.shape[1]}

@@ -1182,3 +1182,37 @@ def test_weighted_avg_per_group(ray_session):
         assert out["wavg"][1] == 4.0
         assert np.isnan(out["wavg"][2])
         assert out["n"].tolist() == [2, 1, 0]
+
+
+def test_chi_square_independence(ray_session):
+    """Statistic matches the textbook formula computed by hand on the
+    full contingency (incl. empty cells); perfectly dependent columns
+    give cramers_v ~ 1, independent ~ 0; null rows excluded; layout
+    invariant."""
+    import numpy as np
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import chi_square_independence
+
+    # perfectly dependent: b == a
+    dep = pd.DataFrame({"a": ["x", "y"] * 50, "b": ["x", "y"] * 50})
+    r = chi_square_independence(ray.data.from_pandas(dep), "a", "b")
+    assert abs(r["cramers_v"] - 1.0) < 1e-12 and r["dof"] == 1
+    # independent-by-construction uniform grid
+    ind = pd.DataFrame({"a": ["x", "x", "y", "y"] * 25,
+                        "b": ["u", "v", "u", "v"] * 25})
+    r = chi_square_independence(ray.data.from_pandas(ind), "a", "b")
+    assert abs(r["chi2"]) < 1e-12
+    # hand-checked 2x2 with an empty cell and a null row, layout invariant
+    df = pd.DataFrame({"a": ["x", "x", "x", "y", "y", None],
+                       "b": ["u", "u", "v", "u", "u", "u"]})
+    vals = []
+    for blocks in (1, 3):
+        r = chi_square_independence(
+            ray.data.from_pandas(df).repartition(blocks), "a", "b")
+        vals.append(r["chi2"])
+        assert r["n"] == 5
+    assert vals[0] == vals[1]
+    o = np.array([[2.0, 1.0], [2.0, 0.0]])
+    e = o.sum(1, keepdims=True) @ o.sum(0, keepdims=True) / o.sum()
+    assert abs(vals[0] - (((o - e) ** 2) / e).sum()) < 1e-12
