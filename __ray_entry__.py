@@ -3757,6 +3757,42 @@ FROM events GROUP BY user_id, window_start
 """
 
 
+def q_ev_dense(sf_dir: str) -> pd.DataFrame:
+    """Time-series densify: hourly tumbling windows per event_type with
+    the MISSING buckets inserted (n=0, sum_v=0) between each key's first
+    and last window — SQL generate_series + LEFT JOIN semantics
+    (pipelines/events.py::fill_time_gaps over the combiner output)."""
+    from feature_fabrica_ray.pipelines import (fill_time_gaps,
+                                               tumbling_window_agg)
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+    win = tumbling_window_agg(ds, "ts", "event_type", "value",
+                              width_s=3600)
+    win["sum_v"] = _round_away(win["sum_v"], 6)
+    out = fill_time_gaps(win, "event_type", "window_start", 3600,
+                         fill={"n": 0, "sum_v": 0.0})
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "window_start", "n", "sum_v"]]
+
+
+_EV_DENSE_ORACLE = """
+WITH w AS (SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(sum(value), 6) AS sum_v
+           FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, min(ws) AS mn, max(ws) AS mx
+         FROM w GROUP BY 1),
+grid AS (SELECT event_type, unnest(generate_series(mn, mx,
+                                                   INTERVAL 1 HOUR)) AS ws
+         FROM span)
+SELECT g.event_type, g.ws AS window_start,
+       CAST(coalesce(w.n, 0) AS BIGINT) AS n,
+       coalesce(w.sum_v, 0) AS sum_v
+FROM grid g LEFT JOIN w ON g.event_type = w.event_type AND g.ws = w.ws
+"""
+
+
 def q_ev_sessions(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -3973,6 +4009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_frames": q_mm_frames,
         "mm_resize": q_mm_resize,
         "ev_window": q_ev_window,
+        "ev_dense": q_ev_dense,
         "ev_sessions": q_ev_sessions,
         "ev_json": q_ev_json,
         "ev_cumsum": q_ev_cumsum,
@@ -4062,6 +4099,7 @@ def oracle_sql() -> dict[str, str]:
         "jn_semi": _SEMI_ORACLE,
         "jn_left": _LEFT_ORACLE,
         "ev_sliding": _SLIDING_ORACLE,
+        "ev_dense": _EV_DENSE_ORACLE,
         "ev_cumsum": _CUMSUM_ORACLE,
         "ev_rolling": _ROLLING_ORACLE,
         "ev_time_rolling": _TIME_ROLLING_ORACLE,

@@ -11,6 +11,7 @@ from .packing import pack_sequences
 from .quantiles import group_quantiles
 from .checkpoint import codetable_shards, merge_results, validate_resumable
 from .events import (cumulative_agg, extract_json_int, extract_json_str,
+                     fill_time_gaps,
                      first_last_value, percent_rank_window,
                      lag_lead,
                      rank_ntile, rolling_agg, sessionize, sliding_window_agg,
@@ -69,6 +70,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "validate_resumable", "merge_results", "codetable_shards",
            "broadcast_join", "write_validated", "write_jsonl_sharded", "drift_report", "DriftSketchActor",
            "tumbling_window_agg", "sessionize", "extract_json_int",
+           "fill_time_gaps",
            "profile_table", "hash_sample", "hash_split", "asof_join", "asof_join_broadcast",
            "minhash_lsh_pairs_distributed", "neardup_clusters", "fuzzy_join_pairs",
            "neardup_dedup_rows", "broadcast_range_join", "token_counts", "shuffle_join", "sliding_window_agg", "stratified_sample",

@@ -26,7 +26,8 @@ import pyarrow.compute as pc
 from ..tuning import shuffle_partitions
 
 __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
-           "extract_json_int", "cumulative_agg", "rolling_agg", "lag_lead"]
+           "extract_json_int", "cumulative_agg", "rolling_agg", "lag_lead",
+           "fill_time_gaps"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -382,3 +383,51 @@ def lag_lead(ds, ts_col: str, key_col: str, value_col: str,
 
     return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
         .map_groups(per_key, batch_format="pandas")
+
+
+def fill_time_gaps(win: pd.DataFrame, key_col: str,
+                   window_col: str = "window_start", width_s: int = 3600,
+                   fill: dict | None = None) -> pd.DataFrame:
+    """Densify a tumbling-window table: for every key, emit one row per
+    ``width_s`` bucket from its first to its last observed window,
+    inserting the missing buckets (SQL ``generate_series`` + LEFT JOIN)
+    with ``fill``-dict values (e.g. ``{"n": 0, "sum_v": 0.0}``) —
+    time-series models and monitors need the empty hours to exist, not
+    be silently absent.
+
+    Operates on the DRIVER-side window table (already a combiner
+    output, |keys x buckets| rows — small by construction): the expand
+    is one vectorized repeat/arange, no per-key Python loop. Rows with
+    a NULL key are passed through untouched (SQL generate_series over a
+    NULL span yields nothing). For key x bucket domains too big for the
+    driver, run the same logic inside ``groupby(key).map_groups``."""
+    step = width_s * 1_000_000
+    us = pd.to_datetime(win[window_col]).astype("datetime64[us]") \
+        .astype("int64")
+    work = win.assign(__us=us)
+    nullk = work[work[key_col].isna()]
+    work = work[work[key_col].notna()]
+    if not len(work):
+        return win
+    g = work.groupby(key_col)["__us"].agg(["min", "max"])
+    counts = ((g["max"] - g["min"]) // step + 1).to_numpy(np.int64)
+    total = int(counts.sum())
+    idx = np.arange(total, dtype=np.int64)
+    start_pos = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = idx - np.repeat(start_pos, counts)
+    dense = pd.DataFrame({
+        key_col: np.repeat(g.index.to_numpy(), counts),
+        "__us": np.repeat(g["min"].to_numpy(np.int64), counts)
+        + within * step})
+    out = dense.merge(work.drop(columns=[window_col]),
+                      on=[key_col, "__us"], how="left")
+    out[window_col] = pd.to_datetime(out.pop("__us"), unit="us")
+    for c, v in (fill or {}).items():
+        out[c] = out[c].fillna(v)
+    if len(nullk):
+        out = pd.concat([out, nullk.drop(columns="__us")],
+                        ignore_index=True)
+    cols = [key_col, window_col] + [c for c in win.columns
+                                    if c not in (key_col, window_col)]
+    return out[cols].sort_values([key_col, window_col]) \
+        .reset_index(drop=True)

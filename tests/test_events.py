@@ -695,3 +695,27 @@ def test_global_row_number(ray_session):
                              descending=True, base=0).to_pandas()
     assert (desc.sort_values("k", ascending=False)["row_num"].values
             == np.arange(300)).all()
+
+
+def test_fill_time_gaps():
+    """Missing buckets appear with fill values between each key's first
+    and last window; observed rows keep their values; per-key spans are
+    independent; NULL keys pass through untouched."""
+    from feature_fabrica_ray.pipelines import fill_time_gaps
+
+    win = pd.DataFrame({
+        "k": ["a", "a", "b", None],
+        "window_start": pd.to_datetime(
+            ["2024-01-01 00:00", "2024-01-01 03:00",
+             "2024-01-01 01:00", "2024-01-01 02:00"]),
+        "n": [2, 1, 5, 7],
+        "sum_v": [4.0, 2.0, 9.0, 1.0],
+    })
+    out = fill_time_gaps(win, "k", "window_start", 3600,
+                         fill={"n": 0, "sum_v": 0.0})
+    a = out[out["k"] == "a"]
+    assert len(a) == 4                      # 00,01,02,03
+    assert a["n"].tolist() == [2, 0, 0, 1]
+    assert a["sum_v"].tolist() == [4.0, 0.0, 0.0, 2.0]
+    assert len(out[out["k"] == "b"]) == 1   # single bucket, no expansion
+    assert out["k"].isna().sum() == 1       # null key passthrough
