@@ -2869,6 +2869,68 @@ def q_dd_simhash(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3)
 
 
+def q_dd_components(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-cluster component sizes, fully distributed
+    (pipelines/graph.py): two equivalence relations over a 20% document
+    subset — (lang, doc_id%31) and (source, doc_id%29) — are each
+    lowered to star edges (node -> per-key min, diameter-2 stars), the
+    union graph's components come from min-label propagation, and the
+    result is one (component id, size) row per cluster. Oracle: the
+    same stars + a recursive-CTE transitive closure in DuckDB."""
+    from feature_fabrica_ray.pipelines import connected_components, star_edges
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "source"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(ids % 5 == 0))
+        did = sel.column("doc_id").to_numpy(zero_copy_only=False)
+        ka = pc.binary_join_element_wise(
+            sel.column("lang"),
+            pa.array((did % 31).astype("U"), pa.string()), "#")
+        kb = pc.binary_join_element_wise(
+            sel.column("source"),
+            pa.array((did % 29).astype("U"), pa.string()), "#")
+        return pa.table({"doc_id": pa.array(did, pa.int64()),
+                         "ka": ka, "kb": kb})
+
+    sub = ds.map_batches(keyed, batch_format="pyarrow",
+                         batch_size=None).materialize()
+    edges = star_edges(sub, "doc_id", "ka") \
+        .union(star_edges(sub, "doc_id", "kb"))
+    comps = connected_components(edges, "a", "b")
+    out = comps.groupby("comp").count().to_pandas() \
+        .rename(columns={"count()": "n_nodes"})
+    out["comp"] = out["comp"].astype("int64")
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return out.sort_values("comp").reset_index(drop=True)
+
+
+_COMPONENTS_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         lang || '#' || CAST(doc_id % 31 AS VARCHAR) AS ka,
+         source || '#' || CAST(doc_id % 29 AS VARCHAR) AS kb
+  FROM documents WHERE doc_id % 5 = 0
+),
+ea AS (SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY ka) AS b FROM base),
+eb AS (SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY kb) AS b FROM base),
+edges AS (
+  SELECT a, b FROM ea UNION SELECT b, a FROM ea
+  UNION SELECT a, b FROM eb UNION SELECT b, a FROM eb
+),
+reach AS (
+  SELECT a AS node, b AS label FROM edges
+  UNION
+  SELECT e.a AS node, r.label FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT min(label) AS comp, CAST(count(*) AS BIGINT) AS n_nodes
+FROM (SELECT node, min(label) AS label FROM reach GROUP BY node)
+GROUP BY label ORDER BY comp
+"""
+
+
 def q_jn_fuzzy(sf_dir: str) -> pd.DataFrame:
     """Similarity (record-linkage) join (pipelines/dedup.py::
     fuzzy_join_pairs): documents joined against deterministically
@@ -3997,6 +4059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_minhash_distributed": q_dd_minhash_distributed,
         "dd_neardup_rows": q_dd_neardup_rows,
         "dd_neardup_distributed": q_dd_neardup_distributed,
+        "dd_components": q_dd_components,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
@@ -4142,6 +4205,7 @@ def oracle_sql() -> dict[str, str]:
         "sp_shuffle": _SP_SHUFFLE_ORACLE,
         "vl_monotonic": _MONOTONIC_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,
+        "dd_components": _COMPONENTS_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,

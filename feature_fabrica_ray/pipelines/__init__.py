@@ -34,7 +34,7 @@ from .drift_actor import DriftSketchActor, drift_report
 from .join import (bloom_filtered_join, broadcast_cross_join,
                    broadcast_join, broadcast_range_join, shuffle_join)
 from .setops import set_op_keys
-from .graph import connected_components
+from .graph import connected_components, star_edges
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
                     exact_dedup_rows, exact_dedup_rows_shuffle,
                     fuzzy_join_pairs, minhash_lsh_pairs,
@@ -90,7 +90,8 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "weighted_hash_sample", "normalize_text", "pivot_agg",
            "code_line_stats", "approx_group_quantiles",
            "rank_ntile", "mode_per_group", "set_op_keys",
-           "connected_components", "neardup_dedup_rows_distributed",
+           "connected_components", "star_edges",
+           "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",
            "global_row_number",
            "bloom_filtered_join", "broadcast_cross_join", "approx_heavy_hitters",

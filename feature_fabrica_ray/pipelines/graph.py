@@ -39,7 +39,7 @@ import pyarrow as pa
 
 from ..tuning import shuffle_partitions
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "star_edges"]
 
 
 def _canon2(names: list[str]):
@@ -138,3 +138,61 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
     raise RuntimeError(f"connected_components: no fixed point after "
                        f"{max_iters} rounds (graph diameter too large; "
                        f"use the large-star/small-star variant)")
+
+
+def star_edges(ds, id_col: str, key_col: str):
+    """Star edges (node -> per-key min node) for an equivalence key.
+
+    The standard way to feed an equivalence relation ("same normalized
+    text", "same LSH bucket", ...) into ``connected_components``
+    without the quadratic within-class pair blowup: each class of size
+    s contributes s edges to its min member (including the min's own
+    self-loop, which keeps singleton nodes in the node set) and has
+    diameter 2, so a union of several relations converges in a handful
+    of label-propagation rounds.
+
+    Cost shape at scale: one keyed min-aggregate plus one hash join of
+    the (id, key) projection against the KB..MB-sized per-key min
+    table — both native Ray Data shuffles of narrow columns; the wide
+    payload never moves.
+    """
+    proj = ds.select_columns([id_col, key_col]).materialize()
+    n = proj.count()
+    if n == 0:
+        import ray.data as _rd
+        empty = pa.array([], pa.int64())
+        return _rd.from_arrow(pa.table({"a": empty, "b": empty}))
+    nparts = shuffle_partitions()
+    # balanced non-empty blocks: Ray's hash join skips the schema
+    # broadcast for empty leading blocks (see connected_components)
+    proj = proj.repartition(min(nparts, n)).materialize()
+    mins = (proj.groupby(key_col, num_partitions=nparts).min(id_col)
+            .map_batches(_canon_keyed(key_col, f"min({id_col})"),
+                         batch_format="pyarrow", batch_size=None)
+            .materialize())
+    mins = mins.repartition(min(nparts, max(mins.count(), 1))).materialize()
+    out = proj.join(mins, join_type="inner", on=(key_col,),
+                    num_partitions=nparts)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_col not in batch.column_names:
+            empty = pa.array([], pa.int64())
+            return pa.table({"a": empty, "b": empty})
+        return pa.table({
+            "a": batch.column(id_col).cast(pa.int64()),
+            "b": batch.column(f"min({id_col})").cast(pa.int64()),
+        })
+
+    return out.map_batches(to_edges, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def _canon_keyed(key_name: str, val_name: str):
+    """Schema guard for (string key, int64 value) post-shuffle blocks
+    (empty hash-shuffle partitions carry no schema at all)."""
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns != 2:
+            return pa.table({key_name: pa.array([], pa.string()),
+                             val_name: pa.array([], pa.int64())})
+        return t.rename_columns([key_name, val_name])
+    return fn

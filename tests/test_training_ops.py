@@ -975,6 +975,41 @@ def test_connected_components_vs_union_find(ray_session):
     assert all(got_map[n] == 100 for n in range(100, 109))
 
 
+def test_star_edges_components(ray_session):
+    """star_edges lowers an equivalence key to node->class-min stars
+    (singletons kept via the min's self-loop); feeding the union of two
+    relations' stars into connected_components yields exactly the
+    components of the union equivalence graph."""
+    from feature_fabrica_ray.pipelines import (connected_components,
+                                               neardup_clusters, star_edges)
+
+    df = pd.DataFrame({
+        "id": [0, 1, 2, 3, 4, 5, 6, 7],
+        # relation A classes: {0,1} {2,3} {4} {5,6,7}
+        "ka": ["x", "x", "y", "y", "z", "w", "w", "w"],
+        # relation B bridges {2,3} with {4}; 7 alone
+        "kb": ["p", "q", "r", "r2", "r", "s", "s2", "t"],
+    })
+    ea = star_edges(_ds(df, blocks=3), "id", "ka").to_pandas()
+    # every node appears, each class points at its min
+    assert set(ea["a"]) == set(range(8))
+    amap = dict(zip(ea["a"], ea["b"]))
+    assert amap[1] == 0 and amap[3] == 2 and amap[4] == 4 and amap[7] == 5
+
+    eb = star_edges(_ds(df, blocks=2), "id", "kb").to_pandas()
+    both = pd.concat([ea, eb], ignore_index=True) \
+        .rename(columns={"a": "id_a", "b": "id_b"})
+    got = connected_components(_ds(both, blocks=3), "id_a", "id_b") \
+        .to_pandas()
+    got_map = dict(zip(got["node"].astype(int), got["comp"].astype(int)))
+    want = neardup_clusters(both)
+    assert got_map == want
+    # relation B's shared "r" key must have merged {2,3} with {4}
+    assert got_map[2] == got_map[3] == got_map[4]
+    assert got_map[0] == got_map[1] == 0
+    assert got_map[5] == got_map[6] == got_map[7] == 5
+
+
 def test_neardup_dedup_distributed_equals_driver(ray_session):
     """The zero-driver keep-one path (distributed pairs -> distributed
     components -> anti join) keeps exactly the rows the driver
