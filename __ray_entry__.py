@@ -3960,6 +3960,116 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value)
 """
 
 
+def q_ta_unigram(sf_dir: str):
+    """Unigram LM document scoring (pipelines/textstats.py::
+    unigram_logprob) — the cheap perplexity proxy for quality
+    filtering: fit corpus token frequencies distributedly (combiner
+    partials + one keyed groupby), broadcast the dimension-sized model
+    once via ray.put, score every document statelessly (avg ln p over
+    its tokens)."""
+    from feature_fabrica_ray.pipelines import unigram_logprob
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return unigram_logprob(ds)
+
+
+_UNIGRAM_ORACLE = r"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+             FROM documents),
+     tok2 AS (SELECT * FROM tok WHERE token <> ''),
+     tf AS (SELECT token, count(*) AS tf FROM tok2 GROUP BY token),
+     n AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(tf / total)), 6) AS avg_logprob
+FROM tok2 JOIN tf USING (token) CROSS JOIN n
+GROUP BY doc_id
+"""
+
+
+def q_ev_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered-funnel / sequential-pattern matching per user
+    (pipelines/events.py::funnel_steps): the greedy earliest
+    view -> click -> purchase completion, each step strictly after the
+    previous; rows are pruned to the 3 step types before the keyed
+    shuffle. Nullable step timestamps surface as float64 epoch-us so
+    the hash compare is dtype-stable."""
+    from feature_fabrica_ray.pipelines import funnel_steps
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    out = funnel_steps(ds, "ts", "user_id", "event_type", "event_id",
+                       ["view", "click", "purchase"])
+    for c in ("ts1_us", "ts2_us", "ts3_us"):
+        out[c] = out[c].astype("float64")
+    return out
+
+
+_FUNNEL_ORACLE = """
+WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+     t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+            JOIN t1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > t1.ts1
+            GROUP BY e.user_id),
+     t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+            JOIN t2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+            GROUP BY e.user_id),
+     base AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type IN ('view', 'click', 'purchase'))
+SELECT b.user_id,
+       CAST(CASE WHEN ts3 IS NOT NULL THEN 3 WHEN ts2 IS NOT NULL THEN 2
+                 WHEN ts1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps,
+       CAST(epoch_us(ts1) AS DOUBLE) AS ts1_us,
+       CAST(epoch_us(ts2) AS DOUBLE) AS ts2_us,
+       CAST(epoch_us(ts3) AS DOUBLE) AS ts3_us
+FROM base b LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+"""
+
+
+def q_jn_overlap(sf_dir: str) -> pd.DataFrame:
+    """Interval overlap self-join (pipelines/events.py::
+    interval_overlap_pairs): each event spans [ts, ts + value minutes);
+    all strictly-overlapping pairs within a user, with overlap length —
+    the SQL quadratic inequality self-join done as one keyed shuffle +
+    per-group sort/sweep proportional to actual overlaps."""
+    from feature_fabrica_ray.pipelines import interval_overlap_pairs
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id", "value"])
+
+    def to_iv(b: pa.Table) -> pa.Table:
+        s = b.column("ts").cast(pa.int64())
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        dur = np.floor(v * 60_000_000 + 0.5).astype(np.int64)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "s": s,
+            "e": pa.array(s.to_numpy(zero_copy_only=False) + dur,
+                          pa.int64()),
+        })
+
+    iv = ds.map_batches(to_iv, batch_format="pyarrow", batch_size=None)
+    return interval_overlap_pairs(iv, "user_id", "event_id", "s", "e")
+
+
+_OVERLAP_ORACLE = """
+WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT)
+                     AS e
+            FROM events)
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+FROM iv a JOIN iv b
+ON a.user_id = b.user_id AND a.event_id < b.event_id
+   AND a.s < b.e AND b.s < a.e
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4060,6 +4170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_neardup_rows": q_dd_neardup_rows,
         "dd_neardup_distributed": q_dd_neardup_distributed,
         "dd_components": q_dd_components,
+        "ta_unigram": q_ta_unigram,
+        "ev_funnel": q_ev_funnel,
+        "jn_overlap": q_jn_overlap,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
@@ -4206,6 +4319,9 @@ def oracle_sql() -> dict[str, str]:
         "vl_monotonic": _MONOTONIC_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,
         "dd_components": _COMPONENTS_ORACLE,
+        "ta_unigram": _UNIGRAM_ORACLE,
+        "ev_funnel": _FUNNEL_ORACLE,
+        "jn_overlap": _OVERLAP_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,

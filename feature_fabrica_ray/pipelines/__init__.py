@@ -11,7 +11,7 @@ from .packing import pack_sequences
 from .quantiles import group_quantiles
 from .checkpoint import codetable_shards, merge_results, validate_resumable
 from .events import (cumulative_agg, extract_json_int, extract_json_str,
-                     fill_time_gaps,
+                     fill_time_gaps, funnel_steps, interval_overlap_pairs,
                      first_last_value, percent_rank_window,
                      lag_lead,
                      rank_ntile, rolling_agg, sessionize, sliding_window_agg,
@@ -52,7 +52,8 @@ from .similarity import (cosine_topk, fit_centroids, fit_pca,
                          normalize_embeddings, pca_project)
 from .textstats import (add_fingerprint, add_lang_id, add_quality,
                         chunk_documents, code_line_stats,
-                        text_stats, tfidf_top_terms, token_counts)
+                        text_stats, tfidf_top_terms, token_counts,
+                        unigram_logprob)
 from .topk import approx_heavy_hitters, topk_per_group
 from .uniqueness import uniqueness_violations, uniqueness_violations_ds
 from .writer import write_jsonl_sharded, write_validated
@@ -91,6 +92,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "code_line_stats", "approx_group_quantiles",
            "rank_ntile", "mode_per_group", "set_op_keys",
            "connected_components", "star_edges",
+           "funnel_steps", "interval_overlap_pairs", "unigram_logprob",
            "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",
            "global_row_number",

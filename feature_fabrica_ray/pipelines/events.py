@@ -27,7 +27,7 @@ from ..tuning import shuffle_partitions
 
 __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "extract_json_int", "cumulative_agg", "rolling_agg", "lag_lead",
-           "fill_time_gaps"]
+           "fill_time_gaps", "funnel_steps", "interval_overlap_pairs"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -431,3 +431,107 @@ def fill_time_gaps(win: pd.DataFrame, key_col: str,
                                     if c not in (key_col, window_col)]
     return out[cols].sort_values([key_col, window_col]) \
         .reset_index(drop=True)
+
+
+def funnel_steps(ds, ts_col: str, key_col: str, type_col: str,
+                 order_col: str, steps: list[str]) -> pd.DataFrame:
+    """Ordered-funnel (sequential-pattern) completion per key: the
+    greedy earliest completion of ``steps`` — step 1 matches the key's
+    earliest event of type steps[0]; step k matches the earliest event
+    of type steps[k-1] STRICTLY after step k-1's match. Emits one row
+    per key holding ``steps`` completed (0..len(steps)) and each
+    completed step's timestamp as epoch microseconds (None beyond the
+    last completed step).
+
+    Scale shape: prune first — only events whose type is IN ``steps``
+    ever leave the read (for a 3-step funnel over a 50-type event
+    stream that is a ~94% row cut before the shuffle) — then the
+    canonical ``groupby(key).map_groups`` sequential pass (same
+    partitioning contract as ``sessionize``: one key's step events fit
+    one group). Keys with step-type events but an incomplete prefix
+    still emit (steps=0..k)."""
+    want = set(steps)
+
+    def prune(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column(type_col),
+                        value_set=pa.array(sorted(want), pa.string()))
+        return b.select([key_col, ts_col, type_col, order_col]).filter(keep)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        ty = df[type_col].to_numpy()
+        hit: list = []
+        prev = -np.inf
+        for s in steps:
+            m = np.flatnonzero((ty == s) & (ts > prev))
+            if m.size == 0:
+                break
+            prev = ts[m[0]]
+            hit.append(int(prev))
+        row = {key_col: df[key_col].iloc[0], "steps": len(hit)}
+        for i in range(len(steps)):
+            row[f"ts{i + 1}_us"] = hit[i] if i < len(hit) else None
+        return pd.DataFrame([row])
+
+    out = (ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
+           .groupby(key_col, num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    out["steps"] = out["steps"].astype("int64")
+    for i in range(len(steps)):
+        out[f"ts{i + 1}_us"] = out[f"ts{i + 1}_us"].astype("Int64")
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
+def interval_overlap_pairs(ds, key_col: str, id_col: str,
+                           start_col: str, end_col: str) -> pd.DataFrame:
+    """Interval overlap self-join within each key: all pairs of rows
+    (a, b) with ``a.id < b.id`` whose half-open intervals
+    [start, end) strictly overlap (``a.start < b.end AND b.start <
+    a.end``), plus the overlap length. Start/end are int64 (e.g. epoch
+    microseconds). The SQL equivalent is the quadratic inequality
+    self-join; here each key group is sorted by start once and swept —
+    emitted work is proportional to the ACTUAL number of overlapping
+    pairs, not |group|².
+
+    Scale shape: a narrow (key, id, start, end) projection hash-
+    partitions by key; per group one sort + one vectorized
+    searchsorted sweep. Output size is data-dependent (dense overlap
+    within a hot key is inherently quadratic in overlap degree — salt
+    such keys by time bucket first)."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([start_col, id_col], kind="mergesort")
+        s = df[start_col].to_numpy(np.int64)
+        e = df[end_col].to_numpy(np.int64)
+        ids = df[id_col].to_numpy(np.int64)
+        n = len(df)
+        # sorted by start: b>a (position) overlaps a iff s[b] < e[a]
+        hi = np.searchsorted(s, e, side="left")
+        counts = np.maximum(hi - np.arange(n) - 1, 0)
+        total = int(counts.sum())
+        empty = pd.DataFrame({key_col: pd.Series([], dtype=df[key_col].dtype),
+                              "id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "overlap_us": pd.Series([], dtype="int64")})
+        if total == 0:
+            return empty
+        a = np.repeat(np.arange(n), counts)
+        off = np.cumsum(counts) - counts
+        b = np.arange(total) - np.repeat(off, counts) + a + 1
+        ia, ib = ids[a], ids[b]
+        lo, hib = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({
+            key_col: df[key_col].iloc[0],
+            "id_a": lo.astype("int64"), "id_b": hib.astype("int64"),
+            "overlap_us": (np.minimum(e[a], e[b]) - s[b]).astype("int64"),
+        })
+
+    out = (ds.map_batches(
+        lambda t, c=(key_col, id_col, start_col, end_col): t.select(list(c)),
+        batch_format="pyarrow", batch_size=None)
+        .groupby(key_col, num_partitions=shuffle_partitions())
+        .map_groups(per_key, batch_format="pandas")
+        .to_pandas())
+    return out.sort_values([key_col, "id_a", "id_b"]).reset_index(drop=True)

@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 
 __all__ = ["text_stats", "add_quality", "add_lang_id", "add_fingerprint",
            "kgram_hashes", "token_hashes", "token_counts", "tfidf_top_terms",
-           "chunk_documents", "code_line_stats"]
+           "chunk_documents", "code_line_stats", "unigram_logprob"]
 
 _B = np.uint64(1099511628211)          # FNV prime as polynomial base
 _TOKEN_RE = r"\S+"
@@ -501,3 +501,72 @@ def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.concat_tables(parts)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model document scoring (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
+                    max_vocab_broadcast: int = 5_000_000):
+    """Per-document average unigram log-probability under the corpus's
+    own unigram model — the classic cheap perplexity proxy used to rank
+    documents for training-data quality filtering (low avg logprob =
+    rare-token-heavy = candidate junk).
+
+    Scale shape: two passes. Pass 1 fits the model distributedly
+    (``token_counts`` — combiner partials + one keyed groupby over
+    DISTINCT tokens); the fitted (token -> tf) table is dimension-sized
+    for natural language and broadcasts once via ``ray.put``. Pass 2 is
+    a stateless map: flat-split each batch, look up log p per distinct
+    token, segment-sum by document. Documents with zero tokens emit no
+    row (no probability is defined for them). Vocabularies beyond
+    ``max_vocab_broadcast`` raise — shuffle-join tokens against the
+    model instead. Returns a Dataset (id, n_tokens, avg_logprob) with
+    avg_logprob rounded half-away-from-zero to 6 decimals (SQL ROUND
+    semantics, so results are exactly comparable to an oracle)."""
+    import ray
+
+    vocab = token_counts(ds, text_col, id_col).materialize()
+    if vocab.count() > max_vocab_broadcast:
+        raise ValueError(
+            f"vocabulary has {vocab.count()} tokens — too large to "
+            f"broadcast; shuffle-join tokens against the model instead")
+    blocks = [t for t in ray.get(vocab.to_arrow_refs()) if t.num_rows]
+    vt = pa.concat_tables(blocks) if blocks else \
+        pa.table({"token": pa.array([], pa.string()),
+                  "tf": pa.array([], pa.int64())})
+    tf = vt.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+    total = float(tf.sum())
+    lp_map = dict(zip(vt.column("token").to_pylist(),
+                      np.log(tf / max(total, 1.0))))
+    ref = ray.put(lp_map)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp_map = ray.get(ref)
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(batch.column(text_col), ""))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = parent[keep]
+        words = np.asarray(flat.to_pylist(), dtype=object)[keep]
+        n = batch.num_rows
+        # one lookup per DISTINCT token in the batch, then scatter
+        uniq, inv = np.unique(words, return_inverse=True)
+        lp = np.array([lp_map.get(t, np.log(1.0 / max(total, 1.0)))
+                       for t in uniq], np.float64)[inv]
+        cnt = np.bincount(parent, minlength=n).astype(np.int64)
+        s = np.bincount(parent, weights=lp, minlength=n)
+        sel = np.flatnonzero(cnt > 0)
+        avg = s[sel] / cnt[sel]
+        avg = np.sign(avg) * np.floor(np.abs(avg) * 1e6 + 0.5) / 1e6
+        return pa.table({
+            id_col: pc.take(batch.column(id_col), pa.array(sel, pa.int64())),
+            "n_tokens": pa.array(cnt[sel], pa.int64()),
+            "avg_logprob": pa.array(avg, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)

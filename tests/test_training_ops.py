@@ -1123,3 +1123,92 @@ def test_shuffle_join_full_outer(ray_session):
     assert out["k"].tolist() == ["a", "b", "c"]
     assert out["lv"].fillna(-1).tolist() == [1, 2, -1]
     assert out["rv"].fillna(-1).tolist() == [-1, 20, 30]
+
+
+def test_unigram_logprob(ray_session):
+    """avg ln p(token) under the corpus-fit unigram model; empty docs
+    emit no row; result is invariant to block layout."""
+    import math
+
+    from feature_fabrica_ray.pipelines import unigram_logprob
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a a b", "b c", "", "a"],
+    })
+    # corpus: a=3, b=2, c=1, total=6
+    out = unigram_logprob(_ds(df, blocks=2)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 4]      # doc 3 empty
+    assert out["n_tokens"].tolist() == [3, 2, 1]
+    lp = {"a": math.log(3 / 6), "b": math.log(2 / 6), "c": math.log(1 / 6)}
+    want = [round((2 * lp["a"] + lp["b"]) / 3, 6),
+            round((lp["b"] + lp["c"]) / 2, 6),
+            round(lp["a"], 6)]
+    assert out["avg_logprob"].tolist() == pytest.approx(want, abs=1e-9)
+    out4 = unigram_logprob(_ds(df, blocks=4)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out4.equals(out)
+
+
+def test_funnel_steps(ray_session):
+    """Greedy earliest completion, each step STRICTLY after the
+    previous; keys with a broken prefix stop early."""
+    from feature_fabrica_ray.pipelines import funnel_steps
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = lambda k: t0 + pd.Timedelta(seconds=k)
+    df = pd.DataFrame({
+        # user 1: full funnel but the only purchase BEFORE click must
+        # not count; a later purchase completes it
+        "user_id": [1, 1, 1, 1, 1, 2, 2, 3, 4],
+        "event_type": ["view", "purchase", "click", "purchase", "view",
+                       "click", "view", "view", "error"],
+        "ts": [s(0), s(1), s(2), s(3), s(4),
+               s(0), s(1), s(5), s(0)],
+        "event_id": [10, 11, 12, 13, 14, 20, 21, 30, 40],
+    })
+    out = funnel_steps(_ds(df, blocks=3), "ts", "user_id", "event_type",
+                       "event_id", ["view", "click", "purchase"])
+    by = out.set_index("user_id")
+    # user 4 has no step-type events at all -> absent
+    assert sorted(by.index) == [1, 2, 3]
+    assert by.loc[1, "steps"] == 3
+    us = lambda k: int(s(k).value // 1000)
+    assert (by.loc[1, ["ts1_us", "ts2_us", "ts3_us"]].tolist()
+            == [us(0), us(2), us(3)])
+    # user 2: click before any view -> view matches at s(1), no click
+    # after it -> steps=1
+    assert by.loc[2, "steps"] == 1 and by.loc[2, "ts1_us"] == us(1)
+    assert by.loc[3, "steps"] == 1
+    assert pd.isna(by.loc[3, "ts2_us"]) and pd.isna(by.loc[1, "ts1_us"]) is False
+
+
+def test_interval_overlap_pairs(ray_session):
+    """Strict overlap semantics (touching endpoints do NOT overlap);
+    emitted pairs match the quadratic definition; keys are independent."""
+    from feature_fabrica_ray.pipelines import interval_overlap_pairs
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2],
+        "id": [1, 2, 3, 4, 5, 6],
+        "s": [0, 5, 10, 10, 0, 100],
+        "e": [10, 7, 20, 12, 50, 200],
+    })
+    out = interval_overlap_pairs(_ds(df, blocks=3), "k", "id", "s", "e")
+    # brute-force truth
+    want = []
+    for _, g in df.groupby("k"):
+        r = g.to_dict("records")
+        for i in range(len(r)):
+            for j in range(i + 1, len(r)):
+                a, b = r[i], r[j]
+                if a["s"] < b["e"] and b["s"] < a["e"]:
+                    want.append((a["k"], min(a["id"], b["id"]),
+                                 max(a["id"], b["id"]),
+                                 min(a["e"], b["e"]) - max(a["s"], b["s"])))
+    got = list(out.itertuples(index=False, name=None))
+    assert sorted(got) == sorted(want)
+    # (1,2) overlap [5,7); (3,4) overlap [10,12); 1-3 touch at 10 -> no
+    ids = {(a, b) for _, a, b, _ in got}
+    assert (1, 2) in ids and (3, 4) in ids and (1, 3) not in ids
