@@ -13,14 +13,15 @@ own id, then repeat
 
     label[n] <- min(label[n], min over neighbors m of label[m])
 
+followed by one pointer-jumping hop ``label[n] <- label[label[n]]``,
 until the global label sum stops changing (labels only ever decrease,
-so an unchanged sum means a fixed point). Each round is ONE hash join
-(neighbor label lookup) plus ONE keyed min-aggregate — both native Ray
-Data shuffles, no per-key Python. Rounds needed = graph diameter;
-near-dup components are small and dense (a handful of rounds), while a
-pathological million-node chain would need the alternating
-large-star/small-star variant — documented, not needed for the dedup
-workload this serves.
+so an unchanged sum means a fixed point). Each round is TWO hash joins
+(neighbor label lookup + the jump) plus ONE keyed min-aggregate — all
+native Ray Data shuffles, no per-key Python. Neighbor-min alone needs
+diameter rounds (a million-node chain would never finish); the jump
+halves the remaining label-tree depth every round, so rounds needed =
+O(log diameter) — the same exponential collapse the large-star/
+small-star algorithm gets, paid as one extra narrow join per round.
 
 The labels Dataset (one row per distinct node — orders of magnitude
 smaller than the edge set) is materialized once per round because it
@@ -129,6 +130,23 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
                                batch_format="pyarrow", batch_size=None)
                   .repartition(min(nparts, n_nodes))
                   .materialize())
+        # pointer jumping: label[n] <- label[label[n]]. Every label
+        # value is itself a node id in the table (labels start as ids
+        # and only ever take other nodes' ids via min), so the 1:1 join
+        # is total and new label = the jumped label (labels only
+        # decrease). Neighbor-min alone needs diameter rounds on a
+        # chain; the jump halves remaining depth each round, so
+        # convergence is O(log diameter) at one extra narrow join per
+        # round.
+        hop = labels.map_batches(_canon2(["node2", "label2"]),
+                                 batch_format="pyarrow", batch_size=None)
+        labels = (labels.join(hop, join_type="inner", on=("label",),
+                              right_on=("node2",), num_partitions=nparts)
+                  .select_columns(["node", "label2"])
+                  .map_batches(_canon2(["node", "label"]),
+                               batch_format="pyarrow", batch_size=None)
+                  .repartition(min(nparts, n_nodes))
+                  .materialize())
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
             return labels.map_batches(_canon2(["node", "comp"]),
@@ -136,8 +154,8 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
                                       batch_size=None)
         prev_sum = cur_sum
     raise RuntimeError(f"connected_components: no fixed point after "
-                       f"{max_iters} rounds (graph diameter too large; "
-                       f"use the large-star/small-star variant)")
+                       f"{max_iters} rounds (with pointer jumping this "
+                       f"bounds diameter at ~2**{max_iters})")
 
 
 def star_edges(ds, id_col: str, key_col: str):

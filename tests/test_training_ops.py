@@ -1212,3 +1212,17 @@ def test_interval_overlap_pairs(ray_session):
     # (1,2) overlap [5,7); (3,4) overlap [10,12); 1-3 touch at 10 -> no
     ids = {(a, b) for _, a, b, _ in got}
     assert (1, 2) in ids and (3, 4) in ids and (1, 3) not in ids
+
+
+def test_connected_components_long_chain(ray_session):
+    """Pointer jumping collapses convergence to O(log diameter): a
+    300-node path (diameter 299) must finish well under 299 rounds —
+    neighbor-min alone would need one round per hop."""
+    from feature_fabrica_ray.pipelines import connected_components
+
+    n = 300
+    df = pd.DataFrame({"a": np.arange(n - 1), "b": np.arange(1, n)})
+    got = connected_components(_ds(df, blocks=4), "a", "b", max_iters=12) \
+        .to_pandas()
+    assert len(got) == n
+    assert (got["comp"] == 0).all()
