@@ -4070,6 +4070,34 @@ ON a.user_id = b.user_id AND a.event_id < b.event_id
 """
 
 
+def q_ss_quantize(sf_dir: str):
+    """Int8 embedding quantization (pipelines/similarity.py::
+    quantize_embeddings): per-dimension min-max ranges fit via one
+    (2, d)-per-block combiner partial, broadcast once, stateless
+    long-form (vec_id, dim, q) emission — the 4x vector-store
+    compression step before ANN indexing."""
+    from feature_fabrica_ray.pipelines import quantize_embeddings
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return quantize_embeddings(ds)
+
+
+_QUANTIZE_ORACLE = """
+WITH flat AS (SELECT vec_id,
+                     generate_subscripts(embedding, 1) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings),
+     rng AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM flat GROUP BY dim)
+SELECT f.vec_id, CAST(f.dim - 1 AS BIGINT) AS dim,
+       CAST(CASE WHEN r.hi = r.lo THEN 0
+            ELSE least(255, greatest(0,
+                 round((f.x - r.lo) / (r.hi - r.lo) * 255))) END
+            AS BIGINT) AS q
+FROM flat f JOIN rng r USING (dim)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4173,6 +4201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_unigram": q_ta_unigram,
         "ev_funnel": q_ev_funnel,
         "jn_overlap": q_jn_overlap,
+        "ss_quantize": q_ss_quantize,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
@@ -4322,6 +4351,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_unigram": _UNIGRAM_ORACLE,
         "ev_funnel": _FUNNEL_ORACLE,
         "jn_overlap": _OVERLAP_ORACLE,
+        "ss_quantize": _QUANTIZE_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,

@@ -49,7 +49,8 @@ from .sampling import (hash_sample, hash_split, md5_fraction_threshold,
                        stratified_sample, weighted_hash_sample)
 from .similarity import (cosine_topk, fit_centroids, fit_pca,
                          ivf_topk, kmeans, kmeans_assign,
-                         normalize_embeddings, pca_project)
+                         normalize_embeddings, pca_project,
+                         quantize_embeddings)
 from .textstats import (add_fingerprint, add_lang_id, add_quality,
                         chunk_documents, code_line_stats,
                         text_stats, tfidf_top_terms, token_counts,
@@ -93,6 +94,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "rank_ntile", "mode_per_group", "set_op_keys",
            "connected_components", "star_edges",
            "funnel_steps", "interval_overlap_pairs", "unigram_logprob",
+           "quantize_embeddings",
            "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",
            "global_row_number",

@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["cosine_topk", "ivf_topk", "fit_centroids",
+__all__ = ["cosine_topk", "ivf_topk", "fit_centroids", "quantize_embeddings",
            "normalize_embeddings", "fit_pca", "pca_project",
            "kmeans", "kmeans_assign"]
 
@@ -305,3 +305,66 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
         return batch.append_column(out_col, pa.array(a, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def quantize_embeddings(ds, vec_col: str = "embedding",
+                        id_col: str = "vec_id", bits: int = 8):
+    """Per-dimension min-max int quantization of an embedding column —
+    the standard vector-store compression step (float32 -> uint8 cuts
+    index storage 4x before ANN indexing).
+
+    Scale shape: two passes. Pass 1 fits the per-dimension (lo, hi)
+    range with the combiner pattern — each block reduces to ONE
+    (2, d) partial, the driver folds the tiny per-block partials (d
+    floats each, independent of row count). Pass 2 is a stateless map
+    emitting long-form (id, dim, q) rows with
+    ``q = round((x - lo) / (hi - lo) * (2**bits - 1))`` clamped to the
+    code range; constant dimensions (hi == lo) quantize to 0.
+    Arithmetic is float64 on both engines so results are
+    bit-reproducible against a SQL oracle."""
+    import ray
+
+    levels = float(2 ** bits - 1)
+
+    def rng_partial(batch: pa.Table) -> pa.Table:
+        M = _vectors(batch, vec_col)
+        if M.size == 0:
+            return pa.table({"lo": pa.array([], pa.list_(pa.float64())),
+                             "hi": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({"lo": pa.array([M.min(axis=0).tolist()]),
+                         "hi": pa.array([M.max(axis=0).tolist()])})
+
+    parts = ds.map_batches(rng_partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if not len(parts):
+        return ds.map_batches(
+            lambda b: pa.table({id_col: pa.array([], pa.int64()),
+                                "dim": pa.array([], pa.int64()),
+                                "q": pa.array([], pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+    lo = np.min(np.stack(parts["lo"].to_numpy()), axis=0)
+    hi = np.max(np.stack(parts["hi"].to_numpy()), axis=0)
+    scale = np.where(hi > lo, hi - lo, 1.0)
+    const = hi == lo
+    ref = ray.put((lo, scale, const))
+
+    def quant(batch: pa.Table) -> pa.Table:
+        lo, scale, const = ray.get(ref)
+        M = _vectors(batch, vec_col)
+        n, d = M.shape if M.size else (0, lo.size)
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64())})
+        q = np.floor((M - lo) / scale * levels + 0.5)
+        q = np.clip(q, 0.0, levels)
+        q[:, const] = 0.0
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "q": pa.array(q.reshape(-1).astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow", batch_size=None)

@@ -1226,3 +1226,26 @@ def test_connected_components_long_chain(ray_session):
         .to_pandas()
     assert len(got) == n
     assert (got["comp"] == 0).all()
+
+
+def test_quantize_embeddings(ray_session):
+    """Per-dim min-max int8 codes: extremes map to 0/255, constant
+    dims to 0; layout-invariant because ranges are fit globally."""
+    from feature_fabrica_ray.pipelines import quantize_embeddings
+
+    df = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[0.0, 5.0, 7.0], [10.0, 5.0, 3.0], [5.0, 5.0, 5.0]],
+    })
+    out = quantize_embeddings(_ds(df, blocks=3)).to_pandas() \
+        .sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    got = {(r.vec_id, r.dim): r.q for r in out.itertuples()}
+    # dim 0: lo=0 hi=10 -> 0, 255, 128 (round(5/10*255)=round(127.5)=128)
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 255 and got[(2, 0)] == 128
+    # dim 1 constant -> all 0
+    assert got[(0, 1)] == got[(1, 1)] == got[(2, 1)] == 0
+    # dim 2: lo=3 hi=7 -> 255, 0, 128
+    assert got[(0, 2)] == 255 and got[(1, 2)] == 0 and got[(2, 2)] == 128
+    out1 = quantize_embeddings(_ds(df, blocks=1)).to_pandas() \
+        .sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    assert out1.equals(out)
