@@ -22,9 +22,44 @@ import pyarrow as pa
 # oversubscribing the node and silently breaking CPU-scaling measurements.
 os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
+def _polars_healthy(_pl) -> bool:
+    """Exercise the exact call chain hash64 uses so every lazily-loaded
+    polars submodule is fully imported before any task-time call — and
+    so a torn module graph is detected here rather than mid-shuffle."""
+    try:
+        _pl.from_arrow(pa.array(["warmup"])).hash(seed=np.uint64(0))
+        return True
+    except Exception:
+        return False
+
+
+def _reimport_polars():
+    """Repair a torn polars module graph by re-importing from scratch.
+
+    A worker can find `polars._reexport` (plain top-level imports, no
+    lazy __getattr__) registered in sys.modules but only PARTIALLY
+    executed — its attributes missing at call time (`module
+    'polars._reexport' has no attribute 'Series'`, seen in fresh
+    workers when two Datasets execute concurrently).
+    ``importlib.reload`` of the top package does NOT re-execute
+    already-registered submodules, so the only reliable repair is
+    deleting every ``polars*`` entry from sys.modules and importing
+    fresh — single-threaded at this point, so the new import graph is
+    complete by construction."""
+    import importlib
+    import sys
+
+    for k in [k for k in list(sys.modules)
+              if k == "polars" or k.startswith("polars.")]:
+        sys.modules.pop(k, None)
+    return importlib.import_module("polars")
+
+
 try:
     import polars as pl
 
+    if not _polars_healthy(pl):  # pragma: no cover - torn-import repair
+        pl = _reimport_polars()
     _HAS_POLARS = True
 except ImportError:  # pragma: no cover
     _HAS_POLARS = False
@@ -63,6 +98,7 @@ def hash64(values, seed: int = 0) -> np.ndarray:
     fixed value (polars semantics), so they never collide randomly.
     """
     if _HAS_POLARS:
+        global pl
         last = None
         for _ in range(16):
             try:
@@ -71,18 +107,16 @@ def hash64(values, seed: int = 0) -> np.ndarray:
                               & np.uint64(0xFFFFFFFFFFFFFFFF)) \
                     .to_numpy().astype(np.uint64)
             except AttributeError as e:
-                # torn polars lazy-import state, seen in fresh workers when
-                # two Datasets execute concurrently; retry after forcing a
-                # clean reimport. If it stays torn we RAISE (Ray's task
-                # retry gets a fresh worker) — never silently fall back to
-                # a different hash function mid-run, which would corrupt
-                # shuffles and sketches.
+                # torn polars module graph (see _reimport_polars).
+                # Purge-and-reimport, then retry. If it stays torn we
+                # RAISE — never silently fall back to a different hash
+                # function mid-run, which would corrupt shuffles and
+                # sketches.
                 last = e
-                import importlib
                 import time as _time
 
                 try:
-                    importlib.reload(pl)
+                    pl = _reimport_polars()
                 except Exception:
                     pass
                 _time.sleep(0.05)

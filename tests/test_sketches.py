@@ -284,3 +284,32 @@ def test_higher_moments_merge_matches_pandas():
     # degenerate guards
     assert np.isnan(HigherMoments.from_array(np.array([1.0, 2.0])).skewness)
     assert np.isnan(HigherMoments.from_array(np.ones(10)).kurtosis)
+
+
+def test_hash64_repairs_torn_polars_module():
+    """A worker can find polars._reexport registered in sys.modules but
+    partially executed (attributes missing at call time). hash64 must
+    repair by purging and re-importing the polars graph — NOT fall back
+    to a different hash function, which would corrupt shuffles."""
+    import sys
+
+    import pyarrow as pa
+
+    from feature_fabrica_ray.state import hashing
+
+    if not hashing._HAS_POLARS:
+        import pytest
+        pytest.skip("polars not installed")
+
+    vals = pa.array(["alpha", "beta", "gamma"])
+    want = hashing.hash64(vals, seed=7)
+
+    # tear the module graph the way a mid-import snapshot would
+    rx = sys.modules["polars._reexport"]
+    del rx.Series
+    got = hashing.hash64(vals, seed=7)
+    assert (got == want).all()
+    # the repair must have rebuilt the graph (fresh module object),
+    # not silently skipped the torn path
+    assert sys.modules["polars._reexport"] is not rx
+    assert hashing._polars_healthy(hashing.pl)
