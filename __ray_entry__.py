@@ -4098,6 +4098,35 @@ FROM flat f JOIN rng r USING (dim)
 """
 
 
+def q_ev_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix (pipelines/events.py::cohort_retention):
+    users cohorted by ISO week of first event; distinct active users
+    per (cohort, week offset). One keyed shuffle of (user, ts) — each
+    group resolves its cohort and distinct weeks locally — plus one
+    tiny (cohort, offset) count; no join, no count-distinct shuffle."""
+    from feature_fabrica_ray.pipelines import cohort_retention
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    return cohort_retention(ds, "ts", "user_id")
+
+
+_RETENTION_ORACLE = """
+WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+           FROM events GROUP BY user_id),
+     a AS (SELECT e.user_id,
+                  CAST(epoch_us(CAST(f.cohort AS TIMESTAMP)) AS BIGINT)
+                    AS cohort_us,
+                  CAST(datediff('week', f.cohort,
+                                date_trunc('week', e.ts)) AS BIGINT)
+                    AS offset_w
+           FROM events e JOIN f USING (user_id))
+SELECT cohort_us, offset_w,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+FROM a GROUP BY cohort_us, offset_w
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4202,6 +4231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_funnel": q_ev_funnel,
         "jn_overlap": q_jn_overlap,
         "ss_quantize": q_ss_quantize,
+        "ev_retention": q_ev_retention,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
@@ -4352,6 +4382,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_funnel": _FUNNEL_ORACLE,
         "jn_overlap": _OVERLAP_ORACLE,
         "ss_quantize": _QUANTIZE_ORACLE,
+        "ev_retention": _RETENTION_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,

@@ -124,6 +124,29 @@ def cmd_transform(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    from .pipelines import curate_corpus
+    from .sources import read_parquet_clean
+
+    _ensure_ray()
+    ds = read_parquet_clean(args.input,
+                            columns=[args.id_col, args.text_col])
+    out = curate_corpus(ds, text_col=args.text_col, id_col=args.id_col,
+                        min_words=args.min_words,
+                        max_tokens=args.max_tokens,
+                        context_len=args.context_len,
+                        n_shards=args.shards)
+    out.write_parquet(args.out)
+    import ray.data
+
+    try:
+        n = ray.data.read_parquet(args.out).count()
+    except FileNotFoundError:     # everything gated out: no files written
+        n = 0
+    print(json.dumps({"chunks_written": n}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="feature_fabrica_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -149,6 +172,18 @@ def main(argv=None) -> int:
     t.add_argument("--groups", nargs="*")
     t.add_argument("--lineage", help="write per-stage lineage JSON here")
     t.set_defaults(fn=cmd_transform)
+
+    c = sub.add_parser("curate", help="quality-gate, dedup, chunk and "
+                       "pack a document corpus into training sequences")
+    c.add_argument("--input", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--min-words", type=int, default=10)
+    c.add_argument("--max-tokens", type=int, default=128)
+    c.add_argument("--context-len", type=int, default=512)
+    c.add_argument("--shards", type=int, default=16)
+    c.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -10,7 +10,8 @@ from .curation import (common_ngrams, decontaminate,
 from .packing import pack_sequences
 from .quantiles import group_quantiles
 from .checkpoint import codetable_shards, merge_results, validate_resumable
-from .events import (cumulative_agg, extract_json_int, extract_json_str,
+from .events import (cohort_retention, cumulative_agg,
+                     extract_json_int, extract_json_str,
                      fill_time_gaps, funnel_steps, interval_overlap_pairs,
                      first_last_value, percent_rank_window,
                      lag_lead,
@@ -94,6 +95,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "rank_ntile", "mode_per_group", "set_op_keys",
            "connected_components", "star_edges",
            "funnel_steps", "interval_overlap_pairs", "unigram_logprob",
+           "cohort_retention",
            "quantize_embeddings",
            "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",

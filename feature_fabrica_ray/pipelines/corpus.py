@@ -41,9 +41,14 @@ def curate_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
     from .packing import pack_sequences
     from .textstats import chunk_documents
 
+    def keep_passing(batch: pa.Table) -> pa.Table:
+        # vectorized gate — ds.filter(row_udf) would walk Python rows
+        return batch.filter(pc.fill_null(batch.column("passes_gopher"),
+                                         False))
+
     gated = gopher_quality(ds, text_col=text_col, min_words=min_words,
                            **(gopher_kw or {})) \
-        .filter(lambda r: r["passes_gopher"])
+        .map_batches(keep_passing, batch_format="pyarrow", batch_size=None)
     normed = normalize_text(gated, text_col=text_col, with_hash=True)
 
     def project(batch: pa.Table) -> pa.Table:

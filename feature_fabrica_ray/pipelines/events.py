@@ -27,7 +27,8 @@ from ..tuning import shuffle_partitions
 
 __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "extract_json_int", "cumulative_agg", "rolling_agg", "lag_lead",
-           "fill_time_gaps", "funnel_steps", "interval_overlap_pairs"]
+           "fill_time_gaps", "funnel_steps", "interval_overlap_pairs",
+           "cohort_retention"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -535,3 +536,45 @@ def interval_overlap_pairs(ds, key_col: str, id_col: str,
         .map_groups(per_key, batch_format="pandas")
         .to_pandas())
     return out.sort_values([key_col, "id_a", "id_b"]).reset_index(drop=True)
+
+
+def cohort_retention(ds, ts_col: str, key_col: str) -> pd.DataFrame:
+    """Cohort retention matrix: keys are cohorted by the ISO week of
+    their first event; for each (cohort week, week offset) the number
+    of distinct keys active in that week. The classic product-analytics
+    rollup, and a template for any first-touch cohort metric.
+
+    Scale shape: ONE keyed shuffle of a narrow (key, ts) projection —
+    each key group computes its cohort and its distinct active-week
+    offsets in one vectorized pass (same partitioning contract as
+    ``sessionize``: one key's events fit one group; the emitted rows
+    per key = its distinct active weeks, already deduplicated), then
+    one tiny keyed count over (cohort, offset) rows. No join, no count-
+    distinct shuffle: distinctness per key is resolved inside the group.
+    Cohort weeks surface as epoch microseconds of the week start
+    (Monday), matching SQL date_trunc('week')."""
+    _US_PER_DAY = 86_400_000_000
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        day = ts // _US_PER_DAY
+        week_start = day - (day + 3) % 7      # 1970-01-01 was a Thursday
+        weeks = np.unique(week_start)
+        cohort = weeks[0]
+        return pd.DataFrame({
+            "cohort_us": np.full(weeks.size, cohort * _US_PER_DAY,
+                                 dtype=np.int64),
+            "offset_w": (weeks - cohort) // 7,
+        })
+
+    proj = ds.map_batches(
+        lambda t, c=(key_col, ts_col): t.select(list(c)),
+        batch_format="pyarrow", batch_size=None)
+    pairs = proj.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas")
+    out = pairs.groupby(["cohort_us", "offset_w"],
+                        num_partitions=shuffle_partitions()).count() \
+        .to_pandas().rename(columns={"count()": "n_keys"})
+    for c in ("cohort_us", "offset_w", "n_keys"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cohort_us", "offset_w"]).reset_index(drop=True)

@@ -109,3 +109,25 @@ checks:
                "--out", str(workdir / "o_par"))
     assert out[-1]["passed"] is False        # orphans exist
     assert out[-1]["n_violations"] == 2      # two b/r2 rows
+
+
+def test_cli_curate(workdir):
+    """End-to-end curate surface: gate/dedup/chunk/pack documents to a
+    packed-chunk parquet directory."""
+    # must clear the gopher gate: alphabetic words, no word >15% of total
+    words = " ".join(["alpha beta gamma delta epsilon zeta eta theta "
+                      "iota kappa"] * 4)
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": [words, words,            # exact dup pair
+                           "too short",             # fails gopher gate
+                           words + " extra trailer"]})
+    pq.write_table(t, str(workdir / "docs.parquet"))
+    out = _run("curate", "--input", str(workdir / "docs.parquet"),
+               "--out", str(workdir / "curated"),
+               "--min-words", "5", "--max-tokens", "16",
+               "--context-len", "64", "--shards", "2")
+    assert out[-1]["chunks_written"] > 0
+    kept = pq.read_table(str(workdir / "curated"))
+    # doc 3 gated out; dup pair keeps min id 1 -> docs {1, 4}
+    ids = set(pa.compute.unique(kept.column("doc_id")).to_pylist())
+    assert ids == {1, 4}

@@ -1249,3 +1249,30 @@ def test_quantize_embeddings(ray_session):
     out1 = quantize_embeddings(_ds(df, blocks=1)).to_pandas() \
         .sort_values(["vec_id", "dim"]).reset_index(drop=True)
     assert out1.equals(out)
+
+
+def test_cohort_retention(ray_session):
+    """Cohorts truncate to Monday (SQL date_trunc('week') parity);
+    a key active twice in one week counts once; offsets are exact
+    week deltas."""
+    from feature_fabrica_ray.pipelines import cohort_retention
+
+    mon = pd.Timestamp("2024-01-01")          # a Monday
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2, 3],
+        "ts": [mon + pd.Timedelta(days=2),    # u1 week 0 (Wed)
+               mon + pd.Timedelta(days=3),    # u1 week 0 again (Thu)
+               mon + pd.Timedelta(days=15),   # u1 week 2
+               mon + pd.Timedelta(days=6),    # u2 week 0 (Sunday!)
+               mon + pd.Timedelta(days=7),    # u2 week 1 (next Monday)
+               mon + pd.Timedelta(days=21)],  # u3 cohort = week 3
+    })
+    out = cohort_retention(_ds(df, blocks=3), "ts", "u")
+    us = lambda d: int((mon + pd.Timedelta(days=d)).value // 1000)
+    got = {(r.cohort_us, r.offset_w): r.n_keys for r in out.itertuples()}
+    assert got == {
+        (us(0), 0): 2,     # u1 + u2 active in their cohort week
+        (us(0), 1): 1,     # u2
+        (us(0), 2): 1,     # u1
+        (us(21), 0): 1,    # u3's own cohort
+    }
