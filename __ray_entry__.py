@@ -4127,6 +4127,58 @@ FROM a GROUP BY cohort_us, offset_w
 """
 
 
+def q_pr_anova(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA F-test of event value against event type
+    (pipelines/grouped.py::anova_f) — the numeric-vs-categorical member
+    of the profiling triad (chi2 = cat/cat, Pearson = num/num); per-
+    category (n, Σv, Σv²) combiner partials, driver assembles F from k
+    3-tuples."""
+    from feature_fabrica_ray.pipelines import anova_f
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    return anova_f(ds, "event_type", "value")
+
+
+_ANOVA_ORACLE = """
+WITH g AS (SELECT event_type, count(value) AS n, sum(value) AS s,
+                  sum(value * value) AS ss
+           FROM events WHERE value IS NOT NULL GROUP BY event_type),
+     t AS (SELECT CAST(sum(n) AS BIGINT) AS n, sum(s) AS s,
+                  CAST(count(*) AS BIGINT) AS k FROM g),
+     parts AS (SELECT
+         (SELECT sum(n * ((s / n) - (SELECT s / n FROM t)) ^ 2) FROM g)
+           AS ssb,
+         (SELECT sum(ss - s * s / n) FROM g) AS ssw)
+SELECT round((ssb / (t.k - 1)) / (ssw / (t.n - t.k)), 6) AS f_stat,
+       t.k - 1 AS df_between, t.n - t.k AS df_within, t.k AS k, t.n AS n
+FROM parts, t
+"""
+
+
+def q_ft_target_enc(sf_dir: str) -> pd.DataFrame:
+    """Leave-one-out target encoding (pipelines/grouped.py::
+    target_encode_loo): l_returnflag encoded by the mean l_quantity of
+    the OTHER rows in its category — dimension-sized (Σv, n) fit
+    broadcast once, stateless vectorized encode, no data shuffle."""
+    from feature_fabrica_ray.pipelines import target_encode_loo
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_returnflag", "l_quantity"])
+    out = target_encode_loo(ds, "l_returnflag", "l_quantity")
+    return out.select_columns(["l_orderkey", "l_linenumber", "te"])
+
+
+_TARGET_ENC_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round((sum(l_quantity) OVER w - l_quantity)
+             / nullif(count(l_quantity) OVER w - 1, 0), 6) AS te
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4232,6 +4284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jn_overlap": q_jn_overlap,
         "ss_quantize": q_ss_quantize,
         "ev_retention": q_ev_retention,
+        "pr_anova": q_pr_anova,
+        "ft_target_enc": q_ft_target_enc,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
@@ -4383,6 +4437,8 @@ def oracle_sql() -> dict[str, str]:
         "jn_overlap": _OVERLAP_ORACLE,
         "ss_quantize": _QUANTIZE_ORACLE,
         "ev_retention": _RETENTION_ORACLE,
+        "pr_anova": _ANOVA_ORACLE,
+        "ft_target_enc": _TARGET_ENC_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,

@@ -34,7 +34,8 @@ def _with_shuffle_key(t: pa.Table, key_col: str) -> pa.Table:
     k = pc.fill_null(pc.cast(t.column(key_col), pa.string()), "\0null")
     return t.append_column("__gkey", k)
 
-__all__ = ["distinct_count_per_group", "rollup_agg", "histogram_fixed",
+__all__ = ["anova_f", "target_encode_loo",
+           "distinct_count_per_group", "rollup_agg", "histogram_fixed",
            "grouped_stats", "freshness_check", "grouped_outliers",
            "grouped_correlation", "approx_distinct_per_group", "cube_agg",
            "approx_group_quantiles",
@@ -1066,3 +1067,100 @@ def chi_square_independence(ds, col_a: str, col_b: str) -> dict:
                                       mat.shape[1] - 1))))
     return {"chi2": chi2, "dof": int(dof), "n": int(n), "cramers_v": v,
             "n_a": mat.shape[0], "n_b": mat.shape[1]}
+
+
+def anova_f(ds, group_col: str, val_col: str) -> pd.DataFrame:
+    """One-way ANOVA F-test of a numeric column against a categorical —
+    the numeric-vs-categorical member of the profiling triad
+    (chi-square = cat/cat, Pearson = num/num). Pairs with a null value
+    are excluded; groups are the distinct non-null categories.
+
+    Scale shape: the algebraic combiner — each block collapses to
+    (n, Σv, Σv²) per category, one keyed shuffle over category-sized
+    partials, and the F statistic assembles on the driver from k
+    3-tuples. Returns one row (f_stat, df_between, df_within, k, n);
+    f_stat is NULL when a degree of freedom is empty or SSW is 0."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(val_col).cast(pa.float64())
+        ok = pc.and_(pc.is_valid(v), pc.is_valid(batch.column(group_col)))
+        t = pa.table({group_col: batch.column(group_col),
+                      "v": v}).filter(ok)
+        g = t.group_by([group_col]).aggregate(
+            [("v", "count"), ("v", "sum")])
+        sq = pa.table({group_col: t.column(group_col),
+                       "vv": pc.multiply(t.column("v"), t.column("v"))}) \
+            .group_by([group_col]).aggregate([("vv", "sum")])
+        j = g.join(sq, keys=[group_col])
+        return pa.table({group_col: j.column(group_col),
+                         "n": j.column("v_count").cast(pa.int64()),
+                         "s": j.column("v_sum"),
+                         "ss": j.column("vv_sum")})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    g = parts.groupby(group_col, as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"))
+    k, n = len(g), int(g["n"].sum())
+    out = {"f_stat": np.nan, "df_between": max(k - 1, 0),
+           "df_within": max(n - k, 0), "k": k, "n": n}
+    if k >= 2 and n > k:
+        grand = float(g["s"].sum()) / n
+        ssb = float((g["n"] * (g["s"] / g["n"] - grand) ** 2).sum())
+        ssw = float((g["ss"] - g["s"] ** 2 / g["n"]).sum())
+        if ssw > 0:
+            f = (ssb / (k - 1)) / (ssw / (n - k))
+            out["f_stat"] = np.floor(f * 1e6 + 0.5) / 1e6
+    df = pd.DataFrame([out])
+    for c in ("df_between", "df_within", "k", "n"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def target_encode_loo(ds, key_col: str, val_col: str):
+    """Leave-one-out target (mean) encoding: each row's category is
+    replaced by the mean of the TARGET over the other rows of its
+    category — ``(Σ_g v - v) / (n_g - 1)`` — the standard leakage-free
+    mean encoder for categorical features. Rows with a null target, or
+    in a singleton category, encode to NULL (SQL window semantics).
+
+    Scale shape: one keyed combiner fits the dimension-sized
+    (category -> Σv, n) table, broadcast once via ``ray.put``; encoding
+    is a stateless vectorized map — no shuffle of the data rows.
+    Appends ``te`` (float64, rounded to 6) to the input columns."""
+    import ray
+
+    def fit_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(val_col).cast(pa.float64())
+        t = pa.table({key_col: batch.column(key_col), "v": v}) \
+            .filter(pc.is_valid(v))
+        g = t.group_by([key_col]).aggregate([("v", "sum"), ("v", "count")])
+        return pa.table({key_col: g.column(key_col),
+                         "s": g.column("v_sum"),
+                         "n": g.column("v_count").cast(pa.int64())})
+
+    parts = ds.map_batches(fit_partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    fit = parts.groupby(key_col, as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+    stats = {r[0]: (r[1], r[2]) for r in
+             fit.itertuples(index=False, name=None)}
+    ref = ray.put(stats)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        stats = ray.get(ref)
+        keys = np.asarray(batch.column(key_col).to_pylist(), dtype=object)
+        v = batch.column(val_col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        # one lookup per DISTINCT category, scattered back
+        uniq, inv = np.unique(keys, return_inverse=True)
+        s = np.array([stats.get(c, (np.nan, 0))[0] for c in uniq])[inv]
+        n = np.array([stats.get(c, (np.nan, 0))[1] for c in uniq],
+                     np.float64)[inv]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            te = (s - v) / (n - 1.0)
+        te = np.where((n > 1) & ~np.isnan(v), te, np.nan)
+        te = np.sign(te) * np.floor(np.abs(te) * 1e6 + 0.5) / 1e6
+        return batch.append_column("te", pa.array(te, pa.float64()))
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=None)

@@ -1276,3 +1276,48 @@ def test_cohort_retention(ray_session):
         (us(0), 2): 1,     # u1
         (us(21), 0): 1,    # u3's own cohort
     }
+
+
+def test_anova_f(ray_session):
+    """F statistic matches the closed-form hand computation; null
+    values excluded; degenerate inputs yield NULL f_stat."""
+    from feature_fabrica_ray.pipelines import anova_f
+
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b", "b", "b", "a"],
+        "v": [1.0, 2.0, 3.0, 6.0, 7.0, 8.0, 9.0, None],
+    })
+    out = anova_f(_ds(df, blocks=3), "g", "v").iloc[0]
+    # a: n=3 mean=2; b: n=4 mean=7.5; grand = (6+30)/7
+    grand = 36 / 7
+    ssb = 3 * (2 - grand) ** 2 + 4 * (7.5 - grand) ** 2
+    ssw = ((1 - 2) ** 2 + 0 + (3 - 2) ** 2) + sum((x - 7.5) ** 2
+                                                  for x in (6, 7, 8, 9))
+    want = (ssb / 1) / (ssw / 5)
+    assert out["f_stat"] == pytest.approx(round(want, 6), abs=1e-9)
+    assert out["df_between"] == 1 and out["df_within"] == 5
+    assert out["k"] == 2 and out["n"] == 7
+    # one group only -> NULL
+    one = anova_f(_ds(df[df["g"] == "a"].copy()), "g", "v").iloc[0]
+    assert pd.isna(one["f_stat"])
+
+
+def test_target_encode_loo(ray_session):
+    """LOO mean excludes the row itself; singleton categories and null
+    targets encode to NULL; fit is global across blocks."""
+    from feature_fabrica_ray.pipelines import target_encode_loo
+
+    df = pd.DataFrame({
+        "k": ["x", "x", "x", "y", "z", "x"],
+        "v": [1.0, 2.0, 6.0, 5.0, 7.0, None],
+    })
+    out = target_encode_loo(_ds(df, blocks=3), "k", "v").to_pandas()
+    out = out.sort_values(["k", "v"], na_position="last") \
+        .reset_index(drop=True)
+    te = dict(zip(zip(out["k"], out["v"].fillna(-1)), out["te"]))
+    assert te[("x", 1.0)] == pytest.approx((2 + 6) / 2)
+    assert te[("x", 2.0)] == pytest.approx((1 + 6) / 2)
+    assert te[("x", 6.0)] == pytest.approx((1 + 2) / 2)
+    assert pd.isna(te[("y", 5.0)])       # singleton category
+    assert pd.isna(te[("z", 7.0)])
+    assert pd.isna(te[("x", -1.0)])      # null target row
