@@ -4179,6 +4179,31 @@ WINDOW w AS (PARTITION BY l_returnflag)
 """
 
 
+def q_ev_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (pipelines/events.py::event_transitions): each user group
+    emits its local (from, to) counts — at most |types|² rows per key —
+    then one tiny keyed sum."""
+    from feature_fabrica_ray.pipelines import event_transitions
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    return event_transitions(ds, "ts", "user_id", "event_type",
+                             "event_id")
+
+
+_TRANSITIONS_ORACLE = """
+WITH o AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4286,6 +4311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_retention": q_ev_retention,
         "pr_anova": q_pr_anova,
         "ft_target_enc": q_ft_target_enc,
+        "ev_transitions": q_ev_transitions,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
@@ -4439,6 +4465,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_retention": _RETENTION_ORACLE,
         "pr_anova": _ANOVA_ORACLE,
         "ft_target_enc": _TARGET_ENC_ORACLE,
+        "ev_transitions": _TRANSITIONS_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,

@@ -11,6 +11,7 @@ from .packing import pack_sequences
 from .quantiles import group_quantiles
 from .checkpoint import codetable_shards, merge_results, validate_resumable
 from .events import (cohort_retention, cumulative_agg,
+                     event_transitions,
                      extract_json_int, extract_json_str,
                      fill_time_gaps, funnel_steps, interval_overlap_pairs,
                      first_last_value, percent_rank_window,
@@ -97,6 +98,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "connected_components", "star_edges",
            "funnel_steps", "interval_overlap_pairs", "unigram_logprob",
            "cohort_retention", "anova_f", "target_encode_loo",
+           "event_transitions",
            "quantize_embeddings",
            "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",

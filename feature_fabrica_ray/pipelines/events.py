@@ -28,7 +28,7 @@ from ..tuning import shuffle_partitions
 __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "extract_json_int", "cumulative_agg", "rolling_agg", "lag_lead",
            "fill_time_gaps", "funnel_steps", "interval_overlap_pairs",
-           "cohort_retention"]
+           "cohort_retention", "event_transitions"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -578,3 +578,41 @@ def cohort_retention(ds, ts_col: str, key_col: str) -> pd.DataFrame:
     for c in ("cohort_us", "offset_w", "n_keys"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["cohort_us", "offset_w"]).reset_index(drop=True)
+
+
+def event_transitions(ds, ts_col: str, key_col: str, type_col: str,
+                      order_col: str) -> pd.DataFrame:
+    """First-order Markov transition counts: for each key's events in
+    (ts, order) sequence, count every consecutive (from_type, to_type)
+    pair across the whole stream — the sequence-analysis staple behind
+    next-event prediction and funnel discovery.
+
+    Scale shape: one keyed shuffle of the narrow (key, ts, type, order)
+    projection; each key group sorts once and emits its LOCAL (from,
+    to, n) counts (at most |types|² rows per key, independent of event
+    count), then one tiny keyed sum over type pairs. Returns
+    (from_type, to_type, n) sorted."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        ty = df[type_col].to_numpy()
+        if len(ty) < 2:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        pairs = pd.DataFrame({"from_type": ty[:-1], "to_type": ty[1:]})
+        g = pairs.groupby(["from_type", "to_type"], as_index=False,
+                          dropna=False).size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    proj = ds.map_batches(
+        lambda t, c=(key_col, ts_col, type_col, order_col): t.select(list(c)),
+        batch_format="pyarrow", batch_size=None)
+    parts = proj.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas")
+    out = parts.groupby(["from_type", "to_type"],
+                        num_partitions=shuffle_partitions()).sum("n") \
+        .to_pandas().rename(columns={"sum(n)": "n"})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)

@@ -1321,3 +1321,21 @@ def test_target_encode_loo(ray_session):
     assert pd.isna(te[("y", 5.0)])       # singleton category
     assert pd.isna(te[("z", 7.0)])
     assert pd.isna(te[("x", -1.0)])      # null target row
+
+
+def test_event_transitions(ray_session):
+    """Consecutive pairs counted within key only, ordered by (ts,
+    order); single-event keys contribute nothing."""
+    from feature_fabrica_ray.pipelines import event_transitions
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = lambda k: t0 + pd.Timedelta(seconds=k)
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2, 3],
+        "et": ["a", "b", "a", "a", "b", "c"],
+        "ts": [s(0), s(1), s(2), s(0), s(1), s(0)],
+        "eid": [1, 2, 3, 4, 5, 6],
+    })
+    out = event_transitions(_ds(df, blocks=3), "ts", "u", "et", "eid")
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
