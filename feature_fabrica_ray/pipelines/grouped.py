@@ -1143,6 +1143,10 @@ def target_encode_loo(ds, key_col: str, val_col: str):
                            batch_size=None).to_pandas()
     fit = parts.groupby(key_col, as_index=False).agg(
         s=("s", "sum"), n=("n", "sum"))
+    if len(fit) > 5_000_000:
+        raise ValueError(
+            f"{len(fit)} categories — too many to broadcast; shuffle-"
+            f"join rows against the (category, sum, n) table instead")
     stats = {r[0]: (r[1], r[2]) for r in
              fit.itertuples(index=False, name=None)}
     ref = ray.put(stats)

@@ -552,10 +552,14 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
         flat = pc.list_flatten(toks)
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         parent = parent[keep]
-        words = np.asarray(flat.to_pylist(), dtype=object)[keep]
         n = batch.num_rows
-        # one lookup per DISTINCT token in the batch, then scatter
-        uniq, inv = np.unique(words, return_inverse=True)
+        # dictionary-encode so only DISTINCT tokens cross into Python —
+        # the token occurrences themselves stay in Arrow buffers
+        d = pc.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        inv = d.indices.to_numpy(zero_copy_only=False)[keep]
+        uniq = d.dictionary.to_pylist()
         lp = np.array([lp_map.get(t, np.log(1.0 / max(total, 1.0)))
                        for t in uniq], np.float64)[inv]
         cnt = np.bincount(parent, minlength=n).astype(np.int64)
