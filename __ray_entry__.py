@@ -4204,6 +4204,43 @@ FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q_pr_mutual_info(sf_dir: str) -> pd.DataFrame:
+    """Mutual information + normalized MI between two categoricals
+    (pipelines/grouped.py::mutual_information) — same distinct-pair
+    contingency combiner as chi2 (one keyed shuffle, |A|x|B| guarded
+    driver table), evaluated as Σ p ln(p/(pa·pb)) with entropies."""
+    from feature_fabrica_ray.pipelines import mutual_information
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+    return mutual_information(ds, "lang", "source")
+
+
+_MUTUAL_INFO_ORACLE = """
+WITH c AS (SELECT lang, source, count(*) AS cnt FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+     t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c),
+     j AS (SELECT c.cnt / t.n AS pab,
+                  (SELECT sum(cnt) FROM c c2 WHERE c2.lang = c.lang)
+                    / t.n AS pa,
+                  (SELECT sum(cnt) FROM c c2 WHERE c2.source = c.source)
+                    / t.n AS pb
+           FROM c, t),
+     m AS (SELECT sum(pab * ln(pab / (pa * pb))) AS mi FROM j),
+     ha AS (SELECT -sum(p * ln(p)) AS h FROM
+            (SELECT sum(cnt) / (SELECT n FROM t) AS p FROM c
+             GROUP BY lang)),
+     hb AS (SELECT -sum(p * ln(p)) AS h FROM
+            (SELECT sum(cnt) / (SELECT n FROM t) AS p FROM c
+             GROUP BY source))
+SELECT round(m.mi, 6) AS mi,
+       round(m.mi / sqrt(ha.h * hb.h), 6) AS nmi,
+       round(ha.h, 6) AS h_a, round(hb.h, 6) AS h_b,
+       CAST((SELECT n FROM t) AS BIGINT) AS n
+FROM m, ha, hb
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4312,6 +4349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_anova": q_pr_anova,
         "ft_target_enc": q_ft_target_enc,
         "ev_transitions": q_ev_transitions,
+        "pr_mutual_info": q_pr_mutual_info,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
@@ -4466,6 +4504,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_anova": _ANOVA_ORACLE,
         "ft_target_enc": _TARGET_ENC_ORACLE,
         "ev_transitions": _TRANSITIONS_ORACLE,
+        "pr_mutual_info": _MUTUAL_INFO_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,

@@ -22,7 +22,8 @@ from .corpus import curate_corpus, mix_corpora
 from .reshape import explode_list, global_row_number, unpivot
 from .grouped import (anova_f, approx_distinct_per_group,
                       approx_group_quantiles,
-                      chi_square_independence, target_encode_loo,
+                      chi_square_independence, mutual_information,
+                      target_encode_loo,
                       entropy_per_group,
                       distinct_count_per_group,
                       freshness_check, grouped_correlation, grouped_outliers,
@@ -98,7 +99,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "connected_components", "star_edges",
            "funnel_steps", "interval_overlap_pairs", "unigram_logprob",
            "cohort_retention", "anova_f", "target_encode_loo",
-           "event_transitions",
+           "event_transitions", "mutual_information",
            "quantize_embeddings",
            "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",

@@ -34,7 +34,7 @@ def _with_shuffle_key(t: pa.Table, key_col: str) -> pa.Table:
     k = pc.fill_null(pc.cast(t.column(key_col), pa.string()), "\0null")
     return t.append_column("__gkey", k)
 
-__all__ = ["anova_f", "target_encode_loo",
+__all__ = ["anova_f", "target_encode_loo", "mutual_information",
            "distinct_count_per_group", "rollup_agg", "histogram_fixed",
            "grouped_stats", "freshness_check", "grouped_outliers",
            "grouped_correlation", "approx_distinct_per_group", "cube_agg",
@@ -1168,3 +1168,68 @@ def target_encode_loo(ds, key_col: str, val_col: str):
         return batch.append_column("te", pa.array(te, pa.float64()))
 
     return ds.map_batches(encode, batch_format="pyarrow", batch_size=None)
+
+
+def mutual_information(ds, col_a: str, col_b: str) -> pd.DataFrame:
+    """Mutual information (nats) and normalized MI between two
+    categorical columns — the information-theoretic sibling of
+    ``chi_square_independence`` (same question, sensitive to any
+    dependence structure rather than linear-in-counts deviations).
+    Rows with a NULL on either side are excluded.
+
+    Scale shape: identical to chi2 — the distinct-pair combiner builds
+    the contingency partials, ONE keyed shuffle merges them, and only
+    the |A|x|B| cell table (guarded) reaches the driver, where
+    ``MI = Σ p_ab ln(p_ab / (p_a p_b))`` is evaluated (empty cells
+    contribute 0 by the 0·ln0 convention). NMI = MI/sqrt(H(A)H(B)).
+    Returns one row (mi, nmi, h_a, h_b, n), rounded to 6."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([col_a, col_b])
+        t = t.filter(pc.and_(pc.is_valid(t.column(col_a)),
+                             pc.is_valid(t.column(col_b))))
+        g = t.group_by([col_a, col_b]).aggregate([([], "count_all")])
+        out = pa.table({col_a: g.column(col_a), col_b: g.column(col_b),
+                        "cnt": g.column("count_all").cast(pa.int64())})
+        k = pc.binary_join_element_wise(
+            pc.cast(out.column(col_a), pa.string()),
+            pc.cast(out.column(col_b), pa.string()), "\0")
+        return out.append_column("__gkey", k)
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({col_a: [df[col_a].iloc[0]],
+                             col_b: [df[col_b].iloc[0]],
+                             "cnt": np.array([int(df["cnt"].sum())],
+                                             np.int64)})
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("__gkey", num_partitions=shuffle_partitions())
+             .map_groups(per_cell, batch_format="pandas")
+             .to_pandas())
+    if len(cells) > _MAX_CONTINGENCY_CELLS:
+        raise ValueError(
+            f"mutual_information: contingency has {len(cells)} cells — "
+            f"these columns are not low-cardinality categoricals")
+    n = int(cells["cnt"].sum())
+    row = {"mi": np.nan, "nmi": np.nan, "h_a": np.nan, "h_b": np.nan,
+           "n": n}
+    if n > 0:
+        pab = cells["cnt"].to_numpy(np.float64) / n
+        pa_ = cells.groupby(col_a)["cnt"].transform("sum") \
+            .to_numpy(np.float64) / n
+        pb_ = cells.groupby(col_b)["cnt"].transform("sum") \
+            .to_numpy(np.float64) / n
+        mi = float((pab * np.log(pab / (pa_ * pb_))).sum())
+        ma = cells.groupby(col_a)["cnt"].sum().to_numpy(np.float64) / n
+        mb = cells.groupby(col_b)["cnt"].sum().to_numpy(np.float64) / n
+        h_a = float(-(ma * np.log(ma)).sum())
+        h_b = float(-(mb * np.log(mb)).sum())
+        denom = np.sqrt(h_a * h_b)
+        r6 = lambda x: float(np.floor(abs(x) * 1e6 + 0.5) / 1e6
+                             * (1 if x >= 0 else -1))
+        row.update(mi=r6(mi), h_a=r6(h_a), h_b=r6(h_b),
+                   nmi=r6(mi / denom) if denom > 0 else np.nan)
+    df = pd.DataFrame([row])
+    df["n"] = df["n"].astype("int64")
+    return df

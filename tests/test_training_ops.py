@@ -1339,3 +1339,25 @@ def test_event_transitions(ray_session):
     out = event_transitions(_ds(df, blocks=3), "ts", "u", "et", "eid")
     got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
     assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_mutual_information(ray_session):
+    """MI matches the closed form; independent columns give ~0;
+    identical columns give MI = H(A) (NMI = 1); nulls excluded."""
+    import math
+
+    from feature_fabrica_ray.pipelines import mutual_information
+
+    # perfectly dependent: b = f(a)
+    df = pd.DataFrame({"a": ["x", "x", "y", "y", "z", None],
+                       "b": ["p", "p", "q", "q", "r", "r"]})
+    out = mutual_information(_ds(df, blocks=3), "a", "b").iloc[0]
+    h = -(0.4 * math.log(0.4) * 2 + 0.2 * math.log(0.2))
+    assert out["n"] == 5
+    assert out["mi"] == pytest.approx(round(h, 6), abs=2e-6)
+    assert out["nmi"] == pytest.approx(1.0, abs=2e-6)
+    # independent uniform 2x2
+    df2 = pd.DataFrame({"a": ["x", "x", "y", "y"],
+                        "b": ["p", "q", "p", "q"]})
+    out2 = mutual_information(_ds(df2, blocks=2), "a", "b").iloc[0]
+    assert out2["mi"] == pytest.approx(0.0, abs=2e-6)
