@@ -4241,6 +4241,27 @@ FROM m, ha, hb
 """
 
 
+def q_ft_rank_norm(sf_dir: str) -> pd.DataFrame:
+    """Global rank/quantile normalization (pipelines/quantiles.py::
+    rank_normalize): l_quantity mapped to its empirical CDF position
+    cume_dist() — (value, count) histogram combiner fit, sorted-cume
+    broadcast once, stateless searchsorted transform."""
+    from feature_fabrica_ray.pipelines import rank_normalize
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_quantity"])
+    out = rank_normalize(ds, "l_quantity")
+    return out.select_columns(["l_orderkey", "l_linenumber", "rank_norm"])
+
+
+_RANK_NORM_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(cume_dist() OVER (ORDER BY l_quantity), 6) AS rank_norm
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4350,6 +4371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_target_enc": q_ft_target_enc,
         "ev_transitions": q_ev_transitions,
         "pr_mutual_info": q_pr_mutual_info,
+        "ft_rank_norm": q_ft_rank_norm,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
@@ -4505,6 +4527,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_target_enc": _TARGET_ENC_ORACLE,
         "ev_transitions": _TRANSITIONS_ORACLE,
         "pr_mutual_info": _MUTUAL_INFO_ORACLE,
+        "ft_rank_norm": _RANK_NORM_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,

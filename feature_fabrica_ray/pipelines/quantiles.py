@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["group_quantiles"]
+__all__ = ["group_quantiles", "rank_normalize"]
 
 
 def _weighted_quantile(values: np.ndarray, counts: np.ndarray,
@@ -96,3 +96,62 @@ def group_quantiles(ds, group_col: str, value_col: str,
         rows.append(rec)
     cols = [group_col, *(f"q_{int(round(q * 100))}" for q in qs), "n"]
     return pd.DataFrame(rows)[cols]
+
+
+def rank_normalize(ds, col: str, out_col: str = "rank_norm",
+                   max_distinct_broadcast: int = 5_000_000):
+    """Global rank (quantile) normalization: each value maps to its
+    empirical CDF position ``cume_dist() = (# values <= x) / N`` over
+    the whole table — the standard rank-gauss/uniformization front end
+    for tree-free models, and a monotone transform that kills outliers
+    without clipping. Nulls pass through as null; N counts non-nulls.
+
+    Scale shape: the value-histogram combiner again — the fit pass
+    reduces to (value, count) rows (distinct values, not row count),
+    one keyed merge, and the sorted value -> cume table broadcasts once
+    via ``ray.put``; the transform is a stateless vectorized
+    ``searchsorted`` per batch. Distinct counts beyond
+    ``max_distinct_broadcast`` raise — use the t-digest sketch path for
+    genuinely continuous domains. Appends ``out_col`` rounded to 6
+    (SQL ROUND semantics, oracle-comparable to cume_dist())."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).cast(pa.float64())
+        t = pa.table({"v": v}).filter(pc.is_valid(v))
+        g = t.group_by(["v"]).aggregate([([], "count_all")])
+        return pa.table({"v": g.column("v"),
+                         "cnt": g.column("count_all").cast(pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby("v", num_partitions=shuffle_partitions()).sum("cnt")
+              .to_pandas())
+    if len(merged) > max_distinct_broadcast:
+        raise ValueError(
+            f"{len(merged)} distinct values — too many to broadcast; "
+            f"use the t-digest sketch path for continuous domains")
+    merged = merged.sort_values("v")
+    vals = merged["v"].to_numpy(np.float64)
+    cnts = merged["sum(cnt)"].to_numpy(np.float64)
+    n = cnts.sum()
+    cume = np.cumsum(cnts) / max(n, 1.0)
+    ref = ray.put((vals, cume))
+
+    def transform(batch: pa.Table) -> pa.Table:
+        vals, cume = ray.get(ref)
+        x = batch.column(col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(x)
+        r = np.full(x.size, np.nan)
+        if vals.size:
+            idx = np.searchsorted(vals, x[ok], side="right") - 1
+            r[ok] = cume[np.maximum(idx, 0)]
+        r = np.floor(r * 1e6 + 0.5) / 1e6
+        return batch.append_column(out_col, pa.array(r, pa.float64()))
+
+    return ds.map_batches(transform, batch_format="pyarrow",
+                          batch_size=None)

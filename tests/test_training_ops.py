@@ -1361,3 +1361,21 @@ def test_mutual_information(ray_session):
                         "b": ["p", "q", "p", "q"]})
     out2 = mutual_information(_ds(df2, blocks=2), "a", "b").iloc[0]
     assert out2["mi"] == pytest.approx(0.0, abs=2e-6)
+
+
+def test_rank_normalize(ray_session):
+    """cume_dist semantics: ties share the cumulative position of the
+    last equal value; nulls pass through; fit is global across blocks."""
+    from feature_fabrica_ray.pipelines import rank_normalize
+
+    df = pd.DataFrame({"id": [1, 2, 3, 4, 5, 6],
+                       "v": [10.0, 20.0, 20.0, 30.0, None, 5.0]})
+    out = rank_normalize(_ds(df, blocks=3), "v").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    got = dict(zip(out["id"], out["rank_norm"]))
+    # non-null multiset: 5, 10, 20, 20, 30 (n=5)
+    assert got[6] == pytest.approx(1 / 5)
+    assert got[1] == pytest.approx(2 / 5)
+    assert got[2] == got[3] == pytest.approx(4 / 5)
+    assert got[4] == pytest.approx(1.0)
+    assert pd.isna(got[5])
