@@ -4262,6 +4262,29 @@ FROM lineitem
 """
 
 
+def q_sp_buckets(sf_dir: str) -> pd.DataFrame:
+    """Equi-depth range bucketing (pipelines/quantiles.py::
+    equidepth_buckets): each lineitem stamped with ceil(cume_dist * 8)
+    over l_extendedprice — the split-point stamp behind balanced
+    range-partitioned writes; histogram-combiner fit, broadcast once,
+    stateless searchsorted stamp (the table is never sorted)."""
+    from feature_fabrica_ray.pipelines import equidepth_buckets
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_extendedprice"])
+    out = equidepth_buckets(ds, "l_extendedprice", k=8)
+    return out.select_columns(["l_orderkey", "l_linenumber", "bucket_id"])
+
+
+_BUCKETS_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ceil(cume_dist() OVER (ORDER BY l_extendedprice) * 8)
+            AS BIGINT) AS bucket_id
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4372,6 +4395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_transitions": q_ev_transitions,
         "pr_mutual_info": q_pr_mutual_info,
         "ft_rank_norm": q_ft_rank_norm,
+        "sp_buckets": q_sp_buckets,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
@@ -4528,6 +4552,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_transitions": _TRANSITIONS_ORACLE,
         "pr_mutual_info": _MUTUAL_INFO_ORACLE,
         "ft_rank_norm": _RANK_NORM_ORACLE,
+        "sp_buckets": _BUCKETS_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,

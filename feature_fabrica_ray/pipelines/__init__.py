@@ -8,7 +8,8 @@ from .curation import (common_ngrams, decontaminate,
                        repetition_stats,
                        salted_group_agg, token_ngram_hashes)
 from .packing import pack_sequences
-from .quantiles import group_quantiles, rank_normalize
+from .quantiles import (equidepth_buckets, group_quantiles,
+                        rank_normalize)
 from .checkpoint import codetable_shards, merge_results, validate_resumable
 from .events import (cohort_retention, cumulative_agg,
                      event_transitions,
@@ -100,6 +101,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "funnel_steps", "interval_overlap_pairs", "unigram_logprob",
            "cohort_retention", "anova_f", "target_encode_loo",
            "event_transitions", "mutual_information", "rank_normalize",
+           "equidepth_buckets",
            "quantize_embeddings",
            "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",

@@ -211,11 +211,15 @@ def bloom_filtered_join(left, right, *, on: str, right_on: str | None = None,
                          right_on=(rkey,),
                          num_partitions=num_partitions
                          or shuffle_partitions())
-    # compact so at most ~shuffle_partitions() filter-sized partials
-    # move (the right side is materialized; counts are free)
+    # Compact UNCONDITIONALLY into balanced non-empty blocks: (a) at
+    # most ~shuffle_partitions() filter-sized Bloom partials move, and
+    # (b) Ray's hash join skips a side's schema broadcast when the
+    # first block it streams is empty (hash_shuffle.py:223) — an
+    # upstream filter can leave empty blocks even when the block count
+    # is already small, crashing acero with "No match for key field on
+    # right side" (seen at sf0.001). Same guard as graph.py's joins.
     nparts = shuffle_partitions()
-    if right.num_blocks() > nparts:
-        right = right.repartition(min(nparts, max(n_right, 1))).materialize()
+    right = right.repartition(min(nparts, max(n_right, 1))).materialize()
 
     def partial_bloom(batch: pa.Table) -> pa.Table:
         bf = BloomFilter(n_est, fp_rate).add(batch.column(rkey).drop_null())
@@ -237,6 +241,27 @@ def bloom_filtered_join(left, right, *, on: str, right_on: str | None = None,
             keys = keys.combine_chunks()
         return batch.filter(pa.array(bf.contains(keys)))
 
-    pruned = left.map_batches(prune, batch_format="pyarrow", batch_size=None)
+    # The pruned left needs the same empty-block guard (pruning a
+    # selective join can empty whole blocks). The materialize is the
+    # price of compaction, and it is marginal here: the hash join
+    # buffers both sides in its aggregators anyway, and Bloom pruning
+    # exists precisely because the surviving left side is small.
+    pruned = left.map_batches(prune, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    n_pruned = pruned.count()
+    if n_pruned == 0:
+        # inner join with an empty probe side is empty; derive the
+        # result schema from the same acero join Ray would run
+        import ray.data as _rd
+
+        def _empty(ds_):
+            import ray
+            refs = ds_.to_arrow_refs()      # both sides are materialized
+            t = ray.get(refs[0]) if refs else pa.table({})
+            return t.schema.empty_table()
+        res = _empty(pruned).join(_empty(right), keys=[on],
+                                  right_keys=[rkey], join_type="inner")
+        return _rd.from_arrow(res)
+    pruned = pruned.repartition(min(nparts, n_pruned)).materialize()
     return pruned.join(right, join_type="inner", on=(on,), right_on=(rkey,),
                        num_partitions=num_partitions or shuffle_partitions())

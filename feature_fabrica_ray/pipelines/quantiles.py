@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["group_quantiles", "rank_normalize"]
+__all__ = ["group_quantiles", "rank_normalize", "equidepth_buckets"]
 
 
 def _weighted_quantile(values: np.ndarray, counts: np.ndarray,
@@ -117,28 +117,7 @@ def rank_normalize(ds, col: str, out_col: str = "rank_norm",
     import ray
     import pyarrow.compute as pc
 
-    from ..tuning import shuffle_partitions
-
-    def partial(batch: pa.Table) -> pa.Table:
-        v = batch.column(col).cast(pa.float64())
-        t = pa.table({"v": v}).filter(pc.is_valid(v))
-        g = t.group_by(["v"]).aggregate([([], "count_all")])
-        return pa.table({"v": g.column("v"),
-                         "cnt": g.column("count_all").cast(pa.int64())})
-
-    merged = (ds.map_batches(partial, batch_format="pyarrow",
-                             batch_size=None)
-              .groupby("v", num_partitions=shuffle_partitions()).sum("cnt")
-              .to_pandas())
-    if len(merged) > max_distinct_broadcast:
-        raise ValueError(
-            f"{len(merged)} distinct values — too many to broadcast; "
-            f"use the t-digest sketch path for continuous domains")
-    merged = merged.sort_values("v")
-    vals = merged["v"].to_numpy(np.float64)
-    cnts = merged["sum(cnt)"].to_numpy(np.float64)
-    n = cnts.sum()
-    cume = np.cumsum(cnts) / max(n, 1.0)
+    vals, cume = _fit_cume(ds, col, max_distinct_broadcast)
     ref = ray.put((vals, cume))
 
     def transform(batch: pa.Table) -> pa.Table:
@@ -155,3 +134,70 @@ def rank_normalize(ds, col: str, out_col: str = "rank_norm",
 
     return ds.map_batches(transform, batch_format="pyarrow",
                           batch_size=None)
+
+
+def _fit_cume(ds, col: str, max_distinct: int):
+    """Global (sorted distinct values, empirical CDF) of a column via
+    the value-histogram combiner — the shared fit behind
+    ``rank_normalize`` and ``equidepth_buckets``."""
+    import pyarrow.compute as pc
+
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).cast(pa.float64())
+        t = pa.table({"v": v}).filter(pc.is_valid(v))
+        g = t.group_by(["v"]).aggregate([([], "count_all")])
+        return pa.table({"v": g.column("v"),
+                         "cnt": g.column("count_all").cast(pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby("v", num_partitions=shuffle_partitions()).sum("cnt")
+              .to_pandas())
+    if len(merged) > max_distinct:
+        raise ValueError(
+            f"{len(merged)} distinct values — too many to broadcast; "
+            f"use the t-digest sketch path for continuous domains")
+    merged = merged.sort_values("v")
+    vals = merged["v"].to_numpy(np.float64)
+    cnts = merged["sum(cnt)"].to_numpy(np.float64)
+    return vals, np.cumsum(cnts) / max(cnts.sum(), 1.0)
+
+
+def equidepth_buckets(ds, col: str, k: int = 8,
+                      out_col: str = "bucket_id",
+                      max_distinct_broadcast: int = 5_000_000):
+    """Equi-depth range bucketing: stamp each row with
+    ``ceil(cume_dist * k)`` — k buckets of (near-)equal row count, ties
+    always landing in one bucket. This is the split-point stamp behind
+    balanced range-partitioned writes and skew-free range joins: fit
+    once, then any number of datasets can be bucketed consistently.
+    Nulls get bucket NULL.
+
+    Scale shape: same (value, count) histogram combiner fit as
+    ``rank_normalize`` (distinct-value-sized exchange), broadcast once,
+    stateless searchsorted stamp — the full table is never sorted."""
+    import ray
+    import pyarrow.compute as pc  # noqa: F401 (parity with sibling)
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    vals, cume = _fit_cume(ds, col, max_distinct_broadcast)
+    ref = ray.put((vals, cume))
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        vals, cume = ray.get(ref)
+        x = batch.column(col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(x)
+        b = np.full(x.size, np.nan)
+        if vals.size:
+            idx = np.searchsorted(vals, x[ok], side="right") - 1
+            b[ok] = np.minimum(np.ceil(cume[np.maximum(idx, 0)] * k),
+                               float(k))
+        arr = pa.array(np.where(ok, b, 0).astype(np.int64),
+                       pa.int64(), mask=~ok)
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)

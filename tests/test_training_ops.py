@@ -1379,3 +1379,41 @@ def test_rank_normalize(ray_session):
     assert got[2] == got[3] == pytest.approx(4 / 5)
     assert got[4] == pytest.approx(1.0)
     assert pd.isna(got[5])
+
+
+def test_equidepth_buckets(ray_session):
+    """ceil(cume_dist * k) semantics: equal values share a bucket,
+    max value lands in bucket k, nulls get NULL."""
+    from feature_fabrica_ray.pipelines import equidepth_buckets
+
+    df = pd.DataFrame({"id": range(8),
+                       "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]})
+    out = equidepth_buckets(_ds(df, blocks=3), "v", k=4).to_pandas() \
+        .sort_values("id")
+    assert out["bucket_id"].tolist() == [1, 1, 2, 2, 3, 3, 4, 4]
+    dfn = pd.DataFrame({"id": [0, 1, 2], "v": [5.0, 5.0, None]})
+    outn = equidepth_buckets(_ds(dfn, blocks=2), "v", k=4).to_pandas() \
+        .sort_values("id")
+    assert outn["bucket_id"].tolist()[:2] == [4, 4]   # ties share cume=1
+    assert pd.isna(outn["bucket_id"].iloc[2])
+
+
+def test_bloom_join_empty_prune(ray_session):
+    """A Bloom prune that empties the whole left side (or single
+    blocks) must not crash Ray's hash join on schema-less partitions;
+    the empty inner-join result keeps the joined schema."""
+    from feature_fabrica_ray.pipelines import bloom_filtered_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "lv": list("abcd")})
+    right = pd.DataFrame({"k": [100, 200], "rv": ["x", "y"]})
+    out = bloom_filtered_join(_ds(left, blocks=3), _ds(right, blocks=2),
+                              on="k")
+    assert out.count() == 0
+    # schema survives the empty shortcut (to_pandas drops columns on
+    # empty Datasets — a Ray quirk — so assert on the Dataset schema)
+    assert {"k", "lv", "rv"} <= set(out.schema().names)
+    # partial overlap still joins exactly
+    right2 = pd.DataFrame({"k": [2, 3, 999], "rv": ["x", "y", "z"]})
+    out2 = bloom_filtered_join(_ds(left, blocks=3), _ds(right2, blocks=3),
+                               on="k").to_pandas().sort_values("k")
+    assert out2["k"].tolist() == [2, 3]
