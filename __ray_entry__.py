@@ -3037,6 +3037,21 @@ def q_ss_ivf_topk(sf_dir: str):
 
 
 
+def q_ss_lsh_topk(sf_dir: str):
+    """LSH-bucketed ANN (pipelines/similarity.py::lsh_topk) — random-
+    hyperplane buckets prune each block's matmul to bucket-sharing
+    candidates, exact rerank; zero shuffle. Approximate by design
+    (rows-only; pytest asserts recall vs the exact baseline)."""
+    from feature_fabrica_ray.pipelines import lsh_topk
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    qdf = ds.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    Q = np.asarray([np.asarray(v, dtype=np.float64)
+                    for v in qdf["embedding"]])
+    return lsh_topk(ds, Q, k=10)
+
+
 def q_ss_pca(sf_dir: str):
     """PCA dimensionality reduction before ANN: basis fit on a
     deterministic sample (KB-sized broadcast state), one matmul per
@@ -4396,6 +4411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_mutual_info": q_pr_mutual_info,
         "ft_rank_norm": q_ft_rank_norm,
         "sp_buckets": q_sp_buckets,
+        "ss_lsh_topk": q_ss_lsh_topk,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,

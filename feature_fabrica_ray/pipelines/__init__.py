@@ -53,7 +53,7 @@ from .sampling import (hash_sample, hash_split, md5_fraction_threshold,
                        md5_hex_column,
                        stratified_sample, weighted_hash_sample)
 from .similarity import (cosine_topk, fit_centroids, fit_pca,
-                         ivf_topk, kmeans, kmeans_assign,
+                         ivf_topk, kmeans, kmeans_assign, lsh_topk,
                          normalize_embeddings, pca_project,
                          quantize_embeddings)
 from .textstats import (add_fingerprint, add_lang_id, add_quality,
@@ -101,7 +101,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "funnel_steps", "interval_overlap_pairs", "unigram_logprob",
            "cohort_retention", "anova_f", "target_encode_loo",
            "event_transitions", "mutual_information", "rank_normalize",
-           "equidepth_buckets",
+           "equidepth_buckets", "lsh_topk",
            "quantize_embeddings",
            "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",

@@ -223,6 +223,22 @@ def test_ivf_recall(emb_ds):
     assert len(e & a) / len(e) >= 0.7
 
 
+def test_lsh_recall(emb_ds):
+    from feature_fabrica_ray.pipelines import lsh_topk
+
+    df = emb_ds.to_pandas()
+    M = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    Q = M[:5]
+    exact = cosine_topk(emb_ds, Q, k=10)
+    approx = lsh_topk(emb_ds, Q, k=10)
+    e = set(map(tuple, exact[["query_id", "vec_id"]].values.tolist()))
+    a = set(map(tuple, approx[["query_id", "vec_id"]].values.tolist()))
+    # the query vector itself always shares every bucket with itself
+    got = dict(approx.groupby("query_id").first()["vec_id"])
+    assert all(got[q] == df["vec_id"].iloc[q] for q in range(5))
+    assert len(e & a) / len(e) >= 0.7
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
