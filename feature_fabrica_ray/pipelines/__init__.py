@@ -62,7 +62,8 @@ from .textstats import (add_fingerprint, add_lang_id, add_quality,
                         unigram_logprob)
 from .topk import approx_heavy_hitters, topk_per_group
 from .uniqueness import uniqueness_violations, uniqueness_violations_ds
-from .writer import write_jsonl_sharded, write_validated
+from .writer import (write_jsonl_sharded, write_range_partitioned,
+                     write_validated)
 from .validate import (ValidationResult, bind_baselines, compute_baseline,
                        infer_checks, profile_table, run_suite, segment_drift)
 
@@ -101,7 +102,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "funnel_steps", "interval_overlap_pairs", "unigram_logprob",
            "cohort_retention", "anova_f", "target_encode_loo",
            "event_transitions", "mutual_information", "rank_normalize",
-           "equidepth_buckets", "lsh_topk",
+           "equidepth_buckets", "lsh_topk", "write_range_partitioned",
            "quantize_embeddings",
            "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",

@@ -16,7 +16,8 @@ import pyarrow.compute as pc
 from ..checks.suite import CheckSuite
 from ..state import hash64
 
-__all__ = ["write_validated", "write_jsonl_sharded"]
+__all__ = ["write_validated", "write_jsonl_sharded",
+           "write_range_partitioned"]
 
 
 def write_validated(ds, suite: CheckSuite, out_dir: str, *,
@@ -98,3 +99,28 @@ def write_jsonl_sharded(ds, out_dir: str, *, shard_col: str | None = None,
     counts = ds.map_batches(write_block, batch_format="pyarrow",
                             batch_size=None).take_all()
     return int(sum(r["n"] for r in counts))
+
+
+def write_range_partitioned(ds, out_dir: str, *, col: str, k: int = 16,
+                            bucket_col: str = "bucket_id"):
+    """Range-partitioned parquet write: stamp every row with its
+    equi-depth bucket over ``col`` (``quantiles.equidepth_buckets`` —
+    histogram-combiner fit, never a global sort) and hive-partition the
+    output by bucket. The result is k balanced directories with
+    DISJOINT value ranges, so a failed run resumes per bucket and
+    downstream range scans prune whole directories. Null values land
+    in their own ``bucket_id=-1`` partition. Returns the bucket count
+    written."""
+    from .quantiles import equidepth_buckets
+
+    stamped = equidepth_buckets(ds, col, k=k, out_col=bucket_col)
+
+    def null_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.fill_null(batch.column(bucket_col), -1)
+        return batch.set_column(batch.schema.get_field_index(bucket_col),
+                                bucket_col, b)
+
+    stamped.map_batches(null_bucket, batch_format="pyarrow",
+                        batch_size=None) \
+        .write_parquet(out_dir, partition_cols=[bucket_col])
+    return k

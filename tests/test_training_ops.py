@@ -1433,3 +1433,28 @@ def test_bloom_join_empty_prune(ray_session):
     out2 = bloom_filtered_join(_ds(left, blocks=3), _ds(right2, blocks=3),
                                on="k").to_pandas().sort_values("k")
     assert out2["k"].tolist() == [2, 3]
+
+
+def test_write_range_partitioned(ray_session, tmp_path):
+    """k balanced hive directories with disjoint value ranges; nulls in
+    bucket_id=-1; a read-back reconstructs the full table."""
+    import pyarrow.parquet as pq
+
+    from feature_fabrica_ray.pipelines import write_range_partitioned
+
+    df = pd.DataFrame({"id": range(20),
+                       "v": [float(i) for i in range(19)] + [None]})
+    out = str(tmp_path / "ranged")
+    write_range_partitioned(_ds(df, blocks=3), out, col="v", k=4)
+    t = pq.read_table(out).to_pandas()
+    assert len(t) == 20
+    t["bucket_id"] = t["bucket_id"].astype(int)
+    # nulls isolated
+    assert set(t.loc[t["v"].isna(), "bucket_id"]) == {-1}
+    body = t.dropna(subset=["v"])
+    # balanced: 19 non-null rows over 4 buckets
+    sizes = body.groupby("bucket_id").size()
+    assert sizes.min() >= 4 and sizes.max() <= 5
+    # disjoint ranges: max of bucket b < min of bucket b+1
+    rng = body.groupby("bucket_id")["v"].agg(["min", "max"]).sort_index()
+    assert (rng["max"].to_numpy()[:-1] < rng["min"].to_numpy()[1:]).all()
