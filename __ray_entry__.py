@@ -4300,6 +4300,23 @@ FROM lineitem
 """
 
 
+def q_vl_fd(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency profiling (pipelines/grouped.py::
+    fd_violations): repos whose files span more than one distinct lang
+    — distinct-tuple combiner, one keyed shuffle, violators only."""
+    from feature_fabrica_ray.pipelines import fd_violations
+
+    ds = read_codetable(sf_dir, with_sha256=False)
+    return fd_violations(ds, ["repo"], "lang")
+
+
+_FD_ORACLE = CT + """
+SELECT repo, CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct
+FROM codetable GROUP BY repo
+HAVING count(DISTINCT lang) > 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4412,6 +4429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_rank_norm": q_ft_rank_norm,
         "sp_buckets": q_sp_buckets,
         "ss_lsh_topk": q_ss_lsh_topk,
+        "vl_fd": q_vl_fd,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
@@ -4569,6 +4587,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_mutual_info": _MUTUAL_INFO_ORACLE,
         "ft_rank_norm": _RANK_NORM_ORACLE,
         "sp_buckets": _BUCKETS_ORACLE,
+        "vl_fd": _FD_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,

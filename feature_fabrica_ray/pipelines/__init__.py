@@ -23,7 +23,8 @@ from .corpus import curate_corpus, mix_corpora
 from .reshape import explode_list, global_row_number, unpivot
 from .grouped import (anova_f, approx_distinct_per_group,
                       approx_group_quantiles,
-                      chi_square_independence, mutual_information,
+                      chi_square_independence, fd_violations,
+                      mutual_information,
                       target_encode_loo,
                       entropy_per_group,
                       distinct_count_per_group,
@@ -103,6 +104,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "cohort_retention", "anova_f", "target_encode_loo",
            "event_transitions", "mutual_information", "rank_normalize",
            "equidepth_buckets", "lsh_topk", "write_range_partitioned",
+           "fd_violations",
            "quantize_embeddings",
            "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",

@@ -35,6 +35,7 @@ def _with_shuffle_key(t: pa.Table, key_col: str) -> pa.Table:
     return t.append_column("__gkey", k)
 
 __all__ = ["anova_f", "target_encode_loo", "mutual_information",
+           "fd_violations",
            "distinct_count_per_group", "rollup_agg", "histogram_fixed",
            "grouped_stats", "freshness_check", "grouped_outliers",
            "grouped_correlation", "approx_distinct_per_group", "cube_agg",
@@ -1233,3 +1234,48 @@ def mutual_information(ds, col_a: str, col_b: str) -> pd.DataFrame:
     df = pd.DataFrame([row])
     df["n"] = df["n"].astype("int64")
     return df
+
+
+def fd_violations(ds, det_cols: list[str], dep_col: str) -> pd.DataFrame:
+    """Functional-dependency profiling: keys of ``det_cols`` that map
+    to MORE than one distinct non-null ``dep_col`` value — the "A
+    should determine B" data-quality check (e.g. one (repo, path)
+    should have one language). Returns one row per violating key with
+    its distinct-value count, sorted.
+
+    Scale shape: the distinct-pair combiner — each block collapses to
+    its distinct (det..., dep) tuples, ONE keyed shuffle over those
+    partials, and each reduce partition counts distinct deps per key
+    and emits only violators (usually a tiny fraction)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = det_cols + [dep_col]
+        t = batch.select(cols).filter(
+            pc.is_valid(batch.column(dep_col)))
+        g = t.group_by(cols).aggregate([([], "count_all")])
+        out = g.drop_columns(["count_all"])
+        key = pc.cast(out.column(det_cols[0]), pa.string())
+        for c in det_cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(out.column(c), pa.string()), "\x1f")
+        return out.append_column("__gkey", pc.fill_null(key, "\0null"))
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        n = df[dep_col].nunique(dropna=True)
+        if n <= 1:
+            return pd.DataFrame({c: pd.Series([], dtype=df[c].dtype)
+                                 for c in det_cols} |
+                                {"n_distinct": pd.Series([], dtype="int64")})
+        row = {c: [df[c].iloc[0]] for c in det_cols}
+        row["n_distinct"] = np.array([n], np.int64)
+        return pd.DataFrame(row)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    if out.empty:     # no violators: Ray drops columns on empty output
+        out = pd.DataFrame({c: pd.Series([], dtype=object)
+                            for c in det_cols} |
+                           {"n_distinct": pd.Series([], dtype="int64")})
+    return out.sort_values(det_cols).reset_index(drop=True)

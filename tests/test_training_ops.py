@@ -1458,3 +1458,19 @@ def test_write_range_partitioned(ray_session, tmp_path):
     # disjoint ranges: max of bucket b < min of bucket b+1
     rng = body.groupby("bucket_id")["v"].agg(["min", "max"]).sort_index()
     assert (rng["max"].to_numpy()[:-1] < rng["min"].to_numpy()[1:]).all()
+
+
+def test_fd_violations(ray_session):
+    """Keys mapping to >1 distinct non-null dep are reported with the
+    distinct count; nulls don't create violations; composite keys."""
+    from feature_fabrica_ray.pipelines import fd_violations
+
+    df = pd.DataFrame({
+        "a": ["r1", "r1", "r1", "r2", "r2", "r3", "r3"],
+        "b": ["p1", "p1", "p2", "p1", "p1", "p1", "p1"],
+        "dep": ["en", "fr", "en", "de", "de", "es", None],
+    })
+    out = fd_violations(_ds(df, blocks=3), ["a", "b"], "dep")
+    assert len(out) == 1
+    assert out.iloc[0]["a"] == "r1" and out.iloc[0]["b"] == "p1"
+    assert out.iloc[0]["n_distinct"] == 2
