@@ -4317,6 +4317,20 @@ HAVING count(DISTINCT lang) > 1
 """
 
 
+def q_ev_ewma(sf_dir: str) -> pd.DataFrame:
+    """Per-user EWMA of event values (pipelines/events.py::
+    ewma_per_key) — the recursive smoother y = αx + (1-α)y' has no
+    window-function SQL form, so this is rows-only by design; exact
+    pandas ewm goldens pin correctness (test_events.py)."""
+    from feature_fabrica_ray.pipelines import ewma_per_key
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "value"])
+    return ewma_per_key(ds, "ts", "user_id", "value", "event_id",
+                        alpha=0.3)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4430,6 +4444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sp_buckets": q_sp_buckets,
         "ss_lsh_topk": q_ss_lsh_topk,
         "vl_fd": q_vl_fd,
+        "ev_ewma": q_ev_ewma,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,

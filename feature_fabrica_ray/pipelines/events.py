@@ -28,7 +28,7 @@ from ..tuning import shuffle_partitions
 __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "extract_json_int", "cumulative_agg", "rolling_agg", "lag_lead",
            "fill_time_gaps", "funnel_steps", "interval_overlap_pairs",
-           "cohort_retention", "event_transitions"]
+           "cohort_retention", "event_transitions", "ewma_per_key"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -616,3 +616,35 @@ def event_transitions(ds, ts_col: str, key_col: str, type_col: str,
         .to_pandas().rename(columns={"sum(n)": "n"})
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+def ewma_per_key(ds, ts_col: str, key_col: str, value_col: str,
+                 order_col: str, alpha: float = 0.3) -> pd.DataFrame:
+    """Exponentially weighted moving average of ``value_col`` per key
+    in (ts, order) sequence — the recursive smoother
+    ``y_t = α·x_t + (1-α)·y_{t-1}`` behind rate/latency trend features.
+    Inherently sequential per key (like sessionize), and NOT
+    SQL-expressible (the recursion has no window-function form), so
+    correctness is pinned by exact pandas ``ewm`` goldens instead of a
+    DuckDB oracle.
+
+    Scale shape: one keyed shuffle of the narrow projection, then a
+    C-vectorized ``ewm`` pass per key group. Returns
+    (order_col, key, value, ewma) with ewma rounded to 6."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        e = df[value_col].ewm(alpha=alpha, adjust=False).mean()
+        out = df[[order_col, key_col, value_col]].copy()
+        out["ewma"] = np.round(e.to_numpy(np.float64), 6)
+        return out
+
+    cols = [key_col, ts_col, value_col, order_col]
+    out = (ds.map_batches(lambda b, c=tuple(cols): b.select(list(c)),
+                          batch_format="pyarrow", batch_size=None)
+           .groupby(key_col, num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(order_col).reset_index(drop=True)

@@ -719,3 +719,27 @@ def test_fill_time_gaps():
     assert a["sum_v"].tolist() == [4.0, 0.0, 0.0, 2.0]
     assert len(out[out["k"] == "b"]) == 1   # single bucket, no expansion
     assert out["k"].isna().sum() == 1       # null key passthrough
+
+
+def test_ewma_per_key(ray_session):
+    """Exact pandas ewm(adjust=False) parity per key in (ts, order)
+    sequence; keys independent; layout-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from feature_fabrica_ray.pipelines import ewma_per_key
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2],
+        "ts": [t0 + pd.Timedelta(seconds=k) for k in (0, 1, 2, 0, 1)],
+        "v": [10.0, 20.0, 30.0, 100.0, 0.0],
+        "eid": [1, 2, 3, 4, 5],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = ewma_per_key(ds, "ts", "u", "v", "eid", alpha=0.5) \
+        .set_index("eid")["ewma"]
+    want = {1: 10.0, 2: 15.0, 3: 22.5, 4: 100.0, 5: 50.0}
+    for k, v in want.items():
+        assert out[k] == v
