@@ -4331,6 +4331,28 @@ def q_ev_ewma(sf_dir: str) -> pd.DataFrame:
                         alpha=0.3)
 
 
+def q_vl_schema_diff(sf_dir: str) -> pd.DataFrame:
+    """Schema drift between two snapshots (pipelines/validate.py::
+    schema_diff): columns added/removed/common between the documents
+    and events tables — metadata-only, costs nothing at any scale."""
+    from feature_fabrica_ray.pipelines import schema_diff
+
+    a = read_parquet_clean(f"{sf_dir}/documents.parquet")
+    b = read_parquet_clean(f"{sf_dir}/events.parquet")
+    return schema_diff(a, b)
+
+
+_SCHEMA_DIFF_ORACLE = """
+WITH a AS (SELECT column_name FROM (DESCRIBE SELECT * FROM documents)),
+     b AS (SELECT column_name FROM (DESCRIBE SELECT * FROM events))
+SELECT coalesce(a.column_name, b.column_name) AS "column",
+       CASE WHEN a.column_name IS NULL THEN 'added'
+            WHEN b.column_name IS NULL THEN 'removed'
+            ELSE 'common' END AS status
+FROM a FULL OUTER JOIN b ON a.column_name = b.column_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4445,6 +4467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ss_lsh_topk": q_ss_lsh_topk,
         "vl_fd": q_vl_fd,
         "ev_ewma": q_ev_ewma,
+        "vl_schema_diff": q_vl_schema_diff,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
@@ -4603,6 +4626,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_rank_norm": _RANK_NORM_ORACLE,
         "sp_buckets": _BUCKETS_ORACLE,
         "vl_fd": _FD_ORACLE,
+        "vl_schema_diff": _SCHEMA_DIFF_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,

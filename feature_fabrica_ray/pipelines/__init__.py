@@ -63,10 +63,11 @@ from .textstats import (add_fingerprint, add_lang_id, add_quality,
                         unigram_logprob)
 from .topk import approx_heavy_hitters, topk_per_group
 from .uniqueness import uniqueness_violations, uniqueness_violations_ds
-from .writer import (write_jsonl_sharded, write_range_partitioned,
-                     write_validated)
+from .writer import (compact_parquet, write_jsonl_sharded,
+                     write_range_partitioned, write_validated)
 from .validate import (ValidationResult, bind_baselines, compute_baseline,
-                       infer_checks, profile_table, run_suite, segment_drift)
+                       infer_checks, profile_table, run_suite, schema_diff,
+                       segment_drift)
 
 __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines",
            "uniqueness_violations", "uniqueness_violations_ds",
@@ -104,7 +105,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "cohort_retention", "anova_f", "target_encode_loo",
            "event_transitions", "mutual_information", "rank_normalize",
            "equidepth_buckets", "lsh_topk", "write_range_partitioned",
-           "fd_violations", "ewma_per_key",
+           "fd_violations", "ewma_per_key", "schema_diff", "compact_parquet",
            "quantize_embeddings",
            "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",

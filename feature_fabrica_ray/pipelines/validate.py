@@ -1187,3 +1187,24 @@ def segment_drift(ds, group_col: str, col: str, baseline_ds, *,
 
 
 __all__.append("segment_drift")
+
+
+def schema_diff(ds_a, ds_b) -> "pd.DataFrame":
+    """Schema drift between two datasets/snapshots: one row per column
+    name with its status — ``added`` (only in B), ``removed`` (only in
+    A), ``common`` — the pre-flight check before unioning snapshots or
+    resuming an append job. Metadata-only: no data is read beyond what
+    schema resolution already fetched, so it costs nothing at any
+    scale. Returns (column, status) sorted."""
+    import pandas as pd
+
+    a = set(ds_a.schema().names)
+    b = set(ds_b.schema().names)
+    rows = ([(c, "removed") for c in a - b] +
+            [(c, "added") for c in b - a] +
+            [(c, "common") for c in a & b])
+    return pd.DataFrame(rows, columns=["column", "status"]) \
+        .sort_values(["column", "status"]).reset_index(drop=True)
+
+
+__all__.append("schema_diff")

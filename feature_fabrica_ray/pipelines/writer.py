@@ -17,7 +17,7 @@ from ..checks.suite import CheckSuite
 from ..state import hash64
 
 __all__ = ["write_validated", "write_jsonl_sharded",
-           "write_range_partitioned"]
+           "write_range_partitioned", "compact_parquet"]
 
 
 def write_validated(ds, suite: CheckSuite, out_dir: str, *,
@@ -124,3 +124,26 @@ def write_range_partitioned(ds, out_dir: str, *, col: str, k: int = 16,
                         batch_size=None) \
         .write_parquet(out_dir, partition_cols=[bucket_col])
     return k
+
+
+def compact_parquet(in_dir: str, out_dir: str, *,
+                    target_rows_per_file: int = 1_000_000) -> int:
+    """Small-file compaction: re-write a parquet directory (e.g. the
+    output of a many-task run) into files of ~``target_rows_per_file``
+    rows — the maintenance pass that keeps downstream scan task counts
+    sane after a wide job emits thousands of KB-sized files. Streaming
+    read -> repartition(target_num_rows_per_block) -> write; the data
+    never collects on the driver. Returns the row count written."""
+    import math
+
+    import ray.data
+
+    n = ray.data.read_parquet(in_dir).count()
+    if n == 0:
+        return 0
+    # explicit block count: repartition(target_num_rows_per_block=...)
+    # only SPLITS oversized blocks, it does not coalesce small ones
+    ds = ray.data.read_parquet(in_dir).repartition(
+        max(1, math.ceil(n / target_rows_per_file)))
+    ds.write_parquet(out_dir)
+    return n

@@ -1474,3 +1474,30 @@ def test_fd_violations(ray_session):
     assert len(out) == 1
     assert out.iloc[0]["a"] == "r1" and out.iloc[0]["b"] == "p1"
     assert out.iloc[0]["n_distinct"] == 2
+
+
+def test_schema_diff_and_compact(ray_session, tmp_path):
+    """schema_diff classifies added/removed/common; compact_parquet
+    coalesces many small files preserving every row."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from feature_fabrica_ray.pipelines import compact_parquet, schema_diff
+
+    a = _ds(pd.DataFrame({"x": [1], "y": [2]}))
+    b = _ds(pd.DataFrame({"y": [3], "z": [4]}))
+    d = schema_diff(a, b)
+    got = dict(zip(d["column"], d["status"]))
+    assert got == {"x": "removed", "y": "common", "z": "added"}
+
+    many = str(tmp_path / "many")
+    _ds(pd.DataFrame({"v": range(1000)}), blocks=20).write_parquet(many)
+    assert len(os.listdir(many)) >= 10
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(many, out, target_rows_per_file=1000)
+    assert n == 1000
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) <= 3
+    t = pq.read_table(out)
+    assert sorted(t.column("v").to_pylist()) == list(range(1000))
