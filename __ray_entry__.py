@@ -2994,6 +2994,49 @@ def q_dd_embedding(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_dd_embedding_rows(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-dup KEEP-ONE dedup — the zero-driver composition
+    completing the embedding family: hyperplane-LSH pairs (ids-only
+    exchange) -> distributed connected components -> anti join drops
+    every non-representative. Same planted corpus as `dd_embedding`
+    (perturbed copies of the first 20 vectors at +100000 ids); the 20
+    planted copies must all be dropped, every original kept. Rows-only
+    (LSH recall has no SQL oracle); the text-path equivalence test
+    (test_neardup_dedup_distributed_equals_driver) pins the keep-one
+    machinery itself."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import (
+        embedding_neardup_pairs, neardup_dedup_rows_distributed)
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    head = ds.filter(expr="vec_id < 20").to_pandas()
+    rng = np.random.default_rng(7)
+    ids, vecs = [], []
+    for _, r in head.iterrows():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        noise = rng.standard_normal(v.shape)
+        v2 = v + 0.001 * np.linalg.norm(v) * noise / \
+            max(np.linalg.norm(noise), 1e-12)
+        ids.append(int(r["vec_id"]) + 100000)
+        vecs.append(v2.astype(np.float32).tolist())
+    planted = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                        "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    both = ds.union(ray.data.from_arrow(planted))
+    pdf = embedding_neardup_pairs(both, vec_col="embedding",
+                                  id_col="vec_id", threshold=0.95)
+    pairs = ray.data.from_pandas(
+        pdf[["id_a", "id_b"]].astype("int64"))
+    # ids-only anti join (pyarrow joins reject list payload columns;
+    # at scale the wide payload is re-fetched by id anyway)
+    kept = neardup_dedup_rows_distributed(
+        both.select_columns(["vec_id"]), id_col="vec_id", pairs=pairs)
+    out = kept.select_columns(["vec_id"]).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_ss_cosine_topk(sf_dir: str):
     import ray.data
 
@@ -4468,6 +4511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_fd": q_vl_fd,
         "ev_ewma": q_ev_ewma,
         "vl_schema_diff": q_vl_schema_diff,
+        "dd_embedding_rows": q_dd_embedding_rows,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
