@@ -1501,3 +1501,82 @@ def test_schema_diff_and_compact(ray_session, tmp_path):
     assert len(files) <= 3
     t = pq.read_table(out)
     assert sorted(t.column("v").to_pylist()) == list(range(1000))
+
+
+def test_rank_normalize_properties(ray_session):
+    """Randomized: rank_norm equals pandas rank(method='max')/n on any
+    input (ties included), is monotone in the value, and lands in
+    (0, 1]."""
+    rng = np.random.default_rng(123)
+    vals = np.round(rng.normal(size=300), 1)   # heavy ties
+    df = pd.DataFrame({"id": np.arange(300), "v": vals})
+    from feature_fabrica_ray.pipelines import rank_normalize
+
+    out = rank_normalize(_ds(df, blocks=5), "v").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    want = (df["v"].rank(method="max") / len(df)).round(6)
+    assert np.allclose(out["rank_norm"], want, atol=1e-9)
+    assert out["rank_norm"].min() > 0 and out["rank_norm"].max() <= 1.0
+    order = df["v"].argsort(kind="mergesort")
+    r = out["rank_norm"].to_numpy()[order]
+    assert (np.diff(r) >= 0).all()
+
+
+def test_interval_overlap_random_vs_bruteforce(ray_session):
+    """Randomized: the sweep emits exactly the quadratic-definition
+    pair set on arbitrary interval soups across several keys."""
+    from feature_fabrica_ray.pipelines import interval_overlap_pairs
+
+    rng = np.random.default_rng(7)
+    n = 200
+    s = rng.integers(0, 1000, n)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, n),
+        "id": np.arange(n),
+        "s": s,
+        "e": s + rng.integers(1, 120, n),
+    })
+    got = set(map(tuple, interval_overlap_pairs(
+        _ds(df, blocks=4), "k", "id", "s", "e")
+        [["k", "id_a", "id_b"]].values.tolist()))
+    want = set()
+    for _, g in df.groupby("k"):
+        r = g.to_dict("records")
+        for i in range(len(r)):
+            for j in range(i + 1, len(r)):
+                a, b = r[i], r[j]
+                if a["s"] < b["e"] and b["s"] < a["e"]:
+                    want.add((a["k"], min(a["id"], b["id"]),
+                              max(a["id"], b["id"])))
+    assert got == want
+
+
+def test_funnel_random_vs_reference(ray_session):
+    """Randomized: greedy funnel matching equals a straightforward
+    per-key reference scan on shuffled event soups."""
+    from feature_fabrica_ray.pipelines import funnel_steps
+
+    rng = np.random.default_rng(11)
+    n = 400
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "u": rng.integers(0, 20, n),
+        "et": rng.choice(["a", "b", "c", "x"], n),
+        "ts": [t0 + pd.Timedelta(seconds=int(x))
+               for x in rng.integers(0, 5000, n)],
+        "eid": np.arange(n),
+    })
+    out = funnel_steps(_ds(df, blocks=4), "ts", "u", "et", "eid",
+                       ["a", "b", "c"]).set_index("u")
+    for u, g in df[df["et"].isin(["a", "b", "c"])].groupby("u"):
+        g = g.sort_values(["ts", "eid"])
+        prev, hits = pd.Timestamp.min, []
+        for step in ["a", "b", "c"]:
+            m = g[(g["et"] == step) & (g["ts"] > prev)]
+            if not len(m):
+                break
+            prev = m["ts"].iloc[0]
+            hits.append(prev)
+        assert out.loc[u, "steps"] == len(hits)
+        for i, h in enumerate(hits):
+            assert out.loc[u, f"ts{i + 1}_us"] == h.value // 1000
