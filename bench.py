@@ -278,6 +278,27 @@ def bench_boilerplate() -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
+def bench_eventflow() -> tuple[float, int]:
+    """Session-5 event-analytics family over the full event stream:
+    cohort retention (one keyed shuffle, per-key local dedup) +
+    ordered-funnel matching (pre-shuffle type pruning) + Markov
+    transition counts (per-key |types|² partials)."""
+    from feature_fabrica_ray.pipelines import (cohort_retention,
+                                               event_transitions,
+                                               funnel_steps)
+    from feature_fabrica_ray.sources import read_parquet_clean
+
+    t0 = time.perf_counter()
+    ev = read_parquet_clean(f"{SF_DIR}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    r = cohort_retention(ev, "ts", "user_id")
+    f = funnel_steps(ev, "ts", "user_id", "event_type", "event_id",
+                     ["view", "click", "purchase"])
+    tr = event_transitions(ev, "ts", "user_id", "event_type", "event_id")
+    return time.perf_counter() - t0, len(r) + len(f) + len(tr)
+
+
 BENCHES = {
     "suite": bench_suite,
     "uniqueness": bench_uniqueness,
@@ -292,6 +313,7 @@ BENCHES = {
     "curation": bench_curation,
     "segstats": bench_segstats,
     "boilerplate": bench_boilerplate,
+    "eventflow": bench_eventflow,
 }
 
 
