@@ -479,6 +479,12 @@ def funnel_steps(ds, ts_col: str, key_col: str, type_col: str,
            .groupby(key_col, num_partitions=shuffle_partitions())
            .map_groups(per_key, batch_format="pandas")
            .to_pandas())
+    if out.empty:     # Ray drops columns on empty map_groups output
+        out = pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                            "steps": pd.Series([], dtype="int64")} |
+                           {f"ts{i + 1}_us": pd.Series([], dtype="Int64")
+                            for i in range(len(steps))})
+        return out
     out["steps"] = out["steps"].astype("int64")
     for i in range(len(steps)):
         out[f"ts{i + 1}_us"] = out[f"ts{i + 1}_us"].astype("Int64")
@@ -535,6 +541,11 @@ def interval_overlap_pairs(ds, key_col: str, id_col: str,
         .groupby(key_col, num_partitions=shuffle_partitions())
         .map_groups(per_key, batch_format="pandas")
         .to_pandas())
+    if out.empty:
+        out = pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                            "id_a": pd.Series([], dtype="int64"),
+                            "id_b": pd.Series([], dtype="int64"),
+                            "overlap_us": pd.Series([], dtype="int64")})
     return out.sort_values([key_col, "id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -575,6 +586,9 @@ def cohort_retention(ds, ts_col: str, key_col: str) -> pd.DataFrame:
     out = pairs.groupby(["cohort_us", "offset_w"],
                         num_partitions=shuffle_partitions()).count() \
         .to_pandas().rename(columns={"count()": "n_keys"})
+    if out.empty:
+        out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                            for c in ("cohort_us", "offset_w", "n_keys")})
     for c in ("cohort_us", "offset_w", "n_keys"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["cohort_us", "offset_w"]).reset_index(drop=True)
@@ -614,6 +628,10 @@ def event_transitions(ds, ts_col: str, key_col: str, type_col: str,
     out = parts.groupby(["from_type", "to_type"],
                         num_partitions=shuffle_partitions()).sum("n") \
         .to_pandas().rename(columns={"sum(n)": "n"})
+    if out.empty:
+        out = pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                            "to_type": pd.Series([], dtype=object),
+                            "n": pd.Series([], dtype="int64")})
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
 
@@ -647,4 +665,9 @@ def ewma_per_key(ds, ts_col: str, key_col: str, value_col: str,
            .groupby(key_col, num_partitions=shuffle_partitions())
            .map_groups(per_key, batch_format="pandas")
            .to_pandas())
+    if out.empty:
+        out = pd.DataFrame({order_col: pd.Series([], dtype="int64"),
+                            key_col: pd.Series([], dtype="int64"),
+                            value_col: pd.Series([], dtype="float64"),
+                            "ewma": pd.Series([], dtype="float64")})
     return out.sort_values(order_col).reset_index(drop=True)

@@ -1100,6 +1100,11 @@ def anova_f(ds, group_col: str, val_col: str) -> pd.DataFrame:
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=None).to_pandas()
+    if parts.empty:   # empty/all-null input: Ray drops the columns
+        parts = pd.DataFrame({group_col: pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype="int64"),
+                              "s": pd.Series([], dtype="float64"),
+                              "ss": pd.Series([], dtype="float64")})
     g = parts.groupby(group_col, as_index=False).agg(
         n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"))
     k, n = len(g), int(g["n"].sum())
@@ -1142,6 +1147,10 @@ def target_encode_loo(ds, key_col: str, val_col: str):
 
     parts = ds.map_batches(fit_partial, batch_format="pyarrow",
                            batch_size=None).to_pandas()
+    if parts.empty:
+        parts = pd.DataFrame({key_col: pd.Series([], dtype=object),
+                              "s": pd.Series([], dtype="float64"),
+                              "n": pd.Series([], dtype="int64")})
     fit = parts.groupby(key_col, as_index=False).agg(
         s=("s", "sum"), n=("n", "sum"))
     if len(fit) > 5_000_000:
@@ -1212,7 +1221,7 @@ def mutual_information(ds, col_a: str, col_b: str) -> pd.DataFrame:
         raise ValueError(
             f"mutual_information: contingency has {len(cells)} cells — "
             f"these columns are not low-cardinality categoricals")
-    n = int(cells["cnt"].sum())
+    n = int(cells["cnt"].sum()) if not cells.empty else 0
     row = {"mi": np.nan, "nmi": np.nan, "h_a": np.nan, "h_b": np.nan,
            "n": n}
     if n > 0:

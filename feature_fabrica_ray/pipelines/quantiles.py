@@ -159,6 +159,8 @@ def _fit_cume(ds, col: str, max_distinct: int):
         raise ValueError(
             f"{len(merged)} distinct values — too many to broadcast; "
             f"use the t-digest sketch path for continuous domains")
+    if merged.empty:   # all-null/empty input: Ray drops the columns
+        return np.zeros(0, np.float64), np.zeros(0, np.float64)
     merged = merged.sort_values("v")
     vals = merged["v"].to_numpy(np.float64)
     cnts = merged["sum(cnt)"].to_numpy(np.float64)

@@ -1580,3 +1580,44 @@ def test_funnel_random_vs_reference(ray_session):
         assert out.loc[u, "steps"] == len(hits)
         for i, h in enumerate(hits):
             assert out.loc[u, f"ts{i + 1}_us"] == h.value // 1000
+
+
+def test_empty_input_robustness(ray_session):
+    """Every session-5 operator must handle a 0-row (but typed) input
+    without crashing — the bug class behind the jn_bloom/fd_violations
+    empty-block fixes. Each returns a well-defined empty result."""
+    import ray
+
+    from feature_fabrica_ray.pipelines import (
+        anova_f, cohort_retention, equidepth_buckets, event_transitions,
+        ewma_per_key, fd_violations, funnel_steps, interval_overlap_pairs,
+        mutual_information, rank_normalize, star_edges, target_encode_loo,
+        unigram_logprob)
+
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "text": pd.Series([], dtype=object)}))
+    ev = ray.data.from_pandas(pd.DataFrame(
+        {"u": pd.Series([], dtype="int64"),
+         "ts": pd.Series([], dtype="datetime64[us]"),
+         "et": pd.Series([], dtype=object),
+         "eid": pd.Series([], dtype="int64"),
+         "v": pd.Series([], dtype="float64"),
+         "s": pd.Series([], dtype="int64"),
+         "e": pd.Series([], dtype="int64")}))
+
+    assert unigram_logprob(docs).count() == 0
+    assert len(funnel_steps(ev, "ts", "u", "et", "eid", ["a", "b"])) == 0
+    assert len(interval_overlap_pairs(ev, "u", "eid", "s", "e")) == 0
+    assert len(cohort_retention(ev, "ts", "u")) == 0
+    assert len(event_transitions(ev, "ts", "u", "et", "eid")) == 0
+    assert len(ewma_per_key(ev, "ts", "u", "v", "eid")) == 0
+    assert rank_normalize(ev, "v").count() == 0
+    assert equidepth_buckets(ev, "v", k=4).count() == 0
+    a = anova_f(ev, "et", "v").iloc[0]
+    assert pd.isna(a["f_stat"]) and a["n"] == 0
+    m = mutual_information(ev, "et", "u").iloc[0]
+    assert pd.isna(m["mi"]) and m["n"] == 0
+    assert target_encode_loo(ev, "et", "v").count() == 0
+    assert len(fd_violations(ev, ["et"], "v")) == 0
+    assert star_edges(docs, "doc_id", "text").count() == 0
