@@ -4396,6 +4396,31 @@ FROM a FULL OUTER JOIN b ON a.column_name = b.column_name
 """
 
 
+def q_ev_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-arrival gap statistics (pipelines/events.py::
+    interarrival_stats): count/mean/median/max of consecutive-event
+    gaps — the sessionization-gap diagnostic; one keyed shuffle +
+    vectorized per-group pass."""
+    from feature_fabrica_ray.pipelines import interarrival_stats
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+    return interarrival_stats(ds, "ts", "user_id", "event_id")
+
+
+_GAPS_ORACLE = """
+WITH d AS (SELECT user_id,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS g
+           FROM events)
+SELECT user_id, CAST(count(g) AS BIGINT) AS n_gaps,
+       round(avg(g) / 1e6, 6) AS mean_gap_s,
+       round(median(g) / 1e6, 6) AS p50_gap_s,
+       CAST(max(g) AS BIGINT) AS max_gap_us
+FROM d WHERE g IS NOT NULL GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4512,6 +4537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_ewma": q_ev_ewma,
         "vl_schema_diff": q_vl_schema_diff,
         "dd_embedding_rows": q_dd_embedding_rows,
+        "ev_gaps": q_ev_gaps,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
@@ -4671,6 +4697,7 @@ def oracle_sql() -> dict[str, str]:
         "sp_buckets": _BUCKETS_ORACLE,
         "vl_fd": _FD_ORACLE,
         "vl_schema_diff": _SCHEMA_DIFF_ORACLE,
+        "ev_gaps": _GAPS_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,

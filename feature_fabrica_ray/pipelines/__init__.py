@@ -12,7 +12,7 @@ from .quantiles import (equidepth_buckets, group_quantiles,
                         rank_normalize)
 from .checkpoint import codetable_shards, merge_results, validate_resumable
 from .events import (cohort_retention, cumulative_agg,
-                     event_transitions, ewma_per_key,
+                     event_transitions, ewma_per_key, interarrival_stats,
                      extract_json_int, extract_json_str,
                      fill_time_gaps, funnel_steps, interval_overlap_pairs,
                      first_last_value, percent_rank_window,
@@ -106,6 +106,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "event_transitions", "mutual_information", "rank_normalize",
            "equidepth_buckets", "lsh_topk", "write_range_partitioned",
            "fd_violations", "ewma_per_key", "schema_diff", "compact_parquet",
+           "interarrival_stats",
            "quantize_embeddings",
            "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",

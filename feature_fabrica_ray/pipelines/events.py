@@ -28,7 +28,8 @@ from ..tuning import shuffle_partitions
 __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "extract_json_int", "cumulative_agg", "rolling_agg", "lag_lead",
            "fill_time_gaps", "funnel_steps", "interval_overlap_pairs",
-           "cohort_retention", "event_transitions", "ewma_per_key"]
+           "cohort_retention", "event_transitions", "ewma_per_key",
+           "interarrival_stats"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -671,3 +672,48 @@ def ewma_per_key(ds, ts_col: str, key_col: str, value_col: str,
                             value_col: pd.Series([], dtype="float64"),
                             "ewma": pd.Series([], dtype="float64")})
     return out.sort_values(order_col).reset_index(drop=True)
+
+
+def interarrival_stats(ds, ts_col: str, key_col: str,
+                       order_col: str) -> pd.DataFrame:
+    """Per-key inter-arrival gap statistics — count, mean, median and
+    max of the gaps between consecutive events — the diagnostic that
+    picks a sessionization ``gap_s`` and flags burst/idle keys. Keys
+    with fewer than two events emit no row (no gap is defined).
+
+    Scale shape: one keyed shuffle of the (key, ts, order) projection,
+    then a vectorized sort + diff + exact aggregate per group (same
+    partitioning contract as ``sessionize``)."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                                 "n_gaps": pd.Series([], dtype="int64"),
+                                 "mean_gap_s": pd.Series([], dtype="float64"),
+                                 "p50_gap_s": pd.Series([], dtype="float64"),
+                                 "max_gap_us": pd.Series([], dtype="int64")})
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        g = np.diff(ts).astype(np.float64)
+        r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6   # half-away (g >= 0)
+        return pd.DataFrame({
+            key_col: [df[key_col].iloc[0]],
+            "n_gaps": np.array([g.size], np.int64),
+            "mean_gap_s": [r6(g.mean() / 1e6)],
+            "p50_gap_s": [r6(np.median(g) / 1e6)],
+            "max_gap_us": np.array([int(g.max())], np.int64),
+        })
+
+    cols = [key_col, ts_col, order_col]
+    out = (ds.map_batches(lambda b, c=tuple(cols): b.select(list(c)),
+                          batch_format="pyarrow", batch_size=None)
+           .groupby(key_col, num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        out = pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                            "n_gaps": pd.Series([], dtype="int64"),
+                            "mean_gap_s": pd.Series([], dtype="float64"),
+                            "p50_gap_s": pd.Series([], dtype="float64"),
+                            "max_gap_us": pd.Series([], dtype="int64")})
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -743,3 +743,27 @@ def test_ewma_per_key(ray_session):
     want = {1: 10.0, 2: 15.0, 3: 22.5, 4: 100.0, 5: 50.0}
     for k, v in want.items():
         assert out[k] == v
+
+
+def test_interarrival_stats(ray_session):
+    """Gap stats per key in (ts, order) sequence; single-event keys
+    emit no row."""
+    import pandas as pd
+    import ray
+
+    from feature_fabrica_ray.pipelines import interarrival_stats
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 2],
+        "ts": [t0 + pd.Timedelta(seconds=k) for k in (0, 10, 30, 100, 5)],
+        "eid": [1, 2, 3, 4, 5],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = interarrival_stats(ds, "ts", "u", "eid").set_index("u")
+    assert list(out.index) == [1]          # u2 has one event
+    r = out.loc[1]
+    assert r["n_gaps"] == 3
+    assert r["mean_gap_s"] == round((10 + 20 + 70) / 3, 6)
+    assert r["p50_gap_s"] == 20.0
+    assert r["max_gap_us"] == 70_000_000
