@@ -4421,6 +4421,47 @@ FROM d WHERE g IS NOT NULL GROUP BY user_id
 """
 
 
+def q_ta_dsir(sf_dir: str):
+    """DSIR importance weights (pipelines/textstats.py::dsir_log_ratio,
+    after Xie et al. 2023): per-document Σ ln(p_en-target / p_source)
+    under two add-1-smoothed unigram fits — two token_counts combiner
+    fits, one joint-vocab log-ratio broadcast, stateless scoring."""
+    from feature_fabrica_ray.pipelines import dsir_log_ratio
+
+    src = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+    tgt = src.filter(expr="lang == 'en'")
+    return dsir_log_ratio(src.select_columns(["doc_id", "text"]),
+                          tgt.select_columns(["doc_id", "text"]))
+
+
+_DSIR_ORACLE = r"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+             FROM documents),
+     tok2 AS (SELECT * FROM tok WHERE token <> ''),
+     src AS (SELECT token, count(*) AS tf FROM tok2 GROUP BY token),
+     ttok AS (SELECT d.doc_id,
+                     unnest(string_split_regex(d.text, '\s+')) AS token
+              FROM documents d WHERE d.lang = 'en'),
+     ttok2 AS (SELECT * FROM ttok WHERE token <> ''),
+     tgt AS (SELECT token, count(*) AS tf FROM ttok2 GROUP BY token),
+     joint AS (SELECT token FROM src UNION SELECT token FROM tgt),
+     v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM joint),
+     ns AS (SELECT (SELECT CAST(sum(tf) AS DOUBLE) FROM src)
+                   + (SELECT v FROM v) AS n),
+     nt AS (SELECT coalesce((SELECT CAST(sum(tf) AS DOUBLE) FROM tgt), 0)
+                   + (SELECT v FROM v) AS n),
+     lr AS (SELECT j.token,
+                   ln((coalesce(t.tf, 0) + 1) / (SELECT n FROM nt))
+                   - ln((coalesce(s.tf, 0) + 1) / (SELECT n FROM ns)) AS r
+            FROM joint j LEFT JOIN src s USING (token)
+            LEFT JOIN tgt t USING (token))
+SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(lr.r), 6) AS log_ratio
+FROM tok2 k JOIN lr USING (token) GROUP BY k.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4538,6 +4579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_schema_diff": q_vl_schema_diff,
         "dd_embedding_rows": q_dd_embedding_rows,
         "ev_gaps": q_ev_gaps,
+        "ta_dsir": q_ta_dsir,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
@@ -4698,6 +4740,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_fd": _FD_ORACLE,
         "vl_schema_diff": _SCHEMA_DIFF_ORACLE,
         "ev_gaps": _GAPS_ORACLE,
+        "ta_dsir": _DSIR_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,

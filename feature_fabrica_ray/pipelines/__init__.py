@@ -60,7 +60,7 @@ from .similarity import (cosine_topk, fit_centroids, fit_pca,
 from .textstats import (add_fingerprint, add_lang_id, add_quality,
                         chunk_documents, code_line_stats,
                         text_stats, tfidf_top_terms, token_counts,
-                        unigram_logprob)
+                        dsir_log_ratio, unigram_logprob)
 from .topk import approx_heavy_hitters, topk_per_group
 from .uniqueness import uniqueness_violations, uniqueness_violations_ds
 from .writer import (compact_parquet, write_jsonl_sharded,
@@ -106,7 +106,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "event_transitions", "mutual_information", "rank_normalize",
            "equidepth_buckets", "lsh_topk", "write_range_partitioned",
            "fd_violations", "ewma_per_key", "schema_diff", "compact_parquet",
-           "interarrival_stats",
+           "interarrival_stats", "dsir_log_ratio",
            "quantize_embeddings",
            "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",

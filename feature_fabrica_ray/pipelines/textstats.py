@@ -16,7 +16,8 @@ import pyarrow.compute as pc
 
 __all__ = ["text_stats", "add_quality", "add_lang_id", "add_fingerprint",
            "kgram_hashes", "token_hashes", "token_counts", "tfidf_top_terms",
-           "chunk_documents", "code_line_stats", "unigram_logprob"]
+           "chunk_documents", "code_line_stats", "unigram_logprob",
+           "dsir_log_ratio"]
 
 _B = np.uint64(1099511628211)          # FNV prime as polynomial base
 _TOKEN_RE = r"\S+"
@@ -574,3 +575,82 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def dsir_log_ratio(source_ds, target_ds, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   max_vocab_broadcast: int = 5_000_000):
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): each source document scores
+    ``Σ_tokens ln(p_target(tok) / p_source(tok))`` under two unigram
+    bag-of-words models — positive means target-like; resample source
+    docs proportionally to select a target-matched corpus.
+
+    Both models use add-1 smoothing over the JOINT vocabulary, so
+    tokens unseen in either corpus get a well-defined probability and
+    the score is finite for every document.
+
+    Scale shape: two distributed frequency fits (``token_counts``
+    combiner — distinct-token-sized exchanges), ONE broadcast of the
+    joint (token -> log ratio) table via ``ray.put``, and a stateless
+    dictionary-encoded scoring map — the corpus itself never shuffles.
+    Returns a Dataset (id, n_tokens, log_ratio) with log_ratio rounded
+    half-away to 6 (SQL ROUND semantics, oracle-comparable)."""
+    import ray
+
+    def fit(ds):
+        vocab = token_counts(ds, text_col, id_col).materialize()
+        if vocab.count() > max_vocab_broadcast:
+            raise ValueError("vocabulary too large to broadcast — "
+                             "shuffle-join tokens against the models")
+        blocks = [t for t in ray.get(vocab.to_arrow_refs()) if t.num_rows]
+        vt = pa.concat_tables(blocks) if blocks else \
+            pa.table({"token": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64())})
+        return dict(zip(vt.column("token").to_pylist(),
+                        vt.column("tf").to_numpy(zero_copy_only=False)
+                        .astype(np.float64)))
+
+    tf_s, tf_t = fit(source_ds), fit(target_ds)
+    joint = set(tf_s) | set(tf_t)
+    v = float(len(joint))
+    n_s = sum(tf_s.values()) + v
+    n_t = sum(tf_t.values()) + v
+    lr = {tok: np.log((tf_t.get(tok, 0.0) + 1.0) / n_t) -
+          np.log((tf_s.get(tok, 0.0) + 1.0) / n_s) for tok in joint}
+    # tokens outside the joint vocab (can't occur when scoring the
+    # corpora the models were fit on, but keep the map total anyway)
+    oov = np.log(1.0 / n_t) - np.log(1.0 / n_s)
+    ref = ray.put((lr, oov))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lr, oov = ray.get(ref)
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(batch.column(text_col), ""))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = parent[keep]
+        n = batch.num_rows
+        d = pc.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        inv = d.indices.to_numpy(zero_copy_only=False)[keep]
+        uniq = d.dictionary.to_pylist()
+        per_tok = np.array([lr.get(t, oov) for t in uniq], np.float64)[inv]
+        cnt = np.bincount(parent, minlength=n).astype(np.int64)
+        s = np.bincount(parent, weights=per_tok, minlength=n)
+        sel = np.flatnonzero(cnt > 0)
+        val = s[sel]
+        val = np.sign(val) * np.floor(np.abs(val) * 1e6 + 0.5) / 1e6
+        return pa.table({
+            id_col: pc.take(batch.column(id_col), pa.array(sel, pa.int64())),
+            "n_tokens": pa.array(cnt[sel], pa.int64()),
+            "log_ratio": pa.array(val, pa.float64()),
+        })
+
+    return source_ds.map_batches(score, batch_format="pyarrow",
+                                 batch_size=None)

@@ -1621,3 +1621,32 @@ def test_empty_input_robustness(ray_session):
     assert target_encode_loo(ev, "et", "v").count() == 0
     assert len(fd_violations(ev, ["et"], "v")) == 0
     assert star_edges(docs, "doc_id", "text").count() == 0
+
+
+def test_dsir_log_ratio(ray_session):
+    """Hand-math golden under add-1 smoothing on the joint vocab:
+    target-only tokens score positive, source-only tokens negative;
+    layout invariance."""
+    import math
+
+    from feature_fabrica_ray.pipelines import dsir_log_ratio
+
+    src_df = pd.DataFrame({"doc_id": [1, 2],
+                           "text": ["cat dog", "dog bird"]})
+    tgt_df = pd.DataFrame({"doc_id": [10], "text": ["cat cat"]})
+    out = dsir_log_ratio(_ds(src_df, blocks=2), _ds(tgt_df)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # joint vocab = {cat, dog, bird}, V=3; Ns = 4+3 = 7, Nt = 2+3 = 5
+    pt = lambda c: (c + 1) / 5.0
+    ps = lambda c: (c + 1) / 7.0
+    lr = {"cat": math.log(pt(2)) - math.log(ps(1)),
+          "dog": math.log(pt(0)) - math.log(ps(2)),
+          "bird": math.log(pt(0)) - math.log(ps(1))}
+    want1 = round(lr["cat"] + lr["dog"], 6)
+    want2 = round(lr["dog"] + lr["bird"], 6)
+    assert out["log_ratio"].tolist() == pytest.approx([want1, want2],
+                                                      abs=1e-9)
+    assert lr["cat"] > 0 > lr["bird"]
+    out4 = dsir_log_ratio(_ds(src_df, blocks=1), _ds(tgt_df)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out4.equals(out)
