@@ -4462,6 +4462,37 @@ FROM tok2 k JOIN lr USING (token) GROUP BY k.doc_id
 """
 
 
+def q_dd_semantic(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style semantic dedup (pipelines/similarity.py::
+    semantic_dedup_ids, after Abbas et al. 2023): k-means clusters,
+    within-cluster cosine >= 0.95 drops the larger id — only
+    same-cluster pairs are scored. Same planted-perturbed-copies corpus
+    as dd_embedding; rows-only (clustering has no SQL oracle); every
+    planted copy must be dropped and every original kept (pytest)."""
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import semantic_dedup_ids
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    head = ds.filter(expr="vec_id < 20").to_pandas()
+    rng = np.random.default_rng(7)
+    ids, vecs = [], []
+    for _, r in head.iterrows():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        noise = rng.standard_normal(v.shape)
+        v2 = v + 0.001 * np.linalg.norm(v) * noise / \
+            max(np.linalg.norm(noise), 1e-12)
+        ids.append(int(r["vec_id"]) + 100000)
+        vecs.append(v2.astype(np.float32).tolist())
+    planted = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                        "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    both = ds.union(ray.data.from_arrow(planted))
+    out = semantic_dedup_ids(both, k=16, threshold=0.95)
+    out["keep"] = out["keep"].astype(bool)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4580,6 +4611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_embedding_rows": q_dd_embedding_rows,
         "ev_gaps": q_ev_gaps,
         "ta_dsir": q_ta_dsir,
+        "dd_semantic": q_dd_semantic,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,

@@ -55,6 +55,7 @@ from .sampling import (hash_sample, hash_split, md5_fraction_threshold,
                        stratified_sample, weighted_hash_sample)
 from .similarity import (cosine_topk, fit_centroids, fit_pca,
                          ivf_topk, kmeans, kmeans_assign, lsh_topk,
+                         semantic_dedup_ids,
                          normalize_embeddings, pca_project,
                          quantize_embeddings)
 from .textstats import (add_fingerprint, add_lang_id, add_quality,
@@ -106,7 +107,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "event_transitions", "mutual_information", "rank_normalize",
            "equidepth_buckets", "lsh_topk", "write_range_partitioned",
            "fd_violations", "ewma_per_key", "schema_diff", "compact_parquet",
-           "interarrival_stats", "dsir_log_ratio",
+           "interarrival_stats", "dsir_log_ratio", "semantic_dedup_ids",
            "quantize_embeddings",
            "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",

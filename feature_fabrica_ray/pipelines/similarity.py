@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["cosine_topk", "ivf_topk", "lsh_topk", "fit_centroids",
-           "quantize_embeddings",
+           "quantize_embeddings", "semantic_dedup_ids",
            "normalize_embeddings", "fit_pca", "pca_project",
            "kmeans", "kmeans_assign"]
 
@@ -437,3 +437,52 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 4,
     parts = ds.map_batches(block_topk, batch_format="pyarrow",
                            batch_size=None).to_pandas()
     return _merge_topk(parts, k)
+
+
+def semantic_dedup_ids(ds, vec_col: str = "embedding",
+                       id_col: str = "vec_id", k: int = 16,
+                       threshold: float = 0.95,
+                       iters: int = 10) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embeddings with k-means, then WITHIN each cluster drop
+    every vector whose cosine similarity to an already-kept vector
+    (smaller id wins — deterministic) reaches ``threshold``. Catches
+    paraphrase-level duplicates that exact/MinHash text dedup misses,
+    at a fraction of all-pairs cost: only same-cluster pairs are ever
+    scored. Near-dups land in the same cluster w.h.p. because they are
+    near-identical points. Returns (id, keep) for every row.
+
+    Scale shape: the k-means fit is sample-based with KB-sized
+    broadcast centroids; assignment is a stateless broadcast map; the
+    per-cluster greedy pass is ONE keyed shuffle of (id, vector) and
+    O(c²) similarity work bounded by cluster size — size k to the
+    corpus (n/k docs per cluster) and split oversized clusters by
+    re-clustering if a modality collapses into one cluster."""
+    C = fit_centroids(ds, nlist=k, vec_col=vec_col, iters=iters)
+    labeled = kmeans_assign(ds, C, vec_col=vec_col, out_col="__cl")
+
+    def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort")
+        M = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in df[vec_col]])
+        if M.ndim != 2 or not len(df):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "keep": pd.Series([], dtype=bool)})
+        Mn = _normalize(M)
+        S = Mn @ Mn.T
+        n = len(df)
+        keep = np.ones(n, bool)
+        for i in range(n):          # greedy over ids ascending
+            if not keep[i]:
+                continue
+            keep[(S[i] >= threshold) & (np.arange(n) > i)] = False
+        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                             "keep": keep})
+
+    out = (labeled.groupby("__cl", num_partitions=min(k, 64))
+           .map_groups(per_cluster, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        out = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                            "keep": pd.Series([], dtype=bool)})
+    return out.sort_values(id_col).reset_index(drop=True)

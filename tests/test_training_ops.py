@@ -1650,3 +1650,27 @@ def test_dsir_log_ratio(ray_session):
     out4 = dsir_log_ratio(_ds(src_df, blocks=1), _ds(tgt_df)) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert out4.equals(out)
+
+
+def test_semantic_dedup(ray_session, emb_ds):
+    """Planted perturbed copies (cosine ~0.9999) must be dropped, the
+    originals kept; orthogonal-ish originals all survive."""
+    import ray
+
+    from feature_fabrica_ray.pipelines import semantic_dedup_ids
+
+    df = emb_ds.to_pandas()
+    rng = np.random.default_rng(3)
+    dup = df.head(10).copy()
+    dup["vec_id"] = dup["vec_id"] + 100000
+    dup["embedding"] = [
+        (np.asarray(v, np.float64)
+         + 1e-4 * rng.standard_normal(len(v))).tolist()
+        for v in dup["embedding"]]
+    both = emb_ds.union(ray.data.from_pandas(dup))
+    out = semantic_dedup_ids(both, k=8, threshold=0.95)
+    by = out.set_index("vec_id")["keep"]
+    assert by.loc[range(10)].all()                   # originals kept
+    assert not by.loc[[i + 100000 for i in range(10)]].any()  # copies drop
+    # every non-planted original survives at this threshold
+    assert by.loc[[i for i in by.index if i < 100000]].all()
