@@ -4493,6 +4493,26 @@ def q_dd_semantic(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_jn_estimate(sf_dir: str) -> pd.DataFrame:
+    """Pre-join cardinality diagnostics (pipelines/join.py::
+    join_cardinality_estimate): HLL distinct-key counts of lineitem
+    partkeys vs part keys, their union, and the inclusion-exclusion
+    intersection — the broadcast-vs-Bloom-vs-shuffle planning numbers.
+    Approximate by construction (rows-only; pytest bounds the error)."""
+    from feature_fabrica_ray.pipelines import join_cardinality_estimate
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey"])
+    pt = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey"])
+    est = join_cardinality_estimate(li, pt, on="l_partkey",
+                                    right_on="p_partkey")
+    out = pd.DataFrame([est])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4612,6 +4632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_gaps": q_ev_gaps,
         "ta_dsir": q_ta_dsir,
         "dd_semantic": q_dd_semantic,
+        "jn_estimate": q_jn_estimate,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,

@@ -38,7 +38,8 @@ from .grouped import (anova_f, approx_distinct_per_group,
                       cube_agg)
 from .drift_actor import DriftSketchActor, drift_report
 from .join import (bloom_filtered_join, broadcast_cross_join,
-                   broadcast_join, broadcast_range_join, shuffle_join)
+                   broadcast_join, broadcast_range_join,
+                   join_cardinality_estimate, shuffle_join)
 from .setops import set_op_keys
 from .graph import connected_components, star_edges
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
@@ -108,6 +109,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "equidepth_buckets", "lsh_topk", "write_range_partitioned",
            "fd_violations", "ewma_per_key", "schema_diff", "compact_parquet",
            "interarrival_stats", "dsir_log_ratio", "semantic_dedup_ids",
+           "join_cardinality_estimate",
            "quantize_embeddings",
            "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",

@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["broadcast_join", "broadcast_cross_join", "broadcast_range_join",
-           "shuffle_join", "bloom_filtered_join"]
+           "shuffle_join", "bloom_filtered_join", "join_cardinality_estimate"]
 
 _MAX_BROADCAST_ROWS = 5_000_000  # guard: a "small side" must actually be small
 
@@ -265,3 +265,40 @@ def bloom_filtered_join(left, right, *, on: str, right_on: str | None = None,
     pruned = pruned.repartition(min(nparts, n_pruned)).materialize()
     return pruned.join(right, join_type="inner", on=(on,), right_on=(rkey,),
                        num_partitions=num_partitions or shuffle_partitions())
+
+
+def join_cardinality_estimate(left, right, *, on: str,
+                              right_on: str | None = None) -> dict:
+    """Pre-join planning diagnostics: approximate distinct-key counts
+    of each side, of their union, and (by inclusion-exclusion) of their
+    intersection — the numbers that decide broadcast vs Bloom-pruned vs
+    plain shuffle join before any all-to-all runs.
+
+    Scale shape: one HLL per side built with the combiner pattern (each
+    block reduces to a KB-sized sketch, the driver ORs them); the union
+    sketch is the merge of the two — no key ever leaves its block.
+    Estimates carry HLL error (~2% at the default precision). Returns
+    {nd_left, nd_right, nd_union, nd_intersect}."""
+    from ..state import HLL
+
+    def side_sketch(ds, col):
+        def sk(batch: pa.Table) -> pa.Table:
+            uniq = pc.unique(batch.column(col).combine_chunks()
+                             .drop_null())
+            return pa.table({"h": pa.array([HLL().add_column(uniq)
+                                            .to_bytes()], pa.binary())})
+
+        rows = ds.map_batches(sk, batch_format="pyarrow",
+                              batch_size=None).take_all()
+        h = HLL()
+        for r in rows:
+            h = h.merge(HLL.from_bytes(r["h"]))
+        return h
+
+    hl = side_sketch(left, on)
+    hr = side_sketch(right, right_on or on)
+    nd_l, nd_r = hl.estimate(), hr.estimate()
+    nd_u = hl.merge(hr).estimate()
+    return {"nd_left": int(nd_l), "nd_right": int(nd_r),
+            "nd_union": int(nd_u),
+            "nd_intersect": max(int(nd_l + nd_r - nd_u), 0)}

@@ -1674,3 +1674,19 @@ def test_semantic_dedup(ray_session, emb_ds):
     assert not by.loc[[i + 100000 for i in range(10)]].any()  # copies drop
     # every non-planted original survives at this threshold
     assert by.loc[[i for i in by.index if i < 100000]].all()
+
+
+def test_join_cardinality_estimate(ray_session):
+    """HLL-based pre-join diagnostics within ~3% of exact distinct-key
+    counts and overlap."""
+    from feature_fabrica_ray.pipelines import join_cardinality_estimate
+
+    left = pd.DataFrame({"k": np.arange(3000) % 1000})     # 1000 distinct
+    right = pd.DataFrame({"j": np.arange(500, 1500)})      # 1000 distinct
+    est = join_cardinality_estimate(_ds(left, blocks=4),
+                                    _ds(right, blocks=3),
+                                    on="k", right_on="j")
+    assert abs(est["nd_left"] - 1000) <= 30
+    assert abs(est["nd_right"] - 1000) <= 30
+    assert abs(est["nd_union"] - 1500) <= 45
+    assert abs(est["nd_intersect"] - 500) <= 60
