@@ -4513,6 +4513,21 @@ def q_jn_estimate(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_ev_anomaly(sf_dir: str) -> pd.DataFrame:
+    """Event-rate spike detection (pipelines/events.py::
+    rate_anomalies): daily windows per user flagged when the count
+    exceeds 2x the trailing EWMA baseline — window counts come from
+    the tumbling combiner (raw events never shuffle), one keyed pass
+    computes the recursive baseline. Rows-only (the EWMA recursion has
+    no SQL form); goldens pin the flag semantics."""
+    from feature_fabrica_ray.pipelines import rate_anomalies
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    return rate_anomalies(ds, "ts", "user_id", width_s=86400,
+                          alpha=0.3, factor=2.0, min_count=5)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4633,6 +4648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_dsir": q_ta_dsir,
         "dd_semantic": q_dd_semantic,
         "jn_estimate": q_jn_estimate,
+        "ev_anomaly": q_ev_anomaly,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,

@@ -13,6 +13,7 @@ from .quantiles import (equidepth_buckets, group_quantiles,
 from .checkpoint import codetable_shards, merge_results, validate_resumable
 from .events import (cohort_retention, cumulative_agg,
                      event_transitions, ewma_per_key, interarrival_stats,
+                     rate_anomalies,
                      extract_json_int, extract_json_str,
                      fill_time_gaps, funnel_steps, interval_overlap_pairs,
                      first_last_value, percent_rank_window,
@@ -109,7 +110,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "equidepth_buckets", "lsh_topk", "write_range_partitioned",
            "fd_violations", "ewma_per_key", "schema_diff", "compact_parquet",
            "interarrival_stats", "dsir_log_ratio", "semantic_dedup_ids",
-           "join_cardinality_estimate",
+           "join_cardinality_estimate", "rate_anomalies",
            "quantize_embeddings",
            "neardup_dedup_rows_distributed",
            "grouping_sets_agg", "time_rolling_agg", "explode_list", "unpivot",

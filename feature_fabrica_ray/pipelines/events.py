@@ -29,7 +29,7 @@ __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "extract_json_int", "cumulative_agg", "rolling_agg", "lag_lead",
            "fill_time_gaps", "funnel_steps", "interval_overlap_pairs",
            "cohort_retention", "event_transitions", "ewma_per_key",
-           "interarrival_stats"]
+           "interarrival_stats", "rate_anomalies"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -717,3 +717,63 @@ def interarrival_stats(ds, ts_col: str, key_col: str,
                             "p50_gap_s": pd.Series([], dtype="float64"),
                             "max_gap_us": pd.Series([], dtype="int64")})
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def rate_anomalies(ds, ts_col: str, key_col: str, width_s: int = 3600,
+                   alpha: float = 0.3, factor: float = 3.0,
+                   min_count: int = 5) -> pd.DataFrame:
+    """Per-key event-rate spike detection: bucket events into tumbling
+    windows, smooth each key's PRIOR window counts with an EWMA, and
+    flag windows whose count exceeds ``factor`` x the trailing baseline
+    (and ``min_count``, so cold keys don't alert on noise) — the
+    streaming-monitoring composite behind abuse/burst detection.
+
+    Scale shape: the window counts come from the tumbling combiner
+    (one row per (key, window) per block — raw events never shuffle),
+    then ONE keyed pass over that dimension-sized table computes the
+    recursive baseline per key. Returns every flagged window
+    (key, window_us, n, baseline) with baseline rounded to 6; a key's
+    first window is never flagged (no baseline exists yet)."""
+    width_us = width_s * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // width_us) * width_us
+        t = pa.table({key_col: batch.column(key_col),
+                      "window_us": pa.array(win, pa.int64())})
+        g = t.group_by([key_col, "window_us"]).aggregate([([], "count_all")])
+        return pa.table({key_col: g.column(key_col),
+                         "window_us": g.column("window_us"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("window_us", as_index=False)["n"].sum() \
+            .sort_values("window_us")
+        n = g["n"].to_numpy(np.float64)
+        base = pd.Series(n).ewm(alpha=alpha, adjust=False).mean() \
+            .shift(1).to_numpy(np.float64)     # trailing: prior windows only
+        flag = (~np.isnan(base)) & (n > factor * base) & (n >= min_count)
+        if not flag.any():
+            return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                                 "window_us": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "baseline": pd.Series([], dtype="float64")})
+        sel = np.flatnonzero(flag)
+        return pd.DataFrame({
+            key_col: df[key_col].iloc[0],
+            "window_us": g["window_us"].to_numpy(np.int64)[sel],
+            "n": n[sel].astype(np.int64),
+            "baseline": np.round(base[sel], 6),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby(key_col, num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        out = pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                            "window_us": pd.Series([], dtype="int64"),
+                            "n": pd.Series([], dtype="int64"),
+                            "baseline": pd.Series([], dtype="float64")})
+    return out.sort_values([key_col, "window_us"]).reset_index(drop=True)

@@ -767,3 +767,34 @@ def test_interarrival_stats(ray_session):
     assert r["mean_gap_s"] == round((10 + 20 + 70) / 3, 6)
     assert r["p50_gap_s"] == 20.0
     assert r["max_gap_us"] == 70_000_000
+
+
+def test_rate_anomalies(ray_session):
+    """A burst window is flagged against the trailing EWMA baseline;
+    the first window and steady traffic are not."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from feature_fabrica_ray.pipelines import rate_anomalies
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: 2 events/hour for 4 hours, then a 30-event burst in hour 5
+    for h in range(4):
+        rows += [(1, t0 + pd.Timedelta(hours=h, minutes=m)) for m in (5, 35)]
+    rows += [(1, t0 + pd.Timedelta(hours=4, minutes=m)) for m in range(30)]
+    # user 2: steady 3/hour, never flagged
+    for h in range(5):
+        rows += [(2, t0 + pd.Timedelta(hours=h, minutes=m))
+                 for m in (1, 21, 41)]
+    df = pd.DataFrame(rows, columns=["u", "ts"])
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = rate_anomalies(ds, "ts", "u", width_s=3600, alpha=0.5,
+                         factor=3.0, min_count=5)
+    assert set(out["u"]) == {1}
+    assert len(out) == 1
+    r = out.iloc[0]
+    burst_win = int((t0 + pd.Timedelta(hours=4)).value // 1000)
+    assert r["window_us"] == burst_win and r["n"] == 30
+    assert r["baseline"] == 2.0       # EWMA of constant 2/hour
