@@ -10,6 +10,7 @@ once (map -> write); nothing is collected to the driver."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -120,9 +121,36 @@ def write_range_partitioned(ds, out_dir: str, *, col: str, k: int = 16,
         return batch.set_column(batch.schema.get_field_index(bucket_col),
                                 bucket_col, b)
 
-    stamped.map_batches(null_bucket, batch_format="pyarrow",
-                        batch_size=None) \
-        .write_parquet(out_dir, partition_cols=[bucket_col])
+    out = stamped.map_batches(null_bucket, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    out.write_parquet(out_dir, partition_cols=[bucket_col])
+
+    # _manifest.json: bucket -> (rows, value min/max) so resume tooling
+    # can skip finished buckets and range scans can prune without
+    # touching parquet footers. The manifest rows come from a combiner
+    # over the already-materialized stamped data (k-sized result).
+    def mpartial(batch: pa.Table) -> pa.Table:
+        t = pa.table({bucket_col: batch.column(bucket_col),
+                      "v": batch.column(col).cast(pa.float64())})
+        g = t.group_by([bucket_col]).aggregate(
+            [([], "count_all"), ("v", "min"), ("v", "max")])
+        return pa.table({bucket_col: g.column(bucket_col),
+                         "rows": g.column("count_all").cast(pa.int64()),
+                         "lo": g.column("v_min"), "hi": g.column("v_max")})
+
+    m = out.map_batches(mpartial, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+    agg = m.groupby(bucket_col).agg(rows=("rows", "sum"), lo=("lo", "min"),
+                                    hi=("hi", "max")).sort_index()
+    manifest = {str(int(b)): {"rows": int(r.rows),
+                              "lo": None if pd.isna(r.lo) else float(r.lo),
+                              "hi": None if pd.isna(r.hi) else float(r.hi)}
+                for b, r in agg.iterrows()}
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump({"col": col, "k": k, "buckets": manifest}, f, indent=1)
     return k
 
 

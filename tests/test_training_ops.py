@@ -1446,6 +1446,15 @@ def test_write_range_partitioned(ray_session, tmp_path):
                        "v": [float(i) for i in range(19)] + [None]})
     out = str(tmp_path / "ranged")
     write_range_partitioned(_ds(df, blocks=3), out, col="v", k=4)
+    import json
+    import os
+    man = json.load(open(os.path.join(out, "_manifest.json")))
+    assert man["col"] == "v" and man["k"] == 4
+    assert sum(b["rows"] for b in man["buckets"].values()) == 20
+    assert man["buckets"]["-1"]["rows"] == 1      # the null row
+    # manifest ranges are disjoint and ordered for the real buckets
+    bs = [man["buckets"][str(i)] for i in range(1, 5)]
+    assert all(bs[i]["hi"] < bs[i + 1]["lo"] for i in range(3))
     t = pq.read_table(out).to_pandas()
     assert len(t) == 20
     t["bucket_id"] = t["bucket_id"].astype(int)
