@@ -4528,6 +4528,40 @@ def q_ev_anomaly(sf_dir: str) -> pd.DataFrame:
                           alpha=0.3, factor=2.0, min_count=5)
 
 
+def q_pr_pushdown(sf_dir: str) -> pd.DataFrame:
+    """Read-time predicate pushdown: the row filter (l_quantity > 45)
+    and the 2-column projection are applied AT THE SCAN
+    (``read_parquet(columns=..., filter=...)`` — pyarrow dataset
+    expression, row groups skipped by statistics), so only qualifying
+    rows of two columns ever leave storage; the aggregate is then one
+    tiny combiner."""
+    import pyarrow.dataset as pds
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_extendedprice"],
+                            filter=(pds.field("l_quantity") > 45))
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "s": pa.array([pc.sum(b.column("l_extendedprice")).as_py()
+                           or 0.0], pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    return pd.DataFrame({
+        "n": np.array([parts["n"].sum()], np.int64),
+        "total": [np.floor(parts["s"].sum() * 100 + 0.5) / 100],
+    })
+
+
+_PUSHDOWN_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS total
+FROM lineitem WHERE l_quantity > 45
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4649,6 +4683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_semantic": q_dd_semantic,
         "jn_estimate": q_jn_estimate,
         "ev_anomaly": q_ev_anomaly,
+        "pr_pushdown": q_pr_pushdown,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
@@ -4810,6 +4845,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_schema_diff": _SCHEMA_DIFF_ORACLE,
         "ev_gaps": _GAPS_ORACLE,
         "ta_dsir": _DSIR_ORACLE,
+        "pr_pushdown": _PUSHDOWN_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,
