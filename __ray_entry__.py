@@ -4562,6 +4562,38 @@ FROM lineitem WHERE l_quantity > 45
 """
 
 
+def q_sm_systematic(sf_dir: str) -> pd.DataFrame:
+    """Systematic (every-Nth-row) sampling over a deterministic total
+    order — composition of global_row_number (the documented raw-task
+    escape for global positions) + a stateless modulo filter: every
+    100th lineitem in (l_orderkey, l_linenumber) order."""
+    from feature_fabrica_ray.pipelines import global_row_number
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_quantity"])
+    rn = global_row_number(ds, ["l_orderkey", "l_linenumber"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        rn = b.column("row_num").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(rn % 100 == 1))
+
+    out = rn.map_batches(keep, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    for c in ("l_orderkey", "l_linenumber", "row_num"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("row_num").reset_index(drop=True)
+
+
+_SYSTEMATIC_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(rn AS BIGINT) AS row_num
+FROM (SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+        AS rn FROM lineitem)
+WHERE rn % 100 = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4684,6 +4716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jn_estimate": q_jn_estimate,
         "ev_anomaly": q_ev_anomaly,
         "pr_pushdown": q_pr_pushdown,
+        "sm_systematic": q_sm_systematic,
         "tp_curate": q_tp_curate,
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
@@ -4846,6 +4879,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_gaps": _GAPS_ORACLE,
         "ta_dsir": _DSIR_ORACLE,
         "pr_pushdown": _PUSHDOWN_ORACLE,
+        "sm_systematic": _SYSTEMATIC_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,
