@@ -3735,6 +3735,69 @@ def q_pr_chi2(sf_dir: str) -> pd.DataFrame:
                                         6).iloc[0])]})
 
 
+def q_pr_auc(sf_dir: str) -> pd.DataFrame:
+    """ROC AUC of the event value as a predictor of 'is this a
+    purchase' — Mann-Whitney rank-sum identity with mid-rank ties over
+    a value-grouped combiner: no global sort, driver state is
+    O(distinct scores) (pipelines/grouped.py::mann_whitney_auc)."""
+    from feature_fabrica_ray.pipelines import mann_whitney_auc
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def lab(b: pa.Table) -> pa.Table:
+        y = pc.cast(pc.equal(b.column("event_type"), "purchase"),
+                    pa.int64())
+        return b.append_column("is_purchase", pc.fill_null(y, 0))
+
+    ds = ds.map_batches(lab, batch_format="pyarrow", batch_size=None)
+    return mann_whitney_auc(ds, "value", "is_purchase")
+
+
+_AUC_ORACLE = """
+WITH r AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         rank() OVER (ORDER BY value)
+           + (COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 AS midrank
+  FROM events WHERE value IS NOT NULL
+)
+SELECT round((sum(CASE WHEN y = 1 THEN midrank ELSE 0 END)
+              - sum(y) * (sum(y) + 1) / 2.0)
+             / (sum(y) * (count(*) - sum(y))), 6) AS auc,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+       CAST(count(DISTINCT midrank) AS BIGINT) AS n_scores
+FROM r
+"""
+
+
+def q_pr_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford leading-digit profile of o_totalprice: digit computed
+    numerically (floor(x / 10^floor(log10 x))), 9-bin per-block count
+    combiner, observed vs Benford expected proportions
+    (pipelines/grouped.py::benford_profile)."""
+    from feature_fabrica_ray.pipelines import benford_profile
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_totalprice"])
+    out = benford_profile(ds, "o_totalprice")
+    return out[["digit", "n", "obs_p", "exp_p"]]
+
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(floor(o_totalprice
+                    / power(10, floor(log10(o_totalprice))))
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0 AND isfinite(o_totalprice)
+), c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / sum(n) OVER (), 6) AS obs_p,
+       round(log10(1 + 1.0 / digit), 6) AS exp_p
+FROM c ORDER BY digit
+"""
+
+
 _CHI2_ORACLE = """
 WITH c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
            FROM documents
@@ -4759,6 +4822,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_regression": q_pr_regression,
         "agg_wavg": q_agg_wavg,
         "pr_chi2": q_pr_chi2,
+        "pr_auc": q_pr_auc,
+        "pr_benford": q_pr_benford,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -4896,5 +4961,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_regression": _REGRESSION_ORACLE,
         "agg_wavg": _WAVG_ORACLE,
         "pr_chi2": _CHI2_ORACLE,
+        "pr_auc": _AUC_ORACLE,
+        "pr_benford": _BENFORD_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

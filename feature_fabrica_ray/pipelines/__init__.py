@@ -23,8 +23,9 @@ from .events import (cohort_retention, cumulative_agg,
 from .corpus import curate_corpus, mix_corpora
 from .reshape import explode_list, global_row_number, unpivot
 from .grouped import (anova_f, approx_distinct_per_group,
-                      approx_group_quantiles,
+                      approx_group_quantiles, benford_profile,
                       chi_square_independence, fd_violations,
+                      mann_whitney_auc,
                       mutual_information,
                       target_encode_loo,
                       entropy_per_group,
@@ -106,6 +107,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "connected_components", "star_edges",
            "funnel_steps", "interval_overlap_pairs", "unigram_logprob",
            "cohort_retention", "anova_f", "target_encode_loo",
+           "mann_whitney_auc", "benford_profile",
            "event_transitions", "mutual_information", "rank_normalize",
            "equidepth_buckets", "lsh_topk", "write_range_partitioned",
            "fd_violations", "ewma_per_key", "schema_diff", "compact_parquet",

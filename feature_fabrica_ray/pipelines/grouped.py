@@ -1288,3 +1288,115 @@ def fd_violations(ds, det_cols: list[str], dep_col: str) -> pd.DataFrame:
                             for c in det_cols} |
                            {"n_distinct": pd.Series([], dtype="int64")})
     return out.sort_values(det_cols).reset_index(drop=True)
+
+
+def mann_whitney_auc(ds, score_col: str, label_col: str) -> pd.DataFrame:
+    """ROC AUC of a numeric score against a binary label via the
+    Mann-Whitney rank-sum identity with mid-rank tie handling:
+    ``AUC = (Σ_pos midrank - n_pos(n_pos+1)/2) / (n_pos · n_neg)`` —
+    the standard label-vs-score diagnostic for curation/quality scores
+    (e.g. "does the quality score actually separate kept from dropped
+    docs?"). Rows with a NULL score or label are excluded.
+
+    Scale shape: order statistics WITHOUT a global sort — each block
+    collapses to per-distinct-score (n_pos, n_total) counts (the
+    value-grouped combiner, same family as ``histogram_fixed``); only
+    those partials reach the driver, which sorts the distinct-score
+    table and assembles mid-ranks with one cumulative pass. Driver
+    state is O(distinct scores), guarded — at 100 TB you quantize the
+    score first (the standard streaming-AUC move), which this shape
+    makes explicit. Returns one row (auc, n_pos, n_neg, n_scores);
+    auc is NULL when either class is empty."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_col).cast(pa.float64())
+        y = batch.column(label_col).cast(pa.int64())
+        t = pa.table({"s": s, "y": y}).filter(
+            pc.and_(pc.is_valid(s), pc.is_valid(y)))
+        g = t.group_by(["s"]).aggregate([("y", "sum"), ("y", "count")])
+        return pa.table({"s": g.column("s"),
+                         "pos": g.column("y_sum").cast(pa.int64()),
+                         "n": g.column("y_count").cast(pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:   # empty/all-null input: Ray drops the columns
+        parts = pd.DataFrame({"s": pd.Series([], dtype="float64"),
+                              "pos": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64")})
+    g = parts.groupby("s", as_index=False).agg(pos=("pos", "sum"),
+                                               n=("n", "sum"))
+    if len(g) > _MAX_CONTINGENCY_CELLS:
+        raise ValueError(
+            f"mann_whitney_auc: {len(g)} distinct scores — quantize the "
+            f"score column before computing AUC at this cardinality")
+    g = g.sort_values("s", kind="mergesort")
+    n = g["n"].to_numpy(np.int64)
+    pos = g["pos"].to_numpy(np.int64)
+    n_pos = int(pos.sum())
+    n_neg = int(n.sum() - n_pos)
+    out = {"auc": np.nan, "n_pos": n_pos, "n_neg": n_neg,
+           "n_scores": len(g)}
+    if n_pos > 0 and n_neg > 0:
+        cum_before = np.concatenate(([0], np.cumsum(n)[:-1]))
+        midrank = cum_before + (n + 1) / 2.0
+        rank_sum = float((pos * midrank).sum())
+        auc = (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+        out["auc"] = np.floor(auc * 1e6 + 0.5) / 1e6
+    df = pd.DataFrame([out])
+    for c in ("n_pos", "n_neg", "n_scores"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def benford_profile(ds, col: str) -> pd.DataFrame:
+    """Leading-digit (Benford's law) profile of a positive numeric
+    column — the classic fabricated-/synthetic-data smell test for
+    amount-like fields. The leading digit is computed numerically
+    (``floor(x / 10^floor(log10 x))``, no string formatting) over
+    finite values > 0; ``exp_p`` is Benford's ``log10(1 + 1/d)``.
+
+    Scale shape: each block collapses to a 9-bin count vector (pure
+    numpy, one pass); only 9-row partials leave the blocks and the
+    driver sums them — the cheapest possible combiner. Returns one row
+    per OBSERVED digit (digit, n, obs_p, exp_p) plus a ``chi2`` column
+    (identical in every row): Pearson goodness-of-fit over all nine
+    Benford bins, with absent digits contributing their full expected
+    count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        x = x[np.isfinite(x) & (x > 0)]
+        d = np.floor(x / np.power(10.0, np.floor(np.log10(x))))
+        cnt = np.bincount(d.astype(np.int64), minlength=10)[1:10]
+        return pa.table({"digit": np.arange(1, 10, dtype=np.int64),
+                         "n": cnt.astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        parts = pd.DataFrame({"digit": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64")})
+    g = parts.groupby("digit", as_index=False).agg(n=("n", "sum"))
+    full = pd.DataFrame({"digit": np.arange(1, 10, dtype=np.int64)}) \
+        .merge(g, on="digit", how="left").fillna({"n": 0})
+    cnt = full["n"].to_numpy(np.int64)
+    total = int(cnt.sum())
+    exp_p = np.log10(1.0 + 1.0 / np.arange(1, 10))
+    if total == 0:
+        return pd.DataFrame({"digit": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64"),
+                             "obs_p": pd.Series([], dtype="float64"),
+                             "exp_p": pd.Series([], dtype="float64"),
+                             "chi2": pd.Series([], dtype="float64")})
+    obs_p = cnt / total
+    chi2 = float((total * (obs_p - exp_p) ** 2 / exp_p).sum())
+    out = pd.DataFrame({
+        "digit": np.arange(1, 10, dtype=np.int64),
+        "n": cnt,
+        "obs_p": np.floor(obs_p * 1e6 + 0.5) / 1e6,
+        "exp_p": np.floor(exp_p * 1e6 + 0.5) / 1e6,
+        "chi2": np.floor(chi2 * 1e6 + 0.5) / 1e6,
+    })
+    return out[out["n"] > 0].reset_index(drop=True)

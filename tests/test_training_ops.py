@@ -1699,3 +1699,59 @@ def test_join_cardinality_estimate(ray_session):
     assert abs(est["nd_right"] - 1000) <= 30
     assert abs(est["nd_union"] - 1500) <= 45
     assert abs(est["nd_intersect"] - 500) <= 60
+
+
+def test_mann_whitney_auc(ray_session):
+    """AUC matches sklearn-style hand computation incl. mid-rank ties;
+    null rows excluded; single-class input yields NULL."""
+    from feature_fabrica_ray.pipelines import mann_whitney_auc
+
+    df = pd.DataFrame({
+        "s": [0.1, 0.4, 0.35, 0.8, 0.4, None, 0.2],
+        "y": [0,   0,   1,    1,   1,   1,    None],
+    })
+    out = mann_whitney_auc(_ds(df, blocks=3), "s", "y").iloc[0]
+    # sorted scores: .1(y0) .2? excluded(null y) .35(y1) .4(y0) .4(y1) .8(y1)
+    # valid rows: (.1,0) (.4,0) (.35,1) (.8,1) (.4,1) -> n=5
+    # ranks: .1->1, .35->2, .4 ties ranks 3,4 midrank 3.5, .8->5
+    # pos ranks: 2 + 3.5 + 5 = 10.5 ; npos=3 nneg=2
+    want = (10.5 - 3 * 4 / 2) / (3 * 2)
+    assert out["auc"] == pytest.approx(round(want, 6), abs=1e-9)
+    assert out["n_pos"] == 3 and out["n_neg"] == 2
+    assert out["n_scores"] == 4
+    # perfect separation -> 1.0
+    perfect = pd.DataFrame({"s": [1.0, 2.0, 3.0, 4.0],
+                            "y": [0, 0, 1, 1]})
+    assert mann_whitney_auc(_ds(perfect), "s", "y").iloc[0]["auc"] == 1.0
+    # one class only -> NULL
+    one = pd.DataFrame({"s": [1.0, 2.0], "y": [1, 1]})
+    assert pd.isna(mann_whitney_auc(_ds(one), "s", "y").iloc[0]["auc"])
+    # partition invariance
+    a = mann_whitney_auc(_ds(df, blocks=1), "s", "y")
+    b = mann_whitney_auc(_ds(df, blocks=4), "s", "y")
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_benford_profile(ray_session):
+    """Digit extraction is numeric (no string formatting), nonpositive
+    and null values excluded, chi2 covers absent digits."""
+    from feature_fabrica_ray.pipelines import benford_profile
+
+    df = pd.DataFrame({"x": [1.0, 12.5, 0.19, 950.0, 9.9, 200.0,
+                             -5.0, 0.0, None]})
+    out = benford_profile(_ds(df, blocks=3), "x")
+    got = dict(zip(out["digit"], out["n"]))
+    assert got == {1: 3, 2: 1, 9: 2}       # 1.0,12.5,0.19 / 200 / 950,9.9
+    assert (out["obs_p"] == [round(3 / 6, 6), round(1 / 6, 6),
+                             round(2 / 6, 6)]).all()
+    import numpy as np
+    exp_p = np.log10(1 + 1.0 / np.arange(1, 10))
+    obs = np.zeros(9)
+    obs[[0, 1, 8]] = [3 / 6, 1 / 6, 2 / 6]
+    want_chi2 = float((6 * (obs - exp_p) ** 2 / exp_p).sum())
+    assert out["chi2"].iloc[0] == pytest.approx(round(want_chi2, 6),
+                                                abs=1e-9)
+    # all-null/empty input -> typed empty frame
+    empty = benford_profile(_ds(pd.DataFrame({"x": [None, -1.0]})), "x")
+    assert len(empty) == 0 and list(empty.columns) == [
+        "digit", "n", "obs_p", "exp_p", "chi2"]
