@@ -3735,6 +3735,69 @@ def q_pr_chi2(sf_dir: str) -> pd.DataFrame:
                                         6).iloc[0])]})
 
 
+def q_agg_cooccur(sf_dir: str) -> pd.DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs by number of
+    orders containing both — distinct-(order,part) combiner, triu pair
+    emission per order, pair-count shuffle, per-block top-k partials
+    (pipelines/grouped.py::cooccurrence_pairs)."""
+    from feature_fabrica_ray.pipelines import cooccurrence_pairs
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    out = cooccurrence_pairs(ds, "l_orderkey", "l_partkey", top=20)
+    out = out.rename(columns={"a": "part_a", "b": "part_b",
+                              "n": "n_orders"})
+    for c in ("part_a", "part_b", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_COOCCUR_ORACLE = """
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+c AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_orders
+      FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
+FROM c ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+"""
+
+
+def q_sm_reservoir(sf_dir: str) -> pd.DataFrame:
+    """Fixed-size-k deterministic uniform sample (reservoir semantics
+    without randomness): global bottom-200 lineitems by md5 priority of
+    the row key — per-block bottom-k slices, k-sized partials merged on
+    the driver, no shuffle (pipelines/sampling.py::bottomk_sample)."""
+    from feature_fabrica_ray.pipelines import bottomk_sample
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_quantity"])
+
+    def rid(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(b.column("l_orderkey"), pa.string()),
+            pc.cast(b.column("l_linenumber"), pa.string()), "-")
+        return b.append_column("rid", key)
+
+    ds = ds.map_batches(rid, batch_format="pyarrow", batch_size=None)
+    out = bottomk_sample(ds, "rid", k=200, method="md5")
+    out = out.drop(columns=["rid"]).reset_index(drop=True)
+    for c in ("l_orderkey", "l_linenumber"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_RESERVOIR_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '-'
+             || CAST(l_linenumber AS VARCHAR)),
+         l_orderkey, l_linenumber, l_quantity
+LIMIT 200
+"""
+
+
 def q_pr_auc(sf_dir: str) -> pd.DataFrame:
     """ROC AUC of the event value as a predictor of 'is this a
     purchase' — Mann-Whitney rank-sum identity with mid-rank ties over
@@ -4824,6 +4887,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_chi2": q_pr_chi2,
         "pr_auc": q_pr_auc,
         "pr_benford": q_pr_benford,
+        "agg_cooccur": q_agg_cooccur,
+        "sm_reservoir": q_sm_reservoir,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -4963,5 +5028,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_chi2": _CHI2_ORACLE,
         "pr_auc": _AUC_ORACLE,
         "pr_benford": _BENFORD_ORACLE,
+        "agg_cooccur": _COOCCUR_ORACLE,
+        "sm_reservoir": _RESERVOIR_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

@@ -24,6 +24,7 @@ from .corpus import curate_corpus, mix_corpora
 from .reshape import explode_list, global_row_number, unpivot
 from .grouped import (anova_f, approx_distinct_per_group,
                       approx_group_quantiles, benford_profile,
+                      cooccurrence_pairs,
                       chi_square_independence, fd_violations,
                       mann_whitney_auc,
                       mutual_information,
@@ -53,7 +54,8 @@ from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
 from .multimodal import (DecodeImageFeatures, FrameSampler,
                          ResizeImage, audio_pipeline, decode_pipeline,
                          frame_pipeline, resize_pipeline)
-from .sampling import (hash_sample, hash_split, md5_fraction_threshold,
+from .sampling import (bottomk_sample, hash_sample, hash_split,
+                       md5_fraction_threshold,
                        md5_hex_column,
                        stratified_sample, weighted_hash_sample)
 from .similarity import (cosine_topk, fit_centroids, fit_pca,
@@ -102,6 +104,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "weighted_avg_per_group", "chi_square_independence",
            "histogram_fixed", "grouped_stats", "lag_lead",
            "weighted_hash_sample", "normalize_text", "pivot_agg",
+           "bottomk_sample", "cooccurrence_pairs",
            "code_line_stats", "approx_group_quantiles",
            "rank_ntile", "mode_per_group", "set_op_keys",
            "connected_components", "star_edges",

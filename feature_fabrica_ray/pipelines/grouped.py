@@ -1400,3 +1400,86 @@ def benford_profile(ds, col: str) -> pd.DataFrame:
         "chi2": np.floor(chi2 * 1e6 + 0.5) / 1e6,
     })
     return out[out["n"] > 0].reset_index(drop=True)
+
+
+def cooccurrence_pairs(ds, group_col: str, item_col: str, top: int = 20,
+                       max_items: int = 10_000) -> pd.DataFrame:
+    """Market-basket co-occurrence: for every unordered pair of
+    distinct items appearing in the same group (parts in an order,
+    tokens in a doc, repos touched by a user), the number of groups
+    containing both — the input to association-rule / "frequently
+    bought together" mining. Null items are ignored.
+
+    Scale shape: (1) per-block distinct-(group,item) combiner so the
+    ONE keyed shuffle moves a deduplicated 2-column projection; (2)
+    vectorized triu pair emission per group — a group with g items
+    emits C(g,2) pairs, so a group exceeding ``max_items`` fails loud
+    (cap/salt hot baskets upstream; silent truncation would skew
+    counts); (3) pair counts fold through a second keyed shuffle of
+    per-block count partials; (4) only per-block top-``top`` partials
+    reach the driver (the ``topk_per_group`` merge shape). Returns
+    (part_a, part_b, n_groups) ordered by count desc with
+    deterministic (a, b) tiebreaks."""
+    from ..tuning import shuffle_partitions
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, item_col]).filter(
+            pc.and_(pc.is_valid(batch.column(group_col)),
+                    pc.is_valid(batch.column(item_col))))
+        return t.group_by([group_col, item_col]).aggregate([])
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        items = np.unique(df[item_col].to_numpy())
+        if items.size > max_items:
+            raise ValueError(
+                f"cooccurrence_pairs: group {df[group_col].iloc[0]!r} has "
+                f"{items.size} distinct items (> max_items={max_items}) — "
+                f"emitting C(g,2) pairs for it would explode; cap or salt "
+                f"hot groups upstream")
+        if items.size < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=items.dtype),
+                                 "b": pd.Series([], dtype=items.dtype)})
+        ia, ib = np.triu_indices(items.size, k=1)
+        return pd.DataFrame({"a": items[ia], "b": items[ib]})
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["a", "b"]).aggregate([([], "count_all")])
+        out = pa.table({"a": g.column("a"), "b": g.column("b"),
+                        "n": g.column("count_all").cast(pa.int64())})
+        k = pc.binary_join_element_wise(
+            pc.cast(out.column("a"), pa.string()),
+            pc.cast(out.column("b"), pa.string()), "\x1f")
+        return out.append_column("__pkey", k)
+
+    def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": [df["a"].iloc[0]],
+                             "b": [df["b"].iloc[0]],
+                             "n": np.array([int(df["n"].sum())], np.int64)})
+
+    def top_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["a", "b", "n"]).to_pandas()
+        df = df.sort_values(["n", "a", "b"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(top)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    counts = (ds.map_batches(distinct_partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby(group_col, num_partitions=shuffle_partitions())
+              .map_groups(emit_pairs, batch_format="pandas")
+              .map_batches(count_partial, batch_format="pyarrow",
+                           batch_size=None)
+              .groupby("__pkey", num_partitions=shuffle_partitions())
+              .map_groups(merge_counts, batch_format="pandas")
+              .map_batches(top_partial, batch_format="pyarrow",
+                           batch_size=None)
+              .to_pandas())
+    if counts.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    return counts.sort_values(["n", "a", "b"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(top) \
+        .reset_index(drop=True)

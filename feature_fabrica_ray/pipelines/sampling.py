@@ -238,3 +238,52 @@ def hash_split(ds, key_columns: list[str], fractions: dict[str, float],
         return batch.append_column(out_col, lab)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def bottomk_sample(ds, key_col: str, k: int, method: str = "hash64",
+                   seed: int = 0):
+    """Deterministic uniform sample of EXACTLY ``k`` rows without
+    replacement: every row gets a priority that is a pure function of
+    its key, and the global k lowest-priority rows are the sample —
+    the fixed-size companion to ``hash_sample``'s fixed-fraction form
+    (a deterministic equivalent of single-reservoir sampling, stable
+    across reruns, resumes and block layouts).
+
+    Scale shape: each block keeps only its own bottom-k slice (one
+    vectorized argsort + head per block), so at most ``k × n_blocks``
+    rows ever leave the blocks and the driver merges k-sized partials
+    — no shuffle, no global sort. ``method="hash64"`` is the scale
+    path; ``method="md5"`` makes the selection SQL-replicable
+    (``ORDER BY md5(CAST(key AS VARCHAR)) LIMIT k``). Ties (absent
+    under md5) break on the key's string form. Returns a pandas
+    DataFrame of the sampled rows in priority order, priority column
+    dropped."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if method == "md5":
+            prio = md5_hex_column(batch.column(key_col))
+        else:
+            prio = pa.array(
+                hash64(batch.column(key_col), seed=seed).astype("uint64"))
+        t = batch.append_column("__prio", prio)
+        t = t.filter(pc.is_valid(t.column("__prio")))
+        df = t.to_pandas()
+        df["__tie"] = df[key_col].astype(str)
+        order = ["__prio", "__tie"] + [c for c in df.columns
+                                       if c not in ("__prio", "__tie")]
+        df = df.sort_values(order, kind="mergesort").head(k)
+        return pa.Table.from_pandas(df.drop(columns="__tie"),
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return parts
+    parts["__tie"] = parts[key_col].astype(str)
+    order = ["__prio", "__tie"] + [c for c in parts.columns
+                                   if c not in ("__prio", "__tie")]
+    out = parts.sort_values(order, kind="mergesort").head(k)
+    return out.drop(columns=["__prio", "__tie"]).reset_index(drop=True)

@@ -1755,3 +1755,50 @@ def test_benford_profile(ray_session):
     empty = benford_profile(_ds(pd.DataFrame({"x": [None, -1.0]})), "x")
     assert len(empty) == 0 and list(empty.columns) == [
         "digit", "n", "obs_p", "exp_p", "chi2"]
+
+
+def test_cooccurrence_pairs(ray_session):
+    """Pair counts match the hand enumeration; within-group duplicate
+    items collapse; null items ignored; oversized groups fail loud."""
+    from feature_fabrica_ray.pipelines import cooccurrence_pairs
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 1, 2, 2, 3, 3, 3, 4],
+        "i": ["a", "b", "c", "a", "a", "b", "b", "c", None, "a"],
+    })
+    out = cooccurrence_pairs(_ds(df, blocks=3), "g", "i", top=10)
+    got = {(r.a, r.b): r.n for r in out.itertuples()}
+    # g1: {a,b,c} -> ab ac bc ; g2: {a,b} -> ab ; g3: {b,c} -> bc
+    assert got == {("a", "b"): 2, ("b", "c"): 2, ("a", "c"): 1}
+    # ordering: count desc then (a, b) asc
+    assert list(zip(out["a"], out["b"])) == [("a", "b"), ("b", "c"),
+                                             ("a", "c")]
+    # top cuts deterministically
+    top1 = cooccurrence_pairs(_ds(df, blocks=2), "g", "i", top=1)
+    assert list(zip(top1["a"], top1["b"])) == [("a", "b")]
+    # oversized group fails loud instead of silently truncating
+    big = pd.DataFrame({"g": [1] * 5, "i": list("abcde")})
+    with pytest.raises(ValueError, match="max_items"):
+        cooccurrence_pairs(_ds(big), "g", "i", max_items=3)
+
+
+def test_bottomk_sample(ray_session):
+    """Exactly k rows, layout-invariant, matches a full md5 sort, and
+    duplicate-key ties at the boundary resolve deterministically."""
+    import hashlib
+    from feature_fabrica_ray.pipelines import bottomk_sample
+
+    df = pd.DataFrame({"k": [str(i) for i in range(50)],
+                       "v": np.arange(50.0)})
+    want = sorted(df["k"], key=lambda s: hashlib.md5(s.encode()).hexdigest())[:7]
+    for blocks in (1, 5):
+        out = bottomk_sample(_ds(df, blocks=blocks), "k", k=7, method="md5")
+        assert list(out["k"]) == want and len(out) == 7
+    # hash64 path: deterministic + exactly-k
+    a = bottomk_sample(_ds(df, blocks=1), "k", k=7)
+    b = bottomk_sample(_ds(df, blocks=6), "k", k=7)
+    pd.testing.assert_frame_equal(a, b)
+    # duplicate keys with different payloads: full-row tiebreak
+    dup = pd.DataFrame({"k": ["x", "x", "x"], "v": [3.0, 1.0, 2.0]})
+    out = bottomk_sample(_ds(dup, blocks=3), "k", k=2, method="md5")
+    assert list(out["v"]) == [1.0, 2.0]
