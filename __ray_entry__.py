@@ -3735,6 +3735,99 @@ def q_pr_chi2(sf_dir: str) -> pd.DataFrame:
                                         6).iloc[0])]})
 
 
+def q_vl_delta(sf_dir: str) -> pd.DataFrame:
+    """Row-level CDC between two snapshots of orders (A: keys
+    %97<>3; B: keys %101<>7 with URGENT prices bumped 10%): added /
+    removed / changed classification via ONE bucket-grouped keyed
+    shuffle + vectorized outer-merge per bucket, unchanged keys never
+    surface (pipelines/setops.py::snapshot_delta)."""
+    from feature_fabrica_ray.pipelines import snapshot_delta
+
+    base = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_totalprice",
+                                       "o_orderpriority"])
+
+    def snap_a(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(k % 97 != 3))
+        return t.select(["o_orderkey", "o_totalprice"])
+
+    def snap_b(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(k % 101 != 7))
+        x = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        urgent = pc.equal(t.column("o_orderpriority"), "1-URGENT") \
+            .to_numpy(zero_copy_only=False)
+        bumped = np.floor(x * 1.1 * 100 + 0.5) / 100   # round half-away
+        price = np.where(urgent, bumped, x)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_totalprice": pa.array(price)})
+
+    a = base.map_batches(snap_a, batch_format="pyarrow", batch_size=None)
+    bb = base.map_batches(snap_b, batch_format="pyarrow", batch_size=None)
+    out = snapshot_delta(a, bb, ["o_orderkey"], ["o_totalprice"]) \
+        .to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    for c in ("old_o_totalprice", "new_o_totalprice"):
+        out[c] = _round_away(out[c].astype("float64"), 2)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_DELTA_ORACLE = """
+WITH a AS (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 97 <> 3),
+b AS (SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 101 <> 7)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       round(a.o_totalprice, 2) AS old_o_totalprice,
+       round(b.o_totalprice, 2) AS new_o_totalprice
+FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+   OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+"""
+
+
+def q_ft_list(sf_dir: str) -> pd.DataFrame:
+    """Vector-column profile of the embeddings table: per-row dim /
+    first element / sum / min / max / L2 norm from one reduceat pass
+    over the flattened float64 buffer — no per-row loop, no shuffle
+    (pipelines/reshape.py::list_column_stats)."""
+    from feature_fabrica_ray.pipelines import list_column_stats
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    out = list_column_stats(ds, "embedding")
+    out = _round_cols(out, {"first": 6, "vsum": 6, "vmin": 6,
+                            "vmax": 6, "l2_norm": 6})
+    df = _select(out, ["vec_id", "dim", "first", "vsum", "vmin",
+                       "vmax", "l2_norm"]).to_pandas()
+    df["vec_id"] = df["vec_id"].astype("int64")
+    return df
+
+
+_FT_LIST_ORACLE = """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT vec_id,
+       CAST(len(v) AS BIGINT) AS dim,
+       round(v[1], 6) AS first,
+       round(list_aggregate(v, 'sum'), 6) AS vsum,
+       round(list_aggregate(v, 'min'), 6) AS vmin,
+       round(list_aggregate(v, 'max'), 6) AS vmax,
+       round(sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                 'sum')), 6) AS l2_norm
+FROM e
+"""
+
+
 def q_agg_cooccur(sf_dir: str) -> pd.DataFrame:
     """Market-basket co-occurrence: top-20 part pairs by number of
     orders containing both — distinct-(order,part) combiner, triu pair
@@ -4889,6 +4982,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_benford": q_pr_benford,
         "agg_cooccur": q_agg_cooccur,
         "sm_reservoir": q_sm_reservoir,
+        "vl_delta": q_vl_delta,
+        "ft_list": q_ft_list,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -5030,5 +5125,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_benford": _BENFORD_ORACLE,
         "agg_cooccur": _COOCCUR_ORACLE,
         "sm_reservoir": _RESERVOIR_ORACLE,
+        "vl_delta": _DELTA_ORACLE,
+        "ft_list": _FT_LIST_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

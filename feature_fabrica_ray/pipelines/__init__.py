@@ -21,7 +21,8 @@ from .events import (cohort_retention, cumulative_agg,
                      rank_ntile, rolling_agg, sessionize, sliding_window_agg,
                      time_rolling_agg, tumbling_window_agg)
 from .corpus import curate_corpus, mix_corpora
-from .reshape import explode_list, global_row_number, unpivot
+from .reshape import (explode_list, global_row_number,
+                      list_column_stats, unpivot)
 from .grouped import (anova_f, approx_distinct_per_group,
                       approx_group_quantiles, benford_profile,
                       cooccurrence_pairs,
@@ -43,7 +44,7 @@ from .drift_actor import DriftSketchActor, drift_report
 from .join import (bloom_filtered_join, broadcast_cross_join,
                    broadcast_join, broadcast_range_join,
                    join_cardinality_estimate, shuffle_join)
-from .setops import set_op_keys
+from .setops import set_op_keys, snapshot_delta
 from .graph import connected_components, star_edges
 from .dedup import (embedding_neardup_pairs, exact_dedup_counts,
                     exact_dedup_rows, exact_dedup_rows_shuffle,
@@ -104,7 +105,8 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "weighted_avg_per_group", "chi_square_independence",
            "histogram_fixed", "grouped_stats", "lag_lead",
            "weighted_hash_sample", "normalize_text", "pivot_agg",
-           "bottomk_sample", "cooccurrence_pairs",
+           "bottomk_sample", "cooccurrence_pairs", "snapshot_delta",
+           "list_column_stats",
            "code_line_stats", "approx_group_quantiles",
            "rank_ntile", "mode_per_group", "set_op_keys",
            "connected_components", "star_edges",

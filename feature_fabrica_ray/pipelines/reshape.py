@@ -21,7 +21,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["explode_list", "unpivot", "global_row_number"]
+__all__ = ["explode_list", "unpivot", "global_row_number",
+           "list_column_stats"]
 
 
 def explode_list(ds, list_col: str, pos_col: str = "pos",
@@ -132,3 +133,69 @@ def global_row_number(ds, sort_keys, *, id_col: str = "row_num",
             refs.append(stamp.remote(block_ref, offset))
             offset += meta.num_rows
     return ray.data.from_arrow_refs(refs)
+
+
+def list_column_stats(ds, list_col: str, out_prefix: str = ""):
+    """Per-row element-wise statistics over a list<number> column
+    (embeddings, token-id arrays): ``dim`` (element count), ``first``
+    (element 0), ``vsum`` / ``vmin`` / ``vmax`` and ``l2_norm`` — the
+    schema-level profile of a vector column before any ANN work.
+
+    Stateless vectorized flat-map: one ``np.add/min/max.reduceat`` pass
+    over the flattened float64 buffer per block — no per-row loop, no
+    shuffle, streams at any scale. SQL parity (DuckDB
+    ``list_aggregate``): NULL and EMPTY lists yield NULL stats (dim is
+    0 for the empty list, NULL for a NULL list). Elements are cast to
+    float64 BEFORE aggregation on both engines so the accumulations
+    agree to rounding."""
+    p = out_prefix
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(list_col)
+        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+               else col)
+        if isinstance(arr, pa.LargeListArray):
+            arr = arr.cast(pa.list_(arr.type.value_type))
+        # slice-safe flatten: rebase offsets onto the flattened values
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        lens = pc.fill_null(pc.list_value_length(arr), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = pc.cast(pc.list_flatten(arr), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        n = len(arr)
+        nonempty = lens > 0
+        vsum = np.full(n, np.nan)
+        vmin = np.full(n, np.nan)
+        vmax = np.full(n, np.nan)
+        sq = np.full(n, np.nan)
+        first = np.full(n, np.nan)
+        if vals.size and nonempty.any():
+            idx = offs[nonempty]
+            vsum[nonempty] = np.add.reduceat(vals, idx)
+            vmin[nonempty] = np.minimum.reduceat(vals, idx)
+            vmax[nonempty] = np.maximum.reduceat(vals, idx)
+            sq[nonempty] = np.add.reduceat(vals * vals, idx)
+            first[nonempty] = vals[idx]
+            # segment boundaries are exact: empty lists contribute no
+            # flattened values, so consecutive nonempty starts (and the
+            # array end) delimit precisely one list's elements each
+        stats = {
+            f"{p}dim": pa.array(lens, pa.int64(), mask=~valid),
+            f"{p}first": pa.array(np.where(valid & nonempty, first,
+                                           np.nan)),
+            f"{p}vsum": pa.array(np.where(valid & nonempty, vsum,
+                                          np.nan)),
+            f"{p}vmin": pa.array(np.where(valid & nonempty, vmin,
+                                          np.nan)),
+            f"{p}vmax": pa.array(np.where(valid & nonempty, vmax,
+                                          np.nan)),
+            f"{p}l2_norm": pa.array(np.where(valid & nonempty,
+                                             np.sqrt(sq), np.nan)),
+        }
+        out = batch
+        for name, a in stats.items():
+            out = out.append_column(name, a)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

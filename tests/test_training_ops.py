@@ -1802,3 +1802,57 @@ def test_bottomk_sample(ray_session):
     dup = pd.DataFrame({"k": ["x", "x", "x"], "v": [3.0, 1.0, 2.0]})
     out = bottomk_sample(_ds(dup, blocks=3), "k", k=2, method="md5")
     assert list(out["v"]) == [1.0, 2.0]
+
+
+def test_snapshot_delta(ray_session):
+    """added/removed/changed classification with NULL-safe compare;
+    unchanged keys never surface; duplicate keys fail loud."""
+    from feature_fabrica_ray.pipelines import snapshot_delta
+
+    a = pd.DataFrame({"k": [1, 2, 3, 4, 5],
+                      "v": [10.0, 20.0, None, 40.0, 50.0]})
+    b = pd.DataFrame({"k": [2, 3, 4, 5, 6],
+                      "v": [20.0, None, 44.0, None, 60.0]})
+    out = snapshot_delta(_ds(a, blocks=2), _ds(b, blocks=3),
+                         ["k"], ["v"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    got = {int(r.k): r.change_type for r in out.itertuples()}
+    # k=1 removed; k=2 unchanged; k=3 NULL==NULL unchanged;
+    # k=4 changed; k=5 value->NULL changed; k=6 added
+    assert got == {1: "removed", 4: "changed", 5: "changed", 6: "added"}
+    r4 = out[out["k"] == 4].iloc[0]
+    assert r4["old_v"] == 40.0 and r4["new_v"] == 44.0
+    r6 = out[out["k"] == 6].iloc[0]
+    assert pd.isna(r6["old_v"]) and r6["new_v"] == 60.0
+    # duplicate key in a snapshot violates the CDC contract
+    dup = pd.DataFrame({"k": [1, 1], "v": [1.0, 2.0]})
+    with pytest.raises(ray.exceptions.RayTaskError,
+                       match="duplicate key"):
+        snapshot_delta(_ds(dup), _ds(b), ["k"], ["v"]).to_pandas()
+
+
+def test_list_column_stats(ray_session):
+    """Stats match per-list hand math; NULL list -> NULL stats;
+    empty list -> dim 0 with NULL stats; chunk-layout invariant."""
+    from feature_fabrica_ray.pipelines import list_column_stats
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "v": [[3.0, -1.0, 2.0], [5.0], [], None],
+    })
+    out = list_column_stats(_ds(df, blocks=2), "v").drop_columns(["v"]) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    r1 = out.iloc[0]
+    assert r1["dim"] == 3 and r1["first"] == 3.0 and r1["vsum"] == 4.0
+    assert r1["vmin"] == -1.0 and r1["vmax"] == 3.0
+    assert r1["l2_norm"] == pytest.approx(np.sqrt(9 + 1 + 4))
+    r2 = out.iloc[1]
+    assert r2["dim"] == 1 and r2["l2_norm"] == 5.0
+    r3 = out.iloc[2]            # empty list: dim 0, NULL aggregates
+    assert r3["dim"] == 0 and pd.isna(r3["vsum"]) and pd.isna(r3["first"])
+    r4 = out.iloc[3]            # NULL list: everything NULL
+    assert pd.isna(r4["dim"]) and pd.isna(r4["l2_norm"])
+    # layout invariance
+    x = list_column_stats(_ds(df, blocks=1), "v").drop_columns(["v"]) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, x)
