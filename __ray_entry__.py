@@ -3735,6 +3735,117 @@ def q_pr_chi2(sf_dir: str) -> pd.DataFrame:
                                         6).iloc[0])]})
 
 
+def q_ev_window_distinct(sf_dir: str) -> pd.DataFrame:
+    """Unique users per hourly window per event type — distinct
+    counting under a tumbling window: per-block dedup combiner, ONE
+    keyed shuffle of (window, type, user) triples via Ray's native
+    vectorized aggregate, tiny (window, type) partials to the driver
+    (pipelines/events.py::windowed_distinct)."""
+    from feature_fabrica_ray.pipelines import windowed_distinct
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "user_id"])
+    out = windowed_distinct(ds, "ts", "event_type", "user_id", hours=1)
+    out = out.rename(columns={"n_distinct": "n_users"})
+    return out
+
+
+_WINDOW_DISTINCT_ORACLE = """
+SELECT date_trunc('hour', ts) AS window, event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+WHERE ts IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_agg_q3(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3-flavoured star join: customers in the BUILDING segment
+    (small side, broadcast SEMI join into orders — no shuffle), then a
+    large x large hash join to lineitem, per-block (priority, order)
+    revenue combiner, ONE keyed shuffle of order-level partials via
+    Ray's native vectorized aggregate, and a 5-row driver merge —
+    revenue + exact distinct-order count per priority with no
+    driver-side row data."""
+    from ray.data.aggregate import Sum
+
+    from feature_fabrica_ray.pipelines import broadcast_join, shuffle_join
+    from feature_fabrica_ray.tuning import shuffle_partitions
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    building = cust.map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"),
+                                    "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow", batch_size=None)
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderpriority"])
+    orders_f = broadcast_join(orders, building, left_on="o_custkey",
+                              right_on="c_custkey", how="left semi")
+    # compact: the semi join can leave empty leading blocks, which the
+    # native hash join's schema broadcast does not tolerate
+    orders_f = orders_f.repartition(
+        max(1, min(8, shuffle_partitions()))).materialize()
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice",
+                                     "l_discount"])
+    joined = shuffle_join(li, orders_f, on="l_orderkey",
+                          right_on="o_orderkey")
+
+    def combine(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      b.column("l_discount")))
+        t = pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                      "l_orderkey": b.column("l_orderkey"), "rev": rev})
+        g = t.group_by(["o_orderpriority", "l_orderkey"]).aggregate(
+            [("rev", "sum"), ([], "count_all")])
+        return pa.table({"o_orderpriority": g.column("o_orderpriority"),
+                         "l_orderkey": g.column("l_orderkey"),
+                         "rev": g.column("rev_sum"),
+                         "items": g.column("count_all").cast(pa.int64())})
+
+    order_level = joined.map_batches(combine, batch_format="pyarrow",
+                                     batch_size=None) \
+        .groupby(["o_orderpriority", "l_orderkey"],
+                 num_partitions=shuffle_partitions()) \
+        .aggregate(Sum("rev", alias_name="rev"),
+                   Sum("items", alias_name="items"))
+
+    def final(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_orderpriority"]).aggregate(
+            [("rev", "sum"), ("items", "sum"), ([], "count_all")])
+        return pa.table({"o_orderpriority": g.column("o_orderpriority"),
+                         "revenue": g.column("rev_sum"),
+                         "n_items": g.column("items_sum").cast(pa.int64()),
+                         "n_orders": g.column("count_all").cast(pa.int64())})
+
+    parts = order_level.map_batches(final, batch_format="pyarrow",
+                                    batch_size=None).to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        revenue=("revenue", "sum"), n_items=("n_items", "sum"),
+        n_orders=("n_orders", "sum"))
+    out["revenue"] = _round_away(out["revenue"], 1)
+    for c in ("n_items", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return out[["o_orderpriority", "revenue", "n_items", "n_orders"]]
+
+
+_Q3_ORACLE = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+       count(*) AS n_items,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+"""
+
+
 def q_vl_delta(sf_dir: str) -> pd.DataFrame:
     """Row-level CDC between two snapshots of orders (A: keys
     %97<>3; B: keys %101<>7 with URGENT prices bumped 10%): added /
@@ -4984,6 +5095,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sm_reservoir": q_sm_reservoir,
         "vl_delta": q_vl_delta,
         "ft_list": q_ft_list,
+        "agg_q3": q_agg_q3,
+        "ev_window_distinct": q_ev_window_distinct,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -5127,5 +5240,7 @@ def oracle_sql() -> dict[str, str]:
         "sm_reservoir": _RESERVOIR_ORACLE,
         "vl_delta": _DELTA_ORACLE,
         "ft_list": _FT_LIST_ORACLE,
+        "agg_q3": _Q3_ORACLE,
+        "ev_window_distinct": _WINDOW_DISTINCT_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

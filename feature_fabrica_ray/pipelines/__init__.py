@@ -19,7 +19,8 @@ from .events import (cohort_retention, cumulative_agg,
                      first_last_value, percent_rank_window,
                      lag_lead,
                      rank_ntile, rolling_agg, sessionize, sliding_window_agg,
-                     time_rolling_agg, tumbling_window_agg)
+                     time_rolling_agg, tumbling_window_agg,
+                     windowed_distinct)
 from .corpus import curate_corpus, mix_corpora
 from .reshape import (explode_list, global_row_number,
                       list_column_stats, unpivot)
@@ -106,7 +107,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "histogram_fixed", "grouped_stats", "lag_lead",
            "weighted_hash_sample", "normalize_text", "pivot_agg",
            "bottomk_sample", "cooccurrence_pairs", "snapshot_delta",
-           "list_column_stats",
+           "list_column_stats", "windowed_distinct",
            "code_line_stats", "approx_group_quantiles",
            "rank_ntile", "mode_per_group", "set_op_keys",
            "connected_components", "star_edges",

@@ -29,7 +29,7 @@ __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "extract_json_int", "cumulative_agg", "rolling_agg", "lag_lead",
            "fill_time_gaps", "funnel_steps", "interval_overlap_pairs",
            "cohort_retention", "event_transitions", "ewma_per_key",
-           "interarrival_stats", "rate_anomalies"]
+           "interarrival_stats", "rate_anomalies", "windowed_distinct"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -777,3 +777,78 @@ def rate_anomalies(ds, ts_col: str, key_col: str, width_s: int = 3600,
                             "n": pd.Series([], dtype="int64"),
                             "baseline": pd.Series([], dtype="float64")})
     return out.sort_values([key_col, "window_us"]).reset_index(drop=True)
+
+
+def windowed_distinct(ds, ts_col: str, key_col: str, val_col: str,
+                      hours: int = 1):
+    """Tumbling-window distinct counting: per (window, key) the number
+    of DISTINCT ``val_col`` values plus the raw event count — the
+    "unique users per hour per event type" shape that plain windowed
+    aggregation (``tumbling_window_agg``) cannot produce, because
+    distinctness does not combine without a dedup exchange.
+
+    Scale shape: each block first collapses to its distinct (window,
+    key, val) triples with a local event count — the dedup combiner —
+    then ONE keyed shuffle over those triples (Ray's native vectorized
+    sort-based aggregate, no per-group Python) makes them globally
+    unique while summing the counts, and a per-block partial rollup to
+    (window, key) leaves only tiny partials for the driver merge.
+    Rows with a NULL timestamp or key are excluded; a NULL val counts
+    as one distinct value (SQL ``count(DISTINCT)`` EXcludes nulls, so
+    nulls are dropped from the distinct count but kept in n_events).
+    Returns a DataFrame (window, key, n_distinct, n_events)."""
+    from ray.data.aggregate import Sum
+
+    from ..tuning import shuffle_partitions
+
+    span = np.int64(hours) * 3_600_000_000
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(batch.column(ts_col)),
+                     pc.is_valid(batch.column(key_col)))
+        t = batch.select([ts_col, key_col, val_col]).filter(ok)
+        us = t.column(ts_col).cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (us // span) * span
+        t = pa.table({"window": pa.array(win).cast(pa.timestamp("us")),
+                      key_col: t.column(key_col),
+                      val_col: t.column(val_col)})
+        g = t.group_by(["window", key_col, val_col]).aggregate(
+            [([], "count_all")])
+        return pa.table({"window": g.column("window"),
+                         key_col: g.column(key_col),
+                         val_col: g.column(val_col),
+                         "cnt": g.column("count_all").cast(pa.int64())})
+
+    triples = ds.map_batches(dedup_partial, batch_format="pyarrow",
+                             batch_size=None) \
+        .groupby(["window", key_col, val_col],
+                 num_partitions=shuffle_partitions()) \
+        .aggregate(Sum("cnt", alias_name="cnt"))
+
+    def rollup(b: pa.Table) -> pa.Table:
+        valid_val = pc.is_valid(b.column(val_col))
+        d = pc.cast(valid_val, pa.int64())
+        t = pa.table({"window": b.column("window"),
+                      key_col: b.column(key_col),
+                      "d": d, "cnt": b.column("cnt")})
+        g = t.group_by(["window", key_col]).aggregate(
+            [("d", "sum"), ("cnt", "sum")])
+        return pa.table({"window": g.column("window"),
+                         key_col: g.column(key_col),
+                         "n_distinct": g.column("d_sum").cast(pa.int64()),
+                         "n_events": g.column("cnt_sum").cast(pa.int64())})
+
+    parts = triples.map_batches(rollup, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "window": pd.Series([], dtype="datetime64[us]"),
+            key_col: pd.Series([], dtype=object),
+            "n_distinct": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64")})
+    out = parts.groupby(["window", key_col], as_index=False).agg(
+        n_distinct=("n_distinct", "sum"), n_events=("n_events", "sum"))
+    for c in ("n_distinct", "n_events"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["window", key_col]).reset_index(drop=True)

@@ -798,3 +798,31 @@ def test_rate_anomalies(ray_session):
     burst_win = int((t0 + pd.Timedelta(hours=4)).value // 1000)
     assert r["window_us"] == burst_win and r["n"] == 30
     assert r["baseline"] == 2.0       # EWMA of constant 2/hour
+
+
+def test_windowed_distinct(ray_session):
+    """Distinct-user counts per tumbling window match the hand
+    enumeration; duplicate (window, key, user) rows collapse across
+    blocks; NULL user excluded from distinct but kept in n_events."""
+    from feature_fabrica_ray.pipelines import windowed_distinct
+
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+    df = pd.DataFrame({
+        "ts": [t0, t0 + pd.Timedelta("10min"), t0 + pd.Timedelta("20min"),
+               t0 + pd.Timedelta("70min"), t0 + pd.Timedelta("80min"),
+               t0 + pd.Timedelta("5min"), None],
+        "k": ["a", "a", "a", "a", "b", "a", "a"],
+        "u": [1, 1, 2, 1, 1, None, 3],
+    })
+    out = windowed_distinct(_ds(df, blocks=3), "ts", "k", "u", hours=1)
+    rows = {(str(r.window), r.k): (r.n_distinct, r.n_events)
+            for r in out.itertuples()}
+    assert rows == {
+        # 10:00 window, k=a: users {1,2} + a NULL-user event
+        ("2026-01-01 10:00:00", "a"): (2, 4),
+        ("2026-01-01 11:00:00", "a"): (1, 1),
+        ("2026-01-01 11:00:00", "b"): (1, 1),
+    }
+    # layout invariance
+    a = windowed_distinct(_ds(df, blocks=1), "ts", "k", "u")
+    pd.testing.assert_frame_equal(a, out)
