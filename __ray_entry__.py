@@ -3735,6 +3735,109 @@ def q_pr_chi2(sf_dir: str) -> pd.DataFrame:
                                         6).iloc[0])]})
 
 
+def q_ta_zipf(sf_dir: str) -> pd.DataFrame:
+    """Zipf's-law fit over the corpus token-frequency distribution
+    (OLS of ln tf on ln rank for the top-100 tokens) — reuses the
+    vocabulary combiner, fit touches only the distinct-token table
+    (pipelines/textstats.py::zipf_fit)."""
+    from feature_fabrica_ray.pipelines import zipf_fit
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return zipf_fit(ds, top=100)
+
+
+_ZIPF_ORACLE = r"""
+WITH v AS (
+  SELECT token, count(*) AS tf
+  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents)
+  WHERE token <> '' GROUP BY token
+), top AS (
+  SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS rnk
+  FROM v ORDER BY tf DESC, token LIMIT 100
+)
+SELECT round(regr_slope(ln(tf), ln(rnk)), 6) AS slope,
+       round(regr_intercept(ln(tf), ln(rnk)), 6) AS intercept,
+       count(*) AS n_tokens
+FROM top
+"""
+
+
+def q_agg_freq_cms(sf_dir: str) -> pd.DataFrame:
+    """Point-frequency estimates from a merged Count-Min sketch:
+    per-block exact group-by partials fold into KB-sized CMS rows, the
+    driver merges matrices (exact addition) and answers per-event-type
+    frequencies with the (e/width)·N bound. Rows-only by design (a
+    sketch can overcount); its oracle is the pytest guarantee layer
+    (state/cms.py)."""
+    from feature_fabrica_ray.state import CountMin
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type"]).aggregate([([], "count_all")])
+        c = CountMin(depth=4, width=4096)
+        c.add_counts(g.column("event_type"),
+                     g.column("count_all").to_numpy(zero_copy_only=False))
+        keys = g.column("event_type").filter(
+            pc.is_valid(g.column("event_type")))
+        return pa.table({"sketch": pa.array([c.to_bytes()], pa.binary()),
+                         "keys": pa.array(
+                             [",".join(sorted(keys.to_pylist()))],
+                             pa.string())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    merged = CountMin(depth=4, width=4096)
+    keys: set = set()
+    for _, row in parts.iterrows():
+        merged.merge(CountMin.from_bytes(row["sketch"]))
+        keys.update(k for k in row["keys"].split(",") if k)
+    out = pd.DataFrame({
+        "event_type": sorted(keys),
+        "est": [merged.estimate(k) for k in sorted(keys)],
+    })
+    out["est"] = out["est"].astype("int64")
+    out["err_bound"] = _round_away(
+        pd.Series([merged.error_bound()] * len(out)), 3)
+    out["n"] = np.int64(merged.n)
+    return out
+
+
+def q_ss_rp(sf_dir: str) -> pd.DataFrame:
+    """Johnson-Lindenstrauss random projection of the embeddings to 16
+    dims (seeded matrix rebuilt per task — deterministic, no per-batch
+    reshipping; one matmul per block). Rows-only by design (Gaussian
+    draws are not SQL-expressible); pytest checks the JL distance-
+    preservation bound (pipelines/similarity.py::random_projection)."""
+    from feature_fabrica_ray.pipelines import random_projection
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    out = random_projection(ds, out_dim=16)
+
+    def flat(b: pa.Table) -> pa.Table:
+        import numpy as _np
+        proj = b.column("proj").combine_chunks() \
+            if isinstance(b.column("proj"), pa.ChunkedArray) \
+            else b.column("proj")
+        vals = pc.list_flatten(proj).to_numpy(zero_copy_only=False) \
+            .reshape(len(b), -1)
+        norm = _np.sqrt((vals * vals).sum(axis=1))
+        return pa.table({"vec_id": b.column("vec_id").cast(pa.int64()),
+                         "p0": pa.array(vals[:, 0]),
+                         "p1": pa.array(vals[:, 1]),
+                         "norm": pa.array(norm)})
+
+    df = out.map_batches(flat, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    for c in ("p0", "p1", "norm"):
+        df[c] = _round_away(df[c], 6)
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_ev_window_distinct(sf_dir: str) -> pd.DataFrame:
     """Unique users per hourly window per event type — distinct
     counting under a tumbling window: per-block dedup combiner, ONE
@@ -5097,6 +5200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_list": q_ft_list,
         "agg_q3": q_agg_q3,
         "ev_window_distinct": q_ev_window_distinct,
+        "ta_zipf": q_ta_zipf,
+        "agg_freq_cms": q_agg_freq_cms,
+        "ss_rp": q_ss_rp,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -5242,5 +5348,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_list": _FT_LIST_ORACLE,
         "agg_q3": _Q3_ORACLE,
         "ev_window_distinct": _WINDOW_DISTINCT_ORACLE,
+        "ta_zipf": _ZIPF_ORACLE,
+        # agg_freq_cms: sketch can overcount -> rows-only (pytest bounds)
+        # ss_rp: seeded Gaussian draws not SQL-expressible -> rows-only
         "pr_lineitem": _PROFILE_ORACLE,
     }

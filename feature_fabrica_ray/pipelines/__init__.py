@@ -61,6 +61,7 @@ from .sampling import (bottomk_sample, hash_sample, hash_split,
                        md5_hex_column,
                        stratified_sample, weighted_hash_sample)
 from .similarity import (cosine_topk, fit_centroids, fit_pca,
+                         random_projection,
                          ivf_topk, kmeans, kmeans_assign, lsh_topk,
                          semantic_dedup_ids,
                          normalize_embeddings, pca_project,
@@ -68,7 +69,7 @@ from .similarity import (cosine_topk, fit_centroids, fit_pca,
 from .textstats import (add_fingerprint, add_lang_id, add_quality,
                         chunk_documents, code_line_stats,
                         text_stats, tfidf_top_terms, token_counts,
-                        dsir_log_ratio, unigram_logprob)
+                        dsir_log_ratio, unigram_logprob, zipf_fit)
 from .topk import approx_heavy_hitters, topk_per_group
 from .uniqueness import uniqueness_violations, uniqueness_violations_ds
 from .writer import (compact_parquet, write_jsonl_sharded,
@@ -107,7 +108,8 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "histogram_fixed", "grouped_stats", "lag_lead",
            "weighted_hash_sample", "normalize_text", "pivot_agg",
            "bottomk_sample", "cooccurrence_pairs", "snapshot_delta",
-           "list_column_stats", "windowed_distinct",
+           "list_column_stats", "windowed_distinct", "zipf_fit",
+           "random_projection",
            "code_line_stats", "approx_group_quantiles",
            "rank_ntile", "mode_per_group", "set_op_keys",
            "connected_components", "star_edges",

@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["cosine_topk", "ivf_topk", "lsh_topk", "fit_centroids",
+           "random_projection",
            "quantize_embeddings", "semantic_dedup_ids",
            "normalize_embeddings", "fit_pca", "pca_project",
            "kmeans", "kmeans_assign"]
@@ -486,3 +487,32 @@ def semantic_dedup_ids(ds, vec_col: str = "embedding",
         out = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
                             "keep": pd.Series([], dtype=bool)})
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def random_projection(ds, out_dim: int, vec_col: str = "embedding",
+                      seed: int = 7, out_col: str = "proj"):
+    """Johnson-Lindenstrauss random projection: multiply every vector
+    by one shared Gaussian matrix ``R / sqrt(out_dim)`` — the cheap
+    dimensionality reduction that preserves pairwise distances within
+    ``(1 ± eps)`` w.h.p. (the JL lemma), used to shrink embeddings
+    before LSH/clustering when PCA's extra pass is not worth it.
+
+    Scale shape: the projection matrix is seeded and rebuilt inside
+    each task from plan-time constants (d x out_dim floats — KBs; no
+    per-batch reshipping of data, deterministic across layouts), and
+    each block is ONE matmul — stateless map, no shuffle, streams at
+    any scale. Appends ``out_col`` as list<float64>."""
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        M = _vectors(batch, vec_col)
+        rng = np.random.default_rng(seed)
+        R = rng.standard_normal((M.shape[1], out_dim)) / np.sqrt(out_dim)
+        proj = M.astype(np.float64) @ R
+        lst = pa.FixedSizeListArray.from_arrays(
+            pa.array(proj.reshape(-1)), out_dim).cast(
+                pa.list_(pa.float64()))
+        return batch.append_column(out_col, lst)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

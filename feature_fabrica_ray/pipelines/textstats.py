@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 __all__ = ["text_stats", "add_quality", "add_lang_id", "add_fingerprint",
            "kgram_hashes", "token_hashes", "token_counts", "tfidf_top_terms",
            "chunk_documents", "code_line_stats", "unigram_logprob",
-           "dsir_log_ratio"]
+           "dsir_log_ratio", "zipf_fit"]
 
 _B = np.uint64(1099511628211)          # FNV prime as polynomial base
 _TOKEN_RE = r"\S+"
@@ -654,3 +654,42 @@ def dsir_log_ratio(source_ds, target_ds, text_col: str = "text",
 
     return source_ds.map_batches(score, batch_format="pyarrow",
                                  batch_size=None)
+
+
+def zipf_fit(ds, text_col: str = "text", id_col: str = "doc_id",
+             top: int = 100) -> "pd.DataFrame":
+    """Zipf's-law fit over the corpus token-frequency distribution:
+    OLS of ln(frequency) on ln(rank) for the ``top`` most frequent
+    tokens — the corpus-health profile (natural language sits near
+    slope -1; boilerplate-heavy or synthetic corpora drift off it).
+
+    Scale shape: reuses the ``token_counts`` vocabulary combiner (the
+    exchange carries distinct-token partials, never occurrences); the
+    rank/fit step touches only the vocabulary table, top-sliced with a
+    deterministic (tf desc, token asc) order. Returns one row
+    (slope, intercept, n_tokens); slope/intercept are NULL when fewer
+    than two distinct ranked tokens exist."""
+    import pandas as pd
+
+    vocab = token_counts(ds, text_col=text_col, id_col=id_col) \
+        .to_pandas()
+    out = {"slope": np.nan, "intercept": np.nan, "n_tokens": 0}
+    if not vocab.empty:
+        t = vocab.sort_values(["tf", "token"],
+                              ascending=[False, True],
+                              kind="mergesort").head(top)
+        n = len(t)
+        out["n_tokens"] = n
+        if n >= 2:
+            x = np.log(np.arange(1, n + 1, dtype=np.float64))
+            y = np.log(t["tf"].to_numpy(np.float64))
+            xm, ym = x.mean(), y.mean()
+            slope = ((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum()
+            out["slope"] = (np.sign(slope)
+                            * np.floor(abs(slope) * 1e6 + 0.5) / 1e6)
+            inter = ym - slope * xm
+            out["intercept"] = (np.sign(inter)
+                                * np.floor(abs(inter) * 1e6 + 0.5) / 1e6)
+    df = pd.DataFrame([out])
+    df["n_tokens"] = df["n_tokens"].astype("int64")
+    return df

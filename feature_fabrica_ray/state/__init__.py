@@ -8,6 +8,7 @@ from .hashing import combine_hashes, hash64, hash64_multi
 from .histogram import (CategoricalFreq, NumericHistogram, ks_from_counts,
                         psi_categorical, psi_from_counts)
 from .hll import HLL
+from .cms import CountMin
 from .spacesaving import SpaceSaving
 from .tdigest import TDigest
 from .vhist import ValueHist
@@ -16,6 +17,7 @@ from .welford import HigherMoments, Moments
 __all__ = [
     "hash64", "hash64_multi", "combine_hashes", "BloomFilter",
     "Moments", "HigherMoments", "HLL", "TDigest", "ValueHist", "SpaceSaving",
+    "CountMin",
     "NumericHistogram", "CategoricalFreq",
     "psi_from_counts", "ks_from_counts", "psi_categorical",
 ]

@@ -313,3 +313,54 @@ def test_hash64_repairs_torn_polars_module():
     # not silently skipped the torn path
     assert sys.modules["polars._reexport"] is not rx
     assert hashing._polars_healthy(hashing.pl)
+
+
+def test_countmin_guarantees_and_merge():
+    """est >= true always; est <= true + eps*N; merge is exact matrix
+    addition (tree == sequential == single-shot); bytes roundtrip."""
+    import pyarrow as pa
+
+    from feature_fabrica_ray.state import CountMin
+
+    rng = np.random.default_rng(11)
+    vals = [f"v{i}" for i in rng.zipf(1.5, size=5000) if i < 500]
+    true = {}
+    for v in vals:
+        true[v] = true.get(v, 0) + 1
+
+    # single-shot
+    one = CountMin(depth=4, width=2048)
+    uv, cnts = np.unique(vals, return_counts=True)
+    one.add_counts(pa.array(uv), cnts)
+    bound = one.error_bound()
+    for v, t in true.items():
+        est = one.estimate(v)
+        assert est >= t                        # never undercounts
+        assert est <= t + bound + 1e-9         # CMS additive bound
+    assert one.estimate("never-seen") <= bound + 1e-9
+
+    # merge invariance: 7 chunked partials, sequential and tree merges
+    chunks = np.array_split(np.arange(len(vals)), 7)
+    parts = []
+    for ch in chunks:
+        c = CountMin(depth=4, width=2048)
+        sub = [vals[i] for i in ch]
+        u, n = np.unique(sub, return_counts=True)
+        c.add_counts(pa.array(u), n)
+        parts.append(c)
+    seq = CountMin(depth=4, width=2048)
+    for p in parts:
+        seq.merge(CountMin.from_bytes(p.to_bytes()))
+    while len(parts) > 1:                      # tree merge
+        parts = [parts[i].merge(parts[i + 1])
+                 if i + 1 < len(parts) else parts[i]
+                 for i in range(0, len(parts), 2)]
+    assert np.array_equal(seq.table, parts[0].table)
+    assert seq.n == parts[0].n == len(vals)
+    assert np.array_equal(seq.table, one.table)   # == single-shot
+
+    # nulls ignored; shape mismatch fails loud
+    withnull = CountMin(4, 2048).add_counts(pa.array(["a", None]), [2, 9])
+    assert withnull.n == 2
+    with pytest.raises(ValueError, match="shape mismatch"):
+        CountMin(4, 1024).merge(CountMin(4, 2048))

@@ -1856,3 +1856,55 @@ def test_list_column_stats(ray_session):
     x = list_column_stats(_ds(df, blocks=1), "v").drop_columns(["v"]) \
         .to_pandas().sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, x)
+
+
+def test_zipf_fit(ray_session):
+    """Slope/intercept match the closed-form OLS on (ln rank, ln tf)
+    with deterministic (tf desc, token) ranking; degenerate inputs
+    yield NULL."""
+    from feature_fabrica_ray.pipelines import zipf_fit
+
+    # tf: aa=4, bb=2, cc=1 -> ranks 1,2,3
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["aa aa bb", "aa bb cc", "aa"],
+    })
+    out = zipf_fit(_ds(df, blocks=2), top=10).iloc[0]
+    x = np.log(np.array([1.0, 2.0, 3.0]))
+    y = np.log(np.array([4.0, 2.0, 1.0]))
+    slope = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
+    inter = y.mean() - slope * x.mean()
+    assert out["slope"] == pytest.approx(round(slope, 6), abs=1e-9)
+    assert out["intercept"] == pytest.approx(round(inter, 6), abs=1e-9)
+    assert out["n_tokens"] == 3
+    # single-token corpus: no fit
+    one = zipf_fit(_ds(pd.DataFrame({"doc_id": [1], "text": ["x x"]})))
+    assert pd.isna(one.iloc[0]["slope"]) and one.iloc[0]["n_tokens"] == 1
+
+
+def test_random_projection(ray_session):
+    """Deterministic across layouts; preserves pairwise distances
+    within JL tolerance at out_dim=32 for 64-dim inputs."""
+    from feature_fabrica_ray.pipelines import random_projection
+
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((40, 64))
+    df = pd.DataFrame({"id": np.arange(40), "v": list(V)})
+
+    def proj(blocks):
+        ds = random_projection(_ds(df, blocks=blocks), out_dim=32,
+                               vec_col="v")
+        out = ds.drop_columns(["v"]).to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        return np.stack(out["proj"].to_numpy())
+
+    a, b = proj(1), proj(4)
+    assert np.allclose(a, b)                    # layout invariance
+    # JL: dist ratios concentrate near 1 (loose tolerance, fixed seed)
+    from itertools import combinations
+    pairs = list(combinations(range(0, 40, 5), 2))
+    orig = np.array([np.linalg.norm(V[i] - V[j]) for i, j in pairs])
+    prj = np.array([np.linalg.norm(a[i] - a[j]) for i, j in pairs])
+    ratio = prj / orig
+    assert 0.6 < ratio.min() and ratio.max() < 1.4
+    assert abs(ratio.mean() - 1.0) < 0.15
