@@ -3838,6 +3838,70 @@ def q_ss_rp(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_ev_islands(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands run collapse per (user, event_type): number of
+    same-type consecutive runs and the longest run in each user's
+    (ts, event_id)-ordered stream — ONE keyed shuffle of the narrow
+    projection, vectorized break detection per group, ≤|types| output
+    rows per user (pipelines/events.py::runs_islands)."""
+    from feature_fabrica_ray.pipelines import runs_islands
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"])
+    return runs_islands(ds, ts_col="ts", key_col="user_id",
+                        type_col="event_type", order_col="event_id")
+
+
+_ISLANDS_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+  FROM s
+), runs AS (
+  SELECT user_id, event_type, grp, count(*) AS run_len
+  FROM g GROUP BY user_id, event_type, grp
+)
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(max(run_len) AS BIGINT) AS max_run
+FROM runs GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+def q_ta_hashvec(sf_dir: str) -> pd.DataFrame:
+    """Feature-hashing vectorizer (hashing trick) in long form: token
+    counts per (doc, md5-hex-digit bucket) — vocabulary-free bag of
+    words, exact with NO shuffle because a document lives in one block
+    row; only each block's distinct tokens are hashed
+    (pipelines/textstats.py::hashed_vectorizer)."""
+    from feature_fabrica_ray.pipelines import hashed_vectorizer
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = hashed_vectorizer(ds).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+
+
+_HASHVEC_ORACLE = r"""
+SELECT doc_id, substr(md5(token), 1, 1) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+"""
+
+
 def q_ev_window_distinct(sf_dir: str) -> pd.DataFrame:
     """Unique users per hourly window per event type — distinct
     counting under a tumbling window: per-block dedup combiner, ONE
@@ -5203,6 +5267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_zipf": q_ta_zipf,
         "agg_freq_cms": q_agg_freq_cms,
         "ss_rp": q_ss_rp,
+        "ev_islands": q_ev_islands,
+        "ta_hashvec": q_ta_hashvec,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -5351,5 +5417,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_zipf": _ZIPF_ORACLE,
         # agg_freq_cms: sketch can overcount -> rows-only (pytest bounds)
         # ss_rp: seeded Gaussian draws not SQL-expressible -> rows-only
+        "ev_islands": _ISLANDS_ORACLE,
+        "ta_hashvec": _HASHVEC_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

@@ -18,7 +18,8 @@ from .events import (cohort_retention, cumulative_agg,
                      fill_time_gaps, funnel_steps, interval_overlap_pairs,
                      first_last_value, percent_rank_window,
                      lag_lead,
-                     rank_ntile, rolling_agg, sessionize, sliding_window_agg,
+                     rank_ntile, rolling_agg, runs_islands, sessionize,
+                     sliding_window_agg,
                      time_rolling_agg, tumbling_window_agg,
                      windowed_distinct)
 from .corpus import curate_corpus, mix_corpora
@@ -69,7 +70,8 @@ from .similarity import (cosine_topk, fit_centroids, fit_pca,
 from .textstats import (add_fingerprint, add_lang_id, add_quality,
                         chunk_documents, code_line_stats,
                         text_stats, tfidf_top_terms, token_counts,
-                        dsir_log_ratio, unigram_logprob, zipf_fit)
+                        dsir_log_ratio, unigram_logprob, zipf_fit,
+                        hashed_vectorizer)
 from .topk import approx_heavy_hitters, topk_per_group
 from .uniqueness import uniqueness_violations, uniqueness_violations_ds
 from .writer import (compact_parquet, write_jsonl_sharded,
@@ -109,7 +111,7 @@ __all__ = ["run_suite", "ValidationResult", "compute_baseline", "bind_baselines"
            "weighted_hash_sample", "normalize_text", "pivot_agg",
            "bottomk_sample", "cooccurrence_pairs", "snapshot_delta",
            "list_column_stats", "windowed_distinct", "zipf_fit",
-           "random_projection",
+           "random_projection", "runs_islands", "hashed_vectorizer",
            "code_line_stats", "approx_group_quantiles",
            "rank_ntile", "mode_per_group", "set_op_keys",
            "connected_components", "star_edges",

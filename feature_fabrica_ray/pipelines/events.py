@@ -29,7 +29,8 @@ __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "extract_json_int", "cumulative_agg", "rolling_agg", "lag_lead",
            "fill_time_gaps", "funnel_steps", "interval_overlap_pairs",
            "cohort_retention", "event_transitions", "ewma_per_key",
-           "interarrival_stats", "rate_anomalies", "windowed_distinct"]
+           "interarrival_stats", "rate_anomalies", "windowed_distinct",
+           "runs_islands"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -852,3 +853,55 @@ def windowed_distinct(ds, ts_col: str, key_col: str, val_col: str,
     for c in ("n_distinct", "n_events"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["window", key_col]).reset_index(drop=True)
+
+
+def runs_islands(ds, ts_col: str, key_col: str, type_col: str,
+                 order_col: str) -> pd.DataFrame:
+    """Gaps-and-islands run collapse: within each key's event stream in
+    (ts, order) sequence, consecutive events with the SAME type form an
+    island; summarize per (key, type) as number of islands and longest
+    run — the state-run profile behind dwell analysis, bot detection
+    (implausibly long same-action runs), and RLE-style compression
+    diagnostics. NULL types compare equal to NULL (IS DISTINCT FROM
+    semantics), forming their own islands.
+
+    Scale shape: one keyed shuffle of the narrow (key, ts, type, order)
+    projection; each key group sorts once, finds run breaks with a
+    single vectorized compare, and emits at most |types| rows per key
+    (independent of event count) — no second shuffle needed because
+    (key, type) is already unique per group. Returns
+    (key, type, n_islands, max_run) sorted."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        ty = df[type_col].astype(object).where(df[type_col].notna(),
+                                               "\0null").to_numpy()
+        if len(ty) == 0:
+            return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                                 type_col: pd.Series([], dtype=object),
+                                 "n_islands": pd.Series([], dtype="int64"),
+                                 "max_run": pd.Series([], dtype="int64")})
+        brk = np.concatenate(([True], ty[1:] != ty[:-1]))
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, len(ty)))
+        runs = pd.DataFrame({type_col: ty[starts], "len": lens})
+        g = runs.groupby(type_col, as_index=False, sort=False).agg(
+            n_islands=("len", "size"), max_run=("len", "max"))
+        g.insert(0, key_col, df[key_col].iloc[0])
+        g[type_col] = g[type_col].where(g[type_col] != "\0null", None)
+        g["n_islands"] = g["n_islands"].astype("int64")
+        g["max_run"] = g["max_run"].astype("int64")
+        return g
+
+    proj = ds.map_batches(
+        lambda t, c=(key_col, ts_col, type_col, order_col): t.select(list(c)),
+        batch_format="pyarrow", batch_size=None)
+    out = proj.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                            type_col: pd.Series([], dtype=object),
+                            "n_islands": pd.Series([], dtype="int64"),
+                            "max_run": pd.Series([], dtype="int64")})
+    return out.sort_values([key_col, type_col],
+                           kind="mergesort").reset_index(drop=True)

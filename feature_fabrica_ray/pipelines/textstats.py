@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 __all__ = ["text_stats", "add_quality", "add_lang_id", "add_fingerprint",
            "kgram_hashes", "token_hashes", "token_counts", "tfidf_top_terms",
            "chunk_documents", "code_line_stats", "unigram_logprob",
-           "dsir_log_ratio", "zipf_fit"]
+           "dsir_log_ratio", "zipf_fit", "hashed_vectorizer"]
 
 _B = np.uint64(1099511628211)          # FNV prime as polynomial base
 _TOKEN_RE = r"\S+"
@@ -693,3 +693,52 @@ def zipf_fit(ds, text_col: str = "text", id_col: str = "doc_id",
     df = pd.DataFrame([out])
     df["n_tokens"] = df["n_tokens"].astype("int64")
     return df
+
+
+def hashed_vectorizer(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Feature-hashing vectorizer (Weinberger et al. 2009, "hashing
+    trick") in long form: each whitespace token maps to one of 16
+    buckets by the first hex digit of its md5, and each document emits
+    its per-bucket token counts — the fixed-width bag-of-words that
+    needs NO vocabulary fit, broadcast, or second pass, which is why
+    web-scale text featurization uses it. md5 keeps the bucketing
+    SQL-replicable (``substr(md5(token),1,1)``); the scale path for
+    non-oracle use is the vectorized ``hash64`` kernel.
+
+    Scale shape: stateless per-block map — tokenize with the flat Arrow
+    kernels, md5 only the block's DISTINCT tokens (vocab-sized, Zipf
+    makes this tiny vs occurrences), scatter bucket codes back through
+    the factorize indices, one block-local (doc, bucket) group-by.
+    Exact with no shuffle because a document lives in one row of one
+    block. Returns a Dataset (id, bucket, n); empty documents emit no
+    rows (SQL parity)."""
+    import hashlib
+
+    _empty = pa.table({id_col: pa.array([], pa.int64()),
+                       "bucket": pa.array([], pa.string()),
+                       "n": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(batch.column(text_col), ""))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks)
+        flat_tok = pc.list_flatten(toks)
+        keep = pc.not_equal(flat_tok, "")
+        flat_tok = flat_tok.filter(keep)
+        docs = pc.take(batch.column(id_col), parent).filter(keep)
+        if len(flat_tok) == 0:
+            return _empty
+        uniq, codes = np.unique(
+            flat_tok.to_numpy(zero_copy_only=False), return_inverse=True)
+        buck_of = np.array([hashlib.md5(t.encode()).hexdigest()[0]
+                            for t in uniq], dtype=object)
+        t = pa.table({id_col: docs,
+                      "bucket": pa.array(buck_of[codes], pa.string())})
+        g = t.group_by([id_col, "bucket"]).aggregate([("bucket", "count")])
+        return pa.table({id_col: g.column(id_col).cast(pa.int64()),
+                         "bucket": g.column("bucket"),
+                         "n": g.column("bucket_count").cast(pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=None)

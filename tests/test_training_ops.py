@@ -1908,3 +1908,72 @@ def test_random_projection(ray_session):
     ratio = prj / orig
     assert 0.6 < ratio.min() and ratio.max() < 1.4
     assert abs(ratio.mean() - 1.0) < 0.15
+
+
+def test_runs_islands(ray_session):
+    """Hand-enumerated runs incl. a NULL-type island; layout
+    invariance across block splits."""
+    from feature_fabrica_ray.pipelines import runs_islands
+
+    # user 1 ordered by (ts, id): a a b a a a -> a: islands {2,3}, b: {1}
+    # user 2: None None x -> None: {2}, x: {1}
+    df = pd.DataFrame({
+        "uid": [1, 1, 1, 1, 1, 1, 2, 2, 2],
+        "ts": pd.to_datetime([1, 2, 3, 4, 5, 6, 1, 2, 3], unit="s"),
+        "ty": ["a", "a", "b", "a", "a", "a", None, None, "x"],
+        "eid": [1, 2, 3, 4, 5, 6, 7, 8, 9],
+    })
+    want = pd.DataFrame({
+        "uid": [1, 1, 2, 2],
+        "ty": ["a", "b", "x", None],
+        "n_islands": np.array([2, 1, 1, 1], np.int64),
+        "max_run": np.array([3, 1, 1, 2], np.int64),
+    })
+
+    def norm(d):
+        return d.sort_values(["uid", "ty"], na_position="last",
+                             kind="mergesort").reset_index(drop=True)
+
+    for blocks in (1, 3):
+        out = runs_islands(_ds(df, blocks=blocks), ts_col="ts",
+                           key_col="uid", type_col="ty", order_col="eid")
+        pd.testing.assert_frame_equal(norm(out), norm(want))
+
+    # tie on ts broken by order_col: b(eid=2) between a(1) and a(3)
+    tie = pd.DataFrame({
+        "uid": [9, 9, 9],
+        "ts": pd.to_datetime([1, 1, 1], unit="s"),
+        "ty": ["a", "b", "a"], "eid": [3, 2, 1],
+    })
+    out = runs_islands(_ds(tie), ts_col="ts", key_col="uid",
+                       type_col="ty", order_col="eid")
+    assert out.loc[out["ty"] == "a", "n_islands"].iloc[0] == 2
+
+
+def test_hashed_vectorizer(ray_session):
+    """Buckets match hashlib.md5 hex digit, counts are exact per doc,
+    empty/whitespace docs emit no rows, layout invariance."""
+    import hashlib
+
+    from feature_fabrica_ray.pipelines import hashed_vectorizer
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["foo bar foo", "baz", "", "   "],
+    })
+
+    def norm(d):
+        return d.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+
+    outs = [norm(hashed_vectorizer(_ds(df, blocks=b)).to_pandas())
+            for b in (1, 4)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    assert set(out["doc_id"]) == {1, 2}          # empty docs: no rows
+    b = lambda t: hashlib.md5(t.encode()).hexdigest()[0]
+    want = {}
+    for tok, n in (("foo", 2), ("bar", 1)):
+        want[(1, b(tok))] = want.get((1, b(tok)), 0) + n
+    want[(2, b("baz"))] = 1
+    got = {(r.doc_id, r.bucket): r.n for r in out.itertuples()}
+    assert got == want
