@@ -3902,6 +3902,104 @@ ORDER BY doc_id, bucket
 """
 
 
+def q_pr_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini concentration of order spend: the value-grouped count
+    combiner (order statistics with NO global sort, driver state
+    O(distinct values), guarded) feeding the closed-form rank sum
+    (pipelines/grouped.py::gini_coefficient)."""
+    from feature_fabrica_ray.pipelines import gini_coefficient
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_totalprice"])
+    out = gini_coefficient(ds, "o_totalprice")
+    out["gini"] = _round_away(out["gini"], 6)
+    return out
+
+
+_GINI_ORACLE = """
+WITH r AS (
+  SELECT o_totalprice AS x,
+         row_number() OVER (ORDER BY o_totalprice) AS i,
+         count(*) OVER () AS n,
+         sum(o_totalprice) OVER () AS s
+  FROM orders
+)
+SELECT round(2.0 * sum(i * x) / (max(n) * max(s))
+             - (max(n) + 1.0) / max(n), 6) AS gini,
+       CAST(max(n) AS BIGINT) AS n
+FROM r
+"""
+
+
+def q_agg_wmedian(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted median price per returnflag: distinct
+    (group, value) weight-sum combiner, ONE keyed shuffle, single
+    cumulative pass per group — lower weighted median semantics
+    (pipelines/grouped.py::weighted_median_per_group)."""
+    from feature_fabrica_ray.pipelines import weighted_median_per_group
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    out = weighted_median_per_group(ds, "l_returnflag",
+                                    "l_extendedprice", "l_quantity")
+    out["wmedian"] = _round_away(out["wmedian"], 6)
+    out["total_w"] = _round_away(out["total_w"], 6)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS v, sum(l_quantity) AS wt,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+), c AS (
+  SELECT l_returnflag, v, wt, cnt,
+         sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+         sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+  FROM w
+)
+SELECT l_returnflag,
+       round(min(v) FILTER (cw >= tot / 2.0), 6) AS wmedian,
+       round(max(tot), 6) AS total_w,
+       CAST(sum(cnt) AS BIGINT) AS n
+FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_ev_twap(sf_dir: str) -> pd.DataFrame:
+    """Time-weighted average value per user (TWAP): one keyed shuffle
+    of the narrow projection, one sorted fold per key to a single row
+    (pipelines/events.py::time_weighted_avg)."""
+    from feature_fabrica_ray.pipelines import time_weighted_avg
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_id"])
+    out = time_weighted_avg(ds, ts_col="ts", key_col="user_id",
+                            value_col="value", order_col="event_id")
+    out["twap"] = _round_away(out["twap"], 6)
+    out["duration_s"] = _round_away(out["duration_s"], 6)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
+_TWAP_ORACLE = """
+WITH s AS (
+  SELECT user_id, value, epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER w AS nxt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       round(sum(value * (nxt - t)) / sum(nxt - t), 6) AS twap,
+       round(coalesce(sum(nxt - t), 0) / 1000000.0, 6) AS duration_s,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_ev_window_distinct(sf_dir: str) -> pd.DataFrame:
     """Unique users per hourly window per event type — distinct
     counting under a tumbling window: per-block dedup combiner, ONE
@@ -5269,6 +5367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ss_rp": q_ss_rp,
         "ev_islands": q_ev_islands,
         "ta_hashvec": q_ta_hashvec,
+        "pr_gini": q_pr_gini,
+        "agg_wmedian": q_agg_wmedian,
+        "ev_twap": q_ev_twap,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -5419,5 +5520,8 @@ def oracle_sql() -> dict[str, str]:
         # ss_rp: seeded Gaussian draws not SQL-expressible -> rows-only
         "ev_islands": _ISLANDS_ORACLE,
         "ta_hashvec": _HASHVEC_ORACLE,
+        "pr_gini": _GINI_ORACLE,
+        "agg_wmedian": _WMEDIAN_ORACLE,
+        "ev_twap": _TWAP_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

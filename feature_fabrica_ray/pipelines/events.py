@@ -30,7 +30,7 @@ __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "fill_time_gaps", "funnel_steps", "interval_overlap_pairs",
            "cohort_retention", "event_transitions", "ewma_per_key",
            "interarrival_stats", "rate_anomalies", "windowed_distinct",
-           "runs_islands"]
+           "runs_islands", "time_weighted_avg"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -905,3 +905,53 @@ def runs_islands(ds, ts_col: str, key_col: str, type_col: str,
                             "max_run": pd.Series([], dtype="int64")})
     return out.sort_values([key_col, type_col],
                            kind="mergesort").reset_index(drop=True)
+
+
+def time_weighted_avg(ds, ts_col: str, key_col: str, value_col: str,
+                      order_col: str) -> pd.DataFrame:
+    """Time-weighted average per key (TWAP): each event's value holds
+    until the next event, so the average weights every value by its
+    holding duration — ``Σ vᵢ·(tᵢ₊₁−tᵢ) / Σ (tᵢ₊₁−tᵢ)`` over the
+    (ts, order)-sorted stream — the metric behind fair price averaging
+    and duration-weighted state summaries, where the plain mean
+    over-counts burst periods. A NULL value drops its term from the
+    numerator but its interval still elapses (SQL ``sum(v·dt)/sum(dt)``
+    semantics); the last event has no interval. NULL result when the
+    key has no interval with a non-NULL value or zero total duration.
+
+    Scale shape: one keyed shuffle of the narrow (key, ts, value,
+    order) projection; each key group sorts once and folds to a single
+    row — no second pass, |keys| rows out. Returns
+    (key, twap, duration_s, n_events) sorted."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        t = df[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        v = df[value_col].to_numpy(np.float64)
+        n = len(df)
+        twap = np.nan
+        dur = 0.0
+        if n >= 2:
+            dt = (t[1:] - t[:-1]).astype(np.float64)
+            vh = v[:-1]
+            ok = ~np.isnan(vh)
+            den = float(dt.sum())
+            dur = den / 1e6
+            if ok.any() and den > 0:
+                twap = float((vh[ok] * dt[ok]).sum()) / den
+        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
+                             "twap": [twap], "duration_s": [dur],
+                             "n_events": np.array([n], np.int64)})
+
+    proj = ds.map_batches(
+        lambda t, c=(key_col, ts_col, value_col, order_col):
+            t.select(list(c)),
+        batch_format="pyarrow", batch_size=None)
+    out = proj.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                            "twap": pd.Series([], dtype="float64"),
+                            "duration_s": pd.Series([], dtype="float64"),
+                            "n_events": pd.Series([], dtype="int64")})
+    return out.sort_values(key_col, kind="mergesort").reset_index(drop=True)

@@ -44,7 +44,8 @@ __all__ = ["anova_f", "target_encode_loo", "mutual_information",
            "string_agg_per_group", "grouped_shape", "entropy_per_group",
            "monotonic_violations", "grouped_regression",
            "grouped_outliers_iqr", "weighted_avg_per_group",
-           "chi_square_independence"]
+           "chi_square_independence", "gini_coefficient",
+           "weighted_median_per_group"]
 
 
 def grouped_shape(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -1483,3 +1484,108 @@ def cooccurrence_pairs(ds, group_col: str, item_col: str, top: int = 20,
                               ascending=[False, True, True],
                               kind="mergesort").head(top) \
         .reset_index(drop=True)
+
+
+def gini_coefficient(ds, col: str) -> pd.DataFrame:
+    """Gini coefficient of a nonnegative value distribution —
+    ``G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n`` over the ascending-sorted
+    values — the inequality/concentration diagnostic ("do 1% of
+    customers carry 80% of revenue?", "is the corpus dominated by a few
+    sources?"). NULLs are excluded; tie order does not affect the
+    statistic (equal values permute equal contributions).
+
+    Scale shape: order statistics WITHOUT a global sort — the same
+    value-grouped count combiner as ``mann_whitney_auc``: each block
+    collapses to per-distinct-value (count, weight-sum) rows, only
+    those partials reach the driver, which sorts the distinct-value
+    table once and evaluates the rank sum per run in closed form
+    (Σ i over a tie run of length c starting at s is c·(2s+c−1)/2).
+    Driver state is O(distinct values), guarded — quantize first at
+    higher cardinality. Returns one row (gini, n); NULL when n = 0 or
+    Σx = 0."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).cast(pa.float64())
+        t = pa.table({"x": x}).filter(pc.is_valid(x))
+        g = t.group_by(["x"]).aggregate([("x", "count")])
+        return pa.table({"x": g.column("x"),
+                         "n": g.column("x_count").cast(pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        parts = pd.DataFrame({"x": pd.Series([], dtype="float64"),
+                              "n": pd.Series([], dtype="int64")})
+    g = parts.groupby("x", as_index=False).agg(n=("n", "sum"))
+    if len(g) > _MAX_CONTINGENCY_CELLS:
+        raise ValueError(
+            f"gini_coefficient: {len(g)} distinct values — quantize the "
+            f"column before computing Gini at this cardinality")
+    g = g.sort_values("x", kind="mergesort")
+    cnt = g["n"].to_numpy(np.int64)
+    val = g["x"].to_numpy(np.float64)
+    n = int(cnt.sum())
+    total = float((val * cnt).sum())
+    gini = np.nan
+    if n > 0 and total != 0.0:
+        start = 1 + np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        rank_sums = cnt * (2 * start + cnt - 1) / 2.0
+        s = float((val * rank_sums).sum())
+        gini = 2.0 * s / (n * total) - (n + 1.0) / n
+    out = pd.DataFrame({"gini": [gini], "n": np.array([n], np.int64)})
+    return out
+
+
+def weighted_median_per_group(ds, group_col: str, val_col: str,
+                              weight_col: str) -> pd.DataFrame:
+    """Lower weighted median per group: the smallest value whose
+    cumulative weight (values ascending) reaches half the group's total
+    weight — the robust center for weighted populations (price weighted
+    by volume, score weighted by tokens). Rows with a NULL value or
+    NULL weight are excluded.
+
+    Scale shape: per-block (group, value) weight-sum combiner — the
+    exchange carries each block's DISTINCT (group, value) pairs, never
+    raw rows — then ONE keyed shuffle; each group sorts its distinct
+    values once and takes a single cumulative pass. Per-group state is
+    O(distinct values within the group). Returns
+    (group, wmedian, total_w, n) sorted by group; wmedian is NULL when
+    the total weight is not positive."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(val_col).cast(pa.float64())
+        w = batch.column(weight_col).cast(pa.float64())
+        t = pa.table({group_col: batch.column(group_col), "v": v, "w": w}) \
+            .filter(pc.and_(pc.is_valid(v), pc.is_valid(w)))
+        g = t.group_by([group_col, "v"]).aggregate(
+            [("w", "sum"), ("w", "count")])
+        return _with_shuffle_key(pa.table({
+            group_col: g.column(group_col), "v": g.column("v"),
+            "w": g.column("w_sum"),
+            "n": g.column("w_count").cast(pa.int64())}), group_col)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("v", as_index=False).agg(w=("w", "sum"),
+                                                n=("n", "sum"))
+        g = g.sort_values("v", kind="mergesort")
+        tot = float(g["w"].sum())
+        med = np.nan
+        if tot > 0:
+            cw = np.cumsum(g["w"].to_numpy(np.float64))
+            med = float(g["v"].to_numpy()[np.searchsorted(
+                cw, tot / 2.0, side="left")])
+        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                             "wmedian": [med], "total_w": [tot],
+                             "n": np.array([int(g["n"].sum())], np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "wmedian": pd.Series([], dtype="float64"),
+                             "total_w": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64")})
+    key = out[group_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)

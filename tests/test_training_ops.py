@@ -1977,3 +1977,76 @@ def test_hashed_vectorizer(ray_session):
     want[(2, b("baz"))] = 1
     got = {(r.doc_id, r.bucket): r.n for r in out.itertuples()}
     assert got == want
+
+
+def test_gini_coefficient(ray_session):
+    """Matches the closed-form rank formula on hand data; tie- and
+    layout-invariant; perfect equality -> ~0; degenerate -> NULL."""
+    from feature_fabrica_ray.pipelines import gini_coefficient
+
+    vals = [1.0, 1.0, 2.0, 4.0, 8.0]
+    df = pd.DataFrame({"x": vals})
+    xs = np.sort(np.array(vals))
+    n, s = len(xs), xs.sum()
+    want = 2 * (np.arange(1, n + 1) * xs).sum() / (n * s) - (n + 1) / n
+    for blocks in (1, 3):
+        out = gini_coefficient(_ds(df, blocks=blocks), "x")
+        assert out["gini"].iloc[0] == pytest.approx(want)
+        assert out["n"].iloc[0] == 5
+    eq = gini_coefficient(_ds(pd.DataFrame({"x": [3.0] * 7})), "x")
+    assert eq["gini"].iloc[0] == pytest.approx(0.0)
+    # all-null -> n=0, NULL gini
+    nul = gini_coefficient(
+        _ds(pd.DataFrame({"x": pd.Series([None, None], dtype="float64")})),
+        "x")
+    assert pd.isna(nul["gini"].iloc[0]) and nul["n"].iloc[0] == 0
+
+
+def test_weighted_median_per_group(ray_session):
+    """Lower weighted median: smallest v whose cumulative weight
+    reaches half the total; null rows excluded; layout-invariant."""
+    from feature_fabrica_ray.pipelines import weighted_median_per_group
+
+    # group a: (v=1,w=1),(v=2,w=1),(v=3,w=2) tot=4, half=2 -> cum at
+    # v=2 is 2 >= 2 -> median 2.   group b: (v=10,w=9),(v=20,w=1)
+    # tot=10, half=5 -> v=10. nulls dropped.
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b", "b", "b"],
+        "v": [1.0, 2.0, 3.0, 10.0, 20.0, None, 5.0],
+        "w": [1.0, 1.0, 2.0, 9.0, 1.0, 4.0, None],
+    })
+    for blocks in (1, 4):
+        out = weighted_median_per_group(_ds(df, blocks=blocks),
+                                        "g", "v", "w")
+        assert list(out["g"]) == ["a", "b"]
+        assert list(out["wmedian"]) == [2.0, 10.0]
+        assert list(out["total_w"]) == [4.0, 10.0]
+        assert list(out["n"]) == [3, 2]
+
+
+def test_time_weighted_avg(ray_session):
+    """Hand-integrated step function; null value drops its term but
+    not its interval; single event and zero duration -> NULL."""
+    from feature_fabrica_ray.pipelines import time_weighted_avg
+
+    # user 1: v=10 for 2s, v=20 for 1s, last v ignored
+    #         twap = (10*2 + 20*1)/3 = 40/3
+    # user 2: v=None for 1s then v=5 (last) -> no valid term -> NULL,
+    #         duration 1s
+    # user 3: single event -> NULL, duration 0
+    df = pd.DataFrame({
+        "uid": [1, 1, 1, 2, 2, 3],
+        "ts": pd.to_datetime([0, 2, 3, 0, 1, 5], unit="s"),
+        "v": [10.0, 20.0, 99.0, None, 5.0, 7.0],
+        "eid": [1, 2, 3, 4, 5, 6],
+    })
+    for blocks in (1, 3):
+        out = time_weighted_avg(_ds(df, blocks=blocks), ts_col="ts",
+                                key_col="uid", value_col="v",
+                                order_col="eid")
+        assert list(out["uid"]) == [1, 2, 3]
+        assert out["twap"].iloc[0] == pytest.approx(40.0 / 3.0)
+        assert pd.isna(out["twap"].iloc[1])
+        assert pd.isna(out["twap"].iloc[2])
+        assert list(out["duration_s"]) == [3.0, 1.0, 0.0]
+        assert list(out["n_events"]) == [3, 2, 1]
