@@ -4000,6 +4000,76 @@ FROM s GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_agg_geomean(sf_dir: str) -> pd.DataFrame:
+    """Geometric + harmonic mean of quantity per returnflag: pure
+    algebraic (n, Σln x, Σ1/x) combiner, one keyed shuffle of KB-sized
+    partials (pipelines/grouped.py::grouped_log_means)."""
+    from feature_fabrica_ray.pipelines import grouped_log_means
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity"])
+    out = grouped_log_means(ds, "l_returnflag", "l_quantity")
+    out["geomean"] = _round_away(out["geomean"], 6)
+    out["harmmean"] = _round_away(out["harmmean"], 6)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+_GEOMEAN_ORACLE = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(exp(avg(ln(l_quantity))), 6) AS geomean,
+       round(count(*) / sum(1.0 / l_quantity), 6) AS harmmean
+FROM lineitem WHERE l_quantity > 0
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_ev_ffill(sf_dir: str) -> pd.DataFrame:
+    """LOCF forward fill per user: plant NULLs on every 5th event id,
+    then carry the last observation forward in (ts, event_id) order —
+    one keyed shuffle, one vectorized fill pass per key, row count
+    preserved (pipelines/events.py::forward_fill)."""
+    from feature_fabrica_ray.pipelines import forward_fill
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_id"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False).copy()
+        v[eid % 5 == 0] = np.nan
+        return b.set_column(b.schema.get_field_index("value"), "value",
+                            pa.array(v, pa.float64(), from_pandas=True))
+
+    planted = ds.map_batches(plant, batch_format="pyarrow",
+                             batch_size=None)
+    out = forward_fill(planted, ts_col="ts", key_col="user_id",
+                       value_col="value", order_col="event_id") \
+        .to_pandas()
+    out = out[["user_id", "event_id", "value", "filled"]]
+    for c in ("value", "filled"):
+        out[c] = _round_away(out[c], 6)
+    for c in ("user_id", "event_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_FFILL_ORACLE = """
+WITH planted AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+  FROM events
+)
+SELECT user_id, event_id, round(value, 6) AS value,
+       round(last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+       AS filled
+FROM planted ORDER BY event_id
+"""
+
+
 def q_ev_window_distinct(sf_dir: str) -> pd.DataFrame:
     """Unique users per hourly window per event type — distinct
     counting under a tumbling window: per-block dedup combiner, ONE
@@ -5370,6 +5440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_gini": q_pr_gini,
         "agg_wmedian": q_agg_wmedian,
         "ev_twap": q_ev_twap,
+        "agg_geomean": q_agg_geomean,
+        "ev_ffill": q_ev_ffill,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -5523,5 +5595,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_gini": _GINI_ORACLE,
         "agg_wmedian": _WMEDIAN_ORACLE,
         "ev_twap": _TWAP_ORACLE,
+        "agg_geomean": _GEOMEAN_ORACLE,
+        "ev_ffill": _FFILL_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

@@ -30,7 +30,7 @@ __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "fill_time_gaps", "funnel_steps", "interval_overlap_pairs",
            "cohort_retention", "event_transitions", "ewma_per_key",
            "interarrival_stats", "rate_anomalies", "windowed_distinct",
-           "runs_islands", "time_weighted_avg"]
+           "runs_islands", "time_weighted_avg", "forward_fill"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -955,3 +955,33 @@ def time_weighted_avg(ds, ts_col: str, key_col: str, value_col: str,
                             "duration_s": pd.Series([], dtype="float64"),
                             "n_events": pd.Series([], dtype="int64")})
     return out.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+
+
+def forward_fill(ds, ts_col: str, key_col: str, value_col: str,
+                 order_col: str, out_col: str = "filled"):
+    """Last-observation-carried-forward (LOCF) imputation per key: each
+    NULL value takes the most recent non-NULL value earlier in the
+    key's (ts, order)-sorted stream — the standard time-series gap fill
+    (sensor dropouts, sparse snapshots); values before the first
+    observation stay NULL. SQL ``last_value(v IGNORE NULLS) OVER
+    (PARTITION BY key ORDER BY ts, order ROWS UNBOUNDED PRECEDING)``
+    semantics.
+
+    Scale shape: one keyed shuffle of the narrow projection, then one
+    vectorized fill pass per key group — per-key sequential by nature
+    (each fill depends on the previous observation), the canonical
+    ``groupby(key).map_groups`` stage; row count is preserved. Returns
+    a Dataset of (key, order, ts, value, out_col)."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        out = df[[key_col, order_col, ts_col, value_col]].copy()
+        out[out_col] = df[value_col].ffill()
+        return out
+
+    proj = ds.map_batches(
+        lambda t, c=(key_col, order_col, ts_col, value_col):
+            t.select(list(c)),
+        batch_format="pyarrow", batch_size=None)
+    return proj.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas")

@@ -45,7 +45,7 @@ __all__ = ["anova_f", "target_encode_loo", "mutual_information",
            "monotonic_violations", "grouped_regression",
            "grouped_outliers_iqr", "weighted_avg_per_group",
            "chi_square_independence", "gini_coefficient",
-           "weighted_median_per_group"]
+           "weighted_median_per_group", "grouped_log_means"]
 
 
 def grouped_shape(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -1587,5 +1587,54 @@ def weighted_median_per_group(ds, group_col: str, val_col: str,
                              "wmedian": pd.Series([], dtype="float64"),
                              "total_w": pd.Series([], dtype="float64"),
                              "n": pd.Series([], dtype="int64")})
+    key = out[group_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
+
+
+def grouped_log_means(ds, group_col: str, val_col: str) -> pd.DataFrame:
+    """Geometric and harmonic means per group — the multiplicative and
+    rate-averaging centers (growth factors, per-token rates) that the
+    arithmetic mean gets wrong: ``geo = exp(Σln x / n)``,
+    ``harm = n / Σ(1/x)``. Only strictly positive values participate
+    (ln/reciprocal domain — SQL ``WHERE x > 0`` parity); groups with no
+    positive values never surface.
+
+    Scale shape: a pure algebraic combiner — each block folds to
+    (n, Σln x, Σ1/x) per group, ONE keyed shuffle of KB-sized partials,
+    closed-form merge. Returns (group, n, geomean, harmmean) sorted by
+    group."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(val_col).cast(pa.float64())
+        t = pa.table({group_col: batch.column(group_col), "x": x}) \
+            .filter(pc.and_(pc.is_valid(x), pc.greater(x, 0.0)))
+        b2 = pa.table({group_col: t.column(group_col),
+                       "lnx": pc.ln(t.column("x")),
+                       "rx": pc.divide(1.0, t.column("x"))})
+        g = b2.group_by([group_col]).aggregate(
+            [("lnx", "count"), ("lnx", "sum"), ("rx", "sum")])
+        return _with_shuffle_key(pa.table({
+            group_col: g.column(group_col),
+            "n": g.column("lnx_count").cast(pa.int64()),
+            "sln": g.column("lnx_sum"), "srx": g.column("rx_sum")}),
+            group_col)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        sln, srx = float(df["sln"].sum()), float(df["srx"].sum())
+        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                             "n": np.array([n], np.int64),
+                             "geomean": [np.exp(sln / n)],
+                             "harmmean": [n / srx]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64"),
+                             "geomean": pd.Series([], dtype="float64"),
+                             "harmmean": pd.Series([], dtype="float64")})
     key = out[group_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)

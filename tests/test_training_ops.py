@@ -2050,3 +2050,46 @@ def test_time_weighted_avg(ray_session):
         assert pd.isna(out["twap"].iloc[2])
         assert list(out["duration_s"]) == [3.0, 1.0, 0.0]
         assert list(out["n_events"]) == [3, 2, 1]
+
+
+def test_grouped_log_means(ray_session):
+    """Matches scipy-free closed forms on hand data; nonpositive and
+    NULL values excluded; all-nonpositive group never surfaces."""
+    from feature_fabrica_ray.pipelines import grouped_log_means
+
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b", "c", "c"],
+        "x": [1.0, 4.0, 16.0, 2.0, None, -1.0, 0.0],
+    })
+    for blocks in (1, 3):
+        out = grouped_log_means(_ds(df, blocks=blocks), "g", "x")
+        assert list(out["g"]) == ["a", "b"]          # c: no positive x
+        assert out["geomean"].iloc[0] == pytest.approx(4.0)   # (1*4*16)^(1/3)
+        assert out["harmmean"].iloc[0] == pytest.approx(
+            3 / (1 + 0.25 + 1 / 16))
+        assert out["geomean"].iloc[1] == pytest.approx(2.0)
+        assert out["harmmean"].iloc[1] == pytest.approx(2.0)
+        assert list(out["n"]) == [3, 1]
+
+
+def test_forward_fill(ray_session):
+    """LOCF per key: leading NULLs stay NULL, fills carry across
+    multiple gaps, layout-invariant, row count preserved."""
+    from feature_fabrica_ray.pipelines import forward_fill
+
+    df = pd.DataFrame({
+        "uid": [1, 1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([1, 2, 3, 4, 1, 2], unit="s"),
+        "v": [None, 7.0, None, None, None, 3.0],
+        "eid": [1, 2, 3, 4, 5, 6],
+    })
+    for blocks in (1, 3):
+        out = forward_fill(_ds(df, blocks=blocks), ts_col="ts",
+                           key_col="uid", value_col="v",
+                           order_col="eid").to_pandas() \
+            .sort_values("eid").reset_index(drop=True)
+        assert len(out) == 6
+        got = out["filled"].tolist()
+        assert pd.isna(got[0]) and pd.isna(got[4])   # leading NULLs
+        assert got[1:4] == [7.0, 7.0, 7.0]
+        assert got[5] == 3.0
