@@ -4070,6 +4070,57 @@ FROM planted ORDER BY event_id
 """
 
 
+def q_agg_mad(sf_dir: str) -> pd.DataFrame:
+    """Median absolute deviation per returnflag (SQL mad() parity):
+    one distinct-(group, value) histogram exchange, both interpolated
+    medians evaluated on runs without multiset expansion
+    (pipelines/quantiles.py::group_mad)."""
+    from feature_fabrica_ray.pipelines import group_mad
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity"])
+    return group_mad(ds, "l_returnflag", "l_quantity")
+
+
+_MAD_ORACLE = """
+SELECT l_returnflag, round(median(l_quantity), 6) AS med,
+       round(mad(l_quantity), 6) AS mad,
+       CAST(count(l_quantity) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_agg_trimmed(sf_dir: str) -> pd.DataFrame:
+    """10% trimmed mean of quantity per returnflag: shared
+    distinct-value histogram exchange, interior sum in closed form on
+    clipped cumulative-count runs — tie-safe by construction
+    (pipelines/quantiles.py::group_trimmed_mean)."""
+    from feature_fabrica_ray.pipelines import group_trimmed_mean
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity"])
+    return group_trimmed_mean(ds, "l_returnflag", "l_quantity", trim=0.1)
+
+
+_TRIMMED_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag, l_quantity AS x,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity) AS i,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem WHERE l_quantity IS NOT NULL
+)
+SELECT l_returnflag,
+       round(avg(x) FILTER (i > floor(n * 0.1)
+                            AND i <= n - floor(n * 0.1)), 6) AS tmean,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) FILTER (i > floor(n * 0.1)
+                             AND i <= n - floor(n * 0.1)) AS BIGINT)
+       AS n_used
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_ev_window_distinct(sf_dir: str) -> pd.DataFrame:
     """Unique users per hourly window per event type — distinct
     counting under a tumbling window: per-block dedup combiner, ONE
@@ -5442,6 +5493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_twap": q_ev_twap,
         "agg_geomean": q_agg_geomean,
         "ev_ffill": q_ev_ffill,
+        "agg_mad": q_agg_mad,
+        "agg_trimmed": q_agg_trimmed,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -5597,5 +5650,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_twap": _TWAP_ORACLE,
         "agg_geomean": _GEOMEAN_ORACLE,
         "ev_ffill": _FFILL_ORACLE,
+        "agg_mad": _MAD_ORACLE,
+        "agg_trimmed": _TRIMMED_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

@@ -2093,3 +2093,50 @@ def test_forward_fill(ray_session):
         assert pd.isna(got[0]) and pd.isna(got[4])   # leading NULLs
         assert got[1:4] == [7.0, 7.0, 7.0]
         assert got[5] == 3.0
+
+
+def test_group_mad(ray_session):
+    """Interpolated median + MAD match numpy on expanded multisets;
+    layout-invariant; NULLs excluded."""
+    from feature_fabrica_ray.pipelines import group_mad
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 20, 31).astype(float)
+    b = rng.normal(100, 15, 10).round(1)
+    df = pd.DataFrame({"g": ["a"] * 31 + ["b"] * 10 + ["a"],
+                       "x": np.concatenate([a, b, [np.nan]])})
+
+    def ref(x):
+        med = np.quantile(x, 0.5)
+        return med, np.quantile(np.abs(x - med), 0.5)
+
+    for blocks in (1, 4):
+        out = group_mad(_ds(df, blocks=blocks), "g", "x")
+        assert list(out["g"]) == ["a", "b"]
+        for i, x in enumerate((a, b)):
+            med, mad = ref(x)
+            assert out["med"].iloc[i] == pytest.approx(round(med, 6))
+            assert out["mad"].iloc[i] == pytest.approx(round(mad, 6))
+        assert list(out["n"]) == [31, 10]
+
+
+def test_group_trimmed_mean(ray_session):
+    """Interior mean matches numpy sort-and-slice; tie-heavy input;
+    trim that empties the interior yields NULL; bad trim fails loud."""
+    from feature_fabrica_ray.pipelines import group_trimmed_mean
+
+    x = np.array([1, 1, 1, 2, 2, 3, 4, 5, 100, 100], dtype=float)
+    df = pd.DataFrame({"g": ["a"] * 10, "x": x})
+    k = int(np.floor(10 * 0.2))
+    want = np.sort(x)[k:10 - k].mean()
+    for blocks in (1, 3):
+        out = group_trimmed_mean(_ds(df, blocks=blocks), "g", "x",
+                                 trim=0.2)
+        assert out["tmean"].iloc[0] == pytest.approx(round(want, 6))
+        assert out["n"].iloc[0] == 10 and out["n_used"].iloc[0] == 6
+    # n=1 with trim=0.4 -> k=0 -> interior is the point itself
+    one = group_trimmed_mean(
+        _ds(pd.DataFrame({"g": ["z"], "x": [7.0]})), "g", "x", trim=0.4)
+    assert one["tmean"].iloc[0] == 7.0 and one["n_used"].iloc[0] == 1
+    with pytest.raises(ValueError, match="trim"):
+        group_trimmed_mean(_ds(df), "g", "x", trim=0.5)
