@@ -4121,6 +4121,95 @@ FROM r GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_agg_skyline(sf_dir: str) -> pd.DataFrame:
+    """2-D Pareto skyline of parts (minimize retailprice, maximize
+    size): per-block local-skyline sweep (union-stable dominance), one
+    driver sweep over the tiny local-skyline union — no pairwise
+    compare anywhere (pipelines/topk.py::skyline_2d)."""
+    from feature_fabrica_ray.pipelines import skyline_2d
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice", "p_size"])
+    out = skyline_2d(ds, "p_partkey", "p_retailprice", "p_size")
+    out["p_retailprice"] = _round_away(out["p_retailprice"], 6)
+    out["p_size"] = out["p_size"].astype("int64")
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    return out
+
+
+_SKYLINE_ORACLE = """
+SELECT p_partkey, round(p_retailprice, 6) AS p_retailprice,
+       CAST(p_size AS BIGINT) AS p_size
+FROM part a
+WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part b
+    WHERE b.p_retailprice IS NOT NULL AND b.p_size IS NOT NULL
+      AND b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+  )
+ORDER BY p_partkey
+"""
+
+
+def q_ev_interp(sf_dir: str) -> pd.DataFrame:
+    """Linear time interpolation per user over the same planted-NULL
+    series as ev_ffill: interior gaps take the time-weighted blend of
+    the surrounding observations, edges stay NULL — one keyed shuffle,
+    one searchsorted+blend pass per key
+    (pipelines/events.py::interpolate_missing)."""
+    from feature_fabrica_ray.pipelines import interpolate_missing
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_id"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False).copy()
+        v[eid % 5 == 0] = np.nan
+        return b.set_column(b.schema.get_field_index("value"), "value",
+                            pa.array(v, pa.float64(), from_pandas=True))
+
+    planted = ds.map_batches(plant, batch_format="pyarrow",
+                             batch_size=None)
+    out = interpolate_missing(planted, ts_col="ts", key_col="user_id",
+                              value_col="value", order_col="event_id") \
+        .to_pandas()
+    out = out[["user_id", "event_id", "value", "filled"]]
+    for c in ("value", "filled"):
+        out[c] = _round_away(out[c], 6)
+    for c in ("user_id", "event_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_INTERP_ORACLE = """
+WITH planted AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, ts,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+  FROM events
+), m AS (
+  SELECT user_id, event_id, t, value,
+         lag(value IGNORE NULLS) OVER w AS pv,
+         lead(value IGNORE NULLS) OVER w AS nv,
+         lag(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS)
+             OVER w AS pt,
+         lead(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS)
+             OVER w AS nt
+  FROM planted
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, round(value, 6) AS value,
+       round(CASE WHEN value IS NOT NULL THEN value
+                  WHEN pv IS NULL OR nv IS NULL THEN NULL
+                  ELSE pv + (nv - pv) * (t - pt) / (nt - pt)
+             END, 6) AS filled
+FROM m ORDER BY event_id
+"""
+
+
 def q_ev_window_distinct(sf_dir: str) -> pd.DataFrame:
     """Unique users per hourly window per event type — distinct
     counting under a tumbling window: per-block dedup combiner, ONE
@@ -5495,6 +5584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_ffill": q_ev_ffill,
         "agg_mad": q_agg_mad,
         "agg_trimmed": q_agg_trimmed,
+        "agg_skyline": q_agg_skyline,
+        "ev_interp": q_ev_interp,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -5652,5 +5743,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_ffill": _FFILL_ORACLE,
         "agg_mad": _MAD_ORACLE,
         "agg_trimmed": _TRIMMED_ORACLE,
+        "agg_skyline": _SKYLINE_ORACLE,
+        "ev_interp": _INTERP_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

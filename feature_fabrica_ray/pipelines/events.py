@@ -30,7 +30,8 @@ __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "fill_time_gaps", "funnel_steps", "interval_overlap_pairs",
            "cohort_retention", "event_transitions", "ewma_per_key",
            "interarrival_stats", "rate_anomalies", "windowed_distinct",
-           "runs_islands", "time_weighted_avg", "forward_fill"]
+           "runs_islands", "time_weighted_avg", "forward_fill",
+           "interpolate_missing"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -978,6 +979,48 @@ def forward_fill(ds, ts_col: str, key_col: str, value_col: str,
         out = df[[key_col, order_col, ts_col, value_col]].copy()
         out[out_col] = df[value_col].ffill()
         return out
+
+    proj = ds.map_batches(
+        lambda t, c=(key_col, order_col, ts_col, value_col):
+            t.select(list(c)),
+        batch_format="pyarrow", batch_size=None)
+    return proj.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas")
+
+
+def interpolate_missing(ds, ts_col: str, key_col: str, value_col: str,
+                        order_col: str, out_col: str = "filled"):
+    """Linear time interpolation of missing values per key: each NULL
+    between two observations takes the time-weighted blend
+    ``v₀ + (v₁−v₀)·(t−t₀)/(t₁−t₀)``; leading/trailing NULLs (no
+    observation on one side) stay NULL — the gap fill that respects
+    irregular sampling where LOCF (``forward_fill``) would hold stale
+    values across long gaps.
+
+    Scale shape: identical to ``forward_fill`` — one keyed shuffle of
+    the narrow projection, one vectorized searchsorted+blend pass per
+    key group, row count preserved. Returns a Dataset of
+    (key, order, ts, value, out_col)."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        t = df[ts_col].to_numpy("datetime64[us]").astype(np.int64) \
+            .astype(np.float64)
+        v = df[value_col].to_numpy(np.float64)
+        out = v.copy()
+        valid = np.flatnonzero(~np.isnan(v))
+        if len(valid) >= 2:
+            holes = np.flatnonzero(np.isnan(v))
+            interior = holes[(holes > valid[0]) & (holes < valid[-1])]
+            if len(interior):
+                j = np.searchsorted(valid, interior)
+                nxt, prv = valid[j], valid[j - 1]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    frac = (t[interior] - t[prv]) / (t[nxt] - t[prv])
+                    out[interior] = v[prv] + (v[nxt] - v[prv]) * frac
+        res = df[[key_col, order_col, ts_col, value_col]].copy()
+        res[out_col] = out
+        return res
 
     proj = ds.map_batches(
         lambda t, c=(key_col, order_col, ts_col, value_col):

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["topk_per_group", "approx_heavy_hitters"]
+__all__ = ["topk_per_group", "approx_heavy_hitters", "skyline_2d"]
 
 
 def topk_per_group(ds, group_cols: list[str], value_col: str, k: int,
@@ -89,3 +89,69 @@ def approx_heavy_hitters(ds, col: str, k: int = 256,
         "v": [r[0] for r in rows],
         "est": pd.array([r[1] for r in rows], dtype="int64"),
         "err": pd.array([r[2] for r in rows], dtype="int64")})
+
+
+def skyline_2d(ds, id_col: str, min_col: str, max_col: str,
+               max_skyline: int = 1_000_000) -> pd.DataFrame:
+    """2-D Pareto frontier (skyline): the rows for which no other row
+    is at least as good on BOTH objectives (``min_col`` lower-is-better,
+    ``max_col`` higher-is-better) and strictly better on one — the
+    multi-objective generalization of top-k ("cheapest-per-size parts",
+    "best quality-per-token documents"). Exact ties on both columns all
+    survive (neither dominates); rows with a NULL objective are
+    excluded.
+
+    Scale shape: dominance is union-stable — ``skyline(A ∪ B) ⊆
+    skyline(A) ∪ skyline(B)`` — so each block reduces to its LOCAL
+    skyline with one vectorized sweep (lexsort by (min asc, max desc),
+    cummax dominance test; no pairwise compare), and the driver runs
+    the same sweep once over the union of local skylines. For random
+    data the skyline is tiny (O(log n) expected); ``max_skyline``
+    fails loud on adversarial anti-correlated inputs instead of
+    silently flooding the driver. Returns (id, min_col, max_col)
+    sorted by id."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def _sweep(ids, p, s):
+        order = np.lexsort((-s, p))
+        ps, ss = p[order], s[order]
+        new_grp = np.concatenate(([True], ps[1:] != ps[:-1]))
+        grp_id = np.cumsum(new_grp) - 1
+        grp_max = ss[np.flatnonzero(new_grp)]      # s desc within group
+        run_best = np.maximum.accumulate(grp_max)
+        best_before = np.concatenate(([-np.inf], run_best[:-1]))[grp_id]
+        keep = (ss > best_before) & (ss >= grp_max[grp_id])
+        sel = order[keep]
+        return ids[sel], p[sel], s[sel]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, min_col, max_col]).filter(
+            pc.and_(pc.is_valid(batch.column(min_col)),
+                    pc.is_valid(batch.column(max_col))))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        p = t.column(min_col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        s = t.column(max_col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ids, p, s = _sweep(ids, p, s)
+        return pa.table({id_col: pa.array(ids),
+                         min_col: pa.array(p), max_col: pa.array(s)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             min_col: pd.Series([], dtype="float64"),
+                             max_col: pd.Series([], dtype="float64")})
+    if len(parts) > max_skyline:
+        raise ValueError(
+            f"skyline_2d: {len(parts)} local-skyline rows exceed "
+            f"max_skyline={max_skyline} — anti-correlated objectives; "
+            f"bucket one objective first")
+    import numpy as _np
+    ids, p, s = _sweep(parts[id_col].to_numpy(),
+                       parts[min_col].to_numpy(_np.float64),
+                       parts[max_col].to_numpy(_np.float64))
+    out = pd.DataFrame({id_col: ids, min_col: p, max_col: s})
+    return out.sort_values(id_col, kind="mergesort").reset_index(drop=True)

@@ -2140,3 +2140,62 @@ def test_group_trimmed_mean(ray_session):
     assert one["tmean"].iloc[0] == 7.0 and one["n_used"].iloc[0] == 1
     with pytest.raises(ValueError, match="trim"):
         group_trimmed_mean(_ds(df), "g", "x", trim=0.5)
+
+
+def test_skyline_2d(ray_session):
+    """Matches brute-force dominance on random data across layouts;
+    exact (p,s) duplicates both survive; NULL objectives excluded."""
+    from feature_fabrica_ray.pipelines import skyline_2d
+
+    rng = np.random.default_rng(9)
+    n = 200
+    df = pd.DataFrame({"id": np.arange(n),
+                       "p": rng.integers(0, 50, n).astype(float),
+                       "s": rng.integers(0, 50, n).astype(float)})
+    # plant an exact duplicate pair guaranteed on the frontier
+    df.loc[0, ["p", "s"]] = [-1.0, 100.0]
+    df.loc[1, ["p", "s"]] = [-1.0, 100.0]
+
+    p, s = df["p"].to_numpy(), df["s"].to_numpy()
+    dominated = np.array([
+        bool(np.any((p <= p[i]) & (s >= s[i]) & ((p < p[i]) | (s > s[i]))))
+        for i in range(n)])
+    want = set(df["id"][~dominated])
+
+    for blocks in (1, 5):
+        out = skyline_2d(_ds(df, blocks=blocks), "id", "p", "s")
+        assert set(out["id"]) == want
+    assert {0, 1} <= want                     # both duplicates survive
+
+    # NULL objective rows are excluded
+    withnull = pd.concat([df, pd.DataFrame(
+        {"id": [900], "p": [np.nan], "s": [1e9]})], ignore_index=True)
+    out = skyline_2d(_ds(withnull), "id", "p", "s")
+    assert 900 not in set(out["id"])
+    with pytest.raises(ValueError, match="max_skyline"):
+        skyline_2d(_ds(df), "id", "p", "s", max_skyline=1)
+
+
+def test_interpolate_missing(ray_session):
+    """Interior gaps take the time-weighted blend; leading/trailing
+    NULLs stay NULL; layout-invariant; non-null rows pass through."""
+    from feature_fabrica_ray.pipelines import interpolate_missing
+
+    # u1 at t=0,10,40: v=None,2,8 -> lead stays None
+    #    t=20,30 holes between (10,2) and (40,8): 2+6*(10/30)=4, 2+6*(20/30)=6
+    df = pd.DataFrame({
+        "uid": [1, 1, 1, 1, 1, 2],
+        "ts": pd.to_datetime([0, 10, 20, 30, 40, 0], unit="s"),
+        "v": [None, 2.0, None, None, 8.0, None],
+        "eid": [1, 2, 3, 4, 5, 6],
+    })
+    for blocks in (1, 3):
+        out = interpolate_missing(_ds(df, blocks=blocks), ts_col="ts",
+                                  key_col="uid", value_col="v",
+                                  order_col="eid").to_pandas() \
+            .sort_values("eid").reset_index(drop=True)
+        got = out["filled"].tolist()
+        assert pd.isna(got[0]) and pd.isna(got[5])
+        assert got[1] == 2.0 and got[4] == 8.0
+        assert got[2] == pytest.approx(4.0)
+        assert got[3] == pytest.approx(6.0)
