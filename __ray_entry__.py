@@ -4210,6 +4210,59 @@ FROM m ORDER BY event_id
 """
 
 
+def q_pr_theil(sf_dir: str) -> pd.DataFrame:
+    """Theil T inequality of quantity per returnflag: pure algebraic
+    (n, Σx, Σ x·ln x) combiner, one keyed shuffle, closed form on the
+    merged sums (pipelines/grouped.py::theil_index_per_group)."""
+    from feature_fabrica_ray.pipelines import theil_index_per_group
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity"])
+    out = theil_index_per_group(ds, "l_returnflag", "l_quantity")
+    out["theil"] = _round_away(out["theil"], 6)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+_THEIL_ORACLE = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity * ln(l_quantity))
+             / (count(*) * avg(l_quantity))
+             - ln(avg(l_quantity)), 6) AS theil
+FROM lineitem WHERE l_quantity > 0
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_ev_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation of value per user: one keyed shuffle, one
+    sorted six-moment fold per key
+    (pipelines/events.py::autocorr_per_key)."""
+    from feature_fabrica_ray.pipelines import autocorr_per_key
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_id"])
+    out = autocorr_per_key(ds, ts_col="ts", key_col="user_id",
+                           value_col="value", order_col="event_id")
+    out["acf1"] = _round_away(out["acf1"], 6)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
+_AUTOCORR_ORACLE = """
+WITH s AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS pv
+  FROM events
+)
+SELECT user_id, round(corr(value, pv), 6) AS acf1,
+       CAST(regr_count(value, pv) AS BIGINT) AS n_pairs
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_ev_window_distinct(sf_dir: str) -> pd.DataFrame:
     """Unique users per hourly window per event type — distinct
     counting under a tumbling window: per-block dedup combiner, ONE
@@ -5586,6 +5639,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_trimmed": q_agg_trimmed,
         "agg_skyline": q_agg_skyline,
         "ev_interp": q_ev_interp,
+        "pr_theil": q_pr_theil,
+        "ev_autocorr": q_ev_autocorr,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -5745,5 +5800,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_trimmed": _TRIMMED_ORACLE,
         "agg_skyline": _SKYLINE_ORACLE,
         "ev_interp": _INTERP_ORACLE,
+        "pr_theil": _THEIL_ORACLE,
+        "ev_autocorr": _AUTOCORR_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

@@ -31,7 +31,7 @@ __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "cohort_retention", "event_transitions", "ewma_per_key",
            "interarrival_stats", "rate_anomalies", "windowed_distinct",
            "runs_islands", "time_weighted_avg", "forward_fill",
-           "interpolate_missing"]
+           "interpolate_missing", "autocorr_per_key"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -1028,3 +1028,49 @@ def interpolate_missing(ds, ts_col: str, key_col: str, value_col: str,
         batch_format="pyarrow", batch_size=None)
     return proj.groupby(key_col, num_partitions=shuffle_partitions()) \
         .map_groups(per_key, batch_format="pandas")
+
+
+def autocorr_per_key(ds, ts_col: str, key_col: str, value_col: str,
+                     order_col: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation per key: Pearson correlation between each
+    key's (ts, order)-sorted series and its one-step-lagged self — the
+    serial-dependence diagnostic (near +1: trending/sticky metric,
+    near 0: independent draws, negative: oscillation) behind
+    bot-cadence and sensor-stuck detection. Pairs with a NULL on either
+    side are excluded (SQL ``corr(v, lag(v))`` parity).
+
+    Scale shape: one keyed shuffle of the narrow projection; each key
+    group sorts once and folds to a single row via the six-moment
+    closed form — no second pass, |keys| rows out. Returns
+    (key, acf1, n_pairs) sorted; acf1 is NULL for fewer than two valid
+    pairs or zero variance on either side."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        v = df[value_col].to_numpy(np.float64)
+        x, y = v[:-1], v[1:]
+        ok = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[ok], y[ok]
+        n = len(x)
+        acf = np.nan
+        if n >= 2:
+            num = n * float((x * y).sum()) - x.sum() * y.sum()
+            den2 = ((n * float((x * x).sum()) - x.sum() ** 2)
+                    * (n * float((y * y).sum()) - y.sum() ** 2))
+            if den2 > 0:
+                acf = num / np.sqrt(den2)
+        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
+                             "acf1": [acf],
+                             "n_pairs": np.array([n], np.int64)})
+
+    proj = ds.map_batches(
+        lambda t, c=(key_col, ts_col, value_col, order_col):
+            t.select(list(c)),
+        batch_format="pyarrow", batch_size=None)
+    out = proj.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                            "acf1": pd.Series([], dtype="float64"),
+                            "n_pairs": pd.Series([], dtype="int64")})
+    return out.sort_values(key_col, kind="mergesort").reset_index(drop=True)

@@ -45,7 +45,8 @@ __all__ = ["anova_f", "target_encode_loo", "mutual_information",
            "monotonic_violations", "grouped_regression",
            "grouped_outliers_iqr", "weighted_avg_per_group",
            "chi_square_independence", "gini_coefficient",
-           "weighted_median_per_group", "grouped_log_means"]
+           "weighted_median_per_group", "grouped_log_means",
+           "theil_index_per_group"]
 
 
 def grouped_shape(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -1636,5 +1637,57 @@ def grouped_log_means(ds, group_col: str, val_col: str) -> pd.DataFrame:
                              "n": pd.Series([], dtype="int64"),
                              "geomean": pd.Series([], dtype="float64"),
                              "harmmean": pd.Series([], dtype="float64")})
+    key = out[group_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
+
+
+def theil_index_per_group(ds, group_col: str, val_col: str) -> pd.DataFrame:
+    """Theil T inequality index per group —
+    ``T = Σ (x/μ)·ln(x/μ) / n = Σ x·ln x / (n·μ) − ln μ`` — the
+    entropy-based concentration measure that, unlike Gini, DECOMPOSES
+    additively into within-group + between-group terms, which is why
+    corpus-mix audits use it. Only strictly positive values participate
+    (ln domain; SQL ``WHERE x > 0`` parity). T = 0 means perfect
+    equality, ln n is the maximum.
+
+    Scale shape: a pure algebraic combiner — (n, Σx, Σ x·ln x) per
+    group per block, ONE keyed shuffle of KB-sized partials, closed
+    form on the merged sums (contrast with ``gini_coefficient``, which
+    needs the distinct-value histogram). Returns (group, n, theil)
+    sorted by group."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(val_col).cast(pa.float64())
+        t = pa.table({group_col: batch.column(group_col), "x": x}) \
+            .filter(pc.and_(pc.is_valid(x), pc.greater(x, 0.0)))
+        b2 = pa.table({group_col: t.column(group_col),
+                       "x": t.column("x"),
+                       "xlnx": pc.multiply(t.column("x"),
+                                           pc.ln(t.column("x")))})
+        g = b2.group_by([group_col]).aggregate(
+            [("x", "count"), ("x", "sum"), ("xlnx", "sum")])
+        return _with_shuffle_key(pa.table({
+            group_col: g.column(group_col),
+            "n": g.column("x_count").cast(pa.int64()),
+            "sx": g.column("x_sum"), "sxlnx": g.column("xlnx_sum")}),
+            group_col)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        sx, sxlnx = float(df["sx"].sum()), float(df["sxlnx"].sum())
+        mu = sx / n
+        theil = sxlnx / (n * mu) - np.log(mu)
+        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
+                             "n": np.array([n], np.int64),
+                             "theil": [theil]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64"),
+                             "theil": pd.Series([], dtype="float64")})
     key = out[group_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)

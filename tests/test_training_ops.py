@@ -2199,3 +2199,47 @@ def test_interpolate_missing(ray_session):
         assert got[1] == 2.0 and got[4] == 8.0
         assert got[2] == pytest.approx(4.0)
         assert got[3] == pytest.approx(6.0)
+
+
+def test_theil_index_per_group(ray_session):
+    """Matches the definitional Σ(x/μ)ln(x/μ)/n on hand data; equality
+    -> 0; nonpositive and NULL excluded; layout-invariant."""
+    from feature_fabrica_ray.pipelines import theil_index_per_group
+
+    x = np.array([1.0, 2.0, 3.0, 10.0])
+    mu = x.mean()
+    want = float(((x / mu) * np.log(x / mu)).sum() / len(x))
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 3 + ["c"],
+                       "x": list(x) + [5.0, 5.0, None] + [-2.0]})
+    for blocks in (1, 3):
+        out = theil_index_per_group(_ds(df, blocks=blocks), "g", "x")
+        assert list(out["g"]) == ["a", "b"]       # c: no positive x
+        assert out["theil"].iloc[0] == pytest.approx(want)
+        assert out["theil"].iloc[1] == pytest.approx(0.0, abs=1e-12)
+        assert list(out["n"]) == [4, 2]
+
+
+def test_autocorr_per_key(ray_session):
+    """Matches np.corrcoef of the lagged pairs; constant series ->
+    NULL (zero variance); <2 pairs -> NULL; layout-invariant."""
+    from feature_fabrica_ray.pipelines import autocorr_per_key
+
+    rng = np.random.default_rng(2)
+    v = np.cumsum(rng.normal(size=30))            # trending: acf1 high
+    want = float(np.corrcoef(v[:-1], v[1:])[0, 1])
+    df = pd.DataFrame({
+        "uid": [1] * 30 + [2] * 5 + [3] * 2,
+        "ts": pd.to_datetime(list(range(30)) + list(range(5))
+                             + list(range(2)), unit="s"),
+        "v": list(v) + [7.0] * 5 + [1.0, 2.0],
+        "eid": range(37),
+    })
+    for blocks in (1, 4):
+        out = autocorr_per_key(_ds(df, blocks=blocks), ts_col="ts",
+                               key_col="uid", value_col="v",
+                               order_col="eid")
+        assert list(out["uid"]) == [1, 2, 3]
+        assert out["acf1"].iloc[0] == pytest.approx(want)
+        assert pd.isna(out["acf1"].iloc[1])       # constant series
+        assert pd.isna(out["acf1"].iloc[2])       # one pair only
+        assert list(out["n_pairs"]) == [29, 4, 1]
