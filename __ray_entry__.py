@@ -4263,6 +4263,72 @@ FROM s GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_pr_lorenz(sf_dir: str) -> pd.DataFrame:
+    """Lorenz concentration profile of order spend at population
+    deciles: distinct-value histogram combiner + clipped cumulative-
+    count run arithmetic per decile — tie-safe bottom-k sums, no
+    global sort (pipelines/quantiles.py::lorenz_deciles)."""
+    from feature_fabrica_ray.pipelines import lorenz_deciles
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_totalprice"])
+    out = lorenz_deciles(ds, "o_totalprice")
+    out["cum_share"] = _round_away(out["cum_share"], 6)
+    return out
+
+
+_LORENZ_ORACLE = """
+WITH r AS (
+  SELECT o_totalprice AS x,
+         row_number() OVER (ORDER BY o_totalprice) AS i,
+         count(*) OVER () AS n,
+         sum(o_totalprice) OVER () AS t
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT d.decile, CAST(count(*) AS BIGINT) AS k,
+       round(sum(r.x) / max(r.t), 6) AS cum_share
+FROM (SELECT unnest(generate_series(1, 10)) AS decile) d
+JOIN r ON r.i <= floor(r.n * d.decile / 10.0)
+GROUP BY d.decile ORDER BY d.decile
+"""
+
+
+def q_pr_corr_matrix(sf_dir: str) -> pd.DataFrame:
+    """One-pass pairwise Pearson matrix over (quantity, extendedprice,
+    discount): a single k²-float algebraic combiner per block, no
+    shuffle, listwise-complete rows
+    (pipelines/grouped.py::corr_matrix)."""
+    from feature_fabrica_ray.pipelines import corr_matrix
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"])
+    out = corr_matrix(ds, ["l_quantity", "l_extendedprice",
+                           "l_discount"])
+    out["corr"] = _round_away(out["corr"], 6)
+    return out
+
+
+_CORR_MATRIX_ORACLE = """
+WITH c AS (
+  SELECT l_quantity AS q, l_extendedprice AS p, l_discount AS d
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
+)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round(corr(q, p), 6) AS "corr", CAST(count(*) AS BIGINT) AS n
+FROM c
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount', round(corr(p, d), 6),
+       CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 'l_quantity', 'l_discount', round(corr(q, d), 6),
+       CAST(count(*) AS BIGINT) FROM c
+ORDER BY col_a, col_b
+"""
+
+
 def q_ev_window_distinct(sf_dir: str) -> pd.DataFrame:
     """Unique users per hourly window per event type — distinct
     counting under a tumbling window: per-block dedup combiner, ONE
@@ -5641,6 +5707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_interp": q_ev_interp,
         "pr_theil": q_pr_theil,
         "ev_autocorr": q_ev_autocorr,
+        "pr_lorenz": q_pr_lorenz,
+        "pr_corr_matrix": q_pr_corr_matrix,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -5802,5 +5870,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_interp": _INTERP_ORACLE,
         "pr_theil": _THEIL_ORACLE,
         "ev_autocorr": _AUTOCORR_ORACLE,
+        "pr_lorenz": _LORENZ_ORACLE,
+        "pr_corr_matrix": _CORR_MATRIX_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

@@ -46,7 +46,7 @@ __all__ = ["anova_f", "target_encode_loo", "mutual_information",
            "grouped_outliers_iqr", "weighted_avg_per_group",
            "chi_square_independence", "gini_coefficient",
            "weighted_median_per_group", "grouped_log_means",
-           "theil_index_per_group"]
+           "theil_index_per_group", "corr_matrix"]
 
 
 def grouped_shape(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -1691,3 +1691,58 @@ def theil_index_per_group(ds, group_col: str, val_col: str) -> pd.DataFrame:
                              "theil": pd.Series([], dtype="float64")})
     key = out[group_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
+
+
+def corr_matrix(ds, cols: list[str]) -> pd.DataFrame:
+    """Pairwise Pearson correlation matrix over k numeric columns in
+    ONE pass — the feature-redundancy screen before model training
+    ("price and quantity carry the same signal"). Listwise-complete:
+    rows with a NULL in ANY of the columns are excluded, so every pair
+    sees the same n (SQL parity via ``WHERE all IS NOT NULL``).
+
+    Scale shape: a single algebraic combiner carrying k sums, k sums of
+    squares, and k·(k−1)/2 cross sums per block (one row of ~k² floats,
+    no shuffle — the driver folds the block partials); degenerate
+    columns (zero variance) yield NULL against every partner. Returns
+    the upper triangle (col_a, col_b, corr, n) sorted by (col_a,
+    col_b)."""
+    if len(cols) < 2:
+        raise ValueError(f"corr_matrix needs >= 2 columns, got {cols}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arrs = {c: batch.column(c).cast(pa.float64()) for c in cols}
+        ok = None
+        for c in cols:
+            v = pc.is_valid(arrs[c])
+            ok = v if ok is None else pc.and_(ok, v)
+        X = np.stack([arrs[c].filter(ok).to_numpy(zero_copy_only=False)
+                      for c in cols])
+        out = {"n": pa.array([X.shape[1]], pa.int64())}
+        for i, c in enumerate(cols):
+            out[f"s_{c}"] = pa.array([X[i].sum()])
+            out[f"ss_{c}"] = pa.array([(X[i] * X[i]).sum()])
+        for a, b in pairs:
+            ia, ib = cols.index(a), cols.index(b)
+            out[f"x_{a}__{b}"] = pa.array([(X[ia] * X[ib]).sum()])
+        return pa.table(out)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    n = int(parts["n"].sum())
+    rows = []
+    for a, b in pairs:
+        corr = np.nan
+        if n >= 2:
+            sa, sb = float(parts[f"s_{a}"].sum()), float(parts[f"s_{b}"].sum())
+            ssa = float(parts[f"ss_{a}"].sum())
+            ssb = float(parts[f"ss_{b}"].sum())
+            sab = float(parts[f"x_{a}__{b}"].sum())
+            den2 = (n * ssa - sa * sa) * (n * ssb - sb * sb)
+            if den2 > 0:
+                corr = (n * sab - sa * sb) / np.sqrt(den2)
+        rows.append({"col_a": a, "col_b": b, "corr": corr, "n": n})
+    out = pd.DataFrame(rows).sort_values(["col_a", "col_b"],
+                                         kind="mergesort")
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)

@@ -2243,3 +2243,52 @@ def test_autocorr_per_key(ray_session):
         assert pd.isna(out["acf1"].iloc[1])       # constant series
         assert pd.isna(out["acf1"].iloc[2])       # one pair only
         assert list(out["n_pairs"]) == [29, 4, 1]
+
+
+def test_lorenz_deciles(ray_session):
+    """Matches sort-and-cumsum on hand data; equal values -> straight
+    line; tie boundary is permutation-invariant; layout-invariant."""
+    from feature_fabrica_ray.pipelines import lorenz_deciles
+
+    rng = np.random.default_rng(7)
+    x = rng.pareto(1.5, size=100) + 0.1
+    df = pd.DataFrame({"x": x})
+    xs = np.sort(x)
+    want = [xs[:int(np.floor(100 * d / 10))].sum() / xs.sum()
+            for d in range(1, 11)]
+    for blocks in (1, 4):
+        out = lorenz_deciles(_ds(df, blocks=blocks), "x")
+        assert list(out["decile"]) == list(range(1, 11))
+        assert out["cum_share"].to_numpy() == pytest.approx(want)
+        assert out["cum_share"].iloc[9] == pytest.approx(1.0)
+        assert out["k"].iloc[4] == 50
+    # perfect equality: shares are exactly d/10 even with ties at
+    # every boundary
+    eq = lorenz_deciles(_ds(pd.DataFrame({"x": [2.0] * 40})), "x")
+    assert eq["cum_share"].to_numpy() == pytest.approx(
+        np.arange(1, 11) / 10.0)
+
+
+def test_corr_matrix(ray_session):
+    """Matches np.corrcoef listwise-complete; NULL row dropped for all
+    pairs; zero-variance column -> NULL; layout-invariant."""
+    from feature_fabrica_ray.pipelines import corr_matrix
+
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=50)
+    b = 2 * a + rng.normal(scale=0.5, size=50)
+    c = rng.normal(size=50)
+    df = pd.DataFrame({"a": a, "b": b, "c": c, "z": 1.0})
+    df.loc[3, "b"] = np.nan                      # drops row 3 everywhere
+    keep = df.dropna()
+    R = np.corrcoef(np.stack([keep["a"], keep["b"], keep["c"]]))
+    for blocks in (1, 4):
+        out = corr_matrix(_ds(df, blocks=blocks), ["a", "b", "c", "z"])
+        assert len(out) == 6 and out["n"].iloc[0] == 49
+        got = {(r.col_a, r.col_b): r.corr for r in out.itertuples()}
+        assert got[("a", "b")] == pytest.approx(R[0, 1])
+        assert got[("a", "c")] == pytest.approx(R[0, 2])
+        assert got[("b", "c")] == pytest.approx(R[1, 2])
+        assert all(pd.isna(got[(x, "z")]) for x in ("a", "b", "c"))
+    with pytest.raises(ValueError, match=">= 2"):
+        corr_matrix(_ds(df), ["a"])
