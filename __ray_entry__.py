@@ -4329,6 +4329,49 @@ ORDER BY col_a, col_b
 """
 
 
+def q_jn_asof_nearest(sf_dir: str):
+    """NEAREST-mode as-of join: each 'view' matched to the same user's
+    click with the smallest |Δt| on EITHER side (tie → the earlier
+    click) — the bidirectional variant DuckDB's native ASOF JOIN lacks;
+    same ONE-shuffle co-group shape, two searchsorteds per key
+    (pipelines/asof.py::_match_segment nearest arm)."""
+    from feature_fabrica_ray.pipelines import asof_join
+
+    def typed(et, cols):
+        ds = read_parquet_clean(
+            f"{sf_dir}/events.parquet",
+            columns=list(dict.fromkeys(cols + ["event_type"])))
+        return ds.map_batches(
+            lambda b, e=et, c=tuple(cols): b.filter(
+                pc.equal(b.column("event_type"), e)).select(list(c)),
+            batch_format="pyarrow", batch_size=None)
+
+    left = typed("view", ["event_id", "ts", "user_id"])
+    right = typed("click", ["user_id", "ts", "value"])
+    out = asof_join(left, right, on="ts", by="user_id",
+                    right_cols=["value"], direction="nearest")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("value")))
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "click_value": t.column("value")})
+
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+_ASOF_NEAREST_ORACLE = """
+SELECT l.event_id, l.user_id, r.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'view') l
+JOIN LATERAL (
+  SELECT value FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = l.user_id
+  ORDER BY abs(epoch_us(c.ts) - epoch_us(l.ts)), c.ts
+  LIMIT 1
+) r ON true
+"""
+
+
 def q_ev_window_distinct(sf_dir: str) -> pd.DataFrame:
     """Unique users per hourly window per event type — distinct
     counting under a tumbling window: per-block dedup combiner, ONE
@@ -5709,6 +5752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_autocorr": q_ev_autocorr,
         "pr_lorenz": q_pr_lorenz,
         "pr_corr_matrix": q_pr_corr_matrix,
+        "jn_asof_nearest": q_jn_asof_nearest,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -5872,5 +5916,6 @@ def oracle_sql() -> dict[str, str]:
         "ev_autocorr": _AUTOCORR_ORACLE,
         "pr_lorenz": _LORENZ_ORACLE,
         "pr_corr_matrix": _CORR_MATRIX_ORACLE,
+        "jn_asof_nearest": _ASOF_NEAREST_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

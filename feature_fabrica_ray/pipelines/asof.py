@@ -52,8 +52,23 @@ def _match_segment(lts: np.ndarray, rts: np.ndarray, direction: str,
         ok = idx < rts.size
         if tolerance_us is not None:
             ok &= (rts[np.minimum(idx, rts.size - 1)] - lts) <= tolerance_us
+    elif direction == "nearest":
+        # closest right row on EITHER side; equal distance -> the
+        # earlier (backward) row, pandas merge_asof "nearest" parity
+        bi = np.searchsorted(rts, lts, side="right") - 1
+        fi = np.searchsorted(rts, lts, side="left")
+        bok, fok = bi >= 0, fi < rts.size
+        far = np.iinfo(np.int64).max
+        bd = np.where(bok, lts - rts[np.maximum(bi, 0)], far)
+        fd = np.where(fok, rts[np.minimum(fi, rts.size - 1)] - lts, far)
+        use_b = bd <= fd
+        idx = np.where(use_b, bi, fi)
+        ok = bok | fok
+        if tolerance_us is not None:
+            ok &= np.where(use_b, bd, fd) <= tolerance_us
     else:
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}")
     return np.where(ok, idx, -1)
 
 

@@ -2292,3 +2292,43 @@ def test_corr_matrix(ray_session):
         assert all(pd.isna(got[(x, "z")]) for x in ("a", "b", "c"))
     with pytest.raises(ValueError, match=">= 2"):
         corr_matrix(_ds(df), ["a"])
+
+
+def test_asof_join_nearest(ray_session):
+    """Nearest mode: picks either side by |Δt|, exact tie -> earlier
+    right row, tolerance prunes far matches; layout-invariant."""
+    from feature_fabrica_ray.pipelines import asof_join
+
+    left = pd.DataFrame({
+        "lid": [1, 2, 3, 4],
+        "ts": pd.to_datetime([10, 15, 100, 3], unit="s"),
+        "k": [1, 1, 1, 2],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 1, 2],
+        "ts": pd.to_datetime([8, 20, 110, 50], unit="s"),
+        "val": [80.0, 200.0, 1100.0, 500.0],
+    })
+    # lid1 t=10: |10-8|=2 < |20-10|=10 -> 80
+    # lid2 t=15: |15-8|=7 vs |20-15|=5 -> 200
+    # lid3 t=100: |100-20|=80 vs |110-100|=10 -> 1100
+    # lid4 t=3 (k=2): only forward 50s away -> 500
+    for blocks in (1, 3):
+        out = asof_join(_ds(left, blocks=blocks), _ds(right, blocks=blocks),
+                        on="ts", by="k", right_cols=["val"],
+                        direction="nearest").to_pandas() \
+            .sort_values("lid").reset_index(drop=True)
+        assert out["val"].tolist() == [80.0, 200.0, 1100.0, 500.0]
+    # exact tie: left t=14 sits 6s from both 8 and 20 -> earlier (80)
+    tie = pd.DataFrame({"lid": [9], "ts": pd.to_datetime([14], unit="s"),
+                        "k": [1]})
+    out = asof_join(_ds(tie), _ds(right), on="ts", by="k",
+                    right_cols=["val"], direction="nearest").to_pandas()
+    assert out["val"].iloc[0] == 80.0
+    # tolerance: lid4's only match is 47s away -> pruned under 10s
+    out = asof_join(_ds(left), _ds(right), on="ts", by="k",
+                    right_cols=["val"], direction="nearest",
+                    tolerance_us=10_000_000).to_pandas() \
+        .sort_values("lid").reset_index(drop=True)
+    assert out["val"].tolist()[:3] == [80.0, 200.0, 1100.0]
+    assert pd.isna(out["val"].iloc[3])
