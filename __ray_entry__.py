@@ -4372,6 +4372,76 @@ JOIN LATERAL (
 """
 
 
+def q_rs_explode(sf_dir: str) -> pd.DataFrame:
+    """SQL UNNEST WITH ORDINALITY: explode the first 8 embedding dims
+    to (vec_id, pos, val) rows — stateless vectorized flat-map (flat
+    Arrow kernels + one take), no shuffle, SQL list-index parity
+    (pipelines/reshape.py::explode_list)."""
+    from feature_fabrica_ray.pipelines import explode_list
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+
+    def head8(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table({"vec_id": b.column("vec_id"),
+                         "embedding": pc.list_slice(emb, 0, 8)})
+
+    out = explode_list(
+        ds.map_batches(head8, batch_format="pyarrow", batch_size=None),
+        "embedding").to_pandas()
+    out["val"] = _round_away(out["val"].astype("float64"), 6)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values(["vec_id", "pos"]).reset_index(drop=True)
+
+
+_EXPLODE_ORACLE = """
+SELECT vec_id, CAST(t.i AS BIGINT) AS pos,
+       round(CAST(embedding[t.i] AS DOUBLE), 6) AS val
+FROM embeddings, unnest(generate_series(1, 8)) AS t(i)
+ORDER BY vec_id, pos
+"""
+
+
+def q_pr_ks(sf_dir: str) -> pd.DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    'R'-flag and 'A'-flag price distributions: two-sided value-count
+    histogram combiner, ONE keyed exchange bounded by the value domain,
+    sup|CDF₁−CDF₂| on the merged runs — the exact complement of the
+    sketch-based drift KS (pipelines/grouped.py::ks_two_sample)."""
+    from feature_fabrica_ray.pipelines import ks_two_sample
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"])
+    out = ks_two_sample(ds, group_col="l_returnflag",
+                        val_col="l_extendedprice", a="R", b="A")
+    out["ks"] = _round_away(out["ks"], 6)
+    return out
+
+
+_KS_ORACLE = """
+WITH v AS (
+  SELECT l_extendedprice AS x,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS c2
+  FROM lineitem
+  WHERE l_returnflag IN ('R', 'A') AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+), c AS (
+  SELECT sum(c1) OVER (ORDER BY x) AS f1,
+         sum(c2) OVER (ORDER BY x) AS f2,
+         sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+  FROM v
+)
+SELECT round(max(abs(f1 * 1.0 / n1 - f2 * 1.0 / n2)), 6) AS ks,
+       CAST(max(n1) AS BIGINT) AS n_a, CAST(max(n2) AS BIGINT) AS n_b
+FROM c
+"""
+
+
 def q_ev_window_distinct(sf_dir: str) -> pd.DataFrame:
     """Unique users per hourly window per event type — distinct
     counting under a tumbling window: per-block dedup combiner, ONE
@@ -5753,6 +5823,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_lorenz": q_pr_lorenz,
         "pr_corr_matrix": q_pr_corr_matrix,
         "jn_asof_nearest": q_jn_asof_nearest,
+        "rs_explode": q_rs_explode,
+        "pr_ks": q_pr_ks,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -5917,5 +5989,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_lorenz": _LORENZ_ORACLE,
         "pr_corr_matrix": _CORR_MATRIX_ORACLE,
         "jn_asof_nearest": _ASOF_NEAREST_ORACLE,
+        "rs_explode": _EXPLODE_ORACLE,
+        "pr_ks": _KS_ORACLE,
         "pr_lineitem": _PROFILE_ORACLE,
     }

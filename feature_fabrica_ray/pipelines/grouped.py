@@ -46,7 +46,7 @@ __all__ = ["anova_f", "target_encode_loo", "mutual_information",
            "grouped_outliers_iqr", "weighted_avg_per_group",
            "chi_square_independence", "gini_coefficient",
            "weighted_median_per_group", "grouped_log_means",
-           "theil_index_per_group", "corr_matrix"]
+           "theil_index_per_group", "corr_matrix", "ks_two_sample"]
 
 
 def grouped_shape(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -1746,3 +1746,52 @@ def corr_matrix(ds, cols: list[str]) -> pd.DataFrame:
                                          kind="mergesort")
     out["n"] = out["n"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def ks_two_sample(ds, group_col: str, val_col: str, a, b) -> pd.DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between segments
+    ``a`` and ``b``: ``sup |CDF_a(x) − CDF_b(x)|`` over the merged
+    value domain — the distribution-shift test evaluated EXACTLY, the
+    ground-truth complement to the histogram-sketch KS the drift checks
+    use (state/histogram.py::ks_from_counts). NULL values excluded.
+
+    Scale shape: one two-sided value-count histogram combiner — each
+    block folds to (value, count_a, count_b) rows for its distinct
+    values, ONE keyed exchange bounded by the value domain, then a
+    single sort + cumulative pass on the merged runs. Returns one row
+    (ks, n_a, n_b); ks is NULL when either segment is empty."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pc.cast(batch.column(group_col), pa.string())
+        v = batch.column(val_col).cast(pa.float64())
+        keep = pc.and_(pc.is_valid(v),
+                       pc.is_in(g, value_set=pa.array([str(a), str(b)])))
+        t = pa.table({"g": g, "x": v}).filter(keep)
+        is_a = pc.equal(t.column("g"), str(a)).cast(pa.int64())
+        b2 = pa.table({"x": t.column("x"), "ca": is_a,
+                       "cb": pc.subtract(1, is_a)})
+        gb = b2.group_by(["x"]).aggregate([("ca", "sum"), ("cb", "sum")])
+        return pa.table({"x": gb.column("x"),
+                         "ca": gb.column("ca_sum").cast(pa.int64()),
+                         "cb": gb.column("cb_sum").cast(pa.int64())})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("x", num_partitions=shuffle_partitions()) \
+        .aggregate(Sum("ca"), Sum("cb")).to_pandas() \
+        .rename(columns={"sum(ca)": "ca", "sum(cb)": "cb"})
+    out = {"ks": np.nan, "n_a": 0, "n_b": 0}
+    if not hist.empty:
+        hist = hist.sort_values("x", kind="mergesort")
+        ca = hist["ca"].to_numpy(np.int64)
+        cb = hist["cb"].to_numpy(np.int64)
+        na, nb = int(ca.sum()), int(cb.sum())
+        out["n_a"], out["n_b"] = na, nb
+        if na > 0 and nb > 0:
+            d = np.abs(np.cumsum(ca) / na - np.cumsum(cb) / nb)
+            out["ks"] = float(d.max())
+    df = pd.DataFrame([out])
+    for c in ("n_a", "n_b"):
+        df[c] = df[c].astype("int64")
+    return df

@@ -2332,3 +2332,31 @@ def test_asof_join_nearest(ray_session):
         .sort_values("lid").reset_index(drop=True)
     assert out["val"].tolist()[:3] == [80.0, 200.0, 1100.0]
     assert pd.isna(out["val"].iloc[3])
+
+
+def test_ks_two_sample(ray_session):
+    """Matches scipy-free reference sup|CDF_a - CDF_b|; identical
+    distributions -> 0; empty segment -> NULL; layout-invariant."""
+    from feature_fabrica_ray.pipelines import ks_two_sample
+
+    rng = np.random.default_rng(6)
+    xa = rng.normal(0, 1, 80).round(2)
+    xb = rng.normal(0.7, 1, 60).round(2)
+    df = pd.DataFrame({"g": ["a"] * 80 + ["b"] * 60 + ["z"] * 5,
+                       "x": np.concatenate([xa, xb, np.zeros(5)])})
+
+    grid = np.unique(np.concatenate([xa, xb]))
+    want = np.max(np.abs(
+        np.searchsorted(np.sort(xa), grid, side="right") / len(xa)
+        - np.searchsorted(np.sort(xb), grid, side="right") / len(xb)))
+    for blocks in (1, 4):
+        out = ks_two_sample(_ds(df, blocks=blocks), "g", "x", "a", "b")
+        assert out["ks"].iloc[0] == pytest.approx(want)
+        assert out["n_a"].iloc[0] == 80 and out["n_b"].iloc[0] == 60
+    same = ks_two_sample(
+        _ds(pd.DataFrame({"g": ["a"] * 20 + ["b"] * 20,
+                          "x": list(range(20)) * 2})),
+        "g", "x", "a", "b")
+    assert same["ks"].iloc[0] == pytest.approx(0.0)
+    missing = ks_two_sample(_ds(df), "g", "x", "a", "nope")
+    assert pd.isna(missing["ks"].iloc[0]) and missing["n_b"].iloc[0] == 0
