@@ -4442,6 +4442,50 @@ FROM c
 """
 
 
+def q_ev_cumdistinct(sf_dir: str) -> pd.DataFrame:
+    """Running distinct event-type count per user (coverage curve):
+    one keyed shuffle, one duplicated()+cumsum fold per key, row count
+    preserved (pipelines/events.py::cumulative_distinct)."""
+    from feature_fabrica_ray.pipelines import cumulative_distinct
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"])
+    out = cumulative_distinct(ds, ts_col="ts", key_col="user_id",
+                              type_col="event_type",
+                              order_col="event_id").to_pandas()
+    for c in ("user_id", "event_id", "cum_types"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_CUMDISTINCT_ORACLE = """
+SELECT user_id, event_id,
+       CAST(count(DISTINCT event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS cum_types
+FROM events ORDER BY event_id
+"""
+
+
+def q_agg_hll_setops(sf_dir: str) -> pd.DataFrame:
+    """Audience overlap via HLL set algebra: |click users|,
+    |view users|, their union (register-max merge) and the
+    inclusion-exclusion intersection — three ~16 KB sketches per
+    block, no distinct-pair exchange, no join. Rows-only by design
+    (±~0.8% estimates; pytest bounds them vs exact)
+    (pipelines/grouped.py::hll_set_ops)."""
+    from feature_fabrica_ray.pipelines import hll_set_ops
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+    out = hll_set_ops(ds, "event_type", "user_id", "click", "view")
+    for c in out.columns:
+        out[c] = _round_away(out[c], 2)
+    return out
+
+
 def q_ev_window_distinct(sf_dir: str) -> pd.DataFrame:
     """Unique users per hourly window per event type — distinct
     counting under a tumbling window: per-block dedup combiner, ONE
@@ -5825,6 +5869,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jn_asof_nearest": q_jn_asof_nearest,
         "rs_explode": q_rs_explode,
         "pr_ks": q_pr_ks,
+        "ev_cumdistinct": q_ev_cumdistinct,
+        "agg_hll_setops": q_agg_hll_setops,
         "pr_lineitem": q_pr_lineitem,
     }
 
@@ -5991,5 +6037,7 @@ def oracle_sql() -> dict[str, str]:
         "jn_asof_nearest": _ASOF_NEAREST_ORACLE,
         "rs_explode": _EXPLODE_ORACLE,
         "pr_ks": _KS_ORACLE,
+        "ev_cumdistinct": _CUMDISTINCT_ORACLE,
+        # agg_hll_setops: sketch estimates -> rows-only (pytest bounds)
         "pr_lineitem": _PROFILE_ORACLE,
     }

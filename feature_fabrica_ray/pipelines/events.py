@@ -31,7 +31,8 @@ __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "cohort_retention", "event_transitions", "ewma_per_key",
            "interarrival_stats", "rate_anomalies", "windowed_distinct",
            "runs_islands", "time_weighted_avg", "forward_fill",
-           "interpolate_missing", "autocorr_per_key"]
+           "interpolate_missing", "autocorr_per_key",
+           "cumulative_distinct"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -1074,3 +1075,37 @@ def autocorr_per_key(ds, ts_col: str, key_col: str, value_col: str,
                             "acf1": pd.Series([], dtype="float64"),
                             "n_pairs": pd.Series([], dtype="int64")})
     return out.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+
+
+def cumulative_distinct(ds, ts_col: str, key_col: str, type_col: str,
+                        order_col: str, out_col: str = "cum_types"):
+    """Running distinct count per key: for each event, how many
+    DISTINCT types the key has produced up to and including it in
+    (ts, order) sequence — the exploration/coverage curve behind
+    feature-adoption and crawler-frontier analyses. SQL
+    ``count(DISTINCT t) OVER (... ROWS UNBOUNDED PRECEDING)`` parity;
+    NULL types do not count (SQL COUNT semantics).
+
+    Scale shape: one keyed shuffle of the narrow projection; each key
+    group sorts once and folds first-occurrence flags with one
+    vectorized duplicated()+cumsum pass — row count preserved. Returns
+    a Dataset of (key, order, out_col)."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # Ray drops columns on empty map_groups output
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype=df[key_col].dtype),
+                order_col: pd.Series([], dtype=df[order_col].dtype),
+                out_col: pd.Series([], dtype="int64")})
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        first = (~df[type_col].duplicated()) & df[type_col].notna()
+        out = df[[key_col, order_col]].copy()
+        out[out_col] = np.cumsum(first.to_numpy()).astype(np.int64)
+        return out
+
+    proj = ds.map_batches(
+        lambda t, c=(key_col, ts_col, type_col, order_col):
+            t.select(list(c)),
+        batch_format="pyarrow", batch_size=None)
+    return proj.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas")

@@ -46,7 +46,8 @@ __all__ = ["anova_f", "target_encode_loo", "mutual_information",
            "grouped_outliers_iqr", "weighted_avg_per_group",
            "chi_square_independence", "gini_coefficient",
            "weighted_median_per_group", "grouped_log_means",
-           "theil_index_per_group", "corr_matrix", "ks_two_sample"]
+           "theil_index_per_group", "corr_matrix", "ks_two_sample",
+           "hll_set_ops"]
 
 
 def grouped_shape(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -1795,3 +1796,49 @@ def ks_two_sample(ds, group_col: str, val_col: str, a, b) -> pd.DataFrame:
     for c in ("n_a", "n_b"):
         df[c] = df[c].astype("int64")
     return df
+
+
+def hll_set_ops(ds, group_col: str, val_col: str, a, b) -> pd.DataFrame:
+    """Approximate set algebra between two segments' value sets via
+    HyperLogLog inclusion-exclusion: |A|, |B|, |A∪B| from three merged
+    sketches and |A∩B| = |A| + |B| − |A∪B| — audience-overlap / key-
+    coverage estimation ("how many users both click AND view?") at
+    sketch cost: no distinct-pair exchange, no join. NULL values are
+    excluded.
+
+    Scale shape: each block emits at most three ~16 KB HLL rows (side
+    A, side B, and their union — the union sketch is the element-wise
+    register max, exactly mergeable); the driver OR-merges per side.
+    Estimates carry the standard ~1.04/√2^p relative error, and the
+    intersection inherits the absolute error of all three terms — the
+    pytest layer bounds both. Returns one row
+    (est_a, est_b, est_union, est_intersect)."""
+    from ..state import HLL
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pc.cast(batch.column(group_col), pa.string())
+        v = batch.column(val_col)
+        keep = pc.is_valid(v)
+        t = pa.table({"g": g, "v": v}).filter(keep)
+        out_side, out_sk = [], []
+        for side, name in ((str(a), "a"), (str(b), "b")):
+            vals = t.filter(pc.equal(t.column("g"), side)).column("v")
+            if len(vals):
+                out_side.append(name)
+                out_sk.append(HLL().add_column(vals).to_bytes())
+        return pa.table({"side": pa.array(out_side, pa.string()),
+                         "sketch": pa.array(out_sk, pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    ha, hb = HLL(), HLL()
+    for _, row in parts.iterrows():
+        sk = HLL.from_bytes(row["sketch"])
+        if row["side"] == "a":
+            ha = ha.merge(sk)
+        else:
+            hb = hb.merge(sk)
+    hu = ha.merge(hb)
+    ea, eb, eu = ha.estimate(), hb.estimate(), hu.estimate()
+    return pd.DataFrame({"est_a": [ea], "est_b": [eb], "est_union": [eu],
+                         "est_intersect": [max(ea + eb - eu, 0.0)]})

@@ -826,3 +826,27 @@ def test_windowed_distinct(ray_session):
     # layout invariance
     a = windowed_distinct(_ds(df, blocks=1), "ts", "k", "u")
     pd.testing.assert_frame_equal(a, out)
+
+
+def test_cumulative_distinct(ray_session):
+    """Running distinct-type count per key matches the hand fold:
+    repeats don't bump the counter, NULL types never count, ties on
+    ts break by order col, and block layout doesn't matter."""
+    from feature_fabrica_ray.pipelines import cumulative_distinct
+
+    t0 = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame({
+        "ts": [t0, t0 + pd.Timedelta("1min"), t0 + pd.Timedelta("2min"),
+               t0 + pd.Timedelta("3min"), t0 + pd.Timedelta("3min"),
+               t0, t0 + pd.Timedelta("1min")],
+        "k": [1, 1, 1, 1, 1, 2, 2],
+        "t": ["x", "y", "x", None, "z", "q", "q"],
+        "oid": [10, 11, 12, 13, 14, 20, 21],
+    })
+    out = cumulative_distinct(_ds(df, blocks=3), "ts", "k", "t", "oid") \
+        .to_pandas().sort_values("oid").reset_index(drop=True)
+    assert out["cum_types"].tolist() == [1, 2, 2, 2, 3, 1, 1]
+    assert list(out.columns) == ["k", "oid", "cum_types"]
+    one = cumulative_distinct(_ds(df, blocks=1), "ts", "k", "t", "oid") \
+        .to_pandas().sort_values("oid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, out)

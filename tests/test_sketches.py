@@ -364,3 +364,33 @@ def test_countmin_guarantees_and_merge():
     assert withnull.n == 2
     with pytest.raises(ValueError, match="shape mismatch"):
         CountMin(4, 1024).merge(CountMin(4, 2048))
+
+
+def test_hll_set_ops_bounds(ray_session):
+    """HLL inclusion-exclusion overlap: estimates of |A|, |B|, |A∪B|
+    within 3% of exact; the intersection (difference of three ~0.8%
+    sketches) within a looser absolute bound; NULLs excluded."""
+    import pandas as pd
+    import ray.data
+    from feature_fabrica_ray.pipelines import hll_set_ops
+
+    rng = np.random.default_rng(7)
+    a_users = rng.choice(50_000, size=30_000, replace=False)
+    b_users = rng.choice(50_000, size=30_000, replace=False)
+    exact_a, exact_b = len(set(a_users)), len(set(b_users))
+    exact_u = len(set(a_users) | set(b_users))
+    df = pd.concat([
+        pd.DataFrame({"g": "click", "u": a_users}),
+        pd.DataFrame({"g": "view", "u": b_users}),
+        pd.DataFrame({"g": "click", "u": [None] * 50}),
+        pd.DataFrame({"g": "other", "u": [1, 2, 3]}),
+    ], ignore_index=True)
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = hll_set_ops(ds, "g", "u", "click", "view")
+    r = out.iloc[0]
+    assert abs(r.est_a - exact_a) / exact_a < 0.03
+    assert abs(r.est_b - exact_b) / exact_b < 0.03
+    assert abs(r.est_union - exact_u) / exact_u < 0.03
+    exact_i = exact_a + exact_b - exact_u
+    assert abs(r.est_intersect - exact_i) < 0.09 * exact_u
+    assert r.est_intersect >= 0
