@@ -4372,6 +4372,49 @@ JOIN LATERAL (
 """
 
 
+def q_jn_pit(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time feature backfill: for every purchase, the same
+    user's click COUNT and value SUM over the trailing 24 h up to the
+    purchase instant — the leakage-free feature-store join. ONE
+    tagged-union co-group shuffle; each key answers all its left rows
+    with two searchsorteds over prefix sums
+    (pipelines/asof.py::pit_window_join)."""
+    from feature_fabrica_ray.pipelines import pit_window_join
+
+    def typed(et, cols):
+        ds = read_parquet_clean(
+            f"{sf_dir}/events.parquet",
+            columns=list(dict.fromkeys(cols + ["event_type"])))
+        return ds.map_batches(
+            lambda b, e=et, c=tuple(cols): b.filter(
+                pc.equal(b.column("event_type"), e)).select(list(c)),
+            batch_format="pyarrow", batch_size=None)
+
+    left = typed("purchase", ["event_id", "ts", "user_id"])
+    right = typed("click", ["user_id", "ts", "value"])
+    out = pit_window_join(left, right, on="ts", by="user_id",
+                          value_col="value",
+                          window_us=24 * 3_600_000_000).to_pandas()
+    res = out[["event_id", "pit_n", "pit_sum"]].copy()
+    res["event_id"] = res["event_id"].astype("int64")
+    res["pit_n"] = res["pit_n"].astype("int64")
+    res["pit_sum"] = _round_away(res["pit_sum"], 6)
+    return res.sort_values("event_id").reset_index(drop=True)
+
+
+_PIT_ORACLE = """
+SELECT l.event_id,
+       CAST(count(r.user_id) AS BIGINT) AS pit_n,
+       ROUND(sum(r.value), 6) AS pit_sum
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON r.user_id = l.user_id
+ AND r.ts >= l.ts - INTERVAL 24 HOUR AND r.ts <= l.ts
+GROUP BY l.event_id
+ORDER BY l.event_id
+"""
+
+
 def q_rs_explode(sf_dir: str) -> pd.DataFrame:
     """SQL UNNEST WITH ORDINALITY: explode the first 8 embedding dims
     to (vec_id, pos, val) rows — stateless vectorized flat-map (flat
@@ -5867,6 +5910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_lorenz": q_pr_lorenz,
         "pr_corr_matrix": q_pr_corr_matrix,
         "jn_asof_nearest": q_jn_asof_nearest,
+        "jn_pit": q_jn_pit,
         "rs_explode": q_rs_explode,
         "pr_ks": q_pr_ks,
         "ev_cumdistinct": q_ev_cumdistinct,
@@ -6035,6 +6079,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_lorenz": _LORENZ_ORACLE,
         "pr_corr_matrix": _CORR_MATRIX_ORACLE,
         "jn_asof_nearest": _ASOF_NEAREST_ORACLE,
+        "jn_pit": _PIT_ORACLE,
         "rs_explode": _EXPLODE_ORACLE,
         "pr_ks": _KS_ORACLE,
         "ev_cumdistinct": _CUMDISTINCT_ORACLE,

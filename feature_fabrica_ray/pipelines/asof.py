@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 
 from ..tuning import shuffle_partitions
 
-__all__ = ["asof_join", "asof_join_broadcast"]
+__all__ = ["asof_join", "asof_join_broadcast", "pit_window_join"]
 
 _MAX_BROADCAST_ROWS = 5_000_000
 
@@ -220,4 +220,95 @@ def asof_join(left, right, *, on: str, by: str, right_cols: list[str],
         return out.drop(columns=[f"__r_{c}" for c in out_rcols])
 
     return (both.groupby(by, num_partitions=num_partitions or shuffle_partitions())
+            .map_groups(per_key, batch_format="pandas"))
+
+
+def pit_window_join(left, right, *, on: str, by: str, value_col: str,
+                    window_us: int, out_prefix: str = "pit_",
+                    num_partitions: int | None = None):
+    """Point-in-time windowed-aggregate join — the leakage-free
+    feature-backfill primitive behind every feature store: for each
+    left row, the COUNT and SUM of right rows of the SAME key whose
+    timestamp falls in ``[left.on - window_us, left.on]`` (inclusive
+    both ends, so information available *at* prediction time and
+    nothing later). SQL parity: LEFT JOIN on key + interval range,
+    GROUP BY left row — count(matched) / sum(value), sum NULL when no
+    non-null value matched.
+
+    Scale shape: same tagged-union co-group as ``asof_join`` — ONE
+    hash shuffle of both sides on ``by``; each key group sorts the
+    right timestamps once and answers every left row with two
+    searchsorteds over cumulative sums (no per-left-row scan, no
+    row-pair blowup: the window aggregate is computed from prefix
+    sums). Left rows with a NULL key or NULL timestamp match nothing
+    (SQL join semantics). Returns left columns +
+    ``{out_prefix}n`` (int64) and ``{out_prefix}sum`` (float64).
+    """
+    lsch = left.schema()
+    lcols = list(lsch.names)
+    ltypes = dict(zip(lsch.names, lsch.types))
+    n_col, s_col = f"{out_prefix}n", f"{out_prefix}sum"
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in lcols}
+        n = len(batch)
+        cols["__v"] = pa.nulls(n, pa.float64())
+        cols["__rts"] = pa.nulls(n, pa.int64())
+        cols["__side"] = pa.array(np.zeros(n, np.int8))
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        ts = batch.column(on).cast(pa.timestamp("us"))
+        keep = pc.and_kleene(pc.is_valid(ts), pc.is_valid(batch.column(by)))
+        t = pa.table({by: batch.column(by), "__ts": ts,
+                      "__v0": batch.column(value_col).cast(pa.float64())}) \
+            .filter(pc.fill_null(keep, False))
+        n = t.num_rows
+        cols = {}
+        for c in lcols:
+            cols[c] = t.column(by) if c == by else pa.nulls(n, ltypes[c])
+        cols["__v"] = t.column("__v0")
+        cols["__rts"] = t.column("__ts").cast(pa.int64())
+        cols["__side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
+    both = lt.union(rt)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        is_r = df["__side"].to_numpy() == 1
+        ldf = df[~is_r]
+        out = ldf.drop(columns=["__side", "__rts", "__v"]).copy()
+        if not len(ldf):          # right-only key: zero rows, full schema
+            out[n_col] = np.empty(0, np.int64)
+            out[s_col] = np.empty(0, np.float64)
+            return out
+        rdf = df[is_r]
+        rts_raw = rdf["__rts"].to_numpy(dtype=np.int64) if len(rdf) \
+            else np.empty(0, np.int64)
+        order = np.argsort(rts_raw, kind="stable")
+        rts = rts_raw[order]
+        rv = rdf["__v"].to_numpy(dtype=np.float64)[order] if len(rdf) \
+            else np.empty(0, np.float64)
+        nn = ~np.isnan(rv)
+        csum = np.concatenate([[0.0], np.cumsum(np.where(nn, rv, 0.0))])
+        cnn = np.concatenate([[0], np.cumsum(nn.astype(np.int64))])
+        lts64 = ldf[on].to_numpy(dtype="datetime64[us]")
+        valid = ~np.isnat(lts64)
+        lts = lts64.astype(np.int64)
+        key_null = ldf[by].isna().to_numpy()
+        lo = np.searchsorted(rts, lts - window_us, side="left")
+        hi = np.searchsorted(rts, lts, side="right")
+        dead = ~valid | key_null
+        lo, hi = np.where(dead, 0, lo), np.where(dead, 0, hi)
+        cnt = (hi - lo).astype(np.int64)
+        nnw = cnn[hi] - cnn[lo]
+        ssum = np.where(nnw > 0, csum[hi] - csum[lo], np.nan)
+        out[n_col] = cnt
+        out[s_col] = ssum
+        return out
+
+    return (both.groupby(by, num_partitions=num_partitions
+                         or shuffle_partitions())
             .map_groups(per_key, batch_format="pandas"))

@@ -126,3 +126,50 @@ def test_asof_right_only_key(ray_session):
                     on="ts", by="k", right_cols=["rv"]).to_pandas()
     assert len(out) == 1
     assert out.iloc[0]["rv"] == 7.0
+
+
+def test_pit_window_join(ray_session):
+    """PIT windowed-aggregate join matches the hand enumeration:
+    window is [lts - w, lts] inclusive, future rows never leak, null
+    key/ts left rows match nothing, all-null-value windows sum NULL,
+    and block layout doesn't matter."""
+    import numpy as np
+    from feature_fabrica_ray.pipelines import pit_window_join
+
+    t0 = pd.Timestamp("2026-01-01 12:00:00")
+    left = pd.DataFrame({
+        "k": [1, 1, 2, 2, None, 1],
+        "ts": [t0, t0 + pd.Timedelta("2h"), t0, t0 + pd.Timedelta("1h"),
+               t0, None],
+        "lid": [0, 1, 2, 3, 4, 5],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2, None],
+        "ts": [t0 - pd.Timedelta("30min"), t0,             # in win of lid0
+               t0 + pd.Timedelta("90min"),                 # in win of lid1
+               t0 + pd.Timedelta("3h"),                    # future: nobody
+               t0 - pd.Timedelta("2h"),                    # too old for lid2@1h... wait w=1h
+               t0 + pd.Timedelta("30min"),                 # in win of lid3
+               t0],
+        "v": [10.0, 20.0, None, 99.0, 5.0, 7.0, 1.0],
+    })
+    import ray.data
+    lds = ray.data.from_pandas(left).repartition(3)
+    rds = ray.data.from_pandas(right).repartition(2)
+    out = pit_window_join(lds, rds, on="ts", by="k", value_col="v",
+                          window_us=3_600_000_000).to_pandas() \
+        .sort_values("lid").reset_index(drop=True)
+    # lid0 (k=1 @12:00, win [11:00,12:00]): rows at 11:30(10) and 12:00(20)
+    # lid1 (k=1 @14:00, win [13:00,14:00]): row at 13:30 (v NULL) -> n=1 sum NULL
+    # lid2 (k=2 @12:00): right k=2 rows at 10:00 (old) -> n=0
+    # lid3 (k=2 @13:00): row at 12:30 (7) -> n=1 sum 7
+    # lid4 null key, lid5 null ts -> n=0 sum NULL
+    assert out["pit_n"].tolist() == [2, 1, 0, 1, 0, 0]
+    sums = out["pit_sum"].tolist()
+    assert sums[0] == 30.0 and sums[3] == 7.0
+    assert all(np.isnan(s) for i, s in enumerate(sums) if i in (1, 2, 4, 5))
+    one = pit_window_join(ray.data.from_pandas(left),
+                          ray.data.from_pandas(right), on="ts", by="k",
+                          value_col="v", window_us=3_600_000_000) \
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, out)
