@@ -4485,6 +4485,38 @@ FROM c
 """
 
 
+def q_ev_cusum(sf_dir: str) -> pd.DataFrame:
+    """CUSUM change-point screen per user: excursion range of the
+    centered prefix sums of value in (ts, event_id) order — one keyed
+    shuffle, one sort+cumsum fold per key
+    (pipelines/events.py::cusum_per_key)."""
+    from feature_fabrica_ray.pipelines import cusum_per_key
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_id"])
+    out = cusum_per_key(ds, "ts", "user_id", "value", "event_id")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["cusum_range"] = _round_away(out["cusum_range"], 6)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_CUSUM_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         sum(value) OVER w
+           - row_number() OVER w * avg(value) OVER (PARTITION BY user_id)
+           AS sj
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, ROUND(max(sj) - min(sj), 6) AS cusum_range,
+       CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_ev_cumdistinct(sf_dir: str) -> pd.DataFrame:
     """Running distinct event-type count per user (coverage curve):
     one keyed shuffle, one duplicated()+cumsum fold per key, row count
@@ -5914,6 +5946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rs_explode": q_rs_explode,
         "pr_ks": q_pr_ks,
         "ev_cumdistinct": q_ev_cumdistinct,
+        "ev_cusum": q_ev_cusum,
         "agg_hll_setops": q_agg_hll_setops,
         "pr_lineitem": q_pr_lineitem,
     }
@@ -6083,6 +6116,7 @@ def oracle_sql() -> dict[str, str]:
         "rs_explode": _EXPLODE_ORACLE,
         "pr_ks": _KS_ORACLE,
         "ev_cumdistinct": _CUMDISTINCT_ORACLE,
+        "ev_cusum": _CUSUM_ORACLE,
         # agg_hll_setops: sketch estimates -> rows-only (pytest bounds)
         "pr_lineitem": _PROFILE_ORACLE,
     }

@@ -32,7 +32,7 @@ __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "interarrival_stats", "rate_anomalies", "windowed_distinct",
            "runs_islands", "time_weighted_avg", "forward_fill",
            "interpolate_missing", "autocorr_per_key",
-           "cumulative_distinct"]
+           "cumulative_distinct", "cusum_per_key"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -1109,3 +1109,49 @@ def cumulative_distinct(ds, ts_col: str, key_col: str, type_col: str,
         batch_format="pyarrow", batch_size=None)
     return proj.groupby(key_col, num_partitions=shuffle_partitions()) \
         .map_groups(per_key, batch_format="pandas")
+
+
+def cusum_per_key(ds, ts_col: str, key_col: str, value_col: str,
+                  order_col: str) -> pd.DataFrame:
+    """CUSUM change-point statistic per key: with the key's values in
+    (ts, order) sequence and S_j = sum_{i<=j}(v_i - mean_key), report
+    the excursion range max(S) - min(S) — near zero for a stable
+    series, large when the level shifts mid-stream (classic
+    Page-style drift screen over event values). NULL values are
+    excluded before the fold (SQL avg/sum semantics).
+
+    Scale shape: one keyed shuffle of the narrow projection, one
+    sort + cumsum per key group — no global pass, no second scan
+    (mean and prefix sums come from the same sorted array). Returns
+    one row (key, cusum_range, n) per key."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key_col: pd.Series([], dtype=df[key_col].dtype),
+            "cusum_range": pd.Series([], dtype="float64"),
+            "n": pd.Series([], dtype="int64")})
+        df = df[df[value_col].notna()]
+        if df.empty:
+            return empty
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        v = df[value_col].to_numpy(dtype=np.float64)
+        cs = np.cumsum(v)
+        # mean from the same sequential running sum (not np.mean's
+        # pairwise summation) so the fold is bit-stable vs a SQL
+        # window-sum construction of the identical S_j series
+        s = cs - np.arange(1, v.size + 1, dtype=np.float64) * (cs[-1] / v.size)
+        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
+                             "cusum_range": [float(s.max() - s.min())],
+                             "n": [np.int64(v.size)]})
+
+    proj = ds.map_batches(
+        lambda t, c=(key_col, ts_col, value_col, order_col):
+            t.select(list(c)),
+        batch_format="pyarrow", batch_size=None)
+    out = proj.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({key_col: pd.Series([], dtype="object"),
+                             "cusum_range": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64")})
+    return out.sort_values(key_col, kind="mergesort").reset_index(drop=True)

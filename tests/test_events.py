@@ -850,3 +850,26 @@ def test_cumulative_distinct(ray_session):
     one = cumulative_distinct(_ds(df, blocks=1), "ts", "k", "t", "oid") \
         .to_pandas().sort_values("oid").reset_index(drop=True)
     pd.testing.assert_frame_equal(one, out)
+
+
+def test_cusum_per_key(ray_session):
+    """CUSUM excursion range matches the hand fold: a level shift blows
+    the range up, a constant series folds to ~0, NULL values drop out,
+    and block layout doesn't matter."""
+    from feature_fabrica_ray.pipelines import cusum_per_key
+
+    t0 = pd.Timestamp("2026-01-01")
+    # key "shift": 0,0,0,10,10,10 -> mean 5, S = [-5,-10,-15,-10,-5,0]
+    # range = 0 - (-15) = 15. key "flat": constant -> range 0.
+    df = pd.DataFrame({
+        "ts": list(pd.date_range(t0, periods=6, freq="1min")) * 2,
+        "k": ["shift"] * 6 + ["flat"] * 6,
+        "v": [0.0, 0, 0, 10, 10, 10, 3, 3, None, 3, 3, 3],
+        "oid": list(range(12)),
+    })
+    out = cusum_per_key(_ds(df, blocks=3), "ts", "k", "v", "oid")
+    rows = {r.k: (r.cusum_range, r.n) for r in out.itertuples()}
+    assert rows["shift"] == (15.0, 6)
+    assert rows["flat"] == (0.0, 5)          # NULL excluded from n
+    one = cusum_per_key(_ds(df, blocks=1), "ts", "k", "v", "oid")
+    pd.testing.assert_frame_equal(one, out)
