@@ -4485,6 +4485,38 @@ FROM c
 """
 
 
+def q_ev_rolling_median(sf_dir: str) -> pd.DataFrame:
+    """HOLISTIC rolling window: exact median + P90 of value over the
+    last 5 rows per user in (ts, event_id) order — the robust
+    counterpart of ev_rolling's algebraic sum/mean; one keyed shuffle,
+    pandas C sliding-quantile kernel per key
+    (pipelines/events.py::rolling_quantile)."""
+    from feature_fabrica_ray.pipelines import rolling_quantile
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_id"])
+    out = rolling_quantile(ds, "ts", "user_id", "value", "event_id",
+                           window=5, qs=(0.5, 0.9),
+                           out_cols=("roll_med", "roll_p90")).to_pandas()
+    res = out[["event_id", "roll_med", "roll_p90"]].copy()
+    res["event_id"] = res["event_id"].astype("int64")
+    for c in ("roll_med", "roll_p90"):
+        res[c] = _round_away(res[c], 6)
+    return res.sort_values("event_id").reset_index(drop=True)
+
+
+_ROLLING_MEDIAN_ORACLE = """
+SELECT event_id,
+       ROUND(median(value) OVER w, 6) AS roll_med,
+       ROUND(quantile_cont(value, 0.9) OVER w, 6) AS roll_p90
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def q_ev_cusum(sf_dir: str) -> pd.DataFrame:
     """CUSUM change-point screen per user: excursion range of the
     centered prefix sums of value in (ts, event_id) order — one keyed
@@ -5947,6 +5979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_ks": q_pr_ks,
         "ev_cumdistinct": q_ev_cumdistinct,
         "ev_cusum": q_ev_cusum,
+        "ev_rolling_median": q_ev_rolling_median,
         "agg_hll_setops": q_agg_hll_setops,
         "pr_lineitem": q_pr_lineitem,
     }
@@ -6117,6 +6150,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_ks": _KS_ORACLE,
         "ev_cumdistinct": _CUMDISTINCT_ORACLE,
         "ev_cusum": _CUSUM_ORACLE,
+        "ev_rolling_median": _ROLLING_MEDIAN_ORACLE,
         # agg_hll_setops: sketch estimates -> rows-only (pytest bounds)
         "pr_lineitem": _PROFILE_ORACLE,
     }

@@ -32,7 +32,7 @@ __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "interarrival_stats", "rate_anomalies", "windowed_distinct",
            "runs_islands", "time_weighted_avg", "forward_fill",
            "interpolate_missing", "autocorr_per_key",
-           "cumulative_distinct", "cusum_per_key"]
+           "cumulative_distinct", "cusum_per_key", "rolling_quantile"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -1155,3 +1155,43 @@ def cusum_per_key(ds, ts_col: str, key_col: str, value_col: str,
                              "cusum_range": pd.Series([], dtype="float64"),
                              "n": pd.Series([], dtype="int64")})
     return out.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+
+
+def rolling_quantile(ds, ts_col: str, key_col: str, value_col: str,
+                     order_col: str, window: int = 5,
+                     qs: tuple = (0.5,), out_cols: tuple = ("roll_med",)):
+    """HOLISTIC rolling window per key: exact quantiles of ``value``
+    over the last ``window`` rows (including the current one) in
+    (ts, order) sequence — ``quantile_cont(q) OVER (... ROWS window-1
+    PRECEDING)`` semantics with linear interpolation; NULLs inside a
+    frame are skipped, an all-NULL frame yields NULL. The robust
+    (outlier-immune) counterpart of ``rolling_agg``'s algebraic
+    sum/mean/min/max.
+
+    Scale shape: same one keyed shuffle; each key group sorts once and
+    runs pandas' C sliding-quantile kernel per requested q — per-group
+    cost O(n·log window), never a per-row Python loop. Returns a
+    Dataset of (key, order, *out_cols)."""
+    if len(qs) != len(out_cols):
+        raise ValueError("qs and out_cols must have equal length")
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # Ray drops columns on empty map_groups output
+            cols = {key_col: pd.Series([], dtype=df[key_col].dtype),
+                    order_col: pd.Series([], dtype=df[order_col].dtype)}
+            for c in out_cols:
+                cols[c] = pd.Series([], dtype="float64")
+            return pd.DataFrame(cols)
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        out = df[[key_col, order_col]].copy()
+        roll = df[value_col].rolling(window, min_periods=1)
+        for q, c in zip(qs, out_cols):
+            out[c] = roll.quantile(q, interpolation="linear").to_numpy()
+        return out
+
+    proj = ds.map_batches(
+        lambda t, c=(key_col, ts_col, value_col, order_col):
+            t.select(list(c)),
+        batch_format="pyarrow", batch_size=None)
+    return proj.groupby(key_col, num_partitions=shuffle_partitions()) \
+        .map_groups(per_key, batch_format="pandas")

@@ -873,3 +873,34 @@ def test_cusum_per_key(ray_session):
     assert rows["flat"] == (0.0, 5)          # NULL excluded from n
     one = cusum_per_key(_ds(df, blocks=1), "ts", "k", "v", "oid")
     pd.testing.assert_frame_equal(one, out)
+
+
+def test_rolling_quantile(ray_session):
+    """Rolling median/quantile per key matches pandas' reference fold:
+    growing head windows, NULL skipped inside a frame, all-NULL frame
+    NULL, and block layout doesn't matter."""
+    from feature_fabrica_ray.pipelines import rolling_quantile
+
+    t0 = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame({
+        "ts": list(pd.date_range(t0, periods=6, freq="1min")) * 2,
+        "k": ["a"] * 6 + ["b"] * 6,
+        "v": [1.0, 9, 5, 3, 7, 11, None, None, 4.0, None, 2.0, 8.0],
+        "oid": list(range(12)),
+    })
+    out = rolling_quantile(_ds(df, blocks=3), "ts", "k", "v", "oid",
+                           window=3, qs=(0.5, 1.0),
+                           out_cols=("roll_med", "roll_max")) \
+        .to_pandas().sort_values("oid").reset_index(drop=True)
+    # key a, window 3 medians: [1], [1,9], [1,9,5], [9,5,3], [5,3,7], [3,7,11]
+    assert out.loc[:5, "roll_med"].tolist() == [1, 5, 5, 5, 5, 7]
+    assert out.loc[:5, "roll_max"].tolist() == [1, 9, 9, 9, 7, 11]
+    # key b: [N],[N,N],[N,N,4],[N,4,N],[4,N,2],[N,2,8]
+    b = out.loc[6:, "roll_med"].tolist()
+    assert np.isnan(b[0]) and np.isnan(b[1])
+    assert b[2:] == [4.0, 4.0, 3.0, 5.0]
+    one = rolling_quantile(_ds(df, blocks=1), "ts", "k", "v", "oid",
+                           window=3, qs=(0.5, 1.0),
+                           out_cols=("roll_med", "roll_max")) \
+        .to_pandas().sort_values("oid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, out)
