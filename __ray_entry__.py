@@ -4485,6 +4485,65 @@ FROM c
 """
 
 
+def _lineitem_graph(sf_dir: str):
+    """Directed part<->supplier co-purchase graph from lineitem: one
+    edge per lineitem row in EACH direction; supplier nodes offset by
+    1e9 to disjoint the key spaces."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").cast(pa.int64()).combine_chunks()
+        s = pc.add(t.column("l_suppkey").cast(pa.int64()),
+                   pa.scalar(1_000_000_000, pa.int64())).combine_chunks()
+        return pa.table({"src": pa.concat_arrays([p, s]),
+                         "dst": pa.concat_arrays([s, p])})
+
+    return ds.map_batches(to_edges, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def q_gr_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the part<->supplier co-purchase multigraph —
+    iterative rank flow with uniform dangling redistribution; per
+    iteration one streaming combiner pass over edges, node-sized
+    state broadcast once. Rows-only (iterative fixpoint, no SQL
+    form); pytest matches an exact dense power iteration to 1e-12
+    (pipelines/graph.py::pagerank)."""
+    from feature_fabrica_ray.pipelines import pagerank
+
+    out = pagerank(_lineitem_graph(sf_dir), "src", "dst",
+                   damping=0.85, iters=15)
+    out["node"] = out["node"].astype("int64")
+    out["rank"] = _round_away(out["rank"] * 1e6, 6)   # ppm, readable
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_gr_degree(sf_dir: str) -> pd.DataFrame:
+    """Degree profile of the same graph: in/out degree per node via
+    per-block partial counts — one row per distinct node per block on
+    the exchange (pipelines/graph.py::degree_table)."""
+    from feature_fabrica_ray.pipelines import degree_table
+
+    out = degree_table(_lineitem_graph(sf_dir), "src", "dst")
+    return out
+
+
+_DEGREE_ORACLE = """
+WITH e AS (
+  SELECT l_partkey AS src, l_suppkey + 1000000000 AS dst FROM lineitem
+  UNION ALL
+  SELECT l_suppkey + 1000000000 AS src, l_partkey AS dst FROM lineitem
+)
+SELECT node, CAST(sum(o) AS BIGINT) AS out_deg,
+       CAST(sum(i) AS BIGINT) AS in_deg
+FROM (SELECT src AS node, 1 AS o, 0 AS i FROM e
+      UNION ALL
+      SELECT dst AS node, 0 AS o, 1 AS i FROM e)
+GROUP BY node ORDER BY node
+"""
+
+
 def q_ev_rolling_median(sf_dir: str) -> pd.DataFrame:
     """HOLISTIC rolling window: exact median + P90 of value over the
     last 5 rows per user in (ts, event_id) order — the robust
@@ -5980,6 +6039,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_cumdistinct": q_ev_cumdistinct,
         "ev_cusum": q_ev_cusum,
         "ev_rolling_median": q_ev_rolling_median,
+        "gr_pagerank": q_gr_pagerank,
+        "gr_degree": q_gr_degree,
         "agg_hll_setops": q_agg_hll_setops,
         "pr_lineitem": q_pr_lineitem,
     }
@@ -6151,6 +6212,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_cumdistinct": _CUMDISTINCT_ORACLE,
         "ev_cusum": _CUSUM_ORACLE,
         "ev_rolling_median": _ROLLING_MEDIAN_ORACLE,
+        # gr_pagerank: iterative fixpoint -> rows-only (pytest vs power iteration)
+        "gr_degree": _DEGREE_ORACLE,
         # agg_hll_setops: sketch estimates -> rows-only (pytest bounds)
         "pr_lineitem": _PROFILE_ORACLE,
     }

@@ -40,7 +40,7 @@ import pyarrow as pa
 
 from ..tuning import shuffle_partitions
 
-__all__ = ["connected_components", "star_edges"]
+__all__ = ["connected_components", "star_edges", "pagerank", "degree_table"]
 
 
 def _canon2(names: list[str]):
@@ -214,3 +214,126 @@ def _canon_keyed(key_name: str, val_name: str):
                              val_name: pa.array([], pa.int64())})
         return t.rename_columns([key_name, val_name])
     return fn
+
+
+def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
+             damping: float = 0.85, iters: int = 20,
+             max_nodes: int = 5_000_000):
+    """PageRank over an edge-list Dataset (each row = one unit-weight
+    directed edge; parallel edges add weight, standard multigraph
+    semantics). Dangling-node mass is redistributed uniformly, so
+    ranks sum to 1 every iteration — the Brin/Page formulation:
+
+        r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + dangling/N)
+
+    Scale shape: the edge set is never collected — each iteration is
+    one streaming ``map_batches`` pass that emits per-block PARTIAL
+    (dst, contribution) group-sums (combiner pattern: the exchange
+    carries one row per distinct dst per block, never raw edges). The
+    rank/outdeg state is one float per node, ``ray.put`` once per
+    iteration and guarded at ``max_nodes`` — the same driver-held
+    iteration-state bound as ``similarity.kmeans`` centroids; beyond
+    it, shard the rank table and switch the contribution lookup to a
+    shuffle join (see ``connected_components`` for the distributed-
+    state pattern). Returns a pandas DataFrame (node, rank), rank
+    summing to 1.0."""
+    import pandas as pd
+    import ray
+
+    proj = edges.map_batches(
+        lambda t, c=(src_col, dst_col): t.select(list(c)),
+        batch_format="pyarrow", batch_size=None)
+
+    # node ids + outdegree: two small combiner group-bys
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(src_col).aggregate([([], "count_all")])
+        d = t.select([dst_col]).rename_columns(["node"]) \
+            .group_by("node").aggregate([])
+        return pa.table({
+            "node": pa.concat_arrays([
+                g.column(src_col).cast(pa.int64()).combine_chunks(),
+                d.column("node").cast(pa.int64()).combine_chunks()]),
+            "outdeg": pa.concat_arrays([
+                g.column("count_all").cast(pa.int64()).combine_chunks(),
+                pa.array(np.zeros(d.num_rows, np.int64))])})
+
+    parts = proj.map_batches(deg_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    deg = parts.groupby("node", as_index=False)["outdeg"].sum()
+    n = len(deg)
+    if n == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="float64")})
+    if n > max_nodes:
+        raise ValueError(
+            f"pagerank driver-held rank state: {n} nodes > {max_nodes}; "
+            "shard the rank table / use a shuffle-join contribution pass")
+    nodes = deg["node"].to_numpy(dtype=np.int64)
+    order = np.argsort(nodes)
+    nodes, outdeg = nodes[order], deg["outdeg"].to_numpy(np.int64)[order]
+    rank = np.full(n, 1.0 / n)
+    dangling = outdeg == 0
+    safe_deg = np.where(dangling, 1, outdeg).astype(np.float64)
+
+    for _ in range(iters):
+        share = np.where(dangling, 0.0, rank / safe_deg)
+        ref = ray.put((nodes, share))
+
+        def contrib(t: pa.Table, ref=ref) -> pa.Table:
+            nodes, share = ray.get(ref)
+            s = t.column(src_col).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            c = share[np.searchsorted(nodes, s)]
+            g = pa.table({"dst": t.column(dst_col).cast(pa.int64()),
+                          "c": pa.array(c, pa.float64())}) \
+                .group_by("dst").aggregate([("c", "sum")])
+            return g.rename_columns(["dst", "c"])
+
+        p = proj.map_batches(contrib, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+        agg = p.groupby("dst", as_index=False)["c"].sum()
+        inflow = np.zeros(n)
+        inflow[np.searchsorted(nodes, agg["dst"].to_numpy(np.int64))] = \
+            agg["c"].to_numpy(np.float64)
+        d_mass = float(rank[dangling].sum())
+        rank = (1.0 - damping) / n + damping * (inflow + d_mass / n)
+
+    return pd.DataFrame({"node": nodes, "rank": rank})
+
+
+def degree_table(edges, src_col: str = "src", dst_col: str = "dst"):
+    """In/out degree per node over a directed edge multiset — the
+    degree-distribution profile (hub detection, skew diagnosis before
+    a graph algorithm picks its partitioning). Combiner shape: each
+    block emits per-node partial counts; the exchange carries one row
+    per distinct node per block, never raw edges. Returns a pandas
+    DataFrame (node, out_deg, in_deg) sorted by node."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(src_col).aggregate([([], "count_all")])
+        h = t.group_by(dst_col).aggregate([([], "count_all")])
+        return pa.table({
+            "node": pa.concat_arrays([
+                g.column(src_col).cast(pa.int64()).combine_chunks(),
+                h.column(dst_col).cast(pa.int64()).combine_chunks()]),
+            "out_deg": pa.concat_arrays([
+                g.column("count_all").cast(pa.int64()).combine_chunks(),
+                pa.array(np.zeros(h.num_rows, np.int64))]),
+            "in_deg": pa.concat_arrays([
+                pa.array(np.zeros(g.num_rows, np.int64)),
+                h.column("count_all").cast(pa.int64()).combine_chunks()])})
+
+    proj = edges.map_batches(
+        lambda t, c=(src_col, dst_col): t.select(list(c)),
+        batch_format="pyarrow", batch_size=None)
+    parts = proj.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "out_deg": pd.Series([], dtype="int64"),
+                             "in_deg": pd.Series([], dtype="int64")})
+    out = parts.groupby("node", as_index=False)[["out_deg", "in_deg"]].sum()
+    out["out_deg"] = out["out_deg"].astype("int64")
+    out["in_deg"] = out["in_deg"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)

@@ -2360,3 +2360,48 @@ def test_ks_two_sample(ray_session):
     assert same["ks"].iloc[0] == pytest.approx(0.0)
     missing = ks_two_sample(_ds(df), "g", "x", "a", "nope")
     assert pd.isna(missing["ks"].iloc[0]) and missing["n_b"].iloc[0] == 0
+
+
+def test_pagerank_vs_power_iteration(ray_session):
+    """Distributed PageRank matches an exact dense power iteration with
+    the same damping/dangling formulation (1e-12), ranks sum to 1, a
+    hub out-ranks leaves on a star graph, and layout doesn't matter."""
+    import numpy as np
+    import pandas as pd
+    from feature_fabrica_ray.pipelines import pagerank
+
+    rng = np.random.default_rng(11)
+    n = 12
+    src = rng.integers(0, n, 60)
+    dst = rng.integers(0, n, 60)
+    keep = src != dst
+    edges = pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+    edges.loc[len(edges)] = [10, 11]   # ensure node 11 exists
+    # node 9 dangling: remove its out-edges
+    edges = edges[edges["src"] != 9].reset_index(drop=True)
+
+    got = pagerank(_ds(edges, blocks=3), "src", "dst",
+                   damping=0.85, iters=30)
+    # exact dense reference with identical semantics
+    nodes = np.sort(np.unique(np.concatenate([edges["src"], edges["dst"]])))
+    m = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((m, m))
+    for s, d in edges.itertuples(index=False):
+        A[idx[s], idx[d]] += 1.0
+    outdeg = A.sum(axis=1)
+    r = np.full(m, 1.0 / m)
+    for _ in range(30):
+        share = np.divide(r, outdeg, out=np.zeros(m), where=outdeg > 0)
+        inflow = share @ A
+        r = (1 - 0.85) / m + 0.85 * (inflow + r[outdeg == 0].sum() / m)
+    assert np.allclose(got["rank"].to_numpy(), r, atol=1e-12)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+    one = pagerank(_ds(edges, blocks=1), "src", "dst",
+                   damping=0.85, iters=30)
+    pd.testing.assert_frame_equal(one, got)
+
+    star = pd.DataFrame({"src": [1, 2, 3, 4] * 2, "dst": [0] * 8})
+    sr = pagerank(_ds(star, blocks=2), "src", "dst", iters=20)
+    ranks = dict(zip(sr["node"], sr["rank"]))
+    assert ranks[0] > ranks[1] * 3
