@@ -4485,6 +4485,42 @@ FROM c
 """
 
 
+def q_ta_bm25(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 lexical retrieval: every document scored against the
+    query {hash, join, filter} (Lucene idf, k1=1.5 b=0.75) — two
+    streaming scans, (k+2)-float stats combiner then broadcast-constant
+    local scoring, NO shuffle
+    (pipelines/textstats.py::bm25_scores)."""
+    from feature_fabrica_ray.pipelines import bm25_scores
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = bm25_scores(ds, ["hash", "join", "filter"]).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["bm25"] = _round_away(out["bm25"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_BM25_ORACLE = r"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+             FROM documents),
+     tok2 AS (SELECT * FROM tok WHERE token <> ''),
+     dl AS (SELECT doc_id, count(*) AS len FROM tok2 GROUP BY doc_id),
+     st AS (SELECT count(*) AS n, avg(len) AS avgdl FROM dl),
+     qdf AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok2
+             WHERE token IN ('hash', 'join', 'filter') GROUP BY token),
+     tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2
+            WHERE token IN ('hash', 'join', 'filter') GROUP BY 1, 2)
+SELECT tf.doc_id,
+       ROUND(sum(ln((st.n - qdf.df + 0.5) / (qdf.df + 0.5) + 1)
+                 * tf.tf * 2.5
+                 / (tf.tf + 1.5 * (0.25 + 0.75 * dl.len / st.avgdl))), 6)
+         AS bm25
+FROM tf JOIN qdf USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+GROUP BY tf.doc_id ORDER BY tf.doc_id
+"""
+
+
 def _lineitem_graph(sf_dir: str):
     """Directed part<->supplier co-purchase graph from lineitem: one
     edge per lineitem row in EACH direction; supplier nodes offset by
@@ -6040,6 +6076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_cusum": q_ev_cusum,
         "ev_rolling_median": q_ev_rolling_median,
         "gr_pagerank": q_gr_pagerank,
+        "ta_bm25": q_ta_bm25,
         "gr_degree": q_gr_degree,
         "agg_hll_setops": q_agg_hll_setops,
         "pr_lineitem": q_pr_lineitem,
@@ -6214,6 +6251,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_rolling_median": _ROLLING_MEDIAN_ORACLE,
         # gr_pagerank: iterative fixpoint -> rows-only (pytest vs power iteration)
         "gr_degree": _DEGREE_ORACLE,
+        "ta_bm25": _BM25_ORACLE,
         # agg_hll_setops: sketch estimates -> rows-only (pytest bounds)
         "pr_lineitem": _PROFILE_ORACLE,
     }

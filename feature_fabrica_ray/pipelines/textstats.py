@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 __all__ = ["text_stats", "add_quality", "add_lang_id", "add_fingerprint",
            "kgram_hashes", "token_hashes", "token_counts", "tfidf_top_terms",
            "chunk_documents", "code_line_stats", "unigram_logprob",
-           "dsir_log_ratio", "zipf_fit", "hashed_vectorizer"]
+           "dsir_log_ratio", "zipf_fit", "hashed_vectorizer", "bm25_scores"]
 
 _B = np.uint64(1099511628211)          # FNV prime as polynomial base
 _TOKEN_RE = r"\S+"
@@ -742,3 +742,101 @@ def hashed_vectorizer(ds, text_col: str = "text", id_col: str = "doc_id"):
                          "n": g.column("bucket_count").cast(pa.int64())})
 
     return ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+
+def bm25_scores(ds, query_terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.5, b: float = 0.75):
+    """Okapi BM25 relevance of every document against a fixed query —
+    the lexical-retrieval scorer paired with the embedding ANN path:
+
+        score(d) = sum_t idf(t) * tf * (k1+1) /
+                   (tf + k1 * (1 - b + b * len_d / avgdl))
+        idf(t)   = ln((N - df + 0.5) / (df + 0.5) + 1)   (Lucene form)
+
+    Tokens are whitespace-split (empty strings dropped); ``len_d`` is
+    the doc's total token count, ``N``/``avgdl`` are computed over
+    docs with at least one token.
+
+    Scale shape: TWO streaming scans of the pruned (id, text)
+    projection — scan 1 folds each block to ONE partial stats row
+    (total len, doc count, per-query-term df: a (k+2)-float combiner),
+    the driver merges partials into constants; scan 2 re-tokenizes and
+    scores each doc locally against the broadcast constants (a doc
+    lives in one row, so tf needs no exchange) and emits only matching
+    docs. No shuffle anywhere. Returns a Dataset (id, bm25)."""
+    import ray
+
+    terms = sorted(set(query_terms))
+    tset = pa.array(terms, pa.string())
+
+    def _flat(batch: pa.Table):
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(batch.column(text_col), ""))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks)
+        flat_tok = pc.list_flatten(toks)
+        keep = pc.not_equal(flat_tok, "")
+        return (flat_tok.filter(keep),
+                pc.take(batch.column(id_col), parent).filter(keep))
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tok, doc = _flat(batch)
+        t = pa.table({"tok": tok, "doc": doc})
+        dl = t.group_by("doc").aggregate([([], "count_all")])
+        hit = t.filter(pc.is_in(t.column("tok"), value_set=tset))
+        dfs = hit.group_by("tok").aggregate(
+            [("doc", "count_distinct")]).to_pydict()
+        df_map = dict(zip(dfs["tok"], dfs["doc_count_distinct"]))
+        return pa.table({
+            "total_len": pa.array([int(len(tok))], pa.int64()),
+            "n_docs": pa.array([dl.num_rows], pa.int64()),
+            **{f"df_{i}": pa.array([int(df_map.get(t2, 0))], pa.int64())
+               for i, t2 in enumerate(terms)}})
+
+    proj = ds.map_batches(
+        lambda t, c=(id_col, text_col): t.select(list(c)),
+        batch_format="pyarrow", batch_size=None)
+    parts = proj.map_batches(stats_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    n_docs = int(parts["n_docs"].sum())
+    if n_docs == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "bm25": pa.array([], pa.float64())}))
+    avgdl = float(parts["total_len"].sum()) / n_docs
+    dfv = np.array([parts[f"df_{i}"].sum() for i in range(len(terms))],
+                   np.float64)
+    idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+    ref = ray.put((terms, idf, avgdl))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms, idf, avgdl = ray.get(ref)
+        tok, doc = _flat(batch)
+        t = pa.table({"tok": tok, "doc": doc})
+        dl = t.group_by("doc").aggregate([([], "count_all")])
+        len_map = dict(zip(dl.column("doc").to_pylist(),
+                           dl.column("count_all").to_pylist()))
+        hit = t.filter(pc.is_in(t.column("tok"),
+                                value_set=pa.array(terms, pa.string())))
+        g = hit.group_by(["doc", "tok"]).aggregate([([], "count_all")])
+        if g.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "bm25": pa.array([], pa.float64())})
+        docs = g.column("doc").to_numpy(zero_copy_only=False)
+        tf = g.column("count_all").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ti = {t2: i for i, t2 in enumerate(terms)}
+        tidx = np.array([ti[x] for x in g.column("tok").to_pylist()],
+                        np.int64)
+        dlen = np.array([len_map[d] for d in docs], np.float64)
+        contrib = idf[tidx] * tf * (k1 + 1.0) / \
+            (tf + k1 * (1.0 - b + b * dlen / avgdl))
+        res = pa.table({"doc": pa.array(docs), "c": pa.array(contrib)}) \
+            .group_by("doc").aggregate([("c", "sum")])
+        return pa.table({id_col: res.column("doc").cast(pa.int64()),
+                         "bm25": res.column("c_sum")})
+
+    return proj.map_batches(score, batch_format="pyarrow",
+                            batch_size=None)

@@ -314,3 +314,47 @@ def test_dedup_lines_within_doc(ray_session):
         out = dedup_lines_within_doc(ds).to_pandas() \
             .sort_values("doc_id").reset_index(drop=True)
         assert out["cleaned"].tolist() == ["a\nb\nc", "x\ny", None, ""]
+
+
+def test_bm25_scores(ray_session):
+    """BM25 matches a hand-rolled reference (Lucene idf, k1=1.5
+    b=0.75) on a tiny corpus, docs without query terms are absent,
+    and block layout doesn't matter."""
+    import math
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from feature_fabrica_ray.pipelines import bm25_scores
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat sat on the mat",
+                 "dog and cat play",
+                 "quantum flux capacitor",
+                 "  "],          # whitespace-only: zero tokens
+    })
+    q = ["cat", "dog"]
+
+    def ref():
+        toks = {r.doc_id: r.text.split() for r in docs.itertuples()}
+        lens = {d: len(t) for d, t in toks.items() if t}
+        n = len(lens)
+        avgdl = sum(lens.values()) / n
+        out = {}
+        for term in q:
+            df = sum(1 for t in toks.values() if term in t)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+            for d, t in toks.items():
+                tf = t.count(term)
+                if tf:
+                    s = idf * tf * 2.5 / (tf + 1.5 * (0.25 + 0.75 * lens[d] / avgdl))
+                    out[d] = out.get(d, 0.0) + s
+        return out
+
+    expect = ref()
+    for blocks in (1, 3):
+        ds = ray.data.from_pandas(docs).repartition(blocks)
+        got = bm25_scores(ds, q).to_pandas().set_index("doc_id")["bm25"]
+        assert set(got.index) == set(expect)
+        for d, s in expect.items():
+            assert abs(got[d] - s) < 1e-12
