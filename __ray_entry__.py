@@ -4485,6 +4485,28 @@ FROM c
 """
 
 
+def q_pr_hist2d(sf_dir: str) -> pd.DataFrame:
+    """Fixed-grid 2-D density heatmap of (quantity, extendedprice):
+    per-block flattened bincount combiner — ONE count vector per
+    block on the exchange, raw rows never move
+    (pipelines/grouped.py::histogram2d_fixed)."""
+    from feature_fabrica_ray.pipelines import histogram2d_fixed
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_extendedprice"])
+    return histogram2d_fixed(ds, "l_quantity", "l_extendedprice",
+                             0.0, 10.0, 5, 0.0, 20000.0, 6)
+
+
+_HIST2D_ORACLE = """
+SELECT CAST(LEAST(GREATEST(floor(l_quantity / 10), 0), 4) AS BIGINT) AS bx,
+       CAST(LEAST(GREATEST(floor(l_extendedprice / 20000), 0), 5) AS BIGINT)
+         AS by,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_ta_bm25(sf_dir: str) -> pd.DataFrame:
     """Okapi BM25 lexical retrieval: every document scored against the
     query {hash, join, filter} (Lucene idf, k1=1.5 b=0.75) — two
@@ -6077,6 +6099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_rolling_median": q_ev_rolling_median,
         "gr_pagerank": q_gr_pagerank,
         "ta_bm25": q_ta_bm25,
+        "pr_hist2d": q_pr_hist2d,
         "gr_degree": q_gr_degree,
         "agg_hll_setops": q_agg_hll_setops,
         "pr_lineitem": q_pr_lineitem,
@@ -6252,6 +6275,7 @@ def oracle_sql() -> dict[str, str]:
         # gr_pagerank: iterative fixpoint -> rows-only (pytest vs power iteration)
         "gr_degree": _DEGREE_ORACLE,
         "ta_bm25": _BM25_ORACLE,
+        "pr_hist2d": _HIST2D_ORACLE,
         # agg_hll_setops: sketch estimates -> rows-only (pytest bounds)
         "pr_lineitem": _PROFILE_ORACLE,
     }

@@ -47,7 +47,7 @@ __all__ = ["anova_f", "target_encode_loo", "mutual_information",
            "chi_square_independence", "gini_coefficient",
            "weighted_median_per_group", "grouped_log_means",
            "theil_index_per_group", "corr_matrix", "ks_two_sample",
-           "hll_set_ops"]
+           "hll_set_ops", "histogram2d_fixed"]
 
 
 def grouped_shape(ds, key_col: str, val_col: str) -> pd.DataFrame:
@@ -1842,3 +1842,46 @@ def hll_set_ops(ds, group_col: str, val_col: str, a, b) -> pd.DataFrame:
     ea, eb, eu = ha.estimate(), hb.estimate(), hu.estimate()
     return pd.DataFrame({"est_a": [ea], "est_b": [eb], "est_union": [eu],
                          "est_intersect": [max(ea + eb - eu, 0.0)]})
+
+
+def histogram2d_fixed(ds, x_col: str, y_col: str,
+                      x_lo: float, x_width: float, x_bins: int,
+                      y_lo: float, y_width: float, y_bins: int
+                      ) -> pd.DataFrame:
+    """Fixed-grid 2-D histogram (density heatmap): bin = clip(floor(
+    (v - lo) / width), 0, nbins-1) on each axis; rows with a NULL in
+    either column are dropped. Per-block combiner: one flattened
+    ``np.bincount`` over x_bins*y_bins cells — each block contributes
+    ONE count vector, raw rows never move; empty cells are dropped
+    (SQL GROUP BY parity). Returns (bx, by, n)."""
+    ncells = x_bins * y_bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        bx = np.clip(np.floor((x[ok] - x_lo) / x_width), 0,
+                     x_bins - 1).astype(np.int64)
+        by = np.clip(np.floor((y[ok] - y_lo) / y_width), 0,
+                     y_bins - 1).astype(np.int64)
+        counts = np.bincount(bx * y_bins + by, minlength=ncells)
+        return pa.table({"cell": pa.array(np.arange(ncells, dtype=np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    parts = ds.map_batches(
+        lambda t, c=(x_col, y_col): t.select(list(c)),
+        batch_format="pyarrow", batch_size=None) \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"bx": pd.Series([], dtype="int64"),
+                             "by": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+    agg = parts.groupby("cell", as_index=False)["n"].sum()
+    agg = agg[agg["n"] > 0]
+    out = pd.DataFrame({"bx": (agg["cell"] // y_bins).astype("int64"),
+                        "by": (agg["cell"] % y_bins).astype("int64"),
+                        "n": agg["n"].astype("int64")})
+    return out.sort_values(["bx", "by"]).reset_index(drop=True)

@@ -2405,3 +2405,27 @@ def test_pagerank_vs_power_iteration(ray_session):
     sr = pagerank(_ds(star, blocks=2), "src", "dst", iters=20)
     ranks = dict(zip(sr["node"], sr["rank"]))
     assert ranks[0] > ranks[1] * 3
+
+
+def test_histogram2d_fixed(ray_session):
+    """2-D fixed-grid histogram matches np.histogram2d-style hand
+    counts: clamping at both grid edges, NULL rows dropped, empty
+    cells absent, layout invariant."""
+    import numpy as np
+    import pandas as pd
+    from feature_fabrica_ray.pipelines import histogram2d_fixed
+
+    df = pd.DataFrame({
+        "x": [0.0, 1.5, 2.5, 9.9, -5.0, 4.0, None, 3.0],
+        "y": [0.0, 0.5, 3.5, 9.9, 20.0, 1.0, 1.0, None],
+    })
+    # grid: lo=0 width=2 bins=3 on both axes (cells clamp to [0,2])
+    out = histogram2d_fixed(_ds(df, blocks=3), "x", "y",
+                            0.0, 2.0, 3, 0.0, 2.0, 3)
+    got = {(r.bx, r.by): r.n for r in out.itertuples()}
+    # (0,0):x=0/y=0 + x=1.5/y=0.5 -> 2 ; (1,1):x=2.5,y=3.5 ; (2,2):9.9,9.9
+    # (-5,20)->clamp(0,2) ; (4,1)->(2,0)
+    assert got == {(0, 0): 2, (1, 1): 1, (2, 2): 1, (0, 2): 1, (2, 0): 1}
+    one = histogram2d_fixed(_ds(df, blocks=1), "x", "y",
+                            0.0, 2.0, 3, 0.0, 2.0, 3)
+    pd.testing.assert_frame_equal(one, out)
