@@ -4485,6 +4485,37 @@ FROM c
 """
 
 
+def q_dd_ngram_overlap(sf_dir: str) -> pd.DataFrame:
+    """Exact cross-document 8-token-window overlap pairs with distinct
+    shared-window counts (Lee et al. substring-dedup signal): per-block
+    distinct (gram, doc) fold, one gram shuffle emitting pairs, one
+    keyed count shuffle (pipelines/dedup.py::ngram_overlap_pairs)."""
+    from feature_fabrica_ray.pipelines import ngram_overlap_pairs
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = ngram_overlap_pairs(ds, "text", "doc_id", n=8).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_NGRAM_OVERLAP_ORACLE = r"""
+WITH tok AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '') AS ts
+             FROM documents),
+     win AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS w
+             FROM tok, LATERAL (SELECT unnest(generate_series(
+                                    1, len(ts) - 7)) AS i) g),
+     dw AS (SELECT DISTINCT doc_id, w FROM win)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_pr_hist2d(sf_dir: str) -> pd.DataFrame:
     """Fixed-grid 2-D density heatmap of (quantity, extendedprice):
     per-block flattened bincount combiner — ONE count vector per
@@ -6100,6 +6131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gr_pagerank": q_gr_pagerank,
         "ta_bm25": q_ta_bm25,
         "pr_hist2d": q_pr_hist2d,
+        "dd_ngram_overlap": q_dd_ngram_overlap,
         "gr_degree": q_gr_degree,
         "agg_hll_setops": q_agg_hll_setops,
         "pr_lineitem": q_pr_lineitem,
@@ -6276,6 +6308,7 @@ def oracle_sql() -> dict[str, str]:
         "gr_degree": _DEGREE_ORACLE,
         "ta_bm25": _BM25_ORACLE,
         "pr_hist2d": _HIST2D_ORACLE,
+        "dd_ngram_overlap": _NGRAM_OVERLAP_ORACLE,
         # agg_hll_setops: sketch estimates -> rows-only (pytest bounds)
         "pr_lineitem": _PROFILE_ORACLE,
     }

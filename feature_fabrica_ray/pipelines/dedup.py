@@ -39,7 +39,7 @@ __all__ = ["exact_dedup_counts", "exact_dedup_rows_shuffle",
            "minhash_lsh_pairs_distributed", "neardup_clusters",
            "neardup_dedup_rows", "simhash_pairs",
            "ngram_jaccard", "embedding_neardup_pairs", "minhash_signatures",
-           "simhash_signatures", "fuzzy_join_pairs"]
+           "simhash_signatures", "fuzzy_join_pairs", "ngram_overlap_pairs"]
 
 _FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -837,3 +837,73 @@ def neardup_dedup_rows_distributed(ds, text_col: str = "text",
 
     return joined.map_batches(keep_unmarked, batch_format="pyarrow",
                               batch_size=None)
+
+
+def ngram_overlap_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 8, max_docs_per_gram: int | None = None):
+    """EXACT cross-document token n-gram overlap: pairs of documents
+    sharing at least one verbatim n-token window, with the count of
+    distinct shared windows — the exact-substring complement of
+    MinHash (which estimates whole-doc Jaccard) and the signal behind
+    Lee et al.'s "Deduplicating Training Data" substring dedup.
+
+    Scale shape: each block folds its docs to DISTINCT (gram-hash,
+    doc) rows via the flat rolling-hash kernel (a doc lives in one
+    row, so distinctness is global); grams hash-shuffle ONCE and each
+    gram group emits its doc pairs; one more keyed shuffle counts
+    distinct shared grams per pair. Boilerplate grams shared by huge
+    doc sets explode quadratically — ``max_docs_per_gram`` skips
+    grams above the cap (report them via
+    ``curation.common_ngrams`` / strip with ``remove_frequent_lines``
+    instead). 64-bit polynomial gram hashes stand in for the window
+    text (collision odds ~n_grams^2 / 2^64). Returns a Dataset
+    (id_a, id_b, n_shared)."""
+    from .curation import token_ngram_hashes
+
+    def grams(batch: pa.Table) -> pa.Table:
+        h, rows = token_ngram_hashes(
+            batch.column(text_col).combine_chunks()
+            if isinstance(batch.column(text_col), pa.ChunkedArray)
+            else batch.column(text_col), n=n)
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[rows]
+        t = pa.table({"gram": pa.array(h, pa.uint64()),
+                      "doc": pa.array(ids, pa.int64())})
+        return t.group_by(["gram", "doc"]).aggregate([])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        docs = np.unique(df["doc"].to_numpy(dtype=np.int64))
+        d = docs.size
+        if d < 2 or (max_docs_per_gram is not None
+                     and d > max_docs_per_gram):
+            return empty
+        i, j = np.triu_indices(d, k=1)
+        return pd.DataFrame({"id_a": docs[i], "id_b": docs[j]})
+
+    gram_rows = ds.map_batches(grams, batch_format="pyarrow",
+                               batch_size=None)
+    pair_rows = gram_rows.groupby("gram",
+                                  num_partitions=shuffle_partitions()) \
+        .map_groups(pairs, batch_format="pandas")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["id_a", "id_b"]).aggregate([([], "count_all")])
+        return pa.table({"id_a": g.column("id_a").cast(pa.int64()),
+                         "id_b": g.column("id_b").cast(pa.int64()),
+                         "n_shared": g.column("count_all").cast(pa.int64())})
+
+    def count_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "n_shared": pd.Series([], dtype="int64")})
+        out = df.groupby(["id_a", "id_b"], as_index=False)["n_shared"].sum()
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out
+
+    return pair_rows.map_batches(count_partial, batch_format="pyarrow",
+                                 batch_size=None) \
+        .groupby("id_a", num_partitions=shuffle_partitions()) \
+        .map_groups(count_merge, batch_format="pandas")

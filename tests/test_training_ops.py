@@ -2429,3 +2429,31 @@ def test_histogram2d_fixed(ray_session):
     one = histogram2d_fixed(_ds(df, blocks=1), "x", "y",
                             0.0, 2.0, 3, 0.0, 2.0, 3)
     pd.testing.assert_frame_equal(one, out)
+
+
+def test_ngram_overlap_pairs(ray_session):
+    """Exact n-gram overlap: planted verbatim windows are found with
+    the right distinct-window count, repeated windows inside one doc
+    count once, non-overlapping docs are absent, the per-gram cap
+    suppresses boilerplate, and layout doesn't matter."""
+    from feature_fabrica_ray.pipelines import ngram_overlap_pairs
+
+    shared = "a b c d"                  # one shared 4-gram
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [f"x y {shared} z w",
+                 f"p {shared} q {shared} r",   # window repeated in-doc
+                 "totally different words here now",
+                 f"{shared} tail1 tail2"],
+    })
+    for blocks in (1, 3):
+        out = ngram_overlap_pairs(_ds(docs, blocks=blocks), "text",
+                                  "doc_id", n=4).to_pandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        got = {(r.id_a, r.id_b): r.n_shared for r in out.itertuples()}
+        # docs 1,2,4 share "a b c d"; no other 4-gram repeats across docs
+        assert got == {(1, 2): 1, (1, 4): 1, (2, 4): 1}
+    # cap: the shared gram touches 3 docs -> cap 2 suppresses it
+    capped = ngram_overlap_pairs(_ds(docs, blocks=2), "text", "doc_id",
+                                 n=4, max_docs_per_gram=2).to_pandas()
+    assert len(capped) == 0
