@@ -4633,6 +4633,108 @@ GROUP BY node ORDER BY node
 """
 
 
+def _copurchase_edges(sf_dir: str):
+    """Part-part co-purchase edge multiset: one (a, b) row per distinct
+    part PAIR per order — distinct-(order, part) combiner per block,
+    then vectorized triu pair emission per order group (the
+    cooccurrence_pairs front half). Non-bipartite, so it actually has
+    triangles (the part<->supplier graph of gr_pagerank does not)."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        items = np.unique(df["l_partkey"].to_numpy().astype(np.int64))
+        if items.size < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(items.size, k=1)
+        return pd.DataFrame({"a": items[ia], "b": items[ib]})
+
+    from feature_fabrica_ray.tuning import shuffle_partitions
+    return (ds.map_batches(distinct_partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("l_orderkey", num_partitions=shuffle_partitions())
+            .map_groups(emit_pairs, batch_format="pandas"))
+
+
+def q_gr_triangles(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle counting: top-10 parts by the number of
+    co-purchase triangles they sit in — canonical edge dedup + the
+    classic two-hash-join wedge/close enumeration on id-oriented
+    edges (pipelines/graph.py::triangle_count)."""
+    from feature_fabrica_ray.pipelines import triangle_count
+
+    out = triangle_count(_copurchase_edges(sf_dir), "a", "b")
+    out = out.sort_values(["tri_cnt", "node"], ascending=[False, True],
+                          kind="mergesort").head(10)
+    out["node"] = out["node"].astype("int64")
+    out["tri_cnt"] = out["tri_cnt"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_TRIANGLES_ORACLE = """
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey),
+t AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM e e1 JOIN e e2 ON e2.lo = e1.hi
+                JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+  SELECT a AS node FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t)
+GROUP BY node ORDER BY tri_cnt DESC, node LIMIT 10
+"""
+
+
+def q_gr_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Per-edge neighborhood Jaccard over the co-purchase graph (top-15
+    edges by common-neighbor count): triangle-identity common counts +
+    distributed degree joins — the whole per-edge table stays a
+    Dataset (pipelines/graph.py::edge_jaccard)."""
+    from feature_fabrica_ray.pipelines import edge_jaccard
+
+    out = edge_jaccard(_copurchase_edges(sf_dir), "a", "b").to_pandas()
+    out = out.sort_values(["common", "lo", "hi"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(15)
+    for c in ("lo", "hi", "common", "deg_lo", "deg_hi"):
+        out[c] = out[c].astype("int64")
+    out["jaccard"] = _round_away(out["jaccard"], 6)
+    return out.reset_index(drop=True)
+
+
+_EDGE_JACCARD_ORACLE = """
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+        GROUP BY node),
+t AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM e e1 JOIN e e2 ON e2.lo = e1.hi
+                JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+cm AS (SELECT lo, hi, CAST(count(*) AS BIGINT) AS common FROM (
+         SELECT a AS lo, b AS hi FROM t
+         UNION ALL SELECT a, c FROM t
+         UNION ALL SELECT b, c FROM t)
+       GROUP BY lo, hi)
+SELECT e.lo, e.hi, CAST(coalesce(cm.common, 0) AS BIGINT) AS common,
+       dl.deg AS deg_lo, dh.deg AS deg_hi,
+       round(CAST(coalesce(cm.common, 0) AS DOUBLE)
+             / (dl.deg + dh.deg - coalesce(cm.common, 0)), 6) AS jaccard
+FROM e LEFT JOIN cm ON cm.lo = e.lo AND cm.hi = e.hi
+       JOIN deg dl ON dl.node = e.lo
+       JOIN deg dh ON dh.node = e.hi
+ORDER BY common DESC, e.lo, e.hi LIMIT 15
+"""
+
+
 def q_ev_rolling_median(sf_dir: str) -> pd.DataFrame:
     """HOLISTIC rolling window: exact median + P90 of value over the
     last 5 rows per user in (ts, event_id) order — the robust
@@ -6129,6 +6231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_cusum": q_ev_cusum,
         "ev_rolling_median": q_ev_rolling_median,
         "gr_pagerank": q_gr_pagerank,
+        "gr_triangles": q_gr_triangles,
+        "gr_jaccard": q_gr_jaccard,
         "ta_bm25": q_ta_bm25,
         "pr_hist2d": q_pr_hist2d,
         "dd_ngram_overlap": q_dd_ngram_overlap,
@@ -6306,6 +6410,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_rolling_median": _ROLLING_MEDIAN_ORACLE,
         # gr_pagerank: iterative fixpoint -> rows-only (pytest vs power iteration)
         "gr_degree": _DEGREE_ORACLE,
+        "gr_triangles": _TRIANGLES_ORACLE,
+        "gr_jaccard": _EDGE_JACCARD_ORACLE,
         "ta_bm25": _BM25_ORACLE,
         "pr_hist2d": _HIST2D_ORACLE,
         "dd_ngram_overlap": _NGRAM_OVERLAP_ORACLE,

@@ -40,7 +40,8 @@ import pyarrow as pa
 
 from ..tuning import shuffle_partitions
 
-__all__ = ["connected_components", "star_edges", "pagerank", "degree_table"]
+__all__ = ["connected_components", "star_edges", "pagerank", "degree_table",
+           "canonical_edges", "triangle_count", "edge_jaccard"]
 
 
 def _canon2(names: list[str]):
@@ -337,3 +338,261 @@ def degree_table(edges, src_col: str = "src", dst_col: str = "dst"):
     out["out_deg"] = out["out_deg"].astype("int64")
     out["in_deg"] = out["in_deg"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def canonical_edges(edges, a_col: str = "a", b_col: str = "b"):
+    """Undirected SIMPLE-graph edge set from a directed/multi edge list:
+    each edge re-oriented to (lo, hi) with lo < hi, self-loops dropped,
+    duplicates removed by ONE hash-partitioned groupby on the pair.
+
+    Scale shape: the map side emits an 16 B/row two-int projection (a
+    per-block ``group_by`` pre-dedups before the exchange), the shuffle
+    dedups exactly, and the result comes back compacted to balanced
+    non-empty blocks so it can feed Ray's hash join directly (see the
+    empty-leading-block caveat in ``connected_components``). Returns a
+    materialized Dataset with int64 columns (lo, hi)."""
+    import ray.data as _rd
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t.column(b_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo != hi
+        part = pa.table({"lo": lo[keep], "hi": hi[keep]})
+        return part.group_by(["lo", "hi"]).aggregate([])  # block-local dedup
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not {"lo", "hi"} <= set(t.column_names):
+            empty = pa.array([], pa.int64())
+            return pa.table({"lo": empty, "hi": empty})
+        return pa.table({"lo": t.column("lo").cast(pa.int64()),
+                         "hi": t.column("hi").cast(pa.int64())})
+
+    nparts = shuffle_partitions()
+    e = (edges.map_batches(canon, batch_format="pyarrow", batch_size=None)
+         .groupby(["lo", "hi"], num_partitions=nparts).count()
+         .map_batches(keys_only, batch_format="pyarrow", batch_size=None)
+         .materialize())
+    m = e.count()
+    if m == 0:
+        empty = pa.array([], pa.int64())
+        return _rd.from_arrow(pa.table({"lo": empty, "hi": empty}))
+    return e.repartition(min(nparts, m)).materialize()
+
+
+def triangle_count(edges, a_col: str = "a", b_col: str = "b"):
+    """Exact per-node triangle counts over the undirected simple graph.
+
+    Classic two-join triangle enumeration on ID-oriented edges: with
+    every edge stored canonically as (lo < hi), a wedge a<b<c is one
+    hash join E(a,b) |x|_b E(b,c), and closing it is a second hash
+    join of the wedge set against E on (a, c) — each triangle is
+    produced exactly once. Per-node counts then fold through the
+    degree_table combiner shape (per-block partials, node-scale merge).
+
+    Scale notes: wedge volume is sum_b lo_deg(b)*hi_deg(b); production
+    systems cut it further by orienting edges from low to high DEGREE
+    (two extra narrow joins against degree_table) instead of low to
+    high id — same outputs, documented here as the knob to pull when a
+    skewed graph makes the id-orientation wedge set explode. All three
+    relations in the joins are the narrow (int64, int64) edge set; the
+    original payload never moves.
+
+    Returns a pandas DataFrame (node, tri_cnt) for every node in >= 1
+    triangle, sorted by node."""
+    import pandas as pd
+
+    e = canonical_edges(edges, a_col, b_col)
+    if e.count() == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "tri_cnt": pd.Series([], dtype="int64")})
+    nparts = shuffle_partitions()
+    ab = e.map_batches(_canon2(["a", "b"]), batch_format="pyarrow",
+                       batch_size=None).materialize()
+    bc = e.map_batches(_canon2(["b", "c"]), batch_format="pyarrow",
+                       batch_size=None).materialize()
+    wedges = ab.join(bc, join_type="inner", on=("b",),
+                     num_partitions=nparts).materialize()
+    nw = wedges.count()
+    if nw == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "tri_cnt": pd.Series([], dtype="int64")})
+    wedges = wedges.repartition(min(nparts, nw)).materialize()
+    ac = e.map_batches(_canon2(["a", "c"]), batch_format="pyarrow",
+                       batch_size=None).materialize()
+    tri = wedges.join(ac, join_type="inner", on=("a", "c"),
+                      num_partitions=nparts)
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table({"node": empty, "tri_cnt": empty})
+        nodes = pa.concat_arrays([
+            t.column(c).cast(pa.int64()).combine_chunks()
+            for c in ("a", "b", "c")])
+        g = pa.table({"node": nodes}).group_by("node") \
+            .aggregate([([], "count_all")])
+        return pa.table({"node": g.column("node"),
+                         "tri_cnt": g.column("count_all").cast(pa.int64())})
+
+    parts = tri.map_batches(node_partial, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "tri_cnt": pd.Series([], dtype="int64")})
+    out = parts.groupby("node", as_index=False)["tri_cnt"].sum()
+    out["node"] = out["node"].astype("int64")
+    out["tri_cnt"] = out["tri_cnt"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def edge_jaccard(edges, a_col: str = "a", b_col: str = "b"):
+    """Per-EDGE neighborhood Jaccard similarity — the edge weight used
+    by Jarvis-Patrick style clustering and graph sparsifiers ("keep an
+    edge only if its endpoints share enough neighbors").
+
+    For each undirected edge (u, v): common = |N(u) ∩ N(v)| and
+    jaccard = common / (deg(u) + deg(v) - common), where N excludes u
+    and v themselves (no self-loops survive canonicalization).
+
+    Exploits the triangle identity instead of a neighbor-set join: a
+    triangle (a<b<c) contributes one common neighbor to EACH of its
+    three edges, so common(u,v) = number of triangles containing the
+    edge. Cost = the two triangle joins + a keyed combiner merge over
+    the triangle set + three narrow hash joins (common counts, then
+    the two endpoint degrees) — everything stays a Dataset, so an
+    edge set that is itself web-scale never touches the driver; edges
+    in no triangle get common=0 via the left-outer join.
+
+    Returns a Dataset with columns (lo, hi, common, deg_lo, deg_hi,
+    jaccard)."""
+    import ray.data as _rd
+
+    e = canonical_edges(edges, a_col, b_col)
+    cols = ["lo", "hi", "common", "deg_lo", "deg_hi", "jaccard"]
+    if e.count() == 0:
+        empty = pa.array([], pa.int64())
+        return _rd.from_arrow(pa.table({
+            "lo": empty, "hi": empty, "common": empty,
+            "deg_lo": empty, "deg_hi": empty,
+            "jaccard": pa.array([], pa.float64())}))
+    nparts = shuffle_partitions()
+    ab = e.map_batches(_canon2(["a", "b"]), batch_format="pyarrow",
+                       batch_size=None).materialize()
+    bc = e.map_batches(_canon2(["b", "c"]), batch_format="pyarrow",
+                       batch_size=None).materialize()
+    wedges = ab.join(bc, join_type="inner", on=("b",),
+                     num_partitions=nparts).materialize()
+    ac = e.map_batches(_canon2(["a", "c"]), batch_format="pyarrow",
+                       batch_size=None).materialize()
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        # each triangle (a,b,c) -> +1 common neighbor on edges
+        # (a,b) [shared c], (a,c) [shared b], (b,c) [shared a]
+        if t.num_rows == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table({"lo": empty, "hi": empty, "common": empty})
+        a = t.column("a").cast(pa.int64()).combine_chunks()
+        b = t.column("b").cast(pa.int64()).combine_chunks()
+        c = t.column("c").cast(pa.int64()).combine_chunks()
+        pairs = pa.table({"lo": pa.concat_arrays([a, a, b]),
+                          "hi": pa.concat_arrays([b, c, c])})
+        g = pairs.group_by(["lo", "hi"]).aggregate([([], "count_all")])
+        return pa.table({"lo": g.column("lo"), "hi": g.column("hi"),
+                         "common": g.column("count_all").cast(pa.int64())})
+
+    def canon_common(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not {"lo", "hi"} <= set(t.column_names):
+            empty = pa.array([], pa.int64())
+            return pa.table({"lo": empty, "hi": empty, "common": empty})
+        val = [c for c in t.column_names if c not in ("lo", "hi")][0]
+        return pa.table({"lo": t.column("lo").cast(pa.int64()),
+                         "hi": t.column("hi").cast(pa.int64()),
+                         "common": t.column(val).cast(pa.int64())})
+
+    out = e
+    nw = wedges.count()
+    have_common = False
+    if nw > 0:
+        tri = wedges.repartition(min(nparts, nw)).materialize() \
+            .join(ac, join_type="inner", on=("a", "c"),
+                  num_partitions=nparts)
+        common = (tri.map_batches(edge_partial, batch_format="pyarrow",
+                                  batch_size=None)
+                  .groupby(["lo", "hi"], num_partitions=nparts)
+                  .sum("common")
+                  .map_batches(canon_common, batch_format="pyarrow",
+                               batch_size=None)
+                  .materialize())
+        nc = common.count()
+        if nc > 0:
+            common = common.repartition(min(nparts, nc)).materialize()
+            out = e.join(common, join_type="left_outer", on=("lo", "hi"),
+                         num_partitions=nparts).materialize()
+            n_out = out.count()
+            out = out.repartition(min(nparts, max(n_out, 1))).materialize()
+            have_common = True
+    if not have_common:
+        out = e.map_batches(
+            lambda t: t.append_column(
+                "common", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow", batch_size=None).materialize()
+
+    # undirected degree per node as a Dataset (per-block combiner
+    # partials -> one keyed sum — node-scale rows on the exchange)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table({"node": empty, "deg": empty})
+        nodes = pa.concat_arrays([
+            t.column("lo").cast(pa.int64()).combine_chunks(),
+            t.column("hi").cast(pa.int64()).combine_chunks()])
+        g = pa.table({"node": nodes}).group_by("node") \
+            .aggregate([([], "count_all")])
+        return pa.table({"node": g.column("node"),
+                         "deg": g.column("count_all").cast(pa.int64())})
+
+    deg = (e.map_batches(deg_partial, batch_format="pyarrow",
+                         batch_size=None)
+           .groupby("node", num_partitions=nparts).sum("deg")
+           .map_batches(_canon2(["node", "deg"]), batch_format="pyarrow",
+                        batch_size=None)
+           .materialize())
+    nd = deg.count()
+    deg = deg.repartition(min(nparts, max(nd, 1))).materialize()
+    deg_lo = deg.map_batches(_canon2(["lo", "deg_lo"]),
+                             batch_format="pyarrow", batch_size=None) \
+        .materialize()
+    deg_hi = deg.map_batches(_canon2(["hi", "deg_hi"]),
+                             batch_format="pyarrow", batch_size=None) \
+        .materialize()
+    out = out.join(deg_lo, join_type="inner", on=("lo",),
+                   num_partitions=nparts).materialize()
+    n_out = out.count()
+    out = out.repartition(min(nparts, max(n_out, 1))).materialize()
+    out = out.join(deg_hi, join_type="inner", on=("hi",),
+                   num_partitions=nparts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not {"lo", "hi"} <= set(t.column_names):
+            empty = pa.array([], pa.int64())
+            return pa.table({"lo": empty, "hi": empty, "common": empty,
+                             "deg_lo": empty, "deg_hi": empty,
+                             "jaccard": pa.array([], pa.float64())})
+        com = t.column("common").cast(pa.int64()) \
+            .fill_null(0).to_numpy(zero_copy_only=False)
+        dl = t.column("deg_lo").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        dh = t.column("deg_hi").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        denom = dl + dh - com
+        jac = np.divide(com, denom, out=np.zeros(len(com), np.float64),
+                        where=denom > 0)
+        return pa.table({"lo": t.column("lo").cast(pa.int64()),
+                         "hi": t.column("hi").cast(pa.int64()),
+                         "common": pa.array(com), "deg_lo": pa.array(dl),
+                         "deg_hi": pa.array(dh), "jaccard": pa.array(jac)})
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

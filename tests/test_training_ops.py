@@ -2457,3 +2457,76 @@ def test_ngram_overlap_pairs(ray_session):
     capped = ngram_overlap_pairs(_ds(docs, blocks=2), "text", "doc_id",
                                  n=4, max_docs_per_gram=2).to_pandas()
     assert len(capped) == 0
+
+
+def _brute_graph(edges):
+    """Adjacency sets of the undirected simple graph (self-loops dropped)."""
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def test_triangle_count_vs_brute(ray_session):
+    """Two-join triangle enumeration matches the brute-force per-node
+    counts on a random multigraph with a planted 5-clique, duplicate /
+    reversed edges and self-loops."""
+    from feature_fabrica_ray.pipelines import triangle_count
+
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 30, (120, 2))]
+    edges += [(i, i) for i in range(5)]                   # self-loops
+    edges += [(b, a) for a, b in edges[:20]]              # reversed dups
+    clique = [100, 101, 102, 103, 104]
+    edges += [(u, v) for i, u in enumerate(clique)
+              for v in clique[i + 1:]]
+    adj = _brute_graph(edges)
+    want: dict[int, int] = {}
+    for u, nbrs in adj.items():
+        cnt = 0
+        for v in nbrs:
+            for w in nbrs:
+                if v < w and w in adj[v]:
+                    cnt += 1
+        if cnt:
+            want[u] = cnt
+
+    df = pd.DataFrame(edges, columns=["a", "b"])
+    got = triangle_count(_ds(df, blocks=3), "a", "b")
+    got_map = dict(zip(got["node"].astype(int), got["tri_cnt"].astype(int)))
+    assert got_map == want
+    # each clique node sits in C(4,2) = 6 triangles of the clique
+    for u in clique:
+        assert got_map[u] >= 6
+
+
+def test_edge_jaccard_vs_brute(ray_session):
+    """Per-edge neighborhood Jaccard (triangle identity) matches the
+    brute-force |N(u) & N(v)| / |N(u) | N(v)| on a random graph."""
+    from feature_fabrica_ray.pipelines import edge_jaccard
+
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 25, (90, 2))
+             if a != b]
+    edges += [(0, 1), (1, 2), (0, 2)]        # at least one triangle
+    edges += [(300, 301)]                     # isolated edge: jaccard 0
+    adj = _brute_graph(edges)
+
+    df = pd.DataFrame(edges, columns=["a", "b"])
+    got = edge_jaccard(_ds(df, blocks=3), "a", "b").to_pandas() \
+        .sort_values(["lo", "hi"]).reset_index(drop=True)
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    assert list(zip(got["lo"].astype(int), got["hi"].astype(int))) == canon
+    for _, r in got.iterrows():
+        u, v = int(r["lo"]), int(r["hi"])
+        common = len(adj[u] & adj[v])
+        union = len(adj[u] | adj[v])
+        assert int(r["common"]) == common, (u, v)
+        assert int(r["deg_lo"]) == len(adj[u])
+        assert int(r["deg_hi"]) == len(adj[v])
+        want_j = common / union if union else 0.0
+        assert abs(float(r["jaccard"]) - want_j) < 1e-12, (u, v)
