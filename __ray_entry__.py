@@ -4735,6 +4735,35 @@ ORDER BY common DESC, e.lo, e.hi LIMIT 15
 """
 
 
+def q_agg_moments(sf_dir: str) -> pd.DataFrame:
+    """Per-group distribution SHAPE: mean/std/skewness/kurtosis of
+    extendedprice per returnflag in ONE pass — vectorized per-block
+    central-moment partials merged per key with the exact Pebay
+    pairwise rules (pipelines/grouped.py::grouped_moments); estimators
+    are the bias-adjusted G1/G2 DuckDB uses."""
+    from feature_fabrica_ray.pipelines import grouped_moments
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_moments(ds, "l_returnflag", "l_extendedprice")
+    out = out.rename(columns={"l_returnflag": "grp"})
+    out["n"] = out["n"].astype("int64")
+    for c in ("mean", "std", "skewness", "kurtosis"):
+        out[c] = _round_away(out[c], 6)
+    return out.sort_values("grp").reset_index(drop=True)
+
+
+_MOMENTS_ORACLE = """
+SELECT l_returnflag AS grp,
+       CAST(count(l_extendedprice) AS BIGINT) AS n,
+       round(avg(l_extendedprice), 6) AS mean,
+       round(stddev_samp(l_extendedprice), 6) AS std,
+       round(skewness(l_extendedprice), 6) AS skewness,
+       round(kurtosis(l_extendedprice), 6) AS kurtosis
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ev_rolling_median(sf_dir: str) -> pd.DataFrame:
     """HOLISTIC rolling window: exact median + P90 of value over the
     last 5 rows per user in (ts, event_id) order — the robust
@@ -6232,6 +6261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_rolling_median": q_ev_rolling_median,
         "gr_pagerank": q_gr_pagerank,
         "gr_triangles": q_gr_triangles,
+        "agg_moments": q_agg_moments,
         "gr_jaccard": q_gr_jaccard,
         "ta_bm25": q_ta_bm25,
         "pr_hist2d": q_pr_hist2d,
@@ -6411,6 +6441,7 @@ def oracle_sql() -> dict[str, str]:
         # gr_pagerank: iterative fixpoint -> rows-only (pytest vs power iteration)
         "gr_degree": _DEGREE_ORACLE,
         "gr_triangles": _TRIANGLES_ORACLE,
+        "agg_moments": _MOMENTS_ORACLE,
         "gr_jaccard": _EDGE_JACCARD_ORACLE,
         "ta_bm25": _BM25_ORACLE,
         "pr_hist2d": _HIST2D_ORACLE,

@@ -1885,3 +1885,106 @@ def histogram2d_fixed(ds, x_col: str, y_col: str,
                         "by": (agg["cell"] % y_bins).astype("int64"),
                         "n": agg["n"].astype("int64")})
     return out.sort_values(["bx", "by"]).reset_index(drop=True)
+
+
+def grouped_moments(ds, group_col: str, val_col: str) -> pd.DataFrame:
+    """Per-group mean / stddev / SKEWNESS / excess KURTOSIS in one pass
+    — the distribution-shape profile per segment ("which lang's file
+    sizes grew a heavy tail") that grouped_stats' min/max/mean cannot
+    see.
+
+    Scale shape: each block computes CENTRAL moments (n, mean, M2, M3,
+    M4) per group fully vectorized (factorize + weighted bincounts of
+    residual powers — no per-row or per-group Python in the map side),
+    so the one keyed shuffle carries 5 doubles per group per block;
+    the per-key merge folds partials with the exact pairwise
+    higher-moment combination rules (Pebay 2008, the parallel-Welford
+    generalization), which is numerically stable where raw power sums
+    about zero cancel catastrophically.
+
+    Estimator parity: skewness is the bias-adjusted G1 = g1 *
+    sqrt(n(n-1))/(n-2) (None for n < 3 or zero variance) and kurtosis
+    the bias-adjusted excess G2 = ((n+1)g2 + 6)(n-1)/((n-2)(n-3))
+    (None for n < 4) — exactly DuckDB's / pandas' sample estimators,
+    which is what the oracle compares against. Nulls in ``val_col``
+    are ignored; null group keys form their own segment."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, val_col]).filter(
+            pc.is_valid(batch.column(val_col)))
+        if t.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], batch.column(group_col).type),
+                "n": pa.array([], pa.int64()),
+                "mean": pa.array([], pa.float64()),
+                "m2": pa.array([], pa.float64()),
+                "m3": pa.array([], pa.float64()),
+                "m4": pa.array([], pa.float64())})
+        keys = t.column(group_col).to_pandas()
+        x = t.column(val_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        codes, uniq = pd.factorize(keys, use_na_sentinel=False)
+        cnt = np.bincount(codes).astype(np.float64)
+        s1 = np.bincount(codes, weights=x)
+        mean = s1 / cnt
+        r = x - mean[codes]
+        m2 = np.bincount(codes, weights=r * r)
+        r3 = r * r * r
+        m3 = np.bincount(codes, weights=r3)
+        m4 = np.bincount(codes, weights=r3 * r)
+        out = pa.table({
+            group_col: pa.Array.from_pandas(pd.Series(uniq)).cast(
+                t.column(group_col).type),
+            "n": pa.array(cnt.astype(np.int64)),
+            "mean": pa.array(mean), "m2": pa.array(m2),
+            "m3": pa.array(m3), "m4": pa.array(m4)})
+        return _with_shuffle_key(out, group_col)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        na, ma, M2a, M3a, M4a = 0.0, 0.0, 0.0, 0.0, 0.0
+        for _, row in df.iterrows():
+            nb, mb = float(row["n"]), float(row["mean"])
+            M2b, M3b, M4b = (float(row["m2"]), float(row["m3"]),
+                             float(row["m4"]))
+            if na == 0.0:
+                na, ma, M2a, M3a, M4a = nb, mb, M2b, M3b, M4b
+                continue
+            n = na + nb
+            d = mb - ma
+            M4a = (M4a + M4b
+                   + d ** 4 * na * nb * (na * na - na * nb + nb * nb) / n ** 3
+                   + 6.0 * d * d * (na * na * M2b + nb * nb * M2a) / (n * n)
+                   + 4.0 * d * (na * M3b - nb * M3a) / n)
+            M3a = (M3a + M3b + d ** 3 * na * nb * (na - nb) / (n * n)
+                   + 3.0 * d * (na * M2b - nb * M2a) / n)
+            M2a = M2a + M2b + d * d * na * nb / n
+            ma = ma + d * nb / n
+            na = n
+        n = na
+        m2 = M2a / n if n else np.nan
+        std = np.sqrt(M2a / (n - 1)) if n > 1 else np.nan
+        skew = np.nan
+        if n >= 3 and m2 > 0:
+            g1 = (M3a / n) / m2 ** 1.5
+            skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+        kurt = np.nan
+        if n >= 4 and m2 > 0:
+            g2 = (M4a / n) / (m2 * m2) - 3.0
+            kurt = (((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3)))
+        return pd.DataFrame({
+            group_col: [df[group_col].iloc[0]],
+            "n": np.array([int(n)], np.int64),
+            "mean": [ma], "std": [std],
+            "skewness": [skew], "kurtosis": [kurt]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("__gkey", num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64"),
+                             "mean": [], "std": [], "skewness": [],
+                             "kurtosis": []})
+    key = out[group_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)

@@ -2530,3 +2530,39 @@ def test_edge_jaccard_vs_brute(ray_session):
         assert int(r["deg_hi"]) == len(adj[v])
         want_j = common / union if union else 0.0
         assert abs(float(r["jaccard"]) - want_j) < 1e-12, (u, v)
+
+
+def test_grouped_moments_vs_pandas(ray_session):
+    """One-pass Pebay-merged per-group moments match pandas' bias-
+    adjusted sample skew/kurtosis exactly, across block layouts, with
+    nulls ignored and small groups (n<3 / n<4) yielding NaN."""
+    from feature_fabrica_ray.pipelines import grouped_moments
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", "d"], n),
+        "v": rng.lognormal(1.0, 0.8, n)})
+    df.loc[rng.choice(n, 50, replace=False), "v"] = np.nan
+    # planted tiny groups: n=2 (no skew), n=3 (skew, no kurtosis)
+    tiny = pd.DataFrame({"g": ["t2", "t2", "t3", "t3", "t3"],
+                         "v": [1.0, 2.0, 1.0, 2.0, 10.0]})
+    df = pd.concat([df, tiny], ignore_index=True)
+
+    for blocks in (1, 5):
+        out = grouped_moments(_ds(df, blocks=blocks), "g", "v") \
+            .set_index("g")
+        ref = df.dropna(subset=["v"]).groupby("g")["v"]
+        for g, grp in ref:
+            r = out.loc[g]
+            assert int(r["n"]) == len(grp)
+            assert abs(r["mean"] - grp.mean()) < 1e-9 * abs(grp.mean())
+            assert abs(r["std"] - grp.std()) < 1e-9 * grp.std()
+            if len(grp) >= 3:
+                assert abs(r["skewness"] - grp.skew()) < 1e-8, g
+            else:
+                assert np.isnan(r["skewness"])
+            if len(grp) >= 4:
+                assert abs(r["kurtosis"] - grp.kurt()) < 1e-8, g
+            else:
+                assert np.isnan(r["kurtosis"])
