@@ -3037,6 +3037,33 @@ def q_dd_embedding_rows(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_ss_knn(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine k-NN GRAPH (top-5 neighbors for EVERY embedding
+    row): corpus broadcast once via ray.put, per-block matmul +
+    deterministic stable top-k — zero shuffle, only n*k rows leave the
+    tasks (pipelines/similarity.py::knn_graph)."""
+    from feature_fabrica_ray.pipelines import knn_graph
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return knn_graph(ds, k=5)
+
+
+_KNN_ORACLE = """
+WITH s AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                  round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]),
+                        6) AS score
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+SELECT src_id, nbr_id, score, rank FROM (
+  SELECT src_id, nbr_id, score,
+         CAST(row_number() OVER (PARTITION BY src_id
+                                 ORDER BY score DESC, nbr_id) AS BIGINT)
+             AS rank
+  FROM s) WHERE rank <= 5 ORDER BY src_id, rank
+"""
+
+
 def q_ss_cosine_topk(sf_dir: str):
     import ray.data
 
@@ -6188,6 +6215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tp_mix": q_tp_mix,
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
         "dd_simhash": q_dd_simhash,
+        "ss_knn": q_ss_knn,
         "ss_cosine_topk": q_ss_cosine_topk,
         "ss_ivf_topk": q_ss_ivf_topk,
         "ss_pca": q_ss_pca,
@@ -6393,6 +6421,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,
         # dd_minhash / dd_simhash: sketch-based -> rows-only (pytest)
+        "ss_knn": _KNN_ORACLE,
         "ss_cosine_topk": _COSINE_ORACLE,
         # ss_ivf_topk: approximate -> rows-only (pytest recall bound)
         "mm_decode": _MM_ORACLE,

@@ -516,3 +516,93 @@ def random_projection(ds, out_dim: int, vec_col: str = "embedding",
         return batch.append_column(out_col, lst)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def knn_graph(ds, k: int = 10, vec_col: str = "embedding",
+              id_col: str = "vec_id", *,
+              max_broadcast_rows: int = 2_000_000):
+    """Exact cosine k-NN GRAPH: top-k neighbors for EVERY row (the
+    all-rows generalization of ``cosine_topk``'s fixed query set) —
+    the input to graph-based semantic dedup, kNN classifiers and
+    diversity-aware sampling.
+
+    Scale shape: the normalized corpus matrix + ids are broadcast ONCE
+    via ``ray.put`` (read per task from the object store, never
+    re-shipped per batch); each block then does one matmul against the
+    broadcast and keeps only its k-sized partials — zero shuffle, and
+    the O(n^2) similarity matrix never materializes (only n*k rows
+    total leave the tasks). The broadcast side is the whole corpus, so
+    this is the exact path for corpora that fit a worker heap
+    (``max_broadcast_rows`` guard, default 2M x d); beyond that, use
+    the IVF composition (``fit_centroids`` + per-bucket knn) or
+    ``lsh_topk`` — same contract, approximate recall.
+
+    Returns (src_id, nbr_id, score, rank) with scores rounded to 6 and
+    rank 1..k per src ordered by (score desc, nbr_id)."""
+    import ray
+
+    def extract(batch: pa.Table) -> pa.Table:
+        V = _vectors(batch, vec_col)
+        ids = batch.column(id_col).cast(pa.int64())
+        return pa.table({id_col: ids,
+                         "vec": pa.array([r.tolist() for r in _normalize(V)]
+                                         if V.size else [],
+                                         pa.list_(pa.float64()))})
+
+    corpus = ds.map_batches(extract, batch_format="pyarrow",
+                            batch_size=None).take_all()
+    n = len(corpus)
+    if n == 0:
+        return pd.DataFrame({"src_id": pd.Series([], dtype="int64"),
+                             "nbr_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64"),
+                             "rank": pd.Series([], dtype="int64")})
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"knn_graph: corpus has {n} rows > max_broadcast_rows="
+            f"{max_broadcast_rows}; the exact broadcast path stops here — "
+            f"bucket with fit_centroids/IVF or lsh_topk instead")
+    ids = np.asarray([r[id_col] for r in corpus], dtype=np.int64)
+    C = np.asarray([r["vec"] for r in corpus], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")   # id-ascending columns make the
+    ids, C = ids[order], C[order]            # stable argsort tie-break = id
+    ref = ray.put((ids, C))
+
+    def block_knn(batch: pa.Table) -> pa.Table:
+        cids, Cn = ray.get(ref)
+        V = _vectors(batch, vec_col)
+        if V.shape[0] == 0:
+            return pa.table({"src_id": pa.array([], pa.int64()),
+                             "nbr_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        bids = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        S = np.round(_normalize(V) @ Cn.T, 6)         # (n_block, n)
+        S[bids[:, None] == cids[None, :]] = -np.inf   # mask self-match
+        kk = min(k, S.shape[1] - 1)
+        if kk <= 0:
+            return pa.table({"src_id": pa.array([], pa.int64()),
+                             "nbr_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        # stable argsort on the ROUNDED scores + id-ascending columns =
+        # exact deterministic (score desc, nbr_id) selection even when
+        # duplicates tie at the k boundary (argpartition would pick
+        # arbitrarily); swap in argpartition-with-margin if the full
+        # per-row sort ever dominates the matmul at huge corpus sizes
+        top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        src = np.repeat(bids, kk)
+        nbr = cids[top.ravel()]
+        sc = np.take_along_axis(S, top, axis=1).ravel()
+        return pa.table({"src_id": pa.array(src, pa.int64()),
+                         "nbr_id": pa.array(nbr, pa.int64()),
+                         "score": pa.array(sc, pa.float64())})
+
+    parts = ds.map_batches(block_knn, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    parts = parts.sort_values(["src_id", "score", "nbr_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    out = parts.groupby("src_id", as_index=False).head(k) \
+        .reset_index(drop=True)
+    out["rank"] = (out.groupby("src_id").cumcount() + 1).astype("int64")
+    return out[["src_id", "nbr_id", "score", "rank"]]

@@ -2566,3 +2566,38 @@ def test_grouped_moments_vs_pandas(ray_session):
                 assert abs(r["kurtosis"] - grp.kurt()) < 1e-8, g
             else:
                 assert np.isnan(r["kurtosis"])
+
+
+def test_knn_graph_vs_brute(ray_session):
+    """Broadcast-matmul k-NN graph matches the O(n^2) numpy reference
+    (self excluded, deterministic (score desc, nbr) tie-break) across
+    block layouts; the guard trips on an oversized corpus."""
+    from feature_fabrica_ray.pipelines import knn_graph
+
+    rng = np.random.default_rng(2)
+    n, d, k = 60, 8, 4
+    V = rng.normal(size=(n, d))
+    V[7] = V[3]                      # exact duplicate -> score 1.0 pair
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [r.tolist() for r in V]})
+
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.round(Vn @ Vn.T, 6)
+    np.fill_diagonal(S, -np.inf)
+    want = {}
+    for i in range(n):
+        order = sorted(range(n), key=lambda j: (-S[i, j], j))[:k]
+        want[i] = [(j, S[i, j]) for j in order]
+
+    for blocks in (1, 4):
+        out = knn_graph(_ds(df, blocks=blocks), k=k)
+        assert len(out) == n * k
+        for i, grp in out.groupby("src_id"):
+            got = list(zip(grp["nbr_id"].astype(int),
+                           grp["score"].astype(float)))
+            assert got == [(j, pytest.approx(s, abs=2e-6))
+                           for j, s in want[int(i)]], i
+        assert list(out.columns) == ["src_id", "nbr_id", "score", "rank"]
+
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        knn_graph(_ds(df), k=2, max_broadcast_rows=10)
