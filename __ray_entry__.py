@@ -4543,6 +4543,47 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_ta_pmi(sf_dir: str) -> pd.DataFrame:
+    """Top-20 collocations by pointwise mutual information over the
+    document corpus: per-block bigram/unigram count partials, keyed
+    merges, min_count tail-prune BEFORE the two narrow unigram joins,
+    per-block top partials (pipelines/textstats.py::pmi_bigrams)."""
+    from feature_fabrica_ray.pipelines import pmi_bigrams
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = pmi_bigrams(ds, "text", "doc_id", min_count=5, top=20)
+    out["n_pair"] = out["n_pair"].astype("int64")
+    return out
+
+
+_PMI_ORACLE = r"""
+WITH tok AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '') AS ts
+             FROM documents),
+flat AS (SELECT doc_id, i, ts[i] AS w
+         FROM tok, LATERAL (SELECT unnest(generate_series(
+                                1, len(ts))) AS i) g),
+uni AS (SELECT w, count(*) AS c FROM flat GROUP BY w),
+nu AS (SELECT sum(c) AS n FROM uni),
+big AS (SELECT f1.w AS a, f2.w AS b, count(*) AS c
+        FROM flat f1 JOIN flat f2
+          ON f1.doc_id = f2.doc_id AND f2.i = f1.i + 1
+        GROUP BY 1, 2),
+nb AS (SELECT sum(c) AS n FROM big),
+scored AS (
+  SELECT big.a, big.b, CAST(big.c AS BIGINT) AS n_pair,
+         round(ln((big.c * 1.0 / nb.n)
+                  / ((ua.c * 1.0 / nu.n) * (ub.c * 1.0 / nu.n))), 6) AS pmi
+  FROM big CROSS JOIN nb CROSS JOIN nu
+       JOIN uni ua ON ua.w = big.a
+       JOIN uni ub ON ub.w = big.b
+  WHERE big.c >= 5)
+SELECT a, b, n_pair, pmi FROM scored ORDER BY pmi DESC, a, b LIMIT 20
+"""
+
+
 def q_pr_hist2d(sf_dir: str) -> pd.DataFrame:
     """Fixed-grid 2-D density heatmap of (quantity, extendedprice):
     per-block flattened bincount combiner — ONE count vector per
@@ -6292,6 +6333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_moments": q_agg_moments,
         "gr_jaccard": q_gr_jaccard,
         "ta_bm25": q_ta_bm25,
+        "ta_pmi": q_ta_pmi,
         "pr_hist2d": q_pr_hist2d,
         "dd_ngram_overlap": q_dd_ngram_overlap,
         "gr_degree": q_gr_degree,
@@ -6473,6 +6515,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_moments": _MOMENTS_ORACLE,
         "gr_jaccard": _EDGE_JACCARD_ORACLE,
         "ta_bm25": _BM25_ORACLE,
+        "ta_pmi": _PMI_ORACLE,
         "pr_hist2d": _HIST2D_ORACLE,
         "dd_ngram_overlap": _NGRAM_OVERLAP_ORACLE,
         # agg_hll_setops: sketch estimates -> rows-only (pytest bounds)

@@ -840,3 +840,156 @@ def bm25_scores(ds, query_terms: list[str], text_col: str = "text",
 
     return proj.map_batches(score, batch_format="pyarrow",
                             batch_size=None)
+
+
+def pmi_bigrams(ds, text_col: str = "text", id_col: str = "doc_id",
+                min_count: int = 5, top: int = 20):
+    """Top collocations: adjacent whitespace-token bigrams ranked by
+    pointwise mutual information
+
+        pmi(a,b) = ln( (c_ab/N_bigrams) / ((c_a/N_tokens)(c_b/N_tokens)) )
+
+    — the classic "new york"/"machine learning" detector over a corpus.
+
+    Scale shape: (1) per-block bigram + unigram count partials built
+    from the flat token buffer (adjacent-parent mask — no per-row
+    loop); (2) one keyed shuffle each to merge counts exactly;
+    (3) ``min_count`` prunes the bigram table BEFORE any join (the
+    long tail is the bulk of it); (4) two narrow hash joins attach the
+    endpoint unigram counts — the vocabulary table never touches the
+    driver; (5) the corpus totals are distributed ``sum`` aggregates
+    (two scalars), broadcast into the final map; (6) only per-block
+    top-``top`` partials reach the driver. Returns a pandas DataFrame
+    (a, b, n_pair, pmi) ordered by (pmi desc, a, b), pmi rounded to 6.
+    """
+    import pandas as pd
+
+    from ..tuning import shuffle_partitions
+
+    def _flat_tokens(batch: pa.Table):
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(batch.column(text_col), ""))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        return flat.filter(keep), parent.filter(keep)
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(batch)
+        f = flat.to_numpy(zero_copy_only=False)
+        p = parent.to_numpy(zero_copy_only=False)
+        if f.size < 2:
+            empty = pa.array([], pa.string())
+            return pa.table({"a": empty, "b": empty,
+                             "n": pa.array([], pa.int64())})
+        m = p[1:] == p[:-1]                     # adjacent within one doc
+        t = pa.table({"a": pa.array(f[:-1][m]), "b": pa.array(f[1:][m])})
+        g = t.group_by(["a", "b"]).aggregate([([], "count_all")])
+        out = pa.table({"a": g.column("a"), "b": g.column("b"),
+                        "n": g.column("count_all").cast(pa.int64())})
+        k = pc.binary_join_element_wise(out.column("a"), out.column("b"),
+                                        "\x1f")
+        return out.append_column("__bkey", k)
+
+    def unigram_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(batch)
+        g = pa.table({"w": flat}).group_by("w") \
+            .aggregate([([], "count_all")])
+        return pa.table({"w": g.column("w"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    def merge2(names):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or len(t.column_names) < 2:
+                return pa.table({names[0]: pa.array([], pa.string()),
+                                 names[1]: pa.array([], pa.int64())})
+            return pa.table({names[0]: t.column(0).cast(pa.string()),
+                             names[1]: t.column(1).cast(pa.int64())})
+        return fn
+
+    nparts = shuffle_partitions()
+    uni = (ds.map_batches(unigram_partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("w", num_partitions=nparts).sum("c")
+           .map_batches(merge2(["w", "c"]), batch_format="pyarrow",
+                        batch_size=None)
+           .materialize())
+    n_vocab = uni.count()
+    if n_vocab == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "n_pair": pd.Series([], dtype="int64"),
+                             "pmi": pd.Series([], dtype="float64")})
+    n_tokens = uni.sum("c")
+    uni = uni.repartition(min(nparts, n_vocab)).materialize()
+
+    # keyed merge of bigram partials, then prune the long tail BEFORE
+    # the unigram joins
+    big = (ds.map_batches(bigram_partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("__bkey", num_partitions=nparts)
+           .map_groups(lambda df: pd.DataFrame({
+               "a": [df["a"].iloc[0]], "b": [df["b"].iloc[0]],
+               "n_pair": np.array([int(df["n"].sum())], np.int64)}),
+               batch_format="pandas")
+           .filter(expr=f"n_pair >= {int(min_count)}")
+           .materialize())
+    # N_bigrams must count the WHOLE bigram population, not the pruned
+    # survivors — a one-scalar-per-block sum over the partials
+    tot = ds.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [int(pc.sum(bigram_partial(t).column("n")).as_py() or 0)],
+            pa.int64())}),
+        batch_format="pyarrow", batch_size=None).sum("n")
+    n_bigrams = int(tot or 0)
+    n_cand = big.count()
+    if n_cand == 0 or n_bigrams == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "n_pair": pd.Series([], dtype="int64"),
+                             "pmi": pd.Series([], dtype="float64")})
+    big = big.repartition(min(nparts, n_cand)).materialize()
+
+    ua = uni.map_batches(merge2(["a", "c_a"]), batch_format="pyarrow",
+                         batch_size=None).materialize()
+    ub = uni.map_batches(merge2(["b", "c_b"]), batch_format="pyarrow",
+                         batch_size=None).materialize()
+    big = big.join(ua, join_type="inner", on=("a",),
+                   num_partitions=nparts).materialize()
+    big = big.repartition(min(nparts, max(big.count(), 1))).materialize()
+    big = big.join(ub, join_type="inner", on=("b",),
+                   num_partitions=nparts)
+
+    nt, nb = float(n_tokens), float(n_bigrams)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            empty = pa.array([], pa.string())
+            return pa.table({"a": empty, "b": empty,
+                             "n_pair": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        c_ab = t.column("n_pair").cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        c_a = t.column("c_a").cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        c_b = t.column("c_b").cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        pmi = np.round(np.log((c_ab / nb) / ((c_a / nt) * (c_b / nt))), 6)
+        out = pa.table({"a": t.column("a").cast(pa.string()),
+                        "b": t.column("b").cast(pa.string()),
+                        "n_pair": t.column("n_pair").cast(pa.int64()),
+                        "pmi": pa.array(pmi, pa.float64())})
+        df = out.to_pandas().sort_values(
+            ["pmi", "a", "b"], ascending=[False, True, True],
+            kind="mergesort").head(top)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = big.map_batches(score, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    return parts.sort_values(["pmi", "a", "b"],
+                             ascending=[False, True, True],
+                             kind="mergesort").head(top) \
+        .reset_index(drop=True)

@@ -2601,3 +2601,45 @@ def test_knn_graph_vs_brute(ray_session):
 
     with pytest.raises(ValueError, match="max_broadcast_rows"):
         knn_graph(_ds(df), k=2, max_broadcast_rows=10)
+
+
+def test_pmi_bigrams_vs_brute(ray_session):
+    """Distributed PMI collocations equal the single-process reference
+    (counts, ln formula, deterministic ordering) across block layouts;
+    min_count prunes but N_bigrams still counts the full population."""
+    from collections import Counter
+
+    from feature_fabrica_ray.pipelines import pmi_bigrams
+
+    rng = np.random.default_rng(9)
+    vocab = ["the", "cat", "sat", "new", "york", "deep", "blue", "sky"]
+    docs = []
+    for _ in range(120):
+        toks = list(rng.choice(vocab, rng.integers(3, 12)))
+        if rng.random() < 0.5:
+            toks += ["new", "york"]            # planted collocation
+        docs.append(" ".join(toks))
+    docs.append("")                            # empty doc
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for d in docs:
+        ts = d.split()
+        uni.update(ts)
+        big.update(zip(ts, ts[1:]))
+    nt, nb = sum(uni.values()), sum(big.values())
+    rows = [(a, b, c, round(np.log((c / nb) / ((uni[a] / nt)
+                                               * (uni[b] / nt))), 6))
+            for (a, b), c in big.items() if c >= 3]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = rows[:10]
+    assert want[0][:2] == ("new", "york")
+
+    for blocks in (1, 4):
+        out = pmi_bigrams(_ds(df, blocks=blocks), min_count=3, top=10)
+        got = [(r["a"], r["b"], int(r["n_pair"]), float(r["pmi"]))
+               for _, r in out.iterrows()]
+        assert got == [(a, b, c, pytest.approx(p, abs=1e-9))
+                       for a, b, c, p in want], blocks
