@@ -5855,6 +5855,44 @@ FROM lineitem
 """
 
 
+def q_sp_zorder(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton) layout stamp over (quantity, extendedprice):
+    fixed-grid quantization + bit interleave as a stateless vectorized
+    map — the multidimensional clustering key for data-skipping writes
+    (pipelines/packing.py::zorder_key)."""
+    from feature_fabrica_ray.pipelines import zorder_key
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_quantity", "l_extendedprice"])
+    out = zorder_key(ds, "l_quantity", "l_extendedprice",
+                     x_lo=0.0, x_hi=50.0, y_lo=0.0, y_hi=20000.0,
+                     bits=4, n_buckets=4)
+    return out.select_columns(["l_orderkey", "l_linenumber",
+                               "zkey", "zbucket"])
+
+
+_ZORDER_ORACLE = """
+WITH q AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(least(greatest(floor(l_quantity / 50.0 * 16), 0), 15)
+              AS BIGINT) AS xi,
+         CAST(least(greatest(floor(l_extendedprice / 20000.0 * 16), 0), 15)
+              AS BIGINT) AS yi
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       (((xi >> 0) & 1) * 2 + ((yi >> 0) & 1) * 1
+        + ((xi >> 1) & 1) * 8 + ((yi >> 1) & 1) * 4
+        + ((xi >> 2) & 1) * 32 + ((yi >> 2) & 1) * 16
+        + ((xi >> 3) & 1) * 128 + ((yi >> 3) & 1) * 64) AS zkey,
+       (((xi >> 0) & 1) * 2 + ((yi >> 0) & 1) * 1
+        + ((xi >> 1) & 1) * 8 + ((yi >> 1) & 1) * 4
+        + ((xi >> 2) & 1) * 32 + ((yi >> 2) & 1) * 16
+        + ((xi >> 3) & 1) * 128 + ((yi >> 3) & 1) * 64) >> 6 AS zbucket
+FROM q
+"""
+
+
 def q_sp_buckets(sf_dir: str) -> pd.DataFrame:
     """Equi-depth range bucketing (pipelines/quantiles.py::
     equidepth_buckets): each lineitem stamped with ceil(cume_dist * 8)
@@ -6240,6 +6278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_mutual_info": q_pr_mutual_info,
         "ft_rank_norm": q_ft_rank_norm,
         "sp_buckets": q_sp_buckets,
+        "sp_zorder": q_sp_zorder,
         "ss_lsh_topk": q_ss_lsh_topk,
         "vl_fd": q_vl_fd,
         "ev_ewma": q_ev_ewma,
@@ -6453,6 +6492,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_mutual_info": _MUTUAL_INFO_ORACLE,
         "ft_rank_norm": _RANK_NORM_ORACLE,
         "sp_buckets": _BUCKETS_ORACLE,
+        "sp_zorder": _ZORDER_ORACLE,
         "vl_fd": _FD_ORACLE,
         "vl_schema_diff": _SCHEMA_DIFF_ORACLE,
         "ev_gaps": _GAPS_ORACLE,

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "zorder_key"]
 
 _SHARD_STRIDE = 10_000_000_000  # pack_id = shard * stride + seq-in-shard
 
@@ -76,3 +76,67 @@ def pack_sequences(ds, id_col: str = "doc_id", len_col: str = "n_tokens",
                              batch_size=None)
     return sharded.groupby("__shard").map_groups(pack_group,
                                                  batch_format="pandas")
+
+
+def zorder_key(ds, x_col: str, y_col: str, *,
+               x_lo: float, x_hi: float, y_lo: float, y_hi: float,
+               bits: int = 8, n_buckets: int | None = None):
+    """Z-order (Morton) clustering key over two numeric columns — the
+    multidimensional data-layout stamp: sorting / range-partitioning by
+    ``zkey`` co-locates rows that are close in BOTH dimensions, so a
+    reader filtering on either column prunes most files (the layout
+    trick behind Delta/Iceberg ``OPTIMIZE ZORDER BY``).
+
+    Each coordinate is quantized onto a fixed 2^bits grid over
+    [lo, hi) (fixed, data-independent bounds — same contract as
+    histogram2d_fixed: deterministic, mergeable, no fit pass), then
+    bits interleave x1 y1 x0 y0 ... with x taking the higher slot.
+    Stateless vectorized ``map_batches`` stamp — rows never move; pair
+    with ``write_range_partitioned(col="zkey")`` to realize the
+    layout. Out-of-range values clamp to the edge cells; nulls go to
+    cell 0 of that dimension.
+
+    With ``n_buckets`` (power of two) a coarse ``zbucket`` column is
+    added (the top log2(n_buckets) bits of zkey) for direct use as a
+    partition key. Adds int64 columns; input columns are preserved.
+    """
+    if bits < 1 or bits > 31:
+        raise ValueError(f"zorder_key: bits must be in [1, 31], got {bits}")
+    shift = None
+    if n_buckets is not None:
+        nb = int(n_buckets)
+        if nb < 1 or nb & (nb - 1):
+            raise ValueError(f"zorder_key: n_buckets must be a power of "
+                             f"two, got {n_buckets}")
+        shift = 2 * bits - nb.bit_length() + 1
+
+    import pyarrow as pa
+
+    cells = float(1 << bits)
+    top = (1 << bits) - 1
+
+    def quant(col, lo: float, hi: float) -> np.ndarray:
+        x = col.cast(pa.float64()).fill_null(lo).to_numpy(
+            zero_copy_only=False)
+        q = np.floor((x - lo) / (hi - lo) * cells)
+        return np.clip(q, 0, top).astype(np.int64)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            out = t.append_column("zkey", pa.array([], pa.int64()))
+            if shift is not None:
+                out = out.append_column("zbucket", pa.array([], pa.int64()))
+            return out
+        xi = quant(t.column(x_col), x_lo, x_hi)
+        yi = quant(t.column(y_col), y_lo, y_hi)
+        z = np.zeros(t.num_rows, np.int64)
+        for j in range(bits):
+            z |= ((xi >> j) & 1) << (2 * j + 1)
+            z |= ((yi >> j) & 1) << (2 * j)
+        out = t.append_column("zkey", pa.array(z, pa.int64()))
+        if shift is not None:
+            out = out.append_column("zbucket",
+                                    pa.array(z >> shift, pa.int64()))
+        return out
+
+    return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)

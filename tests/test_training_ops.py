@@ -2643,3 +2643,45 @@ def test_pmi_bigrams_vs_brute(ray_session):
                for _, r in out.iterrows()]
         assert got == [(a, b, c, pytest.approx(p, abs=1e-9))
                        for a, b, c, p in want], blocks
+
+
+def test_zorder_key_interleave(ray_session):
+    """zkey equals the bit-interleave reference, clamps out-of-range
+    values, maps nulls to cell 0, and has the locality property (same
+    quadrant => same top two bits); zbucket = top bits."""
+    from feature_fabrica_ray.pipelines import zorder_key
+
+    rng = np.random.default_rng(4)
+    n = 300
+    df = pd.DataFrame({"x": rng.uniform(-5, 110, n),
+                       "y": rng.uniform(-5, 110, n)})
+    df.loc[0, "x"] = np.nan
+
+    out = zorder_key(_ds(df, blocks=3), "x", "y",
+                     x_lo=0.0, x_hi=100.0, y_lo=0.0, y_hi=100.0,
+                     bits=4, n_buckets=4).to_pandas()
+
+    def ref(x, y):
+        def q(v):
+            if np.isnan(v):
+                v = 0.0
+            return int(min(max(np.floor(v / 100.0 * 16), 0), 15))
+        xi, yi = q(x), q(y)
+        z = 0
+        for j in range(4):
+            z |= ((xi >> j) & 1) << (2 * j + 1)
+            z |= ((yi >> j) & 1) << (2 * j)
+        return z
+
+    for _, r in out.iterrows():
+        z = ref(r["x"], r["y"])
+        assert int(r["zkey"]) == z
+        assert int(r["zbucket"]) == z >> 6
+    # locality: both coords in the same half => same top quadrant bits
+    inr = out[(out["x"] >= 0) & (out["x"] < 50) & (out["y"] >= 0)
+              & (out["y"] < 50)]
+    assert (inr["zbucket"] == 0).all() and len(inr) > 10
+
+    with pytest.raises(ValueError, match="power of two"):
+        zorder_key(_ds(df), "x", "y", x_lo=0, x_hi=1, y_lo=0, y_hi=1,
+                   n_buckets=3).to_pandas()
