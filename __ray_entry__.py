@@ -3135,6 +3135,49 @@ def q_ss_pca(sf_dir: str):
     return _select(pca_project(ds, basis), ["vec_id", "embedding_pca"])
 
 
+def q_mm_phash(sf_dir: str) -> pd.DataFrame:
+    """Perceptual-hash image near-dup pairs: every doc_id % 50 == 0
+    media row gains a deterministic "re-encoded" variant (same pixels,
+    different header/id — the classic same-image-saved-twice case,
+    planted like vl_segment_drift's shift); PHashImage actor pool
+    (64-bit dHash, flat segmented pass) -> banded hamming blocking
+    recovers exactly those variant pairs
+    (pipelines/multimodal.py::phash_pipeline, PHashImage,
+    dedup.py::signature_hamming_pairs). Rows-only (fake-decode
+    contract); pytest pins the dHash reference + planted-pair recall."""
+    from feature_fabrica_ray.pipelines import (PHashImage,
+                                               signature_hamming_pairs,
+                                               synth_media_table)
+
+    def add_variants(t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_numpy(zero_copy_only=False)
+        keep = ids % 50 == 0
+        if not keep.any():
+            return t
+        sel = t.filter(pa.array(keep))
+        pay = sel.column("payload").to_pylist()
+        # re-encode: new 8-byte header (different claimed dims), same body
+        var = [np.uint32(9999).tobytes() + np.uint32(7777).tobytes()
+               + p[8:] for p in pay]
+        vt = pa.table({
+            "media_id": pc.add(sel.column("media_id").cast(pa.int64()),
+                               pa.scalar(1_000_000, pa.int64())),
+            "media_type": sel.column("media_type"),
+            "payload": pa.array(var, pa.binary()),
+            "n_bytes": pa.array([len(p) for p in var], pa.int64())})
+        return pa.concat_tables([t, vt.cast(t.schema)])
+
+    ds = synth_media_table(sf_dir).map_batches(
+        add_variants, batch_format="pyarrow", batch_size=None)
+    sig = ds.map_batches(PHashImage, concurrency=4, batch_size=256,
+                         num_cpus=1, batch_format="pyarrow")
+    out = signature_hamming_pairs(sig, "phash", "media_id", max_hamming=3)
+    assert ((out["id_b"] - out["id_a"]) % 1_000_000 == 0).any()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_mm_decode(sf_dir: str):
     """Actor-pool binary decode: header fields AND the body mean byte are
     SQL-checkable (payload = u32 header from doc_id + utf8 text bytes);
@@ -6300,6 +6343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ss_ivf_topk": q_ss_ivf_topk,
         "ss_pca": q_ss_pca,
         "mm_decode": q_mm_decode,
+        "mm_phash": q_mm_phash,
         "mm_audio": q_mm_audio,
         "mm_frames": q_mm_frames,
         "mm_resize": q_mm_resize,

@@ -577,6 +577,21 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             }))
         return pa.concat_tables(parts)
 
+    rows = (ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+            .groupby("bucket", num_partitions=n_shuffle)
+            .map_groups(_sig_bucket_pairs(max_hamming),
+                        batch_format="pyarrow")
+            .to_pandas())
+    if rows.empty:
+        return pd.DataFrame(columns=["id_a", "id_b", "hamming"])
+    return (rows.drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def _sig_bucket_pairs(max_hamming: int):
+    """Per-bucket exact popcount verify over banded 64-bit signatures:
+    rows (doc_id, band_hash, sig) colliding on band_hash become
+    (id_a, id_b, hamming) pairs iff hamming <= max_hamming."""
     def bucket_pairs_sig(t: pa.Table) -> pa.Table:
         bh = t.column("band_hash").to_numpy()
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -604,10 +619,52 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({"id_a": pa.array(a_o, pa.int64()),
                          "id_b": pa.array(b_o, pa.int64()),
                          "hamming": pa.array(h_o, pa.int64())})
+    return bucket_pairs_sig
+
+
+def signature_hamming_pairs(ds, sig_col: str, id_col: str,
+                            max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs over a PRECOMPUTED 64-bit signature column (int64
+    bit-pattern) — the generic back half of ``simhash_pairs``, reusable
+    by any fingerprint producer (perceptual image hashes, audio
+    chroma hashes, rolling text hashes).
+
+    Pigeonhole guarantee: with 4 x 16-bit bands, any pair within
+    hamming <= 3 agrees exactly on >= 1 band, so banding finds every
+    such pair; the per-bucket exact popcount verify removes false
+    candidates. The exchange carries 24 B/row/band; payloads never
+    move. Returns (id_a, id_b, hamming) sorted, deduplicated."""
+    if max_hamming > 3:
+        raise ValueError("signature_hamming_pairs: 4x16-bit banding only "
+                         "guarantees recall for max_hamming <= 3; raise the "
+                         "band count for looser thresholds")
+    n_shuffle = shuffle_partitions()
+    n_buckets = n_shuffle * 16
+
+    def emit(batch: pa.Table) -> pa.Table:
+        sig = batch.column(sig_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        parts = []
+        for b in range(4):
+            band = (sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            with np.errstate(over="ignore"):
+                keyed = band * np.uint64(0x9E3779B97F4A7C15) + np.uint64(b)
+            parts.append(pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "band_hash": pa.array(keyed.view(np.int64), pa.int64()),
+                "bucket": pa.array(
+                    (keyed % np.uint64(n_buckets)).astype(np.int32),
+                    pa.int32()),
+                "sig": pa.array(sig.view(np.int64), pa.int64()),
+            }))
+        return pa.concat_tables(parts)
 
     rows = (ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
             .groupby("bucket", num_partitions=n_shuffle)
-            .map_groups(bucket_pairs_sig, batch_format="pyarrow")
+            .map_groups(_sig_bucket_pairs(max_hamming),
+                        batch_format="pyarrow")
             .to_pandas())
     if rows.empty:
         return pd.DataFrame(columns=["id_a", "id_b", "hamming"])

@@ -2685,3 +2685,77 @@ def test_zorder_key_interleave(ray_session):
     with pytest.raises(ValueError, match="power of two"):
         zorder_key(_ds(df), "x", "y", x_lo=0, x_hi=1, y_lo=0, y_hi=1,
                    n_buckets=3).to_pandas()
+
+
+def _phash_ref(payload: bytes) -> int:
+    """Single-process dHash reference for the fake-decode contract."""
+    body = payload[8:] if len(payload) >= 8 else payload[0:0]
+    ncell, H, W = 72, 8, 8
+    grid = np.zeros(ncell)
+    L = len(body)
+    if L:
+        arr = np.frombuffer(body, dtype=np.uint8).astype(float)
+        cell = (np.arange(L) * ncell) // L
+        for c in range(ncell):
+            sel = arr[cell == c]
+            grid[c] = sel.mean() if sel.size else 0.0
+    g = grid.reshape(H, W + 1)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint8).ravel()
+    return int(np.packbits(bits, bitorder="little").view(np.uint64)[0])
+
+
+def test_phash_matches_reference_and_finds_neardups(ray_session):
+    """PHashImage's flat segmented pass equals the per-row dHash
+    reference on every row (incl. empty/short bodies), is layout-
+    invariant, and one-byte-perturbed payloads land within hamming 3
+    and are recovered by signature_hamming_pairs."""
+    from feature_fabrica_ray.pipelines import (PHashImage,
+                                               signature_hamming_pairs)
+
+    rng = np.random.default_rng(6)
+    payloads, ids = [], []
+    for i in range(40):
+        w, h = np.uint32(16 + i), np.uint32(20 + i)
+        body = rng.integers(0, 256, 600, dtype=np.uint8).tobytes()
+        payloads.append(w.tobytes() + h.tobytes() + body)
+        ids.append(i)
+    # planted near-dup: same body with ONE byte changed
+    twin = bytearray(payloads[5])
+    twin[100] = (twin[100] + 1) % 256
+    payloads.append(bytes(twin)); ids.append(100)
+    payloads.append(b"")          ; ids.append(101)   # empty payload
+    payloads.append(b"\x01\x02")  ; ids.append(102)   # headerless short
+    df = pd.DataFrame({"media_id": np.array(ids, np.int64),
+                       "media_type": "image",
+                       "payload": payloads,
+                       "n_bytes": [len(p) for p in payloads]})
+
+    import pyarrow as pa
+    import ray.data
+    got = {}
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(pa.Table.from_pandas(
+            df, preserve_index=False)).repartition(blocks)
+        out = ds.map_batches(PHashImage, concurrency=2, batch_size=16,
+                             batch_format="pyarrow").to_pandas()
+        m = dict(zip(out["media_id"].astype(int),
+                     out["phash"].astype(np.int64)))
+        if got:
+            assert m == got        # layout invariance
+        got = m
+    for i, p in zip(ids, payloads):
+        want = int(np.uint64(_phash_ref(p)).astype(np.int64))
+        assert int(got[i]) == want, i
+    assert got[101] == 0 and got[102] == 0
+
+    ham = bin(int(np.uint64(got[5])) ^ int(np.uint64(got[100]))).count("1")
+    assert ham <= 3
+
+    ds = ray.data.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(3)
+    sig = ds.map_batches(PHashImage, concurrency=2, batch_size=16,
+                         batch_format="pyarrow")
+    pairs = signature_hamming_pairs(sig, "phash", "media_id",
+                                    max_hamming=3)
+    assert (5, 100) in set(zip(pairs["id_a"].astype(int),
+                               pairs["id_b"].astype(int)))
