@@ -5436,6 +5436,40 @@ FROM (
 # event-stream operators (windowed aggregate, sessionization, JSON extract)
 # ---------------------------------------------------------------------------
 
+def q_ev_ohlc(sf_dir: str) -> pd.DataFrame:
+    """Per (user, hour) OHLC candlesticks: open/close as deterministic
+    boundary selections ((ts, event_id) order), high/low/count — the
+    boundary-row combiner, one (key, window)-scale exchange
+    (pipelines/events.py::ohlc_bars)."""
+    from feature_fabrica_ray.pipelines import ohlc_bars
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id", "value"])
+    return ohlc_bars(ds, "ts", "user_id", "value", "event_id",
+                     width_s=3600)
+
+
+_OHLC_ORACLE = """
+WITH b AS (
+  SELECT user_id,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS window_us,
+         value,
+         row_number() OVER (PARTITION BY user_id,
+                              epoch_us(ts) // 3600000000
+                            ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY user_id,
+                              epoch_us(ts) // 3600000000
+                            ORDER BY ts DESC, event_id DESC) AS rl
+  FROM events)
+SELECT user_id, window_us,
+       max(CASE WHEN rf = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rl = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_ev_window(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -6348,6 +6382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_frames": q_mm_frames,
         "mm_resize": q_mm_resize,
         "ev_window": q_ev_window,
+        "ev_ohlc": q_ev_ohlc,
         "ev_dense": q_ev_dense,
         "ev_sessions": q_ev_sessions,
         "ev_json": q_ev_json,
@@ -6554,6 +6589,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio": _MM_AUDIO_ORACLE,
         "mm_frames": _MM_FRAMES_ORACLE,
         "ev_window": _EV_WINDOW_ORACLE,
+        "ev_ohlc": _OHLC_ORACLE,
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,
         "pr_correlation": _CORRELATION_ORACLE,

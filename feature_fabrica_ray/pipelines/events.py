@@ -1195,3 +1195,58 @@ def rolling_quantile(ds, ts_col: str, key_col: str, value_col: str,
         batch_format="pyarrow", batch_size=None)
     return proj.groupby(key_col, num_partitions=shuffle_partitions()) \
         .map_groups(per_key, batch_format="pandas")
+
+
+def ohlc_bars(ds, ts_col: str, key_col: str, value_col: str,
+              id_col: str, width_s: int = 3600) -> pd.DataFrame:
+    """Per (key, tumbling window) OHLC candlesticks: open = value at
+    the earliest (ts, id), close = at the latest, high/low = max/min,
+    n = event count — the classic time-series downsample (price bars,
+    metric rollups) as a pure ALGEBRAIC combiner.
+
+    open/close are selections, not sums, but they still combine: each
+    block keeps its boundary rows (value + its (ts, id) rank tuple)
+    per (key, window), and the merge picks the globally earliest/
+    latest tuple — so the exchange carries one row per (key, window)
+    per block and raw events never move. ``id_col`` makes the
+    selection deterministic when timestamps tie. Returns
+    (key, window_us, open, high, low, close, n) sorted."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "k": batch.column(key_col),
+            "ts": batch.column(ts_col).cast(pa.timestamp("us"))
+                  .cast(pa.int64()),
+            "i": batch.column(id_col).cast(pa.int64()),
+            "v": batch.column(value_col).cast(pa.float64()),
+        }).to_pandas()
+        df["win"] = (df["ts"] // (width_s * 1_000_000)) \
+            * (width_s * 1_000_000)
+        df = df.sort_values(["ts", "i"], kind="mergesort")
+        g = df.groupby(["k", "win"], as_index=False).agg(
+            o_ts=("ts", "first"), o_i=("i", "first"), o_v=("v", "first"),
+            c_ts=("ts", "last"), c_i=("i", "last"), c_v=("v", "last"),
+            hi=("v", "max"), lo=("v", "min"), n=("v", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                             "window_us": pd.Series([], dtype="int64"),
+                             "open": [], "high": [], "low": [],
+                             "close": [], "n": pd.Series([], dtype="int64")})
+    first = parts.sort_values(["o_ts", "o_i"], kind="mergesort") \
+        .groupby(["k", "win"], as_index=False) \
+        .agg(open=("o_v", "first"))
+    last = parts.sort_values(["c_ts", "c_i"], kind="mergesort") \
+        .groupby(["k", "win"], as_index=False).agg(close=("c_v", "last"))
+    rest = parts.groupby(["k", "win"], as_index=False).agg(
+        high=("hi", "max"), low=("lo", "min"), n=("n", "sum"))
+    out = rest.merge(first, on=["k", "win"]).merge(last, on=["k", "win"])
+    out = out.rename(columns={"k": key_col, "win": "window_us"})
+    out["n"] = out["n"].astype("int64")
+    out["window_us"] = out["window_us"].astype("int64")
+    out = out.sort_values([key_col, "window_us"]).reset_index(drop=True)
+    return out[[key_col, "window_us", "open", "high", "low", "close", "n"]]

@@ -2759,3 +2759,39 @@ def test_phash_matches_reference_and_finds_neardups(ray_session):
                                     max_hamming=3)
     assert (5, 100) in set(zip(pairs["id_a"].astype(int),
                                pairs["id_b"].astype(int)))
+
+
+def test_ohlc_bars_vs_pandas(ray_session):
+    """Blockwise boundary-row combiner equals the single-process OHLC
+    (open at earliest (ts,id), close at latest, max/min/count) across
+    layouts, including ts ties broken by id."""
+    from feature_fabrica_ray.pipelines import ohlc_bars
+
+    rng = np.random.default_rng(8)
+    n = 600
+    ts = pd.to_datetime(rng.integers(0, 4 * 3600, n), unit="s")
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64),
+                       "ts": ts,
+                       "user_id": rng.integers(0, 5, n).astype(np.int64),
+                       "value": np.round(rng.uniform(0, 100, n), 2)})
+    # planted ts tie inside one (user, window): ids decide open/close
+    df.loc[1, ["ts", "user_id"]] = [df.loc[0, "ts"], df.loc[0, "user_id"]]
+
+    ref = df.copy()
+    ref["win"] = (ref["ts"].astype("datetime64[us]").astype("int64")
+                  // (3600 * 10 ** 6)) * (3600 * 10 ** 6)
+    ref = ref.sort_values(["ts", "event_id"], kind="mergesort")
+    want = ref.groupby(["user_id", "win"], as_index=False).agg(
+        open=("value", "first"), high=("value", "max"),
+        low=("value", "min"), close=("value", "last"),
+        n=("value", "size")).sort_values(["user_id", "win"]) \
+        .reset_index(drop=True)
+
+    for blocks in (1, 4):
+        got = ohlc_bars(_ds(df, blocks=blocks), "ts", "user_id", "value",
+                        "event_id", width_s=3600)
+        assert got["window_us"].tolist() == want["win"].tolist()
+        assert got["user_id"].tolist() == want["user_id"].tolist()
+        for c in ("open", "high", "low", "close"):
+            assert got[c].tolist() == want[c].tolist(), (blocks, c)
+        assert got["n"].tolist() == want["n"].tolist()
