@@ -4802,6 +4802,29 @@ GROUP BY node ORDER BY tri_cnt DESC, node LIMIT 10
 """
 
 
+def q_gr_kcore(sf_dir: str) -> pd.DataFrame:
+    """k-core of the co-purchase graph (iterative distributed peeling,
+    pipelines/graph.py::kcore): nodes surviving with in-core degree —
+    iterate-until-fixpoint, so no SQL oracle; pytest pins it against
+    brute-force cascade peeling. k is set to the graph's mean degree
+    so the peel actually cascades."""
+    from feature_fabrica_ray.pipelines import canonical_edges, kcore
+
+    from feature_fabrica_ray.pipelines import degree_table
+
+    edges = _copurchase_edges(sf_dir)
+    e = canonical_edges(edges, "a", "b")
+    m = e.count()
+    n_nodes = len(degree_table(e, "lo", "hi")) or 1
+    # ~0.7x mean degree: dense enough that peeling cascades, low
+    # enough that a non-trivial core survives (probed on this graph
+    # family: the core collapses to empty near 0.8x mean degree)
+    k = max(2, int(0.7 * 2 * m / n_nodes))
+    out = kcore(e, k, "lo", "hi")
+    out["k"] = np.int64(k)
+    return out
+
+
 def q_gr_jaccard(sf_dir: str) -> pd.DataFrame:
     """Per-edge neighborhood Jaccard over the co-purchase graph (top-15
     edges by common-neighbor count): triangle-identity common counts +
@@ -6448,6 +6471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_rolling_median": q_ev_rolling_median,
         "gr_pagerank": q_gr_pagerank,
         "gr_triangles": q_gr_triangles,
+        "gr_kcore": q_gr_kcore,
         "agg_moments": q_agg_moments,
         "gr_jaccard": q_gr_jaccard,
         "ta_bm25": q_ta_bm25,

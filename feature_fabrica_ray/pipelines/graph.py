@@ -41,7 +41,7 @@ import pyarrow as pa
 from ..tuning import shuffle_partitions
 
 __all__ = ["connected_components", "star_edges", "pagerank", "degree_table",
-           "canonical_edges", "triangle_count", "edge_jaccard"]
+           "canonical_edges", "triangle_count", "edge_jaccard", "kcore"]
 
 
 def _canon2(names: list[str]):
@@ -596,3 +596,85 @@ def edge_jaccard(edges, a_col: str = "a", b_col: str = "b"):
 
     return out.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def kcore(edges, k: int, a_col: str = "a", b_col: str = "b",
+          max_iters: int = 100):
+    """k-core decomposition: the maximal subgraph where every node has
+    degree >= k — the standard dense-cluster extractor (spam rings,
+    community nuclei) and a stronger filter than degree alone, since
+    removing one low-degree node can cascade.
+
+    Iterative peeling, all in Datasets: each round computes degrees
+    with the per-block combiner (node-scale exchange), keeps nodes
+    with deg >= k, and semi-joins the edge set down to edges whose
+    BOTH endpoints survive (two narrow hash joins). Terminates when a
+    round removes nothing — at most O(peeling depth) rounds, each a
+    fixed shuffle budget; the driver only ever sees two scalars per
+    round (edge/node counts). Returns a pandas DataFrame
+    (node, core_deg) for the k-core members with their degree INSIDE
+    the core, sorted by node."""
+    import pandas as pd
+
+    e = canonical_edges(edges, a_col, b_col)
+    nparts = shuffle_partitions()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table({"node": empty, "deg": empty})
+        nodes = pa.concat_arrays([
+            t.column("lo").cast(pa.int64()).combine_chunks(),
+            t.column("hi").cast(pa.int64()).combine_chunks()])
+        g = pa.table({"node": nodes}).group_by("node") \
+            .aggregate([([], "count_all")])
+        return pa.table({"node": g.column("node"),
+                         "deg": g.column("count_all").cast(pa.int64())})
+
+    empty_out = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                              "core_deg": pd.Series([], dtype="int64")})
+    n_edges = e.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            return empty_out
+        deg = (e.map_batches(deg_partial, batch_format="pyarrow",
+                             batch_size=None)
+               .groupby("node", num_partitions=nparts).sum("deg")
+               .map_batches(_canon2(["node", "deg"]),
+                            batch_format="pyarrow", batch_size=None)
+               .materialize())
+        n_nodes = deg.count()
+        alive = deg.filter(expr=f"deg >= {int(k)}").materialize()
+        n_alive = alive.count()
+        if n_alive == n_nodes:       # fixed point: nothing peeled
+            out = deg.to_pandas()
+            out["node"] = out["node"].astype("int64")
+            out = out.rename(columns={"deg": "core_deg"})
+            out["core_deg"] = out["core_deg"].astype("int64")
+            return out.sort_values("node").reset_index(drop=True)
+        if n_alive == 0:
+            return empty_out
+        alive = alive.repartition(min(nparts, n_alive)).materialize()
+        a_lo = alive.map_batches(_canon2(["lo", "_d1"]),
+                                 batch_format="pyarrow", batch_size=None) \
+            .materialize()
+        a_hi = alive.map_batches(_canon2(["hi", "_d2"]),
+                                 batch_format="pyarrow", batch_size=None) \
+            .materialize()
+        e = e.join(a_lo, join_type="inner", on=("lo",),
+                   num_partitions=nparts).materialize()
+        ne = e.count()
+        if ne == 0:
+            return empty_out
+        e = (e.repartition(min(nparts, ne)).materialize()
+             .join(a_hi, join_type="inner", on=("hi",),
+                   num_partitions=nparts)
+             .map_batches(lambda t: _canon2(["lo", "hi"])(
+                 t.select(["lo", "hi"]) if {"lo", "hi"} <= set(
+                     t.column_names) else t),
+                 batch_format="pyarrow", batch_size=None)
+             .materialize())
+        n_edges = e.count()
+        if n_edges:
+            e = e.repartition(min(nparts, n_edges)).materialize()
+    raise RuntimeError(f"kcore: no fixed point after {max_iters} rounds")

@@ -2795,3 +2795,43 @@ def test_ohlc_bars_vs_pandas(ray_session):
         for c in ("open", "high", "low", "close"):
             assert got[c].tolist() == want[c].tolist(), (blocks, c)
         assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_kcore_vs_brute_peeling(ray_session):
+    """Distributed iterative peeling equals the brute-force k-core
+    (cascade-aware) on a random graph with a planted 5-clique plus a
+    dangling chain that must cascade away."""
+    from feature_fabrica_ray.pipelines import kcore
+
+    rng = np.random.default_rng(13)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 40, (130, 2))
+             if a != b]
+    clique = [200, 201, 202, 203, 204]
+    edges += [(u, v) for i, u in enumerate(clique) for v in clique[i + 1:]]
+    edges += [(204, 300), (300, 301), (301, 302)]       # cascading tail
+
+    def brute(k):
+        adj = _brute_graph(edges)
+        changed = True
+        while changed:
+            changed = False
+            for u in list(adj):
+                if len(adj[u]) < k:
+                    for v in adj[u]:
+                        adj[v].discard(u)
+                    del adj[u]
+                    changed = True
+            adj = {u: s for u, s in adj.items() if s}
+        return {u: len(s) for u, s in adj.items()}
+
+    df = pd.DataFrame(edges, columns=["a", "b"])
+    for k in (2, 4):
+        want = brute(k)
+        got = kcore(_ds(df, blocks=3), k, "a", "b")
+        got_map = dict(zip(got["node"].astype(int),
+                           got["core_deg"].astype(int)))
+        assert got_map == want, k
+    assert all(n in kcore(_ds(df, blocks=2), 4, "a", "b")["node"].values
+               for n in clique)
+    # k high enough to peel everything
+    assert kcore(_ds(df, blocks=2), 50, "a", "b").empty
