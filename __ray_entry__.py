@@ -5239,6 +5239,23 @@ FROM c ORDER BY n_orders DESC, part_a, part_b LIMIT 20
 """
 
 
+def q_sm_bootstrap(sf_dir: str) -> pd.DataFrame:
+    """95% Poisson-bootstrap CI for the mean event value (Chamandy et
+    al.): 200 hash-seeded Poisson(1) weight replicas folded as a
+    2-doubles-per-replica combiner — pseudorandom by construction, so
+    rows-only; pytest pins coverage, exact point mean, and layout
+    invariance (pipelines/sampling.py::bootstrap_mean_ci)."""
+    from feature_fabrica_ray.pipelines import bootstrap_mean_ci
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+    out = bootstrap_mean_ci(ds, "value", "event_id", n_boot=200, seed=7)
+    for c in ("mean", "ci_lo", "ci_hi"):
+        out[c] = _round_away(out[c], 6)
+    assert out["ci_lo"].iloc[0] <= out["mean"].iloc[0] <= out["ci_hi"].iloc[0]
+    return out
+
+
 def q_sm_reservoir(sf_dir: str) -> pd.DataFrame:
     """Fixed-size-k deterministic uniform sample (reservoir semantics
     without randomness): global bottom-200 lineitems by md5 priority of
@@ -6440,6 +6457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_benford": q_pr_benford,
         "agg_cooccur": q_agg_cooccur,
         "sm_reservoir": q_sm_reservoir,
+        "sm_bootstrap": q_sm_bootstrap,
         "vl_delta": q_vl_delta,
         "ft_list": q_ft_list,
         "agg_q3": q_agg_q3,

@@ -17,7 +17,8 @@ import pyarrow.compute as pc
 from ..state import combine_hashes, hash64
 
 __all__ = ["hash_sample", "stratified_sample", "weighted_hash_sample",
-           "md5_hex_column", "md5_fraction_threshold", "hash_split"]
+           "md5_hex_column", "md5_fraction_threshold", "hash_split",
+           "bootstrap_mean_ci"]
 
 _D = np.uint64(1 << 32)
 
@@ -287,3 +288,79 @@ def bottomk_sample(ds, key_col: str, k: int, method: str = "hash64",
                                    if c not in ("__prio", "__tie")]
     out = parts.sort_values(order, kind="mergesort").head(k)
     return out.drop(columns=["__prio", "__tie"]).reset_index(drop=True)
+
+
+def bootstrap_mean_ci(ds, val_col: str, id_col: str, *,
+                      n_boot: int = 200, alpha: float = 0.05,
+                      seed: int = 0) -> "pd.DataFrame":
+    """Distributed POISSON bootstrap: a percentile confidence interval
+    for the column mean without ever resampling rows globally.
+
+    The classic bootstrap draws n rows with replacement — impossible to
+    do independently per block. The Poisson bootstrap (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012)
+    replaces each replica's multinomial weights with iid Poisson(1)
+    weights per row, which FACTORIZES across blocks: every block
+    computes, for each of ``n_boot`` replicas, its partial
+    (sum w, sum w*x) — a 2-doubles-per-replica combiner — and the
+    merge adds them. Weights are derived from ``hash64(id)`` (splitmix
+    families per replica), so every replica's WEIGHTS are deterministic
+    and layout-invariant — reshuffling blocks changes replica means
+    only by float-addition round-off (~1e-15 relative).
+
+    Exchange cost: n_boot rows per block, independent of block size.
+    Returns one row: (mean, ci_lo, ci_hi, n, n_boot) with the
+    percentile interval at level 1-alpha over the replica means."""
+    import pandas as pd
+
+    from ..state.hashing import hash64, hash64_multi
+
+    # Poisson(1) inverse-CDF table: P(X <= k), k = 0..15 (tail ~ 1e-13)
+    pmf = [np.exp(-1.0)]
+    for k in range(1, 16):
+        pmf.append(pmf[-1] / k)
+    cdf = np.cumsum(pmf)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, val_col]).filter(
+            pc.is_valid(batch.column(val_col)))
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"rep": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.float64()),
+                             "wx": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        x = t.column(val_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        base = hash64(t.column(id_col).cast(pa.int64())
+                      .to_numpy(zero_copy_only=False), seed=seed)
+        H = hash64_multi(base, n_boot, seed=seed + 1)    # (n_boot, n)
+        u = H.astype(np.float64) / float(2 ** 64)
+        W = np.searchsorted(cdf, u).astype(np.float64)   # Poisson(1)
+        # rep -1 carries the EXACT (count, sum) for the point estimate
+        return pa.table({
+            "rep": pa.array(np.concatenate([[-1],
+                                            np.arange(n_boot)]).astype(
+                np.int64)),
+            "w": pa.array(np.concatenate([[float(n)], W.sum(axis=1)])),
+            "wx": pa.array(np.concatenate([[float(x.sum())], W @ x])),
+            "n": pa.array(np.full(n_boot + 1, n, np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"mean": [np.nan], "ci_lo": [np.nan],
+                             "ci_hi": [np.nan],
+                             "n": np.array([0], np.int64),
+                             "n_boot": np.array([n_boot], np.int64)})
+    g = parts.groupby("rep").agg(w=("w", "sum"), wx=("wx", "sum"),
+                                 n=("n", "sum"))
+    exact = g.loc[-1]
+    n_rows = int(exact["n"])
+    mean = exact["wx"] / exact["w"] if exact["w"] else np.nan
+    g = g.drop(index=-1)
+    means = (g["wx"] / g["w"].where(g["w"] > 0)).dropna().to_numpy()
+    lo, hi = np.quantile(means, [alpha / 2, 1 - alpha / 2])
+    return pd.DataFrame({"mean": [mean], "ci_lo": [lo], "ci_hi": [hi],
+                         "n": np.array([n_rows], np.int64),
+                         "n_boot": np.array([n_boot], np.int64)})

@@ -2835,3 +2835,38 @@ def test_kcore_vs_brute_peeling(ray_session):
                for n in clique)
     # k high enough to peel everything
     assert kcore(_ds(df, blocks=2), 50, "a", "b").empty
+
+
+def test_bootstrap_mean_ci(ray_session):
+    """Poisson bootstrap: layout-invariant (identical CI across block
+    layouts), exact point mean, CI brackets the true mean and tightens
+    like 1/sqrt(n); nulls ignored."""
+    from feature_fabrica_ray.pipelines import bootstrap_mean_ci
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "v": rng.normal(10.0, 3.0, n)})
+    df.loc[:49, "v"] = np.nan
+
+    outs = [bootstrap_mean_ci(_ds(df, blocks=b), "v", "id",
+                              n_boot=120, seed=3) for b in (1, 5)]
+    a, b = outs
+    # weights are layout-invariant; sums differ only by float
+    # addition order across blocks
+    for c in ("mean", "ci_lo", "ci_hi"):
+        assert a[c].iloc[0] == pytest.approx(b[c].iloc[0], rel=1e-12), c
+    assert int(a["n"].iloc[0]) == int(b["n"].iloc[0])
+    row = a.iloc[0]
+    true_mean = df["v"].dropna().mean()
+    assert row["mean"] == pytest.approx(true_mean, rel=1e-12)
+    assert int(row["n"]) == n - 50
+    assert row["ci_lo"] < true_mean < row["ci_hi"]
+    width = row["ci_hi"] - row["ci_lo"]
+    se = 3.0 / np.sqrt(n - 50)
+    assert 2 * se < width < 8 * se           # sane percentile width
+
+    # smaller sample -> wider interval
+    small = bootstrap_mean_ci(_ds(df.head(500), blocks=2), "v", "id",
+                              n_boot=120, seed=3).iloc[0]
+    assert (small["ci_hi"] - small["ci_lo"]) > width
