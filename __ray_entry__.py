@@ -5239,6 +5239,31 @@ FROM c ORDER BY n_orders DESC, part_a, part_b LIMIT 20
 """
 
 
+def q_sm_neyman(sf_dir: str) -> pd.DataFrame:
+    """Neyman-optimal stratified allocation of a 1000-row budget across
+    event_type strata (n_h ∝ N_h σ_h): one algebraic 3-doubles
+    combiner pass (pipelines/sampling.py::neyman_allocation)."""
+    from feature_fabrica_ray.pipelines import neyman_allocation
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    out = neyman_allocation(ds, "event_type", "value", 1000)
+    out["std"] = _round_away(out["std"], 6)
+    return out
+
+
+_NEYMAN_ORACLE = """
+WITH s AS (SELECT event_type, CAST(count(value) AS BIGINT) AS n_rows,
+                  stddev_samp(value) AS sd
+           FROM events GROUP BY 1),
+t AS (SELECT sum(n_rows * coalesce(sd, 0)) AS tot FROM s)
+SELECT event_type, n_rows, round(sd, 6) AS std,
+       CAST(least(floor(abs(1000.0 * n_rows * coalesce(sd, 0) / t.tot)
+                        + 0.5), n_rows) AS BIGINT) AS alloc
+FROM s CROSS JOIN t ORDER BY event_type
+"""
+
+
 def q_sm_bootstrap(sf_dir: str) -> pd.DataFrame:
     """95% Poisson-bootstrap CI for the mean event value (Chamandy et
     al.): 200 hash-seeded Poisson(1) weight replicas folded as a
@@ -6458,6 +6483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_cooccur": q_agg_cooccur,
         "sm_reservoir": q_sm_reservoir,
         "sm_bootstrap": q_sm_bootstrap,
+        "sm_neyman": q_sm_neyman,
         "vl_delta": q_vl_delta,
         "ft_list": q_ft_list,
         "agg_q3": q_agg_q3,
@@ -6642,6 +6668,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_benford": _BENFORD_ORACLE,
         "agg_cooccur": _COOCCUR_ORACLE,
         "sm_reservoir": _RESERVOIR_ORACLE,
+        "sm_neyman": _NEYMAN_ORACLE,
         "vl_delta": _DELTA_ORACLE,
         "ft_list": _FT_LIST_ORACLE,
         "agg_q3": _Q3_ORACLE,

@@ -18,7 +18,7 @@ from ..state import combine_hashes, hash64
 
 __all__ = ["hash_sample", "stratified_sample", "weighted_hash_sample",
            "md5_hex_column", "md5_fraction_threshold", "hash_split",
-           "bootstrap_mean_ci"]
+           "bootstrap_mean_ci", "neyman_allocation"]
 
 _D = np.uint64(1 << 32)
 
@@ -364,3 +364,69 @@ def bootstrap_mean_ci(ds, val_col: str, id_col: str, *,
     return pd.DataFrame({"mean": [mean], "ci_lo": [lo], "ci_hi": [hi],
                          "n": np.array([n_rows], np.int64),
                          "n_boot": np.array([n_boot], np.int64)})
+
+
+def neyman_allocation(ds, stratum_col: str, val_col: str,
+                      n_total: int) -> "pd.DataFrame":
+    """Neyman-optimal stratified-sample allocation: given a total
+    budget of ``n_total`` rows, allocate n_h ∝ N_h * σ_h (stratum size
+    x stratum stddev) — the variance-minimizing design for estimating
+    the population mean (Neyman 1934), vs proportional allocation
+    which oversamples homogeneous strata.
+
+    One pass: per-block (count, sum, sumsq) per stratum — an algebraic
+    3-doubles combiner — merged at stratum scale; the allocation
+    arithmetic runs on the dimension-sized result. Rounds half away
+    from zero (SQL ``round`` convention) and caps each allocation at
+    the stratum population. Feed the resulting per-stratum rates into
+    ``stratified_sample`` to realize the sample deterministically.
+
+    Returns (stratum, n_rows, std, alloc) sorted by stratum; strata
+    with undefined stddev (n_rows < 2) or zero variance get alloc 0
+    (they need only one probe row — sampling them adds no variance
+    information)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([stratum_col, val_col]).filter(
+            pc.is_valid(batch.column(val_col)))
+        if t.num_rows == 0:
+            return pa.table({stratum_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s1": pa.array([], pa.float64()),
+                             "s2": pa.array([], pa.float64())})
+        x = t.column(val_col).cast(pa.float64())
+        t2 = pa.table({stratum_col: t.column(stratum_col).cast(pa.string()),
+                       "x": x,
+                       "xx": pc.multiply(x, x)})
+        g = t2.group_by(stratum_col).aggregate(
+            [("x", "count"), ("x", "sum"), ("xx", "sum")])
+        return pa.table({stratum_col: g.column(stratum_col),
+                         "n": g.column("x_count").cast(pa.int64()),
+                         "s1": g.column("x_sum").cast(pa.float64()),
+                         "s2": g.column("xx_sum").cast(pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({stratum_col: pd.Series([], dtype=object),
+                             "n_rows": pd.Series([], dtype="int64"),
+                             "std": [], "alloc": pd.Series([], dtype="int64")})
+    g = parts.groupby(stratum_col, as_index=False).agg(
+        n_rows=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+    n = g["n_rows"].to_numpy(np.float64)
+    mean = g["s1"] / np.maximum(n, 1)
+    var = (g["s2"] - n * mean * mean) / np.maximum(n - 1, 1)
+    std = np.sqrt(np.maximum(var, 0.0))
+    std = np.where(n >= 2, std, np.nan)
+    w = np.where(np.isnan(std), 0.0, n * std)
+    tot = w.sum()
+    if tot > 0:
+        alloc = np.floor(np.abs(n_total * w / tot) + 0.5)  # round half away
+    else:
+        alloc = np.zeros(len(g))
+    alloc = np.minimum(alloc, n).astype(np.int64)
+    out = pd.DataFrame({stratum_col: g[stratum_col],
+                        "n_rows": g["n_rows"].astype("int64"),
+                        "std": std, "alloc": alloc})
+    return out.sort_values(stratum_col).reset_index(drop=True)

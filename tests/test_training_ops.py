@@ -2870,3 +2870,33 @@ def test_bootstrap_mean_ci(ray_session):
     small = bootstrap_mean_ci(_ds(df.head(500), blocks=2), "v", "id",
                               n_boot=120, seed=3).iloc[0]
     assert (small["ci_hi"] - small["ci_lo"]) > width
+
+
+def test_neyman_allocation(ray_session):
+    """Allocation matches the closed-form n_h = round(n N_h sigma_h /
+    sum) with high-variance strata oversampled; degenerate strata
+    (n<2, zero variance) get 0; caps at population."""
+    from feature_fabrica_ray.pipelines import neyman_allocation
+
+    rng = np.random.default_rng(21)
+    frames = [
+        pd.DataFrame({"s": "wide", "v": rng.normal(0, 10.0, 4000)}),
+        pd.DataFrame({"s": "narrow", "v": rng.normal(0, 1.0, 4000)}),
+        pd.DataFrame({"s": "tiny", "v": [5.0]}),
+        pd.DataFrame({"s": "const", "v": np.full(50, 3.0)}),
+    ]
+    df = pd.concat(frames, ignore_index=True)
+
+    out = neyman_allocation(_ds(df, blocks=4), "s", "v", 500) \
+        .set_index("s")
+    ref = df.groupby("s")["v"].agg(["count", "std"])
+    w = (ref["count"] * ref["std"]).fillna(0.0)
+    want = np.floor(500 * w / w.sum() + 0.5).clip(upper=ref["count"])
+    for s in ref.index:
+        assert int(out.loc[s, "alloc"]) == int(want[s]), s
+        if ref.loc[s, "count"] >= 2:
+            assert out.loc[s, "std"] == pytest.approx(ref.loc[s, "std"],
+                                                      rel=1e-9)
+    assert out.loc["wide", "alloc"] > 8 * out.loc["narrow", "alloc"]
+    assert int(out.loc["tiny", "alloc"]) == 0
+    assert int(out.loc["const", "alloc"]) == 0
