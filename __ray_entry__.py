@@ -4627,6 +4627,39 @@ SELECT a, b, n_pair, pmi FROM scored ORDER BY pmi DESC, a, b LIMIT 20
 """
 
 
+def q_pr_welch(sf_dir: str) -> pd.DataFrame:
+    """Welch's unequal-variance t-test between the click and error
+    event segments: one algebraic (n, Σx, Σx²) combiner pass with a
+    pre-shuffle segment filter; statistic + Welch–Satterthwaite df as
+    driver arithmetic on six scalars
+    (pipelines/grouped.py::welch_ttest)."""
+    from feature_fabrica_ray.pipelines import welch_ttest
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    out = welch_ttest(ds, "event_type", "value", "click", "error")
+    for c in ("mean_a", "mean_b", "t", "df"):
+        out[c] = _round_away(out[c], 6)
+    return out
+
+
+_WELCH_ORACLE = """
+WITH s AS (SELECT event_type AS g, CAST(count(value) AS BIGINT) AS n,
+                  avg(value) AS m, var_samp(value) AS v
+           FROM events WHERE event_type IN ('click', 'error')
+           GROUP BY 1),
+a AS (SELECT * FROM s WHERE g = 'click'),
+b AS (SELECT * FROM s WHERE g = 'error')
+SELECT a.n AS n_a, b.n AS n_b,
+       round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t,
+       round(pow(a.v / a.n + b.v / b.n, 2)
+             / (pow(a.v / a.n, 2) / (a.n - 1)
+                + pow(b.v / b.n, 2) / (b.n - 1)), 6) AS df
+FROM a CROSS JOIN b
+"""
+
+
 def q_pr_hist2d(sf_dir: str) -> pd.DataFrame:
     """Fixed-grid 2-D density heatmap of (quantity, extendedprice):
     per-block flattened bincount combiner — ONE count vector per
@@ -6520,6 +6553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gr_jaccard": q_gr_jaccard,
         "ta_bm25": q_ta_bm25,
         "ta_pmi": q_ta_pmi,
+        "pr_welch": q_pr_welch,
         "pr_hist2d": q_pr_hist2d,
         "dd_ngram_overlap": q_dd_ngram_overlap,
         "gr_degree": q_gr_degree,
@@ -6705,6 +6739,7 @@ def oracle_sql() -> dict[str, str]:
         "gr_jaccard": _EDGE_JACCARD_ORACLE,
         "ta_bm25": _BM25_ORACLE,
         "ta_pmi": _PMI_ORACLE,
+        "pr_welch": _WELCH_ORACLE,
         "pr_hist2d": _HIST2D_ORACLE,
         "dd_ngram_overlap": _NGRAM_OVERLAP_ORACLE,
         # agg_hll_setops: sketch estimates -> rows-only (pytest bounds)

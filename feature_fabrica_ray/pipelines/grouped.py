@@ -1988,3 +1988,60 @@ def grouped_moments(ds, group_col: str, val_col: str) -> pd.DataFrame:
                              "kurtosis": []})
     key = out[group_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
+
+
+def welch_ttest(ds, group_col: str, val_col: str, a, b) -> pd.DataFrame:
+    """Welch's unequal-variance t-test between two segments — "did the
+    mean move between cohorts A and B" with heteroscedasticity-safe
+    degrees of freedom (the default two-sample test; Student's
+    equal-variance form is the special case it replaces).
+
+    One algebraic (n, Σx, Σx²) combiner pass restricted to the two
+    segments (pre-shuffle filter — other segments never leave the
+    scan); the statistic and Welch–Satterthwaite df are closed-form
+    driver arithmetic on six scalars. Returns one row: (n_a, n_b,
+    mean_a, mean_b, t, df); t/df are NULL when either side has n < 2
+    or both variances are 0."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(group_col).cast(pa.string())
+        mask = pc.and_(pc.is_in(col, value_set=pa.array([str(a), str(b)])),
+                       pc.is_valid(batch.column(val_col)))
+        t = batch.select([group_col, val_col]).filter(mask)
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s1": pa.array([], pa.float64()),
+                             "s2": pa.array([], pa.float64())})
+        x = t.column(val_col).cast(pa.float64())
+        t2 = pa.table({"g": t.column(group_col).cast(pa.string()),
+                       "x": x, "xx": pc.multiply(x, x)})
+        g = t2.group_by("g").aggregate(
+            [("x", "count"), ("x", "sum"), ("xx", "sum")])
+        return pa.table({"g": g.column("g"),
+                         "n": g.column("x_count").cast(pa.int64()),
+                         "s1": g.column("x_sum").cast(pa.float64()),
+                         "s2": g.column("xx_sum").cast(pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    stats = {}
+    for gname, grp in parts.groupby("g"):
+        n = float(grp["n"].sum())
+        s1, s2 = float(grp["s1"].sum()), float(grp["s2"].sum())
+        mean = s1 / n if n else np.nan
+        var = (s2 - n * mean * mean) / (n - 1) if n > 1 else np.nan
+        stats[gname] = (n, mean, max(var, 0.0) if var == var else np.nan)
+    na, ma, va = stats.get(str(a), (0.0, np.nan, np.nan))
+    nb, mb, vb = stats.get(str(b), (0.0, np.nan, np.nan))
+    t_stat = df_w = np.nan
+    if na >= 2 and nb >= 2:
+        se2 = va / na + vb / nb
+        if se2 > 0:
+            t_stat = (ma - mb) / np.sqrt(se2)
+            df_w = se2 * se2 / ((va / na) ** 2 / (na - 1)
+                                + (vb / nb) ** 2 / (nb - 1))
+    return pd.DataFrame({
+        "n_a": np.array([int(na)], np.int64),
+        "n_b": np.array([int(nb)], np.int64),
+        "mean_a": [ma], "mean_b": [mb], "t": [t_stat], "df": [df_w]})

@@ -2900,3 +2900,37 @@ def test_neyman_allocation(ray_session):
     assert out.loc["wide", "alloc"] > 8 * out.loc["narrow", "alloc"]
     assert int(out.loc["tiny", "alloc"]) == 0
     assert int(out.loc["const", "alloc"]) == 0
+
+
+def test_welch_ttest(ray_session):
+    """Welch t / Welch–Satterthwaite df match the closed form on
+    unequal-variance samples; shifted means give a large |t|; identical
+    segments give t ~ 0; degenerate sides yield NULLs."""
+    from feature_fabrica_ray.pipelines import welch_ttest
+
+    rng = np.random.default_rng(23)
+    df = pd.concat([
+        pd.DataFrame({"g": "a", "v": rng.normal(10.0, 1.0, 600)}),
+        pd.DataFrame({"g": "b", "v": rng.normal(12.0, 4.0, 300)}),
+        pd.DataFrame({"g": "c", "v": [1.0]}),
+    ], ignore_index=True)
+
+    out = welch_ttest(_ds(df, blocks=4), "g", "v", "a", "b").iloc[0]
+    xa = df.loc[df["g"] == "a", "v"]; xb = df.loc[df["g"] == "b", "v"]
+    va, vb = xa.var(ddof=1), xb.var(ddof=1)
+    se2 = va / len(xa) + vb / len(xb)
+    t_ref = (xa.mean() - xb.mean()) / np.sqrt(se2)
+    df_ref = se2 ** 2 / ((va / len(xa)) ** 2 / (len(xa) - 1)
+                         + (vb / len(xb)) ** 2 / (len(xb) - 1))
+    assert out["t"] == pytest.approx(t_ref, rel=1e-10)
+    assert out["df"] == pytest.approx(df_ref, rel=1e-10)
+    assert int(out["n_a"]) == 600 and int(out["n_b"]) == 300
+    assert abs(out["t"]) > 2          # planted shift detected
+
+    same = welch_ttest(_ds(df[df["g"] == "a"].assign(
+        g=np.where(np.arange(600) % 2 == 0, "x", "y")), blocks=3),
+        "g", "v", "x", "y").iloc[0]
+    assert abs(same["t"]) < 2
+
+    degen = welch_ttest(_ds(df, blocks=2), "g", "v", "a", "c").iloc[0]
+    assert np.isnan(degen["t"]) and np.isnan(degen["df"])
