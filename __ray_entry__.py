@@ -1279,6 +1279,62 @@ FROM lineitem
 """
 
 
+_CYCLIC_SPEC = """
+ts: {description: event timestamp column, data_type: datetime64}
+hour:
+  description: integer hour of day as float
+  data_type: float64
+  dependencies: [ts]
+  transformation: "(ts).datetime_extract(component='h').astype(dtype='float64')"
+angle:
+  description: hour mapped onto the unit circle (radians)
+  data_type: float64
+  dependencies: [hour]
+  transformation: "(hour).scale(factor=0.2617993877991494)"
+hour_sin:
+  description: cyclical sine encoding of the hour
+  data_type: float64
+  dependencies: [angle]
+  transformation: "(angle).sin()"
+hour_cos:
+  description: cyclical cosine encoding of the hour
+  data_type: float64
+  dependencies: [angle]
+  transformation: "(angle).cos()"
+phase:
+  description: phase angle recovered from the sin and cos pair
+  data_type: float64
+  dependencies: [hour_sin, hour_cos]
+  transformation: "(hour_sin).atan2(x=hour_cos)"
+"""
+
+
+def q_ft_cyclic(sf_dir: str) -> pd.DataFrame:
+    """Cyclical (sin/cos) time encoding + atan2 phase recovery in the
+    expression language — hour 23 lands next to hour 0 on the unit
+    circle, the standard periodic feature the reference's math family
+    lacks (functions/math.py::Sin/Cos/Atan2Transform)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+    out = FeatureEngine(_CYCLIC_SPEC).transform(ds)
+    df = _select(out, ["event_id", "hour", "hour_sin", "hour_cos",
+                       "phase"]).to_pandas()
+    for c in ("hour_sin", "hour_cos", "phase"):
+        df[c] = _round_away(df[c], 6)
+    return df.reset_index(drop=True)
+
+
+_CYCLIC_ORACLE = """
+SELECT event_id,
+       CAST(hour(ts) AS DOUBLE) AS hour,
+       round(sin(hour(ts) * 0.2617993877991494), 6) AS hour_sin,
+       round(cos(hour(ts) * 0.2617993877991494), 6) AS hour_cos,
+       round(atan2(sin(hour(ts) * 0.2617993877991494),
+                   cos(hour(ts) * 0.2617993877991494)), 6) AS phase
+FROM events
+"""
+
+
 def q_ft_datetime(sf_dir: str):
     import ray.data
 
@@ -6386,6 +6442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_strings": q_ft_strings,
         "ft_regex": q_ft_regex,
         "ft_datetime2": q_ft_datetime2,
+        "ft_cyclic": q_ft_cyclic,
         "ft_datetime": q_ft_datetime,
         "ft_group_reduce": q_ft_group_reduce,
         "ft_encoders": q_ft_encoders,
@@ -6594,6 +6651,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_strings": _STRINGS_ORACLE,
         "ft_regex": _REGEX_ORACLE,
         "ft_datetime2": _DATETIME2_ORACLE,
+        "ft_cyclic": _CYCLIC_ORACLE,
         "ft_datetime": _DATETIME_ORACLE,
         "ft_group_reduce": _GROUP_ORACLE,
         "ft_encoders": _ENCODER_ORACLE,

@@ -19,6 +19,7 @@ __all__ = ["ScaleFeature", "LogTransform", "ExpTransform", "SqrtTransform",
            "ZScoreTransform", "MinMaxTransform", "KBinsDiscretize",
            "RoundTransform", "FloorTransform", "CeilTransform",
            "TruncTransform", "SignTransform",
+           "SinTransform", "CosTransform", "TanTransform", "Atan2Transform",
            "SumReduce", "SubtractReduce", "MultiplyReduce", "DivideReduce"]
 
 
@@ -469,6 +470,61 @@ class SignTransform(Transformation):
 
     def execute(self, data):
         return pc.sign(_f64(data))
+
+
+class SinTransform(Transformation):
+    """sin(x), radians — with ``cos`` the cyclical-feature encoder
+    (hour-of-day/day-of-week -> a point on the unit circle, so hour 23
+    sits next to hour 0 — the standard periodic encoding the reference's
+    math family lacks). SQL parity: sin()."""
+
+    _name_ = "sin"
+
+    def execute(self, data):
+        return pc.sin(_f64(data))
+
+
+class CosTransform(Transformation):
+    """cos(x), radians (see ``sin`` — the cyclical encoder pair)."""
+
+    _name_ = "cos"
+
+    def execute(self, data):
+        return pc.cos(_f64(data))
+
+
+class TanTransform(Transformation):
+    """tan(x), radians. SQL parity: tan()."""
+
+    _name_ = "tan"
+
+    def execute(self, data):
+        return pc.tan(_f64(data))
+
+
+class Atan2Transform(Transformation):
+    """atan2(y, x) — recovers the phase angle from a (sin, cos)
+    cyclical pair; ``y``/``x`` may be feature references or scalars
+    (exactly one side may also be the chained input). SQL parity:
+    atan2(y, x)."""
+
+    _name_ = "atan2"
+    _ref_params_ = ("y", "x")
+
+    def __init__(self, y=None, x=None):
+        if y is None and x is None:
+            raise TransformationError("atan2 needs y= and/or x=")
+        self.y, self.x = y, x
+
+    def _coerce(self, v):
+        v = self._val(v)
+        return _f64(v) if isinstance(v, (pa.Array, pa.ChunkedArray)) \
+            else pa.scalar(float(v))
+
+    def execute(self, data):
+        y = _f64(data) if self.y is None else self._coerce(self.y)
+        x = _f64(data) if self.x is None else self._coerce(self.x)
+        return pc.atan2(y, x)
 
 
 # ---------------------------------------------------------------------------

@@ -430,3 +430,41 @@ def test_hash_bucket():
         HashBucket(0)
     with pytest.raises(TransformationError):
         HashBucket(4, method="sha1")
+
+
+def test_trig_family():
+    """sin/cos/tan are plain radian kernels; atan2 recovers the phase
+    from a (sin, cos) cyclical pair including quadrant; y=/x= may bind
+    scalars or the chained input."""
+    import numpy as np
+    import pyarrow as pa
+
+    from feature_fabrica_ray.functions.math import (Atan2Transform,
+                                                    CosTransform,
+                                                    SinTransform,
+                                                    TanTransform)
+
+    ang = np.array([0.0, np.pi / 2, np.pi, -np.pi / 2, 2.3])
+    x = pa.array(ang)
+    s = SinTransform().execute(x).to_numpy(zero_copy_only=False)
+    c = CosTransform().execute(x).to_numpy(zero_copy_only=False)
+    t = TanTransform().execute(pa.array([0.0, 0.3])).to_numpy(
+        zero_copy_only=False)
+    np.testing.assert_allclose(s, np.sin(ang), atol=1e-15)
+    np.testing.assert_allclose(c, np.cos(ang), atol=1e-15)
+    np.testing.assert_allclose(t, np.tan([0.0, 0.3]), atol=1e-15)
+
+    # chained-input y, column x: phase recovery incl. quadrant
+    ph = Atan2Transform(x=pa.array(c)).execute(pa.array(s)) \
+        .to_numpy(zero_copy_only=False)
+    want = np.arctan2(np.sin(ang), np.cos(ang))
+    np.testing.assert_allclose(ph, want, atol=1e-15)
+    # scalar x
+    ph2 = Atan2Transform(x=1.0).execute(pa.array([1.0])) \
+        .to_numpy(zero_copy_only=False)
+    np.testing.assert_allclose(ph2, [np.pi / 4], atol=1e-15)
+    import pytest as _pt
+
+    from feature_fabrica_ray.functions.base import TransformationError
+    with _pt.raises(TransformationError):
+        Atan2Transform()
