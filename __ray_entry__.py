@@ -5590,6 +5590,19 @@ FROM (
 # event-stream operators (windowed aggregate, sessionization, JSON extract)
 # ---------------------------------------------------------------------------
 
+def q_ev_holt(sf_dir: str) -> pd.DataFrame:
+    """Holt double-exponential (level+trend) smoothing of event values
+    per user — the trend-aware successor of ev_ewma; recursive, so no
+    SQL window form exists: rows-only, pinned by exact reference-loop
+    goldens (pipelines/events.py::holt_per_key)."""
+    from feature_fabrica_ray.pipelines import holt_per_key
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id", "value"])
+    return holt_per_key(ds, "ts", "user_id", "value", "event_id",
+                        alpha=0.3, beta=0.1)
+
+
 def q_ev_ohlc(sf_dir: str) -> pd.DataFrame:
     """Per (user, hour) OHLC candlesticks: open/close as deterministic
     boundary selections ((ts, event_id) order), high/low/count — the
@@ -6514,6 +6527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ss_lsh_topk": q_ss_lsh_topk,
         "vl_fd": q_vl_fd,
         "ev_ewma": q_ev_ewma,
+        "ev_holt": q_ev_holt,
         "vl_schema_diff": q_vl_schema_diff,
         "dd_embedding_rows": q_dd_embedding_rows,
         "ev_gaps": q_ev_gaps,

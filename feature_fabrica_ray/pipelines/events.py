@@ -1250,3 +1250,65 @@ def ohlc_bars(ds, ts_col: str, key_col: str, value_col: str,
     out["window_us"] = out["window_us"].astype("int64")
     out = out.sort_values([key_col, "window_us"]).reset_index(drop=True)
     return out[[key_col, "window_us", "open", "high", "low", "close", "n"]]
+
+
+def holt_per_key(ds, ts_col: str, key_col: str, value_col: str,
+                 order_col: str, alpha: float = 0.3,
+                 beta: float = 0.1, horizon: int = 1) -> pd.DataFrame:
+    """Holt's linear-trend (double exponential) smoothing per key in
+    (ts, order) sequence — EWMA's big sibling: a level AND a trend
+    recursion, so a steadily-growing series forecasts growth instead
+    of lagging it.
+
+        level_t = α·x_t + (1-α)·(level_{t-1} + trend_{t-1})
+        trend_t = β·(level_t - level_{t-1}) + (1-β)·trend_{t-1}
+        forecast_t = level_t + horizon·trend_t
+
+    Initialization: level_0 = x_0, trend_0 = x_1 - x_0 (0 for
+    single-row keys) — the standard Holt convention. Inherently
+    sequential per key and not SQL-expressible (like ewma_per_key), so
+    correctness is pinned by an exact reference-loop golden.
+
+    Scale shape: one keyed shuffle of the narrow projection, then a
+    tight per-key fold (the recursion is O(rows); the loop is pure
+    numpy scalars per step — for million-row keys split by (key, day)
+    upstream like sessionize documents). Returns
+    (order_col, key, value, level, trend, forecast) rounded to 6."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0 <= beta <= 1:
+        raise ValueError("beta must be in [0, 1]")
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        x = df[value_col].to_numpy(np.float64)
+        n = x.size
+        level = np.empty(n); trend = np.empty(n)
+        lv = x[0]
+        tr = (x[1] - x[0]) if n > 1 else 0.0
+        level[0], trend[0] = lv, tr
+        for i in range(1, n):
+            prev = lv
+            lv = alpha * x[i] + (1 - alpha) * (lv + tr)
+            tr = beta * (lv - prev) + (1 - beta) * tr
+            level[i], trend[i] = lv, tr
+        out = df[[order_col, key_col, value_col]].copy()
+        out["level"] = np.round(level, 6)
+        out["trend"] = np.round(trend, 6)
+        out["forecast"] = np.round(level + horizon * trend, 6)
+        return out
+
+    cols = [key_col, ts_col, value_col, order_col]
+    out = (ds.map_batches(lambda b, c=tuple(cols): b.select(list(c)),
+                          batch_format="pyarrow", batch_size=None)
+           .groupby(key_col, num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        out = pd.DataFrame({order_col: pd.Series([], dtype="int64"),
+                            key_col: pd.Series([], dtype="int64"),
+                            value_col: pd.Series([], dtype="float64"),
+                            "level": pd.Series([], dtype="float64"),
+                            "trend": pd.Series([], dtype="float64"),
+                            "forecast": pd.Series([], dtype="float64")})
+    return out.sort_values(order_col).reset_index(drop=True)

@@ -2934,3 +2934,54 @@ def test_welch_ttest(ray_session):
 
     degen = welch_ttest(_ds(df, blocks=2), "g", "v", "a", "c").iloc[0]
     assert np.isnan(degen["t"]) and np.isnan(degen["df"])
+
+
+def test_holt_per_key_reference(ray_session):
+    """Holt level/trend recursion matches the reference loop exactly
+    per key, tracks a linear ramp (forecast ~ next value), and is
+    layout-invariant; single-row keys get trend 0."""
+    from feature_fabrica_ray.pipelines import holt_per_key
+
+    rng = np.random.default_rng(31)
+    rows = []
+    oid = 0
+    for k in range(3):
+        n = rng.integers(5, 30)
+        for i in range(n):
+            rows.append((oid, k, i, 2.0 * i + k + rng.normal(0, 0.01)))
+            oid += 1
+    rows.append((oid, 99, 0, 7.0))           # single-row key
+    df = pd.DataFrame(rows, columns=["order", "k", "ts", "v"])
+
+    def ref(x, a, b):
+        lv, tr = x[0], (x[1] - x[0]) if len(x) > 1 else 0.0
+        out = [(lv, tr)]
+        for xi in x[1:]:
+            prev = lv
+            lv = a * xi + (1 - a) * (lv + tr)
+            tr = b * (lv - prev) + (1 - b) * tr
+            out.append((lv, tr))
+        return out
+
+    base = None
+    for blocks in (1, 4):
+        got = holt_per_key(_ds(df, blocks=blocks), "ts", "k", "v",
+                           "order", alpha=0.5, beta=0.3)
+        if base is None:
+            base = got
+        else:
+            pd.testing.assert_frame_equal(got, base)
+    for k, grp in df.groupby("k"):
+        x = grp.sort_values(["ts", "order"])["v"].to_numpy()
+        want = ref(x, 0.5, 0.3)
+        sub = base[base["k"] == k].sort_values("order")
+        for (lv, tr), (_, r) in zip(want, sub.iterrows()):
+            assert r["level"] == pytest.approx(lv, abs=5e-7)
+            assert r["trend"] == pytest.approx(tr, abs=5e-7)
+            assert r["forecast"] == pytest.approx(lv + tr, abs=1e-6)
+    single = base[base["k"] == 99].iloc[0]
+    assert single["level"] == 7.0 and single["trend"] == 0.0
+    # linear ramp: late forecasts approximate the next value x+2
+    late = base[(base["k"] == 0)].sort_values("order").tail(3)
+    for _, r in late.iterrows():
+        assert abs(r["forecast"] - (r["v"] + 2.0)) < 0.2
