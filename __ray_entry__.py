@@ -4642,6 +4642,46 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_ta_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document character-distribution Shannon entropy (log2,
+    DuckDB entropy() parity on ASCII): ONE combined-index bincount per
+    block over the flat utf8 buffer — the gibberish/boilerplate
+    detector (pipelines/textstats.py::char_entropy)."""
+    from feature_fabrica_ray.pipelines import char_entropy
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = char_entropy(ds).to_pandas()
+    return out[["doc_id", "char_entropy"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+_CHAR_ENTROPY_ORACLE = """
+WITH ch AS (SELECT doc_id, substr(text, i, 1) AS c
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(
+                              1, length(text))) AS i) g),
+e AS (SELECT doc_id, round(entropy(c), 6) AS ent FROM ch GROUP BY 1)
+SELECT d.doc_id, coalesce(e.ent, 0.0) AS char_entropy
+FROM documents d LEFT JOIN e USING (doc_id) ORDER BY 1
+"""
+
+
+def q_ta_zlib(sf_dir: str) -> pd.DataFrame:
+    """Per-document zlib compression ratio (actor-pool stage; the
+    universal redundancy quality signal). Deterministic but not
+    SQL-expressible -> rows-only; pytest pins it to direct zlib calls
+    (pipelines/textstats.py::CompressionRatio)."""
+    from feature_fabrica_ray.pipelines import CompressionRatio
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = ds.map_batches(CompressionRatio, concurrency=4, batch_size=256,
+                         num_cpus=1, batch_format="pyarrow").to_pandas()
+    return out[["doc_id", "zlib_ratio"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def q_ta_pmi(sf_dir: str) -> pd.DataFrame:
     """Top-20 collocations by pointwise mutual information over the
     document corpus: per-block bigram/unigram count partials, keyed
@@ -4835,29 +4875,16 @@ GROUP BY node ORDER BY node
 
 def _copurchase_edges(sf_dir: str):
     """Part-part co-purchase edge multiset: one (a, b) row per distinct
-    part PAIR per order — distinct-(order, part) combiner per block,
-    then vectorized triu pair emission per order group (the
-    cooccurrence_pairs front half). Non-bipartite, so it actually has
-    triangles (the part<->supplier graph of gr_pagerank does not)."""
+    part PAIR per order — the bucketed vectorized self-merge builder
+    (pipelines/graph.py::cooccur_edges; ~num_partitions C-speed calls
+    instead of one Python call per order). Non-bipartite, so it
+    actually has triangles (the part<->supplier graph of gr_pagerank
+    does not)."""
+    from feature_fabrica_ray.pipelines import cooccur_edges
+
     ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_partkey"])
-
-    def distinct_partial(b: pa.Table) -> pa.Table:
-        return b.group_by(["l_orderkey", "l_partkey"]).aggregate([])
-
-    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        items = np.unique(df["l_partkey"].to_numpy().astype(np.int64))
-        if items.size < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        ia, ib = np.triu_indices(items.size, k=1)
-        return pd.DataFrame({"a": items[ia], "b": items[ib]})
-
-    from feature_fabrica_ray.tuning import shuffle_partitions
-    return (ds.map_batches(distinct_partial, batch_format="pyarrow",
-                           batch_size=None)
-            .groupby("l_orderkey", num_partitions=shuffle_partitions())
-            .map_groups(emit_pairs, batch_format="pandas"))
+    return cooccur_edges(ds, "l_orderkey", "l_partkey")
 
 
 def q_gr_triangles(sf_dir: str) -> pd.DataFrame:
@@ -6624,6 +6651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gr_jaccard": q_gr_jaccard,
         "ta_bm25": q_ta_bm25,
         "ta_pmi": q_ta_pmi,
+        "ta_entropy": q_ta_entropy,
+        "ta_zlib": q_ta_zlib,
         "pr_welch": q_pr_welch,
         "pr_hist2d": q_pr_hist2d,
         "dd_ngram_overlap": q_dd_ngram_overlap,
@@ -6811,6 +6840,7 @@ def oracle_sql() -> dict[str, str]:
         "gr_jaccard": _EDGE_JACCARD_ORACLE,
         "ta_bm25": _BM25_ORACLE,
         "ta_pmi": _PMI_ORACLE,
+        "ta_entropy": _CHAR_ENTROPY_ORACLE,
         "pr_welch": _WELCH_ORACLE,
         "pr_hist2d": _HIST2D_ORACLE,
         "dd_ngram_overlap": _NGRAM_OVERLAP_ORACLE,

@@ -299,6 +299,43 @@ def bench_eventflow() -> tuple[float, int]:
     return time.perf_counter() - t0, len(r) + len(f) + len(tr)
 
 
+def bench_graph() -> tuple[float, int]:
+    """Graph family: PageRank (10 damped iterations, streaming edge
+    combiner per round) over the part<->supplier multigraph + exact
+    triangle counting (canonical-edge dedup, two-hash-join wedge/close)
+    over the part co-purchase graph restricted to partkey < 10000
+    (~300k edges / ~3M wedges at sf0.1 — the same code path as the
+    full graph with a bounded bench footprint)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from feature_fabrica_ray.pipelines import pagerank, triangle_count
+    from feature_fabrica_ray.sources import read_parquet_clean
+
+    t0 = time.perf_counter()
+    li = read_parquet_clean(f"{SF_DIR}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").cast(pa.int64()).combine_chunks()
+        s = pc.add(t.column("l_suppkey").cast(pa.int64()),
+                   pa.scalar(1_000_000_000, pa.int64())).combine_chunks()
+        return pa.table({"src": pa.concat_arrays([p, s]),
+                         "dst": pa.concat_arrays([s, p])})
+
+    pr = pagerank(li.map_batches(to_edges, batch_format="pyarrow",
+                                 batch_size=None), iters=10)
+
+    from feature_fabrica_ray.pipelines import cooccur_edges
+
+    co = read_parquet_clean(f"{SF_DIR}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"]) \
+        .filter(expr="l_partkey < 10000")
+    tri = triangle_count(cooccur_edges(co, "l_orderkey", "l_partkey"),
+                         "a", "b")
+    return time.perf_counter() - t0, len(pr) + len(tri)
+
+
 BENCHES = {
     "suite": bench_suite,
     "uniqueness": bench_uniqueness,
@@ -314,6 +351,7 @@ BENCHES = {
     "segstats": bench_segstats,
     "boilerplate": bench_boilerplate,
     "eventflow": bench_eventflow,
+    "graph": bench_graph,
 }
 
 

@@ -993,3 +993,75 @@ def pmi_bigrams(ds, text_col: str = "text", id_col: str = "doc_id",
                              ascending=[False, True, True],
                              kind="mergesort").head(top) \
         .reset_index(drop=True)
+
+
+def char_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Shannon entropy of the CHARACTER distribution
+    (log2) — the classic gibberish/boilerplate detector: natural text
+    sits near 4.2 bits, repeated padding near 0, random base64 near 6.
+
+    Vectorized over the flat utf8 buffer: one combined-index bincount
+    per block builds every row's 256-bin byte histogram at once (the
+    multimodal decode technique) — no per-row loop. Byte-level, which
+    equals character-level on ASCII corpora (DuckDB ``entropy()``
+    parity there); empty/null docs get entropy 0. Adds a float64
+    ``char_entropy`` column rounded to 6."""
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        n = len(col)
+        buf = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)
+        raw_off = np.frombuffer(col.buffers()[1], dtype=np.int32)
+        off = raw_off[col.offset:col.offset + n + 1].astype(np.int64)
+        lens = np.diff(off)
+        ent = np.zeros(n, np.float64)
+        if buf.size:
+            row_of = np.repeat(np.arange(n), lens)
+            sl = buf[off[0]:off[-1]]
+            counts = np.bincount(row_of * 256 + sl.astype(np.int64),
+                                 minlength=n * 256).reshape(n, 256)
+            p = counts / np.maximum(lens, 1)[:, None]
+            plogp = np.where(p > 0, p * np.log2(np.maximum(p, 1e-300)), 0.0)
+            ent = -plogp.sum(axis=1)
+        return batch.append_column("char_entropy",
+                                   pa.array(np.round(ent, 6), pa.float64()))
+
+    return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+
+
+class CompressionRatio:
+    """Actor-pool quality-signal stage: per-document zlib compression
+    ratio ``compressed_bytes / raw_bytes`` — the cheap universal
+    redundancy detector (CCNet/RefinedWeb-style): boilerplate and
+    repeated spam compress far below natural text, random noise sits
+    near 1.0.
+
+    The per-row ``zlib.compress`` call is a C-speed kernel like the
+    sha256 ingest loop — compute-dense, trivially data-parallel; the
+    actor form keeps the compressor level fixed per worker and the
+    batch size byte-budgeted. Empty/null docs get ratio NULL. Adds
+    ``zlib_ratio`` (float64, rounded to 6)."""
+
+    def __init__(self, level: int = 6):
+        import zlib
+
+        self._z = zlib
+        self.level = level
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("text" if "text" in batch.column_names
+                           else batch.column_names[0])
+        texts = col.to_pylist()
+        out = []
+        for t in texts:
+            if not t:
+                out.append(None)
+                continue
+            raw = t.encode()
+            out.append(round(len(self._z.compress(raw, self.level))
+                             / len(raw), 6))
+        return batch.append_column("zlib_ratio",
+                                   pa.array(out, pa.float64()))

@@ -2985,3 +2985,49 @@ def test_holt_per_key_reference(ray_session):
     late = base[(base["k"] == 0)].sort_values("order").tail(3)
     for _, r in late.iterrows():
         assert abs(r["forecast"] - (r["v"] + 2.0)) < 0.2
+
+
+def test_char_entropy_and_zlib_ratio(ray_session):
+    """char_entropy equals the histogram definition (log2) per row with
+    empty/null -> 0; zlib_ratio separates repetitive from random text
+    and matches a direct zlib call."""
+    import zlib
+
+    import ray.data
+    from feature_fabrica_ray.pipelines import CompressionRatio, char_entropy
+
+    texts = ["aabb", "", None, "abcd", "x" * 400,
+             "the quick brown fox jumps over the lazy dog " * 10]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = char_entropy(_ds(df, blocks=2)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    def ref_ent(t):
+        if not t:
+            return 0.0
+        b = np.frombuffer(t.encode(), np.uint8)
+        p = np.bincount(b, minlength=256) / b.size
+        p = p[p > 0]
+        return float(-(p * np.log2(p)).sum())
+
+    for i, t in enumerate(texts):
+        assert out.loc[i, "char_entropy"] == pytest.approx(
+            ref_ent(t), abs=2e-6), i
+    assert out.loc[1, "char_entropy"] == 0.0
+    assert out.loc[2, "char_entropy"] == 0.0
+
+    sig = ray.data.from_pandas(df).map_batches(
+        CompressionRatio, concurrency=2, batch_size=4,
+        batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        if not t:
+            assert pd.isna(sig.loc[i, "zlib_ratio"]), i
+        else:
+            want = round(len(zlib.compress(t.encode(), 6))
+                         / len(t.encode()), 6)
+            assert sig.loc[i, "zlib_ratio"] == want, i
+    # repetitive text compresses far below the pangram-rich doc
+    assert sig.loc[4, "zlib_ratio"] < 0.1
+    assert sig.loc[4, "zlib_ratio"] < sig.loc[5, "zlib_ratio"]
