@@ -351,6 +351,56 @@ def q_vl_segment_drift(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_vl_reconcile(sf_dir: str) -> pd.DataFrame:
+    """Cross-table SUM reconciliation (detail-to-header DQ check): the
+    20 orders whose lineitem extended totals diverge most from
+    o_totalprice — child combiner sums + one narrow hash join from the
+    parent side, violations filtered map-side
+    (pipelines/validate.py::reconcile_sums)."""
+    from feature_fabrica_ray.pipelines import reconcile_sums
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice",
+                                     "l_discount", "l_tax"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = pc.multiply(
+            pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+            pc.add(pa.scalar(1.0), t.column("l_tax")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "net": v})
+
+    child = li.map_batches(derive, batch_format="pyarrow",
+                           batch_size=None)
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_totalprice"])
+    _, viol = reconcile_sums(child, orders, key="l_orderkey",
+                             child_val="net", parent_key="o_orderkey",
+                             parent_val="o_totalprice", tol=0.01, top=20)
+    viol["l_orderkey"] = viol["l_orderkey"].astype("int64")
+    for c in ("child_sum", "diff"):
+        viol[c] = _round_away(viol[c], 6)
+    return viol
+
+
+_RECONCILE_ORACLE = """
+WITH c AS (SELECT l_orderkey AS k,
+                  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                      AS cs
+           FROM lineitem GROUP BY 1),
+j AS (SELECT o.o_orderkey AS l_orderkey,
+             coalesce(c.cs, 0) AS child_sum,
+             o.o_totalprice AS parent_val,
+             coalesce(c.cs, 0) - o.o_totalprice AS diff
+      FROM orders o LEFT JOIN c ON c.k = o.o_orderkey)
+SELECT l_orderkey, round(child_sum, 6) AS child_sum, parent_val,
+       round(diff, 6) AS diff
+FROM j WHERE abs(diff) > 0.01
+ORDER BY abs(diff) DESC, l_orderkey LIMIT 20
+"""
+
+
 def q_vl_stats_size(sf_dir: str) -> pd.DataFrame:
     suite = CheckSuite("""
 checks:
@@ -6462,6 +6512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_segment_drift": q_vl_segment_drift,
         "vl_outliers": q_vl_outliers,
         "vl_outliers_iqr": q_vl_outliers_iqr,
+        "vl_reconcile": q_vl_reconcile,
         "vl_stats_size": q_vl_stats_size,
         "vl_content_sha256": q_vl_content_sha256,
         "vl_distinct_repo": q_vl_distinct_repo,
@@ -6675,6 +6726,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_outliers": _OUTLIERS_ORACLE,
         "vl_outliers_iqr": _OUTLIERS_IQR_ORACLE,
         "tp_mix": _MIX_ORACLE,
+        "vl_reconcile": _RECONCILE_ORACLE,
         "vl_stats_size": _STATS_ORACLE,
         "vl_group_stats": _GROUP_STATS_ORACLE,
         "vl_quantile": _QUANTILE_ORACLE,

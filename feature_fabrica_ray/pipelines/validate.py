@@ -1208,3 +1208,132 @@ def schema_diff(ds_a, ds_b) -> "pd.DataFrame":
 
 
 __all__.append("schema_diff")
+
+
+def reconcile_sums(child, parent, *, key: str, child_val: str,
+                   parent_key: str | None = None,
+                   parent_val: str, tol: float = 1e-6,
+                   top: int = 20):
+    """Cross-table SUM reconciliation — the classic financial/DQ check
+    "does the detail roll up to the header" (lineitem totals vs
+    o_totalprice, ledger entries vs account balance). Emits the
+    worst-``top`` violating keys plus a one-row summary.
+
+    Scale shape: the child side folds to per-key partial sums with the
+    per-block Arrow group_by combiner (one row per key per block — the
+    detail rows never shuffle), merges in one keyed groupby, then ONE
+    narrow hash join against the parent's (key, value) projection;
+    violations filter map-side and only per-block worst-``top``
+    partials reach the driver. Parent keys missing from the child
+    compare against a child sum of 0 (full reconciliation, not just
+    matched keys); child keys missing from the parent are orphans —
+    the referential check's job, not this one's.
+
+    Returns (summary_df, violations_df): summary = (n_keys, n_viol,
+    max_abs_diff); violations = (key, child_sum, parent_val, diff)
+    ordered by |diff| desc, key asc."""
+    import pandas as pd
+
+    from ..tuning import shuffle_partitions
+
+    pkey = parent_key or key
+    nparts = shuffle_partitions()
+
+    def child_partial(t: pa.Table) -> pa.Table:
+        sel = t.select([key, child_val]).filter(
+            pc.is_valid(t.column(key)))
+        g = sel.group_by(key).aggregate([(child_val, "sum")])
+        return pa.table({key: g.column(key).cast(pa.int64()),
+                         "child_sum": g.column(f"{child_val}_sum")
+                         .cast(pa.float64())})
+
+    def canon2f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns != 2:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "child_sum": pa.array([], pa.float64())})
+        return pa.table({key: t.column(0).cast(pa.int64()),
+                         "child_sum": t.column(1).cast(pa.float64())})
+
+    sums = (child.map_batches(child_partial, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby(key, num_partitions=nparts).sum("child_sum")
+            .map_batches(canon2f, batch_format="pyarrow", batch_size=None)
+            .materialize())
+    ns = sums.count()
+    sums = sums.repartition(min(nparts, max(ns, 1))).materialize()
+
+    def parent_proj(t: pa.Table) -> pa.Table:
+        return pa.table({key: t.column(pkey).cast(pa.int64()),
+                         "parent_val": t.column(parent_val)
+                         .cast(pa.float64())})
+
+    par = parent.map_batches(parent_proj, batch_format="pyarrow",
+                             batch_size=None).materialize()
+    np_rows = par.count()
+    par = par.repartition(min(nparts, max(np_rows, 1))).materialize()
+    # left_outer from the PARENT: header keys with no detail rows
+    # reconcile against 0
+    joined = par.join(sums, join_type="left_outer", on=(key,),
+                      num_partitions=nparts)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key not in t.column_names:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "child_sum": pa.array([], pa.float64()),
+                             "parent_val": pa.array([], pa.float64()),
+                             "diff": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64()),
+                             "viol": pa.array([], pa.int64())})
+        cs = t.column("child_sum").fill_null(0.0).to_numpy(
+            zero_copy_only=False)
+        pv = t.column("parent_val").cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        diff = cs - pv
+        bad = np.abs(diff) > tol
+        k = t.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(-np.abs(diff[bad]), kind="stable")[:top]
+        return pa.table({key: pa.array(k[bad][order]),
+                         "child_sum": pa.array(cs[bad][order]),
+                         "parent_val": pa.array(pv[bad][order]),
+                         "diff": pa.array(diff[bad][order]),
+                         "n": pa.array(np.full(order.size, t.num_rows,
+                                               np.int64)),
+                         "viol": pa.array(np.full(order.size,
+                                                  int(bad.sum()),
+                                                  np.int64))})
+
+    # per-block counters ride along so the summary needs no second pass
+    def count_row(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key not in t.column_names:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "viol": pa.array([0], pa.int64()),
+                             "mx": pa.array([0.0], pa.float64())})
+        cs = t.column("child_sum").fill_null(0.0).to_numpy(
+            zero_copy_only=False)
+        pv = t.column("parent_val").cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        d = np.abs(cs - pv)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "viol": pa.array([int((d > tol).sum())], pa.int64()),
+                         "mx": pa.array([float(d.max()) if d.size else 0.0])})
+
+    joined = joined.materialize()
+    counts = joined.map_batches(count_row, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+    parts = joined.map_batches(score, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    summary = pd.DataFrame({
+        "n_keys": np.array([int(counts["n"].sum())], np.int64),
+        "n_viol": np.array([int(counts["viol"].sum())], np.int64),
+        "max_abs_diff": [float(counts["mx"].max()) if len(counts)
+                         else 0.0]})
+    if parts.empty:
+        viol = pd.DataFrame({key: pd.Series([], dtype="int64"),
+                             "child_sum": [], "parent_val": [],
+                             "diff": []})
+    else:
+        viol = parts.assign(_absd=parts["diff"].abs()) \
+            .sort_values(["_absd", key], ascending=[False, True],
+                         kind="mergesort").head(top)
+        viol = viol[[key, "child_sum", "parent_val", "diff"]]
+    return summary, viol.reset_index(drop=True)

@@ -1216,3 +1216,50 @@ def test_chi_square_independence(ray_session):
     o = np.array([[2.0, 1.0], [2.0, 0.0]])
     e = o.sum(1, keepdims=True) @ o.sum(0, keepdims=True) / o.sum()
     assert abs(vals[0] - (((o - e) ** 2) / e).sum()) < 1e-12
+
+
+def test_reconcile_sums(ray_session):
+    """Detail-to-header SUM reconciliation: exact per-key child sums vs
+    the parent value, parent keys with no detail reconcile against 0,
+    violations ranked by |diff| with deterministic ties, summary counts
+    exact — across block layouts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import reconcile_sums
+
+    rng = np.random.default_rng(41)
+    child_rows = []
+    parent_rows = []
+    for k in range(40):
+        n = int(rng.integers(1, 6))
+        vals = np.round(rng.uniform(1, 100, n), 2)
+        child_rows += [(k, float(v)) for v in vals]
+        total = float(np.round(vals.sum(), 6))
+        if k % 7 == 0:
+            total += 5.0           # planted violation
+        parent_rows.append((k, total))
+    parent_rows.append((999, 42.0))   # header with no detail rows
+    child = pd.DataFrame(child_rows, columns=["k", "v"])
+    parent = pd.DataFrame(parent_rows, columns=["k", "total"])
+
+    for blocks in (1, 4):
+        cds = ray.data.from_pandas(child).repartition(blocks)
+        pds = ray.data.from_pandas(parent).repartition(max(1, blocks - 1))
+        summary, viol = reconcile_sums(
+            cds, pds, key="k", child_val="v", parent_val="total",
+            tol=1e-6, top=10)
+        planted = {k for k in range(40) if k % 7 == 0} | {999}
+        assert int(summary["n_keys"].iloc[0]) == 41
+        assert int(summary["n_viol"].iloc[0]) == len(planted)
+        got = set(viol["k"].astype(int))
+        assert got <= planted and len(viol) == min(10, len(planted))
+        # the no-detail header reconciles against 0 -> diff = -42
+        row999 = viol[viol["k"] == 999]
+        assert len(row999) == 1
+        assert row999["child_sum"].iloc[0] == 0.0
+        assert row999["diff"].iloc[0] == pytest.approx(-42.0)
+        # ordering: |diff| descending
+        d = viol["diff"].abs().to_numpy()
+        assert (d[:-1] >= d[1:] - 1e-12).all()
