@@ -1359,6 +1359,44 @@ phase:
 """
 
 
+def q_ft_woe(sf_dir: str) -> pd.DataFrame:
+    """Weight-of-Evidence encoding table per event_type against the
+    binary target value > 50 (add-0.5 smoothing): one (pos, neg)
+    pair-count combiner + keyed merge; the encode itself is a
+    broadcast map (pipelines/grouped.py::woe_table/woe_encode)."""
+    from feature_fabrica_ray.pipelines import woe_table
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def label(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "y": pc.cast(pc.greater(t.column("value"), 50.0), pa.int64())})
+
+    out = woe_table(ds.map_batches(label, batch_format="pyarrow",
+                                   batch_size=None), "event_type", "y")
+    out["woe"] = _round_away(out["woe"], 6)
+    return out
+
+
+_WOE_ORACLE = """
+WITH b AS (SELECT event_type AS c,
+                  CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL),
+g AS (SELECT c, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS neg
+      FROM b GROUP BY 1),
+t AS (SELECT sum(pos) AS pt, sum(neg) AS nt, count(*) AS k FROM g)
+SELECT c AS event_type, n, pos, neg,
+       round(ln(((pos + 0.5) / (t.pt + 0.5 * t.k))
+                / ((neg + 0.5) / (t.nt + 0.5 * t.k))), 6) AS woe
+FROM g CROSS JOIN t ORDER BY 1
+"""
+
+
 def q_ft_cyclic(sf_dir: str) -> pd.DataFrame:
     """Cyclical (sin/cos) time encoding + atan2 phase recovery in the
     expression language — hour 23 lands next to hour 0 on the unit
@@ -6534,6 +6572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_regex": q_ft_regex,
         "ft_datetime2": q_ft_datetime2,
         "ft_cyclic": q_ft_cyclic,
+        "ft_woe": q_ft_woe,
         "ft_datetime": q_ft_datetime,
         "ft_group_reduce": q_ft_group_reduce,
         "ft_encoders": q_ft_encoders,
@@ -6747,6 +6786,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_regex": _REGEX_ORACLE,
         "ft_datetime2": _DATETIME2_ORACLE,
         "ft_cyclic": _CYCLIC_ORACLE,
+        "ft_woe": _WOE_ORACLE,
         "ft_datetime": _DATETIME_ORACLE,
         "ft_group_reduce": _GROUP_ORACLE,
         "ft_encoders": _ENCODER_ORACLE,

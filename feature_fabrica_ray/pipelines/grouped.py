@@ -2045,3 +2045,81 @@ def welch_ttest(ds, group_col: str, val_col: str, a, b) -> pd.DataFrame:
         "n_a": np.array([int(na)], np.int64),
         "n_b": np.array([int(nb)], np.int64),
         "mean_a": [ma], "mean_b": [mb], "t": [t_stat], "df": [df_w]})
+
+
+def woe_table(ds, cat_col: str, label_col: str,
+              smoothing: float = 0.5) -> pd.DataFrame:
+    """Weight-of-Evidence per category — the credit-scoring/risk
+    encoder: WoE_c = ln( (pos_c + s)/(pos_tot + s·k) /
+    ((neg_c + s)/(neg_tot + s·k)) ) with add-``s`` smoothing over k
+    categories (so rare/pure categories stay finite). Positive WoE =
+    the category over-indexes on the positive class.
+
+    One algebraic (pos, neg) pair-count combiner per block, one keyed
+    merge; totals and the encode table are dimension-sized. Label must
+    be boolean-like (0/1); null labels/categories are ignored. Returns
+    (category, n, pos, neg, woe) sorted by category. Feed the result
+    into a broadcast-map encode (the target_encode_loo shape) to stamp
+    rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([cat_col, label_col]).filter(
+            pc.and_(pc.is_valid(batch.column(cat_col)),
+                    pc.is_valid(batch.column(label_col))))
+        if t.num_rows == 0:
+            return pa.table({cat_col: pa.array([], pa.string()),
+                             "pos": pa.array([], pa.int64()),
+                             "neg": pa.array([], pa.int64())})
+        lab = t.column(label_col).cast(pa.float64())
+        t2 = pa.table({cat_col: t.column(cat_col).cast(pa.string()),
+                       "pos": pc.cast(pc.greater(lab, 0.0), pa.int64()),
+                       "neg": pc.cast(pc.equal(lab, 0.0), pa.int64())})
+        g = t2.group_by(cat_col).aggregate([("pos", "sum"), ("neg", "sum")])
+        return pa.table({cat_col: g.column(cat_col),
+                         "pos": g.column("pos_sum").cast(pa.int64()),
+                         "neg": g.column("neg_sum").cast(pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({cat_col: pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64"),
+                             "pos": pd.Series([], dtype="int64"),
+                             "neg": pd.Series([], dtype="int64"),
+                             "woe": pd.Series([], dtype="float64")})
+    g = parts.groupby(cat_col, as_index=False).agg(pos=("pos", "sum"),
+                                                   neg=("neg", "sum"))
+    k = len(g)
+    pos_tot, neg_tot = float(g["pos"].sum()), float(g["neg"].sum())
+    s = float(smoothing)
+    woe = np.log(((g["pos"] + s) / (pos_tot + s * k))
+                 / ((g["neg"] + s) / (neg_tot + s * k)))
+    out = pd.DataFrame({cat_col: g[cat_col],
+                        "n": (g["pos"] + g["neg"]).astype("int64"),
+                        "pos": g["pos"].astype("int64"),
+                        "neg": g["neg"].astype("int64"),
+                        "woe": woe})
+    return out.sort_values(cat_col).reset_index(drop=True)
+
+
+def woe_encode(ds, cat_col: str, label_col: str, smoothing: float = 0.5,
+               out_col: str = "woe"):
+    """Stamp each row with its category's WoE: fit via ``woe_table``
+    (dimension-sized), broadcast the mapping into a stateless
+    vectorized map — no shuffle touches the data; unseen/null
+    categories get NULL."""
+    tbl = woe_table(ds, cat_col, label_col, smoothing)
+    mapping = dict(zip(tbl[cat_col], tbl["woe"]))
+    cats = pa.array(list(mapping), pa.string())
+    vals = np.array([mapping[c] for c in mapping], np.float64)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column(cat_col).cast(pa.string()),
+                          value_set=cats)
+        i = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(i)
+        out = np.full(t.num_rows, np.nan)
+        out[ok] = vals[i[ok].astype(np.int64)]
+        return t.append_column(out_col, pa.array(out, pa.float64()))
+
+    return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)

@@ -3031,3 +3031,39 @@ def test_char_entropy_and_zlib_ratio(ray_session):
     # repetitive text compresses far below the pangram-rich doc
     assert sig.loc[4, "zlib_ratio"] < 0.1
     assert sig.loc[4, "zlib_ratio"] < sig.loc[5, "zlib_ratio"]
+
+
+def test_woe_table_and_encode(ray_session):
+    """WoE matches the smoothed closed form per category, separates a
+    predictive category, encode stamps rows with the fitted value and
+    NULLs unseen categories; layout-invariant."""
+    from feature_fabrica_ray.pipelines import woe_encode, woe_table
+
+    rng = np.random.default_rng(43)
+    n = 3000
+    cat = rng.choice(["good", "bad", "meh"], n, p=[0.4, 0.4, 0.2])
+    p = np.where(cat == "good", 0.9, np.where(cat == "bad", 0.1, 0.5))
+    y = (rng.random(n) < p).astype(np.int64)
+    df = pd.DataFrame({"c": cat, "y": y})
+    df.loc[0, "c"] = None                       # ignored
+
+    for blocks in (1, 4):
+        out = woe_table(_ds(df, blocks=blocks), "c", "y").set_index("c")
+        sub = df.dropna(subset=["c"])
+        k = sub["c"].nunique()
+        ptot = sub["y"].sum(); ntot = (1 - sub["y"]).sum()
+        for c, grp in sub.groupby("c"):
+            pos, neg = grp["y"].sum(), (1 - grp["y"]).sum()
+            want = np.log(((pos + .5) / (ptot + .5 * k))
+                          / ((neg + .5) / (ntot + .5 * k)))
+            assert out.loc[c, "woe"] == pytest.approx(want, rel=1e-12)
+            assert int(out.loc[c, "n"]) == len(grp)
+        assert out.loc["good", "woe"] > 1.0 > -1.0 > out.loc["bad", "woe"]
+
+    enc = woe_encode(_ds(df, blocks=3), "c", "y").to_pandas()
+    tbl = woe_table(_ds(df, blocks=3), "c", "y").set_index("c")
+    for _, r in enc.head(200).iterrows():
+        if r["c"] is None or (isinstance(r["c"], float) and pd.isna(r["c"])):
+            assert pd.isna(r["woe"])
+        else:
+            assert r["woe"] == pytest.approx(tbl.loc[r["c"], "woe"])
