@@ -4975,6 +4975,32 @@ def _copurchase_edges(sf_dir: str):
     return cooccur_edges(ds, "l_orderkey", "l_partkey")
 
 
+def q_gr_bfs(sf_dir: str) -> pd.DataFrame:
+    """Multi-source BFS hop distances from parts {1,2,3} over the
+    part<->supplier graph: frontier-join expansion, one narrow hash
+    join + keyed min per round (pipelines/graph.py::bfs_hops); oracle
+    via recursive CTE."""
+    from feature_fabrica_ray.pipelines import bfs_hops
+
+    return bfs_hops(_lineitem_graph(sf_dir), [1, 2, 3], "src", "dst")
+
+
+_BFS_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT l_partkey AS src, l_suppkey + 1000000000 AS dst FROM lineitem
+  UNION ALL
+  SELECT l_suppkey + 1000000000 AS src, l_partkey AS dst FROM lineitem),
+walk(node, hop) AS (
+  SELECT unnest([1, 2, 3]), 0
+  UNION
+  SELECT e.dst, walk.hop + 1 FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.hop < 8
+)
+SELECT node, CAST(min(hop) AS BIGINT) AS hop
+FROM walk GROUP BY node ORDER BY hop, node
+"""
+
+
 def q_gr_triangles(sf_dir: str) -> pd.DataFrame:
     """Exact triangle counting: top-10 parts by the number of
     co-purchase triangles they sit in — canonical edge dedup + the
@@ -5704,6 +5730,34 @@ FROM (
 # ---------------------------------------------------------------------------
 # event-stream operators (windowed aggregate, sessionization, JSON extract)
 # ---------------------------------------------------------------------------
+
+def q_ev_streaks(sf_dir: str) -> pd.DataFrame:
+    """Longest consecutive-day activity streak + distinct active days
+    per user: distinct-(user, day) combiner, one keyed shuffle,
+    vectorized run-length pass (pipelines/events.py::activity_streaks);
+    oracle via the gaps-and-islands date - row_number() trick."""
+    from feature_fabrica_ray.pipelines import activity_streaks
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    return activity_streaks(ds, "ts", "user_id")
+
+
+_STREAKS_ORACLE = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events),
+r AS (SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d),
+g AS (SELECT user_id, day - CAST(rn AS INTEGER) AS grp,
+             count(*) AS len
+      FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
 
 def q_ev_holt(sf_dir: str) -> pd.DataFrame:
     """Holt double-exponential (level+trend) smoothing of event values
@@ -6645,6 +6699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_fd": q_vl_fd,
         "ev_ewma": q_ev_ewma,
         "ev_holt": q_ev_holt,
+        "ev_streaks": q_ev_streaks,
         "vl_schema_diff": q_vl_schema_diff,
         "dd_embedding_rows": q_dd_embedding_rows,
         "ev_gaps": q_ev_gaps,
@@ -6737,6 +6792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gr_pagerank": q_gr_pagerank,
         "gr_triangles": q_gr_triangles,
         "gr_kcore": q_gr_kcore,
+        "gr_bfs": q_gr_bfs,
         "agg_moments": q_agg_moments,
         "gr_jaccard": q_gr_jaccard,
         "ta_bm25": q_ta_bm25,
@@ -6885,6 +6941,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frames": _MM_FRAMES_ORACLE,
         "ev_window": _EV_WINDOW_ORACLE,
         "ev_ohlc": _OHLC_ORACLE,
+        "ev_streaks": _STREAKS_ORACLE,
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,
         "pr_correlation": _CORRELATION_ORACLE,
@@ -6928,6 +6985,7 @@ def oracle_sql() -> dict[str, str]:
         # gr_pagerank: iterative fixpoint -> rows-only (pytest vs power iteration)
         "gr_degree": _DEGREE_ORACLE,
         "gr_triangles": _TRIANGLES_ORACLE,
+        "gr_bfs": _BFS_ORACLE,
         "agg_moments": _MOMENTS_ORACLE,
         "gr_jaccard": _EDGE_JACCARD_ORACLE,
         "ta_bm25": _BM25_ORACLE,

@@ -1312,3 +1312,49 @@ def holt_per_key(ds, ts_col: str, key_col: str, value_col: str,
                             "trend": pd.Series([], dtype="float64"),
                             "forecast": pd.Series([], dtype="float64")})
     return out.sort_values(order_col).reset_index(drop=True)
+
+
+def activity_streaks(ds, ts_col: str, key_col: str) -> pd.DataFrame:
+    """Longest consecutive-DAY activity streak per key plus total
+    distinct active days — the engagement/retention staple ("7-day
+    streak"), the canonical gaps-and-islands application on dates.
+
+    Scale shape: per-block distinct-(key, day) combiner (so the one
+    keyed shuffle carries at most one row per key per day per block,
+    never raw events), then a vectorized sorted-diff run-length pass
+    per key group. Returns (key, n_days, max_streak) sorted by key."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            key_col: batch.column(key_col),
+            "day": pc.cast(pc.floor_temporal(
+                batch.column(ts_col).cast(pa.timestamp("us")),
+                unit="day"), pa.timestamp("us")).cast(pa.int64()),
+        })
+        return t.group_by([key_col, "day"]).aggregate([])
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(df["day"].to_numpy(np.int64)) // 86_400_000_000
+        if days.size == 0:
+            return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                                 "n_days": pd.Series([], dtype="int64"),
+                                 "max_streak": pd.Series([], dtype="int64")})
+        breaks = np.flatnonzero(np.diff(days) != 1)
+        starts = np.concatenate([[0], breaks + 1])
+        ends = np.concatenate([breaks, [days.size - 1]])
+        longest = int((ends - starts + 1).max())
+        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
+                             "n_days": np.array([days.size], np.int64),
+                             "max_streak": np.array([longest], np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby(key_col, num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                             "n_days": pd.Series([], dtype="int64"),
+                             "max_streak": pd.Series([], dtype="int64")})
+    out[key_col] = out[key_col].astype("int64")
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -43,7 +43,7 @@ from ..tuning import shuffle_partitions
 
 __all__ = ["connected_components", "star_edges", "pagerank", "degree_table",
            "canonical_edges", "triangle_count", "edge_jaccard", "kcore",
-           "cooccur_edges"]
+           "cooccur_edges", "bfs_hops"]
 
 
 def _canon2(names: list[str]):
@@ -721,3 +721,82 @@ def cooccur_edges(ds, group_col: str, item_col: str):
                            batch_size=None)
             .groupby("__bucket", num_partitions=nparts)
             .map_groups(expand, batch_format="pandas"))
+
+
+def bfs_hops(edges, sources: list[int], a_col: str = "a",
+             b_col: str = "b", max_hops: int = 50):
+    """Multi-source BFS hop distance over the undirected graph — "how
+    far is every node from the seed set" (influence radius, taint
+    propagation, repo-dependency blast zones).
+
+    Frontier expansion as data: a (node, hop) distance table seeded at
+    0 for the sources; each round joins the CURRENT FRONTIER (only the
+    rows discovered last round — not the whole table) against the
+    symmetrized edges and min-merges the neighbors in. Unreached nodes
+    never appear. Rounds = eccentricity of the seed set (small-world
+    graphs: a handful); each round is one narrow hash join + one keyed
+    min — the connected_components shuffle budget without the
+    pointer-jumping (hops must count every step). Returns a pandas
+    DataFrame (node, hop) sorted by (hop, node)."""
+    import pandas as pd
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = batch.column(b_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = a != b
+        return pa.table({"src": np.concatenate([a[keep], b[keep]]),
+                         "dst": np.concatenate([b[keep], a[keep]])})
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    nparts = shuffle_partitions()
+    n_edges = sym.count()
+    empty_out = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                              "hop": pd.Series([], dtype="int64")})
+    if n_edges == 0 or not sources:
+        return empty_out
+    sym = sym.repartition(min(nparts, n_edges)).materialize()
+
+    import ray.data as _rd
+
+    seeds = pa.table({"node": pa.array(sorted(set(int(s) for s in sources)),
+                                       pa.int64())})
+    dist = _rd.from_arrow(seeds.append_column(
+        "hop", pa.array(np.zeros(seeds.num_rows, np.int64)))).materialize()
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nf = frontier.count()
+        if nf == 0:
+            break
+        frontier = frontier.repartition(min(nparts, nf)).materialize()
+        nbr = (sym.join(frontier.select_columns(["node"]),
+                        join_type="inner", on=("src",),
+                        right_on=("node",), num_partitions=nparts)
+               .map_batches(
+                   lambda t, h=hop: pa.table(
+                       {"node": (t.column("dst").cast(pa.int64())
+                                 if "dst" in t.column_names
+                                 else pa.array([], pa.int64())),
+                        "hop": pa.array(np.full(
+                            t.num_rows if "dst" in t.column_names else 0,
+                            h, np.int64))}),
+                   batch_format="pyarrow", batch_size=None))
+        # min-merge: new frontier = neighbors at this hop that were not
+        # already reached at a smaller hop
+        merged = (dist.union(nbr)
+                  .groupby("node", num_partitions=nparts).min("hop")
+                  .map_batches(_canon2(["node", "hop"]),
+                               batch_format="pyarrow", batch_size=None)
+                  .materialize())
+        nm = merged.count()
+        merged = merged.repartition(min(nparts, nm)).materialize()
+        frontier = merged.filter(expr=f"hop == {hop}").materialize()
+        dist = merged
+        if frontier.count() == 0:
+            break
+    out = dist.to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["hop"] = out["hop"].astype("int64")
+    return out.sort_values(["hop", "node"]).reset_index(drop=True)

@@ -3067,3 +3067,65 @@ def test_woe_table_and_encode(ray_session):
             assert pd.isna(r["woe"])
         else:
             assert r["woe"] == pytest.approx(tbl.loc[r["c"], "woe"])
+
+
+def test_bfs_hops_vs_brute(ray_session):
+    """Frontier-join BFS equals brute multi-source BFS (min hop over
+    seeds) on a random graph + a planted chain; unreached components
+    are absent; empty frontier terminates early."""
+    from collections import deque
+
+    from feature_fabrica_ray.pipelines import bfs_hops
+
+    rng = np.random.default_rng(47)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 30, (60, 2))]
+    edges += [(100 + i, 101 + i) for i in range(6)]   # chain off node 100
+    edges += [(0, 100)]                                # bridge
+    edges += [(500, 501)]                              # unreachable island
+    adj = _brute_graph(edges)
+
+    def brute(srcs):
+        dist = {s: 0 for s in srcs if s in adj}
+        q = deque(dist)
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    df = pd.DataFrame(edges, columns=["a", "b"])
+    for srcs in ([0], [0, 3], [100]):
+        want = brute(srcs)
+        got = bfs_hops(_ds(df, blocks=3), srcs, "a", "b")
+        got_map = dict(zip(got["node"].astype(int), got["hop"].astype(int)))
+        assert got_map == want, srcs
+        assert 500 not in got_map and 501 not in got_map
+
+
+def test_activity_streaks(ray_session):
+    """Streaks equal the brute run-length over distinct active days
+    (planted 5-day streak with a gap, multi-event days deduped),
+    layout-invariant."""
+    from feature_fabrica_ray.pipelines import activity_streaks
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: days 0-4 (streak 5), gap, days 7-8 (streak 2); dup events
+    for d in [0, 1, 1, 2, 3, 4, 7, 8, 8]:
+        rows.append((1, base + pd.Timedelta(days=d, hours=d % 3)))
+    # user 2: single day, many events
+    for h in range(5):
+        rows.append((2, base + pd.Timedelta(hours=h)))
+    # user 3: alternating days -> max streak 1
+    for d in [0, 2, 4, 6]:
+        rows.append((3, base + pd.Timedelta(days=d)))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+
+    want = {1: (7, 5), 2: (1, 1), 3: (4, 1)}
+    for blocks in (1, 3):
+        out = activity_streaks(_ds(df, blocks=blocks), "ts", "user_id")
+        got = {int(r["user_id"]): (int(r["n_days"]), int(r["max_streak"]))
+               for _, r in out.iterrows()}
+        assert got == want, blocks
