@@ -2070,6 +2070,50 @@ GROUP BY 1
 """
 
 
+def q_jn_salted(sf_dir: str) -> pd.DataFrame:
+    """Skew-proof salted join: a planted Zipf head (half of lineitem
+    maps to part key 1) is auto-detected via SpaceSaving sketches,
+    salted on the fact side and replicated on the dimension side —
+    row-identical to the plain hash join, which is exactly what the
+    oracle checks (pipelines/join.py::salted_join)."""
+    from feature_fabrica_ray.pipelines import salted_join
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_partkey"])
+
+    def skew(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").cast(pa.int64())
+        hk = pc.if_else(pc.less(pc.bit_wise_and(pk, pa.scalar(1, pa.int64())),
+                                pa.scalar(1, pa.int64())),
+                        pa.scalar(1, pa.int64()), pk)
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_linenumber": t.column("l_linenumber"),
+                         "hk": hk})
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_retailprice"])
+    out = salted_join(li.map_batches(skew, batch_format="pyarrow",
+                                     batch_size=None),
+                      part, on="hk", right_on="p_partkey",
+                      salt=8, hot_threshold=0.05).to_pandas()
+    out = out[["l_orderkey", "l_linenumber", "hk", "p_retailprice"]]
+    for c in ("l_orderkey", "l_linenumber", "hk"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["l_orderkey", "l_linenumber"]) \
+        .reset_index(drop=True)
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_partkey % 2 = 0 THEN 1 ELSE l_partkey END AS hk,
+       p_retailprice
+FROM lineitem JOIN part
+  ON p_partkey = CASE WHEN l_partkey % 2 = 0 THEN 1 ELSE l_partkey END
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 def q_jn_shuffle(sf_dir: str) -> pd.DataFrame:
     """Large x large equi-join via Ray Data's native hash join (both
     sides hash-partition on the key — the co-group exchange the
@@ -6645,6 +6689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sm_split": q_sm_split,
         "sm_weighted": q_sm_weighted,
         "dd_embedding": q_dd_embedding,
+        "jn_salted": q_jn_salted,
         "jn_shuffle": q_jn_shuffle,
         "jn_full": q_jn_full,
         "jn_cross": q_jn_cross,
@@ -6860,6 +6905,7 @@ def oracle_sql() -> dict[str, str]:
         "sm_split": _SPLIT_ORACLE,
         "sm_weighted": _WEIGHTED_ORACLE,
         # dd_embedding: LSH blocking -> rows-only (planted-pair pytest)
+        "jn_salted": _SALTED_JOIN_ORACLE,
         "jn_shuffle": _JOIN_ORACLE,
         "jn_full": _JN_FULL_ORACLE,
         "jn_cross": _JN_CROSS_ORACLE,

@@ -12,11 +12,13 @@ the small side stays small."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["broadcast_join", "broadcast_cross_join", "broadcast_range_join",
-           "shuffle_join", "bloom_filtered_join", "join_cardinality_estimate"]
+           "shuffle_join", "bloom_filtered_join", "join_cardinality_estimate",
+           "salted_join"]
 
 _MAX_BROADCAST_ROWS = 5_000_000  # guard: a "small side" must actually be small
 
@@ -302,3 +304,82 @@ def join_cardinality_estimate(left, right, *, on: str,
     return {"nd_left": int(nd_l), "nd_right": int(nd_r),
             "nd_union": int(nd_u),
             "nd_intersect": max(int(nd_l + nd_r - nd_u), 0)}
+
+
+def salted_join(left, right, *, on: str, right_on: str | None = None,
+                salt: int = 8, hot_threshold: float = 0.01,
+                num_partitions: int | None = None):
+    """Skew-proof large x large inner equi-join: HOT keys (a Zipf head
+    that would pin one reduce partition) are SALTED on the left and
+    REPLICATED ``salt`` ways on the right, so the hot key's rows spread
+    across ``salt`` partitions instead of one straggler — the classic
+    hot-key join treatment, the join-side dual of
+    curation.salted_group_agg. Result is row-identical to the plain
+    hash join.
+
+    Hot-key detection: per-block partial key counts fold through
+    mergeable SpaceSaving sketches (KB-sized, never the key space);
+    keys whose estimated share of left rows exceeds ``hot_threshold``
+    (plus any sketch overcount) get the treatment — a handful by
+    construction. Cold keys join on salt 0 with no replication, so the
+    overhead is `salt` copies of only the hot RIGHT rows.
+
+    Inner joins only (an outer join must track unmatched rows across
+    salt replicas). Columns: the salt key is internal and dropped."""
+    import ray
+
+    from ..state import SpaceSaving, hash64
+    from ..tuning import shuffle_partitions
+    from .topk import approx_heavy_hitters
+
+    rkey = right_on or on
+    nparts = num_partitions or shuffle_partitions()
+    left = left.materialize()
+    n_left = left.count()
+    if n_left == 0:
+        return left.join(right, join_type="inner", on=(on,),
+                         right_on=(rkey,), num_partitions=nparts)
+
+    hh = approx_heavy_hitters(left, on, k=256, top=64)
+    thr = hot_threshold * n_left
+    hot = [row["v"] for _, row in hh.iterrows() if row["est"] > thr]
+    if not hot:
+        return left.join(right, join_type="inner", on=(on,),
+                         right_on=(rkey,), num_partitions=nparts)
+    hot_ref = ray.put(pa.array(pd.Series(hot)))
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_hot = pc.is_in(t.column(on), value_set=ray.get(hot_ref)
+                          .cast(t.schema.field(on).type))
+        h = hash64(np.arange(t.num_rows), seed=17) % np.uint64(salt)
+        s = np.where(is_hot.to_numpy(zero_copy_only=False), h.astype(np.int64), 0)
+        return t.append_column("__salt", pa.array(s, pa.int64()))
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_hot = pc.is_in(t.column(rkey), value_set=ray.get(hot_ref)
+                          .cast(t.schema.field(rkey).type))
+        cold = t.filter(pc.invert(is_hot)).append_column(
+            "__salt", pa.array(np.zeros(
+                int(pc.sum(pc.invert(is_hot)).as_py() or 0), np.int64)))
+        hot_t = t.filter(is_hot)
+        parts = [cold]
+        for s in range(salt):
+            parts.append(hot_t.append_column(
+                "__salt", pa.array(np.full(hot_t.num_rows, s, np.int64))))
+        return pa.concat_tables(parts)
+
+    lsalted = left.map_batches(salt_left, batch_format="pyarrow",
+                               batch_size=None).materialize()
+    rsalted = right.map_batches(replicate_right, batch_format="pyarrow",
+                                batch_size=None).materialize()
+    nr = rsalted.count()
+    rsalted = rsalted.repartition(min(nparts, max(nr, 1))).materialize()
+    lsalted = lsalted.repartition(min(nparts, max(n_left, 1))).materialize()
+    out = lsalted.join(rsalted, join_type="inner",
+                       on=(on, "__salt"), right_on=(rkey, "__salt"),
+                       num_partitions=nparts)
+    return out.drop_columns(["__salt"])

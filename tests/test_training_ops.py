@@ -3129,3 +3129,43 @@ def test_activity_streaks(ray_session):
         got = {int(r["user_id"]): (int(r["n_days"]), int(r["max_streak"]))
                for _, r in out.iterrows()}
         assert got == want, blocks
+
+
+def test_salted_join_equals_plain(ray_session):
+    """Hot-key salted join returns exactly the plain hash join's rows
+    on a Zipf-skewed key (one key = 50% of rows), including duplicate
+    right keys; no-hot-key input takes the plain path unchanged."""
+    import ray.data
+    from feature_fabrica_ray.pipelines import salted_join, shuffle_join
+
+    rng = np.random.default_rng(53)
+    n = 4000
+    keys = np.where(rng.random(n) < 0.5, 7,
+                    rng.integers(0, 200, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 200, dtype=np.int64),
+                          "rv": np.arange(0, 200, dtype=np.int64) * 10})
+    # duplicate right rows for the hot key (tests replication x dup)
+    right = pd.concat([right, pd.DataFrame({"k": [7], "rv": [999]})],
+                      ignore_index=True)
+
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    got = salted_join(lds, rds, on="k", salt=4, hot_threshold=0.05) \
+        .to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True)
+    want = shuffle_join(lds, rds, on="k").to_pandas() \
+        .sort_values(["lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]], want[["k", "lv", "rv"]])
+    assert (got["k"] == 7).sum() == 2 * (left["k"] == 7).sum()
+
+    # uniform key: no hot keys -> plain path, same rows
+    left_u = pd.DataFrame({"k": rng.integers(0, 200, 500).astype(np.int64),
+                           "lv": np.arange(500, dtype=np.int64)})
+    lu = ray.data.from_pandas(left_u).repartition(3)
+    got_u = salted_join(lu, rds, on="k", salt=4, hot_threshold=0.05) \
+        .to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True)
+    want_u = shuffle_join(lu, rds, on="k").to_pandas() \
+        .sort_values(["lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_u[["k", "lv", "rv"]], want_u[["k", "lv", "rv"]])
