@@ -3225,6 +3225,21 @@ def q_dd_embedding_rows(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_ss_pq(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization codes for every embedding (m=4 subspaces x
+    k=16 centroids = 16 bits/vector): sampled Lloyd codebooks broadcast
+    once, stateless per-block argmin encode — rows-only (seeded k-means
+    has no SQL form); pytest pins determinism + distortion
+    (pipelines/similarity.py::product_quantize)."""
+    from feature_fabrica_ray.pipelines import product_quantize
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    codes, _ = product_quantize(ds, m=4, k=16, sample_n=4096, seed=0)
+    codes["vec_id"] = codes["vec_id"].astype("int64")
+    return codes
+
+
 def q_ss_knn(sf_dir: str) -> pd.DataFrame:
     """Exact cosine k-NN GRAPH (top-5 neighbors for EVERY embedding
     row): corpus broadcast once via ray.put, per-block matmul +
@@ -6759,6 +6774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
         "dd_simhash": q_dd_simhash,
         "ss_knn": q_ss_knn,
+        "ss_pq": q_ss_pq,
         "ss_cosine_topk": q_ss_cosine_topk,
         "ss_ivf_topk": q_ss_ivf_topk,
         "ss_pca": q_ss_pca,

@@ -19,9 +19,9 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["cosine_topk", "ivf_topk", "lsh_topk", "fit_centroids",
+__all__ = ["cosine_topk", "ivf_topk", "lsh_topk", "fit_centroids", "knn_graph",
            "random_projection",
-           "quantize_embeddings", "semantic_dedup_ids",
+           "quantize_embeddings", "semantic_dedup_ids", "product_quantize",
            "normalize_embeddings", "fit_pca", "pca_project",
            "kmeans", "kmeans_assign"]
 
@@ -606,3 +606,80 @@ def knn_graph(ds, k: int = 10, vec_col: str = "embedding",
         .reset_index(drop=True)
     out["rank"] = (out.groupby("src_id").cumcount() + 1).astype("int64")
     return out[["src_id", "nbr_id", "score", "rank"]]
+
+
+def product_quantize(ds, vec_col: str = "embedding",
+                     id_col: str = "vec_id", m: int = 4, k: int = 16,
+                     sample_n: int = 4096, iters: int = 8,
+                     seed: int = 0):
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` subspaces and k-means-code each independently — m log2(k)
+    bits per vector (vs 32 bits/dim), the workhorse compression behind
+    billion-scale ANN indexes; finer-grained than the per-dimension
+    int8 path (``quantize_embeddings``) at the same budget.
+
+    Fit: one deterministic ``limit(sample_n)`` sample fits m seeded
+    Lloyd codebooks driver-side (KB-sized state, the fit_centroids
+    pattern). Encode: codebooks broadcast once via ``ray.put``; each
+    block computes m small distance matmuls and argmins — stateless,
+    zero shuffle. Returns (codes_df, codebooks) where codes_df has
+    (id, code_0..code_{m-1}, err) with err = per-row reconstruction
+    MSE, and codebooks is the (m, k, d/m) float array."""
+    import ray
+
+    samp = ds.limit(sample_n).to_pandas()
+    if samp.empty:
+        return (pd.DataFrame({id_col: pd.Series([], dtype="int64")}),
+                np.zeros((m, k, 0)))
+    S = np.asarray([np.asarray(v, np.float64) for v in samp[vec_col]])
+    d = S.shape[1]
+    if d % m:
+        raise ValueError(f"product_quantize: dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        X = S[:, j * sub:(j + 1) * sub]
+        idx = rng.choice(X.shape[0], size=min(k, X.shape[0]),
+                         replace=False)
+        C = X[idx].copy()
+        if C.shape[0] < k:                      # tiny sample: pad
+            C = np.vstack([C, C[rng.integers(0, C.shape[0],
+                                             k - C.shape[0])]])
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                pts = X[a == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        books[j] = C
+    ref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        B = ray.get(ref)
+        V = _vectors(batch, vec_col)
+        n = V.shape[0]
+        cols = {id_col: batch.column(id_col).cast(pa.int64())}
+        if n == 0:
+            for j in range(m):
+                cols[f"code_{j}"] = pa.array([], pa.int32())
+            cols["err"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        err = np.zeros(n)
+        for j in range(m):
+            X = V[:, j * sub:(j + 1) * sub]
+            C = B[j]
+            d2 = ((X ** 2).sum(axis=1, keepdims=True)
+                  - 2 * X @ C.T + (C ** 2).sum(axis=1)[None, :])
+            a = d2.argmin(axis=1)
+            err += np.maximum(np.take_along_axis(
+                d2, a[:, None], axis=1).ravel(), 0.0)
+            cols[f"code_{j}"] = pa.array(a.astype(np.int32))
+        cols["err"] = pa.array(np.round(err / V.shape[1], 6))
+        return pa.table(cols)
+
+    codes = ds.map_batches(encode, batch_format="pyarrow",
+                           batch_size=None).to_pandas() \
+        .sort_values(id_col).reset_index(drop=True)
+    return codes, books

@@ -3169,3 +3169,36 @@ def test_salted_join_equals_plain(ray_session):
         .sort_values(["lv", "rv"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got_u[["k", "lv", "rv"]], want_u[["k", "lv", "rv"]])
+
+
+def test_product_quantize(ray_session):
+    """PQ codes are deterministic and layout-invariant, reconstruction
+    MSE beats the all-zero baseline by a wide margin on clustered data,
+    and the codebook geometry is (m, k, d/m); non-divisible dim fails
+    loud."""
+    from feature_fabrica_ray.pipelines import product_quantize
+
+    rng = np.random.default_rng(59)
+    n, d = 400, 16
+    centers = rng.normal(0, 5, (8, d))
+    V = centers[rng.integers(0, 8, n)] + rng.normal(0, 0.1, (n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [r.tolist() for r in V]})
+
+    base = None
+    for blocks in (1, 4):
+        codes, books = product_quantize(_ds(df, blocks=blocks), m=4,
+                                        k=16, sample_n=400, seed=1)
+        assert books.shape == (4, 16, 4)
+        if base is None:
+            base = codes
+        else:
+            pd.testing.assert_frame_equal(codes, base)
+    assert list(base.columns) == ["vec_id", "code_0", "code_1",
+                                  "code_2", "code_3", "err"]
+    assert base[[f"code_{j}" for j in range(4)]].values.max() < 16
+    var = float((V ** 2).mean())
+    assert float(base["err"].mean()) < 0.05 * var
+
+    with pytest.raises(ValueError, match="not divisible"):
+        product_quantize(_ds(df), m=5, k=8, sample_n=100)
