@@ -351,6 +351,55 @@ def q_vl_segment_drift(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_vl_nullpattern(sf_dir: str) -> pd.DataFrame:
+    """Null-COMBINATION profile over (lang, content): row counts per
+    is-null bitmask — the missingness-structure diagnostic per-column
+    null rates cannot see; one dimension-sized group_by combiner per
+    block (pipelines/validate.py::null_pattern_profile)."""
+    from feature_fabrica_ray.pipelines import null_pattern_profile
+
+    ds = read_codetable(sf_dir, with_sha256=False)
+    return null_pattern_profile(ds, ["lang", "content"])
+
+
+_NULLPATTERN_ORACLE = CT + """
+SELECT lang IS NULL AS lang_null, content IS NULL AS content_null,
+       CAST(count(*) AS BIGINT) AS n
+FROM codetable GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_gr_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman r over
+    symmetrized edge-endpoint degrees): degree combiner + two narrow
+    joins + a six-scalar moment fold
+    (pipelines/graph.py::degree_assortativity)."""
+    from feature_fabrica_ray.pipelines import degree_assortativity
+
+    out = degree_assortativity(_copurchase_edges(sf_dir), "a", "b")
+    return pd.DataFrame({"r": [_round_away(pd.Series([out["r"]]),
+                                           6).iloc[0]],
+                         "n_edges": np.array([out["n_edges"]], np.int64)})
+
+
+_ASSORT_ORACLE = """
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+        GROUP BY node),
+pairs AS (SELECT dl.deg AS x, dh.deg AS y
+          FROM e JOIN deg dl ON dl.node = e.lo
+                 JOIN deg dh ON dh.node = e.hi),
+sym AS (SELECT x, y FROM pairs UNION ALL SELECT y, x FROM pairs)
+SELECT round(corr(x, y), 6) AS r,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges
+FROM sym
+"""
+
+
 def q_vl_reconcile(sf_dir: str) -> pd.DataFrame:
     """Cross-table SUM reconciliation (detail-to-header DQ check): the
     20 orders whose lineitem extended totals diverge most from
@@ -6664,6 +6713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_outliers": q_vl_outliers,
         "vl_outliers_iqr": q_vl_outliers_iqr,
         "vl_reconcile": q_vl_reconcile,
+        "vl_nullpattern": q_vl_nullpattern,
         "vl_stats_size": q_vl_stats_size,
         "vl_content_sha256": q_vl_content_sha256,
         "vl_distinct_repo": q_vl_distinct_repo,
@@ -6854,6 +6904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gr_triangles": q_gr_triangles,
         "gr_kcore": q_gr_kcore,
         "gr_bfs": q_gr_bfs,
+        "gr_assortativity": q_gr_assortativity,
         "agg_moments": q_agg_moments,
         "gr_jaccard": q_gr_jaccard,
         "ta_bm25": q_ta_bm25,
@@ -6883,6 +6934,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_outliers_iqr": _OUTLIERS_IQR_ORACLE,
         "tp_mix": _MIX_ORACLE,
         "vl_reconcile": _RECONCILE_ORACLE,
+        "vl_nullpattern": _NULLPATTERN_ORACLE,
         "vl_stats_size": _STATS_ORACLE,
         "vl_group_stats": _GROUP_STATS_ORACLE,
         "vl_quantile": _QUANTILE_ORACLE,
@@ -7048,6 +7100,7 @@ def oracle_sql() -> dict[str, str]:
         "gr_degree": _DEGREE_ORACLE,
         "gr_triangles": _TRIANGLES_ORACLE,
         "gr_bfs": _BFS_ORACLE,
+        "gr_assortativity": _ASSORT_ORACLE,
         "agg_moments": _MOMENTS_ORACLE,
         "gr_jaccard": _EDGE_JACCARD_ORACLE,
         "ta_bm25": _BM25_ORACLE,

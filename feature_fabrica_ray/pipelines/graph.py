@@ -43,7 +43,7 @@ from ..tuning import shuffle_partitions
 
 __all__ = ["connected_components", "star_edges", "pagerank", "degree_table",
            "canonical_edges", "triangle_count", "edge_jaccard", "kcore",
-           "cooccur_edges", "bfs_hops"]
+           "cooccur_edges", "bfs_hops", "degree_assortativity"]
 
 
 def _canon2(names: list[str]):
@@ -800,3 +800,82 @@ def bfs_hops(edges, sources: list[int], a_col: str = "a",
     out["node"] = out["node"].astype("int64")
     out["hop"] = out["hop"].astype("int64")
     return out.sort_values(["hop", "node"]).reset_index(drop=True)
+
+
+def degree_assortativity(edges, a_col: str = "a", b_col: str = "b"):
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over all edges of the undirected
+    simple graph — one number separating hub-to-hub networks (r > 0,
+    social graphs) from hub-to-leaf ones (r < 0, the web, dependency
+    graphs); a drift in r flags structural change before any
+    per-node metric moves.
+
+    Cost: canonical edge dedup + the degree combiner + TWO narrow hash
+    joins to stamp endpoint degrees, then a six-scalar moment fold per
+    block (each edge contributes both orientations, the standard
+    symmetrization). Returns {"r": float, "n_edges": int} with r NaN
+    for degree-regular graphs (zero variance)."""
+    e = canonical_edges(edges, a_col, b_col)
+    nparts = shuffle_partitions()
+    m = e.count()
+    if m == 0:
+        return {"r": float("nan"), "n_edges": 0}
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table({"node": empty, "deg": empty})
+        nodes = pa.concat_arrays([
+            t.column("lo").cast(pa.int64()).combine_chunks(),
+            t.column("hi").cast(pa.int64()).combine_chunks()])
+        g = pa.table({"node": nodes}).group_by("node") \
+            .aggregate([([], "count_all")])
+        return pa.table({"node": g.column("node"),
+                         "deg": g.column("count_all").cast(pa.int64())})
+
+    deg = (e.map_batches(deg_partial, batch_format="pyarrow",
+                         batch_size=None)
+           .groupby("node", num_partitions=nparts).sum("deg")
+           .map_batches(_canon2(["node", "deg"]), batch_format="pyarrow",
+                        batch_size=None)
+           .materialize())
+    nd = deg.count()
+    deg = deg.repartition(min(nparts, max(nd, 1))).materialize()
+    d_lo = deg.map_batches(_canon2(["lo", "deg_lo"]),
+                           batch_format="pyarrow", batch_size=None) \
+        .materialize()
+    d_hi = deg.map_batches(_canon2(["hi", "deg_hi"]),
+                           batch_format="pyarrow", batch_size=None) \
+        .materialize()
+    out = e.join(d_lo, join_type="inner", on=("lo",),
+                 num_partitions=nparts).materialize()
+    out = out.repartition(min(nparts, max(out.count(), 1))).materialize()
+    out = out.join(d_hi, join_type="inner", on=("hi",),
+                   num_partitions=nparts)
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "deg_lo" not in t.column_names:
+            z = pa.array([0.0], pa.float64())
+            return pa.table({"n": z, "sx": z, "sy": z, "sxx": z,
+                             "syy": z, "sxy": z})
+        x = t.column("deg_lo").cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        y = t.column("deg_hi").cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        # symmetrize: each undirected edge counted in both orientations
+        xs = np.concatenate([x, y]); ys = np.concatenate([y, x])
+        return pa.table({"n": pa.array([float(xs.size)]),
+                         "sx": pa.array([xs.sum()]),
+                         "sy": pa.array([ys.sum()]),
+                         "sxx": pa.array([(xs * xs).sum()]),
+                         "syy": pa.array([(ys * ys).sum()]),
+                         "sxy": pa.array([(xs * ys).sum()])})
+
+    p = out.map_batches(moments, batch_format="pyarrow",
+                        batch_size=None).to_pandas().sum()
+    n, sx, sy = p["n"], p["sx"], p["sy"]
+    cov = p["sxy"] / n - (sx / n) * (sy / n)
+    vx = p["sxx"] / n - (sx / n) ** 2
+    vy = p["syy"] / n - (sy / n) ** 2
+    r = float(cov / np.sqrt(vx * vy)) if vx > 0 and vy > 0 else float("nan")
+    return {"r": r, "n_edges": int(m)}

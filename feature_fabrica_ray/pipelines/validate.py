@@ -1337,3 +1337,36 @@ def reconcile_sums(child, parent, *, key: str, child_val: str,
                          kind="mergesort").head(top)
         viol = viol[[key, "child_sum", "parent_val", "diff"]]
     return summary, viol.reset_index(drop=True)
+
+
+def null_pattern_profile(ds, cols: list[str]):
+    """Null-COMBINATION profile: row counts per is-null bitmask over
+    ``cols`` — the missingness-structure diagnostic ("do lang and
+    content go null TOGETHER?") that per-column null rates cannot see;
+    patterns with correlated nulls usually mean a broken upstream join
+    or a partial ingest.
+
+    One per-block Arrow group_by over the is-null mask columns (at most
+    2^|cols| rows per block on the exchange — dimension-sized by
+    construction), merged driver-side. Returns a pandas DataFrame
+    (<col>_null ... , n) sorted by the mask columns."""
+    import pandas as pd
+
+    mask_cols = [f"{c}_null" for c in cols]
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pa.table({mc: pc.is_null(t.column(c))
+                      for mc, c in zip(mask_cols, cols)})
+        g = m.group_by(mask_cols).aggregate([([], "count_all")])
+        return pa.table({**{mc: g.column(mc) for mc in mask_cols},
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({**{mc: pd.Series([], dtype=bool)
+                                for mc in mask_cols},
+                             "n": pd.Series([], dtype="int64")})
+    out = parts.groupby(mask_cols, as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(mask_cols).reset_index(drop=True)

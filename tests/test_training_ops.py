@@ -3202,3 +3202,64 @@ def test_product_quantize(ray_session):
 
     with pytest.raises(ValueError, match="not divisible"):
         product_quantize(_ds(df), m=5, k=8, sample_n=100)
+
+
+def test_null_pattern_profile(ray_session):
+    """Null-combination counts equal pandas groupby over is-null masks,
+    incl. the all-null and correlated-null planted patterns."""
+    from feature_fabrica_ray.pipelines import null_pattern_profile
+
+    rng = np.random.default_rng(61)
+    n = 1000
+    df = pd.DataFrame({"a": rng.uniform(size=n),
+                       "b": rng.uniform(size=n).astype(object),
+                       "c": rng.integers(0, 5, n).astype(object)})
+    corr = rng.random(n) < 0.1          # a and b go null TOGETHER
+    df.loc[corr, ["a", "b"]] = None
+    df.loc[rng.random(n) < 0.05, "c"] = None
+
+    for blocks in (1, 4):
+        out = null_pattern_profile(_ds(df, blocks=blocks),
+                                   ["a", "b", "c"])
+        ref = df.assign(a_null=df["a"].isna(), b_null=df["b"].isna(),
+                        c_null=df["c"].isna()) \
+            .groupby(["a_null", "b_null", "c_null"]).size()
+        got = {(bool(r["a_null"]), bool(r["b_null"]), bool(r["c_null"])):
+               int(r["n"]) for _, r in out.iterrows()}
+        assert got == ref.to_dict(), blocks
+    # correlated pattern present, anticorrelated (a null, b not) absent
+    assert (True, True, False) in got
+    assert (True, False, False) not in got
+
+
+def test_degree_assortativity(ray_session):
+    """r matches numpy corrcoef over symmetrized edge-endpoint degrees:
+    a star is strongly disassortative, a cycle (regular) is NaN, and a
+    random graph matches the closed form."""
+    from feature_fabrica_ray.pipelines import degree_assortativity
+
+    def brute(edges):
+        adj = _brute_graph(edges)
+        deg = {u: len(s) for u, s in adj.items()}
+        pairs = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+        xs = [deg[a] for a, b in pairs] + [deg[b] for a, b in pairs]
+        ys = [deg[b] for a, b in pairs] + [deg[a] for a, b in pairs]
+        return float(np.corrcoef(xs, ys)[0, 1])
+
+    star = [(0, i) for i in range(1, 8)]
+    out = degree_assortativity(_ds(pd.DataFrame(star, columns=["a", "b"]),
+                                   blocks=2))
+    assert out["r"] == pytest.approx(-1.0, abs=1e-9)
+    assert out["n_edges"] == 7
+
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    out = degree_assortativity(_ds(pd.DataFrame(cycle,
+                                                columns=["a", "b"])))
+    assert np.isnan(out["r"])
+
+    rng = np.random.default_rng(67)
+    rnd = [(int(a), int(b)) for a, b in rng.integers(0, 25, (80, 2))
+           if a != b]
+    out = degree_assortativity(_ds(pd.DataFrame(rnd, columns=["a", "b"]),
+                                   blocks=3))
+    assert out["r"] == pytest.approx(brute(rnd), abs=1e-9)
