@@ -5839,6 +5839,41 @@ FROM (
 # event-stream operators (windowed aggregate, sessionization, JSON extract)
 # ---------------------------------------------------------------------------
 
+def q_ev_km(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier survival of inter-event gaps (tail gaps to the
+    global max ts right-censored): keyed diff pass + (bucket, flag)
+    count combiner + dimension-sized product-limit fold
+    (pipelines/events.py::km_survival); oracle via lead() gaps +
+    exp(sum(ln)) window product."""
+    from feature_fabrica_ray.pipelines import km_survival
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    return km_survival(ds, "ts", "user_id")
+
+
+_KM_ORACLE = """
+WITH mx AS (SELECT epoch_us(max(ts)) AS m FROM events),
+seq AS (SELECT user_id, epoch_us(ts) AS t,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts) AS nxt
+        FROM events),
+ev AS (SELECT (CASE WHEN nxt IS NULL THEN (mx.m - t)
+                    ELSE (nxt - t) END) // 1000000 AS dur_s,
+              CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS e
+       FROM seq CROSS JOIN mx),
+t AS (SELECT dur_s, sum(e) AS d, count(*) AS c FROM ev GROUP BY 1),
+o AS (SELECT dur_s, d, c, sum(c) OVER (ORDER BY dur_s) AS cum,
+             (SELECT count(*) FROM ev) AS tot FROM t),
+km AS (SELECT dur_s, d, tot - (cum - c) AS n_at_risk FROM o WHERE d > 0)
+SELECT CAST(dur_s AS BIGINT) AS dur_s,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk, CAST(d AS BIGINT) AS d,
+       round(exp(sum(ln(greatest(1.0 - d * 1.0 / n_at_risk, 1e-300)))
+                 OVER (ORDER BY dur_s)), 6) AS s
+FROM km ORDER BY dur_s
+"""
+
+
 def q_ev_streaks(sf_dir: str) -> pd.DataFrame:
     """Longest consecutive-day activity streak + distinct active days
     per user: distinct-(user, day) combiner, one keyed shuffle,
@@ -6810,6 +6845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_ewma": q_ev_ewma,
         "ev_holt": q_ev_holt,
         "ev_streaks": q_ev_streaks,
+        "ev_km": q_ev_km,
         "vl_schema_diff": q_vl_schema_diff,
         "dd_embedding_rows": q_dd_embedding_rows,
         "ev_gaps": q_ev_gaps,
@@ -7056,6 +7092,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_window": _EV_WINDOW_ORACLE,
         "ev_ohlc": _OHLC_ORACLE,
         "ev_streaks": _STREAKS_ORACLE,
+        "ev_km": _KM_ORACLE,
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,
         "pr_correlation": _CORRELATION_ORACLE,

