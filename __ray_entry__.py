@@ -400,6 +400,52 @@ FROM sym
 """
 
 
+def q_vl_typeinfer(sf_dir: str) -> pd.DataFrame:
+    """String-column type inference over a deliberately mixed derived
+    column (int strings / JSON / words by event_id % 3): fraction
+    parseable as int/float/date/bool/json via anchored RE2 kernels,
+    7-scalar combiner (pipelines/validate.py::type_inference_profile)."""
+    from feature_fabrica_ray.pipelines import type_inference_profile
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "props"])
+
+    def mix(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").cast(pa.int64())
+        # eid % 3 (no modulo kernel in this pyarrow): eid - (eid // 3) * 3
+        r = pc.subtract(eid, pc.multiply(pc.divide(eid, pa.scalar(
+            3, pa.int64())), pa.scalar(3, pa.int64())))
+        c = pc.if_else(pc.equal(r, 0), pc.cast(eid, pa.string()),
+                       pc.if_else(pc.equal(r, 1), t.column("props"),
+                                  t.column("event_type")))
+        return pa.table({"c": c})
+
+    return type_inference_profile(
+        ds.map_batches(mix, batch_format="pyarrow", batch_size=None), "c")
+
+
+_TYPEINFER_ORACLE = r"""
+WITH c AS (SELECT CASE CAST(event_id % 3 AS INT)
+                  WHEN 0 THEN CAST(event_id AS VARCHAR)
+                  WHEN 1 THEN props ELSE event_type END AS c
+           FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(c) AS BIGINT) AS nulls,
+       round(count(*) FILTER (WHERE regexp_matches(c, '^[+-]?\d+$'))
+             * 1.0 / count(c), 6) AS p_int,
+       round(count(*) FILTER (WHERE regexp_matches(c,
+             '^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$'))
+             * 1.0 / count(c), 6) AS p_float,
+       round(count(*) FILTER (WHERE regexp_matches(c,
+             '^\d{4}-\d{2}-\d{2}')) * 1.0 / count(c), 6) AS p_date,
+       round(count(*) FILTER (WHERE regexp_matches(c, '^(?i:true|false)$'))
+             * 1.0 / count(c), 6) AS p_bool,
+       round(count(*) FILTER (WHERE regexp_matches(c, '^\{.*\}$'))
+             * 1.0 / count(c), 6) AS p_json
+FROM c
+"""
+
+
 def q_vl_reconcile(sf_dir: str) -> pd.DataFrame:
     """Cross-table SUM reconciliation (detail-to-header DQ check): the
     20 orders whose lineitem extended totals diverge most from
@@ -6749,6 +6795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_outliers_iqr": q_vl_outliers_iqr,
         "vl_reconcile": q_vl_reconcile,
         "vl_nullpattern": q_vl_nullpattern,
+        "vl_typeinfer": q_vl_typeinfer,
         "vl_stats_size": q_vl_stats_size,
         "vl_content_sha256": q_vl_content_sha256,
         "vl_distinct_repo": q_vl_distinct_repo,
@@ -6971,6 +7018,7 @@ def oracle_sql() -> dict[str, str]:
         "tp_mix": _MIX_ORACLE,
         "vl_reconcile": _RECONCILE_ORACLE,
         "vl_nullpattern": _NULLPATTERN_ORACLE,
+        "vl_typeinfer": _TYPEINFER_ORACLE,
         "vl_stats_size": _STATS_ORACLE,
         "vl_group_stats": _GROUP_STATS_ORACLE,
         "vl_quantile": _QUANTILE_ORACLE,

@@ -1370,3 +1370,53 @@ def null_pattern_profile(ds, cols: list[str]):
     out = parts.groupby(mask_cols, as_index=False)["n"].sum()
     out["n"] = out["n"].astype("int64")
     return out.sort_values(mask_cols).reset_index(drop=True)
+
+
+_TYPE_PATTERNS = {
+    "p_int": r"^[+-]?\d+$",
+    "p_float": r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$",
+    "p_date": r"^\d{4}-\d{2}-\d{2}",
+    "p_bool": r"^(?i:true|false)$",
+    "p_json": r"^\{.*\}$",
+}
+
+
+def type_inference_profile(ds, col: str):
+    """Ingest-time "what IS this string column" profiler: the fraction
+    of non-null values that parse as int / float / ISO date / bool /
+    JSON object, plus row and null counts — the evidence for tightening
+    a stringly-typed schema (the profile behind ``infer_checks``'
+    dtype expectations; a column that is 99.8% int with 0.2% junk is a
+    cast-with-quarantine, not a string).
+
+    All five detectors are anchored RE2 kernels over the batch (one
+    vectorized pass each); per-block counts fold through a 7-scalar
+    combiner. Patterns are DuckDB ``regexp_matches`` parity so the
+    fractions are SQL-checkable. Returns one row: (n, nulls, p_int,
+    p_float, p_date, p_bool, p_json) with fractions of NON-NULL rows
+    rounded to 6 (NaN if all null)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        c = c.cast(pa.string())
+        valid = pc.is_valid(c)
+        nn = int(pc.sum(pc.cast(valid, pa.int64())).as_py() or 0)
+        out = {"n": pa.array([t.num_rows], pa.int64()),
+               "nn": pa.array([nn], pa.int64())}
+        for name, pat in _TYPE_PATTERNS.items():
+            m = pc.match_substring_regex(c, pat)
+            cnt = int(pc.sum(pc.cast(pc.and_(valid, m), pa.int64()))
+                      .as_py() or 0)
+            out[name] = pa.array([cnt], pa.int64())
+        return pa.table(out)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas().sum()
+    n, nn = int(parts["n"]), int(parts["nn"])
+    row = {"n": np.int64(n), "nulls": np.int64(n - nn)}
+    for name in _TYPE_PATTERNS:
+        row[name] = round(parts[name] / nn, 6) if nn else np.nan
+    return pd.DataFrame([row])

@@ -3300,3 +3300,28 @@ def test_km_survival_vs_reference(ray_session):
     pd.testing.assert_frame_equal(a, b)
     sv = a["s"].to_numpy()
     assert (np.diff(sv) <= 1e-12).all() and (sv >= 0).all() and sv[0] <= 1
+
+
+def test_type_inference_profile(ray_session):
+    """Detector fractions equal hand counts on a planted mixed column
+    (ints, floats, sci-notation, dates, bools, json, junk, nulls);
+    int strings also count as floats (SQL-parity patterns)."""
+    from feature_fabrica_ray.pipelines import type_inference_profile
+
+    vals = (["42", "-7", "+3"]                      # int (and float)
+            + ["3.14", ".5", "2e10", "-1.5E-3"]     # float only
+            + ["2024-01-31", "1999-12-31T23:59"]    # date prefix
+            + ["true", "FALSE"]                      # bool
+            + ['{"k": 1}', "{}"]                     # json object
+            + ["hello", "12abc", ""]                 # junk
+            + [None, None])
+    df = pd.DataFrame({"c": vals})
+    nn = len(vals) - 2
+    for blocks in (1, 3):
+        out = type_inference_profile(_ds(df, blocks=blocks), "c").iloc[0]
+        assert int(out["n"]) == len(vals) and int(out["nulls"]) == 2
+        assert out["p_int"] == round(3 / nn, 6)
+        assert out["p_float"] == round(7 / nn, 6)
+        assert out["p_date"] == round(2 / nn, 6)
+        assert out["p_bool"] == round(2 / nn, 6)
+        assert out["p_json"] == round(2 / nn, 6)
