@@ -1454,6 +1454,47 @@ phase:
 """
 
 
+def q_ft_boxcox(sf_dir: str) -> pd.DataFrame:
+    """Box-Cox with grid-MLE fitted λ over extendedprice: ONE streaming
+    pass computes the (n, Σy, Σy²) profile for all 21 grid λ plus
+    Σ ln x (a widened z_score-style two-phase fit), then a stateless
+    transform (pipelines/quantiles.py::boxcox_lambda_fit/
+    boxcox_transform); oracle recomputes the same grid argmax in SQL."""
+    from feature_fabrica_ray.pipelines import (boxcox_lambda_fit,
+                                               boxcox_transform)
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_extendedprice"])
+    fit = boxcox_lambda_fit(ds, "l_extendedprice")
+    out = boxcox_transform(ds, "l_extendedprice", lam=fit["lam"],
+                           out_col="x_bc").to_pandas()
+    out["x_bc"] = _round_away(out["x_bc"], 6)
+    out["lam"] = float(fit["lam"])
+    return out[["l_orderkey", "l_linenumber", "x_bc", "lam"]] \
+        .sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+_BOXCOX_ORACLE = """
+WITH grid AS (SELECT round(-2 + 0.2 * i, 2) AS lam
+              FROM (SELECT unnest(generate_series(0, 20)) AS i)),
+x AS (SELECT l_orderkey, l_linenumber, l_extendedprice AS v
+      FROM lineitem WHERE l_extendedprice > 0),
+ll AS (SELECT g.lam,
+              -0.5 * count(*) * ln(var_pop(
+                  CASE WHEN g.lam = 0 THEN ln(v)
+                       ELSE (pow(v, g.lam) - 1) / g.lam END))
+              + (g.lam - 1) * sum(ln(v)) AS loglik
+       FROM x CROSS JOIN grid g GROUP BY g.lam),
+best AS (SELECT lam FROM ll ORDER BY loglik DESC, lam LIMIT 1)
+SELECT l_orderkey, l_linenumber,
+       round(CASE WHEN b.lam = 0 THEN ln(v)
+                  ELSE (pow(v, b.lam) - 1) / b.lam END, 6) AS x_bc,
+       b.lam AS lam
+FROM x CROSS JOIN best b ORDER BY l_orderkey, l_linenumber
+"""
+
+
 def q_ft_woe(sf_dir: str) -> pd.DataFrame:
     """Weight-of-Evidence encoding table per event_type against the
     binary target value > 50 (add-0.5 smoothing): one (pos, neg)
@@ -6818,6 +6859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_datetime2": q_ft_datetime2,
         "ft_cyclic": q_ft_cyclic,
         "ft_woe": q_ft_woe,
+        "ft_boxcox": q_ft_boxcox,
         "ft_datetime": q_ft_datetime,
         "ft_group_reduce": q_ft_group_reduce,
         "ft_encoders": q_ft_encoders,
@@ -7040,6 +7082,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_datetime2": _DATETIME2_ORACLE,
         "ft_cyclic": _CYCLIC_ORACLE,
         "ft_woe": _WOE_ORACLE,
+        "ft_boxcox": _BOXCOX_ORACLE,
         "ft_datetime": _DATETIME_ORACLE,
         "ft_group_reduce": _GROUP_ORACLE,
         "ft_encoders": _ENCODER_ORACLE,

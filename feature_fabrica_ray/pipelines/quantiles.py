@@ -359,3 +359,82 @@ def lorenz_deciles(ds, col: str) -> pd.DataFrame:
     return pd.DataFrame({"decile": deciles,
                          "k": np.array(ks, np.int64),
                          "cum_share": shares})
+
+
+def boxcox_lambda_fit(ds, col: str, grid=None) -> dict:
+    """Grid-search Box-Cox λ by maximum log-likelihood — the fitted
+    variance-stabilizing power transform (sklearn PowerTransformer's
+    method='box-cox'): for each candidate λ the profile log-likelihood
+    is  -n/2 · ln(var(y_λ)) + (λ-1)·Σ ln x  with
+    y_λ = (x^λ - 1)/λ (λ≠0) or ln x (λ=0); positive values only.
+
+    ONE streaming pass computes, per block, (n, Σy, Σy²) for EVERY
+    grid λ plus Σ ln x — a (|grid|+1)-row combiner per block, merged
+    exactly on the driver (the z_score two-phase-fit shape, widened to
+    a grid). Returns {"lam": float, "loglik": float, "n": int}."""
+    import pandas as pd
+
+    grid = [round(g, 2) for g in (grid if grid is not None
+                                  else np.linspace(-2, 2, 21))]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        x = x[np.isfinite(x) & (x > 0)]
+        lams, s1, s2 = [], [], []
+        lnx = float(np.log(x).sum()) if x.size else 0.0
+        for lam in grid:
+            y = np.log(x) if lam == 0 else (x ** lam - 1.0) / lam
+            lams.append(lam)
+            s1.append(float(y.sum()))
+            s2.append(float((y * y).sum()))
+        return pa.table({"lam": pa.array(lams, pa.float64()),
+                         "n": pa.array([x.size] * len(grid), pa.int64()),
+                         "s1": pa.array(s1), "s2": pa.array(s2),
+                         "slnx": pa.array([lnx] * len(grid))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    g = parts.groupby("lam").sum()
+    best_lam, best_ll, n_tot = None, -np.inf, 0
+    for lam, row in g.iterrows():
+        n = int(row["n"])
+        if n < 2:
+            continue
+        mean = row["s1"] / n
+        var = row["s2"] / n - mean * mean
+        if var <= 0:
+            continue
+        ll = -0.5 * n * np.log(var) + (lam - 1.0) * row["slnx"]
+        n_tot = n
+        if ll > best_ll:
+            best_lam, best_ll = float(lam), float(ll)
+    return {"lam": best_lam, "loglik": best_ll, "n": n_tot}
+
+
+def boxcox_transform(ds, col: str, lam: float | None = None,
+                     out_col: str | None = None):
+    """Apply Box-Cox with a given λ (or fit it first via
+    ``boxcox_lambda_fit``) — stateless vectorized map; non-positive /
+    null inputs yield NULL."""
+    if lam is None:
+        lam = boxcox_lambda_fit(ds, col)["lam"]
+    out_col = out_col or f"{col}_bc"
+    lam_f = float(lam)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        x = batch.column(col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        ok = np.isfinite(x) & (x > 0)
+        y = np.full(x.size, np.nan)
+        if lam_f == 0.0:
+            y[ok] = np.log(x[ok])
+        else:
+            y[ok] = (x[ok] ** lam_f - 1.0) / lam_f
+        arr = pa.array(y, pa.float64())
+        arr = pc.if_else(pa.array(ok), arr, pa.nulls(x.size, pa.float64()))
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

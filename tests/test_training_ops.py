@@ -3325,3 +3325,44 @@ def test_type_inference_profile(ray_session):
         assert out["p_date"] == round(2 / nn, 6)
         assert out["p_bool"] == round(2 / nn, 6)
         assert out["p_json"] == round(2 / nn, 6)
+
+
+def test_boxcox_fit_and_transform(ray_session):
+    """Grid MLE recovers the generating power: squared-normal data fits
+    lam ~ 0.5, lognormal fits lam ~ 0; transform matches the closed
+    form, NULLs non-positive inputs, and the fitted output is less
+    skewed than the input; layout-invariant."""
+    from feature_fabrica_ray.pipelines import (boxcox_lambda_fit,
+                                               boxcox_transform)
+
+    rng = np.random.default_rng(73)
+    sq = pd.DataFrame({"x": rng.normal(10, 1, 6000) ** 2})
+    ln = pd.DataFrame({"x": rng.lognormal(0.5, 0.7, 6000)})
+
+    fit_sq = boxcox_lambda_fit(_ds(sq, blocks=4), "x")
+    fit_ln = boxcox_lambda_fit(_ds(ln, blocks=4), "x")
+    assert abs(fit_sq["lam"] - 0.5) <= 0.2, fit_sq
+    assert abs(fit_ln["lam"] - 0.0) <= 0.2, fit_ln
+    assert boxcox_lambda_fit(_ds(sq, blocks=1), "x") == fit_sq
+
+    df = pd.DataFrame({"x": [1.0, 4.0, 0.0, -3.0, np.nan, 9.0]})
+    out = boxcox_transform(_ds(df, blocks=2), "x", lam=0.5).to_pandas()
+    want = [(1 - 1) / .5, (2 - 1) / .5, None, None, None, (3 - 1) / .5]
+    for got, w in zip(out["x_bc"], want):
+        if w is None:
+            assert pd.isna(got)
+        else:
+            assert got == pytest.approx(w, rel=1e-12)
+    # lam = 0 -> ln x
+    out0 = boxcox_transform(_ds(df, blocks=2), "x", lam=0.0).to_pandas()
+    assert out0["x_bc"].iloc[1] == pytest.approx(np.log(4.0))
+
+    # fitted transform reduces skew on the lognormal sample
+    def skew(a):
+        a = np.asarray(a, float)
+        m = a.mean(); s = a.std()
+        return float(((a - m) ** 3).mean() / s ** 3)
+
+    enc = boxcox_transform(_ds(ln, blocks=3), "x",
+                           lam=fit_ln["lam"]).to_pandas()
+    assert abs(skew(enc["x_bc"])) < abs(skew(ln["x"])) / 3
