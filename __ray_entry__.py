@@ -5006,6 +5006,42 @@ SELECT a, b, n_pair, pmi FROM scored ORDER BY pmi DESC, a, b LIMIT 20
 """
 
 
+def q_pr_calibration(sf_dir: str) -> pd.DataFrame:
+    """Reliability curve of value/100 as a 'purchase' score: fixed-grid
+    (n, Σscore, Σlabel) combiner, per-bin observed-vs-predicted gap
+    (pipelines/grouped.py::calibration_bins)."""
+    from feature_fabrica_ray.pipelines import calibration_bins
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": pc.divide(t.column("value"), pa.scalar(100.0)),
+            "y": pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                         pa.int64())})
+
+    return calibration_bins(ds.map_batches(derive, batch_format="pyarrow",
+                                           batch_size=None), "s", "y",
+                            n_bins=10)
+
+
+_CALIBRATION_ORACLE = """
+WITH b AS (SELECT CAST(least(greatest(floor(value / 100.0 * 10), 0), 9)
+                       AS BIGINT) AS bin_id,
+                  value / 100.0 AS s,
+                  CASE WHEN event_type = 'purchase' THEN 1.0
+                       ELSE 0.0 END AS y
+           FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL)
+SELECT bin_id, round(bin_id / 10.0, 6) AS lo,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(s), 6) AS mean_score, round(avg(y), 6) AS pos_rate,
+       round(round(avg(y), 6) - round(avg(s), 6), 6) AS gap
+FROM b GROUP BY bin_id ORDER BY bin_id
+"""
+
+
 def q_pr_welch(sf_dir: str) -> pd.DataFrame:
     """Welch's unequal-variance t-test between the click and error
     event segments: one algebraic (n, Σx, Σx²) combiner pass with a
@@ -7037,6 +7073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_entropy": q_ta_entropy,
         "ta_zlib": q_ta_zlib,
         "pr_welch": q_pr_welch,
+        "pr_calibration": q_pr_calibration,
         "pr_hist2d": q_pr_hist2d,
         "dd_ngram_overlap": q_dd_ngram_overlap,
         "gr_degree": q_gr_degree,
@@ -7235,6 +7272,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_pmi": _PMI_ORACLE,
         "ta_entropy": _CHAR_ENTROPY_ORACLE,
         "pr_welch": _WELCH_ORACLE,
+        "pr_calibration": _CALIBRATION_ORACLE,
         "pr_hist2d": _HIST2D_ORACLE,
         "dd_ngram_overlap": _NGRAM_OVERLAP_ORACLE,
         # agg_hll_setops: sketch estimates -> rows-only (pytest bounds)

@@ -2123,3 +2123,56 @@ def woe_encode(ds, cat_col: str, label_col: str, smoothing: float = 0.5,
         return t.append_column(out_col, pa.array(out, pa.float64()))
 
     return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+
+
+def calibration_bins(ds, score_col: str, label_col: str,
+                     n_bins: int = 10) -> pd.DataFrame:
+    """Reliability / calibration curve: scores bucketed onto a fixed
+    [0, 1) grid, each bin reporting mean predicted score vs observed
+    positive rate — "does 0.8 mean 80%"; the gap column is the per-bin
+    calibration error (ECE's summands).
+
+    Fixed-grid combiner (histogram_fixed shape): each block emits at
+    most n_bins rows of (n, Σscore, Σlabel); merge is exact addition.
+    Scores clamp to the edge bins; null score/label pairs are dropped.
+    Returns (bin_id, lo, n, mean_score, pos_rate, gap) rounded to 6,
+    only bins with n > 0."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([score_col, label_col]).filter(
+            pc.and_(pc.is_valid(batch.column(score_col)),
+                    pc.is_valid(batch.column(label_col))))
+        if t.num_rows == 0:
+            return pa.table({"bin_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "ss": pa.array([], pa.float64()),
+                             "sl": pa.array([], pa.float64())})
+        s = t.column(score_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        y = t.column(label_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        b = np.clip(np.floor(s * n_bins), 0, n_bins - 1).astype(np.int64)
+        n = np.bincount(b, minlength=n_bins)
+        ss = np.bincount(b, weights=s, minlength=n_bins)
+        sl = np.bincount(b, weights=y, minlength=n_bins)
+        keep = n > 0
+        return pa.table({"bin_id": pa.array(np.arange(n_bins)[keep]),
+                         "n": pa.array(n[keep].astype(np.int64)),
+                         "ss": pa.array(ss[keep]),
+                         "sl": pa.array(sl[keep])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"bin_id": pd.Series([], dtype="int64"),
+                             "lo": [], "n": pd.Series([], dtype="int64"),
+                             "mean_score": [], "pos_rate": [], "gap": []})
+    g = parts.groupby("bin_id", as_index=False).sum()
+    out = pd.DataFrame({
+        "bin_id": g["bin_id"].astype("int64"),
+        "lo": np.round(g["bin_id"] / n_bins, 6),
+        "n": g["n"].astype("int64"),
+        "mean_score": np.round(g["ss"] / g["n"], 6),
+        "pos_rate": np.round(g["sl"] / g["n"], 6)})
+    out["gap"] = np.round(out["pos_rate"] - out["mean_score"], 6)
+    return out.sort_values("bin_id").reset_index(drop=True)

@@ -3366,3 +3366,33 @@ def test_boxcox_fit_and_transform(ray_session):
     enc = boxcox_transform(_ds(ln, blocks=3), "x",
                            lam=fit_ln["lam"]).to_pandas()
     assert abs(skew(enc["x_bc"])) < abs(skew(ln["x"])) / 3
+
+
+def test_calibration_bins(ray_session):
+    """A perfectly calibrated score has per-bin gap ~ 0; a biased score
+    shows it; counts/means equal pandas reference; clamping puts
+    out-of-range scores in the edge bins."""
+    from feature_fabrica_ray.pipelines import calibration_bins
+
+    rng = np.random.default_rng(79)
+    n = 20000
+    s = rng.random(n)
+    df = pd.DataFrame({"s": s, "y": (rng.random(n) < s).astype(np.int64)})
+    df.loc[0, "s"] = 1.5                # clamps into the top bin
+    df.loc[1, "s"] = -0.2               # clamps into bin 0
+
+    out = calibration_bins(_ds(df, blocks=4), "s", "y", n_bins=10)
+    ref_b = np.clip(np.floor(df["s"] * 10), 0, 9).astype(int)
+    ref = df.groupby(ref_b).agg(n=("s", "size"), ms=("s", "mean"),
+                                pr=("y", "mean"))
+    assert out["n"].tolist() == ref["n"].tolist()
+    np.testing.assert_allclose(out["mean_score"], np.round(ref["ms"], 6),
+                               atol=2e-6)
+    np.testing.assert_allclose(out["pos_rate"], np.round(ref["pr"], 6),
+                               atol=2e-6)
+    assert out["gap"].abs().max() < 0.05      # calibrated
+
+    biased = calibration_bins(
+        _ds(df.assign(s=np.clip(df["s"] * 0.5, 0, 1)), blocks=2),
+        "s", "y", n_bins=10)
+    assert biased["gap"].max() > 0.2          # under-confident score
