@@ -5962,6 +5962,37 @@ FROM (
 # event-stream operators (windowed aggregate, sessionization, JSON extract)
 # ---------------------------------------------------------------------------
 
+def q_ev_rfm(sf_dir: str) -> pd.DataFrame:
+    """RFM features per user (recency/frequency/monetary + inverted-
+    recency quantile scores with cume_dist tie semantics): one
+    algebraic per-key combiner + dimension-sized CDF scoring
+    (pipelines/events.py::rfm_features)."""
+    from feature_fabrica_ray.pipelines import rfm_features
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+    return rfm_features(ds, "ts", "user_id", "value", k=5)
+
+
+_RFM_ORACLE = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+g AS (SELECT user_id,
+             CAST((epoch_us(mx.m) - epoch_us(max(ts))) // 1000000
+                  AS BIGINT) AS recency_s,
+             CAST(count(*) AS BIGINT) AS frequency,
+             sum(value) AS mon_raw
+      FROM events CROSS JOIN mx GROUP BY user_id, mx.m)
+SELECT user_id, recency_s, frequency, round(mon_raw, 6) AS monetary,
+       CAST(6 - ceil(cume_dist() OVER (ORDER BY recency_s) * 5)
+            AS BIGINT) AS r_score,
+       CAST(ceil(cume_dist() OVER (ORDER BY frequency) * 5)
+            AS BIGINT) AS f_score,
+       CAST(ceil(cume_dist() OVER (ORDER BY mon_raw) * 5)
+            AS BIGINT) AS m_score
+FROM g ORDER BY user_id
+"""
+
+
 def q_ev_km(sf_dir: str) -> pd.DataFrame:
     """Kaplan-Meier survival of inter-event gaps (tail gaps to the
     global max ts right-censored): keyed diff pass + (bucket, flag)
@@ -6971,6 +7002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_holt": q_ev_holt,
         "ev_streaks": q_ev_streaks,
         "ev_km": q_ev_km,
+        "ev_rfm": q_ev_rfm,
         "vl_schema_diff": q_vl_schema_diff,
         "dd_embedding_rows": q_dd_embedding_rows,
         "ev_gaps": q_ev_gaps,
@@ -7221,6 +7253,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_ohlc": _OHLC_ORACLE,
         "ev_streaks": _STREAKS_ORACLE,
         "ev_km": _KM_ORACLE,
+        "ev_rfm": _RFM_ORACLE,
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,
         "pr_correlation": _CORRELATION_ORACLE,

@@ -1427,3 +1427,74 @@ def km_survival(ds, ts_col: str, key_col: str,
                          "n_at_risk": n_at_risk[keep].astype("int64"),
                          "d": d[keep].astype("int64"),
                          "s": np.round(s, 6)}).reset_index(drop=True)
+
+
+def rfm_features(ds, ts_col: str, key_col: str, value_col: str,
+                 as_of=None, k: int = 5) -> pd.DataFrame:
+    """RFM customer features: Recency (seconds since the key's last
+    event, relative to ``as_of`` — default the global max ts),
+    Frequency (event count) and Monetary (value sum), each scored into
+    ``k`` quantile bands — the classic segmentation feature block.
+
+    One algebraic (max ts, count, sum) combiner per key (per-block
+    Arrow group_by partials, one keyed merge), then the band edges come
+    from the per-metric empirical CDF of the KEY-level table
+    (dimension-sized). Scores use cume_dist semantics:
+    score = ceil(cume_dist * k), recency INVERTED (most recent = k) —
+    ties share a band exactly as SQL ntile-by-cume_dist would.
+    Returns (key, recency_s, frequency, monetary, r_score, f_score,
+    m_score)."""
+    from ray.data.aggregate import Max
+
+    if as_of is None:
+        as_of = ds.aggregate(Max(ts_col))[f"max({ts_col})"]
+    as_of_us = pa.scalar(as_of).cast(pa.timestamp("us")).cast(pa.int64()) \
+        .as_py()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            key_col: batch.column(key_col),
+            "ts": batch.column(ts_col).cast(pa.timestamp("us"))
+                  .cast(pa.int64()),
+            "v": batch.column(value_col).cast(pa.float64()),
+        })
+        g = t.group_by(key_col).aggregate(
+            [("ts", "max"), ("v", "count", pc.CountOptions(mode="all")),
+             ("v", "sum")])
+        return pa.table({key_col: g.column(key_col),
+                         "last_ts": g.column("ts_max"),
+                         "freq": g.column("v_count").cast(pa.int64()),
+                         "mon": g.column("v_sum").cast(pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({key_col: pd.Series([], dtype="int64")})
+    g = parts.groupby(key_col, as_index=False).agg(
+        last_ts=("last_ts", "max"), freq=("freq", "sum"),
+        mon=("mon", "sum"))
+    g["recency_s"] = ((as_of_us - g["last_ts"]) // 1_000_000) \
+        .astype("int64")
+    g["frequency"] = g["freq"].astype("int64")
+    g["monetary"] = g["mon"]
+
+    def cume_score(vals: np.ndarray, invert: bool) -> np.ndarray:
+        order = np.argsort(vals, kind="mergesort")
+        ranks = np.empty(vals.size, np.int64)
+        # cume_dist with ties: rank of the LAST tied element
+        sv = vals[order]
+        last_of_run = np.searchsorted(sv, sv, side="right")
+        ranks[order] = last_of_run
+        cd = ranks / vals.size
+        sc = np.ceil(cd * k).astype(np.int64)
+        return (k + 1 - sc) if invert else sc
+
+    out = pd.DataFrame({
+        key_col: g[key_col].astype("int64"),
+        "recency_s": g["recency_s"],
+        "frequency": g["frequency"],
+        "monetary": np.round(g["monetary"], 6),
+        "r_score": cume_score(g["recency_s"].to_numpy(np.float64), True),
+        "f_score": cume_score(g["frequency"].to_numpy(np.float64), False),
+        "m_score": cume_score(g["monetary"].to_numpy(np.float64), False)})
+    return out.sort_values(key_col).reset_index(drop=True)

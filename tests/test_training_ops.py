@@ -3396,3 +3396,44 @@ def test_calibration_bins(ray_session):
         _ds(df.assign(s=np.clip(df["s"] * 0.5, 0, 1)), blocks=2),
         "s", "y", n_bins=10)
     assert biased["gap"].max() > 0.2          # under-confident score
+
+
+def test_rfm_features(ray_session):
+    """R/F/M values match pandas aggregates; quantile scores follow
+    cume_dist semantics with recency inverted (most recent = k); ties
+    share a band; layout-invariant."""
+    from feature_fabrica_ray.pipelines import rfm_features
+
+    base = pd.Timestamp("2024-01-01")
+    rng = np.random.default_rng(83)
+    rows = []
+    for u in range(20):
+        for _ in range(int(rng.integers(1, 15))):
+            rows.append((u, base + pd.Timedelta(
+                seconds=int(rng.integers(0, 10_000))),
+                float(np.round(rng.uniform(1, 50), 2))))
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+
+    outs = [rfm_features(_ds(df, blocks=b), "ts", "user_id", "value")
+            for b in (1, 4)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0].set_index("user_id")
+
+    as_of = df["ts"].max()
+    ref = df.groupby("user_id").agg(last=("ts", "max"),
+                                    freq=("ts", "size"),
+                                    mon=("value", "sum"))
+    for u, r in ref.iterrows():
+        assert int(out.loc[u, "recency_s"]) == int(
+            (as_of - r["last"]).total_seconds())
+        assert int(out.loc[u, "frequency"]) == int(r["freq"])
+        assert out.loc[u, "monetary"] == pytest.approx(round(r["mon"], 6))
+    # cume_dist scoring reference
+    cd = ref["freq"].rank(method="max", pct=True)
+    want_f = np.ceil(cd * 5).astype(int)
+    assert (out.loc[ref.index, "f_score"].to_numpy()
+            == want_f.to_numpy()).all()
+    cd_r = out["recency_s"].rank(method="max", pct=True)
+    want_r = 6 - np.ceil(cd_r * 5).astype(int)
+    assert (out["r_score"].to_numpy() == want_r.to_numpy()).all()
+    assert set(out["m_score"]) <= set(range(1, 6))
