@@ -3361,6 +3361,24 @@ def q_dd_embedding_rows(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_ss_mmr(sf_dir: str) -> pd.DataFrame:
+    """Maximal-Marginal-Relevance diverse top-10 for query vec_id=0:
+    broadcast cosine fan-out for the candidate pool, pruned vector
+    fetch, driver-side greedy over the bounded candidate matrix —
+    rows-only (greedy selection has no SQL form); pytest pins the
+    de-crowding behavior (pipelines/similarity.py::mmr_topk)."""
+    from feature_fabrica_ray.pipelines import mmr_topk
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    qdf = ds.filter(expr="vec_id == 0").to_pandas()
+    q = np.asarray(qdf["embedding"].iloc[0], dtype=np.float64)
+    out = mmr_topk(ds, q, k=10, lam=0.7, candidates=50)
+    out["rank"] = out["rank"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
 def q_ss_pq(sf_dir: str) -> pd.DataFrame:
     """Product-quantization codes for every embedding (m=4 subspaces x
     k=16 centroids = 16 bits/vector): sampled Lloyd codebooks broadcast
@@ -7018,6 +7036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_simhash": q_dd_simhash,
         "ss_knn": q_ss_knn,
         "ss_pq": q_ss_pq,
+        "ss_mmr": q_ss_mmr,
         "ss_cosine_topk": q_ss_cosine_topk,
         "ss_ivf_topk": q_ss_ivf_topk,
         "ss_pca": q_ss_pca,

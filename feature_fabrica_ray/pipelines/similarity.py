@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 __all__ = ["cosine_topk", "ivf_topk", "lsh_topk", "fit_centroids", "knn_graph",
            "random_projection",
-           "quantize_embeddings", "semantic_dedup_ids", "product_quantize",
+           "quantize_embeddings", "semantic_dedup_ids", "product_quantize", "mmr_topk",
            "normalize_embeddings", "fit_pca", "pca_project",
            "kmeans", "kmeans_assign"]
 
@@ -683,3 +683,69 @@ def product_quantize(ds, vec_col: str = "embedding",
                            batch_size=None).to_pandas() \
         .sort_values(id_col).reset_index(drop=True)
     return codes, books
+
+
+def mmr_topk(ds, query: np.ndarray, k: int = 10, lam: float = 0.5,
+             candidates: int = 100, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> pd.DataFrame:
+    """Diversity-aware retrieval: Maximal Marginal Relevance (Carbonell
+    & Goldstein 1998) — greedily pick items maximizing
+    λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s), so near-
+    duplicate hits don't crowd the top-k (the dedup-at-retrieval-time
+    complement of the near-dup pipelines; λ=1 is plain top-k).
+
+    Scale shape: stage 1 is the exact broadcast ``cosine_topk`` fan-out
+    (zero shuffle) for the top-``candidates`` pool; stage 2 fetches
+    ONLY those candidates' vectors in a pruned second pass (the
+    _shingle_sets pattern); the greedy loop runs driver-side on the
+    (candidates x d) matrix — k·candidates dot products on a bounded
+    table, never the corpus. Returns (rank, vec_id, relevance,
+    mmr_score) with scores rounded to 6; deterministic id tiebreaks."""
+    import ray
+
+    q = np.asarray(query, np.float64).reshape(1, -1)
+    pool = cosine_topk(ds, q, k=candidates, vec_col=vec_col,
+                       id_col=id_col)
+    if pool.empty:
+        return pd.DataFrame({"rank": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "relevance": [], "mmr_score": []})
+    ids = pool["vec_id"].to_numpy(np.int64)
+    rel = pool["score"].to_numpy(np.float64)
+
+    id_set = pa.array(np.unique(ids), pa.int64())
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(id_col).cast(pa.int64()),
+                        value_set=id_set)
+        sel = batch.filter(mask)
+        V = _normalize(_vectors(sel, vec_col)) if sel.num_rows else \
+            np.zeros((0, q.shape[1]))
+        return pa.table({id_col: sel.column(id_col).cast(pa.int64()),
+                         "vec": pa.array([r.tolist() for r in V],
+                                         pa.list_(pa.float64()))})
+
+    rows = ds.map_batches(fetch, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    vec_of = {r[id_col]: np.asarray(r["vec"], np.float64) for r in rows}
+    V = np.stack([vec_of[i] for i in ids])
+    S = V @ V.T                                   # candidate x candidate
+
+    picked: list[int] = []
+    out_rows = []
+    avail = np.ones(ids.size, bool)
+    for rank in range(1, min(k, ids.size) + 1):
+        if picked:
+            div = S[:, picked].max(axis=1)
+        else:
+            div = np.zeros(ids.size)
+        score = lam * rel - (1.0 - lam) * div
+        score = np.where(avail, score, -np.inf)
+        order = np.lexsort((ids, -np.round(score, 12)))
+        j = order[0]
+        picked.append(j)
+        avail[j] = False
+        out_rows.append((rank, int(ids[j]), round(float(rel[j]), 6),
+                         round(float(score[j]), 6)))
+    return pd.DataFrame(out_rows, columns=["rank", "vec_id",
+                                           "relevance", "mmr_score"])

@@ -3437,3 +3437,49 @@ def test_rfm_features(ray_session):
     want_r = 6 - np.ceil(cd_r * 5).astype(int)
     assert (out["r_score"].to_numpy() == want_r.to_numpy()).all()
     assert set(out["m_score"]) <= set(range(1, 6))
+
+
+def test_mmr_topk_diversifies(ray_session):
+    """MMR with lam<1 spreads picks across planted duplicate clusters
+    where plain top-k (lam=1) drowns in the nearest cluster; greedy
+    scores match a driver reference; layout-invariant."""
+    from feature_fabrica_ray.pipelines import mmr_topk
+
+    rng = np.random.default_rng(89)
+    d = 8
+    q = rng.normal(size=d)
+    q /= np.linalg.norm(q)
+    # cluster A: 10 near-copies VERY close to the query;
+    # clusters B, C: a bit further but distinct directions
+    def cluster(center, n, eps):
+        return center[None, :] + rng.normal(0, eps, (n, d))
+    a = cluster(q + rng.normal(0, 0.05, d), 10, 0.01)
+    b_dir = q + rng.normal(0, 0.6, d)
+    c_dir = q + rng.normal(0, 0.6, d)
+    vecs = np.vstack([a, cluster(b_dir, 10, 0.01),
+                      cluster(c_dir, 10, 0.01),
+                      rng.normal(size=(30, d))])
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs), dtype=np.int64),
+                       "embedding": [r.tolist() for r in vecs]})
+
+    plain = mmr_topk(_ds(df, blocks=3), q, k=6, lam=1.0, candidates=40)
+    divers = mmr_topk(_ds(df, blocks=3), q, k=6, lam=0.5, candidates=40)
+    div2 = mmr_topk(_ds(df, blocks=1), q, k=6, lam=0.5, candidates=40)
+    pd.testing.assert_frame_equal(divers, div2)
+
+    # plain top-k drowns in the near-duplicate cluster A (ids 0..9)
+    assert (plain["vec_id"] < 10).all()
+    # MMR escapes it
+    assert not (divers["vec_id"] < 10).all()
+    # and its picks are mutually less similar than plain's
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def max_pair_sim(ids):
+        V = vn[np.asarray(ids, int)]
+        S = V @ V.T
+        np.fill_diagonal(S, -1)
+        return S.max()
+
+    assert max_pair_sim(divers["vec_id"]) < max_pair_sim(plain["vec_id"])
+    assert plain["relevance"].iloc[0] >= divers["relevance"].iloc[5]
+    assert (divers["rank"] == np.arange(1, 7)).all()
