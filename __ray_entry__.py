@@ -5980,6 +5980,35 @@ FROM (
 # event-stream operators (windowed aggregate, sessionization, JSON extract)
 # ---------------------------------------------------------------------------
 
+def q_ev_seasonal(sf_dir: str) -> pd.DataFrame:
+    """Weekly seasonal decomposition of event values: (dow, hour) mean
+    profile fit in one <=168-rows-per-block combiner pass, broadcast
+    into a stateless residual stamp
+    (pipelines/events.py::seasonal_residual)."""
+    from feature_fabrica_ray.pipelines import seasonal_residual
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "value"])
+    out = seasonal_residual(ds, "ts", "value").to_pandas()
+    out = out[["event_id", "dow", "hour", "seasonal", "residual"]]
+    out["dow"] = out["dow"].astype("int32")
+    out["hour"] = out["hour"].astype("int32")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SEASONAL_ORACLE = """
+WITH c AS (SELECT event_id,
+                  CAST(isodow(ts) - 1 AS INT) AS dow,
+                  CAST(hour(ts) AS INT) AS hour, value
+           FROM events),
+p AS (SELECT dow, hour, avg(value) AS m FROM c
+      WHERE value IS NOT NULL GROUP BY 1, 2)
+SELECT c.event_id, c.dow, c.hour,
+       round(p.m, 6) AS seasonal, round(c.value - p.m, 6) AS residual
+FROM c JOIN p USING (dow, hour) ORDER BY c.event_id
+"""
+
+
 def q_ev_rfm(sf_dir: str) -> pd.DataFrame:
     """RFM features per user (recency/frequency/monetary + inverted-
     recency quantile scores with cume_dist tie semantics): one
@@ -7021,6 +7050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_streaks": q_ev_streaks,
         "ev_km": q_ev_km,
         "ev_rfm": q_ev_rfm,
+        "ev_seasonal": q_ev_seasonal,
         "vl_schema_diff": q_vl_schema_diff,
         "dd_embedding_rows": q_dd_embedding_rows,
         "ev_gaps": q_ev_gaps,
@@ -7273,6 +7303,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_streaks": _STREAKS_ORACLE,
         "ev_km": _KM_ORACLE,
         "ev_rfm": _RFM_ORACLE,
+        "ev_seasonal": _SEASONAL_ORACLE,
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,
         "pr_correlation": _CORRELATION_ORACLE,

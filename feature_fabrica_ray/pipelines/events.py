@@ -1498,3 +1498,62 @@ def rfm_features(ds, ts_col: str, key_col: str, value_col: str,
         "f_score": cume_score(g["frequency"].to_numpy(np.float64), False),
         "m_score": cume_score(g["monetary"].to_numpy(np.float64), False)})
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def seasonal_residual(ds, ts_col: str, val_col: str):
+    """Seasonal-profile decomposition (weekly periodicity): fit the
+    mean value per (day-of-week, hour) cell — the dominant seasonal
+    pattern in operational metrics — then stamp every row with its
+    cell mean and the residual ``value - seasonal``; anomaly detection
+    and drift checks belong on the residual, not the raw series.
+
+    Two-phase fit in the z_score shape: ONE pass folds per-block
+    (cell, n, Σv) partials (<= 168 rows per block), the dimension-sized
+    profile broadcasts into a stateless vectorized stamp — raw rows
+    never shuffle. Adds int32 ``dow`` (Monday=0) / ``hour`` and float64
+    ``seasonal`` / ``residual`` columns (rounded to 6)."""
+    import ray
+
+    def cell_of(batch: pa.Table):
+        ts = batch.column(ts_col).cast(pa.timestamp("us"))
+        dow = pc.subtract(pc.day_of_week(ts, count_from_zero=False,
+                                         week_start=1),
+                          pa.scalar(1)).cast(pa.int64())
+        hour = pc.hour(ts).cast(pa.int64())
+        return dow, hour
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dow, hour = cell_of(batch)
+        t = pa.table({"cell": pc.add(pc.multiply(dow, pa.scalar(
+            24, pa.int64())), hour),
+            "v": batch.column(val_col).cast(pa.float64())}) \
+            .filter(pc.is_valid(batch.column(val_col)))
+        g = t.group_by("cell").aggregate([("v", "count"), ("v", "sum")])
+        return pa.table({"cell": g.column("cell"),
+                         "n": g.column("v_count").cast(pa.int64()),
+                         "s": g.column("v_sum").cast(pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    prof = np.full(168, np.nan)
+    if not parts.empty:
+        g = parts.groupby("cell").sum()
+        prof[g.index.to_numpy()] = (g["s"] / g["n"]).to_numpy()
+    ref = ray.put(prof)
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        profile = ray.get(ref)
+        dow, hour = cell_of(batch)
+        cell = pc.add(pc.multiply(dow, pa.scalar(24, pa.int64())),
+                      hour).to_numpy(zero_copy_only=False)
+        seas = profile[cell]
+        v = batch.column(val_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        out = batch.append_column("dow", dow.cast(pa.int32()))
+        out = out.append_column("hour", hour.cast(pa.int32()))
+        out = out.append_column("seasonal",
+                                pa.array(np.round(seas, 6), pa.float64()))
+        return out.append_column(
+            "residual", pa.array(np.round(v - seas, 6), pa.float64()))
+
+    return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)

@@ -3483,3 +3483,39 @@ def test_mmr_topk_diversifies(ray_session):
     assert max_pair_sim(divers["vec_id"]) < max_pair_sim(plain["vec_id"])
     assert plain["relevance"].iloc[0] >= divers["relevance"].iloc[5]
     assert (divers["rank"] == np.arange(1, 7)).all()
+
+
+def test_seasonal_residual(ray_session):
+    """Profile equals per-(dow,hour) means; residuals center the
+    planted weekly pattern to ~0 while raw values don't; Monday=0
+    parity with SQL isodow-1; layout-invariant."""
+    from feature_fabrica_ray.pipelines import seasonal_residual
+
+    rng = np.random.default_rng(97)
+    n = 5000
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 28 * 86400, n), "s")      # 4 full weeks
+    dow = ts.dayofweek.to_numpy()
+    hour = ts.hour.to_numpy()
+    v = 10.0 + 5.0 * (dow == 2) + 3.0 * (hour >= 12) \
+        + rng.normal(0, 0.5, n)
+    df = pd.DataFrame({"ts": ts, "value": np.round(v, 3)})
+
+    outs = [seasonal_residual(_ds(df, blocks=b), "ts", "value")
+            .to_pandas() for b in (1, 4)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    assert (out["dow"].to_numpy() == dow).all()
+    ref = df.assign(cell=dow * 24 + hour).groupby("cell")["value"].mean()
+    got_prof = out.assign(cell=out["dow"] * 24 + out["hour"]) \
+        .groupby("cell")["seasonal"].first()
+    for c in ref.index:
+        assert got_prof[c] == pytest.approx(round(ref[c], 6), abs=2e-6)
+    # residuals kill the planted seasonal structure
+    res = out["residual"].to_numpy()
+    raw_spread = df.assign(cell=dow * 24 + hour).groupby(
+        "cell")["value"].mean().std()
+    res_spread = out.assign(cell=out["dow"] * 24 + out["hour"]).groupby(
+        "cell")["residual"].mean().std()
+    assert res_spread < raw_spread / 20
+    assert abs(res.mean()) < 0.05
