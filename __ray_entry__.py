@@ -1495,6 +1495,59 @@ FROM x CROSS JOIN best b ORDER BY l_orderkey, l_linenumber
 """
 
 
+def q_ft_yeojohnson(sf_dir: str) -> pd.DataFrame:
+    """Yeo-Johnson with grid-MLE λ over the SIGNED column value-50
+    (Box-Cox's zero/negative-safe sibling, sklearn PowerTransformer
+    default): same one-pass grid-likelihood combiner
+    (pipelines/quantiles.py::yeojohnson_lambda_fit/_transform)."""
+    from feature_fabrica_ray.pipelines import (yeojohnson_lambda_fit,
+                                               yeojohnson_transform)
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"]) \
+        .map_batches(lambda t: pa.table(
+            {"event_id": t.column("event_id"),
+             "v": pc.subtract(t.column("value"), pa.scalar(50.0))}),
+            batch_format="pyarrow", batch_size=None)
+    fit = yeojohnson_lambda_fit(ds, "v")
+    out = yeojohnson_transform(ds, "v", lam=fit["lam"],
+                               out_col="x_yj").to_pandas()
+    out["x_yj"] = _round_away(out["x_yj"], 6)
+    out["lam"] = float(fit["lam"])
+    return out[["event_id", "x_yj", "lam"]].sort_values("event_id") \
+        .reset_index(drop=True)
+
+
+_YJ_ORACLE = """
+WITH grid AS (SELECT round(-2 + 0.2 * i, 2) AS lam
+              FROM (SELECT unnest(generate_series(0, 20)) AS i)),
+x AS (SELECT event_id, value - 50.0 AS v FROM events
+      WHERE value IS NOT NULL),
+y AS (SELECT g.lam,
+             CASE WHEN v >= 0 AND g.lam <> 0
+                      THEN (pow(v + 1, g.lam) - 1) / g.lam
+                  WHEN v >= 0 THEN ln(v + 1)
+                  WHEN g.lam <> 2
+                      THEN -(pow(1 - v, 2 - g.lam) - 1) / (2 - g.lam)
+                  ELSE -ln(1 - v) END AS yv,
+             sign(v) * ln(abs(v) + 1) AS slx
+      FROM x CROSS JOIN grid g),
+ll AS (SELECT lam, -0.5 * count(*) * ln(var_pop(yv))
+                   + (lam - 1) * sum(slx) AS loglik
+       FROM y GROUP BY lam),
+best AS (SELECT lam FROM ll ORDER BY loglik DESC, lam LIMIT 1)
+SELECT event_id,
+       round(CASE WHEN v >= 0 AND b.lam <> 0
+                      THEN (pow(v + 1, b.lam) - 1) / b.lam
+                  WHEN v >= 0 THEN ln(v + 1)
+                  WHEN b.lam <> 2
+                      THEN -(pow(1 - v, 2 - b.lam) - 1) / (2 - b.lam)
+                  ELSE -ln(1 - v) END, 6) AS x_yj,
+       b.lam AS lam
+FROM x CROSS JOIN best b ORDER BY event_id
+"""
+
+
 def q_ft_woe(sf_dir: str) -> pd.DataFrame:
     """Weight-of-Evidence encoding table per event_type against the
     binary target value > 50 (add-0.5 smoothing): one (pos, neg)
@@ -6974,6 +7027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_cyclic": q_ft_cyclic,
         "ft_woe": q_ft_woe,
         "ft_boxcox": q_ft_boxcox,
+        "ft_yeojohnson": q_ft_yeojohnson,
         "ft_datetime": q_ft_datetime,
         "ft_group_reduce": q_ft_group_reduce,
         "ft_encoders": q_ft_encoders,
@@ -7201,6 +7255,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_cyclic": _CYCLIC_ORACLE,
         "ft_woe": _WOE_ORACLE,
         "ft_boxcox": _BOXCOX_ORACLE,
+        "ft_yeojohnson": _YJ_ORACLE,
         "ft_datetime": _DATETIME_ORACLE,
         "ft_group_reduce": _GROUP_ORACLE,
         "ft_encoders": _ENCODER_ORACLE,

@@ -438,3 +438,107 @@ def boxcox_transform(ds, col: str, lam: float | None = None,
         return batch.append_column(out_col, arr)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def yeojohnson_lambda_fit(ds, col: str, grid=None) -> dict:
+    """Grid-search Yeo-Johnson λ by maximum log-likelihood — Box-Cox's
+    sibling that handles ZERO and NEGATIVE values (sklearn
+    PowerTransformer's default):
+
+        y = ((x+1)^λ - 1)/λ                  x >= 0, λ != 0
+            ln(x+1)                           x >= 0, λ == 0
+            -((1-x)^(2-λ) - 1)/(2-λ)          x < 0,  λ != 2
+            -ln(1-x)                          x < 0,  λ == 2
+
+    with profile log-likelihood -n/2·ln(var(y)) +
+    (λ-1)·Σ sign(x)·ln(|x|+1). Same one-streaming-pass grid combiner
+    as ``boxcox_lambda_fit``; all finite values participate. Returns
+    {"lam", "loglik", "n"}."""
+    import pandas as pd
+
+    grid = [round(g, 2) for g in (grid if grid is not None
+                                  else np.linspace(-2, 2, 21))]
+
+    def _yj(x: np.ndarray, lam: float) -> np.ndarray:
+        y = np.empty_like(x)
+        pos = x >= 0
+        if lam == 0:
+            y[pos] = np.log1p(x[pos])
+        else:
+            y[pos] = ((x[pos] + 1.0) ** lam - 1.0) / lam
+        if lam == 2:
+            y[~pos] = -np.log1p(-x[~pos])
+        else:
+            y[~pos] = -(((1.0 - x[~pos]) ** (2.0 - lam)) - 1.0) / (2.0 - lam)
+        return y
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        x = x[np.isfinite(x)]
+        slx = float((np.sign(x) * np.log1p(np.abs(x))).sum()) if x.size \
+            else 0.0
+        lams, s1, s2 = [], [], []
+        for lam in grid:
+            y = _yj(x, lam)
+            lams.append(lam)
+            s1.append(float(y.sum()))
+            s2.append(float((y * y).sum()))
+        return pa.table({"lam": pa.array(lams, pa.float64()),
+                         "n": pa.array([x.size] * len(grid), pa.int64()),
+                         "s1": pa.array(s1), "s2": pa.array(s2),
+                         "slnx": pa.array([slx] * len(grid))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    g = parts.groupby("lam").sum()
+    best_lam, best_ll, n_tot = None, -np.inf, 0
+    for lam, row in g.iterrows():
+        n = int(row["n"])
+        if n < 2:
+            continue
+        mean = row["s1"] / n
+        var = row["s2"] / n - mean * mean
+        if var <= 0:
+            continue
+        ll = -0.5 * n * np.log(var) + (lam - 1.0) * row["slnx"]
+        n_tot = n
+        if ll > best_ll:
+            best_lam, best_ll = float(lam), float(ll)
+    return {"lam": best_lam, "loglik": best_ll, "n": n_tot}
+
+
+def yeojohnson_transform(ds, col: str, lam: float | None = None,
+                         out_col: str | None = None):
+    """Apply Yeo-Johnson with a given λ (or fit first) — stateless
+    vectorized map; null/non-finite inputs yield NULL."""
+    if lam is None:
+        lam = yeojohnson_lambda_fit(ds, col)["lam"]
+    out_col = out_col or f"{col}_yj"
+    lam_f = float(lam)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        x = batch.column(col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        ok = np.isfinite(x)
+        y = np.full(x.size, np.nan)
+        xs = x[ok]
+        out = np.empty_like(xs)
+        pos = xs >= 0
+        if lam_f == 0.0:
+            out[pos] = np.log1p(xs[pos])
+        else:
+            out[pos] = ((xs[pos] + 1.0) ** lam_f - 1.0) / lam_f
+        if lam_f == 2.0:
+            out[~pos] = -np.log1p(-xs[~pos])
+        else:
+            out[~pos] = -(((1.0 - xs[~pos]) ** (2.0 - lam_f)) - 1.0) \
+                / (2.0 - lam_f)
+        y[ok] = out
+        arr = pc.if_else(pa.array(ok), pa.array(y, pa.float64()),
+                         pa.nulls(x.size, pa.float64()))
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -3519,3 +3519,43 @@ def test_seasonal_residual(ray_session):
         "cell")["residual"].mean().std()
     assert res_spread < raw_spread / 20
     assert abs(res.mean()) < 0.05
+
+
+def test_yeojohnson_fit_and_transform(ray_session):
+    """YJ grid MLE handles signed data (shifted-lognormal fits lam < 1;
+    symmetric normal fits lam ~ 1); transform matches the closed form
+    on all four branches and reduces skew; layout-invariant."""
+    from feature_fabrica_ray.pipelines import (yeojohnson_lambda_fit,
+                                               yeojohnson_transform)
+
+    rng = np.random.default_rng(101)
+    skewed = pd.DataFrame({"x": rng.lognormal(1.0, 0.8, 6000) - 2.0})
+    sym = pd.DataFrame({"x": rng.normal(0, 1, 6000)})
+
+    fit_sk = yeojohnson_lambda_fit(_ds(skewed, blocks=4), "x")
+    fit_sym = yeojohnson_lambda_fit(_ds(sym, blocks=4), "x")
+    assert fit_sk["lam"] < 0.6, fit_sk
+    assert abs(fit_sym["lam"] - 1.0) <= 0.2, fit_sym
+    assert yeojohnson_lambda_fit(_ds(skewed, blocks=1), "x") == fit_sk
+
+    df = pd.DataFrame({"x": [2.0, 0.0, -3.0, np.nan]})
+    for lam, want in [
+        (0.5, [((3.0 ** .5) - 1) / .5, 0.0, -(((4.0) ** 1.5) - 1) / 1.5]),
+        (0.0, [np.log(3.0), 0.0, -((4.0 ** 2 - 1) / 2)]),
+        (2.0, [(9.0 - 1) / 2, 0.0, -np.log(4.0)]),
+    ]:
+        out = yeojohnson_transform(_ds(df, blocks=2), "x",
+                                   lam=lam).to_pandas()
+        for got, w in zip(out["x_yj"], want + [None]):
+            if w is None:
+                assert pd.isna(got)
+            else:
+                assert got == pytest.approx(w, rel=1e-12), lam
+
+    def skew(a):
+        a = np.asarray(a, float)
+        return float(((a - a.mean()) ** 3).mean() / a.std() ** 3)
+
+    enc = yeojohnson_transform(_ds(skewed, blocks=3), "x",
+                               lam=fit_sk["lam"]).to_pandas()
+    assert abs(skew(enc["x_yj"])) < abs(skew(skewed["x"])) / 3
