@@ -5077,6 +5077,32 @@ SELECT a, b, n_pair, pmi FROM scored ORDER BY pmi DESC, a, b LIMIT 20
 """
 
 
+def q_pr_isotonic(sf_dir: str) -> pd.DataFrame:
+    """Isotonic (PAVA) score calibration of value/100 vs the purchase
+    label: fit on the fixed-grid calibration-bins combiner output,
+    broadcast step-function stamp — rows-only (PAVA has no SQL form);
+    pytest pins monotonicity + error reduction
+    (pipelines/grouped.py::isotonic_calibrate)."""
+    from feature_fabrica_ray.pipelines import isotonic_calibrate
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "s": pc.divide(t.column("value"), pa.scalar(100.0)),
+            "y": pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                         pa.int64())})
+
+    out = isotonic_calibrate(
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None),
+        "s", "y", n_bins=20).to_pandas()
+    out["s"] = _round_away(out["s"], 6)
+    return out[["event_id", "s", "calibrated"]].sort_values("event_id") \
+        .reset_index(drop=True)
+
+
 def q_pr_calibration(sf_dir: str) -> pd.DataFrame:
     """Reliability curve of value/100 as a 'purchase' score: fixed-grid
     (n, Σscore, Σlabel) combiner, per-bin observed-vs-predicted gap
@@ -7209,6 +7235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_zlib": q_ta_zlib,
         "pr_welch": q_pr_welch,
         "pr_calibration": q_pr_calibration,
+        "pr_isotonic": q_pr_isotonic,
         "pr_hist2d": q_pr_hist2d,
         "dd_ngram_overlap": q_dd_ngram_overlap,
         "gr_degree": q_gr_degree,

