@@ -400,6 +400,32 @@ FROM sym
 """
 
 
+def q_vl_completeness(sf_dir: str) -> pd.DataFrame:
+    """Calendar-grid completeness per user (distinct active days vs
+    the global day span): distinct-(key, day) combiner + 2-scalar span
+    (pipelines/validate.py::grid_completeness)."""
+    from feature_fabrica_ray.pipelines import grid_completeness
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    return grid_completeness(ds, "user_id", "ts")
+
+
+_COMPLETENESS_ORACLE = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events),
+span AS (SELECT date_diff('day', min(day), max(day)) + 1 AS expected
+         FROM d)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(span.expected AS BIGINT) AS expected_days,
+       CAST(span.expected - count(*) AS BIGINT) AS n_missing,
+       (span.expected - count(*)) = 0 AS complete
+FROM d CROSS JOIN span GROUP BY user_id, span.expected
+ORDER BY user_id
+"""
+
+
 def q_vl_typeinfer(sf_dir: str) -> pd.DataFrame:
     """String-column type inference over a deliberately mixed derived
     column (int strings / JSON / words by event_id % 3): fraction
@@ -7030,6 +7056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_reconcile": q_vl_reconcile,
         "vl_nullpattern": q_vl_nullpattern,
         "vl_typeinfer": q_vl_typeinfer,
+        "vl_completeness": q_vl_completeness,
         "vl_stats_size": q_vl_stats_size,
         "vl_content_sha256": q_vl_content_sha256,
         "vl_distinct_repo": q_vl_distinct_repo,
@@ -7260,6 +7287,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_reconcile": _RECONCILE_ORACLE,
         "vl_nullpattern": _NULLPATTERN_ORACLE,
         "vl_typeinfer": _TYPEINFER_ORACLE,
+        "vl_completeness": _COMPLETENESS_ORACLE,
         "vl_stats_size": _STATS_ORACLE,
         "vl_group_stats": _GROUP_STATS_ORACLE,
         "vl_quantile": _QUANTILE_ORACLE,

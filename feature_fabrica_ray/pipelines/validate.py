@@ -1420,3 +1420,46 @@ def type_inference_profile(ds, col: str):
     for name in _TYPE_PATTERNS:
         row[name] = round(parts[name] / nn, 6) if nn else np.nan
     return pd.DataFrame([row])
+
+
+def grid_completeness(ds, key_col: str, ts_col: str):
+    """Calendar-grid completeness — "every key should report every
+    day": per key, the count of distinct active days vs the global
+    [min_day, max_day] span, and how many days are missing — the
+    freshness check's COVERAGE dual (a sensor that reports daily but
+    skipped 11 days passes freshness and fails this).
+
+    One distinct-(key, day) combiner (the activity_streaks projection)
+    plus a 2-scalar global span aggregate; per-key outputs are
+    dimension-sized. Returns (key, n_days, expected_days, n_missing,
+    complete) sorted by key."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            key_col: batch.column(key_col),
+            "day": pc.cast(pc.floor_temporal(
+                batch.column(ts_col).cast(pa.timestamp("us")),
+                unit="day"), pa.timestamp("us")).cast(pa.int64()),
+        })
+        return t.group_by([key_col, "day"]).aggregate([])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                             "n_days": pd.Series([], dtype="int64"),
+                             "expected_days": pd.Series([], dtype="int64"),
+                             "n_missing": pd.Series([], dtype="int64"),
+                             "complete": pd.Series([], dtype=bool)})
+    day_us = 86_400_000_000
+    lo, hi = int(parts["day"].min()), int(parts["day"].max())
+    expected = (hi - lo) // day_us + 1
+    g = parts.drop_duplicates([key_col, "day"]) \
+        .groupby(key_col, as_index=False).agg(n_days=("day", "nunique"))
+    out = pd.DataFrame({key_col: g[key_col].astype("int64"),
+                        "n_days": g["n_days"].astype("int64")})
+    out["expected_days"] = np.int64(expected)
+    out["n_missing"] = (expected - out["n_days"]).astype("int64")
+    out["complete"] = out["n_missing"] == 0
+    return out.sort_values(key_col).reset_index(drop=True)

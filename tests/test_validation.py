@@ -1263,3 +1263,33 @@ def test_reconcile_sums(ray_session):
         # ordering: |diff| descending
         d = viol["diff"].abs().to_numpy()
         assert (d[:-1] >= d[1:] - 1e-12).all()
+
+
+def test_grid_completeness(ray_session):
+    """Per-key distinct-day coverage vs the global span: a key missing
+    interior days is flagged with the exact missing count; complete
+    keys pass; layout-invariant."""
+    import numpy as np
+    import pandas as pd
+
+    from feature_fabrica_ray.pipelines import grid_completeness
+
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    for d in range(10):                      # key 1: all 10 days
+        rows.append((1, base + pd.Timedelta(days=d, hours=3)))
+    for d in [0, 1, 5, 9]:                   # key 2: 4 of 10
+        rows.append((2, base + pd.Timedelta(days=d)))
+        rows.append((2, base + pd.Timedelta(days=d, hours=8)))  # dups
+    df = pd.DataFrame(rows, columns=["k", "ts"])
+
+    import ray.data
+    for blocks in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = grid_completeness(ds, "k", "ts").set_index("k")
+        assert int(out.loc[1, "n_days"]) == 10
+        assert bool(out.loc[1, "complete"])
+        assert int(out.loc[2, "n_days"]) == 4
+        assert int(out.loc[2, "expected_days"]) == 10
+        assert int(out.loc[2, "n_missing"]) == 6
+        assert not bool(out.loc[2, "complete"])
