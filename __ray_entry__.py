@@ -5062,6 +5062,54 @@ def q_ta_zlib(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def q_ta_bigram_lm(sf_dir: str) -> pd.DataFrame:
+    """Interpolated bigram-LM document scores (count-pruned bigrams
+    back off to the unigram model): two distributed count fits +
+    dictionary-encoded stateless scoring
+    (pipelines/textstats.py::bigram_lm_scores)."""
+    from feature_fabrica_ray.pipelines import bigram_lm_scores
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return bigram_lm_scores(ds, "text", "doc_id", lam=0.7, min_count=3)
+
+
+_BIGRAM_LM_ORACLE = r"""
+WITH tok AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '') AS ts
+             FROM documents),
+flat AS (SELECT doc_id, i, ts[i] AS w
+         FROM tok, LATERAL (SELECT unnest(generate_series(
+                                1, len(ts))) AS i) g),
+uni AS (SELECT w, count(*) AS c FROM flat GROUP BY w),
+nu AS (SELECT sum(c) AS n FROM uni),
+big AS (SELECT f1.w AS a, f2.w AS b, count(*) AS c
+        FROM flat f1 JOIN flat f2
+          ON f1.doc_id = f2.doc_id AND f2.i = f1.i + 1
+        GROUP BY 1, 2),
+strt AS (SELECT a, sum(c) AS cs FROM big GROUP BY a),
+kept AS (SELECT * FROM big WHERE c >= 3),
+pairs AS (SELECT f1.doc_id, f1.w AS a, f2.w AS b
+          FROM flat f1 JOIN flat f2
+            ON f1.doc_id = f2.doc_id AND f2.i = f1.i + 1),
+sc AS (SELECT p.doc_id,
+              ln(greatest(0.7 * coalesce(k.c * 1.0 / s.cs, 0)
+                          + 0.3 * (u.c * 1.0 / nu.n), 1e-300)) AS lp
+       FROM pairs p
+       JOIN uni u ON u.w = p.b
+       CROSS JOIN nu
+       LEFT JOIN kept k ON k.a = p.a AND k.b = p.b
+       LEFT JOIN strt s ON s.a = p.a),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               round(avg(lp), 6) AS avg_logprob
+        FROM sc GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+       agg.avg_logprob
+FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 def q_ta_pmi(sf_dir: str) -> pd.DataFrame:
     """Top-20 collocations by pointwise mutual information over the
     document corpus: per-block bigram/unigram count partials, keyed
@@ -7258,6 +7306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gr_jaccard": q_gr_jaccard,
         "ta_bm25": q_ta_bm25,
         "ta_pmi": q_ta_pmi,
+        "ta_bigram_lm": q_ta_bigram_lm,
         "ta_entropy": q_ta_entropy,
         "ta_zlib": q_ta_zlib,
         "pr_welch": q_pr_welch,
@@ -7463,6 +7512,7 @@ def oracle_sql() -> dict[str, str]:
         "gr_jaccard": _EDGE_JACCARD_ORACLE,
         "ta_bm25": _BM25_ORACLE,
         "ta_pmi": _PMI_ORACLE,
+        "ta_bigram_lm": _BIGRAM_LM_ORACLE,
         "ta_entropy": _CHAR_ENTROPY_ORACLE,
         "pr_welch": _WELCH_ORACLE,
         "pr_calibration": _CALIBRATION_ORACLE,

@@ -1065,3 +1065,127 @@ class CompressionRatio:
                              / len(raw), 6))
         return batch.append_column("zlib_ratio",
                                    pa.array(out, pa.float64()))
+
+
+def bigram_lm_scores(ds, text_col: str = "text", id_col: str = "doc_id",
+                     lam: float = 0.7, min_count: int = 3,
+                     max_vocab_broadcast: int = 5_000_000):
+    """Per-document interpolated BIGRAM language-model score — the
+    unigram perplexity proxy's stronger sibling: for each adjacent
+    token pair the probability is
+
+        p = lam * P(w2 | w1) + (1 - lam) * P(w2)
+
+    with P(w2|w1) = c(w1,w2) / c_start(w1) taken ONLY from bigrams the
+    corpus saw >= ``min_count`` times (the long tail backs off to the
+    unigram term — the classic count-pruned interpolation that keeps
+    the broadcast model small), and P(w2) the corpus unigram model.
+    Low scores = locally incoherent token sequences (shuffled text,
+    keyword stuffing) that unigram scoring cannot see.
+
+    Scale shape: unigram fit (token_counts) + bigram count fit (the
+    pmi_bigrams combiner, tail-pruned AFTER exact merge) + start
+    counts restricted to kept-bigram prefixes — all broadcast once;
+    scoring is a stateless dictionary-encoded map with segment means.
+    Docs with < 2 tokens emit NULL. Returns a pandas DataFrame
+    (id, n_pairs, avg_logprob) rounded to 6."""
+    import pandas as pd
+    import ray
+
+    from ..tuning import shuffle_partitions
+
+    # --- unigram model
+    vocab = token_counts(ds, text_col, id_col).materialize()
+    if vocab.count() > max_vocab_broadcast:
+        raise ValueError("vocabulary too large to broadcast — "
+                         "shuffle-join the tokens against the model")
+    blocks = [t for t in ray.get(vocab.to_arrow_refs()) if t.num_rows]
+    vt = pa.concat_tables(blocks) if blocks else \
+        pa.table({"token": pa.array([], pa.string()),
+                  "tf": pa.array([], pa.int64())})
+    tf = vt.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+    total = float(tf.sum())
+    uni = pd.Series(tf / max(total, 1.0),
+                    index=vt.column("token").to_pylist())
+
+    # --- bigram counts (exact merge, THEN prune) + start counts
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(batch.column(text_col), ""))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).to_numpy(zero_copy_only=False)
+        p = parent.filter(keep).to_numpy(zero_copy_only=False)
+        if f.size < 2:
+            empty = pa.array([], pa.string())
+            return pa.table({"a": empty, "b": empty,
+                             "n": pa.array([], pa.int64())})
+        m = p[1:] == p[:-1]
+        t = pa.table({"a": pa.array(f[:-1][m]), "b": pa.array(f[1:][m])})
+        g = t.group_by(["a", "b"]).aggregate([([], "count_all")])
+        out = pa.table({"a": g.column("a"), "b": g.column("b"),
+                        "n": g.column("count_all").cast(pa.int64())})
+        k = pc.binary_join_element_wise(out.column("a"), out.column("b"),
+                                        "\x1f")
+        return out.append_column("__bkey", k)
+
+    nparts = shuffle_partitions()
+    big = (ds.map_batches(bigram_partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("__bkey", num_partitions=nparts)
+           .map_groups(lambda df: pd.DataFrame({
+               "a": [df["a"].iloc[0]], "b": [df["b"].iloc[0]],
+               "n": np.array([int(df["n"].sum())], np.int64)}),
+               batch_format="pandas")
+           .to_pandas())
+    if big.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "n_pairs": pd.Series([], dtype="int64"),
+                             "avg_logprob": pd.Series([], dtype="float64")})
+    start = big.groupby("a")["n"].sum()          # ALL bigrams count here
+    kept = big[big["n"] >= min_count]
+    pb = pd.Series((kept["n"] / start.loc[kept["a"]].to_numpy())
+                   .to_numpy(),
+                   index=kept["a"] + "\x1f" + kept["b"])
+    ref = ray.put((uni, pb, float(lam)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        uni_s, pb_s, lam_f = ray.get(ref)
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(batch.column(text_col), ""))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).to_numpy(zero_copy_only=False)
+        p = parent.filter(keep).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if f.size < 2:
+            return pa.table({id_col: pa.array(ids, pa.int64()),
+                             "n_pairs": pa.array(np.zeros(n, np.int64)),
+                             "avg_logprob": pa.nulls(n, pa.float64())})
+        m = p[1:] == p[:-1]
+        w1, w2, rows = f[:-1][m], f[1:][m], p[:-1][m]
+        pu = pd.Series(w2).map(uni_s).fillna(0.0).to_numpy(np.float64)
+        keys = pd.Series(w1) + "\x1f" + pd.Series(w2)
+        pbv = keys.map(pb_s).fillna(0.0).to_numpy(np.float64)
+        lp = np.log(np.maximum(lam_f * pbv + (1 - lam_f) * pu, 1e-300))
+        sums = np.bincount(rows, weights=lp, minlength=n)
+        cnts = np.bincount(rows, minlength=n)
+        avg = np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan)
+        arr = pc.if_else(pa.array(cnts > 0),
+                         pa.array(np.round(avg, 6), pa.float64()),
+                         pa.nulls(n, pa.float64()))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_pairs": pa.array(cnts.astype(np.int64)),
+                         "avg_logprob": arr})
+
+    out = ds.map_batches(score, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -3587,3 +3587,55 @@ def test_isotonic_calibrate(ray_session):
     err_cal = np.abs(cal - out["s"].to_numpy() ** 2).mean()
     err_raw = np.abs(out["s"].to_numpy() - out["s"].to_numpy() ** 2).mean()
     assert err_cal < err_raw / 3
+
+
+def test_bigram_lm_scores(ray_session):
+    """Interpolated bigram scores equal the Counter-based reference
+    (pruned bigrams back off to unigram); a doc made of corpus-frequent
+    bigrams outscores its own shuffled permutation; <2-token docs get
+    NULL; layout-invariant."""
+    from collections import Counter
+
+    from feature_fabrica_ray.pipelines import bigram_lm_scores
+
+    rng = np.random.default_rng(107)
+    phrase = "new york city hall"
+    docs = [phrase for _ in range(30)]
+    docs += [" ".join(rng.permutation(phrase.split())) for _ in range(5)]
+    docs += ["solo", ""]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    start: Counter = Counter()
+    for d in docs:
+        ts = d.split()
+        uni.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] += 1
+            start[a] += 1
+    nt = sum(uni.values())
+
+    def ref_score(d, lam=0.7, mc=3):
+        ts = d.split()
+        if len(ts) < 2:
+            return None
+        lps = []
+        for a, b in zip(ts, ts[1:]):
+            pb = big[(a, b)] / start[a] if big[(a, b)] >= mc else 0.0
+            lps.append(np.log(max(lam * pb + (1 - lam) * uni[b] / nt,
+                                  1e-300)))
+        return round(float(np.mean(lps)), 6)
+
+    outs = [bigram_lm_scores(_ds(df, blocks=b)) for b in (1, 3)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0].set_index("doc_id")
+    for i, d in enumerate(docs):
+        want = ref_score(d)
+        if want is None:
+            assert pd.isna(out.loc[i, "avg_logprob"])
+        else:
+            assert out.loc[i, "avg_logprob"] == pytest.approx(
+                want, abs=2e-6), (i, d)
+    assert out.loc[0, "avg_logprob"] > out.loc[31, "avg_logprob"]
