@@ -5457,6 +5457,56 @@ def q_gr_kcore(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_gr_modularity(sf_dir: str) -> pd.DataFrame:
+    """Modularity Q of the BRAND partition over the co-purchase graph
+    ("do same-brand parts sell together?" — near 0 on this synthetic
+    data, which is the informative answer): two community-stamping
+    joins + a community-scale combiner
+    (pipelines/graph.py::modularity)."""
+    from feature_fabrica_ray.pipelines import modularity
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand"])
+
+    def brand_comm(t: pa.Table) -> pa.Table:
+        num = pc.utf8_replace_slice(t.column("p_brand"), 0, 6, "")
+        return pa.table({"node": t.column("p_partkey").cast(pa.int64()),
+                         "comp": pc.cast(num, pa.int64())})
+
+    asg = part.map_batches(brand_comm, batch_format="pyarrow",
+                           batch_size=None)
+    out = modularity(_copurchase_edges(sf_dir), asg, "a", "b")
+    return pd.DataFrame({
+        "q": [_round_away(pd.Series([out["q"]]), 6).iloc[0]],
+        "n_edges": np.array([out["n_edges"]], np.int64),
+        "n_comms": np.array([out["n_comms"]], np.int64)})
+
+
+_MODULARITY_ORACLE = """
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey),
+m AS (SELECT count(*) AS m FROM e),
+asg AS (SELECT p_partkey AS node,
+               CAST(substr(p_brand, 7) AS BIGINT) AS comp FROM part),
+st AS (SELECT e.lo, e.hi, al.comp AS c_lo, ah.comp AS c_hi
+       FROM e JOIN asg al ON al.node = e.lo
+              JOIN asg ah ON ah.node = e.hi),
+per AS (SELECT comm, sum(w) AS e_within, sum(d) AS deg FROM (
+          SELECT c_lo AS comm,
+                 CASE WHEN c_lo = c_hi THEN 1 ELSE 0 END AS w, 1 AS d
+          FROM st
+          UNION ALL SELECT c_hi, 0, 1 FROM st)
+        GROUP BY comm)
+SELECT round(sum(e_within * 1.0 / m.m
+                 - pow(deg / (2.0 * m.m), 2)), 6) AS q,
+       CAST(m.m AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_comms
+FROM per CROSS JOIN m GROUP BY m.m
+"""
+
+
 def q_gr_jaccard(sf_dir: str) -> pd.DataFrame:
     """Per-edge neighborhood Jaccard over the co-purchase graph (top-15
     edges by common-neighbor count): triangle-identity common counts +
@@ -7302,6 +7352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gr_kcore": q_gr_kcore,
         "gr_bfs": q_gr_bfs,
         "gr_assortativity": q_gr_assortativity,
+        "gr_modularity": q_gr_modularity,
         "agg_moments": q_agg_moments,
         "gr_jaccard": q_gr_jaccard,
         "ta_bm25": q_ta_bm25,
@@ -7508,6 +7559,7 @@ def oracle_sql() -> dict[str, str]:
         "gr_triangles": _TRIANGLES_ORACLE,
         "gr_bfs": _BFS_ORACLE,
         "gr_assortativity": _ASSORT_ORACLE,
+        "gr_modularity": _MODULARITY_ORACLE,
         "agg_moments": _MOMENTS_ORACLE,
         "gr_jaccard": _EDGE_JACCARD_ORACLE,
         "ta_bm25": _BM25_ORACLE,

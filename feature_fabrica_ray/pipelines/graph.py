@@ -43,7 +43,7 @@ from ..tuning import shuffle_partitions
 
 __all__ = ["connected_components", "star_edges", "pagerank", "degree_table",
            "canonical_edges", "triangle_count", "edge_jaccard", "kcore",
-           "cooccur_edges", "bfs_hops", "degree_assortativity"]
+           "cooccur_edges", "bfs_hops", "degree_assortativity", "modularity"]
 
 
 def _canon2(names: list[str]):
@@ -879,3 +879,71 @@ def degree_assortativity(edges, a_col: str = "a", b_col: str = "b"):
     vy = p["syy"] / n - (sy / n) ** 2
     r = float(cov / np.sqrt(vx * vy)) if vx > 0 and vy > 0 else float("nan")
     return {"r": r, "n_edges": int(m)}
+
+
+def modularity(edges, assign, a_col: str = "a", b_col: str = "b",
+               node_col: str = "node", comm_col: str = "comp"):
+    """Newman modularity Q of a given node partition over the
+    undirected simple graph:
+
+        Q = Σ_c ( e_c / m  −  (deg_c / 2m)² )
+
+    (e_c = within-community edges, deg_c = total degree in c, m =
+    edges) — the standard "is this clustering better than chance"
+    score for connected components / label propagation / k-core
+    outputs; Q near 0 means the partition explains nothing.
+
+    Cost: canonical edge dedup + TWO narrow hash joins stamping the
+    endpoint communities + a per-block (community, e_within, deg)
+    combiner — community-scale rows on the exchange. ``assign`` is a
+    Dataset with (node_col, comm_col) int64 columns (e.g. the
+    connected_components output). Returns {"q": float, "n_edges": int,
+    "n_comms": int}."""
+    e = canonical_edges(edges, a_col, b_col)
+    nparts = shuffle_partitions()
+    m = e.count()
+    if m == 0:
+        return {"q": float("nan"), "n_edges": 0, "n_comms": 0}
+    asg = assign.map_batches(_canon2([node_col, comm_col]),
+                             batch_format="pyarrow", batch_size=None) \
+        .materialize()
+    na = asg.count()
+    asg = asg.repartition(min(nparts, max(na, 1))).materialize()
+    c_lo = asg.map_batches(_canon2(["lo", "c_lo"]),
+                           batch_format="pyarrow", batch_size=None) \
+        .materialize()
+    c_hi = asg.map_batches(_canon2(["hi", "c_hi"]),
+                           batch_format="pyarrow", batch_size=None) \
+        .materialize()
+    out = e.join(c_lo, join_type="inner", on=("lo",),
+                 num_partitions=nparts).materialize()
+    out = out.repartition(min(nparts, max(out.count(), 1))).materialize()
+    out = out.join(c_hi, join_type="inner", on=("hi",),
+                   num_partitions=nparts)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_lo" not in t.column_names:
+            empty = pa.array([], pa.int64())
+            return pa.table({"comm": empty, "e_within": empty,
+                             "deg": empty})
+        cl = t.column("c_lo").cast(pa.int64()).combine_chunks()
+        ch = t.column("c_hi").cast(pa.int64()).combine_chunks()
+        same = pc.equal(cl, ch).to_numpy(zero_copy_only=False)
+        # each edge adds 1 degree to both endpoint communities, and
+        # one within-edge when they agree
+        comm = pa.concat_arrays([cl, ch])
+        within = np.concatenate([same.astype(np.int64),
+                                 np.zeros(len(ch), np.int64)])
+        g = pa.table({"comm": comm,
+                      "w": pa.array(within),
+                      "d": pa.array(np.ones(2 * t.num_rows, np.int64))}) \
+            .group_by("comm").aggregate([("w", "sum"), ("d", "sum")])
+        return pa.table({"comm": g.column("comm"),
+                         "e_within": g.column("w_sum").cast(pa.int64()),
+                         "deg": g.column("d_sum").cast(pa.int64())})
+
+    parts = out.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    g = parts.groupby("comm").sum()
+    q = float((g["e_within"] / m - (g["deg"] / (2.0 * m)) ** 2).sum())
+    return {"q": q, "n_edges": int(m), "n_comms": int(len(g))}

@@ -3639,3 +3639,51 @@ def test_bigram_lm_scores(ray_session):
             assert out.loc[i, "avg_logprob"] == pytest.approx(
                 want, abs=2e-6), (i, d)
     assert out.loc[0, "avg_logprob"] > out.loc[31, "avg_logprob"]
+
+
+def test_modularity(ray_session):
+    """Q matches the closed form: a clean two-clique partition scores
+    near 0.5, the merged-into-one partition scores 0, and a random
+    partition scores near 0."""
+    import ray.data
+    from feature_fabrica_ray.pipelines import modularity
+
+    c1 = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    c2 = [(i, j) for i in range(10, 16) for j in range(i + 1, 16)]
+    edges = c1 + c2 + [(0, 10)]                 # one bridge
+    df = pd.DataFrame(edges, columns=["a", "b"])
+    nodes = sorted({n for e in edges for n in e})
+
+    def brute(comm_of):
+        m = len(edges)
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        comms = set(comm_of.values())
+        q = 0.0
+        for c in comms:
+            ew = sum(1 for a, b in edges
+                     if comm_of[a] == c and comm_of[b] == c)
+            dc = sum(d for n, d in deg.items() if comm_of[n] == c)
+            q += ew / m - (dc / (2 * m)) ** 2
+        return q
+
+    def run(comm_of):
+        asg = ray.data.from_pandas(pd.DataFrame(
+            {"node": list(comm_of), "comp": [comm_of[n] for n in comm_of]}
+        )).repartition(2)
+        return modularity(_ds(df, blocks=2), asg)
+
+    good = {n: (0 if n < 10 else 1) for n in nodes}
+    merged = {n: 0 for n in nodes}
+    rng = np.random.default_rng(109)
+    rand = {n: int(rng.integers(0, 2)) for n in nodes}
+
+    for part in (good, merged, rand):
+        out = run(part)
+        assert out["q"] == pytest.approx(brute(part), abs=1e-12)
+        assert out["n_edges"] == len(edges)
+    assert run(good)["q"] > 0.4
+    assert abs(run(merged)["q"]) < 1e-12
+    assert abs(run(rand)["q"]) < 0.25
