@@ -3440,6 +3440,25 @@ def q_dd_embedding_rows(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_ss_ivfpq(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ ANN (coarse pruning + 8-bit ADC lookup scoring — the
+    billion-scale compressed-index shape): rows-only by construction;
+    pytest bounds recall vs the exact baseline
+    (pipelines/similarity.py::ivfpq_topk)."""
+    from feature_fabrica_ray.pipelines import ivfpq_topk
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    qdf = ds.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    Q = np.asarray([np.asarray(v, dtype=np.float64)
+                    for v in qdf["embedding"]])
+    out = ivfpq_topk(ds, Q, k=10, nlist=16, nprobe=6, m=4, kcode=16)
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out
+
+
 def q_ss_mmr(sf_dir: str) -> pd.DataFrame:
     """Maximal-Marginal-Relevance diverse top-10 for query vec_id=0:
     broadcast cosine fan-out for the candidate pool, pruned vector
@@ -7272,6 +7291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ss_knn": q_ss_knn,
         "ss_pq": q_ss_pq,
         "ss_mmr": q_ss_mmr,
+        "ss_ivfpq": q_ss_ivfpq,
         "ss_cosine_topk": q_ss_cosine_topk,
         "ss_ivf_topk": q_ss_ivf_topk,
         "ss_pca": q_ss_pca,

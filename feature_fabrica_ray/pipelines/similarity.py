@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 __all__ = ["cosine_topk", "ivf_topk", "lsh_topk", "fit_centroids", "knn_graph",
            "random_projection",
-           "quantize_embeddings", "semantic_dedup_ids", "product_quantize", "mmr_topk",
+           "quantize_embeddings", "semantic_dedup_ids", "product_quantize", "mmr_topk", "ivfpq_topk",
            "normalize_embeddings", "fit_pca", "pca_project",
            "kmeans", "kmeans_assign"]
 
@@ -749,3 +749,118 @@ def mmr_topk(ds, query: np.ndarray, k: int = 10, lam: float = 0.5,
                          round(float(score[j]), 6)))
     return pd.DataFrame(out_rows, columns=["rank", "vec_id",
                                            "relevance", "mmr_score"])
+
+
+def ivfpq_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 16,
+               nprobe: int = 6, m: int = 4, kcode: int = 16,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               sample_n: int = 4096) -> pd.DataFrame:
+    """IVF-PQ approximate search — the billion-scale index shape
+    (Jégou et al.): an IVF coarse quantizer prunes the corpus to the
+    ``nprobe`` nearest lists per query, and similarities come from
+    PQ codes via ADC lookup tables (for each query and subspace,
+    LUT_j = q_j · codebook_j^T once; a vector's score is m table
+    lookups, never a d-dim dot product).
+
+    Scale shape: both quantizers fit on one deterministic sample
+    (KB-sized state, broadcast once); ONE stateless pass per block
+    assigns the coarse cell, PQ-encodes, and ADC-scores the probed
+    rows — only k-sized partials leave; the driver merges them
+    (the cosine_topk merge). Approximate by construction (coarse
+    pruning + 8-bit codes); pytest bounds recall vs the exact
+    baseline. Returns (query_id, vec_id, score, rank) with ADC scores
+    rounded to 6."""
+    import ray
+
+    # sort the fit sample by id: limit() returns layout-dependent row
+    # order, and neither quantizer may depend on block layout — both
+    # fit from this one sorted sample (coarse centroids seeded by
+    # striding it, the fit_centroids recipe)
+    samp = ds.limit(sample_n).to_pandas().sort_values(id_col)
+    S = _normalize(np.asarray([np.asarray(v, np.float64)
+                               for v in samp[vec_col]]))
+    idx = np.linspace(0, len(S) - 1, nlist).astype(np.int64)
+    C = S[idx].copy()
+    for _ in range(10):
+        assign = (S @ C.T).argmax(axis=1)
+        for j in range(nlist):
+            sel = assign == j
+            if sel.any():
+                C[j] = S[sel].mean(axis=0)
+        C = _normalize(C)
+    d = S.shape[1]
+    if d % m:
+        raise ValueError(f"ivfpq_topk: dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(0)
+    books = np.empty((m, kcode, sub))
+    for j in range(m):
+        X = S[:, j * sub:(j + 1) * sub]
+        idx = rng.choice(X.shape[0], size=min(kcode, X.shape[0]),
+                         replace=False)
+        Cb = X[idx].copy()
+        if Cb.shape[0] < kcode:
+            Cb = np.vstack([Cb, Cb[rng.integers(0, Cb.shape[0],
+                                                kcode - Cb.shape[0])]])
+        for _ in range(8):
+            d2 = ((X[:, None, :] - Cb[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(kcode):
+                pts = X[a == c]
+                if len(pts):
+                    Cb[c] = pts.mean(axis=0)
+        books[j] = Cb
+
+    Q = _normalize(np.asarray(queries, np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    mask = np.zeros((Q.shape[0], C.shape[0]), dtype=bool)
+    np.put_along_axis(mask, probe, True, axis=1)
+    # ADC lookup tables: (n_queries, m, kcode)
+    LUT = np.einsum("qms,mks->qmk", Q.reshape(Q.shape[0], m, sub), books)
+    state = ray.put((C, books, mask, LUT))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        Cn, B, probe_mask, lut = ray.get(state)
+        V = _vectors(batch, vec_col)
+        if V.shape[0] == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        Vn = _normalize(V)
+        cid = (Vn @ Cn.T).argmax(axis=1)
+        codes = np.empty((Vn.shape[0], m), np.int64)
+        for j in range(m):
+            X = Vn[:, j * sub:(j + 1) * sub]
+            Cb = B[j]
+            d2 = ((X ** 2).sum(axis=1, keepdims=True) - 2 * X @ Cb.T
+                  + (Cb ** 2).sum(axis=1)[None, :])
+            codes[:, j] = d2.argmin(axis=1)
+        # ADC: score[q, i] = sum_j lut[q, j, codes[i, j]]
+        S = np.zeros((lut.shape[0], Vn.shape[0]))
+        for j in range(m):
+            S += lut[:, j, codes[:, j]]
+        allowed = probe_mask[:, cid]
+        S = np.where(allowed, np.round(S, 6), -np.inf)
+        kk = min(k, S.shape[1])
+        # ADC scores tie often (8-bit codes) — deterministic
+        # (score desc, id asc) selection per query keeps the block
+        # partials layout-invariant (argpartition would pick
+        # arbitrarily among ties); queries are few by design
+        qids, vids, scs = [], [], []
+        for qi in range(S.shape[0]):
+            order = np.lexsort((ids, -S[qi]))[:kk]
+            sc = S[qi][order]
+            keep = np.isfinite(sc)
+            qids.append(np.full(int(keep.sum()), qi, np.int64))
+            vids.append(ids[order][keep])
+            scs.append(sc[keep])
+        return pa.table({"query_id": pa.array(np.concatenate(qids)),
+                         "vec_id": pa.array(np.concatenate(vids)),
+                         "score": pa.array(np.concatenate(scs),
+                                           pa.float64())})
+
+    parts = ds.map_batches(block_topk, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    return _merge_topk(parts, k)

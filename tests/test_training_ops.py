@@ -3687,3 +3687,38 @@ def test_modularity(ray_session):
     assert run(good)["q"] > 0.4
     assert abs(run(merged)["q"]) < 1e-12
     assert abs(run(rand)["q"]) < 0.25
+
+
+def test_ivfpq_topk_recall(ray_session):
+    """IVF-PQ ADC search recovers most of the exact top-10 (recall >=
+    0.6 on clustered data), scores are deterministic across layouts,
+    and the non-divisible-dim guard trips."""
+    from feature_fabrica_ray.pipelines import cosine_topk, ivfpq_topk
+
+    rng = np.random.default_rng(113)
+    n, d = 600, 16
+    # many SMALL tight clusters: the exact top-10 is "the query's
+    # cluster", which a quantized index must recover even when codes
+    # tie within a cluster
+    centers = rng.normal(0, 3, (64, d))
+    V = centers[np.arange(n) % 64] + rng.normal(0, 0.05, (n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [r.tolist() for r in V]})
+    Q = V[:5] + rng.normal(0, 0.02, (5, d))
+
+    exact = cosine_topk(_ds(df, blocks=3), Q, k=10)
+    approx = ivfpq_topk(_ds(df, blocks=3), Q, k=10, nlist=16, nprobe=6,
+                        m=4, kcode=32, sample_n=600)
+    approx2 = ivfpq_topk(_ds(df, blocks=1), Q, k=10, nlist=16, nprobe=6,
+                         m=4, kcode=32, sample_n=600)
+    pd.testing.assert_frame_equal(approx, approx2)
+
+    rec = []
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        rec.append(len(e & a) / len(e))
+    assert np.mean(rec) >= 0.6, rec
+
+    with pytest.raises(ValueError, match="not divisible"):
+        ivfpq_topk(_ds(df), Q, m=5, sample_n=100)
