@@ -6052,6 +6052,49 @@ FROM r
 """
 
 
+def q_pr_effect(sf_dir: str) -> pd.DataFrame:
+    """Cohen's d + Cliff's delta between click and error event values
+    (magnitude companions to pr_welch's significance): moment fold +
+    the value-count midrank combiner, delta = 2·AUC − 1
+    (pipelines/grouped.py::effect_sizes)."""
+    from feature_fabrica_ray.pipelines import effect_sizes
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    out = effect_sizes(ds, "event_type", "value", "click", "error")
+    for c in ("cohens_d", "cliffs_delta"):
+        out[c] = _round_away(out[c], 6)
+    return out
+
+
+_EFFECT_ORACLE = """
+WITH x AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+                  value AS v
+           FROM events
+           WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+s AS (SELECT sum(ia) AS na, count(*) - sum(ia) AS nb,
+             avg(CASE WHEN ia = 1 THEN v END) AS ma,
+             avg(CASE WHEN ia = 0 THEN v END) AS mb,
+             var_samp(CASE WHEN ia = 1 THEN v END) AS va,
+             var_samp(CASE WHEN ia = 0 THEN v END) AS vb
+      FROM x),
+r AS (SELECT ia,
+             rank() OVER (ORDER BY v)
+               + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0 AS midrank
+      FROM x),
+auc AS (SELECT (sum(CASE WHEN ia = 1 THEN midrank ELSE 0 END)
+                - sum(ia) * (sum(ia) + 1) / 2.0)
+               / (sum(ia) * (count(*) - sum(ia))) AS a
+        FROM r)
+SELECT CAST(s.na AS BIGINT) AS n_a, CAST(s.nb AS BIGINT) AS n_b,
+       round((s.ma - s.mb)
+             / sqrt(((s.na - 1) * s.va + (s.nb - 1) * s.vb)
+                    / (s.na + s.nb - 2)), 6) AS cohens_d,
+       round(2.0 * auc.a - 1.0, 6) AS cliffs_delta
+FROM s CROSS JOIN auc
+"""
+
+
 def q_pr_benford(sf_dir: str) -> pd.DataFrame:
     """Benford leading-digit profile of o_totalprice: digit computed
     numerically (floor(x / 10^floor(log10 x))), 9-bin per-block count
@@ -7334,6 +7377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_chi2": q_pr_chi2,
         "pr_auc": q_pr_auc,
         "pr_benford": q_pr_benford,
+        "pr_effect": q_pr_effect,
         "agg_cooccur": q_agg_cooccur,
         "sm_reservoir": q_sm_reservoir,
         "sm_bootstrap": q_sm_bootstrap,
@@ -7542,6 +7586,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_chi2": _CHI2_ORACLE,
         "pr_auc": _AUC_ORACLE,
         "pr_benford": _BENFORD_ORACLE,
+        "pr_effect": _EFFECT_ORACLE,
         "agg_cooccur": _COOCCUR_ORACLE,
         "sm_reservoir": _RESERVOIR_ORACLE,
         "sm_neyman": _NEYMAN_ORACLE,

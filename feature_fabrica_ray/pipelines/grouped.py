@@ -2240,3 +2240,86 @@ def isotonic_calibrate(ds, score_col: str, label_col: str,
         return t.append_column(out_col, arr)
 
     return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+
+
+def effect_sizes(ds, group_col: str, val_col: str, a, b) -> pd.DataFrame:
+    """Standardized effect sizes between two segments — the magnitude
+    companion to welch_ttest's significance: Cohen's d (pooled-SD
+    standardized mean difference) and Cliff's delta (P(x_a > x_b) −
+    P(x_a < x_b), distribution-free) — a huge-n pipeline makes any
+    difference "significant"; these say whether it is big.
+
+    One pass, two combiners sharing the scan: the six-scalar moment
+    fold (d) and the per-distinct-value (n_a_at_value, n_total)
+    counts (delta via the Mann-Whitney identity delta = 2·AUC − 1,
+    mid-rank ties — order statistics with no global sort, driver
+    state O(distinct values)). Returns one row: (n_a, n_b, cohens_d,
+    cliffs_delta); NULLs on degenerate inputs."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(group_col).cast(pa.string())
+        mask = pc.and_(pc.is_in(col, value_set=pa.array([str(a), str(b)])),
+                       pc.is_valid(batch.column(val_col)))
+        t = pa.table({"g": col, "v": batch.column(val_col)
+                      .cast(pa.float64())}).filter(mask)
+        if t.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "na": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s1a": pa.array([], pa.float64()),
+                             "s2a": pa.array([], pa.float64()),
+                             "s1b": pa.array([], pa.float64()),
+                             "s2b": pa.array([], pa.float64())})
+        is_a = pc.equal(t.column("g"), str(a))
+        t2 = pa.table({"v": t.column("v"),
+                       "ia": pc.cast(is_a, pa.int64())})
+        g = t2.group_by("v").aggregate([("ia", "sum"), ("ia", "count")])
+        va = t.filter(is_a).column("v").to_numpy(zero_copy_only=False)
+        vb = t.filter(pc.invert(is_a)).column("v") \
+            .to_numpy(zero_copy_only=False)
+        n_rows = g.num_rows
+        pad = np.zeros(n_rows, np.float64)
+        s1a = pad.copy(); s1a[0] = va.sum()
+        s2a = pad.copy(); s2a[0] = (va * va).sum()
+        s1b = pad.copy(); s1b[0] = vb.sum()
+        s2b = pad.copy(); s2b[0] = (vb * vb).sum()
+        return pa.table({"v": g.column("v"),
+                         "na": g.column("ia_sum").cast(pa.int64()),
+                         "n": g.column("ia_count").cast(pa.int64()),
+                         "s1a": pa.array(s1a), "s2a": pa.array(s2a),
+                         "s1b": pa.array(s1b), "s2b": pa.array(s2b)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    out_null = pd.DataFrame({"n_a": np.array([0], np.int64),
+                             "n_b": np.array([0], np.int64),
+                             "cohens_d": [np.nan],
+                             "cliffs_delta": [np.nan]})
+    if parts.empty:
+        return out_null
+    g = parts.groupby("v", as_index=False).agg(na=("na", "sum"),
+                                               n=("n", "sum"))
+    g = g.sort_values("v").reset_index(drop=True)
+    na_tot = float(g["na"].sum())
+    n_tot = float(g["n"].sum())
+    nb_tot = n_tot - na_tot
+    if na_tot < 2 or nb_tot < 2:
+        out_null.loc[0, ["n_a", "n_b"]] = [int(na_tot), int(nb_tot)]
+        return out_null
+    s1a, s2a = float(parts["s1a"].sum()), float(parts["s2a"].sum())
+    s1b, s2b = float(parts["s1b"].sum()), float(parts["s2b"].sum())
+    ma, mb = s1a / na_tot, s1b / nb_tot
+    va_ = (s2a - na_tot * ma * ma) / (na_tot - 1)
+    vb_ = (s2b - nb_tot * mb * mb) / (nb_tot - 1)
+    sp2 = ((na_tot - 1) * va_ + (nb_tot - 1) * vb_) / (n_tot - 2)
+    d = (ma - mb) / np.sqrt(sp2) if sp2 > 0 else np.nan
+    # Cliff's delta via mid-ranks: AUC of "is a" against the value
+    cnt = g["n"].to_numpy(np.float64)
+    cum = np.cumsum(cnt)
+    midrank = cum - (cnt - 1) / 2.0
+    sum_ranks_a = float((midrank * g["na"].to_numpy(np.float64)).sum())
+    auc = (sum_ranks_a - na_tot * (na_tot + 1) / 2.0) / (na_tot * nb_tot)
+    delta = 2.0 * auc - 1.0
+    return pd.DataFrame({"n_a": np.array([int(na_tot)], np.int64),
+                         "n_b": np.array([int(nb_tot)], np.int64),
+                         "cohens_d": [d], "cliffs_delta": [delta]})

@@ -3722,3 +3722,38 @@ def test_ivfpq_topk_recall(ray_session):
 
     with pytest.raises(ValueError, match="not divisible"):
         ivfpq_topk(_ds(df), Q, m=5, sample_n=100)
+
+
+def test_effect_sizes(ray_session):
+    """Cohen's d matches the pooled-SD closed form; Cliff's delta
+    matches brute pairwise sign counting incl. ties; identical
+    segments give ~0; layout-invariant."""
+    from feature_fabrica_ray.pipelines import effect_sizes
+
+    rng = np.random.default_rng(127)
+    xa = np.round(rng.normal(10, 2, 400), 1)   # rounding plants ties
+    xb = np.round(rng.normal(11, 3, 300), 1)
+    df = pd.concat([pd.DataFrame({"g": "a", "v": xa}),
+                    pd.DataFrame({"g": "b", "v": xb})],
+                   ignore_index=True)
+
+    outs = [effect_sizes(_ds(df, blocks=bl), "g", "v", "a", "b").iloc[0]
+            for bl in (1, 4)]
+    for c in ("cohens_d", "cliffs_delta"):
+        assert outs[0][c] == pytest.approx(outs[1][c], rel=1e-12)
+    out = outs[0]
+    sp = np.sqrt(((len(xa) - 1) * xa.var(ddof=1)
+                  + (len(xb) - 1) * xb.var(ddof=1))
+                 / (len(xa) + len(xb) - 2))
+    assert out["cohens_d"] == pytest.approx(
+        (xa.mean() - xb.mean()) / sp, rel=1e-10)
+    gt = (xa[:, None] > xb[None, :]).sum()
+    lt = (xa[:, None] < xb[None, :]).sum()
+    assert out["cliffs_delta"] == pytest.approx(
+        (gt - lt) / (len(xa) * len(xb)), rel=1e-10)
+
+    same = effect_sizes(_ds(pd.DataFrame(
+        {"g": np.where(np.arange(400) % 2 == 0, "a", "b"), "v": xa}),
+        blocks=2), "g", "v", "a", "b").iloc[0]
+    assert abs(same["cohens_d"]) < 0.3
+    assert abs(same["cliffs_delta"]) < 0.2
