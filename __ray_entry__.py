@@ -351,6 +351,38 @@ def q_vl_segment_drift(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_dd_golden(sf_dir: str) -> pd.DataFrame:
+    """Golden-record consolidation of the codetable's planted duplicate
+    keys: per (repo, path, commit), lang and content each take their
+    first non-null by descending content length — the entity-
+    resolution merge plain keep-one dedup cannot do
+    (pipelines/setops.py::golden_record)."""
+    from feature_fabrica_ray.pipelines import golden_record
+
+    ds = read_codetable(sf_dir, with_sha256=False).map_batches(
+        lambda t: t.append_column(
+            "prio", pc.fill_null(pc.utf8_length(t.column("content"))
+                                 .cast(pa.int64()), -1)),
+        batch_format="pyarrow", batch_size=None)
+    out = golden_record(ds, ["repo", "path", "commit"], "prio",
+                        ["lang", "content"]).to_pandas()
+    return out.sort_values(["repo", "path", "commit"]) \
+        .reset_index(drop=True)
+
+
+_GOLDEN_ORACLE = CT + """
+SELECT DISTINCT repo, path, "commit",
+  first_value(lang IGNORE NULLS) OVER w AS lang,
+  first_value(content IGNORE NULLS) OVER w AS content
+FROM codetable
+WINDOW w AS (PARTITION BY repo, path, "commit"
+             ORDER BY coalesce(length(content), -1) DESC, lang, content
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+ORDER BY repo, path, "commit"
+"""
+
+
 def q_vl_nullpattern(sf_dir: str) -> pd.DataFrame:
     """Null-COMBINATION profile over (lang, content): row counts per
     is-null bitmask — the missingness-structure diagnostic per-column
@@ -7292,6 +7324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_salted": q_agg_salted,
         "dd_exact": q_dd_exact,
         "dd_dedup_rows": q_dd_dedup_rows,
+        "dd_golden": q_dd_golden,
         "agg_topk": q_agg_topk,
         "dd_minhash": q_dd_minhash,
         "dd_minhash_distributed": q_dd_minhash_distributed,
@@ -7563,6 +7596,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_pushdown": _PUSHDOWN_ORACLE,
         "sm_systematic": _SYSTEMATIC_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
+        "dd_golden": _GOLDEN_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,
         # dd_minhash / dd_simhash: sketch-based -> rows-only (pytest)

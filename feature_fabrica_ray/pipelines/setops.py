@@ -162,3 +162,38 @@ def snapshot_delta(ds_a, ds_b, key_cols: list[str],
                                 batch_size=None))
     return tagged.groupby("__bucket", num_partitions=nb) \
         .map_groups(classify, batch_format="pandas")
+
+
+def golden_record(ds, key_cols: list[str], order_col: str,
+                  value_cols: list[str], descending: bool = True):
+    """Survivorship merge / golden-record consolidation: duplicate
+    rows per key collapse into ONE record where each value column
+    independently takes its first NON-NULL value in ``order_col``
+    priority order (recency, source trust, completeness score) — the
+    entity-resolution merge step after duplicate detection; plain
+    keep-one dedup would throw away a newer row's only-filled field.
+
+    One hash-partitioned ``groupby(key).map_groups`` with a vectorized
+    column-wise first-valid pass per group (ties in ``order_col``
+    break by the remaining columns for determinism). Returns a Dataset
+    with key_cols + value_cols, one row per distinct key."""
+    from ..tuning import shuffle_partitions
+
+    def per_key(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        rows = df.sort_values([order_col] + value_cols,
+                              ascending=[not descending]
+                              + [True] * len(value_cols),
+                              kind="mergesort")
+        out = {k: [rows[k].iloc[0]] for k in key_cols}
+        for c in value_cols:
+            nn = rows[c].dropna()
+            out[c] = [nn.iloc[0] if len(nn) else None]
+        return pd.DataFrame(out)
+
+    cols = key_cols + [order_col] + value_cols
+    return (ds.map_batches(lambda b, c=tuple(cols): b.select(list(c)),
+                           batch_format="pyarrow", batch_size=None)
+            .groupby(key_cols, num_partitions=shuffle_partitions())
+            .map_groups(per_key, batch_format="pandas"))

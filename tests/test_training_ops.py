@@ -3757,3 +3757,28 @@ def test_effect_sizes(ray_session):
         blocks=2), "g", "v", "a", "b").iloc[0]
     assert abs(same["cohens_d"]) < 0.3
     assert abs(same["cliffs_delta"]) < 0.2
+
+
+def test_golden_record(ray_session):
+    """Per key, each column independently takes its first non-null in
+    priority order (a plain keep-one would lose the 'b' email);
+    all-null columns stay null; layout-invariant."""
+    from feature_fabrica_ray.pipelines import golden_record
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 3, 3],
+        "prio": [30, 20, 10, 5, 2, 1],
+        "email": [None, "b@x", "c@x", None, None, None],
+        "phone": ["111", None, "333", "444", None, "555"],
+    })
+    for blocks in (1, 3):
+        out = golden_record(_ds(df, blocks=blocks), ["k"], "prio",
+                            ["email", "phone"]).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert out["k"].tolist() == [1, 2, 3]
+        # key 1: newest email is from prio-20 row, newest phone prio-30
+        assert out.loc[0, "email"] == "b@x"
+        assert out.loc[0, "phone"] == "111"
+        assert out.loc[1, "email"] is None or pd.isna(out.loc[1, "email"])
+        assert out.loc[1, "phone"] == "444"
+        assert out.loc[2, "phone"] == "555"
