@@ -6084,6 +6084,31 @@ FROM r
 """
 
 
+def q_pr_hill(sf_dir: str) -> pd.DataFrame:
+    """Hill power-law tail index of o_totalprice over the top-100 order
+    statistics (alpha < 2 = unstable means, switch to quantiles):
+    per-block top-(k+1) partials, driver closed form
+    (pipelines/topk.py::hill_tail_index)."""
+    from feature_fabrica_ray.pipelines import hill_tail_index
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_totalprice"])
+    out = hill_tail_index(ds, "o_totalprice", k=100)
+    out["x_k"] = _round_away(out["x_k"], 6)
+    return out
+
+
+_HILL_ORACLE = """
+WITH pos AS (SELECT o_totalprice AS x FROM orders WHERE o_totalprice > 0),
+top AS (SELECT x FROM pos ORDER BY x DESC LIMIT 101),
+xk AS (SELECT min(x) AS v FROM top)
+SELECT round(100.0 / sum(ln(t.x / xk.v)), 6) AS alpha,
+       round(xk.v, 6) AS x_k, CAST(100 AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM pos) AS n_pos
+FROM top t CROSS JOIN xk WHERE t.x > xk.v GROUP BY xk.v
+"""
+
+
 def q_pr_effect(sf_dir: str) -> pd.DataFrame:
     """Cohen's d + Cliff's delta between click and error event values
     (magnitude companions to pr_welch's significance): moment fold +
@@ -7411,6 +7436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_auc": q_pr_auc,
         "pr_benford": q_pr_benford,
         "pr_effect": q_pr_effect,
+        "pr_hill": q_pr_hill,
         "agg_cooccur": q_agg_cooccur,
         "sm_reservoir": q_sm_reservoir,
         "sm_bootstrap": q_sm_bootstrap,
@@ -7621,6 +7647,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_auc": _AUC_ORACLE,
         "pr_benford": _BENFORD_ORACLE,
         "pr_effect": _EFFECT_ORACLE,
+        "pr_hill": _HILL_ORACLE,
         "agg_cooccur": _COOCCUR_ORACLE,
         "sm_reservoir": _RESERVOIR_ORACLE,
         "sm_neyman": _NEYMAN_ORACLE,

@@ -10,6 +10,7 @@ tie-break columns (ascending) — required for cross-engine comparison.
 from __future__ import annotations
 
 import pandas as pd
+import numpy as np
 import pyarrow as pa
 
 __all__ = ["topk_per_group", "approx_heavy_hitters", "skyline_2d"]
@@ -155,3 +156,55 @@ def skyline_2d(ds, id_col: str, min_col: str, max_col: str,
                        parts[max_col].to_numpy(_np.float64))
     out = pd.DataFrame({id_col: ids, min_col: p, max_col: s})
     return out.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+
+
+def hill_tail_index(ds, col: str, k: int = 100) -> "pd.DataFrame":
+    """Hill estimator of the power-law tail index over the top-``k``
+    order statistics:
+
+        alpha = k / Σ_{i=1..k} ln(x_(i) / x_(k+1))
+
+    — the standard heavy-tail diagnostic (alpha < 2: infinite
+    variance — means/stddevs of this column are unstable and the
+    pipeline should switch to medians/quantiles; Zipfian text/degree
+    data typically sits near 1-2).
+
+    Scale shape: per-block top-(k+1) partials (the bottomk/topk
+    combiner — k+1 floats per block is the whole exchange), driver
+    merge + closed form. Positive values only; NULL alpha when fewer
+    than k+1 positive values exist. Returns one row
+    (alpha, x_k, k, n_pos)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        x = x[np.isfinite(x) & (x > 0)]
+        top = np.sort(x)[-(k + 1):] if x.size else x
+        # the block's positive-count rides on the FIRST partial row
+        # only, so the driver can sum counts without double counting
+        n_col = np.zeros(max(top.size, 1), np.int64)
+        n_col[0] = x.size
+        v = top if top.size else np.array([-np.inf])
+        return pa.table({"v": pa.array(v, pa.float64()),
+                         "n": pa.array(n_col)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"alpha": [np.nan], "x_k": [np.nan],
+                             "k": np.array([k], np.int64),
+                             "n_pos": np.array([0], np.int64)})
+    n_pos = int(parts["n"].sum())
+    vals = parts["v"].to_numpy()
+    top = np.sort(vals[np.isfinite(vals)])[-(k + 1):]
+    if top.size < k + 1:
+        return pd.DataFrame({"alpha": [np.nan], "x_k": [np.nan],
+                             "k": np.array([k], np.int64),
+                             "n_pos": np.array([n_pos], np.int64)})
+    xk = top[0]
+    alpha = k / float(np.log(top[1:] / xk).sum())
+    return pd.DataFrame({"alpha": [round(alpha, 6)],
+                         "x_k": [xk],
+                         "k": np.array([k], np.int64),
+                         "n_pos": np.array([n_pos], np.int64)})

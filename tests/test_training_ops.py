@@ -3782,3 +3782,33 @@ def test_golden_record(ray_session):
         assert out.loc[1, "email"] is None or pd.isna(out.loc[1, "email"])
         assert out.loc[1, "phone"] == "444"
         assert out.loc[2, "phone"] == "555"
+
+
+def test_hill_tail_index(ray_session):
+    """Hill alpha recovers the generating Pareto exponent on synthetic
+    power-law data, flags the lognormal as lighter-tailed (higher
+    alpha), equals the closed form, and is layout-invariant."""
+    from feature_fabrica_ray.pipelines import hill_tail_index
+
+    rng = np.random.default_rng(131)
+    u = rng.random(20000)
+    pareto = (1.0 - u) ** (-1.0 / 1.5)          # alpha = 1.5
+    df = pd.DataFrame({"x": pareto})
+
+    outs = [hill_tail_index(_ds(df, blocks=b), "x", k=200).iloc[0]
+            for b in (1, 5)]
+    assert outs[0]["alpha"] == outs[1]["alpha"]
+    out = outs[0]
+    top = np.sort(pareto)[-201:]
+    want = 200 / np.log(top[1:] / top[0]).sum()
+    assert out["alpha"] == pytest.approx(round(want, 6), abs=2e-6)
+    assert abs(out["alpha"] - 1.5) < 0.3
+    assert int(out["n_pos"]) == 20000
+
+    light = hill_tail_index(
+        _ds(pd.DataFrame({"x": rng.lognormal(0, 0.5, 20000)}), blocks=3),
+        "x", k=200).iloc[0]
+    assert light["alpha"] > out["alpha"] * 2
+
+    tiny = hill_tail_index(_ds(df.head(50), blocks=2), "x", k=100).iloc[0]
+    assert np.isnan(tiny["alpha"]) and int(tiny["n_pos"]) == 50
