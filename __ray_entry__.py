@@ -351,6 +351,43 @@ def q_vl_segment_drift(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_dd_containment(sf_dir: str) -> pd.DataFrame:
+    """Asymmetric n-gram containment pairs over documents (Broder's
+    resemblance-vs-containment: catches quotes/subsets Jaccard
+    misses): overlap machinery + a per-doc distinct-window count
+    combiner (pipelines/dedup.py::ngram_containment_pairs)."""
+    from feature_fabrica_ray.pipelines import ngram_containment_pairs
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ngram_containment_pairs(ds, "text", "doc_id", n=8,
+                                   min_containment=0.05)
+
+
+_CONTAINMENT_ORACLE = r"""
+WITH tok AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '') AS ts
+             FROM documents),
+win AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS w
+        FROM tok, LATERAL (SELECT unnest(generate_series(
+                               1, len(ts) - 7)) AS i) g),
+dw AS (SELECT DISTINCT doc_id, w FROM win),
+cnt AS (SELECT doc_id, count(*) AS c FROM dw GROUP BY 1),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT p.id_a, p.id_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b,
+       round(p.n_shared * 1.0 / ca.c, 6) AS c_ab,
+       round(p.n_shared * 1.0 / cb.c, 6) AS c_ba
+FROM p JOIN cnt ca ON ca.doc_id = p.id_a
+       JOIN cnt cb ON cb.doc_id = p.id_b
+WHERE greatest(p.n_shared * 1.0 / ca.c, p.n_shared * 1.0 / cb.c) >= 0.05
+ORDER BY 1, 2
+"""
+
+
 def q_dd_golden(sf_dir: str) -> pd.DataFrame:
     """Golden-record consolidation of the codetable's planted duplicate
     keys: per (repo, path, commit), lang and content each take their
@@ -7350,6 +7387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_exact": q_dd_exact,
         "dd_dedup_rows": q_dd_dedup_rows,
         "dd_golden": q_dd_golden,
+        "dd_containment": q_dd_containment,
         "agg_topk": q_agg_topk,
         "dd_minhash": q_dd_minhash,
         "dd_minhash_distributed": q_dd_minhash_distributed,
@@ -7623,6 +7661,7 @@ def oracle_sql() -> dict[str, str]:
         "sm_systematic": _SYSTEMATIC_ORACLE,
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_golden": _GOLDEN_ORACLE,
+        "dd_containment": _CONTAINMENT_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,
         # dd_minhash / dd_simhash: sketch-based -> rows-only (pytest)

@@ -964,3 +964,56 @@ def ngram_overlap_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                                  batch_size=None) \
         .groupby("id_a", num_partitions=shuffle_partitions()) \
         .map_groups(count_merge, batch_format="pandas")
+
+
+def ngram_containment_pairs(ds, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 8,
+                            min_containment: float = 0.5,
+                            max_docs_per_gram: int | None = None):
+    """ASYMMETRIC n-gram containment: for each overlapping pair,
+    containment(a in b) = shared distinct windows / a's distinct
+    windows — the quote/subset detector Jaccard misses (a tweet quoted
+    inside an article has tiny Jaccard but containment ~1; Broder's
+    original resemblance-vs-containment distinction).
+
+    Cost on top of ``ngram_overlap_pairs``: one more per-block
+    combiner for per-doc distinct-window counts and a pair-scale
+    pandas join on the (rare, by the standing assumption) overlap
+    pairs. Returns pairs with max(c_ab, c_ba) >=
+    ``min_containment`` as a DataFrame (id_a, id_b, n_shared, n_a,
+    n_b, c_ab, c_ba) sorted."""
+    from .curation import token_ngram_hashes
+
+    pairs = ngram_overlap_pairs(ds, text_col, id_col, n=n,
+                                max_docs_per_gram=max_docs_per_gram) \
+        .to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(columns=["id_a", "id_b", "n_shared",
+                                     "n_a", "n_b", "c_ab", "c_ba"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g, row_of = token_ngram_hashes(batch.column(text_col), n)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if g.size == 0:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        df = pd.DataFrame({"doc": ids[row_of], "g": g})
+        c = df.drop_duplicates().groupby("doc").size()
+        return pa.table({"doc": pa.array(c.index.to_numpy(np.int64)),
+                         "cnt": pa.array(c.to_numpy(np.int64))})
+
+    counts = ds.map_batches(count_partial, batch_format="pyarrow",
+                            batch_size=None).to_pandas() \
+        .groupby("doc")["cnt"].sum()
+    out = pairs.copy()
+    out["n_a"] = counts.loc[out["id_a"]].to_numpy(np.int64)
+    out["n_b"] = counts.loc[out["id_b"]].to_numpy(np.int64)
+    raw_ab = out["n_shared"] / out["n_a"]
+    raw_ba = out["n_shared"] / out["n_b"]
+    out = out[np.maximum(raw_ab, raw_ba) >= min_containment].copy()
+    out["c_ab"] = np.round(out["n_shared"] / out["n_a"], 6)
+    out["c_ba"] = np.round(out["n_shared"] / out["n_b"], 6)
+    for c in ("id_a", "id_b", "n_shared", "n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

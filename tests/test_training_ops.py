@@ -3812,3 +3812,40 @@ def test_hill_tail_index(ray_session):
 
     tiny = hill_tail_index(_ds(df.head(50), blocks=2), "x", k=100).iloc[0]
     assert np.isnan(tiny["alpha"]) and int(tiny["n_pos"]) == 50
+
+
+def test_ngram_containment_pairs(ray_session):
+    """Containment flags a short doc quoted inside a long one
+    (c_ab ~ 1, tiny Jaccard) while unrelated docs don't pair; counts
+    match brute distinct-window sets; layout-invariant."""
+    from feature_fabrica_ray.pipelines import ngram_containment_pairs
+
+    rng = np.random.default_rng(137)
+    vocab = [f"w{i}" for i in range(200)]
+    quote = " ".join(rng.choice(vocab, 12))
+    long_doc = " ".join(rng.choice(vocab, 150)) + " " + quote + " " \
+        + " ".join(rng.choice(vocab, 150))
+    docs = [quote, long_doc] + [" ".join(rng.choice(vocab, 60))
+                                for _ in range(10)]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+
+    def windows(d, n=8):
+        ts = d.split()
+        return {" ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)}
+
+    w0, w1 = windows(quote), windows(long_doc)
+    shared = len(w0 & w1)
+
+    for blocks in (1, 3):
+        out = ngram_containment_pairs(_ds(df, blocks=blocks), n=8,
+                                      min_containment=0.5)
+        row = out[(out["id_a"] == 0) & (out["id_b"] == 1)]
+        assert len(row) == 1, out
+        r = row.iloc[0]
+        assert int(r["n_shared"]) == shared
+        assert int(r["n_a"]) == len(w0) and int(r["n_b"]) == len(w1)
+        assert r["c_ab"] == pytest.approx(shared / len(w0), abs=2e-6)
+        assert r["c_ab"] == 1.0                  # fully contained
+        assert r["c_ba"] < 0.2
+        assert (out[["id_a", "id_b"]].values.tolist() == [[0, 1]])
