@@ -6121,6 +6121,56 @@ FROM r
 """
 
 
+def q_pr_did(sf_dir: str) -> pd.DataFrame:
+    """Difference-in-differences readout: treated = odd user_id, split
+    at the event-stream midpoint date — 2x2 mean table + DiD in one
+    4-cell combiner (pipelines/grouped.py::diff_in_diff)."""
+    from feature_fabrica_ray.pipelines import diff_in_diff
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").cast(pa.int64())
+        return pa.table({"ts": t.column("ts"),
+                         "treat": pc.bit_wise_and(uid,
+                                                  pa.scalar(1, pa.int64())),
+                         "v": t.column("value")})
+
+    return diff_in_diff(ds.map_batches(derive, batch_format="pyarrow",
+                                       batch_size=None),
+                        "ts", "treat", "v", "2024-01-15")
+
+
+_DID_ORACLE = """
+WITH c AS (SELECT CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                       THEN 1 ELSE 0 END AS after,
+                  CAST(user_id % 2 AS INT) AS treat, value AS v
+           FROM events WHERE value IS NOT NULL),
+g AS (SELECT treat, after, CAST(count(*) AS BIGINT) AS n,
+             avg(v) AS m FROM c GROUP BY 1, 2)
+SELECT round(max(CASE WHEN treat = 0 AND after = 0 THEN m END), 6)
+           AS mean_ctrl_before,
+       round(max(CASE WHEN treat = 0 AND after = 1 THEN m END), 6)
+           AS mean_ctrl_after,
+       round(max(CASE WHEN treat = 1 AND after = 0 THEN m END), 6)
+           AS mean_treat_before,
+       round(max(CASE WHEN treat = 1 AND after = 1 THEN m END), 6)
+           AS mean_treat_after,
+       max(CASE WHEN treat = 0 AND after = 0 THEN n END) AS n_ctrl_before,
+       max(CASE WHEN treat = 0 AND after = 1 THEN n END) AS n_ctrl_after,
+       max(CASE WHEN treat = 1 AND after = 0 THEN n END)
+           AS n_treat_before,
+       max(CASE WHEN treat = 1 AND after = 1 THEN n END) AS n_treat_after,
+       round((max(CASE WHEN treat = 1 AND after = 1 THEN m END)
+              - max(CASE WHEN treat = 1 AND after = 0 THEN m END))
+             - (max(CASE WHEN treat = 0 AND after = 1 THEN m END)
+                - max(CASE WHEN treat = 0 AND after = 0 THEN m END)), 6)
+           AS did
+FROM g
+"""
+
+
 def q_pr_hill(sf_dir: str) -> pd.DataFrame:
     """Hill power-law tail index of o_totalprice over the top-100 order
     statistics (alpha < 2 = unstable means, switch to quantiles):
@@ -7475,6 +7525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_benford": q_pr_benford,
         "pr_effect": q_pr_effect,
         "pr_hill": q_pr_hill,
+        "pr_did": q_pr_did,
         "agg_cooccur": q_agg_cooccur,
         "sm_reservoir": q_sm_reservoir,
         "sm_bootstrap": q_sm_bootstrap,
@@ -7687,6 +7738,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_benford": _BENFORD_ORACLE,
         "pr_effect": _EFFECT_ORACLE,
         "pr_hill": _HILL_ORACLE,
+        "pr_did": _DID_ORACLE,
         "agg_cooccur": _COOCCUR_ORACLE,
         "sm_reservoir": _RESERVOIR_ORACLE,
         "sm_neyman": _NEYMAN_ORACLE,

@@ -2323,3 +2323,60 @@ def effect_sizes(ds, group_col: str, val_col: str, a, b) -> pd.DataFrame:
     return pd.DataFrame({"n_a": np.array([int(na_tot)], np.int64),
                          "n_b": np.array([int(nb_tot)], np.int64),
                          "cohens_d": [d], "cliffs_delta": [delta]})
+
+
+def diff_in_diff(ds, ts_col: str, treat_col: str, val_col: str,
+                 split_ts) -> pd.DataFrame:
+    """Difference-in-differences: the 2x2 (treated x before/after)
+    mean table and the DiD estimate
+
+        (ȳ_t,after − ȳ_t,before) − (ȳ_c,after − ȳ_c,before)
+
+    — the standard launch-impact readout when randomization wasn't
+    possible; the control difference nets out the time trend.
+
+    One algebraic (n, Σv) combiner over the four cells (4 rows per
+    block on the exchange). ``treat_col`` is boolean-like; rows with
+    null value are ignored. Returns one row: the four means, four
+    counts, and ``did`` (rounded to 6)."""
+    split_us = pa.scalar(split_ts).cast(pa.timestamp("us")) \
+        .cast(pa.int64()).as_py()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column(val_col)))
+        if t.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        after = pc.cast(pc.greater_equal(
+            t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
+            pa.scalar(split_us, pa.int64())), pa.int64())
+        treat = pc.cast(pc.greater(
+            t.column(treat_col).cast(pa.float64()), 0.0), pa.int64())
+        cell = pc.add(pc.multiply(treat, pa.scalar(2, pa.int64())), after)
+        g = pa.table({"cell": cell,
+                      "v": t.column(val_col).cast(pa.float64())}) \
+            .group_by("cell").aggregate([("v", "count"), ("v", "sum")])
+        return pa.table({"cell": g.column("cell"),
+                         "n": g.column("v_count").cast(pa.int64()),
+                         "s": g.column("v_sum").cast(pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    g = parts.groupby("cell").sum() if not parts.empty else None
+    means, ns = {}, {}
+    for cell, tag in [(0, "ctrl_before"), (1, "ctrl_after"),
+                      (2, "treat_before"), (3, "treat_after")]:
+        if g is not None and cell in g.index and g.loc[cell, "n"] > 0:
+            ns[tag] = int(g.loc[cell, "n"])
+            means[tag] = float(g.loc[cell, "s"] / g.loc[cell, "n"])
+        else:
+            ns[tag] = 0
+            means[tag] = np.nan
+    did = ((means["treat_after"] - means["treat_before"])
+           - (means["ctrl_after"] - means["ctrl_before"]))
+    row = {f"mean_{k}": round(v, 6) if v == v else np.nan
+           for k, v in means.items()}
+    row.update({f"n_{k}": np.int64(v) for k, v in ns.items()})
+    row["did"] = round(did, 6) if did == did else np.nan
+    return pd.DataFrame([row])

@@ -3849,3 +3849,33 @@ def test_ngram_containment_pairs(ray_session):
         assert r["c_ab"] == 1.0                  # fully contained
         assert r["c_ba"] < 0.2
         assert (out[["id_a", "id_b"]].values.tolist() == [[0, 1]])
+
+
+def test_diff_in_diff(ray_session):
+    """DiD recovers a planted treatment effect net of a shared time
+    trend; cell means/counts match pandas; layout-invariant."""
+    from feature_fabrica_ray.pipelines import diff_in_diff
+
+    rng = np.random.default_rng(139)
+    n = 8000
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 20 * 86400, n), "s")
+    split = pd.Timestamp("2024-01-11")
+    treat = rng.integers(0, 2, n)
+    after = (ts >= split).astype(int)
+    # base 10, time trend +2 for everyone after, +3 TRUE effect
+    v = 10 + 2 * after + 3 * (treat & after) + rng.normal(0, 1, n)
+    df = pd.DataFrame({"ts": ts, "treat": treat, "v": np.round(v, 3)})
+
+    outs = [diff_in_diff(_ds(df, blocks=b), "ts", "treat", "v",
+                         split).iloc[0] for b in (1, 4)]
+    for c in outs[0].index:
+        a, b2 = outs[0][c], outs[1][c]
+        assert a == b2 or a == pytest.approx(b2, rel=1e-9), c
+    out = outs[0]
+    ref = df.assign(after=after).groupby(["treat", "after"])["v"] \
+        .agg(["mean", "size"])
+    assert out["mean_treat_after"] == pytest.approx(
+        round(ref.loc[(1, 1), "mean"], 6), abs=2e-6)
+    assert int(out["n_ctrl_before"]) == int(ref.loc[(0, 0), "size"])
+    assert out["did"] == pytest.approx(3.0, abs=0.15)
