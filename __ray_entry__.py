@@ -6121,6 +6121,30 @@ FROM r
 """
 
 
+def q_pr_mom(sf_dir: str) -> pd.DataFrame:
+    """Median-of-means robust mean of event values (md5-bucketed,
+    SQL-replicable; sub-Gaussian under heavy tails): b (n, Σv) pairs
+    per block is the whole exchange
+    (pipelines/grouped.py::median_of_means)."""
+    from feature_fabrica_ray.pipelines import median_of_means
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+    return median_of_means(ds, "value", "event_id", b=32)
+
+
+_MOM_ORACLE = """
+WITH g AS (SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                      ::UBIGINT % 32 AS bkt,
+                  count(value) AS n, sum(value) AS s
+           FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT round(median(s / n), 6) AS mom,
+       round(sum(s) / sum(n), 6) AS mean,
+       CAST(32 AS BIGINT) AS b, CAST(sum(n) AS BIGINT) AS n
+FROM g
+"""
+
+
 def q_pr_did(sf_dir: str) -> pd.DataFrame:
     """Difference-in-differences readout: treated = odd user_id, split
     at the event-stream midpoint date — 2x2 mean table + DiD in one
@@ -7526,6 +7550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_effect": q_pr_effect,
         "pr_hill": q_pr_hill,
         "pr_did": q_pr_did,
+        "pr_mom": q_pr_mom,
         "agg_cooccur": q_agg_cooccur,
         "sm_reservoir": q_sm_reservoir,
         "sm_bootstrap": q_sm_bootstrap,
@@ -7739,6 +7764,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_effect": _EFFECT_ORACLE,
         "pr_hill": _HILL_ORACLE,
         "pr_did": _DID_ORACLE,
+        "pr_mom": _MOM_ORACLE,
         "agg_cooccur": _COOCCUR_ORACLE,
         "sm_reservoir": _RESERVOIR_ORACLE,
         "sm_neyman": _NEYMAN_ORACLE,

@@ -2380,3 +2380,50 @@ def diff_in_diff(ds, ts_col: str, treat_col: str, val_col: str,
     row.update({f"n_{k}": np.int64(v) for k, v in ns.items()})
     row["did"] = round(did, 6) if did == did else np.nan
     return pd.DataFrame([row])
+
+
+def median_of_means(ds, val_col: str, key_col: str,
+                    b: int = 32) -> pd.DataFrame:
+    """Median-of-means robust mean estimator: rows hash deterministically
+    into ``b`` buckets (md5 of the key — layout-stable, SQL-replicable),
+    the mean of each bucket folds through a (n, Σv) combiner, and the
+    estimate is the MEDIAN of the b bucket means — sub-Gaussian
+    concentration even under heavy tails, where the plain mean is one
+    outlier away from garbage (the estimator behind most streaming
+    robust-mean bounds).
+
+    Exchange: b (n, Σv) pairs per block; the median runs on b scalars.
+    Returns one row (mom, mean, b, n); both rounded to 6."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .sampling import md5_hex_column
+
+        t = batch.select([key_col, val_col]).filter(
+            pc.is_valid(batch.column(val_col)))
+        if t.num_rows == 0:
+            return pa.table({"bkt": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        hexes = md5_hex_column(t.column(key_col))
+        bkt = np.array([int(h[:8], 16) % b for h in hexes.to_pylist()],
+                       np.int64)
+        g = pa.table({"bkt": pa.array(bkt),
+                      "v": t.column(val_col).cast(pa.float64())}) \
+            .group_by("bkt").aggregate([("v", "count"), ("v", "sum")])
+        return pa.table({"bkt": g.column("bkt"),
+                         "n": g.column("v_count").cast(pa.int64()),
+                         "s": g.column("v_sum").cast(pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"mom": [np.nan], "mean": [np.nan],
+                             "b": np.array([b], np.int64),
+                             "n": np.array([0], np.int64)})
+    g = parts.groupby("bkt").sum()
+    means = (g["s"] / g["n"]).to_numpy()
+    n_tot = int(g["n"].sum())
+    return pd.DataFrame({"mom": [round(float(np.median(means)), 6)],
+                         "mean": [round(float(g["s"].sum() / n_tot), 6)],
+                         "b": np.array([b], np.int64),
+                         "n": np.array([n_tot], np.int64)})

@@ -3879,3 +3879,31 @@ def test_diff_in_diff(ray_session):
         round(ref.loc[(1, 1), "mean"], 6), abs=2e-6)
     assert int(out["n_ctrl_before"]) == int(ref.loc[(0, 0), "size"])
     assert out["did"] == pytest.approx(3.0, abs=0.15)
+
+
+def test_median_of_means(ray_session):
+    """MoM resists a planted gross outlier that wrecks the plain mean;
+    bucket means match a pandas md5-bucket reference; layout-invariant."""
+    import hashlib
+
+    from feature_fabrica_ray.pipelines import median_of_means
+
+    rng = np.random.default_rng(149)
+    n = 6000
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                       "v": rng.normal(5.0, 1.0, n)})
+    df.loc[0, "v"] = 1e9                       # one corrupted record
+
+    outs = [median_of_means(_ds(df, blocks=bl), "v", "k", b=32).iloc[0]
+            for bl in (1, 4)]
+    assert outs[0].equals(outs[1]) or all(
+        outs[0][c] == pytest.approx(outs[1][c]) for c in outs[0].index)
+    out = outs[0]
+    assert abs(out["mom"] - 5.0) < 0.2          # robust
+    assert out["mean"] > 1e5                    # plain mean destroyed
+    assert int(out["n"]) == n
+
+    bkt = df["k"].map(lambda x: int(hashlib.md5(str(x).encode())
+                                    .hexdigest()[:8], 16) % 32)
+    ref = float(df.groupby(bkt)["v"].mean().median())
+    assert out["mom"] == pytest.approx(round(ref, 6), abs=2e-6)
