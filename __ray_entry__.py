@@ -469,6 +469,28 @@ FROM sym
 """
 
 
+def q_vl_volume(sf_dir: str) -> pd.DataFrame:
+    """Daily ingest-volume anomaly check (scaled-MAD fence, k=5): one
+    (day, n) count combiner, robust fence on the day table
+    (pipelines/validate.py::volume_anomalies)."""
+    from feature_fabrica_ray.pipelines import volume_anomalies
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+    return volume_anomalies(ds, "ts", k=5.0)
+
+
+_VOLUME_ORACLE = """
+WITH d AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+f AS (SELECT median(n) AS med, mad(n) AS m FROM d)
+SELECT d.day_us, d.n,
+       round(abs(d.n - f.med) / (1.4826 * f.m), 6) AS dev,
+       (abs(d.n - f.med) / (1.4826 * f.m)) > 5.0 AS anomaly
+FROM d CROSS JOIN f ORDER BY d.day_us
+"""
+
+
 def q_vl_completeness(sf_dir: str) -> pd.DataFrame:
     """Calendar-grid completeness per user (distinct active days vs
     the global day span): distinct-(key, day) combiner + 2-scalar span
@@ -7385,6 +7407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_nullpattern": q_vl_nullpattern,
         "vl_typeinfer": q_vl_typeinfer,
         "vl_completeness": q_vl_completeness,
+        "vl_volume": q_vl_volume,
         "vl_stats_size": q_vl_stats_size,
         "vl_content_sha256": q_vl_content_sha256,
         "vl_distinct_repo": q_vl_distinct_repo,
@@ -7625,6 +7648,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_nullpattern": _NULLPATTERN_ORACLE,
         "vl_typeinfer": _TYPEINFER_ORACLE,
         "vl_completeness": _COMPLETENESS_ORACLE,
+        "vl_volume": _VOLUME_ORACLE,
         "vl_stats_size": _STATS_ORACLE,
         "vl_group_stats": _GROUP_STATS_ORACLE,
         "vl_quantile": _QUANTILE_ORACLE,

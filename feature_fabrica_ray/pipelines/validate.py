@@ -1463,3 +1463,48 @@ def grid_completeness(ds, key_col: str, ts_col: str):
     out["n_missing"] = (expected - out["n_days"]).astype("int64")
     out["complete"] = out["n_missing"] == 0
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def volume_anomalies(ds, ts_col: str, k: float = 5.0):
+    """Daily-volume anomaly check — "did ingest double or halve on
+    Tuesday": row counts per day, flagged when the count sits more
+    than ``k`` scaled-MAD units from the median daily volume (the
+    robust fence — a mean/std fence would be dragged by the very
+    outage it should flag).
+
+    One per-block (day, n) count combiner (day-scale exchange); the
+    median/MAD fence is driver arithmetic on the day table. Returns
+    (day_us, n, dev, anomaly) sorted by day, with dev = |n - median| /
+    (1.4826 * MAD) rounded to 6 (NaN dev when MAD is 0 and the count
+    equals the median; infinite-dev days always flag)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(
+            batch.column(ts_col).cast(pa.timestamp("us")), unit="day"),
+            pa.timestamp("us")).cast(pa.int64())
+        g = pa.table({"day_us": day}).group_by("day_us") \
+            .aggregate([([], "count_all")])
+        return pa.table({"day_us": g.column("day_us"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"day_us": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64"),
+                             "dev": [], "anomaly": pd.Series([],
+                                                             dtype=bool)})
+    g = parts.groupby("day_us", as_index=False)["n"].sum()
+    n = g["n"].to_numpy(np.float64)
+    med = float(np.median(n))
+    mad = float(np.median(np.abs(n - med)))
+    scale = 1.4826 * mad
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dev = np.abs(n - med) / scale if scale > 0 else \
+            np.where(n == med, np.nan, np.inf)
+    out = pd.DataFrame({"day_us": g["day_us"].astype("int64"),
+                        "n": g["n"].astype("int64"),
+                        "dev": np.round(dev, 6),
+                        "anomaly": dev > k})
+    return out.sort_values("day_us").reset_index(drop=True)

@@ -1293,3 +1293,40 @@ def test_grid_completeness(ray_session):
         assert int(out.loc[2, "expected_days"]) == 10
         assert int(out.loc[2, "n_missing"]) == 6
         assert not bool(out.loc[2, "complete"])
+
+
+def test_volume_anomalies(ray_session):
+    """A planted outage day (tenth volume) and a spike day (8x) both
+    flag; normal days don't; dev matches the scaled-MAD closed form."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import volume_anomalies
+
+    rng = np.random.default_rng(151)
+    base = pd.Timestamp("2024-02-01")
+    rows = []
+    for d in range(14):
+        cnt = 1000 + int(rng.integers(-30, 30))
+        if d == 5:
+            cnt = 100            # outage
+        if d == 9:
+            cnt = 8000           # spike
+        for _ in range(cnt):
+            rows.append(base + pd.Timedelta(
+                days=d, seconds=int(rng.integers(0, 86400))))
+    df = pd.DataFrame({"ts": rows})
+
+    for blocks in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = volume_anomalies(ds, "ts", k=5.0)
+        assert len(out) == 14
+        flagged = set(out[out["anomaly"]].index)
+        assert flagged == {5, 9}, out
+        n = out["n"].to_numpy(float)
+        med = np.median(n)
+        mad = np.median(np.abs(n - med))
+        want = np.abs(n - med) / (1.4826 * mad)
+        np.testing.assert_allclose(out["dev"], np.round(want, 6),
+                                   atol=2e-6)
