@@ -5132,6 +5132,37 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_ta_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary overlap between the en and de document segments
+    (domain-shift screen): distinct-(segment, token) combiner + one
+    keyed side-flag fold (pipelines/textstats.py::vocab_overlap)."""
+    from feature_fabrica_ray.pipelines import vocab_overlap
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"])
+    return vocab_overlap(ds, "text", "lang", "en", "de")
+
+
+_VOCAB_OVERLAP_ORACLE = r"""
+WITH tok AS (SELECT lang,
+                    unnest(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS token
+             FROM documents WHERE lang IN ('en', 'de')),
+fl AS (SELECT token, max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ia,
+              max(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS ib
+       FROM tok GROUP BY token),
+s AS (SELECT sum(ia) AS na, sum(ib) AS nb,
+             sum(CASE WHEN ia + ib = 2 THEN 1 ELSE 0 END) AS nc
+      FROM fl)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(nc AS BIGINT) AS n_common,
+       round(nc * 1.0 / (na + nb - nc), 6) AS jaccard,
+       round(nc * 1.0 / na, 6) AS cover_a_in_b,
+       round(nc * 1.0 / nb, 6) AS cover_b_in_a
+FROM s
+"""
+
+
 def q_ta_entropy(sf_dir: str) -> pd.DataFrame:
     """Per-document character-distribution Shannon entropy (log2,
     DuckDB entropy() parity on ASCII): ONE combined-index bincount per
@@ -7619,6 +7650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_pmi": q_ta_pmi,
         "ta_bigram_lm": q_ta_bigram_lm,
         "ta_entropy": q_ta_entropy,
+        "ta_vocab_overlap": q_ta_vocab_overlap,
         "ta_zlib": q_ta_zlib,
         "pr_welch": q_pr_welch,
         "pr_calibration": q_pr_calibration,
@@ -7833,6 +7865,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_pmi": _PMI_ORACLE,
         "ta_bigram_lm": _BIGRAM_LM_ORACLE,
         "ta_entropy": _CHAR_ENTROPY_ORACLE,
+        "ta_vocab_overlap": _VOCAB_OVERLAP_ORACLE,
         "pr_welch": _WELCH_ORACLE,
         "pr_calibration": _CALIBRATION_ORACLE,
         "pr_hist2d": _HIST2D_ORACLE,

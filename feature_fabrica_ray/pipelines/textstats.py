@@ -1189,3 +1189,66 @@ def bigram_lm_scores(ds, text_col: str = "text", id_col: str = "doc_id",
     out = ds.map_batches(score, batch_format="pyarrow",
                          batch_size=None).to_pandas()
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def vocab_overlap(ds, text_col: str, seg_col: str, a, b):
+    """Vocabulary overlap between two corpus segments: distinct-token
+    Jaccard + each side's coverage of the other — the cheap
+    domain-shift screen before training on a new source (low overlap =
+    expect OOV pain / reweighting).
+
+    Per-block distinct-(segment, token) combiner, one keyed fold to a
+    per-token side-flag (the set_op_keys shape), three scalars out.
+    Returns one row (n_a, n_b, n_common, jaccard, cover_a_in_b,
+    cover_b_in_a) rounded to 6."""
+    import pandas as pd
+
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(seg_col).cast(pa.string())
+        mask = pc.is_in(col, value_set=pa.array([str(a), str(b)]))
+        t = batch.filter(mask)
+        if t.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "ia": pa.array([], pa.int64()),
+                             "ib": pa.array([], pa.int64())})
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(t.column(text_col), ""))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        seg = t.column(seg_col).cast(pa.string()).take(
+            parent.filter(keep))
+        tt = pa.table({"token": flat.filter(keep),
+                       "ia": pc.cast(pc.equal(seg, str(a)), pa.int64()),
+                       "ib": pc.cast(pc.equal(seg, str(b)), pa.int64())})
+        g = tt.group_by("token").aggregate([("ia", "max"), ("ib", "max")])
+        return pa.table({"token": g.column("token"),
+                         "ia": g.column("ia_max").cast(pa.int64()),
+                         "ib": g.column("ib_max").cast(pa.int64())})
+
+    nparts = shuffle_partitions()
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("token", num_partitions=nparts)
+             .map_groups(lambda df: pd.DataFrame(
+                 {"ia": [int(df["ia"].max())],
+                  "ib": [int(df["ib"].max())]}), batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        na = nb = nc = 0
+    else:
+        na = int(parts["ia"].sum())
+        nb = int(parts["ib"].sum())
+        nc = int(((parts["ia"] + parts["ib"]) == 2).sum())
+    union = na + nb - nc
+    return pd.DataFrame({
+        "n_a": np.array([na], np.int64),
+        "n_b": np.array([nb], np.int64),
+        "n_common": np.array([nc], np.int64),
+        "jaccard": [round(nc / union, 6) if union else np.nan],
+        "cover_a_in_b": [round(nc / na, 6) if na else np.nan],
+        "cover_b_in_a": [round(nc / nb, 6) if nb else np.nan]})

@@ -3907,3 +3907,26 @@ def test_median_of_means(ray_session):
                                     .hexdigest()[:8], 16) % 32)
     ref = float(df.groupby(bkt)["v"].mean().median())
     assert out["mom"] == pytest.approx(round(ref, 6), abs=2e-6)
+
+
+def test_vocab_overlap(ray_session):
+    """Counts equal brute set arithmetic on planted vocabularies with
+    partial overlap; layout-invariant; coverage asymmetry detected."""
+    from feature_fabrica_ray.pipelines import vocab_overlap
+
+    docs_a = ["alpha beta gamma", "beta delta", "alpha epsilon"]
+    docs_b = ["beta gamma zeta", "zeta eta theta iota"]
+    rows = [("a", d) for d in docs_a] + [("b", d) for d in docs_b] \
+        + [("c", "unrelated words here")]
+    df = pd.DataFrame(rows, columns=["seg", "text"])
+
+    va = set(" ".join(docs_a).split())
+    vb = set(" ".join(docs_b).split())
+    for blocks in (1, 3):
+        out = vocab_overlap(_ds(df, blocks=blocks), "text", "seg",
+                            "a", "b").iloc[0]
+        assert int(out["n_a"]) == len(va)
+        assert int(out["n_b"]) == len(vb)
+        assert int(out["n_common"]) == len(va & vb)
+        assert out["jaccard"] == round(len(va & vb) / len(va | vb), 6)
+        assert out["cover_a_in_b"] == round(len(va & vb) / len(va), 6)
