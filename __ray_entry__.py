@@ -6495,6 +6495,33 @@ FROM c JOIN p USING (dow, hour) ORDER BY c.event_id
 """
 
 
+def q_ev_dau_mau(sf_dir: str) -> pd.DataFrame:
+    """Monthly MAU / average DAU / stickiness over the event stream:
+    distinct-(day, user) combiner, dimension-sized rollups
+    (pipelines/events.py::dau_mau)."""
+    from feature_fabrica_ray.pipelines import dau_mau
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    return dau_mau(ds, "ts", "user_id")
+
+
+_DAU_MAU_ORACLE = """
+WITH d AS (SELECT DISTINCT epoch_us(date_trunc('month', ts)) AS month_us,
+                  epoch_us(date_trunc('day', ts)) AS day_us, user_id
+           FROM events),
+dau AS (SELECT month_us, day_us, count(DISTINCT user_id) AS dau
+        FROM d GROUP BY 1, 2),
+mau AS (SELECT month_us, count(DISTINCT user_id) AS mau
+        FROM d GROUP BY 1)
+SELECT mau.month_us, CAST(mau.mau AS BIGINT) AS mau,
+       round(avg(dau.dau), 6) AS avg_dau,
+       round(avg(dau.dau) / mau.mau, 6) AS stickiness
+FROM mau JOIN dau USING (month_us)
+GROUP BY mau.month_us, mau.mau ORDER BY mau.month_us
+"""
+
+
 def q_ev_rfm(sf_dir: str) -> pd.DataFrame:
     """RFM features per user (recency/frequency/monetary + inverted-
     recency quantile scores with cume_dist tie semantics): one
@@ -7541,6 +7568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_streaks": q_ev_streaks,
         "ev_km": q_ev_km,
         "ev_rfm": q_ev_rfm,
+        "ev_dau_mau": q_ev_dau_mau,
         "ev_seasonal": q_ev_seasonal,
         "vl_schema_diff": q_vl_schema_diff,
         "dd_embedding_rows": q_dd_embedding_rows,
@@ -7808,6 +7836,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_streaks": _STREAKS_ORACLE,
         "ev_km": _KM_ORACLE,
         "ev_rfm": _RFM_ORACLE,
+        "ev_dau_mau": _DAU_MAU_ORACLE,
         "ev_seasonal": _SEASONAL_ORACLE,
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,

@@ -1557,3 +1557,44 @@ def seasonal_residual(ds, ts_col: str, val_col: str):
             "residual", pa.array(np.round(v - seas, 6), pa.float64()))
 
     return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+
+
+def dau_mau(ds, ts_col: str, key_col: str) -> pd.DataFrame:
+    """Engagement stickiness per calendar month: MAU (distinct active
+    keys), average DAU over the month's ACTIVE days, and stickiness =
+    avg_dau / mau — the product-health ratio (1.0 = everyone active
+    every active day).
+
+    One distinct-(day, key) combiner (so the keyed exchange carries at
+    most one row per key per day per block); month rollups derive from
+    that dimension-sized table. Returns (month_us, mau, avg_dau,
+    stickiness) sorted, stickiness rounded to 6."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.cast(pc.floor_temporal(
+                batch.column(ts_col).cast(pa.timestamp("us")),
+                unit="day"), pa.timestamp("us")).cast(pa.int64()),
+            "month": pc.cast(pc.floor_temporal(
+                batch.column(ts_col).cast(pa.timestamp("us")),
+                unit="month"), pa.timestamp("us")).cast(pa.int64()),
+            key_col: batch.column(key_col),
+        })
+        return t.group_by(["month", "day", key_col]).aggregate([])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas() \
+        .drop_duplicates(["month", "day", key_col])
+    if parts.empty:
+        return pd.DataFrame({"month_us": pd.Series([], dtype="int64"),
+                             "mau": pd.Series([], dtype="int64"),
+                             "avg_dau": [], "stickiness": []})
+    dau = parts.groupby(["month", "day"])[key_col].nunique()
+    mau = parts.groupby("month")[key_col].nunique()
+    avg_dau = dau.groupby("month").mean()
+    out = pd.DataFrame({"month_us": mau.index.astype("int64"),
+                        "mau": mau.to_numpy(np.int64),
+                        "avg_dau": np.round(avg_dau.to_numpy(), 6),
+                        "stickiness": np.round(
+                            (avg_dau / mau).to_numpy(), 6)})
+    return out.sort_values("month_us").reset_index(drop=True)

@@ -3930,3 +3930,34 @@ def test_vocab_overlap(ray_session):
         assert int(out["n_common"]) == len(va & vb)
         assert out["jaccard"] == round(len(va & vb) / len(va | vb), 6)
         assert out["cover_a_in_b"] == round(len(va & vb) / len(va), 6)
+
+
+def test_dau_mau(ray_session):
+    """MAU/avg-DAU/stickiness match brute set math across two planted
+    months (daily-active user vs one-day user); multi-event days
+    dedupe; layout-invariant."""
+    from feature_fabrica_ray.pipelines import dau_mau
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for d in range(10):                       # Jan: u1 daily, u2 once
+        rows.append((1, base + pd.Timedelta(days=d)))
+        rows.append((1, base + pd.Timedelta(days=d, hours=5)))
+    rows.append((2, base + pd.Timedelta(days=3)))
+    feb = pd.Timestamp("2024-02-01")          # Feb: u1,u2,u3 same day
+    for u in (1, 2, 3):
+        rows.append((u, feb))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+
+    for blocks in (1, 3):
+        out = dau_mau(_ds(df, blocks=blocks), "ts", "user_id") \
+            .set_index("month_us")
+        jan = out.iloc[0]
+        # Jan: 10 active days; DAU = 1 except day3 (2); MAU 2
+        assert int(jan["mau"]) == 2
+        assert jan["avg_dau"] == pytest.approx(11 / 10, abs=1e-9)
+        assert jan["stickiness"] == pytest.approx(round(11 / 20, 6),
+                                                  abs=2e-6)
+        febr = out.iloc[1]
+        assert int(febr["mau"]) == 3 and febr["avg_dau"] == 3.0
+        assert febr["stickiness"] == 1.0
