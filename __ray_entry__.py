@@ -6495,6 +6495,35 @@ FROM c JOIN p USING (dow, hour) ORDER BY c.event_id
 """
 
 
+def q_ev_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Goh-Barabási burstiness of inter-event gaps per user (clockwork
+    -1 / Poisson 0 / bursty +1): keyed diff + two-moment fold
+    (pipelines/events.py::burstiness_per_key)."""
+    from feature_fabrica_ray.pipelines import burstiness_per_key
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id"])
+    out = burstiness_per_key(ds, "ts", "user_id", "event_id")
+    # oracle's WHERE gap IS NOT NULL drops gap-less (single-event) keys
+    return out[out["n_gaps"] > 0].reset_index(drop=True)
+
+
+_BURSTINESS_ORACLE = """
+WITH seq AS (SELECT user_id,
+                    (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id))
+                     - epoch_us(ts)) / 1000000.0 AS gap
+             FROM events),
+g AS (SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+             avg(gap) AS mu, stddev_samp(gap) AS sd
+      FROM seq WHERE gap IS NOT NULL GROUP BY 1)
+SELECT user_id, n_gaps, round(mu, 6) AS mean_gap_s,
+       round(sd, 6) AS std_gap_s,
+       round((sd - mu) / (sd + mu), 6) AS burstiness
+FROM g ORDER BY user_id
+"""
+
+
 def q_ev_dau_mau(sf_dir: str) -> pd.DataFrame:
     """Monthly MAU / average DAU / stickiness over the event stream:
     distinct-(day, user) combiner, dimension-sized rollups
@@ -7569,6 +7598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_km": q_ev_km,
         "ev_rfm": q_ev_rfm,
         "ev_dau_mau": q_ev_dau_mau,
+        "ev_burstiness": q_ev_burstiness,
         "ev_seasonal": q_ev_seasonal,
         "vl_schema_diff": q_vl_schema_diff,
         "dd_embedding_rows": q_dd_embedding_rows,
@@ -7837,6 +7867,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_km": _KM_ORACLE,
         "ev_rfm": _RFM_ORACLE,
         "ev_dau_mau": _DAU_MAU_ORACLE,
+        "ev_burstiness": _BURSTINESS_ORACLE,
         "ev_seasonal": _SEASONAL_ORACLE,
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,

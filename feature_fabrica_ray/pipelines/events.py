@@ -1598,3 +1598,56 @@ def dau_mau(ds, ts_col: str, key_col: str) -> pd.DataFrame:
                         "stickiness": np.round(
                             (avg_dau / mau).to_numpy(), 6)})
     return out.sort_values("month_us").reset_index(drop=True)
+
+
+def burstiness_per_key(ds, ts_col: str, key_col: str,
+                       order_col: str) -> pd.DataFrame:
+    """Goh-Barabási burstiness coefficient of inter-event gaps per key:
+
+        B = (σ − μ) / (σ + μ)   over the key's consecutive gaps
+
+    — B → −1 for clockwork (periodic) activity, ~0 for Poisson, → +1
+    for extreme bursts; the one-number diagnostic separating bot-like
+    regular traffic from human bursty behavior.
+
+    One keyed shuffle of the narrow projection, vectorized sorted-diff
+    + two-moment fold per key. Keys with < 3 events emit NULL B (σ of
+    one gap is 0/undefined). Returns (key, n_gaps, mean_gap_s,
+    std_gap_s, burstiness) rounded to 6, sorted by key."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        ts = df[ts_col].astype("datetime64[us]").astype(np.int64) \
+            .to_numpy()
+        gaps = np.diff(ts) / 1e6
+        n = gaps.size
+        if n == 0:
+            return pd.DataFrame({key_col: df[key_col].iloc[:1],
+                                 "n_gaps": np.array([0], np.int64),
+                                 "mean_gap_s": [np.nan],
+                                 "std_gap_s": [np.nan],
+                                 "burstiness": [np.nan]})
+        mu = gaps.mean()
+        sd = gaps.std(ddof=1) if n >= 2 else np.nan
+        b = (sd - mu) / (sd + mu) if n >= 2 and (sd + mu) > 0 else np.nan
+        return pd.DataFrame({key_col: df[key_col].iloc[:1],
+                             "n_gaps": np.array([n], np.int64),
+                             "mean_gap_s": [round(mu, 6)],
+                             "std_gap_s": [round(sd, 6)
+                                           if sd == sd else np.nan],
+                             "burstiness": [round(b, 6)
+                                            if b == b else np.nan]})
+
+    cols = [key_col, ts_col, order_col]
+    out = (ds.map_batches(lambda t, c=tuple(cols): t.select(list(c)),
+                          batch_format="pyarrow", batch_size=None)
+           .groupby(key_col, num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                             "n_gaps": pd.Series([], dtype="int64"),
+                             "mean_gap_s": [], "std_gap_s": [],
+                             "burstiness": []})
+    out[key_col] = out[key_col].astype("int64")
+    return out.sort_values(key_col).reset_index(drop=True)

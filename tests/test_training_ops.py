@@ -3961,3 +3961,42 @@ def test_dau_mau(ray_session):
         febr = out.iloc[1]
         assert int(febr["mau"]) == 3 and febr["avg_dau"] == 3.0
         assert febr["stickiness"] == 1.0
+
+
+def test_burstiness_per_key(ray_session):
+    """Periodic events give B near -1, exponential gaps near 0, bursty
+    near +1; values equal the closed form; <3-event keys NULL."""
+    from feature_fabrica_ray.pipelines import burstiness_per_key
+
+    rng = np.random.default_rng(157)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    oid = 0
+    for i in range(50):                       # key 1: clockwork 60 s
+        rows.append((1, base + pd.Timedelta(seconds=60 * i), oid)); oid += 1
+    t = 0.0
+    for _ in range(200):                      # key 2: Poisson-ish
+        t += rng.exponential(60)
+        rows.append((2, base + pd.Timedelta(seconds=t), oid)); oid += 1
+    t = 0.0
+    for _ in range(200):                      # key 3: heavy bursts
+        t += rng.exponential(1) if rng.random() < 0.95 \
+            else rng.exponential(5000)
+        rows.append((3, base + pd.Timedelta(seconds=t), oid)); oid += 1
+    rows.append((9, base, oid))               # single event
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+
+    for blocks in (1, 3):
+        out = burstiness_per_key(_ds(df, blocks=blocks), "ts",
+                                 "user_id", "event_id") \
+            .set_index("user_id")
+        assert out.loc[1, "burstiness"] == pytest.approx(-1.0, abs=1e-6)
+        assert abs(out.loc[2, "burstiness"]) < 0.15
+        assert out.loc[3, "burstiness"] > 0.5
+        assert pd.isna(out.loc[9, "burstiness"])
+        gaps = np.diff(df[df["user_id"] == 2].sort_values("ts")["ts"]
+                       .astype("datetime64[us]").astype(np.int64)) / 1e6
+        want = (gaps.std(ddof=1) - gaps.mean()) \
+            / (gaps.std(ddof=1) + gaps.mean())
+        assert out.loc[2, "burstiness"] == pytest.approx(round(want, 6),
+                                                         abs=2e-6)
