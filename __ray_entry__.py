@@ -5598,6 +5598,55 @@ def q_gr_kcore(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_gr_clustering(sf_dir: str) -> pd.DataFrame:
+    """Global + average-local clustering coefficients of the
+    co-purchase graph (triangle machinery + degree combiner;
+    pipelines/graph.py::clustering_coefficients)."""
+    from feature_fabrica_ray.pipelines import clustering_coefficients
+
+    out = clustering_coefficients(_copurchase_edges(sf_dir), "a", "b")
+    return pd.DataFrame({
+        "c_global": [_round_away(pd.Series([out["c_global"]]),
+                                 6).iloc[0]],
+        "c_avg_local": [_round_away(pd.Series([out["c_avg_local"]]),
+                                    6).iloc[0]],
+        "n_triangles": np.array([out["n_triangles"]], np.int64),
+        "n_wedges": np.array([out["n_wedges"]], np.int64),
+        "n_nodes": np.array([out["n_nodes"]], np.int64)})
+
+
+_CLUSTERING_ORACLE = """
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey),
+t AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM e e1 JOIN e e2 ON e2.lo = e1.hi
+                JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+ntri AS (SELECT node, count(*) AS tc FROM (
+           SELECT a AS node FROM t
+           UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+         GROUP BY node),
+deg AS (SELECT node, count(*) AS d FROM (
+          SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+        GROUP BY node),
+loc AS (SELECT deg.node,
+               coalesce(ntri.tc, 0) * 2.0 / (deg.d * (deg.d - 1))
+                   AS cl
+        FROM deg LEFT JOIN ntri USING (node) WHERE deg.d >= 2),
+s AS (SELECT (SELECT count(*) FROM t) AS n_tri,
+             (SELECT sum(d * (d - 1) / 2) FROM deg) AS wedges,
+             (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT avg(cl) FROM loc) AS c_avg)
+SELECT round(3.0 * n_tri / wedges, 6) AS c_global,
+       round(c_avg, 6) AS c_avg_local,
+       CAST(n_tri AS BIGINT) AS n_triangles,
+       CAST(wedges AS BIGINT) AS n_wedges,
+       CAST(n_nodes AS BIGINT) AS n_nodes
+FROM s
+"""
+
+
 def q_gr_modularity(sf_dir: str) -> pd.DataFrame:
     """Modularity Q of the BRAND partition over the co-purchase graph
     ("do same-brand parts sell together?" — near 0 on this synthetic
@@ -7702,6 +7751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gr_bfs": q_gr_bfs,
         "gr_assortativity": q_gr_assortativity,
         "gr_modularity": q_gr_modularity,
+        "gr_clustering": q_gr_clustering,
         "agg_moments": q_agg_moments,
         "gr_jaccard": q_gr_jaccard,
         "ta_bm25": q_ta_bm25,
@@ -7919,6 +7969,7 @@ def oracle_sql() -> dict[str, str]:
         "gr_bfs": _BFS_ORACLE,
         "gr_assortativity": _ASSORT_ORACLE,
         "gr_modularity": _MODULARITY_ORACLE,
+        "gr_clustering": _CLUSTERING_ORACLE,
         "agg_moments": _MOMENTS_ORACLE,
         "gr_jaccard": _EDGE_JACCARD_ORACLE,
         "ta_bm25": _BM25_ORACLE,

@@ -43,7 +43,8 @@ from ..tuning import shuffle_partitions
 
 __all__ = ["connected_components", "star_edges", "pagerank", "degree_table",
            "canonical_edges", "triangle_count", "edge_jaccard", "kcore",
-           "cooccur_edges", "bfs_hops", "degree_assortativity", "modularity"]
+           "cooccur_edges", "bfs_hops", "degree_assortativity", "modularity",
+           "clustering_coefficients"]
 
 
 def _canon2(names: list[str]):
@@ -947,3 +948,42 @@ def modularity(edges, assign, a_col: str = "a", b_col: str = "b",
     g = parts.groupby("comm").sum()
     q = float((g["e_within"] / m - (g["deg"] / (2.0 * m)) ** 2).sum())
     return {"q": q, "n_edges": int(m), "n_comms": int(len(g))}
+
+
+def clustering_coefficients(edges, a_col: str = "a", b_col: str = "b"):
+    """Global + average-local clustering coefficients — "how cliquish
+    is this graph" (social graphs ~0.1-0.6; random graphs ~ degree/n):
+
+        C_global = 3·triangles / wedges
+        C_local(v) = tri(v) / C(deg(v), 2),  C_avg = mean over deg>=2
+
+    Reuses the exact triangle machinery (canonical dedup + two-join
+    enumeration, per-node counts) plus the degree combiner; the two
+    coefficients are driver arithmetic on the node-scale tables.
+    Returns {"c_global": float, "c_avg_local": float, "n_triangles":
+    int, "n_wedges": int, "n_nodes": int}."""
+    import pandas as pd
+
+    tri = triangle_count(edges, a_col, b_col)
+    deg = degree_table(canonical_edges(edges, a_col, b_col), "lo", "hi")
+    deg["deg"] = deg["out_deg"] + deg["in_deg"]
+    if deg.empty:
+        return {"c_global": float("nan"), "c_avg_local": float("nan"),
+                "n_triangles": 0, "n_wedges": 0, "n_nodes": 0}
+    d = deg.set_index("node")["deg"]
+    wedges = int((d * (d - 1) // 2).sum())
+    n_tri = int(tri["tri_cnt"].sum() // 3) if not tri.empty else 0
+    c_global = 3.0 * n_tri / wedges if wedges else float("nan")
+    tri_of = tri.set_index("node")["tri_cnt"] if not tri.empty else None
+    eligible = d[d >= 2]
+    if len(eligible):
+        t = (tri_of.reindex(eligible.index).fillna(0)
+             if tri_of is not None else
+             pd.Series(0, index=eligible.index))
+        local = t / (eligible * (eligible - 1) / 2.0)
+        c_avg = float(local.mean())
+    else:
+        c_avg = float("nan")
+    return {"c_global": c_global, "c_avg_local": c_avg,
+            "n_triangles": n_tri, "n_wedges": wedges,
+            "n_nodes": int(len(d))}

@@ -4000,3 +4000,29 @@ def test_burstiness_per_key(ray_session):
             / (gaps.std(ddof=1) + gaps.mean())
         assert out.loc[2, "burstiness"] == pytest.approx(round(want, 6),
                                                          abs=2e-6)
+
+
+def test_clustering_coefficients(ray_session):
+    """A triangle gives C=1 everywhere; a star gives 0; a known mixed
+    graph matches brute closed forms."""
+    from feature_fabrica_ray.pipelines import clustering_coefficients
+
+    tri = pd.DataFrame([(0, 1), (1, 2), (0, 2)], columns=["a", "b"])
+    out = clustering_coefficients(_ds(tri, blocks=2))
+    assert out["c_global"] == pytest.approx(1.0)
+    assert out["c_avg_local"] == pytest.approx(1.0)
+    assert out["n_triangles"] == 1 and out["n_wedges"] == 3
+
+    star = pd.DataFrame([(0, i) for i in range(1, 6)],
+                        columns=["a", "b"])
+    out = clustering_coefficients(_ds(star, blocks=2))
+    assert out["c_global"] == 0.0 and out["n_triangles"] == 0
+
+    # triangle 0-1-2 plus pendant 2-3: wedges = C(2,2)x2 + C(3,2) = 1+1+3
+    mixed = pd.DataFrame([(0, 1), (1, 2), (0, 2), (2, 3)],
+                         columns=["a", "b"])
+    out = clustering_coefficients(_ds(mixed, blocks=2))
+    assert out["n_wedges"] == 5
+    assert out["c_global"] == pytest.approx(3.0 / 5.0)
+    # locals: nodes 0,1 -> 1; node 2 -> 1/3; node 3 deg 1 excluded
+    assert out["c_avg_local"] == pytest.approx((1 + 1 + 1 / 3) / 3)
