@@ -5132,6 +5132,38 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_ta_readability(sf_dir: str) -> pd.DataFrame:
+    """Flesch reading-ease per document (vowel-run syllable proxy) —
+    three RE2 count kernels + arithmetic, zero shuffle
+    (pipelines/textstats.py::readability_scores)."""
+    from feature_fabrica_ray.pipelines import readability_scores
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = readability_scores(ds).to_pandas()
+    return out[["doc_id", "n_words", "n_sentences", "n_syllables",
+                "flesch"]].sort_values("doc_id").reset_index(drop=True)
+
+
+_READABILITY_ORACLE = r"""
+WITH c AS (SELECT doc_id,
+                  len(regexp_extract_all(text, '\S+')) AS n_words,
+                  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                      AS n_sentences,
+                  len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+                      AS n_syllables
+           FROM documents)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CASE WHEN n_words > 0
+            THEN round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                       - 84.6 * (n_syllables * 1.0 / n_words), 6)
+            END AS flesch
+FROM c ORDER BY doc_id
+"""
+
+
 def q_ta_vocab_overlap(sf_dir: str) -> pd.DataFrame:
     """Vocabulary overlap between the en and de document segments
     (domain-shift screen): distinct-(segment, token) combiner + one
@@ -7759,6 +7791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_bigram_lm": q_ta_bigram_lm,
         "ta_entropy": q_ta_entropy,
         "ta_vocab_overlap": q_ta_vocab_overlap,
+        "ta_readability": q_ta_readability,
         "ta_zlib": q_ta_zlib,
         "pr_welch": q_pr_welch,
         "pr_calibration": q_pr_calibration,
@@ -7977,6 +8010,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_bigram_lm": _BIGRAM_LM_ORACLE,
         "ta_entropy": _CHAR_ENTROPY_ORACLE,
         "ta_vocab_overlap": _VOCAB_OVERLAP_ORACLE,
+        "ta_readability": _READABILITY_ORACLE,
         "pr_welch": _WELCH_ORACLE,
         "pr_calibration": _CALIBRATION_ORACLE,
         "pr_hist2d": _HIST2D_ORACLE,

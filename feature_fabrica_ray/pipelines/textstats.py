@@ -1252,3 +1252,42 @@ def vocab_overlap(ds, text_col: str, seg_col: str, a, b):
         "jaccard": [round(nc / union, 6) if union else np.nan],
         "cover_a_in_b": [round(nc / na, 6) if na else np.nan],
         "cover_b_in_a": [round(nc / nb, 6) if nb else np.nan]})
+
+
+def readability_scores(ds, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Flesch reading-ease per document from three vectorized counts —
+    words (whitespace tokens), sentences (runs of [.!?], min 1), and a
+    syllable PROXY (vowel-group runs, the standard cheap stand-in):
+
+        flesch = 206.835 − 1.015·(words/sentences)
+                         − 84.6·(syllables/words)
+
+    — the classic complexity screen (90+ ~ grade school, < 30 ~
+    academic); junk corpora show up as implausible extremes. All three
+    counters are single RE2/Arrow kernels per batch; zero-word docs
+    get NULL. Adds int64 n_words/n_sentences/n_syllables and float64
+    flesch (rounded to 6)."""
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch.column(text_col), "")
+        words = pc.count_substring_regex(txt, r"\S+") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sents = pc.count_substring_regex(txt, r"[.!?]+") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        syll = pc.count_substring_regex(txt, r"[aeiouAEIOU]+") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s_eff = np.maximum(sents, 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fl = (206.835 - 1.015 * (words / s_eff)
+                  - 84.6 * (syll / np.maximum(words, 1)))
+        ok = words > 0
+        arr = pc.if_else(pa.array(ok),
+                         pa.array(np.round(fl, 6), pa.float64()),
+                         pa.nulls(len(words), pa.float64()))
+        out = batch.append_column("n_words", pa.array(words))
+        out = out.append_column("n_sentences", pa.array(s_eff))
+        out = out.append_column("n_syllables", pa.array(syll))
+        return out.append_column("flesch", arr)
+
+    return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)

@@ -4026,3 +4026,36 @@ def test_clustering_coefficients(ray_session):
     assert out["c_global"] == pytest.approx(3.0 / 5.0)
     # locals: nodes 0,1 -> 1; node 2 -> 1/3; node 3 deg 1 excluded
     assert out["c_avg_local"] == pytest.approx((1 + 1 + 1 / 3) / 3)
+
+
+def test_readability_scores(ray_session):
+    """Counts match hand regex math; simple prose scores higher than
+    long-word text; empty doc gets NULL; no-punctuation doc counts one
+    sentence."""
+    import re
+
+    from feature_fabrica_ray.pipelines import readability_scores
+
+    texts = ["The cat sat. The dog ran!",
+             "Incomprehensibility characterizes institutionalization.",
+             "no punctuation here at all",
+             ""]
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                       "text": texts})
+    out = readability_scores(_ds(df, blocks=2)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    for i, t in enumerate(texts):
+        w = len(re.findall(r"\S+", t))
+        se = max(len(re.findall(r"[.!?]+", t)), 1)
+        sy = len(re.findall(r"[aeiouAEIOU]+", t))
+        assert int(out.loc[i, "n_words"]) == w, i
+        assert int(out.loc[i, "n_sentences"]) == se, i
+        assert int(out.loc[i, "n_syllables"]) == sy, i
+        if w:
+            want = 206.835 - 1.015 * w / se - 84.6 * sy / w
+            assert out.loc[i, "flesch"] == pytest.approx(round(want, 6),
+                                                         abs=2e-6)
+        else:
+            assert pd.isna(out.loc[i, "flesch"])
+    assert out.loc[0, "flesch"] > out.loc[1, "flesch"]
