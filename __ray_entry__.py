@@ -5132,6 +5132,40 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_ta_diversity(sf_dir: str) -> pd.DataFrame:
+    """Per-doc type-token ratio + hapax fraction (template/spam
+    screen): block-local tokenize + (doc, token) group_by — no
+    exchange (pipelines/textstats.py::lexical_diversity)."""
+    from feature_fabrica_ray.pipelines import lexical_diversity
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = lexical_diversity(ds).to_pandas()
+    return out[["doc_id", "n_tokens", "n_types", "n_hapax", "ttr",
+                "hapax_frac"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+_DIVERSITY_ORACLE = r"""
+WITH tok AS (SELECT doc_id,
+                    unnest(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS token
+             FROM documents),
+tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+        FROM tc GROUP BY 1)
+SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
+       coalesce(agg.n_types, 0) AS n_types,
+       coalesce(agg.n_hapax, 0) AS n_hapax,
+       round(agg.n_types * 1.0 / agg.n_tokens, 6) AS ttr,
+       round(agg.n_hapax * 1.0 / agg.n_types, 6) AS hapax_frac
+FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 def q_ta_readability(sf_dir: str) -> pd.DataFrame:
     """Flesch reading-ease per document (vowel-run syllable proxy) —
     three RE2 count kernels + arithmetic, zero shuffle
@@ -7792,6 +7826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_entropy": q_ta_entropy,
         "ta_vocab_overlap": q_ta_vocab_overlap,
         "ta_readability": q_ta_readability,
+        "ta_diversity": q_ta_diversity,
         "ta_zlib": q_ta_zlib,
         "pr_welch": q_pr_welch,
         "pr_calibration": q_pr_calibration,
@@ -8011,6 +8046,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_entropy": _CHAR_ENTROPY_ORACLE,
         "ta_vocab_overlap": _VOCAB_OVERLAP_ORACLE,
         "ta_readability": _READABILITY_ORACLE,
+        "ta_diversity": _DIVERSITY_ORACLE,
         "pr_welch": _WELCH_ORACLE,
         "pr_calibration": _CALIBRATION_ORACLE,
         "pr_hist2d": _HIST2D_ORACLE,

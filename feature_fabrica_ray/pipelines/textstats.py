@@ -1291,3 +1291,55 @@ def readability_scores(ds, text_col: str = "text",
         return out.append_column("flesch", arr)
 
     return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+
+
+def lexical_diversity(ds, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Per-document lexical diversity: type-token ratio (distinct /
+    total tokens) and hapax fraction (share of types occurring exactly
+    once) — the template/spam screen (machine-generated boilerplate
+    repeats a tiny vocabulary; TTR and hapax crater).
+
+    A document lives in one row, so both statistics are block-local:
+    one tokenize + one (doc, token) group_by per batch — no exchange
+    at all. Empty docs get NULL ratios. Adds int64 n_tokens/n_types/
+    n_hapax + float64 ttr/hapax_frac (rounded to 6)."""
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(batch.column(text_col), ""))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        n = batch.num_rows
+        n_tokens = np.bincount(parent.to_numpy(zero_copy_only=False),
+                               minlength=n).astype(np.int64)
+        g = pa.table({"doc": parent, "token": flat}) \
+            .group_by(["doc", "token"]).aggregate([([], "count_all")])
+        docs = g.column("doc").to_numpy(zero_copy_only=False)
+        cnts = g.column("count_all").to_numpy(zero_copy_only=False)
+        n_types = np.bincount(docs, minlength=n).astype(np.int64)
+        n_hapax = np.bincount(docs[cnts == 1], minlength=n) \
+            .astype(np.int64)
+        ok = n_tokens > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ttr = n_types / np.maximum(n_tokens, 1)
+            hx = n_hapax / np.maximum(n_types, 1)
+        out = batch.append_column("n_tokens", pa.array(n_tokens))
+        out = out.append_column("n_types", pa.array(n_types))
+        out = out.append_column("n_hapax", pa.array(n_hapax))
+        out = out.append_column(
+            "ttr", pc.if_else(pa.array(ok),
+                              pa.array(np.round(ttr, 6), pa.float64()),
+                              pa.nulls(n, pa.float64())))
+        return out.append_column(
+            "hapax_frac", pc.if_else(
+                pa.array(ok),
+                pa.array(np.round(hx, 6), pa.float64()),
+                pa.nulls(n, pa.float64())))
+
+    return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)

@@ -4059,3 +4059,36 @@ def test_readability_scores(ray_session):
         else:
             assert pd.isna(out.loc[i, "flesch"])
     assert out.loc[0, "flesch"] > out.loc[1, "flesch"]
+
+
+def test_lexical_diversity(ray_session):
+    """TTR/hapax equal Counter math; repeated-template text craters
+    both; empty docs NULL; layout-invariant."""
+    from collections import Counter
+
+    from feature_fabrica_ray.pipelines import lexical_diversity
+
+    texts = ["the cat sat on the mat",
+             "buy now buy now buy now buy now",
+             "every word here is completely unique",
+             ""]
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                       "text": texts})
+    for blocks in (1, 2):
+        out = lexical_diversity(_ds(df, blocks=blocks)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        for i, t in enumerate(texts):
+            c = Counter(t.split())
+            nt = sum(c.values())
+            assert int(out.loc[i, "n_tokens"]) == nt
+            assert int(out.loc[i, "n_types"]) == len(c)
+            assert int(out.loc[i, "n_hapax"]) == sum(
+                1 for v in c.values() if v == 1)
+            if nt:
+                assert out.loc[i, "ttr"] == pytest.approx(
+                    round(len(c) / nt, 6), abs=2e-6)
+            else:
+                assert pd.isna(out.loc[i, "ttr"])
+        assert out.loc[1, "ttr"] < out.loc[2, "ttr"]
+        assert out.loc[1, "hapax_frac"] == 0.0
+        assert out.loc[2, "hapax_frac"] == 1.0
