@@ -469,6 +469,36 @@ FROM sym
 """
 
 
+def q_vl_sortedness(sf_dir: str) -> pd.DataFrame:
+    """Layout diagnostic: fraction of adjacent (event_id-ordered) ts
+    pairs that are non-decreasing — "is this table already
+    time-sorted" before choosing merge/Z-order strategies
+    (pipelines/validate.py::sortedness)."""
+    from feature_fabrica_ray.pipelines import sortedness
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"]).map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "ts_us": t.column("ts").cast(pa.timestamp("us"))
+            .cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    return sortedness(ds, "event_id", "ts_us")
+
+
+_SORTEDNESS_ORACLE = """
+WITH s AS (SELECT epoch_us(ts) AS v,
+                  lag(epoch_us(ts)) OVER (ORDER BY event_id) AS pv
+           FROM events)
+SELECT CAST(count(pv) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN v >= pv THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sorted,
+       round(sum(CASE WHEN v >= pv THEN 1 ELSE 0 END) * 1.0
+             / count(pv), 6) AS frac_sorted
+FROM s
+"""
+
+
 def q_vl_volume(sf_dir: str) -> pd.DataFrame:
     """Daily ingest-volume anomaly check (scaled-MAD fence, k=5): one
     (day, n) count combiner, robust fence on the day table
@@ -7610,6 +7640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_typeinfer": q_vl_typeinfer,
         "vl_completeness": q_vl_completeness,
         "vl_volume": q_vl_volume,
+        "vl_sortedness": q_vl_sortedness,
         "vl_stats_size": q_vl_stats_size,
         "vl_content_sha256": q_vl_content_sha256,
         "vl_distinct_repo": q_vl_distinct_repo,
@@ -7857,6 +7888,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_typeinfer": _TYPEINFER_ORACLE,
         "vl_completeness": _COMPLETENESS_ORACLE,
         "vl_volume": _VOLUME_ORACLE,
+        "vl_sortedness": _SORTEDNESS_ORACLE,
         "vl_stats_size": _STATS_ORACLE,
         "vl_group_stats": _GROUP_STATS_ORACLE,
         "vl_quantile": _QUANTILE_ORACLE,

@@ -1508,3 +1508,56 @@ def volume_anomalies(ds, ts_col: str, k: float = 5.0):
                         "dev": np.round(dev, 6),
                         "anomaly": dev > k})
     return out.sort_values("day_us").reset_index(drop=True)
+
+
+def sortedness(ds, order_col: str, val_col: str):
+    """How sorted is ``val_col`` when rows are laid out in
+    ``order_col`` order — the fraction of adjacent pairs that are
+    non-decreasing (1.0 = already sorted: a merge-append layout; ~0.5
+    = random: plan a sort/Z-order before range-partitioned writes).
+
+    One keyed-order pass: per-block (order, val) projections fold to
+    per-block pair counts AFTER a global sort by ``order_col`` — the
+    sort is on the narrow 2-column projection only (16 B/row), never
+    the table. Block-boundary pairs are accounted exactly by carrying
+    each block's first/last rows to the driver. Returns one row
+    (n_pairs, n_sorted, frac_sorted)."""
+    import pandas as pd
+
+    proj = ds.map_batches(
+        lambda t, c=(order_col, val_col): t.select(list(c)),
+        batch_format="pyarrow", batch_size=None).sort(order_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        o = t.column(order_col).to_numpy(zero_copy_only=False)
+        v = t.column(val_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        n_pairs = max(len(v) - 1, 0)
+        n_sorted = int((np.diff(v) >= 0).sum()) if n_pairs else 0
+        return pa.table({
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+            "n_sorted": pa.array([n_sorted], pa.int64()),
+            "first_o": pa.array([float(o[0]) if len(o) else np.nan]),
+            "first_v": pa.array([float(v[0]) if len(v) else np.nan]),
+            "last_o": pa.array([float(o[-1]) if len(o) else np.nan]),
+            "last_v": pa.array([float(v[-1]) if len(v) else np.nan])})
+
+    parts = proj.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    parts = parts[np.isfinite(parts["first_o"])]
+    if parts.empty:
+        return pd.DataFrame({"n_pairs": np.array([0], np.int64),
+                             "n_sorted": np.array([0], np.int64),
+                             "frac_sorted": [np.nan]})
+    parts = parts.sort_values("first_o").reset_index(drop=True)
+    n_pairs = int(parts["n_pairs"].sum())
+    n_sorted = int(parts["n_sorted"].sum())
+    # boundary pairs between consecutive blocks
+    for i in range(1, len(parts)):
+        n_pairs += 1
+        if parts.loc[i, "first_v"] >= parts.loc[i - 1, "last_v"]:
+            n_sorted += 1
+    frac = round(n_sorted / n_pairs, 6) if n_pairs else np.nan
+    return pd.DataFrame({"n_pairs": np.array([n_pairs], np.int64),
+                         "n_sorted": np.array([n_sorted], np.int64),
+                         "frac_sorted": [frac]})

@@ -1330,3 +1330,29 @@ def test_volume_anomalies(ray_session):
         want = np.abs(n - med) / (1.4826 * mad)
         np.testing.assert_allclose(out["dev"], np.round(want, 6),
                                    atol=2e-6)
+
+
+def test_sortedness(ray_session):
+    """Sorted data scores 1.0, reversed ~0, shuffled ~0.5; counts match
+    the exact adjacent-pair reference across block boundaries."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import sortedness
+
+    rng = np.random.default_rng(163)
+    n = 2000
+    base = pd.DataFrame({"o": np.arange(n, dtype=np.int64)})
+    for vals, lo, hi in [
+        (np.arange(n, dtype=float), 1.0, 1.0),
+        (np.arange(n, dtype=float)[::-1].copy(), 0.0, 0.01),
+        (rng.permutation(n).astype(float), 0.4, 0.6),
+    ]:
+        df = base.assign(v=vals)
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = sortedness(ds, "o", "v").iloc[0]
+        assert int(out["n_pairs"]) == n - 1
+        want = int((np.diff(vals) >= 0).sum())
+        assert int(out["n_sorted"]) == want
+        assert lo <= out["frac_sorted"] <= hi, out
