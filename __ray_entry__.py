@@ -6640,6 +6640,41 @@ FROM c JOIN p USING (dow, hour) ORDER BY c.event_id
 """
 
 
+def q_ev_latency(sf_dir: str) -> pd.DataFrame:
+    """Conversion-latency distribution (first view -> first purchase
+    per user): two-type (key, type, min ts) combiner + per-key delta +
+    exact quantiles (pipelines/events.py::conversion_latency)."""
+    from feature_fabrica_ray.pipelines import conversion_latency
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts"])
+    return conversion_latency(ds, "ts", "user_id", "event_type",
+                              "view", "purchase")
+
+
+_LATENCY_ORACLE = """
+WITH m AS (SELECT user_id, event_type, min(epoch_us(ts)) AS ts
+           FROM events WHERE event_type IN ('view', 'purchase')
+           GROUP BY 1, 2),
+p AS (SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN ts END) AS f,
+             max(CASE WHEN event_type = 'purchase' THEN ts END) AS t
+      FROM m GROUP BY 1),
+d AS (SELECT (t - f) / 1000000.0 AS delta FROM p
+      WHERE f IS NOT NULL AND t IS NOT NULL AND t >= f),
+s AS (SELECT (SELECT count(*) FROM p WHERE f IS NOT NULL) AS n_from,
+             count(*) AS n_conv,
+             quantile_cont(delta, 0.5) AS q50,
+             quantile_cont(delta, 0.9) AS q90
+      FROM d)
+SELECT CAST(n_from AS BIGINT) AS n_from,
+       CAST(n_conv AS BIGINT) AS n_converted,
+       round(n_conv * 1.0 / n_from, 6) AS conv_rate,
+       round(q50, 6) AS q50_s, round(q90, 6) AS q90_s
+FROM s
+"""
+
+
 def q_ev_burstiness(sf_dir: str) -> pd.DataFrame:
     """Goh-Barabási burstiness of inter-event gaps per user (clockwork
     -1 / Poisson 0 / bursty +1): keyed diff + two-moment fold
@@ -7745,6 +7780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_rfm": q_ev_rfm,
         "ev_dau_mau": q_ev_dau_mau,
         "ev_burstiness": q_ev_burstiness,
+        "ev_latency": q_ev_latency,
         "ev_seasonal": q_ev_seasonal,
         "vl_schema_diff": q_vl_schema_diff,
         "dd_embedding_rows": q_dd_embedding_rows,
@@ -8018,6 +8054,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_rfm": _RFM_ORACLE,
         "ev_dau_mau": _DAU_MAU_ORACLE,
         "ev_burstiness": _BURSTINESS_ORACLE,
+        "ev_latency": _LATENCY_ORACLE,
         "ev_seasonal": _SEASONAL_ORACLE,
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,

@@ -1651,3 +1651,65 @@ def burstiness_per_key(ds, ts_col: str, key_col: str,
                              "burstiness": []})
     out[key_col] = out[key_col].astype("int64")
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def conversion_latency(ds, ts_col: str, key_col: str, type_col: str,
+                       from_type: str, to_type: str,
+                       qs=(0.5, 0.9)) -> pd.DataFrame:
+    """Conversion-latency distribution: per key, the seconds from its
+    FIRST ``from_type`` event to its FIRST ``to_type`` event at or
+    after it (keys that never convert are excluded — the funnel
+    completion-time companion to funnel_steps' completion flags).
+
+    Scale shape: one per-block (key, type, min ts) combiner restricted
+    to the two event types (pre-shuffle filter), one keyed merge,
+    per-key delta, then exact quantiles of the deltas on the
+    dimension-sized key table. Returns one row: (n_from, n_converted,
+    conv_rate, plus q<NN>_s per requested quantile, linear
+    interpolation)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(type_col).cast(pa.string())
+        mask = pc.is_in(col, value_set=pa.array([from_type, to_type]))
+        t = batch.filter(mask)
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "typ": pa.array([], pa.string()),
+                             "ts": pa.array([], pa.int64())})
+        g = pa.table({key_col: t.column(key_col).cast(pa.int64()),
+                      "typ": t.column(type_col).cast(pa.string()),
+                      "ts": t.column(ts_col).cast(pa.timestamp("us"))
+                      .cast(pa.int64())}) \
+            .group_by([key_col, "typ"]).aggregate([("ts", "min")])
+        return pa.table({key_col: g.column(key_col),
+                         "typ": g.column("typ"),
+                         "ts": g.column("ts_min").cast(pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        row = {"n_from": np.int64(0), "n_converted": np.int64(0),
+               "conv_rate": np.nan}
+        for q in qs:
+            row[f"q{int(q * 100)}_s"] = np.nan
+        return pd.DataFrame([row])
+    g = parts.groupby([key_col, "typ"])["ts"].min().unstack()
+    f = g.get(from_type)
+    t = g.get(to_type)
+    has_from = f.notna() if f is not None else pd.Series(dtype=bool)
+    n_from = int(has_from.sum())
+    if f is None or t is None:
+        deltas = np.array([])
+    else:
+        ok = f.notna() & t.notna() & (t >= f)
+        deltas = ((t[ok] - f[ok]) / 1e6).to_numpy()
+    row = {"n_from": np.int64(n_from),
+           "n_converted": np.int64(deltas.size),
+           "conv_rate": round(deltas.size / n_from, 6) if n_from
+           else np.nan}
+    for q in qs:
+        row[f"q{int(q * 100)}_s"] = \
+            round(float(np.quantile(deltas, q)), 6) if deltas.size \
+            else np.nan
+    return pd.DataFrame([row])

@@ -4092,3 +4092,37 @@ def test_lexical_diversity(ray_session):
         assert out.loc[1, "ttr"] < out.loc[2, "ttr"]
         assert out.loc[1, "hapax_frac"] == 0.0
         assert out.loc[2, "hapax_frac"] == 1.0
+
+
+def test_conversion_latency(ray_session):
+    """Deltas equal first-purchase minus first-view per converting
+    user; non-converters and purchase-before-view keys counted in the
+    denominator only; quantiles match numpy; layout-invariant."""
+    from feature_fabrica_ray.pipelines import conversion_latency
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # u1: view at 10, purchase at 70 -> 60 s
+    rows += [(1, "view", 10), (1, "purchase", 70), (1, "view", 100)]
+    # u2: view 0, purchase 600 -> 600 s
+    rows += [(2, "view", 0), (2, "purchase", 600)]
+    # u3: views only
+    rows += [(3, "view", 5), (3, "view", 50)]
+    # u4: purchase BEFORE any view -> not converted
+    rows += [(4, "purchase", 10), (4, "view", 100)]
+    # u5: other types only -> not in denominator
+    rows += [(5, "click", 30)]
+    df = pd.DataFrame([(u, t, base + pd.Timedelta(seconds=s), i)
+                       for i, (u, t, s) in enumerate(rows)],
+                      columns=["user_id", "event_type", "ts",
+                               "event_id"])
+
+    for blocks in (1, 3):
+        out = conversion_latency(_ds(df, blocks=blocks), "ts",
+                                 "user_id", "event_type",
+                                 "view", "purchase").iloc[0]
+        assert int(out["n_from"]) == 4           # u1,u2,u3,u4 viewed
+        assert int(out["n_converted"]) == 2      # u1, u2
+        assert out["conv_rate"] == 0.5
+        assert out["q50_s"] == pytest.approx(np.quantile([60, 600], .5))
+        assert out["q90_s"] == pytest.approx(np.quantile([60, 600], .9))
