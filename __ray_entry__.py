@@ -1601,6 +1601,28 @@ phase:
 """
 
 
+def q_ft_target_smooth(sf_dir: str) -> pd.DataFrame:
+    """Empirical-Bayes shrunk target encoding of event value per
+    event_type (m=20): one (n, Σv) combiner, dimension-sized encode
+    table (pipelines/grouped.py::target_encode_smoothed)."""
+    from feature_fabrica_ray.pipelines import target_encode_smoothed
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    return target_encode_smoothed(ds, "event_type", "value", m=20.0)
+
+
+_TARGET_SMOOTH_ORACLE = """
+WITH g AS (SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+                  sum(value) AS s
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+t AS (SELECT sum(s) / sum(n) AS gm FROM g)
+SELECT event_type, n, round(s / n, 6) AS mean,
+       round((n * (s / n) + 20.0 * t.gm) / (n + 20.0), 6) AS enc
+FROM g CROSS JOIN t ORDER BY event_type
+"""
+
+
 def q_ft_boxcox(sf_dir: str) -> pd.DataFrame:
     """Box-Cox with grid-MLE fitted λ over extendedprice: ONE streaming
     pass computes the (n, Σy, Σy²) profile for all 21 grid λ plus
@@ -7699,6 +7721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_cyclic": q_ft_cyclic,
         "ft_woe": q_ft_woe,
         "ft_boxcox": q_ft_boxcox,
+        "ft_target_smooth": q_ft_target_smooth,
         "ft_yeojohnson": q_ft_yeojohnson,
         "ft_datetime": q_ft_datetime,
         "ft_group_reduce": q_ft_group_reduce,
@@ -7947,6 +7970,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_cyclic": _CYCLIC_ORACLE,
         "ft_woe": _WOE_ORACLE,
         "ft_boxcox": _BOXCOX_ORACLE,
+        "ft_target_smooth": _TARGET_SMOOTH_ORACLE,
         "ft_yeojohnson": _YJ_ORACLE,
         "ft_datetime": _DATETIME_ORACLE,
         "ft_group_reduce": _GROUP_ORACLE,

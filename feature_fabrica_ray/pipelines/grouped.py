@@ -2427,3 +2427,50 @@ def median_of_means(ds, val_col: str, key_col: str,
                          "mean": [round(float(g["s"].sum() / n_tot), 6)],
                          "b": np.array([b], np.int64),
                          "n": np.array([n_tot], np.int64)})
+
+
+def target_encode_smoothed(ds, key_col: str, val_col: str,
+                           m: float = 20.0) -> pd.DataFrame:
+    """Empirical-Bayes (James-Stein style) smoothed target encoding:
+
+        enc(c) = (n_c · mean_c + m · global_mean) / (n_c + m)
+
+    — rare categories shrink toward the global mean instead of
+    memorizing noise (the m-estimate; target_encode_loo's
+    overfitting-control companion: LOO fights self-leakage, shrinkage
+    fights small-n variance).
+
+    One algebraic (n, Σv) combiner per category; the encode table is
+    dimension-sized. Returns (key, n, mean, enc) sorted, floats
+    rounded to 6."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, val_col]).filter(
+            pc.is_valid(batch.column(val_col)))
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        g = pa.table({key_col: t.column(key_col).cast(pa.string()),
+                      "v": t.column(val_col).cast(pa.float64())}) \
+            .group_by(key_col).aggregate([("v", "count"), ("v", "sum")])
+        return pa.table({key_col: g.column(key_col),
+                         "n": g.column("v_count").cast(pa.int64()),
+                         "s": g.column("v_sum").cast(pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64"),
+                             "mean": [], "enc": []})
+    g = parts.groupby(key_col, as_index=False).agg(n=("n", "sum"),
+                                                   s=("s", "sum"))
+    gm = float(g["s"].sum() / g["n"].sum())
+    mean = g["s"] / g["n"]
+    enc = (g["n"] * mean + m * gm) / (g["n"] + m)
+    out = pd.DataFrame({key_col: g[key_col],
+                        "n": g["n"].astype("int64"),
+                        "mean": np.round(mean, 6),
+                        "enc": np.round(enc, 6)})
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -4126,3 +4126,28 @@ def test_conversion_latency(ray_session):
         assert out["conv_rate"] == 0.5
         assert out["q50_s"] == pytest.approx(np.quantile([60, 600], .5))
         assert out["q90_s"] == pytest.approx(np.quantile([60, 600], .9))
+
+
+def test_target_encode_smoothed(ray_session):
+    """Shrinkage pulls small categories toward the global mean and
+    leaves big ones near their own mean; closed form exact;
+    layout-invariant."""
+    from feature_fabrica_ray.pipelines import target_encode_smoothed
+
+    rng = np.random.default_rng(167)
+    big = pd.DataFrame({"k": "big", "v": rng.normal(10, 1, 2000)})
+    small = pd.DataFrame({"k": "small", "v": [100.0, 110.0]})
+    df = pd.concat([big, small], ignore_index=True)
+    gm = df["v"].mean()
+
+    for blocks in (1, 4):
+        out = target_encode_smoothed(_ds(df, blocks=blocks), "k", "v",
+                                     m=20.0).set_index("k")
+        for k, grp in df.groupby("k"):
+            n, mu = len(grp), grp["v"].mean()
+            want = (n * mu + 20 * gm) / (n + 20)
+            assert out.loc[k, "enc"] == pytest.approx(round(want, 6),
+                                                      abs=2e-6), k
+        assert abs(out.loc["big", "enc"] - 10) < 0.5
+        # small category (mean ~105) shrinks far toward global (~10.1)
+        assert out.loc["small", "enc"] < 30
