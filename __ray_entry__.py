@@ -6662,6 +6662,44 @@ FROM c JOIN p USING (dow, hour) ORDER BY c.event_id
 """
 
 
+def q_ev_drawdown(sf_dir: str) -> pd.DataFrame:
+    """Max drawdown of each user's cumulative (value - 50) stream
+    (signed running total): keyed cumsum + running-max pass
+    (pipelines/events.py::max_drawdown)."""
+    from feature_fabrica_ray.pipelines import max_drawdown
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value",
+                                     "event_id"]) \
+        .map_batches(lambda t: t.set_column(
+            t.column_names.index("value"), "value",
+            pc.subtract(t.column("value"), pa.scalar(50.0))),
+            batch_format="pyarrow", batch_size=None)
+    return max_drawdown(ds, "ts", "user_id", "value", "event_id")
+
+
+_DRAWDOWN_ORACLE = """
+WITH c AS (SELECT user_id, ts, event_id,
+                  sum(value - 50.0) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum
+           FROM events),
+p AS (SELECT user_id, cum,
+             max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS peak
+      FROM c),
+t AS (SELECT user_id, sum(value - 50.0) AS total FROM events
+      GROUP BY 1)
+SELECT p.user_id, round(t.total, 6) AS total,
+       round(max(p.peak), 6) AS peak,
+       round(max(p.peak - p.cum), 6) AS max_drawdown
+FROM p JOIN t USING (user_id)
+GROUP BY p.user_id, t.total ORDER BY p.user_id
+"""
+
+
 def q_ev_latency(sf_dir: str) -> pd.DataFrame:
     """Conversion-latency distribution (first view -> first purchase
     per user): two-type (key, type, min ts) combiner + per-key delta +
@@ -7804,6 +7842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_dau_mau": q_ev_dau_mau,
         "ev_burstiness": q_ev_burstiness,
         "ev_latency": q_ev_latency,
+        "ev_drawdown": q_ev_drawdown,
         "ev_seasonal": q_ev_seasonal,
         "vl_schema_diff": q_vl_schema_diff,
         "dd_embedding_rows": q_dd_embedding_rows,
@@ -8079,6 +8118,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_dau_mau": _DAU_MAU_ORACLE,
         "ev_burstiness": _BURSTINESS_ORACLE,
         "ev_latency": _LATENCY_ORACLE,
+        "ev_drawdown": _DRAWDOWN_ORACLE,
         "ev_seasonal": _SEASONAL_ORACLE,
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,

@@ -1713,3 +1713,38 @@ def conversion_latency(ds, ts_col: str, key_col: str, type_col: str,
             round(float(np.quantile(deltas, q)), 6) if deltas.size \
             else np.nan
     return pd.DataFrame([row])
+
+
+def max_drawdown(ds, ts_col: str, key_col: str, val_col: str,
+                 order_col: str) -> pd.DataFrame:
+    """Maximum drawdown of each key's cumulative value stream — the
+    largest peak-to-trough drop of Σvalue in (ts, order) sequence: the
+    canonical risk/health metric for any signed running total (balance
+    streams, score deltas, net engagement).
+
+    One keyed shuffle of the narrow projection, then a vectorized
+    cumsum + running-max pass per key. Returns (key, total, peak,
+    max_drawdown) rounded to 6, sorted by key."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        cum = df[val_col].astype(float).cumsum().to_numpy()
+        peak = np.maximum.accumulate(cum)
+        dd = float((peak - cum).max()) if cum.size else np.nan
+        return pd.DataFrame({key_col: df[key_col].iloc[:1],
+                             "total": [round(float(cum[-1]), 6)],
+                             "peak": [round(float(peak.max()), 6)],
+                             "max_drawdown": [round(dd, 6)]})
+
+    cols = [key_col, ts_col, val_col, order_col]
+    out = (ds.map_batches(lambda t, c=tuple(cols): t.select(list(c)),
+                          batch_format="pyarrow", batch_size=None)
+           .groupby(key_col, num_partitions=shuffle_partitions())
+           .map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                             "total": [], "peak": [],
+                             "max_drawdown": []})
+    out[key_col] = out[key_col].astype("int64")
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -4151,3 +4151,35 @@ def test_target_encode_smoothed(ray_session):
         assert abs(out.loc["big", "enc"] - 10) < 0.5
         # small category (mean ~105) shrinks far toward global (~10.1)
         assert out.loc["small", "enc"] < 30
+
+
+def test_max_drawdown(ray_session):
+    """Drawdown equals the brute peak-to-trough on a planted
+    rise-crash-recover series; monotone series has 0; layout-
+    invariant."""
+    from feature_fabrica_ray.pipelines import max_drawdown
+
+    base = pd.Timestamp("2024-01-01")
+    vals1 = [10, 20, 30, -50, -20, 40, 5]      # peak 60 -> trough 10
+    vals2 = [5, 5, 5, 5]                        # monotone
+    rows = []
+    oid = 0
+    for u, vs in [(1, vals1), (2, vals2)]:
+        for i, v in enumerate(vs):
+            rows.append((u, base + pd.Timedelta(seconds=i), float(v),
+                         oid))
+            oid += 1
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value",
+                                     "event_id"])
+
+    def brute(vs):
+        cum = np.cumsum(vs)
+        peak = np.maximum.accumulate(cum)
+        return float((peak - cum).max())
+
+    for blocks in (1, 3):
+        out = max_drawdown(_ds(df, blocks=blocks), "ts", "user_id",
+                           "value", "event_id").set_index("user_id")
+        assert out.loc[1, "max_drawdown"] == pytest.approx(brute(vals1))
+        assert out.loc[1, "total"] == sum(vals1)
+        assert out.loc[2, "max_drawdown"] == 0.0
