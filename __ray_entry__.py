@@ -6633,6 +6633,31 @@ FROM (
 # event-stream operators (windowed aggregate, sessionization, JSON extract)
 # ---------------------------------------------------------------------------
 
+def q_ev_seasonal_strength(sf_dir: str) -> pd.DataFrame:
+    """Strength of weekly seasonality (1 − var(residual)/var(value)
+    over the profile decomposition) — the deseasonalize-or-not scalar
+    (pipelines/events.py::seasonal_strength)."""
+    from feature_fabrica_ray.pipelines import seasonal_strength
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+    return seasonal_strength(ds, "ts", "value")
+
+
+_SEASONAL_STRENGTH_ORACLE = """
+WITH c AS (SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+                  CAST(hour(ts) AS INT) AS hour, value
+           FROM events WHERE value IS NOT NULL),
+p AS (SELECT dow, hour, avg(value) AS m FROM c GROUP BY 1, 2),
+r AS (SELECT c.value AS v, c.value - p.m AS res
+      FROM c JOIN p USING (dow, hour))
+SELECT round(var_pop(v), 6) AS var_value,
+       round(var_pop(res), 6) AS var_residual,
+       round(1.0 - var_pop(res) / var_pop(v), 6) AS strength
+FROM r
+"""
+
+
 def q_ev_seasonal(sf_dir: str) -> pd.DataFrame:
     """Weekly seasonal decomposition of event values: (dow, hour) mean
     profile fit in one <=168-rows-per-block combiner pass, broadcast
@@ -7844,6 +7869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_latency": q_ev_latency,
         "ev_drawdown": q_ev_drawdown,
         "ev_seasonal": q_ev_seasonal,
+        "ev_seasonal_strength": q_ev_seasonal_strength,
         "vl_schema_diff": q_vl_schema_diff,
         "dd_embedding_rows": q_dd_embedding_rows,
         "ev_gaps": q_ev_gaps,
@@ -8120,6 +8146,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_latency": _LATENCY_ORACLE,
         "ev_drawdown": _DRAWDOWN_ORACLE,
         "ev_seasonal": _SEASONAL_ORACLE,
+        "ev_seasonal_strength": _SEASONAL_STRENGTH_ORACLE,
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,
         "pr_correlation": _CORRELATION_ORACLE,

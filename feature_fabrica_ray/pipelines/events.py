@@ -1748,3 +1748,47 @@ def max_drawdown(ds, ts_col: str, key_col: str, val_col: str,
                              "max_drawdown": []})
     out[key_col] = out[key_col].astype("int64")
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def seasonal_strength(ds, ts_col: str, val_col: str) -> pd.DataFrame:
+    """Strength of weekly seasonality: 1 − var(residual)/var(value)
+    over the ``seasonal_residual`` decomposition — the scalar answer
+    to "does the (dow, hour) profile explain this metric at all"
+    (near 0: don't bother deseasonalizing; near 1: all signal is
+    schedule).
+
+    Reuses the profile fit + residual stamp, then ONE two-moment
+    combiner pass over (value, residual). Returns one row
+    (var_value, var_residual, strength) rounded to 6."""
+    import pandas as pd
+
+    stamped = seasonal_residual(ds, ts_col, val_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(val_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        r = t.column("residual").cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        ok = np.isfinite(v) & np.isfinite(r)
+        v, r = v[ok], r[ok]
+        return pa.table({"n": pa.array([v.size], pa.int64()),
+                         "sv": pa.array([v.sum()]),
+                         "svv": pa.array([(v * v).sum()]),
+                         "sr": pa.array([r.sum()]),
+                         "srr": pa.array([(r * r).sum()])})
+
+    p = stamped.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None).to_pandas().sum()
+    n = float(p["n"])
+    if n < 2:
+        return pd.DataFrame({"var_value": [np.nan],
+                             "var_residual": [np.nan],
+                             "strength": [np.nan]})
+    vv = p["svv"] / n - (p["sv"] / n) ** 2
+    vr = p["srr"] / n - (p["sr"] / n) ** 2
+    strength = 1.0 - vr / vv if vv > 0 else np.nan
+    return pd.DataFrame({"var_value": [round(vv, 6)],
+                         "var_residual": [round(vr, 6)],
+                         "strength": [round(strength, 6)
+                                      if strength == strength
+                                      else np.nan]})

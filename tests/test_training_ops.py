@@ -4183,3 +4183,26 @@ def test_max_drawdown(ray_session):
         assert out.loc[1, "max_drawdown"] == pytest.approx(brute(vals1))
         assert out.loc[1, "total"] == sum(vals1)
         assert out.loc[2, "max_drawdown"] == 0.0
+
+
+def test_seasonal_strength(ray_session):
+    """A strongly scheduled metric scores near 1; white noise scores
+    near 0; formula matches the variance identity."""
+    from feature_fabrica_ray.pipelines import seasonal_strength
+
+    rng = np.random.default_rng(173)
+    n = 8000
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 28 * 86400, n), "s")
+    hour = ts.hour.to_numpy()
+    strong = 10.0 + 8.0 * np.sin(hour / 24 * 2 * np.pi) \
+        + rng.normal(0, 0.3, n)
+    noise = rng.normal(0, 1, n)
+
+    s1 = seasonal_strength(_ds(pd.DataFrame({"ts": ts, "v": strong}),
+                               blocks=3), "ts", "v").iloc[0]
+    s0 = seasonal_strength(_ds(pd.DataFrame({"ts": ts, "v": noise}),
+                               blocks=3), "ts", "v").iloc[0]
+    assert s1["strength"] > 0.9
+    assert s0["strength"] < 0.1
+    assert s1["var_residual"] < s1["var_value"]
