@@ -469,6 +469,41 @@ FROM sym
 """
 
 
+def q_vl_catprofile(sf_dir: str) -> pd.DataFrame:
+    """One-pass categorical profile of (lang, repo): rows/nulls/
+    distinct/entropy/top-share per column — the encode-vs-hash-vs-drop
+    evidence (pipelines/validate.py::categorical_profile)."""
+    from feature_fabrica_ray.pipelines import categorical_profile
+
+    ds = read_codetable(sf_dir, with_sha256=False)
+    return categorical_profile(ds, ["lang", "repo"])
+
+
+_CATPROFILE_ORACLE = CT + """
+, vals AS (
+  SELECT 'lang' AS "column", lang AS v FROM codetable
+  UNION ALL SELECT 'repo', repo FROM codetable),
+g AS (SELECT "column", v, count(*) AS n FROM vals GROUP BY 1, 2),
+nn AS (SELECT "column", sum(n) AS n_nn FROM g WHERE v IS NOT NULL
+       GROUP BY 1),
+s AS (SELECT g."column",
+             -sum((g.n * 1.0 / nn.n_nn)
+                  * log2(g.n * 1.0 / nn.n_nn)) AS ent,
+             max(g.n * 1.0 / nn.n_nn) AS top,
+             count(*) AS n_distinct
+      FROM g JOIN nn USING ("column") WHERE g.v IS NOT NULL
+      GROUP BY 1),
+t AS (SELECT "column", CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN v IS NULL THEN n ELSE 0 END) AS BIGINT)
+                 AS nulls
+      FROM g GROUP BY 1)
+SELECT t."column", t.n, t.nulls,
+       CAST(s.n_distinct AS BIGINT) AS n_distinct,
+       round(s.ent, 6) AS entropy, round(s.top, 6) AS top_share
+FROM t JOIN s USING ("column") ORDER BY t."column"
+"""
+
+
 def q_vl_sortedness(sf_dir: str) -> pd.DataFrame:
     """Layout diagnostic: fraction of adjacent (event_id-ordered) ts
     pairs that are non-decreasing — "is this table already
@@ -7761,6 +7796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_completeness": q_vl_completeness,
         "vl_volume": q_vl_volume,
         "vl_sortedness": q_vl_sortedness,
+        "vl_catprofile": q_vl_catprofile,
         "vl_stats_size": q_vl_stats_size,
         "vl_content_sha256": q_vl_content_sha256,
         "vl_distinct_repo": q_vl_distinct_repo,
@@ -8013,6 +8049,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_completeness": _COMPLETENESS_ORACLE,
         "vl_volume": _VOLUME_ORACLE,
         "vl_sortedness": _SORTEDNESS_ORACLE,
+        "vl_catprofile": _CATPROFILE_ORACLE,
         "vl_stats_size": _STATS_ORACLE,
         "vl_group_stats": _GROUP_STATS_ORACLE,
         "vl_quantile": _QUANTILE_ORACLE,

@@ -1561,3 +1561,56 @@ def sortedness(ds, order_col: str, val_col: str):
     return pd.DataFrame({"n_pairs": np.array([n_pairs], np.int64),
                          "n_sorted": np.array([n_sorted], np.int64),
                          "frac_sorted": [frac]})
+
+
+def categorical_profile(ds, cols: list[str]):
+    """One-pass profile of several CATEGORICAL columns at once — per
+    column: rows, nulls, distinct count, Shannon entropy (log2) and
+    the top value's share — the string-column counterpart of
+    ``profile_table``'s numeric sketch row (the four numbers that
+    decide encode-vs-hash-vs-drop for each column).
+
+    One per-block (col, value, n) count combiner over all columns
+    (distinct values per block per column on the exchange), one keyed
+    merge; entropy/top-share are exact on the merged value table
+    (dimension-sized per categorical column by assumption). Returns
+    (column, n, nulls, n_distinct, entropy, top_share) sorted."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        for c in cols:
+            col = batch.column(c).cast(pa.string())
+            t = pa.table({"v": col})
+            g = t.group_by("v").aggregate([([], "count_all")])
+            outs.append(pa.table({
+                "column": pa.array([c] * g.num_rows, pa.string()),
+                "v": g.column("v"),
+                "n": g.column("count_all").cast(pa.int64())}))
+        return pa.concat_tables(outs)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    rows = []
+    for c in cols:
+        sub = parts[parts["column"] == c]
+        g = sub.groupby("v", dropna=False)["n"].sum()
+        n_total = int(g.sum())
+        nulls = int(g[g.index.isna()].sum()) if g.index.isna().any() \
+            else 0
+        nn = g[~g.index.isna()]
+        n_nn = int(nn.sum())
+        if n_nn:
+            p = nn.to_numpy() / n_nn
+            ent = float(-(p * np.log2(p)).sum())
+            top = float(nn.max() / n_nn)
+        else:
+            ent, top = np.nan, np.nan
+        rows.append({"column": c, "n": np.int64(n_total),
+                     "nulls": np.int64(nulls),
+                     "n_distinct": np.int64(len(nn)),
+                     "entropy": round(ent, 6) if ent == ent else np.nan,
+                     "top_share": round(top, 6) if top == top
+                     else np.nan})
+    return pd.DataFrame(rows).sort_values("column") \
+        .reset_index(drop=True)

@@ -1356,3 +1356,34 @@ def test_sortedness(ray_session):
         want = int((np.diff(vals) >= 0).sum())
         assert int(out["n_sorted"]) == want
         assert lo <= out["frac_sorted"] <= hi, out
+
+
+def test_categorical_profile(ray_session):
+    """Per-column distinct/entropy/top-share/nulls equal Counter math
+    across two columns with planted nulls; layout-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from feature_fabrica_ray.pipelines import categorical_profile
+
+    rng = np.random.default_rng(179)
+    n = 2000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], n, p=[0.7, 0.2, 0.1]),
+        "b": [f"v{i % 50}" for i in range(n)]})
+    df.loc[rng.choice(n, 100, replace=False), "a"] = None
+
+    for blocks in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = categorical_profile(ds, ["a", "b"]).set_index("column")
+        va = df["a"].dropna()
+        p = va.value_counts(normalize=True).to_numpy()
+        assert int(out.loc["a", "nulls"]) == 100
+        assert int(out.loc["a", "n_distinct"]) == 3
+        assert out.loc["a", "entropy"] == pytest.approx(
+            round(float(-(p * np.log2(p)).sum()), 6), abs=2e-6)
+        assert out.loc["a", "top_share"] == pytest.approx(
+            round(float(p.max()), 6), abs=2e-6)
+        assert int(out.loc["b", "n_distinct"]) == 50
+        assert int(out.loc["b", "nulls"]) == 0
