@@ -6668,6 +6668,34 @@ FROM (
 # event-stream operators (windowed aggregate, sessionization, JSON extract)
 # ---------------------------------------------------------------------------
 
+def q_ev_daily_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Daily P50/P90 value trend — the metric-drift watch chart: the
+    exact value-histogram quantile combiner keyed by day
+    (pipelines/quantiles.py::group_quantiles over a derived day key)."""
+    from feature_fabrica_ray.pipelines import group_quantiles
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"]).map_batches(
+        lambda t: pa.table({
+            "day_us": pc.cast(pc.floor_temporal(
+                t.column("ts").cast(pa.timestamp("us")), unit="day"),
+                pa.timestamp("us")).cast(pa.int64()),
+            "value": t.column("value")}),
+        batch_format="pyarrow", batch_size=None)
+    out = group_quantiles(ds, "day_us", "value", qs=(0.5, 0.9))
+    out["day_us"] = out["day_us"].astype("int64")
+    return out.sort_values("day_us").reset_index(drop=True)
+
+
+_DAILY_QUANTILES_ORACLE = """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+       round(quantile_cont(value, 0.5), 6) AS q_50,
+       round(quantile_cont(value, 0.9), 6) AS q_90,
+       CAST(count(value) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ev_seasonal_strength(sf_dir: str) -> pd.DataFrame:
     """Strength of weekly seasonality (1 − var(residual)/var(value)
     over the profile decomposition) — the deseasonalize-or-not scalar
@@ -7906,6 +7934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_drawdown": q_ev_drawdown,
         "ev_seasonal": q_ev_seasonal,
         "ev_seasonal_strength": q_ev_seasonal_strength,
+        "ev_daily_quantiles": q_ev_daily_quantiles,
         "vl_schema_diff": q_vl_schema_diff,
         "dd_embedding_rows": q_dd_embedding_rows,
         "ev_gaps": q_ev_gaps,
@@ -8184,6 +8213,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_drawdown": _DRAWDOWN_ORACLE,
         "ev_seasonal": _SEASONAL_ORACLE,
         "ev_seasonal_strength": _SEASONAL_STRENGTH_ORACLE,
+        "ev_daily_quantiles": _DAILY_QUANTILES_ORACLE,
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,
         "pr_correlation": _CORRELATION_ORACLE,
