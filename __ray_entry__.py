@@ -351,6 +351,30 @@ def q_vl_segment_drift(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_dd_seg_rate(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-rate per lang segment over the codetable's planted dup
+    keys — "which feed ships the copies": one pruned bucket shuffle of
+    (key-hash, segment) (pipelines/dedup.py::dup_rate_by_segment)."""
+    from feature_fabrica_ray.pipelines import dup_rate_by_segment
+
+    ds = read_codetable(sf_dir, with_sha256=False)
+    return dup_rate_by_segment(ds, ["repo", "path", "commit"], "lang")
+
+
+_SEG_RATE_ORACLE = CT + """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT repo || chr(31) || path || chr(31)
+                  || "commit") AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT repo || chr(31) || path
+                             || chr(31) || "commit") AS BIGINT)
+           AS n_dup_rows,
+       round((count(*) - count(DISTINCT repo || chr(31) || path
+                               || chr(31) || "commit"))
+             * 1.0 / count(*), 6) AS dup_rate
+FROM codetable GROUP BY lang ORDER BY lang
+"""
+
+
 def q_dd_containment(sf_dir: str) -> pd.DataFrame:
     """Asymmetric n-gram containment pairs over documents (Broder's
     resemblance-vs-containment: catches quotes/subsets Jaccard
@@ -7903,6 +7927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_dedup_rows": q_dd_dedup_rows,
         "dd_golden": q_dd_golden,
         "dd_containment": q_dd_containment,
+        "dd_seg_rate": q_dd_seg_rate,
         "agg_topk": q_agg_topk,
         "dd_minhash": q_dd_minhash,
         "dd_minhash_distributed": q_dd_minhash_distributed,
@@ -8193,6 +8218,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_dedup_rows": _DEDUP_ROWS_ORACLE,
         "dd_golden": _GOLDEN_ORACLE,
         "dd_containment": _CONTAINMENT_ORACLE,
+        "dd_seg_rate": _SEG_RATE_ORACLE,
         "dd_dedup_shuffle": _DEDUP_ROWS_ORACLE,
         "agg_topk": _TOPK_ORACLE,
         # dd_minhash / dd_simhash: sketch-based -> rows-only (pytest)

@@ -1017,3 +1017,60 @@ def ngram_containment_pairs(ds, text_col: str = "text",
     for c in ("id_a", "id_b", "n_shared", "n_a", "n_b"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def dup_rate_by_segment(ds, key_cols: list[str],
+                        seg_col: str) -> pd.DataFrame:
+    """Duplicate-rate per SEGMENT — "which source/lang is shipping the
+    copies": per segment, rows, distinct key tuples and the share of
+    rows that are surplus duplicates (rows − distinct) / rows; the
+    segment-resolved form of ``exact_dedup_counts``, pointing the
+    dedup effort at the offending feed.
+
+    One pruned bucket-grouped shuffle of (key-hash, segment) — 8 bytes
+    + the segment id per row; per-bucket distinct/duplicate counting
+    per segment, segment-scale partials to the driver. Keys are
+    counted within segments (the same content in two segments is not a
+    within-segment dup). Returns (segment, n_rows, n_distinct,
+    n_dup_rows, dup_rate) sorted by segment."""
+    n_shuffle = shuffle_partitions()
+    n_buckets = n_shuffle * 16
+
+    def project(batch: pa.Table) -> pa.Table:
+        h = combine_hashes(*[hash64(batch.column(c)) for c in key_cols])
+        return pa.table({
+            "key_hash": pa.array(h.view(np.int64), pa.int64()),
+            "seg": batch.column(seg_col).cast(pa.string()),
+            "bucket": pa.array((h % np.uint64(n_buckets))
+                               .astype(np.int32), pa.int32())})
+
+    def bucket_stats(t: pa.Table) -> pa.Table:
+        df = pa.table({"seg": t.column("seg"),
+                       "k": t.column("key_hash")}).to_pandas()
+        g = df.groupby("seg", dropna=False).agg(
+            n_rows=("k", "size"), n_distinct=("k", "nunique"))
+        g = g.reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = (ds.map_batches(project, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("bucket", num_partitions=n_shuffle)
+             .map_groups(bucket_stats, batch_format="pyarrow")
+             .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({seg_col: pd.Series([], dtype=object),
+                             "n_rows": pd.Series([], dtype="int64"),
+                             "n_distinct": pd.Series([], dtype="int64"),
+                             "n_dup_rows": pd.Series([], dtype="int64"),
+                             "dup_rate": []})
+    g = parts.groupby("seg", dropna=False, as_index=False).sum()
+    out = pd.DataFrame({seg_col: g["seg"],
+                        "n_rows": g["n_rows"].astype("int64"),
+                        "n_distinct": g["n_distinct"].astype("int64")})
+    out["n_dup_rows"] = (out["n_rows"] - out["n_distinct"]) \
+        .astype("int64")
+    out["dup_rate"] = np.round(out["n_dup_rows"] / out["n_rows"], 6)
+    key = out[seg_col].astype(str)
+    return out.iloc[np.argsort(key, kind="mergesort")] \
+        .reset_index(drop=True)

@@ -4206,3 +4206,24 @@ def test_seasonal_strength(ray_session):
     assert s1["strength"] > 0.9
     assert s0["strength"] < 0.1
     assert s1["var_residual"] < s1["var_value"]
+
+
+def test_dup_rate_by_segment(ray_session):
+    """Per-segment dup rates equal pandas nunique math; same key in
+    two segments is not a within-segment duplicate; layout-invariant."""
+    from feature_fabrica_ray.pipelines import dup_rate_by_segment
+
+    df = pd.DataFrame({
+        "seg": ["a"] * 6 + ["b"] * 4,
+        "k1": ["x", "x", "x", "y", "z", "w", "x", "q", "q", "r"],
+        "k2": [1, 1, 2, 3, 4, 5, 1, 6, 6, 7]})
+    for blocks in (1, 3):
+        out = dup_rate_by_segment(_ds(df, blocks=blocks),
+                                  ["k1", "k2"], "seg").set_index("seg")
+        ref = df.assign(key=df["k1"] + "|" + df["k2"].astype(str)) \
+            .groupby("seg")["key"].agg(["size", "nunique"])
+        for s_, r in ref.iterrows():
+            assert int(out.loc[s_, "n_rows"]) == int(r["size"])
+            assert int(out.loc[s_, "n_distinct"]) == int(r["nunique"])
+        assert int(out.loc["a", "n_dup_rows"]) == 1   # (x,1) twice
+        assert int(out.loc["b", "n_dup_rows"]) == 1   # (q,6) twice
