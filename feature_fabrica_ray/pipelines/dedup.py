@@ -1038,20 +1038,25 @@ def dup_rate_by_segment(ds, key_cols: list[str],
 
     def project(batch: pa.Table) -> pa.Table:
         h = combine_hashes(*[hash64(batch.column(c)) for c in key_cols])
+        # null segments ride as the engine's "\0null" sentinel (the
+        # _with_shuffle_key convention) and map back to None at the end
         return pa.table({
             "key_hash": pa.array(h.view(np.int64), pa.int64()),
-            "seg": batch.column(seg_col).cast(pa.string()),
+            "seg": pc.fill_null(batch.column(seg_col).cast(pa.string()),
+                                "\0null"),
             "bucket": pa.array((h % np.uint64(n_buckets))
                                .astype(np.int32), pa.int32())})
 
     def bucket_stats(t: pa.Table) -> pa.Table:
         df = pa.table({"seg": t.column("seg"),
                        "k": t.column("key_hash")}).to_pandas()
-        g = df.groupby("seg", dropna=False).agg(
+        g = df.groupby("seg").agg(
             n_rows=("k", "size"), n_distinct=("k", "nunique"))
         g = g.reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False) \
-            .replace_schema_metadata(None)
+        return pa.table({"seg": pa.array(g["seg"], pa.string()),
+                         "n_rows": pa.array(g["n_rows"], pa.int64()),
+                         "n_distinct": pa.array(g["n_distinct"],
+                                                pa.int64())})
 
     parts = (ds.map_batches(project, batch_format="pyarrow",
                             batch_size=None)
@@ -1064,7 +1069,8 @@ def dup_rate_by_segment(ds, key_cols: list[str],
                              "n_distinct": pd.Series([], dtype="int64"),
                              "n_dup_rows": pd.Series([], dtype="int64"),
                              "dup_rate": []})
-    g = parts.groupby("seg", dropna=False, as_index=False).sum()
+    g = parts.groupby("seg", as_index=False).sum()
+    g["seg"] = g["seg"].where(g["seg"] != "\0null", None)
     out = pd.DataFrame({seg_col: g["seg"],
                         "n_rows": g["n_rows"].astype("int64"),
                         "n_distinct": g["n_distinct"].astype("int64")})
