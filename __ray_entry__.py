@@ -6313,6 +6313,32 @@ FROM s CROSS JOIN t ORDER BY event_type
 """
 
 
+def q_sm_balance(sf_dir: str) -> pd.DataFrame:
+    """Class-balanced downsampling of events to the minority
+    event_type count: per-class count combiner -> weight stamp ->
+    the SQL-replicable weighted md5 predicate
+    (pipelines/sampling.py::balance_classes)."""
+    from feature_fabrica_ray.pipelines import balance_classes
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type"])
+    out = balance_classes(ds, "event_type", ["event_id"],
+                          method="md5").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_BALANCE_ORACLE = """
+WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+m AS (SELECT min(n) AS mn FROM c)
+SELECT e.event_id, e.event_type
+FROM events e JOIN c USING (event_type) CROSS JOIN m
+WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::UBIGINT
+      < floor((m.mn * 1.0 / c.n) * 4294967296)
+ORDER BY e.event_id
+"""
+
+
 def q_sm_bootstrap(sf_dir: str) -> pd.DataFrame:
     """95% Poisson-bootstrap CI for the mean event value (Chamandy et
     al.): 200 hash-seeded Poisson(1) weight replicas folded as a
@@ -8026,6 +8052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_cooccur": q_agg_cooccur,
         "sm_reservoir": q_sm_reservoir,
         "sm_bootstrap": q_sm_bootstrap,
+        "sm_balance": q_sm_balance,
         "sm_neyman": q_sm_neyman,
         "vl_delta": q_vl_delta,
         "ft_list": q_ft_list,
@@ -8255,6 +8282,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_cooccur": _COOCCUR_ORACLE,
         "sm_reservoir": _RESERVOIR_ORACLE,
         "sm_neyman": _NEYMAN_ORACLE,
+        "sm_balance": _BALANCE_ORACLE,
         "vl_delta": _DELTA_ORACLE,
         "ft_list": _FT_LIST_ORACLE,
         "agg_q3": _Q3_ORACLE,

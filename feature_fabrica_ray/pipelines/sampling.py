@@ -430,3 +430,53 @@ def neyman_allocation(ds, stratum_col: str, val_col: str,
                         "n_rows": g["n_rows"].astype("int64"),
                         "std": std, "alloc": alloc})
     return out.sort_values(stratum_col).reset_index(drop=True)
+
+
+def balance_classes(ds, label_col: str, key_columns: list[str],
+                    method: str = "md5"):
+    """Class-balanced downsampling: every class keeps a deterministic
+    ~min_class_count/class_count fraction of its rows, so expected
+    per-class counts equal the minority count — the standard
+    imbalanced-training rebalance, as a FITTED sampler (one count
+    combiner) + the layout-stable hash filter.
+
+    The fit pass is a per-class count combiner (dimension-sized);
+    the per-class keep-probabilities broadcast as a WEIGHT stamp into
+    ``weighted_hash_sample``'s stateless predicate, so membership is a
+    pure function of (key, class counts) — rerun/resume/parallelism-
+    stable, and in md5 mode the exact selection is replicable in SQL
+    (the first-8-hex-digits-vs-floor(w·2^32) form the sm_weighted
+    oracle uses). Returns the filtered Dataset (the internal weight
+    column is dropped)."""
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(label_col).cast(pa.string())
+        t = pa.table({"lab": pc.fill_null(col, "\0null")})
+        g = t.group_by("lab").aggregate([([], "count_all")])
+        return pa.table({"lab": g.column("lab"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    parts = ds.map_batches(count_partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return ds
+    g = parts.groupby("lab")["n"].sum()
+    m = int(g.min())
+    labs = pa.array(list(g.index), pa.string())
+    ws = np.array([m / int(n) for n in g.to_numpy()], np.float64)
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(label_col).cast(pa.string()),
+                           "\0null")
+        idx = pc.index_in(col, value_set=labs) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(idx)
+        w = np.zeros(batch.num_rows)
+        w[ok] = ws[idx[ok].astype(np.int64)]
+        return batch.append_column("__bal_w", pa.array(w, pa.float64()))
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow",
+                             batch_size=None)
+    out = weighted_hash_sample(stamped, key_columns, "__bal_w",
+                               method=method)
+    return out.drop_columns(["__bal_w"])

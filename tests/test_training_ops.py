@@ -4227,3 +4227,30 @@ def test_dup_rate_by_segment(ray_session):
             assert int(out.loc[s_, "n_distinct"]) == int(r["nunique"])
         assert int(out.loc["a", "n_dup_rows"]) == 1   # (x,1) twice
         assert int(out.loc["b", "n_dup_rows"]) == 1   # (q,6) twice
+
+
+def test_balance_classes(ray_session):
+    """Expected per-class counts land near the minority count (exact
+    deterministic selection, binomial tolerance); minority class kept
+    whole; layout-invariant; md5 and hash64 modes both work."""
+    from feature_fabrica_ray.pipelines import balance_classes
+
+    rng = np.random.default_rng(181)
+    n = 12000
+    df = pd.DataFrame({
+        "k": np.arange(n, dtype=np.int64),
+        "y": rng.choice(["maj", "mid", "min"], n, p=[0.7, 0.25, 0.05])})
+    counts = df["y"].value_counts()
+    m = counts.min()
+
+    for method in ("md5", "hash64"):
+        outs = [balance_classes(_ds(df, blocks=b), "y", ["k"],
+                                method=method).to_pandas()
+                for b in (1, 4)]
+        a = outs[0].sort_values("k").reset_index(drop=True)
+        b2 = outs[1].sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b2)
+        got = a["y"].value_counts()
+        assert got["min"] == m                  # fraction 1 keeps all
+        for c in ("maj", "mid"):
+            assert abs(got[c] - m) < 4 * np.sqrt(m), (method, c, got[c])
