@@ -3293,6 +3293,44 @@ FROM codetable
 """
 
 
+def q_dd_editdist(sf_dir: str) -> pd.DataFrame:
+    """Edit-distance near-dup pairs over the distinct part-name
+    vocabulary: FastSS deletion blocking + exact vectorized Levenshtein
+    verify (byte-level, == DuckDB levenshtein semantics)."""
+    from feature_fabrica_ray.pipelines import edit_distance_pairs
+    from feature_fabrica_ray.sources import read_parquet_clean
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet", columns=["p_name"])
+    # distributed distinct of a small-by-definition vocabulary, then the
+    # pair search runs over the distinct strings (ids = sorted rank so
+    # id order == name order)
+    vocab = sorted({r["p_name"] for b in part.groupby(
+        "p_name", num_partitions=8).count().iter_batches(
+            batch_format="pyarrow", batch_size=None)
+        for r in b.to_pylist()})
+    import ray.data  # session owned by the driver
+    vt = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(vocab)), pa.int64()),
+        "text": pa.array(vocab, pa.string())}))
+    pairs = edit_distance_pairs(vt, text_col="text", id_col="doc_id",
+                                max_dist=2)
+    out = pd.DataFrame({
+        "name_a": [vocab[i] for i in pairs["id_a"]],
+        "name_b": [vocab[i] for i in pairs["id_b"]],
+        "dist": pairs["dist"].astype("int64")})
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+_DD_EDITDIST_ORACLE = """
+WITH d AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
 def q_dd_dedup_rows(sf_dir: str) -> pd.DataFrame:
     """Keep-one-per-key exact dedup (big side never shuffles): per-repo
     surviving row counts match SELECT DISTINCT."""
@@ -7950,6 +7988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_intradoc": q_dd_intradoc,
         "agg_salted": q_agg_salted,
         "dd_exact": q_dd_exact,
+        "dd_editdist": q_dd_editdist,
         "dd_dedup_rows": q_dd_dedup_rows,
         "dd_golden": q_dd_golden,
         "dd_containment": q_dd_containment,
@@ -8223,6 +8262,7 @@ def oracle_sql() -> dict[str, str]:
         "sp_shuffle": _SP_SHUFFLE_ORACLE,
         "vl_monotonic": _MONOTONIC_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,
+        "dd_editdist": _DD_EDITDIST_ORACLE,
         "dd_components": _COMPONENTS_ORACLE,
         "ta_unigram": _UNIGRAM_ORACLE,
         "ev_funnel": _FUNNEL_ORACLE,

@@ -1080,3 +1080,227 @@ def dup_rate_by_segment(ds, key_cols: list[str],
     key = out[seg_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")] \
         .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance (Levenshtein) near-dup pairs — FastSS deletion blocking
+# ---------------------------------------------------------------------------
+
+_ED_B = np.uint64(0x100000001B3)          # polynomial base (FNV prime)
+_ED_K1 = np.uint64(0x9E3779B97F4A7C15)    # final mixing constants
+_ED_K2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _ed_byte_matrix(col) -> tuple[np.ndarray, np.ndarray]:
+    """(vals, lens): per-row 0-padded (n, Lmax) uint64 matrix of
+    utf8 byte values + 1 (so padding 0 never equals a real byte), from
+    the flat buffer — no per-row Python loop."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = pc.cast(arr, pa.string())
+    arr = pc.fill_null(arr, "")
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                         count=len(arr) + 1) + arr.offset
+    buf = arr.buffers()[2]
+    flat = (np.frombuffer(buf, dtype=np.uint8, count=buf.size)
+            if buf is not None and buf.size else np.zeros(0, np.uint8))
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    n, lmax = lens.size, int(lens.max()) if lens.size else 0
+    vals = np.zeros((n, max(lmax, 1)), dtype=np.uint64)
+    if flat.size:
+        rows = np.repeat(np.arange(n), lens)
+        cols = (np.arange(offs[0], offs[-1]) -
+                np.repeat(offs[:-1].astype(np.int64), lens))
+        vals[rows, cols] = flat[offs[0]:offs[-1]].astype(np.uint64) + 1
+    return vals, lens
+
+
+def deletion_hashes(col, max_dist: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """All deletion-neighborhood hashes (0..max_dist byte deletions) per
+    row, fully vectorized: polynomial prefix hashes over the padded byte
+    matrix, then every k-deletion variant's hash is recomposed from
+    prefix hashes and base powers with uint64 wraparound arithmetic —
+    the variant STRING is never materialized.
+
+    FastSS (Bocek et al. 2007): byte-level levenshtein(a, b) <= d implies
+    the d-deletion neighborhoods of a and b intersect, so hash-equality
+    over these keys is a complete (superset) candidate filter for an
+    edit-distance-<=d pair search. Returns (hashes uint64, row_of int64).
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
+    with np.errstate(over="ignore"):           # uint64 wraparound is the hash
+        return _deletion_hashes_impl(col, max_dist)
+
+
+def _deletion_hashes_impl(col, max_dist: int):
+    vals, lens = _ed_byte_matrix(col)
+    n, lmax = vals.shape
+    if n == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    pows = np.empty(lmax + 2, dtype=np.uint64)
+    pows[0] = 1
+    for k in range(1, lmax + 2):
+        pows[k] = pows[k - 1] * _ED_B
+    pref = np.zeros((n, lmax + 1), dtype=np.uint64)
+    for k in range(lmax):                      # lmax iterations, each O(n)
+        pref[:, k + 1] = pref[:, k] * _ED_B + vals[:, k]
+    rows_idx = np.arange(n)
+    p_full = pref[rows_idx, lens]
+    out_h = [p_full * _ED_K1 + lens.astype(np.uint64) * _ED_K2]
+    out_r = [rows_idx.astype(np.int64)]
+
+    # one deletion at i: broadcast over (row, i)
+    i_idx = np.arange(lmax)
+    valid1 = lens[:, None] > i_idx[None, :]
+    e1 = lens[:, None] - 1 - i_idx[None, :]            # tail exponent
+    e1c = np.clip(e1, 0, lmax + 1)
+    h1 = (pref[:, :lmax] * pows[e1c] + p_full[:, None]
+          - pref[:, 1:lmax + 1] * pows[e1c])
+    k1 = h1 * _ED_K1 + (lens[:, None] - 1).astype(np.uint64) * _ED_K2
+    r1, c1 = np.nonzero(valid1)
+    out_h.append(k1[r1, c1])
+    out_r.append(r1.astype(np.int64))
+
+    if max_dist == 2:
+        ii_all, jj_all = np.triu_indices(lmax, k=1)    # deletion pairs i<j
+        # chunk the pair axis so the (rows x pairs) broadcast stays ~32MB
+        step = max(1, (4 << 20) // max(n, 1))
+        for s in range(0, ii_all.size, step):
+            ii, jj = ii_all[s:s + step], jj_all[s:s + step]
+            valid2 = lens[:, None] > jj[None, :]
+            if not valid2.any():
+                continue
+            et = np.clip(lens[:, None] - 1 - jj[None, :], 0, lmax + 1)
+            eh = np.clip(lens[:, None] - 2 - ii[None, :], 0, lmax + 1)
+            em = np.clip(jj - 1 - ii, 0, lmax + 1)
+            head = pref[:, ii] * pows[eh]
+            mid = (pref[:, jj] - pref[:, ii + 1] * pows[em][None, :]) \
+                * pows[et]
+            tail = p_full[:, None] - pref[:, jj + 1] * pows[et]
+            k2 = ((head + mid + tail) * _ED_K1
+                  + (lens[:, None] - 2).astype(np.uint64) * _ED_K2)
+            r2, c2 = np.nonzero(valid2)
+            out_h.append(k2[r2, c2])
+            out_r.append(r2.astype(np.int64))
+    return np.concatenate(out_h), np.concatenate(out_r)
+
+
+def levenshtein_many(a_strs: list[bytes], b_strs: list[bytes]) -> np.ndarray:
+    """Exact byte-level Levenshtein distance for m pairs at once:
+    Wagner-Fischer vectorized across the pair axis AND the column axis
+    (the in-row left-neighbor dependency resolves as a running minimum:
+    cur[j] = min_{k<=j}(tmp[k] + j - k) = accumulate-min(tmp - j) + j).
+    Only the row axis loops. Byte-level == char-level on ASCII and
+    matches DuckDB/Postgres levenshtein() semantics on all inputs."""
+    m = len(a_strs)
+    if m == 0:
+        return np.zeros(0, np.int64)
+    la = np.array([len(s) for s in a_strs], dtype=np.int64)
+    lb = np.array([len(s) for s in b_strs], dtype=np.int64)
+    lam, lbm = int(la.max()), int(lb.max())
+    A = np.zeros((m, max(lam, 1)), dtype=np.uint8)
+    B = np.zeros((m, max(lbm, 1)), dtype=np.uint8)
+    for r, s in enumerate(a_strs):             # candidate pairs are rare
+        A[r, :len(s)] = np.frombuffer(s, np.uint8)
+    for r, s in enumerate(b_strs):
+        B[r, :len(s)] = np.frombuffer(s, np.uint8)
+    jj = np.arange(lbm + 1, dtype=np.int64)
+    prev = np.broadcast_to(jj, (m, lbm + 1)).copy()
+    res = np.empty(m, dtype=np.int64)
+    done = la == 0
+    res[done] = lb[done]
+    for i in range(1, lam + 1):
+        sub = (A[:, i - 1:i] != B).astype(np.int64)    # (m, lbm)
+        tmp = np.empty((m, lbm + 1), dtype=np.int64)
+        tmp[:, 0] = i
+        tmp[:, 1:] = np.minimum(prev[:, :-1] + sub, prev[:, 1:] + 1)
+        cur = np.minimum.accumulate(tmp - jj, axis=1) + jj
+        hit = la == i
+        if hit.any():
+            res[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return res
+
+
+def edit_distance_pairs(ds, *, text_col: str = "text",
+                        id_col: str = "doc_id", max_dist: int = 1,
+                        max_len: int = 512) -> pd.DataFrame:
+    """All pairs (id_a, id_b, dist) with byte-level Levenshtein distance
+    <= max_dist, id_a < id_b, exactly — the short-string entity-
+    resolution dedup (dirty vocabularies, catalog names, paths).
+
+    Scale shape (same as ``minhash_lsh_pairs``): one vectorized pass
+    emits the FastSS deletion-neighborhood hashes (complete candidate
+    filter — no true pair can be missed), ids + 8-byte hashes exchange
+    on uniform buckets, colliding ids become candidate pairs (assumed
+    rare — collected to the driver like the other near-dup verifiers),
+    and a second pruned pass fetches ONLY candidate strings for the
+    exact vectorized Levenshtein verify. Emission is O(L^max_dist)
+    keys/row, which is why this is a short-string operator: rows longer
+    than max_len raise rather than silently degrade. Nulls dedup as ''.
+
+    The reference engine has no record-linkage operator; this extends
+    its dedup story (SURVEY §2) with the exact-threshold variant that
+    MinHash (set-semantics) cannot express.
+    """
+    n_shuffle = shuffle_partitions()
+    n_buckets = n_shuffle * 16
+
+    def emit(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        ln = pc.max(pc.binary_length(pc.cast(txt, pa.string())))
+        if ln.as_py() is not None and ln.as_py() > max_len:
+            raise ValueError(
+                f"edit_distance_pairs: row exceeds max_len={max_len} "
+                "bytes; this operator is for short strings")
+        h, row_of = deletion_hashes(txt, max_dist)
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[row_of], pa.int64()),
+            "band_hash": pa.array(h.view(np.int64), pa.int64()),
+            "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int32),
+                               pa.int32())})
+
+    cand_ds = (ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+               .groupby("bucket", num_partitions=n_shuffle)
+               .map_groups(_bucket_pairs, batch_format="pyarrow"))
+    cands = _collect_colliding(cand_ds)
+    if not cands:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "dist": pd.Series([], dtype="int64")})
+    ids = np.unique(np.array(sorted({i for p in cands for i in p}),
+                             dtype=np.int64))
+    id_set = pa.array(ids, pa.int64())
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(id_col).cast(pa.int64()),
+                        value_set=id_set)
+        sel = batch.filter(mask)
+        return pa.table({
+            "doc_id": sel.column(id_col).cast(pa.int64()),
+            "text": pc.fill_null(pc.cast(sel.column(text_col),
+                                         pa.string()), "")})
+
+    strings = {r["doc_id"]: r["text"].encode("utf-8")
+               for r in ds.map_batches(fetch, batch_format="pyarrow",
+                                       batch_size=None).take_all()}
+    pairs = sorted(cands)
+    a_s = [strings[a] for a, _ in pairs]
+    b_s = [strings[b] for _, b in pairs]
+    keep = np.abs(np.array([len(x) for x in a_s], dtype=np.int64)
+                  - np.array([len(x) for x in b_s], dtype=np.int64)) \
+        <= max_dist
+    dists = np.full(len(pairs), max_dist + 1, dtype=np.int64)
+    if keep.any():
+        ki = np.flatnonzero(keep)
+        dists[ki] = levenshtein_many([a_s[i] for i in ki],
+                                     [b_s[i] for i in ki])
+    ok = dists <= max_dist
+    return pd.DataFrame({
+        "id_a": pd.Series([p[0] for p, o in zip(pairs, ok) if o],
+                          dtype="int64"),
+        "id_b": pd.Series([p[1] for p, o in zip(pairs, ok) if o],
+                          dtype="int64"),
+        "dist": pd.Series(dists[ok], dtype="int64")})

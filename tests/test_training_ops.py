@@ -4254,3 +4254,101 @@ def test_balance_classes(ray_session):
         assert got["min"] == m                  # fraction 1 keeps all
         for c in ("maj", "mid"):
             assert abs(got[c] - m) < 4 * np.sqrt(m), (method, c, got[c])
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup pairs (FastSS deletion blocking)
+# ---------------------------------------------------------------------------
+
+def _ed_ref(a: str, b: str) -> int:
+    """Plain byte-level Wagner-Fischer reference."""
+    a, b = a.encode(), b.encode()
+    D = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, D[0] = D[:], i
+        for j in range(1, len(b) + 1):
+            D[j] = min(prev[j - 1] + (a[i - 1] != b[j - 1]),
+                       prev[j] + 1, D[j - 1] + 1)
+    return D[len(b)]
+
+
+def _editdist_df():
+    base = ["goldenrod lace", "midnight chocolate", "forest almond",
+            "spring peach", "powder drab", "hot gear", "small ring",
+            "blue bolt", "red widget", "plum thistle"]
+    typos = ["goldenrod lcae",      # transposition = 2 subs
+             "midnight chocolat",   # deletion = 1
+             "forest almondd",      # insertion = 1
+             "spring peech",        # substitution = 1
+             "powderr drabb"]       # two edits = 2
+    ids = list(range(10)) + list(range(100, 105))
+    return pd.DataFrame({"doc_id": ids, "text": base + typos})
+
+
+def test_edit_distance_pairs_exact_vs_bruteforce(ray_session):
+    from feature_fabrica_ray.pipelines import edit_distance_pairs
+
+    df = _editdist_df()
+    for d in (1, 2):
+        got = edit_distance_pairs(_ds(df), max_dist=d)
+        got_set = {(a, b, c) for a, b, c in got.values.tolist()}
+        want = set()
+        txt = dict(zip(df["doc_id"], df["text"]))
+        ks = sorted(txt)
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                dd = _ed_ref(txt[ks[i]], txt[ks[j]])
+                if dd <= d:
+                    want.add((ks[i], ks[j], dd))
+        assert got_set == want, (d, got_set ^ want)
+    # the planted d<=1 pairs specifically
+    got1 = edit_distance_pairs(_ds(df), max_dist=1)
+    found = set(map(tuple, got1[["id_a", "id_b"]].values.tolist()))
+    assert {(1, 101), (2, 102), (3, 103)} <= found
+
+
+def test_edit_distance_pairs_partition_invariant(ray_session):
+    from feature_fabrica_ray.pipelines import edit_distance_pairs
+
+    key = lambda df: sorted(map(tuple, df.values.tolist()))
+    p1 = edit_distance_pairs(_ds(_editdist_df(), blocks=1), max_dist=2)
+    p4 = edit_distance_pairs(_ds(_editdist_df(), blocks=4), max_dist=2)
+    assert key(p1) == key(p4)
+
+
+def test_edit_distance_pairs_edges(ray_session):
+    from feature_fabrica_ray.pipelines import edit_distance_pairs
+
+    # duplicates report dist 0; empty and null strings behave as ''
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5],
+                       "text": ["same", "same", "", None, "x"]})
+    got = edit_distance_pairs(_ds(df), max_dist=1)
+    got_set = set(map(tuple, got.values.tolist()))
+    assert (1, 2, 0) in got_set                  # exact duplicate
+    assert (3, 4, 0) in got_set                  # '' == null-as-''
+    assert (3, 5, 1) in got_set and (4, 5, 1) in got_set
+    assert (1, 3, 4) not in got_set
+    # no pairs at all
+    none = edit_distance_pairs(
+        _ds(pd.DataFrame({"doc_id": [1, 2], "text": ["abcdef", "uvwxyz"]})),
+        max_dist=2)
+    assert none.empty and list(none.columns) == ["id_a", "id_b", "dist"]
+    # max_len contract
+    import pytest as _pytest
+    long_df = pd.DataFrame({"doc_id": [1], "text": ["x" * 600]})
+    with _pytest.raises(Exception):
+        edit_distance_pairs(_ds(long_df), max_dist=1)
+
+
+def test_levenshtein_many_random_vs_reference():
+    from feature_fabrica_ray.pipelines import levenshtein_many
+
+    rng = np.random.default_rng(11)
+    A = ["".join(rng.choice(list("abcd"), size=rng.integers(0, 12)))
+         for _ in range(100)]
+    B = ["".join(rng.choice(list("abcd"), size=rng.integers(0, 12)))
+         for _ in range(100)]
+    got = levenshtein_many([a.encode() for a in A],
+                           [b.encode() for b in B])
+    want = np.array([_ed_ref(a, b) for a, b in zip(A, B)])
+    assert (got == want).all()
