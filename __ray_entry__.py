@@ -3331,6 +3331,73 @@ ORDER BY name_a, name_b
 """
 
 
+def _pname_vocab_ds(sf_dir: str):
+    """Distinct part-name vocabulary as (doc_id = sorted rank, text)."""
+    from feature_fabrica_ray.sources import read_parquet_clean
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet", columns=["p_name"])
+    vocab = sorted({r["p_name"] for b in part.groupby(
+        "p_name", num_partitions=8).count().iter_batches(
+            batch_format="pyarrow", batch_size=None)
+        for r in b.to_pylist()})
+    import ray.data
+    return vocab, ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(vocab)), pa.int64()),
+        "text": pa.array(vocab, pa.string())}))
+
+
+def q_dd_damerau(sf_dir: str) -> pd.DataFrame:
+    """Unrestricted Damerau-Levenshtein near-dup pairs (transposition
+    cost 1) over the distinct part-name vocabulary — same complete
+    deletion blocking as dd_editdist, DuckDB damerau_levenshtein parity."""
+    from feature_fabrica_ray.pipelines import string_similarity_pairs
+
+    vocab, vt = _pname_vocab_ds(sf_dir)
+    pairs = string_similarity_pairs(vt, metric="damerau", block_dist=2,
+                                    max_dist=2)
+    out = pd.DataFrame({
+        "name_a": [vocab[i] for i in pairs["id_a"]],
+        "name_b": [vocab[i] for i in pairs["id_b"]],
+        "dist": pairs["dist"].astype("int64")})
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+_DD_DAMERAU_ORACLE = """
+WITH d AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.p_name < b.p_name
+WHERE damerau_levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
+def q_dd_jarowinkler(sf_dir: str) -> pd.DataFrame:
+    """Blocked Jaro-Winkler scoring over the edit-distance-<=2 candidate
+    window of the part-name vocabulary (byte-level, DuckDB parity)."""
+    from feature_fabrica_ray.pipelines import string_similarity_pairs
+
+    vocab, vt = _pname_vocab_ds(sf_dir)
+    pairs = string_similarity_pairs(vt, metric="jaro_winkler",
+                                    block_dist=2, min_sim=0.8)
+    out = pd.DataFrame({
+        "name_a": [vocab[i] for i in pairs["id_a"]],
+        "name_b": [vocab[i] for i in pairs["id_b"]],
+        "sim": pairs["sim"].astype("float64")})
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+_DD_JAROWINKLER_ORACLE = """
+WITH d AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+FROM d a JOIN d b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+  AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8
+ORDER BY name_a, name_b
+"""
+
+
 def q_dd_dedup_rows(sf_dir: str) -> pd.DataFrame:
     """Keep-one-per-key exact dedup (big side never shuffles): per-repo
     surviving row counts match SELECT DISTINCT."""
@@ -7989,6 +8056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_salted": q_agg_salted,
         "dd_exact": q_dd_exact,
         "dd_editdist": q_dd_editdist,
+        "dd_damerau": q_dd_damerau,
+        "dd_jarowinkler": q_dd_jarowinkler,
         "dd_dedup_rows": q_dd_dedup_rows,
         "dd_golden": q_dd_golden,
         "dd_containment": q_dd_containment,
@@ -8263,6 +8332,8 @@ def oracle_sql() -> dict[str, str]:
         "vl_monotonic": _MONOTONIC_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,
         "dd_editdist": _DD_EDITDIST_ORACLE,
+        "dd_damerau": _DD_DAMERAU_ORACLE,
+        "dd_jarowinkler": _DD_JAROWINKLER_ORACLE,
         "dd_components": _COMPONENTS_ORACLE,
         "ta_unigram": _UNIGRAM_ORACLE,
         "ev_funnel": _FUNNEL_ORACLE,

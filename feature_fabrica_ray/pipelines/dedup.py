@@ -1243,50 +1243,12 @@ def edit_distance_pairs(ds, *, text_col: str = "text",
     its dedup story (SURVEY §2) with the exact-threshold variant that
     MinHash (set-semantics) cannot express.
     """
-    n_shuffle = shuffle_partitions()
-    n_buckets = n_shuffle * 16
-
-    def emit(batch: pa.Table) -> pa.Table:
-        txt = batch.column(text_col)
-        ln = pc.max(pc.binary_length(pc.cast(txt, pa.string())))
-        if ln.as_py() is not None and ln.as_py() > max_len:
-            raise ValueError(
-                f"edit_distance_pairs: row exceeds max_len={max_len} "
-                "bytes; this operator is for short strings")
-        h, row_of = deletion_hashes(txt, max_dist)
-        ids = batch.column(id_col).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        return pa.table({
-            "doc_id": pa.array(ids[row_of], pa.int64()),
-            "band_hash": pa.array(h.view(np.int64), pa.int64()),
-            "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int32),
-                               pa.int32())})
-
-    cand_ds = (ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
-               .groupby("bucket", num_partitions=n_shuffle)
-               .map_groups(_bucket_pairs, batch_format="pyarrow"))
-    cands = _collect_colliding(cand_ds)
-    if not cands:
+    pairs, strings = _ed_candidates(ds, text_col, id_col, max_dist,
+                                    max_len, "edit_distance_pairs")
+    if not pairs:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
                              "dist": pd.Series([], dtype="int64")})
-    ids = np.unique(np.array(sorted({i for p in cands for i in p}),
-                             dtype=np.int64))
-    id_set = pa.array(ids, pa.int64())
-
-    def fetch(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column(id_col).cast(pa.int64()),
-                        value_set=id_set)
-        sel = batch.filter(mask)
-        return pa.table({
-            "doc_id": sel.column(id_col).cast(pa.int64()),
-            "text": pc.fill_null(pc.cast(sel.column(text_col),
-                                         pa.string()), "")})
-
-    strings = {r["doc_id"]: r["text"].encode("utf-8")
-               for r in ds.map_batches(fetch, batch_format="pyarrow",
-                                       batch_size=None).take_all()}
-    pairs = sorted(cands)
     a_s = [strings[a] for a, _ in pairs]
     b_s = [strings[b] for _, b in pairs]
     keep = np.abs(np.array([len(x) for x in a_s], dtype=np.int64)
@@ -1304,3 +1266,183 @@ def edit_distance_pairs(ds, *, text_col: str = "text",
         "id_b": pd.Series([p[1] for p, o in zip(pairs, ok) if o],
                           dtype="int64"),
         "dist": pd.Series(dists[ok], dtype="int64")})
+
+
+def _ed_candidates(ds, text_col: str, id_col: str, block_dist: int,
+                   max_len: int, opname: str):
+    """Shared deletion-blocking candidate generation for the string-
+    similarity family: FastSS emit -> uniform-bucket exchange ->
+    colliding id pairs -> pruned fetch of ONLY candidate strings.
+    Returns (sorted candidate pairs, {id: utf8 bytes})."""
+    n_shuffle = shuffle_partitions()
+    n_buckets = n_shuffle * 16
+
+    def emit(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        ln = pc.max(pc.binary_length(pc.cast(txt, pa.string())))
+        if ln.as_py() is not None and ln.as_py() > max_len:
+            raise ValueError(
+                f"{opname}: row exceeds max_len={max_len} "
+                "bytes; this operator is for short strings")
+        h, row_of = deletion_hashes(txt, block_dist)
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[row_of], pa.int64()),
+            "band_hash": pa.array(h.view(np.int64), pa.int64()),
+            "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int32),
+                               pa.int32())})
+
+    cand_ds = (ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+               .groupby("bucket", num_partitions=n_shuffle)
+               .map_groups(_bucket_pairs, batch_format="pyarrow"))
+    cands = _collect_colliding(cand_ds)
+    if not cands:
+        return [], {}
+    ids = np.unique(np.array(sorted({i for p in cands for i in p}),
+                             dtype=np.int64))
+    id_set = pa.array(ids, pa.int64())
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(id_col).cast(pa.int64()),
+                        value_set=id_set)
+        sel = batch.filter(mask)
+        return pa.table({
+            "doc_id": sel.column(id_col).cast(pa.int64()),
+            "text": pc.fill_null(pc.cast(sel.column(text_col),
+                                         pa.string()), "")})
+
+    strings = {r["doc_id"]: r["text"].encode("utf-8")
+               for r in ds.map_batches(fetch, batch_format="pyarrow",
+                                       batch_size=None).take_all()}
+    return sorted(cands), strings
+
+
+def jaro_winkler_bytes(a: bytes, b: bytes) -> float:
+    """Byte-level Jaro-Winkler similarity — standard constants (prefix
+    scale 0.1, prefix cap 4, boost threshold 0.7), matching DuckDB /
+    Postgres ``jaro_winkler_similarity`` semantics exactly (which are
+    also byte-level on UTF-8). Runs only on the small verified candidate
+    set, never in a per-row hot path."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0                 # DuckDB: jaro_winkler('','') == 0
+    if a == b:
+        return 1.0
+    window = max(la, lb) // 2 - 1
+    a_match = [False] * la
+    b_match = [False] * lb
+    m = 0
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_match[j] and a[i] == b[j]:
+                a_match[i] = b_match[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if a_match[i]:
+            while not b_match[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    jaro = (m / la + m / lb + (m - t // 2) / m) / 3.0
+    if jaro <= 0.7:
+        return jaro
+    ell = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        ell += 1
+    return jaro + ell * 0.1 * (1.0 - jaro)
+
+
+def damerau_levenshtein_bytes(a: bytes, b: bytes) -> int:
+    """Byte-level UNRESTRICTED Damerau-Levenshtein (transposition cost 1,
+    edits allowed inside transposed blocks — the variant DuckDB's
+    ``damerau_levenshtein`` implements: d('ca','abc') == 2, not OSA's 3).
+    Runs only on the small verified candidate set."""
+    la, lb = len(a), len(b)
+    maxd = la + lb
+    da = {}
+    D = [[maxd] * (lb + 2) for _ in range(la + 2)]
+    D[1][1] = 0
+    for i in range(1, la + 1):
+        D[i + 1][1] = i
+    for j in range(1, lb + 1):
+        D[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            ell = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            D[i + 1][j + 1] = min(
+                D[i][j] + cost,                       # substitution
+                D[i + 1][j] + 1,                      # insertion
+                D[i][j + 1] + 1,                      # deletion
+                D[k][ell] + (i - k - 1) + 1 + (j - ell - 1))  # transposition
+        da[a[i - 1]] = i
+    return D[la + 1][lb + 1]
+
+
+def string_similarity_pairs(ds, *, metric: str = "jaro_winkler",
+                            text_col: str = "text", id_col: str = "doc_id",
+                            block_dist: int = 2, min_sim: float = 0.8,
+                            max_dist: int | None = None,
+                            max_len: int = 512) -> pd.DataFrame:
+    """Blocked string-similarity self-join over short strings.
+
+    Candidates come from the same FastSS deletion blocking as
+    ``edit_distance_pairs`` — COMPLETE for any pair within byte edit
+    distance <= block_dist (and therefore for Damerau distance <=
+    block_dist too: every Damerau op, transposition included, is
+    resolvable with one deletion per side). Scoring then runs per metric
+    on only the collected candidates:
+
+    - ``metric="jaro_winkler"``: returns (id_a, id_b, sim) with sim >=
+      min_sim, sim rounded to 6 dp. NOTE this is a *blocked* scorer —
+      pairs farther than block_dist edits apart are out of scope by
+      contract (a complete JW-threshold join has no pigeonhole filter).
+    - ``metric="damerau"``: returns (id_a, id_b, dist) with unrestricted
+      Damerau-Levenshtein dist <= max_dist (default block_dist) — this
+      one IS exact/complete, like edit_distance_pairs.
+    """
+    if metric not in ("jaro_winkler", "damerau"):
+        raise ValueError(f"unknown metric {metric!r}")
+    pairs, strings = _ed_candidates(ds, text_col, id_col, block_dist,
+                                    max_len, "string_similarity_pairs")
+    if metric == "damerau":
+        lim = block_dist if max_dist is None else min(max_dist, block_dist)
+        rows = [(a, b, damerau_levenshtein_bytes(strings[a], strings[b]))
+                for a, b in pairs]
+        rows = [(a, b, d) for a, b, d in rows if d <= lim]
+        return pd.DataFrame({
+            "id_a": pd.Series([r[0] for r in rows], dtype="int64"),
+            "id_b": pd.Series([r[1] for r in rows], dtype="int64"),
+            "dist": pd.Series([r[2] for r in rows], dtype="int64")})
+    # Deletion-hash collisions are a SUPERSET of the <=block_dist window;
+    # verify the window exactly (like edit_distance_pairs) so the output
+    # is precisely {pairs : lev <= block_dist and JW >= min_sim}.
+    if pairs:
+        a_s = [strings[a] for a, _ in pairs]
+        b_s = [strings[b] for _, b in pairs]
+        lev = levenshtein_many(a_s, b_s)
+        pairs = [p for p, d in zip(pairs, lev) if d <= block_dist]
+    rows = [(a, b, jaro_winkler_bytes(strings[a], strings[b]))
+            for a, b in pairs]
+    # threshold on the UNROUNDED value (oracle parity), round for output
+    rows = [(a, b, round(s, 6)) for a, b, s in rows if s >= min_sim]
+    return pd.DataFrame({
+        "id_a": pd.Series([r[0] for r in rows], dtype="int64"),
+        "id_b": pd.Series([r[1] for r in rows], dtype="int64"),
+        "sim": pd.Series([r[2] for r in rows], dtype="float64")})

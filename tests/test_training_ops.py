@@ -4352,3 +4352,147 @@ def test_levenshtein_many_random_vs_reference():
                            [b.encode() for b in B])
     want = np.array([_ed_ref(a, b) for a, b in zip(A, B)])
     assert (got == want).all()
+
+
+# ---------------------------------------------------------------------------
+# string-similarity pairs (Jaro-Winkler / Damerau over FastSS blocking)
+# ---------------------------------------------------------------------------
+
+def _jw_ref(a: str, b: str) -> float:
+    """Reference Jaro-Winkler via the textbook definition (char-level ==
+    byte-level on these ASCII fixtures)."""
+    a, b = a.encode(), b.encode()
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    if a == b:
+        return 1.0
+    w = max(la, lb) // 2 - 1
+    am, bm = [False] * la, [False] * lb
+    m = 0
+    for i in range(la):
+        for j in range(max(0, i - w), min(lb, i + w + 1)):
+            if not bm[j] and a[i] == b[j]:
+                am[i] = bm[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t, j = 0, 0
+    for i in range(la):
+        if am[i]:
+            while not bm[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    jaro = (m / la + m / lb + (m - t // 2) / m) / 3.0
+    if jaro <= 0.7:
+        return jaro
+    p = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        p += 1
+    return jaro + p * 0.1 * (1.0 - jaro)
+
+
+def _dl_ref(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein reference (recursive w/ memo)."""
+    from functools import lru_cache
+    a, b = a.encode(), b.encode()
+
+    @lru_cache(maxsize=None)
+    def d(i, j):
+        if i == 0 or j == 0:
+            return max(i, j)
+        best = min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                   d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+        # transposition: last char of a matches some earlier char of b
+        for k in range(i - 1, 0, -1):
+            if a[k - 1] == b[j - 1]:
+                for l in range(j - 1, 0, -1):
+                    if b[l - 1] == a[i - 1]:
+                        best = min(best, d(k - 1, l - 1)
+                                   + (i - k - 1) + 1 + (j - l - 1))
+                        break
+                break
+        return best
+    return d(len(a), len(b))
+
+
+def test_jaro_winkler_bytes_vs_reference():
+    from feature_fabrica_ray.pipelines import jaro_winkler_bytes
+
+    cases = [("martha", "marhta"), ("dwayne", "duane"),
+             ("dixon", "dicksonx"), ("", ""), ("", "a"), ("ab", "ba"),
+             ("same", "same"), ("abcde", "vwxyz")]
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        cases.append((
+            "".join(rng.choice(list("abc"), size=rng.integers(0, 10))),
+            "".join(rng.choice(list("abc"), size=rng.integers(0, 10)))))
+    for a, b in cases:
+        got = jaro_winkler_bytes(a.encode(), b.encode())
+        assert abs(got - _jw_ref(a, b)) < 1e-12, (a, b)
+
+
+def test_damerau_levenshtein_bytes_vs_reference():
+    from feature_fabrica_ray.pipelines import damerau_levenshtein_bytes
+
+    # the canonical unrestricted-vs-OSA discriminator: d('ca','abc') == 2
+    assert damerau_levenshtein_bytes(b"ca", b"abc") == 2
+    assert damerau_levenshtein_bytes(b"ab", b"ba") == 1
+    rng = np.random.default_rng(5)
+    for _ in range(150):
+        a = "".join(rng.choice(list("abc"), size=rng.integers(0, 9)))
+        b = "".join(rng.choice(list("abc"), size=rng.integers(0, 9)))
+        assert damerau_levenshtein_bytes(a.encode(), b.encode()) \
+            == _dl_ref(a, b), (a, b)
+
+
+def test_string_similarity_pairs_vs_bruteforce(ray_session):
+    from feature_fabrica_ray.pipelines import string_similarity_pairs
+
+    df = _editdist_df()
+    txt = dict(zip(df["doc_id"], df["text"]))
+    ks = sorted(txt)
+    # damerau: exact/complete within <= 2
+    got = string_similarity_pairs(_ds(df, blocks=3), metric="damerau",
+                                  block_dist=2)
+    want = {(ks[i], ks[j], _dl_ref(txt[ks[i]], txt[ks[j]]))
+            for i in range(len(ks)) for j in range(i + 1, len(ks))
+            if _dl_ref(txt[ks[i]], txt[ks[j]]) <= 2}
+    assert set(map(tuple, got.values.tolist())) == want
+    # transposition pair scores Damerau 1 where Levenshtein says 2
+    assert (0, 100, 1) in want
+    # jaro_winkler: blocked contract = {lev <= block_dist and sim >= min_sim}
+    got = string_similarity_pairs(_ds(df, blocks=3), metric="jaro_winkler",
+                                  block_dist=2, min_sim=0.8)
+    want = set()
+    for i in range(len(ks)):
+        for j in range(i + 1, len(ks)):
+            if _ed_ref(txt[ks[i]], txt[ks[j]]) <= 2:
+                s = _jw_ref(txt[ks[i]], txt[ks[j]])
+                if s >= 0.8:
+                    want.add((ks[i], ks[j], round(s, 6)))
+    assert set(map(tuple, got.values.tolist())) == want
+    assert len(want) >= 4
+
+
+def test_string_similarity_pairs_edges(ray_session):
+    from feature_fabrica_ray.pipelines import string_similarity_pairs
+    import pytest as _pytest
+
+    none = string_similarity_pairs(
+        _ds(pd.DataFrame({"doc_id": [1, 2], "text": ["abcdef", "uvwxyz"]})),
+        metric="damerau", block_dist=2)
+    assert none.empty and list(none.columns) == ["id_a", "id_b", "dist"]
+    none = string_similarity_pairs(
+        _ds(pd.DataFrame({"doc_id": [1, 2], "text": ["abcdef", "uvwxyz"]})),
+        metric="jaro_winkler", block_dist=2)
+    assert none.empty and list(none.columns) == ["id_a", "id_b", "sim"]
+    with _pytest.raises(ValueError):
+        string_similarity_pairs(
+            _ds(pd.DataFrame({"doc_id": [1], "text": ["x"]})),
+            metric="cosine")
