@@ -21,6 +21,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import datetime as _dt
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -2597,6 +2599,277 @@ FULL OUTER JOIN
      (SELECT source, CAST(count(*) AS BIGINT) AS zh_docs
       FROM documents WHERE lang = 'zh' GROUP BY source) r
 USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# composite analytics pipelines (TPC-H-shaped multi-join plans)
+# ---------------------------------------------------------------------------
+# Each composes the scale primitives end-to-end the way a real report
+# does: read-time pruning -> broadcast semi-joins for dimension filters
+# -> ONE big-big shuffle join on the fact key -> keyed distributed
+# aggregate -> k-sized partial top-k merge. Nothing bigger than the
+# k-sized partials ever reaches the driver.
+
+_TQ_CUT = "1998-06-01"
+
+
+def q_tq_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape (shipping priority): revenue of undelivered orders
+    for one market segment — top 10 orders by revenue.
+
+    Plan: BUILDING customers broadcast as a semi-join into a date-pruned
+    orders scan (dimension filter, no shuffle); lineitem scan pruned at
+    read by l_shipdate; ONE shuffle join lineitem x orders on the order
+    key; per-block revenue partials; distributed groupby on l_orderkey
+    (high-cardinality => shuffle, the honest shape); per-block top-10
+    partials merged on the driver (10 rows per block is all it sees)."""
+    import pyarrow.dataset as pds
+
+    from feature_fabrica_ray.pipelines import broadcast_join, shuffle_join
+
+    cut = _dt.datetime.fromisoformat(_TQ_CUT)
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING"))
+        .select(["c_custkey"]),
+        batch_format="pyarrow", batch_size=None)
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pds.field("o_orderdate") < cut))
+    orders = broadcast_join(orders, cust, left_on="o_custkey",
+                            right_on="c_custkey", how="left semi")
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pds.field("l_shipdate") > cut)) \
+        .select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = shuffle_join(li, orders, on="l_orderkey",
+                          right_on="o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "o_orderdate": b.column("o_orderdate"), "rev": rev})
+        g = t.group_by(["l_orderkey", "o_orderdate"]).aggregate(
+            [("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "o_orderdate", "rev"])
+
+    grouped = (joined.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None)
+               .groupby("l_orderkey")
+               .map_groups(lambda t: pa.table({
+                   "l_orderkey": t.column("l_orderkey").slice(0, 1),
+                   "o_orderdate": t.column("o_orderdate").slice(0, 1),
+                   "revenue": pa.array(
+                       [pc.sum(t.column("rev")).as_py()], pa.float64())}),
+                   batch_format="pyarrow"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("revenue", "descending"),
+                                            ("l_orderkey", "ascending")])
+        return b.take(idx.slice(0, 10))
+
+    parts = grouped.map_batches(local_topk, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+    out = parts.sort_values(["revenue", "l_orderkey"],
+                            ascending=[False, True]).head(10)
+    out["revenue"] = np.round(out["revenue"], 4)
+    return out[["l_orderkey", "revenue", "o_orderdate"]] \
+        .reset_index(drop=True)
+
+
+_TQ_SHIPPING_ORACLE = f"""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '{_TQ_CUT}'
+  AND l_shipdate > TIMESTAMP '{_TQ_CUT}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tq_localvolume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue per ASIA nation
+    from lineitems where the supplier and the ordering customer share a
+    nation.
+
+    Plan: region->nation resolves map-side (KB broadcast); supplier
+    (s_suppkey -> s_nationkey) broadcast into the lineitem scan;
+    customer nation broadcast into a date-pruned orders scan; ONE
+    shuffle join lineitem x orders on the order key; the c_nationkey ==
+    s_nationkey filter runs map-side post-join; revenue rolls up with
+    per-block partials on the nation-sized key (no second shuffle)."""
+    import pyarrow.dataset as pds
+
+    from feature_fabrica_ray.pipelines import broadcast_join, shuffle_join
+
+    cut = _dt.datetime.fromisoformat(_TQ_CUT)
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet")
+    region = read_parquet_clean(f"{sf_dir}/region.parquet")
+    asia = broadcast_join(nation, region, left_on="n_regionkey",
+                          right_on="r_regionkey")
+    asia = asia.map_batches(
+        lambda b: b.filter(pc.equal(b.column("r_name"), "ASIA"))
+        .select(["n_nationkey", "n_name"]),
+        batch_format="pyarrow", batch_size=None)
+
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"])
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+    li = broadcast_join(li, supp, left_on="l_suppkey",
+                        right_on="s_suppkey")
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pds.field("o_orderdate") >= cut)) \
+        .select_columns(["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust, left_on="o_custkey",
+                            right_on="c_custkey")
+
+    joined = shuffle_join(li, orders, on="l_orderkey",
+                          right_on="o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("c_nationkey").cast(pa.int32()),
+                        b.column("s_nationkey").cast(pa.int32()))
+        b = b.filter(keep)
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        t = pa.table({"n_nationkey": b.column("s_nationkey")
+                      .cast(pa.int32()), "rev": rev})
+        g = t.group_by("n_nationkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["n_nationkey", "rev"])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    merged = parts.groupby("n_nationkey", as_index=False)["rev"].sum()
+    names = asia.to_pandas()
+    out = merged.merge(names, left_on="n_nationkey",
+                       right_on="n_nationkey", how="inner")
+    out["revenue"] = np.round(out["rev"], 4)
+    return out.sort_values("revenue", ascending=False)[
+        ["n_name", "revenue"]].reset_index(drop=True)
+
+
+_TQ_LOCALVOLUME_ORACLE = f"""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '{_TQ_CUT}'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+def q_tq_returns(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape (returned items): top-20 customers by revenue
+    lost to returns in a date window, with name / balance / nation.
+
+    Plan: returnflag-pruned lineitem scan; date-pruned orders scan; ONE
+    shuffle join on the order key; per-block partials keyed on
+    o_custkey; distributed groupby on the customer key (high
+    cardinality => shuffle); per-block top-20 partials merged on the
+    driver; then the 20 winning custkeys fetch their dimension row via
+    a pruned broadcast-filter pass over customer (the ids-only
+    candidate-fetch pattern — customer is never collected)."""
+    import pyarrow.dataset as pds
+
+    from feature_fabrica_ray.pipelines import shuffle_join
+
+    cut = _dt.datetime.fromisoformat(_TQ_CUT)
+    hi = _dt.datetime(1999, 6, 1)
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=(pds.field("l_returnflag") == "R")) \
+        .select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pds.field("o_orderdate") >= cut)
+                & (pds.field("o_orderdate") < hi))) \
+        .select_columns(["o_orderkey", "o_custkey"])
+    joined = shuffle_join(li, orders, on="l_orderkey",
+                          right_on="o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        t = pa.table({"o_custkey": b.column("o_custkey"), "rev": rev})
+        return t.group_by("o_custkey").aggregate([("rev", "sum")]) \
+            .rename_columns(["o_custkey", "rev"])
+
+    grouped = (joined.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None)
+               .groupby("o_custkey")
+               .map_groups(lambda t: pa.table({
+                   "o_custkey": t.column("o_custkey").slice(0, 1),
+                   "revenue": pa.array(
+                       [pc.sum(t.column("rev")).as_py()], pa.float64())}),
+                   batch_format="pyarrow"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("revenue", "descending"),
+                                            ("o_custkey", "ascending")])
+        return b.take(idx.slice(0, 20))
+
+    parts = grouped.map_batches(local_topk, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+    top = parts.sort_values(["revenue", "o_custkey"],
+                            ascending=[False, True]).head(20)
+
+    keys = pa.array(np.sort(top["o_custkey"].to_numpy()), pa.int64())
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    dim = cust.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("c_custkey"),
+                                    value_set=keys)),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet",
+                                columns=["n_nationkey", "n_name"]) \
+        .to_pandas()
+    out = top.merge(dim, left_on="o_custkey", right_on="c_custkey") \
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out["revenue"] = np.round(out["revenue"], 4)
+    return out.sort_values(["revenue", "c_custkey"],
+                           ascending=[False, True])[
+        ["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]] \
+        .reset_index(drop=True)
+
+
+_TQ_RETURNS_ORACLE = f"""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '{_TQ_CUT}'
+  AND o_orderdate < TIMESTAMP '1999-06-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+LIMIT 20
 """
 
 
@@ -8054,6 +8327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_boilerplate": q_dd_boilerplate,
         "dd_intradoc": q_dd_intradoc,
         "agg_salted": q_agg_salted,
+        "tq_shipping": q_tq_shipping,
+        "tq_localvolume": q_tq_localvolume,
+        "tq_returns": q_tq_returns,
         "dd_exact": q_dd_exact,
         "dd_editdist": q_dd_editdist,
         "dd_damerau": q_dd_damerau,
@@ -8330,6 +8606,9 @@ def oracle_sql() -> dict[str, str]:
         "agg_salted": _SALTED_ORACLE,
         "sp_shuffle": _SP_SHUFFLE_ORACLE,
         "vl_monotonic": _MONOTONIC_ORACLE,
+        "tq_shipping": _TQ_SHIPPING_ORACLE,
+        "tq_localvolume": _TQ_LOCALVOLUME_ORACLE,
+        "tq_returns": _TQ_RETURNS_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,
         "dd_editdist": _DD_EDITDIST_ORACLE,
         "dd_damerau": _DD_DAMERAU_ORACLE,
