@@ -7746,6 +7746,30 @@ FROM flat f JOIN rng r USING (dim)
 """
 
 
+def q_ss_centroid(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroid (exact vector mean, long format) —
+    class prototypes for centroid-based curation; (n_labels x dim)
+    scatter-add combiner, driver merges KB partials, zero shuffle."""
+    from feature_fabrica_ray.pipelines import label_centroids
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+    out = label_centroids(ds)
+    out["mean_v"] = _round_away(out["mean_v"], 6)
+    return out
+
+
+_CENTROID_ORACLE = """
+SELECT CAST(label AS BIGINT) AS label, pos,
+       round(avg(v), 6) AS mean_v, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
 def q_ev_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention matrix (pipelines/events.py::cohort_retention):
     users cohorted by ISO week of first event; distinct active users
@@ -8388,6 +8412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ss_mmr": q_ss_mmr,
         "ss_ivfpq": q_ss_ivfpq,
         "ss_cosine_topk": q_ss_cosine_topk,
+        "ss_centroid": q_ss_centroid,
         "ss_ivf_topk": q_ss_ivf_topk,
         "ss_pca": q_ss_pca,
         "mm_decode": q_mm_decode,
@@ -8641,6 +8666,7 @@ def oracle_sql() -> dict[str, str]:
         # dd_minhash / dd_simhash: sketch-based -> rows-only (pytest)
         "ss_knn": _KNN_ORACLE,
         "ss_cosine_topk": _COSINE_ORACLE,
+        "ss_centroid": _CENTROID_ORACLE,
         # ss_ivf_topk: approximate -> rows-only (pytest recall bound)
         "mm_decode": _MM_ORACLE,
         "mm_audio": _MM_AUDIO_ORACLE,

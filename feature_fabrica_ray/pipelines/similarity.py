@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["cosine_topk", "ivf_topk", "lsh_topk", "fit_centroids", "knn_graph",
+           "label_centroids",
            "random_projection",
            "quantize_embeddings", "semantic_dedup_ids", "product_quantize", "mmr_topk", "ivfpq_topk",
            "normalize_embeddings", "fit_pca", "pca_project",
@@ -864,3 +865,46 @@ def ivfpq_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 16,
     parts = ds.map_batches(block_topk, batch_format="pyarrow",
                            batch_size=None).to_pandas()
     return _merge_topk(parts, k)
+
+
+def label_centroids(ds, *, label_col: str = "label",
+                    vec_col: str = "embedding") -> pd.DataFrame:
+    """Per-label embedding centroid (exact vector mean) — the
+    class-prototype builder behind centroid-based curation (prune points
+    far from their class center), semantic balance checks, and nearest-
+    class-mean classification.
+
+    Combiner shape: each block reduces to an (n_labels x dim) partial
+    sum + counts via one np.add.at scatter (no per-row loop); the driver
+    merges only those KB-sized partials — never the vectors. One pass,
+    zero shuffle, Zipf-immune (a hot label just adds into one row of the
+    partial).
+
+    Returns LONG format (label, pos, mean_v, n) with pos 1-based, so the
+    result is directly comparable to SQL ``unnest + generate_subscripts``
+    on the same table.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        M = _vectors(batch, vec_col)
+        labels = batch.column(label_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), M.shape[1] if M.size else 0))
+        np.add.at(sums, inv, M)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        d = sums.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), pa.int64()),
+            "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(uniq)), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(cnt, d), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    out = parts.groupby(["label", "pos"], as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+    out["mean_v"] = out["s"] / out["n"]
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["label", "pos"])[
+        ["label", "pos", "mean_v", "n"]].reset_index(drop=True)

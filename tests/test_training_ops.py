@@ -4496,3 +4496,28 @@ def test_string_similarity_pairs_edges(ray_session):
         string_similarity_pairs(
             _ds(pd.DataFrame({"doc_id": [1], "text": ["x"]})),
             metric="cosine")
+
+
+def test_label_centroids_exact_and_partition_invariant(ray_session):
+    from feature_fabrica_ray.pipelines import label_centroids
+
+    rng = np.random.default_rng(9)
+    n, d = 200, 8
+    labels = rng.integers(0, 5, size=n)
+    M = rng.normal(size=(n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n), "label": labels,
+                       "embedding": [r.astype(np.float32).tolist()
+                                     for r in M]})
+    got = label_centroids(_ds(df, blocks=4))
+    # exact vs numpy per-label mean (float32 storage, float64 math)
+    M32 = M.astype(np.float32).astype(np.float64)
+    for lab in np.unique(labels):
+        want = M32[labels == lab].mean(axis=0)
+        sub = got[got["label"] == lab].sort_values("pos")
+        assert np.allclose(sub["mean_v"].to_numpy(), want, atol=1e-12)
+        assert (sub["n"] == (labels == lab).sum()).all()
+    # partition invariance
+    g1 = label_centroids(_ds(df, blocks=1))
+    assert np.allclose(g1["mean_v"], got["mean_v"]) \
+        and (g1[["label", "pos", "n"]].values
+             == got[["label", "pos", "n"]].values).all()
