@@ -2621,12 +2621,16 @@ def q_tq_shipping(sf_dir: str) -> pd.DataFrame:
     Plan: BUILDING customers broadcast as a semi-join into a date-pruned
     orders scan (dimension filter, no shuffle); lineitem scan pruned at
     read by l_shipdate; ONE shuffle join lineitem x orders on the order
-    key; per-block revenue partials; distributed groupby on l_orderkey
-    (high-cardinality => shuffle, the honest shape); per-block top-10
-    partials merged on the driver (10 rows per block is all it sees)."""
+    key; then the aggregate-then-rank tail is
+    ``pipelines/topk.py::topk_grouped_sum`` — per-block partials,
+    hash-bucketed vectorized finalize (one map_groups per BUCKET, never
+    per key), k-sized bucket partials to the driver."""
     import pyarrow.dataset as pds
 
-    from feature_fabrica_ray.pipelines import broadcast_join, shuffle_join
+    from feature_fabrica_ray.pipelines import (broadcast_join,
+                                               partitions_for_bytes,
+                                               shuffle_join,
+                                               topk_grouped_sum)
 
     cut = _dt.datetime.fromisoformat(_TQ_CUT)
     cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
@@ -2635,50 +2639,34 @@ def q_tq_shipping(sf_dir: str) -> pd.DataFrame:
         lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING"))
         .select(["c_custkey"]),
         batch_format="pyarrow", batch_size=None)
-    orders = read_parquet_clean(
+    orders_r = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=(pds.field("o_orderdate") < cut))
-    orders = broadcast_join(orders, cust, left_on="o_custkey",
+    orders = broadcast_join(orders_r, cust, left_on="o_custkey",
                             right_on="c_custkey", how="left semi")
-    li = read_parquet_clean(
+    li_r = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount",
                  "l_shipdate"],
-        filter=(pds.field("l_shipdate") > cut)) \
-        .select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+        filter=(pds.field("l_shipdate") > cut))
+    li = li_r.select_columns(["l_orderkey", "l_extendedprice",
+                              "l_discount"])
+    npart = partitions_for_bytes(
+        (li_r.size_bytes() or 0) + (orders_r.size_bytes() or 0))
     joined = shuffle_join(li, orders, on="l_orderkey",
-                          right_on="o_orderkey")
+                          right_on="o_orderkey", num_partitions=npart)
 
-    def partial(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(b.column("l_extendedprice"),
-                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
-        t = pa.table({"l_orderkey": b.column("l_orderkey"),
-                      "o_orderdate": b.column("o_orderdate"), "rev": rev})
-        g = t.group_by(["l_orderkey", "o_orderdate"]).aggregate(
-            [("rev", "sum")])
-        return g.rename_columns(["l_orderkey", "o_orderdate", "rev"])
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "o_orderdate": b.column("o_orderdate"), "rev": r})
 
-    grouped = (joined.map_batches(partial, batch_format="pyarrow",
-                                  batch_size=None)
-               .groupby("l_orderkey")
-               .map_groups(lambda t: pa.table({
-                   "l_orderkey": t.column("l_orderkey").slice(0, 1),
-                   "o_orderdate": t.column("o_orderdate").slice(0, 1),
-                   "revenue": pa.array(
-                       [pc.sum(t.column("rev")).as_py()], pa.float64())}),
-                   batch_format="pyarrow"))
-
-    def local_topk(b: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(b, sort_keys=[("revenue", "descending"),
-                                            ("l_orderkey", "ascending")])
-        return b.take(idx.slice(0, 10))
-
-    parts = grouped.map_batches(local_topk, batch_format="pyarrow",
-                                batch_size=None).to_pandas()
-    out = parts.sort_values(["revenue", "l_orderkey"],
-                            ascending=[False, True]).head(10)
-    out["revenue"] = np.round(out["revenue"], 4)
+    out = topk_grouped_sum(
+        joined.map_batches(rev, batch_format="pyarrow", batch_size=None),
+        ["l_orderkey", "o_orderdate"], "rev", 10, num_partitions=npart)
+    out["revenue"] = np.round(out["sum_v"], 4)
     return out[["l_orderkey", "revenue", "o_orderdate"]] \
         .reset_index(drop=True)
 
@@ -2711,7 +2699,9 @@ def q_tq_localvolume(sf_dir: str) -> pd.DataFrame:
     per-block partials on the nation-sized key (no second shuffle)."""
     import pyarrow.dataset as pds
 
-    from feature_fabrica_ray.pipelines import broadcast_join, shuffle_join
+    from feature_fabrica_ray.pipelines import (broadcast_join,
+                                               partitions_for_bytes,
+                                               shuffle_join)
 
     cut = _dt.datetime.fromisoformat(_TQ_CUT)
     nation = read_parquet_clean(f"{sf_dir}/nation.parquet")
@@ -2725,25 +2715,28 @@ def q_tq_localvolume(sf_dir: str) -> pd.DataFrame:
 
     supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
                               columns=["s_suppkey", "s_nationkey"])
-    li = read_parquet_clean(
+    li_r = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount"])
-    li = broadcast_join(li, supp, left_on="l_suppkey",
+    li = broadcast_join(li_r, supp, left_on="l_suppkey",
                         right_on="s_suppkey")
 
     cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                               columns=["c_custkey", "c_nationkey"])
-    orders = read_parquet_clean(
+    orders_r = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
-        filter=(pds.field("o_orderdate") >= cut)) \
-        .select_columns(["o_orderkey", "o_custkey"])
-    orders = broadcast_join(orders, cust, left_on="o_custkey",
+        filter=(pds.field("o_orderdate") >= cut))
+    orders = broadcast_join(orders_r.select_columns(["o_orderkey",
+                                                     "o_custkey"]),
+                            cust, left_on="o_custkey",
                             right_on="c_custkey")
 
-    joined = shuffle_join(li, orders, on="l_orderkey",
-                          right_on="o_orderkey")
+    joined = shuffle_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        num_partitions=partitions_for_bytes(
+            (li_r.size_bytes() or 0) + (orders_r.size_bytes() or 0)))
 
     def partial(b: pa.Table) -> pa.Table:
         keep = pc.equal(b.column("c_nationkey").cast(pa.int32()),
@@ -2785,58 +2778,46 @@ def q_tq_returns(sf_dir: str) -> pd.DataFrame:
     lost to returns in a date window, with name / balance / nation.
 
     Plan: returnflag-pruned lineitem scan; date-pruned orders scan; ONE
-    shuffle join on the order key; per-block partials keyed on
-    o_custkey; distributed groupby on the customer key (high
-    cardinality => shuffle); per-block top-20 partials merged on the
-    driver; then the 20 winning custkeys fetch their dimension row via
-    a pruned broadcast-filter pass over customer (the ids-only
+    shuffle join on the order key; aggregate-then-rank via
+    ``topk_grouped_sum`` (bucketed vectorized finalize, k-sized bucket
+    partials); then the 20 winning custkeys fetch their dimension row
+    via a pruned broadcast-filter pass over customer (the ids-only
     candidate-fetch pattern — customer is never collected)."""
     import pyarrow.dataset as pds
 
-    from feature_fabrica_ray.pipelines import shuffle_join
+    from feature_fabrica_ray.pipelines import (partitions_for_bytes,
+                                               shuffle_join,
+                                               topk_grouped_sum)
 
     cut = _dt.datetime.fromisoformat(_TQ_CUT)
     hi = _dt.datetime(1999, 6, 1)
-    li = read_parquet_clean(
+    li_r = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount",
                  "l_returnflag"],
-        filter=(pds.field("l_returnflag") == "R")) \
-        .select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
-    orders = read_parquet_clean(
+        filter=(pds.field("l_returnflag") == "R"))
+    li = li_r.select_columns(["l_orderkey", "l_extendedprice",
+                              "l_discount"])
+    orders_r = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=((pds.field("o_orderdate") >= cut)
-                & (pds.field("o_orderdate") < hi))) \
-        .select_columns(["o_orderkey", "o_custkey"])
+                & (pds.field("o_orderdate") < hi)))
+    orders = orders_r.select_columns(["o_orderkey", "o_custkey"])
+    npart = partitions_for_bytes(
+        (li_r.size_bytes() or 0) + (orders_r.size_bytes() or 0))
     joined = shuffle_join(li, orders, on="l_orderkey",
-                          right_on="o_orderkey")
+                          right_on="o_orderkey", num_partitions=npart)
 
-    def partial(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(b.column("l_extendedprice"),
-                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
-        t = pa.table({"o_custkey": b.column("o_custkey"), "rev": rev})
-        return t.group_by("o_custkey").aggregate([("rev", "sum")]) \
-            .rename_columns(["o_custkey", "rev"])
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({"o_custkey": b.column("o_custkey"), "rev": r})
 
-    grouped = (joined.map_batches(partial, batch_format="pyarrow",
-                                  batch_size=None)
-               .groupby("o_custkey")
-               .map_groups(lambda t: pa.table({
-                   "o_custkey": t.column("o_custkey").slice(0, 1),
-                   "revenue": pa.array(
-                       [pc.sum(t.column("rev")).as_py()], pa.float64())}),
-                   batch_format="pyarrow"))
-
-    def local_topk(b: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(b, sort_keys=[("revenue", "descending"),
-                                            ("o_custkey", "ascending")])
-        return b.take(idx.slice(0, 20))
-
-    parts = grouped.map_batches(local_topk, batch_format="pyarrow",
-                                batch_size=None).to_pandas()
-    top = parts.sort_values(["revenue", "o_custkey"],
-                            ascending=[False, True]).head(20)
+    top = topk_grouped_sum(
+        joined.map_batches(rev, batch_format="pyarrow", batch_size=None),
+        ["o_custkey"], "rev", 20, num_partitions=npart) \
+        .rename(columns={"sum_v": "revenue"})
 
     keys = pa.array(np.sort(top["o_custkey"].to_numpy()), pa.int64())
     cust = read_parquet_clean(

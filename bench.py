@@ -336,6 +336,19 @@ def bench_graph() -> tuple[float, int]:
     return time.perf_counter() - t0, len(pr) + len(tri)
 
 
+def bench_joins() -> tuple[float, int]:
+    """Composite multi-join reports (TPC-H Q3/Q5/Q10 shapes): read-time
+    predicate/column pruning, dimension broadcasts, one big-big shuffle
+    join each, distributed keyed groupby, k-sized top-k merges."""
+    import __ray_entry__ as entrymod
+
+    t0 = time.perf_counter()
+    a = entrymod.q_tq_shipping(SF_DIR)
+    b = entrymod.q_tq_localvolume(SF_DIR)
+    c = entrymod.q_tq_returns(SF_DIR)
+    return time.perf_counter() - t0, len(a) + len(b) + len(c)
+
+
 BENCHES = {
     "suite": bench_suite,
     "uniqueness": bench_uniqueness,
@@ -352,6 +365,7 @@ BENCHES = {
     "boilerplate": bench_boilerplate,
     "eventflow": bench_eventflow,
     "graph": bench_graph,
+    "joins": bench_joins,
 }
 
 

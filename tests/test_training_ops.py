@@ -4521,3 +4521,44 @@ def test_label_centroids_exact_and_partition_invariant(ray_session):
     assert np.allclose(g1["mean_v"], got["mean_v"]) \
         and (g1[["label", "pos", "n"]].values
              == got[["label", "pos", "n"]].values).all()
+
+
+def test_topk_grouped_sum_vs_pandas(ray_session):
+    from feature_fabrica_ray.pipelines import topk_grouped_sum
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"k": rng.integers(0, 40, size=500),
+                       "d": rng.integers(0, 3, size=500),
+                       "v": rng.normal(size=500)})
+    got = topk_grouped_sum(_ds(df, blocks=4), ["k", "d"], "v", 7)
+    want = df.groupby(["k", "d"], as_index=False)["v"].sum() \
+        .rename(columns={"v": "sum_v"}) \
+        .sort_values(["sum_v", "k", "d"], ascending=[False, True, True],
+                     kind="mergesort").head(7).reset_index(drop=True)
+    assert np.allclose(got["sum_v"], want["sum_v"])
+    assert (got[["k", "d"]].values == want[["k", "d"]].values).all()
+    # ascending variant + partition invariance + explicit partitions
+    g1 = topk_grouped_sum(_ds(df, blocks=1), ["k"], "v", 5,
+                          descending=False)
+    g4 = topk_grouped_sum(_ds(df, blocks=4), ["k"], "v", 5,
+                          descending=False, num_partitions=8)
+    assert np.allclose(g1["sum_v"], g4["sum_v"])
+    assert (g1["k"].values == g4["k"].values).all()
+    # empty input
+    e = topk_grouped_sum(_ds(df.head(0)), ["k"], "v", 5)
+    assert e.empty and list(e.columns) == ["k", "sum_v"]
+
+
+def test_partitions_for_bytes():
+    from feature_fabrica_ray.pipelines import partitions_for_bytes
+    import os
+
+    assert partitions_for_bytes(10 << 20) == 8          # floor
+    assert partitions_for_bytes(10 << 30) == 80         # 10 GiB / 128 MiB
+    assert partitions_for_bytes(10**15) == 4096         # ceiling
+    assert partitions_for_bytes(None) >= 8              # fallback
+    os.environ["FFR_SHUFFLE_PARTITIONS"] = "17"
+    try:
+        assert partitions_for_bytes(10**15) == 17       # env wins
+    finally:
+        del os.environ["FFR_SHUFFLE_PARTITIONS"]
