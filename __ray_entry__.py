@@ -2538,13 +2538,17 @@ def q_jn_shuffle(sf_dir: str) -> pd.DataFrame:
     sides hash-partition on the key — the co-group exchange the
     broadcast join explicitly avoids), then the same per-priority
     rollup as jn_priority so the oracle is identical SQL."""
-    from feature_fabrica_ray.pipelines import shuffle_join
+    from feature_fabrica_ray.pipelines import (partitions_for_bytes,
+                                               shuffle_join)
 
     li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_quantity"])
     orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                 columns=["o_orderkey", "o_orderpriority"])
-    joined = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    joined = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                          num_partitions=partitions_for_bytes(
+                              (li.size_bytes() or 0)
+                              + (orders.size_bytes() or 0)))
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by("o_orderpriority").aggregate(
@@ -2587,7 +2591,8 @@ def q_jn_full(sf_dir: str) -> pd.DataFrame:
         return ray.data.from_pandas(merged)
 
     out = shuffle_join(side("fr", "fr_docs"), side("zh", "zh_docs"),
-                       on="source", how="full_outer").to_pandas()
+                       on="source", how="full_outer",
+                       num_partitions=8).to_pandas()
     return out[["source", "fr_docs", "zh_docs"]]
 
 
@@ -6449,7 +6454,9 @@ def q_agg_q3(sf_dir: str) -> pd.DataFrame:
     driver-side row data."""
     from ray.data.aggregate import Sum
 
-    from feature_fabrica_ray.pipelines import broadcast_join, shuffle_join
+    from feature_fabrica_ray.pipelines import (broadcast_join,
+                                               partitions_for_bytes,
+                                               shuffle_join)
     from feature_fabrica_ray.tuning import shuffle_partitions
 
     cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
@@ -6471,7 +6478,9 @@ def q_agg_q3(sf_dir: str) -> pd.DataFrame:
                             columns=["l_orderkey", "l_extendedprice",
                                      "l_discount"])
     joined = shuffle_join(li, orders_f, on="l_orderkey",
-                          right_on="o_orderkey")
+                          right_on="o_orderkey",
+                          num_partitions=partitions_for_bytes(
+                              li.size_bytes() or 0))
 
     def combine(b: pa.Table) -> pa.Table:
         rev = pc.multiply(b.column("l_extendedprice"),
