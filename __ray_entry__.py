@@ -3737,6 +3737,31 @@ WHERE rn = 1
 """
 
 
+def q_ev_scd2(sf_dir: str) -> pd.DataFrame:
+    """SCD2 dimension-history build from the event change log: per-user
+    validity intervals (valid_from, valid_to, is_current) — bucketed
+    vectorized interval chaining (events.py::scd2_intervals)."""
+    from feature_fabrica_ray.pipelines import scd2_intervals
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    out = scd2_intervals(ds, "user_id", "ts", "event_id") \
+        .to_pandas()[["event_id", "user_id", "valid_from", "valid_to",
+                      "is_current"]]
+    out["is_current"] = out["is_current"].astype(bool)
+    return out.reset_index(drop=True)
+
+
+_SCD2_ORACLE = """
+SELECT event_id, user_id, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_agg_topk(sf_dir: str) -> pd.DataFrame:
     """Top-3 line items per return flag by extended price (per-block
     partial top-k -> tiny driver merge; deterministic tie-breaks)."""
@@ -8426,6 +8451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_prank": q_ev_prank,
         "ev_json_str": q_ev_json_str,
         "ev_latest": q_ev_latest,
+        "ev_scd2": q_ev_scd2,
         "agg_mode": q_agg_mode,
         "jn_bloom": q_jn_bloom,
         "agg_heavy": q_agg_heavy,
@@ -8591,6 +8617,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_prank": _EV_PRANK_ORACLE,
         "ev_json_str": _EV_JSON_STR_ORACLE,
         "ev_latest": _LATEST_ORACLE,
+        "ev_scd2": _SCD2_ORACLE,
         "agg_mode": _MODE_ORACLE,
         "jn_bloom": _BLOOM_JOIN_ORACLE,
         "agg_heavy": _HEAVY_ORACLE,

@@ -32,7 +32,8 @@ __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "interarrival_stats", "rate_anomalies", "windowed_distinct",
            "runs_islands", "time_weighted_avg", "forward_fill",
            "interpolate_missing", "autocorr_per_key",
-           "cumulative_distinct", "cusum_per_key", "rolling_quantile"]
+           "cumulative_distinct", "cusum_per_key", "rolling_quantile",
+           "scd2_intervals"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -1792,3 +1793,42 @@ def seasonal_strength(ds, ts_col: str, val_col: str) -> pd.DataFrame:
                          "strength": [round(strength, 6)
                                       if strength == strength
                                       else np.nan]})
+
+
+def scd2_intervals(ds, key_col: str, ts_col: str, order_col: str,
+                   n_buckets: int | None = None):
+    """Change log -> SCD2 (slowly-changing-dimension type-2) validity
+    intervals: per key in (ts, order_col) order, each change row gets
+    ``valid_from`` = its own timestamp, ``valid_to`` = the NEXT change's
+    timestamp (null on the latest row), and ``is_current`` — the
+    standard dimension-history build from a CDC stream (SQL:
+    ``lead(ts) OVER (PARTITION BY key ORDER BY ts, order)``).
+
+    Scale shape: rows hash-bucket on the key (uniform buckets — a
+    Zipf-hot key still lands whole in one bucket, which SCD2 requires:
+    interval chaining is per-key sequential) and each bucket resolves
+    ALL its keys with ONE vectorized pass — lexsort by (key, ts, order),
+    shift(-1), mask at key boundaries — never a per-key Python call.
+    Returns a Dataset with valid_from/valid_to/is_current appended."""
+    from ..state import hash64
+
+    n = n_buckets or shuffle_partitions()
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key_col))
+        return batch.append_column("__bkt", pa.array(
+            (h % np.uint64(n)).astype(np.int32), pa.int32()))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__bkt") \
+            .sort_values([key_col, ts_col, order_col], kind="mergesort")
+        nxt = df[ts_col].shift(-1)
+        last = df[key_col] != df[key_col].shift(-1)
+        return df.assign(valid_from=df[ts_col],
+                         valid_to=nxt.mask(last),
+                         is_current=last.to_numpy())
+
+    return ds.map_batches(bucketize, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("__bkt", num_partitions=n) \
+        .map_groups(per_bucket, batch_format="pandas")

@@ -904,3 +904,41 @@ def test_rolling_quantile(ray_session):
                            out_cols=("roll_med", "roll_max")) \
         .to_pandas().sort_values("oid").reset_index(drop=True)
     pd.testing.assert_frame_equal(one, out)
+
+
+def test_scd2_intervals_vs_pandas(ray_session):
+    import ray.data
+    from feature_fabrica_ray.pipelines import scd2_intervals
+
+    rng = np.random.default_rng(21)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 20, size=n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10**6, size=n), unit="s"),
+    })
+    got = scd2_intervals(ray.data.from_pandas(df).repartition(4),
+                         "user_id", "ts", "event_id").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = df.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").copy()
+    want["valid_from"] = want["ts"]
+    want["valid_to"] = want.groupby("user_id")["ts"].shift(-1)
+    want["is_current"] = want["valid_to"].isna()
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert (got["valid_from"].to_numpy()
+            == want["valid_from"].to_numpy()).all()
+    vt_g, vt_w = got["valid_to"], want["valid_to"]
+    assert (vt_g.isna() == vt_w.isna()).all()
+    assert (vt_g.dropna().to_numpy() == vt_w.dropna().to_numpy()).all()
+    assert (got["is_current"].to_numpy()
+            == want["is_current"].to_numpy()).all()
+    # exactly one current row per key
+    assert got.groupby("user_id")["is_current"].sum().eq(1).all()
+    # bucket-count invariance
+    g2 = scd2_intervals(ray.data.from_pandas(df).repartition(4),
+                        "user_id", "ts", "event_id", n_buckets=3) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert (g2["is_current"].to_numpy()
+            == got["is_current"].to_numpy()).all()
