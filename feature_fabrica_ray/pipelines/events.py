@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 from ..tuning import shuffle_partitions
 
 __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
+           "bucketed_by_key",
            "extract_json_int", "cumulative_agg", "rolling_agg", "lag_lead",
            "fill_time_gaps", "funnel_steps", "interval_overlap_pairs",
            "cohort_retention", "event_transitions", "ewma_per_key",
@@ -172,33 +173,51 @@ def percent_rank_window(ds, key_col: str, value_col: str):
     """``PERCENT_RANK()`` and ``CUME_DIST()`` over ``value`` ASC per key
     (SQL tie semantics: percent_rank = (rank-1)/(n-1) with min-rank
     ties, cume_dist = peers-inclusive count / n). Same physical shape
-    as ``rank_ntile``: one keyed shuffle, one vectorized sort +
-    run-length pass per group. Returns a Dataset with ``prnk`` and
-    ``cd`` (float64) appended."""
+    as ``rank_ntile``: one keyed-bucket shuffle, Cython groupby rank
+    kernels across all of a bucket's keys at once (``bucketed_by_key``
+    — no per-key Python). Returns a Dataset with ``prnk`` and ``cd``
+    (float64) appended."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        v = df[value_col].to_numpy(dtype=np.float64)
-        n = v.size
-        order = np.argsort(v, kind="mergesort")
-        vs = v[order]
-        starts = np.empty(n, np.bool_)
-        starts[0] = True
-        starts[1:] = vs[1:] != vs[:-1]
-        pos = np.arange(n, dtype=np.int64)
-        rnk_sorted = np.maximum.accumulate(np.where(starts, pos + 1, 0))
-        # last index of each tie run + 1 = peers-inclusive count
-        run_id = np.cumsum(starts) - 1
-        run_last = np.zeros(run_id[-1] + 1, np.int64)
-        np.maximum.at(run_last, run_id, pos + 1)
-        cd_sorted = run_last[run_id] / n
-        pr_sorted = (rnk_sorted - 1) / (n - 1) if n > 1 \
-            else np.zeros(n, np.float64)
-        inv = np.empty(n, np.int64)
-        inv[order] = pos
-        return df.assign(prnk=pr_sorted[inv], cd=cd_sorted[inv])
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, sort=False, dropna=False)[value_col]
+        rmin = g.rank(method="min").to_numpy(np.float64)
+        rmax = g.rank(method="max").to_numpy(np.float64)
+        n = g.transform("size").to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            prnk = np.where(n > 1, (rmin - 1) / (n - 1), 0.0)
+        return df.assign(prnk=prnk, cd=rmax / n)
 
-    return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(ds, key_col, per_bucket)
+
+
+def bucketed_by_key(ds, key_col: str, per_bucket,
+                    n_buckets: int | None = None):
+    """Run ``per_bucket(df)`` once per uniform key-hash BUCKET with every
+    row of each key co-located — the scale shape for per-key sequence
+    ops (window functions, interval chaining, LOCF). A per-KEY
+    ``groupby(key).map_groups`` costs one Python call per key — at 10⁸
+    keys that is 10⁸ interpreter round-trips; here the exchange is the
+    same one keyed shuffle, but each bucket resolves ALL its keys in one
+    call, so ``per_bucket`` can use pandas' Cython groupby kernels
+    (shift / cumsum / ffill / rank are vectorized ACROSS groups).
+    Buckets are uniform in key-hash, so Zipf skew costs one hot key per
+    bucket (the same bound the per-key form has). Null keys form one
+    group (SQL PARTITION BY semantics) — pass ``dropna=False`` to any
+    pandas groupby inside ``per_bucket``."""
+    from ..state import hash64
+
+    n = n_buckets or shuffle_partitions()
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key_col))
+        return batch.append_column("__bkt", pa.array(
+            (h % np.uint64(n)).astype(np.int32), pa.int32()))
+
+    return ds.map_batches(bucketize, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("__bkt", num_partitions=n) \
+        .map_groups(lambda df: per_bucket(df.drop(columns="__bkt")),
+                    batch_format="pandas")
 
 
 def cumulative_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -208,21 +227,19 @@ def cumulative_agg(ds, ts_col: str, key_col: str, value_col: str,
     (ts, order_col) order within its key — ``SUM(...) OVER (PARTITION BY
     key ORDER BY ts, order)`` semantics.
 
-    Inherently per-key sequential (each row depends on its predecessors),
-    so it hash-partitions on the key and runs one vectorized
-    sort + cumsum per group — the same shape (and same Zipf-hot-key
-    bound) as sessionize. Returns a Dataset with ``cum_v`` and ``rn``
-    appended."""
-    from ..tuning import shuffle_partitions
+    Inherently per-key sequential (each row depends on its
+    predecessors): one keyed-bucket shuffle, then Cython groupby
+    cumsum/cumcount across all of a bucket's keys at once
+    (``bucketed_by_key`` — no per-key Python). Returns a Dataset with
+    ``cum_v`` and ``rn`` appended."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
-        df = df.assign(cum_v=df[value_col].cumsum(),
-                       rn=np.arange(1, len(df) + 1, dtype=np.int64))
-        return df
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        g = df.groupby(key_col, sort=False, dropna=False)
+        return df.assign(cum_v=g[value_col].cumsum(),
+                         rn=(g.cumcount() + 1).astype(np.int64))
 
-    return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(ds, key_col, per_bucket)
 
 
 def rolling_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -369,26 +386,24 @@ def lag_lead(ds, ts_col: str, key_col: str, value_col: str,
              order_col: str, offset: int = 1):
     """``LAG(value, offset)`` / ``LEAD(value, offset)`` per key over
     (ts, order_col) order — null at the partition edges, SQL window
-    semantics. Same physical shape as ``cumulative_agg``: hash-partition
-    on the key, one vectorized sort + shift per group. Also emits
+    semantics. Same physical shape as ``cumulative_agg``: one keyed-
+    bucket shuffle, Cython groupby shift across all of a bucket's keys
+    at once (``bucketed_by_key`` — no per-key Python). Also emits
     ``delta_prev`` (value - lag, null on the first ``offset`` rows),
     the common change-over-previous-event feature. Returns a Dataset
     with ``lag_v``, ``lead_v``, ``delta_prev`` appended."""
     if offset < 1:
         raise ValueError(f"offset must be >= 1, got {offset}")
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
-        v = df[value_col].to_numpy(dtype=np.float64)
-        lag = np.full(v.size, np.nan)
-        lead = np.full(v.size, np.nan)
-        if v.size > offset:
-            lag[offset:] = v[:-offset]
-            lead[:-offset] = v[offset:]
-        return df.assign(lag_v=lag, lead_v=lead, delta_prev=v - lag)
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        g = df.groupby(key_col, sort=False, dropna=False)[value_col]
+        lag = g.shift(offset).astype(np.float64)
+        lead = g.shift(-offset).astype(np.float64)
+        return df.assign(lag_v=lag, lead_v=lead,
+                         delta_prev=df[value_col] - lag)
 
-    return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(ds, key_col, per_bucket)
 
 
 def fill_time_gaps(win: pd.DataFrame, key_col: str,
@@ -970,24 +985,23 @@ def forward_fill(ds, ts_col: str, key_col: str, value_col: str,
     (PARTITION BY key ORDER BY ts, order ROWS UNBOUNDED PRECEDING)``
     semantics.
 
-    Scale shape: one keyed shuffle of the narrow projection, then one
-    vectorized fill pass per key group — per-key sequential by nature
-    (each fill depends on the previous observation), the canonical
-    ``groupby(key).map_groups`` stage; row count is preserved. Returns
-    a Dataset of (key, order, ts, value, out_col)."""
+    Scale shape: one keyed-bucket shuffle of the narrow projection,
+    then one Cython groupby-ffill pass over all of a bucket's keys at
+    once (``bucketed_by_key`` — no per-key Python); row count is
+    preserved. Returns a Dataset of (key, order, ts, value, out_col)."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
         out = df[[key_col, order_col, ts_col, value_col]].copy()
-        out[out_col] = df[value_col].ffill()
+        out[out_col] = df.groupby(key_col, sort=False,
+                                  dropna=False)[value_col].ffill()
         return out
 
     proj = ds.map_batches(
         lambda t, c=(key_col, order_col, ts_col, value_col):
             t.select(list(c)),
         batch_format="pyarrow", batch_size=None)
-    return proj.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(proj, key_col, per_bucket)
 
 
 def interpolate_missing(ds, ts_col: str, key_col: str, value_col: str,
@@ -1810,25 +1824,13 @@ def scd2_intervals(ds, key_col: str, ts_col: str, order_col: str,
     ALL its keys with ONE vectorized pass — lexsort by (key, ts, order),
     shift(-1), mask at key boundaries — never a per-key Python call.
     Returns a Dataset with valid_from/valid_to/is_current appended."""
-    from ..state import hash64
-
-    n = n_buckets or shuffle_partitions()
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        h = hash64(batch.column(key_col))
-        return batch.append_column("__bkt", pa.array(
-            (h % np.uint64(n)).astype(np.int32), pa.int32()))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns="__bkt") \
-            .sort_values([key_col, ts_col, order_col], kind="mergesort")
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
         nxt = df[ts_col].shift(-1)
         last = df[key_col] != df[key_col].shift(-1)
         return df.assign(valid_from=df[ts_col],
                          valid_to=nxt.mask(last),
                          is_current=last.to_numpy())
 
-    return ds.map_batches(bucketize, batch_format="pyarrow",
-                          batch_size=None) \
-        .groupby("__bkt", num_partitions=n) \
-        .map_groups(per_bucket, batch_format="pandas")
+    return bucketed_by_key(ds, key_col, per_bucket, n_buckets=n_buckets)
