@@ -111,31 +111,40 @@ def sessionize(ds, ts_col: str, key_col: str, value_col: str,
     """Gap-based sessions per key: a new session starts when the gap to
     the previous event exceeds ``gap_s``. Returns per-session rows
     (key, session_id, n_events, sum_v, duration_s); session ids are
-    0-based in (ts, order_col) order within each key."""
+    0-based in (ts, order_col) order within each key. Runs on
+    ``bucketed_by_key``: one keyed-bucket shuffle, then ONE vectorized
+    session-boundary + Cython groupby-agg pass over all of a bucket's
+    keys (no per-key Python)."""
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
         # normalize to integer microseconds regardless of the datetime64
         # unit pandas chose (ns pre-2.0, us from arrow round-trips)
         ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        new_s = np.zeros(len(df), dtype=np.int64)
-        if len(df) > 1:
-            new_s[1:] = (np.diff(ts) > gap_s * 1_000_000).astype(np.int64)
-        sid = np.cumsum(new_s)
-        df = df.assign(session_id=sid, __ts_us=ts)
-        g = df.groupby("session_id", as_index=False).agg(
-            n_events=(order_col, "size"), sum_v=(value_col, "sum"),
-            t0=("__ts_us", "min"), t1=("__ts_us", "max"))
+        n = len(df)
+        keych = np.ones(n, dtype=bool)
+        if n > 1:
+            kv = df[key_col].to_numpy()
+            keych[1:] = kv[1:] != kv[:-1]
+        gap = np.zeros(n, dtype=bool)
+        if n > 1:
+            gap[1:] = np.diff(ts) > gap_s * 1_000_000
+        sid_glob = np.cumsum(keych | gap)     # global run id, all keys
+        df = df.assign(__sid=sid_glob, __ts_us=ts)
+        g = df.groupby([key_col, "__sid"], as_index=False, sort=False) \
+            .agg(n_events=(order_col, "size"), sum_v=(value_col, "sum"),
+                 t0=("__ts_us", "min"), t1=("__ts_us", "max"))
+        # 0-based session id within each key (runs are key-contiguous)
+        g["session_id"] = g["__sid"] - g.groupby(
+            key_col, sort=False)["__sid"].transform("min")
         g["duration_us"] = (g["t1"] - g["t0"]).astype("int64")
-        g[key_col] = df[key_col].iloc[0]
-        return g[[key_col, "session_id", "n_events", "sum_v", "duration_us"]]
+        return g[[key_col, "session_id", "n_events", "sum_v",
+                  "duration_us"]]
 
     cols = [key_col, ts_col, value_col, order_col]
-    out = (ds.map_batches(lambda b, c=tuple(cols): b.select(list(c)),
+    proj = ds.map_batches(lambda b, c=tuple(cols): b.select(list(c)),
                           batch_format="pyarrow", batch_size=None)
-           .groupby(key_col, num_partitions=shuffle_partitions())
-           .map_groups(per_user, batch_format="pandas")
-           .to_pandas())
+    out = bucketed_by_key(proj, key_col, per_bucket).to_pandas()
     out["session_id"] = out["session_id"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
     return out.reset_index(drop=True)
@@ -328,36 +337,40 @@ def rank_ntile(ds, key_col: str, value_col: str, order_col: str,
     bucket sizing: the first ``n_rows % tiles`` buckets get one extra row.
 
     Same physical shape (and same Zipf-hot-key bound) as
-    ``cumulative_agg``: hash-partition on the key, one vectorized
-    sort + run-length pass per group. Returns a Dataset with ``rnk``,
-    ``drnk``, ``ntl`` appended (all int64)."""
+    ``cumulative_agg``: one keyed-bucket shuffle, then Cython groupby
+    rank kernels + a vectorized NTILE formula over all of a bucket's
+    keys at once (``bucketed_by_key`` — no per-key Python). Returns a
+    Dataset with ``rnk``, ``drnk``, ``ntl`` appended (all int64)."""
     if tiles < 1:
         raise ValueError(f"tiles must be >= 1, got {tiles}")
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        v = df[value_col].to_numpy(dtype=np.float64)
-        o = df[order_col].to_numpy()
-        idx = np.lexsort((o, -v))            # value DESC, order ASC
-        n = v.size
-        vs = v[idx]
-        starts = np.empty(n, np.bool_)
-        starts[0] = True
-        starts[1:] = vs[1:] != vs[:-1]       # new tie-run begins
-        pos = np.arange(n, dtype=np.int64)
-        rnk_sorted = np.maximum.accumulate(np.where(starts, pos + 1, 0))
-        drnk_sorted = np.cumsum(starts).astype(np.int64)
-        q, r = divmod(n, tiles)
-        ntl_sorted = np.where(
-            pos < r * (q + 1),
-            pos // (q + 1),
-            r + (pos - r * (q + 1)) // max(q, 1)) + 1
-        inv = np.empty(n, np.int64)
-        inv[idx] = pos
-        return df.assign(rnk=rnk_sorted[inv], drnk=drnk_sorted[inv],
-                         ntl=ntl_sorted[inv].astype(np.int64))
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)     # unique labels for the remap
+        g = df.groupby(key_col, sort=False, dropna=False)
+        rnk = g[value_col].rank(method="min", ascending=False) \
+            .to_numpy(np.int64)
+        drnk = g[value_col].rank(method="dense", ascending=False) \
+            .to_numpy(np.int64)
+        # NTILE over (value DESC, order ASC): 0-based row number within
+        # key from Cython cumcount on the sorted frame, mapped back
+        srt = df.sort_values([key_col, value_col, order_col],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+        pos = srt.groupby(key_col, sort=False, dropna=False).cumcount() \
+            .to_numpy(np.int64)
+        n = srt.groupby(key_col, sort=False,
+                        dropna=False)[value_col].transform("size") \
+            .to_numpy(np.int64)
+        q, r = n // tiles, n % tiles
+        cutoff = r * (q + 1)
+        ntl = np.where(pos < cutoff,
+                       pos // np.maximum(q + 1, 1),
+                       r + (pos - cutoff) // np.maximum(q, 1)) + 1
+        ntl_ser = pd.Series(ntl, index=srt.index).reindex(df.index)
+        return df.assign(rnk=rnk, drnk=drnk,
+                         ntl=ntl_ser.to_numpy(np.int64))
 
-    return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(ds, key_col, per_bucket)
 
 
 def first_last_value(ds, ts_col: str, key_col: str, value_col: str,
