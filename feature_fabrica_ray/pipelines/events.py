@@ -380,19 +380,29 @@ def first_last_value(ds, ts_col: str, key_col: str, value_col: str,
     ``ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING`` frame
     (the one people actually want, not SQL's current-row default).
 
-    Same physical shape as ``cumulative_agg``: hash-partition on the
-    key, one vectorized argmin/argmax of the (ts, order) order per
-    group — no sort needed. Returns a Dataset with ``fv`` and ``lv``
+    Same physical shape as ``cumulative_agg``: one keyed-bucket
+    shuffle, then one vectorized segment pass over all of a bucket's
+    keys (sorted key-contiguous, so each key's first/last row is a
+    segment boundary — positional, NOT null-skipping like pandas
+    transform('first')). Returns a Dataset with ``fv`` and ``lv``
     appended."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((df[order_col].to_numpy(),
-                            df[ts_col].to_numpy()))
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        n = len(df)
+        if n == 0:
+            return df.assign(fv=df[value_col], lv=df[value_col])
+        kv = df[key_col].to_numpy()
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = kv[1:] != kv[:-1]
+        seg_id = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n) - 1
         v = df[value_col].to_numpy()
-        return df.assign(fv=v[order[0]], lv=v[order[-1]])
+        return df.assign(fv=v[starts[seg_id]], lv=v[ends[seg_id]])
 
-    return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(ds, key_col, per_bucket)
 
 
 def lag_lead(ds, ts_col: str, key_col: str, value_col: str,
@@ -713,35 +723,42 @@ def interarrival_stats(ds, ts_col: str, key_col: str,
     picks a sessionization ``gap_s`` and flags burst/idle keys. Keys
     with fewer than two events emit no row (no gap is defined).
 
-    Scale shape: one keyed shuffle of the (key, ts, order) projection,
-    then a vectorized sort + diff + exact aggregate per group (same
-    partitioning contract as ``sessionize``)."""
+    Scale shape: one keyed-bucket shuffle of the (key, ts, order)
+    projection, then one pass over all of a bucket's keys — Cython
+    groupby diff for the gaps, Cython groupby agg
+    (size/mean/median/max) for the stats; no per-key Python."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        gaps = pd.Series(ts).groupby(
+            df[key_col].to_numpy(), sort=False).diff()
+        work = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                             "g": gaps.to_numpy(np.float64)}) \
+            .dropna(subset=["g"])          # first row of each key
+        if work.empty:
             return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
                                  "n_gaps": pd.Series([], dtype="int64"),
                                  "mean_gap_s": pd.Series([], dtype="float64"),
                                  "p50_gap_s": pd.Series([], dtype="float64"),
                                  "max_gap_us": pd.Series([], dtype="int64")})
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
-        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        g = np.diff(ts).astype(np.float64)
+        g = work.groupby(key_col, as_index=False, sort=False,
+                         dropna=False).agg(
+            n_gaps=("g", "size"), mean_g=("g", "mean"),
+            p50_g=("g", "median"), max_g=("g", "max"))
         r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6   # half-away (g >= 0)
         return pd.DataFrame({
-            key_col: [df[key_col].iloc[0]],
-            "n_gaps": np.array([g.size], np.int64),
-            "mean_gap_s": [r6(g.mean() / 1e6)],
-            "p50_gap_s": [r6(np.median(g) / 1e6)],
-            "max_gap_us": np.array([int(g.max())], np.int64),
+            key_col: g[key_col],
+            "n_gaps": g["n_gaps"].astype("int64"),
+            "mean_gap_s": r6(g["mean_g"].to_numpy() / 1e6),
+            "p50_gap_s": r6(g["p50_g"].to_numpy() / 1e6),
+            "max_gap_us": g["max_g"].astype("int64"),
         })
 
     cols = [key_col, ts_col, order_col]
-    out = (ds.map_batches(lambda b, c=tuple(cols): b.select(list(c)),
+    proj = ds.map_batches(lambda b, c=tuple(cols): b.select(list(c)),
                           batch_format="pyarrow", batch_size=None)
-           .groupby(key_col, num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = bucketed_by_key(proj, key_col, per_bucket).to_pandas()
     if out.empty:
         out = pd.DataFrame({key_col: pd.Series([], dtype="int64"),
                             "n_gaps": pd.Series([], dtype="int64"),
@@ -896,29 +913,34 @@ def runs_islands(ds, ts_col: str, key_col: str, type_col: str,
     diagnostics. NULL types compare equal to NULL (IS DISTINCT FROM
     semantics), forming their own islands.
 
-    Scale shape: one keyed shuffle of the narrow (key, ts, type, order)
-    projection; each key group sorts once, finds run breaks with a
-    single vectorized compare, and emits at most |types| rows per key
-    (independent of event count) — no second shuffle needed because
-    (key, type) is already unique per group. Returns
+    Scale shape: one keyed-bucket shuffle of the narrow (key, ts,
+    type, order) projection; each BUCKET finds run breaks (key-change
+    OR type-change) with one vectorized compare over all its keys and
+    reduces runs with one Cython groupby — at most |types| rows per
+    key out, no per-key Python. Returns
     (key, type, n_islands, max_run) sorted."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
         ty = df[type_col].astype(object).where(df[type_col].notna(),
                                                "\0null").to_numpy()
-        if len(ty) == 0:
+        n = len(ty)
+        if n == 0:
             return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
                                  type_col: pd.Series([], dtype=object),
                                  "n_islands": pd.Series([], dtype="int64"),
                                  "max_run": pd.Series([], dtype="int64")})
-        brk = np.concatenate(([True], ty[1:] != ty[:-1]))
+        kv = df[key_col].to_numpy()
+        brk = np.empty(n, bool)
+        brk[0] = True
+        brk[1:] = (ty[1:] != ty[:-1]) | (kv[1:] != kv[:-1])
         starts = np.flatnonzero(brk)
-        lens = np.diff(np.append(starts, len(ty)))
-        runs = pd.DataFrame({type_col: ty[starts], "len": lens})
-        g = runs.groupby(type_col, as_index=False, sort=False).agg(
+        lens = np.diff(np.append(starts, n))
+        runs = pd.DataFrame({key_col: kv[starts], type_col: ty[starts],
+                             "len": lens})
+        g = runs.groupby([key_col, type_col], as_index=False,
+                         sort=False, dropna=False).agg(
             n_islands=("len", "size"), max_run=("len", "max"))
-        g.insert(0, key_col, df[key_col].iloc[0])
         g[type_col] = g[type_col].where(g[type_col] != "\0null", None)
         g["n_islands"] = g["n_islands"].astype("int64")
         g["max_run"] = g["max_run"].astype("int64")
@@ -927,8 +949,7 @@ def runs_islands(ds, ts_col: str, key_col: str, type_col: str,
     proj = ds.map_batches(
         lambda t, c=(key_col, ts_col, type_col, order_col): t.select(list(c)),
         batch_format="pyarrow", batch_size=None)
-    out = proj.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas").to_pandas()
+    out = bucketed_by_key(proj, key_col, per_bucket).to_pandas()
     if out.empty:
         out = pd.DataFrame({key_col: pd.Series([], dtype="int64"),
                             type_col: pd.Series([], dtype=object),
@@ -950,36 +971,49 @@ def time_weighted_avg(ds, ts_col: str, key_col: str, value_col: str,
     semantics); the last event has no interval. NULL result when the
     key has no interval with a non-NULL value or zero total duration.
 
-    Scale shape: one keyed shuffle of the narrow (key, ts, value,
-    order) projection; each key group sorts once and folds to a single
-    row — no second pass, |keys| rows out. Returns
+    Scale shape: one keyed-bucket shuffle of the narrow (key, ts,
+    value, order) projection; each BUCKET computes holding intervals
+    with one masked diff and folds every key with one Cython groupby
+    agg — |keys| rows out, no per-key Python. Returns
     (key, twap, duration_s, n_events) sorted."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
         t = df[ts_col].to_numpy("datetime64[us]").astype(np.int64)
         v = df[value_col].to_numpy(np.float64)
         n = len(df)
-        twap = np.nan
-        dur = 0.0
-        if n >= 2:
-            dt = (t[1:] - t[:-1]).astype(np.float64)
-            vh = v[:-1]
-            ok = ~np.isnan(vh)
-            den = float(dt.sum())
-            dur = den / 1e6
-            if ok.any() and den > 0:
-                twap = float((vh[ok] * dt[ok]).sum()) / den
-        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
-                             "twap": [twap], "duration_s": [dur],
-                             "n_events": np.array([n], np.int64)})
+        if n == 0:
+            return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                                 "twap": pd.Series([], dtype="float64"),
+                                 "duration_s": pd.Series([], dtype="float64"),
+                                 "n_events": pd.Series([], dtype="int64")})
+        kv = df[key_col].to_numpy()
+        same = np.zeros(n, bool)                 # row i..i+1 within a key
+        same[:-1] = kv[1:] == kv[:-1]
+        dt = np.zeros(n, np.float64)
+        dt[:-1] = (t[1:] - t[:-1]).astype(np.float64)
+        dt[~same] = 0.0                          # last row of a key: no dt
+        prod = np.where(np.isnan(v), 0.0, v) * dt
+        okn = (~np.isnan(v) & same).astype(np.int64)  # holding, non-null
+        work = pd.DataFrame({key_col: kv, "dt": dt, "prod": prod,
+                             "okn": okn})
+        g = work.groupby(key_col, as_index=False, sort=False,
+                         dropna=False).agg(
+            den=("dt", "sum"), num=("prod", "sum"), okn=("okn", "sum"),
+            n_events=("dt", "size"))
+        den = g["den"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            twap = np.where((den > 0) & (g["okn"].to_numpy() > 0),
+                            g["num"].to_numpy() / den, np.nan)
+        return pd.DataFrame({key_col: g[key_col], "twap": twap,
+                             "duration_s": den / 1e6,
+                             "n_events": g["n_events"].astype("int64")})
 
     proj = ds.map_batches(
         lambda t, c=(key_col, ts_col, value_col, order_col):
             t.select(list(c)),
         batch_format="pyarrow", batch_size=None)
-    out = proj.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas").to_pandas()
+    out = bucketed_by_key(proj, key_col, per_bucket).to_pandas()
     if out.empty:
         out = pd.DataFrame({key_col: pd.Series([], dtype="int64"),
                             "twap": pd.Series([], dtype="float64"),
@@ -1114,29 +1148,26 @@ def cumulative_distinct(ds, ts_col: str, key_col: str, type_col: str,
     ``count(DISTINCT t) OVER (... ROWS UNBOUNDED PRECEDING)`` parity;
     NULL types do not count (SQL COUNT semantics).
 
-    Scale shape: one keyed shuffle of the narrow projection; each key
-    group sorts once and folds first-occurrence flags with one
-    vectorized duplicated()+cumsum pass — row count preserved. Returns
-    a Dataset of (key, order, out_col)."""
+    Scale shape: one keyed-bucket shuffle of the narrow projection,
+    then one pass over all of a bucket's keys: (key, type)
+    first-occurrence flags via vectorized duplicated(), running count
+    via Cython groupby-cumsum — row count preserved, no per-key
+    Python. Returns a Dataset of (key, order, out_col)."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:  # Ray drops columns on empty map_groups output
-            return pd.DataFrame({
-                key_col: pd.Series([], dtype=df[key_col].dtype),
-                order_col: pd.Series([], dtype=df[order_col].dtype),
-                out_col: pd.Series([], dtype="int64")})
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
-        first = (~df[type_col].duplicated()) & df[type_col].notna()
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        first = (~df.duplicated([key_col, type_col])) \
+            & df[type_col].notna()
         out = df[[key_col, order_col]].copy()
-        out[out_col] = np.cumsum(first.to_numpy()).astype(np.int64)
+        out[out_col] = first.astype(np.int64).groupby(
+            df[key_col], sort=False, dropna=False).cumsum().to_numpy()
         return out
 
     proj = ds.map_batches(
         lambda t, c=(key_col, ts_col, type_col, order_col):
             t.select(list(c)),
         batch_format="pyarrow", batch_size=None)
-    return proj.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(proj, key_col, per_bucket)
 
 
 def cusum_per_key(ds, ts_col: str, key_col: str, value_col: str,
