@@ -260,39 +260,41 @@ def rolling_agg(ds, ts_col: str, key_col: str, value_col: str,
     ROW)`` semantics.
 
     Same physical shape (and same Zipf-hot-key bound) as
-    ``cumulative_agg``: hash-partition on the key, one vectorized
-    sort + sliding-window pass per group. Each full window is summed
-    FRESH from its ``window`` values (``sliding_window_view``), not via
-    cumsum differencing, so floating-point error stays O(window * eps)
-    per row instead of accumulating over the group. Returns a Dataset
-    with ``roll_sum``, ``roll_avg``, ``roll_min`` and ``roll_max``
-    appended (min/max over the same frame — MIN/MAX OVER w)."""
+    ``cumulative_agg``: one keyed-bucket shuffle, then ONE vectorized
+    pass over all of a bucket's keys — a global ``sliding_window_view``
+    over the key-contiguous sorted array for every full-window row
+    (valid because a full window never crosses a key boundary when the
+    row's within-key position >= window-1), Cython groupby
+    cumsum/cummin/cummax for each key's expanding head. Each full
+    window is summed FRESH from its ``window`` values, not via cumsum
+    differencing, so floating-point error stays O(window * eps) per
+    row instead of accumulating over the group. Returns a Dataset with
+    ``roll_sum``, ``roll_avg``, ``roll_min`` and ``roll_max`` appended
+    (min/max over the same frame — MIN/MAX OVER w)."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
         v = df[value_col].to_numpy(dtype=np.float64)
         n = v.size
-        sums = np.empty(n, np.float64)
-        mins = np.empty(n, np.float64)
-        maxs = np.empty(n, np.float64)
-        head = np.minimum(np.arange(n, dtype=np.int64) + 1, window)
-        if n >= window:
+        g = df.groupby(key_col, sort=False, dropna=False)
+        pos = g.cumcount().to_numpy(np.int64)
+        head = np.minimum(pos + 1, window).astype(np.float64)
+        full = pos >= window - 1                 # window fits in the key
+        sums = g[value_col].cumsum().to_numpy(np.float64)
+        mins = g[value_col].cummin().to_numpy(np.float64)
+        maxs = g[value_col].cummax().to_numpy(np.float64)
+        if n >= window and full.any():
             sw = np.lib.stride_tricks.sliding_window_view(v, window)
-            sums[window - 1:] = sw.sum(axis=1)
-            mins[window - 1:] = sw.min(axis=1)
-            maxs[window - 1:] = sw.max(axis=1)
-        m = min(window - 1, n)
-        if m:
-            sums[:m] = np.cumsum(v[:m])
-            mins[:m] = np.minimum.accumulate(v[:m])
-            maxs[:m] = np.maximum.accumulate(v[:m])
+            rows = np.flatnonzero(full)          # >= window-1 by def
+            sums[rows] = sw[rows - (window - 1)].sum(axis=1)
+            mins[rows] = sw[rows - (window - 1)].min(axis=1)
+            maxs[rows] = sw[rows - (window - 1)].max(axis=1)
         return df.assign(roll_sum=sums, roll_avg=sums / head,
                          roll_min=mins, roll_max=maxs)
 
-    return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(ds, key_col, per_bucket)
 
 
 def time_rolling_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -489,10 +491,13 @@ def funnel_steps(ds, ts_col: str, key_col: str, type_col: str,
 
     Scale shape: prune first — only events whose type is IN ``steps``
     ever leave the read (for a 3-step funnel over a 50-type event
-    stream that is a ~94% row cut before the shuffle) — then the
-    canonical ``groupby(key).map_groups`` sequential pass (same
+    stream that is a ~94% row cut before the shuffle) — then one
+    keyed-bucket shuffle and, per bucket, len(steps) VECTORIZED rounds:
+    each round is one filtered Cython groupby-min ("earliest event of
+    this type strictly after the key's previous step match") over all
+    of the bucket's keys at once — no per-key Python (same
     partitioning contract as ``sessionize``: one key's step events fit
-    one group). Keys with step-type events but an incomplete prefix
+    one bucket). Keys with step-type events but an incomplete prefix
     still emit (steps=0..k)."""
     want = set(steps)
 
@@ -501,27 +506,30 @@ def funnel_steps(ds, ts_col: str, key_col: str, type_col: str,
                         value_set=pa.array(sorted(want), pa.string()))
         return b.select([key_col, ts_col, type_col, order_col]).filter(keep)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        ty = df[type_col].to_numpy()
-        hit: list = []
-        prev = -np.inf
-        for s in steps:
-            m = np.flatnonzero((ty == s) & (ts > prev))
-            if m.size == 0:
-                break
-            prev = ts[m[0]]
-            hit.append(int(prev))
-        row = {key_col: df[key_col].iloc[0], "steps": len(hit)}
-        for i in range(len(steps)):
-            row[f"ts{i + 1}_us"] = hit[i] if i < len(hit) else None
-        return pd.DataFrame([row])
+        work = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                             "__ts": ts,
+                             "__ty": df[type_col].to_numpy()})
+        out = work[[key_col]].drop_duplicates().reset_index(drop=True)
+        prev = None                    # Series: key -> ts of prior step
+        done = np.zeros(len(out), dtype=np.int64)
+        for i, s in enumerate(steps):
+            sub = work[work["__ty"] == s]
+            if prev is not None:
+                p = sub[key_col].map(prev)
+                sub = sub[p.notna() & (sub["__ts"] > p)]
+            cur = sub.groupby(key_col, sort=False)["__ts"].min()
+            hit = out[key_col].map(cur)
+            out[f"ts{i + 1}_us"] = hit.astype("Int64")
+            done += hit.notna().to_numpy() & (done == i)
+            prev = cur
+        out.insert(1, "steps", done)
+        return out
 
-    out = (ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
-           .groupby(key_col, num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = bucketed_by_key(
+        ds.map_batches(prune, batch_format="pyarrow", batch_size=None),
+        key_col, per_bucket).to_pandas()
     if out.empty:     # Ray drops columns on empty map_groups output
         out = pd.DataFrame({key_col: pd.Series([], dtype="int64"),
                             "steps": pd.Series([], dtype="int64")} |
@@ -1179,36 +1187,49 @@ def cusum_per_key(ds, ts_col: str, key_col: str, value_col: str,
     Page-style drift screen over event values). NULL values are
     excluded before the fold (SQL avg/sum semantics).
 
-    Scale shape: one keyed shuffle of the narrow projection, one
-    sort + cumsum per key group — no global pass, no second scan
-    (mean and prefix sums come from the same sorted array). Returns
-    one row (key, cusum_range, n) per key."""
+    Scale shape: one keyed-bucket shuffle of the narrow projection,
+    then Cython groupby cumsum/cumcount/agg over all of a bucket's
+    keys at once — the sequential running sum per key is preserved
+    bit-for-bit (groupby-cumsum accumulates left-to-right like the SQL
+    window-sum construction of the same S_j series). Returns one row
+    (key, cusum_range, n) per key."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            key_col: pd.Series([], dtype=df[key_col].dtype),
-            "cusum_range": pd.Series([], dtype="float64"),
-            "n": pd.Series([], dtype="int64")})
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df[value_col].notna()]
         if df.empty:
-            return empty
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
-        v = df[value_col].to_numpy(dtype=np.float64)
-        cs = np.cumsum(v)
-        # mean from the same sequential running sum (not np.mean's
-        # pairwise summation) so the fold is bit-stable vs a SQL
-        # window-sum construction of the identical S_j series
-        s = cs - np.arange(1, v.size + 1, dtype=np.float64) * (cs[-1] / v.size)
-        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
-                             "cusum_range": [float(s.max() - s.min())],
-                             "n": [np.int64(v.size)]})
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype="int64"),
+                "cusum_range": pd.Series([], dtype="float64"),
+                "n": pd.Series([], dtype="int64")})
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        g = df.groupby(key_col, sort=False, dropna=False)
+        cs = g[value_col].cumsum().to_numpy(np.float64)
+        j = (g.cumcount() + 1).to_numpy(np.float64)
+        n = g[value_col].transform("size").to_numpy(np.float64)
+        # key totals: last running sum of the key, broadcast back
+        kv = df[key_col].to_numpy()
+        last = np.empty(len(df), bool)
+        last[-1] = True
+        last[:-1] = kv[1:] != kv[:-1]
+        change = np.empty(len(df), bool)
+        change[0] = True
+        change[1:] = kv[1:] != kv[:-1]
+        seg_id = np.cumsum(change) - 1
+        total = cs[np.flatnonzero(last)][seg_id]
+        work = pd.DataFrame({key_col: kv, "s": cs - j * (total / n)})
+        g2 = work.groupby(key_col, as_index=False, sort=False,
+                          dropna=False).agg(
+            mx=("s", "max"), mn=("s", "min"), n=("s", "size"))
+        return pd.DataFrame({
+            key_col: g2[key_col],
+            "cusum_range": (g2["mx"] - g2["mn"]).to_numpy(np.float64),
+            "n": g2["n"].astype("int64")})
 
     proj = ds.map_batches(
         lambda t, c=(key_col, ts_col, value_col, order_col):
             t.select(list(c)),
         batch_format="pyarrow", batch_size=None)
-    out = proj.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas").to_pandas()
+    out = bucketed_by_key(proj, key_col, per_bucket).to_pandas()
     if out.empty:
         return pd.DataFrame({key_col: pd.Series([], dtype="object"),
                              "cusum_range": pd.Series([], dtype="float64"),
@@ -1781,26 +1802,33 @@ def max_drawdown(ds, ts_col: str, key_col: str, val_col: str,
     canonical risk/health metric for any signed running total (balance
     streams, score deltas, net engagement).
 
-    One keyed shuffle of the narrow projection, then a vectorized
-    cumsum + running-max pass per key. Returns (key, total, peak,
-    max_drawdown) rounded to 6, sorted by key."""
+    One keyed-bucket shuffle of the narrow projection, then Cython
+    groupby cumsum/cummax over all of a bucket's keys at once (no
+    per-key Python). Returns (key, total, peak, max_drawdown) rounded
+    to 6, sorted by key."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
-        cum = df[val_col].astype(float).cumsum().to_numpy()
-        peak = np.maximum.accumulate(cum)
-        dd = float((peak - cum).max()) if cum.size else np.nan
-        return pd.DataFrame({key_col: df[key_col].iloc[:1],
-                             "total": [round(float(cum[-1]), 6)],
-                             "peak": [round(float(peak.max()), 6)],
-                             "max_drawdown": [round(dd, 6)]})
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        g = df.groupby(key_col, sort=False, dropna=False)
+        cum = g[val_col].cumsum().astype(float)
+        peak = cum.groupby(df[key_col], sort=False, dropna=False).cummax()
+        work = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                             "cum": cum.to_numpy(),
+                             "peak": peak.to_numpy(),
+                             "dd": (peak - cum).to_numpy()})
+        g2 = work.groupby(key_col, as_index=False, sort=False,
+                          dropna=False).agg(
+            total=("cum", "last"), peak=("peak", "max"), dd=("dd", "max"))
+        return pd.DataFrame({
+            key_col: g2[key_col],
+            "total": np.round(g2["total"].to_numpy(np.float64), 6),
+            "peak": np.round(g2["peak"].to_numpy(np.float64), 6),
+            "max_drawdown": np.round(g2["dd"].to_numpy(np.float64), 6)})
 
     cols = [key_col, ts_col, val_col, order_col]
-    out = (ds.map_batches(lambda t, c=tuple(cols): t.select(list(c)),
+    proj = ds.map_batches(lambda t, c=tuple(cols): t.select(list(c)),
                           batch_format="pyarrow", batch_size=None)
-           .groupby(key_col, num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = bucketed_by_key(proj, key_col, per_bucket).to_pandas()
     if out.empty:
         return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
                              "total": [], "peak": [],
