@@ -606,34 +606,35 @@ def cohort_retention(ds, ts_col: str, key_col: str) -> pd.DataFrame:
     of distinct keys active in that week. The classic product-analytics
     rollup, and a template for any first-touch cohort metric.
 
-    Scale shape: ONE keyed shuffle of a narrow (key, ts) projection —
-    each key group computes its cohort and its distinct active-week
-    offsets in one vectorized pass (same partitioning contract as
-    ``sessionize``: one key's events fit one group; the emitted rows
-    per key = its distinct active weeks, already deduplicated), then
-    one tiny keyed count over (cohort, offset) rows. No join, no count-
-    distinct shuffle: distinctness per key is resolved inside the group.
-    Cohort weeks surface as epoch microseconds of the week start
-    (Monday), matching SQL date_trunc('week')."""
+    Scale shape: ONE keyed-bucket shuffle of a narrow (key, ts)
+    projection — each BUCKET dedupes (key, week) pairs with one
+    vectorized drop_duplicates and resolves every key's cohort with
+    one Cython groupby-min (no per-key Python; the emitted rows per
+    key = its distinct active weeks), then one tiny keyed count over
+    (cohort, offset) rows. No join, no count-distinct shuffle:
+    distinctness per key is resolved inside the bucket. Cohort weeks
+    surface as epoch microseconds of the week start (Monday), matching
+    SQL date_trunc('week')."""
     _US_PER_DAY = 86_400_000_000
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
         day = ts // _US_PER_DAY
         week_start = day - (day + 3) % 7      # 1970-01-01 was a Thursday
-        weeks = np.unique(week_start)
-        cohort = weeks[0]
+        w = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                          "wk": week_start}).drop_duplicates()
+        cohort = w.groupby(key_col, sort=False,
+                           dropna=False)["wk"].transform("min") \
+            .to_numpy(np.int64)
         return pd.DataFrame({
-            "cohort_us": np.full(weeks.size, cohort * _US_PER_DAY,
-                                 dtype=np.int64),
-            "offset_w": (weeks - cohort) // 7,
+            "cohort_us": cohort * _US_PER_DAY,
+            "offset_w": (w["wk"].to_numpy(np.int64) - cohort) // 7,
         })
 
     proj = ds.map_batches(
         lambda t, c=(key_col, ts_col): t.select(list(c)),
         batch_format="pyarrow", batch_size=None)
-    pairs = proj.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas")
+    pairs = bucketed_by_key(proj, key_col, per_bucket)
     out = pairs.groupby(["cohort_us", "offset_w"],
                         num_partitions=shuffle_partitions()).count() \
         .to_pandas().rename(columns={"count()": "n_keys"})
@@ -652,20 +653,24 @@ def event_transitions(ds, ts_col: str, key_col: str, type_col: str,
     pair across the whole stream — the sequence-analysis staple behind
     next-event prediction and funnel discovery.
 
-    Scale shape: one keyed shuffle of the narrow (key, ts, type, order)
-    projection; each key group sorts once and emits its LOCAL (from,
-    to, n) counts (at most |types|² rows per key, independent of event
-    count), then one tiny keyed sum over type pairs. Returns
-    (from_type, to_type, n) sorted."""
+    Scale shape: one keyed-bucket shuffle of the narrow (key, ts, type,
+    order) projection; each BUCKET sorts key-contiguously and counts
+    its consecutive pairs (masking key boundaries) with one Cython
+    groupby — at most |types|² rows out per bucket — then one tiny
+    keyed sum over type pairs. Returns (from_type, to_type, n)
+    sorted."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
         ty = df[type_col].to_numpy()
+        kv = df[key_col].to_numpy()
         if len(ty) < 2:
             return pd.DataFrame({"from_type": pd.Series([], dtype=object),
                                  "to_type": pd.Series([], dtype=object),
                                  "n": pd.Series([], dtype="int64")})
-        pairs = pd.DataFrame({"from_type": ty[:-1], "to_type": ty[1:]})
+        same = kv[1:] == kv[:-1]                # pair stays within a key
+        pairs = pd.DataFrame({"from_type": ty[:-1][same],
+                              "to_type": ty[1:][same]})
         g = pairs.groupby(["from_type", "to_type"], as_index=False,
                           dropna=False).size().rename(columns={"size": "n"})
         g["n"] = g["n"].astype("int64")
@@ -674,8 +679,7 @@ def event_transitions(ds, ts_col: str, key_col: str, type_col: str,
     proj = ds.map_batches(
         lambda t, c=(key_col, ts_col, type_col, order_col): t.select(list(c)),
         batch_format="pyarrow", batch_size=None)
-    parts = proj.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas")
+    parts = bucketed_by_key(proj, key_col, per_bucket)
     out = parts.groupby(["from_type", "to_type"],
                         num_partitions=shuffle_partitions()).sum("n") \
         .to_pandas().rename(columns={"sum(n)": "n"})
