@@ -701,25 +701,29 @@ def ewma_per_key(ds, ts_col: str, key_col: str, value_col: str,
     correctness is pinned by exact pandas ``ewm`` goldens instead of a
     DuckDB oracle.
 
-    Scale shape: one keyed shuffle of the narrow projection, then a
-    C-vectorized ``ewm`` pass per key group. Returns
-    (order_col, key, value, ewma) with ewma rounded to 6."""
+    Scale shape: one keyed-bucket shuffle of the narrow projection,
+    then ONE grouped-Cython ``ewm`` pass over all of a bucket's keys at
+    once (pandas ``GroupBy.ewm`` — the recursion runs in C per group,
+    no per-key Python). Returns (order_col, key, value, ewma) with
+    ewma rounded to 6."""
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
-        e = df[value_col].ewm(alpha=alpha, adjust=False).mean()
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col],
+                            kind="mergesort").reset_index(drop=True)
+        e = df.groupby(key_col, sort=False,
+                       dropna=False)[value_col] \
+            .ewm(alpha=alpha, adjust=False).mean() \
+            .reset_index(drop=True)
         out = df[[order_col, key_col, value_col]].copy()
         out["ewma"] = np.round(e.to_numpy(np.float64), 6)
         return out
 
     cols = [key_col, ts_col, value_col, order_col]
-    out = (ds.map_batches(lambda b, c=tuple(cols): b.select(list(c)),
+    proj = ds.map_batches(lambda b, c=tuple(cols): b.select(list(c)),
                           batch_format="pyarrow", batch_size=None)
-           .groupby(key_col, num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = bucketed_by_key(proj, key_col, per_bucket).to_pandas()
     if out.empty:
         out = pd.DataFrame({order_col: pd.Series([], dtype="int64"),
                             key_col: pd.Series([], dtype="int64"),
