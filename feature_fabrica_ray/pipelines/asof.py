@@ -192,35 +192,61 @@ def asof_join(left, right, *, on: str, by: str, right_cols: list[str],
         batch_size=None)
     both = lt.union(rt)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one bucket holds MANY keys (bucketed_by_key): split the tagged
+        # union once, then a light per-key-SEGMENT loop — numpy slices +
+        # one _match_segment call per distinct key, thousands of times
+        # cheaper than one map_groups invocation per key
         is_r = df["__side"].to_numpy() == 1
         ldf = df[~is_r]
+        out = ldf.drop(columns=["__side", "__rts"]
+                       + [f"__r_{c}" for c in out_rcols]).copy()
         if not len(ldf):
-            # right-only key: emit zero rows with the SAME schema as
-            # matched groups (left cols + matched right cols)
-            out = ldf.drop(columns=["__side", "__rts"]
-                           + [f"__r_{c}" for c in out_rcols]).iloc[:0]
             for c in out_rcols:
                 out[c] = np.empty(0, np.float64)
             return out
         rdf = df[is_r]
-        rts = np.sort(rdf["__rts"].to_numpy(dtype=np.int64)) if len(rdf) \
-            else np.empty(0, np.int64)
-        rorder = np.argsort(rdf["__rts"].to_numpy(dtype=np.int64),
-                            kind="stable") if len(rdf) else np.empty(0, np.int64)
+        lkeys = ldf[by].to_numpy()
         lts = ldf[on].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        m = _match_segment(lts, rts, direction, tolerance_us)
-        out = ldf.drop(columns=["__side", "__rts"]).copy()
+        match = np.full(len(ldf), -1, np.int64)
+        key_ok = ~pd.isna(lkeys)
+        rdf = rdf[~pd.isna(rdf[by]).to_numpy()]  # null keys match nothing
+        if len(rdf) and key_ok.any():
+            rkeys = rdf[by].to_numpy()
+            rts = rdf["__rts"].to_numpy(dtype=np.int64)
+            rorder = np.lexsort((rts, rkeys))
+            rkeys_s, rts_s = rkeys[rorder], rts[rorder]
+            rstarts = np.flatnonzero(np.concatenate(
+                [[True], rkeys_s[1:] != rkeys_s[:-1]]))
+            rends = np.append(rstarts[1:], rkeys_s.size)
+            runiq = rkeys_s[rstarts]
+            lidx = np.flatnonzero(key_ok)
+            lorder = lidx[np.argsort(lkeys[lidx], kind="stable")]
+            ks = lkeys[lorder]
+            starts = np.flatnonzero(np.concatenate(
+                [[True], ks[1:] != ks[:-1]])) if ks.size else \
+                np.empty(0, np.int64)
+            ends = np.append(starts[1:], ks.size)
+            for s, e in zip(starts, ends):
+                i = int(np.searchsorted(runiq, ks[s]))
+                if i >= runiq.size or runiq[i] != ks[s]:
+                    continue
+                rows = lorder[s:e]
+                m = _match_segment(lts[rows], rts_s[rstarts[i]:rends[i]],
+                                   direction, tolerance_us)
+                match[rows] = np.where(m >= 0, m + rstarts[i], -1)
         for c in out_rcols:
-            rv = rdf[f"__r_{c}"].to_numpy()[rorder] if len(rdf) else \
-                np.empty(0, np.float64)
-            vals = np.where(m >= 0, rv[np.maximum(m, 0)], np.nan) if rv.size \
-                else np.full(len(ldf), np.nan)
-            out[c] = vals
-        return out.drop(columns=[f"__r_{c}" for c in out_rcols])
+            if len(rdf):
+                rv = rdf[f"__r_{c}"].to_numpy()[rorder]
+                out[c] = np.where(match >= 0,
+                                  rv[np.maximum(match, 0)], np.nan)
+            else:
+                out[c] = np.full(len(ldf), np.nan)
+        return out
 
-    return (both.groupby(by, num_partitions=num_partitions or shuffle_partitions())
-            .map_groups(per_key, batch_format="pandas"))
+    from .events import bucketed_by_key
+    return bucketed_by_key(both, by, per_bucket,
+                           n_buckets=num_partitions)
 
 
 def pit_window_join(left, right, *, on: str, by: str, value_col: str,
@@ -276,39 +302,64 @@ def pit_window_join(left, right, *, on: str, by: str, value_col: str,
     rt = right.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
     both = lt.union(rt)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # many keys per bucket (bucketed_by_key): per-key-SEGMENT loop,
+        # prefix sums + two searchsorteds per key — no per-key map_groups
         is_r = df["__side"].to_numpy() == 1
         ldf = df[~is_r]
         out = ldf.drop(columns=["__side", "__rts", "__v"]).copy()
-        if not len(ldf):          # right-only key: zero rows, full schema
-            out[n_col] = np.empty(0, np.int64)
-            out[s_col] = np.empty(0, np.float64)
-            return out
-        rdf = df[is_r]
-        rts_raw = rdf["__rts"].to_numpy(dtype=np.int64) if len(rdf) \
-            else np.empty(0, np.int64)
-        order = np.argsort(rts_raw, kind="stable")
-        rts = rts_raw[order]
-        rv = rdf["__v"].to_numpy(dtype=np.float64)[order] if len(rdf) \
-            else np.empty(0, np.float64)
-        nn = ~np.isnan(rv)
-        csum = np.concatenate([[0.0], np.cumsum(np.where(nn, rv, 0.0))])
-        cnn = np.concatenate([[0], np.cumsum(nn.astype(np.int64))])
-        lts64 = ldf[on].to_numpy(dtype="datetime64[us]")
-        valid = ~np.isnat(lts64)
-        lts = lts64.astype(np.int64)
-        key_null = ldf[by].isna().to_numpy()
-        lo = np.searchsorted(rts, lts - window_us, side="left")
-        hi = np.searchsorted(rts, lts, side="right")
-        dead = ~valid | key_null
-        lo, hi = np.where(dead, 0, lo), np.where(dead, 0, hi)
-        cnt = (hi - lo).astype(np.int64)
-        nnw = cnn[hi] - cnn[lo]
-        ssum = np.where(nnw > 0, csum[hi] - csum[lo], np.nan)
+        nl = len(ldf)
+        cnt = np.zeros(nl, np.int64)
+        ssum = np.full(nl, np.nan)
+        if nl:
+            rdf = df[is_r]
+            lkeys = ldf[by].to_numpy()
+            lts64 = ldf[on].to_numpy(dtype="datetime64[us]")
+            valid = ~np.isnat(lts64)
+            lts = lts64.astype(np.int64)
+            key_ok = ~pd.isna(lkeys)
+            if len(rdf) and key_ok.any():
+                rkeys = rdf[by].to_numpy()
+                rts_raw = rdf["__rts"].to_numpy(dtype=np.int64)
+                rv_raw = rdf["__v"].to_numpy(dtype=np.float64)
+                rorder = np.lexsort((rts_raw, rkeys))
+                rkeys_s = rkeys[rorder]
+                rts = rts_raw[rorder]
+                rv = rv_raw[rorder]
+                nn = ~np.isnan(rv)
+                csum = np.concatenate(
+                    [[0.0], np.cumsum(np.where(nn, rv, 0.0))])
+                cnn = np.concatenate([[0], np.cumsum(nn.astype(np.int64))])
+                rstarts = np.flatnonzero(np.concatenate(
+                    [[True], rkeys_s[1:] != rkeys_s[:-1]]))
+                rends = np.append(rstarts[1:], rkeys_s.size)
+                runiq = rkeys_s[rstarts]
+                lidx = np.flatnonzero(key_ok & valid)
+                lorder = lidx[np.argsort(lkeys[lidx], kind="stable")]
+                ks = lkeys[lorder]
+                starts = np.flatnonzero(np.concatenate(
+                    [[True], ks[1:] != ks[:-1]])) if ks.size else \
+                    np.empty(0, np.int64)
+                ends = np.append(starts[1:], ks.size)
+                for s, e in zip(starts, ends):
+                    i = int(np.searchsorted(runiq, ks[s]))
+                    if i >= runiq.size or runiq[i] != ks[s]:
+                        continue
+                    rs, re = int(rstarts[i]), int(rends[i])
+                    rows = lorder[s:e]
+                    lo = rs + np.searchsorted(rts[rs:re],
+                                              lts[rows] - window_us,
+                                              side="left")
+                    hi = rs + np.searchsorted(rts[rs:re], lts[rows],
+                                              side="right")
+                    cnt[rows] = hi - lo
+                    nnw = cnn[hi] - cnn[lo]
+                    ssum[rows] = np.where(nnw > 0, csum[hi] - csum[lo],
+                                          np.nan)
         out[n_col] = cnt
         out[s_col] = ssum
         return out
 
-    return (both.groupby(by, num_partitions=num_partitions
-                         or shuffle_partitions())
-            .map_groups(per_key, batch_format="pandas"))
+    from .events import bucketed_by_key
+    return bucketed_by_key(both, by, per_bucket,
+                           n_buckets=num_partitions)
