@@ -1118,36 +1118,45 @@ def autocorr_per_key(ds, ts_col: str, key_col: str, value_col: str,
     bot-cadence and sensor-stuck detection. Pairs with a NULL on either
     side are excluded (SQL ``corr(v, lag(v))`` parity).
 
-    Scale shape: one keyed shuffle of the narrow projection; each key
-    group sorts once and folds to a single row via the six-moment
-    closed form — no second pass, |keys| rows out. Returns
-    (key, acf1, n_pairs) sorted; acf1 is NULL for fewer than two valid
-    pairs or zero variance on either side."""
+    Scale shape: one keyed-bucket shuffle of the narrow projection;
+    each BUCKET forms the (v, lag v) pairs with one Cython groupby
+    shift (masking key boundaries) and folds every key's six moments
+    with one Cython groupby agg — |keys| rows out, no per-key Python.
+    Returns (key, acf1, n_pairs) sorted; acf1 is NULL for fewer than
+    two valid pairs or zero variance on either side."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
         v = df[value_col].to_numpy(np.float64)
-        x, y = v[:-1], v[1:]
-        ok = ~(np.isnan(x) | np.isnan(y))
-        x, y = x[ok], y[ok]
-        n = len(x)
-        acf = np.nan
-        if n >= 2:
-            num = n * float((x * y).sum()) - x.sum() * y.sum()
-            den2 = ((n * float((x * x).sum()) - x.sum() ** 2)
-                    * (n * float((y * y).sum()) - y.sum() ** 2))
-            if den2 > 0:
-                acf = num / np.sqrt(den2)
-        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
-                             "acf1": [acf],
-                             "n_pairs": np.array([n], np.int64)})
+        lag = df.groupby(key_col, sort=False,
+                         dropna=False)[value_col].shift(1) \
+            .to_numpy(np.float64)
+        ok = ~(np.isnan(v) | np.isnan(lag))
+        x = np.where(ok, lag, 0.0)       # x = earlier value, y = later
+        y = np.where(ok, v, 0.0)
+        work = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                             "n": ok.astype(np.int64),
+                             "sx": x, "sy": y, "sxx": x * x,
+                             "syy": y * y, "sxy": x * y})
+        # keep every key present (keys with zero pairs emit n=0 rows)
+        g = work.groupby(key_col, as_index=False, sort=False,
+                         dropna=False).sum()
+        n = g["n"].to_numpy(np.float64)
+        num = n * g["sxy"].to_numpy() - g["sx"].to_numpy() \
+            * g["sy"].to_numpy()
+        den2 = ((n * g["sxx"].to_numpy() - g["sx"].to_numpy() ** 2)
+                * (n * g["syy"].to_numpy() - g["sy"].to_numpy() ** 2))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            acf = np.where((n >= 2) & (den2 > 0),
+                           num / np.sqrt(np.maximum(den2, 0)), np.nan)
+        return pd.DataFrame({key_col: g[key_col], "acf1": acf,
+                             "n_pairs": g["n"].astype("int64")})
 
     proj = ds.map_batches(
         lambda t, c=(key_col, ts_col, value_col, order_col):
             t.select(list(c)),
         batch_format="pyarrow", batch_size=None)
-    out = proj.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas").to_pandas()
+    out = bucketed_by_key(proj, key_col, per_bucket).to_pandas()
     if out.empty:
         out = pd.DataFrame({key_col: pd.Series([], dtype="int64"),
                             "acf1": pd.Series([], dtype="float64"),
@@ -1698,40 +1707,49 @@ def burstiness_per_key(ds, ts_col: str, key_col: str,
     for extreme bursts; the one-number diagnostic separating bot-like
     regular traffic from human bursty behavior.
 
-    One keyed shuffle of the narrow projection, vectorized sorted-diff
-    + two-moment fold per key. Keys with < 3 events emit NULL B (σ of
-    one gap is 0/undefined). Returns (key, n_gaps, mean_gap_s,
-    std_gap_s, burstiness) rounded to 6, sorted by key."""
+    One keyed-bucket shuffle of the narrow projection; each BUCKET
+    computes gaps with one Cython groupby diff (NaN at key boundaries)
+    and folds every key's count/mean/std with one Cython groupby agg —
+    no per-key Python. Keys with < 3 events emit NULL B (σ of one gap
+    is 0/undefined). Returns (key, n_gaps, mean_gap_s, std_gap_s,
+    burstiness) rounded to 6, sorted by key."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
-        ts = df[ts_col].astype("datetime64[us]").astype(np.int64) \
-            .to_numpy()
-        gaps = np.diff(ts) / 1e6
-        n = gaps.size
-        if n == 0:
-            return pd.DataFrame({key_col: df[key_col].iloc[:1],
-                                 "n_gaps": np.array([0], np.int64),
-                                 "mean_gap_s": [np.nan],
-                                 "std_gap_s": [np.nan],
-                                 "burstiness": [np.nan]})
-        mu = gaps.mean()
-        sd = gaps.std(ddof=1) if n >= 2 else np.nan
-        b = (sd - mu) / (sd + mu) if n >= 2 and (sd + mu) > 0 else np.nan
-        return pd.DataFrame({key_col: df[key_col].iloc[:1],
-                             "n_gaps": np.array([n], np.int64),
-                             "mean_gap_s": [round(mu, 6)],
-                             "std_gap_s": [round(sd, 6)
-                                           if sd == sd else np.nan],
-                             "burstiness": [round(b, 6)
-                                            if b == b else np.nan]})
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        gaps = pd.Series(ts).groupby(
+            df[key_col].to_numpy(), sort=False).diff().to_numpy() / 1e6
+        work = pd.DataFrame({key_col: df[key_col].to_numpy(), "g": gaps})
+        g = work.groupby(key_col, as_index=False, sort=False,
+                         dropna=False).agg(
+            n_gaps=("g", "count"), sd=("g", "std"))
+        n = g["n_gaps"].to_numpy(np.int64)
+        # mean from plain sequential per-segment sums (np.add.reduceat
+        # over the key-contiguous array) — bit-parity with the SQL
+        # scan-order avg(); pandas' Kahan group-mean differs by 1 ulp
+        # on round-boundary values
+        kv = df[key_col].to_numpy()
+        seg = np.flatnonzero(np.concatenate(
+            [[True], kv[1:] != kv[:-1]]))
+        sums = np.add.reduceat(np.where(np.isnan(gaps), 0.0, gaps), seg)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mu = np.where(n > 0, sums / n, np.nan)
+        sd = g["sd"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            b = np.where((n >= 2) & (sd + mu > 0),
+                         (sd - mu) / (sd + mu), np.nan)
+        r6 = lambda a: np.array([round(float(x), 6) if x == x else np.nan
+                                 for x in a])   # exact Python-round parity
+        return pd.DataFrame({key_col: g[key_col],
+                             "n_gaps": n,
+                             "mean_gap_s": r6(mu),
+                             "std_gap_s": r6(sd),
+                             "burstiness": r6(b)})
 
     cols = [key_col, ts_col, order_col]
-    out = (ds.map_batches(lambda t, c=tuple(cols): t.select(list(c)),
+    proj = ds.map_batches(lambda t, c=tuple(cols): t.select(list(c)),
                           batch_format="pyarrow", batch_size=None)
-           .groupby(key_col, num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = bucketed_by_key(proj, key_col, per_bucket).to_pandas()
     if out.empty:
         return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
                              "n_gaps": pd.Series([], dtype="int64"),
