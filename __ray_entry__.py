@@ -3762,6 +3762,62 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_ev_coverage(sf_dir: str) -> pd.DataFrame:
+    """Interval-union coverage per user: events expand to half-open
+    activity intervals [ts, ts + ~abs(value) minutes); the union length
+    (overlaps counted once), interval count, and merged-island count —
+    the gaps-and-islands measure (events.py::interval_coverage)."""
+    from feature_fabrica_ray.pipelines import interval_coverage
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def to_iv(b: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(b.column("ts")),
+                     pc.is_valid(b.column("value")))
+        t = b.filter(ok)
+        s = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        v = np.abs(t.column("value").cast(pa.float64())
+                   .to_numpy(zero_copy_only=False))
+        dur = np.floor(v * 60_000_000 + 0.5).astype(np.int64) + 1
+        return pa.table({"user_id": t.column("user_id"),
+                         "s": pa.array(s, pa.int64()),
+                         "e": pa.array(s + dur, pa.int64())})
+
+    iv = ds.map_batches(to_iv, batch_format="pyarrow", batch_size=None)
+    out = interval_coverage(iv, "user_id", "s", "e")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
+_COVERAGE_ORACLE = """
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts)
+                   + CAST(round(abs(value) * 60000000, 0) AS BIGINT)
+                   + 1 AS e
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL),
+m AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM iv),
+w AS (SELECT user_id, s, e,
+             sum(CASE WHEN pm IS NULL OR s >= pm THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS isl
+      FROM m),
+isle AS (SELECT user_id, isl, min(s) AS s0, max(e) AS e1,
+                CAST(count(*) AS BIGINT) AS n
+         FROM w GROUP BY user_id, isl)
+SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(e1 - s0) AS BIGINT) AS covered_us
+FROM isle GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_agg_topk(sf_dir: str) -> pd.DataFrame:
     """Top-3 line items per return flag by extended price (per-block
     partial top-k -> tiny driver merge; deterministic tie-breaks)."""
@@ -8452,6 +8508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_json_str": q_ev_json_str,
         "ev_latest": q_ev_latest,
         "ev_scd2": q_ev_scd2,
+        "ev_coverage": q_ev_coverage,
         "agg_mode": q_agg_mode,
         "jn_bloom": q_jn_bloom,
         "agg_heavy": q_agg_heavy,
@@ -8618,6 +8675,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_json_str": _EV_JSON_STR_ORACLE,
         "ev_latest": _LATEST_ORACLE,
         "ev_scd2": _SCD2_ORACLE,
+        "ev_coverage": _COVERAGE_ORACLE,
         "agg_mode": _MODE_ORACLE,
         "jn_bloom": _BLOOM_JOIN_ORACLE,
         "agg_heavy": _HEAVY_ORACLE,

@@ -34,7 +34,7 @@ __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "runs_islands", "time_weighted_avg", "forward_fill",
            "interpolate_missing", "autocorr_per_key",
            "cumulative_distinct", "cusum_per_key", "rolling_quantile",
-           "scd2_intervals"]
+           "scd2_intervals", "interval_coverage"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -1932,3 +1932,68 @@ def scd2_intervals(ds, key_col: str, ts_col: str, order_col: str,
                          is_current=last.to_numpy())
 
     return bucketed_by_key(ds, key_col, per_bucket, n_buckets=n_buckets)
+
+
+def interval_coverage(ds, key_col: str, start_col: str, end_col: str):
+    """Interval-union coverage per key: total length of the UNION of
+    the key's half-open ``[start, end)`` intervals, the interval count,
+    and the number of merged islands — the dwell/uptime/coverage
+    measure where summing raw durations over-counts overlaps (the
+    gaps-and-islands pattern over real intervals, not same-type runs
+    like ``runs_islands``).
+
+    Semantics (SQL-parity, see the islands window construction): rows
+    sort by (key, start, end); an interval starts a new island when it
+    does not overlap the running max end of its predecessors
+    (``start >= prev_max`` — touching intervals count as separate
+    islands but contiguous coverage, which sums identically). Rows
+    with a NULL start/end or ``end <= start`` are dropped.
+
+    Scale shape: one keyed-bucket shuffle of the narrow (key, start,
+    end) projection, then Cython groupby cummax/shift/cumsum + two
+    tiny groupby aggs per bucket — no per-key Python. Returns
+    (key, n_intervals, n_islands, covered_us) sorted by key."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[start_col].notna() & df[end_col].notna()]
+        df = df[df[end_col] > df[start_col]]
+        if df.empty:
+            return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                                 "n_intervals": pd.Series([], dtype="int64"),
+                                 "n_islands": pd.Series([], dtype="int64"),
+                                 "covered_us": pd.Series([], dtype="int64")})
+        df = df.sort_values([key_col, start_col, end_col],
+                            kind="mergesort")
+        g = df.groupby(key_col, sort=False, dropna=False)
+        prev_max = g[end_col].cummax().groupby(
+            df[key_col], sort=False, dropna=False).shift(1)
+        new_i = (prev_max.isna()
+                 | (df[start_col] >= prev_max)).astype(np.int64)
+        island = new_i.groupby(df[key_col], sort=False,
+                               dropna=False).cumsum()
+        work = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                             "__isl": island.to_numpy(),
+                             "s": df[start_col].to_numpy(np.int64),
+                             "e": df[end_col].to_numpy(np.int64)})
+        il = work.groupby([key_col, "__isl"], as_index=False,
+                          sort=False, dropna=False).agg(
+            s0=("s", "min"), e1=("e", "max"), n=("s", "size"))
+        il["len"] = il["e1"] - il["s0"]
+        out = il.groupby(key_col, as_index=False, sort=False,
+                         dropna=False).agg(
+            n_intervals=("n", "sum"), n_islands=("n", "size"),
+            covered_us=("len", "sum"))
+        for c in ("n_intervals", "n_islands", "covered_us"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    proj = ds.map_batches(
+        lambda t, c=(key_col, start_col, end_col): t.select(list(c)),
+        batch_format="pyarrow", batch_size=None)
+    out = bucketed_by_key(proj, key_col, per_bucket).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                            "n_intervals": pd.Series([], dtype="int64"),
+                            "n_islands": pd.Series([], dtype="int64"),
+                            "covered_us": pd.Series([], dtype="int64")})
+    return out.sort_values(key_col, kind="mergesort").reset_index(drop=True)

@@ -942,3 +942,38 @@ def test_scd2_intervals_vs_pandas(ray_session):
         .to_pandas().sort_values("event_id").reset_index(drop=True)
     assert (g2["is_current"].to_numpy()
             == got["is_current"].to_numpy()).all()
+
+
+def test_interval_coverage_vs_bruteforce(ray_session):
+    import ray.data
+    from feature_fabrica_ray.pipelines import interval_coverage
+
+    rng = np.random.default_rng(31)
+    n = 400
+    s = rng.integers(0, 1000, size=n)
+    df = pd.DataFrame({"k": rng.integers(0, 12, size=n),
+                       "s": s, "e": s + rng.integers(1, 60, size=n)})
+    # planted edges: zero/negative-length dropped, nulls dropped
+    extra = pd.DataFrame({"k": [0, 0, 1], "s": [5, 7, None],
+                          "e": [5, 3, 10]})
+    full = pd.concat([df, extra], ignore_index=True)
+    got = interval_coverage(ray.data.from_pandas(full).repartition(4),
+                            "k", "s", "e")
+    # brute force: per key, boolean timeline union
+    for k in sorted(df["k"].unique()):
+        sub = df[df["k"] == k]
+        line = np.zeros(2000, bool)
+        for a, b in zip(sub["s"], sub["e"]):
+            line[int(a):int(b)] = True
+        row = got[got["k"] == k].iloc[0]
+        assert row["covered_us"] == int(line.sum()), k
+        assert row["n_intervals"] == len(sub), k
+        # islands merge on STRICT overlap (documented: touching
+        # intervals are separate islands but contiguous coverage)
+        ivs = sorted(zip(sub["s"], sub["e"]))
+        isl, pm = 0, None
+        for a, b in ivs:
+            if pm is None or a >= pm:
+                isl += 1
+            pm = b if pm is None else max(pm, b)
+        assert row["n_islands"] == isl, k
