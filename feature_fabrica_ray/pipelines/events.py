@@ -1076,16 +1076,13 @@ def interpolate_missing(ds, ts_col: str, key_col: str, value_col: str,
     irregular sampling where LOCF (``forward_fill``) would hold stale
     values across long gaps.
 
-    Scale shape: identical to ``forward_fill`` — one keyed shuffle of
-    the narrow projection, one vectorized searchsorted+blend pass per
-    key group, row count preserved. Returns a Dataset of
-    (key, order, ts, value, out_col)."""
+    Scale shape: like ``forward_fill`` — one keyed-bucket shuffle of
+    the narrow projection, then one searchsorted+blend per KEY SEGMENT
+    inside each bucket (numpy slices in a light loop — microseconds per
+    key vs one map_groups Python round-trip per key), row count
+    preserved. Returns a Dataset of (key, order, ts, value, out_col)."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
-        t = df[ts_col].to_numpy("datetime64[us]").astype(np.int64) \
-            .astype(np.float64)
-        v = df[value_col].to_numpy(np.float64)
+    def _fill_segment(t: np.ndarray, v: np.ndarray) -> np.ndarray:
         out = v.copy()
         valid = np.flatnonzero(~np.isnan(v))
         if len(valid) >= 2:
@@ -1097,6 +1094,22 @@ def interpolate_missing(ds, ts_col: str, key_col: str, value_col: str,
                 with np.errstate(invalid="ignore", divide="ignore"):
                     frac = (t[interior] - t[prv]) / (t[nxt] - t[prv])
                     out[interior] = v[prv] + (v[nxt] - v[prv]) * frac
+        return out
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        t = df[ts_col].to_numpy("datetime64[us]").astype(np.int64) \
+            .astype(np.float64)
+        v = df[value_col].to_numpy(np.float64)
+        out = v.copy()
+        n = len(df)
+        if n:
+            kv = df[key_col].to_numpy()
+            starts = np.flatnonzero(np.concatenate(
+                [[True], kv[1:] != kv[:-1]]))
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                out[s:e] = _fill_segment(t[s:e], v[s:e])
         res = df[[key_col, order_col, ts_col, value_col]].copy()
         res[out_col] = out
         return res
@@ -1105,8 +1118,7 @@ def interpolate_missing(ds, ts_col: str, key_col: str, value_col: str,
         lambda t, c=(key_col, order_col, ts_col, value_col):
             t.select(list(c)),
         batch_format="pyarrow", batch_size=None)
-    return proj.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(proj, key_col, per_bucket)
 
 
 def autocorr_per_key(ds, ts_col: str, key_col: str, value_col: str,
@@ -1265,33 +1277,32 @@ def rolling_quantile(ds, ts_col: str, key_col: str, value_col: str,
     (outlier-immune) counterpart of ``rolling_agg``'s algebraic
     sum/mean/min/max.
 
-    Scale shape: same one keyed shuffle; each key group sorts once and
-    runs pandas' C sliding-quantile kernel per requested q — per-group
-    cost O(n·log window), never a per-row Python loop. Returns a
-    Dataset of (key, order, *out_cols)."""
+    Scale shape: one keyed-bucket shuffle; each bucket runs pandas'
+    grouped C sliding-quantile kernel over ALL its keys at once
+    (``GroupBy.rolling`` — per-group cost O(n·log window), no per-key
+    Python). Returns a Dataset of (key, order, *out_cols)."""
     if len(qs) != len(out_cols):
         raise ValueError("qs and out_cols must have equal length")
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:  # Ray drops columns on empty map_groups output
-            cols = {key_col: pd.Series([], dtype=df[key_col].dtype),
-                    order_col: pd.Series([], dtype=df[order_col].dtype)}
-            for c in out_cols:
-                cols[c] = pd.Series([], dtype="float64")
-            return pd.DataFrame(cols)
-        df = df.sort_values([ts_col, order_col], kind="mergesort")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, order_col],
+                            kind="mergesort").reset_index(drop=True)
         out = df[[key_col, order_col]].copy()
-        roll = df[value_col].rolling(window, min_periods=1)
+        roll = df.groupby(key_col, sort=False,
+                          dropna=False)[value_col] \
+            .rolling(window, min_periods=1)
         for q, c in zip(qs, out_cols):
-            out[c] = roll.quantile(q, interpolation="linear").to_numpy()
+            # grouped-rolling output is (key, row)-indexed in group
+            # order == row order on the key-sorted frame
+            out[c] = roll.quantile(q, interpolation="linear") \
+                .reset_index(drop=True).to_numpy()
         return out
 
     proj = ds.map_batches(
         lambda t, c=(key_col, ts_col, value_col, order_col):
             t.select(list(c)),
         batch_format="pyarrow", batch_size=None)
-    return proj.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(proj, key_col, per_bucket)
 
 
 def ohlc_bars(ds, ts_col: str, key_col: str, value_col: str,
