@@ -2859,6 +2859,91 @@ LIMIT 20
 """
 
 
+def q_tq_bigorders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape (large-volume orders): top-100 orders whose
+    total line quantity exceeds a threshold, with customer detail.
+
+    Plan: the HAVING-join pattern — per-block (orderkey, qty) partials,
+    uniform-bucket vectorized finalize keeping only keys over the
+    threshold (the aggregate-filter is selective BY CONSTRUCTION: its
+    output is the broadcastable qualifying-key set), qualifying keys
+    broadcast into a pruned orders scan (map-side semi-join), customer
+    dimension broadcast, per-block top-100 partials merged on the
+    driver."""
+    import ray
+
+    from feature_fabrica_ray.pipelines import broadcast_join
+    from feature_fabrica_ray.state import hash64
+    from feature_fabrica_ray.tuning import shuffle_partitions
+
+    th = 180.0
+    n_shuffle = shuffle_partitions()
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
+        g = g.rename_columns(["l_orderkey", "s"])
+        h = hash64(g.column("l_orderkey"))
+        return g.append_column("__bkt", pa.array(
+            (h % np.uint64(n_shuffle)).astype(np.int32), pa.int32()))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("s", "sum")])
+        g = g.rename_columns(["l_orderkey", "sum_qty"])
+        return g.filter(pc.greater(g.column("sum_qty"), th))
+
+    big = (li.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("__bkt", num_partitions=n_shuffle)
+           .map_groups(lambda t: finalize(t.drop_columns(["__bkt"])),
+                       batch_format="pyarrow")
+           .to_pandas())
+    qty = dict(zip(big["l_orderkey"], big["sum_qty"]))
+    keys = pa.array(np.sort(big["l_orderkey"].to_numpy()), pa.int64())
+    kref = ray.put(keys)
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("o_orderkey"),
+                                    value_set=ray.get(kref))),
+        batch_format="pyarrow", batch_size=None)
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name"])
+    joined = broadcast_join(orders, cust, left_on="o_custkey",
+                            right_on="c_custkey")
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[
+            ("o_totalprice", "descending"), ("o_orderdate", "ascending"),
+            ("o_orderkey", "ascending")])
+        return b.take(idx.slice(0, 100))
+
+    parts = joined.map_batches(local_topk, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    out = parts.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                            ascending=[False, True, True]).head(100)
+    out["sum_qty"] = out["o_orderkey"].map(qty).astype("float64")
+    return out[["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]].reset_index(drop=True)
+
+
+_TQ_BIGORDERS_ORACLE = """
+SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum(l_quantity) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
 def q_jn_cross(sf_dir: str):
     """CROSS JOIN with a broadcast dimension side: every region row
     paired with every nation row map-side, no shuffle
@@ -8425,6 +8510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tq_shipping": q_tq_shipping,
         "tq_localvolume": q_tq_localvolume,
         "tq_returns": q_tq_returns,
+        "tq_bigorders": q_tq_bigorders,
         "dd_exact": q_dd_exact,
         "dd_editdist": q_dd_editdist,
         "dd_damerau": q_dd_damerau,
@@ -8709,6 +8795,7 @@ def oracle_sql() -> dict[str, str]:
         "tq_shipping": _TQ_SHIPPING_ORACLE,
         "tq_localvolume": _TQ_LOCALVOLUME_ORACLE,
         "tq_returns": _TQ_RETURNS_ORACLE,
+        "tq_bigorders": _TQ_BIGORDERS_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,
         "dd_editdist": _DD_EDITDIST_ORACLE,
         "dd_damerau": _DD_DAMERAU_ORACLE,
