@@ -410,22 +410,31 @@ def triangle_count(edges, a_col: str = "a", b_col: str = "b"):
     if e.count() == 0:
         return pd.DataFrame({"node": pd.Series([], dtype="int64"),
                              "tri_cnt": pd.Series([], dtype="int64")})
+    from .join import partitions_for_bytes
+
     nparts = shuffle_partitions()
     ab = e.map_batches(_canon2(["a", "b"]), batch_format="pyarrow",
                        batch_size=None).materialize()
     bc = e.map_batches(_canon2(["b", "c"]), batch_format="pyarrow",
                        batch_size=None).materialize()
+    # inputs are materialized: size_bytes() is free metadata — size the
+    # hash joins to the data (the fixed per-partition cost dominates a
+    # KB..MB join at the CPU-derived default)
+    np1 = min(nparts, partitions_for_bytes(
+        (ab.size_bytes() or 0) + (bc.size_bytes() or 0)))
     wedges = ab.join(bc, join_type="inner", on=("b",),
-                     num_partitions=nparts).materialize()
+                     num_partitions=np1).materialize()
     nw = wedges.count()
     if nw == 0:
         return pd.DataFrame({"node": pd.Series([], dtype="int64"),
                              "tri_cnt": pd.Series([], dtype="int64")})
-    wedges = wedges.repartition(min(nparts, nw)).materialize()
     ac = e.map_batches(_canon2(["a", "c"]), batch_format="pyarrow",
                        batch_size=None).materialize()
+    np2 = min(nparts, partitions_for_bytes(
+        (wedges.size_bytes() or 0) + (ac.size_bytes() or 0)))
+    wedges = wedges.repartition(min(np2, nw)).materialize()
     tri = wedges.join(ac, join_type="inner", on=("a", "c"),
-                      num_partitions=nparts)
+                      num_partitions=np2)
 
     def node_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
