@@ -244,9 +244,14 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
     import pandas as pd
     import ray
 
+    # Materialize the 16 B/row edge projection ONCE: every iteration
+    # streams over it, and a lazy `proj` would re-execute the whole
+    # upstream pipeline (parquet read + edge construction) per
+    # iteration. The copy lives in the object store (spillable), never
+    # on the driver.
     proj = edges.map_batches(
         lambda t, c=(src_col, dst_col): t.select(list(c)),
-        batch_format="pyarrow", batch_size=None)
+        batch_format="pyarrow", batch_size=None).materialize()
 
     # node ids + outdegree: two small combiner group-bys
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -372,9 +377,18 @@ def canonical_edges(edges, a_col: str = "a", b_col: str = "b"):
         return pa.table({"lo": t.column("lo").cast(pa.int64()),
                          "hi": t.column("hi").cast(pa.int64())})
 
+    from .join import partitions_for_bytes
+
     nparts = shuffle_partitions()
-    e = (edges.map_batches(canon, batch_format="pyarrow", batch_size=None)
-         .groupby(["lo", "hi"], num_partitions=nparts).count()
+    # Materialize the block-deduped 16 B/row projection first: the
+    # shuffle would materialize it into the object store anyway, and a
+    # materialized input gives a FREE size_bytes() to size the exchange
+    # (fixed per-partition cost dominates KB..MB shuffles at the
+    # CPU-derived default; 100 TB still gets thousands of partitions).
+    pre = edges.map_batches(canon, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    np_ = min(nparts, partitions_for_bytes(pre.size_bytes() or 0))
+    e = (pre.groupby(["lo", "hi"], num_partitions=np_).count()
          .map_batches(keys_only, batch_format="pyarrow", batch_size=None)
          .materialize())
     m = e.count()
