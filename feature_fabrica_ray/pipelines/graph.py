@@ -119,10 +119,16 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
         return pa.table({"node": g.column("node"),
                          "label": g.column("label_min")})
 
+    from .join import sized_join
+
     for _ in range(max_iters):
-        # neighbor labels: for every edge (src, dst), dst's current label
-        nbr = sym.join(labels, join_type="inner", on=("dst",),
-                       right_on=("node",), num_partitions=nparts) \
+        # neighbor labels: for every edge (src, dst), dst's current
+        # label. The label table is node-scale (16 B/node) — far below
+        # the edge set — so sized_join broadcasts it while it fits and
+        # falls back to the hash exchange on a billion-node graph.
+        nbr = sized_join(sym, labels, on=("dst",), right_on=("node",),
+                         left_bytes=sym.size_bytes(),
+                         right_bytes=labels.size_bytes()) \
             .select_columns(["src", "label"]) \
             .map_batches(_canon2(["node", "label"]),
                          batch_format="pyarrow", batch_size=None)
@@ -143,9 +149,12 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
         # convergence is O(log diameter) at one extra narrow join per
         # round.
         hop = labels.map_batches(_canon2(["node2", "label2"]),
-                                 batch_format="pyarrow", batch_size=None)
-        labels = (labels.join(hop, join_type="inner", on=("label",),
-                              right_on=("node2",), num_partitions=nparts)
+                                 batch_format="pyarrow", batch_size=None) \
+            .materialize()
+        labels = (sized_join(labels, hop, on=("label",),
+                             right_on=("node2",),
+                             left_bytes=labels.size_bytes(),
+                             right_bytes=hop.size_bytes())
                   .select_columns(["node", "label2"])
                   .map_batches(_canon2(["node", "label"]),
                                batch_format="pyarrow", batch_size=None)
@@ -192,9 +201,11 @@ def star_edges(ds, id_col: str, key_col: str):
             .map_batches(_canon_keyed(key_col, f"min({id_col})"),
                          batch_format="pyarrow", batch_size=None)
             .materialize())
-    mins = mins.repartition(min(nparts, max(mins.count(), 1))).materialize()
-    out = proj.join(mins, join_type="inner", on=(key_col,),
-                    num_partitions=nparts)
+    from .join import sized_join
+
+    out = sized_join(proj, mins, on=(key_col,),
+                     left_bytes=proj.size_bytes(),
+                     right_bytes=mins.size_bytes())
 
     def to_edges(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or id_col not in batch.column_names:
@@ -424,31 +435,27 @@ def triangle_count(edges, a_col: str = "a", b_col: str = "b"):
     if e.count() == 0:
         return pd.DataFrame({"node": pd.Series([], dtype="int64"),
                              "tri_cnt": pd.Series([], dtype="int64")})
-    from .join import partitions_for_bytes
+    from .join import sized_join
 
-    nparts = shuffle_partitions()
     ab = e.map_batches(_canon2(["a", "b"]), batch_format="pyarrow",
                        batch_size=None).materialize()
     bc = e.map_batches(_canon2(["b", "c"]), batch_format="pyarrow",
                        batch_size=None).materialize()
-    # inputs are materialized: size_bytes() is free metadata — size the
-    # hash joins to the data (the fixed per-partition cost dominates a
-    # KB..MB join at the CPU-derived default)
-    np1 = min(nparts, partitions_for_bytes(
-        (ab.size_bytes() or 0) + (bc.size_bytes() or 0)))
-    wedges = ab.join(bc, join_type="inner", on=("b",),
-                     num_partitions=np1).materialize()
+    # inputs are materialized: size_bytes() is free metadata — a small
+    # edge set broadcasts (zero exchange, no JoinOperator spin-up), a
+    # web-scale one takes the byte-sized hash join
+    wedges = sized_join(ab, bc, on=("b",),
+                        left_bytes=ab.size_bytes(),
+                        right_bytes=bc.size_bytes()).materialize()
     nw = wedges.count()
     if nw == 0:
         return pd.DataFrame({"node": pd.Series([], dtype="int64"),
                              "tri_cnt": pd.Series([], dtype="int64")})
     ac = e.map_batches(_canon2(["a", "c"]), batch_format="pyarrow",
                        batch_size=None).materialize()
-    np2 = min(nparts, partitions_for_bytes(
-        (wedges.size_bytes() or 0) + (ac.size_bytes() or 0)))
-    wedges = wedges.repartition(min(np2, nw)).materialize()
-    tri = wedges.join(ac, join_type="inner", on=("a", "c"),
-                      num_partitions=np2)
+    tri = sized_join(wedges, ac, on=("a", "c"),
+                     left_bytes=wedges.size_bytes(),
+                     right_bytes=ac.size_bytes())
 
     def node_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -503,13 +510,15 @@ def edge_jaccard(edges, a_col: str = "a", b_col: str = "b"):
             "lo": empty, "hi": empty, "common": empty,
             "deg_lo": empty, "deg_hi": empty,
             "jaccard": pa.array([], pa.float64())}))
+    from .join import sized_join
+
     nparts = shuffle_partitions()
     ab = e.map_batches(_canon2(["a", "b"]), batch_format="pyarrow",
                        batch_size=None).materialize()
     bc = e.map_batches(_canon2(["b", "c"]), batch_format="pyarrow",
                        batch_size=None).materialize()
-    wedges = ab.join(bc, join_type="inner", on=("b",),
-                     num_partitions=nparts).materialize()
+    wedges = sized_join(ab, bc, on=("b",), left_bytes=ab.size_bytes(),
+                        right_bytes=bc.size_bytes()).materialize()
     ac = e.map_batches(_canon2(["a", "c"]), batch_format="pyarrow",
                        batch_size=None).materialize()
 
@@ -541,23 +550,22 @@ def edge_jaccard(edges, a_col: str = "a", b_col: str = "b"):
     nw = wedges.count()
     have_common = False
     if nw > 0:
-        tri = wedges.repartition(min(nparts, nw)).materialize() \
-            .join(ac, join_type="inner", on=("a", "c"),
-                  num_partitions=nparts)
+        tri = sized_join(wedges, ac, on=("a", "c"),
+                         left_bytes=wedges.size_bytes(),
+                         right_bytes=ac.size_bytes())
         common = (tri.map_batches(edge_partial, batch_format="pyarrow",
                                   batch_size=None)
-                  .groupby(["lo", "hi"], num_partitions=nparts)
+                  .groupby(["lo", "hi"], num_partitions=min(
+                      nparts, max(nw, 1)))
                   .sum("common")
                   .map_batches(canon_common, batch_format="pyarrow",
                                batch_size=None)
                   .materialize())
         nc = common.count()
         if nc > 0:
-            common = common.repartition(min(nparts, nc)).materialize()
-            out = e.join(common, join_type="left_outer", on=("lo", "hi"),
-                         num_partitions=nparts).materialize()
-            n_out = out.count()
-            out = out.repartition(min(nparts, max(n_out, 1))).materialize()
+            out = sized_join(e, common, on=("lo", "hi"), how="left outer",
+                             left_bytes=e.size_bytes(),
+                             right_bytes=common.size_bytes()).materialize()
             have_common = True
     if not have_common:
         out = e.map_batches(
@@ -585,20 +593,18 @@ def edge_jaccard(edges, a_col: str = "a", b_col: str = "b"):
            .map_batches(_canon2(["node", "deg"]), batch_format="pyarrow",
                         batch_size=None)
            .materialize())
-    nd = deg.count()
-    deg = deg.repartition(min(nparts, max(nd, 1))).materialize()
     deg_lo = deg.map_batches(_canon2(["lo", "deg_lo"]),
                              batch_format="pyarrow", batch_size=None) \
         .materialize()
     deg_hi = deg.map_batches(_canon2(["hi", "deg_hi"]),
                              batch_format="pyarrow", batch_size=None) \
         .materialize()
-    out = out.join(deg_lo, join_type="inner", on=("lo",),
-                   num_partitions=nparts).materialize()
-    n_out = out.count()
-    out = out.repartition(min(nparts, max(n_out, 1))).materialize()
-    out = out.join(deg_hi, join_type="inner", on=("hi",),
-                   num_partitions=nparts)
+    out = sized_join(out, deg_lo, on=("lo",),
+                     left_bytes=out.size_bytes(),
+                     right_bytes=deg_lo.size_bytes()).materialize()
+    out = sized_join(out, deg_hi, on=("hi",),
+                     left_bytes=out.size_bytes(),
+                     right_bytes=deg_hi.size_bytes())
 
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or not {"lo", "hi"} <= set(t.column_names):
@@ -642,6 +648,8 @@ def kcore(edges, k: int, a_col: str = "a", b_col: str = "b",
     the core, sorted by node."""
     import pandas as pd
 
+    from .join import sized_join
+
     e = canonical_edges(edges, a_col, b_col)
     nparts = shuffle_partitions()
 
@@ -680,21 +688,22 @@ def kcore(edges, k: int, a_col: str = "a", b_col: str = "b",
             return out.sort_values("node").reset_index(drop=True)
         if n_alive == 0:
             return empty_out
-        alive = alive.repartition(min(nparts, n_alive)).materialize()
         a_lo = alive.map_batches(_canon2(["lo", "_d1"]),
                                  batch_format="pyarrow", batch_size=None) \
             .materialize()
         a_hi = alive.map_batches(_canon2(["hi", "_d2"]),
                                  batch_format="pyarrow", batch_size=None) \
             .materialize()
-        e = e.join(a_lo, join_type="inner", on=("lo",),
-                   num_partitions=nparts).materialize()
+        # the alive set is node-scale — broadcast it against the edge
+        # set while it fits (sized_join falls back to the hash
+        # exchange past the byte threshold)
+        e = sized_join(e, a_lo, on=("lo",), left_bytes=e.size_bytes(),
+                       right_bytes=a_lo.size_bytes()).materialize()
         ne = e.count()
         if ne == 0:
             return empty_out
-        e = (e.repartition(min(nparts, ne)).materialize()
-             .join(a_hi, join_type="inner", on=("hi",),
-                   num_partitions=nparts)
+        e = (sized_join(e, a_hi, on=("hi",), left_bytes=e.size_bytes(),
+                        right_bytes=a_hi.size_bytes())
              .map_batches(lambda t: _canon2(["lo", "hi"])(
                  t.select(["lo", "hi"]) if {"lo", "hi"} <= set(
                      t.column_names) else t),
@@ -790,14 +799,19 @@ def bfs_hops(edges, sources: list[int], a_col: str = "a",
     dist = _rd.from_arrow(seeds.append_column(
         "hop", pa.array(np.zeros(seeds.num_rows, np.int64)))).materialize()
     frontier = dist
+    from .join import sized_join
+
     for hop in range(1, max_hops + 1):
         nf = frontier.count()
         if nf == 0:
             break
-        frontier = frontier.repartition(min(nparts, nf)).materialize()
-        nbr = (sym.join(frontier.select_columns(["node"]),
-                        join_type="inner", on=("src",),
-                        right_on=("node",), num_partitions=nparts)
+        fr = frontier.select_columns(["node"]).materialize()
+        # frontier is node-scale: broadcast it against the edge set
+        # while it fits; past the byte threshold sized_join falls back
+        # to the hash exchange
+        nbr = (sized_join(sym, fr, on=("src",), right_on=("node",),
+                          left_bytes=sym.size_bytes(),
+                          right_bytes=fr.size_bytes())
                .map_batches(
                    lambda t, h=hop: pa.table(
                        {"node": (t.column("dst").cast(pa.int64())
@@ -863,19 +877,18 @@ def degree_assortativity(edges, a_col: str = "a", b_col: str = "b"):
            .map_batches(_canon2(["node", "deg"]), batch_format="pyarrow",
                         batch_size=None)
            .materialize())
-    nd = deg.count()
-    deg = deg.repartition(min(nparts, max(nd, 1))).materialize()
+    from .join import sized_join
+
     d_lo = deg.map_batches(_canon2(["lo", "deg_lo"]),
                            batch_format="pyarrow", batch_size=None) \
         .materialize()
     d_hi = deg.map_batches(_canon2(["hi", "deg_hi"]),
                            batch_format="pyarrow", batch_size=None) \
         .materialize()
-    out = e.join(d_lo, join_type="inner", on=("lo",),
-                 num_partitions=nparts).materialize()
-    out = out.repartition(min(nparts, max(out.count(), 1))).materialize()
-    out = out.join(d_hi, join_type="inner", on=("hi",),
-                   num_partitions=nparts)
+    out = sized_join(e, d_lo, on=("lo",), left_bytes=e.size_bytes(),
+                     right_bytes=d_lo.size_bytes()).materialize()
+    out = sized_join(out, d_hi, on=("hi",), left_bytes=out.size_bytes(),
+                     right_bytes=d_hi.size_bytes())
 
     def moments(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "deg_lo" not in t.column_names:
@@ -939,11 +952,12 @@ def modularity(edges, assign, a_col: str = "a", b_col: str = "b",
     c_hi = asg.map_batches(_canon2(["hi", "c_hi"]),
                            batch_format="pyarrow", batch_size=None) \
         .materialize()
-    out = e.join(c_lo, join_type="inner", on=("lo",),
-                 num_partitions=nparts).materialize()
-    out = out.repartition(min(nparts, max(out.count(), 1))).materialize()
-    out = out.join(c_hi, join_type="inner", on=("hi",),
-                   num_partitions=nparts)
+    from .join import sized_join
+
+    out = sized_join(e, c_lo, on=("lo",), left_bytes=e.size_bytes(),
+                     right_bytes=c_lo.size_bytes()).materialize()
+    out = sized_join(out, c_hi, on=("hi",), left_bytes=out.size_bytes(),
+                     right_bytes=c_hi.size_bytes())
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "c_lo" not in t.column_names:

@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 
 __all__ = ["broadcast_join", "broadcast_cross_join", "broadcast_range_join",
            "shuffle_join", "bloom_filtered_join", "join_cardinality_estimate",
-           "salted_join"]
+           "salted_join", "sized_join"]
 
 _MAX_BROADCAST_ROWS = 5_000_000  # guard: a "small side" must actually be small
 
@@ -184,6 +184,49 @@ def shuffle_join(left, right, *, on, right_on=None, how: str = "inner",
     return left.join(right, join_type=how,
                      num_partitions=num_partitions or shuffle_partitions(),
                      on=on, right_on=right_on)
+
+
+_SIZED_BROADCAST_BYTES = 64 << 20  # right side at/below this broadcasts
+
+
+def sized_join(left, right, *, on, right_on=None, how: str = "inner",
+               left_bytes: int | None = None, right_bytes: int | None = None):
+    """Size-aware join dispatch: broadcast the right side when its
+    known byte size fits a worker's heap, else Ray's hash join with a
+    partition count sized to the combined input bytes.
+
+    This is the broadcast-vs-exchange decision every distributed
+    engine makes at plan time. Ray's ``JoinOperator`` pays a fixed
+    actor-pool spin-up (~5 s on this box) regardless of data size, so
+    a KB..MB join is pure overhead through the exchange path, while a
+    broadcast join is one ``ray.put`` plus a map-side pyarrow hash
+    join per block (zero shuffle of the big side). At 100 TB an edge
+    or dimension side larger than the ``FFR_BROADCAST_BYTES``
+    threshold (default 64 MB) falls back to the sized shuffle join.
+
+    Pass byte sizes from MATERIALIZED datasets (``ds.size_bytes()`` is
+    free metadata there) or a read stage; ``None`` means unknown and
+    forces the shuffle path — never call ``size_bytes()`` on a lazy
+    transformed dataset (it would execute it).
+
+    Broadcast only dispatches for pyarrow-expressible ``how`` values
+    ('inner', 'left outer', 'left semi', 'left anti'); anything else
+    takes the shuffle path."""
+    import os
+
+    thr = int(os.environ.get("FFR_BROADCAST_BYTES", _SIZED_BROADCAST_BYTES))
+    # pyarrow spells join types with spaces, Ray Data with underscores;
+    # accept either and translate per backend
+    pa_how = how.replace("_", " ")
+    broadcastable = pa_how in ("inner", "left outer", "left semi",
+                               "left anti")
+    if broadcastable and right_bytes is not None and right_bytes <= thr:
+        return broadcast_join(left, right, left_on=on, right_on=right_on,
+                              how=pa_how)
+    total = (left_bytes or 0) + (right_bytes or 0)
+    return shuffle_join(left, right, on=on, right_on=right_on,
+                        how=how.replace(" ", "_"),
+                        num_partitions=partitions_for_bytes(total or None))
 
 
 def bloom_filtered_join(left, right, *, on: str, right_on: str | None = None,
