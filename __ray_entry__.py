@@ -2634,7 +2634,7 @@ def q_tq_shipping(sf_dir: str) -> pd.DataFrame:
 
     from feature_fabrica_ray.pipelines import (broadcast_join,
                                                partitions_for_bytes,
-                                               shuffle_join,
+                                               sized_join,
                                                topk_grouped_sum)
 
     cut = _dt.datetime.fromisoformat(_TQ_CUT)
@@ -2659,8 +2659,13 @@ def q_tq_shipping(sf_dir: str) -> pd.DataFrame:
                               "l_discount"])
     npart = partitions_for_bytes(
         (li_r.size_bytes() or 0) + (orders_r.size_bytes() or 0))
-    joined = shuffle_join(li, orders, on="l_orderkey",
-                          right_on="o_orderkey", num_partitions=npart)
+    # orders is the semi-pruned side; its pre-filter read size is a
+    # safe UPPER bound for the broadcast-vs-exchange decision (if the
+    # unpruned side fits the broadcast budget, the pruned one does)
+    joined = sized_join(li, orders, on="l_orderkey",
+                        right_on="o_orderkey",
+                        left_bytes=li_r.size_bytes(),
+                        right_bytes=orders_r.size_bytes())
 
     def rev(b: pa.Table) -> pa.Table:
         r = pc.multiply(b.column("l_extendedprice"),
@@ -2704,9 +2709,7 @@ def q_tq_localvolume(sf_dir: str) -> pd.DataFrame:
     per-block partials on the nation-sized key (no second shuffle)."""
     import pyarrow.dataset as pds
 
-    from feature_fabrica_ray.pipelines import (broadcast_join,
-                                               partitions_for_bytes,
-                                               shuffle_join)
+    from feature_fabrica_ray.pipelines import broadcast_join, sized_join
 
     cut = _dt.datetime.fromisoformat(_TQ_CUT)
     nation = read_parquet_clean(f"{sf_dir}/nation.parquet")
@@ -2738,10 +2741,12 @@ def q_tq_localvolume(sf_dir: str) -> pd.DataFrame:
                             cust, left_on="o_custkey",
                             right_on="c_custkey")
 
-    joined = shuffle_join(
+    # right side = date-pruned orders + the customer nation column; the
+    # two read sizes bound it from above for the dispatch decision
+    joined = sized_join(
         li, orders, on="l_orderkey", right_on="o_orderkey",
-        num_partitions=partitions_for_bytes(
-            (li_r.size_bytes() or 0) + (orders_r.size_bytes() or 0)))
+        left_bytes=li_r.size_bytes(),
+        right_bytes=(orders_r.size_bytes() or 0) + (cust.size_bytes() or 0))
 
     def partial(b: pa.Table) -> pa.Table:
         keep = pc.equal(b.column("c_nationkey").cast(pa.int32()),
@@ -2791,7 +2796,7 @@ def q_tq_returns(sf_dir: str) -> pd.DataFrame:
     import pyarrow.dataset as pds
 
     from feature_fabrica_ray.pipelines import (partitions_for_bytes,
-                                               shuffle_join,
+                                               sized_join,
                                                topk_grouped_sum)
 
     cut = _dt.datetime.fromisoformat(_TQ_CUT)
@@ -2811,8 +2816,11 @@ def q_tq_returns(sf_dir: str) -> pd.DataFrame:
     orders = orders_r.select_columns(["o_orderkey", "o_custkey"])
     npart = partitions_for_bytes(
         (li_r.size_bytes() or 0) + (orders_r.size_bytes() or 0))
-    joined = shuffle_join(li, orders, on="l_orderkey",
-                          right_on="o_orderkey", num_partitions=npart)
+    # the date-pruned orders read size bounds the join's right side
+    joined = sized_join(li, orders, on="l_orderkey",
+                        right_on="o_orderkey",
+                        left_bytes=li_r.size_bytes(),
+                        right_bytes=orders_r.size_bytes())
 
     def rev(b: pa.Table) -> pa.Table:
         r = pc.multiply(b.column("l_extendedprice"),
@@ -6620,9 +6628,7 @@ def q_agg_q3(sf_dir: str) -> pd.DataFrame:
     driver-side row data."""
     from ray.data.aggregate import Sum
 
-    from feature_fabrica_ray.pipelines import (broadcast_join,
-                                               partitions_for_bytes,
-                                               shuffle_join)
+    from feature_fabrica_ray.pipelines import broadcast_join, sized_join
     from feature_fabrica_ray.tuning import shuffle_partitions
 
     cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
@@ -6637,16 +6643,17 @@ def q_agg_q3(sf_dir: str) -> pd.DataFrame:
     orders_f = broadcast_join(orders, building, left_on="o_custkey",
                               right_on="c_custkey", how="left semi")
     # compact: the semi join can leave empty leading blocks, which the
-    # native hash join's schema broadcast does not tolerate
+    # native hash join's schema broadcast does not tolerate; the
+    # materialized size then drives the broadcast-vs-exchange dispatch
     orders_f = orders_f.repartition(
         max(1, min(8, shuffle_partitions()))).materialize()
     li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_extendedprice",
                                      "l_discount"])
-    joined = shuffle_join(li, orders_f, on="l_orderkey",
-                          right_on="o_orderkey",
-                          num_partitions=partitions_for_bytes(
-                              li.size_bytes() or 0))
+    joined = sized_join(li, orders_f, on="l_orderkey",
+                        right_on="o_orderkey",
+                        left_bytes=li.size_bytes(),
+                        right_bytes=orders_f.size_bytes())
 
     def combine(b: pa.Table) -> pa.Table:
         rev = pc.multiply(b.column("l_extendedprice"),
