@@ -264,6 +264,38 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
         lambda t, c=(src_col, dst_col): t.select(list(c)),
         batch_format="pyarrow", batch_size=None).materialize()
 
+    # Small-graph fast path (size-dispatched like sized_join): when the
+    # materialized 16 B/row projection fits the same byte budget as a
+    # broadcast join side, collect it ONCE and run every iteration as
+    # numpy scatter-adds — 10 Ray passes + 10 driver collects become 1
+    # collect, identical math (multigraph weights via bincount, same
+    # dangling redistribution). Past the threshold the streaming
+    # combiner path below handles web-scale graphs unchanged.
+    import os
+
+    thr = int(os.environ.get("FFR_LOCAL_GRAPH_BYTES", 64 << 20))
+    if (proj.size_bytes() or thr + 1) <= thr:
+        df = proj.to_pandas()
+        s = df[src_col].to_numpy(dtype=np.int64)
+        d = df[dst_col].to_numpy(dtype=np.int64)
+        if s.size == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "rank": pd.Series([], dtype="float64")})
+        nodes = np.unique(np.concatenate([s, d]))
+        n = len(nodes)
+        si = np.searchsorted(nodes, s)
+        di = np.searchsorted(nodes, d)
+        outdeg = np.bincount(si, minlength=n).astype(np.int64)
+        dangling = outdeg == 0
+        safe_deg = np.where(dangling, 1, outdeg).astype(np.float64)
+        rank = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            share = np.where(dangling, 0.0, rank / safe_deg)
+            inflow = np.bincount(di, weights=share[si], minlength=n)
+            d_mass = float(rank[dangling].sum())
+            rank = (1.0 - damping) / n + damping * (inflow + d_mass / n)
+        return pd.DataFrame({"node": nodes, "rank": rank})
+
     # node ids + outdegree: two small combiner group-bys
     def deg_partial(t: pa.Table) -> pa.Table:
         g = t.group_by(src_col).aggregate([([], "count_all")])

@@ -2406,6 +2406,20 @@ def test_pagerank_vs_power_iteration(ray_session):
     ranks = dict(zip(sr["node"], sr["rank"]))
     assert ranks[0] > ranks[1] * 3
 
+    # the size-dispatched small-graph fast path and the streaming
+    # combiner path are the SAME algorithm: force the distributed path
+    # with a 1-byte threshold and require bitwise-close agreement
+    import os
+    os.environ["FFR_LOCAL_GRAPH_BYTES"] = "1"
+    try:
+        dist = pagerank(_ds(edges, blocks=3), "src", "dst",
+                        damping=0.85, iters=30)
+    finally:
+        del os.environ["FFR_LOCAL_GRAPH_BYTES"]
+    assert np.allclose(dist["rank"].to_numpy(), got["rank"].to_numpy(),
+                       atol=1e-12)
+    assert (dist["node"].to_numpy() == got["node"].to_numpy()).all()
+
 
 def test_histogram2d_fixed(ray_session):
     """2-D fixed-grid histogram matches np.histogram2d-style hand
