@@ -2180,6 +2180,37 @@ WHERE token <> '' GROUP BY token
 """
 
 
+def q_ta_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer training (Sennrich 2016, byte-level): ONE exact
+    distributed word-count pass (combiner partials -> keyed groupby-sum
+    -> per-block top-N prune), then the merge loop runs over the compact
+    word-frequency table driver-side as vectorized numpy passes — the
+    subword-nmt decomposition, so the corpus itself is read exactly
+    once regardless of merge count (pipelines/bpe.py::learn_bpe).
+    Deterministic + partition-invariant; no SQL oracle (iterative)."""
+    from feature_fabrica_ray.pipelines import learn_bpe
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return learn_bpe(ds, num_merges=40, min_count=2)
+
+
+def q_ta_bpe_tokens(sf_dir: str) -> pd.DataFrame:
+    """Per-document token counts under a corpus-learned BPE vocabulary:
+    the KB-sized merge table bakes into a stateless map_batches closure
+    (plan-time broadcast), each batch replays the merges as vectorized
+    flat-array passes (pipelines/bpe.py::bpe_token_counts). Returns
+    (doc_id, n_bpe_tokens) sorted; rows-only check (the learned merges
+    are not SQL-expressible)."""
+    from feature_fabrica_ray.pipelines import bpe_token_counts, learn_bpe
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    merges = learn_bpe(ds, num_merges=40, min_count=2)
+    out = bpe_token_counts(ds, merges).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 
 def q_ta_tfidf(sf_dir: str):
     """Top-5 TF-IDF terms per document: distributed vocabulary build
@@ -8475,6 +8506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jn_range": q_jn_range,
         "agg_sort_limit": q_agg_sort_limit,
         "ta_vocab": q_ta_vocab,
+        "ta_bpe_merges": q_ta_bpe_merges,
+        "ta_bpe_tokens": q_ta_bpe_tokens,
         "ta_tfidf": q_ta_tfidf,
         "ta_chunks": q_ta_chunks,
         "sm_group_sample": q_sm_group_sample,

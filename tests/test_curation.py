@@ -358,3 +358,62 @@ def test_bm25_scores(ray_session):
         assert set(got.index) == set(expect)
         for d, s in expect.items():
             assert abs(got[d] - s) < 1e-12
+
+
+def test_bpe_learn_golden(ray_session):
+    """Hand-checkable corpus: merge order and weighted pair counts
+    follow the classic BPE recipe (count-desc, smaller-pair tiebreak),
+    and token counts reflect the learned merges."""
+    from feature_fabrica_ray.pipelines import bpe_token_counts, learn_bpe
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["aaab aaab", "ab", ""]})
+    m = learn_bpe(_ds(df), num_merges=4, min_count=1)
+    assert list(m["merged"]) == ["aa", "ab", "ab</w>", "aaab</w>"]
+    assert list(m["pair_count"]) == [4, 3, 3, 2]
+    tc = bpe_token_counts(_ds(df), m).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(tc["n_bpe_tokens"]) == [2, 1, 0]
+
+
+def test_bpe_partition_invariance(ray_session):
+    """Learned merges are a function of exact global word counts, so
+    block layout must not change them; token counts follow."""
+    from feature_fabrica_ray.pipelines import bpe_token_counts, learn_bpe
+
+    rng = np.random.default_rng(7)
+    words = ["low", "lower", "lowest", "newer", "wider", "new"]
+    texts = [" ".join(rng.choice(words, rng.integers(3, 12)))
+             for _ in range(40)]
+    df = pd.DataFrame({"doc_id": np.arange(40), "text": texts})
+    m1 = learn_bpe(_ds(df, blocks=1), num_merges=12)
+    m8 = learn_bpe(_ds(df, blocks=8), num_merges=12)
+    pd.testing.assert_frame_equal(m1, m8)
+    t1 = bpe_token_counts(_ds(df, blocks=1), m1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    t8 = bpe_token_counts(_ds(df, blocks=8), m8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(t1, t8)
+
+
+def test_bpe_token_count_semantics(ray_session):
+    """Zero merges counts raw bytes per word (markers excluded); more
+    merges never increase any document's token count; min_count stops
+    the merge loop early."""
+    from feature_fabrica_ray.pipelines import bpe_token_counts, learn_bpe
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["abc de", "aa aa aa"]})
+    zero = bpe_token_counts(_ds(df), learn_bpe(_ds(df), num_merges=0)) \
+        .to_pandas().sort_values("doc_id")
+    assert list(zero["n_bpe_tokens"]) == [5, 6]   # raw bytes of words
+    prev = zero["n_bpe_tokens"].to_numpy()
+    for k in (1, 3, 8):
+        m = learn_bpe(_ds(df), num_merges=k, min_count=1)
+        cur = bpe_token_counts(_ds(df), m).to_pandas() \
+            .sort_values("doc_id")["n_bpe_tokens"].to_numpy()
+        assert (cur <= prev).all()
+        prev = cur
+    # min_count guard: every pair in "x y z" is unique (count 1)
+    solo = learn_bpe(_ds(pd.DataFrame({"doc_id": [0], "text": ["x y z"]})),
+                     num_merges=10, min_count=2)
+    assert len(solo) == 0
