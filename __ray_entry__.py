@@ -2384,6 +2384,44 @@ WHERE md5(CAST(doc_id AS VARCHAR)) <
 """
 
 
+def q_sm_mixture(sf_dir: str) -> pd.DataFrame:
+    """Corpus mixing (pipelines/sampling.mixture_sample): downsample
+    sources to a 30/25/25/20 target mixture at the maximum feasible
+    size — one dimension-sized count pass picks the binding source,
+    then a stateless keyed filter applies the computed per-source keep
+    rates. md5 mode: the oracle recomputes the SAME rates from SQL
+    counts (identical IEEE-double steps) and replays the 12-hex-digit
+    md5 draw bit-for-bit."""
+    from feature_fabrica_ray.pipelines import mixture_sample
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source"])
+    out = mixture_sample(ds, {"src0": 0.30, "src1": 0.25,
+                              "src2": 0.25, "src3": 0.20},
+                         source_col="source", key_col="doc_id",
+                         method="md5").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_MIXTURE_ORACLE = """
+WITH props(source, p) AS (VALUES
+        ('src0', CAST(0.30 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+        ('src2', CAST(0.25 AS DOUBLE)), ('src3', CAST(0.20 AS DOUBLE))),
+counts AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+           FROM documents GROUP BY source),
+feas AS (SELECT min(c.n / pr.p) AS t
+         FROM counts c JOIN props pr USING (source)),
+rates AS (SELECT c.source, least(1.0, pr.p * f.t / c.n) AS keep
+          FROM counts c JOIN props pr USING (source) CROSS JOIN feas f)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))
+           AS BIGINT) < floor(r.keep * 281474976710656.0)
+ORDER BY d.doc_id
+"""
+
+
 def q_sm_weighted(sf_dir: str) -> pd.DataFrame:
     """Weighted (importance) sampling
     (pipelines/sampling.weighted_hash_sample): keep each document with
@@ -8513,6 +8551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sm_group_sample": q_sm_group_sample,
         "sm_hash_sample": q_sm_hash_sample,
         "sm_stratified": q_sm_stratified,
+        "sm_mixture": q_sm_mixture,
         "sm_split": q_sm_split,
         "sm_weighted": q_sm_weighted,
         "dd_embedding": q_dd_embedding,
@@ -8777,6 +8816,7 @@ def oracle_sql() -> dict[str, str]:
         "sm_group_sample": _GROUP_SAMPLE_ORACLE,
         "sm_hash_sample": _HASH_SAMPLE_ORACLE,
         "sm_stratified": _STRATIFIED_ORACLE,
+        "sm_mixture": _MIXTURE_ORACLE,
         "sm_split": _SPLIT_ORACLE,
         "sm_weighted": _WEIGHTED_ORACLE,
         # dd_embedding: LSH blocking -> rows-only (planted-pair pytest)

@@ -18,7 +18,7 @@ from ..state import combine_hashes, hash64
 
 __all__ = ["hash_sample", "stratified_sample", "weighted_hash_sample",
            "md5_hex_column", "md5_fraction_threshold", "hash_split",
-           "bootstrap_mean_ci", "neyman_allocation"]
+           "bootstrap_mean_ci", "neyman_allocation", "mixture_sample"]
 
 _D = np.uint64(1 << 32)
 
@@ -480,3 +480,70 @@ def balance_classes(ds, label_col: str, key_columns: list[str],
     out = weighted_hash_sample(stamped, key_columns, "__bal_w",
                                method=method)
     return out.drop_columns(["__bal_w"])
+
+
+def mixture_sample(ds, proportions: dict[str, float], *,
+                   source_col: str = "source", key_col: str = "doc_id",
+                   seed: int = 0, method: str = "hash64"):
+    """Data-mixing downsample: keep a deterministic subset whose
+    per-source composition matches ``proportions`` at the maximum
+    feasible output size (the binding source — smallest n_s/p_s — is
+    kept whole; every other source is hash-downsampled to scale).
+
+    The standard LLM-corpus mixing step (web/wiki/code ratios). Two
+    passes over the input: one narrow per-source count (dimension-sized
+    groupby), then a stateless keyed filter with the per-source keep
+    rates baked into the closure — no shuffle of the data itself.
+    Sources missing from ``proportions`` are dropped; sources named in
+    ``proportions`` but absent from the data are ignored when choosing
+    the feasible size (inner-join semantics, matching the SQL oracle).
+
+    ``method="hash64"`` is the vectorized scale path.
+    ``method="md5"`` keeps a row iff
+    ``int(md5_hex(key)[:12], 16) < floor(keep_s * 16**12)`` so the
+    whole selection — including the data-dependent rates — replays in
+    ANSI SQL from the same counts:
+
+        WITH props(source, p) AS (VALUES (...)),
+        counts AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+                   FROM t GROUP BY source),
+        feas AS (SELECT min(c.n / pr.p) AS t
+                 FROM counts c JOIN props pr USING (source)),
+        rates AS (SELECT c.source, least(1.0, pr.p * f.t / c.n) AS keep
+                  FROM counts c JOIN props pr USING (source)
+                  CROSS JOIN feas f)
+        SELECT ... WHERE CAST(('0x' || substring(md5(CAST(key AS
+        VARCHAR)), 1, 12)) AS BIGINT) < floor(r.keep * 281474976710656.0)
+
+    Both sides compute keep_s with the same IEEE-double operations in
+    the same order, so membership matches bit-exactly."""
+    for s, p in proportions.items():
+        if p <= 0.0:
+            raise ValueError(f"proportion for source {s!r} must be > 0")
+    counts = {}
+    for row in ds.groupby(source_col).count().take_all():
+        counts[row[source_col]] = float(row["count()"])
+    present = [s for s in proportions if s in counts]
+    if not present:
+        frac = {}
+    else:
+        t = min(counts[s] / proportions[s] for s in present)
+        frac = {s: min(1.0, proportions[s] * t / counts[s])
+                for s in present}
+    if method == "hash64":
+        return stratified_sample(ds, source_col, frac,
+                                 key_columns=[key_col], seed=seed,
+                                 default_fraction=0.0, method="hash64")
+    if method != "md5":
+        raise ValueError(f"unknown method {method!r}")
+    _H12 = float(16 ** 12)
+    thr = {s: int(np.floor(f * _H12)) for s, f in frac.items()}
+
+    def fn_md5(batch: pa.Table) -> pa.Table:
+        hexes = md5_hex_column(batch.column(key_col)).to_pylist()
+        srcs = batch.column(source_col).to_pylist()
+        keep = [h is not None and s in thr and int(h[:12], 16) < thr[s]
+                for h, s in zip(hexes, srcs)]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(fn_md5, batch_format="pyarrow", batch_size=None)

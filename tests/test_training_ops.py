@@ -4576,3 +4576,55 @@ def test_partitions_for_bytes():
         assert partitions_for_bytes(10**15) == 17       # env wins
     finally:
         del os.environ["FFR_SHUFFLE_PARTITIONS"]
+
+
+def test_mixture_sample(ray_session):
+    """Mixing to target proportions: the binding source is kept whole,
+    the realized mixture tracks the target, membership is partition-
+    invariant and a pure function of the key, and both hash modes obey
+    the same rate computation."""
+    import numpy as np
+    import pandas as pd
+    from feature_fabrica_ray.pipelines import mixture_sample
+
+    rng = np.random.default_rng(3)
+    n = {"web": 4000, "wiki": 500, "code": 1500}
+    rows = []
+    i = 0
+    for s, k in n.items():
+        for _ in range(k):
+            rows.append({"doc_id": i, "source": s})
+            i += 1
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=1) \
+        .reset_index(drop=True)
+    props = {"web": 0.5, "wiki": 0.2, "code": 0.3}
+    # binding source: min(n_s/p_s) = wiki (500/0.2=2500) -> kept whole
+    out1 = mixture_sample(_ds(df, blocks=1), props).to_pandas()
+    out8 = mixture_sample(_ds(df, blocks=8), props).to_pandas()
+    a = out1.sort_values("doc_id").reset_index(drop=True)
+    b = out8.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)          # partition-invariant
+    got = a.groupby("source").size()
+    assert got["wiki"] == 500                    # binding source whole
+    # realized proportions within sampling noise of the target
+    total = got.sum()
+    for s, p in props.items():
+        assert abs(got[s] / total - p) < 0.05
+    # expected totals: t=2500 -> web 1250, code 750 (+-hash noise)
+    assert abs(got["web"] - 1250) < 120 and abs(got["code"] - 750) < 100
+
+    # md5 mode matches its documented rate formula exactly
+    md5_out = mixture_sample(_ds(df), props, method="md5").to_pandas()
+    import hashlib
+    t = min(n[s] / props[s] for s in props)
+    kept = md5_out.groupby("source").size()
+    for s in props:
+        thr = int(np.floor(min(1.0, props[s] * t / n[s]) * 16 ** 12))
+        expect = sum(
+            1 for _, r in df[df["source"] == s].iterrows()
+            if int(hashlib.md5(str(r["doc_id"]).encode())
+                   .hexdigest()[:12], 16) < thr)
+        assert kept.get(s, 0) == expect
+
+    # a source absent from proportions is dropped entirely
+    assert set(a["source"]) == set(props)
