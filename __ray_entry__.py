@@ -2180,6 +2180,58 @@ WHERE token <> '' GROUP BY token
 """
 
 
+def q_ta_nbayes(sf_dir: str) -> pd.DataFrame:
+    """Model-based classification: Laplace-smoothed multinomial Naive
+    Bayes predicting each document's lang from its tokens
+    (pipelines/classify.py). Training is pure counting — per-(class,
+    token) combiner partials, one keyed shuffle — and scoring is a
+    stateless map with the dimension-sized model broadcast in the
+    closure, so the ENTIRE train+score path has an exact SQL oracle
+    (ratios of counts + ln sums; ties break to the smaller class)."""
+    from feature_fabrica_ray.pipelines import nb_score, nb_train
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "text"])
+    model = nb_train(ds, text_col="text", label_col="lang")
+    out = nb_score(ds, model).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["logprob"] = np.round(out["logprob"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_NBAYES_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+  FROM documents),
+toks_f AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+tr AS (SELECT t.token, d.lang AS cls, count(*) AS cnt
+       FROM toks_f t JOIN documents d USING (doc_id)
+       GROUP BY t.token, d.lang),
+vocab AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM toks_f),
+classes AS (SELECT lang AS cls, count(*) AS ndocs
+            FROM documents GROUP BY lang),
+ndocs_all AS (SELECT CAST(sum(ndocs) AS DOUBLE) AS n FROM classes),
+totals AS (SELECT cls, CAST(sum(cnt) AS DOUBLE) AS tot FROM tr GROUP BY cls),
+occ AS (SELECT t.doc_id, c.cls,
+               ln((coalesce(tr.cnt, 0) + 1.0) / (tot.tot + 1.0 * v.v)) AS ll
+        FROM toks_f t
+        CROSS JOIN classes c
+        LEFT JOIN tr ON tr.token = t.token AND tr.cls = c.cls
+        JOIN totals tot ON tot.cls = c.cls
+        CROSS JOIN vocab v),
+scores AS (SELECT d.doc_id, c.cls,
+                  ln(c.ndocs / na.n) + coalesce(sum(o.ll), 0.0) AS lp
+           FROM documents d CROSS JOIN classes c CROSS JOIN ndocs_all na
+           LEFT JOIN occ o ON o.doc_id = d.doc_id AND o.cls = c.cls
+           GROUP BY d.doc_id, c.cls, c.ndocs, na.n)
+SELECT doc_id, cls AS pred, round(lp, 6) AS logprob
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY lp DESC, cls ASC) AS rn
+      FROM scores)
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def q_ta_bpe_merges(sf_dir: str) -> pd.DataFrame:
     """BPE tokenizer training (Sennrich 2016, byte-level): ONE exact
     distributed word-count pass (combiner partials -> keyed groupby-sum
@@ -8546,6 +8598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_vocab": q_ta_vocab,
         "ta_bpe_merges": q_ta_bpe_merges,
         "ta_bpe_tokens": q_ta_bpe_tokens,
+        "ta_nbayes": q_ta_nbayes,
         "ta_tfidf": q_ta_tfidf,
         "ta_chunks": q_ta_chunks,
         "sm_group_sample": q_sm_group_sample,
@@ -8811,6 +8864,7 @@ def oracle_sql() -> dict[str, str]:
         "jn_range": _RANGE_ORACLE,
         "agg_sort_limit": _SORT_ORACLE,
         "ta_vocab": _VOCAB_ORACLE,
+        "ta_nbayes": _NBAYES_ORACLE,
         "ta_tfidf": _TFIDF_ORACLE,
         "ta_chunks": _CHUNKS_ORACLE,
         "sm_group_sample": _GROUP_SAMPLE_ORACLE,

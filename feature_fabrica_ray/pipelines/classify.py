@@ -1,0 +1,151 @@
+"""Model-based text classification: Multinomial Naive Bayes over
+whitespace tokens, trained and applied as Ray Data passes.
+
+The quality/language classifiers real curation pipelines train
+(CCNet, GPT-3 App. A) reduce at their core to exactly this shape:
+TRAINING is pure counting — per-(class, token) occurrence counts and
+per-class document counts, both combiner-friendly (per-block Arrow
+group_by partials, ONE keyed shuffle over distinct (class, token)
+pairs) — and SCORING is a stateless map with the dimension-sized model
+broadcast into the closure. Laplace-smoothed multinomial NB is chosen
+deliberately: every number in the model is a ratio of counts, so the
+entire train+score path has an exact ANSI-SQL oracle (the driver
+verifies predictions bit-for-bit), unlike gradient-trained models.
+
+The reference engine has no classifiers (its operator inventory is
+feature_fabrica/transform/*); this module extends the LLM-data suite
+alongside textstats.py / curation.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["nb_train", "nb_score"]
+
+_MAX_MODEL_ROWS = 5_000_000  # (class, token) rows the driver may hold
+
+
+def _flat_tokens(batch: pa.Table, text_col: str):
+    """(token, row-index) arrays for a batch: whitespace split, empties
+    dropped. Pure Arrow kernels."""
+    toks = pc.utf8_split_whitespace(pc.fill_null(batch.column(text_col), ""))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    return flat.filter(keep), parent.filter(keep)
+
+
+def nb_train(ds, text_col: str = "text", label_col: str = "lang",
+             alpha: float = 1.0) -> dict:
+    """Fit Laplace-smoothed multinomial NB.
+
+    Two combiner passes: per-(class, token) occurrence counts (one
+    keyed shuffle over distinct pairs per block — never raw tokens) and
+    per-class document counts. The returned model dict holds the
+    dimension-sized tables (guarded at ``_MAX_MODEL_ROWS``):
+
+      classes:   sorted class labels
+      log_prior: ln(ndocs_c / ndocs)
+      vocab:     sorted distinct tokens (all classes pooled)
+      loglik:    (V, C) ln((cnt + alpha) / (tot_c + alpha * V))
+      default:   (C,) the cnt=0 row, for tokens unseen in a class
+                 (tokens outside the vocab entirely score ``default``
+                 too — consistent smoothing for out-of-corpus input)
+    """
+    from ray.data.aggregate import Sum
+
+    from ..tuning import shuffle_partitions
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(batch, text_col)
+        cls = pc.take(batch.column(label_col), parent)
+        t = pa.table({"cls": cls, "token": flat})
+        g = t.group_by(["cls", "token"]).aggregate([([], "count_all")])
+        return pa.table({"cls": g.column("cls"), "token": g.column("token"),
+                         "cnt": g.column("count_all").cast(pa.int64())})
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow",
+                           batch_size=None) \
+        .groupby(["cls", "token"], num_partitions=shuffle_partitions()) \
+        .aggregate(Sum("cnt")).materialize()
+    if pairs.count() > _MAX_MODEL_ROWS:
+        raise ValueError(
+            f"NB model has {pairs.count()} (class, token) rows > "
+            f"{_MAX_MODEL_ROWS}; prune the vocabulary (frequency floor) "
+            "before training")
+    pdf = pairs.to_pandas()
+    if "sum(cnt)" in pdf.columns:
+        pdf = pdf.rename(columns={"sum(cnt)": "cnt"})
+    pdf = pdf.dropna(subset=["cls"])
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(label_col).aggregate([([], "count_all")])
+        return pa.table({"cls": g.column(label_col),
+                         "ndocs": g.column("count_all").cast(pa.int64())})
+
+    docs = ds.map_batches(doc_partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas() \
+        .groupby("cls", as_index=False)["ndocs"].sum()
+    docs = docs.dropna(subset=["cls"]).sort_values("cls")
+
+    classes = docs["cls"].tolist()
+    n_all = float(docs["ndocs"].sum())
+    log_prior = np.log(docs["ndocs"].to_numpy(np.float64) / n_all)
+    vocab = pd.Index(sorted(pdf["token"].unique()))
+    V = len(vocab)
+    C = len(classes)
+    cnt = np.zeros((V, C), np.float64)
+    ci = {c: i for i, c in enumerate(classes)}
+    if len(pdf):
+        rows = vocab.get_indexer(pdf["token"])
+        cols = pdf["cls"].map(ci).to_numpy()
+        cnt[rows, cols] = pdf["cnt"].to_numpy(np.float64)
+    tot = cnt.sum(axis=0)
+    denom = tot + alpha * V
+    loglik = np.log((cnt + alpha) / denom)
+    default = np.log(alpha / denom)
+    return {"classes": classes, "log_prior": log_prior,
+            "vocab": vocab, "loglik": loglik, "default": default}
+
+
+def nb_score(ds, model: dict, text_col: str = "text",
+             id_col: str = "doc_id"):
+    """Predict per document under a trained NB model: stateless
+    ``map_batches`` with the model in the closure (broadcast once at
+    plan time); each batch flattens its tokens, looks the whole flat
+    array up in the vocab in one vectorized ``get_indexer``, and
+    scatter-adds log-likelihood rows per (doc, class). Ties break to
+    the lexicographically smallest class, matching the SQL oracle's
+    ``ORDER BY lp DESC, cls ASC``. Returns (id_col, pred, logprob)."""
+    classes = list(model["classes"])
+    vocab, loglik = model["vocab"], model["loglik"]
+    default, log_prior = model["default"], model["log_prior"]
+    C = len(classes)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0 or C == 0:
+            return pa.table({id_col: batch.column(id_col),
+                             "pred": pa.array([None] * n, pa.string()),
+                             "logprob": pa.array([None] * n, pa.float64())})
+        flat, parent = _flat_tokens(batch, text_col)
+        scores = np.tile(log_prior, (n, 1))
+        if len(flat):
+            idx = vocab.get_indexer(flat.to_pandas())
+            rows = np.where(idx >= 0, idx, 0)
+            ll = np.where((idx >= 0)[:, None], loglik[rows], default)
+            np.add.at(scores, parent.to_numpy(zero_copy_only=False), ll)
+        best = np.argmax(scores, axis=1)       # first max = smallest class
+        pred = np.asarray(classes, object)[best]
+        lp = scores[np.arange(n), best]
+        return pa.table({id_col: batch.column(id_col),
+                         "pred": pa.array(pred, pa.string()),
+                         "logprob": pa.array(lp, pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

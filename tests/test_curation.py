@@ -417,3 +417,55 @@ def test_bpe_token_count_semantics(ray_session):
     solo = learn_bpe(_ds(pd.DataFrame({"doc_id": [0], "text": ["x y z"]})),
                      num_merges=10, min_count=2)
     assert len(solo) == 0
+
+
+def test_nb_classifier(ray_session):
+    """NB training counts match hand-computed Laplace smoothing, the
+    classifier separates an obviously separable corpus, ties break to
+    the smaller class, and results are partition-invariant."""
+    from feature_fabrica_ray.pipelines import nb_score, nb_train
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "lang": ["en", "en", "fr", "fr", "en", "fr"],
+        "text": ["the cat sat", "the dog sat", "le chat", "le chien",
+                 "a cat and dog", "le le chat"],
+    })
+    m = nb_train(_ds(df, blocks=3))
+    # hand check one entry: P('le'|fr) with alpha=1:
+    # fr tokens: le chat le chien le le chat -> 7 total, 'le' count 4
+    # vocab = distinct tokens over corpus
+    V = len(m["vocab"])
+    li = list(m["vocab"]).index("le")
+    fi = m["classes"].index("fr")
+    assert m["loglik"][li, fi] == np.log((4 + 1) / (7 + V))
+    # priors: 3 en / 3 fr of 6
+    assert np.allclose(m["log_prior"], np.log([0.5, 0.5]))
+
+    out = nb_score(_ds(df, blocks=2), m).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["pred"]) == ["en", "en", "fr", "fr", "en", "fr"]
+
+    # partition invariance: same model + predictions at any layout
+    m1 = nb_train(_ds(df, blocks=1))
+    assert np.allclose(m1["loglik"], m["loglik"])
+    assert list(m1["vocab"]) == list(m["vocab"])
+    out1 = nb_score(_ds(df, blocks=1), m1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out1, out)
+
+    # empty doc scores priors only -> prior argmax (here b: 2/3 vs 1/3)
+    df2 = pd.DataFrame({"doc_id": [0, 1, 2], "lang": ["b", "a", "b"],
+                        "text": ["x y", "z w", ""]})
+    m2 = nb_train(_ds(df2))
+    s2 = nb_score(_ds(df2), m2).to_pandas().set_index("doc_id")
+    assert s2.loc[2, "pred"] == "b"
+    assert s2.loc[2, "logprob"] == pytest.approx(np.log(2 / 3))
+
+    # EQUAL priors on an empty doc is an exact tie -> smaller class
+    df4 = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                        "lang": ["b", "a", "a", "b"],
+                        "text": ["x y", "z w", "", ""]})
+    m4 = nb_train(_ds(df4))
+    s4 = nb_score(_ds(df4), m4).to_pandas().set_index("doc_id")
+    assert s4.loc[2, "pred"] == "a" and s4.loc[3, "pred"] == "a"
