@@ -2232,6 +2232,34 @@ WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_ta_logreg(sf_dir: str) -> pd.DataFrame:
+    """Trained quality-filter shape: binary logistic regression on
+    hashed bag-of-token features via FULL-BATCH gradient descent — each
+    iteration is one streaming pass emitting a model-sized gradient
+    partial per block, the ~0.5 MB weight vector ray.put per iteration
+    (pipelines/classify.py::logreg_train). Label: lang == 'en'. No SQL
+    oracle (iterative optimizer); partition-invariance and separation
+    are pytest-verified (tests/test_curation.py)."""
+    from feature_fabrica_ray.pipelines import logreg_score, logreg_train
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "text"])
+
+    def add_label(b: pa.Table) -> pa.Table:
+        y = pc.equal(pc.fill_null(b.column("lang"), ""), "en") \
+            .cast(pa.int64())
+        return b.append_column("label", y)
+
+    labeled = ds.map_batches(add_label, batch_format="pyarrow",
+                             batch_size=None)
+    model = logreg_train(labeled, label_col="label", dim=1 << 14,
+                         iters=25, lr=1.0)
+    out = logreg_score(ds, model).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["prob"] = np.round(out["prob"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_ta_bpe_merges(sf_dir: str) -> pd.DataFrame:
     """BPE tokenizer training (Sennrich 2016, byte-level): ONE exact
     distributed word-count pass (combiner partials -> keyed groupby-sum
@@ -8599,6 +8627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ta_bpe_merges": q_ta_bpe_merges,
         "ta_bpe_tokens": q_ta_bpe_tokens,
         "ta_nbayes": q_ta_nbayes,
+        "ta_logreg": q_ta_logreg,
         "ta_tfidf": q_ta_tfidf,
         "ta_chunks": q_ta_chunks,
         "sm_group_sample": q_sm_group_sample,

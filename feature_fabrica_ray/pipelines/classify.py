@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["nb_train", "nb_score"]
+__all__ = ["nb_train", "nb_score", "logreg_train", "logreg_score"]
 
 _MAX_MODEL_ROWS = 5_000_000  # (class, token) rows the driver may hold
 
@@ -147,5 +147,92 @@ def nb_score(ds, model: dict, text_col: str = "text",
         return pa.table({id_col: batch.column(id_col),
                          "pred": pa.array(pred, pa.string()),
                          "logprob": pa.array(lp, pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def _hashed_counts(batch: pa.Table, text_col: str, dim: int):
+    """Per-row hashed bag-of-tokens: (flat feature index, row id)."""
+    from .textstats import token_hashes
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h, row_of = token_hashes(col)
+    return (h % np.uint64(dim)).astype(np.int64), row_of
+
+
+def logreg_train(ds, text_col: str = "text", label_col: str = "label",
+                 dim: int = 1 << 16, iters: int = 50, lr: float = 0.5,
+                 l2: float = 0.0) -> dict:
+    """Train a binary logistic-regression text classifier on hashed
+    bag-of-token features (the fastText/CCNet-style quality-filter
+    shape) with FULL-BATCH gradient descent.
+
+    Scale shape: the weight vector (``dim`` + bias, ~0.5 MB at the
+    default 2^16) is ``ray.put`` once per iteration and every iteration
+    is ONE streaming ``map_batches`` pass emitting a per-block gradient
+    partial (a single (dim+1)-float row — the exchange carries model-
+    sized vectors, never rows); the driver sums partials and steps.
+    Full-batch GD with zero init is deterministic and partition-
+    invariant up to float summation order (~1e-15), unlike SGD.
+    Iterations cost one pass each — at 100 TB pair this with
+    ``hash_sample`` to train on a fixed-size sample, which is what
+    production quality filters do. No SQL oracle (iterative).
+
+    Labels: ``label_col`` must be 0/1 (ints or booleans; nulls drop
+    the row). Returns {"w": (dim,), "b": float, "dim": int}."""
+    import ray
+
+    w = np.zeros(dim, np.float64)
+    b = 0.0
+
+    def grad_pass(ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            wv, bv = ray.get(ref)
+            y_arr = batch.column(label_col)
+            valid = pc.is_valid(y_arr).to_numpy(zero_copy_only=False)
+            y = pc.fill_null(y_arr.cast(pa.float64()), 0.0) \
+                .to_numpy(zero_copy_only=False)
+            idx, row_of = _hashed_counts(batch, text_col, dim)
+            n = batch.num_rows
+            z = np.full(n, bv, np.float64)
+            np.add.at(z, row_of, wv[idx])
+            p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+            resid = np.where(valid, p - y, 0.0)
+            g = np.zeros(dim + 2, np.float64)   # [grad_w..., grad_b, n]
+            np.add.at(g, idx, resid[row_of])
+            g[dim] = resid.sum()
+            g[dim + 1] = float(valid.sum())
+            return pa.table({"g": pa.array([g.tobytes()], pa.binary())})
+
+        return fn
+
+    for _ in range(iters):
+        ref = ray.put((w, b))
+        rows = ds.map_batches(grad_pass(ref), batch_format="pyarrow",
+                              batch_size=None).take_all()
+        g = np.zeros(dim + 2, np.float64)
+        for r in rows:
+            g += np.frombuffer(r["g"], np.float64)
+        n = max(g[dim + 1], 1.0)
+        w -= lr * (g[:dim] / n + l2 * w)
+        b -= lr * (g[dim] / n)
+    return {"w": w, "b": float(b), "dim": dim}
+
+
+def logreg_score(ds, model: dict, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Probability per document under a trained hashed-logreg model:
+    stateless map, model in the closure. Returns (id_col, prob)."""
+    w, b, dim = model["w"], model["b"], model["dim"]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        idx, row_of = _hashed_counts(batch, text_col, dim)
+        z = np.full(batch.num_rows, b, np.float64)
+        np.add.at(z, row_of, w[idx])
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+        return pa.table({id_col: batch.column(id_col),
+                         "prob": pa.array(p, pa.float64())})
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

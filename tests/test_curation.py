@@ -469,3 +469,53 @@ def test_nb_classifier(ray_session):
     m4 = nb_train(_ds(df4))
     s4 = nb_score(_ds(df4), m4).to_pandas().set_index("doc_id")
     assert s4.loc[2, "pred"] == "a" and s4.loc[3, "pred"] == "a"
+
+
+def test_logreg_quality_classifier(ray_session):
+    """Full-batch GD on hashed bag-of-tokens separates an obviously
+    separable corpus, is partition-invariant (deterministic up to float
+    summation order), ignores null labels, and scores monotonically in
+    the count of discriminative tokens."""
+    from feature_fabrica_ray.pipelines import logreg_score, logreg_train
+
+    rng = np.random.default_rng(5)
+    good = ["great clear helpful text", "clear helpful prose",
+            "great helpful writing", "clear great document"]
+    bad = ["spam junk garbage click", "junk click bait",
+           "garbage spam click", "junk garbage bait"]
+    rows = []
+    for i in range(120):
+        base = good[i % 4] if i % 2 == 0 else bad[i % 4]
+        words = base.split()
+        rng.shuffle(words)
+        rows.append({"doc_id": i, "text": " ".join(words),
+                     "label": 1 if i % 2 == 0 else 0})
+    df = pd.DataFrame(rows)
+    m = logreg_train(_ds(df, blocks=4), label_col="label",
+                     dim=1 << 12, iters=40, lr=1.0)
+    scored = logreg_score(_ds(df, blocks=4), m).to_pandas() \
+        .merge(df[["doc_id", "label"]], on="doc_id")
+    acc = ((scored["prob"] > 0.5).astype(int) == scored["label"]).mean()
+    assert acc == 1.0
+
+    # partition invariance: same model within float-sum tolerance
+    m1 = logreg_train(_ds(df, blocks=1), label_col="label",
+                      dim=1 << 12, iters=40, lr=1.0)
+    assert np.allclose(m1["w"], m["w"], atol=1e-9)
+    assert abs(m1["b"] - m["b"]) < 1e-9
+
+    # more discriminative tokens -> more extreme probability
+    probe = pd.DataFrame({"doc_id": [0, 1],
+                          "text": ["great", "great great great"]})
+    p = logreg_score(_ds(probe), m).to_pandas().set_index("doc_id")["prob"]
+    assert p[1] > p[0] > 0.5
+
+    # null labels contribute nothing: adding unlabeled rows leaves the
+    # fitted model unchanged
+    df_null = pd.concat([df, pd.DataFrame(
+        {"doc_id": [900, 901], "text": ["spam spam spam", "great"],
+         "label": pd.array([None, None], dtype="Int64")})],
+        ignore_index=True)
+    m2 = logreg_train(_ds(df_null, blocks=3), label_col="label",
+                      dim=1 << 12, iters=40, lr=1.0)
+    assert np.allclose(m2["w"], m["w"], atol=1e-9)
