@@ -349,6 +349,21 @@ def bench_joins() -> tuple[float, int]:
     return time.perf_counter() - t0, len(a) + len(b) + len(c)
 
 
+def bench_models() -> tuple[float, int]:
+    """Model-based curation family: BPE tokenizer training (one exact
+    word-count pass + driver merge loop) with merge replay for token
+    counts, Naive Bayes train+score (counting passes + broadcast
+    model), and hashed logreg full-batch GD (one gradient partial per
+    block per iteration)."""
+    import __ray_entry__ as entrymod
+
+    t0 = time.perf_counter()
+    a = entrymod.q_ta_bpe_tokens(SF_DIR)
+    b = entrymod.q_ta_nbayes(SF_DIR)
+    c = entrymod.q_ta_logreg(SF_DIR)
+    return time.perf_counter() - t0, len(a) + len(b) + len(c)
+
+
 BENCHES = {
     "suite": bench_suite,
     "uniqueness": bench_uniqueness,
@@ -366,6 +381,7 @@ BENCHES = {
     "eventflow": bench_eventflow,
     "graph": bench_graph,
     "joins": bench_joins,
+    "models": bench_models,
 }
 
 
