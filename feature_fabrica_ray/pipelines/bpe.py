@@ -25,6 +25,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .textstats import fill_utf8
+
 __all__ = ["learn_bpe", "bpe_token_counts"]
 
 _EOW = 256          # end-of-word marker symbol (byte ids are 0..255)
@@ -98,7 +100,7 @@ def _word_count_table(ds, text_col: str, max_vocab: int) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.utf8_split_whitespace(
-            pc.fill_null(batch.column(text_col), ""))
+            fill_utf8(batch.column(text_col)))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = pc.list_flatten(toks)
@@ -126,6 +128,9 @@ def _word_count_table(ds, text_col: str, max_vocab: int) -> pd.DataFrame:
 
     tops = merged.map_batches(block_top, batch_format="pyarrow",
                               batch_size=None).to_pandas()
+    if "word" not in tops.columns:   # corpus with zero words: empty merge
+        tops = pd.DataFrame({"word": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
     tops = tops.sort_values(["n", "word"], ascending=[False, True],
                             kind="mergesort").head(max_vocab)
     return tops.reset_index(drop=True)
@@ -211,7 +216,7 @@ def bpe_token_counts(ds, merges: pd.DataFrame, text_col: str = "text",
 
     def fn(batch: pa.Table) -> pa.Table:
         toks = pc.utf8_split_whitespace(
-            pc.fill_null(batch.column(text_col), ""))
+            fill_utf8(batch.column(text_col)))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = pc.list_flatten(toks)

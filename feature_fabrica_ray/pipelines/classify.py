@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .textstats import fill_utf8
+
 __all__ = ["nb_train", "nb_score", "logreg_train", "logreg_score"]
 
 _MAX_MODEL_ROWS = 5_000_000  # (class, token) rows the driver may hold
@@ -32,7 +34,7 @@ _MAX_MODEL_ROWS = 5_000_000  # (class, token) rows the driver may hold
 def _flat_tokens(batch: pa.Table, text_col: str):
     """(token, row-index) arrays for a batch: whitespace split, empties
     dropped. Pure Arrow kernels."""
-    toks = pc.utf8_split_whitespace(pc.fill_null(batch.column(text_col), ""))
+    toks = pc.utf8_split_whitespace(fill_utf8(batch.column(text_col)))
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = pc.list_flatten(toks)
@@ -82,6 +84,10 @@ def nb_train(ds, text_col: str = "text", label_col: str = "lang",
     pdf = pairs.to_pandas()
     if "sum(cnt)" in pdf.columns:
         pdf = pdf.rename(columns={"sum(cnt)": "cnt"})
+    if "cls" not in pdf.columns:   # zero (class, token) pairs in the corpus
+        pdf = pd.DataFrame({"cls": pd.Series([], dtype="object"),
+                            "token": pd.Series([], dtype="object"),
+                            "cnt": pd.Series([], dtype="int64")})
     pdf = pdf.dropna(subset=["cls"])
 
     def doc_partial(batch: pa.Table) -> pa.Table:
@@ -107,6 +113,11 @@ def nb_train(ds, text_col: str = "text", label_col: str = "lang",
         cols = pdf["cls"].map(ci).to_numpy()
         cnt[rows, cols] = pdf["cnt"].to_numpy(np.float64)
     tot = cnt.sum(axis=0)
+    if V == 0:          # corpus with zero tokens: likelihoods contribute 0
+        loglik = np.zeros((0, C), np.float64)
+        default = np.zeros(C, np.float64)
+        return {"classes": classes, "log_prior": log_prior,
+                "vocab": vocab, "loglik": loglik, "default": default}
     denom = tot + alpha * V
     loglik = np.log((cnt + alpha) / denom)
     default = np.log(alpha / denom)

@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .textstats import _flat_utf8  # noqa: F401  (re-exported family)
-from .textstats import _distinct_per_row, _set_col, token_hashes
+from .textstats import _distinct_per_row, _set_col, fill_utf8, token_hashes
 
 __all__ = ["redact_text", "normalize_text", "gopher_quality",
            "token_ngram_hashes", "decontaminate", "salted_group_agg",
@@ -56,7 +56,7 @@ def redact_text(ds, text_col: str = "text", out_col: str = "redacted"):
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        col = pc.fill_null(batch.column(text_col), "")
+        col = fill_utf8(batch.column(text_col))
         n_emails = pc.count_substring_regex(col, pattern=EMAIL_RE).cast(pa.int64())
         n_urls = pc.count_substring_regex(col, pattern=URL_RE).cast(pa.int64())
         n_ips = pc.count_substring_regex(col, pattern=IPV4_RE).cast(pa.int64())
@@ -108,7 +108,7 @@ def normalize_text(ds, text_col: str = "text", out_col: str = "norm",
     from ..state import hash64
 
     def fn(batch: pa.Table) -> pa.Table:
-        col = pc.fill_null(batch.column(text_col), "")
+        col = fill_utf8(batch.column(text_col))
         # trim plain spaces only (all \s runs were just collapsed to
         # ' '), matching ANSI/DuckDB trim() exactly
         norm = pc.utf8_trim(
@@ -144,7 +144,7 @@ def gopher_quality(ds, text_col: str = "text",
         return np.floor(x * 1e6 + 0.5) / 1e6   # half-away, matches SQL ROUND
 
     def fn(batch: pa.Table) -> pa.Table:
-        col = pc.fill_null(batch.column(text_col), "")
+        col = fill_utf8(batch.column(text_col))
         n = batch.num_rows
         th, tr = token_hashes(col)
         n_words = np.bincount(tr, minlength=n).astype(np.int64)
@@ -198,7 +198,7 @@ def repetition_stats(ds, text_col: str = "text"):
     def fn(batch: pa.Table) -> pa.Table:
         col = batch.column(text_col)
         n_rows = batch.num_rows
-        th, tr = token_hashes(pc.fill_null(col, ""))
+        th, tr = token_hashes(fill_utf8(col))
         out = batch
         for n, label in ((2, "bigram"), (3, "trigram")):
             h, r = _ngrams_from_hashes(th, tr, n_rows, n)
@@ -208,7 +208,7 @@ def repetition_stats(ds, text_col: str = "text"):
             out = _set_col(out, f"n_{label}s", pa.array(total))
             out = _set_col(out, f"dup_{label}_frac",
                            pa.array(frac, pa.float64()))
-        bpe = pc.count_substring_regex(pc.fill_null(col, ""),
+        bpe = pc.count_substring_regex(fill_utf8(col),
                                        pattern=BPE_RE).cast(pa.int64())
         return _set_col(out, "n_bpe_tokens", bpe)
 
@@ -410,7 +410,7 @@ def common_ngrams(ds, n: int = 2, min_frac: float = 0.08,
                           "tf": pa.array([], pa.int64()),
                           "df": pa.array([], pa.int64())})
         toks = pc.utf8_split_whitespace(
-            pc.fill_null(batch.column(text_col), ""))
+            fill_utf8(batch.column(text_col)))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = pc.list_flatten(toks)

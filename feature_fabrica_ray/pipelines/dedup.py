@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..state import combine_hashes, hash64, hash64_multi
+from .textstats import fill_utf8
 from ..tuning import shuffle_partitions
 from .textstats import kgram_hashes
 
@@ -1097,7 +1098,7 @@ def _ed_byte_matrix(col) -> tuple[np.ndarray, np.ndarray]:
     the flat buffer — no per-row Python loop."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     arr = pc.cast(arr, pa.string())
-    arr = pc.fill_null(arr, "")
+    arr = fill_utf8(arr)
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
                          count=len(arr) + 1) + arr.offset
     buf = arr.buffers()[2]

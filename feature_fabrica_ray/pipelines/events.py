@@ -24,6 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..tuning import shuffle_partitions
+from .textstats import fill_utf8
 
 __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "bucketed_by_key",
@@ -156,7 +157,7 @@ def extract_json_int(ds, col: str, key: str, out_col: str):
     pattern = rf'"{key}"\s*:\s*(?P<v>-?\d+)'
 
     def fn(batch: pa.Table) -> pa.Table:
-        m = pc.extract_regex(pc.fill_null(batch.column(col), ""), pattern=pattern)
+        m = pc.extract_regex(fill_utf8(batch.column(col)), pattern=pattern)
         vals = pc.struct_field(m, "v").cast(pa.int64())
         return batch.append_column(out_col, vals)
 
@@ -171,7 +172,7 @@ def extract_json_str(ds, col: str, key: str, out_col: str):
     pattern = rf'"{key}"\s*:\s*"(?P<v>[^"\\]*)"'
 
     def fn(batch: pa.Table) -> pa.Table:
-        m = pc.extract_regex(pc.fill_null(batch.column(col), ""),
+        m = pc.extract_regex(fill_utf8(batch.column(col)),
                              pattern=pattern)
         return batch.append_column(out_col, pc.struct_field(m, "v"))
 

@@ -17,10 +17,22 @@ import pyarrow.compute as pc
 __all__ = ["text_stats", "add_quality", "add_lang_id", "add_fingerprint",
            "kgram_hashes", "token_hashes", "token_counts", "tfidf_top_terms",
            "chunk_documents", "code_line_stats", "unigram_logprob",
-           "dsir_log_ratio", "zipf_fit", "hashed_vectorizer", "bm25_scores"]
+           "dsir_log_ratio", "zipf_fit", "hashed_vectorizer", "bm25_scores",
+           "fill_utf8"]
 
 _B = np.uint64(1099511628211)          # FNV prime as polynomial base
 _TOKEN_RE = r"\S+"
+
+
+def fill_utf8(col):
+    """Null-safe utf8 coercion shared by every text kernel: nulls become
+    "" and an arrow ``null``-typed column (a block whose text values are
+    ALL null — from_pylist/JSON sources degrade the type) casts to
+    string first, since ``pc.fill_null(null_col, "")`` cannot build a
+    string scalar of null type. Keeps text ops batch-composition-proof."""
+    if pa.types.is_null(col.type):
+        col = col.cast(pa.string())
+    return pc.fill_null(col, "")
 
 
 # ---------------------------------------------------------------------------
@@ -30,7 +42,7 @@ _TOKEN_RE = r"\S+"
 def _flat_utf8(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(flat uint8 buffer, row offsets) of a string column, zero-copy where
     arrow allows. Nulls become empty strings."""
-    col = pc.fill_null(col, "")
+    col = fill_utf8(col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     # ensure plain string array with flat offsets
@@ -100,7 +112,7 @@ def token_hashes(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     Tokenization + hashing stay in Arrow/polars kernels."""
     from ..state import hash64
 
-    toks = pc.split_pattern_regex(pc.fill_null(col, ""), pattern=r"\s+")
+    toks = pc.split_pattern_regex(fill_utf8(col), pattern=r"\s+")
     flat = pc.list_flatten(toks)
     nonempty = pc.not_equal(flat, "")
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -198,7 +210,7 @@ def text_stats(ds, text_col: str = "text"):
     punct_ratio columns (all pyarrow kernels)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        col = pc.fill_null(batch.column(text_col), "")
+        col = fill_utf8(batch.column(text_col))
         n_chars = pc.utf8_length(col).cast(pa.int64())
         n_tokens = pc.count_substring_regex(col, pattern=_TOKEN_RE).cast(pa.int64())
         n_digits = pc.count_substring_regex(col, pattern=r"[0-9]").cast(pa.int64())
@@ -237,7 +249,7 @@ def add_quality(ds, text_col: str = "text"):
     (distinct_tokens/n_tokens) * min(n_tokens/100, 1) * (1 - punct_ratio)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        col = pc.fill_null(batch.column(text_col), "")
+        col = fill_utf8(batch.column(text_col))
         n = batch.num_rows
         th, tr = token_hashes(col)
         n_tokens = np.bincount(tr, minlength=n).astype(np.float64)
@@ -285,7 +297,7 @@ def add_lang_id(ds, text_col: str = "text", min_hits: int = 2):
     profiles = {lg: np.sort(hash64(sorted(_STOPWORDS[lg]))) for lg in langs}
 
     def fn(batch: pa.Table) -> pa.Table:
-        col = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+        col = pc.utf8_lower(fill_utf8(batch.column(text_col)))
         n = batch.num_rows
         th, tr = token_hashes(col)
         scores = np.zeros((len(langs), n), np.int64)
@@ -341,7 +353,7 @@ def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.utf8_split_whitespace(
-            pc.fill_null(batch.column(text_col), ""))
+            fill_utf8(batch.column(text_col)))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         parent = pc.list_parent_indices(toks)
@@ -409,7 +421,7 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     def score(batch: pa.Table) -> pa.Table:
         df_map = ray.get(ref)
         toks = pc.utf8_split_whitespace(
-            pc.fill_null(batch.column(text_col), ""))
+            fill_utf8(batch.column(text_col)))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         parent = pc.list_parent_indices(toks)
@@ -470,7 +482,7 @@ def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
         raise ValueError("need 0 < stride <= max_tokens")
 
     def fn(batch: pa.Table) -> pa.Table:
-        txt = pc.utf8_trim_whitespace(pc.fill_null(batch.column(text_col), ""))
+        txt = pc.utf8_trim_whitespace(fill_utf8(batch.column(text_col)))
         toks = pc.split_pattern_regex(txt, pattern=r"\s+")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -546,7 +558,7 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
     def score(batch: pa.Table) -> pa.Table:
         lp_map = ray.get(ref)
         toks = pc.utf8_split_whitespace(
-            pc.fill_null(batch.column(text_col), ""))
+            fill_utf8(batch.column(text_col)))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
@@ -627,7 +639,7 @@ def dsir_log_ratio(source_ds, target_ds, text_col: str = "text",
     def score(batch: pa.Table) -> pa.Table:
         lr, oov = ray.get(ref)
         toks = pc.utf8_split_whitespace(
-            pc.fill_null(batch.column(text_col), ""))
+            fill_utf8(batch.column(text_col)))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
@@ -720,7 +732,7 @@ def hashed_vectorizer(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.utf8_split_whitespace(
-            pc.fill_null(batch.column(text_col), ""))
+            fill_utf8(batch.column(text_col)))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         parent = pc.list_parent_indices(toks)
@@ -771,7 +783,7 @@ def bm25_scores(ds, query_terms: list[str], text_col: str = "text",
 
     def _flat(batch: pa.Table):
         toks = pc.utf8_split_whitespace(
-            pc.fill_null(batch.column(text_col), ""))
+            fill_utf8(batch.column(text_col)))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         parent = pc.list_parent_indices(toks)
@@ -868,7 +880,7 @@ def pmi_bigrams(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def _flat_tokens(batch: pa.Table):
         toks = pc.utf8_split_whitespace(
-            pc.fill_null(batch.column(text_col), ""))
+            fill_utf8(batch.column(text_col)))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = pc.list_flatten(toks)
@@ -1011,7 +1023,7 @@ def char_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
         col = batch.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        col = pc.fill_null(col, "")
+        col = fill_utf8(col)
         n = len(col)
         buf = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)
         raw_off = np.frombuffer(col.buffers()[1], dtype=np.int32)
@@ -1111,7 +1123,7 @@ def bigram_lm_scores(ds, text_col: str = "text", id_col: str = "doc_id",
     # --- bigram counts (exact merge, THEN prune) + start counts
     def bigram_partial(batch: pa.Table) -> pa.Table:
         toks = pc.utf8_split_whitespace(
-            pc.fill_null(batch.column(text_col), ""))
+            fill_utf8(batch.column(text_col)))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = pc.list_flatten(toks)
@@ -1155,7 +1167,7 @@ def bigram_lm_scores(ds, text_col: str = "text", id_col: str = "doc_id",
     def score(batch: pa.Table) -> pa.Table:
         uni_s, pb_s, lam_f = ray.get(ref)
         toks = pc.utf8_split_whitespace(
-            pc.fill_null(batch.column(text_col), ""))
+            fill_utf8(batch.column(text_col)))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = pc.list_flatten(toks)
@@ -1214,7 +1226,7 @@ def vocab_overlap(ds, text_col: str, seg_col: str, a, b):
                              "ia": pa.array([], pa.int64()),
                              "ib": pa.array([], pa.int64())})
         toks = pc.utf8_split_whitespace(
-            pc.fill_null(t.column(text_col), ""))
+            fill_utf8(t.column(text_col)))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = pc.list_flatten(toks)
@@ -1270,7 +1282,7 @@ def readability_scores(ds, text_col: str = "text",
     flesch (rounded to 6)."""
 
     def stamp(batch: pa.Table) -> pa.Table:
-        txt = pc.fill_null(batch.column(text_col), "")
+        txt = fill_utf8(batch.column(text_col))
         words = pc.count_substring_regex(txt, r"\S+") \
             .cast(pa.int64()).to_numpy(zero_copy_only=False)
         sents = pc.count_substring_regex(txt, r"[.!?]+") \
@@ -1307,7 +1319,7 @@ def lexical_diversity(ds, text_col: str = "text",
 
     def stamp(batch: pa.Table) -> pa.Table:
         toks = pc.utf8_split_whitespace(
-            pc.fill_null(batch.column(text_col), ""))
+            fill_utf8(batch.column(text_col)))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = pc.list_flatten(toks)

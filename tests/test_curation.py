@@ -519,3 +519,62 @@ def test_logreg_quality_classifier(ray_session):
     m2 = logreg_train(_ds(df_null, blocks=3), label_col="label",
                       dim=1 << 12, iters=40, lr=1.0)
     assert np.allclose(m2["w"], m["w"], atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# degenerate-input edges: null-typed text columns, zero-token corpora
+# ---------------------------------------------------------------------------
+
+def test_text_ops_all_null_text_column(ray_session):
+    """A block whose text values are ALL null degrades to an arrow
+    `null`-typed column (from_pandas/from_pylist); every text kernel
+    must treat it as empty strings, not crash in fill_null."""
+    from feature_fabrica_ray.pipelines import (bpe_token_counts, learn_bpe,
+                                               nb_score, nb_train)
+    from feature_fabrica_ray.pipelines.textstats import text_stats
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [None, None],
+                       "lang": ["en", "fr"]})
+    m = nb_train(_ds(df))
+    assert m["classes"] == ["en", "fr"]
+    assert len(m["vocab"]) == 0
+    scored = nb_score(_ds(df), m).to_pandas().sort_values("doc_id")
+    # zero tokens everywhere: prediction falls back to the prior (tie ->
+    # lexicographically smallest class) and logprob is finite
+    assert scored["pred"].tolist() == ["en", "en"]
+    assert np.isfinite(scored["logprob"]).all()
+
+    ts = text_stats(_ds(df)).to_pandas()
+    assert ts["n_chars"].tolist() == [0, 0]
+
+    merges = learn_bpe(_ds(df))
+    assert len(merges) == 0
+    counts = bpe_token_counts(_ds(df), merges).to_pandas()
+    assert counts["n_bpe_tokens"].tolist() == [0, 0]
+
+
+def test_bpe_zero_word_corpus(ray_session):
+    """Empty/whitespace-only corpus: learn_bpe returns an empty merge
+    table (typed), and applying it counts zero tokens."""
+    from feature_fabrica_ray.pipelines import bpe_token_counts, learn_bpe
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["", "   "]})
+    merges = learn_bpe(_ds(df, blocks=2))
+    assert list(merges.columns) == ["rank", "left", "right", "merged",
+                                    "pair_count"]
+    assert len(merges) == 0
+    counts = bpe_token_counts(_ds(df), merges).to_pandas()
+    assert counts["n_bpe_tokens"].tolist() == [0, 0]
+
+
+def test_bpe_null_mixed_corpus(ray_session):
+    """Null text rows coexist with real ones; merges still learn from
+    the non-null rows and null docs count zero tokens."""
+    from feature_fabrica_ray.pipelines import bpe_token_counts, learn_bpe
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [None, "ab ab ab"]})
+    merges = learn_bpe(_ds(df, blocks=2), num_merges=5, min_count=1)
+    assert len(merges) == 2            # a+b, ab+</w>
+    out = bpe_token_counts(_ds(df), merges).to_pandas() \
+        .set_index("doc_id")["n_bpe_tokens"]
+    assert out[1] == 0 and out[2] == 3
