@@ -61,6 +61,17 @@ def _canon2(names: list[str]):
     return fn
 
 
+def _drop_null_endpoints(t: pa.Table, a_col: str, b_col: str) -> pa.Table:
+    """Drop edges with a null endpoint (SQL join semantics: a null id
+    cannot participate in an equality relation). Without this, casting
+    a nullable int column to numpy silently degrades ids to float64
+    NaN and poisons every downstream label/count."""
+    ok = pc.and_(pc.is_valid(t.column(a_col)), pc.is_valid(t.column(b_col)))
+    if pc.all(ok).as_py() is not True:     # empty batch -> null -> filter
+        t = t.filter(ok)
+    return t
+
+
 def connected_components(edges, a_col: str = "a", b_col: str = "b",
                          max_iters: int = 50):
     """Components of the undirected graph given by integer-id edge rows.
@@ -73,6 +84,7 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
     """
 
     def symmetrize(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_endpoints(batch, a_col, b_col)
         a = batch.column(a_col).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         b = batch.column(b_col).cast(pa.int64()).to_numpy(
@@ -261,8 +273,13 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
     # iteration. The copy lives in the object store (spillable), never
     # on the driver.
     proj = edges.map_batches(
-        lambda t, c=(src_col, dst_col): t.select(list(c)),
+        lambda t, c=(src_col, dst_col): _drop_null_endpoints(
+            t.select(list(c)), c[0], c[1]),
         batch_format="pyarrow", batch_size=None).materialize()
+    if proj.count() == 0:      # before the size dispatch: an empty
+        # projection has no schema to collect on either path
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="float64")})
 
     # Small-graph fast path (size-dispatched like sized_join): when the
     # materialized 16 B/row projection fits the same byte budget as a
@@ -377,7 +394,8 @@ def degree_table(edges, src_col: str = "src", dst_col: str = "dst"):
                 h.column("count_all").cast(pa.int64()).combine_chunks()])})
 
     proj = edges.map_batches(
-        lambda t, c=(src_col, dst_col): t.select(list(c)),
+        lambda t, c=(src_col, dst_col): _drop_null_endpoints(
+            t.select(list(c)), c[0], c[1]),
         batch_format="pyarrow", batch_size=None)
     parts = proj.map_batches(partial, batch_format="pyarrow",
                              batch_size=None).to_pandas()
@@ -405,6 +423,7 @@ def canonical_edges(edges, a_col: str = "a", b_col: str = "b"):
     import ray.data as _rd
 
     def canon(t: pa.Table) -> pa.Table:
+        t = _drop_null_endpoints(t, a_col, b_col)
         a = t.column(a_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         b = t.column(b_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         lo = np.minimum(a, b)
@@ -806,6 +825,7 @@ def bfs_hops(edges, sources: list[int], a_col: str = "a",
     import pandas as pd
 
     def symmetrize(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_endpoints(batch, a_col, b_col)
         a = batch.column(a_col).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         b = batch.column(b_col).cast(pa.int64()).to_numpy(

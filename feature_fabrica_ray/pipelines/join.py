@@ -216,7 +216,10 @@ def sized_join(left, right, *, on, right_on=None, how: str = "inner",
 
     thr = int(os.environ.get("FFR_BROADCAST_BYTES", _SIZED_BROADCAST_BYTES))
     # pyarrow spells join types with spaces, Ray Data with underscores;
-    # accept either and translate per backend
+    # accept either, plus the bare SQL aliases, and translate per backend
+    how = {"left": "left outer", "right": "right outer",
+           "full": "full outer", "semi": "left semi",
+           "anti": "left anti"}.get(how, how)
     pa_how = how.replace("_", " ")
     broadcastable = pa_how in ("inner", "left outer", "left semi",
                                "left anti")

@@ -4628,3 +4628,61 @@ def test_mixture_sample(ray_session):
 
     # a source absent from proportions is dropped entirely
     assert set(a["source"]) == set(props)
+
+
+# ---------------------------------------------------------------------------
+# graph null/empty edges (regression: null endpoints used to degrade ids
+# to float64 NaN — poisoned labels in CC, ArrowInvalid in triangles —
+# and an empty edge set crashed pagerank's size dispatch)
+# ---------------------------------------------------------------------------
+
+def test_graph_null_endpoints_dropped(ray_session):
+    from feature_fabrica_ray.pipelines.graph import (bfs_hops,
+                                                     connected_components,
+                                                     pagerank,
+                                                     triangle_count)
+
+    df = pd.DataFrame({"a": [1, 1, None, 4, 2, 1],
+                       "b": [1, 2, 3, None, 3, 3]}, dtype="Int64")
+    cc = connected_components(_ds(df, blocks=2)).to_pandas()
+    assert sorted(map(tuple, cc.astype(int).values.tolist())) == \
+        [(1, 1), (2, 1), (3, 1)]      # null-endpoint edges dropped
+
+    tri = triangle_count(_ds(df))
+    assert sorted(map(tuple, tri.values.tolist())) == \
+        [(1, 1), (2, 1), (3, 1)]      # the 1-2-3 triangle survives
+
+    hops = bfs_hops(_ds(df), [1])
+    assert sorted(map(tuple, hops.values.tolist())) == \
+        [(1, 0), (2, 1), (3, 1)]
+
+    pr = pagerank(_ds(pd.DataFrame({"src": [1, None, 2],
+                                    "dst": [2, 2, None]}, dtype="Int64")))
+    assert pr["node"].tolist() == [1, 2]
+    assert abs(pr["rank"].sum() - 1.0) < 1e-12
+
+
+def test_graph_empty_edge_set(ray_session):
+    from feature_fabrica_ray.pipelines.graph import (connected_components,
+                                                     degree_table, pagerank,
+                                                     triangle_count)
+
+    e = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                      "b": pd.Series([], dtype="int64")})
+    d = pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                      "dst": pd.Series([], dtype="int64")})
+    assert len(connected_components(_ds(e)).to_pandas()) == 0
+    assert len(pagerank(_ds(d))) == 0
+    assert len(degree_table(_ds(d))) == 0
+    assert len(triangle_count(_ds(e))) == 0
+
+
+def test_sized_join_sql_aliases(ray_session):
+    from feature_fabrica_ray.pipelines.join import sized_join
+
+    L = _ds(pd.DataFrame({"k": [1, 2], "x": ["a", "c"]}))
+    R = _ds(pd.DataFrame({"k": [2], "y": ["q"]}))
+    out = sized_join(L, R, on="k", how="left").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2]
+    assert out["y"].fillna("-").tolist() == ["-", "q"]
