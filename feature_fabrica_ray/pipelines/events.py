@@ -44,7 +44,11 @@ def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
     epoch-aligned floor(ts / width). Returns (key, window_start, n, sum_v)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        # Arrow-native partial: no pandas detour, no schema metadata
+        # Arrow-native partial: no pandas detour, no schema metadata.
+        # Events without a timestamp belong to no window (SQL
+        # time_bucket(NULL) groups to NULL; we drop instead of emitting
+        # a null window — a null ts would otherwise become float NaN).
+        batch = batch.filter(pc.is_valid(batch.column(ts_col)))
         ts = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         win = (ts // (width_s * 1_000_000)) * (width_s * 1_000_000)
@@ -60,8 +64,10 @@ def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=None).to_pandas()
-    out = parts.groupby([key_col, "window_us"], as_index=False).agg(
-        n=("n", "sum"), sum_v=("sum_v", "sum"))
+    out = parts.groupby([key_col, "window_us"], as_index=False,
+                        dropna=False).agg(    # SQL: NULL key is a group,
+        n=("n", "sum"),                       # SUM of all-NULL is NULL
+        sum_v=("sum_v", lambda s: s.sum(min_count=1)))
     out["window_start"] = pd.to_datetime(out.pop("window_us"), unit="us")
     out["n"] = out["n"].astype("int64")
     return out[[key_col, "window_start", "n", "sum_v"]]
@@ -82,6 +88,8 @@ def sliding_window_agg(ds, ts_col: str, key_col: str, value_col: str,
     hop_us = hop_s * 1_000_000
 
     def partial(batch: pa.Table) -> pa.Table:
+        # null-ts events belong to no window (see tumbling_window_agg)
+        batch = batch.filter(pc.is_valid(batch.column(ts_col)))
         ts = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         n = len(ts)
@@ -101,8 +109,10 @@ def sliding_window_agg(ds, ts_col: str, key_col: str, value_col: str,
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=None).to_pandas()
-    out = parts.groupby([key_col, "window_us"], as_index=False).agg(
-        n=("n", "sum"), sum_v=("sum_v", "sum"))
+    out = parts.groupby([key_col, "window_us"], as_index=False,
+                        dropna=False).agg(    # SQL: NULL key is a group,
+        n=("n", "sum"),                       # SUM of all-NULL is NULL
+        sum_v=("sum_v", lambda s: s.sum(min_count=1)))
     out["n"] = out["n"].astype("int64")
     return out[[key_col, "window_us", "n", "sum_v"]]
 
@@ -223,11 +233,19 @@ def bucketed_by_key(ds, key_col: str, per_bucket,
         return batch.append_column("__bkt", pa.array(
             (h % np.uint64(n)).astype(np.int32), pa.int32()))
 
+    def run(df: pd.DataFrame):
+        out = per_bucket(df.drop(columns="__bkt"))
+        # hand back a metadata-free Arrow table: pandas conversion embeds
+        # a dict in the schema metadata, which makes every bucket's schema
+        # distinct/unhashable to Ray's dedup ("Failed to hash the
+        # schemas" reduce-worker warnings) and non-canonical downstream
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
     return ds.map_batches(bucketize, batch_format="pyarrow",
                           batch_size=None) \
         .groupby("__bkt", num_partitions=n) \
-        .map_groups(lambda df: per_bucket(df.drop(columns="__bkt")),
-                    batch_format="pandas")
+        .map_groups(run, batch_format="pandas")
 
 
 def cumulative_agg(ds, ts_col: str, key_col: str, value_col: str,

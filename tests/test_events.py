@@ -977,3 +977,33 @@ def test_interval_coverage_vs_bruteforce(ray_session):
                 isl += 1
             pm = b if pm is None else max(pm, b)
         assert row["n_islands"] == isl, k
+
+
+def test_window_null_ts_and_null_key(ray_session):
+    """Null-ts events belong to no window (dropped); a NULL key is a
+    real group (SQL GROUP BY); an all-null value group sums to NULL."""
+    import ray.data as rd
+    from feature_fabrica_ray.pipelines.events import (sliding_window_agg,
+                                                      tumbling_window_agg)
+
+    ev = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", None,
+                              "2024-01-01 00:10:00",
+                              "2024-01-01 00:20:00"]),
+        "user": ["u1", "u2", None, "u1"],
+        "v": [1.0, 2.0, None, 3.0]})
+    ds = rd.from_pandas(ev).repartition(2)
+    w = tumbling_window_agg(ds, "ts", "user", "v", width_s=600)
+    # the null-ts u2 row is gone; the null-key row is a group with NULL sum
+    assert len(w) == 3
+    nullrow = w[w["user"].isna()]
+    assert len(nullrow) == 1
+    assert nullrow["n"].iloc[0] == 1
+    assert nullrow["sum_v"].isna().all()
+    u1 = w[w["user"] == "u1"].sort_values("window_start")
+    assert u1["sum_v"].tolist() == [1.0, 3.0]
+
+    sw = sliding_window_agg(rd.from_pandas(ev).repartition(2),
+                            "ts", "user", "v", width_s=1200, hop_s=600)
+    assert sw[sw["user"].isna()]["n"].sum() == 2  # null-key row in 2 windows
+    assert not sw["user"].isna().all()
