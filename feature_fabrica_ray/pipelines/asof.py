@@ -74,6 +74,11 @@ def _match_segment(lts: np.ndarray, rts: np.ndarray, direction: str,
 
 def _append_matched(batch: pa.Table, rt: pa.Table, match: np.ndarray,
                     right_cols: list[str]) -> pa.Table:
+    if rt.num_rows == 0:        # no matchable right rows at all
+        for c in right_cols:
+            batch = batch.append_column(
+                c, pa.nulls(len(batch), rt.schema.field(c).type))
+        return batch
     take = pa.array(np.where(match >= 0, match, 0), pa.int64())
     null_mask = pa.array(match < 0)
     for c in right_cols:
@@ -93,13 +98,24 @@ def asof_join_broadcast(left, right, *, on: str, by: str,
     and shipped via ``ray.put``."""
     import ray
 
+    def _pa_type(t):
+        # ray Schema.types holds pyarrow types for arrow blocks but
+        # numpy dtypes / python classes for pandas blocks
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except Exception:
+            return pa.string()      # pandas object columns are strings
+
     cols = [by, on] + [c for c in right_cols if c not in (by, on)]
     if hasattr(right, "select_columns"):     # ray Dataset
         sel = right.select_columns(cols)
         blocks = [t for t in ray.get(sel.to_arrow_refs()) if t.num_rows]
         sch = sel.schema()
         rt = pa.concat_tables(blocks) if blocks else pa.table(
-            {n: pa.array([], t) for n, t in zip(sch.names, sch.types)})
+            {n: pa.array([], _pa_type(t))
+             for n, t in zip(sch.names, sch.types)})
     elif isinstance(right, pa.Table):
         rt = right.select(cols)
     else:
@@ -109,14 +125,23 @@ def asof_join_broadcast(left, right, *, on: str, by: str,
             f"asof_join_broadcast right side has {rt.num_rows} rows — use "
             f"the co-group asof_join instead")
     rt = rt.replace_schema_metadata(None)
+    # a right row with a null key or null ts can never be an as-of
+    # match (SQL ASOF/merge_asof semantics) and would corrupt the
+    # sorted segments
+    rt = rt.filter(pc.and_(pc.is_valid(rt.column(by)),
+                           pc.is_valid(rt.column(on))))
     order = pc.sort_indices(rt, sort_keys=[(by, "ascending"), (on, "ascending")])
     rt = rt.take(order).combine_chunks()
     # per-key segment bounds over the sorted right side
     rkeys = rt.column(by).to_numpy(zero_copy_only=False)
-    seg_starts = np.flatnonzero(
-        np.concatenate([[True], rkeys[1:] != rkeys[:-1]]))
-    seg_bounds = {rkeys[s]: (int(s), int(e)) for s, e in
-                  zip(seg_starts, np.concatenate([seg_starts[1:], [rkeys.size]]))}
+    if rkeys.size:
+        seg_starts = np.flatnonzero(
+            np.concatenate([[True], rkeys[1:] != rkeys[:-1]]))
+        seg_bounds = {rkeys[s]: (int(s), int(e)) for s, e in
+                      zip(seg_starts,
+                          np.concatenate([seg_starts[1:], [rkeys.size]]))}
+    else:
+        seg_bounds = {}
     rts_all = _ts_us(rt.column(on))
     ref = ray.put((rt, seg_bounds, rts_all))
 
@@ -124,6 +149,9 @@ def asof_join_broadcast(left, right, *, on: str, by: str,
         rt, seg_bounds, rts_all = ray.get(ref)
         lkeys = batch.column(by).to_numpy(zero_copy_only=False)
         lts = _ts_us(batch.column(on))
+        # a null left ts matches nothing (its int64 cast is garbage)
+        lvalid = pc.is_valid(batch.column(on)) \
+            .to_numpy(zero_copy_only=False)
         match = np.full(len(batch), -1, np.int64)
         order = np.argsort(lkeys, kind="stable")
         ks = lkeys[order]
@@ -137,6 +165,7 @@ def asof_join_broadcast(left, right, *, on: str, by: str,
             rows = order[s:e]
             m = _match_segment(lts[rows], rts_all[rs:re], direction, tolerance_us)
             match[rows] = np.where(m >= 0, m + rs, -1)
+        match[~lvalid] = -1
         return _append_matched(batch, rt, match,
                                [c for c in rt.column_names if c not in (by, on)])
 
@@ -171,6 +200,10 @@ def asof_join(left, right, *, on: str, by: str, right_cols: list[str],
         return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        # null-key / null-ts right rows can never be an as-of match and
+        # the null ts would poison the int64 __rts carrier
+        batch = batch.filter(pc.and_(pc.is_valid(batch.column(by)),
+                                     pc.is_valid(batch.column(on))))
         n = len(batch)
         cols = {}
         for c in lcols:
@@ -209,7 +242,9 @@ def asof_join(left, right, *, on: str, by: str, right_cols: list[str],
         lkeys = ldf[by].to_numpy()
         lts = ldf[on].to_numpy(dtype="datetime64[us]").astype(np.int64)
         match = np.full(len(ldf), -1, np.int64)
-        key_ok = ~pd.isna(lkeys)
+        # null key or null ts on the left matches nothing (NaT casts to
+        # INT64_MIN, which forward/nearest would otherwise "match")
+        key_ok = ~pd.isna(lkeys) & ~pd.isna(ldf[on]).to_numpy()
         rdf = rdf[~pd.isna(rdf[by]).to_numpy()]  # null keys match nothing
         if len(rdf) and key_ok.any():
             rkeys = rdf[by].to_numpy()

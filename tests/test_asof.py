@@ -173,3 +173,40 @@ def test_pit_window_join(ray_session):
                           value_col="v", window_us=3_600_000_000) \
         .to_pandas().sort_values("lid").reset_index(drop=True)
     pd.testing.assert_frame_equal(one, out)
+
+
+# ---------------------------------------------------------------------------
+# null / empty edges (regression: a NaT left ts cast to INT64_MIN and
+# could "match" under forward/nearest; a null right ts crashed the
+# int64 carrier; an empty right side crashed segment construction)
+# ---------------------------------------------------------------------------
+
+def test_asof_null_ts_and_empty_right(ray_session):
+    L = ray.data.from_pandas(pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-02", None]),
+         "sym": ["A", "A"], "px": [1.0, 2.0]}))
+    R = ray.data.from_pandas(pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01", None]),
+         "sym": ["A", "A"], "bid": [9.0, 8.0]}))
+
+    b = asof_join_broadcast(L, R, on="ts", by="sym",
+                            right_cols=["bid"]).to_pandas() \
+        .sort_values("px")
+    assert b["bid"].tolist()[0] == 9.0         # real row matches backward
+    assert np.isnan(b["bid"].tolist()[1])      # NaT left ts matches nothing
+
+    for direction in ("backward", "forward", "nearest"):
+        c = asof_join(L, R, on="ts", by="sym", right_cols=["bid"],
+                      direction=direction).to_pandas().sort_values("px")
+        assert np.isnan(c["bid"].tolist()[1]), direction
+        if direction in ("backward", "nearest"):
+            assert c["bid"].tolist()[0] == 9.0, direction
+
+    # empty right side: every left row keeps NULL right columns
+    E = ray.data.from_pandas(pd.DataFrame(
+        {"ts": pd.Series([], dtype="datetime64[us]"),
+         "sym": pd.Series([], dtype="object"),
+         "bid": pd.Series([], dtype="float64")}))
+    a = asof_join_broadcast(L, E, on="ts", by="sym",
+                            right_cols=["bid"]).to_pandas()
+    assert len(a) == 2 and a["bid"].isna().all()
