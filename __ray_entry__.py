@@ -3570,14 +3570,57 @@ FROM documents
 
 def q_sp_pack(sf_dir: str):
     """Sequence packing assignment (greedy next-fit into 4096-char
-    contexts, id-sharded). Stateful greedy recurrence — no SQL oracle;
-    rows-only check plus pytest equivalence to the naive algorithm."""
+    contexts, id-sharded). The greedy recurrence IS SQL-expressible as
+    a recursive CTE over pack STARTS (one row per pack per step; the
+    per-step "maximal prefix fitting the context" is a correlated max
+    over the per-shard prefix sums), and every output column is an
+    integer/bool — so this carries a full value-hash oracle, plus
+    pytest equivalence to the naive algorithm."""
     from feature_fabrica_ray.pipelines import pack_sequences
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "n_chars"])
     return pack_sequences(ds, id_col="doc_id", len_col="n_chars",
                           context_len=4096, n_shards=16)
+
+_SP_PACK_ORACLE = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, n_chars,
+         abs(doc_id) % 16 AS shard,
+         row_number() OVER w AS rn,
+         sum(n_chars) OVER w AS cump
+  FROM documents
+  WINDOW w AS (PARTITION BY abs(doc_id) % 16 ORDER BY doc_id)
+), nsh AS (
+  SELECT shard, max(rn) AS n FROM docs GROUP BY shard
+), starts(shard, pack_seq, srn, pstart) AS (
+  SELECT shard, 0::BIGINT, 1::BIGINT, 0::BIGINT FROM nsh
+  UNION ALL
+  SELECT s.shard, s.pack_seq + 1,
+         x.next_t + 1,
+         (SELECT d.cump FROM docs d
+          WHERE d.shard = s.shard AND d.rn = x.next_t)
+  FROM starts s, LATERAL (
+    SELECT greatest(coalesce(
+             (SELECT max(d.rn) FROM docs d
+              WHERE d.shard = s.shard
+                AND d.cump <= s.pstart + 4096), 0), s.srn) AS next_t,
+           (SELECT n FROM nsh WHERE nsh.shard = s.shard) AS n_sh
+  ) x
+  WHERE x.next_t < x.n_sh
+), ranked AS (
+  SELECT d.doc_id, d.n_chars,
+         s.shard * 10000000000 + s.pack_seq AS pack_id,
+         d.cump - d.n_chars - s.pstart AS pack_offset,
+         d.n_chars > 4096 AS truncated,
+         row_number() OVER (PARTITION BY d.shard, d.rn
+                            ORDER BY s.srn DESC) AS pick
+  FROM docs d JOIN starts s
+    ON s.shard = d.shard AND s.srn <= d.rn
+)
+SELECT doc_id, n_chars, pack_id, pack_offset, truncated
+FROM ranked WHERE pick = 1
+"""
 
 
 def q_ta_common_ngrams(sf_dir: str):
@@ -6331,16 +6374,49 @@ def q_gr_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the part<->supplier co-purchase multigraph —
     iterative rank flow with uniform dangling redistribution; per
     iteration one streaming combiner pass over edges, node-sized
-    state broadcast once. Rows-only (iterative fixpoint, no SQL
-    form); pytest matches an exact dense power iteration to 1e-12
-    (pipelines/graph.py::pagerank)."""
+    state broadcast once. Oracle: the 15-step power iteration
+    UNROLLED as chained SQL CTEs (see _pagerank_oracle) — value-hash
+    exact at ppm/4-decimal rounding; pytest additionally matches an
+    exact dense power iteration to 1e-12 (pipelines/graph.py::pagerank)."""
     from feature_fabrica_ray.pipelines import pagerank
 
     out = pagerank(_lineitem_graph(sf_dir), "src", "dst",
                    damping=0.85, iters=15)
     out["node"] = out["node"].astype("int64")
-    out["rank"] = _round_away(out["rank"] * 1e6, 6)   # ppm, readable
+    # ppm, rounded to 4 so cross-engine float summation-order noise
+    # (~1e-9 ppm after 15 iterations) sits far inside the grid
+    out["rank"] = _round_away(out["rank"] * 1e6, 4)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def _pagerank_oracle(iters: int = 15, d: float = 0.85) -> str:
+    """Unrolled power-iteration SQL (one CTE per iteration — DuckDB
+    recursive CTEs allow only one reference to the recursive term,
+    which this plan needs twice). The co-purchase graph is symmetric,
+    so every node has outdegree >= 1 and the dangling term vanishes."""
+    head = """
+WITH e AS (
+  SELECT l_partkey AS src, l_suppkey + 1000000000 AS dst FROM lineitem
+  UNION ALL
+  SELECT l_suppkey + 1000000000 AS src, l_partkey AS dst FROM lineitem
+), deg AS (SELECT src AS node, count(*)::DOUBLE AS dg FROM e GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS c FROM deg),
+r0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS rank FROM deg)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+r{i} AS (SELECT e.dst AS node,
+       (1.0 - {d}) / (SELECT c FROM nn)
+       + {d} * sum(r.rank / deg.dg) AS rank
+  FROM e JOIN r{i - 1} r ON e.src = r.node
+         JOIN deg ON deg.node = e.src
+  GROUP BY e.dst)""")
+    tail = f"""
+SELECT node, round(rank * 1e6, 4) AS rank FROM r{iters} ORDER BY node"""
+    return head + "".join(steps) + tail
+
+
+_PAGERANK_ORACLE = _pagerank_oracle()
 
 
 def q_gr_degree(sf_dir: str) -> pd.DataFrame:
@@ -8326,9 +8402,12 @@ HAVING count(DISTINCT lang) > 1
 
 def q_ev_ewma(sf_dir: str) -> pd.DataFrame:
     """Per-user EWMA of event values (pipelines/events.py::
-    ewma_per_key) — the recursive smoother y = αx + (1-α)y' has no
-    window-function SQL form, so this is rows-only by design; exact
-    pandas ewm goldens pin correctness (test_events.py)."""
+    ewma_per_key). The smoother y = αx + (1-α)y' has a window-SQL
+    closed form (prefix sum of x_i·(1-α)^(-i)), but closed-vs-recursive
+    float noise (~1e-10) straddles the 6-decimal rounding grid on ~3 in
+    10k rows (measured), so a value-hash oracle is structurally flaky —
+    rows-only by choice; exact pandas ewm goldens pin the recursion
+    (test_events.py)."""
     from feature_fabrica_ray.pipelines import ewma_per_key
 
     ds = read_parquet_clean(f"{sf_dir}/events.parquet",
@@ -8336,6 +8415,27 @@ def q_ev_ewma(sf_dir: str) -> pd.DataFrame:
                                      "value"])
     return ewma_per_key(ds, "ts", "user_id", "value", "event_id",
                         alpha=0.3)
+
+
+_EWMA_ORACLE = """
+WITH o AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER w AS rn,
+         first_value(value) OVER w AS x1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT event_id, user_id, value, rn, x1,
+         sum(CASE WHEN rn >= 2 THEN value * power(0.7, -rn)
+                  ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY rn) AS acc
+  FROM o
+)
+SELECT event_id, user_id, value,
+       round(power(0.7, rn - 1) * x1
+             + 0.3 * power(0.7, rn) * acc, 6) AS ewma
+FROM s
+"""
 
 
 def q_vl_schema_diff(sf_dir: str) -> pd.DataFrame:
@@ -8919,6 +9019,8 @@ def oracle_sql() -> dict[str, str]:
         "ta_words": _WORDS_ORACLE,
         "agg_strings": _STRING_AGG_ORACLE,
         "ev_lag": _LAG_ORACLE,
+        "gr_pagerank": _PAGERANK_ORACLE,
+        "sp_pack": _SP_PACK_ORACLE,
         "ev_rank": _RANK_ORACLE,
         "ev_prank": _EV_PRANK_ORACLE,
         "ev_json_str": _EV_JSON_STR_ORACLE,
