@@ -6517,10 +6517,12 @@ GROUP BY node ORDER BY tri_cnt DESC, node LIMIT 10
 
 def q_gr_kcore(sf_dir: str) -> pd.DataFrame:
     """k-core of the co-purchase graph (iterative distributed peeling,
-    pipelines/graph.py::kcore): nodes surviving with in-core degree —
-    iterate-until-fixpoint, so no SQL oracle; pytest pins it against
-    brute-force cascade peeling. k is set to the graph's mean degree
-    so the peel actually cascades."""
+    pipelines/graph.py::kcore): nodes surviving with in-core degree.
+    Oracle: the peel UNROLLED as chained SQL CTEs (12 rounds — the
+    fixpoint arrives in 3/6 rounds at the test scales and extra rounds
+    are idempotent); all-integer outputs make it hash-exact. pytest
+    additionally pins it against brute-force cascade peeling. k is set
+    near the mean degree so the peel actually cascades."""
     from feature_fabrica_ray.pipelines import canonical_edges, kcore
 
     from feature_fabrica_ray.pipelines import degree_table
@@ -6536,6 +6538,42 @@ def q_gr_kcore(sf_dir: str) -> pd.DataFrame:
     out = kcore(e, k, "lo", "hi")
     out["k"] = np.int64(k)
     return out
+
+def _kcore_oracle(rounds: int = 12) -> str:
+    """Unrolled peeling SQL: alive_i = nodes with degree >= k over
+    e_{i-1}; e_i = e_{i-1} semi-joined on both endpoints alive. Rounds
+    past the fixpoint change nothing, so a fixed generous unroll is
+    exact. k replicates the query's int(0.7 * 2 * m / n) in the same
+    IEEE evaluation order (value sits far from integer boundaries at
+    both test scales)."""
+    head = """
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+       FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey),
+kk AS (SELECT greatest(2, CAST(floor(
+         0.7 * 2 * (SELECT count(*) FROM e0)
+         / (SELECT count(DISTINCT node) FROM
+            (SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0)))
+       AS BIGINT)) AS k)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+alive{i} AS MATERIALIZED (SELECT node FROM (SELECT lo AS node FROM e{i - 1}
+                               UNION ALL SELECT hi FROM e{i - 1})
+             GROUP BY node HAVING count(*) >= (SELECT k FROM kk)),
+e{i} AS MATERIALIZED (SELECT e.lo, e.hi FROM e{i - 1} e
+         JOIN alive{i} a1 ON a1.node = e.lo
+         JOIN alive{i} a2 ON a2.node = e.hi)""")
+    tail = f"""
+SELECT node, CAST(count(*) AS BIGINT) AS core_deg,
+       (SELECT k FROM kk) AS k
+FROM (SELECT lo AS node FROM e{rounds} UNION ALL SELECT hi FROM e{rounds})
+GROUP BY node ORDER BY node"""
+    return head + "".join(steps) + tail
+
+
+_KCORE_ORACLE = _kcore_oracle()
 
 
 def q_gr_clustering(sf_dir: str) -> pd.DataFrame:
@@ -9021,6 +9059,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_lag": _LAG_ORACLE,
         "gr_pagerank": _PAGERANK_ORACLE,
         "sp_pack": _SP_PACK_ORACLE,
+        "gr_kcore": _KCORE_ORACLE,
         "ev_rank": _RANK_ORACLE,
         "ev_prank": _EV_PRANK_ORACLE,
         "ev_json_str": _EV_JSON_STR_ORACLE,
