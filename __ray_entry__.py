@@ -4168,8 +4168,11 @@ def q_tp_curate(sf_dir: str):
     """End-to-end corpus curation composed as ONE streaming pipeline:
     Gopher quality gate -> dedup canonicalization -> exact keep-one
     dedup (the only shuffle) -> token-window chunking -> greedy sequence
-    packing. Rows-only (chunk/pack recurrences have no SQL oracle);
-    pytest verifies layout determinism + stage invariants."""
+    packing. Every stage is SQL-expressible (gopher flag, normalize,
+    keep-min dedup, chunk arithmetic, and the pack recursion from
+    _SP_PACK_ORACLE) and every output column is an integer/bool, so
+    the WHOLE composition carries a value-hash oracle; pytest
+    additionally verifies layout determinism + stage invariants."""
     from feature_fabrica_ray.pipelines import curate_corpus
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
@@ -4179,6 +4182,78 @@ def q_tp_curate(sf_dir: str):
                                  gopher_kw={"max_top_word_frac": 0.5}),
                    ["doc_id", "chunk_id", "n_tokens", "pack_id",
                     "pack_offset", "truncated"])
+
+_TP_CURATE_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\S+') AS t,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+  FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n_words, n_nonspace,
+         len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+'))) AS n_alpha
+  FROM toks),
+tw AS (
+  SELECT doc_id, max(cnt) AS top_cnt FROM (
+    SELECT doc_id, w, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+    GROUP BY doc_id, w)
+  GROUP BY doc_id),
+gm AS (
+  SELECT b.doc_id, b.n_words,
+         round(b.n_nonspace / greatest(b.n_words, 1)::DOUBLE, 6) AS mean_word_len,
+         round(coalesce(tw.top_cnt, 0) / greatest(b.n_words, 1)::DOUBLE, 6) AS top_word_frac,
+         round(b.n_alpha / greatest(b.n_words, 1)::DOUBLE, 6) AS alpha_word_frac
+  FROM base b LEFT JOIN tw USING (doc_id)),
+pass AS (
+  SELECT doc_id FROM gm
+  WHERE n_words BETWEEN 10 AND 100000
+    AND mean_word_len BETWEEN 3.0 AND 10.0
+    AND top_word_frac <= 0.5 AND alpha_word_frac >= 0.80),
+normed AS (
+  SELECT d.doc_id,
+         trim(regexp_replace(lower(coalesce(d.text, '')), '\s+', ' ', 'g')) AS norm
+  FROM documents d JOIN pass USING (doc_id)),
+kept AS (SELECT min(doc_id) AS doc_id, norm FROM normed GROUP BY norm),
+cnt AS (SELECT doc_id,
+               CASE WHEN norm = '' THEN 0
+                    ELSE len(string_split(norm, ' ')) END AS n
+        FROM kept),
+chunks AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id,
+         least(32, n - 32 * CAST(g.i AS BIGINT)) AS n_tokens,
+         doc_id * 1000000 + CAST(g.i AS BIGINT) AS uid
+  FROM cnt, UNNEST(generate_series(0, (n - 1) // 32)) AS g(i)
+  WHERE n > 0),
+docs AS MATERIALIZED (
+  SELECT uid, n_tokens, abs(uid) % 16 AS shard,
+         row_number() OVER w AS rn, sum(n_tokens) OVER w AS cump
+  FROM chunks WINDOW w AS (PARTITION BY abs(uid) % 16 ORDER BY uid)),
+nsh AS (SELECT shard, max(rn) AS n FROM docs GROUP BY shard),
+starts(shard, pack_seq, srn, pstart) AS (
+  SELECT shard, 0::BIGINT, 1::BIGINT, 0::BIGINT FROM nsh
+  UNION ALL
+  SELECT s.shard, s.pack_seq + 1, x.next_t + 1,
+         (SELECT d.cump FROM docs d WHERE d.shard = s.shard AND d.rn = x.next_t)
+  FROM starts s, LATERAL (
+    SELECT greatest(coalesce(
+             (SELECT max(d.rn) FROM docs d
+              WHERE d.shard = s.shard AND d.cump <= s.pstart + 128), 0),
+           s.srn) AS next_t,
+           (SELECT n FROM nsh WHERE nsh.shard = s.shard) AS n_sh) x
+  WHERE x.next_t < x.n_sh),
+ranked AS (
+  SELECT d.uid, d.n_tokens,
+         s.shard * 10000000000 + s.pack_seq AS pack_id,
+         d.cump - d.n_tokens - s.pstart AS pack_offset,
+         d.n_tokens > 128 AS truncated,
+         row_number() OVER (PARTITION BY d.shard, d.rn ORDER BY s.srn DESC) AS pick
+  FROM docs d JOIN starts s ON s.shard = d.shard AND s.srn <= d.rn)
+SELECT uid // 1000000 AS doc_id,
+       uid - (uid // 1000000) * 1000000 AS chunk_id,
+       n_tokens, pack_id, pack_offset, truncated
+FROM ranked WHERE pick = 1
+"""
 
 
 def q_dd_neardup_distributed(sf_dir: str):
@@ -9060,6 +9135,7 @@ def oracle_sql() -> dict[str, str]:
         "gr_pagerank": _PAGERANK_ORACLE,
         "sp_pack": _SP_PACK_ORACLE,
         "gr_kcore": _KCORE_ORACLE,
+        "tp_curate": _TP_CURATE_ORACLE,
         "ev_rank": _RANK_ORACLE,
         "ev_prank": _EV_PRANK_ORACLE,
         "ev_json_str": _EV_JSON_STR_ORACLE,
