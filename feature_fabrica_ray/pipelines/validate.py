@@ -627,6 +627,14 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
     needed |= {c.column for c in suite.drift_checks}
     for uc in suite.unique_checks:
         needed |= set(uc.columns)
+    # plan-time pre-flight: a check naming a column the table does not
+    # have should fail HERE with the offending names, not as a wrapped
+    # CheckSpecError from inside a Ray task mid-pass
+    missing = sorted((needed - set(sch.names)) - {None, "content_sha256"})
+    if missing:
+        raise ValueError(
+            f"suite references columns missing from the input schema: "
+            f"{missing} (have: {list(sch.names)})")
     needed.add("content_sha256")   # lineage digests, when the column exists
     keep = [c for c in sch.names if c in needed]
     if len(keep) < len(sch.names):

@@ -1387,3 +1387,20 @@ def test_categorical_profile(ray_session):
             round(float(p.max()), 6), abs=2e-6)
         assert int(out.loc["b", "n_distinct"]) == 50
         assert int(out.loc["b", "nulls"]) == 0
+
+
+def test_suite_missing_column_fails_at_plan_time(ray_session):
+    """A check naming a nonexistent column must raise a plain
+    ValueError naming it BEFORE any Ray task launches (regression:
+    used to surface as a wrapped CheckSpecError mid-pass)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from feature_fabrica_ray.checks.suite import CheckSuite
+    from feature_fabrica_ray.pipelines.validate import run_suite
+
+    t = pa.table({"repo": ["a", "b"], "lang": ["py", None]})
+    suite = CheckSuite([{"type": "not_null", "name": "bad",
+                         "column": "nonexistent"}])
+    with pytest.raises(ValueError, match="nonexistent"):
+        run_suite(rd.from_arrow(t), suite, partition_col="repo")
