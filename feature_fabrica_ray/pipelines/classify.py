@@ -180,16 +180,20 @@ def logreg_train(ds, text_col: str = "text", label_col: str = "label",
     bag-of-token features (the fastText/CCNet-style quality-filter
     shape) with FULL-BATCH gradient descent.
 
-    Scale shape: the weight vector (``dim`` + bias, ~0.5 MB at the
-    default 2^16) is ``ray.put`` once per iteration and every iteration
-    is ONE streaming ``map_batches`` pass emitting a per-block gradient
-    partial (a single (dim+1)-float row — the exchange carries model-
-    sized vectors, never rows); the driver sums partials and steps.
+    Scale shape: tokenization + hashing run ONCE — the per-row feature
+    index lists materialize into a narrow (fidx list<int64>, y) dataset
+    in the object store (spillable) and every iteration streams over
+    THAT, so 50 iterations cost one tokenize pass + 50 cheap numeric
+    passes instead of 50 tokenize passes. The weight vector (``dim`` +
+    bias, ~0.5 MB at the default 2^16) is ``ray.put`` once per
+    iteration and each pass emits a per-block gradient partial (a
+    single (dim+1)-float row — the exchange carries model-sized
+    vectors, never rows); the driver sums partials and steps.
     Full-batch GD with zero init is deterministic and partition-
     invariant up to float summation order (~1e-15), unlike SGD.
-    Iterations cost one pass each — at 100 TB pair this with
-    ``hash_sample`` to train on a fixed-size sample, which is what
-    production quality filters do. No SQL oracle (iterative).
+    At 100 TB pair this with ``hash_sample`` to train on a fixed-size
+    sample, which is what production quality filters do. No SQL oracle
+    (iterative).
 
     Labels: ``label_col`` must be 0/1 (ints or booleans; nulls drop
     the row). Returns {"w": (dim,), "b": float, "dim": int}."""
@@ -198,14 +202,31 @@ def logreg_train(ds, text_col: str = "text", label_col: str = "label",
     w = np.zeros(dim, np.float64)
     b = 0.0
 
+    def featurize(batch: pa.Table) -> pa.Table:
+        idx, row_of = _hashed_counts(batch, text_col, dim)
+        n = batch.num_rows
+        lens = np.bincount(row_of, minlength=n).astype(np.int32)
+        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        fidx = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                        pa.array(idx, pa.int64()))
+        return pa.table({"fidx": fidx,
+                         "y": batch.column(label_col).cast(pa.float64())})
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow",
+                           batch_size=None).materialize()
+
     def grad_pass(ref):
         def fn(batch: pa.Table) -> pa.Table:
             wv, bv = ray.get(ref)
-            y_arr = batch.column(label_col)
+            y_arr = batch.column("y")
             valid = pc.is_valid(y_arr).to_numpy(zero_copy_only=False)
-            y = pc.fill_null(y_arr.cast(pa.float64()), 0.0) \
+            y = pc.fill_null(y_arr, 0.0).to_numpy(zero_copy_only=False)
+            col = batch.column("fidx")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            idx = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            row_of = pc.list_parent_indices(col) \
                 .to_numpy(zero_copy_only=False)
-            idx, row_of = _hashed_counts(batch, text_col, dim)
             n = batch.num_rows
             z = np.full(n, bv, np.float64)
             np.add.at(z, row_of, wv[idx])
@@ -221,8 +242,8 @@ def logreg_train(ds, text_col: str = "text", label_col: str = "label",
 
     for _ in range(iters):
         ref = ray.put((w, b))
-        rows = ds.map_batches(grad_pass(ref), batch_format="pyarrow",
-                              batch_size=None).take_all()
+        rows = feats.map_batches(grad_pass(ref), batch_format="pyarrow",
+                                 batch_size=None).take_all()
         g = np.zeros(dim + 2, np.float64)
         for r in rows:
             g += np.frombuffer(r["g"], np.float64)
