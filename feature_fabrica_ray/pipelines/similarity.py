@@ -226,6 +226,14 @@ def kmeans(ds, k: int = 8, iters: int = 10, vec_col: str = "embedding",
     """
     import ray
 
+    # materialize the vector projection ONCE: every iteration streams
+    # over it, and a lazy input would re-execute the whole upstream
+    # pipeline (parquet read included) per iteration — same pattern as
+    # graph.pagerank's edge projection; lives in the object store
+    ds = ds.map_batches(lambda t, c=vec_col: t.select([c]),
+                        batch_format="pyarrow", batch_size=None) \
+        .materialize()
+
     if init is None:
         head = ds.limit(max(k * 4, k)).to_pandas()
         X0 = np.asarray([np.asarray(v, np.float64) for v in head[vec_col]])
