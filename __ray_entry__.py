@@ -3764,6 +3764,38 @@ SELECT d.doc_id, a.cleaned FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_dd_paradedup(sf_dir: str):
+    """Corpus-wide keep-first segment dedup (Dolma/CCNet paragraph-
+    level dedup, at token granularity on this single-line corpus):
+    every segment keeps only its first (doc, position) occurrence
+    anywhere; docs reassemble from survivors in order
+    (pipelines/curation.py::dedup_segments_global — occurrence
+    projection, one hash-keyed loser-marking shuffle, one doc-keyed
+    loser-list shuffle, size-aware join back; nothing on the driver)."""
+    from feature_fabrica_ray.pipelines import dedup_segments_global
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = dedup_segments_global(ds, delim=" ").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_PARADEDUP_ORACLE = """
+WITH s AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+w AS (SELECT doc_id, seg, pos,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY doc_id, pos) AS rn
+      FROM s),
+agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS cleaned
+        FROM w WHERE rn = 1 GROUP BY doc_id)
+SELECT d.doc_id, a.cleaned
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_dd_decontaminate(sf_dir: str):
     """Token 8-gram decontamination: docs with doc_id % 20 == 0 act as
     the benchmark corpus, the rest as training data."""
@@ -8880,6 +8912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_decontaminate": q_dd_decontaminate,
         "dd_boilerplate": q_dd_boilerplate,
         "dd_intradoc": q_dd_intradoc,
+        "dd_paradedup": q_dd_paradedup,
         "agg_salted": q_agg_salted,
         "tq_shipping": q_tq_shipping,
         "tq_localvolume": q_tq_localvolume,
@@ -9169,6 +9202,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_decontaminate": _DECON_ORACLE,
         "dd_boilerplate": _BOILERPLATE_ORACLE,
         "dd_intradoc": _INTRADOC_ORACLE,
+        "dd_paradedup": _PARADEDUP_ORACLE,
         "agg_salted": _SALTED_ORACLE,
         "sp_shuffle": _SP_SHUFFLE_ORACLE,
         "vl_monotonic": _MONOTONIC_ORACLE,

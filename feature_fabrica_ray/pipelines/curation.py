@@ -29,6 +29,7 @@ from .textstats import _flat_utf8  # noqa: F401  (re-exported family)
 from .textstats import _distinct_per_row, _set_col, fill_utf8, token_hashes
 
 __all__ = ["redact_text", "normalize_text", "gopher_quality",
+           "dedup_segments_global",
            "token_ngram_hashes", "decontaminate", "salted_group_agg",
            "repetition_stats", "common_ngrams", "remove_frequent_lines",
            "dedup_lines_within_doc"]
@@ -606,3 +607,179 @@ def dedup_lines_within_doc(ds, *, delim: str = "\n", text_col: str = "text",
         return batch.append_column(out_col, joined)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def dedup_segments_global(ds, *, delim: str = "\n", text_col: str = "text",
+                          id_col: str = "doc_id", out_col: str = "cleaned",
+                          num_partitions: int | None = None):
+    """Corpus-WIDE keep-first segment dedup (the Dolma/CCNet paragraph-
+    level dedup step, phrased over an arbitrary delimiter): every
+    delim-separated segment keeps only its FIRST occurrence in the
+    whole corpus — first = smallest (doc id, position) — and each
+    document is reassembled from its surviving segments in original
+    order. ``remove_frequent_lines`` deletes segments that are TOO
+    COMMON everywhere; this keeps one canonical copy of every segment.
+
+    Scale shape, dup-heavy-safe (nothing ever collects to the driver):
+      1. occurrence projection — one vectorized split per block emits
+         (segment hash64, doc, pos), 24 B per occurrence; the text
+         itself does not enter the exchange.
+      2. ONE keyed shuffle on uniform hash buckets; each bucket marks
+         its winners with one lexsort across ALL its hashes (first of
+         each hash run) and emits only the LOSER (doc, pos) pairs.
+      3. losers shuffle once more, keyed by doc bucket, and collapse
+         to one (doc, positions list<int64>) row per affected doc.
+      4. the loser lists join back size-aware (``sized_join`` —
+         broadcast while they fit, hash exchange past the threshold)
+         and a stateless scrub drops the listed positions and rejoins.
+
+    SQL parity: a NULL text, and a document whose EVERY segment loses,
+    yield NULL (string_agg over no rows through a left join). Keyed on
+    the 64-bit segment hash, like ``exact_dedup_rows`` — a hash
+    collision would conflate two distinct segments (~2e-10 at 1e5
+    distinct segments); use the exact-verify dedup forms when that
+    cannot be tolerated. Returns (id_col, out_col)."""
+    import ray
+
+    from ..state import hash64
+    from ..tuning import shuffle_partitions
+    from .join import sized_join
+
+    n = num_partitions or shuffle_partitions()
+
+    def occ(batch: pa.Table) -> pa.Table:
+        # null texts emit no occurrences (SQL: string_split(NULL)
+        # unnests to zero rows) — they must not contest the races
+        batch = batch.filter(pc.is_valid(batch.column(text_col)))
+        segs = pc.split_pattern(fill_utf8(batch.column(text_col)), delim)
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        flat = pc.list_flatten(segs)
+        parent = pc.list_parent_indices(segs) \
+            .to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(segs).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        pos = np.arange(len(flat), dtype=np.int64) - starts[parent]
+        h = hash64(flat).view(np.int64)
+        doc = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[parent]
+        bkt = (h.view(np.uint64) % np.uint64(n)).astype(np.int32)
+        return pa.table({"h": pa.array(h), "doc": pa.array(doc),
+                         "pos": pa.array(pos),
+                         "__bkt": pa.array(bkt, pa.int32())})
+
+    def losers_of_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "h" not in t.column_names:
+            empty = pa.array([], pa.int64())
+            return pa.table({"doc": empty, "pos": empty})
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        d = t.column("doc").to_numpy(zero_copy_only=False)
+        p = t.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d, h))
+        hs = h[order]
+        first = np.concatenate(([True], hs[1:] != hs[:-1]))
+        lose = order[~first]
+        return pa.table({"doc": pa.array(d[lose]),
+                         "pos": pa.array(p[lose])})
+
+    losers = (ds.map_batches(occ, batch_format="pyarrow", batch_size=None)
+              .groupby("__bkt", num_partitions=n)
+              .map_groups(losers_of_bucket, batch_format="pyarrow"))
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc" not in t.column_names:
+            empty = pa.array([], pa.int64())
+            return pa.table({"doc": empty, "pos": empty,
+                             "__dbkt": pa.array([], pa.int32())})
+        d = t.column("doc").to_numpy(zero_copy_only=False)
+        return t.append_column("__dbkt", pa.array(
+            (d.astype(np.uint64) % np.uint64(n)).astype(np.int32),
+            pa.int32()))
+
+    def lists_of_bucket(t: pa.Table) -> pa.Table:
+        # positions ride as a comma-joined string: pyarrow's hash join
+        # cannot carry list-typed payload columns, a string can
+        if t.num_rows == 0 or "doc" not in t.column_names:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "drop_pos": pa.array([], pa.string())})
+        g = t.select(["doc", "pos"]).group_by("doc") \
+            .aggregate([("pos", "list")])
+        lst = g.column("pos_list")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        joined = pc.binary_join(
+            pc.cast(lst, pa.list_(pa.string())), pa.scalar(","))
+        return pa.table({"doc": g.column("doc"), "drop_pos": joined})
+
+    loser_lists = (losers.map_batches(rebucket, batch_format="pyarrow",
+                                      batch_size=None)
+                   .groupby("__dbkt", num_partitions=n)
+                   .map_groups(lists_of_bucket, batch_format="pyarrow")
+                   .materialize())
+    # compact away the schema-less empty shuffle partitions (Ray's hash
+    # shuffle emits them with no schema at all — see graph.py) so the
+    # join sees ONE schema; n_lists==0 short-circuits the join entirely
+    n_lists = loser_lists.count()
+
+    proj = ds.map_batches(
+        lambda t, c=(id_col, text_col): t.select(list(c)),
+        batch_format="pyarrow", batch_size=None).materialize()
+    if n_lists == 0:
+        empty_lists = pa.table(
+            {"doc": pa.array([], pa.int64()),
+             "drop_pos": pa.array([], pa.string())})
+        import ray.data as _rd
+        loser_lists = _rd.from_arrow(empty_lists)
+    else:
+        loser_lists = loser_lists.repartition(min(n, n_lists)).materialize()
+    joined = sized_join(proj, loser_lists, on=id_col, right_on="doc",
+                        how="left outer",
+                        left_bytes=proj.size_bytes(),
+                        right_bytes=loser_lists.size_bytes())
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        null_in = pc.is_null(txt).to_numpy(zero_copy_only=False)
+        segs = pc.split_pattern(fill_utf8(txt), delim)
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        flat = pc.list_flatten(segs)
+        parent = pc.list_parent_indices(segs) \
+            .to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(segs).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        pos = np.arange(len(flat), dtype=np.int64) - starts[parent]
+        keep = np.ones(len(flat), bool)
+        dp = batch.column("drop_pos")
+        if isinstance(dp, pa.ChunkedArray):
+            dp = dp.combine_chunks()
+        dlists = pc.split_pattern(dp, ",")       # null rows emit nothing
+        dflat = pc.cast(pc.list_flatten(dlists), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dparent = pc.list_parent_indices(dlists) \
+            .to_numpy(zero_copy_only=False)
+        if dflat.size:
+            big = np.int64(1) << np.int64(32)
+            drop_keys = dparent.astype(np.int64) * big + dflat
+            occ_keys = parent.astype(np.int64) * big + pos
+            keep &= ~np.isin(occ_keys, drop_keys)
+        kept_flat = flat.filter(pa.array(keep))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        counts = np.bincount(parent[keep], minlength=batch.num_rows)
+        offsets = np.zeros(batch.num_rows + 1, np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        joined_txt = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     kept_flat),
+            pa.scalar(delim))
+        joined_txt = pc.if_else(pa.array((counts == 0) | null_in),
+                                pa.nulls(batch.num_rows, pa.string()),
+                                joined_txt)
+        return pa.table({id_col: batch.column(id_col),
+                         out_col: joined_txt})
+
+    return joined.map_batches(scrub, batch_format="pyarrow",
+                              batch_size=None)

@@ -578,3 +578,39 @@ def test_bpe_null_mixed_corpus(ray_session):
     out = bpe_token_counts(_ds(df), merges).to_pandas() \
         .set_index("doc_id")["n_bpe_tokens"]
     assert out[1] == 0 and out[2] == 3
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide keep-first segment dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_segments_global_goldens(ray_session):
+    from feature_fabrica_ray.pipelines import dedup_segments_global
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5],
+                       "text": ["a b c", "b d", None, "", "a b"]})
+    out = dedup_segments_global(_ds(df, blocks=3), delim=" ") \
+        .to_pandas().sort_values("doc_id")
+    # doc 1 is first everywhere; doc 2 loses "b"; null stays null;
+    # "" keeps its (first) empty segment; doc 5 loses everything -> NULL
+    assert out["cleaned"].tolist() == ["a b c", "d", None, "", None]
+
+
+def test_dedup_segments_global_partition_invariance(ray_session):
+    from feature_fabrica_ray.pipelines import dedup_segments_global
+
+    rows = [{"doc_id": i,
+             "text": " ".join(f"w{(i * 7 + j) % 23}" for j in range(1 + i % 9))}
+            for i in range(60)]
+    df = pd.DataFrame(rows)
+    a = dedup_segments_global(_ds(df, blocks=1), delim=" ") \
+        .to_pandas().sort_values("doc_id")["cleaned"].fillna("\0").tolist()
+    b = dedup_segments_global(_ds(df, blocks=7), delim=" ") \
+        .to_pandas().sort_values("doc_id")["cleaned"].fillna("\0").tolist()
+    assert a == b
+    # keep-first: the union of surviving segments has no duplicates and
+    # equals the distinct segment set of the corpus
+    segs = [s for t in a if t != "\0" and t != "" for s in t.split(" ")]
+    assert len(segs) == len(set(segs))
+    allsegs = {s for r in rows for s in r["text"].split(" ")}
+    assert set(segs) == allsegs
