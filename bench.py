@@ -264,10 +264,12 @@ def bench_segstats() -> tuple[float, int]:
 
 
 def bench_boilerplate() -> tuple[float, int]:
-    """CCNet-style frequent-segment removal over documents: df combiner
-    + one keyed shuffle of distinct segments, broadcast hot set,
-    stateless scrub (token granularity on this corpus)."""
-    from feature_fabrica_ray.pipelines import remove_frequent_lines
+    """CCNet-style segment scrubbing over documents: frequent-segment
+    removal (df combiner + broadcast hot set + stateless scrub) AND
+    corpus-wide keep-first segment dedup (occurrence projection + two
+    keyed shuffles + size-aware join back), token granularity."""
+    from feature_fabrica_ray.pipelines import (dedup_segments_global,
+                                               remove_frequent_lines)
     from feature_fabrica_ray.sources import read_parquet_clean
 
     t0 = time.perf_counter()
@@ -275,6 +277,9 @@ def bench_boilerplate() -> tuple[float, int]:
                              columns=["doc_id", "text"])
     out = remove_frequent_lines(src, min_frac=0.5, delim=" ")
     n = _consume(out)
+    src2 = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"])
+    n += _consume(dedup_segments_global(src2, delim=" "))
     return time.perf_counter() - t0, n
 
 
