@@ -140,15 +140,20 @@ def write_range_partitioned(ds, out_dir: str, *, col: str, k: int = 16,
 
     m = out.map_batches(mpartial, batch_format="pyarrow",
                         batch_size=None).to_pandas()
-    agg = m.groupby(bucket_col).agg(rows=("rows", "sum"), lo=("lo", "min"),
-                                    hi=("hi", "max")).sort_index()
-    manifest = {str(int(b)): {"rows": int(r.rows),
-                              "lo": None if pd.isna(r.lo) else float(r.lo),
-                              "hi": None if pd.isna(r.hi) else float(r.hi)}
-                for b, r in agg.iterrows()}
+    if bucket_col not in m.columns:    # empty input: no partials at all
+        manifest = {}
+    else:
+        agg = m.groupby(bucket_col).agg(rows=("rows", "sum"),
+                                        lo=("lo", "min"),
+                                        hi=("hi", "max")).sort_index()
+        manifest = {str(int(b)): {"rows": int(r.rows),
+                                  "lo": None if pd.isna(r.lo) else float(r.lo),
+                                  "hi": None if pd.isna(r.hi) else float(r.hi)}
+                    for b, r in agg.iterrows()}
     import json
     import os
 
+    os.makedirs(out_dir, exist_ok=True)   # an empty write creates no dir
     with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
         json.dump({"col": col, "k": k, "buckets": manifest}, f, indent=1)
     return k

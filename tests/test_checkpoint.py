@@ -410,3 +410,20 @@ def test_write_jsonl_sharded(ray_session, tmp_path):
     assert back.groupby("k")["shard"].nunique().max() == 1
     import glob
     assert len(glob.glob(f"{out}/shard-*")) > 1
+
+
+def test_write_range_partitioned_empty_input(ray_session, tmp_path):
+    """An empty dataset writes an empty manifest instead of crashing
+    on the missing bucket column / missing output directory."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from feature_fabrica_ray.pipelines.writer import write_range_partitioned
+
+    e = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    out = str(tmp_path / "range_empty")
+    assert write_range_partitioned(e, out, col="k") == 16
+    m = json.load(open(out + "/_manifest.json"))
+    assert m["buckets"] == {}
