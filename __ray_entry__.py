@@ -3764,6 +3764,22 @@ SELECT d.doc_id, a.cleaned FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_sm_split_safe(sf_dir: str) -> pd.DataFrame:
+    """Leakage-safe train/test split over documents: split keys are
+    near-dup CLUSTER representatives (distributed MinHash-LSH pairs ->
+    connected components -> size-aware join -> deterministic
+    hash_split), so near-duplicate docs never straddle train/eval
+    (pipelines/sampling.py::leakage_safe_split). Rows-only (MinHash);
+    pytest pins co-location + layout invariance + fraction sanity."""
+    from feature_fabrica_ray.pipelines import leakage_safe_split
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = leakage_safe_split(ds, {"train": 0.8, "test": 0.2},
+                             threshold=0.5).to_pandas()
+    return out[["doc_id", "__split_key", "split"]]         .sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dd_paradedup(sf_dir: str):
     """Corpus-wide keep-first segment dedup (Dolma/CCNet paragraph-
     level dedup, at token granularity on this single-line corpus):
@@ -8913,6 +8929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_boilerplate": q_dd_boilerplate,
         "dd_intradoc": q_dd_intradoc,
         "dd_paradedup": q_dd_paradedup,
+        "sm_split_safe": q_sm_split_safe,
         "agg_salted": q_agg_salted,
         "tq_shipping": q_tq_shipping,
         "tq_localvolume": q_tq_localvolume,

@@ -547,3 +547,59 @@ def mixture_sample(ds, proportions: dict[str, float], *,
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(fn_md5, batch_format="pyarrow", batch_size=None)
+
+
+def leakage_safe_split(ds, fractions: dict[str, float], *,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       out_col: str = "split", seed: int = 0,
+                       threshold: float = 0.5, pairs=None, **lsh_kw):
+    """Near-dup-aware train/val/test assignment — the eval-leakage
+    guard: splitting on raw document ids puts one crawl of a page in
+    train and its near-copy in test, silently inflating eval scores.
+    Here the split key is the document's NEAR-DUP CLUSTER representative
+    (MinHash-LSH pairs -> distributed connected components), so every
+    member of a near-dup cluster lands on the SAME side; documents in
+    no cluster key on their own id.
+
+    Composition of existing scale paths, nothing on the driver: the
+    ids-only distributed LSH band exchange
+    (``dedup.minhash_lsh_pairs_distributed`` — pass precomputed
+    ``pairs`` with id_a/id_b to reuse a run), label-propagation
+    components (``graph.connected_components``), one size-aware join of
+    the (node, comp) table back onto the corpus, then the stateless
+    deterministic ``hash_split`` keyed on the component id. Returns the
+    input Dataset + ``out_col`` (string) + ``__split_key`` (int64, the
+    cluster representative the assignment was keyed on — keep it for
+    audits, drop it downstream)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .dedup import minhash_lsh_pairs_distributed
+    from .graph import connected_components
+    from .join import sized_join
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs_distributed(
+            ds, text_col, id_col, threshold=threshold, **lsh_kw)
+    labels = connected_components(pairs, a_col="id_a", b_col="id_b") \
+        .materialize()
+
+    proj = ds.materialize()
+    joined = sized_join(proj, labels, on=id_col, right_on="node",
+                        how="left outer",
+                        left_bytes=proj.size_bytes(),
+                        right_bytes=labels.size_bytes())
+
+    def key_col(batch: pa.Table) -> pa.Table:
+        comp = batch.column("comp") if "comp" in batch.column_names \
+            else pa.nulls(batch.num_rows, pa.int64())
+        own = batch.column(id_col).cast(pa.int64())
+        keyv = pc.coalesce(comp, own)
+        keep = [c for c in batch.column_names if c != "comp"]
+        return batch.select(keep).append_column(
+            "__split_key", keyv.cast(pa.int64()))
+
+    keyed = joined.map_batches(key_col, batch_format="pyarrow",
+                               batch_size=None)
+    return hash_split(keyed, ["__split_key"], fractions,
+                      out_col=out_col, seed=seed)

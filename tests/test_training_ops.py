@@ -4686,3 +4686,28 @@ def test_sized_join_sql_aliases(ray_session):
         .sort_values("k").reset_index(drop=True)
     assert out["k"].tolist() == [1, 2]
     assert out["y"].fillna("-").tolist() == ["-", "q"]
+
+
+def test_leakage_safe_split(ray_session):
+    """Near-dup pairs always land on the same split side; assignment is
+    layout-invariant and roughly honors the fractions at cluster
+    granularity."""
+    from feature_fabrica_ray.pipelines import leakage_safe_split
+
+    rows = []
+    for i in range(60):
+        base = " ".join(f"p{i}w{j}" for j in range(40))
+        rows.append({"doc_id": i, "text": base})
+        rows.append({"doc_id": i + 100, "text": base + " extra"})
+    df = pd.DataFrame(rows)
+    out = leakage_safe_split(_ds(df, blocks=4), {"train": 0.7, "test": 0.3},
+                             threshold=0.4).to_pandas()
+    m = out.set_index("doc_id")["split"]
+    assert all(m[i] == m[i + 100] for i in range(60))     # no leakage
+    frac = (out["split"] == "train").mean()
+    assert 0.4 < frac < 0.95                               # ~0.7 at n=60
+    out2 = leakage_safe_split(_ds(df, blocks=7), {"train": 0.7,
+                                                  "test": 0.3},
+                              threshold=0.4).to_pandas()
+    assert out.sort_values("doc_id")["split"].tolist() == \
+        out2.sort_values("doc_id")["split"].tolist()       # layout-invariant
