@@ -64,10 +64,12 @@ def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=None).to_pandas()
-    out = parts.groupby([key_col, "window_us"], as_index=False,
-                        dropna=False).agg(    # SQL: NULL key is a group,
-        n=("n", "sum"),                       # SUM of all-NULL is NULL
-        sum_v=("sum_v", lambda s: s.sum(min_count=1)))
+    gb = parts.groupby([key_col, "window_us"], as_index=False,
+                       dropna=False)          # SQL: NULL key is a group
+    out = gb["n"].sum()
+    # SUM of an all-NULL group is NULL; min_count keeps the Cython path
+    # (a lambda agg would pay one Python call per group)
+    out["sum_v"] = gb["sum_v"].sum(min_count=1)["sum_v"]
     out["window_start"] = pd.to_datetime(out.pop("window_us"), unit="us")
     out["n"] = out["n"].astype("int64")
     return out[[key_col, "window_start", "n", "sum_v"]]
@@ -109,10 +111,11 @@ def sliding_window_agg(ds, ts_col: str, key_col: str, value_col: str,
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=None).to_pandas()
-    out = parts.groupby([key_col, "window_us"], as_index=False,
-                        dropna=False).agg(    # SQL: NULL key is a group,
-        n=("n", "sum"),                       # SUM of all-NULL is NULL
-        sum_v=("sum_v", lambda s: s.sum(min_count=1)))
+    gb = parts.groupby([key_col, "window_us"], as_index=False,
+                       dropna=False)          # SQL: NULL key is a group
+    out = gb["n"].sum()
+    # SUM of an all-NULL group is NULL; min_count keeps the Cython path
+    out["sum_v"] = gb["sum_v"].sum(min_count=1)["sum_v"]
     out["n"] = out["n"].astype("int64")
     return out[[key_col, "window_us", "n", "sum_v"]]
 
