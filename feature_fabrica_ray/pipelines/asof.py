@@ -33,6 +33,55 @@ __all__ = ["asof_join", "asof_join_broadcast", "pit_window_join"]
 _MAX_BROADCAST_ROWS = 5_000_000
 
 
+def _pa_type(t) -> pa.DataType:
+    """Ray ``Schema.types`` holds pyarrow types for arrow blocks but
+    numpy dtypes / python classes for pandas blocks; normalize to a
+    pyarrow type. Unmappable dtypes raise instead of silently assuming
+    string, so a schema mismatch surfaces at the call site."""
+    if isinstance(t, pa.DataType):
+        return t
+    return pa.from_numpy_dtype(np.dtype(t))
+
+
+def _schema_types(ds_or_schema) -> dict[str, pa.DataType]:
+    """Best-effort name->pyarrow-type map for the cast-back stage; a
+    dtype with no pyarrow mapping (pandas ``object``) is simply left
+    out, meaning that column passes through uncast."""
+    sch = ds_or_schema.schema() if hasattr(ds_or_schema, "schema") \
+        else ds_or_schema
+    out = {}
+    for n, t in zip(sch.names, sch.types):
+        try:
+            out[n] = _pa_type(t)
+        except (pa.ArrowNotImplementedError, TypeError, ValueError):
+            pass
+    return out
+
+
+def _cast_back(types: dict[str, pa.DataType]):
+    """Stateless map_batches fn restoring recorded column dtypes after a
+    pandas bucket stage. pandas upcasts int64-with-null to float64 (the
+    tagged union puts nulls in every left column of a right row), so
+    without this the OUTPUT schema drifts from the input schema. NaN is
+    pandas' null carrier — converted to a real null before any
+    integer/bool cast (which would otherwise raise on NaN)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            col = batch.column(name)
+            tgt = types.get(name)
+            if tgt is not None and col.type != tgt:
+                if pa.types.is_floating(col.type) and \
+                        not pa.types.is_floating(tgt):
+                    col = pc.if_else(
+                        pc.fill_null(pc.is_nan(col), False),
+                        pa.nulls(len(batch), col.type), col)
+                col = col.cast(tgt)
+            cols[name] = col
+        return pa.table(cols)
+    return fn
+
+
 def _ts_us(col) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     return arr.cast(pa.timestamp("us")).cast(pa.int64()) \
@@ -98,24 +147,19 @@ def asof_join_broadcast(left, right, *, on: str, by: str,
     and shipped via ``ray.put``."""
     import ray
 
-    def _pa_type(t):
-        # ray Schema.types holds pyarrow types for arrow blocks but
-        # numpy dtypes / python classes for pandas blocks
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(np.dtype(t))
-        except Exception:
-            return pa.string()      # pandas object columns are strings
-
     cols = [by, on] + [c for c in right_cols if c not in (by, on)]
     if hasattr(right, "select_columns"):     # ray Dataset
         sel = right.select_columns(cols)
         blocks = [t for t in ray.get(sel.to_arrow_refs()) if t.num_rows]
         sch = sel.schema()
+        # empty right side: build a typed empty table; a dtype with no
+        # pyarrow mapping (pandas object blocks) becomes pa.null() so a
+        # schema mismatch surfaces at the append_column site instead of
+        # being silently assumed string
+        types = _schema_types(sch)
         rt = pa.concat_tables(blocks) if blocks else pa.table(
-            {n: pa.array([], _pa_type(t))
-             for n, t in zip(sch.names, sch.types)})
+            {n: pa.array([], types.get(n, pa.null()))
+             for n in sch.names})
     elif isinstance(right, pa.Table):
         rt = right.select(cols)
     else:
@@ -181,13 +225,21 @@ def asof_join(left, right, *, on: str, by: str, right_cols: list[str],
     columns (left outer: unmatched -> null).
 
     Matched right columns travel the exchange as float64 (ints stay
-    exact to 2^53) — the nullable union carrier; cast back downstream
-    if an exact integer dtype is required."""
+    exact to 2^53) — the nullable union carrier — and are cast back to
+    their source dtypes in a final stateless stage, as are the left
+    columns pandas upcast through the bucket stage."""
     lsch = left.schema()
     lcols = list(lsch.names)
     ltypes = dict(zip(lsch.names, lsch.types))
     rcols = [by, on] + [c for c in right_cols if c not in (by, on)]
     out_rcols = [c for c in rcols if c not in (by, on)]
+    # recorded output dtypes: every left column keeps its source type
+    # (on is normalized to timestamp[us] by the tagged union), matched
+    # right columns return to THEIR source types off the float64 carrier
+    out_types = _schema_types(lsch)
+    out_types[on] = pa.timestamp("us")
+    out_types.update({c: t for c, t in _schema_types(right).items()
+                      if c in out_rcols})
 
     # tagged union: both sides mapped onto one common schema
     def tag_left(batch: pa.Table) -> pa.Table:
@@ -280,8 +332,10 @@ def asof_join(left, right, *, on: str, by: str, right_cols: list[str],
         return out
 
     from .events import bucketed_by_key
-    return bucketed_by_key(both, by, per_bucket,
-                           n_buckets=num_partitions)
+    joined = bucketed_by_key(both, by, per_bucket,
+                             n_buckets=num_partitions)
+    return joined.map_batches(_cast_back(out_types),
+                              batch_format="pyarrow", batch_size=None)
 
 
 def pit_window_join(left, right, *, on: str, by: str, value_col: str,
@@ -309,6 +363,9 @@ def pit_window_join(left, right, *, on: str, by: str, value_col: str,
     lcols = list(lsch.names)
     ltypes = dict(zip(lsch.names, lsch.types))
     n_col, s_col = f"{out_prefix}n", f"{out_prefix}sum"
+    out_types = _schema_types(lsch)
+    out_types[n_col] = pa.int64()
+    out_types[s_col] = pa.float64()
 
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {c: batch.column(c) for c in lcols}
@@ -396,5 +453,7 @@ def pit_window_join(left, right, *, on: str, by: str, value_col: str,
         return out
 
     from .events import bucketed_by_key
-    return bucketed_by_key(both, by, per_bucket,
-                           n_buckets=num_partitions)
+    joined = bucketed_by_key(both, by, per_bucket,
+                             n_buckets=num_partitions)
+    return joined.map_batches(_cast_back(out_types),
+                              batch_format="pyarrow", batch_size=None)

@@ -61,7 +61,8 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            got = canon(to_pandas(fn(sf_dir)))
+            raw_got = to_pandas(fn(sf_dir))
+            got = canon(raw_got)
         except Exception as ex:
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
             failures += 1
@@ -71,7 +72,8 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(got)} rows)")
             continue
         try:
-            exp = canon(con.execute(sql).fetchdf())
+            raw_exp = con.execute(sql).fetchdf()
+            exp = canon(raw_exp)
         except Exception as ex:
             print(f"FAIL {name}: oracle raised {type(ex).__name__}: {ex}")
             failures += 1
@@ -82,6 +84,18 @@ def main() -> int:
             continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: cols {list(got.columns)} != {list(exp.columns)}")
+            failures += 1
+            continue
+        # dtype-KIND parity before canon's normalizing casts: an int64
+        # column drifting to float64 (pandas null upcast) hashes
+        # differently in the driver even when values are bit-identical
+        kinds_got = {c: raw_got[c].dtype.kind for c in raw_got.columns}
+        kinds_exp = {c: raw_exp[c].dtype.kind for c in raw_exp.columns}
+        drift = {c: (kinds_got[c], kinds_exp[c]) for c in kinds_got
+                 if kinds_got[c] != kinds_exp[c]
+                 and {kinds_got[c], kinds_exp[c]} & {"i", "u", "f", "b"}}
+        if drift:
+            print(f"FAIL {name}: dtype kind drift {drift}")
             failures += 1
             continue
         eq = True
