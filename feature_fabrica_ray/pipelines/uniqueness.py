@@ -98,15 +98,56 @@ def uniqueness_violations(ds, columns: list[str], *, partition_col: str = "repo"
 def uniqueness_violations_ds(ds, columns: list[str], *,
                              num_partitions: int | None = None):
     """Dup-HEAVY form: all duplicate-key rows as a DATASET — one
-    full-row hash shuffle on the key tuple, per-group size check,
-    nothing collected to the driver (the hash-projection form above
-    assumes duplicates are rare enough to broadcast/collect; a 40%-dup
-    web crawl breaks that). Write the result or aggregate it
-    downstream; row order is not defined."""
+    full-row hash shuffle, nothing collected to the driver (the
+    hash-projection form above assumes duplicates are rare enough to
+    broadcast/collect; a 40%-dup web crawl breaks that). Write the
+    result or aggregate it downstream; row order is not defined.
+
+    Scale shape: rows are shuffled on a uniform key-hash BUCKET (not
+    the key itself), so the reduce side makes one Python call per
+    bucket, not one per distinct key — for a uniqueness check the
+    expected group size is 1, so ``groupby(keys).map_groups`` would be
+    one interpreter round-trip per ROW at 10^12 rows. Inside each
+    bucket duplicate hashes are found with one vectorized pass
+    (dictionary-encode + bincount), then candidates are re-verified on
+    the real key tuple to kill 64-bit hash collisions. Equal keys
+    always share a bucket, and hash buckets are uniform, so Zipf key
+    skew does not skew the exchange."""
     from ..tuning import shuffle_partitions as _sp
+    import pyarrow.compute as pc
 
-    def dups_only(t: pa.Table) -> pa.Table:
-        return t if t.num_rows > 1 else t.slice(0, 0)
+    n = num_partitions or _sp()
 
-    return ds.groupby(columns, num_partitions=num_partitions or _sp()) \
-        .map_groups(dups_only, batch_format="pyarrow")
+    def project(batch: pa.Table) -> pa.Table:
+        hu = _key_hash(batch, columns)
+        return batch.append_column(
+            "__kh", pa.array(hu.view(np.int64), pa.int64())) \
+            .append_column("__bkt", pa.array(
+                (hu % np.uint64(n)).astype(np.int32), pa.int32()))
+
+    def _counts_gt1(arr: np.ndarray) -> np.ndarray:
+        u, inv, c = np.unique(arr, return_inverse=True, return_counts=True)
+        return c[inv] > 1
+
+    def bucket_viol(t: pa.Table) -> pa.Table:
+        kh = t.column("__kh").to_numpy(zero_copy_only=False)
+        cand = t.filter(pa.array(_counts_gt1(kh)))
+        if cand.num_rows:
+            # exact verify on the real key tuple (collision-proof):
+            # nulls keep SQL-groupby semantics (null == null for
+            # PARTITION BY) via a sentinel the separator can't produce
+            parts = [pc.fill_null(cand.column(c).cast(pa.string()), "\x00")
+                     for c in columns]
+            key = parts[0] if len(parts) == 1 else \
+                pc.binary_join_element_wise(*parts, _SEP)
+            if isinstance(key, pa.ChunkedArray):
+                key = key.combine_chunks()
+            idx = key.dictionary_encode().indices.to_numpy(
+                zero_copy_only=False)
+            cand = cand.filter(pa.array(np.bincount(idx)[idx] > 1))
+        return cand.drop_columns(["__kh", "__bkt"])
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("__bkt", num_partitions=n) \
+        .map_groups(bucket_viol, batch_format="pyarrow")
