@@ -326,17 +326,28 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
                 g.column("count_all").cast(pa.int64()).combine_chunks(),
                 pa.array(np.zeros(d.num_rows, np.int64))])})
 
-    parts = proj.map_batches(deg_partial, batch_format="pyarrow",
-                             batch_size=None).to_pandas()
-    deg = parts.groupby("node", as_index=False)["outdeg"].sum()
-    n = len(deg)
+    nparts = shuffle_partitions()
+    deg_ds = (proj.map_batches(deg_partial, batch_format="pyarrow",
+                               batch_size=None)
+              .groupby("node", num_partitions=nparts).sum("outdeg")
+              .map_batches(_canon_keyed("node", "outdeg"),
+                           batch_format="pyarrow", batch_size=None)
+              .materialize())
+    n = deg_ds.count()
     if n == 0:
         return pd.DataFrame({"node": pd.Series([], dtype="int64"),
                              "rank": pd.Series([], dtype="float64")})
     if n > max_nodes:
-        raise ValueError(
-            f"pagerank driver-held rank state: {n} nodes > {max_nodes}; "
-            "shard the rank table / use a shuffle-join contribution pass")
+        # per-node state exceeds the driver budget: dispatch to the
+        # sharded rank-exchange path (state stays a Dataset end to end)
+        out = pagerank_sharded(proj, deg_ds, n, src_col, dst_col,
+                               damping=damping, iters=iters,
+                               nparts=nparts) \
+            .select_columns(["node", "rank"]).to_pandas()
+        out["node"] = out["node"].astype("int64")
+        out["rank"] = out["rank"].astype("float64")
+        return out.sort_values("node").reset_index(drop=True)
+    deg = deg_ds.to_pandas()
     nodes = deg["node"].to_numpy(dtype=np.int64)
     order = np.argsort(nodes)
     nodes, outdeg = nodes[order], deg["outdeg"].to_numpy(np.int64)[order]
@@ -368,6 +379,98 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
         rank = (1.0 - damping) / n + damping * (inflow + d_mass / n)
 
     return pd.DataFrame({"node": nodes, "rank": rank})
+
+
+def pagerank_sharded(proj, deg_ds, n: int, src_col: str, dst_col: str, *,
+                     damping: float, iters: int, nparts: int):
+    """Distributed-state PageRank for graphs whose per-node rank table
+    exceeds the driver budget (``pagerank``'s ``max_nodes`` dispatch):
+    the (node, outdeg, rank) state lives in a Dataset end to end — the
+    driver only ever sees the scalar dangling mass per iteration.
+
+    Iteration = ONE sized_join of the materialized 16 B/row edge
+    projection against the node-scale share table (broadcast while it
+    fits ``FFR_BROADCAST_BYTES``, hash exchange past it) with a
+    per-block (dst, partial-sum) combiner, plus ONE keyed merge groupby
+    folding inflow back into the state — two exchanges per iteration,
+    zero driver-held node arrays. Same Brin/Page dangling-mass
+    redistribution as the driver-held path (ranks sum to 1 every
+    iteration). Returns the final state Dataset (node, outdeg, rank).
+    ``proj`` must be the materialized null-free (src, dst) projection;
+    ``deg_ds`` the materialized (node, outdeg) table with ``n`` rows.
+    """
+    from .join import sized_join
+
+    inv_n = 1.0 / n
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rank", pa.array(np.full(t.num_rows, inv_n, np.float64)))
+
+    state = deg_ds.map_batches(init_rank, batch_format="pyarrow",
+                               batch_size=None).materialize()
+
+    def share_fn(t: pa.Table) -> pa.Table:
+        od = t.column("outdeg").to_numpy(zero_copy_only=False)
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        s = np.where(od > 0, r / np.maximum(od, 1), 0.0)
+        return pa.table({"node": t.column("node").cast(pa.int64()),
+                         "share": pa.array(s, pa.float64())})
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node").cast(pa.int64()),
+                         "outdeg": t.column("outdeg").cast(pa.int64()),
+                         "inflow": pa.array(
+                             np.zeros(t.num_rows, np.float64))})
+
+    def contrib_partial(t: pa.Table) -> pa.Table:
+        # per-block combiner: the exchange carries one row per distinct
+        # dst per block, never raw joined edges
+        if t.num_rows == 0 or "share" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "outdeg": pa.array([], pa.int64()),
+                             "inflow": pa.array([], pa.float64())})
+        g = pa.table({"node": t.column(dst_col).cast(pa.int64()),
+                      "inflow": t.column("share").cast(pa.float64())}) \
+            .group_by("node").aggregate([("inflow", "sum")])
+        return pa.table({"node": g.column("node"),
+                         "outdeg": pa.array(np.zeros(g.num_rows, np.int64)),
+                         "inflow": g.column("inflow_sum")})
+
+    for _ in range(iters):
+        d_mass = state.filter(expr="outdeg == 0").sum("rank") or 0.0
+        share = state.map_batches(share_fn, batch_format="pyarrow",
+                                  batch_size=None).materialize()
+        joined = sized_join(proj, share, on=(src_col,), right_on=("node",),
+                            left_bytes=proj.size_bytes(),
+                            right_bytes=share.size_bytes())
+        inflow_parts = joined.map_batches(
+            contrib_partial, batch_format="pyarrow", batch_size=None)
+        base = state.map_batches(zero_rows, batch_format="pyarrow",
+                                 batch_size=None)
+
+        def fold(t: pa.Table, dm: float = d_mass) -> pa.Table:
+            # post-shuffle canon (empty hash partitions carry no
+            # schema) + the rank update in one pass
+            if t.num_rows == 0 or t.num_columns != 3:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "outdeg": pa.array([], pa.int64()),
+                                 "rank": pa.array([], pa.float64())})
+            t = t.rename_columns(["node", "outdeg", "inflow"])
+            inflow = t.column("inflow").to_numpy(zero_copy_only=False)
+            rank = (1.0 - damping) * inv_n + \
+                damping * (inflow + dm * inv_n)
+            return pa.table({"node": t.column("node").cast(pa.int64()),
+                             "outdeg": t.column("outdeg").cast(pa.int64()),
+                             "rank": pa.array(rank, pa.float64())})
+
+        state = (base.union(inflow_parts)
+                 .groupby("node", num_partitions=nparts)
+                 .sum(["outdeg", "inflow"])
+                 .map_batches(fold, batch_format="pyarrow",
+                              batch_size=None)
+                 .materialize())
+    return state
 
 
 def degree_table(edges, src_col: str = "src", dst_col: str = "dst"):

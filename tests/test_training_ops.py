@@ -2420,6 +2420,21 @@ def test_pagerank_vs_power_iteration(ray_session):
                        atol=1e-12)
     assert (dist["node"].to_numpy() == got["node"].to_numpy()).all()
 
+    # past max_nodes the sharded rank-exchange path dispatches instead
+    # of raising, and it is the same algorithm: distributed (node,
+    # outdeg, rank) state, bitwise-close agreement with the dense
+    # reference
+    os.environ["FFR_LOCAL_GRAPH_BYTES"] = "1"
+    try:
+        sharded = pagerank(_ds(edges, blocks=3), "src", "dst",
+                           damping=0.85, iters=30, max_nodes=1)
+    finally:
+        del os.environ["FFR_LOCAL_GRAPH_BYTES"]
+    assert np.allclose(sharded["rank"].to_numpy(), got["rank"].to_numpy(),
+                       atol=1e-12)
+    assert (sharded["node"].to_numpy() == got["node"].to_numpy()).all()
+    assert abs(sharded["rank"].sum() - 1.0) < 1e-9
+
 
 def test_histogram2d_fixed(ray_session):
     """2-D fixed-grid histogram matches np.histogram2d-style hand
