@@ -19,7 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["cosine_topk", "ivf_topk", "lsh_topk", "fit_centroids", "knn_graph",
+__all__ = ["cosine_topk", "ivf_topk", "lsh_topk", "fit_centroids",
+           "fit_sample", "knn_graph",
            "label_centroids",
            "random_projection",
            "quantize_embeddings", "semantic_dedup_ids", "product_quantize", "mmr_topk", "ivfpq_topk",
@@ -42,6 +43,72 @@ def _vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
 
 def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def fit_sample(ds, n: int, vec_col: str, id_col: str | None = None,
+               seed: int = 0) -> pd.DataFrame:
+    """Deterministic, LAYOUT-INDEPENDENT ~n-row fit sample.
+
+    ``limit(n)`` returns the FIRST n rows — on a table sorted by the
+    cluster key (repo, lang, label) that is a biased sample and a
+    centroid/PCA fit silently misses whole regions of the corpus. Here
+    every row gets a deterministic content hash (of ``id_col`` when
+    given, else of the raw vector bytes), rows under a hash threshold
+    survive ONE streaming filter pass, and the driver trims to exactly
+    ``n`` in hash order — unbiased under any sort order, identical
+    across layouts and runs. Cost: one count + one filtered scan
+    (~2n rows reach the driver); the threshold doubles and rescans in
+    the astronomically-unlikely binomial under-fill case."""
+    from ..state import combine_hashes, hash64
+
+    cnt = ds.count()
+    if cnt is None or cnt <= n:
+        out = ds.to_pandas()
+        return out.assign(__h=_row_hashes(out, vec_col, id_col, seed)) \
+            .sort_values("__h", kind="mergesort") \
+            .drop(columns="__h").reset_index(drop=True)
+
+    def row_hash_batch(batch: pa.Table) -> np.ndarray:
+        if id_col is not None:
+            return hash64(batch.column(id_col), seed=seed)
+        V = np.ascontiguousarray(_vectors(batch, vec_col))
+        if V.size == 0:
+            return np.zeros(len(batch), np.uint64)
+        u = V.view(np.uint64)
+        return combine_hashes(*(u[:, j] for j in range(u.shape[1])))
+
+    D = np.uint64(0xFFFFFFFFFFFFFFFF)
+    frac = min(1.0, 2.0 * n / cnt)
+    while True:
+        thr = np.uint64(int(frac * float(D)))
+
+        def keep(batch: pa.Table, t=thr) -> pa.Table:
+            h = row_hash_batch(batch)
+            return batch.filter(pa.array(h < t))
+
+        samp = ds.map_batches(keep, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+        if len(samp) >= n or frac >= 1.0:
+            break
+        frac = min(1.0, frac * 2)
+    samp = samp.assign(__h=_row_hashes(samp, vec_col, id_col, seed)) \
+        .sort_values("__h", kind="mergesort").head(n) \
+        .drop(columns="__h").reset_index(drop=True)
+    return samp
+
+
+def _row_hashes(df: pd.DataFrame, vec_col: str, id_col: str | None,
+                seed: int) -> np.ndarray:
+    from ..state import combine_hashes, hash64
+
+    if id_col is not None:
+        return hash64(df[id_col].to_numpy(), seed=seed)
+    if not len(df):
+        return np.zeros(0, np.uint64)
+    V = np.ascontiguousarray(
+        np.asarray([np.asarray(v, np.float64) for v in df[vec_col]]))
+    u = V.view(np.uint64)
+    return combine_hashes(*(u[:, j] for j in range(u.shape[1])))
 
 
 def _merge_topk(parts: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -95,8 +162,10 @@ def fit_centroids(ds, nlist: int = 16, vec_col: str = "embedding",
                   sample_rows: int = 4096, iters: int = 10) -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample (kmeans++-lite
     seeding by striding the sample). Centroids are KB-sized — broadcast
-    state, never a shuffle."""
-    sample = ds.limit(sample_rows).to_pandas()
+    state, never a shuffle. The sample is the layout-independent
+    ``fit_sample`` hash draw, not ``limit()`` — first-N rows of a table
+    sorted by the cluster key would be a biased fit input."""
+    sample = fit_sample(ds, sample_rows, vec_col)
     X = _normalize(np.asarray([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
     idx = np.linspace(0, len(X) - 1, nlist).astype(np.int64)
     C = X[idx].copy()
@@ -172,10 +241,11 @@ def normalize_embeddings(ds, vec_col: str = "embedding",
 
 def fit_pca(ds, n_components: int, vec_col: str = "embedding",
             sample_size: int = 4096) -> dict:
-    """Fit a PCA basis on a deterministic sample (driver-side numpy SVD
-    — the components are KB-sized broadcast state, same pattern as
-    fit_centroids). Returns {"mean": (d,), "components": (k, d)}."""
-    sample = ds.limit(sample_size).to_pandas()
+    """Fit a PCA basis on a deterministic layout-independent sample
+    (driver-side numpy SVD — the components are KB-sized broadcast
+    state, same pattern as fit_centroids). Returns {"mean": (d,),
+    "components": (k, d)}."""
+    sample = fit_sample(ds, sample_size, vec_col)
     M = np.asarray([np.asarray(v, np.float64) for v in sample[vec_col]])
     mean = M.mean(axis=0)
     _, _, vt = np.linalg.svd(M - mean, full_matrices=False)
@@ -235,10 +305,21 @@ def kmeans(ds, k: int = 8, iters: int = 10, vec_col: str = "embedding",
         .materialize()
 
     if init is None:
-        head = ds.limit(max(k * 4, k)).to_pandas()
+        # layout-independent seed sample (the materialized projection
+        # makes the count free), then deterministic farthest-point
+        # seeding (Gonzalez k-center): maximally-spread seeds avoid the
+        # two-seeds-in-one-blob local minimum a strided pick risks
+        head = fit_sample(ds, max(k * 4, k), vec_col)
         X0 = np.asarray([np.asarray(v, np.float64) for v in head[vec_col]])
-        idx = np.linspace(0, len(X0) - 1, k).astype(np.int64)
-        C = X0[idx].copy()
+        picks = [0]
+        dist = np.linalg.norm(X0 - X0[0], axis=1)
+        for _ in range(1, min(k, len(X0))):
+            j = int(dist.argmax())
+            picks.append(j)
+            dist = np.minimum(dist, np.linalg.norm(X0 - X0[j], axis=1))
+        C = X0[picks].copy()
+        if len(C) < k:          # fewer sample rows than k: pad by repeat
+            C = np.vstack([C, C[np.arange(k - len(C)) % len(C)]])
     else:
         C = np.asarray(init, np.float64).copy()
     d = C.shape[1]
@@ -627,16 +708,17 @@ def product_quantize(ds, vec_col: str = "embedding",
     billion-scale ANN indexes; finer-grained than the per-dimension
     int8 path (``quantize_embeddings``) at the same budget.
 
-    Fit: one deterministic ``limit(sample_n)`` sample fits m seeded
-    Lloyd codebooks driver-side (KB-sized state, the fit_centroids
-    pattern). Encode: codebooks broadcast once via ``ray.put``; each
+    Fit: one deterministic layout-independent ``fit_sample`` draw fits
+    m seeded Lloyd codebooks driver-side (KB-sized state, the
+    fit_centroids pattern). Encode: codebooks broadcast once via ``ray.put``; each
     block computes m small distance matmuls and argmins — stateless,
     zero shuffle. Returns (codes_df, codebooks) where codes_df has
     (id, code_0..code_{m-1}, err) with err = per-row reconstruction
     MSE, and codebooks is the (m, k, d/m) float array."""
     import ray
 
-    samp = ds.limit(sample_n).to_pandas()
+    samp = fit_sample(ds, sample_n, vec_col, id_col=id_col) \
+        .sort_values(id_col).reset_index(drop=True)
     if samp.empty:
         return (pd.DataFrame({id_col: pd.Series([], dtype="int64")}),
                 np.zeros((m, k, 0)))
@@ -781,11 +863,11 @@ def ivfpq_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 16,
     rounded to 6."""
     import ray
 
-    # sort the fit sample by id: limit() returns layout-dependent row
-    # order, and neither quantizer may depend on block layout — both
-    # fit from this one sorted sample (coarse centroids seeded by
-    # striding it, the fit_centroids recipe)
-    samp = ds.limit(sample_n).to_pandas().sort_values(id_col)
+    # layout-independent hash draw, then id-sorted: neither quantizer
+    # may depend on block layout — both fit from this one sorted sample
+    # (coarse centroids seeded by striding it, the fit_centroids recipe)
+    samp = fit_sample(ds, sample_n, vec_col, id_col=id_col) \
+        .sort_values(id_col)
     S = _normalize(np.asarray([np.asarray(v, np.float64)
                                for v in samp[vec_col]]))
     idx = np.linspace(0, len(S) - 1, nlist).astype(np.int64)

@@ -885,6 +885,64 @@ def test_kmeans_partition_invariant_sizes(ray_session):
     assert sorted(a[1].tolist()) == sorted(b[1].tolist())
 
 
+def test_fits_unbiased_on_cluster_sorted_layout(ray_session):
+    """Adversarial layout: the dataset SORTED by its cluster label (the
+    100-TB reality — tables arrive sorted by repo/lang). A first-N
+    ``limit()`` fit sample would see only cluster 0; the hash-draw
+    ``fit_sample`` must keep every fit representative, and the fitted
+    ops must keep working: kmeans recovers all three planted blobs,
+    fit_centroids spans all clusters, ivf_topk keeps recall, PCA
+    separates the blobs, and every fit is layout-invariant (sorted vs
+    shuffled input gives identical parameters)."""
+    from feature_fabrica_ray.pipelines import (cosine_topk, fit_centroids,
+                                               fit_pca, fit_sample, ivf_topk,
+                                               kmeans)
+
+    df = _blob_df(n_per=80, seed=9).sort_values("true") \
+        .reset_index(drop=True)               # adversarial: label-sorted
+    shuf = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    ds_sorted = ray.data.from_pandas(df).repartition(6)
+    ds_shuf = ray.data.from_pandas(shuf).repartition(6)
+
+    # the sample itself covers all clusters and ignores layout
+    s_sorted = fit_sample(ds_sorted, 60, "embedding")
+    s_shuf = fit_sample(ds_shuf, 60, "embedding")
+    assert sorted(s_sorted["vec_id"]) == sorted(s_shuf["vec_id"])
+    assert s_sorted["true"].nunique() == 3
+
+    # kmeans seeded from the sample recovers every planted blob
+    C, sizes, _ = kmeans(ds_sorted, k=3, iters=10)
+    planted = np.array([[10.0] * 8, [-10.0] * 8,
+                        [10.0] * 4 + [-10.0] * 4])
+    for ctr in planted:
+        assert np.min(np.linalg.norm(C - ctr, axis=1)) < 1.0
+    assert sorted(sizes.tolist()) == [80, 80, 80]
+
+    # IVF centroids span all clusters -> recall holds on sorted layout
+    M = np.asarray([np.asarray(v, np.float64) for v in df["embedding"]])
+    Q = M[[0, 90, 170]]
+    exact = cosine_topk(ds_sorted, Q, k=10)
+    approx = ivf_topk(ds_sorted, Q, k=10)
+    e = set(map(tuple, exact[["query_id", "vec_id"]].values.tolist()))
+    a = set(map(tuple, approx[["query_id", "vec_id"]].values.tolist()))
+    assert len(e & a) / len(e) >= 0.7
+    cfit = fit_centroids(ds_sorted, nlist=6, sample_rows=60)
+    # centroids must not all sit in one blob: pairwise spread > blob noise
+    spread = np.linalg.norm(cfit[:, None] - cfit[None, :], axis=2).max()
+    assert spread > 1.0
+
+    # PCA fit on the sorted layout separates the blobs and is
+    # layout-invariant
+    b_sorted = fit_pca(ds_sorted, 2, sample_size=60)
+    b_shuf = fit_pca(ds_shuf, 2, sample_size=60)
+    assert np.allclose(b_sorted["mean"], b_shuf["mean"])
+    assert np.allclose(b_sorted["components"], b_shuf["components"])
+    P = (M - b_sorted["mean"]) @ b_sorted["components"].T
+    centroids = np.array([P[df["true"] == c].mean(axis=0) for c in range(3)])
+    d01 = np.linalg.norm(centroids[0] - centroids[1])
+    assert d01 > 10 * P[df["true"] == 0].std(axis=0).max()
+
+
 def test_weighted_hash_sample(ray_session):
     """Keep-probability equals the weight column: weight 0 drops, weight
     1 keeps, fractional weights select the md5/hash64 sub-uniform draw;
