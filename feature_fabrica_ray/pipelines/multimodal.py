@@ -62,6 +62,46 @@ def synth_media_table(sf_dir: str, media_type: str = "image"):
     return ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
 
 
+def _real_image_rows(buf: np.ndarray, off: np.ndarray,
+                     lens: np.ndarray) -> np.ndarray:
+    """Per-row bool: payload starts with a real image codec magic (PNG /
+    JPEG / GIF / BMP). The synthetic fake-contract header is a LE uint32
+    width in [16, 80), whose SECOND byte is always 0 — every real magic
+    has a nonzero second byte, so the two contracts never collide."""
+    n = len(lens)
+    out = np.zeros(n, bool)
+    ok = lens >= 4
+    if not ok.any():
+        return out
+    pos = off[:-1][ok][:, None] + np.arange(4)
+    b = buf[pos]
+    png = (b[:, 0] == 0x89) & (b[:, 1] == 0x50)
+    jpg = (b[:, 0] == 0xFF) & (b[:, 1] == 0xD8)
+    gif = (b[:, 0] == 0x47) & (b[:, 1] == 0x49) & (b[:, 2] == 0x46)
+    bmp = (b[:, 0] == 0x42) & (b[:, 1] == 0x4D)
+    out[ok] = png | jpg | gif | bmp
+    return out
+
+
+def _real_audio_rows(buf: np.ndarray, off: np.ndarray,
+                     lens: np.ndarray) -> np.ndarray:
+    """Per-row bool: payload starts with a real audio container magic
+    (RIFF/WAV, FLAC, Ogg). Same non-collision argument as
+    ``_real_image_rows``: the fake header's second byte is always 0."""
+    n = len(lens)
+    out = np.zeros(n, bool)
+    ok = lens >= 4
+    if not ok.any():
+        return out
+    pos = off[:-1][ok][:, None] + np.arange(4)
+    b = buf[pos]
+    riff = (b[:, 0] == 0x52) & (b[:, 1] == 0x49) & (b[:, 2] == 0x46)
+    flac = (b[:, 0] == 0x66) & (b[:, 1] == 0x4C) & (b[:, 2] == 0x61)
+    ogg = (b[:, 0] == 0x4F) & (b[:, 1] == 0x67) & (b[:, 2] == 0x67)
+    out[ok] = riff | flac | ogg
+    return out
+
+
 class DecodeImageFeatures:
     """Actor-pool decode stage: codec state initialised ONCE per actor
     (``__init__``), batches decoded in ``__call__``.
@@ -80,9 +120,22 @@ class DecodeImageFeatures:
             self._pil = None
 
     def _decode_real(self, payload: bytes):  # pragma: no cover
-        raise NotImplementedError(
-            "real image decoding requires PIL; this container ships none — "
-            "the deterministic fake decoder below defines the contract")
+        """Real-codec decode of ONE image: (width, height, mean, entropy)
+        with the same field semantics as the fake contract — mean/entropy
+        over the 8-bit GRAYSCALE pixel distribution."""
+        import io
+
+        img = self._pil.open(io.BytesIO(payload))
+        w, h = img.size
+        px = np.asarray(img.convert("L"), dtype=np.int64).ravel()
+        mean = float(px.mean()) if px.size else 0.0
+        if px.size:
+            p = np.bincount(px, minlength=256) / px.size
+            ent = float(-np.where(p > 0, p * np.log2(np.maximum(p, 1e-300)),
+                                  0.0).sum())
+        else:
+            ent = 0.0
+        return w, h, mean, ent
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload")
@@ -93,10 +146,35 @@ class DecodeImageFeatures:
         raw_off = np.frombuffer(payloads.buffers()[1], dtype=np.int32)
         off = raw_off[payloads.offset:payloads.offset + len(payloads) + 1].astype(np.int64)
         n = len(payloads)
-        if self._pil is not None:  # pragma: no cover
-            for i in range(n):
-                self._decode_real(buf[off[i]:off[i + 1]].tobytes())
         lens = np.diff(off)
+        real = _real_image_rows(buf, off, lens)
+        if real.any():
+            # payloads carrying a real codec magic must never fall
+            # through to the fake-header parse (silent garbage)
+            if self._pil is None:
+                raise NotImplementedError(
+                    "batch contains real image payloads (codec magic "
+                    "detected) but PIL is not installed — install "
+                    "pillow or strip real images upstream")
+            widths = np.zeros(n, np.int64)
+            heights = np.zeros(n, np.int64)
+            means = np.zeros(n, np.float64)
+            ents = np.zeros(n, np.float64)
+            for i in np.flatnonzero(real):
+                w, h, m, e = self._decode_real(
+                    buf[off[i]:off[i + 1]].tobytes())
+                widths[i], heights[i], means[i], ents[i] = w, h, m, e
+            if not real.all():
+                raise NotImplementedError(
+                    "mixed real/fake image payloads in one batch are "
+                    "not supported — partition by media source upstream")
+            out = batch.drop_columns(["payload"])
+            out = out.append_column("width", pa.array(widths, pa.int64()))
+            out = out.append_column("height", pa.array(heights, pa.int64()))
+            out = out.append_column(
+                "mean_byte", pa.array(np.round(means, 6), pa.float64()))
+            return out.append_column(
+                "byte_entropy", pa.array(np.round(ents, 6), pa.float64()))
         has_hdr = lens >= 8
 
         # header parse, vectorized: gather the 8 header bytes of every
@@ -157,11 +235,23 @@ class DecodeAudioFeatures:
         except ImportError:
             self._sf = None
 
+    def _decode_real(self, payload: bytes):  # pragma: no cover
+        """Real-codec decode of ONE audio payload: (n_samples, rms,
+        zero_crossings) with the fake contract's field semantics — rms
+        in int8 full-scale units (float samples x 127), crossings as
+        signbit flips over the first channel."""
+        import io
+
+        data, _sr = self._sf.read(io.BytesIO(payload), dtype="float64",
+                                  always_2d=True)
+        x = data[:, 0] * 127.0
+        ns = int(x.size)
+        rms = float(np.sqrt((x * x).mean())) if ns else 0.0
+        zc = int((np.signbit(x[1:]) != np.signbit(x[:-1])).sum()) \
+            if ns > 1 else 0
+        return ns, rms, zc
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._sf is not None:  # pragma: no cover
-            raise NotImplementedError(
-                "real audio decoding requires soundfile; the fake PCM "
-                "decoder below defines the contract")
         payloads = batch.column("payload")
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
@@ -170,6 +260,29 @@ class DecodeAudioFeatures:
         off = raw_off[payloads.offset:payloads.offset + len(payloads) + 1].astype(np.int64)
         n = len(payloads)
         lens = np.diff(off)
+        real = _real_audio_rows(buf, off, lens)
+        if real.any():
+            if self._sf is None:
+                raise NotImplementedError(
+                    "batch contains real audio payloads (container magic "
+                    "detected) but soundfile is not installed — install "
+                    "soundfile or strip real audio upstream")
+            if not real.all():
+                raise NotImplementedError(
+                    "mixed real/fake audio payloads in one batch are "
+                    "not supported — partition by media source upstream")
+            ns = np.zeros(n, np.int64)
+            rms = np.zeros(n, np.float64)
+            zc = np.zeros(n, np.int64)
+            for i in range(n):
+                ns[i], rms[i], zc[i] = self._decode_real(
+                    buf[off[i]:off[i + 1]].tobytes())
+            out = batch.drop_columns(["payload"])
+            out = out.append_column("n_samples", pa.array(ns, pa.int64()))
+            out = out.append_column(
+                "rms", pa.array(np.round(rms, 6), pa.float64()))
+            return out.append_column("zero_crossings",
+                                     pa.array(zc, pa.int64()))
         # fake PCM body = bytes after the 8-byte header, viewed as int8 —
         # one flat segmented pass (weighted bincounts), no per-row loop
         body_start = off[:-1] + np.minimum(lens, 8)
@@ -373,6 +486,34 @@ class PHashImage:
                       payloads.offset + len(payloads) + 1].astype(np.int64)
         n = len(payloads)
         lens = np.diff(off)
+        real = _real_image_rows(buf, off, lens)
+        if real.any():
+            if self._pil is None:
+                raise NotImplementedError(
+                    "batch contains real image payloads (codec magic "
+                    "detected) but PIL is not installed — install "
+                    "pillow or strip real images upstream")
+            if not real.all():
+                raise NotImplementedError(
+                    "mixed real/fake image payloads in one batch are "
+                    "not supported — partition by media source upstream")
+            import io
+
+            # real dHash: PIL grayscale resample to the (W+1) x H grid,
+            # then the same horizontal-gradient bit recipe as the fake
+            grids = np.empty((n, self.GRID_H, self.GRID_W + 1), np.float64)
+            for i in range(n):
+                img = self._pil.open(
+                    io.BytesIO(buf[off[i]:off[i + 1]].tobytes()))
+                g = img.convert("L").resize(
+                    (self.GRID_W + 1, self.GRID_H))
+                grids[i] = np.asarray(g, dtype=np.float64)
+            bits = (grids[:, :, 1:] > grids[:, :, :-1]).astype(np.uint8) \
+                .reshape(n, self.GRID_H * self.GRID_W)
+            ph = np.packbits(bits, axis=1, bitorder="little") \
+                .view(np.uint64).ravel()
+            return batch.drop_columns(["payload"]).append_column(
+                "phash", pa.array(ph.view(np.int64), pa.int64()))
         has_hdr = lens >= 8
         ncell = self.GRID_H * (self.GRID_W + 1)
 

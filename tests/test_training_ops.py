@@ -2848,6 +2848,126 @@ def test_phash_matches_reference_and_finds_neardups(ray_session):
                                pairs["id_b"].astype(int)))
 
 
+def _has_pil():
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _has_soundfile():
+    try:
+        import soundfile  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pil(),
+                    reason="pillow not installed in this container — "
+                           "real-codec image path exercised where it is")
+def test_real_codec_image_decode_and_phash(ray_session):
+    """Real-codec smoke: DecodeImageFeatures / PHashImage on actual PNG
+    bytes — contract fields (width, height, mean_byte, byte_entropy)
+    match PIL-computed references, and a BMP re-encode of the same
+    image lands at hamming distance <= 3 of the PNG's dHash."""
+    import io
+
+    from PIL import Image
+
+    from feature_fabrica_ray.pipelines import (DecodeImageFeatures,
+                                               PHashImage)
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    # horizontal gradient so the dHash has structure
+    px[:, :, 0] = np.linspace(0, 255, 40, dtype=np.uint8)[None, :]
+    img = Image.fromarray(px, "RGB")
+    png_buf, bmp_buf = io.BytesIO(), io.BytesIO()
+    img.save(png_buf, format="PNG")
+    img.save(bmp_buf, format="BMP")
+
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([png_buf.getvalue(),
+                                       bmp_buf.getvalue()], pa.binary())})
+    out = ray.data.from_arrow(t).map_batches(
+        DecodeImageFeatures, concurrency=1, batch_size=None,
+        batch_format="pyarrow").to_pandas().sort_values("media_id")
+    gray = np.asarray(img.convert("L"), dtype=np.float64)
+    p = np.bincount(gray.astype(np.int64).ravel(), minlength=256) / gray.size
+    ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
+    for _, row in out.iterrows():
+        assert (row["width"], row["height"]) == (40, 24)
+        assert row["mean_byte"] == pytest.approx(gray.mean(), abs=1e-6)
+        assert row["byte_entropy"] == pytest.approx(ent, abs=1e-6)
+
+    ph = ray.data.from_arrow(t).map_batches(
+        PHashImage, concurrency=1, batch_size=None,
+        batch_format="pyarrow").to_pandas() \
+        .sort_values("media_id")["phash"].tolist()
+    ham = bin(np.uint64(ph[0]).view(np.int64) ^
+              np.uint64(ph[1]).view(np.int64) & 0xFFFFFFFFFFFFFFFF
+              ).count("1") if ph[0] != ph[1] else 0
+    assert ham <= 3            # same pixels, different container
+    assert ph[0] != 0          # gradient produced structured bits
+
+
+@pytest.mark.skipif(not _has_soundfile(),
+                    reason="soundfile not installed in this container — "
+                           "real-codec audio path exercised where it is")
+def test_real_codec_audio_decode(ray_session):
+    """Real-codec smoke: DecodeAudioFeatures on an actual WAV payload —
+    n_samples / rms / zero_crossings match the sine-wave ground truth."""
+    import io
+
+    import soundfile as sf
+
+    from feature_fabrica_ray.pipelines import DecodeAudioFeatures
+
+    import pyarrow as pa
+
+    sr, n = 8000, 800
+    x = 0.5 * np.sin(2 * np.pi * 40 * np.arange(n) / sr)   # 40 Hz, 4 cycles
+    buf = io.BytesIO()
+    sf.write(buf, x, sr, format="WAV", subtype="FLOAT")
+    t = pa.table({"media_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([buf.getvalue()], pa.binary())})
+    out = ray.data.from_arrow(t).map_batches(
+        DecodeAudioFeatures, concurrency=1, batch_size=None,
+        batch_format="pyarrow").to_pandas()
+    assert out["n_samples"].iloc[0] == n
+    assert out["rms"].iloc[0] == pytest.approx(
+        float(np.sqrt((x * 127) ** 2 * 0 + ((x * 127) ** 2).mean())),
+        rel=1e-4)
+    assert out["zero_crossings"].iloc[0] == 8   # 4 cycles -> 8 flips
+
+
+@pytest.mark.skipif(_has_pil(),
+                    reason="pillow IS installed — the loud no-codec "
+                           "guard only fires without it")
+def test_real_image_magic_raises_without_codec(ray_session):
+    """A payload carrying a real codec magic must fail LOUD when no
+    codec is installed, never fall through to the fake-header parse
+    (which would emit silent garbage width/height)."""
+    from feature_fabrica_ray.pipelines import (DecodeImageFeatures,
+                                               PHashImage)
+
+    import pyarrow as pa
+
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    t = pa.table({"media_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([png_magic], pa.binary())})
+    for cls in (DecodeImageFeatures, PHashImage):
+        with pytest.raises(Exception) as ei:
+            ray.data.from_arrow(t).map_batches(
+                cls, concurrency=1, batch_size=None,
+                batch_format="pyarrow").to_pandas()
+        assert "PIL is not installed" in str(ei.value)
+
+
 def test_ohlc_bars_vs_pandas(ray_session):
     """Blockwise boundary-row combiner equals the single-process OHLC
     (open at earliest (ts,id), close at latest, max/min/count) across
