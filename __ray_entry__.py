@@ -330,8 +330,10 @@ def q_vl_segment_drift(sf_dir: str) -> pd.DataFrame:
     WHICH event_type's value distribution moved. Current = events with
     'click' values deterministically tripled; baseline = raw events.
     Only the shifted segment fails; identical segments measure PSI 0.
-    Rows-only (PSI smoothing has no clean SQL form); pytest-bounded in
-    test_validation.py."""
+    Oracle-exact: the fixed-edge histogram + EPS-floored PSI is
+    SQL-expressible — edges materialized to bit-match np.linspace
+    (i*step + lo, last edge = hi), searchsorted binning via an edge
+    join, 66-bucket grid per segment."""
     from feature_fabrica_ray.pipelines import segment_drift
 
     base = read_parquet_clean(f"{sf_dir}/events.parquet",
@@ -351,6 +353,70 @@ def q_vl_segment_drift(sf_dir: str) -> pd.DataFrame:
     out["n_base"] = out["n_base"].astype("int64")
     out["n_cur"] = out["n_cur"].astype("int64")
     return out
+
+
+_SEGDRIFT_ORACLE = """
+WITH b AS (
+  SELECT min(value) AS lo,
+         CASE WHEN max(value) > min(value) THEN max(value)
+              ELSE min(value) + 1.0 END AS hi
+  FROM events WHERE value IS NOT NULL),
+edges AS (       -- bit-match np.linspace: i*step + lo, last edge = hi
+  SELECT i, CASE WHEN i = 64 THEN (SELECT hi FROM b)
+                 ELSE i * (((SELECT hi FROM b) - (SELECT lo FROM b))
+                           / 64.0) + (SELECT lo FROM b) END AS edge
+  FROM range(65) t(i)),
+vals AS (
+  SELECT 0 AS side, event_type, value,
+         row_number() OVER () AS rid
+  FROM events WHERE value IS NOT NULL
+  UNION ALL
+  SELECT 1, event_type,
+         CASE WHEN event_type = 'click' THEN value * 3.0
+              ELSE value END,
+         row_number() OVER () + 100000000
+  FROM events WHERE value IS NOT NULL),
+binned AS (      -- searchsorted(edges, x, 'right') - 1, hi -> last bin
+  SELECT v.side, v.event_type,
+         CASE WHEN v.value < (SELECT lo FROM b) THEN 0
+              WHEN v.value > (SELECT hi FROM b) THEN 65
+              ELSE least(max(e.i), 63) + 1 END AS bkt
+  FROM vals v LEFT JOIN edges e ON e.edge <= v.value
+  GROUP BY v.side, v.event_type, v.rid, v.value),
+counts AS (
+  SELECT side, event_type, bkt, count(*) AS c
+  FROM binned GROUP BY ALL),
+grid AS (
+  SELECT s.event_type, g.bkt
+  FROM (SELECT DISTINCT event_type FROM vals) s, range(66) g(bkt)),
+fullp AS (
+  SELECT gr.event_type, gr.bkt,
+         coalesce(sum(CASE WHEN c.side = 0 THEN c.c END), 0) AS e_c,
+         coalesce(sum(CASE WHEN c.side = 1 THEN c.c END), 0) AS a_c
+  FROM grid gr LEFT JOIN counts c
+    ON c.event_type IS NOT DISTINCT FROM gr.event_type
+   AND c.bkt = gr.bkt
+  GROUP BY gr.event_type, gr.bkt),
+tots AS (
+  SELECT event_type, sum(e_c) AS e_t, sum(a_c) AS a_t
+  FROM fullp GROUP BY event_type)
+SELECT f.event_type,
+       CAST(max(t.e_t) AS BIGINT) AS n_base,
+       CAST(max(t.a_t) AS BIGINT) AS n_cur,
+       round(sum((greatest(a_c / greatest(a_t, 1.0), 1e-6)
+                  - greatest(e_c / greatest(e_t, 1.0), 1e-6))
+                 * ln(greatest(a_c / greatest(a_t, 1.0), 1e-6)
+                      / greatest(e_c / greatest(e_t, 1.0), 1e-6))),
+             6) AS metric,
+       sum((greatest(a_c / greatest(a_t, 1.0), 1e-6)
+            - greatest(e_c / greatest(e_t, 1.0), 1e-6))
+           * ln(greatest(a_c / greatest(a_t, 1.0), 1e-6)
+                / greatest(e_c / greatest(e_t, 1.0), 1e-6))) <= 0.1
+           AS passed
+FROM fullp f JOIN tots t ON t.event_type IS NOT DISTINCT FROM f.event_type
+GROUP BY f.event_type
+ORDER BY f.event_type
+"""
 
 
 def q_dd_seg_rate(sf_dir: str) -> pd.DataFrame:
@@ -6688,11 +6754,20 @@ alive{i} AS MATERIALIZED (SELECT node FROM (SELECT lo AS node FROM e{i - 1}
 e{i} AS MATERIALIZED (SELECT e.lo, e.hi FROM e{i - 1} e
          JOIN alive{i} a1 ON a1.node = e.lo
          JOIN alive{i} a2 ON a2.node = e.hi)""")
+    # convergence guard: peeling only shrinks e_i, so equal edge counts
+    # in the last two rounds == fixpoint; a non-fixpoint unroll ERRORS
+    # instead of silently reporting a partial core
     tail = f"""
 SELECT node, CAST(count(*) AS BIGINT) AS core_deg,
        (SELECT k FROM kk) AS k
 FROM (SELECT lo AS node FROM e{rounds} UNION ALL SELECT hi FROM e{rounds})
-GROUP BY node ORDER BY node"""
+GROUP BY node
+HAVING (SELECT CASE WHEN (SELECT count(*) FROM e{rounds})
+                       = (SELECT count(*) FROM e{rounds - 1})
+        THEN true
+        ELSE error('kcore oracle: peel not converged in {rounds} rounds'
+                   ' — bump rounds') END)
+ORDER BY node"""
     return head + "".join(steps) + tail
 
 
@@ -8578,25 +8653,11 @@ def q_ev_ewma(sf_dir: str) -> pd.DataFrame:
                         alpha=0.3)
 
 
-_EWMA_ORACLE = """
-WITH o AS (
-  SELECT event_id, user_id, value,
-         row_number() OVER w AS rn,
-         first_value(value) OVER w AS x1
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), s AS (
-  SELECT event_id, user_id, value, rn, x1,
-         sum(CASE WHEN rn >= 2 THEN value * power(0.7, -rn)
-                  ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY rn) AS acc
-  FROM o
-)
-SELECT event_id, user_id, value,
-       round(power(0.7, rn - 1) * x1
-             + 0.3 * power(0.7, rn) * acc, 6) AS ewma
-FROM s
-"""
+# (q_ev_ewma is rows-only BY CHOICE — see its docstring. A closed-form
+# SQL oracle via power(0.7, -rn) prefix sums was evaluated and
+# rejected twice over: the float noise straddles the rounding grid,
+# and (1-a)^(-rn) overflows float64 for per-key sequences past ~2000
+# rows. If ever revisited, rescale per window segment instead.)
 
 
 def q_vl_schema_diff(sf_dir: str) -> pd.DataFrame:
@@ -9106,6 +9167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "vl_suite_verdicts": _VERDICT_ORACLE,
+        "vl_segment_drift": _SEGDRIFT_ORACLE,
         "vl_violation_rows": _VIOLATION_ORACLE,
         "vl_uniqueness_rows": _UNIQUENESS_ORACLE,
         "vl_uniqueness_shuffle": _UNIQUENESS_ORACLE,

@@ -205,10 +205,12 @@ def logreg_train(ds, text_col: str = "text", label_col: str = "label",
     def featurize(batch: pa.Table) -> pa.Table:
         idx, row_of = _hashed_counts(batch, text_col, dim)
         n = batch.num_rows
-        lens = np.bincount(row_of, minlength=n).astype(np.int32)
-        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
-        fidx = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                        pa.array(idx, pa.int64()))
+        lens = np.bincount(row_of, minlength=n)
+        offsets = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+        # int32 list offsets wrap past 2^31 total tokens per block —
+        # LargeListArray keeps them int64 so overflow cannot corrupt
+        fidx = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                             pa.array(idx, pa.int64()))
         return pa.table({"fidx": fidx,
                          "y": batch.column(label_col).cast(pa.float64())})
 
