@@ -31,6 +31,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "1000"))
+# repo/lang as Arrow dictionary columns (the layout a Parquet reader
+# yields for low-cardinality string columns at scale) — hashing/checks
+# take the dictionary fast path; GRAFT_DICT=0 reverts to flat strings
+DICT_ENCODE = os.environ.get("GRAFT_DICT", "1") != "0"
 
 SUITE_YAML = """
 checks:
@@ -78,8 +82,10 @@ def bench_suite() -> tuple[float, int]:
     # stamp) via run_suite's unique_input — re-hashing every content
     # byte a second time just to project three key columns is waste the
     # API exists to avoid.
-    ds = _with_size(read_codetable(SF_DIR, replicate=REPLICATE, with_sha256=True))
-    uniq_ds = read_codetable(SF_DIR, replicate=REPLICATE, with_sha256=False)
+    ds = _with_size(read_codetable(SF_DIR, replicate=REPLICATE, with_sha256=True,
+                                   dict_encode=DICT_ENCODE))
+    uniq_ds = read_codetable(SF_DIR, replicate=REPLICATE, with_sha256=False,
+                             dict_encode=DICT_ENCODE)
     t0 = time.perf_counter()
     res = run_suite(ds, suite, parents={"repos": read_repos(SF_DIR)},
                     num_partitions=64, unique_input=uniq_ds)
@@ -90,7 +96,8 @@ def bench_uniqueness() -> tuple[float, int]:
     from feature_fabrica_ray.pipelines import uniqueness_violations
     from feature_fabrica_ray.sources import read_codetable
 
-    ds = read_codetable(SF_DIR, replicate=REPLICATE, with_sha256=False)
+    ds = read_codetable(SF_DIR, replicate=REPLICATE, with_sha256=False,
+                        dict_encode=DICT_ENCODE)
     t0 = time.perf_counter()
     uv = uniqueness_violations(ds, ["repo", "path", "commit"])
     return time.perf_counter() - t0, len(uv)
@@ -99,7 +106,8 @@ def bench_uniqueness() -> tuple[float, int]:
 def bench_sha256() -> tuple[float, int]:
     from feature_fabrica_ray.sources import read_codetable
 
-    ds = read_codetable(SF_DIR, replicate=REPLICATE, with_sha256=True)
+    ds = read_codetable(SF_DIR, replicate=REPLICATE, with_sha256=True,
+                        dict_encode=DICT_ENCODE)
     t0 = time.perf_counter()
     n = _consume(ds.select_columns(["content_sha256"]))
     return time.perf_counter() - t0, n

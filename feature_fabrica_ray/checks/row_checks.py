@@ -159,6 +159,19 @@ class RegexCheck(RowCheck):
         return pc.fill_null(pc.invert(ok), True)
 
 
+def _is_in_dict_aware(col, value_set: pa.Array):
+    """``pc.is_in`` with a dictionary fast path: membership is decided
+    once on the (tiny) dictionary and gathered by index — identical
+    per-row booleans (nulls -> False, matching flat is_in), without
+    decoding the string payload."""
+    if isinstance(col, pa.ChunkedArray) and pa.types.is_dictionary(col.type):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array) and pa.types.is_dictionary(col.type):
+        okd = pc.is_in(col.dictionary, value_set=value_set)
+        return pc.fill_null(okd.take(col.indices), False)
+    return pc.is_in(col, value_set=value_set)
+
+
 class AcceptedValuesCheck(RowCheck):
     """Violation when the value is outside the accepted set (nulls pass —
     pair with not_null to forbid them)."""
@@ -169,7 +182,7 @@ class AcceptedValuesCheck(RowCheck):
 
     def mask(self, batch):
         col = self._col(batch)
-        ok = pc.is_in(col, value_set=pa.array(self.values))
+        ok = _is_in_dict_aware(col, pa.array(self.values))
         return pc.and_(pc.invert(ok), pc.is_valid(col))
 
 
@@ -233,7 +246,7 @@ class MembershipCheck(RowCheck):
 
     def mask(self, batch):
         col = self._col(batch)
-        ok = pc.is_in(col, value_set=self._keys)
+        ok = _is_in_dict_aware(col, self._keys)
         return pc.and_(pc.invert(ok), pc.is_valid(col))
 
 

@@ -54,10 +54,14 @@ def uniqueness_violations(ds, columns: list[str], *, partition_col: str = "repo"
     n_buckets = n_shuffle * 16
 
     def project(batch: pa.Table) -> pa.Table:
-        # int64 view of the uint64 hash: Ray's shuffle sorts int64 natively
+        # int64 view of the uint64 hash: Ray's shuffle sorts int64 natively.
+        # Dictionary-encoded key columns stay dictionary in the retained
+        # projection — decoding happens only for the rare candidates
         hu = _key_hash(batch, columns)
-        cols = {c: batch.column(c).cast(pa.string()) for c in keep_cols
-                if c in batch.column_names}
+        cols = {c: (batch.column(c)
+                    if pa.types.is_dictionary(batch.column(c).type)
+                    else batch.column(c).cast(pa.string()))
+                for c in keep_cols if c in batch.column_names}
         pid = (hash64(batch.column(partition_col)) % np.uint64(num_partitions)).astype(np.int32)
         cols["pid"] = pa.array(pid, pa.int32())
         cols["key_hash"] = pa.array(hu.view(np.int64), pa.int64())
@@ -92,7 +96,14 @@ def uniqueness_violations(ds, columns: list[str], *, partition_col: str = "repo"
     for c in columns[1:]:
         key_tuple = key_tuple + _SEP + cands[c].astype(str)
     sizes = key_tuple.map(key_tuple.value_counts())
-    return cands[sizes > 1].reset_index(drop=True)
+    out = cands[sizes > 1].reset_index(drop=True)
+    # dictionary-encoded inputs surface as pandas Categorical — decode at
+    # the public boundary so callers see the same plain-string frame
+    # regardless of the input's encoding
+    for c in out.columns:
+        if isinstance(out[c].dtype, pd.CategoricalDtype):
+            out[c] = out[c].astype(object)
+    return out
 
 
 def uniqueness_violations_ds(ds, columns: list[str], *,

@@ -577,10 +577,15 @@ def run_suite(ds, suite: CheckSuite, *, parents: dict | None = None,
                                  severity=rc.severity)
         row_checks.append(mc)
 
-    # schema checks: plan-time
+    # schema checks: plan-time. Dictionary-encoded columns validate as
+    # their VALUE type: dictionary<string> is the same logical column as
+    # string (Parquet readers produce either layout for the same data)
     schema_verdicts = []
     sch = ds.schema()
-    have = dict(zip(sch.names, [str(t) for t in sch.types]))
+    have = dict(zip(sch.names,
+                    [str(t.value_type) if isinstance(t, pa.DataType)
+                     and pa.types.is_dictionary(t) else str(t)
+                     for t in sch.types]))
     for sc in suite.schema_checks:
         bad = []
         for cname, tprefix in sc.columns.items():

@@ -74,25 +74,43 @@ def _hex32(doc_id: np.ndarray, seed_a: int, seed_b: int) -> pa.Array:
     return pa.array(np.frombuffer(binascii.hexlify(buf), dtype="S32").astype("U32"))
 
 
-def _derive_batch(batch: pa.Table, replicate: int = 1) -> pa.Table:
+def _derive_batch(batch: pa.Table, replicate: int = 1,
+                  dict_encode: bool = False) -> pa.Table:
     """documents batch -> codetable batch. Fully vectorized (Arrow/numpy)
     except the base-variant md5 loop, which must match the DuckDB oracle's
     ``md5()`` byte-for-byte (only replicate=1 is oracle-checked; the k>=1
-    bench-scale variants use a vectorized hex id instead)."""
+    bench-scale variants use a vectorized hex id instead).
+
+    ``dict_encode=True`` emits the genuinely-low-cardinality ``repo``
+    and ``lang`` columns as Arrow DICTIONARY arrays (indices built
+    directly — the string values are never materialized per row), the
+    layout a Parquet reader produces for dictionary-encoded columns at
+    scale. Row values are identical; downstream hashing/checks take the
+    dictionary fast path."""
     doc_id = batch.column("doc_id").to_numpy()
     lang = batch.column("lang")
     text = batch.column("text")
 
     rid = _repo_ids(doc_id)
-    repo = _REPO_LOOKUP.take(pa.array(rid, pa.int64()))
-    ext_idx = pc.index_in(lang, value_set=_LANGS).to_numpy(zero_copy_only=False)
-    ext_idx = np.where(np.isnan(ext_idx.astype(np.float64)), len(_EXTS) - 1,
-                       ext_idx).astype(np.int64)
+    lang_idx = pc.index_in(lang, value_set=_LANGS)
+    ext_np = lang_idx.to_numpy(zero_copy_only=False)
+    ext_idx = np.where(np.isnan(ext_np.astype(np.float64)), len(_EXTS) - 1,
+                       ext_np).astype(np.int64)
+    null_lang = pa.array(doc_id % 200 == 0)
+    if dict_encode:
+        repo = pa.DictionaryArray.from_arrays(
+            pa.array(rid.astype(np.int32), pa.int32()), _REPO_LOOKUP)
+        lang_out = pa.DictionaryArray.from_arrays(
+            pc.if_else(null_lang, pa.nulls(len(doc_id), pa.int32()),
+                       lang_idx.cast(pa.int32())), _LANGS)
+    else:
+        repo = _REPO_LOOKUP.take(pa.array(rid, pa.int64()))
+        lang_out = pc.if_else(null_lang, pa.nulls(len(doc_id), pa.string()),
+                              lang)
     path = pc.binary_join_element_wise(
         pa.array(np.char.mod("src/m%d/f", doc_id % 13)),
         pa.array((doc_id).astype("U")),
         pa.array(_EXTS[ext_idx].astype("U")), "")
-    lang_out = pc.if_else(pa.array(doc_id % 200 == 0), pa.nulls(len(doc_id), pa.string()), lang)
     content = pc.if_else(pa.array(doc_id % 500 == 3), pa.scalar(""), text)
 
     n = len(doc_id)
@@ -132,12 +150,15 @@ def _derive_batch(batch: pa.Table, replicate: int = 1) -> pa.Table:
     return pa.concat_tables([t0, rep_t])
 
 
-def read_codetable(sf_dir: str, replicate: int = 1, with_sha256: bool = True) -> "ray.data.Dataset":
+def read_codetable(sf_dir: str, replicate: int = 1, with_sha256: bool = True,
+                   dict_encode: bool = False) -> "ray.data.Dataset":
     """The source-code table as a streaming Ray Dataset.
 
     Reads only the needed columns of documents.parquet (prune-at-read) and
     derives codetable rows per batch; sha256 of content is stamped at ingest
-    (the end-to-end per-row invariant)."""
+    (the end-to-end per-row invariant). ``dict_encode=True`` emits
+    repo/lang dictionary-encoded (see ``_derive_batch``) — same values,
+    a fraction of the memory-bus bytes per downstream scan."""
     if replicate < 1:
         raise ValueError(f"replicate must be >= 1, got {replicate}")
     from ..tuning import read_blocks
@@ -147,7 +168,9 @@ def read_codetable(sf_dir: str, replicate: int = 1, with_sha256: bool = True) ->
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "lang", "text"],
                             override_num_blocks=read_blocks())
-    ds = ds.map_batches(lambda b: _derive_batch(b, replicate), batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(
+        lambda b: _derive_batch(b, replicate, dict_encode=dict_encode),
+        batch_format="pyarrow", batch_size=None)
     if with_sha256:
         ds = ds.map_batches(add_content_sha256, batch_format="pyarrow", batch_size=None)
     return ds

@@ -96,7 +96,30 @@ def hash64(values, seed: int = 0) -> np.ndarray:
     Accepts a pyarrow Array/ChunkedArray, polars Series, numpy array or
     list; returns ``np.uint64`` array of the same length. Nulls hash to a
     fixed value (polars semantics), so they never collide randomly.
+
+    Dictionary-encoded columns take a FAST PATH: the (tiny) dictionary
+    is hashed once and gathered by index — per-row results are
+    IDENTICAL to hashing the decoded values, at a fraction of the
+    memory-bus bytes (8 B index vs the string payload). This is what
+    makes low-cardinality string columns (repo, lang) cheap to
+    partition/sketch on at 10^12 rows.
     """
+    if isinstance(values, pa.ChunkedArray) and \
+            pa.types.is_dictionary(values.type):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array) and pa.types.is_dictionary(values.type):
+        dict_h = hash64(values.dictionary, seed=seed)
+        idx = values.indices
+        valid = ~np.asarray(idx.is_null())
+        iv = idx.to_numpy(zero_copy_only=False)
+        ii = np.where(valid, np.nan_to_num(iv), 0).astype(np.int64)
+        out = dict_h[ii] if len(dict_h) else np.zeros(len(values), np.uint64)
+        if not valid.all():
+            null_h = hash64(pa.array([None], values.type.value_type),
+                            seed=seed)[0]
+            out = out.copy()
+            out[~valid] = null_h
+        return out
     if _HAS_POLARS:
         global pl
         last = None

@@ -725,6 +725,63 @@ checks:
     assert ke == kb
 
 
+def test_suite_dict_encoded_equals_flat(ray_session):
+    """The dictionary-encoded codetable (repo/lang as Arrow dictionary
+    columns — the scale layout, hash/check fast paths) produces
+    IDENTICAL suite results to the flat-string layout: same verdicts
+    (per-pid and global), same violation rows, same distinct estimate,
+    same lineage digests, same uniqueness rows."""
+    suite = CheckSuite(SUITE_YAML)
+
+    def inp(dict_encode):
+        return read_codetable(SF, dict_encode=dict_encode).map_batches(
+            lambda b: b.append_column(
+                "size_bytes",
+                pc.utf8_length(b.column("content")).cast(pa.int64())),
+            batch_format="pyarrow")
+
+    flat = run_suite(inp(False), suite, parents={"repos": read_repos(SF)},
+                     num_partitions=8)
+    dic = run_suite(inp(True), suite, parents={"repos": read_repos(SF)},
+                    num_partitions=8)
+    vf = flat.verdicts.sort_values(["check", "pid"]).reset_index(drop=True)
+    vd = dic.verdicts.sort_values(["check", "pid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(vf, vd)
+    cols = ["check", "repo", "path", "commit"]
+    ff = flat.violations[cols].astype(str).sort_values(cols) \
+        .reset_index(drop=True)
+    dd = dic.violations[cols].astype(str).sort_values(cols) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(ff, dd)
+    sf_ = flat.stats.sort_values("column").reset_index(drop=True)
+    sd_ = dic.stats.sort_values("column").reset_index(drop=True)
+    # t-digest quantile ESTIMATES are merge-order-sensitive (Ray block
+    # arrival order is nondeterministic — flat-vs-flat differs too), so
+    # they get a tolerance; everything else (Welford moments, HLL
+    # distinct, counts) merges exactly and must be equal
+    qcols = [c for c in sf_.columns if c.startswith("q0")]
+    pd.testing.assert_frame_equal(sf_.drop(columns=qcols),
+                                  sd_.drop(columns=qcols))
+    for c in qcols:
+        pd.testing.assert_series_equal(sf_[c], sd_[c], rtol=0.02)
+    # the per-pid lineage digests hinge on hash64 equality across
+    # encodings (pid comes from hash64(repo))
+    assert flat.digests == dic.digests and flat.digests
+
+    from feature_fabrica_ray.pipelines import uniqueness_violations
+    uf = uniqueness_violations(
+        read_codetable(SF, with_sha256=False, dict_encode=False),
+        ["repo", "path", "commit"])
+    ud = uniqueness_violations(
+        read_codetable(SF, with_sha256=False, dict_encode=True),
+        ["repo", "path", "commit"])
+    key = ["repo", "path", "commit"]
+    pd.testing.assert_frame_equal(
+        uf[key].astype(str).sort_values(key).reset_index(drop=True),
+        ud[key].astype(str).sort_values(key).reset_index(drop=True))
+    assert list(ud.dtypes[key].astype(str)) == ["object"] * 3
+
+
 def test_suite_on_empty_input(ray_session):
     """Zero-row input: verdicts exist for every check (all passing,
     n_rows 0), no crash in stats/drift/uniqueness assembly."""
