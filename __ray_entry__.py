@@ -2062,10 +2062,13 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_vl_drift(sf_dir: str) -> pd.DataFrame:
-    """Distribution-drift checks (PSI on numeric histogram + categorical
-    frequency, KS on numeric) vs a baseline computed from the same table
-    with the planted-shift variant — sketch-based, rows-only (pytest
-    asserts trigger/no-trigger goldens)."""
+    """Distribution-drift checks (PSI on numeric fixed-edge histogram +
+    categorical frequency, KS on numeric) vs a baseline from the raw
+    table, with a PLANTED shift in the current snapshot: 'en' content
+    sizes doubled (numeric drift past both PSI and KS thresholds) and
+    all 'zh' rows relabeled 'en' (categorical drift). Oracle-exact: the
+    linspace edges / searchsorted binning / EPS-floored PSI / grid KS
+    are all SQL-expressible (same recipe as vl_segment_drift)."""
     from feature_fabrica_ray.checks.suite import DriftCheck
     from feature_fabrica_ray.pipelines import (bind_baselines,
                                                compute_baseline, run_suite)
@@ -2076,7 +2079,23 @@ def q_vl_drift(sf_dir: str) -> pd.DataFrame:
                 "size_bytes", pc.utf8_length(b.column("content")).cast(pa.int64())),
             batch_format="pyarrow", batch_size=None)
 
+    def shift(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang")
+        is_en = pc.fill_null(pc.equal(lang, "en"), False)
+        is_zh = pc.fill_null(pc.equal(lang, "zh"), False)
+        size = pc.if_else(is_en,
+                          pc.multiply(batch.column("size_bytes"), 2),
+                          batch.column("size_bytes"))
+        lang_cur = pc.if_else(is_zh, pa.scalar("en", pa.string()),
+                              lang.cast(pa.string()))
+        batch = batch.set_column(
+            batch.column_names.index("size_bytes"), "size_bytes", size)
+        return batch.set_column(
+            batch.column_names.index("lang"), "lang", lang_cur)
+
     base_ds = with_size(read_codetable(sf_dir, with_sha256=False))
+    cur_ds = base_ds.map_batches(shift, batch_format="pyarrow",
+                                 batch_size=None)
     checks = [DriftCheck(name="drift:size_psi", column="size_bytes", method="psi"),
               DriftCheck(name="drift:size_ks", column="size_bytes", method="ks",
                          threshold=0.1),
@@ -2086,12 +2105,80 @@ def q_vl_drift(sf_dir: str) -> pd.DataFrame:
     suite = CheckSuite([])
     suite.drift_checks = checks
     bind_baselines(suite, baselines)
-    res = run_suite(base_ds, suite, num_partitions=8,
+    res = run_suite(cur_ds, suite, num_partitions=8,
                     key_columns=["repo", "path", "commit"])
     g = res.global_verdicts()[["check", "metric", "passed"]].copy()
     g["metric"] = _round_away(g["metric"].astype(float), 6)
     g["passed"] = g["passed"].astype(bool)
+    assert not bool(g.set_index("check").loc["drift:size_psi", "passed"])
     return g.reset_index(drop=True)
+
+
+_DRIFT_ORACLE = CT + """
+, sized AS (SELECT lang, CAST(length(content) AS BIGINT) AS v FROM codetable),
+b AS (SELECT CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+      FROM sized),
+edges AS (      -- bit-match np.linspace: i*step + lo, last edge = hi
+  SELECT i, CASE WHEN i = 64 THEN (SELECT hi FROM b)
+                 ELSE i * (((SELECT hi FROM b) - (SELECT lo FROM b))
+                           / 64.0) + (SELECT lo FROM b) END AS edge
+  FROM range(65) t(i)),
+vals AS (
+  SELECT 0 AS side, CAST(v AS DOUBLE) AS v,
+         row_number() OVER () AS rid FROM sized
+  UNION ALL
+  SELECT 1, CAST(CASE WHEN lang = 'en' THEN v * 2 ELSE v END AS DOUBLE),
+         row_number() OVER () + 100000000 FROM sized),
+binned AS (
+  SELECT x.side,
+         CASE WHEN x.v < (SELECT lo FROM b) THEN 0
+              WHEN x.v > (SELECT hi FROM b) THEN 65
+              ELSE least(max(e.i), 63) + 1 END AS bkt
+  FROM vals x LEFT JOIN edges e ON e.edge <= x.v
+  GROUP BY x.side, x.rid, x.v),
+counts AS (SELECT side, bkt, count(*) AS c FROM binned GROUP BY ALL),
+grid AS (
+  SELECT g.bkt,
+         coalesce(sum(CASE WHEN c.side = 0 THEN c.c END), 0) AS e_c,
+         coalesce(sum(CASE WHEN c.side = 1 THEN c.c END), 0) AS a_c
+  FROM range(66) g(bkt) LEFT JOIN counts c ON c.bkt = g.bkt
+  GROUP BY g.bkt),
+tot AS (SELECT sum(e_c) AS e_t, sum(a_c) AS a_t FROM grid),
+size_psi AS (
+  SELECT sum((greatest(a_c / (SELECT a_t FROM tot), 1e-6)
+              - greatest(e_c / (SELECT e_t FROM tot), 1e-6))
+             * ln(greatest(a_c / (SELECT a_t FROM tot), 1e-6)
+                  / greatest(e_c / (SELECT e_t FROM tot), 1e-6))) AS m
+  FROM grid),
+size_ks AS (
+  SELECT max(d) AS m FROM (
+    SELECT abs(sum(e_c) OVER (ORDER BY bkt) / (SELECT e_t FROM tot)
+               - sum(a_c) OVER (ORDER BY bkt) / (SELECT a_t FROM tot)) AS d
+    FROM grid)),
+lf AS (
+  SELECT coalesce(lang, chr(0) || 'null') AS k, count(*) AS c
+  FROM sized GROUP BY 1),
+cf AS (
+  SELECT coalesce(CASE WHEN lang = 'zh' THEN 'en' ELSE lang END,
+                  chr(0) || 'null') AS k, count(*) AS c
+  FROM sized GROUP BY 1),
+lgrid AS (
+  SELECT coalesce(lf.c, 0) AS e_c, coalesce(cf.c, 0) AS a_c
+  FROM lf FULL JOIN cf ON lf.k = cf.k),
+ltot AS (SELECT sum(e_c) AS e_t, sum(a_c) AS a_t FROM lgrid),
+lang_psi AS (
+  SELECT sum((greatest(a_c / (SELECT a_t FROM ltot), 1e-6)
+              - greatest(e_c / (SELECT e_t FROM ltot), 1e-6))
+             * ln(greatest(a_c / (SELECT a_t FROM ltot), 1e-6)
+                  / greatest(e_c / (SELECT e_t FROM ltot), 1e-6))) AS m
+  FROM lgrid)
+SELECT 'drift:size_psi' AS "check", round(m, 6) AS metric,
+       m <= 0.2 AS passed FROM size_psi
+UNION ALL
+SELECT 'drift:size_ks', round(m, 6), m <= 0.1 FROM size_ks
+UNION ALL
+SELECT 'drift:lang', round(m, 6), m <= 0.2 FROM lang_psi
+"""
 
 
 def q_jn_priority(sf_dir: str) -> pd.DataFrame:
@@ -9168,6 +9255,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "vl_suite_verdicts": _VERDICT_ORACLE,
         "vl_segment_drift": _SEGDRIFT_ORACLE,
+        "vl_drift": _DRIFT_ORACLE,
         "vl_violation_rows": _VIOLATION_ORACLE,
         "vl_uniqueness_rows": _UNIQUENESS_ORACLE,
         "vl_uniqueness_shuffle": _UNIQUENESS_ORACLE,

@@ -41,7 +41,8 @@ import pyarrow.compute as pc
 
 from ..tuning import shuffle_partitions
 
-__all__ = ["connected_components", "star_edges", "pagerank", "degree_table",
+__all__ = ["connected_components", "star_edges", "pagerank",
+           "pagerank_sharded", "degree_table",
            "canonical_edges", "triangle_count", "edge_jaccard", "kcore",
            "cooccur_edges", "bfs_hops", "degree_assortativity", "modularity",
            "clustering_coefficients"]
