@@ -3933,6 +3933,52 @@ def q_sm_split_safe(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "__split_key", "split"]]         .sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dd_substring_spans(sf_dir: str):
+    """Duplicated-substring removal spans (fixed-width-window form of
+    suffix-array substring dedup, Lee et al. 2021): every 8-token
+    window occurring >1x in the corpus keeps its globally-first
+    (doc, pos) occurrence; other occurrences mark [pos, pos+8) and
+    overlapping marks merge to per-doc spans — 20 B/row occurrence
+    projection, one hash-bucket shuffle, one doc-keyed islands merge
+    (pipelines/curation.py::dedup_substring_spans)."""
+    from feature_fabrica_ray.pipelines import dedup_substring_spans
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = dedup_substring_spans(ds, "text", "doc_id", width=8).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
+_SUBSTR_SPANS_ORACLE = r"""
+WITH tok AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '') AS ts
+             FROM documents),
+win AS (SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+7], ' ') AS w
+        FROM tok, LATERAL (SELECT unnest(generate_series(
+                               1, len(ts) - 7)) AS i) g),
+losers AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+    FROM win) WHERE rn > 1),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+              OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS b
+  FROM losers WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+grp AS (SELECT doc_id, pos,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM brk)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 8 AS BIGINT) AS span_end
+FROM grp GROUP BY doc_id, g
+ORDER BY doc_id, span_start
+"""
+
+
 def q_dd_paradedup(sf_dir: str):
     """Corpus-wide keep-first segment dedup (Dolma/CCNet paragraph-
     level dedup, at token granularity on this single-line corpus):
@@ -9077,6 +9123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_boilerplate": q_dd_boilerplate,
         "dd_intradoc": q_dd_intradoc,
         "dd_paradedup": q_dd_paradedup,
+        "dd_substring_spans": q_dd_substring_spans,
         "sm_split_safe": q_sm_split_safe,
         "agg_salted": q_agg_salted,
         "tq_shipping": q_tq_shipping,
@@ -9370,6 +9417,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_boilerplate": _BOILERPLATE_ORACLE,
         "dd_intradoc": _INTRADOC_ORACLE,
         "dd_paradedup": _PARADEDUP_ORACLE,
+        "dd_substring_spans": _SUBSTR_SPANS_ORACLE,
         "agg_salted": _SALTED_ORACLE,
         "sp_shuffle": _SP_SHUFFLE_ORACLE,
         "vl_monotonic": _MONOTONIC_ORACLE,

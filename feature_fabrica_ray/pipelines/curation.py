@@ -29,7 +29,7 @@ from .textstats import _flat_utf8  # noqa: F401  (re-exported family)
 from .textstats import _distinct_per_row, _set_col, fill_utf8, token_hashes
 
 __all__ = ["redact_text", "normalize_text", "gopher_quality",
-           "dedup_segments_global",
+           "dedup_segments_global", "dedup_substring_spans",
            "token_ngram_hashes", "decontaminate", "salted_group_agg",
            "repetition_stats", "common_ngrams", "remove_frequent_lines",
            "dedup_lines_within_doc"]
@@ -232,7 +232,17 @@ def _ngrams_from_hashes(th: np.ndarray, tr: np.ndarray, n_rows: int,
                         n: int) -> tuple[np.ndarray, np.ndarray]:
     """Rolling n-gram combine over precomputed (token hash, row) pairs —
     lets one tokenization feed several gram sizes."""
-    empty = (np.zeros(0, np.uint64), np.zeros(0, np.int64))
+    h, r, _ = _ngrams_with_positions(th, tr, n_rows, n)
+    return h, r
+
+
+def _ngrams_with_positions(th: np.ndarray, tr: np.ndarray, n_rows: int,
+                           n: int) -> tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]:
+    """As ``_ngrams_from_hashes`` plus each window's 0-based TOKEN
+    position within its row (what substring-span dedup needs)."""
+    empty = (np.zeros(0, np.uint64), np.zeros(0, np.int64),
+             np.zeros(0, np.int64))
     m = th.size - n + 1
     if m <= 0:
         return empty
@@ -255,7 +265,92 @@ def _ngrams_from_hashes(th: np.ndarray, tr: np.ndarray, n_rows: int,
     row_of = np.searchsorted(off[1:], pos, side="right")
     row_of = np.clip(row_of, 0, n_rows - 1)
     valid = (pos >= off[row_of]) & (pos <= off[row_of + 1] - n)
-    return h[valid], row_of[valid]
+    return h[valid], row_of[valid], (pos - off[row_of])[valid]
+
+
+def dedup_substring_spans(ds, text_col: str = "text",
+                          id_col: str = "doc_id", *, width: int = 8,
+                          num_partitions: int | None = None):
+    """Duplicated-substring removal spans — the fixed-width-window form
+    of suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every ``width``-token
+    window that occurs more than once in the corpus keeps only its
+    globally-FIRST occurrence (smallest (doc_id, token position));
+    every other occurrence marks its ``[pos, pos+width)`` token range,
+    and overlapping marks merge into per-doc removal spans
+    (gaps-and-islands). Returns a Dataset (doc_id, span_start,
+    span_end), token coordinates, span_end exclusive.
+
+    Scale shape: the occurrence projection is 20 B/row (window hash,
+    doc, pos) — raw text never leaves the map side; ONE uniform
+    hash-bucket shuffle co-locates equal windows (the uniqueness.py
+    bucket pattern: one Python call per bucket, vectorized
+    winner-selection inside — never one call per window), and the
+    loser stream merges to spans in ONE bucketed-by-doc exchange. No
+    driver-side state: a dup-heavy corpus only grows the loser STREAM.
+    Window equality is 64-bit rolling-hash equality (the
+    decontaminate/ngram_overlap contract; collision odds ~n²/2⁶⁵)."""
+    from ..tuning import shuffle_partitions as _sp
+    from .events import bucketed_by_key
+
+    nb = num_partitions or _sp()
+
+    def project(batch: pa.Table) -> pa.Table:
+        h, row_of, posn = _ngrams_with_positions(
+            *token_hashes(batch.column(text_col)), len(batch), width)
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "h": pa.array(h.view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[row_of], pa.int64()),
+            "pos": pa.array(posn, pa.int64()),
+            "__bkt": pa.array((h % np.uint64(nb)).astype(np.int32),
+                              pa.int32())})
+
+    def losers_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return empty
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        posn = t.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((posn, doc, h))
+        hs = h[order]
+        is_first = np.concatenate([[True], hs[1:] != hs[:-1]])
+        losers = order[~is_first]
+        if not losers.size:
+            return empty
+        return pa.table({"doc_id": pa.array(doc[losers], pa.int64()),
+                         "pos": pa.array(posn[losers], pa.int64())})
+
+    losers = ds.map_batches(project, batch_format="pyarrow",
+                            batch_size=None) \
+        .groupby("__bkt", num_partitions=nb) \
+        .map_groups(losers_fn, batch_format="pyarrow")
+
+    def per_bucket(df):
+        import pandas as pd
+
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        doc = df["doc_id"].to_numpy(dtype=np.int64)
+        posn = df["pos"].to_numpy(dtype=np.int64)
+        if not doc.size:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "span_start": pd.Series([], dtype="int64"),
+                                 "span_end": pd.Series([], dtype="int64")})
+        # fixed width => window end is monotone in pos, so one linear
+        # break test merges overlapping/adjacent-overlapping marks
+        brk = np.concatenate([[True], (doc[1:] != doc[:-1])
+                              | (posn[1:] > posn[:-1] + width)])
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], doc.size) - 1
+        return pd.DataFrame({"doc_id": doc[starts],
+                             "span_start": posn[starts],
+                             "span_end": posn[ends] + width})
+
+    return bucketed_by_key(losers, "doc_id", per_bucket,
+                           n_buckets=num_partitions)
 
 
 def decontaminate(ds, bench, n: int = 8, text_col: str = "text",

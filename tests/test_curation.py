@@ -614,3 +614,70 @@ def test_dedup_segments_global_partition_invariance(ray_session):
     assert len(segs) == len(set(segs))
     allsegs = {s for r in rows for s in r["text"].split(" ")}
     assert set(segs) == allsegs
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring span removal (Lee et al. window form)
+# ---------------------------------------------------------------------------
+
+def _spans_reference(docs: dict[int, str], width: int) -> list[tuple]:
+    """Brute-force single-process reference: global keep-first window
+    dedup + interval merge, in plain Python."""
+    seen = {}
+    losers = []
+    for did in sorted(docs):
+        toks = [t for t in docs[did].split() if t]
+        for p in range(len(toks) - width + 1):
+            w = " ".join(toks[p:p + width])
+            if w in seen:
+                losers.append((did, p))
+            else:
+                seen[w] = (did, p)
+    out = []
+    cur = None
+    for did, p in sorted(losers):
+        if cur and cur[0] == did and p <= cur[2]:
+            cur = (did, cur[1], max(cur[2], p + width))
+        else:
+            if cur:
+                out.append(cur)
+            cur = (did, p, p + width)
+    if cur:
+        out.append(cur)
+    return out
+
+
+def test_dedup_substring_spans_vs_reference(ray_session):
+    """Distributed window-span dedup equals the brute-force keep-first
+    reference on planted duplicate runs (cross-doc, intra-doc,
+    overlapping windows that must merge into one span), is layout
+    invariant, and leaves unique docs unmarked."""
+    from feature_fabrica_ray.pipelines import dedup_substring_spans
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    docs = {
+        0: base + " one two three",                 # the original
+        1: "x y " + base + " tail",                 # cross-doc dup, offset 2
+        2: base + " mid " + base,                   # intra-doc repeat
+        3: "totally unique words nothing repeated here at all ok",
+        4: "p q r s t u v w",                       # unique 8 tokens
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    ref = _spans_reference(docs, 8)
+
+    for blocks in (1, 4):
+        got = dedup_substring_spans(_ds(df, blocks), "text", "doc_id",
+                                    width=8).to_pandas()
+        got = got.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+        tuples = list(got.itertuples(index=False, name=None))
+        assert tuples == ref, (blocks, tuples, ref)
+    # doc 0 is the global first occurrence -> never marked
+    assert 0 not in {t[0] for t in ref}
+    assert {t[0] for t in ref} == {1, 2}
+
+    # short docs (< width tokens) and empty text emit nothing and crash
+    # nothing
+    small = pd.DataFrame({"doc_id": [9, 10], "text": ["a b c", ""]})
+    out = dedup_substring_spans(_ds(small), "text", "doc_id",
+                                width=8).to_pandas()
+    assert len(out) == 0
