@@ -3357,9 +3357,54 @@ FROM (
 """
 
 
+def q_ta_langid(sf_dir: str):
+    """Stopword-profile language ID alone, ORACLE-matched: per-doc hit
+    counts per language profile (every token occurrence counts), argmax
+    decided only with >= min_hits evidence and a strict winner (ties ->
+    'unknown') — set logic DuckDB replicates with an UNNEST + stopword
+    join (pipelines/textstats.py::add_lang_id)."""
+    from feature_fabrica_ray.pipelines import add_lang_id
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return _select(add_lang_id(ds), ["doc_id", "lang_id"])
+
+
+def _langid_oracle() -> str:
+    from feature_fabrica_ray.pipelines.textstats import _STOPWORDS
+
+    rows = ", ".join(f"('{lg}', '{w}')"
+                     for lg in sorted(_STOPWORDS)
+                     for w in sorted(_STOPWORDS[lg]))
+    return f"""
+WITH sw(lang, w) AS (VALUES {rows}),
+tok AS (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS t
+        FROM documents),
+hits AS (SELECT doc_id, lang, count(*) AS c
+         FROM tok JOIN sw ON t = w GROUP BY doc_id, lang),
+mx AS (SELECT doc_id, max(c) AS mx FROM hits GROUP BY doc_id),
+atmax AS (SELECT h.doc_id, count(*) AS n_at, min(h.lang) AS best
+          FROM hits h JOIN mx USING (doc_id)
+          WHERE h.c = mx.mx GROUP BY h.doc_id)
+SELECT d.doc_id,
+       CASE WHEN m.mx >= 2 AND a.n_at = 1 THEN a.best
+            ELSE 'unknown' END AS lang_id
+FROM documents d
+LEFT JOIN mx m ON m.doc_id = d.doc_id
+LEFT JOIN atmax a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+_LANGID_ORACLE = _langid_oracle()
+
+
 def q_ta_langid_fingerprint(sf_dir: str):
     """Language-ID heuristic + rolling-hash fingerprint — heuristic
-    outputs, rows-only (pytest asserts detection goldens)."""
+    outputs, rows-only (pytest asserts detection goldens; the lang_id
+    column alone is oracle-matched by ta_langid)."""
     import ray.data
 
     from feature_fabrica_ray.pipelines import add_fingerprint, add_lang_id
@@ -9124,6 +9169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_intradoc": q_dd_intradoc,
         "dd_paradedup": q_dd_paradedup,
         "dd_substring_spans": q_dd_substring_spans,
+        "ta_langid": q_ta_langid,
         "sm_split_safe": q_sm_split_safe,
         "agg_salted": q_agg_salted,
         "tq_shipping": q_tq_shipping,
@@ -9418,6 +9464,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_intradoc": _INTRADOC_ORACLE,
         "dd_paradedup": _PARADEDUP_ORACLE,
         "dd_substring_spans": _SUBSTR_SPANS_ORACLE,
+        "ta_langid": _LANGID_ORACLE,
         "agg_salted": _SALTED_ORACLE,
         "sp_shuffle": _SP_SHUFFLE_ORACLE,
         "vl_monotonic": _MONOTONIC_ORACLE,
