@@ -5484,7 +5484,11 @@ def q_mm_resize(sf_dir: str):
     """Actor-pool resize -> decode composition: nearest-neighbor
     downsample to 16x16 under the fake-pixel contract, then the feature
     decoder runs on the RESIZED payloads (two chained actor stages).
-    Rows-only; pytest pins the exact index math and padding."""
+    Oracle-exact: the gather index math (src = (y*h//16)*w + x*w//16
+    over the zero-padded w x h byte grid) and the 256-pixel mean are
+    SQL-expressible over range(256) x documents; the decoder rounds
+    half-away (DuckDB round parity — k/256 means land on exact 5e-7
+    ties where banker's rounding would diverge)."""
     from feature_fabrica_ray.pipelines import (DecodeImageFeatures,
                                                resize_pipeline)
 
@@ -5499,6 +5503,27 @@ def q_mm_resize(sf_dir: str):
                               batch_format="pyarrow")
     return _select(out, ["media_id", "width", "height", "n_bytes",
                          "mean_byte"])
+
+
+_MM_RESIZE_ORACLE = """
+WITH geo AS (
+  SELECT doc_id, text,
+         16 + doc_id % 64 AS w,
+         16 + (doc_id * 7) % 48 AS h
+  FROM documents),
+px AS (
+  SELECT doc_id,
+         CASE WHEN src < strlen(text)
+              THEN ascii(substr(text, CAST(src + 1 AS INT), 1))
+              ELSE 0 END AS byte
+  FROM (SELECT doc_id, text,
+               ((p // 16) * h // 16) * w + ((p % 16) * w // 16) AS src
+        FROM geo, range(256) t(p)))
+SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height, CAST(264 AS BIGINT) AS n_bytes,
+       round(avg(byte), 6) AS mean_byte
+FROM px GROUP BY doc_id ORDER BY media_id
+"""
 
 
 def q_agg_distinct_hll(sf_dir: str) -> pd.DataFrame:
@@ -9465,6 +9490,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_paradedup": _PARADEDUP_ORACLE,
         "dd_substring_spans": _SUBSTR_SPANS_ORACLE,
         "ta_langid": _LANGID_ORACLE,
+        "mm_resize": _MM_RESIZE_ORACLE,
         "agg_salted": _SALTED_ORACLE,
         "sp_shuffle": _SP_SHUFFLE_ORACLE,
         "vl_monotonic": _MONOTONIC_ORACLE,

@@ -34,6 +34,15 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Round half AWAY from zero at 6 decimals (DuckDB ``round()``
+    semantics) — np.round is banker's, which diverges on the EXACT
+    5e-7 ties a 256-byte resized body produces (mean = k/256 terminates
+    within 8 decimals, so k % 4 == 2 is always a tie)."""
+    x = np.asarray(x, np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def synth_media_table(sf_dir: str, media_type: str = "image"):
     """Deterministic media table derived from documents: payload = 8-byte
     width/height header + utf8 text bytes. Stands in for real encoded
@@ -172,9 +181,9 @@ class DecodeImageFeatures:
             out = out.append_column("width", pa.array(widths, pa.int64()))
             out = out.append_column("height", pa.array(heights, pa.int64()))
             out = out.append_column(
-                "mean_byte", pa.array(np.round(means, 6), pa.float64()))
+                "mean_byte", pa.array(_round6(means), pa.float64()))
             return out.append_column(
-                "byte_entropy", pa.array(np.round(ents, 6), pa.float64()))
+                "byte_entropy", pa.array(_round6(ents), pa.float64()))
         has_hdr = lens >= 8
 
         # header parse, vectorized: gather the 8 header bytes of every
@@ -215,8 +224,8 @@ class DecodeImageFeatures:
         out = batch.drop_columns(["payload"])
         out = out.append_column("width", pa.array(widths, pa.int64()))
         out = out.append_column("height", pa.array(heights, pa.int64()))
-        out = out.append_column("mean_byte", pa.array(np.round(means, 6), pa.float64()))
-        out = out.append_column("byte_entropy", pa.array(np.round(ents, 6), pa.float64()))
+        out = out.append_column("mean_byte", pa.array(_round6(means), pa.float64()))
+        out = out.append_column("byte_entropy", pa.array(_round6(ents), pa.float64()))
         return out
 
 
@@ -280,7 +289,7 @@ class DecodeAudioFeatures:
             out = batch.drop_columns(["payload"])
             out = out.append_column("n_samples", pa.array(ns, pa.int64()))
             out = out.append_column(
-                "rms", pa.array(np.round(rms, 6), pa.float64()))
+                "rms", pa.array(_round6(rms), pa.float64()))
             return out.append_column("zero_crossings",
                                      pa.array(zc, pa.int64()))
         # fake PCM body = bytes after the 8-byte header, viewed as int8 —
@@ -306,7 +315,7 @@ class DecodeAudioFeatures:
                 zc = np.bincount(pcm_row[1:][flips], minlength=n).astype(np.int64)
         out = batch.drop_columns(["payload"])
         out = out.append_column("n_samples", pa.array(n_samples, pa.int64()))
-        out = out.append_column("rms", pa.array(np.round(rms, 6), pa.float64()))
+        out = out.append_column("rms", pa.array(_round6(rms), pa.float64()))
         return out.append_column("zero_crossings", pa.array(zc, pa.int64()))
 
 

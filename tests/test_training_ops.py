@@ -307,8 +307,15 @@ def test_decode_audio_stub(ray_session):
                                                           synth_media_table)
 
     ds = synth_media_table(SF, media_type="audio")
-    out = ds.limit(5).map_batches(DecodeAudioFeatures, concurrency=1,
-                                  batch_format="pyarrow").to_pandas() \
+    # filter, not limit(5): limit takes scheduling-dependent rows and
+    # the assertion below needs the globally-first doc present
+    import pyarrow.compute as _pc
+
+    ds = ds.map_batches(
+        lambda b: b.filter(_pc.less(b.column("media_id"), 5)),
+        batch_format="pyarrow", batch_size=None)
+    out = ds.map_batches(DecodeAudioFeatures, concurrency=1,
+                         batch_format="pyarrow").to_pandas() \
         .sort_values("media_id")
     import pyarrow.parquet as pq
 
