@@ -394,3 +394,31 @@ def test_hll_set_ops_bounds(ray_session):
     exact_i = exact_a + exact_b - exact_u
     assert abs(r.est_intersect - exact_i) < 0.09 * exact_u
     assert r.est_intersect >= 0
+
+
+def test_hash64_dictionary_fast_path_bit_identical():
+    """hash64 on a dictionary-encoded column must equal hash64 on the
+    decoded values bit-for-bit (pid assignment, HLL registers and
+    shuffle keys all hinge on it), across seeds, chunking, nulls,
+    empty dictionaries and all-null columns."""
+    import numpy as np
+    import pyarrow as pa
+
+    from feature_fabrica_ray.state.hashing import hash64
+
+    vals = ["repo/a", "repo/b", None, "repo/a", "repo/c", None, "repo/b",
+            "", "repo/a"]
+    flat = pa.array(vals, pa.string())
+    d = flat.dictionary_encode()
+    for seed in (0, 7, 12345):
+        assert (hash64(flat, seed=seed) == hash64(d, seed=seed)).all()
+    chunked = pa.chunked_array([d.slice(0, 4), d.slice(4)])
+    assert (hash64(chunked) == hash64(flat)).all()
+    empty = pa.array([], pa.string()).dictionary_encode()
+    assert hash64(empty).size == 0
+    allnull = pa.array([None, None], pa.string()).dictionary_encode()
+    assert (hash64(allnull)
+            == hash64(pa.array([None, None], pa.string()))).all()
+    # int dictionaries too (combine_hashes consumers)
+    ints = pa.array([5, 5, 2, None, 9], pa.int64())
+    assert (hash64(ints.dictionary_encode()) == hash64(ints)).all()
