@@ -4846,6 +4846,40 @@ SELECT query_id, vec_id, round(sim, 5) AS score, rank FROM (
 """
 
 
+def q_ss_range(sf_dir: str):
+    """Cosine RADIUS search (fixed-similarity range query, the
+    quality-floor companion to top-k): all (query, vector) pairs with
+    cosine >= 0.25 for the first 32 vec_ids as queries. Query matrix
+    broadcast once via ray.put, one matmul + boolean mask per block,
+    zero shuffle, result stays a Dataset (streams to the sink at
+    scale). Threshold applies to the 6dp-rounded score on BOTH sides;
+    measured threshold gap at sf0.001/0.01 is >= 2e-4 — four orders
+    above cross-engine float noise (pipelines/similarity.py::
+    radius_search)."""
+    from feature_fabrica_ray.pipelines import radius_search
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    qdf = ds.filter(expr="vec_id < 32").to_pandas().sort_values("vec_id")
+    Q = np.asarray([np.asarray(v, dtype=np.float64)
+                    for v in qdf["embedding"]])
+    out = radius_search(ds, Q, qdf["vec_id"].to_numpy(np.int64),
+                        threshold=0.25).to_pandas()
+    out["score"] = _round_away(out["score"], 5)
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+_SS_RANGE_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id < 32),
+s AS (SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]), 6) AS sim
+      FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id, round(sim, 5) AS score FROM s WHERE sim >= 0.25
+"""
+
+
 def q_ss_ivf_topk(sf_dir: str):
     """IVF ANN — approximate by design (rows-only; pytest asserts recall
     >= 0.7 vs the brute-force baseline)."""
@@ -9255,6 +9289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_dedup_shuffle": q_dd_dedup_shuffle,
         "dd_simhash": q_dd_simhash,
         "ss_knn": q_ss_knn,
+        "ss_range": q_ss_range,
         "ss_pq": q_ss_pq,
         "ss_mmr": q_ss_mmr,
         "ss_ivfpq": q_ss_ivfpq,
@@ -9529,6 +9564,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_topk": _TOPK_ORACLE,
         # dd_minhash / dd_simhash: sketch-based -> rows-only (pytest)
         "ss_knn": _KNN_ORACLE,
+        "ss_range": _SS_RANGE_ORACLE,
         "ss_cosine_topk": _COSINE_ORACLE,
         "ss_centroid": _CENTROID_ORACLE,
         # ss_ivf_topk: approximate -> rows-only (pytest recall bound)

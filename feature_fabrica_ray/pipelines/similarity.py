@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["cosine_topk", "ivf_topk", "lsh_topk", "fit_centroids",
-           "fit_sample", "knn_graph",
+           "fit_sample", "knn_graph", "radius_search",
            "label_centroids",
            "random_projection",
            "quantize_embeddings", "semantic_dedup_ids", "product_quantize", "mmr_topk", "ivfpq_topk",
@@ -606,6 +606,56 @@ def random_projection(ds, out_dim: int, vec_col: str = "embedding",
         return batch.append_column(out_col, lst)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def radius_search(ds, queries: np.ndarray, query_ids: np.ndarray | list,
+                  threshold: float, vec_col: str = "embedding",
+                  id_col: str = "vec_id", round_to: int = 6):
+    """Cosine RADIUS search (range query): every (query, corpus row)
+    pair with cosine similarity >= ``threshold`` — the fixed-radius
+    companion to ``cosine_topk``'s fixed-k, used for near-duplicate
+    candidate pull and semantic retrieval with a quality floor instead
+    of a count cap.
+
+    Scale shape: the normalized query matrix is broadcast ONCE via
+    ``ray.put`` and every block is one matmul + one boolean mask —
+    stateless map, zero shuffle, and (unlike top-k) nothing merges on
+    the driver: the result STAYS a Dataset, so a fat radius at corpus
+    scale streams straight to the sink. The threshold is applied to the
+    score rounded to ``round_to`` decimals so the kept set is stable
+    across engines whose raw float64 cosines differ in the last ulps
+    (same rounding contract as ``cosine_topk``).
+
+    Returns a Dataset of (query_id, vec_id, score)."""
+    import ray
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    if Q.shape[0] != qids.shape[0]:
+        raise ValueError("radius_search: queries and query_ids must "
+                         f"align, got {Q.shape[0]} vs {qids.shape[0]}")
+    q_ref = ray.put((Q, qids))   # broadcast once, read per task
+
+    def block_radius(batch: pa.Table) -> pa.Table:
+        Qn, ids_q = ray.get(q_ref)
+        V = _vectors(batch, vec_col)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if V.shape[0] == 0 or Qn.shape[0] == 0:
+            return empty
+        ids_v = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        S = np.round(Qn @ _normalize(V).T, round_to)   # (q, n_block)
+        qi, vi = np.nonzero(S >= threshold)
+        if qi.size == 0:
+            return empty
+        return pa.table({"query_id": pa.array(ids_q[qi], pa.int64()),
+                         "vec_id": pa.array(ids_v[vi], pa.int64()),
+                         "score": pa.array(S[qi, vi], pa.float64())})
+
+    return ds.map_batches(block_radius, batch_format="pyarrow",
+                          batch_size=None)
 
 
 def knn_graph(ds, k: int = 10, vec_col: str = "embedding",

@@ -212,6 +212,39 @@ def test_cosine_topk_block_invariant(emb_ds, ray_session):
     assert r1.values.tolist() == r8.values.tolist()
 
 
+def test_radius_search_matches_numpy(emb_ds):
+    from feature_fabrica_ray.pipelines import radius_search
+
+    df = emb_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    M = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = np.round(Mn[:4] @ Mn.T, 6)
+    tau = 0.2
+    expect = {(int(df["vec_id"].iloc[qi]), int(df["vec_id"].iloc[vi]))
+              for qi, vi in zip(*np.nonzero(S >= tau))}
+    out = radius_search(emb_ds, M[:4], df["vec_id"].iloc[:4].to_numpy(),
+                        threshold=tau).to_pandas()
+    got = set(map(tuple, out[["query_id", "vec_id"]].values.tolist()))
+    assert got == expect
+    assert (out["score"] >= tau).all()
+    # self-pairs always survive any threshold <= 1
+    assert all((q, q) in got for q in range(4))
+
+
+def test_radius_search_block_invariant(emb_ds, ray_session):
+    from feature_fabrica_ray.pipelines import radius_search
+
+    df = emb_ds.to_pandas()
+    M = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    ids = df["vec_id"].iloc[:3].to_numpy()
+    key = ["query_id", "vec_id"]
+    r1 = radius_search(_ds(df, blocks=1), M[:3], ids, threshold=0.15) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    r8 = radius_search(_ds(df, blocks=8), M[:3], ids, threshold=0.15) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    assert r1.values.tolist() == r8.values.tolist()
+
+
 def test_ivf_recall(emb_ds):
     df = emb_ds.to_pandas()
     M = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
