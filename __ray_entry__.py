@@ -3169,6 +3169,79 @@ LIMIT 20
 """
 
 
+def q_tq_promo(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape (promotion effect): per ship-month share of
+    revenue earned by PROMO-type parts over one year.
+
+    Plan: part collapses to a (p_partkey, p_type) dimension broadcast
+    into the date-pruned 4-column lineitem scan (map-side lookup, no
+    exchange); each block emits a <=12-row (month, promo_rev,
+    total_rev) partial — the month key is the ONLY thing that ever
+    moves; the driver folds the month-sized table and derives the
+    share. Zero shuffles end to end."""
+    import pyarrow.dataset as pds
+
+    from feature_fabrica_ray.pipelines import broadcast_join
+
+    lo = _dt.datetime(1998, 1, 1)
+    hi = _dt.datetime(1999, 1, 1)
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_type"])
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pds.field("l_shipdate") >= lo)
+        & (pds.field("l_shipdate") < hi))
+    joined = broadcast_join(li, part, left_on="l_partkey",
+                            right_on="p_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      b.column("l_discount")))
+        ts = b.column("l_shipdate")
+        key = pc.add(pc.multiply(pc.year(ts).cast(pa.int64()),
+                                 pa.scalar(100, pa.int64())),
+                     pc.month(ts).cast(pa.int64()))
+        promo = pc.equal(b.column("p_type"), "PROMO")
+        prev = pc.if_else(promo, rev, pa.scalar(0.0))
+        return pa.table({"month": key, "promo_rev": prev,
+                         "total_rev": rev}) \
+            .group_by("month") \
+            .aggregate([("promo_rev", "sum"), ("total_rev", "sum")]) \
+            .rename_columns(["month", "promo_rev", "total_rev"])
+
+    parts_df = joined.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None).to_pandas()
+    out = parts_df.groupby("month", as_index=False)[
+        ["promo_rev", "total_rev"]].sum()
+    out["promo_share"] = _round_away(
+        100.0 * out["promo_rev"] / out["total_rev"], 6)
+    out["promo_rev"] = _round_away(out["promo_rev"], 4)
+    out["total_rev"] = _round_away(out["total_rev"], 4)
+    out["month"] = out["month"].astype("int64")
+    return out.sort_values("month").reset_index(drop=True)
+
+
+_TQ_PROMO_ORACLE = """
+SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS month,
+       round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END), 4) AS promo_rev,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_tq_bigorders(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q18 shape (large-volume orders): top-100 orders whose
     total line quantity exceeds a threshold, with customer detail.
@@ -9234,6 +9307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tq_shipping": q_tq_shipping,
         "tq_localvolume": q_tq_localvolume,
         "tq_returns": q_tq_returns,
+        "tq_promo": q_tq_promo,
         "tq_bigorders": q_tq_bigorders,
         "dd_exact": q_dd_exact,
         "dd_editdist": q_dd_editdist,
@@ -9532,6 +9606,7 @@ def oracle_sql() -> dict[str, str]:
         "tq_shipping": _TQ_SHIPPING_ORACLE,
         "tq_localvolume": _TQ_LOCALVOLUME_ORACLE,
         "tq_returns": _TQ_RETURNS_ORACLE,
+        "tq_promo": _TQ_PROMO_ORACLE,
         "tq_bigorders": _TQ_BIGORDERS_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,
         "dd_editdist": _DD_EDITDIST_ORACLE,
