@@ -6918,6 +6918,72 @@ SELECT node, round(rank * 1e6, 4) AS rank FROM r{iters} ORDER BY node"""
 _PAGERANK_ORACLE = _pagerank_oracle()
 
 
+def q_gr_hits(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs/authorities over the DIRECTED part->supplier purchase
+    graph (bipartite: parts are pure hubs, suppliers pure authorities —
+    the separation PageRank's single rank can't express). 10 power-
+    iteration rounds with L2 normalization per half-step; edge set
+    streamed per half-step with per-block (node, partial-sum)
+    combiners; numpy scatter-add fast path below the broadcast-size
+    threshold and a sharded Dataset-state path past max_nodes
+    (pipelines/graph.py::hits / hits_sharded). Oracle: the 10 rounds
+    unrolled as chained CTEs, scores in ppm at 4 decimals (same grid
+    as gr_pagerank)."""
+    from feature_fabrica_ray.pipelines import hits
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("l_partkey").cast(pa.int64()),
+            "dst": pc.add(t.column("l_suppkey").cast(pa.int64()),
+                          pa.scalar(1_000_000_000, pa.int64()))})
+
+    edges = ds.map_batches(to_edges, batch_format="pyarrow",
+                           batch_size=None)
+    out = hits(edges, "src", "dst", iters=10)
+    out["node"] = out["node"].astype("int64")
+    out["authority"] = _round_away(out["authority"] * 1e6, 4)
+    out["hub"] = _round_away(out["hub"] * 1e6, 4)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _hits_oracle(iters: int = 10) -> str:
+    """Unrolled HITS SQL (one authority + one hub CTE pair per round;
+    each normalization is a scalar subquery over the round's raw
+    sums — identical support to the numpy path since absent nodes
+    are exact zeros on both sides)."""
+    head = """
+WITH e AS MATERIALIZED (
+  SELECT l_partkey AS src, l_suppkey + 1000000000 AS dst FROM lineitem
+), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+             UNION SELECT DISTINCT dst FROM e),
+h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+ar{i} AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS s
+  FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst),
+a{i} AS MATERIALIZED (SELECT node,
+  s / (SELECT sqrt(sum(s * s)) FROM ar{i}) AS a FROM ar{i}),
+hr{i} AS MATERIALIZED (SELECT e.src AS node, sum(a.a) AS s
+  FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+h{i} AS MATERIALIZED (SELECT node,
+  s / (SELECT sqrt(sum(s * s)) FROM hr{i}) AS h FROM hr{i})""")
+    tail = f"""
+SELECT n.node,
+       round(COALESCE(a.a, 0) * 1e6, 4) AS authority,
+       round(COALESCE(h.h, 0) * 1e6, 4) AS hub
+FROM nodes n LEFT JOIN a{iters} a ON n.node = a.node
+             LEFT JOIN h{iters} h ON n.node = h.node
+ORDER BY n.node"""
+    return head + "".join(steps) + tail
+
+
+_HITS_ORACLE = _hits_oracle()
+
+
 def q_gr_degree(sf_dir: str) -> pd.DataFrame:
     """Degree profile of the same graph: in/out degree per node via
     per-block partial counts — one row per distinct node per block on
@@ -9451,6 +9517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_cusum": q_ev_cusum,
         "ev_rolling_median": q_ev_rolling_median,
         "gr_pagerank": q_gr_pagerank,
+        "gr_hits": q_gr_hits,
         "gr_triangles": q_gr_triangles,
         "gr_kcore": q_gr_kcore,
         "gr_bfs": q_gr_bfs,
@@ -9560,6 +9627,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_strings": _STRING_AGG_ORACLE,
         "ev_lag": _LAG_ORACLE,
         "gr_pagerank": _PAGERANK_ORACLE,
+        "gr_hits": _HITS_ORACLE,
         "sp_pack": _SP_PACK_ORACLE,
         "gr_kcore": _KCORE_ORACLE,
         "tp_curate": _TP_CURATE_ORACLE,

@@ -42,7 +42,7 @@ import pyarrow.compute as pc
 from ..tuning import shuffle_partitions
 
 __all__ = ["connected_components", "star_edges", "pagerank",
-           "pagerank_sharded", "degree_table",
+           "pagerank_sharded", "hits", "hits_sharded", "degree_table",
            "canonical_edges", "triangle_count", "edge_jaccard", "kcore",
            "cooccur_edges", "bfs_hops", "degree_assortativity", "modularity",
            "clustering_coefficients"]
@@ -380,6 +380,218 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
         rank = (1.0 - damping) / n + damping * (inflow + d_mass / n)
 
     return pd.DataFrame({"node": nodes, "rank": rank})
+
+
+def hits(edges, src_col: str = "src", dst_col: str = "dst", *,
+         iters: int = 10, max_nodes: int = 5_000_000):
+    """HITS hub/authority scores over a directed edge-list Dataset
+    (Kleinberg; parallel edges add weight — multigraph semantics).
+    Per iteration, from an all-ones hub start:
+
+        a(v) <- sum_{u->v} h(u),  then L2-normalize a over all nodes
+        h(u) <- sum_{u->v} a(v),  then L2-normalize h
+
+    so after ``iters`` rounds a/h are the power-iteration estimates of
+    the principal eigenvectors of AᵀA / AAᵀ. On a directed BIPARTITE
+    graph (e.g. part->supplier co-purchase) hubs and authorities
+    separate cleanly: pure sources score h>0, a=0 and sinks the
+    reverse — the structure PageRank's single rank cannot express.
+
+    Scale shape mirrors ``pagerank``: the 16 B/row edge projection is
+    materialized once; a small graph collects it and runs numpy
+    scatter-adds; a mid-size graph keeps the edges distributed and
+    broadcasts the node-sized score vector per half-step (per-block
+    (node, partial-sum) combiners — only distinct-node rows reach the
+    exchange); past ``max_nodes`` it dispatches to ``hits_sharded``
+    where the (node, a, h) state stays a Dataset end to end and the
+    driver only ever sees the two L2-norm scalars per iteration.
+    Returns a pandas DataFrame (node, authority, hub)."""
+    import os
+
+    import pandas as pd
+    import ray
+
+    proj = edges.map_batches(
+        lambda t, c=(src_col, dst_col): _drop_null_endpoints(
+            t.select(list(c)), c[0], c[1]),
+        batch_format="pyarrow", batch_size=None).materialize()
+    empty = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                          "authority": pd.Series([], dtype="float64"),
+                          "hub": pd.Series([], dtype="float64")})
+    if proj.count() == 0:
+        return empty
+
+    def finish(nodes, a, h):
+        return pd.DataFrame({"node": nodes, "authority": a, "hub": h})
+
+    thr = int(os.environ.get("FFR_LOCAL_GRAPH_BYTES", 64 << 20))
+    if (proj.size_bytes() or thr + 1) <= thr:
+        df = proj.to_pandas()
+        s = df[src_col].to_numpy(dtype=np.int64)
+        d = df[dst_col].to_numpy(dtype=np.int64)
+        nodes = np.unique(np.concatenate([s, d]))
+        n = len(nodes)
+        si = np.searchsorted(nodes, s)
+        di = np.searchsorted(nodes, d)
+        h = np.ones(n)
+        a = np.zeros(n)
+        for _ in range(iters):
+            a = np.bincount(di, weights=h[si], minlength=n)
+            a /= max(float(np.sqrt((a * a).sum())), 1e-300)
+            h = np.bincount(si, weights=a[di], minlength=n)
+            h /= max(float(np.sqrt((h * h).sum())), 1e-300)
+        return finish(nodes, a, h)
+
+    # node universe: one combiner pass (distinct endpoints per block)
+    def node_partial(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([
+            t.column(src_col).cast(pa.int64()).combine_chunks(),
+            t.column(dst_col).cast(pa.int64()).combine_chunks()])
+        return pa.table({"node": pc.unique(u)})
+
+    nparts = shuffle_partitions()
+    node_ds = (proj.map_batches(node_partial, batch_format="pyarrow",
+                                batch_size=None)
+               .groupby("node", num_partitions=nparts).count()
+               .materialize())
+    n = node_ds.count()
+    if n > max_nodes:
+        out = hits_sharded(proj, node_ds, src_col, dst_col,
+                           iters=iters, nparts=nparts) \
+            .select_columns(["node", "authority", "hub"]).to_pandas()
+        out["node"] = out["node"].astype("int64")
+        return out.sort_values("node").reset_index(drop=True)
+    nodes = np.sort(node_ds.select_columns(["node"]).to_pandas()
+                    ["node"].to_numpy(np.int64))
+
+    def half_step(score: np.ndarray, lookup_col: str, emit_col: str):
+        """One HITS half-step: broadcast the node-sized score, stream
+        the edges once emitting per-block (emit_col-node, partial-sum)
+        rows, fold on the driver's node array."""
+        ref = ray.put((nodes, score))
+
+        def contrib(t: pa.Table, ref=ref) -> pa.Table:
+            nd, sc = ray.get(ref)
+            src = t.column(lookup_col).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            c = sc[np.searchsorted(nd, src)]
+            g = pa.table({"node": t.column(emit_col).cast(pa.int64()),
+                          "c": pa.array(c, pa.float64())}) \
+                .group_by("node").aggregate([("c", "sum")])
+            return g.rename_columns(["node", "c"])
+
+        p = proj.map_batches(contrib, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+        agg = p.groupby("node", as_index=False)["c"].sum()
+        out = np.zeros(len(nodes))
+        out[np.searchsorted(nodes, agg["node"].to_numpy(np.int64))] = \
+            agg["c"].to_numpy(np.float64)
+        return out / max(float(np.sqrt((out * out).sum())), 1e-300)
+
+    h = np.ones(len(nodes))
+    a = np.zeros(len(nodes))
+    for _ in range(iters):
+        a = half_step(h, src_col, dst_col)
+        h = half_step(a, dst_col, src_col)
+    return finish(nodes, a, h)
+
+
+def hits_sharded(proj, node_ds, src_col: str, dst_col: str, *,
+                 iters: int, nparts: int):
+    """Distributed-state HITS past ``hits``'s ``max_nodes`` guard: the
+    (node, a, h) score table stays a Dataset end to end; the driver
+    only sees one L2-norm scalar per half-step. Each half-step is ONE
+    ``sized_join`` of the edge projection against the node-scale score
+    table (broadcast while small, hash exchange past it) with a
+    per-block (node, partial) combiner, then ONE keyed merge groupby
+    folding the new score into the state — the ``pagerank_sharded``
+    exchange pattern with the dangling-mass fold replaced by the norm
+    scalar. ``proj`` must be the materialized null-free projection and
+    ``node_ds`` the distinct-node table."""
+    from .join import sized_join
+
+    def init_state(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node").cast(pa.int64()),
+                         "authority": pa.array(
+                             np.zeros(t.num_rows, np.float64)),
+                         "hub": pa.array(
+                             np.ones(t.num_rows, np.float64))})
+
+    state = node_ds.map_batches(init_state, batch_format="pyarrow",
+                                batch_size=None).materialize()
+
+    def canon_sum(t: pa.Table) -> pa.Table:
+        # post-shuffle schema guard: empty hash partitions carry no
+        # schema; non-empty blocks arrive as (node, sum(s))
+        if t.num_rows == 0 or t.num_columns != 2:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        t = t.rename_columns(["node", "s"])
+        return pa.table({"node": t.column("node").cast(pa.int64()),
+                         "s": t.column("s").cast(pa.float64())})
+
+    def half_step(state, score_col: str, out_col: str,
+                  lookup_col: str, emit_col: str):
+        share = state.map_batches(
+            lambda t, c=score_col: pa.table(
+                {"jnode": t.column("node").cast(pa.int64()),
+                 "score": t.column(c).cast(pa.float64())}),
+            batch_format="pyarrow", batch_size=None).materialize()
+        joined = sized_join(proj, share, on=(lookup_col,),
+                            right_on=("jnode",),
+                            left_bytes=proj.size_bytes(),
+                            right_bytes=share.size_bytes())
+
+        def contrib_partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "score" not in t.column_names:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.float64())})
+            g = pa.table({"node": t.column(emit_col).cast(pa.int64()),
+                          "s": t.column("score").cast(pa.float64())}) \
+                .group_by("node").aggregate([("s", "sum")])
+            return g.rename_columns(["node", "s"])
+
+        raw = joined.map_batches(contrib_partial, batch_format="pyarrow",
+                                 batch_size=None)
+        zero = state.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node").cast(pa.int64()),
+                 "s": pa.array(np.zeros(t.num_rows, np.float64))}),
+            batch_format="pyarrow", batch_size=None)
+        summed = (zero.union(raw)
+                  .groupby("node", num_partitions=nparts).sum("s")
+                  .map_batches(canon_sum, batch_format="pyarrow",
+                               batch_size=None)
+                  .materialize())
+        sq = summed.map_batches(
+            lambda t: pa.table({"q": pc.multiply(t.column("s"),
+                                                 t.column("s"))}),
+            batch_format="pyarrow", batch_size=None).sum("q") or 0.0
+        z = max(float(np.sqrt(sq)), 1e-300)
+
+        norm = summed.map_batches(
+            lambda t, z=z: pa.table(
+                {"mnode": t.column("node").cast(pa.int64()),
+                 "ns": pc.divide(t.column("s"), pa.scalar(z))}),
+            batch_format="pyarrow", batch_size=None).materialize()
+        keep = "hub" if out_col == "authority" else "authority"
+        merged = sized_join(state.select_columns(["node", keep]), norm,
+                            on=("node",), right_on=("mnode",),
+                            left_bytes=state.size_bytes(),
+                            right_bytes=norm.size_bytes())
+        return merged.map_batches(
+            lambda t, k=keep, o=out_col: pa.table(
+                {"node": t.column("node").cast(pa.int64()),
+                 "authority": t.column("ns" if o == "authority"
+                                       else k).cast(pa.float64()),
+                 "hub": t.column("ns" if o == "hub"
+                                 else k).cast(pa.float64())}),
+            batch_format="pyarrow", batch_size=None).materialize()
+
+    for _ in range(iters):
+        state = half_step(state, "hub", "authority", src_col, dst_col)
+        state = half_step(state, "authority", "hub", dst_col, src_col)
+    return state
 
 
 def pagerank_sharded(proj, deg_ds, n: int, src_col: str, dst_col: str, *,

@@ -2534,6 +2534,66 @@ def test_pagerank_vs_power_iteration(ray_session):
     assert abs(sharded["rank"].sum() - 1.0) < 1e-9
 
 
+def test_hits_vs_dense_power_iteration(ray_session):
+    """HITS matches a dense AᵀA/AAᵀ power iteration with identical
+    normalization order (1e-12); on a bipartite star the hub and the
+    authority separate; local / streaming / sharded paths agree."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from feature_fabrica_ray.pipelines import hits
+
+    rng = np.random.default_rng(23)
+    n = 10
+    src = rng.integers(0, n, 50)
+    dst = rng.integers(0, n, 50)
+    keep = src != dst
+    edges = pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+    got = hits(_ds(edges, blocks=3), "src", "dst", iters=12)
+    nodes = np.sort(np.unique(np.concatenate([edges["src"],
+                                              edges["dst"]])))
+    m = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((m, m))
+    for s, d in edges.itertuples(index=False):
+        A[idx[s], idx[d]] += 1.0
+    h = np.ones(m)
+    for _ in range(12):
+        a = A.T @ h
+        a /= np.sqrt((a * a).sum())
+        h = A @ a
+        h /= np.sqrt((h * h).sum())
+    assert np.allclose(got["authority"].to_numpy(), a, atol=1e-12)
+    assert np.allclose(got["hub"].to_numpy(), h, atol=1e-12)
+
+    # bipartite star: 1..4 all point at 0 -> node 0 is the sole
+    # authority (a=1, h=0), the pointers are pure hubs (a=0)
+    star = pd.DataFrame({"src": [1, 2, 3, 4] * 2, "dst": [0] * 8})
+    sr = hits(_ds(star, blocks=2), "src", "dst", iters=5)
+    byn = sr.set_index("node")
+    assert abs(byn.loc[0, "authority"] - 1.0) < 1e-12
+    assert byn.loc[0, "hub"] == 0.0
+    assert all(byn.loc[i, "authority"] == 0.0 for i in range(1, 5))
+    assert all(byn.loc[i, "hub"] > 0.4 for i in range(1, 5))
+
+    # streaming combiner path == local path
+    os.environ["FFR_LOCAL_GRAPH_BYTES"] = "1"
+    try:
+        dist = hits(_ds(edges, blocks=3), "src", "dst", iters=12)
+        sharded = hits(_ds(edges, blocks=3), "src", "dst", iters=12,
+                       max_nodes=1)
+    finally:
+        del os.environ["FFR_LOCAL_GRAPH_BYTES"]
+    for other in (dist, sharded):
+        assert (other["node"].to_numpy() == got["node"].to_numpy()).all()
+        assert np.allclose(other["authority"].to_numpy(),
+                           got["authority"].to_numpy(), atol=1e-12)
+        assert np.allclose(other["hub"].to_numpy(),
+                           got["hub"].to_numpy(), atol=1e-12)
+
+
 def test_histogram2d_fixed(ray_session):
     """2-D fixed-grid histogram matches np.histogram2d-style hand
     counts: clamping at both grid edges, NULL rows dropped, empty
