@@ -6917,6 +6917,65 @@ SELECT node, round(rank * 1e6, 4) AS rank FROM r{iters} ORDER BY node"""
 
 _PAGERANK_ORACLE = _pagerank_oracle()
 
+_PPR_SEEDS = (1, 2, 3, 4, 5)  # part-key seed nodes (present at every sf)
+
+
+def q_gr_ppr(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank (random walk with restart) over the
+    part<->supplier co-purchase multigraph: relevance of every node to
+    a 5-part seed set — the seed-expansion primitive behind
+    'more-like-this' corpus curation. Same streaming-combiner /
+    sharded-state scale shape as gr_pagerank; the restart vector is
+    uniform over the seeds instead of 1/N
+    (pipelines/graph.py::personalized_pagerank). Oracle: the 15-step
+    power iteration unrolled as chained CTEs with a CASE restart
+    term, ppm at 4 decimals (the gr_pagerank grid)."""
+    from feature_fabrica_ray.pipelines import personalized_pagerank
+
+    out = personalized_pagerank(_lineitem_graph(sf_dir), _PPR_SEEDS,
+                                "src", "dst", damping=0.85, iters=15)
+    out["node"] = out["node"].astype("int64")
+    out["rank"] = _round_away(out["rank"] * 1e6, 4)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _ppr_oracle(iters: int = 15, d: float = 0.85) -> str:
+    """gr_ppr unrolled power iteration: identical plan to
+    _pagerank_oracle except the restart term is (1-d)*p with
+    p = 1/k over the seed set (k counted over seeds present in the
+    graph; the symmetric co-purchase graph has no dangling nodes, so
+    the dangling-mass term vanishes on both sides)."""
+    seeds = ", ".join(f"({s})" for s in _PPR_SEEDS)
+    head = f"""
+WITH e AS (
+  SELECT l_partkey AS src, l_suppkey + 1000000000 AS dst FROM lineitem
+  UNION ALL
+  SELECT l_suppkey + 1000000000 AS src, l_partkey AS dst FROM lineitem
+), deg AS (SELECT src AS node, count(*)::DOUBLE AS dg FROM e GROUP BY src),
+sd AS (SELECT s FROM (VALUES {seeds}) AS t(s)
+       WHERE s IN (SELECT node FROM deg)),
+sk AS (SELECT count(*)::DOUBLE AS k FROM sd),
+r0 AS (SELECT node,
+              CASE WHEN node IN (SELECT s FROM sd)
+                   THEN 1.0 / (SELECT k FROM sk) ELSE 0.0 END AS rank
+       FROM deg)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+r{i} AS (SELECT e.dst AS node,
+       (1.0 - {d}) * (CASE WHEN e.dst IN (SELECT s FROM sd)
+                           THEN 1.0 / (SELECT k FROM sk) ELSE 0.0 END)
+       + {d} * sum(r.rank / deg.dg) AS rank
+  FROM e JOIN r{i - 1} r ON e.src = r.node
+         JOIN deg ON deg.node = e.src
+  GROUP BY e.dst)""")
+    tail = f"""
+SELECT node, round(rank * 1e6, 4) AS rank FROM r{iters} ORDER BY node"""
+    return head + "".join(steps) + tail
+
+
+_PPR_ORACLE = _ppr_oracle()
+
 
 def q_gr_hits(sf_dir: str) -> pd.DataFrame:
     """HITS hubs/authorities over the DIRECTED part->supplier purchase
@@ -9517,6 +9576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_cusum": q_ev_cusum,
         "ev_rolling_median": q_ev_rolling_median,
         "gr_pagerank": q_gr_pagerank,
+        "gr_ppr": q_gr_ppr,
         "gr_hits": q_gr_hits,
         "gr_triangles": q_gr_triangles,
         "gr_kcore": q_gr_kcore,
@@ -9627,6 +9687,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_strings": _STRING_AGG_ORACLE,
         "ev_lag": _LAG_ORACLE,
         "gr_pagerank": _PAGERANK_ORACLE,
+        "gr_ppr": _PPR_ORACLE,
         "gr_hits": _HITS_ORACLE,
         "sp_pack": _SP_PACK_ORACLE,
         "gr_kcore": _KCORE_ORACLE,

@@ -42,6 +42,7 @@ import pyarrow.compute as pc
 from ..tuning import shuffle_partitions
 
 __all__ = ["connected_components", "star_edges", "pagerank",
+           "personalized_pagerank",
            "pagerank_sharded", "hits", "hits_sharded", "degree_table",
            "canonical_edges", "triangle_count", "edge_jaccard", "kcore",
            "cooccur_edges", "bfs_hops", "degree_assortativity", "modularity",
@@ -246,13 +247,27 @@ def _canon_keyed(key_name: str, val_name: str):
 
 def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
              damping: float = 0.85, iters: int = 20,
-             max_nodes: int = 5_000_000):
+             max_nodes: int = 5_000_000, seeds=None):
     """PageRank over an edge-list Dataset (each row = one unit-weight
     directed edge; parallel edges add weight, standard multigraph
     semantics). Dangling-node mass is redistributed uniformly, so
     ranks sum to 1 every iteration — the Brin/Page formulation:
 
         r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + dangling/N)
+
+    With ``seeds`` (an iterable of node ids) the uniform restart
+    vector 1/N is replaced by the PERSONALIZED restart p — uniform
+    over the seed nodes present in the graph, zero elsewhere — and
+    the dangling mass is likewise redistributed to p (the standard
+    personalized-PageRank / random-walk-with-restart formulation):
+
+        r'(v) = (1-d)*p(v) + d * (sum_{u->v} r(u)/outdeg(u)
+                                  + dangling * p(v))
+
+    Seed ids absent from the graph are ignored; an empty effective
+    seed set raises. The seed set is assumed driver-small (that is
+    the point of a personalized restart); it is ``ray.put`` once and
+    membership-tested vectorized inside the sharded path.
 
     Scale shape: the edge set is never collected — each iteration is
     one streaming ``map_batches`` pass that emits per-block PARTIAL
@@ -267,6 +282,25 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
     summing to 1.0."""
     import pandas as pd
     import ray
+
+    seed_arr = None
+    if seeds is not None:
+        seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+
+    def restart_vec(nodes: np.ndarray) -> np.ndarray:
+        """p over the sorted node array: uniform (seeds=None) or
+        uniform over the seed∩graph intersection."""
+        if seed_arr is None:
+            return np.full(len(nodes), 1.0 / len(nodes))
+        pos = np.searchsorted(nodes, seed_arr)
+        pos = pos[(pos < len(nodes)) & (nodes[np.minimum(
+            pos, len(nodes) - 1)] == seed_arr)]
+        if pos.size == 0:
+            raise ValueError("personalized pagerank: no seed id is "
+                             "present in the graph")
+        p = np.zeros(len(nodes))
+        p[pos] = 1.0 / pos.size
+        return p
 
     # Materialize the 16 B/row edge projection ONCE: every iteration
     # streams over it, and a lazy `proj` would re-execute the whole
@@ -306,12 +340,13 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
         outdeg = np.bincount(si, minlength=n).astype(np.int64)
         dangling = outdeg == 0
         safe_deg = np.where(dangling, 1, outdeg).astype(np.float64)
-        rank = np.full(n, 1.0 / n)
+        p = restart_vec(nodes)
+        rank = p.copy()
         for _ in range(iters):
             share = np.where(dangling, 0.0, rank / safe_deg)
             inflow = np.bincount(di, weights=share[si], minlength=n)
             d_mass = float(rank[dangling].sum())
-            rank = (1.0 - damping) / n + damping * (inflow + d_mass / n)
+            rank = (1.0 - damping) * p + damping * (inflow + d_mass * p)
         return pd.DataFrame({"node": nodes, "rank": rank})
 
     # node ids + outdegree: two small combiner group-bys
@@ -343,7 +378,7 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
         # sharded rank-exchange path (state stays a Dataset end to end)
         out = pagerank_sharded(proj, deg_ds, n, src_col, dst_col,
                                damping=damping, iters=iters,
-                               nparts=nparts) \
+                               nparts=nparts, seed_arr=seed_arr) \
             .select_columns(["node", "rank"]).to_pandas()
         out["node"] = out["node"].astype("int64")
         out["rank"] = out["rank"].astype("float64")
@@ -352,7 +387,8 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
     nodes = deg["node"].to_numpy(dtype=np.int64)
     order = np.argsort(nodes)
     nodes, outdeg = nodes[order], deg["outdeg"].to_numpy(np.int64)[order]
-    rank = np.full(n, 1.0 / n)
+    pvec = restart_vec(nodes)
+    rank = pvec.copy()
     dangling = outdeg == 0
     safe_deg = np.where(dangling, 1, outdeg).astype(np.float64)
 
@@ -377,9 +413,23 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
         inflow[np.searchsorted(nodes, agg["dst"].to_numpy(np.int64))] = \
             agg["c"].to_numpy(np.float64)
         d_mass = float(rank[dangling].sum())
-        rank = (1.0 - damping) / n + damping * (inflow + d_mass / n)
+        rank = (1.0 - damping) * pvec + \
+            damping * (inflow + d_mass * pvec)
 
     return pd.DataFrame({"node": nodes, "rank": rank})
+
+
+def personalized_pagerank(edges, seeds, src_col: str = "src",
+                          dst_col: str = "dst", *, damping: float = 0.85,
+                          iters: int = 20, max_nodes: int = 5_000_000):
+    """Random walk with restart to a seed set — relevance of every
+    node to the seeds (seed-expansion for curation: 'documents/repos
+    related to this known-good set'). Thin wrapper over ``pagerank``
+    with the personalized restart vector; see there for the scale
+    shape (streaming combiner per iteration, sharded state past
+    ``max_nodes``)."""
+    return pagerank(edges, src_col, dst_col, damping=damping,
+                    iters=iters, max_nodes=max_nodes, seeds=seeds)
 
 
 def hits(edges, src_col: str = "src", dst_col: str = "dst", *,
@@ -595,7 +645,8 @@ def hits_sharded(proj, node_ds, src_col: str, dst_col: str, *,
 
 
 def pagerank_sharded(proj, deg_ds, n: int, src_col: str, dst_col: str, *,
-                     damping: float, iters: int, nparts: int):
+                     damping: float, iters: int, nparts: int,
+                     seed_arr=None):
     """Distributed-state PageRank for graphs whose per-node rank table
     exceeds the driver budget (``pagerank``'s ``max_nodes`` dispatch):
     the (node, outdeg, rank) state lives in a Dataset end to end — the
@@ -614,11 +665,44 @@ def pagerank_sharded(proj, deg_ds, n: int, src_col: str, dst_col: str, *,
     """
     from .join import sized_join
 
+    import ray
+
     inv_n = 1.0 / n
 
+    # Personalized restart (seed_arr is driver-small by contract —
+    # see pagerank): broadcast the sorted id array once and compute
+    # p(node) vectorized per block; k = seeds actually in the graph,
+    # counted with one tiny combiner pass so absent ids are ignored
+    # exactly like the driver-held path.
+    seeds_ref = None
+    inv_k = 0.0
+    if seed_arr is not None:
+        seeds_ref = ray.put(seed_arr)
+
+        def seed_hits(t: pa.Table) -> pa.Table:
+            sa = ray.get(seeds_ref)
+            node = t.column("node").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({"hits": pa.array(
+                [int(np.isin(node, sa).sum())], pa.int64())})
+
+        k = deg_ds.map_batches(seed_hits, batch_format="pyarrow",
+                               batch_size=None).sum("hits") or 0
+        if k == 0:
+            raise ValueError("personalized pagerank: no seed id is "
+                             "present in the graph")
+        inv_k = 1.0 / k
+
+    def p_of(node: np.ndarray) -> np.ndarray:
+        if seeds_ref is None:
+            return np.full(len(node), inv_n)
+        sa = ray.get(seeds_ref)
+        return np.where(np.isin(node, sa), inv_k, 0.0)
+
     def init_rank(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "rank", pa.array(np.full(t.num_rows, inv_n, np.float64)))
+        node = t.column("node").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return t.append_column("rank", pa.array(p_of(node), pa.float64()))
 
     state = deg_ds.map_batches(init_rank, batch_format="pyarrow",
                                batch_size=None).materialize()
@@ -671,8 +755,10 @@ def pagerank_sharded(proj, deg_ds, n: int, src_col: str, dst_col: str, *,
                                  "rank": pa.array([], pa.float64())})
             t = t.rename_columns(["node", "outdeg", "inflow"])
             inflow = t.column("inflow").to_numpy(zero_copy_only=False)
-            rank = (1.0 - damping) * inv_n + \
-                damping * (inflow + dm * inv_n)
+            node_np = t.column("node").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            p = p_of(node_np)
+            rank = (1.0 - damping) * p + damping * (inflow + dm * p)
             return pa.table({"node": t.column("node").cast(pa.int64()),
                              "outdeg": t.column("outdeg").cast(pa.int64()),
                              "rank": pa.array(rank, pa.float64())})

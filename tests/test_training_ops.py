@@ -2534,6 +2534,69 @@ def test_pagerank_vs_power_iteration(ray_session):
     assert abs(sharded["rank"].sum() - 1.0) < 1e-9
 
 
+def test_personalized_pagerank(ray_session):
+    """Personalized PageRank matches an exact dense random-walk-with-
+    restart (1e-12) on all three paths (local / streaming / sharded),
+    ranks sum to 1, mass concentrates near the seeds, absent seed ids
+    are ignored, and an all-absent seed set raises."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from feature_fabrica_ray.pipelines import personalized_pagerank
+
+    rng = np.random.default_rng(7)
+    n = 14
+    src = rng.integers(0, n, 80)
+    dst = rng.integers(0, n, 80)
+    keep = src != dst
+    edges = pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+    edges = edges[edges["src"] != 5].reset_index(drop=True)  # 5 dangling
+    seeds = [0, 3, 999]  # 999 absent: ignored
+
+    got = personalized_pagerank(_ds(edges, blocks=3), seeds,
+                                "src", "dst", damping=0.85, iters=30)
+
+    nodes = np.sort(np.unique(np.concatenate([edges["src"], edges["dst"]])))
+    m = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((m, m))
+    for s, d in edges.itertuples(index=False):
+        A[idx[s], idx[d]] += 1.0
+    outdeg = A.sum(axis=1)
+    p = np.zeros(m)
+    present = [s for s in seeds if s in idx]
+    for s in present:
+        p[idx[s]] = 1.0 / len(present)
+    r = p.copy()
+    for _ in range(30):
+        share = np.divide(r, outdeg, out=np.zeros(m), where=outdeg > 0)
+        inflow = share @ A
+        r = (1 - 0.85) * p + 0.85 * (inflow + r[outdeg == 0].sum() * p)
+    assert np.allclose(got["rank"].to_numpy(), r, atol=1e-12)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+    ranks = dict(zip(got["node"], got["rank"]))
+    assert ranks[0] > 1.0 / m  # seed holds more than uniform mass
+
+    # streaming and sharded paths are the same algorithm
+    os.environ["FFR_LOCAL_GRAPH_BYTES"] = "1"
+    try:
+        dist = personalized_pagerank(_ds(edges, blocks=3), seeds,
+                                     "src", "dst", damping=0.85, iters=30)
+        sharded = personalized_pagerank(_ds(edges, blocks=3), seeds,
+                                        "src", "dst", damping=0.85,
+                                        iters=30, max_nodes=1)
+    finally:
+        del os.environ["FFR_LOCAL_GRAPH_BYTES"]
+    assert np.allclose(dist["rank"].to_numpy(), r, atol=1e-12)
+    assert np.allclose(sharded["rank"].to_numpy(), r, atol=1e-12)
+    assert (sharded["node"].to_numpy() == got["node"].to_numpy()).all()
+
+    with pytest.raises(ValueError, match="no seed id"):
+        personalized_pagerank(_ds(edges, blocks=2), [777], "src", "dst")
+
+
 def test_hits_vs_dense_power_iteration(ray_session):
     """HITS matches a dense AᵀA/AAᵀ power iteration with identical
     normalization order (1e-12); on a bipartite star the hub and the
