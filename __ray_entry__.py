@@ -5673,6 +5673,36 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_pr_spearman(sf_dir: str) -> pd.DataFrame:
+    """Exact Spearman rank correlation of (l_quantity, l_discount) —
+    monotone-association profiling where Pearson's linearity breaks;
+    average-rank tie handling. Two value-histogram combiner fits
+    (distinct-value scale, no sort) + broadcast rank tables + one
+    six-moment streaming partial per block
+    (pipelines/quantiles.py::spearman_corr)."""
+    from feature_fabrica_ray.pipelines import spearman_corr
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_discount"])
+    out = spearman_corr(ds, "l_quantity", "l_discount")
+    out["spearman_rho"] = _round_away(out["spearman_rho"], 6)
+    return out
+
+
+_SPEARMAN_ORACLE = """
+WITH base AS (
+  SELECT l_quantity AS x, l_discount AS y FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+rk AS (
+  SELECT rank() OVER (ORDER BY x)
+           + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+         rank() OVER (ORDER BY y)
+           + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+  FROM base)
+SELECT count(*) AS n, round(corr(rx, ry), 6) AS spearman_rho FROM rk
+"""
+
+
 def q_pr_chi2(sf_dir: str) -> pd.DataFrame:
     """Chi-square independence profiling of (lang, source): contingency
     built by the distinct-pair combiner (one keyed shuffle of per-block
@@ -9532,6 +9562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rs_unpivot": q_rs_unpivot,
         "pr_histogram": q_pr_histogram,
         "pr_correlation": q_pr_correlation,
+        "pr_spearman": q_pr_spearman,
         "pr_regression": q_pr_regression,
         "agg_wavg": q_agg_wavg,
         "pr_chi2": q_pr_chi2,
@@ -9790,6 +9821,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_sessions": _EV_SESSIONS_ORACLE,
         "ev_json": _EV_JSON_ORACLE,
         "pr_correlation": _CORRELATION_ORACLE,
+        "pr_spearman": _SPEARMAN_ORACLE,
         "pr_regression": _REGRESSION_ORACLE,
         "agg_wavg": _WAVG_ORACLE,
         "pr_chi2": _CHI2_ORACLE,

@@ -22,7 +22,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["group_quantiles", "rank_normalize", "equidepth_buckets",
-           "group_mad", "group_trimmed_mean", "lorenz_deciles"]
+           "group_mad", "group_trimmed_mean", "lorenz_deciles",
+           "spearman_corr"]
 
 
 def _weighted_quantile(values: np.ndarray, counts: np.ndarray,
@@ -204,6 +205,93 @@ def equidepth_buckets(ds, col: str, k: int = 8,
         return batch.append_column(out_col, arr)
 
     return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+
+
+def spearman_corr(ds, x_col: str, y_col: str,
+                  max_distinct_broadcast: int = 5_000_000) -> pd.DataFrame:
+    """Exact Spearman rank correlation between two columns — Pearson
+    over the AVERAGE ranks (standard tie handling), the monotone-
+    association profiler that Pearson's linearity assumption breaks
+    on. Rows where either side is null are excluded (pairwise-complete
+    ranks, matching SQL rank windows over the filtered pairs).
+
+    Scale shape: two value-histogram combiner fits over the null-free
+    pair set (rows = DISTINCT values per column, independent of table
+    size), average-rank tables broadcast once via ``ray.put``, then
+    one streaming six-moment partial per block folds to the driver —
+    no sort, no raw-row shuffle. The broadcast bound is the value
+    domain: bounded-domain metrics (lengths, counts, scores, grades)
+    fit by construction; genuinely continuous columns past
+    ``max_distinct_broadcast`` raise — rank them with the t-digest
+    sketch path instead. Returns one row (n, spearman_rho),
+    rho unrounded."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..tuning import shuffle_partitions
+
+    def pairs_only(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).cast(pa.float64())
+        y = batch.column(y_col).cast(pa.float64())
+        t = pa.table({"x": x, "y": y})
+        return t.filter(pc.and_(pc.is_valid(x), pc.is_valid(y)))
+
+    pairs = ds.map_batches(pairs_only, batch_format="pyarrow",
+                           batch_size=None).materialize()
+
+    def avg_rank_fit(col: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.group_by([col]).aggregate([([], "count_all")])
+            return pa.table({"v": g.column(col),
+                             "cnt": g.column("count_all").cast(pa.int64())})
+
+        merged = (pairs.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=None)
+                  .groupby("v", num_partitions=shuffle_partitions())
+                  .sum("cnt").to_pandas())
+        if len(merged) > max_distinct_broadcast:
+            raise ValueError(
+                f"{len(merged)} distinct {col} values — too many to "
+                f"broadcast; rank continuous domains via the t-digest "
+                f"sketch path")
+        if merged.empty:
+            return np.zeros(0), np.zeros(0)
+        merged = merged.sort_values("v")
+        vals = merged["v"].to_numpy(np.float64)
+        cnts = merged["sum(cnt)"].to_numpy(np.float64)
+        below = np.concatenate([[0.0], np.cumsum(cnts)[:-1]])
+        return vals, below + (cnts + 1.0) / 2.0
+
+    xv, xr = avg_rank_fit("x")
+    yv, yr = avg_rank_fit("y")
+    if xv.size == 0 or yv.size == 0:
+        return pd.DataFrame({"n": np.array([0], np.int64),
+                             "spearman_rho": [np.nan]})
+    ref = ray.put((xv, xr, yv, yr))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        xv, xr, yv, yr = ray.get(ref)
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        rx = xr[np.searchsorted(xv, x)]
+        ry = yr[np.searchsorted(yv, y)]
+        return pa.table({
+            "n": pa.array([len(rx)], pa.int64()),
+            "sx": pa.array([float(rx.sum())]),
+            "sy": pa.array([float(ry.sum())]),
+            "sxx": pa.array([float((rx * rx).sum())]),
+            "syy": pa.array([float((ry * ry).sum())]),
+            "sxy": pa.array([float((rx * ry).sum())])})
+
+    m = pairs.map_batches(moments, batch_format="pyarrow",
+                          batch_size=None).to_pandas().sum()
+    n = int(m["n"])
+    cov = m["sxy"] - m["sx"] * m["sy"] / n
+    vx = m["sxx"] - m["sx"] ** 2 / n
+    vy = m["syy"] - m["sy"] ** 2 / n
+    rho = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else np.nan
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "spearman_rho": [float(rho)]})
 
 
 def _group_value_hist(ds, group_col: str, value_col: str) -> pd.DataFrame:

@@ -1610,6 +1610,44 @@ def test_schema_diff_and_compact(ray_session, tmp_path):
     assert sorted(t.column("v").to_pylist()) == list(range(1000))
 
 
+def test_spearman_corr(ray_session):
+    """spearman_corr matches pandas' Spearman (average-rank ties) to
+    1e-12, is exactly 1 on a monotone pair, excludes null-bearing
+    pairs, is layout-invariant, and raises past the distinct bound."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from feature_fabrica_ray.pipelines import spearman_corr
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 12, 400).astype(float)
+    y = x * 2 + rng.integers(0, 8, 400)          # ties + monotone trend
+    x[5], y[11] = np.nan, np.nan
+    df = pd.DataFrame({"x": x, "y": y})
+
+    got = spearman_corr(_ds(df, blocks=4), "x", "y")
+    ok = df.dropna()
+    # Spearman = Pearson over average ranks (scipy-free reference)
+    exp = ok["x"].rank(method="average").corr(ok["y"].rank(method="average"))
+    assert got["n"].iloc[0] == len(ok)
+    assert got["spearman_rho"].iloc[0] == pytest.approx(exp, abs=1e-12)
+
+    one = spearman_corr(_ds(df, blocks=1), "x", "y")
+    pd.testing.assert_frame_equal(one, got)
+
+    mono = pd.DataFrame({"x": np.arange(50, dtype=float),
+                         "y": np.exp(np.arange(50) / 10.0)})
+    r = spearman_corr(_ds(mono, blocks=3), "x", "y")
+    assert r["spearman_rho"].iloc[0] == pytest.approx(1.0, abs=1e-12)
+
+    empty = spearman_corr(_ds(pd.DataFrame({"x": [np.nan], "y": [1.0]})),
+                          "x", "y")
+    assert empty["n"].iloc[0] == 0 and pd.isna(empty["spearman_rho"].iloc[0])
+
+    with pytest.raises(ValueError, match="distinct"):
+        spearman_corr(_ds(mono), "x", "y", max_distinct_broadcast=10)
+
+
 def test_rank_normalize_properties(ray_session):
     """Randomized: rank_norm equals pandas rank(method='max')/n on any
     input (ties included), is monotone in the value, and lands in
