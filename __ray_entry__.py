@@ -3327,6 +3327,171 @@ LIMIT 100
 """
 
 
+def q_tq_topsupplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape (top supplier): supplier(s) achieving the
+    maximum quarterly revenue, ties kept.
+
+    Plan: date+column-pruned lineitem scan -> per-block (suppkey,
+    revenue) partials -> ONE supplier-sized keyed groupby (the only
+    exchange) -> the global max is a driver SCALAR -> equality filter
+    yields the k winner ids -> winner rows fetch their dimension via
+    an ids-only pruned supplier read (supplier never collected).
+    Revenue is rounded to 3 decimals on BOTH sides before the
+    max-equality so cross-engine float summation-order noise (~1e-9)
+    cannot flip the winner set."""
+    import pyarrow.dataset as pds
+
+    from feature_fabrica_ray.tuning import shuffle_partitions
+
+    lo = _dt.datetime(1998, 1, 1)
+    hi = _dt.datetime(1998, 4, 1)
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pds.field("l_shipdate") >= lo)
+        & (pds.field("l_shipdate") < hi))
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      b.column("l_discount")))
+        return pa.table({"s_suppkey": b.column("l_suppkey")
+                         .cast(pa.int64()),
+                         "total_revenue": rev}) \
+            .group_by("s_suppkey").aggregate([("total_revenue", "sum")]) \
+            .rename_columns(["s_suppkey", "total_revenue"])
+
+    def roundrev(b: pa.Table) -> pa.Table:
+        # post-shuffle canon: empty hash partitions carry no schema,
+        # and the keyed sum renames the value column
+        if b.num_rows == 0 or "sum(total_revenue)" not in b.column_names:
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "total_revenue": pa.array([], pa.float64())})
+        r = pc.round(b.column("sum(total_revenue)").cast(pa.float64()),
+                     ndigits=3, round_mode="half_towards_infinity")
+        return pa.table({"s_suppkey": b.column("s_suppkey")
+                         .cast(pa.int64()), "total_revenue": r})
+
+    revenue = (li.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+               .groupby("s_suppkey",
+                        num_partitions=shuffle_partitions())
+               .sum("total_revenue")
+               .map_batches(roundrev, batch_format="pyarrow",
+                            batch_size=None)
+               .materialize())
+    best = revenue.max("total_revenue")
+    winners = revenue.filter(
+        expr=f"total_revenue == {best!r}").to_pandas()
+    ids = [int(k) for k in winners["s_suppkey"]]
+    dim = read_parquet_clean(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filter=pds.field("s_suppkey").isin(ids)).to_pandas()
+    out = dim.merge(winners, on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out[["s_suppkey", "s_name", "total_revenue"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+
+
+def q_tq_custdist(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape (customer distribution): histogram of
+    orders-per-customer INCLUDING zero-order customers — the
+    outer-join + double-groupby pattern, without ever building the
+    outer join.
+
+    Plan: o_custkey-pruned orders scan -> per-block (custkey, count)
+    partials -> ONE customer-sized keyed groupby -> left-SEMI
+    sized_join against the key-pruned customer scan (referential
+    guard: orphan orders don't count) -> per-block (c_count,
+    custdist) histogram partials fold to a distinct-count-sized table
+    on the driver; the zero bin is pure arithmetic
+    (n_customers - n_matched), so the outer join never materializes."""
+    from feature_fabrica_ray.pipelines import sized_join
+    from feature_fabrica_ray.tuning import shuffle_partitions
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.table({"c_custkey": g.column("o_custkey")
+                         .cast(pa.int64()),
+                         "c_count": g.column("count_all")
+                         .cast(pa.int64())})
+
+    def canon(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(c_count)" not in b.column_names:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "c_count": pa.array([], pa.int64())})
+        return pa.table({"c_custkey": b.column("c_custkey")
+                         .cast(pa.int64()),
+                         "c_count": b.column("sum(c_count)")
+                         .cast(pa.int64())})
+
+    counts = (orders.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None)
+              .groupby("c_custkey", num_partitions=shuffle_partitions())
+              .sum("c_count")
+              .map_batches(canon, batch_format="pyarrow",
+                           batch_size=None)
+              .materialize())
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"]).materialize()
+    n_cust = cust.count()
+    matched = sized_join(counts, cust, on=("c_custkey",), how="semi",
+                         left_bytes=counts.size_bytes(),
+                         right_bytes=cust.size_bytes())
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "c_count" not in b.column_names:
+            return pa.table({"c_count": pa.array([], pa.int64()),
+                             "custdist": pa.array([], pa.int64())})
+        g = b.group_by("c_count").aggregate([([], "count_all")])
+        return pa.table({"c_count": g.column("c_count").cast(pa.int64()),
+                         "custdist": g.column("count_all")
+                         .cast(pa.int64())})
+
+    hist = matched.map_batches(hist_partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    out = hist.groupby("c_count", as_index=False)["custdist"].sum()
+    zero = n_cust - int(out["custdist"].sum())
+    if zero > 0:
+        out = pd.concat([out, pd.DataFrame({"c_count": [0],
+                                            "custdist": [zero]})],
+                        ignore_index=True)
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    return out.sort_values(["custdist", "c_count"],
+                           ascending=[False, False]).reset_index(drop=True)
+
+
+_TQ_CUSTDIST_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+_TQ_TOPSUPPLIER_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS s_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 3)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1998-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
 def q_jn_cross(sf_dir: str):
     """CROSS JOIN with a broadcast dimension side: every region row
     paired with every nation row map-side, no shuffle
@@ -9464,6 +9629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tq_returns": q_tq_returns,
         "tq_promo": q_tq_promo,
         "tq_bigorders": q_tq_bigorders,
+        "tq_topsupplier": q_tq_topsupplier,
+        "tq_custdist": q_tq_custdist,
         "dd_exact": q_dd_exact,
         "dd_editdist": q_dd_editdist,
         "dd_damerau": q_dd_damerau,
@@ -9768,6 +9935,8 @@ def oracle_sql() -> dict[str, str]:
         "tq_returns": _TQ_RETURNS_ORACLE,
         "tq_promo": _TQ_PROMO_ORACLE,
         "tq_bigorders": _TQ_BIGORDERS_ORACLE,
+        "tq_topsupplier": _TQ_TOPSUPPLIER_ORACLE,
+        "tq_custdist": _TQ_CUSTDIST_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,
         "dd_editdist": _DD_EDITDIST_ORACLE,
         "dd_damerau": _DD_DAMERAU_ORACLE,
