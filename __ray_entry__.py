@@ -5868,6 +5868,47 @@ SELECT count(*) AS n, round(corr(rx, ry), 6) AS spearman_rho FROM rk
 """
 
 
+def q_pr_kendall(sf_dir: str) -> pd.DataFrame:
+    """Exact Kendall tau-b of (l_quantity, l_discount) — the
+    pair-counting rank statistic computed in closed form over the
+    JOINT value histogram (one distinct-pair combiner shuffle, driver
+    suffix-cumsum over the 50 x 11 matrix — never O(n²) pairs)
+    (pipelines/quantiles.py::kendall_tau)."""
+    from feature_fabrica_ray.pipelines import kendall_tau
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_discount"])
+    out = kendall_tau(ds, "l_quantity", "l_discount")
+    out["kendall_tau"] = _round_away(out["kendall_tau"], 6)
+    return out
+
+
+_KENDALL_ORACLE = """
+WITH base AS (
+  SELECT l_quantity AS x, l_discount AS y FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+cells AS (SELECT x, y, count(*)::DOUBLE AS c FROM base GROUP BY 1, 2),
+tot AS (SELECT sum(c) AS n FROM cells),
+cd AS (SELECT
+  sum(CASE WHEN a.x < b.x AND a.y < b.y THEN a.c * b.c ELSE 0 END)
+    AS conc,
+  sum(CASE WHEN a.x < b.x AND a.y > b.y THEN a.c * b.c ELSE 0 END)
+    AS disc
+  FROM cells a, cells b),
+tx AS (SELECT sum(cx * (cx - 1) / 2.0) AS t
+       FROM (SELECT sum(c) AS cx FROM cells GROUP BY x)),
+ty AS (SELECT sum(cy * (cy - 1) / 2.0) AS t
+       FROM (SELECT sum(c) AS cy FROM cells GROUP BY y))
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+       round((conc - disc)
+             / sqrt(((SELECT n FROM tot) * ((SELECT n FROM tot) - 1)
+                      / 2.0 - (SELECT t FROM tx))
+                    * ((SELECT n FROM tot) * ((SELECT n FROM tot) - 1)
+                       / 2.0 - (SELECT t FROM ty))), 6) AS kendall_tau
+FROM cd
+"""
+
+
 def q_pr_chi2(sf_dir: str) -> pd.DataFrame:
     """Chi-square independence profiling of (lang, source): contingency
     built by the distinct-pair combiner (one keyed shuffle of per-block
@@ -9730,6 +9771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_histogram": q_pr_histogram,
         "pr_correlation": q_pr_correlation,
         "pr_spearman": q_pr_spearman,
+        "pr_kendall": q_pr_kendall,
         "pr_regression": q_pr_regression,
         "agg_wavg": q_agg_wavg,
         "pr_chi2": q_pr_chi2,
@@ -9991,6 +10033,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_json": _EV_JSON_ORACLE,
         "pr_correlation": _CORRELATION_ORACLE,
         "pr_spearman": _SPEARMAN_ORACLE,
+        "pr_kendall": _KENDALL_ORACLE,
         "pr_regression": _REGRESSION_ORACLE,
         "agg_wavg": _WAVG_ORACLE,
         "pr_chi2": _CHI2_ORACLE,

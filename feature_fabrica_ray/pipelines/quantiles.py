@@ -23,7 +23,7 @@ import pyarrow as pa
 
 __all__ = ["group_quantiles", "rank_normalize", "equidepth_buckets",
            "group_mad", "group_trimmed_mean", "lorenz_deciles",
-           "spearman_corr"]
+           "spearman_corr", "kendall_tau"]
 
 
 def _weighted_quantile(values: np.ndarray, counts: np.ndarray,
@@ -292,6 +292,80 @@ def spearman_corr(ds, x_col: str, y_col: str,
     rho = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else np.nan
     return pd.DataFrame({"n": np.array([n], np.int64),
                          "spearman_rho": [float(rho)]})
+
+
+def kendall_tau(ds, x_col: str, y_col: str,
+                max_cells_broadcast: int = 5_000_000) -> pd.DataFrame:
+    """Exact Kendall tau-b between two bounded-domain columns via the
+    JOINT value histogram — the pair-counting rank statistic usually
+    written off as O(n²): over a contingency table it is a closed
+    form (concordant/discordant cell-pair products, tie-corrected),
+    so a 10^12-row table with a (50 x 11) value domain needs ONE
+    distinct-pair combiner shuffle and a driver-side suffix-cumsum on
+    the tiny matrix. Null-bearing pairs are excluded. Domains whose
+    joint histogram exceeds ``max_cells_broadcast`` raise (continuous
+    columns: quantize or use Spearman's t-digest path). Returns one
+    row (n, kendall_tau), tau unrounded."""
+    import pyarrow.compute as pc
+
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).cast(pa.float64())
+        y = batch.column(y_col).cast(pa.float64())
+        t = pa.table({"x": x, "y": y}).filter(
+            pc.and_(pc.is_valid(x), pc.is_valid(y)))
+        g = t.group_by(["x", "y"]).aggregate([([], "count_all")])
+        return pa.table({"x": g.column("x"), "y": g.column("y"),
+                         "cnt": g.column("count_all").cast(pa.int64())})
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby(["x", "y"], num_partitions=shuffle_partitions())
+             .sum("cnt").to_pandas())
+    if len(cells) > max_cells_broadcast:
+        raise ValueError(
+            f"{len(cells)} joint histogram cells — domain too large; "
+            f"quantize or use spearman_corr's rank path")
+    if cells.empty:
+        return pd.DataFrame({"n": np.array([0], np.int64),
+                             "kendall_tau": [np.nan]})
+    xs = np.sort(cells["x"].unique())
+    ys = np.sort(cells["y"].unique())
+    M = np.zeros((len(xs), len(ys)))
+    xi = np.searchsorted(xs, cells["x"].to_numpy(np.float64))
+    yi = np.searchsorted(ys, cells["y"].to_numpy(np.float64))
+    M[xi, yi] = cells["sum(cnt)"].to_numpy(np.float64)
+    # suffix sums: S_se[i, j] = total count strictly south-east of
+    # (i, j) — cells with larger x AND larger y; S_sw the south-west
+    cum = np.cumsum(np.cumsum(M, axis=0), axis=1)
+    total = cum[-1, -1]
+    pad = np.zeros((len(xs) + 1, len(ys) + 1))
+    pad[1:, 1:] = cum
+
+    def rect(i0, i1, j0, j1):
+        """Sum of M over rows [i0, i1) x cols [j0, j1) via the padded
+        2D prefix table (inclusive-exclusive)."""
+        return pad[i1, j1] - pad[i0, j1] - pad[i1, j0] + pad[i0, j0]
+
+    nx, ny = len(xs), len(ys)
+    conc = disc = 0.0
+    for i in range(nx):            # domain-sized loop, not row-sized
+        for j in range(ny):
+            if M[i, j] == 0:
+                continue
+            conc += M[i, j] * rect(i + 1, nx, j + 1, ny)
+            disc += M[i, j] * rect(i + 1, nx, 0, j)
+    n = total
+    n2 = n * (n - 1) / 2.0
+    cx = M.sum(axis=1)
+    cy = M.sum(axis=0)
+    tx = float((cx * (cx - 1) / 2.0).sum())
+    ty = float((cy * (cy - 1) / 2.0).sum())
+    denom = np.sqrt((n2 - tx) * (n2 - ty))
+    tau = (conc - disc) / denom if denom > 0 else np.nan
+    return pd.DataFrame({"n": np.array([int(n)], np.int64),
+                         "kendall_tau": [float(tau)]})
 
 
 def _group_value_hist(ds, group_col: str, value_col: str) -> pd.DataFrame:

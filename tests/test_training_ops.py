@@ -1648,6 +1648,64 @@ def test_spearman_corr(ray_session):
         spearman_corr(_ds(mono), "x", "y", max_distinct_broadcast=10)
 
 
+def test_kendall_tau(ray_session):
+    """kendall_tau matches brute-force O(n²) pair counting (tau-b tie
+    correction) to 1e-12, is 1/-1 on monotone pairs, excludes null
+    pairs, is layout-invariant, and raises past the cell bound."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from feature_fabrica_ray.pipelines import kendall_tau
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 9, 300).astype(float)
+    y = (x + rng.integers(0, 6, 300)).astype(float)
+    x[3], y[7] = np.nan, np.nan
+    df = pd.DataFrame({"x": x, "y": y})
+
+    got = kendall_tau(_ds(df, blocks=4), "x", "y")
+    ok = df.dropna().to_numpy()
+    conc = disc = tx = ty = 0
+    for i in range(len(ok)):
+        for j in range(i + 1, len(ok)):
+            dx = np.sign(ok[i, 0] - ok[j, 0])
+            dy = np.sign(ok[i, 1] - ok[j, 1])
+            if dx == 0 and dy == 0:
+                tx += 1
+                ty += 1
+            elif dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif dx == dy:
+                conc += 1
+            else:
+                disc += 1
+    n2 = len(ok) * (len(ok) - 1) / 2
+    exp = (conc - disc) / np.sqrt((n2 - tx) * (n2 - ty))
+    assert got["n"].iloc[0] == len(ok)
+    assert got["kendall_tau"].iloc[0] == pytest.approx(exp, abs=1e-12)
+
+    one = kendall_tau(_ds(df, blocks=1), "x", "y")
+    pd.testing.assert_frame_equal(one, got)
+
+    mono = pd.DataFrame({"x": np.arange(40, dtype=float),
+                         "y": np.arange(40, dtype=float) ** 3})
+    assert kendall_tau(_ds(mono, blocks=3), "x", "y")[
+        "kendall_tau"].iloc[0] == pytest.approx(1.0, abs=1e-12)
+    anti = pd.DataFrame({"x": np.arange(40, dtype=float),
+                         "y": -np.arange(40, dtype=float)})
+    assert kendall_tau(_ds(anti), "x", "y")[
+        "kendall_tau"].iloc[0] == pytest.approx(-1.0, abs=1e-12)
+
+    empty = kendall_tau(_ds(pd.DataFrame({"x": [np.nan], "y": [1.0]})),
+                        "x", "y")
+    assert empty["n"].iloc[0] == 0 and pd.isna(empty["kendall_tau"].iloc[0])
+
+    with pytest.raises(ValueError, match="cells"):
+        kendall_tau(_ds(mono), "x", "y", max_cells_broadcast=5)
+
+
 def test_rank_normalize_properties(ray_session):
     """Randomized: rank_norm equals pandas rank(method='max')/n on any
     input (ties included), is monotone in the value, and lands in
