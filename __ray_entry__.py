@@ -3466,6 +3466,109 @@ def q_tq_custdist(sf_dir: str) -> pd.DataFrame:
                            ascending=[False, False]).reset_index(drop=True)
 
 
+def q_tq_inactive(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape (global-customer-sales / inactive wealthy
+    customers): per-nation count and balance mass of above-average-
+    balance customers with NO recent order — the scalar-subquery +
+    anti-join + rollup pattern.
+
+    Plan: the positive-balance average is a driver SCALAR from one
+    (sum, count) combiner pass over the pruned customer scan; the
+    recent-buyer key set comes from a date-pruned o_custkey read +
+    distinct combiner; the anti side then excludes them via a
+    left-anti sized_join (broadcast while the key set fits, hash
+    exchange past it); the rollup is a nation-sized per-block partial
+    fold. No row of customer or orders is ever collected."""
+    import pyarrow.dataset as pds
+
+    from feature_fabrica_ray.pipelines import sized_join
+    from feature_fabrica_ray.tuning import shuffle_partitions
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"]).materialize()
+
+    def avg_partial(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").cast(pa.float64())
+        pos = pc.greater(bal, 0.0)
+        kept = pc.if_else(pos, bal, pa.scalar(None, pa.float64()))
+        return pa.table({
+            "s": pa.array([pc.sum(kept).as_py() or 0.0]),
+            "n": pa.array([pc.sum(pos.cast(pa.int64())).as_py() or 0],
+                          pa.int64())})
+
+    m = cust.map_batches(avg_partial, batch_format="pyarrow",
+                         batch_size=None).to_pandas().sum()
+    avg_bal = float(m["s"]) / max(int(m["n"]), 1)
+
+    recent = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"],
+        filter=pds.field("o_orderdate") >= _dt.datetime(2000, 6, 1))
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey").aggregate([])
+        return pa.table({"c_custkey": g.column("o_custkey")
+                         .cast(pa.int64())})
+
+    def keys_only(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "c_custkey" not in b.column_names:
+            return pa.table({"c_custkey": pa.array([], pa.int64())})
+        return pa.table({"c_custkey": b.column("c_custkey")
+                         .cast(pa.int64())})
+
+    buyers = (recent.map_batches(distinct_partial, batch_format="pyarrow",
+                                 batch_size=None)
+              .groupby("c_custkey", num_partitions=shuffle_partitions())
+              .count()
+              .map_batches(keys_only, batch_format="pyarrow",
+                           batch_size=None)
+              .materialize())
+    rich = cust.filter(expr=f"c_acctbal > {avg_bal!r}").materialize()
+    inactive = sized_join(rich, buyers, on=("c_custkey",), how="anti",
+                          left_bytes=rich.size_bytes(),
+                          right_bytes=buyers.size_bytes())
+
+    def rollup(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "c_nationkey" not in b.column_names:
+            return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                             "numcust": pa.array([], pa.int64()),
+                             "totacctbal": pa.array([], pa.float64())})
+        g = pa.table({"c_nationkey": b.column("c_nationkey")
+                      .cast(pa.int64()),
+                      "totacctbal": b.column("c_acctbal")
+                      .cast(pa.float64())}) \
+            .group_by("c_nationkey") \
+            .aggregate([("totacctbal", "sum"), ([], "count_all")])
+        return pa.table({"c_nationkey": g.column("c_nationkey"),
+                         "numcust": g.column("count_all")
+                         .cast(pa.int64()),
+                         "totacctbal": g.column("totacctbal_sum")})
+
+    parts = inactive.map_batches(rollup, batch_format="pyarrow",
+                                 batch_size=None).to_pandas()
+    out = parts.groupby("c_nationkey", as_index=False).agg(
+        numcust=("numcust", "sum"), totacctbal=("totacctbal", "sum"))
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = _round_away(out["totacctbal"], 4)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+_TQ_INACTIVE_ORACLE = """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal), 4) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT a FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 _TQ_CUSTDIST_ORACLE = """
 SELECT c_count, count(*) AS custdist
 FROM (SELECT c_custkey, count(o_orderkey) AS c_count
@@ -9672,6 +9775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tq_bigorders": q_tq_bigorders,
         "tq_topsupplier": q_tq_topsupplier,
         "tq_custdist": q_tq_custdist,
+        "tq_inactive": q_tq_inactive,
         "dd_exact": q_dd_exact,
         "dd_editdist": q_dd_editdist,
         "dd_damerau": q_dd_damerau,
@@ -9979,6 +10083,7 @@ def oracle_sql() -> dict[str, str]:
         "tq_bigorders": _TQ_BIGORDERS_ORACLE,
         "tq_topsupplier": _TQ_TOPSUPPLIER_ORACLE,
         "tq_custdist": _TQ_CUSTDIST_ORACLE,
+        "tq_inactive": _TQ_INACTIVE_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,
         "dd_editdist": _DD_EDITDIST_ORACLE,
         "dd_damerau": _DD_DAMERAU_ORACLE,
