@@ -2617,6 +2617,32 @@ WHERE md5(CAST(doc_id AS VARCHAR)) <
 """
 
 
+def q_sm_kfold(sf_dir: str) -> pd.DataFrame:
+    """Exactly-balanced stratified 5-fold assignment over documents,
+    stratified by lang and dealt by md5(doc_id) order with SQL NTILE
+    sizing — every fold holds each lang's share to within one row, and
+    the assignment is a pure function of (lang, doc_id)
+    (pipelines/sampling.py::stratified_kfold; one stratum-keyed bucket
+    shuffle, vectorized NTILE inside buckets)."""
+    from feature_fabrica_ray.pipelines import stratified_kfold
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+    out = stratified_kfold(ds, "lang", "doc_id", k=5).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["fold"] = out["fold"].astype("int64")
+    return out[["doc_id", "lang", "fold"]]
+
+
+_KFOLD_ORACLE = """
+SELECT doc_id, lang,
+       ntile(5) OVER (PARTITION BY lang
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         AS fold
+FROM documents
+"""
+
+
 def q_sm_mixture(sf_dir: str) -> pd.DataFrame:
     """Corpus mixing (pipelines/sampling.mixture_sample): downsample
     sources to a 30/25/25/20 target mixture at the maximum feasible
@@ -9731,6 +9757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sm_stratified": q_sm_stratified,
         "sm_mixture": q_sm_mixture,
         "sm_split": q_sm_split,
+        "sm_kfold": q_sm_kfold,
         "sm_weighted": q_sm_weighted,
         "dd_embedding": q_dd_embedding,
         "jn_salted": q_jn_salted,
@@ -10012,6 +10039,7 @@ def oracle_sql() -> dict[str, str]:
         "sm_stratified": _STRATIFIED_ORACLE,
         "sm_mixture": _MIXTURE_ORACLE,
         "sm_split": _SPLIT_ORACLE,
+        "sm_kfold": _KFOLD_ORACLE,
         "sm_weighted": _WEIGHTED_ORACLE,
         # dd_embedding: LSH blocking -> rows-only (planted-pair pytest)
         "jn_salted": _SALTED_JOIN_ORACLE,

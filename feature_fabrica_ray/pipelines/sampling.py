@@ -18,7 +18,8 @@ from ..state import combine_hashes, hash64
 
 __all__ = ["hash_sample", "stratified_sample", "weighted_hash_sample",
            "md5_hex_column", "md5_fraction_threshold", "hash_split",
-           "bootstrap_mean_ci", "neyman_allocation", "mixture_sample"]
+           "bootstrap_mean_ci", "neyman_allocation", "mixture_sample",
+           "stratified_kfold"]
 
 _D = np.uint64(1 << 32)
 
@@ -547,6 +548,53 @@ def mixture_sample(ds, proportions: dict[str, float], *,
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(fn_md5, batch_format="pyarrow", batch_size=None)
+
+
+def stratified_kfold(ds, stratum_col: str, key_col: str, k: int,
+                     out_col: str = "fold"):
+    """Deterministic EXACTLY-balanced stratified k-fold assignment:
+    within every stratum the rows are ordered by a pure key hash
+    (md5 hex, SQL-replicable) and dealt into ``k`` folds with SQL
+    NTILE sizing (the first ``n % k`` folds of a stratum get one
+    extra row) — so every fold holds each stratum's share to within
+    one row, and the assignment is a pure function of (stratum, key):
+    invariant to partitioning, reruns, and parallelism. The plain
+    ``hash % k`` draw is only balanced in expectation; cross-
+    validation over small or skewed strata needs the exact deal.
+
+    Scale shape: one stratum-keyed bucket shuffle
+    (``bucketed_by_key`` — uniform hash buckets, every stratum
+    resolved vectorized inside its bucket, never per-stratum Python).
+    Appends ``out_col`` (int64, 1-based)."""
+    import pandas as pd
+
+    from .events import bucketed_by_key
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__md5",
+                                   md5_hex_column(batch.column(key_col)))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        srt = df.sort_values([stratum_col, "__md5", key_col],
+                             kind="mergesort")
+        g = srt.groupby(stratum_col, sort=False, dropna=False)
+        i = g.cumcount().to_numpy(np.int64)           # 0-based in-stratum
+        n = g[key_col].transform("size").to_numpy(np.int64)
+        big, rem = n // k + 1, n % k                  # NTILE sizing
+        in_big = i < rem * big
+        fold = np.where(
+            in_big, i // np.maximum(big, 1),
+            rem + (i - rem * big) // np.maximum(n // k, 1)) + 1
+        out = srt.drop(columns="__md5")
+        out[out_col] = fold.astype(np.int64)
+        return out.sort_index()
+
+    return bucketed_by_key(
+        ds.map_batches(add_md5, batch_format="pyarrow", batch_size=None),
+        stratum_col, per_bucket)
 
 
 def leakage_safe_split(ds, fractions: dict[str, float], *,

@@ -5030,6 +5030,48 @@ def test_partitions_for_bytes():
         del os.environ["FFR_SHUFFLE_PARTITIONS"]
 
 
+def test_stratified_kfold(ray_session):
+    """stratified_kfold deals each stratum's rows into k folds with
+    exact NTILE balance (fold sizes within a stratum differ by <= 1),
+    assignment is a pure function of (stratum, key) — invariant to
+    layout — every row keeps exactly one fold in 1..k, and k=1 is the
+    identity fold."""
+    import numpy as np
+    import pandas as pd
+    from feature_fabrica_ray.pipelines import stratified_kfold
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "zh", "es"], 313,
+                           p=[0.6, 0.3, 0.1]),
+        "doc_id": np.arange(313, dtype=np.int64)})
+
+    out = stratified_kfold(_ds(df, blocks=4), "lang", "doc_id",
+                           k=5).to_pandas()
+    assert len(out) == len(df)
+    assert out["fold"].between(1, 5).all()
+    # exact NTILE balance per stratum
+    sizes = out.groupby(["lang", "fold"]).size()
+    for lang, grp in sizes.groupby(level=0):
+        assert grp.max() - grp.min() <= 1
+        assert grp.sum() == (df["lang"] == lang).sum()
+        assert len(grp) == min(5, grp.sum())
+    # layout invariance: same (doc_id -> fold) map at any block count
+    one = stratified_kfold(_ds(df, blocks=1), "lang", "doc_id",
+                           k=5).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = one.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    k1 = stratified_kfold(_ds(df, blocks=2), "lang", "doc_id",
+                          k=1).to_pandas()
+    assert (k1["fold"] == 1).all()
+
+    import pytest
+    with pytest.raises(ValueError, match="k must be"):
+        stratified_kfold(_ds(df), "lang", "doc_id", k=0)
+
+
 def test_mixture_sample(ray_session):
     """Mixing to target proportions: the binding source is kept whole,
     the realized mixture tracks the target, membership is partition-
