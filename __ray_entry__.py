@@ -7447,6 +7447,69 @@ def _copurchase_edges(sf_dir: str):
     return cooccur_edges(ds, "l_orderkey", "l_partkey")
 
 
+def q_gr_adamic(sf_dir: str) -> pd.DataFrame:
+    """Adamic-Adar link prediction over the part-part co-purchase
+    graph: top-30 NON-edge pairs by summed 1/ln(deg) over common
+    neighbors, degree-thresholded at 60 (the cap is part of the
+    operator's semantics — wedge enumeration is hub-quadratic, and
+    high-degree centers carry the least signal per wedge). One bucket-
+    keyed adjacency shuffle with per-bucket vectorized pair partials,
+    one keyed fold, one anti sized_join
+    (pipelines/graph.py::adamic_adar)."""
+    from feature_fabrica_ray.pipelines import adamic_adar
+
+    out = adamic_adar(_copurchase_edges(sf_dir), "a", "b",
+                      max_center_degree=60)
+
+    def roundit(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n1": pa.array([], pa.int64()),
+                             "n2": pa.array([], pa.int64()),
+                             "aa": pa.array([], pa.float64())})
+        return pa.table({
+            "n1": b.column("n1").cast(pa.int64()),
+            "n2": b.column("n2").cast(pa.int64()),
+            "aa": pc.round(b.column("aa").cast(pa.float64()), ndigits=6,
+                           round_mode="half_towards_infinity")})
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["aa", "n1", "n2"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(30)
+
+    parts = out.map_batches(roundit, batch_format="pyarrow",
+                            batch_size=None) \
+        .map_batches(local_top, batch_format="pandas",
+                     batch_size=None).to_pandas()
+    if parts.empty:    # empty graph: Ray drops the schema with it
+        return pd.DataFrame({"n1": pd.Series([], dtype="int64"),
+                             "n2": pd.Series([], dtype="int64"),
+                             "aa": pd.Series([], dtype="float64")})
+    top = local_top(parts).reset_index(drop=True)
+    top["n1"] = top["n1"].astype("int64")
+    top["n2"] = top["n2"].astype("int64")
+    return top
+
+
+_ADAMIC_ORACLE = """
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey),
+adj AS (SELECT lo AS c, hi AS n FROM e UNION ALL SELECT hi, lo FROM e),
+deg AS (SELECT c, count(*) AS d FROM adj GROUP BY c),
+ok AS (SELECT adj.c, adj.n, deg.d FROM adj JOIN deg ON adj.c = deg.c
+       WHERE deg.d BETWEEN 2 AND 60),
+pairs AS (SELECT a1.n AS n1, a2.n AS n2, 1.0 / ln(a1.d) AS w
+          FROM ok a1 JOIN ok a2 ON a1.c = a2.c AND a1.n < a2.n),
+aa AS (SELECT n1, n2, sum(w) AS s FROM pairs GROUP BY 1, 2),
+ne AS (SELECT aa.n1, aa.n2, round(aa.s, 6) AS aa
+       FROM aa LEFT JOIN e ON aa.n1 = e.lo AND aa.n2 = e.hi
+       WHERE e.lo IS NULL)
+SELECT n1, n2, aa FROM ne ORDER BY aa DESC, n1, n2 LIMIT 30
+"""
+
+
 def q_gr_bfs(sf_dir: str) -> pd.DataFrame:
     """Multi-source BFS hop distances from parts {1,2,3} over the
     part<->supplier graph: frontier-join expansion, one narrow hash
@@ -9949,6 +10012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gr_pagerank": q_gr_pagerank,
         "gr_ppr": q_gr_ppr,
         "gr_hits": q_gr_hits,
+        "gr_adamic": q_gr_adamic,
         "gr_triangles": q_gr_triangles,
         "gr_kcore": q_gr_kcore,
         "gr_bfs": q_gr_bfs,
@@ -10061,6 +10125,7 @@ def oracle_sql() -> dict[str, str]:
         "gr_pagerank": _PAGERANK_ORACLE,
         "gr_ppr": _PPR_ORACLE,
         "gr_hits": _HITS_ORACLE,
+        "gr_adamic": _ADAMIC_ORACLE,
         "sp_pack": _SP_PACK_ORACLE,
         "gr_kcore": _KCORE_ORACLE,
         "tp_curate": _TP_CURATE_ORACLE,

@@ -45,7 +45,7 @@ __all__ = ["connected_components", "star_edges", "pagerank",
            "personalized_pagerank",
            "pagerank_sharded", "hits", "hits_sharded", "degree_table",
            "canonical_edges", "triangle_count", "edge_jaccard", "kcore",
-           "cooccur_edges", "bfs_hops", "degree_assortativity", "modularity",
+           "cooccur_edges", "adamic_adar", "bfs_hops", "degree_assortativity", "modularity",
            "clustering_coefficients"]
 
 
@@ -1207,6 +1207,90 @@ def cooccur_edges(ds, group_col: str, item_col: str):
                            batch_size=None)
             .groupby("__bucket", num_partitions=nparts)
             .map_groups(expand, batch_format="pandas"))
+
+
+def adamic_adar(edges, a_col: str = "a", b_col: str = "b", *,
+                max_center_degree: int | None = None):
+    """Adamic-Adar link-prediction scores over the undirected graph:
+    for every NON-edge pair (u, w) at distance 2,
+
+        AA(u, w) = sum over common neighbors c of 1 / ln(deg(c))
+
+    — the classic 'people you may know' / related-repo candidate
+    scorer (rare shared neighbors count more than hubs).
+
+    Scale shape: wedge enumeration is inherently sum-of-deg² — hub-
+    QUADRATIC — so the operator takes an explicit
+    ``max_center_degree`` cap as part of its SEMANTICS: centers above
+    the cap are skipped entirely (their wedges are the most numerous
+    and the least informative, each worth only 1/ln(d) → the standard
+    degree-thresholded AA approximation; pass None for the exact
+    form). The pipeline is one bucket-keyed shuffle of the distinct
+    adjacency (complete centers per bucket, vectorized pandas
+    self-merge with PER-BUCKET (n1, n2) partial sums — never per-
+    center Python), one keyed groupby folding the partials, and one
+    left-anti sized_join removing existing edges. Everything stays a
+    Dataset. Returns (n1, n2, aa) with n1 < n2."""
+    import ray.data as _rd
+
+    from .events import bucketed_by_key
+    from .join import sized_join
+
+    e = canonical_edges(edges, a_col, b_col).materialize()
+    empty = pa.table({"n1": pa.array([], pa.int64()),
+                      "n2": pa.array([], pa.int64()),
+                      "aa": pa.array([], pa.float64())})
+    if e.count() == 0:
+        return _rd.from_arrow(empty)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").cast(pa.int64()).combine_chunks()
+        hi = t.column("hi").cast(pa.int64()).combine_chunks()
+        return pa.table({"c": pa.concat_arrays([lo, hi]),
+                         "n": pa.concat_arrays([hi, lo])})
+
+    adj = e.map_batches(symmetrize, batch_format="pyarrow",
+                        batch_size=None)
+
+    cap = max_center_degree
+
+    def expand(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        # adjacency rows are distinct by construction, and every row
+        # of a center is in this bucket — transform('size') IS deg(c)
+        deg = df.groupby("c")["n"].transform("size")
+        keep = deg >= 2 if cap is None else (deg >= 2) & (deg <= cap)
+        d = df[keep].assign(__w=1.0 / np.log(deg[keep]))
+        if d.empty:
+            return pd.DataFrame({"n1": pd.Series([], dtype="int64"),
+                                 "n2": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="float64")})
+        m = d.merge(d[["c", "n"]], on="c")
+        m = m[m["n_x"] < m["n_y"]]
+        out = m.groupby(["n_x", "n_y"], as_index=False)["__w"].sum()
+        return pd.DataFrame({"n1": out["n_x"].to_numpy(np.int64),
+                             "n2": out["n_y"].to_numpy(np.int64),
+                             "w": out["__w"].to_numpy(np.float64)})
+
+    nparts = shuffle_partitions()
+
+    def canon_aa(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(w)" not in t.column_names:
+            return empty
+        return pa.table({"n1": t.column("n1").cast(pa.int64()),
+                         "n2": t.column("n2").cast(pa.int64()),
+                         "aa": t.column("sum(w)").cast(pa.float64())})
+
+    aa = (bucketed_by_key(adj, "c", expand)
+          .groupby(["n1", "n2"], num_partitions=nparts).sum("w")
+          .map_batches(canon_aa, batch_format="pyarrow",
+                       batch_size=None)
+          .materialize())
+    if aa.count() == 0:
+        return _rd.from_arrow(empty)
+    return sized_join(aa, e, on=("n1", "n2"), right_on=("lo", "hi"),
+                      how="anti", left_bytes=aa.size_bytes(),
+                      right_bytes=e.size_bytes())
 
 
 def bfs_hops(edges, sources: list[int], a_col: str = "a",

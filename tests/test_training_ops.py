@@ -2693,6 +2693,55 @@ def test_personalized_pagerank(ray_session):
         personalized_pagerank(_ds(edges, blocks=2), [777], "src", "dst")
 
 
+def test_adamic_adar(ray_session):
+    """adamic_adar matches a brute-force common-neighbor reference to
+    1e-12 (uncapped), the degree cap skips exactly the over-cap
+    centers, output pairs are non-edges only with n1 < n2, and the
+    empty graph yields an empty typed result."""
+    import numpy as np
+    import pandas as pd
+    from feature_fabrica_ray.pipelines import adamic_adar
+
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 20, 70)
+    dst = rng.integers(0, 20, 70)
+    keep = src != dst
+    edges = pd.DataFrame({"a": src[keep], "b": dst[keep]})
+
+    def brute(cap):
+        es = set()
+        adj: dict[int, set[int]] = {}
+        for a, b in edges.itertuples(index=False):
+            lo, hi = (int(min(a, b)), int(max(a, b)))
+            es.add((lo, hi))
+            adj.setdefault(lo, set()).add(hi)
+            adj.setdefault(hi, set()).add(lo)
+        scores: dict[tuple, float] = {}
+        for c, ns in adj.items():
+            d = len(ns)
+            if d < 2 or (cap is not None and d > cap):
+                continue
+            ns = sorted(ns)
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    k = (ns[i], ns[j])
+                    scores[k] = scores.get(k, 0.0) + 1.0 / np.log(d)
+        return {k: v for k, v in scores.items() if k not in es}
+
+    for cap in (None, 5):
+        got = adamic_adar(_ds(edges, blocks=3), "a", "b",
+                          max_center_degree=cap).to_pandas()
+        exp = brute(cap)
+        assert len(got) == len(exp)
+        assert (got["n1"] < got["n2"]).all()
+        for n1, n2, aa in got[["n1", "n2", "aa"]].itertuples(index=False):
+            assert abs(exp[(int(n1), int(n2))] - aa) < 1e-12
+
+    empty = adamic_adar(_ds(pd.DataFrame({"a": [1], "b": [1]})),
+                        "a", "b").to_pandas()
+    assert len(empty) == 0   # self-loop-only graph: no pairs
+
+
 def test_hits_vs_dense_power_iteration(ray_session):
     """HITS matches a dense AᵀA/AAᵀ power iteration with identical
     normalization order (1e-12); on a bipartite star the hub and the
