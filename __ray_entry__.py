@@ -9459,6 +9459,68 @@ FROM q
 """
 
 
+def q_sp_hilbert(sf_dir: str) -> pd.DataFrame:
+    """Hilbert-curve layout stamp over (quantity, extendedprice) —
+    same fixed-grid contract as sp_zorder but with strictly better
+    locality (consecutive keys are always grid-adjacent, so range-
+    partitioned files get tighter bounding boxes); stateless
+    vectorized bit-twiddle, loop over bit LEVELS never rows
+    (pipelines/packing.py::hilbert_key). Oracle: the 4 rotate/reflect
+    levels unrolled as chained CTEs."""
+    from feature_fabrica_ray.pipelines import hilbert_key
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_quantity", "l_extendedprice"])
+    out = hilbert_key(ds, "l_quantity", "l_extendedprice",
+                      x_lo=0.0, x_hi=50.0, y_lo=0.0, y_hi=20000.0,
+                      bits=4, n_buckets=4)
+    return out.select_columns(["l_orderkey", "l_linenumber",
+                               "hkey", "hbucket"])
+
+
+def _hilbert_oracle(bits: int = 4) -> str:
+    """sp_hilbert unrolled xy2d SQL: one CTE per bit level computing
+    the rotate/reflect (reflection over the full grid side n-1) and
+    the level's s²·xor(3rx, ry) distance increment."""
+    n = 1 << bits
+    head = f"""
+WITH q AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(least(greatest(floor(l_quantity / 50.0 * {n}), 0),
+                    {n - 1}) AS BIGINT) AS x,
+         CAST(least(greatest(floor(l_extendedprice / 20000.0 * {n}), 0),
+                    {n - 1}) AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM lineitem)"""
+    steps = []
+    prev = "q"
+    s = n >> 1
+    i = 0
+    while s > 0:
+        i += 1
+        steps.append(f""",
+h{i} AS (SELECT l_orderkey, l_linenumber,
+  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - y ELSE y END)
+       ELSE x END AS x,
+  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - x ELSE x END)
+       ELSE y END AS y,
+  d + {s * s} * xor(3 * rx, ry) AS d
+  FROM (SELECT *, CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                  CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM {prev}) t)""")
+        prev = f"h{i}"
+        s >>= 1
+    shift = 2 * bits - 3 + 1   # n_buckets=4 -> top 2 bits
+    tail = f"""
+SELECT l_orderkey, l_linenumber, d AS hkey, d >> {shift} AS hbucket
+FROM {prev}"""
+    return head + "".join(steps) + tail
+
+
+_HILBERT_ORACLE = _hilbert_oracle()
+
+
 def q_sp_buckets(sf_dir: str) -> pd.DataFrame:
     """Equi-depth range bucketing (pipelines/quantiles.py::
     equidepth_buckets): each lineitem stamped with ceil(cume_dist * 8)
@@ -9892,6 +9954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_rank_norm": q_ft_rank_norm,
         "sp_buckets": q_sp_buckets,
         "sp_zorder": q_sp_zorder,
+        "sp_hilbert": q_sp_hilbert,
         "ss_lsh_topk": q_ss_lsh_topk,
         "vl_fd": q_vl_fd,
         "ev_ewma": q_ev_ewma,
@@ -10194,6 +10257,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_rank_norm": _RANK_NORM_ORACLE,
         "sp_buckets": _BUCKETS_ORACLE,
         "sp_zorder": _ZORDER_ORACLE,
+        "sp_hilbert": _HILBERT_ORACLE,
         "vl_fd": _FD_ORACLE,
         "vl_schema_diff": _SCHEMA_DIFF_ORACLE,
         "ev_gaps": _GAPS_ORACLE,

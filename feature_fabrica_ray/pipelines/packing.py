@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["pack_sequences", "zorder_key"]
+__all__ = ["pack_sequences", "zorder_key", "hilbert_key"]
 
 _SHARD_STRIDE = 10_000_000_000  # pack_id = shard * stride + seq-in-shard
 
@@ -137,6 +137,80 @@ def zorder_key(ds, x_col: str, y_col: str, *,
         if shift is not None:
             out = out.append_column("zbucket",
                                     pa.array(z >> shift, pa.int64()))
+        return out
+
+    return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+
+
+def hilbert_key(ds, x_col: str, y_col: str, *,
+                x_lo: float, x_hi: float, y_lo: float, y_hi: float,
+                bits: int = 8, n_buckets: int | None = None):
+    """Hilbert-curve clustering key over two numeric columns — same
+    layout contract as ``zorder_key`` (fixed 2^bits grid, stateless
+    vectorized stamp, pair with ``write_range_partitioned``), but the
+    Hilbert curve preserves locality strictly better than Morton:
+    consecutive keys are ALWAYS grid-adjacent (Z-order jumps across
+    the plane at quadrant seams), so range-partitioned files get
+    tighter bounding boxes and better skip rates on both columns.
+
+    Standard xy→d bit-twiddling (one rotate/reflect per bit level,
+    Wikipedia's iterative form), vectorized: the loop is over
+    ``bits`` levels, never rows. Out-of-range clamps to the edge,
+    nulls to cell 0 (the zorder_key contract). Appends ``hkey`` and,
+    with ``n_buckets`` (power of two), ``hbucket`` = top bits."""
+    if bits < 1 or bits > 31:
+        raise ValueError(f"hilbert_key: bits must be in [1, 31], "
+                         f"got {bits}")
+    shift = None
+    if n_buckets is not None:
+        nb = int(n_buckets)
+        if nb < 1 or nb & (nb - 1):
+            raise ValueError(f"hilbert_key: n_buckets must be a power "
+                             f"of two, got {n_buckets}")
+        shift = 2 * bits - nb.bit_length() + 1
+
+    import pyarrow as pa
+
+    cells = float(1 << bits)
+    top = (1 << bits) - 1
+
+    def quant(col, lo: float, hi: float) -> np.ndarray:
+        x = col.cast(pa.float64()).fill_null(lo).to_numpy(
+            zero_copy_only=False)
+        q = np.floor((x - lo) / (hi - lo) * cells)
+        return np.clip(q, 0, top).astype(np.int64)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            out = t.append_column("hkey", pa.array([], pa.int64()))
+            if shift is not None:
+                out = out.append_column("hbucket",
+                                        pa.array([], pa.int64()))
+            return out
+        x = quant(t.column(x_col), x_lo, x_hi)
+        y = quant(t.column(y_col), y_lo, y_hi)
+        d = np.zeros(t.num_rows, np.int64)
+        n = 1 << bits
+        s = n >> 1
+        while s > 0:
+            rx = ((x & s) > 0).astype(np.int64)
+            ry = ((y & s) > 0).astype(np.int64)
+            d += s * s * ((3 * rx) ^ ry)
+            # rotate/reflect the quadrant so the next level sees the
+            # curve in canonical orientation (reflection is over the
+            # FULL grid side n, per the standard xy2d form)
+            swap = ry == 0
+            refl = swap & (rx == 1)
+            x = np.where(refl, n - 1 - x, x)
+            y = np.where(refl, n - 1 - y, y)
+            x2 = np.where(swap, y, x)
+            y2 = np.where(swap, x, y)
+            x, y = x2, y2
+            s >>= 1
+        out = t.append_column("hkey", pa.array(d, pa.int64()))
+        if shift is not None:
+            out = out.append_column("hbucket",
+                                    pa.array(d >> shift, pa.int64()))
         return out
 
     return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)

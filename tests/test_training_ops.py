@@ -3082,6 +3082,45 @@ def test_zorder_key_interleave(ray_session):
                    n_buckets=3).to_pandas()
 
 
+def test_hilbert_key_curve(ray_session):
+    """hkey is a bijection on the full grid whose consecutive keys are
+    ALWAYS grid-adjacent (the Hilbert property Z-order lacks), clamps
+    out-of-range, maps nulls to cell 0, and hbucket = top bits."""
+    from feature_fabrica_ray.pipelines import hilbert_key
+
+    # full 16x16 grid as cell-center coordinates
+    g = np.arange(16)
+    xs, ys = np.meshgrid(g, g, indexing="ij")
+    df = pd.DataFrame({"x": (xs.ravel() + 0.5) / 16 * 100,
+                       "y": (ys.ravel() + 0.5) / 16 * 100})
+    out = hilbert_key(_ds(df, blocks=3), "x", "y",
+                      x_lo=0.0, x_hi=100.0, y_lo=0.0, y_hi=100.0,
+                      bits=4, n_buckets=4).to_pandas()
+    assert sorted(out["hkey"]) == list(range(256))       # bijection
+    srt = out.sort_values("hkey")
+    cx = np.floor(srt["x"].to_numpy() / 100 * 16)
+    cy = np.floor(srt["y"].to_numpy() / 100 * 16)
+    step = np.abs(np.diff(cx)) + np.abs(np.diff(cy))
+    assert (step == 1).all()                             # adjacency
+    assert (out["hbucket"] == out["hkey"] // 64).all()
+    assert set(out["hbucket"]) == {0, 1, 2, 3}
+
+    # clamp + null: out-of-range clamps to edge cells, null -> cell 0
+    edge = hilbert_key(_ds(pd.DataFrame({"x": [-3.0, 200.0, np.nan],
+                                         "y": [50.0, 50.0, np.nan]})),
+                       "x", "y", x_lo=0.0, x_hi=100.0,
+                       y_lo=0.0, y_hi=100.0, bits=4).to_pandas()
+    ref = hilbert_key(_ds(pd.DataFrame({"x": [0.0, 99.9, 0.0],
+                                        "y": [50.0, 50.0, 0.0]})),
+                      "x", "y", x_lo=0.0, x_hi=100.0,
+                      y_lo=0.0, y_hi=100.0, bits=4).to_pandas()
+    assert list(edge["hkey"]) == list(ref["hkey"])
+
+    with pytest.raises(ValueError, match="power of two"):
+        hilbert_key(_ds(df), "x", "y", x_lo=0, x_hi=1, y_lo=0, y_hi=1,
+                    n_buckets=5).to_pandas()
+
+
 def _phash_ref(payload: bytes) -> int:
     """Single-process dHash reference for the fake-decode contract."""
     body = payload[8:] if len(payload) >= 8 else payload[0:0]
