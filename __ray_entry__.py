@@ -3492,6 +3492,90 @@ def q_tq_custdist(sf_dir: str) -> pd.DataFrame:
                            ascending=[False, False]).reset_index(drop=True)
 
 
+def q_tq_brandrev(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape (discounted revenue under a DISJUNCTION of
+    brand/size/quantity conjunctions) — the OR-of-ANDs predicate that
+    naive plans evaluate post-join.
+
+    Plan: the brand/size disjunction is pushed INTO the part read
+    (each OR arm prunes at the scan), the surviving parts carry their
+    arm's residual quantity bounds as two extra columns, that tiny
+    (partkey, qlo, qhi) table broadcasts into a lineitem scan pruned
+    at the read to the quantity ENVELOPE [1, 30], and the residual
+    per-arm bounds check is one vectorized compare per batch. The
+    driver folds one (revenue, n) scalar partial per block — zero
+    shuffles."""
+    import pyarrow.dataset as pds
+
+    from feature_fabrica_ray.pipelines import broadcast_join
+
+    arms = [("Brand#1", 5, 1, 11), ("Brand#2", 10, 10, 20),
+            ("Brand#3", 15, 20, 30)]
+    pfilter = None
+    for brand, smax, _, _ in arms:
+        arm = (pds.field("p_brand") == brand) & \
+            (pds.field("p_size") >= 1) & (pds.field("p_size") <= smax)
+        pfilter = arm if pfilter is None else (pfilter | arm)
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand", "p_size"],
+                              filter=pfilter)
+
+    def bounds(b: pa.Table) -> pa.Table:
+        brand = b.column("p_brand").to_pandas()
+        qlo = np.zeros(b.num_rows, np.float64)
+        qhi = np.zeros(b.num_rows, np.float64)
+        for name, _, lo, hi in arms:
+            m = (brand == name).to_numpy()
+            qlo[m], qhi[m] = lo, hi
+        return pa.table({"p_partkey": b.column("p_partkey")
+                         .cast(pa.int64()),
+                         "qlo": pa.array(qlo), "qhi": pa.array(qhi)})
+
+    dim = part.map_batches(bounds, batch_format="pyarrow",
+                           batch_size=None)
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+        filter=(pds.field("l_quantity") >= 1.0)
+        & (pds.field("l_quantity") <= 30.0))
+    joined = broadcast_join(li, dim, left_on="l_partkey",
+                            right_on="p_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").cast(pa.float64())
+        keep = pc.and_(pc.greater_equal(q, b.column("qlo")),
+                       pc.less_equal(q, b.column("qhi")))
+        t = b.filter(keep)
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      t.column("l_discount")))
+        return pa.table({"revenue": pa.array(
+            [pc.sum(rev).as_py() or 0.0]),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    m = joined.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas().sum()
+    return pd.DataFrame({
+        "revenue": [float(_round_away(pd.Series([m["revenue"]]),
+                                      4).iloc[0])],
+        "n": np.array([int(m["n"])], np.int64)})
+
+
+_TQ_BRANDREV_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND (
+   (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+    AND l_quantity BETWEEN 1 AND 11)
+OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+    AND l_quantity BETWEEN 10 AND 20)
+OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+    AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
 def q_tq_inactive(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q22 shape (global-customer-sales / inactive wealthy
     customers): per-nation count and balance mass of above-average-
@@ -9928,6 +10012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tq_topsupplier": q_tq_topsupplier,
         "tq_custdist": q_tq_custdist,
         "tq_inactive": q_tq_inactive,
+        "tq_brandrev": q_tq_brandrev,
         "dd_exact": q_dd_exact,
         "dd_editdist": q_dd_editdist,
         "dd_damerau": q_dd_damerau,
@@ -10240,6 +10325,7 @@ def oracle_sql() -> dict[str, str]:
         "tq_topsupplier": _TQ_TOPSUPPLIER_ORACLE,
         "tq_custdist": _TQ_CUSTDIST_ORACLE,
         "tq_inactive": _TQ_INACTIVE_ORACLE,
+        "tq_brandrev": _TQ_BRANDREV_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,
         "dd_editdist": _DD_EDITDIST_ORACLE,
         "dd_damerau": _DD_DAMERAU_ORACLE,
