@@ -6081,6 +6081,40 @@ SELECT count(*) AS n, round(corr(rx, ry), 6) AS spearman_rho FROM rk
 """
 
 
+def q_pr_partial(sf_dir: str) -> pd.DataFrame:
+    """Partial Pearson correlation of (l_quantity, l_extendedprice)
+    controlling for l_discount — the confounder screen; one algebraic
+    combiner pass (a ~9-float partial per block, zero shuffle), the
+    first-order formula on the driver
+    (pipelines/grouped.py::partial_corr)."""
+    from feature_fabrica_ray.pipelines import partial_corr
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"])
+    out = partial_corr(ds, "l_quantity", "l_extendedprice",
+                       "l_discount")
+    out["r_xy"] = _round_away(out["r_xy"], 6)
+    out["r_xy_z"] = _round_away(out["r_xy_z"], 6)
+    return out
+
+
+_PARTIAL_CORR_ORACLE = """
+WITH base AS (
+  SELECT l_quantity AS x, l_extendedprice AS y, l_discount AS z
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL),
+c AS (SELECT count(*) AS n, corr(x, y) AS rxy, corr(x, z) AS rxz,
+             corr(y, z) AS ryz
+      FROM base)
+SELECT n, round(rxy, 6) AS r_xy,
+       round((rxy - rxz * ryz)
+             / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6) AS r_xy_z
+FROM c
+"""
+
+
 def q_pr_kendall(sf_dir: str) -> pd.DataFrame:
     """Exact Kendall tau-b of (l_quantity, l_discount) — the
     pair-counting rank statistic computed in closed form over the
@@ -10114,6 +10148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_correlation": q_pr_correlation,
         "pr_spearman": q_pr_spearman,
         "pr_kendall": q_pr_kendall,
+        "pr_partial": q_pr_partial,
         "pr_regression": q_pr_regression,
         "agg_wavg": q_agg_wavg,
         "pr_chi2": q_pr_chi2,
@@ -10382,6 +10417,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_correlation": _CORRELATION_ORACLE,
         "pr_spearman": _SPEARMAN_ORACLE,
         "pr_kendall": _KENDALL_ORACLE,
+        "pr_partial": _PARTIAL_CORR_ORACLE,
         "pr_regression": _REGRESSION_ORACLE,
         "agg_wavg": _WAVG_ORACLE,
         "pr_chi2": _CHI2_ORACLE,

@@ -46,7 +46,7 @@ __all__ = ["anova_f", "target_encode_loo", "mutual_information",
            "grouped_outliers_iqr", "weighted_avg_per_group",
            "chi_square_independence", "gini_coefficient",
            "weighted_median_per_group", "grouped_log_means",
-           "theil_index_per_group", "corr_matrix", "ks_two_sample",
+           "theil_index_per_group", "corr_matrix", "partial_corr", "ks_two_sample",
            "hll_set_ops", "histogram2d_fixed"]
 
 
@@ -1747,6 +1747,39 @@ def corr_matrix(ds, cols: list[str]) -> pd.DataFrame:
                                          kind="mergesort")
     out["n"] = out["n"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def partial_corr(ds, x_col: str, y_col: str, z_col: str) -> pd.DataFrame:
+    """First-order partial Pearson correlation of (x, y) CONTROLLING
+    for z — 'does price still track quantity once discount is held
+    fixed', the confounder screen plain correlation can't answer:
+
+        r_xy.z = (r_xy − r_xz·r_yz) / sqrt((1−r_xz²)(1−r_yz²))
+
+    Listwise-complete over the three columns (same n for every pair —
+    the precondition for the formula). Scale shape = ``corr_matrix``'s
+    single algebraic combiner pass (one ~9-float partial per block, no
+    shuffle); the formula itself is driver arithmetic on the 3 pair
+    correlations. Degenerate inputs (any zero-variance column, or
+    |r_xz| = 1 / |r_yz| = 1) yield NULL. Returns one row
+    (n, r_xy, r_xy_z)."""
+    cm = corr_matrix(ds, [x_col, y_col, z_col])
+    look = {(r.col_a, r.col_b): r.corr for r in cm.itertuples()}
+
+    def get(a, b):
+        return look.get((a, b), look.get((b, a), np.nan))
+
+    rxy, rxz = get(x_col, y_col), get(x_col, z_col)
+    ryz = get(y_col, z_col)
+    n = int(cm["n"].iloc[0]) if len(cm) else 0
+    den2 = (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    p = ((rxy - rxz * ryz) / np.sqrt(den2)
+         if np.isfinite(den2) and den2 > 0 else np.nan)
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "r_xy": [float(rxy) if np.isfinite(rxy)
+                                  else np.nan],
+                         "r_xy_z": [float(p) if np.isfinite(p)
+                                    else np.nan]})
 
 
 def ks_two_sample(ds, group_col: str, val_col: str, a, b) -> pd.DataFrame:

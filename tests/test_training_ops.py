@@ -1648,6 +1648,41 @@ def test_spearman_corr(ray_session):
         spearman_corr(_ds(mono), "x", "y", max_distinct_broadcast=10)
 
 
+def test_partial_corr(ray_session):
+    """partial_corr matches the first-order formula on numpy exact
+    correlations to 1e-10, kills a pure confounder (x and y driven
+    only by z => r_xy_z ~ 0 while r_xy is large), is layout-invariant,
+    and degrades to NULL on zero-variance input."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from feature_fabrica_ray.pipelines import partial_corr
+
+    rng = np.random.default_rng(21)
+    z = rng.normal(0, 1, 2000)
+    x = 2 * z + rng.normal(0, 0.1, 2000)
+    y = -3 * z + rng.normal(0, 0.1, 2000)
+    df = pd.DataFrame({"x": x, "y": y, "z": z})
+
+    got = partial_corr(_ds(df, blocks=4), "x", "y", "z")
+    C = np.corrcoef(np.stack([x, y, z]))
+    exp = (C[0, 1] - C[0, 2] * C[1, 2]) / np.sqrt(
+        (1 - C[0, 2] ** 2) * (1 - C[1, 2] ** 2))
+    assert got["n"].iloc[0] == 2000
+    assert got["r_xy"].iloc[0] == pytest.approx(C[0, 1], abs=1e-10)
+    assert got["r_xy_z"].iloc[0] == pytest.approx(exp, abs=1e-10)
+    assert abs(got["r_xy"].iloc[0]) > 0.9       # confounded raw corr
+    assert abs(got["r_xy_z"].iloc[0]) < 0.15    # confounder removed
+
+    one = partial_corr(_ds(df, blocks=1), "x", "y", "z")
+    pd.testing.assert_frame_equal(one, got)
+
+    const = partial_corr(_ds(pd.DataFrame(
+        {"x": [1.0, 1.0, 1.0], "y": [1.0, 2.0, 3.0],
+         "z": [3.0, 2.0, 1.0]})), "x", "y", "z")
+    assert pd.isna(const["r_xy_z"].iloc[0])
+
+
 def test_kendall_tau(ray_session):
     """kendall_tau matches brute-force O(n²) pair counting (tau-b tie
     correction) to 1e-12, is 1/-1 on monotone pairs, excludes null
