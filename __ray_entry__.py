@@ -9662,6 +9662,60 @@ FROM lineitem
 """
 
 
+def q_vl_pk(sf_dir: str) -> pd.DataFrame:
+    """Primary-key discovery over the codetable: which column combos
+    could be declared a key (no nulls AND no duplicate tuples) — the
+    planted defects show up exactly (null langs, ~0.1% duplicate
+    (repo, path, commit) triples). One distinct-tuple combiner +
+    cardinality-bounded keyed exchange per candidate
+    (pipelines/validate.py::pk_candidate_profile)."""
+    from feature_fabrica_ray.pipelines import pk_candidate_profile
+
+    ds = read_codetable(sf_dir, with_sha256=False)
+    return pk_candidate_profile(
+        ds, [["repo"], ["path"], ["lang"],
+             ["repo", "path"], ["repo", "path", "commit"]])
+
+
+_PK_ORACLE = CT + """
+SELECT 'repo' AS combo, (SELECT count(*) FROM codetable) AS n_rows,
+       count(*) AS n_valid, count(DISTINCT (repo)) AS n_distinct,
+       CAST(count(*) = (SELECT count(*) FROM codetable)
+            AND count(DISTINCT (repo)) =
+                (SELECT count(*) FROM codetable) AS BIGINT) AS is_key
+FROM codetable WHERE repo IS NOT NULL
+UNION ALL
+SELECT 'path', (SELECT count(*) FROM codetable),
+       count(*), count(DISTINCT (path)),
+       CAST(count(*) = (SELECT count(*) FROM codetable)
+            AND count(DISTINCT (path)) =
+                (SELECT count(*) FROM codetable) AS BIGINT)
+FROM codetable WHERE path IS NOT NULL
+UNION ALL
+SELECT 'lang', (SELECT count(*) FROM codetable),
+       count(*), count(DISTINCT (lang)),
+       CAST(count(*) = (SELECT count(*) FROM codetable)
+            AND count(DISTINCT (lang)) =
+                (SELECT count(*) FROM codetable) AS BIGINT)
+FROM codetable WHERE lang IS NOT NULL
+UNION ALL
+SELECT 'repo,path', (SELECT count(*) FROM codetable),
+       count(*), count(DISTINCT (repo, path)),
+       CAST(count(*) = (SELECT count(*) FROM codetable)
+            AND count(DISTINCT (repo, path)) =
+                (SELECT count(*) FROM codetable) AS BIGINT)
+FROM codetable WHERE repo IS NOT NULL AND path IS NOT NULL
+UNION ALL
+SELECT 'repo,path,commit', (SELECT count(*) FROM codetable),
+       count(*), count(DISTINCT (repo, path, "commit")),
+       CAST(count(*) = (SELECT count(*) FROM codetable)
+            AND count(DISTINCT (repo, path, "commit")) =
+                (SELECT count(*) FROM codetable) AS BIGINT)
+FROM codetable
+WHERE repo IS NOT NULL AND path IS NOT NULL AND "commit" IS NOT NULL
+"""
+
+
 def q_vl_fd(sf_dir: str) -> pd.DataFrame:
     """Functional-dependency profiling (pipelines/grouped.py::
     fd_violations): repos whose files span more than one distinct lang
@@ -10076,6 +10130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sp_hilbert": q_sp_hilbert,
         "ss_lsh_topk": q_ss_lsh_topk,
         "vl_fd": q_vl_fd,
+        "vl_pk": q_vl_pk,
         "ev_ewma": q_ev_ewma,
         "ev_holt": q_ev_holt,
         "ev_streaks": q_ev_streaks,
@@ -10380,6 +10435,7 @@ def oracle_sql() -> dict[str, str]:
         "sp_zorder": _ZORDER_ORACLE,
         "sp_hilbert": _HILBERT_ORACLE,
         "vl_fd": _FD_ORACLE,
+        "vl_pk": _PK_ORACLE,
         "vl_schema_diff": _SCHEMA_DIFF_ORACLE,
         "ev_gaps": _GAPS_ORACLE,
         "ta_dsir": _DSIR_ORACLE,

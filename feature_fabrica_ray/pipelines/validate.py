@@ -40,6 +40,7 @@ from ..state import (HLL, CategoricalFreq, HigherMoments, Moments,
 from .uniqueness import uniqueness_violations
 
 __all__ = ["ValidationResult", "run_suite", "compute_baseline",
+           "pk_candidate_profile",
            "profile_table", "stats_row_from_state", "merge_sketch_states",
            "drift_metric_from_state", "merge_drift_states",
            "merge_freshness_states", "freshness_verdict_from_state",
@@ -1574,6 +1575,60 @@ def sortedness(ds, order_col: str, val_col: str):
     return pd.DataFrame({"n_pairs": np.array([n_pairs], np.int64),
                          "n_sorted": np.array([n_sorted], np.int64),
                          "frac_sorted": [frac]})
+
+
+def pk_candidate_profile(ds, candidates: list[list[str]]) -> "pd.DataFrame":
+    """Primary-key discovery profile: for each candidate column combo,
+    how close it comes to being a key — total rows, rows with the
+    combo fully non-null, distinct combo tuples among those, and the
+    verdict (``is_key`` = no nulls AND no duplicates). The profiling
+    complement to ``UniqueCheck``: that check verifies a DECLARED key,
+    this one finds which combos COULD be declared.
+
+    Scale shape per candidate: columns pruned at the projection, ONE
+    per-block distinct-tuple combiner (each block folds to its
+    distinct combos + partial counts), ONE keyed exchange bounded by
+    the candidate's true cardinality, then two scalar reads off the
+    materialized grouped table (row count = n_distinct, count sum =
+    n_valid). Candidates are profiled independently — pass the cheap
+    single columns first; a combo whose cardinality approaches the
+    row count costs a row-scale exchange (that is what being a key
+    means). Returns (combo, n_rows, n_valid, n_distinct, is_key)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..tuning import shuffle_partitions
+
+    n_rows = ds.count()
+    out = []
+    for combo in candidates:
+        cols = list(combo)
+
+        def partial(batch: pa.Table, cols=tuple(cols)) -> pa.Table:
+            cols = list(cols)
+            ok = None
+            for c in cols:
+                v = pc.is_valid(batch.column(c))
+                ok = v if ok is None else pc.and_(ok, v)
+            t = batch.select(cols).filter(ok)
+            g = t.group_by(cols).aggregate([([], "count_all")])
+            return g.rename_columns([*cols, "cnt"])
+
+        grouped = (ds.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None)
+                   .groupby(cols, num_partitions=shuffle_partitions())
+                   .sum("cnt")
+                   .materialize())
+        n_distinct = grouped.count()
+        n_valid = int(grouped.sum("sum(cnt)") or 0)
+        out.append({"combo": ",".join(cols), "n_rows": n_rows,
+                    "n_valid": n_valid, "n_distinct": n_distinct,
+                    "is_key": int(n_valid == n_rows
+                                  and n_distinct == n_rows)})
+    df = pd.DataFrame(out)
+    for c in ("n_rows", "n_valid", "n_distinct", "is_key"):
+        df[c] = df[c].astype("int64")
+    return df
 
 
 def categorical_profile(ds, cols: list[str]):

@@ -1461,3 +1461,33 @@ def test_suite_missing_column_fails_at_plan_time(ray_session):
                          "column": "nonexistent"}])
     with pytest.raises(ValueError, match="nonexistent"):
         run_suite(rd.from_arrow(t), suite, partition_col="repo")
+
+
+def test_pk_candidate_profile(ray_session):
+    """pk_candidate_profile: a true key passes, a null-bearing column
+    fails on n_valid, a duplicated combo fails on n_distinct, and the
+    counts are exact and layout-invariant."""
+    import ray
+    from feature_fabrica_ray.pipelines import pk_candidate_profile
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5, 6],               # true key
+        "grp": ["a", "a", "b", "b", "c", "c"],   # duplicates
+        "maybe": [1.0, 2.0, None, 4.0, 5.0, 6.0],  # null-bearing unique
+        "sub": [1, 2, 1, 2, 1, 2]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = pk_candidate_profile(
+        ds, [["id"], ["grp"], ["maybe"], ["grp", "sub"]])
+    r = {row.combo: row for row in out.itertuples()}
+    assert r["id"].is_key == 1 and r["id"].n_distinct == 6
+    assert r["grp"].is_key == 0 and r["grp"].n_distinct == 3 \
+        and r["grp"].n_valid == 6
+    assert r["maybe"].is_key == 0 and r["maybe"].n_valid == 5 \
+        and r["maybe"].n_distinct == 5
+    assert r["grp,sub"].is_key == 1 and r["grp,sub"].n_distinct == 6
+    assert (out["n_rows"] == 6).all()
+
+    one = pk_candidate_profile(
+        ray.data.from_pandas(df), [["id"], ["grp"], ["maybe"],
+                                   ["grp", "sub"]])
+    pd.testing.assert_frame_equal(one, out)
