@@ -7400,6 +7400,69 @@ SELECT node, round(rank * 1e6, 4) AS rank FROM r{iters} ORDER BY node"""
 
 _PAGERANK_ORACLE = _pagerank_oracle()
 
+def q_gr_pagerank_w(sf_dir: str) -> pd.DataFrame:
+    """EDGE-WEIGHTED PageRank over the part<->supplier graph with
+    w = l_quantity (out-mass splits proportionally to quantity, the
+    similarity-weighted-graph form); same streaming-combiner /
+    sharded-state scale shape as gr_pagerank
+    (pipelines/graph.py::pagerank(weight_col=...)). Oracle: the
+    15-step weighted power iteration unrolled as chained CTEs."""
+    from feature_fabrica_ray.pipelines import pagerank
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey",
+                                     "l_quantity"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").cast(pa.int64()).combine_chunks()
+        s = pc.add(t.column("l_suppkey").cast(pa.int64()),
+                   pa.scalar(1_000_000_000, pa.int64())).combine_chunks()
+        w = t.column("l_quantity").cast(pa.float64()).combine_chunks()
+        return pa.table({"src": pa.concat_arrays([p, s]),
+                         "dst": pa.concat_arrays([s, p]),
+                         "w": pa.concat_arrays([w, w])})
+
+    edges = ds.map_batches(to_edges, batch_format="pyarrow",
+                           batch_size=None)
+    out = pagerank(edges, "src", "dst", damping=0.85, iters=15,
+                   weight_col="w")
+    out["node"] = out["node"].astype("int64")
+    out["rank"] = _round_away(out["rank"] * 1e6, 4)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _pagerank_w_oracle(iters: int = 15, d: float = 0.85) -> str:
+    """Weighted gr_pagerank oracle: identical plan to _pagerank_oracle
+    with deg = sum(w) per source and each contribution scaled by the
+    edge weight (the symmetric quantity-weighted graph has no
+    dangling nodes, so the dangling term vanishes on both sides)."""
+    head = """
+WITH e AS (
+  SELECT l_partkey AS src, l_suppkey + 1000000000 AS dst,
+         CAST(l_quantity AS DOUBLE) AS w FROM lineitem
+  UNION ALL
+  SELECT l_suppkey + 1000000000 AS src, l_partkey AS dst,
+         CAST(l_quantity AS DOUBLE) AS w FROM lineitem
+), deg AS (SELECT src AS node, sum(w) AS dg FROM e GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS c FROM deg),
+r0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS rank FROM deg)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+r{i} AS (SELECT e.dst AS node,
+       (1.0 - {d}) / (SELECT c FROM nn)
+       + {d} * sum(r.rank / deg.dg * e.w) AS rank
+  FROM e JOIN r{i - 1} r ON e.src = r.node
+         JOIN deg ON deg.node = e.src
+  GROUP BY e.dst)""")
+    tail = f"""
+SELECT node, round(rank * 1e6, 4) AS rank FROM r{iters} ORDER BY node"""
+    return head + "".join(steps) + tail
+
+
+_PAGERANK_W_ORACLE = _pagerank_w_oracle()
+
+
 _PPR_SEEDS = (1, 2, 3, 4, 5)  # part-key seed nodes (present at every sf)
 
 
@@ -10249,6 +10312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_rolling_median": q_ev_rolling_median,
         "gr_pagerank": q_gr_pagerank,
         "gr_ppr": q_gr_ppr,
+        "gr_pagerank_w": q_gr_pagerank_w,
         "gr_hits": q_gr_hits,
         "gr_adamic": q_gr_adamic,
         "gr_triangles": q_gr_triangles,
@@ -10362,6 +10426,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_lag": _LAG_ORACLE,
         "gr_pagerank": _PAGERANK_ORACLE,
         "gr_ppr": _PPR_ORACLE,
+        "gr_pagerank_w": _PAGERANK_W_ORACLE,
         "gr_hits": _HITS_ORACLE,
         "gr_adamic": _ADAMIC_ORACLE,
         "sp_pack": _SP_PACK_ORACLE,

@@ -247,11 +247,18 @@ def _canon_keyed(key_name: str, val_name: str):
 
 def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
              damping: float = 0.85, iters: int = 20,
-             max_nodes: int = 5_000_000, seeds=None):
+             max_nodes: int = 5_000_000, seeds=None,
+             weight_col: str | None = None):
     """PageRank over an edge-list Dataset (each row = one unit-weight
     directed edge; parallel edges add weight, standard multigraph
-    semantics). Dangling-node mass is redistributed uniformly, so
-    ranks sum to 1 every iteration — the Brin/Page formulation:
+    semantics). With ``weight_col`` each edge instead carries that
+    column's float weight (similarity-weighted graphs): a node's
+    out-mass splits proportionally to its outgoing weights,
+    share(u→v) = rank(u)·w(u,v)/Σ_out w(u,·); rows with null weight
+    are dropped, zero weights contribute nothing, and an
+    all-zero-out-weight node is dangling. Dangling-node mass is
+    redistributed uniformly, so ranks sum to 1 every iteration — the
+    Brin/Page formulation:
 
         r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + dangling/N)
 
@@ -307,10 +314,17 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
     # upstream pipeline (parquet read + edge construction) per
     # iteration. The copy lives in the object store (spillable), never
     # on the driver.
-    proj = edges.map_batches(
-        lambda t, c=(src_col, dst_col): _drop_null_endpoints(
-            t.select(list(c)), c[0], c[1]),
-        batch_format="pyarrow", batch_size=None).materialize()
+    def project(t: pa.Table, c=(src_col, dst_col)) -> pa.Table:
+        cols = list(c) + ([weight_col] if weight_col else [])
+        t = _drop_null_endpoints(t.select(cols), c[0], c[1])
+        if weight_col:
+            w = t.column(weight_col).cast(pa.float64())
+            t = t.set_column(t.column_names.index(weight_col), "__w", w) \
+                .filter(pc.is_valid(w))
+        return t
+
+    proj = edges.map_batches(project, batch_format="pyarrow",
+                             batch_size=None).materialize()
     if proj.count() == 0:      # before the size dispatch: an empty
         # projection has no schema to collect on either path
         return pd.DataFrame({"node": pd.Series([], dtype="int64"),
@@ -333,25 +347,34 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
         if s.size == 0:
             return pd.DataFrame({"node": pd.Series([], dtype="int64"),
                                  "rank": pd.Series([], dtype="float64")})
+        wv = (df["__w"].to_numpy(np.float64) if weight_col
+              else np.ones(s.size))
         nodes = np.unique(np.concatenate([s, d]))
         n = len(nodes)
         si = np.searchsorted(nodes, s)
         di = np.searchsorted(nodes, d)
-        outdeg = np.bincount(si, minlength=n).astype(np.int64)
+        outdeg = np.bincount(si, weights=wv, minlength=n)
         dangling = outdeg == 0
-        safe_deg = np.where(dangling, 1, outdeg).astype(np.float64)
+        safe_deg = np.where(dangling, 1.0, outdeg)
         p = restart_vec(nodes)
         rank = p.copy()
         for _ in range(iters):
             share = np.where(dangling, 0.0, rank / safe_deg)
-            inflow = np.bincount(di, weights=share[si], minlength=n)
+            inflow = np.bincount(di, weights=share[si] * wv, minlength=n)
             d_mass = float(rank[dangling].sum())
             rank = (1.0 - damping) * p + damping * (inflow + d_mass * p)
         return pd.DataFrame({"node": nodes, "rank": rank})
 
-    # node ids + outdegree: two small combiner group-bys
+    # node ids + (weighted) outdegree: two small combiner group-bys
     def deg_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(src_col).aggregate([([], "count_all")])
+        if weight_col:
+            g = pa.table({src_col: t.column(src_col),
+                          "w": t.column("__w")}) \
+                .group_by(src_col).aggregate([("w", "sum")])
+            od = g.column("w_sum").cast(pa.float64()).combine_chunks()
+        else:
+            g = t.group_by(src_col).aggregate([([], "count_all")])
+            od = g.column("count_all").cast(pa.float64()).combine_chunks()
         d = t.select([dst_col]).rename_columns(["node"]) \
             .group_by("node").aggregate([])
         return pa.table({
@@ -359,8 +382,7 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
                 g.column(src_col).cast(pa.int64()).combine_chunks(),
                 d.column("node").cast(pa.int64()).combine_chunks()]),
             "outdeg": pa.concat_arrays([
-                g.column("count_all").cast(pa.int64()).combine_chunks(),
-                pa.array(np.zeros(d.num_rows, np.int64))])})
+                od, pa.array(np.zeros(d.num_rows, np.float64))])})
 
     nparts = shuffle_partitions()
     deg_ds = (proj.map_batches(deg_partial, batch_format="pyarrow",
@@ -378,7 +400,8 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
         # sharded rank-exchange path (state stays a Dataset end to end)
         out = pagerank_sharded(proj, deg_ds, n, src_col, dst_col,
                                damping=damping, iters=iters,
-                               nparts=nparts, seed_arr=seed_arr) \
+                               nparts=nparts, seed_arr=seed_arr,
+                               weighted=bool(weight_col)) \
             .select_columns(["node", "rank"]).to_pandas()
         out["node"] = out["node"].astype("int64")
         out["rank"] = out["rank"].astype("float64")
@@ -386,11 +409,11 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
     deg = deg_ds.to_pandas()
     nodes = deg["node"].to_numpy(dtype=np.int64)
     order = np.argsort(nodes)
-    nodes, outdeg = nodes[order], deg["outdeg"].to_numpy(np.int64)[order]
+    nodes, outdeg = nodes[order], deg["outdeg"].to_numpy(np.float64)[order]
     pvec = restart_vec(nodes)
     rank = pvec.copy()
     dangling = outdeg == 0
-    safe_deg = np.where(dangling, 1, outdeg).astype(np.float64)
+    safe_deg = np.where(dangling, 1.0, outdeg)
 
     for _ in range(iters):
         share = np.where(dangling, 0.0, rank / safe_deg)
@@ -401,6 +424,8 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
             s = t.column(src_col).cast(pa.int64()) \
                 .to_numpy(zero_copy_only=False)
             c = share[np.searchsorted(nodes, s)]
+            if "__w" in t.column_names:
+                c = c * t.column("__w").to_numpy(zero_copy_only=False)
             g = pa.table({"dst": t.column(dst_col).cast(pa.int64()),
                           "c": pa.array(c, pa.float64())}) \
                 .group_by("dst").aggregate([("c", "sum")])
@@ -646,7 +671,7 @@ def hits_sharded(proj, node_ds, src_col: str, dst_col: str, *,
 
 def pagerank_sharded(proj, deg_ds, n: int, src_col: str, dst_col: str, *,
                      damping: float, iters: int, nparts: int,
-                     seed_arr=None):
+                     seed_arr=None, weighted: bool = False):
     """Distributed-state PageRank for graphs whose per-node rank table
     exceeds the driver budget (``pagerank``'s ``max_nodes`` dispatch):
     the (node, outdeg, rank) state lives in a Dataset end to end — the
@@ -708,15 +733,18 @@ def pagerank_sharded(proj, deg_ds, n: int, src_col: str, dst_col: str, *,
                                batch_size=None).materialize()
 
     def share_fn(t: pa.Table) -> pa.Table:
-        od = t.column("outdeg").to_numpy(zero_copy_only=False)
+        od = t.column("outdeg").cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
         r = t.column("rank").to_numpy(zero_copy_only=False)
-        s = np.where(od > 0, r / np.maximum(od, 1), 0.0)
+        # divide by the true (possibly fractional, weighted) degree —
+        # never clamp it: a 0.2 total out-weight still splits all of r
+        s = np.where(od > 0, r / np.where(od > 0, od, 1.0), 0.0)
         return pa.table({"node": t.column("node").cast(pa.int64()),
                          "share": pa.array(s, pa.float64())})
 
     def zero_rows(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("node").cast(pa.int64()),
-                         "outdeg": t.column("outdeg").cast(pa.int64()),
+                         "outdeg": t.column("outdeg").cast(pa.float64()),
                          "inflow": pa.array(
                              np.zeros(t.num_rows, np.float64))})
 
@@ -725,13 +753,19 @@ def pagerank_sharded(proj, deg_ds, n: int, src_col: str, dst_col: str, *,
         # dst per block, never raw joined edges
         if t.num_rows == 0 or "share" not in t.column_names:
             return pa.table({"node": pa.array([], pa.int64()),
-                             "outdeg": pa.array([], pa.int64()),
+                             "outdeg": pa.array([], pa.float64()),
                              "inflow": pa.array([], pa.float64())})
+        contrib = t.column("share").cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        if weighted and "__w" in t.column_names:
+            contrib = contrib * t.column("__w") \
+                .to_numpy(zero_copy_only=False)
         g = pa.table({"node": t.column(dst_col).cast(pa.int64()),
-                      "inflow": t.column("share").cast(pa.float64())}) \
+                      "inflow": pa.array(contrib, pa.float64())}) \
             .group_by("node").aggregate([("inflow", "sum")])
         return pa.table({"node": g.column("node"),
-                         "outdeg": pa.array(np.zeros(g.num_rows, np.int64)),
+                         "outdeg": pa.array(np.zeros(g.num_rows,
+                                                     np.float64)),
                          "inflow": g.column("inflow_sum")})
 
     for _ in range(iters):
@@ -751,7 +785,7 @@ def pagerank_sharded(proj, deg_ds, n: int, src_col: str, dst_col: str, *,
             # schema) + the rank update in one pass
             if t.num_rows == 0 or t.num_columns != 3:
                 return pa.table({"node": pa.array([], pa.int64()),
-                                 "outdeg": pa.array([], pa.int64()),
+                                 "outdeg": pa.array([], pa.float64()),
                                  "rank": pa.array([], pa.float64())})
             t = t.rename_columns(["node", "outdeg", "inflow"])
             inflow = t.column("inflow").to_numpy(zero_copy_only=False)
@@ -760,7 +794,8 @@ def pagerank_sharded(proj, deg_ds, n: int, src_col: str, dst_col: str, *,
             p = p_of(node_np)
             rank = (1.0 - damping) * p + damping * (inflow + dm * p)
             return pa.table({"node": t.column("node").cast(pa.int64()),
-                             "outdeg": t.column("outdeg").cast(pa.int64()),
+                             "outdeg": t.column("outdeg")
+                             .cast(pa.float64()),
                              "rank": pa.array(rank, pa.float64())})
 
         state = (base.union(inflow_parts)

@@ -2665,6 +2665,65 @@ def test_pagerank_vs_power_iteration(ray_session):
     assert abs(sharded["rank"].sum() - 1.0) < 1e-9
 
 
+def test_weighted_pagerank(ray_session):
+    """Edge-weighted PageRank matches a dense weighted power iteration
+    (1e-12) on all three paths; null weights drop rows; fractional
+    total out-weights are NOT clamped (the 0<deg<1 regression guard);
+    weight-1 equals the unweighted form bitwise."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from feature_fabrica_ray.pipelines import pagerank
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 10, 50)
+    dst = rng.integers(0, 10, 50)
+    keep = src != dst
+    w = rng.uniform(0.05, 0.4, keep.sum())   # fractional out-degrees
+    edges = pd.DataFrame({"src": src[keep], "dst": dst[keep], "w": w})
+    edges.loc[3, "w"] = np.nan               # dropped row
+
+    got = pagerank(_ds(edges, blocks=3), "src", "dst", damping=0.85,
+                   iters=25, weight_col="w")
+
+    ok = edges.dropna(subset=["w"])
+    nodes = np.sort(np.unique(np.concatenate([ok["src"], ok["dst"]])))
+    m = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((m, m))
+    for s, d, wt in ok.itertuples(index=False):
+        A[idx[s], idx[d]] += wt
+    outdeg = A.sum(axis=1)
+    r = np.full(m, 1.0 / m)
+    for _ in range(25):
+        share = np.divide(r, outdeg, out=np.zeros(m), where=outdeg > 0)
+        inflow = share @ A
+        r = 0.15 / m + 0.85 * (inflow + r[outdeg == 0].sum() / m)
+    assert np.allclose(got["rank"].to_numpy(), r, atol=1e-12)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+    os.environ["FFR_LOCAL_GRAPH_BYTES"] = "1"
+    try:
+        dist = pagerank(_ds(edges, blocks=3), "src", "dst",
+                        damping=0.85, iters=25, weight_col="w")
+        sharded = pagerank(_ds(edges, blocks=3), "src", "dst",
+                           damping=0.85, iters=25, weight_col="w",
+                           max_nodes=1)
+    finally:
+        del os.environ["FFR_LOCAL_GRAPH_BYTES"]
+    assert np.allclose(dist["rank"].to_numpy(), r, atol=1e-12)
+    assert np.allclose(sharded["rank"].to_numpy(), r, atol=1e-12)
+
+    ones = edges.dropna(subset=["w"]).assign(w=1.0)
+    wa = pagerank(_ds(ones, blocks=2), "src", "dst", iters=15,
+                  weight_col="w")
+    ua = pagerank(_ds(ones[["src", "dst"]], blocks=2), "src", "dst",
+                  iters=15)
+    assert np.allclose(wa["rank"].to_numpy(), ua["rank"].to_numpy(),
+                       atol=1e-15)
+
+
 def test_personalized_pagerank(ray_session):
     """Personalized PageRank matches an exact dense random-walk-with-
     restart (1e-12) on all three paths (local / streaming / sharded),
