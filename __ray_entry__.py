@@ -9544,6 +9544,68 @@ FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q_ev_markov(sf_dir: str) -> pd.DataFrame:
+    """15-step occupancy distribution of the per-user event-type
+    Markov chain ("behavior mix 15 events after a uniform start"):
+    the distributed work is the event_transitions combiner (at most
+    |types|² rows leave the stream); the chain math is a driver
+    matrix-vector loop on the tiny transition matrix, dangling states
+    redistributing uniformly (pipelines/events.py::markov_kstep).
+    Oracle: the 15 steps unrolled as chained CTEs over the same
+    transition counts."""
+    from feature_fabrica_ray.pipelines import event_transitions, \
+        markov_kstep
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    trans = event_transitions(ds, "ts", "user_id", "event_type",
+                              "event_id")
+    out = markov_kstep(trans, steps=15)
+    out["prob"] = _round_away(out["prob"] * 1e6, 4)
+    return out
+
+
+def _markov_oracle(steps: int = 15) -> str:
+    """ev_markov unrolled chain SQL: transition counts from lead()
+    windows, then one CTE per step — row-normalized inflow plus the
+    uniform dangling-mass term (zero on this data, kept for parity
+    with the operator's semantics)."""
+    head = """
+WITH o AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM events),
+t AS MATERIALIZED (SELECT event_type AS f, nxt AS t2,
+      count(*)::DOUBLE AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+states AS MATERIALIZED (SELECT DISTINCT f AS s FROM t
+           UNION SELECT DISTINCT t2 FROM t),
+ns AS MATERIALIZED (SELECT count(*)::DOUBLE AS c FROM states),
+deg AS MATERIALIZED (SELECT f, sum(n) AS dg FROM t GROUP BY f),
+p0 AS MATERIALIZED (SELECT s, 1.0 / (SELECT c FROM ns) AS prob
+                    FROM states)"""
+    steps_sql = []
+    for i in range(1, steps + 1):
+        steps_sql.append(f""",
+p{i} AS MATERIALIZED (SELECT st.s,
+    COALESCE(fl.inflow, 0)
+    + (SELECT COALESCE(sum(p.prob), 0) FROM p{i - 1} p
+       WHERE p.s NOT IN (SELECT f FROM deg)) / (SELECT c FROM ns)
+      AS prob
+  FROM states st LEFT JOIN (
+    SELECT t.t2 AS s, sum(p.prob * t.n / deg.dg) AS inflow
+    FROM t JOIN p{i - 1} p ON t.f = p.s JOIN deg ON deg.f = t.f
+    GROUP BY t.t2) fl ON fl.s = st.s)""")
+    tail = f"""
+SELECT s AS state, round(prob * 1e6, 4) AS prob FROM p{steps}
+ORDER BY s"""
+    return head + "".join(steps_sql) + tail
+
+
+_MARKOV_ORACLE = _markov_oracle()
+
+
 def q_pr_mutual_info(sf_dir: str) -> pd.DataFrame:
     """Mutual information + normalized MI between two categoricals
     (pipelines/grouped.py::mutual_information) — same distinct-pair
@@ -10186,6 +10248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_anova": q_pr_anova,
         "ft_target_enc": q_ft_target_enc,
         "ev_transitions": q_ev_transitions,
+        "ev_markov": q_ev_markov,
         "pr_mutual_info": q_pr_mutual_info,
         "ft_rank_norm": q_ft_rank_norm,
         "sp_buckets": q_sp_buckets,
@@ -10494,6 +10557,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_anova": _ANOVA_ORACLE,
         "ft_target_enc": _TARGET_ENC_ORACLE,
         "ev_transitions": _TRANSITIONS_ORACLE,
+        "ev_markov": _MARKOV_ORACLE,
         "pr_mutual_info": _MUTUAL_INFO_ORACLE,
         "ft_rank_norm": _RANK_NORM_ORACLE,
         "sp_buckets": _BUCKETS_ORACLE,

@@ -30,7 +30,7 @@ __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "bucketed_by_key",
            "extract_json_int", "cumulative_agg", "rolling_agg", "lag_lead",
            "fill_time_gaps", "funnel_steps", "interval_overlap_pairs",
-           "cohort_retention", "event_transitions", "ewma_per_key",
+           "cohort_retention", "event_transitions", "markov_kstep", "ewma_per_key",
            "interarrival_stats", "rate_anomalies", "windowed_distinct",
            "runs_islands", "time_weighted_avg", "forward_fill",
            "interpolate_missing", "autocorr_per_key",
@@ -711,6 +711,47 @@ def event_transitions(ds, ts_col: str, key_col: str, type_col: str,
                             "n": pd.Series([], dtype="int64")})
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+def markov_kstep(trans: pd.DataFrame, steps: int = 15, *,
+                 from_col: str = "from_type", to_col: str = "to_type",
+                 n_col: str = "n") -> pd.DataFrame:
+    """k-step occupancy distribution of the first-order Markov chain
+    defined by a (from, to, count) transition table — "where is a user
+    k events after a uniform start", the long-run behavior-mix
+    summary on top of ``event_transitions``. Rows are normalized to
+    probabilities; DANGLING states (observed only as targets, no
+    outgoing transitions) redistribute their mass uniformly over all
+    states each step (the pagerank convention), so the distribution
+    stays a distribution.
+
+    Deliberately a DRIVER function: the distributed work is the
+    transitions combiner that produced ``trans`` (at most |types|²
+    rows, independent of stream length); the chain math is a
+    |types|-sized matrix-vector loop. Returns (state, prob) sorted by
+    state."""
+    if trans.empty:
+        return pd.DataFrame({"state": pd.Series([], dtype=object),
+                             "prob": pd.Series([], dtype="float64")})
+    states = np.unique(np.concatenate([
+        trans[from_col].to_numpy(), trans[to_col].to_numpy()]))
+    m = len(states)
+    fi = np.searchsorted(states, trans[from_col].to_numpy())
+    ti = np.searchsorted(states, trans[to_col].to_numpy())
+    w = trans[n_col].to_numpy(np.float64)
+    P = np.zeros((m, m))
+    np.add.at(P, (fi, ti), w)
+    outdeg = P.sum(axis=1)
+    dangling = outdeg == 0
+    Pn = P / np.where(dangling, 1.0, outdeg)[:, None]
+    pi = np.full(m, 1.0 / m)
+    for _ in range(steps):
+        # dangling rows of Pn are all-zero, so `pi @ Pn` drops their
+        # mass; the uniform d_mass/m term restores it
+        d_mass = float(pi[dangling].sum())
+        pi = pi @ Pn + d_mass / m
+    return pd.DataFrame({"state": states, "prob": pi}) \
+        .sort_values("state").reset_index(drop=True)
 
 
 def ewma_per_key(ds, ts_col: str, key_col: str, value_col: str,

@@ -5387,3 +5387,43 @@ def test_leakage_safe_split(ray_session):
                               threshold=0.4).to_pandas()
     assert out.sort_values("doc_id")["split"].tolist() == \
         out2.sort_values("doc_id")["split"].tolist()       # layout-invariant
+
+
+def test_markov_kstep(ray_session):
+    """markov_kstep matches a dense k-step chain reference to 1e-12,
+    conserves probability mass with dangling states, converges to the
+    stationary distribution of an ergodic 2-state chain, and handles
+    the empty table."""
+    from feature_fabrica_ray.pipelines import markov_kstep
+
+    trans = pd.DataFrame({
+        "from_type": ["a", "a", "b", "c"],
+        "to_type": ["b", "c", "a", "d"],   # d observed only as target
+        "n": [3, 1, 2, 5]})
+    out = markov_kstep(trans, steps=8)
+    assert abs(out["prob"].sum() - 1.0) < 1e-12
+
+    states = ["a", "b", "c", "d"]
+    P = np.zeros((4, 4))
+    P[0, 1], P[0, 2] = 0.75, 0.25
+    P[1, 0] = 1.0
+    P[2, 3] = 1.0
+    dang = np.array([False, False, False, True])
+    pi = np.full(4, 0.25)
+    for _ in range(8):
+        dm = pi[dang].sum()
+        pi = pi @ P + dm / 4
+    got = dict(zip(out["state"], out["prob"]))
+    for s, v in zip(states, pi):
+        assert abs(got[s] - v) < 1e-12
+
+    # ergodic 2-state chain: k-step distribution -> stationary 2/3,1/3
+    erg = pd.DataFrame({"from_type": ["x", "x", "y"],
+                        "to_type": ["y", "x", "x"], "n": [1, 1, 4]})
+    st = markov_kstep(erg, steps=60)
+    got = dict(zip(st["state"], st["prob"]))
+    assert abs(got["x"] - 2 / 3) < 1e-9 and abs(got["y"] - 1 / 3) < 1e-9
+
+    empty = markov_kstep(pd.DataFrame({"from_type": [], "to_type": [],
+                                       "n": []}))
+    assert len(empty) == 0
