@@ -9427,6 +9427,42 @@ def q_ss_centroid(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_ss_silhouette(sf_dir: str) -> pd.DataFrame:
+    """Simplified (centroid-based) silhouette per label — the O(n·k)
+    clustering-quality validation (labels whose mean silhouette drops
+    toward 0 overlap their neighbors). Exact-centroid combiner fit +
+    one broadcast + one streaming (sum_s, n) partial pass, zero
+    shuffle (pipelines/similarity.py::silhouette_simplified)."""
+    from feature_fabrica_ray.pipelines import silhouette_simplified
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+    out = silhouette_simplified(ds)
+    out["mean_sil"] = _round_away(out["mean_sil"], 6)
+    return out
+
+
+_SILHOUETTE_ORACLE = """
+WITH x AS (SELECT vec_id, label, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS pos
+           FROM embeddings),
+c AS (SELECT label, pos, avg(v) AS cv FROM x GROUP BY 1, 2),
+d AS (SELECT x.vec_id, x.label AS own, c.label AS cl,
+             sqrt(sum((x.v - c.cv) * (x.v - c.cv))) AS dist
+      FROM x JOIN c ON c.pos = x.pos
+      GROUP BY x.vec_id, x.label, c.label),
+s AS (SELECT vec_id, own,
+             max(CASE WHEN cl = own THEN dist END) AS a,
+             min(CASE WHEN cl <> own THEN dist END) AS b
+      FROM d GROUP BY 1, 2)
+SELECT CAST(own AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(CASE WHEN b IS NULL OR greatest(a, b) = 0 THEN 0
+                      ELSE (b - a) / greatest(a, b) END), 6)
+         AS mean_sil
+FROM s GROUP BY own ORDER BY own
+"""
+
+
 _CENTROID_ORACLE = """
 SELECT CAST(label AS BIGINT) AS label, pos,
        round(avg(v), 6) AS mean_v, CAST(count(*) AS BIGINT) AS n
@@ -10289,6 +10325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ss_ivfpq": q_ss_ivfpq,
         "ss_cosine_topk": q_ss_cosine_topk,
         "ss_centroid": q_ss_centroid,
+        "ss_silhouette": q_ss_silhouette,
         "ss_ivf_topk": q_ss_ivf_topk,
         "ss_pca": q_ss_pca,
         "mm_decode": q_mm_decode,
@@ -10581,6 +10618,7 @@ def oracle_sql() -> dict[str, str]:
         "ss_range": _SS_RANGE_ORACLE,
         "ss_cosine_topk": _COSINE_ORACLE,
         "ss_centroid": _CENTROID_ORACLE,
+        "ss_silhouette": _SILHOUETTE_ORACLE,
         # ss_ivf_topk: approximate -> rows-only (pytest recall bound)
         "mm_decode": _MM_ORACLE,
         "mm_audio": _MM_AUDIO_ORACLE,

@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 __all__ = ["cosine_topk", "ivf_topk", "lsh_topk", "fit_centroids",
            "fit_sample", "knn_graph", "radius_search",
-           "label_centroids",
+           "label_centroids", "silhouette_simplified",
            "random_projection",
            "quantize_embeddings", "semantic_dedup_ids", "product_quantize", "mmr_topk", "ivfpq_topk",
            "normalize_embeddings", "fit_pca", "pca_project",
@@ -1048,3 +1048,76 @@ def label_centroids(ds, *, label_col: str = "label",
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["label", "pos"])[
         ["label", "pos", "mean_v", "n"]].reset_index(drop=True)
+
+
+def silhouette_simplified(ds, *, label_col: str = "label",
+                          vec_col: str = "embedding") -> pd.DataFrame:
+    """Simplified (centroid-based) silhouette score per label — the
+    clustering-quality validation: for each point, a = distance to its
+    OWN label centroid, b = distance to the nearest OTHER centroid,
+    s = (b − a)/max(a, b) ∈ [−1, 1]; a label whose mean s approaches 0
+    or goes negative overlaps its neighbors (mislabeled or drifting
+    cluster). This is the O(n·k) variant of the O(n²) full silhouette
+    — the only form that scales.
+
+    Two passes, zero shuffle: the ``label_centroids`` combiner fit
+    (exact means), centroid matrix broadcast once via ``ray.put``
+    (k × dim — the same small-state budget as the kmeans/IVF fits),
+    then one streaming pass emitting per-label (sum_s, n) partials.
+    Degenerate cases follow sklearn: a single label scores 0, as does
+    a point equidistant at 0 from two centroids. Returns
+    (label, n, mean_sil)."""
+    import ray
+
+    cent = label_centroids(ds, label_col=label_col, vec_col=vec_col)
+    if cent.empty:
+        return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64"),
+                             "mean_sil": pd.Series([], dtype="float64")})
+    labels = np.sort(cent["label"].unique())
+    dim = int(cent["pos"].max())
+    C = np.zeros((len(labels), dim))
+    li = np.searchsorted(labels, cent["label"].to_numpy())
+    C[li, cent["pos"].to_numpy() - 1] = cent["mean_v"].to_numpy()
+    ref = ray.put((labels, C))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels, C = ray.get(ref)
+        M = _vectors(batch, vec_col)
+        lab = batch.column(label_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if M.size == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        # squared distances to every centroid in one matmul
+        d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) \
+            + (C * C).sum(axis=1)[None, :]
+        d = np.sqrt(np.maximum(d2, 0.0))
+        own = np.searchsorted(labels, lab)
+        rows = np.arange(len(lab))
+        a = d[rows, own]
+        dm = d.copy()
+        dm[rows, own] = np.inf
+        b = dm.min(axis=1)
+        denom = np.maximum(a, b)
+        with np.errstate(invalid="ignore"):
+            s = np.where(np.isfinite(b) & (denom > 0),
+                         (b - a) / np.where(denom > 0, denom, 1.0), 0.0)
+        g = pa.table({"label": pa.array(lab, pa.int64()),
+                      "s": pa.array(s, pa.float64())}) \
+            .group_by("label").aggregate([("s", "sum"),
+                                          ([], "count_all")])
+        return pa.table({"label": g.column("label"),
+                         "s": g.column("s_sum"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    out = parts.groupby("label", as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+    out["mean_sil"] = out["s"] / out["n"]
+    out["label"] = out["label"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("label")[["label", "n", "mean_sil"]] \
+        .reset_index(drop=True)

@@ -5427,3 +5427,48 @@ def test_markov_kstep(ray_session):
     empty = markov_kstep(pd.DataFrame({"from_type": [], "to_type": [],
                                        "n": []}))
     assert len(empty) == 0
+
+
+def test_silhouette_simplified(ray_session):
+    """silhouette_simplified matches a brute-force centroid reference
+    to 1e-12, scores well-separated clusters near 1 and interleaved
+    labels near 0, handles the single-label (s=0) convention, and is
+    layout-invariant."""
+    from feature_fabrica_ray.pipelines import silhouette_simplified
+
+    rng = np.random.default_rng(23)
+    a = rng.normal((0, 0), 0.05, (40, 2))
+    b = rng.normal((10, 10), 0.05, (40, 2))
+    df = pd.DataFrame({
+        "vec_id": np.arange(80, dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in np.vstack([a, b])],
+        "label": np.repeat([0, 1], 40).astype(np.int64)})
+
+    got = silhouette_simplified(_ds(df, blocks=3))
+    # brute-force centroid reference
+    X = np.vstack([a, b])
+    lab = np.repeat([0, 1], 40)
+    C = np.stack([X[lab == l].mean(axis=0) for l in (0, 1)])
+    D = np.linalg.norm(X[:, None, :] - C[None, :, :], axis=2)
+    aa = D[np.arange(80), lab]
+    bb = D[np.arange(80), 1 - lab]
+    s = (bb - aa) / np.maximum(aa, bb)
+    for l in (0, 1):
+        assert got.loc[got["label"] == l, "mean_sil"].iloc[0] == \
+            pytest.approx(s[lab == l].mean(), abs=1e-12)
+    assert (got["mean_sil"] > 0.95).all()      # well-separated
+    assert (got["n"] == 40).all()
+
+    one = silhouette_simplified(_ds(df, blocks=1))
+    pd.testing.assert_frame_equal(one, got)
+
+    # interleaved labels: silhouette collapses toward (or below) zero
+    mixed = df.copy()
+    mixed["label"] = (mixed["vec_id"] % 2).astype(np.int64)
+    ms = silhouette_simplified(_ds(mixed, blocks=2))
+    assert (ms["mean_sil"] < 0.1).all()
+
+    solo = df.copy()
+    solo["label"] = np.int64(7)
+    ss = silhouette_simplified(_ds(solo))
+    assert (ss["mean_sil"] == 0.0).all() and ss["n"].iloc[0] == 80
