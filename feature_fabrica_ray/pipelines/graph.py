@@ -446,15 +446,17 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
 
 def personalized_pagerank(edges, seeds, src_col: str = "src",
                           dst_col: str = "dst", *, damping: float = 0.85,
-                          iters: int = 20, max_nodes: int = 5_000_000):
+                          iters: int = 20, max_nodes: int = 5_000_000,
+                          weight_col: str | None = None):
     """Random walk with restart to a seed set — relevance of every
     node to the seeds (seed-expansion for curation: 'documents/repos
     related to this known-good set'). Thin wrapper over ``pagerank``
-    with the personalized restart vector; see there for the scale
-    shape (streaming combiner per iteration, sharded state past
-    ``max_nodes``)."""
+    with the personalized restart vector (optionally edge-weighted via
+    ``weight_col``); see there for the scale shape (streaming combiner
+    per iteration, sharded state past ``max_nodes``)."""
     return pagerank(edges, src_col, dst_col, damping=damping,
-                    iters=iters, max_nodes=max_nodes, seeds=seeds)
+                    iters=iters, max_nodes=max_nodes, seeds=seeds,
+                    weight_col=weight_col)
 
 
 def hits(edges, src_col: str = "src", dst_col: str = "dst", *,
