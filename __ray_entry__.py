@@ -355,6 +355,102 @@ def q_vl_segment_drift(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_vl_drift_timeline(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day drift timeline (pipelines/validate.py::
+    drift_timeline): WHEN did the value distribution move — PSI
+    between each observed day and its predecessor on one shared
+    fixed-edge grid. Values are deterministically tripled from day 16
+    on, so exactly the day-16 transition fails and every other
+    adjacent pair passes. Oracle: the segment-drift binning SQL with
+    consecutive observed periods paired via row_number."""
+    from feature_fabrica_ray.pipelines import drift_timeline
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        mult = pc.if_else(
+            pc.greater_equal(pc.day(batch.column("ts")), 16), 3.0, 1.0)
+        return batch.set_column(
+            batch.column_names.index("value"), "value",
+            pc.multiply(batch.column("value"), mult))
+
+    cur = ds.map_batches(shift, batch_format="pyarrow", batch_size=None)
+    out = drift_timeline(cur, "ts", "value", freq="day", threshold=0.1)
+    assert not bool(out.set_index("period").loc[20240116, "passed"])
+    out["metric"] = _round_away(out["metric"], 6)
+    return out
+
+
+_DRIFT_TIMELINE_ORACLE = """
+WITH src AS (
+  SELECT ts, CASE WHEN day(ts) >= 16 THEN value * 3.0 ELSE value END
+           AS value
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+b AS (
+  SELECT min(value) AS lo,
+         CASE WHEN max(value) > min(value) THEN max(value)
+              ELSE min(value) + 1.0 END AS hi
+  FROM src),
+edges AS (
+  SELECT i, CASE WHEN i = 64 THEN (SELECT hi FROM b)
+                 ELSE i * (((SELECT hi FROM b) - (SELECT lo FROM b))
+                           / 64.0) + (SELECT lo FROM b) END AS edge
+  FROM range(65) t(i)),
+vals AS (
+  SELECT year(ts) * 10000 + month(ts) * 100 + day(ts) AS period,
+         value, row_number() OVER () AS rid
+  FROM src),
+binned AS (
+  SELECT v.period,
+         CASE WHEN v.value < (SELECT lo FROM b) THEN 0
+              WHEN v.value > (SELECT hi FROM b) THEN 65
+              ELSE least(max(e.i), 63) + 1 END AS bkt
+  FROM vals v LEFT JOIN edges e ON e.edge <= v.value
+  GROUP BY v.period, v.rid, v.value),
+counts AS (
+  SELECT period, bkt, count(*) AS c FROM binned GROUP BY ALL),
+pers AS (
+  SELECT period, row_number() OVER (ORDER BY period) AS rn
+  FROM (SELECT DISTINCT period FROM vals)),
+pairs AS (
+  SELECT c2.period AS period, c1.period AS prev_period
+  FROM pers c1 JOIN pers c2 ON c2.rn = c1.rn + 1),
+grid AS (
+  SELECT p.period, p.prev_period, g.bkt
+  FROM pairs p, range(66) g(bkt)),
+fullp AS (
+  SELECT gr.period, gr.prev_period, gr.bkt,
+         coalesce(sum(CASE WHEN c.period = gr.prev_period
+                           THEN c.c END), 0) AS e_c,
+         coalesce(sum(CASE WHEN c.period = gr.period
+                           THEN c.c END), 0) AS a_c
+  FROM grid gr LEFT JOIN counts c
+    ON c.bkt = gr.bkt AND c.period IN (gr.period, gr.prev_period)
+  GROUP BY gr.period, gr.prev_period, gr.bkt),
+tots AS (
+  SELECT period, prev_period, sum(e_c) AS e_t, sum(a_c) AS a_t
+  FROM fullp GROUP BY 1, 2)
+SELECT f.period, f.prev_period,
+       CAST(max(t.e_t) AS BIGINT) AS n_prev,
+       CAST(max(t.a_t) AS BIGINT) AS n_cur,
+       round(sum((greatest(a_c / greatest(a_t, 1.0), 1e-6)
+                  - greatest(e_c / greatest(e_t, 1.0), 1e-6))
+                 * ln(greatest(a_c / greatest(a_t, 1.0), 1e-6)
+                      / greatest(e_c / greatest(e_t, 1.0), 1e-6))),
+             6) AS metric,
+       sum((greatest(a_c / greatest(a_t, 1.0), 1e-6)
+            - greatest(e_c / greatest(e_t, 1.0), 1e-6))
+           * ln(greatest(a_c / greatest(a_t, 1.0), 1e-6)
+                / greatest(e_c / greatest(e_t, 1.0), 1e-6))) <= 0.1
+           AS passed
+FROM fullp f JOIN tots t
+  ON t.period = f.period AND t.prev_period = f.prev_period
+GROUP BY f.period, f.prev_period
+ORDER BY f.period
+"""
+
+
 _SEGDRIFT_ORACLE = """
 WITH b AS (
   SELECT min(value) AS lo,
@@ -10160,6 +10256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vl_compare": q_vl_compare,
         "vl_freshness": q_vl_freshness,
         "vl_segment_drift": q_vl_segment_drift,
+        "vl_drift_timeline": q_vl_drift_timeline,
         "vl_outliers": q_vl_outliers,
         "vl_outliers_iqr": q_vl_outliers_iqr,
         "vl_reconcile": q_vl_reconcile,
@@ -10446,6 +10543,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "vl_suite_verdicts": _VERDICT_ORACLE,
         "vl_segment_drift": _SEGDRIFT_ORACLE,
+        "vl_drift_timeline": _DRIFT_TIMELINE_ORACLE,
         "vl_drift": _DRIFT_ORACLE,
         "vl_violation_rows": _VIOLATION_ORACLE,
         "vl_uniqueness_rows": _UNIQUENESS_ORACLE,

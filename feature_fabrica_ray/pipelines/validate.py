@@ -1203,6 +1203,90 @@ def segment_drift(ds, group_col: str, col: str, baseline_ds, *,
 __all__.append("segment_drift")
 
 
+def drift_timeline(ds, ts_col: str, col: str, *, bins: int = 64,
+                   threshold: float = 0.2,
+                   freq: str = "month") -> pd.DataFrame:
+    """Period-over-period distribution drift of ``col`` — WHEN did the
+    column move: PSI between every calendar period (``freq`` =
+    "month" or "day") and its predecessor,
+    the temporal complement to ``segment_drift``'s per-segment triage
+    (a slow upstream schema/unit change shows up here as the first
+    failing month).
+
+    Shared fixed edges come from ONE global [min, max] moments pass
+    (every month histograms onto the same grid — the precondition for
+    comparable PSI); then one streaming pass emits a (bins+2)-long
+    count vector per (block, month) — KB-sized partials merged on the
+    driver (months are calendar-bounded, never row-scale). Consecutive
+    months with identical distributions measure PSI 0; the standard
+    1e-6 zero-floor keeps one-sided bins finite. Null timestamps and
+    null values are excluded. Returns (period, prev_period, n_prev,
+    n_cur, metric, passed) sorted by period — the earliest month has
+    no predecessor and emits no row. Note the pairing is between
+    ADJACENT OBSERVED periods in sort order (an empty calendar period
+    is skipped, not treated as an all-zero distribution)."""
+    if freq not in ("month", "day"):
+        raise ValueError(f"freq must be month|day, got {freq!r}")
+
+    def momentum(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col).drop_null() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"m": [json.dumps(
+            Moments.from_array(arr).to_dict())]})
+
+    rows = ds.map_batches(momentum, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    m = Moments()
+    for r in rows:
+        m = m.merge(Moments.from_dict(json.loads(r["m"])))
+    lo, hi = m.min, (m.max if m.max > m.min else m.min + 1.0)
+    edges = np.linspace(lo, hi, bins + 1)
+
+    def hist_partials(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        ok = pc.and_(pc.is_valid(ts), pc.is_valid(batch.column(col)))
+        b = batch.filter(ok)
+        ts = b.column(ts_col)
+        period = pc.add(pc.multiply(pc.year(ts).cast(pa.int64()),
+                                    pa.scalar(100, pa.int64())),
+                        pc.month(ts).cast(pa.int64()))
+        if freq == "day":
+            period = pc.add(pc.multiply(period,
+                                        pa.scalar(100, pa.int64())),
+                            pc.day(ts).cast(pa.int64()))
+        period = period.to_numpy(zero_copy_only=False)
+        vals = b.column(col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        pers, counts = [], []
+        for u in np.unique(period):
+            h = NumericHistogram(edges).add(vals[period == u])
+            pers.append(int(u))
+            counts.append(h.full_counts().astype(np.int64).tolist())
+        return pa.table({"period": pa.array(pers, pa.int64()),
+                         "fc": pa.array(counts, pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(hist_partials, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    acc: dict[int, np.ndarray] = {}
+    for per, fc in zip(parts["period"], parts["fc"]):
+        v = np.asarray(fc, dtype=np.float64)
+        acc[int(per)] = acc.get(int(per), 0) + v
+    periods = sorted(acc)
+    out = []
+    for prev, cur in zip(periods, periods[1:]):
+        metric = psi_from_counts(acc[prev], acc[cur])
+        out.append((cur, prev, int(acc[prev].sum()),
+                    int(acc[cur].sum()), metric, metric <= threshold))
+    df = pd.DataFrame(out, columns=["period", "prev_period", "n_prev",
+                                    "n_cur", "metric", "passed"])
+    for c in ("period", "prev_period", "n_prev", "n_cur"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+__all__.append("drift_timeline")
+
+
 def schema_diff(ds_a, ds_b) -> "pd.DataFrame":
     """Schema drift between two datasets/snapshots: one row per column
     name with its status — ``added`` (only in B), ``removed`` (only in

@@ -1491,3 +1491,38 @@ def test_pk_candidate_profile(ray_session):
         ray.data.from_pandas(df), [["id"], ["grp"], ["maybe"],
                                    ["grp", "sub"]])
     pd.testing.assert_frame_equal(one, out)
+
+
+def test_drift_timeline(ray_session):
+    """drift_timeline pairs adjacent observed periods on one shared
+    grid: a planted level shift fails exactly at its first period,
+    identical periods measure PSI 0, empty calendar periods are
+    skipped (adjacent-observed pairing), and the result is
+    layout-invariant."""
+    import ray
+    from feature_fabrica_ray.pipelines import drift_timeline
+
+    rng = np.random.default_rng(31)
+    # three observed months: Jan, Feb (same dist), April (shifted;
+    # March empty) — April pairs with FEBRUARY, not an all-zero March
+    ts = (["2024-01-%02dT00:00:00" % (i % 28 + 1) for i in range(300)]
+          + ["2024-02-%02dT00:00:00" % (i % 28 + 1) for i in range(300)]
+          + ["2024-04-%02dT00:00:00" % (i % 28 + 1) for i in range(300)])
+    base = rng.normal(10, 1, 300)
+    df = pd.DataFrame({"ts": pd.to_datetime(ts),
+                       "v": np.concatenate([base, base, base * 5])})
+    out = drift_timeline(ray.data.from_pandas(df).repartition(4),
+                         "ts", "v", threshold=0.1)
+    assert list(out["period"]) == [202402, 202404]
+    assert list(out["prev_period"]) == [202401, 202402]
+    feb, apr = out.iloc[0], out.iloc[1]
+    assert feb["metric"] == pytest.approx(0.0, abs=1e-12) and feb["passed"]
+    assert apr["metric"] > 0.1 and not apr["passed"]
+    assert (out["n_prev"] == 300).all() and (out["n_cur"] == 300).all()
+
+    one = drift_timeline(ray.data.from_pandas(df), "ts", "v",
+                         threshold=0.1)
+    pd.testing.assert_frame_equal(one, out)
+
+    with pytest.raises(ValueError, match="freq"):
+        drift_timeline(ray.data.from_pandas(df), "ts", "v", freq="week")
