@@ -2739,6 +2739,39 @@ FROM documents
 """
 
 
+def q_sm_ares(sf_dir: str) -> pd.DataFrame:
+    """Fixed-size weighted sample WITHOUT replacement (Efraimidis-
+    Spirakis A-Res): top-50 documents by u^(1/n_chars) with u drawn
+    deterministically from md5(doc_id) — the exact-budget complement
+    to Bernoulli weighted sampling. Stateless scoring + per-block
+    top-k partials, no shuffle
+    (pipelines/sampling.py::ares_sample)."""
+    from feature_fabrica_ray.pipelines import ares_sample
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    out = ares_sample(ds, "doc_id", "n_chars", k=50, method="md5")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    out["score"] = _round_away(out["score"], 6)
+    return out
+
+
+_ARES_ORACLE = """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+              AS BIGINT) / 4503599627370496.0 AS uu
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars > 0)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       round(pow(uu, 1.0 / n_chars), 6) AS score
+FROM u
+ORDER BY pow(uu, 1.0 / n_chars) DESC, doc_id
+LIMIT 50
+"""
+
+
 def q_sm_mixture(sf_dir: str) -> pd.DataFrame:
     """Corpus mixing (pipelines/sampling.mixture_sample): downsample
     sources to a 30/25/25/20 target mixture at the maximum feasible
@@ -10313,6 +10346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sm_mixture": q_sm_mixture,
         "sm_split": q_sm_split,
         "sm_kfold": q_sm_kfold,
+        "sm_ares": q_sm_ares,
         "sm_weighted": q_sm_weighted,
         "dd_embedding": q_dd_embedding,
         "jn_salted": q_jn_salted,
@@ -10604,6 +10638,7 @@ def oracle_sql() -> dict[str, str]:
         "sm_mixture": _MIXTURE_ORACLE,
         "sm_split": _SPLIT_ORACLE,
         "sm_kfold": _KFOLD_ORACLE,
+        "sm_ares": _ARES_ORACLE,
         "sm_weighted": _WEIGHTED_ORACLE,
         # dd_embedding: LSH blocking -> rows-only (planted-pair pytest)
         "jn_salted": _SALTED_JOIN_ORACLE,

@@ -19,7 +19,7 @@ from ..state import combine_hashes, hash64
 __all__ = ["hash_sample", "stratified_sample", "weighted_hash_sample",
            "md5_hex_column", "md5_fraction_threshold", "hash_split",
            "bootstrap_mean_ci", "neyman_allocation", "mixture_sample",
-           "stratified_kfold"]
+           "stratified_kfold", "ares_sample"]
 
 _D = np.uint64(1 << 32)
 
@@ -548,6 +548,66 @@ def mixture_sample(ds, proportions: dict[str, float], *,
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(fn_md5, batch_format="pyarrow", batch_size=None)
+
+
+def ares_sample(ds, key_col: str, weight_col: str, k: int,
+                method: str = "hash64") -> "pd.DataFrame":
+    """Fixed-size weighted sample WITHOUT replacement (Efraimidis-
+    Spirakis A-Res): each row draws a deterministic uniform u from its
+    key and scores u^(1/w); the global top-k by score is exactly a
+    weight-proportional without-replacement draw. Deterministic and
+    layout/rerun-invariant like every sampler here (the draw is a pure
+    function of the key) — the fixed-BUDGET complement to
+    ``weighted_hash_sample``'s Bernoulli form (that one's output size
+    is binomial; training-data quotas need exactly k).
+
+    Scale shape: stateless scoring + per-block top-k partials
+    (vectorized lexsort slice), k-sized partials merged on the driver
+    — no shuffle, no sort of the table. Rows with null/non-positive
+    weight are excluded. ``method="hash64"`` is the vectorized scale
+    path; ``method="md5"`` derives u from the first 13 md5 hex chars
+    (52 bits — exact in a double), replicable in ANSI SQL via
+    ``CAST('0x'||substr(md5(key),1,13) AS BIGINT)``. Ties broken by
+    key ascending. Returns the selected rows' (key, weight, score)."""
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if method not in ("hash64", "md5"):
+        raise ValueError(f"method must be hash64|md5, got {method!r}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col)
+        w = batch.column(weight_col).cast(pa.float64())
+        ok = pc.and_(pc.is_valid(key),
+                     pc.fill_null(pc.greater(w, 0.0), False))
+        t = pa.table({"k": key, "w": w}).filter(ok)
+        kk = t.column("k")
+        wv = t.column("w").to_numpy(zero_copy_only=False)
+        if method == "md5":
+            hexes = md5_hex_column(kk)
+            u = np.array([int(h[:13], 16) for h in hexes.to_pylist()],
+                         dtype=np.float64) / float(1 << 52)
+        else:
+            u = hash64(kk).astype(np.float64) / float(2 ** 64)
+        with np.errstate(divide="ignore"):
+            score = u ** (1.0 / wv)
+        df = pd.DataFrame({key_col: kk.to_pandas(), weight_col: wv,
+                           "score": score})
+        df = df.sort_values(["score", key_col],
+                            ascending=[False, True],
+                            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(columns=[key_col, weight_col, "score"])
+    out = parts.sort_values(["score", key_col],
+                            ascending=[False, True],
+                            kind="mergesort").head(k)
+    return out.reset_index(drop=True)
 
 
 def stratified_kfold(ds, stratum_col: str, key_col: str, k: int,

@@ -5472,3 +5472,36 @@ def test_silhouette_simplified(ray_session):
     solo["label"] = np.int64(7)
     ss = silhouette_simplified(_ds(solo))
     assert (ss["mean_sil"] == 0.0).all() and ss["n"].iloc[0] == 80
+
+
+def test_ares_sample(ray_session):
+    """ares_sample is a weight-proportional without-replacement draw:
+    exactly k rows, layout/rerun invariant, heavier keys
+    overrepresented across disjoint key populations, null/non-positive
+    weights excluded, and hash64/md5 modes agree on the invariants."""
+    from feature_fabrica_ray.pipelines import ares_sample
+
+    n = 4000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "w": np.where(np.arange(n) % 2 == 0, 10.0, 1.0)})
+    df.loc[0, "w"] = np.nan
+    df.loc[1, "w"] = -3.0
+
+    for method in ("hash64", "md5"):
+        out = ares_sample(_ds(df, blocks=4), "id", "w", k=200,
+                          method=method)
+        assert len(out) == 200
+        assert len(set(out["id"])) == 200          # without replacement
+        assert 0 not in set(out["id"]) and 1 not in set(out["id"])
+        # heavy keys (w=10) should dominate ~10:1 over light (w=1)
+        heavy = (out["id"] % 2 == 0).sum()
+        assert heavy > 150
+        one = ares_sample(_ds(df, blocks=1), "id", "w", k=200,
+                          method=method)
+        pd.testing.assert_frame_equal(one, out)
+
+    few = ares_sample(_ds(df.head(5).dropna()), "id", "w", k=100)
+    assert len(few) <= 5
+
+    with pytest.raises(ValueError, match="k must be"):
+        ares_sample(_ds(df), "id", "w", k=0)
