@@ -9571,6 +9571,45 @@ def q_ss_silhouette(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_ss_db(sf_dir: str) -> pd.DataFrame:
+    """Davies-Bouldin per-label profile (scatter + worst-neighbor
+    overlap ratio r) — the triage complement to ss_silhouette, same
+    two-pass zero-shuffle shape
+    (pipelines/similarity.py::davies_bouldin)."""
+    from feature_fabrica_ray.pipelines import davies_bouldin
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+    out = davies_bouldin(ds)
+    out["scatter"] = _round_away(out["scatter"], 6)
+    out["r"] = _round_away(out["r"], 6)
+    return out
+
+
+_DB_ORACLE = """
+WITH x AS (SELECT vec_id, label, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS pos
+           FROM embeddings),
+c AS (SELECT label, pos, avg(v) AS cv FROM x GROUP BY 1, 2),
+s AS (SELECT own AS label, avg(dist) AS scatter, count(*) AS n
+      FROM (SELECT x.vec_id, x.label AS own,
+                   sqrt(sum((x.v - c.cv) * (x.v - c.cv))) AS dist
+            FROM x JOIN c ON c.pos = x.pos AND c.label = x.label
+            GROUP BY x.vec_id, x.label)
+      GROUP BY own),
+m AS (SELECT a.label AS la, b.label AS lb,
+             sqrt(sum((a.cv - b.cv) * (a.cv - b.cv))) AS d
+      FROM c a JOIN c b ON a.pos = b.pos AND a.label <> b.label
+      GROUP BY a.label, b.label)
+SELECT CAST(s.label AS BIGINT) AS label, CAST(s.n AS BIGINT) AS n,
+       round(s.scatter, 6) AS scatter,
+       round(max((s.scatter + s2.scatter) / m.d), 6) AS r
+FROM s JOIN m ON m.la = s.label JOIN s s2 ON s2.label = m.lb
+GROUP BY s.label, s.n, s.scatter
+ORDER BY s.label
+"""
+
+
 _SILHOUETTE_ORACLE = """
 WITH x AS (SELECT vec_id, label, unnest(embedding) AS v,
                   generate_subscripts(embedding, 1) AS pos
@@ -10457,6 +10496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ss_cosine_topk": q_ss_cosine_topk,
         "ss_centroid": q_ss_centroid,
         "ss_silhouette": q_ss_silhouette,
+        "ss_db": q_ss_db,
         "ss_ivf_topk": q_ss_ivf_topk,
         "ss_pca": q_ss_pca,
         "mm_decode": q_mm_decode,
@@ -10752,6 +10792,7 @@ def oracle_sql() -> dict[str, str]:
         "ss_cosine_topk": _COSINE_ORACLE,
         "ss_centroid": _CENTROID_ORACLE,
         "ss_silhouette": _SILHOUETTE_ORACLE,
+        "ss_db": _DB_ORACLE,
         # ss_ivf_topk: approximate -> rows-only (pytest recall bound)
         "mm_decode": _MM_ORACLE,
         "mm_audio": _MM_AUDIO_ORACLE,

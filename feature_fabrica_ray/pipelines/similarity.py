@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 __all__ = ["cosine_topk", "ivf_topk", "lsh_topk", "fit_centroids",
            "fit_sample", "knn_graph", "radius_search",
-           "label_centroids", "silhouette_simplified",
+           "label_centroids", "silhouette_simplified", "davies_bouldin",
            "random_projection",
            "quantize_embeddings", "semantic_dedup_ids", "product_quantize", "mmr_topk", "ivfpq_topk",
            "normalize_embeddings", "fit_pca", "pca_project",
@@ -1048,6 +1048,75 @@ def label_centroids(ds, *, label_col: str = "label",
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["label", "pos"])[
         ["label", "pos", "mean_v", "n"]].reset_index(drop=True)
+
+
+def davies_bouldin(ds, *, label_col: str = "label",
+                   vec_col: str = "embedding") -> pd.DataFrame:
+    """Davies-Bouldin clustering-quality profile per label: scatter
+    s_i = mean distance of label-i points to their centroid, and
+    r_i = max over other labels of (s_i + s_j) / ||c_i − c_j|| — the
+    worst-case overlap ratio with a neighbor (lower is better; the DB
+    index is the mean of r_i). The triage complement to the
+    silhouette: r_i names HOW BAD the worst neighbor confusion is,
+    and argmax_j is the label to inspect.
+
+    Same two-pass zero-shuffle shape as ``silhouette_simplified``:
+    exact-centroid combiner fit, k × dim broadcast, one streaming
+    per-label (sum_dist, n) partial pass; the k × k centroid-distance
+    matrix and the max-ratio are driver arithmetic. A single label
+    yields r_i = NULL. Returns (label, n, scatter, r)."""
+    import ray
+
+    cent = label_centroids(ds, label_col=label_col, vec_col=vec_col)
+    if cent.empty:
+        return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64"),
+                             "scatter": pd.Series([], dtype="float64"),
+                             "r": pd.Series([], dtype="float64")})
+    labels = np.sort(cent["label"].unique())
+    dim = int(cent["pos"].max())
+    C = np.zeros((len(labels), dim))
+    li = np.searchsorted(labels, cent["label"].to_numpy())
+    C[li, cent["pos"].to_numpy() - 1] = cent["mean_v"].to_numpy()
+    ref = ray.put((labels, C))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels, C = ray.get(ref)
+        M = _vectors(batch, vec_col)
+        lab = batch.column(label_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if M.size == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        own = np.searchsorted(labels, lab)
+        d = np.linalg.norm(M - C[own], axis=1)
+        g = pa.table({"label": pa.array(lab, pa.int64()),
+                      "s": pa.array(d, pa.float64())}) \
+            .group_by("label").aggregate([("s", "sum"),
+                                          ([], "count_all")])
+        return pa.table({"label": g.column("label"),
+                         "s": g.column("s_sum"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    agg = parts.groupby("label", as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+    agg = agg.set_index("label").reindex(labels)
+    scat = (agg["s"] / agg["n"]).to_numpy()
+    k = len(labels)
+    if k == 1:
+        r = np.array([np.nan])
+    else:
+        Md = np.linalg.norm(C[:, None, :] - C[None, :, :], axis=2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            R = (scat[:, None] + scat[None, :]) / Md
+        np.fill_diagonal(R, -np.inf)
+        r = R.max(axis=1)
+    return pd.DataFrame({"label": labels.astype(np.int64),
+                         "n": agg["n"].to_numpy(np.int64),
+                         "scatter": scat, "r": r})
 
 
 def silhouette_simplified(ds, *, label_col: str = "label",

@@ -5505,3 +5505,41 @@ def test_ares_sample(ray_session):
 
     with pytest.raises(ValueError, match="k must be"):
         ares_sample(_ds(df), "id", "w", k=0)
+
+
+def test_davies_bouldin(ray_session):
+    """davies_bouldin matches a brute-force reference to 1e-12,
+    separates clean clusters (small r) from interleaved ones (large
+    r), is layout-invariant, and yields NULL r on a single label."""
+    from feature_fabrica_ray.pipelines import davies_bouldin
+
+    rng = np.random.default_rng(29)
+    a = rng.normal((0, 0), 0.1, (30, 2))
+    b = rng.normal((8, 8), 0.1, (30, 2))
+    c = rng.normal((8.4, 8.4), 0.1, (30, 2))   # c overlaps b
+    X = np.vstack([a, b, c])
+    lab = np.repeat([0, 1, 2], 30)
+    df = pd.DataFrame({"vec_id": np.arange(90, dtype=np.int64),
+                       "embedding": [list(map(float, v)) for v in X],
+                       "label": lab.astype(np.int64)})
+
+    got = davies_bouldin(_ds(df, blocks=3))
+    C = np.stack([X[lab == l].mean(axis=0) for l in (0, 1, 2)])
+    scat = np.array([np.linalg.norm(X[lab == l] - C[l], axis=1).mean()
+                     for l in (0, 1, 2)])
+    Md = np.linalg.norm(C[:, None] - C[None, :], axis=2)
+    for i in range(3):
+        rs = [(scat[i] + scat[j]) / Md[i, j] for j in range(3) if j != i]
+        row = got[got["label"] == i].iloc[0]
+        assert row["scatter"] == pytest.approx(scat[i], abs=1e-12)
+        assert row["r"] == pytest.approx(max(rs), abs=1e-12)
+    # label 0 is clean, labels 1/2 overlap each other: their
+    # worst-neighbor ratio is an order of magnitude worse
+    r0 = got[got["label"] == 0]["r"].iloc[0]
+    assert (got[got["label"] != 0]["r"] > 5 * r0).all()
+
+    one = davies_bouldin(_ds(df, blocks=1))
+    pd.testing.assert_frame_equal(one, got)
+
+    solo = df.assign(label=np.int64(3))
+    assert davies_bouldin(_ds(solo))["r"].isna().all()
