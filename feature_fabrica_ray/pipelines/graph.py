@@ -321,6 +321,16 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
             w = t.column(weight_col).cast(pa.float64())
             t = t.set_column(t.column_names.index(weight_col), "__w", w) \
                 .filter(pc.is_valid(w))
+            # weights must be >= 0: a negative weight flips out-degree
+            # and share signs, so ranks silently stop being a
+            # probability distribution — fail fast (null weights are
+            # dropped above, mirroring that explicit policy)
+            neg = pc.sum(pc.cast(pc.less(t.column("__w"), 0.0),
+                                 pa.int64())).as_py()
+            if neg:
+                raise ValueError(
+                    f"pagerank: {neg} negative values in weight column "
+                    f"{weight_col!r}; edge weights must be >= 0")
         return t
 
     proj = edges.map_batches(project, batch_format="pyarrow",

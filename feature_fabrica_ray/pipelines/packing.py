@@ -108,6 +108,12 @@ def zorder_key(ds, x_col: str, y_col: str, *,
         if nb < 1 or nb & (nb - 1):
             raise ValueError(f"zorder_key: n_buckets must be a power of "
                              f"two, got {n_buckets}")
+        if nb > 4 ** bits:
+            # shift would go negative, and numpy right-shift by a
+            # negative count is undefined (garbage buckets, not an error)
+            raise ValueError(
+                f"zorder_key: n_buckets={n_buckets} exceeds the "
+                f"4**bits={4 ** bits} grid cells at bits={bits}")
         shift = 2 * bits - nb.bit_length() + 1
 
     import pyarrow as pa
@@ -167,6 +173,12 @@ def hilbert_key(ds, x_col: str, y_col: str, *,
         if nb < 1 or nb & (nb - 1):
             raise ValueError(f"hilbert_key: n_buckets must be a power "
                              f"of two, got {n_buckets}")
+        if nb > 4 ** bits:
+            # shift would go negative, and numpy right-shift by a
+            # negative count is undefined (garbage buckets, not an error)
+            raise ValueError(
+                f"hilbert_key: n_buckets={n_buckets} exceeds the "
+                f"4**bits={4 ** bits} grid cells at bits={bits}")
         shift = 2 * bits - nb.bit_length() + 1
 
     import pyarrow as pa

@@ -234,7 +234,14 @@ def spearman_corr(ds, x_col: str, y_col: str,
         x = batch.column(x_col).cast(pa.float64())
         y = batch.column(y_col).cast(pa.float64())
         t = pa.table({"x": x, "y": y})
-        return t.filter(pc.and_(pc.is_valid(x), pc.is_valid(y)))
+        # Arrow treats float NaN as VALID, but NaN keys need not merge
+        # across the rank-histogram shuffle (NaN != NaN) — exclude them
+        # like nulls (pairwise-complete semantics either way)
+        ok = pc.and_(
+            pc.and_(pc.is_valid(x), pc.is_valid(y)),
+            pc.invert(pc.or_(pc.is_nan(pc.fill_null(x, 0.0)),
+                             pc.is_nan(pc.fill_null(y, 0.0)))))
+        return t.filter(ok)
 
     pairs = ds.map_batches(pairs_only, batch_format="pyarrow",
                            batch_size=None).materialize()
@@ -313,8 +320,13 @@ def kendall_tau(ds, x_col: str, y_col: str,
     def partial(batch: pa.Table) -> pa.Table:
         x = batch.column(x_col).cast(pa.float64())
         y = batch.column(y_col).cast(pa.float64())
-        t = pa.table({"x": x, "y": y}).filter(
-            pc.and_(pc.is_valid(x), pc.is_valid(y)))
+        # NaN is Arrow-valid but does not merge as a groupby key across
+        # the shuffle (NaN != NaN) — exclude alongside nulls
+        ok = pc.and_(
+            pc.and_(pc.is_valid(x), pc.is_valid(y)),
+            pc.invert(pc.or_(pc.is_nan(pc.fill_null(x, 0.0)),
+                             pc.is_nan(pc.fill_null(y, 0.0)))))
+        t = pa.table({"x": x, "y": y}).filter(ok)
         g = t.group_by(["x", "y"]).aggregate([([], "count_all")])
         return pa.table({"x": g.column("x"), "y": g.column("y"),
                          "cnt": g.column("count_all").cast(pa.int64())})
@@ -332,34 +344,78 @@ def kendall_tau(ds, x_col: str, y_col: str,
                              "kendall_tau": [np.nan]})
     xs = np.sort(cells["x"].unique())
     ys = np.sort(cells["y"].unique())
-    M = np.zeros((len(xs), len(ys)))
+    nx, ny = len(xs), len(ys)
     xi = np.searchsorted(xs, cells["x"].to_numpy(np.float64))
     yi = np.searchsorted(ys, cells["y"].to_numpy(np.float64))
-    M[xi, yi] = cells["sum(cnt)"].to_numpy(np.float64)
-    # suffix sums: S_se[i, j] = total count strictly south-east of
-    # (i, j) — cells with larger x AND larger y; S_sw the south-west
-    cum = np.cumsum(np.cumsum(M, axis=0), axis=1)
-    total = cum[-1, -1]
-    pad = np.zeros((len(xs) + 1, len(ys) + 1))
-    pad[1:, 1:] = cum
+    cnt = cells["sum(cnt)"].to_numpy(np.float64)
+    if nx * ny <= max_cells_broadcast:
+        # dense fast path — bound the GRID, not the occupancy: a sparse
+        # but wide joint domain (200k x 200k with 200k occupied cells)
+        # must not allocate an nx*ny matrix
+        M = np.zeros((nx, ny))
+        M[xi, yi] = cnt
+        # suffix sums: S_se[i, j] = total count strictly south-east of
+        # (i, j) — cells with larger x AND larger y; S_sw the south-west
+        cum = np.cumsum(np.cumsum(M, axis=0), axis=1)
+        pad = np.zeros((nx + 1, ny + 1))
+        pad[1:, 1:] = cum
 
-    def rect(i0, i1, j0, j1):
-        """Sum of M over rows [i0, i1) x cols [j0, j1) via the padded
-        2D prefix table (inclusive-exclusive)."""
-        return pad[i1, j1] - pad[i0, j1] - pad[i1, j0] + pad[i0, j0]
+        def rect(i0, i1, j0, j1):
+            """Sum of M over rows [i0, i1) x cols [j0, j1) via the
+            padded 2D prefix table (inclusive-exclusive)."""
+            return pad[i1, j1] - pad[i0, j1] - pad[i1, j0] + pad[i0, j0]
 
-    nx, ny = len(xs), len(ys)
-    conc = disc = 0.0
-    for i in range(nx):            # domain-sized loop, not row-sized
-        for j in range(ny):
-            if M[i, j] == 0:
-                continue
-            conc += M[i, j] * rect(i + 1, nx, j + 1, ny)
-            disc += M[i, j] * rect(i + 1, nx, 0, j)
-    n = total
+        conc = disc = 0.0
+        for i in range(nx):        # domain-sized loop, not row-sized
+            for j in range(ny):
+                if M[i, j] == 0:
+                    continue
+                conc += M[i, j] * rect(i + 1, nx, j + 1, ny)
+                disc += M[i, j] * rect(i + 1, nx, 0, j)
+    else:
+        # sparse path: sweep x-groups in DECREASING order keeping a
+        # Fenwick tree over y-index of counts from strictly-larger x;
+        # conc/disc read suffix/prefix sums per occupied cell —
+        # O(C log C) memory-safe in occupancy C, never nx*ny
+        order = np.lexsort((yi, -xi))
+        sx, sy, sc = xi[order], yi[order], cnt[order]
+        tree = np.zeros(ny + 1)
+
+        def bit_add(pos: int, v: float) -> None:
+            i = pos + 1
+            while i <= ny:
+                tree[i] += v
+                i += i & (-i)
+
+        def bit_prefix(pos: int) -> float:
+            """Sum of counts at y-index <= pos."""
+            s, i = 0.0, pos + 1
+            while i > 0:
+                s += tree[i]
+                i -= i & (-i)
+            return s
+
+        conc = disc = 0.0
+        acc = 0.0                   # total count inserted so far
+        i0 = 0
+        C = len(sx)
+        while i0 < C:
+            i1 = i0
+            while i1 < C and sx[i1] == sx[i0]:
+                i1 += 1
+            for k in range(i0, i1):     # query this x-group first
+                le = bit_prefix(int(sy[k]))
+                lt = bit_prefix(int(sy[k]) - 1) if sy[k] > 0 else 0.0
+                conc += sc[k] * (acc - le)     # larger x AND larger y
+                disc += sc[k] * lt             # larger x AND smaller y
+            for k in range(i0, i1):     # then insert it
+                bit_add(int(sy[k]), sc[k])
+                acc += sc[k]
+            i0 = i1
+    n = float(cnt.sum())
     n2 = n * (n - 1) / 2.0
-    cx = M.sum(axis=1)
-    cy = M.sum(axis=0)
+    cx = pd.Series(cnt).groupby(xi).sum().to_numpy()
+    cy = pd.Series(cnt).groupby(yi).sum().to_numpy()
     tx = float((cx * (cx - 1) / 2.0).sum())
     ty = float((cy * (cy - 1) / 2.0).sum())
     denom = np.sqrt((n2 - tx) * (n2 - ty))

@@ -5543,3 +5543,83 @@ def test_davies_bouldin(ray_session):
 
     solo = df.assign(label=np.int64(3))
     assert davies_bouldin(_ds(solo))["r"].isna().all()
+
+
+# ---------------------------------------------------------------------------
+# round-4 advice regressions
+# ---------------------------------------------------------------------------
+
+def test_kendall_sparse_wide_domain(ray_session):
+    """A sparse-but-wide joint domain (occupancy under the cell bound,
+    grid FAR over it) must take the Fenwick sweep instead of allocating
+    an nx*ny dense matrix, and match the dense result exactly."""
+    from feature_fabrica_ray.pipelines import kendall_tau
+
+    rng = np.random.default_rng(11)
+    # 120 near-monotone continuous-ish pairs: 120 distinct x AND y ->
+    # grid 14_400 cells, occupancy 120
+    x = np.sort(rng.uniform(0, 1, 120))
+    y = x + rng.normal(0, 0.05, 120)
+    df = pd.DataFrame({"x": x, "y": y})
+    dense = kendall_tau(_ds(df, blocks=3), "x", "y")
+    sparse = kendall_tau(_ds(df, blocks=3), "x", "y",
+                         max_cells_broadcast=500)   # 120 <= 500 < 14400
+    pd.testing.assert_frame_equal(sparse, dense)
+    # ties on both sides exercise the tie-correction in the sparse path
+    xt = rng.integers(0, 40, 200).astype(float)
+    yt = (xt + rng.integers(0, 30, 200)).astype(float)
+    dft = pd.DataFrame({"x": xt, "y": yt})
+    d2 = kendall_tau(_ds(dft, blocks=4), "x", "y")
+    s2 = kendall_tau(_ds(dft, blocks=4), "x", "y",
+                     max_cells_broadcast=len(
+                         dft.drop_duplicates()) + 1)
+    pd.testing.assert_frame_equal(s2, d2)
+
+
+def test_corr_nan_excluded_like_null(ray_session):
+    """Arrow float NaN is VALID (not null) — spearman/kendall must
+    exclude NaN pairs like nulls instead of letting NaN keys corrupt
+    the rank-histogram shuffle. Built via pa.array directly because
+    pandas->Arrow maps NaN to null (which is why tests missed it)."""
+    import pyarrow as pa
+    from feature_fabrica_ray.pipelines import kendall_tau, spearman_corr
+
+    t = pa.table({"x": pa.array([1.0, 2.0, float("nan"), 3.0, 4.0]),
+                  "y": pa.array([2.0, 4.0, 9.0, float("nan"), 8.0])})
+    assert t.column("x").null_count == 0       # NaN, not null
+    ds = ray.data.from_arrow(t).repartition(2)
+    sp = spearman_corr(ds, "x", "y")
+    kd = kendall_tau(ds, "x", "y")
+    assert sp["n"].iloc[0] == 3 and kd["n"].iloc[0] == 3
+    assert sp["spearman_rho"].iloc[0] == pytest.approx(1.0, abs=1e-12)
+    assert kd["kendall_tau"].iloc[0] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_layout_bucket_bounds(ray_session):
+    """n_buckets above the 4**bits grid would right-shift by a negative
+    count (undefined in numpy) — both layout keys must raise."""
+    from feature_fabrica_ray.pipelines import hilbert_key, zorder_key
+
+    df = pd.DataFrame({"x": [0.1, 0.5], "y": [0.2, 0.9]})
+    kw = dict(x_lo=0.0, x_hi=1.0, y_lo=0.0, y_hi=1.0, bits=2)
+    with pytest.raises(ValueError, match="4\\*\\*bits"):
+        zorder_key(_ds(df), "x", "y", n_buckets=32, **kw)
+    with pytest.raises(ValueError, match="4\\*\\*bits"):
+        hilbert_key(_ds(df), "x", "y", n_buckets=32, **kw)
+    # n_buckets == 4**bits is the boundary and must still work
+    z = zorder_key(_ds(df), "x", "y", n_buckets=16, **kw).to_pandas()
+    h = hilbert_key(_ds(df), "x", "y", n_buckets=16, **kw).to_pandas()
+    assert (z["zbucket"] == z["zkey"]).all()
+    assert (h["hbucket"] == h["hkey"]).all()
+
+
+def test_pagerank_negative_weight_raises(ray_session):
+    """Negative edge weights flip out-degree signs and silently break
+    the probability-distribution invariant — fail fast instead."""
+    from feature_fabrica_ray.pipelines import pagerank
+
+    edges = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 1],
+                          "w": [1.0, -0.5, 2.0]})
+    # the raise happens inside the Ray map task -> RayTaskError wrapper
+    with pytest.raises(Exception, match="negative"):
+        pagerank(_ds(edges, blocks=2), "src", "dst", weight_col="w")
