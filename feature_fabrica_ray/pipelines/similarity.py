@@ -20,7 +20,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["cosine_topk", "ivf_topk", "lsh_topk", "fit_centroids",
-           "fit_sample", "knn_graph", "radius_search",
+           "fit_sample", "knn_graph", "knn_graph_sharded",
+           "radius_search",
            "label_centroids", "silhouette_simplified", "davies_bouldin",
            "random_projection",
            "quantize_embeddings", "semantic_dedup_ids", "product_quantize", "mmr_topk", "ivfpq_topk",
@@ -673,13 +674,25 @@ def knn_graph(ds, k: int = 10, vec_col: str = "embedding",
     the O(n^2) similarity matrix never materializes (only n*k rows
     total leave the tasks). The broadcast side is the whole corpus, so
     this is the exact path for corpora that fit a worker heap
-    (``max_broadcast_rows`` guard, default 2M x d); beyond that, use
-    the IVF composition (``fit_centroids`` + per-bucket knn) or
-    ``lsh_topk`` — same contract, approximate recall.
+    (``max_broadcast_rows`` guard, default 2M x d); beyond that the
+    call AUTO-DISPATCHES to ``knn_graph_sharded`` — the IVF
+    composition (``fit_centroids`` + per-bucket exact knn), same
+    output contract with approximate recall (the ``pagerank`` →
+    ``pagerank_sharded`` pattern, graph.py:398).
 
     Returns (src_id, nbr_id, score, rank) with scores rounded to 6 and
     rank 1..k per src ordered by (score desc, nbr_id)."""
     import ray
+
+    # count BEFORE collecting: the size dispatch must not pull an
+    # over-guard corpus onto the driver just to discover it is too big
+    # (parquet sources answer count() from metadata)
+    n_total = ds.count()
+    if n_total is not None and n_total > max_broadcast_rows:
+        return knn_graph_sharded(ds, k=k, vec_col=vec_col,
+                                 id_col=id_col).to_pandas() \
+            .sort_values(["src_id", "rank"], kind="mergesort") \
+            .reset_index(drop=True)
 
     def extract(batch: pa.Table) -> pa.Table:
         V = _vectors(batch, vec_col)
@@ -697,11 +710,6 @@ def knn_graph(ds, k: int = 10, vec_col: str = "embedding",
                              "nbr_id": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="float64"),
                              "rank": pd.Series([], dtype="int64")})
-    if n > max_broadcast_rows:
-        raise ValueError(
-            f"knn_graph: corpus has {n} rows > max_broadcast_rows="
-            f"{max_broadcast_rows}; the exact broadcast path stops here — "
-            f"bucket with fit_centroids/IVF or lsh_topk instead")
     ids = np.asarray([r[id_col] for r in corpus], dtype=np.int64)
     C = np.asarray([r["vec"] for r in corpus], dtype=np.float64)
     order = np.argsort(ids, kind="stable")   # id-ascending columns make the
@@ -746,6 +754,126 @@ def knn_graph(ds, k: int = 10, vec_col: str = "embedding",
         .reset_index(drop=True)
     out["rank"] = (out.groupby("src_id").cumcount() + 1).astype("int64")
     return out[["src_id", "nbr_id", "score", "rank"]]
+
+
+def knn_graph_sharded(ds, k: int = 10, vec_col: str = "embedding",
+                      id_col: str = "vec_id", *, nlist: int = 32,
+                      nprobe: int = 4,
+                      centroids: np.ndarray | None = None):
+    """IVF-bucketed cosine k-NN graph — the past-the-broadcast-guard
+    path ``knn_graph`` auto-dispatches to (the ``pagerank_sharded``
+    pattern): no per-node state ever lives on the driver and the
+    O(n²) similarity matrix never forms.
+
+    Composition: (1) ``fit_centroids`` on a layout-independent sample
+    (KB-sized, broadcast via ``ray.put``); (2) one streaming pass
+    emits each vector ONCE per role — as a MEMBER of its primary
+    centroid bucket and as a QUERY into its ``nprobe`` nearest
+    buckets — so the exchange is (1+nprobe)·n rows, linear, never
+    all-pairs; (3) a per-bucket ``map_groups`` (``nlist`` Python
+    calls, never per row) runs the exact query×member matmul with
+    self-match masking and keeps k-sized partials; (4) partials merge
+    to the global per-src top-k in a second keyed-bucket stage with
+    vectorized pandas rank kernels.
+
+    Partitioning assumption: bucket sizes follow the centroid fit —
+    a pathological single-cluster corpus concentrates in one bucket
+    (raise ``nlist`` or pre-shard on a metadata key). Recall < 1 by
+    construction (a true neighbor outside the probed buckets is
+    missed); pytest bounds recall against the exact path.
+
+    Returns a ray Dataset (src_id, nbr_id, score, rank) — scores
+    rounded to 6, rank 1..k per src by (score desc, nbr_id), the
+    ``knn_graph`` contract — left distributed so web-scale outputs
+    can stream to parquet instead of collecting n·k rows."""
+    import ray
+
+    from .events import bucketed_by_key
+
+    C = _normalize(np.asarray(
+        fit_centroids(ds, nlist=nlist, vec_col=vec_col)
+        if centroids is None else centroids, np.float64))
+    c_ref = ray.put(C)
+    np_probe = min(nprobe, C.shape[0])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        Cn = ray.get(c_ref)
+        V = _vectors(batch, vec_col)
+        if V.shape[0] == 0:
+            return pa.table({
+                "__bkt": pa.array([], pa.int32()),
+                "id": pa.array([], pa.int64()),
+                "is_q": pa.array([], pa.int8()),
+                "vec": pa.array([], pa.list_(pa.float64()))})
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        Vn = _normalize(V)
+        A = Vn @ Cn.T                              # (n, nlist)
+        probe = np.argsort(-A, axis=1, kind="stable")[:, :np_probe]
+        n, d = Vn.shape
+        rep = np.repeat(np.arange(n), np_probe)
+        # member rows once (primary bucket = probe[:, 0]), query rows
+        # nprobe times — all replication is numpy fancy-indexing, the
+        # vec payload stays one flat float64 buffer end to end
+        bkt = np.concatenate([probe[:, 0], probe.ravel()]).astype(np.int32)
+        rid = np.concatenate([ids, ids[rep]])
+        isq = np.concatenate([np.zeros(n, np.int8),
+                              np.ones(n * np_probe, np.int8)])
+        flat = np.concatenate([Vn, Vn[rep]]).ravel()
+        vec = pa.ListArray.from_arrays(
+            np.arange(len(rid) + 1, dtype=np.int32) * d,
+            pa.array(flat, pa.float64()))
+        return pa.table({"__bkt": pa.array(bkt, pa.int32()),
+                         "id": pa.array(rid, pa.int64()),
+                         "is_q": pa.array(isq, pa.int8()),
+                         "vec": vec})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src_id": pa.array([], pa.int64()),
+                          "nbr_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        isq = t.column("is_q").to_numpy(zero_copy_only=False)
+        M_all = _vectors(t, "vec")
+        ids_all = t.column("id").to_numpy(zero_copy_only=False)
+        qm, mm = isq == 1, isq == 0
+        if not qm.any() or not mm.any():
+            return empty
+        Q, qid = M_all[qm], ids_all[qm]
+        M, mid = M_all[mm], ids_all[mm]
+        S = np.round(Q @ M.T, 6)
+        S[qid[:, None] == mid[None, :]] = -np.inf   # mask self-match
+        kk = min(k, S.shape[1])
+        order = np.argsort(mid, kind="stable")      # id-asc tie-break
+        S, mid = S[:, order], mid[order]
+        top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        sc = np.take_along_axis(S, top, axis=1).ravel()
+        keep = np.isfinite(sc)
+        return pa.table({
+            "src_id": pa.array(np.repeat(qid, kk)[keep], pa.int64()),
+            "nbr_id": pa.array(mid[top.ravel()][keep], pa.int64()),
+            "score": pa.array(sc[keep], pa.float64())})
+
+    from ..tuning import shuffle_partitions
+
+    parts = (ds.map_batches(emit, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("__bkt", num_partitions=min(shuffle_partitions(),
+                                                  int(C.shape[0])))
+             .map_groups(per_bucket, batch_format="pyarrow"))
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # a src's partials arrive from nprobe buckets; duplicates of
+        # the same (src, nbr) pair are possible when the nbr is probed
+        # via several buckets — keep one, then vectorized global top-k
+        df = df.drop_duplicates(["src_id", "nbr_id"]) \
+            .sort_values(["src_id", "score", "nbr_id"],
+                         ascending=[True, False, True], kind="mergesort")
+        out = df.groupby("src_id", sort=False).head(k).copy()
+        out["rank"] = (out.groupby("src_id", sort=False).cumcount() + 1) \
+            .astype(np.int64)
+        return out
+
+    return bucketed_by_key(parts, "src_id", merge_topk)
 
 
 def product_quantize(ds, vec_col: str = "embedding",

@@ -3088,8 +3088,53 @@ def test_knn_graph_vs_brute(ray_session):
                            for j, s in want[int(i)]], i
         assert list(out.columns) == ["src_id", "nbr_id", "score", "rank"]
 
-    with pytest.raises(ValueError, match="max_broadcast_rows"):
-        knn_graph(_ds(df), k=2, max_broadcast_rows=10)
+    # past the guard the call now AUTO-DISPATCHES to the IVF-bucketed
+    # sharded path (same contract, approximate recall) instead of raising
+    sharded = knn_graph(_ds(df, blocks=4), k=k, max_broadcast_rows=10)
+    assert list(sharded.columns) == ["src_id", "nbr_id", "score", "rank"]
+    assert set(sharded["src_id"]) == set(range(n))
+    assert (sharded.groupby("src_id")["rank"].max() <= k).all()
+
+
+def test_knn_graph_sharded_recall(ray_session):
+    """IVF-bucketed knn graph: recall >= 0.7 vs the exact broadcast
+    path on a clustered corpus above the guard, exact agreement on the
+    planted duplicate pair, layout invariance, and a distributed
+    (Dataset) return type from the sharded entry point."""
+    import ray.data as rd
+    from feature_fabrica_ray.pipelines import knn_graph, knn_graph_sharded
+
+    rng = np.random.default_rng(9)
+    n, d, k, n_clusters = 400, 16, 5, 8
+    centers = rng.normal(size=(n_clusters, d)) * 4
+    lab = rng.integers(0, n_clusters, n)
+    V = centers[lab] + rng.normal(size=(n, d)) * 0.4
+    V[11] = V[5]                      # planted exact duplicate
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [r.tolist() for r in V]})
+
+    exact = knn_graph(_ds(df, blocks=4), k=k)
+    res = knn_graph_sharded(_ds(df, blocks=4), k=k, nlist=8, nprobe=3)
+    assert isinstance(res, rd.Dataset)
+    approx = res.to_pandas()
+
+    exact_pairs = set(zip(exact["src_id"], exact["nbr_id"]))
+    approx_pairs = set(zip(approx["src_id"].astype(int),
+                           approx["nbr_id"].astype(int)))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.7, recall
+
+    # the planted duplicate must be each other's rank-1 neighbor with
+    # score 1.0 even on the approximate path (same primary bucket)
+    a = approx.set_index(["src_id", "rank"])
+    assert a.loc[(5, 1), "nbr_id"] == 11 and a.loc[(11, 1), "nbr_id"] == 5
+    assert a.loc[(5, 1), "score"] == pytest.approx(1.0, abs=1e-9)
+
+    again = knn_graph_sharded(_ds(df, blocks=1), k=k, nlist=8,
+                              nprobe=3).to_pandas()
+    lhs = approx.sort_values(["src_id", "rank"]).reset_index(drop=True)
+    rhs = again.sort_values(["src_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(lhs, rhs)
 
 
 def test_pmi_bigrams_vs_brute(ray_session):
