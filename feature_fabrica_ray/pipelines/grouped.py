@@ -34,6 +34,123 @@ def _with_shuffle_key(t: pa.Table, key_col: str) -> pa.Table:
     k = pc.fill_null(pc.cast(t.column(key_col), pa.string()), "\0null")
     return t.append_column("__gkey", k)
 
+
+def _with_shuffle_key_multi(t: pa.Table, cols) -> pa.Table:
+    """Multi-column form of ``_with_shuffle_key``: one null-safe string
+    key joining every group column with an unprintable separator."""
+    k = pc.fill_null(pc.cast(t.column(cols[0]), pa.string()), "\0null")
+    for c in cols[1:]:
+        k = pc.binary_join_element_wise(
+            k, pc.fill_null(pc.cast(t.column(c), pa.string()), "\0null"),
+            "\x1f")
+    return t.append_column("__gkey", k)
+
+
+def _restore_null_keys(out: pd.DataFrame, key_cols) -> pd.DataFrame:
+    """pandas groupby(dropna=False) surfaces null group keys as NaN;
+    object key columns must carry None (the Arrow/driver-hash
+    canonical null), never NaN."""
+    for c in key_cols:
+        if c in out.columns and out[c].dtype == object:
+            out[c] = out[c].where(out[c].notna(), None)
+    return out
+
+
+def _bucketed_merge(parts, merge_bucket, n_buckets: int | None = None,
+                    gkey: str = "__gkey") -> pd.DataFrame:
+    """Merge per-block combiner partials with per-BUCKET (never
+    per-key) Python: partials shuffle on ``hash(key) % B`` and each of
+    the B reduce calls merges ALL of its bucket's keys in one
+    vectorized pandas/numpy pass — the ``events.bucketed_by_key``
+    shape (49x A/B at BASELINE.md:100) applied to the merge side. The
+    exchange is IDENTICAL to the old ``groupby(__gkey)`` form (same
+    partial rows, one keyed shuffle); only the Python-call count
+    changes from |keys| to B, which is what keeps 10^9-key grouped
+    stats off the interpreter. Buckets are uniform in key hash, so a
+    Zipf-hot KEY costs one hot bucket at most (same bound as before).
+
+    ``merge_bucket(df)`` sees the partial rows of every key in the
+    bucket (original key column included, ``gkey`` dropped) and must
+    group with ``dropna=False`` — null keys are their own group (SQL
+    semantics), restored to None via ``_restore_null_keys``."""
+    return _bucketed_merge_ds(parts, merge_bucket, n_buckets,
+                              gkey).to_pandas()
+
+
+def _bucketed_merge_ds(parts, merge_bucket, n_buckets: int | None = None,
+                       gkey: str = "__gkey"):
+    """Dataset-returning core of ``_bucketed_merge`` — for merges that
+    feed further pipeline stages instead of the driver."""
+    from ..state import hash64
+
+    n = n_buckets or shuffle_partitions()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = hash64(t.column(gkey))
+        t = t.drop_columns([gkey])
+        return t.append_column("__bkt", pa.array(
+            (h % np.uint64(n)).astype(np.int32), pa.int32()))
+
+    def run(t: pa.Table):
+        in_schema = t.schema
+        out = merge_bucket(t.drop_columns(["__bkt"]).to_pandas())
+        # metadata-free Arrow: pandas conversion embeds schema metadata
+        # that defeats Ray's block-schema dedup (see bucketed_by_key)
+        res = pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+        # a bucket whose only key is the NULL group loses the key
+        # column's type on the pandas round-trip (object None -> a
+        # float64-NaN index -> Arrow `double`, or the typeless `null`
+        # type), which cannot unify with the string/int buckets — give
+        # all-null pass-through columns their partial-side type back
+        for i, f in enumerate(res.schema):
+            if f.name in in_schema.names:
+                want = in_schema.field(f.name).type
+                col = res.column(i)
+                if f.type != want and (pa.types.is_null(f.type)
+                                       or col.null_count == len(col)):
+                    res = res.set_column(i, f.name,
+                                         pa.nulls(len(col), want))
+        return res
+
+    return (parts.map_batches(bucketize, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("__bkt", num_partitions=n)
+            .map_groups(run, batch_format="pyarrow"))
+
+
+def _moments_merge_bucket(df: pd.DataFrame, key_col: str) -> pd.DataFrame:
+    """Vectorized k-way merge of per-block central-moment partials
+    (n, mean, m2, m3, m4) for ALL keys of a bucket at once: central
+    moments about each key's GRAND mean decompose additively —
+    with d_i = mean_i − μ,  M2 = Σ(m2_i + n_i d_i²),
+    M3 = Σ(m3_i + 3 d_i m2_i + n_i d_i³),
+    M4 = Σ(m4_i + 4 d_i m3_i + 6 d_i² m2_i + n_i d_i⁴) — the k-way
+    closed form of the Pébay pairwise rules (``state.HigherMoments``),
+    exact and at least as stable (one centering step, no fold order).
+    Returns one row per key: (key, n, mean, m2, m3, m4)."""
+    w = df["n"].to_numpy(np.float64)
+    mean = df["mean"].to_numpy(np.float64)
+    df = df.assign(__wm=w * mean)
+    g = df.groupby(key_col, dropna=False, sort=False)
+    mu = (g["__wm"].transform("sum") / g["n"].transform("sum")) \
+        .to_numpy(np.float64)
+    d = mean - mu
+    m2 = df["m2"].to_numpy(np.float64)
+    m3 = df["m3"].to_numpy(np.float64)
+    m4 = df["m4"].to_numpy(np.float64)
+    d2 = d * d
+    agg = df.assign(
+        __M2=m2 + w * d2,
+        __M3=m3 + 3.0 * d * m2 + w * d2 * d,
+        __M4=m4 + 4.0 * d * m3 + 6.0 * d2 * m2 + w * d2 * d2) \
+        .groupby(key_col, dropna=False, sort=False, as_index=False) \
+        .agg(n=("n", "sum"), __wm=("__wm", "sum"), m2=("__M2", "sum"),
+             m3=("__M3", "sum"), m4=("__M4", "sum"))
+    n = agg["n"].to_numpy(np.float64)
+    agg["mean"] = agg["__wm"].to_numpy(np.float64) / n
+    return agg.drop(columns="__wm")
+
 __all__ = ["anova_f", "target_encode_loo", "mutual_information",
            "fd_violations",
            "distinct_count_per_group", "rollup_agg", "histogram_fixed",
@@ -59,7 +176,6 @@ def grouped_shape(ds, key_col: str, val_col: str) -> pd.DataFrame:
     power sums via one groupby), only those states enter the keyed
     shuffle, and each reduce partition merges its key's states.
     Returns (key, skew, kurt, n) sorted by key."""
-    from ..state import HigherMoments
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select([key_col, val_col]).to_pandas()
@@ -89,20 +205,27 @@ def grouped_shape(ds, key_col: str, val_col: str) -> pd.DataFrame:
             "m4": pa.array(cen["m4"].to_numpy(np.float64))})
         return _with_shuffle_key(out, key_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        hm = HigherMoments()
-        for r in df.itertuples():            # one row per contributing block
-            hm = hm.merge(HigherMoments(int(r.n), float(r.mean),
-                                        float(r.m2), float(r.m3),
-                                        float(r.m4)))
-        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
-                             "skew": [hm.skewness], "kurt": [hm.kurtosis],
-                             "n": np.array([hm.count], np.int64)})
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        agg = _moments_merge_bucket(df, key_col)
+        n = agg["n"].to_numpy(np.float64)
+        M2 = agg["m2"].to_numpy(np.float64)
+        M3 = agg["m3"].to_numpy(np.float64)
+        M4 = agg["m4"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            g1 = (M3 / n) / (M2 / n) ** 1.5
+            skew = np.where((n >= 3) & (M2 > 0),
+                            g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0), np.nan)
+            g2 = n * M4 / (M2 * M2) - 3.0
+            kurt = np.where((n >= 4) & (M2 > 0),
+                            ((n + 1.0) * g2 + 6.0) * (n - 1.0)
+                            / ((n - 2.0) * (n - 3.0)), np.nan)
+        return _restore_null_keys(pd.DataFrame({
+            key_col: agg[key_col], "skew": skew, "kurt": kurt,
+            "n": agg["n"].to_numpy(np.int64)}), [key_col])
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     key = out[key_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
 
@@ -121,20 +244,30 @@ def string_agg_per_group(ds, key_col: str, val_col: str, order_col: str,
     is the exchange, and per-key output size is inherently the
     concatenation length."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        vals = df.sort_values(order_col, kind="mergesort")[val_col].dropna()
-        s = sep.join(vals.astype(str)) if len(vals) else None
-        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
-                             "agg_s": [s]})
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one mergesort across the whole bucket, then pandas' C groupby
+        # drives the per-key joins (join itself is a C string op; the
+        # only Python left is one agg lambda frame per key, not a Ray
+        # map_groups round-trip per key)
+        df = df.sort_values(order_col, kind="mergesort")
+        ok = df[df[val_col].notna()]
+        joined = ok.groupby(key_col, dropna=False, sort=False)[val_col] \
+            .agg(lambda s: sep.join(s.astype(str)))
+        keys = df.drop_duplicates(key_col)[[key_col]]
+        out = keys.assign(agg_s=joined.reindex(
+            pd.Index(keys[key_col])).to_numpy())
+        # all-null groups aggregate to NULL (None, not NaN)
+        out["agg_s"] = out["agg_s"].astype(object) \
+            .where(out["agg_s"].notna(), None)
+        return _restore_null_keys(out.reset_index(drop=True), [key_col])
 
     def project(batch: pa.Table) -> pa.Table:
         return _with_shuffle_key(
             batch.select([key_col, val_col, order_col]), key_col)
 
-    out = (ds.map_batches(project, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(project, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     key = out[key_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
 
@@ -165,18 +298,23 @@ def mode_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
                       "cnt": g.column("count_all").cast(pa.int64())}),
             key_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        # a group only exists if >=1 non-null partial row reached it
-        m = df.groupby(val_col, sort=True)["cnt"].sum()
-        best = m.idxmax()                    # idxmax takes the FIRST max -> smallest val
-        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
-                             "mode_v": [best],
-                             "mode_n": np.array([int(m.loc[best])], np.int64)})
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # all keys of the bucket in three vectorized passes: sum counts
+        # per (key, value), stable-sort so each key's first row is its
+        # (max count, min value) winner, take firsts
+        m = df.groupby([key_col, val_col], dropna=False, sort=False,
+                       as_index=False)["cnt"].sum()
+        m = m.sort_values(val_col, kind="mergesort") \
+            .sort_values("cnt", kind="mergesort", ascending=False)
+        win = m.drop_duplicates(key_col, keep="first")
+        out = pd.DataFrame({key_col: win[key_col],
+                            "mode_v": win[val_col],
+                            "mode_n": win["cnt"].to_numpy(np.int64)})
+        return _restore_null_keys(out.reset_index(drop=True), [key_col])
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     key = out[key_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
 
@@ -199,19 +337,25 @@ def entropy_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
                       "cnt": g.column("count_all").cast(pa.int64())}),
             key_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        c = df.groupby(val_col)["cnt"].sum().to_numpy(np.float64)
-        n = c.sum()
-        p = c / n
-        h = float(-(p * np.log2(p)).sum())
-        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
-                             "entropy": [h],
-                             "n": np.array([int(n)], np.int64)})
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby([key_col, val_col], dropna=False, sort=False,
+                       as_index=False)["cnt"].sum()
+        g = m.groupby(key_col, dropna=False, sort=False)
+        n_row = g["cnt"].transform("sum").to_numpy(np.float64)
+        p = m["cnt"].to_numpy(np.float64) / n_row
+        term = pd.DataFrame({key_col: m[key_col], "__t": -p * np.log2(p),
+                             "cnt": m["cnt"]})
+        agg = term.groupby(key_col, dropna=False, sort=False,
+                           as_index=False).agg(entropy=("__t", "sum"),
+                                               n=("cnt", "sum"))
+        out = pd.DataFrame({key_col: agg[key_col],
+                            "entropy": agg["entropy"].to_numpy(np.float64),
+                            "n": agg["n"].to_numpy(np.int64)})
+        return _restore_null_keys(out, [key_col])
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     key = out[key_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
 
@@ -234,17 +378,21 @@ def distinct_count_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
                       "cnt": g.column("count_all").cast(pa.int64())}),
             key_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        vals = df[val_col]
-        return pd.DataFrame({
-            key_col: [df[key_col].iloc[0]],
-            "n_distinct": np.array([vals[vals.notna()].nunique()], np.int64),
-            "n_rows": np.array([int(df["cnt"].sum())], np.int64)})
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df.groupby(key_col, dropna=False, sort=False,
+                          as_index=False)["cnt"].sum()
+        nd = df[df[val_col].notna()].drop_duplicates([key_col, val_col]) \
+            .groupby(key_col, dropna=False, sort=False).size()
+        out = pd.DataFrame({
+            key_col: rows[key_col],
+            "n_distinct": nd.reindex(pd.Index(rows[key_col]))
+            .fillna(0).to_numpy(np.int64),
+            "n_rows": rows["cnt"].to_numpy(np.int64)})
+        return _restore_null_keys(out, [key_col])
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     key = out[key_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
 
@@ -274,16 +422,15 @@ def rollup_agg(ds, group_cols: list[str], value_col: str) -> pd.DataFrame:
         cols = {c: g.column(c) for c in group_cols}
         cols["sum_v"] = g.column(f"{value_col}_sum").cast(pa.float64())
         cols["n_rows"] = g.column("count_all").cast(pa.int64())
-        return pa.table(cols)
+        return _with_shuffle_key_multi(pa.table(cols), group_cols)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(group_cols, as_index=False, dropna=False).agg(
             sum_v=("sum_v", "sum"), n_rows=("n_rows", "sum"))
 
-    finest = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-              .groupby(group_cols, num_partitions=shuffle_partitions())
-              .map_groups(merge, batch_format="pandas")
-              .to_pandas())
+    finest = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge)
 
     levels = [finest]
     for lvl in range(len(group_cols) - 1, -1, -1):
@@ -371,17 +518,17 @@ def pivot_agg(ds, key_col: str, pivot_col: str, value_col: str | None,
             out[n] = g.column(f"{n}_sum")
         return _with_shuffle_key(pa.table(out), key_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        row = {key_col: [df[key_col].iloc[0]]}
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key_col, dropna=False, sort=False,
+                         as_index=False)[names].sum()
         for n in names:
-            s = df[n].sum()
-            row[n] = np.array([s], np.int64) if agg == "count" else [float(s)]
-        return pd.DataFrame(row)
+            out[n] = out[n].astype(np.int64 if agg == "count"
+                                   else np.float64)
+        return _restore_null_keys(out, [key_col])
 
-    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-            .groupby("__gkey", num_partitions=shuffle_partitions())
-            .map_groups(per_key, batch_format="pandas")
-            .to_pandas())
+    return _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
 
 
 def grouped_stats(ds, group_col: str, col: str,
@@ -429,20 +576,26 @@ def grouped_stats(ds, group_col: str, col: str,
             "n_rows": g.column("count_all").cast(pa.int64()),
             "nmin": nmin, "nmax": nmax, "nsum": nsum}), group_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        cnt = int(df["cnt"].sum())
-        return pd.DataFrame({
-            group_col: [df[group_col].iloc[0]],
-            "cnt": np.array([cnt], np.int64),
-            "nulls": np.array([int(df["n_rows"].sum()) - cnt], np.int64),
-            "nmin": [df["nmin"].min()],
-            "nmax": [df["nmax"].max()],
-            "nsum": [df["nsum"].sum(min_count=1) if cnt else np.nan]})
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, dropna=False, sort=False)
+        agg = pd.DataFrame({
+            "cnt": g["cnt"].sum().astype(np.int64),
+            "n_rows": g["n_rows"].sum().astype(np.int64),
+            "nmin": g["nmin"].min(), "nmax": g["nmax"].max(),
+            "nsum": g["nsum"].sum(min_count=1)}).reset_index()
+        out = pd.DataFrame({
+            group_col: agg[group_col],
+            "cnt": agg["cnt"],
+            "nulls": (agg["n_rows"] - agg["cnt"]).astype(np.int64),
+            "nmin": agg["nmin"].to_numpy(np.float64),
+            "nmax": agg["nmax"].to_numpy(np.float64),
+            "nsum": np.where(agg["cnt"].to_numpy() > 0,
+                             agg["nsum"].to_numpy(np.float64), np.nan)})
+        return _restore_null_keys(out, [group_col])
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     with np.errstate(invalid="ignore"):
         out["mean"] = out["nsum"] / out["cnt"].where(out["cnt"] > 0)
     if max_null_rate is not None:
@@ -473,14 +626,15 @@ def freshness_check(ds, ts_col: str, group_col: str, as_of,
             "mx": g.column(f"{ts_col}_max").cast(pa.timestamp("us"))}),
             group_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
-                             "max_ts": [df["mx"].max()]})
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(group_col, dropna=False, sort=False,
+                         as_index=False)["mx"].max() \
+            .rename(columns={"mx": "max_ts"})
+        return _restore_null_keys(out, [group_col])
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     lag_us = (as_of64 - out["max_ts"].to_numpy().astype("datetime64[us]")) \
         .astype("timedelta64[us]").astype(np.int64)
     out["lag_s"] = lag_us // 1_000_000   # floor, exact integer microseconds
@@ -516,18 +670,23 @@ def grouped_outliers(ds, group_col: str, val_col: str, k: float = 3.0,
             "s1": g.column("v_sum").cast(pa.float64()),
             "s2": g.column("v2_sum").cast(pa.float64())}), group_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        n = int(df["cnt"].sum())
-        s1, s2 = float(df["s1"].sum()), float(df["s2"].sum())
-        m = s1 / n if n else np.nan
-        var = max(s2 / n - m * m, 0.0) if n else np.nan
-        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
-                             "mean": [m], "std": [np.sqrt(var)]})
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(group_col, dropna=False, sort=False,
+                         as_index=False).agg(cnt=("cnt", "sum"),
+                                             s1=("s1", "sum"),
+                                             s2=("s2", "sum"))
+        n = agg["cnt"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = np.where(n > 0, agg["s1"].to_numpy(np.float64) / n, np.nan)
+            var = np.maximum(agg["s2"].to_numpy(np.float64) / n - m * m,
+                             0.0)
+        out = pd.DataFrame({group_col: agg[group_col], "mean": m,
+                            "std": np.sqrt(var)})
+        return _restore_null_keys(out, [group_col])
 
-    stats = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-             .groupby("__gkey", num_partitions=shuffle_partitions())
-             .map_groups(per_key, batch_format="pandas")
-             .to_pandas())
+    stats = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     bounds = {r[group_col]: (r["mean"], k * r["std"])
               for _, r in stats.iterrows()}
 
@@ -586,21 +745,26 @@ def grouped_correlation(ds, group_col: str, col_x: str,
             "sxx": g.column("xx_sum"), "syy": g.column("yy_sum"),
             "sxy": g.column("xy_sum")}), group_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        n = int(df["n"].sum())
-        sx, sy = float(df["sx"].sum()), float(df["sy"].sum())
-        sxx, syy = float(df["sxx"].sum()), float(df["syy"].sum())
-        sxy = float(df["sxy"].sum())
-        num = n * sxy - sx * sy
-        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
-        corr = num / np.sqrt(den2) if n >= 2 and den2 > 0 else np.nan
-        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
-                             "n": np.array([n], np.int64), "corr": [corr]})
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(group_col, dropna=False, sort=False,
+                         as_index=False).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxx=("sxx", "sum"), syy=("syy", "sum"), sxy=("sxy", "sum"))
+        n = agg["n"].to_numpy(np.float64)
+        sx, sy = agg["sx"].to_numpy(np.float64), agg["sy"].to_numpy(np.float64)
+        num = n * agg["sxy"].to_numpy(np.float64) - sx * sy
+        den2 = ((n * agg["sxx"].to_numpy(np.float64) - sx * sx)
+                * (n * agg["syy"].to_numpy(np.float64) - sy * sy))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = np.where((n >= 2) & (den2 > 0),
+                            num / np.sqrt(np.maximum(den2, 0.0)), np.nan)
+        out = pd.DataFrame({group_col: agg[group_col],
+                            "n": agg["n"].astype(np.int64), "corr": corr})
+        return _restore_null_keys(out, [group_col])
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     key = out[group_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
 
@@ -633,17 +797,35 @@ def approx_distinct_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
                       "cnt": pa.array(out_n, pa.int64())})
         return t.append_column("__gkey", t.column(key_col))
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        est = HLL.merge_bytes([bytes(b) for b in df["hll"]]).estimate()
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # all keys of the bucket at once: stack the 2^p-byte register
+        # blobs into one (rows, m) uint8 matrix, key-sort, and OR-merge
+        # each key's run with ONE np.maximum.reduceat — no per-key
+        # Python beyond the final estimate arithmetic, which is itself
+        # vectorized over the |keys|-row register matrix
+        df = df.sort_values(key_col, kind="mergesort")
+        R = np.frombuffer(b"".join(df["hll"]), dtype=np.uint8) \
+            .reshape(len(df), -1)
+        starts = np.flatnonzero(np.r_[True, df[key_col].to_numpy()[1:]
+                                      != df[key_col].to_numpy()[:-1]])
+        merged = np.maximum.reduceat(R, starts, axis=0)
+        m = float(merged.shape[1])
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        regs = merged.astype(np.float64)
+        e = alpha * m * m / np.exp2(-regs).sum(axis=1)
+        zeros = (merged == 0).sum(axis=1).astype(np.float64)
+        with np.errstate(divide="ignore"):
+            lc = m * np.log(np.where(zeros > 0, m / zeros, 1.0))
+        est = np.where((e <= 2.5 * m) & (zeros > 0), lc, e)
+        n_rows = df.groupby(key_col, sort=False)["cnt"].sum() \
+            .to_numpy(np.int64)
         return pd.DataFrame({
-            key_col: [df[key_col].iloc[0]],
-            "n_distinct_est": [float(est)],
-            "n_rows": np.array([int(df["cnt"].sum())], np.int64)})
+            key_col: df[key_col].to_numpy()[starts],
+            "n_distinct_est": est, "n_rows": n_rows})
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     out[key_col] = out[key_col].where(out[key_col] != "\0null", None)
     key = out[key_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
@@ -682,18 +864,28 @@ def approx_group_quantiles(ds, key_col: str, val_col: str,
                       "cnt": pa.array(out_n, pa.int64())})
         return t.append_column("__gkey", t.column(key_col))
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        td = TDigest.merge_bytes([bytes(b) for b in df["td"]])
-        row = {key_col: [df[key_col].iloc[0]]}
-        for q, name in zip(qs, names):
-            row[name] = [float(td.quantile(q))]
-        row["n_rows"] = np.array([int(df["cnt"].sum())], np.int64)
-        return pd.DataFrame(row)
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE Ray call per bucket; the t-digest fold is inherently
+        # per-digest (KB-state centroid compression), so the inner
+        # loop is per KEY (cheap driver-side-style arithmetic), never
+        # a per-key map_groups round-trip
+        df = df.sort_values(key_col, kind="mergesort")
+        rows = {key_col: [], "n_rows": []}
+        for name in names:
+            rows[name] = []
+        for key, sub in df.groupby(key_col, sort=False):
+            td = TDigest.merge_bytes([bytes(b) for b in sub["td"]])
+            rows[key_col].append(key)
+            for q, name in zip(qs, names):
+                rows[name].append(float(td.quantile(q)))
+            rows["n_rows"].append(int(sub["cnt"].sum()))
+        out = pd.DataFrame(rows)
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        return out
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     out[key_col] = out[key_col].where(out[key_col] != "\0null", None)
     key = out[key_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
@@ -716,16 +908,15 @@ def cube_agg(ds, group_cols: list[str], value_col: str) -> pd.DataFrame:
         cols = {c: g.column(c) for c in group_cols}
         cols["sum_v"] = g.column(f"{value_col}_sum").cast(pa.float64())
         cols["n_rows"] = g.column("count_all").cast(pa.int64())
-        return pa.table(cols)
+        return _with_shuffle_key_multi(pa.table(cols), group_cols)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(group_cols, as_index=False, dropna=False).agg(
             sum_v=("sum_v", "sum"), n_rows=("n_rows", "sum"))
 
-    finest = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-              .groupby(group_cols, num_partitions=shuffle_partitions())
-              .map_groups(merge, batch_format="pandas")
-              .to_pandas())
+    finest = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge)
 
     levels = []
     for r in range(len(group_cols), -1, -1):
@@ -778,16 +969,15 @@ def grouping_sets_agg(ds, group_cols: list[str], value_col: str,
         cols = {c: g.column(c) for c in group_cols}
         cols["sum_v"] = g.column(f"{value_col}_sum").cast(pa.float64())
         cols["n_rows"] = g.column("count_all").cast(pa.int64())
-        return pa.table(cols)
+        return _with_shuffle_key_multi(pa.table(cols), group_cols)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(group_cols, as_index=False, dropna=False).agg(
             sum_v=("sum_v", "sum"), n_rows=("n_rows", "sum"))
 
-    finest = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-              .groupby(group_cols, num_partitions=shuffle_partitions())
-              .map_groups(merge, batch_format="pandas")
-              .to_pandas())
+    finest = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge)
 
     levels = []
     for s in sets:
@@ -839,20 +1029,29 @@ def monotonic_violations(ds, key_col: str, order_col: str, val_col: str,
         return _with_shuffle_key(batch.select([key_col, order_col, val_col]),
                                  key_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_col, kind="mergesort", na_position="last")
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE order-sort + ONE stable key-sort makes every key's rows
+        # contiguous in order; consecutive-pair checks then vectorize
+        # across ALL keys at once with a same-key mask
+        codes, uniq = pd.factorize(df[key_col], use_na_sentinel=False)
+        df = df.assign(__kc=codes) \
+            .sort_values(order_col, kind="mergesort", na_position="last") \
+            .sort_values("__kc", kind="mergesort")
         v = df[val_col].to_numpy(dtype=np.float64)
+        kc = df["__kc"].to_numpy()
         with np.errstate(invalid="ignore"):
-            viol = int(bad(v[1:], v[:-1]).sum())  # NaN compares False
-        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
-                             "n_rows": np.array([len(df)], np.int64),
-                             "n_violations": np.array([viol], np.int64),
-                             "passed": [viol == 0]})
+            pair_bad = bad(v[1:], v[:-1]) & (kc[1:] == kc[:-1])
+        viol = np.bincount(kc[1:][pair_bad], minlength=len(uniq)) \
+            .astype(np.int64)
+        n_rows = np.bincount(kc, minlength=len(uniq)).astype(np.int64)
+        out = pd.DataFrame({key_col: pd.Series(uniq),
+                            "n_rows": n_rows, "n_violations": viol,
+                            "passed": viol == 0})
+        return _restore_null_keys(out, [key_col])
 
-    out = (ds.map_batches(project, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(project, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     return out.sort_values(key_col).reset_index(drop=True)
 
 
@@ -897,29 +1096,31 @@ def grouped_regression(ds, group_col: str, x_col: str,
             "sxx": g.column("xx_sum"), "syy": g.column("yy_sum"),
             "sxy": g.column("xy_sum")}), group_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        n = int(df["n"].sum())
-        sx, sy = float(df["sx"].sum()), float(df["sy"].sum())
-        sxx, syy = float(df["sxx"].sum()), float(df["syy"].sum())
-        sxy = float(df["sxy"].sum())
-        vx = n * sxx - sx * sx
-        vy = n * syy - sy * sy
-        cov = n * sxy - sx * sy
-        if n == 0 or vx <= 0:
-            slope = intercept = r2 = np.nan
-        else:
-            slope = cov / vx
-            intercept = (sy - slope * sx) / n
-            r2 = 1.0 if vy == 0 else (cov * cov) / (vx * vy)
-        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
-                             "n": np.array([n], np.int64),
-                             "slope": [slope], "intercept": [intercept],
-                             "r2": [r2]})
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(group_col, dropna=False, sort=False,
+                         as_index=False).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxx=("sxx", "sum"), syy=("syy", "sum"), sxy=("sxy", "sum"))
+        n = agg["n"].to_numpy(np.float64)
+        sx, sy = agg["sx"].to_numpy(np.float64), agg["sy"].to_numpy(np.float64)
+        vx = n * agg["sxx"].to_numpy(np.float64) - sx * sx
+        vy = n * agg["syy"].to_numpy(np.float64) - sy * sy
+        cov = n * agg["sxy"].to_numpy(np.float64) - sx * sy
+        ok = (n > 0) & (vx > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = np.where(ok, cov / vx, np.nan)
+            intercept = np.where(ok, (sy - slope * sx) / n, np.nan)
+            r2 = np.where(ok & (vy == 0), 1.0,
+                          np.where(ok, (cov * cov) / (vx * vy), np.nan))
+        out = pd.DataFrame({group_col: agg[group_col],
+                            "n": agg["n"].astype(np.int64),
+                            "slope": slope, "intercept": intercept,
+                            "r2": r2})
+        return _restore_null_keys(out, [group_col])
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     key = out[group_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
 
@@ -994,18 +1195,23 @@ def weighted_avg_per_group(ds, key_col: str, val_col: str,
             "swv": g.column("wv_sum"), "sw": g.column("w_sum"),
             "n": g.column("ok_sum").cast(pa.int64())}), key_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        n = int(df["n"].sum())
-        swv, sw = float(df["swv"].sum()), float(df["sw"].sum())
-        wavg = swv / sw if n and sw != 0 else np.nan
-        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
-                             "wavg": [wavg],
-                             "n": np.array([n], np.int64)})
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(key_col, dropna=False, sort=False,
+                         as_index=False).agg(swv=("swv", "sum"),
+                                             sw=("sw", "sum"),
+                                             n=("n", "sum"))
+        n = agg["n"].to_numpy(np.int64)
+        sw = agg["sw"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            wavg = np.where((n > 0) & (sw != 0),
+                            agg["swv"].to_numpy(np.float64) / sw, np.nan)
+        out = pd.DataFrame({key_col: agg[key_col], "wavg": wavg,
+                            "n": n})
+        return _restore_null_keys(out, [key_col])
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     key = out[key_col].astype(str)
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
 
@@ -1041,16 +1247,14 @@ def chi_square_independence(ds, col_a: str, col_b: str) -> dict:
         return out.append_column("__gkey", k)
 
     def per_cell(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({col_a: [df[col_a].iloc[0]],
-                             col_b: [df[col_b].iloc[0]],
-                             "cnt": np.array([int(df["cnt"].sum())],
-                                             np.int64)})
+        out = df.groupby([col_a, col_b], dropna=False, sort=False,
+                         as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return _restore_null_keys(out, [col_a, col_b])
 
-    cells = (ds.map_batches(partial, batch_format="pyarrow",
-                            batch_size=None)
-             .groupby("__gkey", num_partitions=shuffle_partitions())
-             .map_groups(per_cell, batch_format="pandas")
-             .to_pandas())
+    cells = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        per_cell)
     mat = cells.pivot_table(index=col_a, columns=col_b, values="cnt",
                             aggfunc="sum", fill_value=0).to_numpy(np.float64)
     if mat.size > _MAX_CONTINGENCY_CELLS:
@@ -1210,16 +1414,14 @@ def mutual_information(ds, col_a: str, col_b: str) -> pd.DataFrame:
         return out.append_column("__gkey", k)
 
     def per_cell(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({col_a: [df[col_a].iloc[0]],
-                             col_b: [df[col_b].iloc[0]],
-                             "cnt": np.array([int(df["cnt"].sum())],
-                                             np.int64)})
+        out = df.groupby([col_a, col_b], dropna=False, sort=False,
+                         as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return _restore_null_keys(out, [col_a, col_b])
 
-    cells = (ds.map_batches(partial, batch_format="pyarrow",
-                            batch_size=None)
-             .groupby("__gkey", num_partitions=shuffle_partitions())
-             .map_groups(per_cell, batch_format="pandas")
-             .to_pandas())
+    cells = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        per_cell)
     if len(cells) > _MAX_CONTINGENCY_CELLS:
         raise ValueError(
             f"mutual_information: contingency has {len(cells)} cells — "
@@ -1272,20 +1474,20 @@ def fd_violations(ds, det_cols: list[str], dep_col: str) -> pd.DataFrame:
                 key, pc.cast(out.column(c), pa.string()), "\x1f")
         return out.append_column("__gkey", pc.fill_null(key, "\0null"))
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        n = df[dep_col].nunique(dropna=True)
-        if n <= 1:
-            return pd.DataFrame({c: pd.Series([], dtype=df[c].dtype)
-                                 for c in det_cols} |
-                                {"n_distinct": pd.Series([], dtype="int64")})
-        row = {c: [df[c].iloc[0]] for c in det_cols}
-        row["n_distinct"] = np.array([n], np.int64)
-        return pd.DataFrame(row)
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # distinct (det..., dep) partials may repeat across blocks —
+        # dedup, count deps per key vectorized, keep only violators
+        uniq = df.drop_duplicates(det_cols + [dep_col])
+        nd = uniq.groupby(det_cols, dropna=False, sort=False,
+                          as_index=False).size() \
+            .rename(columns={"size": "n_distinct"})
+        out = nd[nd["n_distinct"] > 1].copy()
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return _restore_null_keys(out.reset_index(drop=True), det_cols)
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     if out.empty:     # no violators: Ray drops columns on empty output
         out = pd.DataFrame({c: pd.Series([], dtype=object)
                             for c in det_cols} |
@@ -1429,21 +1631,41 @@ def cooccurrence_pairs(ds, group_col: str, item_col: str, top: int = 20,
         t = batch.select([group_col, item_col]).filter(
             pc.and_(pc.is_valid(batch.column(group_col)),
                     pc.is_valid(batch.column(item_col))))
-        return t.group_by([group_col, item_col]).aggregate([])
+        return _with_shuffle_key(
+            t.group_by([group_col, item_col]).aggregate([]), group_col)
 
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        items = np.unique(df[item_col].to_numpy())
-        if items.size > max_items:
+        # ALL of a bucket's groups at once: item-sort makes each
+        # group's distinct items a sorted contiguous run; pairing row i
+        # with its k-th successor (same group) sweeps k = 1..max_run —
+        # the Python loop count is the LARGEST basket size, never the
+        # group count, and every step is a whole-bucket array slice
+        df = df.drop_duplicates([group_col, item_col]) \
+            .sort_values(item_col, kind="mergesort") \
+            .sort_values(group_col, kind="mergesort")
+        items = df[item_col].to_numpy()
+        grp = df[group_col].to_numpy()
+        sizes = df.groupby(group_col, sort=False).size()
+        gmax = int(sizes.max()) if len(sizes) else 0
+        if gmax > max_items:
+            hot = sizes.idxmax()
             raise ValueError(
-                f"cooccurrence_pairs: group {df[group_col].iloc[0]!r} has "
-                f"{items.size} distinct items (> max_items={max_items}) — "
+                f"cooccurrence_pairs: group {hot!r} has "
+                f"{gmax} distinct items (> max_items={max_items}) — "
                 f"emitting C(g,2) pairs for it would explode; cap or salt "
                 f"hot groups upstream")
-        if items.size < 2:
+        outs_a, outs_b = [], []
+        for step in range(1, gmax):
+            same = grp[:-step] == grp[step:]
+            if not same.any():
+                break
+            outs_a.append(items[:-step][same])
+            outs_b.append(items[step:][same])
+        if not outs_a:
             return pd.DataFrame({"a": pd.Series([], dtype=items.dtype),
                                  "b": pd.Series([], dtype=items.dtype)})
-        ia, ib = np.triu_indices(items.size, k=1)
-        return pd.DataFrame({"a": items[ia], "b": items[ib]})
+        return pd.DataFrame({"a": np.concatenate(outs_a),
+                             "b": np.concatenate(outs_b)})
 
     def count_partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["a", "b"]).aggregate([([], "count_all")])
@@ -1452,12 +1674,13 @@ def cooccurrence_pairs(ds, group_col: str, item_col: str, top: int = 20,
         k = pc.binary_join_element_wise(
             pc.cast(out.column("a"), pa.string()),
             pc.cast(out.column("b"), pa.string()), "\x1f")
-        return out.append_column("__pkey", k)
+        return out.append_column("__gkey", k)
 
     def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"a": [df["a"].iloc[0]],
-                             "b": [df["b"].iloc[0]],
-                             "n": np.array([int(df["n"].sum())], np.int64)})
+        out = df.groupby(["a", "b"], dropna=False, sort=False,
+                         as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
 
     def top_partial(batch: pa.Table) -> pa.Table:
         df = batch.select(["a", "b", "n"]).to_pandas()
@@ -1467,17 +1690,15 @@ def cooccurrence_pairs(ds, group_col: str, item_col: str, top: int = 20,
         return pa.Table.from_pandas(df, preserve_index=False) \
             .replace_schema_metadata(None)
 
-    counts = (ds.map_batches(distinct_partial, batch_format="pyarrow",
-                             batch_size=None)
-              .groupby(group_col, num_partitions=shuffle_partitions())
-              .map_groups(emit_pairs, batch_format="pandas")
-              .map_batches(count_partial, batch_format="pyarrow",
-                           batch_size=None)
-              .groupby("__pkey", num_partitions=shuffle_partitions())
-              .map_groups(merge_counts, batch_format="pandas")
-              .map_batches(top_partial, batch_format="pyarrow",
-                           batch_size=None)
-              .to_pandas())
+    pairs = _bucketed_merge_ds(
+        ds.map_batches(distinct_partial, batch_format="pyarrow",
+                       batch_size=None), emit_pairs)
+    counts = (_bucketed_merge_ds(
+        pairs.map_batches(count_partial, batch_format="pyarrow",
+                          batch_size=None), merge_counts)
+        .map_batches(top_partial, batch_format="pyarrow",
+                     batch_size=None)
+        .to_pandas())
     if counts.empty:
         return pd.DataFrame({"a": pd.Series([], dtype=object),
                              "b": pd.Series([], dtype=object),
@@ -1566,24 +1787,43 @@ def weighted_median_per_group(ds, group_col: str, val_col: str,
             "w": g.column("w_sum"),
             "n": g.column("w_count").cast(pa.int64())}), group_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("v", as_index=False).agg(w=("w", "sum"),
-                                                n=("n", "sum"))
-        g = g.sort_values("v", kind="mergesort")
-        tot = float(g["w"].sum())
-        med = np.nan
-        if tot > 0:
-            cw = np.cumsum(g["w"].to_numpy(np.float64))
-            med = float(g["v"].to_numpy()[np.searchsorted(
-                cw, tot / 2.0, side="left")])
-        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
-                             "wmedian": [med], "total_w": [tot],
-                             "n": np.array([int(g["n"].sum())], np.int64)})
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # merge duplicate (group, value) partials, value-sort the whole
+        # bucket with groups contiguous (factorize codes — dtype-safe),
+        # then ONE within-group cumulative pass: the first row whose
+        # running weight reaches half the group total is the lower
+        # weighted median — all array ops, no per-key Python
+        m = df.groupby([group_col, "v"], dropna=False, sort=False,
+                       as_index=False).agg(w=("w", "sum"), n=("n", "sum"))
+        codes, _u = pd.factorize(m[group_col], use_na_sentinel=False)
+        m = m.assign(__kc=codes).sort_values("v", kind="mergesort") \
+            .sort_values("__kc", kind="mergesort")
+        kc = m["__kc"].to_numpy()
+        first = np.r_[True, kc[1:] != kc[:-1]] if len(m) \
+            else np.zeros(0, bool)
+        run = np.cumsum(first) - 1            # dense group ordinal
+        g = m.groupby("__kc", sort=False)
+        cw = g["w"].cumsum().to_numpy(np.float64)
+        tot_row = g["w"].transform("sum").to_numpy(np.float64)
+        half = cw >= tot_row / 2.0
+        G = int(run[-1]) + 1 if len(m) else 0
+        med = np.full(G, np.nan)
+        if G:
+            pos = pd.Series(np.arange(len(m))[half]) \
+                .groupby(run[half]).min()
+            med[pos.index.to_numpy()] = \
+                m["v"].to_numpy(np.float64)[pos.to_numpy()]
+        tot_g = tot_row[first]
+        med = np.where(tot_g > 0, med, np.nan)
+        n_g = np.bincount(run, weights=m["n"].to_numpy(np.float64),
+                          minlength=G).astype(np.int64)
+        out = pd.DataFrame({group_col: m[group_col].to_numpy()[first],
+                            "wmedian": med, "total_w": tot_g, "n": n_g})
+        return _restore_null_keys(out, [group_col])
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     if out.empty:
         return pd.DataFrame({group_col: pd.Series([], dtype=object),
                              "wmedian": pd.Series([], dtype="float64"),
@@ -1621,18 +1861,22 @@ def grouped_log_means(ds, group_col: str, val_col: str) -> pd.DataFrame:
             "sln": g.column("lnx_sum"), "srx": g.column("rx_sum")}),
             group_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        n = int(df["n"].sum())
-        sln, srx = float(df["sln"].sum()), float(df["srx"].sum())
-        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
-                             "n": np.array([n], np.int64),
-                             "geomean": [np.exp(sln / n)],
-                             "harmmean": [n / srx]})
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(group_col, dropna=False, sort=False,
+                         as_index=False).agg(n=("n", "sum"),
+                                             sln=("sln", "sum"),
+                                             srx=("srx", "sum"))
+        n = agg["n"].to_numpy(np.float64)
+        out = pd.DataFrame({
+            group_col: agg[group_col],
+            "n": agg["n"].astype(np.int64),
+            "geomean": np.exp(agg["sln"].to_numpy(np.float64) / n),
+            "harmmean": n / agg["srx"].to_numpy(np.float64)})
+        return _restore_null_keys(out, [group_col])
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     if out.empty:
         return pd.DataFrame({group_col: pd.Series([], dtype=object),
                              "n": pd.Series([], dtype="int64"),
@@ -1673,19 +1917,23 @@ def theil_index_per_group(ds, group_col: str, val_col: str) -> pd.DataFrame:
             "sx": g.column("x_sum"), "sxlnx": g.column("xlnx_sum")}),
             group_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        n = int(df["n"].sum())
-        sx, sxlnx = float(df["sx"].sum()), float(df["sxlnx"].sum())
-        mu = sx / n
-        theil = sxlnx / (n * mu) - np.log(mu)
-        return pd.DataFrame({group_col: [df[group_col].iloc[0]],
-                             "n": np.array([n], np.int64),
-                             "theil": [theil]})
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(group_col, dropna=False, sort=False,
+                         as_index=False).agg(n=("n", "sum"),
+                                             sx=("sx", "sum"),
+                                             sxlnx=("sxlnx", "sum"))
+        n = agg["n"].to_numpy(np.float64)
+        mu = agg["sx"].to_numpy(np.float64) / n
+        out = pd.DataFrame({
+            group_col: agg[group_col],
+            "n": agg["n"].astype(np.int64),
+            "theil": agg["sxlnx"].to_numpy(np.float64) / (n * mu)
+            - np.log(mu)})
+        return _restore_null_keys(out, [group_col])
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     if out.empty:
         return pd.DataFrame({group_col: pd.Series([], dtype=object),
                              "n": pd.Series([], dtype="int64"),
@@ -1973,47 +2221,33 @@ def grouped_moments(ds, group_col: str, val_col: str) -> pd.DataFrame:
             "m3": pa.array(m3), "m4": pa.array(m4)})
         return _with_shuffle_key(out, group_col)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        na, ma, M2a, M3a, M4a = 0.0, 0.0, 0.0, 0.0, 0.0
-        for _, row in df.iterrows():
-            nb, mb = float(row["n"]), float(row["mean"])
-            M2b, M3b, M4b = (float(row["m2"]), float(row["m3"]),
-                             float(row["m4"]))
-            if na == 0.0:
-                na, ma, M2a, M3a, M4a = nb, mb, M2b, M3b, M4b
-                continue
-            n = na + nb
-            d = mb - ma
-            M4a = (M4a + M4b
-                   + d ** 4 * na * nb * (na * na - na * nb + nb * nb) / n ** 3
-                   + 6.0 * d * d * (na * na * M2b + nb * nb * M2a) / (n * n)
-                   + 4.0 * d * (na * M3b - nb * M3a) / n)
-            M3a = (M3a + M3b + d ** 3 * na * nb * (na - nb) / (n * n)
-                   + 3.0 * d * (na * M2b - nb * M2a) / n)
-            M2a = M2a + M2b + d * d * na * nb / n
-            ma = ma + d * nb / n
-            na = n
-        n = na
-        m2 = M2a / n if n else np.nan
-        std = np.sqrt(M2a / (n - 1)) if n > 1 else np.nan
-        skew = np.nan
-        if n >= 3 and m2 > 0:
-            g1 = (M3a / n) / m2 ** 1.5
-            skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
-        kurt = np.nan
-        if n >= 4 and m2 > 0:
-            g2 = (M4a / n) / (m2 * m2) - 3.0
-            kurt = (((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3)))
-        return pd.DataFrame({
-            group_col: [df[group_col].iloc[0]],
-            "n": np.array([int(n)], np.int64),
-            "mean": [ma], "std": [std],
-            "skewness": [skew], "kurtosis": [kurt]})
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        agg = _moments_merge_bucket(df, group_col)
+        n = agg["n"].to_numpy(np.float64)
+        M2 = agg["m2"].to_numpy(np.float64)
+        M3 = agg["m3"].to_numpy(np.float64)
+        M4 = agg["m4"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m2n = M2 / n
+            std = np.where(n > 1, np.sqrt(M2 / (n - 1.0)), np.nan)
+            g1 = (M3 / n) / m2n ** 1.5
+            skew = np.where((n >= 3) & (M2 > 0),
+                            g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0),
+                            np.nan)
+            g2 = (M4 / n) / (m2n * m2n) - 3.0
+            kurt = np.where((n >= 4) & (M2 > 0),
+                            ((n + 1.0) * g2 + 6.0) * (n - 1.0)
+                            / ((n - 2.0) * (n - 3.0)), np.nan)
+        out = pd.DataFrame({
+            group_col: agg[group_col],
+            "n": agg["n"].astype(np.int64),
+            "mean": agg["mean"].to_numpy(np.float64), "std": std,
+            "skewness": skew, "kurtosis": kurt})
+        return _restore_null_keys(out, [group_col])
 
-    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .groupby("__gkey", num_partitions=shuffle_partitions())
-           .map_groups(per_key, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
     if out.empty:
         return pd.DataFrame({group_col: pd.Series([], dtype=object),
                              "n": pd.Series([], dtype="int64"),

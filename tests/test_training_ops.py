@@ -5668,3 +5668,67 @@ def test_pagerank_negative_weight_raises(ray_session):
     # the raise happens inside the Ray map task -> RayTaskError wrapper
     with pytest.raises(Exception, match="negative"):
         pagerank(_ds(edges, blocks=2), "src", "dst", weight_col="w")
+
+
+def test_bucketed_merge_per_bucket_calls(ray_session):
+    """The grouped.py merge side runs ONE Python call per hash bucket,
+    never per key: a 5000-key input through _bucketed_merge with B=8
+    invokes merge_bucket at most 8 times (one row emitted per call)
+    while still seeing every key exactly once."""
+    from feature_fabrica_ray.pipelines.grouped import (_bucketed_merge,
+                                                       _with_shuffle_key)
+
+    n_keys = 5000
+    df = pd.DataFrame({"k": np.arange(n_keys, dtype=np.int64),
+                       "v": np.ones(n_keys)})
+    parts = _ds(df, blocks=4).map_batches(
+        lambda t: _with_shuffle_key(t, "k"),
+        batch_format="pyarrow", batch_size=None)
+
+    def merge_bucket(d: pd.DataFrame) -> pd.DataFrame:
+        # one output row PER INVOCATION -> row count == Python calls
+        return pd.DataFrame({"keys_seen": [int(d["k"].nunique())]})
+
+    out = _bucketed_merge(parts, merge_bucket, n_buckets=8)
+    assert len(out) <= 8, f"{len(out)} merge calls for 8 buckets"
+    assert out["keys_seen"].sum() == n_keys
+
+
+def test_grouped_merges_high_cardinality(ray_session):
+    """Vectorized bucketed merges stay exact at high key cardinality:
+    40k keys x 5 rows, every key merged from multiple blocks, checked
+    against pandas for moments/mode/distinct-count."""
+    from feature_fabrica_ray.pipelines.grouped import (
+        distinct_count_per_group, grouped_moments, mode_per_group)
+
+    rng = np.random.default_rng(3)
+    n_keys = 40_000
+    k = np.repeat(np.arange(n_keys, dtype=np.int64), 5)
+    v = rng.normal(size=k.size) * (1 + k % 7)
+    df = pd.DataFrame({"k": k, "v": v})
+    ds = _ds(df.sample(frac=1.0, random_state=0), blocks=16)
+
+    mom = grouped_moments(ds, "k", "v").set_index("k")
+    exp_mean = df.groupby("k")["v"].mean()
+    exp_std = df.groupby("k")["v"].std()
+    exp_skew = df.groupby("k")["v"].skew()
+    assert np.allclose(mom["mean"], exp_mean.loc[mom.index], atol=1e-9)
+    assert np.allclose(mom["std"], exp_std.loc[mom.index], atol=1e-9)
+    assert np.allclose(mom["skewness"], exp_skew.loc[mom.index],
+                       atol=1e-8, equal_nan=True)
+
+    dc = distinct_count_per_group(ds, "k", "v")
+    assert len(dc) == n_keys
+    assert (dc["n_rows"] == 5).all()
+
+    dfm = pd.DataFrame({"k": k % 1000, "v": (k * 7) % 3})
+    md = mode_per_group(_ds(dfm, blocks=8), "k", "v").set_index("k")
+    exp_mode = dfm.groupby("k")["v"].agg(
+        lambda s: s.value_counts().sort_index().idxmax())
+    got = md["mode_v"].astype(np.int64)
+    exp_sorted = dfm.groupby(["k", "v"]).size().reset_index(name="c") \
+        .sort_values(["v"]).sort_values(["c"], ascending=False,
+                                        kind="mergesort") \
+        .drop_duplicates("k").set_index("k")["v"]
+    assert (got.loc[exp_sorted.index] == exp_sorted).all()
+    _ = exp_mode
