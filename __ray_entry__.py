@@ -1040,14 +1040,7 @@ ORDER BY "check"
 """
 
 
-def q_vl_infer(sf_dir: str) -> pd.DataFrame:
-    """Suite inference (the baseline-then-validate profiler workflow):
-    profile the table once, GENERATE a check spec with slack margins
-    (schema / null-rate caps / numeric range + quantile bands /
-    distinct bounds), then run the generated suite back over the same
-    table — every inferred expectation must pass. Rows-only (the spec
-    is generated, not declared); pytest proves cross-scale transfer
-    and planted-shift detection."""
+def _infer_spec_and_verdicts(sf_dir: str):
     from feature_fabrica_ray.checks import CheckSuite
     from feature_fabrica_ray.pipelines import infer_checks, run_suite
 
@@ -1061,8 +1054,97 @@ def q_vl_infer(sf_dir: str) -> pd.DataFrame:
     spec = infer_checks(with_size(sf_dir), partition_col="repo")
     g = run_suite(with_size(sf_dir), CheckSuite(spec),
                   partition_col="repo").global_verdicts()
-    return g[["check", "passed"]].sort_values("check") \
-        .reset_index(drop=True)
+    return spec, dict(zip(g["check"], g["passed"]))
+
+
+def q_vl_infer(sf_dir: str) -> pd.DataFrame:
+    """Suite inference, DETERMINISTIC core (the baseline-then-validate
+    profiler workflow): profile the table once, GENERATE a check spec
+    with slack margins, run the generated suite back over the same
+    table, and emit the exactly-reproducible rows — the inferred
+    schema expectation, per-column not-null / null-rate caps (Welford
+    null counts, exact) and the numeric range fences (exact min/max ±
+    range_slack·span) — with each check's verdict. Hash-exact vs a
+    DuckDB oracle computing the same caps/fences (round-4 upgrade of
+    the former rows-only form; the HLL distinct bounds and t-digest
+    quantile bands remain in ``vl_infer_sketch``)."""
+    spec, passed = _infer_spec_and_verdicts(sf_dir)
+    rows = []
+    for c in spec:
+        nm = c["name"]
+        if c["type"] == "schema":
+            rows.append((nm, "*", "schema", np.nan, np.nan,
+                         bool(passed[nm])))
+        elif c["type"] == "not_null" and "max_violation_rate" not in c:
+            rows.append((nm, c["column"], "not_null", np.nan, np.nan,
+                         bool(passed[nm])))
+        elif c["type"] == "not_null":
+            rows.append((nm, c["column"], "null_cap", np.nan,
+                         float(c["max_violation_rate"]),
+                         bool(passed[nm])))
+        elif c["type"] == "range":
+            rows.append((nm, c["column"], "range", float(c["min"]),
+                         float(c["max"]), bool(passed[nm])))
+    out = pd.DataFrame(rows, columns=["check", "col_name", "kind",
+                                      "lo", "hi", "passed"])
+    out["lo"] = _round_away(out["lo"], 6)
+    out["hi"] = _round_away(out["hi"], 6)
+    return out.sort_values("check").reset_index(drop=True)
+
+
+def q_vl_infer_sketch(sf_dir: str) -> pd.DataFrame:
+    """Suite inference, SKETCH remainder: the HLL distinct bounds and
+    t-digest quantile bands of the generated spec — genuinely
+    approximate (estimator-defined, not SQL-expressible), so rows-only
+    by design; pytest bounds the estimates and proves planted-shift
+    detection. The deterministic rest of the spec is oracle-checked in
+    ``vl_infer``."""
+    spec, passed = _infer_spec_and_verdicts(sf_dir)
+    rows = [(c["name"], bool(passed[c["name"]]))
+            for c in spec if c["type"] in ("distinct_bound",
+                                           "quantile_bound")]
+    return pd.DataFrame(rows, columns=["check", "passed"]) \
+        .sort_values("check").reset_index(drop=True)
+
+
+def _infer_nullrate_sql(col: str) -> str:
+    """One oracle row per column: not_null when the profile saw zero
+    nulls, else the null-rate cap at 2x the exact observed rate (the
+    engine's infer_checks null_slack default)."""
+    q = f'"{col}"' if col == "commit" else col
+    return f"""
+SELECT CASE WHEN nu = 0 THEN 'inferred:not_null:{col}'
+            ELSE 'inferred:null_rate:{col}' END AS "check",
+       '{col}' AS col_name,
+       CASE WHEN nu = 0 THEN 'not_null' ELSE 'null_cap' END AS kind,
+       CAST(NULL AS DOUBLE) AS lo,
+       CASE WHEN nu = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE round(least(1.0, 2.0 * nu / n), 6) END AS hi,
+       TRUE AS passed
+FROM (SELECT count(*) AS n,
+             sum(CASE WHEN {q} IS NULL THEN 1 ELSE 0 END) AS nu
+      FROM ct)"""
+
+
+_INFER_ORACLE = CT + """
+, ct AS (SELECT repo, path, "commit", lang, content,
+                CAST(length(content) AS BIGINT) AS size_bytes
+         FROM codetable)
+SELECT * FROM (
+SELECT 'inferred:schema' AS "check", '*' AS col_name,
+       'schema' AS kind, CAST(NULL AS DOUBLE) AS lo,
+       CAST(NULL AS DOUBLE) AS hi, TRUE AS passed
+UNION ALL """ + "\nUNION ALL ".join(
+    _infer_nullrate_sql(c) for c in
+    ["repo", "path", "commit", "lang", "content", "size_bytes"]) + """
+UNION ALL
+SELECT 'inferred:range:size_bytes', 'size_bytes', 'range',
+       round(mn - 0.05 * (mx - mn), 6), round(mx + 0.05 * (mx - mn), 6),
+       TRUE
+FROM (SELECT CAST(min(size_bytes) AS DOUBLE) AS mn,
+             CAST(max(size_bytes) AS DOUBLE) AS mx FROM ct)
+) ORDER BY "check"
+"""
 
 
 def q_vl_distinct_bound(sf_dir: str) -> pd.DataFrame:
@@ -10375,6 +10457,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "vl_shape": q_vl_shape,
         "vl_top_share": q_vl_top_share,
         "vl_infer": q_vl_infer,
+        "vl_infer_sketch": q_vl_infer_sketch,
         "vl_monotonic": q_vl_monotonic,
         "vl_distinct_bound": q_vl_distinct_bound,
         "ft_math_chain": q_ft_math_chain,
@@ -10660,6 +10743,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_reconcile": _RECONCILE_ORACLE,
         "vl_nullpattern": _NULLPATTERN_ORACLE,
         "vl_typeinfer": _TYPEINFER_ORACLE,
+        "vl_infer": _INFER_ORACLE,
         "vl_completeness": _COMPLETENESS_ORACLE,
         "vl_volume": _VOLUME_ORACLE,
         "vl_sortedness": _SORTEDNESS_ORACLE,
