@@ -121,12 +121,16 @@ class DecodeImageFeatures:
 
     def __init__(self, resize_to: tuple[int, int] = (32, 32)):
         self.resize_to = resize_to
-        try:  # real codec path — not available in this container
+        try:  # preferred real codec
             from PIL import Image  # noqa: F401
 
             self._pil = Image
         except ImportError:
-            self._pil = None
+            # pure-stdlib PNG/BMP fallback — same Image surface;
+            # unsupported formats (JPEG/GIF) raise loud inside open()
+            from ._minicodec import MiniImage
+
+            self._pil = MiniImage
 
     def _decode_real(self, payload: bytes):  # pragma: no cover
         """Real-codec decode of ONE image: (width, height, mean, entropy)
@@ -158,13 +162,9 @@ class DecodeImageFeatures:
         lens = np.diff(off)
         real = _real_image_rows(buf, off, lens)
         if real.any():
-            # payloads carrying a real codec magic must never fall
-            # through to the fake-header parse (silent garbage)
-            if self._pil is None:
-                raise NotImplementedError(
-                    "batch contains real image payloads (codec magic "
-                    "detected) but PIL is not installed — install "
-                    "pillow or strip real images upstream")
+            # payloads carrying a real codec magic never fall through
+            # to the fake-header parse; formats outside the decoder's
+            # reach (JPEG/GIF without PIL) raise loud inside open()
             widths = np.zeros(n, np.int64)
             heights = np.zeros(n, np.int64)
             means = np.zeros(n, np.float64)
@@ -237,12 +237,16 @@ class DecodeAudioFeatures:
 
     def __init__(self, sample_rate: int = 16_000):
         self.sample_rate = sample_rate
-        try:  # real codec path — not installed in this container
+        try:  # preferred real codec
             import soundfile  # noqa: F401
 
             self._sf = soundfile
         except ImportError:
-            self._sf = None
+            # pure-stdlib WAV fallback — same read() surface;
+            # FLAC/Ogg payloads raise loud inside read()
+            from . import _minicodec
+
+            self._sf = _minicodec
 
     def _decode_real(self, payload: bytes):  # pragma: no cover
         """Real-codec decode of ONE audio payload: (n_samples, rms,
@@ -271,11 +275,6 @@ class DecodeAudioFeatures:
         lens = np.diff(off)
         real = _real_audio_rows(buf, off, lens)
         if real.any():
-            if self._sf is None:
-                raise NotImplementedError(
-                    "batch contains real audio payloads (container magic "
-                    "detected) but soundfile is not installed — install "
-                    "soundfile or strip real audio upstream")
             if not real.all():
                 raise NotImplementedError(
                     "mixed real/fake audio payloads in one batch are "
@@ -478,12 +477,14 @@ class PHashImage:
     GRID_H, GRID_W = 8, 8            # 8 rows x 9 cols sampled -> 64 bits
 
     def __init__(self):
-        try:  # pragma: no cover — real codec path, absent here
+        try:  # preferred real codec
             from PIL import Image  # noqa: F401
 
             self._pil = Image
         except ImportError:
-            self._pil = None
+            from ._minicodec import MiniImage
+
+            self._pil = MiniImage
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload")
@@ -497,11 +498,6 @@ class PHashImage:
         lens = np.diff(off)
         real = _real_image_rows(buf, off, lens)
         if real.any():
-            if self._pil is None:
-                raise NotImplementedError(
-                    "batch contains real image payloads (codec magic "
-                    "detected) but PIL is not installed — install "
-                    "pillow or strip real images upstream")
             if not real.all():
                 raise NotImplementedError(
                     "mixed real/fake image payloads in one batch are "

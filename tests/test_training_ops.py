@@ -3334,25 +3334,27 @@ def test_phash_matches_reference_and_finds_neardups(ray_session):
                                pairs["id_b"].astype(int)))
 
 
-def _has_pil():
+def _image_codec():
+    """PIL when installed, else the pure-stdlib minicodec — the same
+    fallback order the pipeline stages use, so test references always
+    come from the codec under test."""
     try:
-        import PIL  # noqa: F401
-        return True
+        from PIL import Image
+        return Image
     except ImportError:
-        return False
+        from feature_fabrica_ray.pipelines._minicodec import MiniImage
+        return MiniImage
 
 
-def _has_soundfile():
+def _audio_codec():
     try:
-        import soundfile  # noqa: F401
-        return True
+        import soundfile
+        return soundfile
     except ImportError:
-        return False
+        from feature_fabrica_ray.pipelines import _minicodec
+        return _minicodec
 
 
-@pytest.mark.skipif(not _has_pil(),
-                    reason="pillow not installed in this container — "
-                           "real-codec image path exercised where it is")
 def test_real_codec_image_decode_and_phash(ray_session):
     """Real-codec smoke: DecodeImageFeatures / PHashImage on actual PNG
     bytes — contract fields (width, height, mean_byte, byte_entropy)
@@ -3360,10 +3362,10 @@ def test_real_codec_image_decode_and_phash(ray_session):
     image lands at hamming distance <= 3 of the PNG's dHash."""
     import io
 
-    from PIL import Image
-
     from feature_fabrica_ray.pipelines import (DecodeImageFeatures,
                                                PHashImage)
+
+    Image = _image_codec()
 
     import pyarrow as pa
 
@@ -3401,17 +3403,14 @@ def test_real_codec_image_decode_and_phash(ray_session):
     assert ph[0] != 0          # gradient produced structured bits
 
 
-@pytest.mark.skipif(not _has_soundfile(),
-                    reason="soundfile not installed in this container — "
-                           "real-codec audio path exercised where it is")
 def test_real_codec_audio_decode(ray_session):
     """Real-codec smoke: DecodeAudioFeatures on an actual WAV payload —
     n_samples / rms / zero_crossings match the sine-wave ground truth."""
     import io
 
-    import soundfile as sf
-
     from feature_fabrica_ray.pipelines import DecodeAudioFeatures
+
+    sf = _audio_codec()
 
     import pyarrow as pa
 
@@ -3426,32 +3425,37 @@ def test_real_codec_audio_decode(ray_session):
         batch_format="pyarrow").to_pandas()
     assert out["n_samples"].iloc[0] == n
     assert out["rms"].iloc[0] == pytest.approx(
-        float(np.sqrt((x * 127) ** 2 * 0 + ((x * 127) ** 2).mean())),
-        rel=1e-4)
-    assert out["zero_crossings"].iloc[0] == 8   # 4 cycles -> 8 flips
+        float(np.sqrt(((x * 127) ** 2).mean())), rel=1e-4)
+    # 4 cycles have zeros at samples 0,100,...,800; sample 0 starts the
+    # signal and sample 800 is past the end, leaving 7 interior sign
+    # flips (sin(k*pi) evaluates to +-1e-16, so the flip lands on the
+    # sample after each analytic zero)
+    assert out["zero_crossings"].iloc[0] == 7
 
 
-@pytest.mark.skipif(_has_pil(),
-                    reason="pillow IS installed — the loud no-codec "
-                           "guard only fires without it")
-def test_real_image_magic_raises_without_codec(ray_session):
-    """A payload carrying a real codec magic must fail LOUD when no
-    codec is installed, never fall through to the fake-header parse
-    (which would emit silent garbage width/height)."""
+def test_real_image_unsupported_format_raises(ray_session):
+    """A payload carrying a real codec magic the installed decoder
+    cannot handle (JPEG without PIL) must fail LOUD, never fall
+    through to the fake-header parse (silent garbage width/height)."""
     from feature_fabrica_ray.pipelines import (DecodeImageFeatures,
                                                PHashImage)
 
     import pyarrow as pa
 
-    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("pillow installed — every real format decodes")
+    except ImportError:
+        pass
+    jpg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
     t = pa.table({"media_id": pa.array([1], pa.int64()),
-                  "payload": pa.array([png_magic], pa.binary())})
+                  "payload": pa.array([jpg_magic], pa.binary())})
     for cls in (DecodeImageFeatures, PHashImage):
         with pytest.raises(Exception) as ei:
             ray.data.from_arrow(t).map_batches(
                 cls, concurrency=1, batch_size=None,
                 batch_format="pyarrow").to_pandas()
-        assert "PIL is not installed" in str(ei.value)
+        assert "unsupported image format" in str(ei.value)
 
 
 def test_ohlc_bars_vs_pandas(ray_session):
