@@ -10392,6 +10392,66 @@ WHERE rn % 100 = 1
 # contract
 # ---------------------------------------------------------------------------
 
+def q_gr_labelprop(sf_dir: str) -> pd.DataFrame:
+    """Deterministic synchronous label propagation (2 rounds) over the
+    symmetrized part<->supplier graph — community detection with the
+    min-label tiebreak that makes it SQL-replayable
+    (pipelines/graph.py::label_propagation, broadcast pagerank shape);
+    oracle = 2 unrolled join-count-argmax rounds."""
+    from feature_fabrica_ray.pipelines import label_propagation
+
+    out = label_propagation(_lineitem_graph(sf_dir), "src", "dst",
+                            iters=2)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+_LABELPROP_ORACLE = """
+WITH e AS (
+  SELECT l_partkey AS u, l_suppkey + 1000000000 AS v FROM lineitem
+  UNION ALL
+  SELECT l_suppkey + 1000000000 AS u, l_partkey AS v FROM lineitem),
+l0 AS (SELECT DISTINCT u AS n, u AS lab FROM e),
+c1 AS (SELECT e.u AS n, l0.lab, count(*) AS c
+       FROM e JOIN l0 ON l0.n = e.v GROUP BY e.u, l0.lab),
+l1 AS (SELECT n, lab FROM (
+         SELECT n, lab, row_number() OVER (
+           PARTITION BY n ORDER BY c DESC, lab ASC) AS rn FROM c1)
+       WHERE rn = 1),
+c2 AS (SELECT e.u AS n, l1.lab, count(*) AS c
+       FROM e JOIN l1 ON l1.n = e.v GROUP BY e.u, l1.lab),
+l2 AS (SELECT n, lab FROM (
+         SELECT n, lab, row_number() OVER (
+           PARTITION BY n ORDER BY c DESC, lab ASC) AS rn FROM c2)
+       WHERE rn = 1)
+SELECT n AS node, lab AS label FROM l2 ORDER BY node
+"""
+
+
+def q_agg_heavy_group(sf_dir: str) -> pd.DataFrame:
+    """Per-group approximate heavy hitters: top-3 part types per brand
+    from per-block SpaceSaving sketches merged on the bucketed engine
+    (pipelines/topk.py::heavy_hitters_per_group) — exact here because
+    k=256 exceeds every brand's distinct type count, which is
+    what makes the SQL window-function oracle hash-exact."""
+    from feature_fabrica_ray.pipelines import heavy_hitters_per_group
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_brand", "p_type"])
+    return heavy_hitters_per_group(part, "p_brand", "p_type",
+                                   k=256, top=3)
+
+
+_HEAVY_GROUP_ORACLE = """
+SELECT p_brand, v, est, CAST(0 AS BIGINT) AS err, rank FROM (
+  SELECT p_brand, p_type AS v, count(*) AS est,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY count(*) DESC, p_type ASC)
+           AS rank
+  FROM part GROUP BY p_brand, p_type)
+WHERE rank <= 3 ORDER BY p_brand, rank
+"""
+
+
 def entry() -> Any:
     """Flagship: full constraint suite over the sf0.001 codetable; returns
     the global verdicts DataFrame (stable schema, >= 1 row)."""
@@ -10719,6 +10779,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "pr_hist2d": q_pr_hist2d,
         "dd_ngram_overlap": q_dd_ngram_overlap,
         "gr_degree": q_gr_degree,
+        "gr_labelprop": q_gr_labelprop,
+        "agg_heavy_group": q_agg_heavy_group,
         "agg_hll_setops": q_agg_hll_setops,
         "pr_lineitem": q_pr_lineitem,
     }
@@ -10971,6 +11033,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_rolling_median": _ROLLING_MEDIAN_ORACLE,
         # gr_pagerank: iterative fixpoint -> rows-only (pytest vs power iteration)
         "gr_degree": _DEGREE_ORACLE,
+        "gr_labelprop": _LABELPROP_ORACLE,
+        "agg_heavy_group": _HEAVY_GROUP_ORACLE,
         "gr_triangles": _TRIANGLES_ORACLE,
         "gr_bfs": _BFS_ORACLE,
         "gr_assortativity": _ASSORT_ORACLE,

@@ -46,7 +46,7 @@ __all__ = ["connected_components", "star_edges", "pagerank",
            "pagerank_sharded", "hits", "hits_sharded", "degree_table",
            "canonical_edges", "triangle_count", "edge_jaccard", "kcore",
            "cooccur_edges", "adamic_adar", "bfs_hops", "degree_assortativity", "modularity",
-           "clustering_coefficients"]
+           "clustering_coefficients", "label_propagation"]
 
 
 def _canon2(names: list[str]):
@@ -1609,3 +1609,87 @@ def clustering_coefficients(edges, a_col: str = "a", b_col: str = "b"):
     return {"c_global": c_global, "c_avg_local": c_avg,
             "n_triangles": n_tri, "n_wedges": wedges,
             "n_nodes": int(len(d))}
+
+
+def label_propagation(edges, src_col: str = "src", dst_col: str = "dst",
+                      *, iters: int = 3,
+                      max_nodes: int = 5_000_000) -> "pd.DataFrame":
+    """Deterministic SYNCHRONOUS label propagation (community
+    detection, Raghavan et al. 2007 made reproducible): every node
+    starts labeled with its own id; each iteration every node adopts
+    the most frequent label among its OUT-neighbors simultaneously,
+    ties broken toward the SMALLEST label, nodes without out-edges
+    keeping their label. Pass a symmetrized edge list (e.g. the
+    part<->supplier graph) for the undirected form. Synchronous
+    updates + the min-label tiebreak make the result a pure function
+    of the graph — no RNG, no visit order — which is what lets a
+    DuckDB oracle replay it as k unrolled join-count-argmax rounds.
+
+    Scale shape (the broadcast ``pagerank`` pattern, graph.py:248):
+    the 16 B/row edge projection materializes once; per iteration the
+    (node -> label) array broadcasts via ``ray.put`` and ONE streaming
+    pass emits per-block (node, label, count) group-partials — the
+    exchange is bounded by block-distinct (node, label) pairs, never
+    raw edges on the driver. The n-sized label state is driver-held
+    and guarded at ``max_nodes``; past it, shard the label table and
+    replace the broadcast with a keyed label-join per iteration (the
+    ``pagerank_sharded`` / ``hits_sharded`` pattern).
+
+    Returns (node, label) sorted by node, both int64."""
+    import pandas as pd
+    import ray
+
+    def project(t: pa.Table) -> pa.Table:
+        return _drop_null_endpoints(t.select([src_col, dst_col]),
+                                    src_col, dst_col)
+
+    proj = edges.map_batches(project, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(pa.concat_arrays([
+            t.column(src_col).cast(pa.int64()).combine_chunks(),
+            t.column(dst_col).cast(pa.int64()).combine_chunks()]))
+        return pa.table({"n": u})
+
+    node_rows = proj.map_batches(node_partial, batch_format="pyarrow",
+                                 batch_size=None).to_pandas()
+    if node_rows.empty:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "label": pd.Series([], dtype="int64")})
+    nodes = np.unique(node_rows["n"].to_numpy(np.int64))
+    if len(nodes) > max_nodes:
+        raise ValueError(
+            f"label_propagation: {len(nodes)} nodes > max_nodes="
+            f"{max_nodes}; shard the label table and join per iteration "
+            f"(the pagerank_sharded pattern) for larger graphs")
+    labels = nodes.copy()
+
+    for _ in range(iters):
+        ref = ray.put((nodes, labels))
+
+        def contrib(t: pa.Table, ref=ref) -> pa.Table:
+            nd, lb = ray.get(ref)
+            s = t.column(src_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            d = t.column(dst_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            lab = lb[np.searchsorted(nd, d)]
+            g = pa.table({"u": pa.array(s), "lab": pa.array(lab)})                 .group_by(["u", "lab"]).aggregate([([], "count_all")])
+            return pa.table({"u": g.column("u"), "lab": g.column("lab"),
+                             "c": g.column("count_all").cast(pa.int64())})
+
+        parts = proj.map_batches(contrib, batch_format="pyarrow",
+                                 batch_size=None).to_pandas()
+        m = parts.groupby(["u", "lab"], as_index=False)["c"].sum()
+        # stable double sort: label asc, then count desc -> the first
+        # row per node is (max count, min label)
+        m = m.sort_values("lab", kind="mergesort")             .sort_values("c", ascending=False, kind="mergesort")
+        win = m.drop_duplicates("u", keep="first")
+        new = labels.copy()
+        pos = np.searchsorted(nodes, win["u"].to_numpy(np.int64))
+        new[pos] = win["lab"].to_numpy(np.int64)
+        labels = new
+
+    return pd.DataFrame({"node": nodes,
+                         "label": labels.astype(np.int64)})

@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["topk_per_group", "topk_grouped_sum", "approx_heavy_hitters",
-           "skyline_2d"]
+           "heavy_hitters_per_group", "skyline_2d"]
 
 
 def topk_grouped_sum(ds, key_cols: list[str], value_col: str, k: int,
@@ -266,3 +266,66 @@ def hill_tail_index(ds, col: str, k: int = 100) -> "pd.DataFrame":
                          "x_k": [xk],
                          "k": np.array([k], np.int64),
                          "n_pos": np.array([n_pos], np.int64)})
+
+
+def heavy_hitters_per_group(ds, group_col: str, col: str, k: int = 256,
+                            top: int = 5) -> pd.DataFrame:
+    """Per-GROUP approximate top-``top`` most frequent values — the
+    grouped form of ``approx_heavy_hitters``, merged on the bucketed
+    engine: each block folds its exact per-(group, value) counts into
+    one k-counter SpaceSaving sketch PER GROUP it contains, only those
+    KB-sized sketch rows enter the ONE keyed shuffle
+    (``grouped._bucketed_merge`` — hash(group) % B buckets, per-BUCKET
+    Python, never a Ray call per group), and each bucket OR-merges its
+    groups\' sketches and emits ranked rows. Exact (err = 0) whenever
+    ``k`` exceeds a group\'s true distinct count; otherwise any value
+    with in-group frequency > n_g/k is guaranteed present with
+    overcount <= err. Null groups and null values are excluded.
+    Returns (group, v, est, err, rank) sorted by (group, rank), ranks
+    1..top by (est desc, str(v) asc)."""
+    import pyarrow.compute as pc
+
+    from ..state import SpaceSaving
+    from .grouped import _bucketed_merge, _with_shuffle_key
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, col]).filter(
+            pc.and_(pc.is_valid(batch.column(group_col)),
+                    pc.is_valid(batch.column(col))))
+        g = t.group_by([group_col, col]).aggregate([([], "count_all")])
+        df = g.to_pandas()
+        keys, sks = [], []
+        for key, sub in df.groupby(group_col, sort=False):
+            sk = SpaceSaving(k).add_counts(sub[col].tolist(),
+                                           sub["count_all"].tolist())
+            keys.append(key)
+            sks.append(sk.to_bytes())
+        out = pa.table({
+            group_col: pa.array(keys, t.schema.field(group_col).type),
+            "sk": pa.array(sks, pa.binary())})
+        return _with_shuffle_key(out, group_col)
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {group_col: [], "v": [], "est": [], "err": [], "rank": []}
+        # ONE Ray call per bucket; the inner fold is per GROUP on
+        # KB-sized sketch state (the approx_group_quantiles shape)
+        for key, sub in df.groupby(group_col, sort=False):
+            sk = SpaceSaving(k)
+            for b in sub["sk"]:
+                sk.merge(SpaceSaving.from_bytes(bytes(b)))
+            for r, (v, est, err) in enumerate(sk.top(top), 1):
+                rows[group_col].append(key)
+                rows["v"].append(v)
+                rows["est"].append(est)
+                rows["err"].append(err)
+                rows["rank"].append(r)
+        out = pd.DataFrame(rows)
+        for c in ("est", "err", "rank"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        merge_bucket)
+    return out.sort_values([group_col, "rank"], kind="mergesort") \
+        .reset_index(drop=True)

@@ -5736,3 +5736,59 @@ def test_grouped_merges_high_cardinality(ray_session):
         .drop_duplicates("k").set_index("k")["v"]
     assert (got.loc[exp_sorted.index] == exp_sorted).all()
     _ = exp_mode
+
+
+def test_label_propagation_two_cliques(ray_session):
+    """Deterministic LPA: two triangles joined by one bridge edge
+    converge to the min node id of each clique; synchronous updates +
+    min-label tiebreak make the result layout-invariant."""
+    from feature_fabrica_ray.pipelines import label_propagation
+
+    tri1 = [(1, 2), (2, 3), (3, 1)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    bridge = [(3, 10)]
+    und = [(a, b) for a, b in tri1 + tri2 + bridge]
+    edges = pd.DataFrame({
+        "src": [a for a, b in und] + [b for a, b in und],
+        "dst": [b for a, b in und] + [a for a, b in und]})
+
+    out = label_propagation(_ds(edges, blocks=3), iters=4)
+    lab = dict(zip(out["node"], out["label"]))
+    # clique 1 all agree, clique 2 all agree (the bridge node may sit
+    # on either side, but each triangle's non-bridge pair is stable)
+    assert lab[1] == lab[2] == 1
+    assert lab[11] == lab[12]
+    one = label_propagation(_ds(edges, blocks=1), iters=4)
+    pd.testing.assert_frame_equal(one, out)
+
+    # isolated-direction sink keeps its own label
+    solo = pd.DataFrame({"src": [5], "dst": [6]})
+    r = label_propagation(_ds(solo), iters=2)
+    m = dict(zip(r["node"], r["label"]))
+    assert m[5] == 6 and m[6] == 6  # 6 has no out-edges -> keeps 6
+
+    with pytest.raises(ValueError, match="max_nodes"):
+        label_propagation(_ds(edges), max_nodes=3)
+
+
+def test_heavy_hitters_per_group(ray_session):
+    """Per-group SpaceSaving top-N equals exact pandas value_counts
+    when k exceeds the group's distinct count (err = 0), with the
+    (est desc, str(v) asc) tiebreak, across block layouts."""
+    from feature_fabrica_ray.pipelines import heavy_hitters_per_group
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 6, 4000)
+    v = (g * 100 + rng.integers(0, 12, 4000) ** 2 // 3).astype(np.int64)
+    df = pd.DataFrame({"g": g.astype(np.int64), "v": v})
+    out = heavy_hitters_per_group(_ds(df, blocks=5), "g", "v",
+                                  k=64, top=3)
+    assert (out["err"] == 0).all()
+    for grp, sub in out.groupby("g"):
+        cnt = df[df["g"] == grp]["v"].value_counts()
+        exp = sorted(cnt.items(), key=lambda t: (-t[1], str(t[0])))[:3]
+        got = list(zip(sub.sort_values("rank")["v"], sub["est"]))
+        assert got == [(v_, int(c)) for v_, c in exp], grp
+    one = heavy_hitters_per_group(_ds(df, blocks=1), "g", "v",
+                                  k=64, top=3)
+    pd.testing.assert_frame_equal(one, out)
