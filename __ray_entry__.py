@@ -10452,6 +10452,82 @@ WHERE rank <= 3 ORDER BY p_brand, rank
 """
 
 
+def q_ev_sax(sf_dir: str) -> pd.DataFrame:
+    """Per-user SAX shape words over event values (z-normalize → 4-
+    segment PAA → 4-letter quantization; pipelines/events.py::
+    sax_words, one keyed-bucket shuffle); oracle via window functions
+    + integer-division segmenting + ordered string_agg."""
+    from feature_fabrica_ray.pipelines import sax_words
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "value"])
+    out = sax_words(ds, "user_id", "ts", "value", "event_id", w=4)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
+_SAX_ORACLE = """
+WITH e AS (SELECT user_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n,
+                  avg(value) OVER (PARTITION BY user_id) AS mu,
+                  stddev_pop(value) OVER (PARTITION BY user_id) AS sd
+           FROM events WHERE value IS NOT NULL),
+seg AS (SELECT user_id, ((rn - 1) * 4) // n AS sg,
+               avg(CASE WHEN sd > 0 THEN (value - mu) / sd
+                        ELSE 0 END) AS m,
+               max(n) AS n
+        FROM e GROUP BY user_id, ((rn - 1) * 4) // n),
+sym AS (SELECT user_id, sg, n,
+               CASE WHEN m < -0.6745 THEN 'a' WHEN m < 0 THEN 'b'
+                    WHEN m < 0.6745 THEN 'c' ELSE 'd' END AS c
+        FROM seg)
+SELECT user_id, string_agg(c, '' ORDER BY sg) AS sax,
+       CAST(max(n) AS BIGINT) AS n
+FROM sym GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_ev_trend(sf_dir: str) -> pd.DataFrame:
+    """Mann-Kendall monotone-trend test on daily event volume (exact
+    integer counts — no float-ordering noise in the compared series;
+    pipelines/quantiles.py::mann_kendall): S, tie-corrected var_S and
+    the continuity-corrected Z; oracle via a pairwise sign self-join +
+    the closed-form variance."""
+    from feature_fabrica_ray.pipelines import mann_kendall
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+    return mann_kendall(ds, "ts", freq="day")
+
+
+_MK_ORACLE = """
+WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+n_ AS (SELECT count(*) AS n FROM d),
+s_ AS (SELECT CAST(coalesce(sum(sign(b.x - a.x)), 0) AS BIGINT) AS s
+       FROM d a JOIN d b ON a.day < b.day),
+t_ AS (SELECT coalesce(sum(CAST(c AS DOUBLE) * (c - 1) * (2 * c + 5)),
+                       0) AS tt
+       FROM (SELECT count(*) AS c FROM d GROUP BY x) WHERE c > 1),
+v_ AS (SELECT (n * (n - 1) * (2 * n + 5) - tt) / 18.0 AS var_s
+       FROM n_, t_)
+SELECT n, s, round(var_s, 6) AS var_s,
+       round(CASE WHEN var_s > 0 AND s > 0 THEN (s - 1) / sqrt(var_s)
+                  WHEN var_s > 0 AND s < 0 THEN (s + 1) / sqrt(var_s)
+                  ELSE 0 END, 6) AS z,
+       CASE WHEN abs(CASE WHEN var_s > 0 AND s > 0
+                          THEN (s - 1) / sqrt(var_s)
+                          WHEN var_s > 0 AND s < 0
+                          THEN (s + 1) / sqrt(var_s)
+                          ELSE 0 END) <= 1.959963985 THEN 'none'
+            WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
+FROM n_, s_, v_
+"""
+
+
 def entry() -> Any:
     """Flagship: full constraint suite over the sf0.001 codetable; returns
     the global verdicts DataFrame (stable schema, >= 1 row)."""
@@ -10780,6 +10856,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "dd_ngram_overlap": q_dd_ngram_overlap,
         "gr_degree": q_gr_degree,
         "gr_labelprop": q_gr_labelprop,
+        "ev_sax": q_ev_sax,
+        "ev_trend": q_ev_trend,
         "agg_heavy_group": q_agg_heavy_group,
         "agg_hll_setops": q_agg_hll_setops,
         "pr_lineitem": q_pr_lineitem,
@@ -11034,6 +11112,8 @@ def oracle_sql() -> dict[str, str]:
         # gr_pagerank: iterative fixpoint -> rows-only (pytest vs power iteration)
         "gr_degree": _DEGREE_ORACLE,
         "gr_labelprop": _LABELPROP_ORACLE,
+        "ev_sax": _SAX_ORACLE,
+        "ev_trend": _MK_ORACLE,
         "agg_heavy_group": _HEAVY_GROUP_ORACLE,
         "gr_triangles": _TRIANGLES_ORACLE,
         "gr_bfs": _BFS_ORACLE,

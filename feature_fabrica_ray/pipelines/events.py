@@ -35,7 +35,7 @@ __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "runs_islands", "time_weighted_avg", "forward_fill",
            "interpolate_missing", "autocorr_per_key",
            "cumulative_distinct", "cusum_per_key", "rolling_quantile",
-           "scd2_intervals", "interval_coverage"]
+           "scd2_intervals", "interval_coverage", "sax_words"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -2071,3 +2071,67 @@ def interval_coverage(ds, key_col: str, start_col: str, end_col: str):
                             "n_islands": pd.Series([], dtype="int64"),
                             "covered_us": pd.Series([], dtype="int64")})
     return out.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+
+
+def sax_words(ds, key_col: str, ts_col: str, value_col: str,
+              order_col: str, *, w: int = 4,
+              alphabet: str = "abcd") -> "pd.DataFrame":
+    """SAX — Symbolic Aggregate approXimation (Lin et al. 2003) per
+    key: each key's non-null value sequence in (ts, order) order is
+    z-normalized (population std; constant series map to z = 0), PAA-
+    compressed into ``w`` row-position segments, and each segment mean
+    quantized at the standard-normal breakpoints into one letter —
+    the per-entity "shape word" behind time-series motif mining,
+    anomaly grouping and sequence dedup. Alphabet size 4 uses
+    breakpoints (-0.6745, 0, 0.6745); keys with fewer than ``w`` rows
+    emit correspondingly shorter words.
+
+    Scale shape: ONE keyed-bucket shuffle of the 4-column projection
+    (``bucketed_by_key`` — per-bucket Python, Cython groupby kernels
+    for the mean/std/cumcount/segment passes across ALL of a bucket's
+    keys at once; only the letter join is a per-key C string op).
+    Returns (key, sax, n) sorted by key."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if len(alphabet) != 4:
+        raise ValueError("sax_words: only the 4-letter alphabet "
+                         "(breakpoints -0.6745/0/0.6745) is implemented")
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, ts_col, value_col, order_col])
+        return t.filter(pc.is_valid(batch.column(value_col)))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, order_col], kind="mergesort")
+        g = df.groupby(key_col, sort=False, dropna=False)
+        v = df[value_col].to_numpy(np.float64)
+        n = g[value_col].transform("size").to_numpy(np.int64)
+        mu = g[value_col].transform("mean").to_numpy(np.float64)
+        # population std via E[x^2] - mean^2 (transform("std") is ddof=1)
+        m2 = pd.Series(v * v).groupby(df[key_col].to_numpy(),
+                                      sort=False).transform("mean")             .to_numpy(np.float64)
+        sd = np.sqrt(np.maximum(m2 - mu * mu, 0.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(sd > 0, (v - mu) / sd, 0.0)
+        seg = (g.cumcount().to_numpy(np.int64) * w) // n
+        segm = pd.DataFrame({key_col: df[key_col], "sg": seg, "z": z,
+                             "n": n})             .groupby([key_col, "sg"], dropna=False, sort=False,
+                     as_index=False).agg(m=("z", "mean"), n=("n", "first"))
+        letters = np.asarray(list(alphabet))
+        # side="right" == SQL's strict-< CASE chain: a mean exactly AT
+        # a breakpoint takes the HIGHER letter (z=0 -> 'c')
+        code = np.searchsorted([-0.6745, 0.0, 0.6745],
+                               segm["m"].to_numpy(np.float64),
+                               side="right")
+        segm["c"] = letters[code]
+        segm = segm.sort_values("sg", kind="mergesort")
+        out = segm.groupby(key_col, dropna=False, sort=False,
+                           as_index=False)             .agg(sax=("c", "".join), n=("n", "first"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    proj = ds.map_batches(project, batch_format="pyarrow",
+                          batch_size=None)
+    out = bucketed_by_key(proj, key_col, per_bucket).to_pandas()
+    return out.sort_values(key_col, kind="mergesort")         .reset_index(drop=True)

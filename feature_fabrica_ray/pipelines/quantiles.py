@@ -23,7 +23,7 @@ import pyarrow as pa
 
 __all__ = ["group_quantiles", "rank_normalize", "equidepth_buckets",
            "group_mad", "group_trimmed_mean", "lorenz_deciles",
-           "spearman_corr", "kendall_tau"]
+           "spearman_corr", "kendall_tau", "mann_kendall"]
 
 
 def _weighted_quantile(values: np.ndarray, counts: np.ndarray,
@@ -760,3 +760,69 @@ def yeojohnson_transform(ds, col: str, lam: float | None = None,
         return batch.append_column(out_col, arr)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def mann_kendall(ds, ts_col: str, *, freq: str = "day",
+                 max_points: int = 100_000) -> pd.DataFrame:
+    """Mann-Kendall trend test on the event-VOLUME series: bucket
+    timestamps to ``freq``, count rows per bucket (exact integer
+    combiner — no float summation-order noise in the compared
+    series), then the nonparametric monotone-trend statistic on the
+    (time, count) sequence: S = Σ_{i<j} sign(x_j − x_i), the
+    tie-corrected variance  var_S = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]
+    / 18, and the continuity-corrected Z — the standard "is volume
+    drifting" monitor for pipelines where seasonality rules out a
+    linear fit.
+
+    Scale shape: one per-block (bucket, count) combiner + a tiny keyed
+    merge; only the |buckets|-row series (guarded at ``max_points``)
+    reaches the driver, where S folds over one vectorized n x n sign
+    matrix. Returns one row (n, s, var_s, z, trend) with trend at the
+    two-sided 5% level."""
+    import pyarrow.compute as pc
+
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        day = pc.floor_temporal(ts, unit=freq)
+        g = pa.table({"b": day}).group_by(["b"])             .aggregate([([], "count_all")])
+        return pa.table({"b": g.column("b"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby("b", num_partitions=shuffle_partitions())
+              .sum("c").to_pandas())
+    if len(merged) > max_points:
+        raise ValueError(
+            f"mann_kendall: {len(merged)} {freq} buckets > max_points="
+            f"{max_points}; coarsen freq")
+    merged = merged.sort_values("b")
+    x = merged["sum(c)"].to_numpy(np.int64)
+    n = len(x)
+    if n < 2:
+        return pd.DataFrame({"n": np.array([n], np.int64),
+                             "s": np.array([0], np.int64),
+                             "var_s": [np.nan], "z": [np.nan],
+                             "trend": ["none"]})
+    sg = np.sign(x[None, :] - x[:, None])
+    s_stat = int(np.triu(sg, 1).sum())
+    _, tie_counts = np.unique(x, return_counts=True)
+    t = tie_counts[tie_counts > 1].astype(np.float64)
+    var_s = (n * (n - 1.0) * (2.0 * n + 5.0)
+             - (t * (t - 1.0) * (2.0 * t + 5.0)).sum()) / 18.0
+    if var_s > 0 and s_stat > 0:
+        z = (s_stat - 1.0) / np.sqrt(var_s)
+    elif var_s > 0 and s_stat < 0:
+        z = (s_stat + 1.0) / np.sqrt(var_s)
+    else:
+        z = 0.0
+    trend = "none" if abs(z) <= 1.959963985 else (
+        "increasing" if z > 0 else "decreasing")
+    r6 = lambda v: float(np.floor(abs(v) * 1e6 + 0.5) / 1e6
+                         * (1.0 if v >= 0 else -1.0))
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "s": np.array([s_stat], np.int64),
+                         "var_s": [r6(var_s)], "z": [r6(z)],
+                         "trend": [trend]})

@@ -1007,3 +1007,65 @@ def test_window_null_ts_and_null_key(ray_session):
                             "ts", "user", "v", width_s=1200, hop_s=600)
     assert sw[sw["user"].isna()]["n"].sum() == 2  # null-key row in 2 windows
     assert not sw["user"].isna().all()
+
+
+def test_sax_words_reference(ray_session):
+    """SAX words match a hand-computed reference: z-normalize, 4-seg
+    PAA, breakpoint letters; constant series map to all-'c' (z=0);
+    short series emit short words; layout invariance."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from feature_fabrica_ray.pipelines import sax_words
+
+    # key 1: a clean V shape; key 2: constant; key 3: two rows
+    df = pd.DataFrame({
+        "user_id": [1] * 8 + [2] * 4 + [3] * 2,
+        "ts": pd.to_datetime(np.arange(14), unit="s"),
+        "event_id": np.arange(14, dtype=np.int64),
+        "value": [4.0, 3.0, 1.0, 0.0, 0.0, 1.0, 3.0, 4.0,
+                  7.0, 7.0, 7.0, 7.0, 5.0, 9.0]})
+
+    def _ds(d, blocks=1):
+        out = ray.data.from_pandas(d)
+        return out.repartition(blocks) if blocks > 1 else out
+
+    out = sax_words(_ds(df, blocks=3), "user_id", "ts", "value",
+                    "event_id", w=4)
+    m = dict(zip(out["user_id"], out["sax"]))
+    v = np.array([4, 3, 1, 0, 0, 1, 3, 4.0])
+    z = (v - v.mean()) / v.std()
+    seg = [z[0:2].mean(), z[2:4].mean(), z[4:6].mean(), z[6:8].mean()]
+    exp = "".join("a" if s < -0.6745 else "b" if s < 0
+                  else "c" if s < 0.6745 else "d" for s in seg)
+    assert m[1] == exp
+    assert m[2] == "cccc"          # constant -> z=0 -> 'c'
+    assert len(m[3]) == 2          # n < w -> shorter word
+    one = sax_words(_ds(df), "user_id", "ts", "value", "event_id", w=4)
+    pd.testing.assert_frame_equal(one, out)
+
+
+def test_mann_kendall_trend(ray_session):
+    """MK statistic matches the closed form on planted series: strictly
+    rising daily counts give S = n(n-1)/2 and 'increasing'; a flat
+    series gives S = 0 / 'none'."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from feature_fabrica_ray.pipelines import mann_kendall
+
+    # day k has k+1 events -> strictly increasing daily counts
+    days = np.repeat(np.arange(10), np.arange(1, 11))
+    df = pd.DataFrame({"ts": pd.to_datetime(days, unit="D")})
+    out = mann_kendall(ray.data.from_pandas(df).repartition(3), "ts")
+    n = 10
+    assert out["n"].iloc[0] == n
+    assert out["s"].iloc[0] == n * (n - 1) // 2
+    assert out["trend"].iloc[0] == "increasing"
+    var_exp = n * (n - 1) * (2 * n + 5) / 18.0
+    assert out["var_s"].iloc[0] == var_exp
+    # flat: 5 days x 3 events
+    flat = pd.DataFrame({"ts": pd.to_datetime(np.repeat(np.arange(5), 3),
+                                              unit="D")})
+    r = mann_kendall(ray.data.from_pandas(flat), "ts")
+    assert r["s"].iloc[0] == 0 and r["trend"].iloc[0] == "none"
