@@ -10528,6 +10528,71 @@ FROM n_, s_, v_
 """
 
 
+def q_ta_jsd(sf_dir: str) -> pd.DataFrame:
+    """Jensen-Shannon divergence between the en and de slices' unigram
+    distributions (pipelines/textstats.py::jsd_segments) — the vocab
+    table stays distributed end to end; oracle replays the conditional
+    counts + midpoint-KL closed form in SQL."""
+    from feature_fabrica_ray.pipelines import jsd_segments
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"])
+    return jsd_segments(ds, "lang", "text", "en", "de")
+
+
+_JSD_ORACLE = r"""
+WITH tok AS (SELECT lang,
+                    unnest(string_split_regex(text, '\s+')) AS w
+             FROM documents WHERE lang IN ('en', 'de')),
+t2 AS (SELECT lang, w FROM tok WHERE w <> ''),
+c AS (SELECT w,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS cb
+      FROM t2 GROUP BY w),
+n AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+             CAST(sum(cb) AS DOUBLE) AS nb,
+             CAST(count(*) AS BIGINT) AS v FROM c),
+terms AS (SELECT
+    CASE WHEN ca > 0 THEN (ca / na)
+         * ln((ca / na) / ((ca / na + cb / nb) / 2)) ELSE 0 END
+  + CASE WHEN cb > 0 THEN (cb / nb)
+         * ln((cb / nb) / ((ca / na + cb / nb) / 2)) ELSE 0 END AS t
+  FROM c CROSS JOIN n)
+SELECT round(0.5 * sum(t), 6) AS jsd,
+       CAST(any_value(na) AS BIGINT) AS n_a,
+       CAST(any_value(nb) AS BIGINT) AS n_b,
+       any_value(v) AS vocab
+FROM terms CROSS JOIN n
+"""
+
+
+def q_vl_outliers_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust global outlier rows via the Iglewicz-Hoaglin modified
+    z-score (|0.6745·(x−med)/MAD| > 3.5) on event values — the
+    MAD-based member of the outlier-fence triad (mean/std z, IQR,
+    MAD); exact interpolated median/MAD from the value-histogram
+    combiner (pipelines/quantiles.py::mad_outliers)."""
+    from feature_fabrica_ray.pipelines import mad_outliers
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+    out = mad_outliers(ds, "value", ["event_id"], k=3.5).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_MAD_OUTLIERS_ORACLE = """
+WITH m AS (SELECT median(value) AS med, mad(value) AS md
+           FROM events WHERE value IS NOT NULL)
+SELECT event_id, value,
+       round(0.6745 * (value - med) / md, 6) AS mz
+FROM events, m
+WHERE value IS NOT NULL
+  AND abs(0.6745 * (value - med) / md) > 3.5
+ORDER BY event_id
+"""
+
+
 def entry() -> Any:
     """Flagship: full constraint suite over the sf0.001 codetable; returns
     the global verdicts DataFrame (stable schema, >= 1 row)."""
@@ -10857,6 +10922,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "gr_degree": q_gr_degree,
         "gr_labelprop": q_gr_labelprop,
         "ev_sax": q_ev_sax,
+        "ta_jsd": q_ta_jsd,
+        "vl_outliers_mad": q_vl_outliers_mad,
         "ev_trend": q_ev_trend,
         "agg_heavy_group": q_agg_heavy_group,
         "agg_hll_setops": q_agg_hll_setops,
@@ -11113,6 +11180,8 @@ def oracle_sql() -> dict[str, str]:
         "gr_degree": _DEGREE_ORACLE,
         "gr_labelprop": _LABELPROP_ORACLE,
         "ev_sax": _SAX_ORACLE,
+        "ta_jsd": _JSD_ORACLE,
+        "vl_outliers_mad": _MAD_OUTLIERS_ORACLE,
         "ev_trend": _MK_ORACLE,
         "agg_heavy_group": _HEAVY_GROUP_ORACLE,
         "gr_triangles": _TRIANGLES_ORACLE,

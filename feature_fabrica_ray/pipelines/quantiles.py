@@ -23,7 +23,7 @@ import pyarrow as pa
 
 __all__ = ["group_quantiles", "rank_normalize", "equidepth_buckets",
            "group_mad", "group_trimmed_mean", "lorenz_deciles",
-           "spearman_corr", "kendall_tau", "mann_kendall"]
+           "spearman_corr", "kendall_tau", "mann_kendall", "mad_outliers"]
 
 
 def _weighted_quantile(values: np.ndarray, counts: np.ndarray,
@@ -826,3 +826,60 @@ def mann_kendall(ds, ts_col: str, *, freq: str = "day",
                          "s": np.array([s_stat], np.int64),
                          "var_s": [r6(var_s)], "z": [r6(z)],
                          "trend": [trend]})
+
+
+def mad_outliers(ds, col: str, id_cols: list[str], k: float = 3.5,
+                 max_distinct: int = 5_000_000):
+    """Robust global outlier ROWS via the modified z-score
+    (Iglewicz-Hoaglin): |0.6745·(x − median) / MAD| > ``k`` — the
+    MAD-based dual of the mean/std and IQR fences whose cutoff
+    outliers themselves cannot inflate. NULL values are never
+    outliers; degenerate MAD = 0 flags nothing (every x == median).
+
+    Two streaming phases, no raw-row shuffle: the value-histogram
+    combiner fits the exact interpolated median and MAD (distinct
+    (value, count) rows only — bounded by the value domain, guarded
+    at ``max_distinct``), the two scalars broadcast, and a stateless
+    vectorized filter emits only the violating rows + their ``mz``
+    (rounded to 6). Returns a Dataset of (id_cols..., col, mz)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).cast(pa.float64())
+        t = pa.table({"v": v}).filter(pc.is_valid(v))
+        g = t.group_by(["v"]).aggregate([([], "count_all")])
+        return pa.table({"v": g.column("v"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("v", num_partitions=shuffle_partitions())
+            .sum("c").to_pandas())
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"mad_outliers: {len(hist)} distinct values — quantize "
+            f"first at this cardinality")
+    if hist.empty:
+        med = mad = np.nan
+    else:
+        vals = hist["v"].to_numpy(np.float64)
+        cnts = hist["sum(c)"].to_numpy(np.int64)
+        med = _weighted_quantile(vals, cnts, (0.5,))[0]
+        mad = _weighted_quantile(np.abs(vals - med), cnts, (0.5,))[0]
+    ref = ray.put((med, mad))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        med, mad = ray.get(ref)
+        x = batch.column(col).cast(pa.float64())             .to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mz = 0.6745 * (x - med) / mad
+        keep = np.abs(mz) > k
+        keep &= ~np.isnan(mz)
+        mz = np.floor(np.abs(mz) * 1e6 + 0.5) / 1e6 * np.sign(mz)
+        out = batch.select(id_cols + [col])             .append_column("mz", pa.array(mz, pa.float64()))
+        return out.filter(pa.array(keep.astype(bool)))
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)

@@ -18,7 +18,7 @@ __all__ = ["text_stats", "add_quality", "add_lang_id", "add_fingerprint",
            "kgram_hashes", "token_hashes", "token_counts", "tfidf_top_terms",
            "chunk_documents", "code_line_stats", "unigram_logprob",
            "dsir_log_ratio", "zipf_fit", "hashed_vectorizer", "bm25_scores",
-           "fill_utf8"]
+           "jsd_segments", "fill_utf8"]
 
 _B = np.uint64(1099511628211)          # FNV prime as polynomial base
 _TOKEN_RE = r"\S+"
@@ -1355,3 +1355,94 @@ def lexical_diversity(ds, text_col: str = "text",
                 pa.nulls(n, pa.float64())))
 
     return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+
+
+def jsd_segments(ds, seg_col: str, text_col: str, seg_a, seg_b) -> "pd.DataFrame":
+    """Jensen-Shannon divergence (nats) between two corpus slices'
+    unigram distributions — the symmetric, always-finite corpus-drift
+    measure ("did the en and de slices diverge", "did this month's
+    crawl shift vocabulary") that KL alone can't give on
+    non-overlapping vocabularies. Whitespace tokens, empty tokens
+    dropped (the ``unigram_logprob`` convention, SQL-matchable).
+
+    Scale shape — the vocabulary NEVER lands on the driver: (1)
+    per-block conditional (word, c_a, c_b) count combiners, (2) ONE
+    keyed word shuffle merges them into a distributed vocab table
+    (materialized once), (3) token totals fold from KB-sized partials,
+    broadcast as two scalars, and (4) each vocab partition emits its
+    partial Σ-term — the driver only ever adds |partitions| numbers.
+    JSD = 0.5·KL(p_a‖m) + 0.5·KL(p_b‖m), m the midpoint; one-sided
+    words contribute their finite half-term only. Returns one row
+    (jsd, n_a, n_b, vocab), jsd rounded to 6."""
+    import pandas as pd
+
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seg = batch.column(seg_col)
+        keep = pc.or_(pc.equal(seg, seg_a), pc.equal(seg, seg_b))
+        t = batch.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "ca": pa.array([], pa.int64()),
+                             "cb": pa.array([], pa.int64())})
+        toks = pc.utf8_split_whitespace(fill_utf8(t.column(text_col)))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ok = pc.not_equal(flat, "")
+        flat, parent = flat.filter(ok), parent.filter(ok)
+        is_a = pc.equal(pc.take(t.column(seg_col), parent), seg_a)
+        tt = pa.table({"w": flat,
+                       "ca": pc.cast(pc.fill_null(is_a, False), pa.int64()),
+                       "cb": pc.cast(pc.invert(pc.fill_null(is_a, True)),
+                                     pa.int64())})
+        g = tt.group_by(["w"]).aggregate([("ca", "sum"), ("cb", "sum")])
+        return pa.table({"w": g.column("w"),
+                         "ca": g.column("ca_sum").cast(pa.int64()),
+                         "cb": g.column("cb_sum").cast(pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    vocab = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("w", num_partitions=shuffle_partitions())
+             .aggregate(Sum("ca"), Sum("cb"))).materialize()
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "na": pa.array([pc.sum(t.column("sum(ca)")).as_py() or 0],
+                           pa.int64()),
+            "nb": pa.array([pc.sum(t.column("sum(cb)")).as_py() or 0],
+                           pa.int64()),
+            "v": pa.array([t.num_rows], pa.int64())})
+
+    tot = vocab.map_batches(totals_partial, batch_format="pyarrow",
+                            batch_size=None).to_pandas().sum()
+    na, nb, nv = int(tot["na"]), int(tot["nb"]), int(tot["v"])
+    if na == 0 or nb == 0:
+        return pd.DataFrame({"jsd": [np.nan],
+                             "n_a": np.array([na], np.int64),
+                             "n_b": np.array([nb], np.int64),
+                             "vocab": np.array([nv], np.int64)})
+
+    def term_partial(t: pa.Table, na=float(na), nb=float(nb)) -> pa.Table:
+        ca = t.column("sum(ca)").to_numpy(zero_copy_only=False)             .astype(np.float64)
+        cb = t.column("sum(cb)").to_numpy(zero_copy_only=False)             .astype(np.float64)
+        pa_ = ca / na
+        pb_ = cb / nb
+        m = (pa_ + pb_) / 2.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = (np.where(pa_ > 0, pa_ * np.log(pa_ / m), 0.0)
+                    + np.where(pb_ > 0, pb_ * np.log(pb_ / m), 0.0))
+        return pa.table({"t": pa.array([float(term.sum())], pa.float64())})
+
+    total = vocab.map_batches(term_partial, batch_format="pyarrow",
+                              batch_size=None).to_pandas()["t"].sum()
+    jsd = 0.5 * float(total)
+    jsd = float(np.floor(abs(jsd) * 1e6 + 0.5) / 1e6
+                * (1.0 if jsd >= 0 else -1.0))
+    return pd.DataFrame({"jsd": [jsd], "n_a": np.array([na], np.int64),
+                         "n_b": np.array([nb], np.int64),
+                         "vocab": np.array([nv], np.int64)})

@@ -5792,3 +5792,52 @@ def test_heavy_hitters_per_group(ray_session):
     one = heavy_hitters_per_group(_ds(df, blocks=1), "g", "v",
                                   k=64, top=3)
     pd.testing.assert_frame_equal(one, out)
+
+
+def test_jsd_segments_properties(ray_session):
+    """JSD: 0 for identical slices, ln 2 for disjoint vocabularies,
+    symmetric, layout-invariant."""
+    from feature_fabrica_ray.pipelines import jsd_segments
+
+    same = pd.DataFrame({"seg": ["a", "b", "a", "b"],
+                         "text": ["x y z", "x y z", "y", "y"]})
+    r = jsd_segments(_ds(same, blocks=2), "seg", "text", "a", "b")
+    assert r["jsd"].iloc[0] == pytest.approx(0.0, abs=1e-9)
+    assert r["n_a"].iloc[0] == 4 and r["n_b"].iloc[0] == 4
+
+    disj = pd.DataFrame({"seg": ["a", "b"], "text": ["p q r", "s t u"]})
+    r2 = jsd_segments(_ds(disj, blocks=2), "seg", "text", "a", "b")
+    assert r2["jsd"].iloc[0] == pytest.approx(np.log(2), abs=1e-6)
+    assert r2["vocab"].iloc[0] == 6
+
+    mixed = pd.DataFrame({"seg": ["a", "b", "c"],
+                          "text": ["x x y", "x y y", "IGNORED"]})
+    ab = jsd_segments(_ds(mixed, blocks=3), "seg", "text", "a", "b")
+    ba = jsd_segments(_ds(mixed, blocks=1), "seg", "text", "b", "a")
+    assert ab["jsd"].iloc[0] == pytest.approx(ba["jsd"].iloc[0], abs=1e-9)
+    assert 0 < ab["jsd"].iloc[0] < np.log(2)
+
+
+def test_mad_outliers_reference(ray_session):
+    """MAD fences match the closed form on a planted-outlier series;
+    NULLs never flag; degenerate MAD=0 flags nothing."""
+    from feature_fabrica_ray.pipelines import mad_outliers
+
+    base = np.array([10.0] * 20 + [11, 9, 12, 8, 10.5, 9.5, 1000.0,
+                     -500.0])
+    df = pd.DataFrame({"event_id": np.arange(base.size, dtype=np.int64),
+                       "value": base})
+    df.loc[3, "value"] = np.nan
+    out = mad_outliers(_ds(df, blocks=3), "value", ["event_id"],
+                       k=3.5).to_pandas().sort_values("event_id")
+    med = np.nanmedian(df["value"])
+    mad = np.nanmedian(np.abs(df["value"] - med))
+    mz = 0.6745 * (df["value"] - med) / mad
+    exp = df[(np.abs(mz) > 3.5) & df["value"].notna()]
+    assert sorted(out["event_id"]) == sorted(exp["event_id"])
+    assert {1000.0, -500.0} <= set(out["value"])
+
+    const = pd.DataFrame({"event_id": np.arange(5, dtype=np.int64),
+                          "value": np.full(5, 7.0)})
+    r = mad_outliers(_ds(const), "value", ["event_id"]).to_pandas()
+    assert len(r) == 0
