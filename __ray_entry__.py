@@ -10528,6 +10528,165 @@ FROM n_, s_, v_
 """
 
 
+def q_tq_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape (volume shipping): discounted revenue flowing
+    between two nations per shipment year, both directions.
+
+    Plan: nation (25 rows) folds into the supplier and customer
+    dimension maps driver-side; the two-nation filter prunes BOTH
+    dimensions before any fact-table contact; the (suppkey ->
+    supp_nation) and pruned customers broadcast; orders semi-joins to
+    the pruned customers (broadcast, no shuffle), lineitem is pruned
+    at the read by shipdate and broadcast-tagged with supp_nation;
+    the ONE real exchange is the lineitem x orders key join
+    (``sized_join``); the (pair, year) rollup is a per-block combiner
+    + driver merge over ≤ 2·years rows."""
+    import pyarrow.dataset as pds
+
+    from feature_fabrica_ray.pipelines import broadcast_join, sized_join
+
+    n1, n2 = "NATION_3", "NATION_8"
+    lo = _dt.datetime.fromisoformat("1996-01-01")
+    hi = _dt.datetime.fromisoformat("1998-01-01")
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet",
+                                columns=["n_nationkey", "n_name"]) \
+        .to_pandas()
+    keep_keys = set(nation[nation["n_name"].isin([n1, n2])]
+                    ["n_nationkey"])
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def dim(path, key, nk, out_name):
+        d = read_parquet_clean(
+            f"{sf_dir}/{path}.parquet", columns=[key, nk],
+            filter=pds.field(nk).isin(list(keep_keys)))
+
+        def tag(b: pa.Table) -> pa.Table:
+            nkv = b.column(nk).to_numpy(zero_copy_only=False)
+            names = pa.array([nmap[int(v)] for v in nkv], pa.string())
+            return pa.table({key: b.column(key).cast(pa.int64()),
+                             out_name: names})
+
+        return d.map_batches(tag, batch_format="pyarrow",
+                             batch_size=None)
+
+    supp = dim("supplier", "s_suppkey", "s_nationkey", "supp_nation")
+    cust = dim("customer", "c_custkey", "c_nationkey", "cust_nation")
+
+    orders_r = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                  columns=["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders_r, cust, left_on="o_custkey",
+                            right_on="c_custkey") \
+        .select_columns(["o_orderkey", "cust_nation"])
+
+    li_r = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=(pds.field("l_shipdate") >= lo)
+        & (pds.field("l_shipdate") < hi))
+    li = broadcast_join(li_r, supp, left_on="l_suppkey",
+                        right_on="s_suppkey")
+    joined = sized_join(li, orders, on="l_orderkey",
+                        right_on="o_orderkey",
+                        left_bytes=li_r.size_bytes(),
+                        right_bytes=orders_r.size_bytes())
+
+    def partial(b: pa.Table) -> pa.Table:
+        sn = b.column("supp_nation")
+        cn = b.column("cust_nation")
+        cross = pc.invert(pc.equal(sn, cn))   # both directions, not intra
+        t = b.filter(cross)
+        if t.num_rows == 0:
+            return pa.table({"supp_nation": pa.array([], pa.string()),
+                             "cust_nation": pa.array([], pa.string()),
+                             "l_year": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      t.column("l_discount")))
+        yr = pc.year(t.column("l_shipdate")).cast(pa.int64())
+        g = pa.table({"supp_nation": t.column("supp_nation"),
+                      "cust_nation": t.column("cust_nation"),
+                      "l_year": yr, "rev": rev}) \
+            .group_by(["supp_nation", "cust_nation", "l_year"]) \
+            .aggregate([("rev", "sum")])
+        return pa.table({"supp_nation": g.column("supp_nation"),
+                         "cust_nation": g.column("cust_nation"),
+                         "l_year": g.column("l_year"),
+                         "rev": g.column("rev_sum")})
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    out = parts.groupby(["supp_nation", "cust_nation", "l_year"],
+                        as_index=False)["rev"].sum()
+    out["revenue"] = np.round(out["rev"], 2)
+    out = out.drop(columns="rev") \
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+    out["l_year"] = out["l_year"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_TQ_VOLUME_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+       OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_sp_zonemap(sf_dir: str) -> pd.DataFrame:
+    """Zone-map skip statistics over the Z-order bucketed layout
+    (pipelines/packing.py::zonemap_stats): per-bucket min/max/count of
+    the two clustered columns — what a Parquet writer persists as
+    row-group stats — plus the skippable verdict for a quantity-band
+    predicate. Makes clustering quality a checkable NUMBER."""
+    from feature_fabrica_ray.pipelines import zonemap_stats, zorder_key
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_extendedprice"])
+    stamped = zorder_key(ds, "l_quantity", "l_extendedprice",
+                         x_lo=0.0, x_hi=50.0, y_lo=0.0, y_hi=20000.0,
+                         bits=4, n_buckets=4)
+    out = zonemap_stats(stamped, "zbucket",
+                        ["l_quantity", "l_extendedprice"],
+                        predicate={"l_quantity": (40.0, 50.0)})
+    out["zbucket"] = out["zbucket"].astype("int64")
+    return out
+
+
+_ZONEMAP_ORACLE = """
+WITH q AS (
+  SELECT l_quantity, l_extendedprice,
+         CAST(least(greatest(floor(l_quantity / 50.0 * 16), 0), 15)
+              AS BIGINT) AS xi,
+         CAST(least(greatest(floor(l_extendedprice / 20000.0 * 16), 0),
+                    15) AS BIGINT) AS yi
+  FROM lineitem),
+z AS (SELECT l_quantity, l_extendedprice,
+             (((xi >> 0) & 1) * 2 + ((yi >> 0) & 1) * 1
+              + ((xi >> 1) & 1) * 8 + ((yi >> 1) & 1) * 4
+              + ((xi >> 2) & 1) * 32 + ((yi >> 2) & 1) * 16
+              + ((xi >> 3) & 1) * 128 + ((yi >> 3) & 1) * 64) >> 6
+               AS zbucket
+      FROM q)
+SELECT zbucket, CAST(count(*) AS BIGINT) AS n,
+       min(l_quantity) AS l_quantity_min,
+       max(l_quantity) AS l_quantity_max,
+       min(l_extendedprice) AS l_extendedprice_min,
+       max(l_extendedprice) AS l_extendedprice_max,
+       (max(l_quantity) < 40.0 OR min(l_quantity) > 50.0) AS skippable
+FROM z GROUP BY zbucket ORDER BY zbucket
+"""
+
+
 def q_ta_jsd(sf_dir: str) -> pd.DataFrame:
     """Jensen-Shannon divergence between the en and de slices' unigram
     distributions (pipelines/textstats.py::jsd_segments) — the vocab
@@ -10923,6 +11082,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "gr_labelprop": q_gr_labelprop,
         "ev_sax": q_ev_sax,
         "ta_jsd": q_ta_jsd,
+        "tq_volume": q_tq_volume,
+        "sp_zonemap": q_sp_zonemap,
         "vl_outliers_mad": q_vl_outliers_mad,
         "ev_trend": q_ev_trend,
         "agg_heavy_group": q_agg_heavy_group,
@@ -11181,6 +11342,8 @@ def oracle_sql() -> dict[str, str]:
         "gr_labelprop": _LABELPROP_ORACLE,
         "ev_sax": _SAX_ORACLE,
         "ta_jsd": _JSD_ORACLE,
+        "tq_volume": _TQ_VOLUME_ORACLE,
+        "sp_zonemap": _ZONEMAP_ORACLE,
         "vl_outliers_mad": _MAD_OUTLIERS_ORACLE,
         "ev_trend": _MK_ORACLE,
         "agg_heavy_group": _HEAVY_GROUP_ORACLE,

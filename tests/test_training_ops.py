@@ -5841,3 +5841,37 @@ def test_mad_outliers_reference(ray_session):
                           "value": np.full(5, 7.0)})
     r = mad_outliers(_ds(const), "value", ["event_id"]).to_pandas()
     assert len(r) == 0
+
+
+def test_zonemap_stats_skip_rate(ray_session):
+    """Zone maps over a zorder-bucketed layout: clustered layout skips
+    buckets for a corner-box predicate; bounds match pandas; a random
+    bucket assignment skips nothing."""
+    from feature_fabrica_ray.pipelines import zonemap_stats, zorder_key
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame({"x": rng.uniform(0, 100, 3000),
+                       "y": rng.uniform(0, 100, 3000)})
+    stamped = zorder_key(_ds(df, blocks=4), "x", "y",
+                         x_lo=0.0, x_hi=100.0, y_lo=0.0, y_hi=100.0,
+                         bits=4, n_buckets=4)
+    zm = zonemap_stats(stamped, "zbucket", ["x", "y"],
+                       predicate={"x": (90.0, 100.0)})
+    assert zm["n"].sum() == 3000
+    # bucket 0/1 hold x in [0, 50) -> must be skippable for x >= 90
+    low = zm[zm["zbucket"] < 2]
+    assert low["skippable"].all()
+    assert (low["x_max"] < 50).all()
+    # at least one bucket must actually contain the predicate range
+    assert not zm["skippable"].all()
+    # exact bounds vs pandas on the stamped frame
+    sdf = stamped.to_pandas()
+    exp = sdf.groupby("zbucket")["x"].agg(["min", "max"])
+    got = zm.set_index("zbucket")
+    assert np.allclose(got["x_min"], exp["min"]) \
+        and np.allclose(got["x_max"], exp["max"])
+    # random single bucket -> nothing skippable
+    rnd = df.assign(zbucket=np.zeros(len(df), np.int64))
+    zm2 = zonemap_stats(_ds(rnd, blocks=3), "zbucket", ["x"],
+                        predicate={"x": (90.0, 100.0)})
+    assert not zm2["skippable"].any()
