@@ -10642,6 +10642,57 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_sm_kcenter(sf_dir: str) -> pd.DataFrame:
+    """Greedy k-center diversity selection over the embeddings table
+    (pipelines/sampling.py::kcenter_sample): 8 maximally-spread
+    prototypes via farthest-point traversal, k KB-broadcast streaming
+    passes. Rows-only by design (seeded float argmax chains are not
+    SQL-expressible); pytest proves cluster coverage, radius
+    monotonicity and layout invariance."""
+    from feature_fabrica_ray.pipelines import kcenter_sample
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+    return kcenter_sample(ds, k=8)
+
+
+def q_ev_changepoint(sf_dir: str) -> pd.DataFrame:
+    """Single CUSUM changepoint on daily event volume (exact integer
+    counts; pipelines/quantiles.py::cusum_changepoint): the split
+    maximizing |S_k|, earliest-bucket tiebreak; oracle replays the
+    cumulative statistic with window functions."""
+    from feature_fabrica_ray.pipelines import cusum_changepoint
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+    out = cusum_changepoint(ds, "ts", freq="day")
+    out["split_day"] = pd.to_datetime(out["split_day"])
+    return out
+
+
+_CHANGEPOINT_ORACLE = """
+WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS DOUBLE) AS x
+           FROM events GROUP BY 1),
+m AS (SELECT avg(x) AS mu, count(*) AS n FROM d),
+s AS (SELECT day, x,
+             sum(x) OVER (ORDER BY day)
+               - row_number() OVER (ORDER BY day) * (SELECT mu FROM m)
+               AS cus,
+             row_number() OVER (ORDER BY day) AS rn
+      FROM d),
+best AS (SELECT day, abs(cus) AS a, rn FROM s
+         WHERE rn < (SELECT n FROM m)
+         ORDER BY abs(cus) DESC, day ASC LIMIT 1)
+SELECT CAST(best.day AS TIMESTAMP) AS split_day,
+       round(best.a, 6) AS stat,
+       round((SELECT avg(x) FROM d WHERE day <= best.day), 6)
+         AS mean_before,
+       round((SELECT avg(x) FROM d WHERE day > best.day), 6)
+         AS mean_after,
+       CAST((SELECT n FROM m) AS BIGINT) AS n
+FROM best
+"""
+
+
 def q_sp_zonemap(sf_dir: str) -> pd.DataFrame:
     """Zone-map skip statistics over the Z-order bucketed layout
     (pipelines/packing.py::zonemap_stats): per-bucket min/max/count of
@@ -11084,6 +11135,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "ta_jsd": q_ta_jsd,
         "tq_volume": q_tq_volume,
         "sp_zonemap": q_sp_zonemap,
+        "ev_changepoint": q_ev_changepoint,
+        "sm_kcenter": q_sm_kcenter,
         "vl_outliers_mad": q_vl_outliers_mad,
         "ev_trend": q_ev_trend,
         "agg_heavy_group": q_agg_heavy_group,
@@ -11344,6 +11397,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_jsd": _JSD_ORACLE,
         "tq_volume": _TQ_VOLUME_ORACLE,
         "sp_zonemap": _ZONEMAP_ORACLE,
+        "ev_changepoint": _CHANGEPOINT_ORACLE,
         "vl_outliers_mad": _MAD_OUTLIERS_ORACLE,
         "ev_trend": _MK_ORACLE,
         "agg_heavy_group": _HEAVY_GROUP_ORACLE,

@@ -23,7 +23,8 @@ import pyarrow as pa
 
 __all__ = ["group_quantiles", "rank_normalize", "equidepth_buckets",
            "group_mad", "group_trimmed_mean", "lorenz_deciles",
-           "spearman_corr", "kendall_tau", "mann_kendall", "mad_outliers"]
+           "spearman_corr", "kendall_tau", "mann_kendall", "mad_outliers",
+           "cusum_changepoint"]
 
 
 def _weighted_quantile(values: np.ndarray, counts: np.ndarray,
@@ -883,3 +884,54 @@ def mad_outliers(ds, col: str, id_cols: list[str], k: float = 3.5,
         return out.filter(pa.array(keep.astype(bool)))
 
     return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+def cusum_changepoint(ds, ts_col: str, *, freq: str = "day",
+                      max_points: int = 100_000) -> pd.DataFrame:
+    """Single-changepoint detection on the event-volume series via the
+    CUSUM statistic (the binary-segmentation primitive): bucket
+    timestamps to ``freq``, count rows per bucket (exact integers —
+    same no-float-noise contract as ``mann_kendall``), then the split
+    k* maximizing |S_k| with S_k = Σ_{i<=k}(x_i − x̄) — the point where
+    the level most plausibly shifted; ties take the EARLIEST bucket.
+
+    Scale shape: one per-block (bucket, count) combiner + a tiny keyed
+    merge; only the |buckets|-row series (guarded) reaches the driver
+    for the closed-form scan. Returns one row (split_day, stat,
+    mean_before, mean_after, n) — stat/means rounded to 6."""
+    import pyarrow.compute as pc
+
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column(ts_col), unit=freq)
+        g = pa.table({"b": day}).group_by(["b"])             .aggregate([([], "count_all")])
+        return pa.table({"b": g.column("b"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby("b", num_partitions=shuffle_partitions())
+              .sum("c").to_pandas())
+    if len(merged) > max_points:
+        raise ValueError(
+            f"cusum_changepoint: {len(merged)} {freq} buckets > "
+            f"max_points={max_points}; coarsen freq")
+    merged = merged.sort_values("b").reset_index(drop=True)
+    x = merged["sum(c)"].to_numpy(np.int64).astype(np.float64)
+    n = len(x)
+    r6 = lambda v: float(np.floor(abs(v) * 1e6 + 0.5) / 1e6
+                         * (1.0 if v >= 0 else -1.0))
+    if n < 2:
+        return pd.DataFrame({"split_day": [pd.NaT], "stat": [np.nan],
+                             "mean_before": [np.nan],
+                             "mean_after": [np.nan],
+                             "n": np.array([n], np.int64)})
+    s = np.cumsum(x - x.mean())[:-1]          # S_1 .. S_{n-1}
+    k = int(np.argmax(np.abs(s)))             # first max -> earliest
+    return pd.DataFrame({
+        "split_day": [merged["b"].iloc[k]],
+        "stat": [r6(abs(s[k]))],
+        "mean_before": [r6(x[:k + 1].mean())],
+        "mean_after": [r6(x[k + 1:].mean())],
+        "n": np.array([n], np.int64)})

@@ -19,7 +19,7 @@ from ..state import combine_hashes, hash64
 __all__ = ["hash_sample", "stratified_sample", "weighted_hash_sample",
            "md5_hex_column", "md5_fraction_threshold", "hash_split",
            "bootstrap_mean_ci", "neyman_allocation", "mixture_sample",
-           "stratified_kfold", "ares_sample"]
+           "stratified_kfold", "ares_sample", "kcenter_sample"]
 
 _D = np.uint64(1 << 32)
 
@@ -711,3 +711,108 @@ def leakage_safe_split(ds, fractions: dict[str, float], *,
                                batch_size=None)
     return hash_split(keyed, ["__split_key"], fractions,
                       out_col=out_col, seed=seed)
+
+
+def kcenter_sample(ds, k: int = 8, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> pd.DataFrame:
+    """Greedy k-center (farthest-point traversal, the 2-approximation
+    of Gonzalez 1985) over an embedding column — DIVERSITY selection:
+    each step adds the point farthest (euclidean on L2-normalized
+    vectors) from everything already chosen, so the selected set
+    spreads across the corpus instead of oversampling dense regions —
+    the coreset/prototype picker for "show me k maximally different
+    documents" and diversity-aware training subsets. Deterministic:
+    the seed is the smallest id; ties in distance (rounded to 9)
+    break toward the smaller id, so the result is a pure function of
+    the data under any layout.
+
+    Scale shape: k streaming passes — per step the selected matrix
+    (<= k x d floats, KB-sized) broadcasts via ``ray.put``, each block
+    reduces to ONE (farthest-distance, id) candidate row, and the
+    driver folds |blocks| candidates. No shuffle, no driver-held
+    corpus. Returns (step, id, radius) — radius is the chosen point's
+    distance to the prior set (non-increasing after step 1; step 0 is
+    the seed with radius NaN)."""
+    import pandas as pd
+    import ray
+
+    from .similarity import _normalize, _vectors
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        if len(ids) == 0:
+            return pa.table({"id": pa.array([], pa.int64())})
+        return pa.table({"id": pa.array(
+            [pc.min(ids).as_py()], pa.int64())})
+
+    seeds = ds.map_batches(seed_partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if seeds.empty:
+        return pd.DataFrame({"step": pd.Series([], dtype="int64"),
+                             "id": pd.Series([], dtype="int64"),
+                             "radius": pd.Series([], dtype="float64")})
+    seed_id = int(seeds["id"].min())
+
+    def fetch_vec(want: int) -> np.ndarray:
+        def grab(batch: pa.Table, want=want) -> pa.Table:
+            ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            m = ids == want
+            if not m.any():
+                return pa.table({"v": pa.array([], pa.list_(pa.float64()))})
+            V = _normalize(_vectors(batch, vec_col))[m][:1]
+            return pa.table({"v": pa.array([V[0].tolist()],
+                                           pa.list_(pa.float64()))})
+
+        rows = ds.map_batches(grab, batch_format="pyarrow",
+                              batch_size=None).take_all()
+        return np.asarray(rows[0]["v"], np.float64)
+
+    chosen_ids = [seed_id]
+    chosen_vecs = [fetch_vec(seed_id)]
+    radii = [np.nan]
+    for _step in range(1, k):
+        C = np.asarray(chosen_vecs)
+        ref = ray.put((C, np.asarray(chosen_ids, np.int64)))
+
+        def far_partial(batch: pa.Table) -> pa.Table:
+            Cn, cid = ray.get(ref)
+            V = _vectors(batch, vec_col)
+            empty = pa.table({"d": pa.array([], pa.float64()),
+                              "id": pa.array([], pa.int64()),
+                              "v": pa.array([], pa.list_(pa.float64()))})
+            if V.shape[0] == 0:
+                return empty
+            ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            Vn = _normalize(V)
+            # min distance to the selected set per row (unit vectors:
+            # d^2 = 2 - 2 cos); exclude already-chosen ids
+            sim = Vn @ Cn.T
+            d = np.sqrt(np.maximum(2.0 - 2.0 * sim.max(axis=1), 0.0))
+            d = np.round(d, 9)
+            d[np.isin(ids, cid)] = -1.0
+            # block candidate: max distance, then min id
+            best = np.flatnonzero(d == d.max())
+            j = best[np.argmin(ids[best])]
+            if d[j] < 0:
+                return empty
+            return pa.table({"d": pa.array([float(d[j])], pa.float64()),
+                             "id": pa.array([int(ids[j])], pa.int64()),
+                             "v": pa.array([Vn[j].tolist()],
+                                           pa.list_(pa.float64()))})
+
+        cands = ds.map_batches(far_partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+        if cands.empty:
+            break
+        cands = cands.sort_values("id", kind="mergesort")             .sort_values("d", ascending=False, kind="mergesort")
+        top = cands.iloc[0]
+        chosen_ids.append(int(top["id"]))
+        chosen_vecs.append(np.asarray(top["v"], np.float64))
+        radii.append(float(top["d"]))
+
+    return pd.DataFrame({
+        "step": np.arange(len(chosen_ids), dtype=np.int64),
+        "id": np.asarray(chosen_ids, np.int64),
+        "radius": np.asarray(radii, np.float64)})

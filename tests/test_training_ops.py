@@ -5875,3 +5875,42 @@ def test_zonemap_stats_skip_rate(ray_session):
     zm2 = zonemap_stats(_ds(rnd, blocks=3), "zbucket", ["x"],
                         predicate={"x": (90.0, 100.0)})
     assert not zm2["skippable"].any()
+
+
+def test_kcenter_sample_coverage(ray_session):
+    """Greedy k-center: covers every planted cluster at k = #clusters,
+    radius non-increasing after step 1, deterministic across layouts,
+    seed = smallest id."""
+    from feature_fabrica_ray.pipelines import kcenter_sample
+
+    rng = np.random.default_rng(0)
+    centers = np.eye(5) * 10
+    lab = rng.integers(0, 5, 120)
+    V = centers[lab] + rng.normal(size=(120, 5)) * 0.1
+    df = pd.DataFrame({"vec_id": np.arange(120, dtype=np.int64),
+                       "embedding": [r.tolist() for r in V]})
+    out = kcenter_sample(_ds(df, blocks=5), k=5)
+    assert out["step"].tolist() == [0, 1, 2, 3, 4]
+    assert out["id"].iloc[0] == 0          # min-id seed
+    assert set(lab[out["id"].to_numpy()]) == set(range(5))
+    r = out["radius"].to_numpy()[1:]
+    assert (np.diff(r) <= 1e-12).all()     # non-increasing
+    one = kcenter_sample(_ds(df, blocks=1), k=5)
+    pd.testing.assert_frame_equal(one, out)
+
+
+def test_cusum_changepoint_planted_shift(ray_session):
+    """CUSUM finds the planted level shift in daily volume and reports
+    the two segment means."""
+    from feature_fabrica_ray.pipelines import cusum_changepoint
+
+    # 10 days at 5/day then 10 days at 20/day -> split at day 9
+    days = np.concatenate([np.repeat(np.arange(10), 5),
+                           np.repeat(np.arange(10, 20), 20)])
+    df = pd.DataFrame({"ts": pd.to_datetime(days, unit="D")})
+    out = cusum_changepoint(ray.data.from_pandas(df).repartition(3),
+                            "ts")
+    assert out["split_day"].iloc[0] == pd.Timestamp("1970-01-10")
+    assert out["mean_before"].iloc[0] == 5.0
+    assert out["mean_after"].iloc[0] == 20.0
+    assert out["n"].iloc[0] == 20
