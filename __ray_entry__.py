@@ -10642,6 +10642,46 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_ev_watermark(sf_dir: str) -> pd.DataFrame:
+    """Streaming watermark replay (pipelines/events.py::
+    watermark_late_events): per (user, hour window) totals, LATE
+    arrivals under a 1h-lateness watermark over event_id arrival
+    order, and the on-time value sum — the ordered-bucket prefix-max
+    parallelization of the sequential watermark scan; oracle via the
+    running-max window over arrival order."""
+    from feature_fabrica_ray.pipelines import watermark_late_events
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "value"])
+    out = watermark_late_events(ds, "ts", "user_id", "value",
+                                "event_id", window_s=3600,
+                                allowed_lateness_s=3600)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
+_WATERMARK_ORACLE = """
+WITH w AS (SELECT user_id, value, ts, event_id,
+                  max(ts) OVER (ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS wm
+           FROM events),
+f AS (SELECT user_id,
+             CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600)
+                  AS TIMESTAMP) AS win_start,
+             value,
+             (wm IS NOT NULL AND ts < wm - INTERVAL 1 HOUR) AS late
+      FROM w)
+SELECT user_id, win_start,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       round(coalesce(sum(CASE WHEN NOT late THEN value END), 0), 6)
+         AS sum_on_time
+FROM f GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_sm_kcenter(sf_dir: str) -> pd.DataFrame:
     """Greedy k-center diversity selection over the embeddings table
     (pipelines/sampling.py::kcenter_sample): 8 maximally-spread
@@ -11137,6 +11177,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "sp_zonemap": q_sp_zonemap,
         "ev_changepoint": q_ev_changepoint,
         "sm_kcenter": q_sm_kcenter,
+        "ev_watermark": q_ev_watermark,
         "vl_outliers_mad": q_vl_outliers_mad,
         "ev_trend": q_ev_trend,
         "agg_heavy_group": q_agg_heavy_group,
@@ -11398,6 +11439,7 @@ def oracle_sql() -> dict[str, str]:
         "tq_volume": _TQ_VOLUME_ORACLE,
         "sp_zonemap": _ZONEMAP_ORACLE,
         "ev_changepoint": _CHANGEPOINT_ORACLE,
+        "ev_watermark": _WATERMARK_ORACLE,
         "vl_outliers_mad": _MAD_OUTLIERS_ORACLE,
         "ev_trend": _MK_ORACLE,
         "agg_heavy_group": _HEAVY_GROUP_ORACLE,

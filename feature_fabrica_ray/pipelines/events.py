@@ -35,7 +35,8 @@ __all__ = ["tumbling_window_agg", "sliding_window_agg", "sessionize",
            "runs_islands", "time_weighted_avg", "forward_fill",
            "interpolate_missing", "autocorr_per_key",
            "cumulative_distinct", "cusum_per_key", "rolling_quantile",
-           "scd2_intervals", "interval_coverage", "sax_words"]
+           "scd2_intervals", "interval_coverage", "sax_words",
+           "watermark_late_events"]
 
 
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -2135,3 +2136,121 @@ def sax_words(ds, key_col: str, ts_col: str, value_col: str,
                           batch_size=None)
     out = bucketed_by_key(proj, key_col, per_bucket).to_pandas()
     return out.sort_values(key_col, kind="mergesort")         .reset_index(drop=True)
+
+
+def watermark_late_events(ds, ts_col: str, key_col: str,
+                          value_col: str, arrival_col: str, *,
+                          window_s: int = 3600,
+                          allowed_lateness_s: int = 3600,
+                          n_buckets: int = 64) -> "pd.DataFrame":
+    """Streaming-window semantics REPLAYED deterministically over a
+    batch table: the watermark before arrival ``i`` is
+    ``max(event time of arrivals < i) − allowed_lateness``; an event
+    whose timestamp falls behind it is LATE (a stream processor would
+    have closed its window). Emits per (key, tumbling window):
+    total arrivals, late arrivals, and the on-time value sum — the
+    audit that tells you what a watermark policy WOULD have dropped
+    before you deploy it.
+
+    Scale shape — the sequential prefix-max parallelized the classic
+    way: (1) one global (min, max) arrival fold; (2) arrivals split
+    into ``n_buckets`` ORDERED ranges, a per-block per-bucket max-ts
+    combiner folds to the driver, and the exclusive prefix-max over
+    the B-row bucket table (driver arithmetic on KB state) gives each
+    bucket its carry-in watermark; (3) ONE keyed shuffle co-locates
+    each bucket, a vectorized arrival-sort + shifted cummax seeded
+    with the carry-in flags late rows for ALL the bucket's arrivals
+    at once; (4) the (key, window) rollup is an ordinary combiner.
+    The first arrival has no watermark and is never late. Returns
+    (key, win_start, n_total, n_late, sum_on_time) sorted."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..tuning import shuffle_partitions
+
+    def bounds_partial(t: pa.Table) -> pa.Table:
+        a = t.column(arrival_col).cast(pa.int64())
+        if len(a) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([pc.min(a).as_py()], pa.int64()),
+                         "hi": pa.array([pc.max(a).as_py()], pa.int64())})
+
+    b = ds.map_batches(bounds_partial, batch_format="pyarrow",
+                       batch_size=None).to_pandas()
+    if b.empty:
+        return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                             "win_start": pd.Series([], dtype="datetime64[us]"),
+                             "n_total": pd.Series([], dtype="int64"),
+                             "n_late": pd.Series([], dtype="int64"),
+                             "sum_on_time": pd.Series([], dtype="float64")})
+    lo, hi = int(b["lo"].min()), int(b["hi"].max())
+    span = max(hi - lo + 1, 1)
+
+    def bucket_of(arr: np.ndarray) -> np.ndarray:
+        return np.minimum((arr - lo) * n_buckets // span,
+                          n_buckets - 1).astype(np.int64)
+
+    def bucket_max_partial(t: pa.Table) -> pa.Table:
+        a = t.column(arrival_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = t.column(ts_col).cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        bk = bucket_of(a)
+        df = pd.DataFrame({"bk": bk, "ts": ts}).groupby("bk",
+                                                        as_index=False).max()
+        return pa.table({"bk": pa.array(df["bk"].to_numpy(np.int64)),
+                         "mx": pa.array(df["ts"].to_numpy(np.int64))})
+
+    bm = ds.map_batches(bucket_max_partial, batch_format="pyarrow",
+                        batch_size=None).to_pandas()         .groupby("bk", as_index=False)["mx"].max()
+    # exclusive prefix max over ORDERED buckets -> carry-in watermark
+    carry = np.full(n_buckets, np.iinfo(np.int64).min, np.int64)
+    run = np.iinfo(np.int64).min
+    mx = dict(zip(bm["bk"], bm["mx"]))
+    for i in range(n_buckets):
+        carry[i] = run
+        if i in mx:
+            run = max(run, int(mx[i]))
+    import ray
+
+    ref = ray.put(carry)
+    late_us = int(allowed_lateness_s * 1_000_000)
+    win_us = int(window_s * 1_000_000)
+
+    def stamp_bucket(t: pa.Table) -> pa.Table:
+        a = t.column(arrival_col).cast(pa.int64())
+        return t.append_column("__wbkt", pa.array(
+            bucket_of(a.to_numpy(zero_copy_only=False)), pa.int64()))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cr = ray.get(ref)
+        df = df.sort_values(arrival_col, kind="mergesort")
+        ts = df[ts_col].to_numpy().astype("datetime64[us]")             .astype(np.int64)
+        seed = int(cr[int(df["__wbkt"].iloc[0])])
+        prior = np.concatenate([[seed], np.maximum.accumulate(ts)[:-1]])
+        prior = np.maximum(prior, seed)
+        late = (prior != np.iinfo(np.int64).min)             & (ts < prior - late_us)
+        win = (ts // win_us) * win_us
+        v = df[value_col].to_numpy(np.float64)
+        on_v = np.where(late | np.isnan(v), 0.0, v)
+        out = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                            "win_start": win,
+                            "n_total": 1,
+                            "n_late": late.astype(np.int64),
+                            "sum_on_time": on_v})             .groupby([key_col, "win_start"], as_index=False).sum()
+        return out
+
+    parts = (ds.map_batches(stamp_bucket, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("__wbkt", num_partitions=min(shuffle_partitions(),
+                                                   n_buckets))
+             .map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby([key_col, "win_start"], as_index=False).sum()
+    out["win_start"] = out["win_start"].to_numpy(np.int64)         .astype("datetime64[us]")
+    out["n_total"] = out["n_total"].astype(np.int64)
+    out["n_late"] = out["n_late"].astype(np.int64)
+    out["sum_on_time"] = np.floor(np.abs(out["sum_on_time"]) * 1e6
+                                  + 0.5) / 1e6 * np.sign(out["sum_on_time"])
+    return out.sort_values([key_col, "win_start"])         .reset_index(drop=True)

@@ -1069,3 +1069,41 @@ def test_mann_kendall_trend(ray_session):
                                               unit="D")})
     r = mann_kendall(ray.data.from_pandas(flat), "ts")
     assert r["s"].iloc[0] == 0 and r["trend"].iloc[0] == "none"
+
+
+def test_watermark_late_events_planted(ray_session):
+    """Watermark replay: an event arriving after the watermark passed
+    its timestamp is late; the first arrival never is; on-time sums
+    exclude late values; carry-in across arrival buckets is exact
+    (many buckets over few rows forces cross-bucket seeding)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from feature_fabrica_ray.pipelines import watermark_late_events
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # arrival order: ts advances, then one stale event 3h behind
+        (0, base + pd.Timedelta(hours=0), 1, 1.0),
+        (1, base + pd.Timedelta(hours=1), 1, 2.0),
+        (2, base + pd.Timedelta(hours=4), 2, 4.0),
+        (3, base + pd.Timedelta(hours=1), 1, 8.0),   # wm=4h-1h=3h > 1h -> late
+        (4, base + pd.Timedelta(hours=3, minutes=30), 2, 16.0),  # 3.5h >= 3h -> on time
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "value"])
+    out = watermark_late_events(
+        ray.data.from_pandas(df).repartition(3), "ts", "user_id",
+        "value", "event_id", window_s=3600, allowed_lateness_s=3600,
+        n_buckets=4)
+    assert out["n_total"].sum() == 5
+    assert out["n_late"].sum() == 1
+    late_row = out[(out["user_id"] == 1)
+                   & (out["win_start"] == base + pd.Timedelta(hours=1))]
+    assert late_row["n_late"].iloc[0] == 1
+    assert late_row["sum_on_time"].iloc[0] == 2.0   # 8.0 dropped
+    one = watermark_late_events(ray.data.from_pandas(df), "ts",
+                                "user_id", "value", "event_id",
+                                window_s=3600, allowed_lateness_s=3600,
+                                n_buckets=1)
+    pd.testing.assert_frame_equal(one, out)
