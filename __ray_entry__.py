@@ -10642,6 +10642,86 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_jn_upsert(sf_dir: str) -> pd.DataFrame:
+    """CDC latest-wins merge (pipelines/join.py::upsert_latest): a
+    version-2 changelog touching every fifth order overrides the
+    version-1 snapshot in ONE keyed bucket shuffle (per-bucket
+    vectorized resolve, no per-key Python); oracle via row_number
+    over the tagged union."""
+    from feature_fabrica_ray.pipelines import upsert_latest
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_totalprice"])
+
+    def as_base(t: pa.Table) -> pa.Table:
+        return t.append_column("version", pa.array(
+            np.ones(t.num_rows, np.int64), pa.int64()))
+
+    def as_upd(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(k % 5 == 0))
+        t = t.set_column(
+            t.column_names.index("o_totalprice"), "o_totalprice",
+            pc.add(t.column("o_totalprice"), pa.scalar(1000.0)))
+        return t.append_column("version", pa.array(
+            np.full(t.num_rows, 2, np.int64), pa.int64()))
+
+    base = orders.map_batches(as_base, batch_format="pyarrow",
+                              batch_size=None)
+    upd = orders.map_batches(as_upd, batch_format="pyarrow",
+                             batch_size=None)
+    out = upsert_latest(base, upd, ["o_orderkey"], "version") \
+        .to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["version"] = out["version"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_UPSERT_ORACLE = """
+WITH base AS (SELECT o_orderkey, o_totalprice,
+                     CAST(1 AS BIGINT) AS version FROM orders),
+upd AS (SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice,
+               CAST(2 AS BIGINT) AS version
+        FROM orders WHERE o_orderkey % 5 = 0),
+u AS (SELECT *, 0 AS src FROM base
+      UNION ALL SELECT *, 1 AS src FROM upd),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY version DESC, src DESC)
+        AS rn FROM u)
+SELECT o_orderkey, o_totalprice, version FROM r WHERE rn = 1
+ORDER BY o_orderkey
+"""
+
+
+def q_agg_argmax(sf_dir: str) -> pd.DataFrame:
+    """Per-group argmax rows (SQL arg_max with deterministic ties):
+    the highest-value order per priority class via the per-block
+    top-k partial merge (pipelines/topk.py::topk_per_group, k=1 —
+    only one candidate row per block per group ever moves)."""
+    from feature_fabrica_ray.pipelines import topk_per_group
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = topk_per_group(orders, ["o_orderpriority"], "o_totalprice",
+                         k=1, tiebreak_cols=["o_orderkey"])
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+_ARGMAX_ORACLE = """
+SELECT o_orderpriority, o_totalprice, o_orderkey,
+       CAST(1 AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn = 1 ORDER BY o_orderpriority
+"""
+
+
 def q_ev_watermark(sf_dir: str) -> pd.DataFrame:
     """Streaming watermark replay (pipelines/events.py::
     watermark_late_events): per (user, hour window) totals, LATE
@@ -11178,6 +11258,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "ev_changepoint": q_ev_changepoint,
         "sm_kcenter": q_sm_kcenter,
         "ev_watermark": q_ev_watermark,
+        "jn_upsert": q_jn_upsert,
+        "agg_argmax": q_agg_argmax,
         "vl_outliers_mad": q_vl_outliers_mad,
         "ev_trend": q_ev_trend,
         "agg_heavy_group": q_agg_heavy_group,
@@ -11440,6 +11522,8 @@ def oracle_sql() -> dict[str, str]:
         "sp_zonemap": _ZONEMAP_ORACLE,
         "ev_changepoint": _CHANGEPOINT_ORACLE,
         "ev_watermark": _WATERMARK_ORACLE,
+        "jn_upsert": _UPSERT_ORACLE,
+        "agg_argmax": _ARGMAX_ORACLE,
         "vl_outliers_mad": _MAD_OUTLIERS_ORACLE,
         "ev_trend": _MK_ORACLE,
         "agg_heavy_group": _HEAVY_GROUP_ORACLE,

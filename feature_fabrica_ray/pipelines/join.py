@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 
 __all__ = ["broadcast_join", "broadcast_cross_join", "broadcast_range_join",
            "shuffle_join", "bloom_filtered_join", "join_cardinality_estimate",
-           "salted_join", "sized_join"]
+           "salted_join", "sized_join", "upsert_latest"]
 
 _MAX_BROADCAST_ROWS = 5_000_000  # guard: a "small side" must actually be small
 
@@ -453,3 +453,51 @@ def salted_join(left, right, *, on: str, right_on: str | None = None,
                        on=(on, "__salt"), right_on=(rkey, "__salt"),
                        num_partitions=nparts)
     return out.drop_columns(["__salt"])
+
+
+def upsert_latest(base, updates, key_cols: list[str],
+                  version_col: str):
+    """CDC apply / latest-wins MERGE: union the base snapshot with an
+    updates stream and keep, per key, the row with the highest
+    ``version_col`` — ties break toward the UPDATES side, then are
+    deterministic (the standard "changelog overrides snapshot"
+    compaction every incremental table maintenance job runs).
+
+    Scale shape: both inputs stream through a source-tagging map, the
+    union shuffles ONCE on hash(key) % B (``events.bucketed_by_key``
+    — per-BUCKET Python), and each bucket resolves ALL its keys with
+    one vectorized sort + drop_duplicates; no driver state, no
+    per-key calls. New keys insert, existing keys update, absent keys
+    pass through. Returns a Dataset with the winning rows (input
+    columns, tag dropped)."""
+    import pyarrow.compute as pc
+
+    from .events import bucketed_by_key
+
+    def tag(src: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("__src", pa.array(
+                np.full(t.num_rows, src, np.int8), pa.int8()))
+        return fn
+
+    both = base.map_batches(tag(0), batch_format="pyarrow",
+                            batch_size=None)         .union(updates.map_batches(tag(1), batch_format="pyarrow",
+                                   batch_size=None))
+    kc = list(key_cols)
+
+    def add_ukey(t: pa.Table) -> pa.Table:
+        k = pc.fill_null(pc.cast(t.column(kc[0]), pa.string()), "\0null")
+        for c in kc[1:]:
+            k = pc.binary_join_element_wise(
+                k, pc.fill_null(pc.cast(t.column(c), pa.string()),
+                                "\0null"), "\x1f")
+        return t.append_column("__ukey", k)
+
+    def per_bucket(df):
+        df = df.sort_values("__src", kind="mergesort")             .sort_values(version_col, kind="mergesort")
+        win = df.drop_duplicates("__ukey", keep="last")
+        return win.drop(columns=["__src", "__ukey"])
+
+    return bucketed_by_key(
+        both.map_batches(add_ukey, batch_format="pyarrow",
+                         batch_size=None), "__ukey", per_bucket)

@@ -5914,3 +5914,27 @@ def test_cusum_changepoint_planted_shift(ray_session):
     assert out["mean_before"].iloc[0] == 5.0
     assert out["mean_after"].iloc[0] == 20.0
     assert out["n"].iloc[0] == 20
+
+
+def test_upsert_latest_semantics(ray_session):
+    """Latest-wins merge: updates override on version, ties go to the
+    updates side, new keys insert, untouched keys pass through,
+    layout-invariant."""
+    from feature_fabrica_ray.pipelines import upsert_latest
+
+    base = pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0],
+                         "ver": np.array([1, 5, 1], np.int64)})
+    upd = pd.DataFrame({"k": [2, 3, 4], "v": [21.0, 31.0, 41.0],
+                        "ver": np.array([2, 1, 1], np.int64)})
+    out = upsert_latest(_ds(base, blocks=2), _ds(upd, blocks=2),
+                        ["k"], "ver").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    m = dict(zip(out["k"], out["v"]))
+    assert m[1] == 10.0            # untouched
+    assert m[2] == 20.0            # base ver 5 beats update ver 2
+    assert m[3] == 31.0            # tie at ver 1 -> updates side wins
+    assert m[4] == 41.0            # insert
+    assert len(out) == 4
+    one = upsert_latest(_ds(base), _ds(upd), ["k"], "ver").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, out)
