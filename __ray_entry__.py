@@ -10642,6 +10642,66 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_ev_peaks(sf_dir: str) -> pd.DataFrame:
+    """Strict local maxima of daily event volume (exact integer
+    counts; pipelines/quantiles.py::volume_peaks); oracle via
+    lag/lead windows."""
+    from feature_fabrica_ray.pipelines import volume_peaks
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+    return volume_peaks(ds, "ts", freq="day")
+
+
+_PEAKS_ORACLE = """
+WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+w AS (SELECT day, n,
+             lag(n) OVER (ORDER BY day) AS prev_n,
+             lead(n) OVER (ORDER BY day) AS next_n
+      FROM d)
+SELECT CAST(day AS TIMESTAMP) AS day, n, prev_n, next_n
+FROM w
+WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+  AND n > prev_n AND n > next_n
+ORDER BY day
+"""
+
+
+def q_gr_harmonic(sf_dir: str) -> pd.DataFrame:
+    """Harmonic centrality of three seed parts over the part<->supplier
+    graph (pipelines/graph.py::harmonic_centrality — one frontier-join
+    BFS per seed); oracle via three recursive-CTE walks."""
+    from feature_fabrica_ray.pipelines import harmonic_centrality
+
+    return harmonic_centrality(_lineitem_graph(sf_dir), [1, 2, 3],
+                               "src", "dst")
+
+
+def _harm_walk(seed: int) -> str:
+    return f"""
+SELECT {seed} AS seed,
+       round(sum(1.0 / hop), 6) AS harmonic,
+       CAST(count(*) AS BIGINT) AS n_reached
+FROM (WITH RECURSIVE e AS (
+        SELECT l_partkey AS src, l_suppkey + 1000000000 AS dst
+        FROM lineitem
+        UNION ALL
+        SELECT l_suppkey + 1000000000 AS src, l_partkey AS dst
+        FROM lineitem),
+      walk(node, hop) AS (
+        SELECT {seed}, 0
+        UNION
+        SELECT e.dst, walk.hop + 1 FROM walk JOIN e ON e.src = walk.node
+        WHERE walk.hop < 50)
+      SELECT node, min(hop) AS hop FROM walk GROUP BY node)
+WHERE hop > 0"""
+
+
+_HARMONIC_ORACLE = ("\nUNION ALL ".join(_harm_walk(s) for s in (1, 2, 3))
+                    + "\nORDER BY seed")
+
+
 def q_jn_upsert(sf_dir: str) -> pd.DataFrame:
     """CDC latest-wins merge (pipelines/join.py::upsert_latest): a
     version-2 changelog touching every fifth order overrides the
@@ -11259,6 +11319,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "sm_kcenter": q_sm_kcenter,
         "ev_watermark": q_ev_watermark,
         "jn_upsert": q_jn_upsert,
+        "ev_peaks": q_ev_peaks,
+        "gr_harmonic": q_gr_harmonic,
         "agg_argmax": q_agg_argmax,
         "vl_outliers_mad": q_vl_outliers_mad,
         "ev_trend": q_ev_trend,
@@ -11523,6 +11585,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_changepoint": _CHANGEPOINT_ORACLE,
         "ev_watermark": _WATERMARK_ORACLE,
         "jn_upsert": _UPSERT_ORACLE,
+        "ev_peaks": _PEAKS_ORACLE,
+        "gr_harmonic": _HARMONIC_ORACLE,
         "agg_argmax": _ARGMAX_ORACLE,
         "vl_outliers_mad": _MAD_OUTLIERS_ORACLE,
         "ev_trend": _MK_ORACLE,

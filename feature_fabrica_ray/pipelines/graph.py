@@ -46,7 +46,8 @@ __all__ = ["connected_components", "star_edges", "pagerank",
            "pagerank_sharded", "hits", "hits_sharded", "degree_table",
            "canonical_edges", "triangle_count", "edge_jaccard", "kcore",
            "cooccur_edges", "adamic_adar", "bfs_hops", "degree_assortativity", "modularity",
-           "clustering_coefficients", "label_propagation"]
+           "clustering_coefficients", "label_propagation",
+           "harmonic_centrality"]
 
 
 def _canon2(names: list[str]):
@@ -1693,3 +1694,30 @@ def label_propagation(edges, src_col: str = "src", dst_col: str = "dst",
 
     return pd.DataFrame({"node": nodes,
                          "label": labels.astype(np.int64)})
+
+
+def harmonic_centrality(edges, seeds, a_col: str = "a",
+                        b_col: str = "b") -> "pd.DataFrame":
+    """Harmonic centrality of each SEED node — Σ_v 1/d(seed, v) over
+    the nodes it can reach (the disconnected-graph-safe variant of
+    closeness): "which of these candidate hub nodes actually sits
+    central". Exact per seed via one multi-round BFS each
+    (``bfs_hops`` — frontier joins, never the whole distance table),
+    so the cost is |seeds| BFS sweeps; sampling seeds IS the standard
+    scale story for centrality (exact all-nodes closeness is O(n·m)
+    everywhere). Returns (seed, harmonic, n_reached) sorted by seed,
+    harmonic rounded to 6."""
+    import pandas as pd
+
+    rows = []
+    for s_ in sorted(int(x) for x in seeds):
+        hops = bfs_hops(edges, [s_], a_col, b_col)
+        reached = hops[hops["hop"] > 0]
+        h = float((1.0 / reached["hop"].to_numpy(np.float64)).sum())
+        rows.append({"seed": s_,
+                     "harmonic": float(np.floor(h * 1e6 + 0.5) / 1e6),
+                     "n_reached": int(len(reached))})
+    out = pd.DataFrame(rows)
+    out["seed"] = out["seed"].astype(np.int64)
+    out["n_reached"] = out["n_reached"].astype(np.int64)
+    return out

@@ -24,7 +24,7 @@ import pyarrow as pa
 __all__ = ["group_quantiles", "rank_normalize", "equidepth_buckets",
            "group_mad", "group_trimmed_mean", "lorenz_deciles",
            "spearman_corr", "kendall_tau", "mann_kendall", "mad_outliers",
-           "cusum_changepoint"]
+           "cusum_changepoint", "volume_peaks"]
 
 
 def _weighted_quantile(values: np.ndarray, counts: np.ndarray,
@@ -935,3 +935,45 @@ def cusum_changepoint(ds, ts_col: str, *, freq: str = "day",
         "mean_before": [r6(x[:k + 1].mean())],
         "mean_after": [r6(x[k + 1:].mean())],
         "n": np.array([n], np.int64)})
+
+
+def volume_peaks(ds, ts_col: str, *, freq: str = "day",
+                 max_points: int = 100_000) -> pd.DataFrame:
+    """Strict local maxima of the event-volume series: buckets whose
+    exact count exceeds BOTH neighbors (endpoints never peak) — the
+    burst-day detector that pairs with ``cusum_changepoint`` (level
+    shifts) and ``mann_kendall`` (monotone drift) on the same
+    integer-count series. Same combiner shape: per-block (bucket,
+    count) partials, tiny keyed merge, closed-form driver scan.
+    Returns (day, n, prev_n, next_n) sorted by day."""
+    import pyarrow.compute as pc
+
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column(ts_col), unit=freq)
+        g = pa.table({"b": day}).group_by(["b"])             .aggregate([([], "count_all")])
+        return pa.table({"b": g.column("b"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby("b", num_partitions=shuffle_partitions())
+              .sum("c").to_pandas())
+    if len(merged) > max_points:
+        raise ValueError(
+            f"volume_peaks: {len(merged)} {freq} buckets > "
+            f"max_points={max_points}; coarsen freq")
+    merged = merged.sort_values("b").reset_index(drop=True)
+    x = merged["sum(c)"].to_numpy(np.int64)
+    if len(x) < 3:
+        return pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                             "n": pd.Series([], dtype="int64"),
+                             "prev_n": pd.Series([], dtype="int64"),
+                             "next_n": pd.Series([], dtype="int64")})
+    mid = np.arange(1, len(x) - 1)
+    pk = mid[(x[mid] > x[mid - 1]) & (x[mid] > x[mid + 1])]
+    return pd.DataFrame({
+        "day": pd.to_datetime(merged["b"].iloc[pk].to_numpy()),
+        "n": x[pk], "prev_n": x[pk - 1],
+        "next_n": x[pk + 1]}).reset_index(drop=True)

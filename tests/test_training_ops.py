@@ -5938,3 +5938,29 @@ def test_upsert_latest_semantics(ray_session):
     one = upsert_latest(_ds(base), _ds(upd), ["k"], "ver").to_pandas() \
         .sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(one, out)
+
+
+def test_volume_peaks_and_harmonic(ray_session):
+    """volume_peaks finds exactly the strict local maxima (endpoints
+    excluded); harmonic_centrality matches hand-computed 1/d sums on a
+    path graph."""
+    from feature_fabrica_ray.pipelines import (harmonic_centrality,
+                                               volume_peaks)
+
+    # counts per day: 1 3 2 5 5 4 -> peaks at day1 (3>1,3>2) only
+    # (5,5 plateau is not strict)
+    counts = [1, 3, 2, 5, 5, 4]
+    days = np.repeat(np.arange(6), counts)
+    df = pd.DataFrame({"ts": pd.to_datetime(days, unit="D")})
+    out = volume_peaks(_ds(df, blocks=3), "ts")
+    assert out["day"].tolist() == [pd.Timestamp("1970-01-02")]
+    assert out["n"].tolist() == [3]
+
+    # path graph 1-2-3-4: harmonic(1) = 1 + 1/2 + 1/3
+    edges = pd.DataFrame({"a": [1, 2, 3], "b": [2, 3, 4]})
+    h = harmonic_centrality(_ds(edges, blocks=2), [1, 2], "a", "b")
+    assert h["seed"].tolist() == [1, 2]
+    assert h["harmonic"].iloc[0] == pytest.approx(1 + 0.5 + 1 / 3,
+                                                  abs=1e-6)
+    assert h["harmonic"].iloc[1] == pytest.approx(1 + 1 + 0.5, abs=1e-6)
+    assert h["n_reached"].tolist() == [3, 3]
