@@ -377,6 +377,24 @@ def bench_models() -> tuple[float, int]:
     return time.perf_counter() - t0, len(a) + len(b) + len(c)
 
 
+def bench_grouped() -> tuple[float, int]:
+    """High-cardinality grouped-aggregate engine: per-COMMIT size
+    moments over the replicated codetable — rows == distinct keys, so
+    the merge side is the measured path (the round-4 bucketed
+    _bucketed_merge: one Python call per hash bucket, never per key;
+    the old per-key map_groups shape measured 17.5x slower at 400k
+    keys, BASELINE.md)."""
+    from feature_fabrica_ray.pipelines.grouped import grouped_moments
+    from feature_fabrica_ray.sources import read_codetable
+
+    t0 = time.perf_counter()
+    ds = _with_size(read_codetable(SF_DIR, replicate=REPLICATE,
+                                   with_sha256=False,
+                                   dict_encode=DICT_ENCODE))
+    out = grouped_moments(ds, "commit", "size_bytes")
+    return time.perf_counter() - t0, len(out)
+
+
 BENCHES = {
     "suite": bench_suite,
     "uniqueness": bench_uniqueness,
@@ -395,6 +413,7 @@ BENCHES = {
     "graph": bench_graph,
     "joins": bench_joins,
     "models": bench_models,
+    "grouped": bench_grouped,
 }
 
 
