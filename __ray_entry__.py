@@ -10642,6 +10642,84 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_sm_temperature(sf_dir: str) -> pd.DataFrame:
+    """Temperature-scaled corpus mixing (the standard multilingual
+    sampling trick, T=2: p_s ∝ n_s^(1/T) upweights low-resource
+    languages): one dimension-sized count pass derives the
+    proportions, then ``mixture_sample`` (md5 mode) applies them —
+    the oracle recomputes the SAME sqrt-count proportions from SQL
+    counts and replays the md5 draw bit-for-bit."""
+    from feature_fabrica_ray.pipelines import mixture_sample
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g.column("lang"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    counts = ds.map_batches(cnt, batch_format="pyarrow",
+                            batch_size=None).to_pandas() \
+        .groupby("lang", as_index=False)["n"].sum() \
+        .sort_values("lang")
+    w = np.sqrt(counts["n"].to_numpy(np.float64))
+    props = dict(zip(counts["lang"], w / w.sum()))
+    out = mixture_sample(ds, props, source_col="lang",
+                         key_col="doc_id", method="md5").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_TEMPERATURE_ORACLE = """
+WITH counts AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+tot AS (SELECT sum(sqrt(n)) AS z FROM counts),
+props AS (SELECT lang, sqrt(n) / (SELECT z FROM tot) AS p FROM counts),
+feas AS (SELECT min(c.n / pr.p) AS t
+         FROM counts c JOIN props pr USING (lang)),
+rates AS (SELECT c.lang, least(1.0, pr.p * f.t / c.n) AS keep
+          FROM counts c JOIN props pr USING (lang) CROSS JOIN feas f)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r USING (lang)
+WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))
+           AS BIGINT) < floor(r.keep * 281474976710656.0)
+ORDER BY d.doc_id
+"""
+
+
+def q_pr_dispersion(sf_dir: str) -> pd.DataFrame:
+    """Index-of-dispersion profile per event type (var_pop/mean — the
+    Poisson overdispersion screen): derived driver-side from the
+    bucketed grouped-moments merge (pipelines/grouped.py::
+    grouped_moments); oracle vs var_pop()/avg() SQL."""
+    from feature_fabrica_ray.pipelines.grouped import grouped_moments
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    m = grouped_moments(ds, "event_type", "value")
+    n = m["n"].to_numpy(np.float64)
+    var_pop = m["std"].to_numpy(np.float64) ** 2 * (n - 1.0) / n
+    out = pd.DataFrame({
+        "event_type": m["event_type"],
+        "n": m["n"].astype("int64"),
+        "mean_v": _round_away(pd.Series(m["mean"]), 6),
+        "var_pop": _round_away(pd.Series(var_pop), 6),
+        "dispersion": _round_away(
+            pd.Series(var_pop / m["mean"].to_numpy(np.float64)), 6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_DISPERSION_ORACLE = """
+SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+       round(avg(value), 6) AS mean_v,
+       round(var_pop(value), 6) AS var_pop,
+       round(var_pop(value) / avg(value), 6) AS dispersion
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_ev_peaks(sf_dir: str) -> pd.DataFrame:
     """Strict local maxima of daily event volume (exact integer
     counts; pipelines/quantiles.py::volume_peaks); oracle via
@@ -11320,6 +11398,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "ev_watermark": q_ev_watermark,
         "jn_upsert": q_jn_upsert,
         "ev_peaks": q_ev_peaks,
+        "sm_temperature": q_sm_temperature,
+        "pr_dispersion": q_pr_dispersion,
         "gr_harmonic": q_gr_harmonic,
         "agg_argmax": q_agg_argmax,
         "vl_outliers_mad": q_vl_outliers_mad,
@@ -11586,6 +11666,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_watermark": _WATERMARK_ORACLE,
         "jn_upsert": _UPSERT_ORACLE,
         "ev_peaks": _PEAKS_ORACLE,
+        "sm_temperature": _TEMPERATURE_ORACLE,
+        "pr_dispersion": _DISPERSION_ORACLE,
         "gr_harmonic": _HARMONIC_ORACLE,
         "agg_argmax": _ARGMAX_ORACLE,
         "vl_outliers_mad": _MAD_OUTLIERS_ORACLE,
