@@ -1676,17 +1676,29 @@ def label_propagation(edges, src_col: str = "src", dst_col: str = "dst",
             d = t.column(dst_col).cast(pa.int64()).to_numpy(
                 zero_copy_only=False)
             lab = lb[np.searchsorted(nd, d)]
-            g = pa.table({"u": pa.array(s), "lab": pa.array(lab)})                 .group_by(["u", "lab"]).aggregate([([], "count_all")])
-            return pa.table({"u": g.column("u"), "lab": g.column("lab"),
-                             "c": g.column("count_all").cast(pa.int64())})
+            g = pa.table({"u": pa.array(s), "lab": pa.array(lab)}) \
+                .group_by(["u", "lab"]).aggregate([([], "count_all")])
+            out = pa.table({"u": g.column("u"), "lab": g.column("lab"),
+                            "c": g.column("count_all").cast(pa.int64())})
+            return out.append_column(
+                "__gkey", pc.cast(out.column("u"), pa.string()))
 
-        parts = proj.map_batches(contrib, batch_format="pyarrow",
-                                 batch_size=None).to_pandas()
-        m = parts.groupby(["u", "lab"], as_index=False)["c"].sum()
-        # stable double sort: label asc, then count desc -> the first
-        # row per node is (max count, min label)
-        m = m.sort_values("lab", kind="mergesort")             .sort_values("c", ascending=False, kind="mergesort")
-        win = m.drop_duplicates("u", keep="first")
+        def merge_bucket(df):
+            m = df.groupby(["u", "lab"], as_index=False)["c"].sum()
+            # stable double sort: label asc, then count desc -> first
+            # row per node is (max count, min label)
+            m = m.sort_values("lab", kind="mergesort") \
+                .sort_values("c", ascending=False, kind="mergesort")
+            return m.drop_duplicates("u", keep="first")
+
+        # merge the (node, label) counts DISTRIBUTEDLY (bucketed, one
+        # Python call per bucket) so the driver only ever receives one
+        # argmax row per node, never the per-block partial table
+        from .grouped import _bucketed_merge
+
+        win = _bucketed_merge(
+            proj.map_batches(contrib, batch_format="pyarrow",
+                             batch_size=None), merge_bucket)
         new = labels.copy()
         pos = np.searchsorted(nodes, win["u"].to_numpy(np.int64))
         new[pos] = win["lab"].to_numpy(np.int64)

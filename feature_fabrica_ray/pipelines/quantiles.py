@@ -764,7 +764,7 @@ def yeojohnson_transform(ds, col: str, lam: float | None = None,
 
 
 def mann_kendall(ds, ts_col: str, *, freq: str = "day",
-                 max_points: int = 100_000) -> pd.DataFrame:
+                 max_points: int = 5_000) -> pd.DataFrame:
     """Mann-Kendall trend test on the event-VOLUME series: bucket
     timestamps to ``freq``, count rows per bucket (exact integer
     combiner — no float summation-order noise in the compared
@@ -796,6 +796,9 @@ def mann_kendall(ds, ts_col: str, *, freq: str = "day",
               .groupby("b", num_partitions=shuffle_partitions())
               .sum("c").to_pandas())
     if len(merged) > max_points:
+        # the guard bounds the DENSE n x n sign matrix below (5k
+        # points = 200 MB); coarsen freq, or swap in an O(n log n)
+        # inversion count if sub-daily buckets over years are needed
         raise ValueError(
             f"mann_kendall: {len(merged)} {freq} buckets > max_points="
             f"{max_points}; coarsen freq")
