@@ -10874,9 +10874,10 @@ def q_ev_watermark(sf_dir: str) -> pd.DataFrame:
                                      "value"])
     out = watermark_late_events(ds, "ts", "user_id", "value",
                                 "event_id", window_s=3600,
-                                allowed_lateness_s=3600)
+                                allowed_lateness_s=3600).to_pandas()
     out["user_id"] = out["user_id"].astype("int64")
-    return out
+    return out.sort_values(["user_id", "win_start"]) \
+        .reset_index(drop=True)
 
 
 _WATERMARK_ORACLE = """

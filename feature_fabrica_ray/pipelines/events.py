@@ -2160,9 +2160,10 @@ def watermark_late_events(ds, ts_col: str, key_col: str,
     bucket its carry-in watermark; (3) ONE keyed shuffle co-locates
     each bucket, a vectorized arrival-sort + shifted cummax seeded
     with the carry-in flags late rows for ALL the bucket's arrivals
-    at once; (4) the (key, window) rollup is an ordinary combiner.
-    The first arrival has no watermark and is never late. Returns
-    (key, win_start, n_total, n_late, sum_on_time) sorted."""
+    at once; (4) the (key, window) rollup is a second keyed-bucket
+    combiner and the result STAYS a Dataset (keys x windows sized).
+    The first arrival has no watermark and is never late. Returns a
+    Dataset (key, win_start, n_total, n_late, sum_on_time)."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -2179,11 +2180,13 @@ def watermark_late_events(ds, ts_col: str, key_col: str,
     b = ds.map_batches(bounds_partial, batch_format="pyarrow",
                        batch_size=None).to_pandas()
     if b.empty:
-        return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
-                             "win_start": pd.Series([], dtype="datetime64[us]"),
-                             "n_total": pd.Series([], dtype="int64"),
-                             "n_late": pd.Series([], dtype="int64"),
-                             "sum_on_time": pd.Series([], dtype="float64")})
+        import ray.data as _rd
+        return _rd.from_pandas(pd.DataFrame(
+            {key_col: pd.Series([], dtype="int64"),
+             "win_start": pd.Series([], dtype="datetime64[us]"),
+             "n_total": pd.Series([], dtype="int64"),
+             "n_late": pd.Series([], dtype="int64"),
+             "sum_on_time": pd.Series([], dtype="float64")}))
     lo, hi = int(b["lo"].min()), int(b["hi"].max())
     span = max(hi - lo + 1, 1)
 
@@ -2245,12 +2248,31 @@ def watermark_late_events(ds, ts_col: str, key_col: str,
                             batch_size=None)
              .groupby("__wbkt", num_partitions=min(shuffle_partitions(),
                                                    n_buckets))
-             .map_groups(per_bucket, batch_format="pandas")
-             .to_pandas())
-    out = parts.groupby([key_col, "win_start"], as_index=False).sum()
-    out["win_start"] = out["win_start"].to_numpy(np.int64)         .astype("datetime64[us]")
-    out["n_total"] = out["n_total"].astype(np.int64)
-    out["n_late"] = out["n_late"].astype(np.int64)
-    out["sum_on_time"] = np.floor(np.abs(out["sum_on_time"]) * 1e6
-                                  + 0.5) / 1e6 * np.sign(out["sum_on_time"])
-    return out.sort_values([key_col, "win_start"])         .reset_index(drop=True)
+             .map_groups(per_bucket, batch_format="pandas"))
+
+    # a (key, window) pair can span arrival buckets, so the final
+    # merge is a SECOND keyed-bucket stage and the result STAYS a
+    # Dataset (output is keys x windows sized; collecting it is the
+    # caller's choice, not baked in)
+    def add_gkey(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.fill_null(pc.cast(t.column(key_col), pa.string()),
+                         "\0null"),
+            pc.cast(t.column("win_start"), pa.string()), "\x1f")
+        return t.append_column("__gk2", k)
+
+    def final_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop(columns="__gk2") \
+            .groupby([key_col, "win_start"], as_index=False).sum()
+        out["win_start"] = out["win_start"].to_numpy(np.int64) \
+            .astype("datetime64[us]")
+        out["n_total"] = out["n_total"].astype(np.int64)
+        out["n_late"] = out["n_late"].astype(np.int64)
+        out["sum_on_time"] = np.floor(
+            np.abs(out["sum_on_time"]) * 1e6 + 0.5) / 1e6 \
+            * np.sign(out["sum_on_time"])
+        return out
+
+    return bucketed_by_key(
+        parts.map_batches(add_gkey, batch_format="pyarrow",
+                          batch_size=None), "__gk2", final_bucket)

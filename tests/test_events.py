@@ -1095,7 +1095,8 @@ def test_watermark_late_events_planted(ray_session):
     out = watermark_late_events(
         ray.data.from_pandas(df).repartition(3), "ts", "user_id",
         "value", "event_id", window_s=3600, allowed_lateness_s=3600,
-        n_buckets=4)
+        n_buckets=4).to_pandas() \
+        .sort_values(["user_id", "win_start"]).reset_index(drop=True)
     assert out["n_total"].sum() == 5
     assert out["n_late"].sum() == 1
     late_row = out[(out["user_id"] == 1)
@@ -1105,5 +1106,6 @@ def test_watermark_late_events_planted(ray_session):
     one = watermark_late_events(ray.data.from_pandas(df), "ts",
                                 "user_id", "value", "event_id",
                                 window_s=3600, allowed_lateness_s=3600,
-                                n_buckets=1)
+                                n_buckets=1).to_pandas() \
+        .sort_values(["user_id", "win_start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(one, out)
