@@ -10642,6 +10642,71 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_ta_confusion(sf_dir: str) -> pd.DataFrame:
+    """Language-ID confusion matrix: true lang x heuristic lang_id
+    counts — the evaluation table for the stopword-hit classifier
+    (add_lang_id, whose per-doc output ta_langid oracle-matches);
+    distinct-pair combiner + one keyed merge. Oracle wraps the
+    langid SQL in a GROUP BY."""
+    from feature_fabrica_ray.pipelines import add_lang_id
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "text"])
+    tagged = add_lang_id(ds)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["lang", "lang_id"]) \
+            .group_by(["lang", "lang_id"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g.column("lang"),
+                         "lang_id": g.column("lang_id"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    parts = tagged.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    out = parts.groupby(["lang", "lang_id"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "lang_id"]).reset_index(drop=True)
+
+
+def _confusion_oracle() -> str:
+    base = _langid_oracle().replace("ORDER BY d.doc_id", "")
+    return f"""
+SELECT documents.lang, p.lang_id, CAST(count(*) AS BIGINT) AS n
+FROM ({base}) p JOIN documents USING (doc_id)
+GROUP BY documents.lang, p.lang_id
+ORDER BY documents.lang, p.lang_id
+"""
+
+
+_CONFUSION_ORACLE = _confusion_oracle()
+
+
+def q_ev_theilsen(sf_dir: str) -> pd.DataFrame:
+    """Theil-Sen robust trend slope of daily event volume — the median
+    of all pairwise slopes (events/day per day), the outlier-immune
+    complement to mann_kendall's direction test. Exact daily counts
+    (no float-order noise), pairwise slopes vectorized on the
+    guarded |days|-sized series driver-side; oracle via a self-join +
+    median()."""
+    from feature_fabrica_ray.pipelines import theil_sen_slope
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+    return theil_sen_slope(ds, "ts", freq="day")
+
+
+_THEILSEN_ORACLE = """
+WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS DOUBLE) AS x
+           FROM events GROUP BY 1),
+p AS (SELECT (b.x - a.x) / date_diff('day', a.day, b.day) AS sl
+      FROM d a JOIN d b ON a.day < b.day)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n,
+       round(median(sl), 6) AS slope,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p
+"""
+
+
 def q_sm_temperature(sf_dir: str) -> pd.DataFrame:
     """Temperature-scaled corpus mixing (the standard multilingual
     sampling trick, T=2: p_s ∝ n_s^(1/T) upweights low-resource
@@ -11400,6 +11465,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "jn_upsert": q_jn_upsert,
         "ev_peaks": q_ev_peaks,
         "sm_temperature": q_sm_temperature,
+        "ta_confusion": q_ta_confusion,
+        "ev_theilsen": q_ev_theilsen,
         "pr_dispersion": q_pr_dispersion,
         "gr_harmonic": q_gr_harmonic,
         "agg_argmax": q_agg_argmax,
@@ -11668,6 +11735,8 @@ def oracle_sql() -> dict[str, str]:
         "jn_upsert": _UPSERT_ORACLE,
         "ev_peaks": _PEAKS_ORACLE,
         "sm_temperature": _TEMPERATURE_ORACLE,
+        "ta_confusion": _CONFUSION_ORACLE,
+        "ev_theilsen": _THEILSEN_ORACLE,
         "pr_dispersion": _DISPERSION_ORACLE,
         "gr_harmonic": _HARMONIC_ORACLE,
         "agg_argmax": _ARGMAX_ORACLE,

@@ -24,7 +24,7 @@ import pyarrow as pa
 __all__ = ["group_quantiles", "rank_normalize", "equidepth_buckets",
            "group_mad", "group_trimmed_mean", "lorenz_deciles",
            "spearman_corr", "kendall_tau", "mann_kendall", "mad_outliers",
-           "cusum_changepoint", "volume_peaks"]
+           "cusum_changepoint", "volume_peaks", "theil_sen_slope"]
 
 
 def _weighted_quantile(values: np.ndarray, counts: np.ndarray,
@@ -980,3 +980,54 @@ def volume_peaks(ds, ts_col: str, *, freq: str = "day",
         "day": pd.to_datetime(merged["b"].iloc[pk].to_numpy()),
         "n": x[pk], "prev_n": x[pk - 1],
         "next_n": x[pk + 1]}).reset_index(drop=True)
+
+
+def theil_sen_slope(ds, ts_col: str, *, freq: str = "day",
+                    max_points: int = 2_000) -> pd.DataFrame:
+    """Theil-Sen estimator on the event-volume series: the MEDIAN of
+    all pairwise slopes (Δcount / Δdays) over exact per-bucket counts
+    — the robust trend magnitude that a few burst days cannot drag
+    (pairs with ``mann_kendall`` for direction, ``cusum_changepoint``
+    for level shifts on the same integer series).
+
+    Same combiner shape: per-block (bucket, count) partials, tiny
+    keyed merge; the pairwise slope matrix is driver-side on the
+    ``max_points``-guarded series (2000 points = 32 MB of pairs).
+    Returns one row (n, slope, n_pairs), slope rounded to 6
+    (interpolated median — SQL median() parity)."""
+    import pyarrow.compute as pc
+
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column(ts_col), unit=freq)
+        g = pa.table({"b": day}).group_by(["b"])             .aggregate([([], "count_all")])
+        return pa.table({"b": g.column("b"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby("b", num_partitions=shuffle_partitions())
+              .sum("c").to_pandas())
+    if len(merged) > max_points:
+        raise ValueError(
+            f"theil_sen_slope: {len(merged)} {freq} buckets > "
+            f"max_points={max_points}; coarsen freq")
+    merged = merged.sort_values("b").reset_index(drop=True)
+    n = len(merged)
+    if n < 2:
+        return pd.DataFrame({"n": np.array([n], np.int64),
+                             "slope": [np.nan],
+                             "n_pairs": np.array([0], np.int64)})
+    x = merged["sum(c)"].to_numpy(np.int64).astype(np.float64)
+    days = merged["b"].to_numpy().astype("datetime64[D]").astype(np.int64)         .astype(np.float64)
+    dx = x[None, :] - x[:, None]
+    dd = days[None, :] - days[:, None]
+    iu = np.triu_indices(n, 1)
+    slopes = dx[iu] / dd[iu]
+    med = float(np.median(slopes))
+    r6 = float(np.floor(abs(med) * 1e6 + 0.5) / 1e6
+               * (1.0 if med >= 0 else -1.0))
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "slope": [r6],
+                         "n_pairs": np.array([slopes.size], np.int64)})

@@ -5964,3 +5964,27 @@ def test_volume_peaks_and_harmonic(ray_session):
                                                   abs=1e-6)
     assert h["harmonic"].iloc[1] == pytest.approx(1 + 1 + 0.5, abs=1e-6)
     assert h["n_reached"].tolist() == [3, 3]
+
+
+def test_theil_sen_slope_planted(ray_session):
+    """Theil-Sen on a clean linear ramp recovers the exact slope; one
+    burst day cannot drag the median (robustness vs the mean-based
+    fit)."""
+    from feature_fabrica_ray.pipelines import theil_sen_slope
+
+    # day k has 10 + 2k events -> slope exactly 2
+    counts = 10 + 2 * np.arange(12)
+    days = np.repeat(np.arange(12), counts)
+    df = pd.DataFrame({"ts": pd.to_datetime(days, unit="D")})
+    out = theil_sen_slope(_ds(df, blocks=3), "ts")
+    assert out["slope"].iloc[0] == 2.0
+    assert out["n"].iloc[0] == 12
+    assert out["n_pairs"].iloc[0] == 12 * 11 // 2
+    # burst: one day at 500 events barely moves the median slope
+    counts2 = counts.copy()
+    counts2[6] = 500
+    days2 = np.repeat(np.arange(12), counts2)
+    burst = theil_sen_slope(
+        _ds(pd.DataFrame({"ts": pd.to_datetime(days2, unit="D")}),
+            blocks=3), "ts")
+    assert abs(burst["slope"].iloc[0] - 2.0) < 3.0
