@@ -10642,6 +10642,99 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_ss_clusters(sf_dir: str) -> pd.DataFrame:
+    """Semantic clusters: connected components over the cosine >= 0.4
+    threshold graph (exact radius_search pairs — broadcast query
+    matrix, zero shuffle, Dataset edges — into the distributed
+    min-label-propagation components), one (component, size) row per
+    cluster. Oracle: SQL cosine cross join + recursive-CTE closure."""
+    from feature_fabrica_ray.pipelines import (connected_components,
+                                               radius_search)
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    corpus = ds.to_pandas()
+    Q = np.asarray([np.asarray(v, np.float64)
+                    for v in corpus["embedding"]])
+    qids = corpus["vec_id"].to_numpy(np.int64)
+    pairs = radius_search(ds, Q, qids, threshold=0.4)
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        q = b.column("query_id").cast(pa.int64())
+        v = b.column("vec_id").cast(pa.int64())
+        keep = pc.less(q, v)
+        t = b.filter(keep)
+        return pa.table({"a": t.column("query_id").cast(pa.int64()),
+                         "b": t.column("vec_id").cast(pa.int64())})
+
+    comp = connected_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow",
+                          batch_size=None), "a", "b").to_pandas()
+    sizes = comp.groupby("comp", as_index=False).size() \
+        .rename(columns={"size": "n_nodes"})
+    sizes["comp"] = sizes["comp"].astype("int64")
+    sizes["n_nodes"] = sizes["n_nodes"].astype("int64")
+    return sizes.sort_values("comp").reset_index(drop=True)
+
+
+_SS_CLUSTERS_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.4),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT a AS node, b AS label FROM edges
+  UNION
+  SELECT e.a AS node, r.label FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT min(label) AS comp, CAST(count(*) AS BIGINT) AS n_nodes
+FROM (SELECT node, least(node, min(label)) AS label FROM reach
+      GROUP BY node)
+GROUP BY label ORDER BY comp
+"""
+
+
+def q_vl_null_timeline(sf_dir: str) -> pd.DataFrame:
+    """WHEN did the nulls start: per-day row count and null rate of
+    the event value column (per-block (day, rows, nulls) combiner,
+    tiny keyed merge) — the temporal drilldown of the completeness
+    check, pairing with vl_drift_timeline's distribution view."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        nul = pc.cast(pc.is_null(b.column("value")), pa.int64())
+        g = pa.table({"day": day, "nul": nul}).group_by(["day"]) \
+            .aggregate([([], "count_all"), ("nul", "sum")])
+        return pa.table({"day": g.column("day"),
+                         "n": g.column("count_all").cast(pa.int64()),
+                         "nulls": g.column("nul_sum").cast(pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    out = parts.groupby("day", as_index=False).sum()
+    out["n"] = out["n"].astype("int64")
+    out["nulls"] = out["nulls"].astype("int64")
+    out["null_rate"] = _round_away(
+        pd.Series(out["nulls"] / out["n"]), 6)
+    out["day"] = pd.to_datetime(out["day"])
+    return out.sort_values("day").reset_index(drop=True)
+
+
+_NULL_TIMELINE_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS nulls,
+       round(sum(CASE WHEN value IS NULL THEN 1.0 ELSE 0 END)
+             / count(*), 6) AS null_rate
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ta_confusion(sf_dir: str) -> pd.DataFrame:
     """Language-ID confusion matrix: true lang x heuristic lang_id
     counts — the evaluation table for the stopword-hit classifier
@@ -11466,6 +11559,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "ev_peaks": q_ev_peaks,
         "sm_temperature": q_sm_temperature,
         "ta_confusion": q_ta_confusion,
+        "ss_clusters": q_ss_clusters,
+        "vl_null_timeline": q_vl_null_timeline,
         "ev_theilsen": q_ev_theilsen,
         "pr_dispersion": q_pr_dispersion,
         "gr_harmonic": q_gr_harmonic,
@@ -11736,6 +11831,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_peaks": _PEAKS_ORACLE,
         "sm_temperature": _TEMPERATURE_ORACLE,
         "ta_confusion": _CONFUSION_ORACLE,
+        "ss_clusters": _SS_CLUSTERS_ORACLE,
+        "vl_null_timeline": _NULL_TIMELINE_ORACLE,
         "ev_theilsen": _THEILSEN_ORACLE,
         "pr_dispersion": _DISPERSION_ORACLE,
         "gr_harmonic": _HARMONIC_ORACLE,
