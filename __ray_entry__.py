@@ -10642,6 +10642,32 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_ft_robust(sf_dir: str) -> pd.DataFrame:
+    """Robust scaling (x − median)/IQR of order totals — the fitted
+    transform outliers cannot drag, fit GLOBALLY from the
+    value-histogram combiner (pipelines/quantiles.py::robust_scale);
+    oracle vs SQL median/quantile_cont."""
+    from feature_fabrica_ray.pipelines import robust_scale
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"])
+    out = robust_scale(ds, "o_totalprice", out_col="robust") \
+        .to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_ROBUST_ORACLE = """
+WITH f AS (SELECT median(o_totalprice) AS med,
+                  quantile_cont(o_totalprice, 0.75)
+                    - quantile_cont(o_totalprice, 0.25) AS iqr
+           FROM orders)
+SELECT o_orderkey, o_totalprice,
+       round((o_totalprice - med) / iqr, 6) AS robust
+FROM orders, f ORDER BY o_orderkey
+"""
+
+
 def q_ss_clusters(sf_dir: str) -> pd.DataFrame:
     """Semantic clusters: connected components over the cosine >= 0.4
     threshold graph (exact radius_search pairs — broadcast query
@@ -11560,6 +11586,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "sm_temperature": q_sm_temperature,
         "ta_confusion": q_ta_confusion,
         "ss_clusters": q_ss_clusters,
+        "ft_robust": q_ft_robust,
         "vl_null_timeline": q_vl_null_timeline,
         "ev_theilsen": q_ev_theilsen,
         "pr_dispersion": q_pr_dispersion,
@@ -11832,6 +11859,7 @@ def oracle_sql() -> dict[str, str]:
         "sm_temperature": _TEMPERATURE_ORACLE,
         "ta_confusion": _CONFUSION_ORACLE,
         "ss_clusters": _SS_CLUSTERS_ORACLE,
+        "ft_robust": _ROBUST_ORACLE,
         "vl_null_timeline": _NULL_TIMELINE_ORACLE,
         "ev_theilsen": _THEILSEN_ORACLE,
         "pr_dispersion": _DISPERSION_ORACLE,

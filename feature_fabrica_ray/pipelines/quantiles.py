@@ -24,7 +24,8 @@ import pyarrow as pa
 __all__ = ["group_quantiles", "rank_normalize", "equidepth_buckets",
            "group_mad", "group_trimmed_mean", "lorenz_deciles",
            "spearman_corr", "kendall_tau", "mann_kendall", "mad_outliers",
-           "cusum_changepoint", "volume_peaks", "theil_sen_slope"]
+           "cusum_changepoint", "volume_peaks", "theil_sen_slope",
+           "robust_scale"]
 
 
 def _weighted_quantile(values: np.ndarray, counts: np.ndarray,
@@ -1031,3 +1032,60 @@ def theil_sen_slope(ds, ts_col: str, *, freq: str = "day",
     return pd.DataFrame({"n": np.array([n], np.int64),
                          "slope": [r6],
                          "n_pairs": np.array([slopes.size], np.int64)})
+
+
+def robust_scale(ds, col: str, out_col: str = "robust",
+                 max_distinct: int = 5_000_000):
+    """Robust scaling ``(x − median) / IQR`` — sklearn RobustScaler
+    semantics: the center/spread fit that outliers cannot drag (the
+    fitted-transform sibling of z_score/min_max, which the reference
+    computes per batch and this engine fits GLOBALLY). Nulls pass
+    through as null; a zero IQR yields null (undefined scale).
+
+    Same two-phase shape as ``mad_outliers``: the value-histogram
+    combiner fits the exact interpolated median/q25/q75 (distinct
+    (value, count) rows only, guarded), the three scalars broadcast,
+    and the transform is one stateless vectorized stamp. Appends
+    ``out_col`` rounded to 6."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).cast(pa.float64())
+        t = pa.table({"v": v}).filter(pc.is_valid(v))
+        g = t.group_by(["v"]).aggregate([([], "count_all")])
+        return pa.table({"v": g.column("v"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("v", num_partitions=shuffle_partitions())
+            .sum("c").to_pandas())
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"robust_scale: {len(hist)} distinct values — use the "
+            f"t-digest sketch path for continuous domains")
+    if hist.empty:
+        med, iqr = np.nan, np.nan
+    else:
+        vals = hist["v"].to_numpy(np.float64)
+        cnts = hist["sum(c)"].to_numpy(np.int64)
+        q25, med, q75 = _weighted_quantile(vals, cnts,
+                                           (0.25, 0.5, 0.75))
+        iqr = q75 - q25
+    ref = ray.put((med, iqr))
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        med, iqr = ray.get(ref)
+        x = batch.column(col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = (x - med) / iqr if iqr and iqr > 0 \
+                else np.full(x.size, np.nan)
+        r = np.floor(np.abs(r) * 1e6 + 0.5) / 1e6 * np.sign(r)
+        return batch.append_column(out_col, pa.array(r, pa.float64()))
+
+    return ds.map_batches(stamp, batch_format="pyarrow",
+                          batch_size=None)
