@@ -10642,6 +10642,107 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_gr_reciprocity(sf_dir: str) -> pd.DataFrame:
+    """Directed-edge reciprocity of the user->user referral graph
+    derived from events (edge u->v when u's event id + 1 belongs to
+    v): fraction of distinct directed edges whose reverse also exists
+    — one canonical-pair self-membership pass; oracle via a distinct
+    self-join."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        e = b.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        u = b.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # deterministic synthetic referral: u -> (event_id*7 mod 150)
+        v = (e * 7) % 150
+        keep = u != v
+        return pa.table({"src": pa.array(u[keep], pa.int64()),
+                         "dst": pa.array(v[keep], pa.int64())})
+
+    def dedup(b: pa.Table) -> pa.Table:
+        return b.group_by(["src", "dst"]).aggregate([])
+
+    from feature_fabrica_ray.tuning import shuffle_partitions
+
+    distinct = (ds.map_batches(edges, batch_format="pyarrow",
+                               batch_size=None)
+                .map_batches(dedup, batch_format="pyarrow",
+                             batch_size=None)
+                .groupby(["src", "dst"],
+                         num_partitions=shuffle_partitions())
+                .count().to_pandas())[["src", "dst"]]
+    fwd = set(zip(distinct["src"], distinct["dst"]))
+    recip = sum((b, a) in fwd for a, b in fwd)
+    n = len(fwd)
+    return pd.DataFrame({
+        "n_edges": np.array([n], np.int64),
+        "n_reciprocal": np.array([recip], np.int64),
+        "reciprocity": [float(np.floor(recip / n * 1e6 + 0.5) / 1e6)
+                        if n else np.nan]})
+
+
+_RECIPROCITY_ORACLE = """
+WITH e AS (SELECT DISTINCT user_id AS src,
+                           (event_id * 7) % 150 AS dst
+           FROM events WHERE user_id <> (event_id * 7) % 150)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_reciprocal,
+       round(count(*) * 1.0 / (SELECT count(*) FROM e), 6)
+         AS reciprocity
+FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+"""
+
+
+def q_ev_entropy_rate(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov entropy rate of the per-user event-type
+    process: H = −Σ_s π(s) Σ_t p(t|s) log2 p(t|s) with π the
+    empirical from-state distribution — how predictable the next
+    event is given the current one (0 = deterministic chains). Built
+    on the event_transitions combiner (one keyed-bucket shuffle, at
+    most |types|² count rows); oracle replays the closed form over
+    SQL transition counts."""
+    from feature_fabrica_ray.pipelines import event_transitions
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    tr = event_transitions(ds, "ts", "user_id", "event_type",
+                           "event_id")
+    n = tr["n"].to_numpy(np.float64)
+    total = n.sum()
+    from_tot = tr.groupby("from_type")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    p_cond = n / from_tot
+    pi = from_tot / total
+    h = float(-(pi * p_cond * np.log2(p_cond)).sum())
+    return pd.DataFrame({
+        "entropy_rate": [float(np.floor(h * 1e6 + 0.5) / 1e6)],
+        "n_transitions": np.array([int(total)], np.int64),
+        "n_states": np.array([tr["from_type"].nunique()], np.int64)})
+
+
+_ENTROPY_RATE_ORACLE = """
+WITH seq AS (SELECT user_id, event_type,
+                    lead(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                      AS nxt
+             FROM events),
+tr AS (SELECT event_type AS f, nxt AS t, CAST(count(*) AS DOUBLE) AS n
+       FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+ft AS (SELECT f, sum(n) AS fn FROM tr GROUP BY f),
+tot AS (SELECT sum(n) AS z FROM tr)
+SELECT round(-sum((ft.fn / tot.z) * (tr.n / ft.fn)
+                  * log2(tr.n / ft.fn)), 6) AS entropy_rate,
+       CAST(tot.z AS BIGINT) AS n_transitions,
+       CAST((SELECT count(*) FROM ft) AS BIGINT) AS n_states
+FROM tr JOIN ft USING (f) CROSS JOIN tot
+GROUP BY tot.z
+"""
+
+
 def q_ft_robust(sf_dir: str) -> pd.DataFrame:
     """Robust scaling (x − median)/IQR of order totals — the fitted
     transform outliers cannot drag, fit GLOBALLY from the
@@ -11587,6 +11688,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "ta_confusion": q_ta_confusion,
         "ss_clusters": q_ss_clusters,
         "ft_robust": q_ft_robust,
+        "gr_reciprocity": q_gr_reciprocity,
+        "ev_entropy_rate": q_ev_entropy_rate,
         "vl_null_timeline": q_vl_null_timeline,
         "ev_theilsen": q_ev_theilsen,
         "pr_dispersion": q_pr_dispersion,
@@ -11860,6 +11963,8 @@ def oracle_sql() -> dict[str, str]:
         "ta_confusion": _CONFUSION_ORACLE,
         "ss_clusters": _SS_CLUSTERS_ORACLE,
         "ft_robust": _ROBUST_ORACLE,
+        "gr_reciprocity": _RECIPROCITY_ORACLE,
+        "ev_entropy_rate": _ENTROPY_RATE_ORACLE,
         "vl_null_timeline": _NULL_TIMELINE_ORACLE,
         "ev_theilsen": _THEILSEN_ORACLE,
         "pr_dispersion": _DISPERSION_ORACLE,
