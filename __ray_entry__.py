@@ -10646,8 +10646,9 @@ def q_gr_reciprocity(sf_dir: str) -> pd.DataFrame:
     """Directed-edge reciprocity of the user->user referral graph
     derived from events (edge u->v when u's event id + 1 belongs to
     v): fraction of distinct directed edges whose reverse also exists
-    — one canonical-pair self-membership pass; oracle via a distinct
-    self-join."""
+    — canonical-pair direction bits merged distributedly
+    (pipelines/graph.py::reciprocity, the edge set never lands on
+    the driver); oracle via a distinct self-join."""
     ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["event_id", "user_id"])
 
@@ -10662,26 +10663,10 @@ def q_gr_reciprocity(sf_dir: str) -> pd.DataFrame:
         return pa.table({"src": pa.array(u[keep], pa.int64()),
                          "dst": pa.array(v[keep], pa.int64())})
 
-    def dedup(b: pa.Table) -> pa.Table:
-        return b.group_by(["src", "dst"]).aggregate([])
+    from feature_fabrica_ray.pipelines import reciprocity
 
-    from feature_fabrica_ray.tuning import shuffle_partitions
-
-    distinct = (ds.map_batches(edges, batch_format="pyarrow",
-                               batch_size=None)
-                .map_batches(dedup, batch_format="pyarrow",
-                             batch_size=None)
-                .groupby(["src", "dst"],
-                         num_partitions=shuffle_partitions())
-                .count().to_pandas())[["src", "dst"]]
-    fwd = set(zip(distinct["src"], distinct["dst"]))
-    recip = sum((b, a) in fwd for a, b in fwd)
-    n = len(fwd)
-    return pd.DataFrame({
-        "n_edges": np.array([n], np.int64),
-        "n_reciprocal": np.array([recip], np.int64),
-        "reciprocity": [float(np.floor(recip / n * 1e6 + 0.5) / 1e6)
-                        if n else np.nan]})
+    return reciprocity(ds.map_batches(edges, batch_format="pyarrow",
+                                      batch_size=None), "src", "dst")
 
 
 _RECIPROCITY_ORACLE = """

@@ -47,7 +47,7 @@ __all__ = ["connected_components", "star_edges", "pagerank",
            "canonical_edges", "triangle_count", "edge_jaccard", "kcore",
            "cooccur_edges", "adamic_adar", "bfs_hops", "degree_assortativity", "modularity",
            "clustering_coefficients", "label_propagation",
-           "harmonic_centrality"]
+           "harmonic_centrality", "reciprocity"]
 
 
 def _canon2(names: list[str]):
@@ -1733,3 +1733,60 @@ def harmonic_centrality(edges, seeds, a_col: str = "a",
     out["seed"] = out["seed"].astype(np.int64)
     out["n_reached"] = out["n_reached"].astype(np.int64)
     return out
+
+
+def reciprocity(edges, src_col: str = "src",
+                dst_col: str = "dst") -> "pd.DataFrame":
+    """Directed-edge reciprocity: the fraction of distinct directed
+    edges whose reverse edge also exists (self-loops excluded) — the
+    mutual-link health metric for follow/referral graphs.
+
+    Scale shape — the edge set NEVER lands on the driver: per-block
+    dedup folds each edge to its canonical unordered pair with two
+    direction bits, ONE keyed-bucket shuffle co-locates each pair, and
+    every bucket emits a single (n_edges, n_reciprocal) partial; the
+    driver adds B rows. Returns one row (n_edges, n_reciprocal,
+    reciprocity), ratio rounded to 6."""
+    import pandas as pd
+
+    from .grouped import _bucketed_merge
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _drop_null_endpoints(t.select([src_col, dst_col]),
+                                 src_col, dst_col)
+        s_ = t.column(src_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = t.column(dst_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = s_ != d
+        s_, d = s_[keep], d[keep]
+        a = np.minimum(s_, d)
+        b = np.maximum(s_, d)
+        fwd = (s_ < d).astype(np.int8)
+        df = pd.DataFrame({"a": a, "b": b, "fwd": fwd,
+                           "rev": (1 - fwd).astype(np.int8)}) \
+            .groupby(["a", "b"], as_index=False).max()
+        out = pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+        k = pc.binary_join_element_wise(
+            pc.cast(out.column("a"), pa.string()),
+            pc.cast(out.column("b"), pa.string()), "\x1f")
+        return out.append_column("__gkey", k)
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], as_index=False).max()
+        both = ((g["fwd"] == 1) & (g["rev"] == 1)).sum()
+        n = int(g["fwd"].sum() + g["rev"].sum())
+        return pd.DataFrame({"n_edges": np.array([n], np.int64),
+                             "n_reciprocal": np.array([2 * int(both)],
+                                                      np.int64)})
+
+    parts = _bucketed_merge(edges.map_batches(
+        partial, batch_format="pyarrow", batch_size=None), merge_bucket)
+    n = int(parts["n_edges"].sum()) if len(parts) else 0
+    r = int(parts["n_reciprocal"].sum()) if len(parts) else 0
+    return pd.DataFrame({
+        "n_edges": np.array([n], np.int64),
+        "n_reciprocal": np.array([r], np.int64),
+        "reciprocity": [float(np.floor(r / n * 1e6 + 0.5) / 1e6)
+                        if n else np.nan]})

@@ -5988,3 +5988,20 @@ def test_theil_sen_slope_planted(ray_session):
         _ds(pd.DataFrame({"ts": pd.to_datetime(days2, unit="D")}),
             blocks=3), "ts")
     assert abs(burst["slope"].iloc[0] - 2.0) < 3.0
+
+
+def test_reciprocity_distributed(ray_session):
+    """Reciprocity over a planted graph: 2 mutual pairs out of 5
+    distinct directed edges -> 4/5; self-loops and duplicate edges
+    ignored; layout invariance."""
+    from feature_fabrica_ray.pipelines import reciprocity
+
+    e = pd.DataFrame({"src": [1, 2, 3, 4, 5, 5, 1, 1],
+                      "dst": [2, 1, 4, 3, 6, 6, 2, 1]})
+    # distinct directed: (1,2),(2,1),(3,4),(4,3),(5,6) -> recip = 4
+    out = reciprocity(_ds(e, blocks=3), "src", "dst")
+    assert out["n_edges"].iloc[0] == 5
+    assert out["n_reciprocal"].iloc[0] == 4
+    assert out["reciprocity"].iloc[0] == 0.8
+    one = reciprocity(_ds(e), "src", "dst")
+    pd.testing.assert_frame_equal(one, out)
