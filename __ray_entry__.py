@@ -10642,6 +10642,90 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_vl_quantile_timeline(sf_dir: str) -> pd.DataFrame:
+    """WHEN did the distribution move, in quantiles: exact per-day
+    p50/p95 of event values via the per-(day, value) histogram
+    combiner (pipelines/quantiles.py::group_quantiles with the day as
+    the group) — the order-statistic drilldown beside
+    vl_drift_timeline's PSI view and vl_null_timeline's completeness
+    view."""
+    from feature_fabrica_ray.pipelines import group_quantiles
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(b.column("ts"),
+                                                  unit="day"),
+                         "value": b.column("value")})
+
+    out = group_quantiles(ds.map_batches(day, batch_format="pyarrow",
+                                         batch_size=None),
+                          "day", "value", qs=(0.5, 0.95))
+    out["day"] = pd.to_datetime(out["day"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+_QUANTILE_TIMELINE_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+       round(quantile_cont(value, 0.5), 6) AS q_50,
+       round(quantile_cont(value, 0.95), 6) AS q_95,
+       CAST(count(value) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dd_ratio(sf_dir: str) -> pd.DataFrame:
+    """Corpus duplicate-byte ratio: total content bytes vs bytes kept
+    after exact content dedup (one row per distinct content counted
+    once) — the headline "how much of this crawl is copies" number;
+    per-block distinct-hash byte combiner + one keyed merge of
+    (hash, bytes) partials."""
+    from feature_fabrica_ray.tuning import shuffle_partitions
+
+    ds = read_codetable(sf_dir, with_sha256=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(b.column("content")).cast(pa.int64())
+        t = pa.table({"h": b.column("content_sha256"), "ln": ln})
+        g = t.group_by(["h"]).aggregate([("ln", "sum"), ("ln", "min"),
+                                         ([], "count_all")])
+        return pa.table({"h": g.column("h"),
+                         "tot": g.column("ln_sum").cast(pa.int64()),
+                         "one": g.column("ln_min").cast(pa.int64()),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby("h", num_partitions=shuffle_partitions())
+              .sum(["tot", "n"]).to_pandas())
+    # per-distinct-content kept bytes: one copy's length = tot/n
+    tot = int(merged["sum(tot)"].sum())
+    n_rows = int(merged["sum(n)"].sum())
+    kept = int((merged["sum(tot)"] // merged["sum(n)"]).sum())
+    return pd.DataFrame({
+        "total_bytes": np.array([tot], np.int64),
+        "distinct_bytes": np.array([kept], np.int64),
+        "n_rows": np.array([n_rows], np.int64),
+        "n_distinct": np.array([len(merged)], np.int64),
+        "dup_ratio": [float(np.floor((1.0 - kept / tot) * 1e6 + 0.5)
+                            / 1e6) if tot else np.nan]})
+
+
+_DD_RATIO_ORACLE = CT + """
+, g AS (SELECT content, length(content) AS ln, count(*) AS n
+        FROM codetable GROUP BY content)
+SELECT CAST(sum(ln * n) AS BIGINT) AS total_bytes,
+       CAST(sum(ln) AS BIGINT) AS distinct_bytes,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(1.0 - sum(ln) * 1.0 / sum(ln * n), 6) AS dup_ratio
+FROM g
+"""
+
+
 def q_gr_reciprocity(sf_dir: str) -> pd.DataFrame:
     """Directed-edge reciprocity of the user->user referral graph
     derived from events (edge u->v when u's event id + 1 belongs to
@@ -11674,6 +11758,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "ss_clusters": q_ss_clusters,
         "ft_robust": q_ft_robust,
         "gr_reciprocity": q_gr_reciprocity,
+        "vl_quantile_timeline": q_vl_quantile_timeline,
+        "dd_ratio": q_dd_ratio,
         "ev_entropy_rate": q_ev_entropy_rate,
         "vl_null_timeline": q_vl_null_timeline,
         "ev_theilsen": q_ev_theilsen,
@@ -11949,6 +12035,8 @@ def oracle_sql() -> dict[str, str]:
         "ss_clusters": _SS_CLUSTERS_ORACLE,
         "ft_robust": _ROBUST_ORACLE,
         "gr_reciprocity": _RECIPROCITY_ORACLE,
+        "vl_quantile_timeline": _QUANTILE_TIMELINE_ORACLE,
+        "dd_ratio": _DD_RATIO_ORACLE,
         "ev_entropy_rate": _ENTROPY_RATE_ORACLE,
         "vl_null_timeline": _NULL_TIMELINE_ORACLE,
         "ev_theilsen": _THEILSEN_ORACLE,
