@@ -10642,6 +10642,57 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_pr_hhi(sf_dir: str) -> pd.DataFrame:
+    """Herfindahl-Hirschman concentration of order revenue per
+    priority class: HHI = Σ_c (customer share)² — the inequality
+    member beside gini/theil that decomposes per segment with one
+    (segment, customer) sum combiner + a vectorized share fold; also
+    reports the effective number of customers 1/HHI."""
+    from feature_fabrica_ray.tuning import shuffle_partitions
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderpriority", "o_custkey",
+                                     "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_orderpriority", "o_custkey"]) \
+            .aggregate([("o_totalprice", "sum")])
+        return pa.table({
+            "prio": g.column("o_orderpriority"),
+            "cust": g.column("o_custkey").cast(pa.int64()),
+            "s": g.column("o_totalprice_sum").cast(pa.float64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby(["prio", "cust"],
+                       num_partitions=shuffle_partitions())
+              .sum("s").to_pandas())
+    tot = merged.groupby("prio")["sum(s)"].transform("sum") \
+        .to_numpy(np.float64)
+    share2 = (merged["sum(s)"].to_numpy(np.float64) / tot) ** 2
+    hhi = pd.DataFrame({"prio": merged["prio"], "h": share2}) \
+        .groupby("prio", as_index=False)["h"].sum()
+    out = pd.DataFrame({
+        "o_orderpriority": hhi["prio"],
+        "hhi": _round_away(pd.Series(hhi["h"]), 6),
+        "eff_customers": _round_away(pd.Series(1.0 / hhi["h"]), 6)})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+_HHI_ORACLE = """
+WITH cs AS (SELECT o_orderpriority, o_custkey,
+                   sum(o_totalprice) AS s
+            FROM orders GROUP BY 1, 2),
+t AS (SELECT o_orderpriority, sum(s) AS tot FROM cs GROUP BY 1)
+SELECT cs.o_orderpriority,
+       round(sum((cs.s / t.tot) * (cs.s / t.tot)), 6) AS hhi,
+       round(1.0 / sum((cs.s / t.tot) * (cs.s / t.tot)), 6)
+         AS eff_customers
+FROM cs JOIN t USING (o_orderpriority)
+GROUP BY cs.o_orderpriority ORDER BY cs.o_orderpriority
+"""
+
+
 def q_vl_quantile_timeline(sf_dir: str) -> pd.DataFrame:
     """WHEN did the distribution move, in quantiles: exact per-day
     p50/p95 of event values via the per-(day, value) histogram
@@ -11759,6 +11810,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "ft_robust": q_ft_robust,
         "gr_reciprocity": q_gr_reciprocity,
         "vl_quantile_timeline": q_vl_quantile_timeline,
+        "pr_hhi": q_pr_hhi,
         "dd_ratio": q_dd_ratio,
         "ev_entropy_rate": q_ev_entropy_rate,
         "vl_null_timeline": q_vl_null_timeline,
@@ -12036,6 +12088,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_robust": _ROBUST_ORACLE,
         "gr_reciprocity": _RECIPROCITY_ORACLE,
         "vl_quantile_timeline": _QUANTILE_TIMELINE_ORACLE,
+        "pr_hhi": _HHI_ORACLE,
         "dd_ratio": _DD_RATIO_ORACLE,
         "ev_entropy_rate": _ENTROPY_RATE_ORACLE,
         "vl_null_timeline": _NULL_TIMELINE_ORACLE,
