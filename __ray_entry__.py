@@ -10642,6 +10642,85 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_ev_activity_hist(sf_dir: str) -> pd.DataFrame:
+    """Engagement-depth histogram: number of users by count of
+    distinct active days — the canonical TWO-LEVEL aggregate (distinct
+    (user, day) combiner → per-user day counts → histogram over
+    users), each level a shuffle-bounded combiner; oracle via nested
+    GROUP BYs."""
+    from feature_fabrica_ray.tuning import shuffle_partitions
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        t = pa.table({"u": b.column("user_id").cast(pa.int64()),
+                      "d": day})
+        return t.group_by(["u", "d"]).aggregate([])
+
+    per_user = (ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+                .groupby(["u", "d"],
+                         num_partitions=shuffle_partitions())
+                .count().to_pandas())
+    days = per_user.groupby("u", as_index=False).size() \
+        .rename(columns={"size": "n_days"})
+    hist = days.groupby("n_days", as_index=False).size() \
+        .rename(columns={"size": "n_users"})
+    hist["n_days"] = hist["n_days"].astype("int64")
+    hist["n_users"] = hist["n_users"].astype("int64")
+    return hist.sort_values("n_days").reset_index(drop=True)
+
+
+_ACTIVITY_HIST_ORACLE = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+            FROM events),
+per_user AS (SELECT user_id, count(*) AS n_days FROM ud GROUP BY 1)
+SELECT n_days, CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY n_days ORDER BY n_days
+"""
+
+
+def q_sm_ess(sf_dir: str) -> pd.DataFrame:
+    """Effective sample size of importance weights (Kish:
+    (Σw)² / Σw²) for the length-proportional document weights the
+    weighted sampler uses — the diagnostic that says how many
+    EFFECTIVE documents a weighted draw carries; one algebraic
+    (Σw, Σw², n) combiner."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = pc.utf8_length(pc.fill_null(b.column("text"), "")) \
+            .cast(pa.float64())
+        return pa.table({
+            "sw": pa.array([pc.sum(w).as_py() or 0.0], pa.float64()),
+            "sw2": pa.array([pc.sum(pc.multiply(w, w)).as_py() or 0.0],
+                            pa.float64()),
+            "n": pa.array([b.num_rows], pa.int64())})
+
+    m = ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=None).to_pandas().sum()
+    sw, sw2, n = float(m["sw"]), float(m["sw2"]), int(m["n"])
+    ess = sw * sw / sw2 if sw2 > 0 else float("nan")
+    return pd.DataFrame({
+        "n": np.array([n], np.int64),
+        "ess": [float(np.floor(ess * 1e6 + 0.5) / 1e6)],
+        "ess_ratio": [float(np.floor(ess / n * 1e6 + 0.5) / 1e6)
+                      if n else np.nan]})
+
+
+_ESS_ORACLE = """
+WITH w AS (SELECT CAST(length(coalesce(text, '')) AS DOUBLE) AS w
+           FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(sum(w) * sum(w) / sum(w * w), 6) AS ess,
+       round(sum(w) * sum(w) / sum(w * w) / count(*), 6) AS ess_ratio
+FROM w
+"""
+
+
 def q_pr_hhi(sf_dir: str) -> pd.DataFrame:
     """Herfindahl-Hirschman concentration of order revenue per
     priority class: HHI = Σ_c (customer share)² — the inequality
@@ -11811,6 +11890,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "gr_reciprocity": q_gr_reciprocity,
         "vl_quantile_timeline": q_vl_quantile_timeline,
         "pr_hhi": q_pr_hhi,
+        "ev_activity_hist": q_ev_activity_hist,
+        "sm_ess": q_sm_ess,
         "dd_ratio": q_dd_ratio,
         "ev_entropy_rate": q_ev_entropy_rate,
         "vl_null_timeline": q_vl_null_timeline,
@@ -12089,6 +12170,8 @@ def oracle_sql() -> dict[str, str]:
         "gr_reciprocity": _RECIPROCITY_ORACLE,
         "vl_quantile_timeline": _QUANTILE_TIMELINE_ORACLE,
         "pr_hhi": _HHI_ORACLE,
+        "ev_activity_hist": _ACTIVITY_HIST_ORACLE,
+        "sm_ess": _ESS_ORACLE,
         "dd_ratio": _DD_RATIO_ORACLE,
         "ev_entropy_rate": _ENTROPY_RATE_ORACLE,
         "vl_null_timeline": _NULL_TIMELINE_ORACLE,
