@@ -10642,6 +10642,44 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_ta_mislabeled(sf_dir: str) -> pd.DataFrame:
+    """Mislabeled-language rows: documents whose stopword-classifier
+    verdict CONFIDENTLY disagrees with the declared lang (lang_id
+    known and != lang) — the metadata-correction filter every
+    multilingual corpus pass runs; stateless map over add_lang_id.
+    Oracle wraps the langid SQL in the disagreement predicate."""
+    from feature_fabrica_ray.pipelines import add_lang_id
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "text"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        lid = b.column("lang_id")
+        known = pc.invert(pc.equal(lid, "unknown"))
+        diff = pc.invert(pc.equal(lid, b.column("lang")))
+        t = b.filter(pc.and_(known, pc.fill_null(diff, True)))
+        return t.select(["doc_id", "lang", "lang_id"])
+
+    out = add_lang_id(ds).map_batches(
+        flag, batch_format="pyarrow", batch_size=None).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _mislabeled_oracle() -> str:
+    base = _langid_oracle().replace("ORDER BY d.doc_id", "")
+    return f"""
+SELECT doc_id, documents.lang, p.lang_id
+FROM ({base}) p JOIN documents USING (doc_id)
+WHERE p.lang_id <> 'unknown'
+  AND (documents.lang IS NULL OR p.lang_id <> documents.lang)
+ORDER BY doc_id
+"""
+
+
+_MISLABELED_ORACLE = _mislabeled_oracle()
+
+
 def q_ev_activity_hist(sf_dir: str) -> pd.DataFrame:
     """Engagement-depth histogram: number of users by count of
     distinct active days — the canonical TWO-LEVEL aggregate (distinct
@@ -11891,6 +11929,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "vl_quantile_timeline": q_vl_quantile_timeline,
         "pr_hhi": q_pr_hhi,
         "ev_activity_hist": q_ev_activity_hist,
+        "ta_mislabeled": q_ta_mislabeled,
         "sm_ess": q_sm_ess,
         "dd_ratio": q_dd_ratio,
         "ev_entropy_rate": q_ev_entropy_rate,
@@ -12171,6 +12210,7 @@ def oracle_sql() -> dict[str, str]:
         "vl_quantile_timeline": _QUANTILE_TIMELINE_ORACLE,
         "pr_hhi": _HHI_ORACLE,
         "ev_activity_hist": _ACTIVITY_HIST_ORACLE,
+        "ta_mislabeled": _MISLABELED_ORACLE,
         "sm_ess": _ESS_ORACLE,
         "dd_ratio": _DD_RATIO_ORACLE,
         "ev_entropy_rate": _ENTROPY_RATE_ORACLE,
