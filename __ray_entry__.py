@@ -10642,6 +10642,72 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_tp_funnel(sf_dir: str) -> pd.DataFrame:
+    """Curation-funnel observability: row counts at every stage of the
+    tp_curate composition — raw docs → gopher-gated → exact-deduped →
+    chunks → packs — the per-stage drop report a production corpus
+    pipeline publishes. Each count folds from the stage's streaming
+    pipeline; the oracle reuses the curate CTE chain (incl. the pack
+    recursion) and counts the same prefixes."""
+    from feature_fabrica_ray.pipelines import (curate_corpus,
+                                               gopher_quality,
+                                               normalize_text)
+    from feature_fabrica_ray.pipelines.dedup import \
+        exact_dedup_rows_shuffle
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    raw = ds.count()
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.fill_null(b.column("passes_gopher"), False))
+
+    gated_ds = gopher_quality(ds, min_words=10,
+                              max_top_word_frac=0.5) \
+        .map_batches(keep, batch_format="pyarrow", batch_size=None)
+    gated = gated_ds.count()
+    normed = normalize_text(gated_ds, with_hash=True)
+    kept = exact_dedup_rows_shuffle(
+        normed.map_batches(
+            lambda b: b.select(["doc_id", "norm", "norm_hash"]),
+            batch_format="pyarrow", batch_size=None),
+        ["norm_hash"], tiebreak="doc_id")
+    deduped = kept.count()
+    out = curate_corpus(ds, min_words=10, max_tokens=32,
+                        context_len=128,
+                        gopher_kw={"max_top_word_frac": 0.5})
+
+    def pack_partial(b: pa.Table) -> pa.Table:
+        u = pc.unique(b.column("pack_id").cast(pa.int64()))
+        return pa.table({"p": u})
+
+    packs_df = out.map_batches(pack_partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    chunks = out.count()
+    packs = packs_df["p"].nunique()
+    return pd.DataFrame({
+        "stage": ["1_raw", "2_gated", "3_deduped", "4_chunks",
+                  "5_packs"],
+        "n": np.array([raw, gated, deduped, chunks, packs],
+                      np.int64)})
+
+
+_TP_FUNNEL_ORACLE = (
+    _TP_CURATE_ORACLE.replace(
+        """SELECT uid // 1000000 AS doc_id,
+       uid - (uid // 1000000) * 1000000 AS chunk_id,
+       n_tokens, pack_id, pack_offset, truncated
+FROM ranked WHERE pick = 1""",
+        """SELECT '1_raw' AS stage,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
+UNION ALL SELECT '2_gated', CAST(count(*) AS BIGINT) FROM pass
+UNION ALL SELECT '3_deduped', CAST(count(*) AS BIGINT) FROM kept
+UNION ALL SELECT '4_chunks', CAST(count(*) AS BIGINT) FROM chunks
+UNION ALL SELECT '5_packs', CAST(count(DISTINCT pack_id) AS BIGINT)
+FROM ranked WHERE pick = 1
+ORDER BY stage"""))
+
+
 def q_ta_mislabeled(sf_dir: str) -> pd.DataFrame:
     """Mislabeled-language rows: documents whose stopword-classifier
     verdict CONFIDENTLY disagrees with the declared lang (lang_id
@@ -11930,6 +11996,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "pr_hhi": q_pr_hhi,
         "ev_activity_hist": q_ev_activity_hist,
         "ta_mislabeled": q_ta_mislabeled,
+        "tp_funnel": q_tp_funnel,
         "sm_ess": q_sm_ess,
         "dd_ratio": q_dd_ratio,
         "ev_entropy_rate": q_ev_entropy_rate,
@@ -12211,6 +12278,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_hhi": _HHI_ORACLE,
         "ev_activity_hist": _ACTIVITY_HIST_ORACLE,
         "ta_mislabeled": _MISLABELED_ORACLE,
+        "tp_funnel": _TP_FUNNEL_ORACLE,
         "sm_ess": _ESS_ORACLE,
         "dd_ratio": _DD_RATIO_ORACLE,
         "ev_entropy_rate": _ENTROPY_RATE_ORACLE,
