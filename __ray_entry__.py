@@ -10642,6 +10642,20 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_dd_winnow(sf_dir: str) -> pd.DataFrame:
+    """MOSS winnowing copy-candidates: doc pairs sharing >= 8 selected
+    16-gram fingerprints (pipelines/dedup.py::winnowing_fingerprints /
+    winnowing_pairs — window-minimum selection guaranteeing every
+    shared substring of length >= k+w-1 is caught). Rows-only by
+    design (custom 64-bit rolling hashes); pytest proves planted-copy
+    recovery + layout invariance."""
+    from feature_fabrica_ray.pipelines import winnowing_pairs
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return winnowing_pairs(ds, k=16, w=4, min_shared=8)
+
+
 def q_tp_funnel(sf_dir: str) -> pd.DataFrame:
     """Curation-funnel observability: row counts at every stage of the
     tp_curate composition — raw docs → gopher-gated → exact-deduped →
@@ -11997,6 +12011,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "ev_activity_hist": q_ev_activity_hist,
         "ta_mislabeled": q_ta_mislabeled,
         "tp_funnel": q_tp_funnel,
+        "dd_winnow": q_dd_winnow,
         "sm_ess": q_sm_ess,
         "dd_ratio": q_dd_ratio,
         "ev_entropy_rate": q_ev_entropy_rate,

@@ -40,7 +40,8 @@ __all__ = ["exact_dedup_counts", "exact_dedup_rows_shuffle",
            "minhash_lsh_pairs_distributed", "neardup_clusters",
            "neardup_dedup_rows", "simhash_pairs",
            "ngram_jaccard", "embedding_neardup_pairs", "minhash_signatures",
-           "simhash_signatures", "fuzzy_join_pairs", "ngram_overlap_pairs"]
+           "simhash_signatures", "fuzzy_join_pairs", "ngram_overlap_pairs",
+           "winnowing_fingerprints", "winnowing_pairs"]
 
 _FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -1447,3 +1448,144 @@ def string_similarity_pairs(ds, *, metric: str = "jaro_winkler",
         "id_a": pd.Series([r[0] for r in rows], dtype="int64"),
         "id_b": pd.Series([r[1] for r in rows], dtype="int64"),
         "sim": pd.Series([r[2] for r in rows], dtype="float64")})
+
+
+def winnowing_fingerprints(ds, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8,
+                           w: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm): from every document's character-k-gram
+    rolling-hash sequence, select the MINIMUM hash of each length-``w``
+    window (rightmost on ties) — guaranteeing every shared substring
+    of length >= k+w-1 shares a fingerprint, with ~2/(w+1) selection
+    density. The copy-detection fingerprint robust to edits that
+    full-shingle MinHash averages away.
+
+    Scale shape: per block, ONE vectorized pass — the flat k-gram hash
+    array (``kgram_hashes``), w shifted-slice ``minimum`` folds for
+    window minima, a rightmost-min argmax trick, doc-boundary masking,
+    then per-(doc, hash) dedup; only distinct (id, fingerprint) rows
+    leave the block. Returns a Dataset (id, fp uint64->int64)."""
+    from .textstats import kgram_hashes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h, row = kgram_hashes(batch.column(text_col).combine_chunks()
+                              if isinstance(batch.column(text_col),
+                                            pa.ChunkedArray)
+                              else batch.column(text_col), k=k)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if h.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.int64())})
+        n = h.size
+        if n < w:
+            # short docs: one fingerprint = min hash (rightmost min)
+            sel_pos = np.array([n - 1 - np.argmin(h[::-1])])
+            sel_row = row[sel_pos]
+        else:
+            # window minima over w shifted slices (vectorized in w)
+            m = h[: n - w + 1].copy()
+            for j in range(1, w):
+                np.minimum(m, h[j: n - w + 1 + j], out=m)
+            # rightmost position attaining the window min
+            pos = np.zeros(n - w + 1, np.int64)
+            for j in range(w):                     # loop over w, not rows
+                cand = h[j: n - w + 1 + j] == m
+                pos = np.where(cand, j, pos)       # later j overwrites
+            sel_pos = np.arange(n - w + 1) + pos
+            # windows crossing doc boundaries are invalid
+            ok = row[: n - w + 1] == row[w - 1:]
+            sel_pos, m = sel_pos[ok], m[ok]
+            sel_row = row[sel_pos]
+            # docs shorter than w windows still need one fingerprint
+            short = np.setdiff1d(np.unique(row), np.unique(sel_row))
+            if short.size:
+                extra_pos, extra_row = [], []
+                for r in short:                    # rare tail only
+                    idx = np.flatnonzero(row == r)
+                    sub = h[idx]
+                    p = idx[len(sub) - 1 - int(np.argmin(sub[::-1]))]
+                    extra_pos.append(p)
+                    extra_row.append(r)
+                sel_pos = np.concatenate([sel_pos, extra_pos])
+                sel_row = np.concatenate([sel_row, extra_row])
+        fp = h[sel_pos]
+        df = pd.DataFrame({id_col: ids[sel_row],
+                           "fp": fp.astype(np.int64)}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def winnowing_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 8, w: int = 4, min_shared: int = 2,
+                    max_docs_per_fp: int = 1000) -> pd.DataFrame:
+    """Copy-candidate pairs via shared winnowing fingerprints: docs
+    sharing >= ``min_shared`` selected fingerprints — the MOSS match
+    report. One keyed shuffle co-locates each fingerprint's doc list
+    (capped loud at ``max_docs_per_fp`` — a boilerplate fingerprint
+    shared by everything would emit C(n,2) pairs), pairs fold through
+    a count merge. Returns (a, b, n_shared) sorted, a < b."""
+    import pandas as pd
+
+    from ..tuning import shuffle_partitions
+
+    fps = winnowing_fingerprints(ds, text_col, id_col, k=k, w=w)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("__gkey",
+                               pc.cast(t.column("fp"), pa.string()))
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for fp, sub in df.groupby("fp", sort=False):
+            ids = np.sort(sub[id_col].unique())
+            if ids.size > max_docs_per_fp:
+                raise ValueError(
+                    f"winnowing_pairs: fingerprint {fp} appears in "
+                    f"{ids.size} docs (> {max_docs_per_fp}) — strip "
+                    f"boilerplate upstream")
+            if ids.size < 2:
+                continue
+            ia, ib = np.triu_indices(ids.size, 1)
+            outs_a.append(ids[ia])
+            outs_b.append(ids[ib])
+        if not outs_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(outs_a),
+                             "b": np.concatenate(outs_b)})
+
+    from .grouped import _bucketed_merge, _bucketed_merge_ds
+
+    pairs = _bucketed_merge_ds(
+        fps.map_batches(add_key, batch_format="pyarrow",
+                        batch_size=None), emit_pairs)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["a", "b"]).aggregate([([], "count_all")])
+        out = pa.table({"a": g.column("a"), "b": g.column("b"),
+                        "n": g.column("count_all").cast(pa.int64())})
+        key = pc.binary_join_element_wise(
+            pc.cast(out.column("a"), pa.string()),
+            pc.cast(out.column("b"), pa.string()), "\x1f")
+        return out.append_column("__gkey", key)
+
+    def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["a", "b"], as_index=False)["n"].sum()
+        return out[out["n"] >= min_shared]
+
+    out = _bucketed_merge(
+        pairs.map_batches(count_partial, batch_format="pyarrow",
+                          batch_size=None), merge_counts)
+    if out.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64),
+                             "n_shared": pd.Series([], dtype=np.int64)})
+    out = out.rename(columns={"n": "n_shared"})
+    out["n_shared"] = out["n_shared"].astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -6005,3 +6005,37 @@ def test_reciprocity_distributed(ray_session):
     assert out["reciprocity"].iloc[0] == 0.8
     one = reciprocity(_ds(e), "src", "dst")
     pd.testing.assert_frame_equal(one, out)
+
+
+def test_winnowing_copy_detection(ray_session):
+    """Winnowing fingerprints: an exact copy shares ALL fingerprints,
+    an edited copy shares most, unrelated docs share ~none; selection
+    is layout-invariant and every doc fingerprints (even short ones)."""
+    from feature_fabrica_ray.pipelines import (winnowing_fingerprints,
+                                               winnowing_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away home tonight for dinner")
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [base,
+                 base + " with one small edit",
+                 "completely different content about ray data and "
+                 "arrow record batches streaming through the engine",
+                 base,
+                 "tiny"]})
+    pairs = winnowing_pairs(_ds(docs, blocks=3), k=8, w=4,
+                            min_shared=3)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 3) in got           # exact copy
+    assert (0, 1) in got           # edited copy
+    assert not any(2 in p for p in got)   # unrelated never pairs
+    one = winnowing_pairs(_ds(docs), k=8, w=4, min_shared=3)
+    pd.testing.assert_frame_equal(one, pairs)
+
+    fps = winnowing_fingerprints(_ds(docs, blocks=2), k=8, w=4) \
+        .to_pandas()
+    assert set(fps["doc_id"]) == set(range(5))   # 'tiny' fingerprints too
+    a = set(fps[fps["doc_id"] == 0]["fp"])
+    b = set(fps[fps["doc_id"] == 3]["fp"])
+    assert a == b                   # identical docs -> identical prints
