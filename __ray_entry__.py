@@ -10642,6 +10642,53 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_sp_balance(sf_dir: str) -> pd.DataFrame:
+    """Hash-partition balance audit: rows per md5(repo)-derived bucket
+    (B=16) over the codetable plus the straggler diagnostics a
+    partitioner publishes — max/mean straggler factor and the
+    coefficient of variation (the salt-or-not signal,
+    ValidationResult.partition_skew's standalone form). md5 bucketing
+    so DuckDB replays the assignment bit-for-bit; the scale path is
+    the same audit on the hash64 kernel."""
+    ds = read_codetable(sf_dir, with_sha256=False)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import hashlib
+        keys = b.column("repo").to_pylist()
+        uniq = sorted(set(keys))
+        lut = {k: int(hashlib.md5(str(k).encode()).hexdigest()[:12],
+                      16) % 16 for k in uniq}
+        bkt = np.array([lut[k] for k in keys], np.int64)
+        g = pd.DataFrame({"bkt": bkt}).groupby("bkt", as_index=False) \
+            .size()
+        return pa.table({"bkt": pa.array(g["bkt"].to_numpy(np.int64)),
+                         "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    out = parts.groupby("bkt", as_index=False)["n"].sum()
+    n = out["n"].to_numpy(np.float64)
+    mean = n.mean()
+    out["straggler"] = _round_away(pd.Series(n / mean), 6)
+    out["n"] = out["n"].astype("int64")
+    out["cv"] = _round_away(
+        pd.Series(np.full(len(out), float(n.std(ddof=0) / mean))), 6)
+    return out.sort_values("bkt").reset_index(drop=True)
+
+
+_SP_BALANCE_ORACLE = CT + """
+, b AS (SELECT CAST(('0x' || substring(md5(repo), 1, 12)) AS BIGINT)
+               % 16 AS bkt
+        FROM codetable),
+c AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bkt),
+m AS (SELECT avg(n) AS mean_n,
+             sqrt(avg(n * n) - avg(n) * avg(n)) AS sd FROM c)
+SELECT c.bkt, c.n, round(c.n / m.mean_n, 6) AS straggler,
+       round(m.sd / m.mean_n, 6) AS cv
+FROM c, m ORDER BY c.bkt
+"""
+
+
 def q_dd_winnow(sf_dir: str) -> pd.DataFrame:
     """MOSS winnowing copy-candidates: doc pairs sharing >= 8 selected
     16-gram fingerprints (pipelines/dedup.py::winnowing_fingerprints /
@@ -12012,6 +12059,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "ta_mislabeled": q_ta_mislabeled,
         "tp_funnel": q_tp_funnel,
         "dd_winnow": q_dd_winnow,
+        "sp_balance": q_sp_balance,
         "sm_ess": q_sm_ess,
         "dd_ratio": q_dd_ratio,
         "ev_entropy_rate": q_ev_entropy_rate,
@@ -12294,6 +12342,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_activity_hist": _ACTIVITY_HIST_ORACLE,
         "ta_mislabeled": _MISLABELED_ORACLE,
         "tp_funnel": _TP_FUNNEL_ORACLE,
+        "sp_balance": _SP_BALANCE_ORACLE,
         "sm_ess": _ESS_ORACLE,
         "dd_ratio": _DD_RATIO_ORACLE,
         "ev_entropy_rate": _ENTROPY_RATE_ORACLE,
