@@ -10642,6 +10642,58 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_dd_threshold_curve(sf_dir: str) -> pd.DataFrame:
+    """Near-dup threshold selection curve: exact cosine pair counts at
+    a ladder of thresholds (one radius_search pass at the loosest
+    cutoff, vectorized per-threshold counting of the SAME pair set) —
+    the knee-finding artifact that decides where semantic dedup should
+    cut. Oracle re-counts each threshold from the SQL cross join."""
+    from feature_fabrica_ray.pipelines import radius_search
+
+    thresholds = (0.30, 0.35, 0.40, 0.45)
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    corpus = ds.to_pandas()
+    Q = np.asarray([np.asarray(v, np.float64)
+                    for v in corpus["embedding"]])
+    qids = corpus["vec_id"].to_numpy(np.int64)
+    pairs = radius_search(ds, Q, qids, threshold=min(thresholds))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        q = b.column("query_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = b.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        s = b.column("score").to_numpy(zero_copy_only=False)
+        keep = q < v
+        s = s[keep]
+        counts = [(s >= t).sum() for t in thresholds]
+        return pa.table({"t": pa.array(np.asarray(thresholds),
+                                       pa.float64()),
+                         "n": pa.array(np.asarray(counts, np.int64))})
+
+    parts = pairs.map_batches(count_partial, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    out = parts.groupby("t", as_index=False)["n"].sum()
+    out = out.rename(columns={"t": "threshold", "n": "n_pairs"})
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values("threshold").reset_index(drop=True)
+
+
+_THRESHOLD_CURVE_ORACLE = """
+WITH s AS (SELECT round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]),
+                        6) AS sc
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id < b.vec_id),
+t(threshold) AS (VALUES (0.30), (0.35), (0.40), (0.45))
+SELECT t.threshold,
+       CAST(count(*) FILTER (WHERE s.sc >= t.threshold) AS BIGINT)
+         AS n_pairs
+FROM t CROSS JOIN s GROUP BY t.threshold ORDER BY t.threshold
+"""
+
+
 def q_sp_balance(sf_dir: str) -> pd.DataFrame:
     """Hash-partition balance audit: rows per md5(repo)-derived bucket
     (B=16) over the codetable plus the straggler diagnostics a
@@ -12060,6 +12112,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "tp_funnel": q_tp_funnel,
         "dd_winnow": q_dd_winnow,
         "sp_balance": q_sp_balance,
+        "dd_threshold_curve": q_dd_threshold_curve,
         "sm_ess": q_sm_ess,
         "dd_ratio": q_dd_ratio,
         "ev_entropy_rate": q_ev_entropy_rate,
@@ -12343,6 +12396,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_mislabeled": _MISLABELED_ORACLE,
         "tp_funnel": _TP_FUNNEL_ORACLE,
         "sp_balance": _SP_BALANCE_ORACLE,
+        "dd_threshold_curve": _THRESHOLD_CURVE_ORACLE,
         "sm_ess": _ESS_ORACLE,
         "dd_ratio": _DD_RATIO_ORACLE,
         "ev_entropy_rate": _ENTROPY_RATE_ORACLE,
