@@ -10642,6 +10642,66 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_ev_forecast_eval(sf_dir: str) -> pd.DataFrame:
+    """Forecast-baseline scoring on daily event volume: naive (carry
+    last value) and seasonal-naive (value 7 days earlier) baselines
+    evaluated with MAE/MAPE over the days where each baseline is
+    defined — the sanity floor every volume forecast must beat. Exact
+    integer daily counts from the combiner; oracle via lag windows."""
+    from feature_fabrica_ray.tuning import shuffle_partitions
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        g = pa.table({"b": day}).group_by(["b"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"b": g.column("b"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    d = (ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None)
+         .groupby("b", num_partitions=shuffle_partitions())
+         .sum("c").to_pandas()).sort_values("b").reset_index(drop=True)
+    x = d["sum(c)"].to_numpy(np.int64).astype(np.float64)
+    rows = []
+    for name, lag in (("naive", 1), ("seasonal_naive", 7)):
+        if len(x) <= lag:
+            rows.append((name, np.nan, np.nan, 0))
+            continue
+        err = np.abs(x[lag:] - x[:-lag])
+        mae = float(err.mean())
+        mape = float((err / x[lag:]).mean())
+        r6 = lambda v: float(np.floor(abs(v) * 1e6 + 0.5) / 1e6
+                             * (1.0 if v >= 0 else -1.0))
+        rows.append((name, r6(mae), r6(mape), len(err)))
+    out = pd.DataFrame(rows, columns=["model", "mae", "mape", "n"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("model").reset_index(drop=True)
+
+
+_FORECAST_EVAL_ORACLE = """
+WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS DOUBLE) AS x
+           FROM events GROUP BY 1),
+l AS (SELECT day, x,
+             lag(x, 1) OVER (ORDER BY day) AS p1,
+             lag(x, 7) OVER (ORDER BY day) AS p7
+      FROM d)
+SELECT 'naive' AS model,
+       round(avg(abs(x - p1)), 6) AS mae,
+       round(avg(abs(x - p1) / x), 6) AS mape,
+       CAST(count(p1) AS BIGINT) AS n
+FROM l WHERE p1 IS NOT NULL
+UNION ALL
+SELECT 'seasonal_naive',
+       round(avg(abs(x - p7)), 6), round(avg(abs(x - p7) / x), 6),
+       CAST(count(p7) AS BIGINT)
+FROM l WHERE p7 IS NOT NULL
+ORDER BY model
+"""
+
+
 def q_dd_threshold_curve(sf_dir: str) -> pd.DataFrame:
     """Near-dup threshold selection curve: exact cosine pair counts at
     a ladder of thresholds (one radius_search pass at the loosest
@@ -12113,6 +12173,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "dd_winnow": q_dd_winnow,
         "sp_balance": q_sp_balance,
         "dd_threshold_curve": q_dd_threshold_curve,
+        "ev_forecast_eval": q_ev_forecast_eval,
         "sm_ess": q_sm_ess,
         "dd_ratio": q_dd_ratio,
         "ev_entropy_rate": q_ev_entropy_rate,
@@ -12397,6 +12458,7 @@ def oracle_sql() -> dict[str, str]:
         "tp_funnel": _TP_FUNNEL_ORACLE,
         "sp_balance": _SP_BALANCE_ORACLE,
         "dd_threshold_curve": _THRESHOLD_CURVE_ORACLE,
+        "ev_forecast_eval": _FORECAST_EVAL_ORACLE,
         "sm_ess": _ESS_ORACLE,
         "dd_ratio": _DD_RATIO_ORACLE,
         "ev_entropy_rate": _ENTROPY_RATE_ORACLE,
