@@ -10642,6 +10642,73 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_pr_wilson(sf_dir: str) -> pd.DataFrame:
+    """Wilson 95% score intervals for a per-cohort proportion (share
+    of 'click' events per user_id%10 cohort) — the
+    small-sample-honest CI every conversion dashboard should use
+    instead of the normal approximation; one (k, n) count combiner +
+    the closed form. Oracle replays the Wilson algebra in SQL."""
+    from feature_fabrica_ray.tuning import shuffle_partitions
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        is_click = pc.equal(b.column("event_type"), "click")
+        k = pc.cast(pc.fill_null(is_click, False), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"cohort": u % 10, "k": k, "n": 1}) \
+            .groupby("cohort", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    m = (ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+         .groupby("cohort", as_index=False).sum())
+    z = 1.959963985
+    k = m["k"].to_numpy(np.float64)
+    n = m["n"].to_numpy(np.float64)
+    p = k / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    half = (z / denom) * np.sqrt(p * (1.0 - p) / n
+                                 + z * z / (4.0 * n * n))
+    out = pd.DataFrame({
+        "cohort": m["cohort"].astype("int64"),
+        "k": m["k"].astype("int64"), "n": m["n"].astype("int64"),
+        "p": _round_away(pd.Series(p), 6),
+        "lo": _round_away(pd.Series(center - half), 6),
+        "hi": _round_away(pd.Series(center + half), 6)})
+    return out.sort_values("cohort").reset_index(drop=True)
+
+
+_WILSON_ORACLE = """
+WITH c AS (SELECT user_id % 10 AS cohort,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                           ELSE 0 END) AS DOUBLE) AS k,
+                  CAST(count(*) AS DOUBLE) AS n
+           FROM events GROUP BY 1)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       round(k / n, 6) AS p,
+       round(((k / n + 1.959963985 * 1.959963985 / (2 * n))
+              / (1 + 1.959963985 * 1.959963985 / n))
+             - (1.959963985 / (1 + 1.959963985 * 1.959963985 / n))
+               * sqrt((k / n) * (1 - k / n) / n
+                      + 1.959963985 * 1.959963985 / (4 * n * n)),
+             6) AS lo,
+       round(((k / n + 1.959963985 * 1.959963985 / (2 * n))
+              / (1 + 1.959963985 * 1.959963985 / n))
+             + (1.959963985 / (1 + 1.959963985 * 1.959963985 / n))
+               * sqrt((k / n) * (1 - k / n) / n
+                      + 1.959963985 * 1.959963985 / (4 * n * n)),
+             6) AS hi
+FROM c ORDER BY cohort
+"""
+
+
 def q_ev_forecast_eval(sf_dir: str) -> pd.DataFrame:
     """Forecast-baseline scoring on daily event volume: naive (carry
     last value) and seasonal-naive (value 7 days earlier) baselines
@@ -12174,6 +12241,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "sp_balance": q_sp_balance,
         "dd_threshold_curve": q_dd_threshold_curve,
         "ev_forecast_eval": q_ev_forecast_eval,
+        "pr_wilson": q_pr_wilson,
         "sm_ess": q_sm_ess,
         "dd_ratio": q_dd_ratio,
         "ev_entropy_rate": q_ev_entropy_rate,
@@ -12459,6 +12527,7 @@ def oracle_sql() -> dict[str, str]:
         "sp_balance": _SP_BALANCE_ORACLE,
         "dd_threshold_curve": _THRESHOLD_CURVE_ORACLE,
         "ev_forecast_eval": _FORECAST_EVAL_ORACLE,
+        "pr_wilson": _WILSON_ORACLE,
         "sm_ess": _ESS_ORACLE,
         "dd_ratio": _DD_RATIO_ORACLE,
         "ev_entropy_rate": _ENTROPY_RATE_ORACLE,
