@@ -10642,6 +10642,195 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_ev_stl(sf_dir: str) -> pd.DataFrame:
+    """STL-lite decomposition of daily event volume: trend = centered
+    7-day moving average (full windows only), seasonal = day-of-week
+    mean of the detrended series, residual = remainder — the
+    classical additive decomposition on exact integer counts; oracle
+    via window averages + group means."""
+    from feature_fabrica_ray.tuning import shuffle_partitions
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts"), unit="day")
+        g = pa.table({"b": day}).group_by(["b"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"b": g.column("b"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    d = (ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None)
+         .groupby("b", num_partitions=shuffle_partitions())
+         .sum("c").to_pandas()).sort_values("b").reset_index(drop=True)
+    x = d["sum(c)"].to_numpy(np.int64).astype(np.float64)
+    n = len(x)
+    trend = np.full(n, np.nan)
+    if n >= 7:
+        kern = np.convolve(x, np.ones(7) / 7.0, mode="valid")
+        trend[3:n - 3] = kern
+    detr = x - trend
+    days = pd.to_datetime(d["b"])
+    dow = days.dt.dayofweek.to_numpy()
+    seas_mean = pd.DataFrame({"dow": dow, "v": detr}) \
+        .groupby("dow")["v"].mean()
+    seasonal = seas_mean.reindex(dow).to_numpy()
+    resid = detr - seasonal
+    r6 = lambda a: np.where(np.isnan(a), np.nan,
+                            np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+                            * np.sign(a))
+    return pd.DataFrame({
+        "day": days, "n": d["sum(c)"].astype("int64"),
+        "trend": r6(trend), "seasonal": r6(seasonal),
+        "resid": r6(resid)}).reset_index(drop=True)
+
+
+_STL_ORACLE = """
+WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS DOUBLE) AS x
+           FROM events GROUP BY 1),
+w AS (SELECT day, x,
+             CASE WHEN row_number() OVER (ORDER BY day) > 3
+                   AND row_number() OVER (ORDER BY day)
+                       <= count(*) OVER () - 3
+                  THEN avg(x) OVER (ORDER BY day
+                                    ROWS BETWEEN 3 PRECEDING
+                                    AND 3 FOLLOWING)
+             END AS trend
+      FROM d),
+s AS (SELECT *, x - trend AS detr, isodow(day) - 1 AS dow FROM w),
+m AS (SELECT dow, avg(detr) AS seas FROM s GROUP BY dow)
+SELECT CAST(s.day AS TIMESTAMP) AS day, CAST(s.x AS BIGINT) AS n,
+       round(s.trend, 6) AS trend,
+       round(m.seas, 6) AS seasonal,
+       round(s.detr - m.seas, 6) AS resid
+FROM s JOIN m USING (dow) ORDER BY s.day
+"""
+
+
+def q_pr_kappa(sf_dir: str) -> pd.DataFrame:
+    """Cohen's kappa between declared lang and the stopword
+    classifier's verdict — chance-corrected agreement, the honest
+    single-number summary of ta_confusion; derived driver-side from
+    the confusion counts; oracle replays the closed form over the
+    langid SQL."""
+    conf = q_ta_confusion(sf_dir)
+    n = conf["n"].sum()
+    po = conf[conf["lang"] == conf["lang_id"]]["n"].sum() / n
+    pa_ = conf.groupby("lang")["n"].sum()
+    pb_ = conf.groupby("lang_id")["n"].sum()
+    cats = sorted(set(pa_.index) | set(pb_.index))
+    pe = sum(pa_.get(c, 0) * pb_.get(c, 0) for c in cats) / (n * n)
+    kappa = (po - pe) / (1.0 - pe) if pe < 1.0 else np.nan
+    r6 = lambda v: float(np.floor(abs(v) * 1e6 + 0.5) / 1e6
+                         * (1.0 if v >= 0 else -1.0))
+    return pd.DataFrame({
+        "n": np.array([int(n)], np.int64),
+        "po": [r6(po)], "pe": [r6(pe)], "kappa": [r6(kappa)]})
+
+
+def _kappa_oracle() -> str:
+    base = _langid_oracle().replace("ORDER BY d.doc_id", "")
+    return f"""
+WITH conf AS (
+  SELECT documents.lang AS a, p.lang_id AS b, count(*) AS n
+  FROM ({base}) p JOIN documents USING (doc_id)
+  GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS z FROM conf),
+po AS (SELECT coalesce(sum(n), 0) / (SELECT z FROM tot) AS po
+       FROM conf WHERE a = b),
+ma AS (SELECT a AS c, sum(n) AS na FROM conf GROUP BY a),
+mb AS (SELECT b AS c, sum(n) AS nb FROM conf GROUP BY b),
+pe AS (SELECT coalesce(sum(ma.na * mb.nb), 0)
+               / ((SELECT z FROM tot) * (SELECT z FROM tot)) AS pe
+       FROM ma JOIN mb USING (c))
+SELECT CAST((SELECT z FROM tot) AS BIGINT) AS n,
+       round(po.po, 6) AS po, round(pe.pe, 6) AS pe,
+       round((po.po - pe.pe) / (1 - pe.pe), 6) AS kappa
+FROM po, pe
+"""
+
+
+_KAPPA_ORACLE = _kappa_oracle()
+
+
+def q_ss_purity(sf_dir: str) -> pd.DataFrame:
+    """Semantic-cluster purity: for each cosine>=0.4 component
+    (ss_clusters), the majority TRUE label's share — the external
+    cluster-quality check against the embeddings' ground-truth
+    labels; oracle joins the recursive closure to the label column."""
+    from feature_fabrica_ray.pipelines import (connected_components,
+                                               radius_search)
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+    vecs = ds.to_pandas()
+    Q = np.asarray([np.asarray(v, np.float64)
+                    for v in vecs["embedding"]])
+    qids = vecs["vec_id"].to_numpy(np.int64)
+    pairs = radius_search(
+        ds.drop_columns(["label"]), Q, qids, threshold=0.4)
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        q = b.column("query_id").cast(pa.int64())
+        v = b.column("vec_id").cast(pa.int64())
+        t = b.filter(pc.less(q, v))
+        return pa.table({"a": t.column("query_id").cast(pa.int64()),
+                         "b": t.column("vec_id").cast(pa.int64())})
+
+    comp = connected_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow",
+                          batch_size=None), "a", "b").to_pandas()
+    lab = vecs.set_index("vec_id")["label"]
+    comp["label"] = lab.reindex(comp["node"]).to_numpy()
+    counts = comp.groupby(["comp", "label"], as_index=False).size()
+    tot = counts.groupby("comp", as_index=False)["size"].sum() \
+        .rename(columns={"size": "n_nodes"})
+    best = counts.sort_values("label", kind="mergesort") \
+        .sort_values("size", ascending=False, kind="mergesort") \
+        .drop_duplicates("comp")
+    out = tot.merge(best[["comp", "label", "size"]], on="comp")
+    out = out.rename(columns={"label": "major_label",
+                              "size": "n_major"})
+    out["purity"] = _round_away(
+        pd.Series(out["n_major"] / out["n_nodes"]), 6)
+    out["comp"] = out["comp"].astype("int64")
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    out["major_label"] = out["major_label"].astype("int64")
+    out["n_major"] = out["n_major"].astype("int64")
+    return out.sort_values("comp").reset_index(drop=True)
+
+
+_SS_PURITY_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.4),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT a AS node, b AS label FROM edges
+  UNION
+  SELECT e.a AS node, r.label FROM edges e JOIN reach r ON r.node = e.b
+),
+nodecomp AS (SELECT node, least(node, min(label)) AS comp
+             FROM reach GROUP BY node),
+lc AS (SELECT nc.comp, em.label, count(*) AS n
+       FROM nodecomp nc JOIN embeddings em ON em.vec_id = nc.node
+       GROUP BY 1, 2),
+tot AS (SELECT comp, CAST(sum(n) AS BIGINT) AS n_nodes
+        FROM lc GROUP BY comp),
+best AS (SELECT comp, label AS major_label, n AS n_major FROM (
+           SELECT *, row_number() OVER (PARTITION BY comp
+                                        ORDER BY n DESC, label ASC)
+             AS rn FROM lc) WHERE rn = 1)
+SELECT t.comp, t.n_nodes, CAST(b.major_label AS BIGINT) AS major_label,
+       CAST(b.n_major AS BIGINT) AS n_major,
+       round(b.n_major * 1.0 / t.n_nodes, 6) AS purity
+FROM tot t JOIN best b USING (comp) ORDER BY t.comp
+"""
+
+
 def q_pr_wilson(sf_dir: str) -> pd.DataFrame:
     """Wilson 95% score intervals for a per-cohort proportion (share
     of 'click' events per user_id%10 cohort) — the
@@ -12242,6 +12431,9 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "dd_threshold_curve": q_dd_threshold_curve,
         "ev_forecast_eval": q_ev_forecast_eval,
         "pr_wilson": q_pr_wilson,
+        "ev_stl": q_ev_stl,
+        "pr_kappa": q_pr_kappa,
+        "ss_purity": q_ss_purity,
         "sm_ess": q_sm_ess,
         "dd_ratio": q_dd_ratio,
         "ev_entropy_rate": q_ev_entropy_rate,
@@ -12528,6 +12720,9 @@ def oracle_sql() -> dict[str, str]:
         "dd_threshold_curve": _THRESHOLD_CURVE_ORACLE,
         "ev_forecast_eval": _FORECAST_EVAL_ORACLE,
         "pr_wilson": _WILSON_ORACLE,
+        "ev_stl": _STL_ORACLE,
+        "pr_kappa": _KAPPA_ORACLE,
+        "ss_purity": _SS_PURITY_ORACLE,
         "sm_ess": _ESS_ORACLE,
         "dd_ratio": _DD_RATIO_ORACLE,
         "ev_entropy_rate": _ENTROPY_RATE_ORACLE,
