@@ -10642,6 +10642,132 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_ft_group_scale(sf_dir: str) -> pd.DataFrame:
+    """Per-SEGMENT min-max scaling: each value scaled within its OWN
+    lang segment's [min, max] — the grouped form of the globally
+    fitted min_max transform (per-feature-group normalization). Fit =
+    the grouped_stats combiner (one keyed shuffle of per-block
+    partials), the |segments|-row (min, max) table broadcasts, the
+    stamp is stateless; oracle via window min/max."""
+    import ray
+
+    from feature_fabrica_ray.pipelines.grouped import grouped_stats
+
+    def with_size(d):
+        return read_codetable(d, with_sha256=False).map_batches(
+            lambda b: b.append_column(
+                "size_bytes",
+                pc.utf8_length(b.column("content")).cast(pa.int64())),
+            batch_format="pyarrow", batch_size=None)
+
+    ds = with_size(sf_dir)
+    fit = grouped_stats(ds, "lang", "size_bytes")
+    lut = {r["lang"]: (r["nmin"], r["nmax"])
+           for _, r in fit.iterrows() if r["lang"] is not None}
+    ref = ray.put(lut)
+
+    def stamp(b: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        langs = b.column("lang").to_pylist()
+        x = b.column("size_bytes").cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        uniq = {u: lut.get(u, (np.nan, np.nan)) for u in set(langs)}
+        lo = np.array([uniq[u][0] for u in langs])
+        hi = np.array([uniq[u][1] for u in langs])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v = (x - lo) / (hi - lo)
+        v = np.floor(np.abs(v) * 1e6 + 0.5) / 1e6 * np.sign(v)
+        out = pa.table({"commit": b.column("commit"),
+                        "lang": b.column("lang"),
+                        "size_bytes": b.column("size_bytes"),
+                        "scaled": pa.array(v, pa.float64())})
+        return out.filter(pc.is_valid(out.column("lang")))
+
+    out = ds.map_batches(stamp, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    return out.sort_values(["commit", "lang"]).reset_index(drop=True)
+
+
+_GROUP_SCALE_ORACLE = CT + """
+, ct AS (SELECT "commit", lang,
+                CAST(length(content) AS BIGINT) AS size_bytes
+         FROM codetable WHERE lang IS NOT NULL),
+f AS (SELECT lang, CAST(min(size_bytes) AS DOUBLE) AS lo,
+             CAST(max(size_bytes) AS DOUBLE) AS hi
+      FROM ct GROUP BY lang)
+SELECT ct."commit", ct.lang, ct.size_bytes,
+       round((ct.size_bytes - f.lo) / (f.hi - f.lo), 6) AS scaled
+FROM ct JOIN f USING (lang) ORDER BY ct."commit", ct.lang
+"""
+
+
+def q_pr_benford_seg(sf_dir: str) -> pd.DataFrame:
+    """Per-SEGMENT Benford first-digit profile: observed vs expected
+    leading-digit share of order totals per priority class with the
+    per-segment chi² — the grouped form of pr_benford (fraud/synthetic
+    screens drill into WHICH segment deviates); one (segment, digit)
+    count combiner."""
+    from feature_fabrica_ray.tuning import shuffle_partitions
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b.column("o_totalprice").cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = np.isfinite(x) & (x > 0)
+        d1 = np.floor(x[ok] / 10.0 ** np.floor(np.log10(x[ok]))) \
+            .astype(np.int64)
+        g = pd.DataFrame({"prio": np.asarray(
+            b.column("o_orderpriority").to_pylist(), object)[ok],
+            "d": d1}).groupby(["prio", "d"], as_index=False).size()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    m = (ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+         .groupby(["prio", "d"], as_index=False)["size"].sum())
+    tot = m.groupby("prio")["size"].transform("sum") \
+        .to_numpy(np.float64)
+    obs = m["size"].to_numpy(np.float64) / tot
+    exp = np.log10(1.0 + 1.0 / m["d"].to_numpy(np.float64))
+    chi_term = tot * (obs - exp) ** 2 / exp
+    out = pd.DataFrame({
+        "o_orderpriority": m["prio"],
+        "digit": m["d"].astype("int64"),
+        "n": m["size"].astype("int64"),
+        "obs_p": _round_away(pd.Series(obs), 6),
+        "exp_p": _round_away(pd.Series(exp), 6)})
+    chi = pd.DataFrame({"prio": m["prio"], "t": chi_term}) \
+        .groupby("prio")["t"].sum()
+    out["chi2"] = _round_away(
+        pd.Series(chi.reindex(m["prio"]).to_numpy()), 6)
+    return out.sort_values(["o_orderpriority", "digit"]) \
+        .reset_index(drop=True)
+
+
+_BENFORD_SEG_ORACLE = """
+WITH v AS (SELECT o_orderpriority AS prio,
+                  CAST(floor(o_totalprice
+                             / power(10, floor(log10(o_totalprice))))
+                       AS BIGINT) AS d
+           FROM orders WHERE o_totalprice > 0),
+c AS (SELECT prio, d, CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY 1, 2),
+t AS (SELECT prio, CAST(sum(n) AS DOUBLE) AS tot FROM c GROUP BY prio),
+e AS (SELECT c.prio, c.d, c.n, c.n / t.tot AS obs,
+             log10(1 + 1.0 / c.d) AS exp_p, t.tot
+      FROM c JOIN t USING (prio)),
+x AS (SELECT prio, sum(tot * (obs - exp_p) * (obs - exp_p) / exp_p)
+               AS chi2
+      FROM e GROUP BY prio)
+SELECT e.prio AS o_orderpriority, e.d AS digit, e.n,
+       round(e.obs, 6) AS obs_p, round(e.exp_p, 6) AS exp_p,
+       round(x.chi2, 6) AS chi2
+FROM e JOIN x USING (prio) ORDER BY e.prio, e.d
+"""
+
+
 def q_ev_stl(sf_dir: str) -> pd.DataFrame:
     """STL-lite decomposition of daily event volume: trend = centered
     7-day moving average (full windows only), seasonal = day-of-week
@@ -12432,6 +12558,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "ev_forecast_eval": q_ev_forecast_eval,
         "pr_wilson": q_pr_wilson,
         "ev_stl": q_ev_stl,
+        "ft_group_scale": q_ft_group_scale,
+        "pr_benford_seg": q_pr_benford_seg,
         "pr_kappa": q_pr_kappa,
         "ss_purity": q_ss_purity,
         "sm_ess": q_sm_ess,
@@ -12721,6 +12849,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_forecast_eval": _FORECAST_EVAL_ORACLE,
         "pr_wilson": _WILSON_ORACLE,
         "ev_stl": _STL_ORACLE,
+        "ft_group_scale": _GROUP_SCALE_ORACLE,
+        "pr_benford_seg": _BENFORD_SEG_ORACLE,
         "pr_kappa": _KAPPA_ORACLE,
         "ss_purity": _SS_PURITY_ORACLE,
         "sm_ess": _ESS_ORACLE,
