@@ -10642,6 +10642,80 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_pr_levene(sf_dir: str) -> pd.DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Levene with group
+    MEDIANS — the robust default): are value spreads equal across
+    event types? Two passes: exact per-group medians from the
+    value-histogram combiner, broadcast, then the ANOVA F on the
+    |x − med_g| deviations via the same algebraic (n, Σ, Σ²)
+    combiner; oracle replays both passes in SQL."""
+    import ray
+
+    from feature_fabrica_ray.pipelines import group_quantiles
+    from feature_fabrica_ray.tuning import shuffle_partitions
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    med = group_quantiles(ds, "event_type", "value", qs=(0.5,))
+    lut = dict(zip(med["event_type"], med["q_50"]))
+    ref = ray.put(lut)
+
+    def partial(b: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        ty = np.asarray(b.column("event_type").to_pylist(), object)
+        x = b.column("value").cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(x)
+        ty, x = ty[ok], x[ok]
+        meds = np.array([lut.get(t, np.nan) for t in ty])
+        z = np.abs(x - meds)
+        g = pd.DataFrame({"g": ty, "n": 1, "s": z, "ss": z * z}) \
+            .groupby("g", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    m = (ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+         .groupby("g", as_index=False).sum())
+    k, n = len(m), int(m["n"].sum())
+    grand = float(m["s"].sum()) / n
+    ssb = float((m["n"] * (m["s"] / m["n"] - grand) ** 2).sum())
+    ssw = float((m["ss"] - m["s"] ** 2 / m["n"]).sum())
+    f = (ssb / (k - 1)) / (ssw / (n - k)) if k > 1 and n > k \
+        and ssw > 0 else np.nan
+    r6 = lambda v: float(np.floor(abs(v) * 1e6 + 0.5) / 1e6
+                         * (1.0 if v >= 0 else -1.0))
+    return pd.DataFrame({
+        "f_stat": [r6(f)],
+        "df_between": np.array([max(k - 1, 0)], np.int64),
+        "df_within": np.array([max(n - k, 0)], np.int64),
+        "n": np.array([n], np.int64)})
+
+
+_LEVENE_ORACLE = """
+WITH med AS (SELECT event_type,
+                    quantile_cont(value, 0.5) AS md
+             FROM events WHERE value IS NOT NULL GROUP BY 1),
+z AS (SELECT e.event_type AS g, abs(e.value - med.md) AS z
+      FROM events e JOIN med USING (event_type)
+      WHERE e.value IS NOT NULL),
+m AS (SELECT g, CAST(count(*) AS DOUBLE) AS n, sum(z) AS s,
+             sum(z * z) AS ss
+      FROM z GROUP BY g),
+t AS (SELECT sum(n) AS n, count(*) AS k, sum(s) AS s_all FROM m),
+f AS (SELECT
+        (SELECT sum(n * (s / n - t.s_all / t.n)
+                    * (s / n - t.s_all / t.n)) FROM m) / (t.k - 1)
+        / ((SELECT sum(ss - s * s / n) FROM m) / (t.n - t.k)) AS f
+      FROM t)
+SELECT round(f.f, 6) AS f_stat,
+       CAST(t.k - 1 AS BIGINT) AS df_between,
+       CAST(t.n - t.k AS BIGINT) AS df_within,
+       CAST(t.n AS BIGINT) AS n
+FROM f, t
+"""
+
+
 def q_ft_group_scale(sf_dir: str) -> pd.DataFrame:
     """Per-SEGMENT min-max scaling: each value scaled within its OWN
     lang segment's [min, max] — the grouped form of the globally
@@ -12559,6 +12633,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "pr_wilson": q_pr_wilson,
         "ev_stl": q_ev_stl,
         "ft_group_scale": q_ft_group_scale,
+        "pr_levene": q_pr_levene,
         "pr_benford_seg": q_pr_benford_seg,
         "pr_kappa": q_pr_kappa,
         "ss_purity": q_ss_purity,
@@ -12850,6 +12925,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_wilson": _WILSON_ORACLE,
         "ev_stl": _STL_ORACLE,
         "ft_group_scale": _GROUP_SCALE_ORACLE,
+        "pr_levene": _LEVENE_ORACLE,
         "pr_benford_seg": _BENFORD_SEG_ORACLE,
         "pr_kappa": _KAPPA_ORACLE,
         "ss_purity": _SS_PURITY_ORACLE,
