@@ -10642,6 +10642,38 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_agg_rollup_gid(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP with GROUPING_ID: the bitmask that disambiguates a
+    genuine NULL group value from a rolled-up cell — closing the
+    documented rollup NULL caveat (pipelines/grouped.py::rollup_agg
+    with_gid=True; the NULL-lang codetable segment makes the
+    ambiguity real here); oracle via SQL GROUPING()."""
+    from feature_fabrica_ray.pipelines.grouped import rollup_agg
+
+    ds = read_codetable(sf_dir, with_sha256=False).map_batches(
+        lambda b: b.append_column(
+            "size_bytes",
+            pc.utf8_length(b.column("content")).cast(pa.int64())),
+        batch_format="pyarrow", batch_size=None)
+    out = rollup_agg(ds, ["lang", "repo"], "size_bytes",
+                     with_gid=True)
+    out["sum_v"] = _round_away(out["sum_v"], 4)
+    return out.sort_values(["gid", "lang", "repo"],
+                           na_position="first").reset_index(drop=True)
+
+
+_ROLLUP_GID_ORACLE = CT + """
+, ct AS (SELECT lang, repo, CAST(length(content) AS DOUBLE)
+                AS size_bytes
+         FROM codetable)
+SELECT lang, repo, round(sum(size_bytes), 4) AS sum_v,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(grouping(lang) * 2 + grouping(repo) AS BIGINT) AS gid
+FROM ct GROUP BY ROLLUP (lang, repo)
+ORDER BY gid, lang NULLS FIRST, repo NULLS FIRST
+"""
+
+
 def q_pr_levene(sf_dir: str) -> pd.DataFrame:
     """Brown-Forsythe variance-homogeneity test (Levene with group
     MEDIANS — the robust default): are value spreads equal across
@@ -12634,6 +12666,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "ev_stl": q_ev_stl,
         "ft_group_scale": q_ft_group_scale,
         "pr_levene": q_pr_levene,
+        "agg_rollup_gid": q_agg_rollup_gid,
         "pr_benford_seg": q_pr_benford_seg,
         "pr_kappa": q_pr_kappa,
         "ss_purity": q_ss_purity,
@@ -12926,6 +12959,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_stl": _STL_ORACLE,
         "ft_group_scale": _GROUP_SCALE_ORACLE,
         "pr_levene": _LEVENE_ORACLE,
+        "agg_rollup_gid": _ROLLUP_GID_ORACLE,
         "pr_benford_seg": _BENFORD_SEG_ORACLE,
         "pr_kappa": _KAPPA_ORACLE,
         "ss_purity": _SS_PURITY_ORACLE,

@@ -397,7 +397,8 @@ def distinct_count_per_group(ds, key_col: str, val_col: str) -> pd.DataFrame:
     return out.iloc[np.argsort(key, kind="mergesort")].reset_index(drop=True)
 
 
-def rollup_agg(ds, group_cols: list[str], value_col: str) -> pd.DataFrame:
+def rollup_agg(ds, group_cols: list[str], value_col: str,
+               with_gid: bool = False) -> pd.DataFrame:
     """``GROUP BY ROLLUP(group_cols)``: sum(value) + count(*) at every
     prefix granularity (finest, each prefix, grand total), rolled-up
     columns emitted as NULL.
@@ -432,7 +433,7 @@ def rollup_agg(ds, group_cols: list[str], value_col: str) -> pd.DataFrame:
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
         merge)
 
-    levels = [finest]
+    levels = [finest.assign(gid=0)] if with_gid else [finest]
     for lvl in range(len(group_cols) - 1, -1, -1):
         keep = group_cols[:lvl]
         if keep:
@@ -443,10 +444,20 @@ def rollup_agg(ds, group_cols: list[str], value_col: str) -> pd.DataFrame:
                               "n_rows": [finest["n_rows"].sum()]})
         for c in group_cols[lvl:]:
             g[c] = None
-        levels.append(g[[*group_cols, "sum_v", "n_rows"]])
+        if with_gid:
+            # SQL GROUPING_ID bitmask: bit i set when group_cols[i] is
+            # rolled up (last column = least-significant bit) — this is
+            # what disambiguates a genuine NULL group value from a
+            # rolled-up cell (the documented ROLLUP caveat)
+            g["gid"] = (1 << (len(group_cols) - lvl)) - 1
+        cols = [*group_cols, "sum_v", "n_rows"] + (
+            ["gid"] if with_gid else [])
+        levels.append(g[cols])
 
     out = pd.concat(levels, ignore_index=True)
     out["n_rows"] = out["n_rows"].astype("int64")
+    if with_gid:
+        out["gid"] = out["gid"].astype("int64")
     for c in group_cols:  # rolled-up cells must be None, never NaN
         out[c] = out[c].astype(object).where(out[c].notna(), None)
     return out.reset_index(drop=True)
