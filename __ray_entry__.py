@@ -4448,7 +4448,7 @@ WITH RECURSIVE docs AS (
   SELECT doc_id, n_chars,
          abs(doc_id) % 16 AS shard,
          row_number() OVER w AS rn,
-         sum(n_chars) OVER w AS cump
+         CAST(sum(n_chars) OVER w AS BIGINT) AS cump
   FROM documents
   WINDOW w AS (PARTITION BY abs(doc_id) % 16 ORDER BY doc_id)
 ), nsh AS (
@@ -4470,15 +4470,18 @@ WITH RECURSIVE docs AS (
   WHERE x.next_t < x.n_sh
 ), ranked AS (
   SELECT d.doc_id, d.n_chars,
-         s.shard * 10000000000 + s.pack_seq AS pack_id,
-         d.cump - d.n_chars - s.pstart AS pack_offset,
+         CAST(s.shard * 10000000000 + s.pack_seq AS BIGINT) AS pack_id,
+         CAST(d.cump - d.n_chars - coalesce(s.pstart, 0) AS BIGINT)
+           AS pack_offset,
          d.n_chars > 4096 AS truncated,
          row_number() OVER (PARTITION BY d.shard, d.rn
                             ORDER BY s.srn DESC) AS pick
   FROM docs d JOIN starts s
     ON s.shard = d.shard AND s.srn <= d.rn
 )
-SELECT doc_id, n_chars, pack_id, pack_offset, truncated
+SELECT doc_id, n_chars, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(pack_offset AS BIGINT) AS pack_offset,
+       CAST(truncated AS BOOLEAN) AS truncated
 FROM ranked WHERE pick = 1
 """
 
@@ -5181,7 +5184,8 @@ chunks AS (
   WHERE n > 0),
 docs AS MATERIALIZED (
   SELECT uid, n_tokens, abs(uid) % 16 AS shard,
-         row_number() OVER w AS rn, sum(n_tokens) OVER w AS cump
+         row_number() OVER w AS rn,
+         CAST(sum(n_tokens) OVER w AS BIGINT) AS cump
   FROM chunks WINDOW w AS (PARTITION BY abs(uid) % 16 ORDER BY uid)),
 nsh AS (SELECT shard, max(rn) AS n FROM docs GROUP BY shard),
 starts(shard, pack_seq, srn, pstart) AS (
@@ -5198,14 +5202,18 @@ starts(shard, pack_seq, srn, pstart) AS (
   WHERE x.next_t < x.n_sh),
 ranked AS (
   SELECT d.uid, d.n_tokens,
-         s.shard * 10000000000 + s.pack_seq AS pack_id,
-         d.cump - d.n_tokens - s.pstart AS pack_offset,
+         CAST(s.shard * 10000000000 + s.pack_seq AS BIGINT) AS pack_id,
+         CAST(d.cump - d.n_tokens - coalesce(s.pstart, 0) AS BIGINT)
+           AS pack_offset,
          d.n_tokens > 128 AS truncated,
          row_number() OVER (PARTITION BY d.shard, d.rn ORDER BY s.srn DESC) AS pick
   FROM docs d JOIN starts s ON s.shard = d.shard AND s.srn <= d.rn)
-SELECT uid // 1000000 AS doc_id,
-       uid - (uid // 1000000) * 1000000 AS chunk_id,
-       n_tokens, pack_id, pack_offset, truncated
+SELECT CAST(uid // 1000000 AS BIGINT) AS doc_id,
+       CAST(uid - (uid // 1000000) * 1000000 AS BIGINT) AS chunk_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(pack_offset AS BIGINT) AS pack_offset,
+       CAST(truncated AS BOOLEAN) AS truncated
 FROM ranked WHERE pick = 1
 """
 
@@ -6290,6 +6298,45 @@ rk AS (
   FROM base)
 SELECT count(*) AS n, round(corr(rx, ry), 6) AS spearman_rho FROM rk
 """
+
+
+def q_pr_spearman_approx(sf_dir: str) -> pd.DataFrame:
+    """Approximate Spearman of (l_extendedprice, l_quantity) via the
+    t-digest rank path — the scale escape for CONTINUOUS
+    high-cardinality domains whose distinct-value table cannot
+    broadcast (l_extendedprice is effectively all-distinct). One
+    per-block sketch partial (two ~500-centroid blobs), KB driver
+    merge, broadcast digests, one streaming six-moment fold — no
+    shuffle, no distinct-value table at any cardinality
+    (pipelines/quantiles.py::spearman_corr_approx). Rows-only by
+    design: the sketch CDF is approximate, so there is no hash-exact
+    SQL twin; the pytest bound vs the exact path is the correctness
+    evidence."""
+    from feature_fabrica_ray.pipelines import spearman_corr_approx
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_extendedprice", "l_quantity"])
+    out = spearman_corr_approx(ds, "l_extendedprice", "l_quantity")
+    out["spearman_rho"] = _round_away(out["spearman_rho"], 3)
+    return out
+
+
+def q_pr_kendall_approx(sf_dir: str) -> pd.DataFrame:
+    """Approximate Kendall tau-b of (l_extendedprice, l_quantity) via
+    t-digest quantile binning (equidepth, monotone — concordance is
+    preserved up to same-bin collapses, which the tau-b tie correction
+    absorbs) + the exact joint-histogram tau over the bounded 256x256
+    domain (pipelines/quantiles.py::kendall_tau_approx). Rows-only by
+    design (sketch-binned statistic); pytest bounds it against exact
+    tau-b."""
+    from feature_fabrica_ray.pipelines import kendall_tau_approx
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_extendedprice", "l_quantity"])
+    out = kendall_tau_approx(ds, "l_extendedprice", "l_quantity",
+                             bins=256)
+    out["kendall_tau"] = _round_away(out["kendall_tau"], 3)
+    return out
 
 
 def q_pr_partial(sf_dir: str) -> pd.DataFrame:
@@ -11355,9 +11402,12 @@ def q_tp_funnel(sf_dir: str) -> pd.DataFrame:
 
 _TP_FUNNEL_ORACLE = (
     _TP_CURATE_ORACLE.replace(
-        """SELECT uid // 1000000 AS doc_id,
-       uid - (uid // 1000000) * 1000000 AS chunk_id,
-       n_tokens, pack_id, pack_offset, truncated
+        """SELECT CAST(uid // 1000000 AS BIGINT) AS doc_id,
+       CAST(uid - (uid // 1000000) * 1000000 AS BIGINT) AS chunk_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(pack_offset AS BIGINT) AS pack_offset,
+       CAST(truncated AS BOOLEAN) AS truncated
 FROM ranked WHERE pick = 1""",
         """SELECT '1_raw' AS stage,
        CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
@@ -11367,6 +11417,9 @@ UNION ALL SELECT '4_chunks', CAST(count(*) AS BIGINT) FROM chunks
 UNION ALL SELECT '5_packs', CAST(count(DISTINCT pack_id) AS BIGINT)
 FROM ranked WHERE pick = 1
 ORDER BY stage"""))
+
+assert _TP_FUNNEL_ORACLE != _TP_CURATE_ORACLE, \
+    "_TP_FUNNEL_ORACLE replace target drifted out of sync"
 
 
 def q_ta_mislabeled(sf_dir: str) -> pd.DataFrame:
@@ -12566,7 +12619,9 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "pr_histogram": q_pr_histogram,
         "pr_correlation": q_pr_correlation,
         "pr_spearman": q_pr_spearman,
+        "pr_spearman_approx": q_pr_spearman_approx,
         "pr_kendall": q_pr_kendall,
+        "pr_kendall_approx": q_pr_kendall_approx,
         "pr_partial": q_pr_partial,
         "pr_regression": q_pr_regression,
         "agg_wavg": q_agg_wavg,

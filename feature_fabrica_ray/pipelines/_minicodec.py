@@ -203,19 +203,33 @@ def _decode_png(data: bytes) -> MiniImage:
             cur = line
         elif f == 2:                       # Up
             cur = (line + prev) & 0xFF
-        elif f in (1, 3, 4):               # Sub / Average / Paeth
-            cur = np.zeros(stride, np.int64)
-            for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + b) // 2
+        elif f == 1:                       # Sub: per-channel prefix sum
+            # cur[i] = (line[i] + cur[i-ch]) mod 256 is a cumsum mod 256
+            # down the width axis — fully vectorized, no Python loop
+            cur = (np.cumsum(line.reshape(-1, ch), axis=0) & 0xFF) \
+                .reshape(stride)
+        elif f in (3, 4):                  # Average / Paeth
+            # sequential in x (floor-div / predictor choice breaks the
+            # prefix form) but vectorized ACROSS the ch channel lanes:
+            # w iterations per row, not w*ch
+            ln = line.reshape(-1, ch)
+            pv = prev.reshape(-1, ch)
+            cur2 = np.zeros_like(ln)
+            zero = np.zeros(ch, np.int64)
+            for x in range(ln.shape[0]):
+                a = cur2[x - 1] if x else zero
+                b = pv[x]
+                if f == 3:
+                    pred = (a + b) >> 1
                 else:
-                    pred = _paeth(a, b, c)
-                cur[i] = (line[i] + pred) & 0xFF
+                    c = pv[x - 1] if x else zero
+                    pa_ = np.abs(b - c)
+                    pb_ = np.abs(a - c)
+                    pc_ = np.abs(a + b - 2 * c)
+                    pred = np.where((pa_ <= pb_) & (pa_ <= pc_), a,
+                                    np.where(pb_ <= pc_, b, c))
+                cur2[x] = (ln[x] + pred) & 0xFF
+            cur = cur2.reshape(stride)
         else:
             raise ValueError(f"minicodec: unknown PNG filter {f}")
         out[y] = cur.astype(np.uint8)

@@ -1480,8 +1480,18 @@ def winnowing_fingerprints(ds, text_col: str = "text",
                              "fp": pa.array([], pa.int64())})
         n = h.size
         if n < w:
-            # short docs: one fingerprint = min hash (rightmost min)
-            sel_pos = np.array([n - 1 - np.argmin(h[::-1])])
+            # short-block tail: one fingerprint PER DOC (rightmost min
+            # per distinct row) — a block whose combined k-gram count
+            # is < w can still hold several short docs, and each needs
+            # its own fingerprint (same per-doc rule as the short tail
+            # of the n >= w branch)
+            sel_list = []
+            for r in np.unique(row):               # short tail only
+                idx = np.flatnonzero(row == r)
+                sub = h[idx]
+                sel_list.append(
+                    idx[len(sub) - 1 - int(np.argmin(sub[::-1]))])
+            sel_pos = np.asarray(sel_list, np.int64)
             sel_row = row[sel_pos]
         else:
             # window minima over w shifted slices (vectorized in w)

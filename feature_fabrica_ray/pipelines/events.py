@@ -330,27 +330,48 @@ def time_rolling_agg(ds, ts_col: str, key_col: str, value_col: str,
     peer group, both boundaries inclusive).
 
     Same physical shape (and same Zipf-hot-key bound) as
-    ``cumulative_agg``: hash-partition on the key, then per group one
-    sort + two vectorized ``searchsorted`` calls find each row's window
+    ``cumulative_agg``: one uniform key-hash BUCKET shuffle
+    (``bucketed_by_key``, NOT one Python call per key), then inside each
+    bucket a per-key-SEGMENT loop — one global cumsum plus two
+    ``searchsorted`` calls per key find each row's window
     [first ts >= t - span, last peer of t] and a prefix-sum difference
-    evaluates it — O(n log n) per group, no per-row Python. Returns a
-    Dataset with ``tsum`` (float64) and ``tcnt`` (int64) appended."""
+    evaluates it — O(n log n) per bucket, no per-row Python, no per-key
+    Ray round-trip (the ``pit_window_join`` segment pattern,
+    asof.py). Returns a Dataset with ``tsum`` (float64) and ``tcnt``
+    (int64) appended."""
     if span_s < 0:
         raise ValueError(f"span_s must be >= 0, got {span_s}")
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(ts_col, kind="mergesort")
-        t = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # factorize gives null keys one code (SQL PARTITION BY: nulls
+        # form a single peer partition, matching the old per-key form)
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        t_all = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        order = np.lexsort((t_all, codes))
+        df = df.iloc[order]
+        codes = codes[order]
+        t = t_all[order]
         v = df[value_col].to_numpy(dtype=np.float64)
+        n = len(df)
         span = np.int64(span_s) * 1_000_000
-        lo = np.searchsorted(t, t - span, side="left")
-        hi = np.searchsorted(t, t, side="right")
-        cv = np.concatenate(([0.0], np.cumsum(v)))
-        return df.assign(tsum=cv[hi] - cv[lo],
-                         tcnt=(hi - lo).astype(np.int64))
+        tsum = np.empty(n, np.float64)
+        tcnt = np.empty(n, np.int64)
+        if n:
+            change = np.empty(n, bool)
+            change[0] = True
+            change[1:] = codes[1:] != codes[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            cv = np.concatenate(([0.0], np.cumsum(v)))
+            for s, e in zip(starts, ends):
+                tt = t[s:e]
+                lo = s + np.searchsorted(tt, tt - span, side="left")
+                hi = s + np.searchsorted(tt, tt, side="right")
+                tsum[s:e] = cv[hi] - cv[lo]
+                tcnt[s:e] = hi - lo
+        return df.assign(tsum=tsum, tcnt=tcnt)
 
-    return ds.groupby(key_col, num_partitions=shuffle_partitions()) \
-        .map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(ds, key_col, per_bucket)
 
 
 def rank_ntile(ds, key_col: str, value_col: str, order_col: str,

@@ -23,7 +23,8 @@ import pyarrow as pa
 
 __all__ = ["group_quantiles", "rank_normalize", "equidepth_buckets",
            "group_mad", "group_trimmed_mean", "lorenz_deciles",
-           "spearman_corr", "kendall_tau", "mann_kendall", "mad_outliers",
+           "spearman_corr", "spearman_corr_approx", "kendall_tau",
+           "kendall_tau_approx", "mann_kendall", "mad_outliers",
            "cusum_changepoint", "volume_peaks", "theil_sen_slope",
            "robust_scale"]
 
@@ -209,8 +210,14 @@ def equidepth_buckets(ds, col: str, k: int = 8,
     return ds.map_batches(stamp, batch_format="pyarrow", batch_size=None)
 
 
+class _DomainTooLarge(ValueError):
+    """Value domain exceeds the broadcast guard (internal dispatch)."""
+
+
 def spearman_corr(ds, x_col: str, y_col: str,
-                  max_distinct_broadcast: int = 5_000_000) -> pd.DataFrame:
+                  max_distinct_broadcast: int = 5_000_000,
+                  exact: bool = False,
+                  delta: float = 500.0) -> pd.DataFrame:
     """Exact Spearman rank correlation between two columns — Pearson
     over the AVERAGE ranks (standard tie handling), the monotone-
     association profiler that Pearson's linearity assumption breaks
@@ -224,9 +231,15 @@ def spearman_corr(ds, x_col: str, y_col: str,
     no sort, no raw-row shuffle. The broadcast bound is the value
     domain: bounded-domain metrics (lengths, counts, scores, grades)
     fit by construction; genuinely continuous columns past
-    ``max_distinct_broadcast`` raise — rank them with the t-digest
-    sketch path instead. Returns one row (n, spearman_rho),
-    rho unrounded."""
+    ``max_distinct_broadcast`` DEGRADE to the t-digest sketch path
+    (``spearman_corr_approx`` — approximate fractional ranks from a
+    merged sketch of ~``delta`` centroids per column, loudly via
+    ``warnings.warn`` so exactness loss is observable), or raise when
+    ``exact=True``. The guard itself is decided from materialized
+    block metadata — the distinct-value table is never collected past
+    the bound. Returns one row (n, spearman_rho), rho unrounded."""
+    import warnings
+
     import pyarrow.compute as pc
     import ray
 
@@ -254,15 +267,17 @@ def spearman_corr(ds, x_col: str, y_col: str,
             return pa.table({"v": g.column(col),
                              "cnt": g.column("count_all").cast(pa.int64())})
 
-        merged = (pairs.map_batches(partial, batch_format="pyarrow",
-                                    batch_size=None)
-                  .groupby("v", num_partitions=shuffle_partitions())
-                  .sum("cnt").to_pandas())
-        if len(merged) > max_distinct_broadcast:
-            raise ValueError(
-                f"{len(merged)} distinct {col} values — too many to "
+        merged_ds = (pairs.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=None)
+                     .groupby("v", num_partitions=shuffle_partitions())
+                     .sum("cnt").materialize())
+        n_distinct = merged_ds.count()   # metadata — nothing collected
+        if n_distinct > max_distinct_broadcast:
+            raise _DomainTooLarge(
+                f"{n_distinct} distinct {col} values — too many to "
                 f"broadcast; rank continuous domains via the t-digest "
                 f"sketch path")
+        merged = merged_ds.to_pandas()
         if merged.empty:
             return np.zeros(0), np.zeros(0)
         merged = merged.sort_values("v")
@@ -271,8 +286,17 @@ def spearman_corr(ds, x_col: str, y_col: str,
         below = np.concatenate([[0.0], np.cumsum(cnts)[:-1]])
         return vals, below + (cnts + 1.0) / 2.0
 
-    xv, xr = avg_rank_fit("x")
-    yv, yr = avg_rank_fit("y")
+    try:
+        xv, xr = avg_rank_fit("x")
+        yv, yr = avg_rank_fit("y")
+    except _DomainTooLarge as ex:
+        if exact:
+            raise ValueError(str(ex)) from None
+        warnings.warn(
+            f"spearman_corr: {ex}; degrading to the approximate "
+            f"t-digest rank path (pass exact=True to forbid)",
+            RuntimeWarning, stacklevel=2)
+        return _spearman_tdigest(pairs, delta)
     if xv.size == 0 or yv.size == 0:
         return pd.DataFrame({"n": np.array([0], np.int64),
                              "spearman_rho": [np.nan]})
@@ -301,6 +325,149 @@ def spearman_corr(ds, x_col: str, y_col: str,
     rho = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else np.nan
     return pd.DataFrame({"n": np.array([n], np.int64),
                          "spearman_rho": [float(rho)]})
+
+
+def _clean_pairs(ds, x_col: str, y_col: str):
+    """Null/NaN-free (x, y) float64 pair Dataset (pairwise-complete)."""
+    import pyarrow.compute as pc
+
+    def pairs_only(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).cast(pa.float64())
+        y = batch.column(y_col).cast(pa.float64())
+        t = pa.table({"x": x, "y": y})
+        ok = pc.and_(
+            pc.and_(pc.is_valid(x), pc.is_valid(y)),
+            pc.invert(pc.or_(pc.is_nan(pc.fill_null(x, 0.0)),
+                             pc.is_nan(pc.fill_null(y, 0.0)))))
+        return t.filter(ok)
+
+    return ds.map_batches(pairs_only, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def _fit_pair_digests(pairs, delta: float):
+    """Merged per-column t-digests over a clean (x, y) pair Dataset:
+    one per-block sketch partial (two ~delta-centroid blobs per block,
+    KBs), driver merge of the blobs — raw values never leave the
+    blocks."""
+    from ..state import TDigest
+
+    def digest_partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "dx": pa.array([TDigest.from_array(x, delta).to_bytes()],
+                           pa.binary()),
+            "dy": pa.array([TDigest.from_array(y, delta).to_bytes()],
+                           pa.binary())})
+
+    sk = pairs.map_batches(digest_partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if sk.empty or "dx" not in sk.columns:   # zero input blocks
+        return TDigest(delta), TDigest(delta)
+    return (TDigest.merge_bytes(list(sk["dx"])),
+            TDigest.merge_bytes(list(sk["dy"])))
+
+
+def _spearman_tdigest(pairs, delta: float) -> pd.DataFrame:
+    """Approximate Spearman over t-digest fractional ranks: rank(x) is
+    replaced by the merged sketch's CDF estimate (monotone up to sketch
+    resolution), then the same streaming six-moment Pearson fold as the
+    exact path. Error is bounded by the digest's quantile resolution
+    (~1/delta at the median, tighter at the tails) — the scale escape
+    for continuous domains whose distinct-value table cannot broadcast.
+    ``pairs`` must already be null/NaN-free float64 (x, y)."""
+    import ray
+
+    from ..state import TDigest
+
+    dx, dy = _fit_pair_digests(pairs, delta)
+    if dx.count == 0 or dy.count == 0:
+        return pd.DataFrame({"n": np.array([0], np.int64),
+                             "spearman_rho": [np.nan]})
+    ref = ray.put((dx.to_bytes(), dy.to_bytes()))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        bx, by = ray.get(ref)
+        dgx, dgy = TDigest.from_bytes(bx), TDigest.from_bytes(by)
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        rx = dgx.cdf(x)
+        ry = dgy.cdf(y)
+        return pa.table({
+            "n": pa.array([len(rx)], pa.int64()),
+            "sx": pa.array([float(rx.sum())]),
+            "sy": pa.array([float(ry.sum())]),
+            "sxx": pa.array([float((rx * rx).sum())]),
+            "syy": pa.array([float((ry * ry).sum())]),
+            "sxy": pa.array([float((rx * ry).sum())])})
+
+    m = pairs.map_batches(moments, batch_format="pyarrow",
+                          batch_size=None).to_pandas().sum()
+    n = int(m["n"])
+    if n == 0:
+        return pd.DataFrame({"n": np.array([0], np.int64),
+                             "spearman_rho": [np.nan]})
+    cov = m["sxy"] - m["sx"] * m["sy"] / n
+    vx = m["sxx"] - m["sx"] ** 2 / n
+    vy = m["syy"] - m["sy"] ** 2 / n
+    rho = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else np.nan
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "spearman_rho": [float(rho)]})
+
+
+def spearman_corr_approx(ds, x_col: str, y_col: str,
+                         delta: float = 500.0) -> pd.DataFrame:
+    """Approximate Spearman for CONTINUOUS high-cardinality domains —
+    the documented t-digest scale path ``spearman_corr`` degrades to
+    past its broadcast guard, callable directly when the domain is
+    known to be continuous (skips the distinct-value fit entirely).
+
+    Scale shape: one per-block sketch partial (two ~``delta``-centroid
+    blobs per block), a KB-sized driver merge, the merged digests
+    broadcast once, then the same streaming six-moment fold as the
+    exact path — no sort, no shuffle, no distinct-value table at any
+    cardinality. Returns one row (n, spearman_rho)."""
+    return _spearman_tdigest(_clean_pairs(ds, x_col, y_col).materialize(),
+                             delta)
+
+
+def kendall_tau_approx(ds, x_col: str, y_col: str, bins: int = 512,
+                       delta: float = 500.0) -> pd.DataFrame:
+    """Approximate Kendall tau-b for CONTINUOUS domains: quantize each
+    side to its t-digest quantile bin (an equidepth, monotone mapping —
+    concordance is preserved except for pairs collapsed into the same
+    bin, which the tau-b tie correction absorbs), then run the exact
+    joint-histogram tau over the bounded ``bins`` x ``bins`` domain.
+    The scale escape for domains past ``kendall_tau``'s joint-cell
+    guard: the quantized joint histogram has at most ``bins``² cells
+    regardless of input cardinality."""
+    import ray
+
+    from ..state import TDigest
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    pairs = _clean_pairs(ds, x_col, y_col).materialize()
+    dx, dy = _fit_pair_digests(pairs, delta)
+    if dx.count == 0 or dy.count == 0:
+        return pd.DataFrame({"n": np.array([0], np.int64),
+                             "kendall_tau": [np.nan]})
+    ref = ray.put((dx.to_bytes(), dy.to_bytes()))
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        bx, by = ray.get(ref)
+        dgx, dgy = TDigest.from_bytes(bx), TDigest.from_bytes(by)
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        qx = np.minimum((dgx.cdf(x) * bins).astype(np.int64), bins - 1)
+        qy = np.minimum((dgy.cdf(y) * bins).astype(np.int64), bins - 1)
+        return pa.table({"x": pa.array(qx.astype(np.float64)),
+                         "y": pa.array(qy.astype(np.float64))})
+
+    binned = pairs.map_batches(quantize, batch_format="pyarrow",
+                               batch_size=None)
+    return kendall_tau(binned, "x", "y")
 
 
 def kendall_tau(ds, x_col: str, y_col: str,
@@ -333,14 +500,17 @@ def kendall_tau(ds, x_col: str, y_col: str,
         return pa.table({"x": g.column("x"), "y": g.column("y"),
                          "cnt": g.column("count_all").cast(pa.int64())})
 
-    cells = (ds.map_batches(partial, batch_format="pyarrow",
-                            batch_size=None)
-             .groupby(["x", "y"], num_partitions=shuffle_partitions())
-             .sum("cnt").to_pandas())
-    if len(cells) > max_cells_broadcast:
+    cells_ds = (ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+                .groupby(["x", "y"], num_partitions=shuffle_partitions())
+                .sum("cnt").materialize())
+    n_cells = cells_ds.count()    # materialized metadata — the guard is
+    if n_cells > max_cells_broadcast:   # decided before any collect
         raise ValueError(
-            f"{len(cells)} joint histogram cells — domain too large; "
-            f"quantize or use spearman_corr's rank path")
+            f"{n_cells} joint histogram cells — domain too large; "
+            f"use kendall_tau_approx (t-digest quantile bins) or "
+            f"spearman_corr's rank path")
+    cells = cells_ds.to_pandas()
     if cells.empty:
         return pd.DataFrame({"n": np.array([0], np.int64),
                              "kendall_tau": [np.nan]})
@@ -839,7 +1009,9 @@ def mad_outliers(ds, col: str, id_cols: list[str], k: float = 3.5,
     (Iglewicz-Hoaglin): |0.6745·(x − median) / MAD| > ``k`` — the
     MAD-based dual of the mean/std and IQR fences whose cutoff
     outliers themselves cannot inflate. NULL values are never
-    outliers; degenerate MAD = 0 flags nothing (every x == median).
+    outliers; degenerate MAD = 0 (whenever >= 50% of values tie on the
+    median) flags nothing — the modified z-score is undefined (±inf)
+    there, so no row can clear a finite fence.
 
     Two streaming phases, no raw-row shuffle: the value-histogram
     combiner fits the exact interpolated median and MAD (distinct
@@ -882,7 +1054,10 @@ def mad_outliers(ds, col: str, id_cols: list[str], k: float = 3.5,
         with np.errstate(invalid="ignore", divide="ignore"):
             mz = 0.6745 * (x - med) / mad
         keep = np.abs(mz) > k
-        keep &= ~np.isnan(mz)
+        # degenerate MAD == 0 makes mz = ±inf for any x != median (when
+        # >=50% of values tie on the median); the documented contract is
+        # that a zero-MAD column flags NOTHING, so drop non-finite mz
+        keep &= np.isfinite(mz)
         mz = np.floor(np.abs(mz) * 1e6 + 0.5) / 1e6 * np.sign(mz)
         out = batch.select(id_cols + [col])             .append_column("mz", pa.array(mz, pa.float64()))
         return out.filter(pa.array(keep.astype(bool)))
@@ -986,10 +1161,13 @@ def volume_peaks(ds, ts_col: str, *, freq: str = "day",
 def theil_sen_slope(ds, ts_col: str, *, freq: str = "day",
                     max_points: int = 2_000) -> pd.DataFrame:
     """Theil-Sen estimator on the event-volume series: the MEDIAN of
-    all pairwise slopes (Δcount / Δdays) over exact per-bucket counts
+    all pairwise slopes (Δcount / Δ``freq``-buckets, i.e. slope is per
+    BUCKET of the chosen ``freq``) over exact per-bucket counts
     — the robust trend magnitude that a few burst days cannot drag
     (pairs with ``mann_kendall`` for direction, ``cusum_changepoint``
-    for level shifts on the same integer series).
+    for level shifts on the same integer series). Only fixed-duration
+    ``freq`` values are accepted (microsecond..week) — calendar units
+    (month/quarter/year) have no constant Δt and raise.
 
     Same combiner shape: per-block (bucket, count) partials, tiny
     keyed merge; the pairwise slope matrix is driver-side on the
@@ -1021,7 +1199,19 @@ def theil_sen_slope(ds, ts_col: str, *, freq: str = "day",
                              "slope": [np.nan],
                              "n_pairs": np.array([0], np.int64)})
     x = merged["sum(c)"].to_numpy(np.int64).astype(np.float64)
-    days = merged["b"].to_numpy().astype("datetime64[D]").astype(np.int64)         .astype(np.float64)
+    # time axis in BUCKET units, not hard-coded days: sub-daily freqs
+    # truncated to datetime64[D] would give Δt = 0 for same-day pairs
+    # (inf/NaN slopes corrupting the median)
+    freq_us = {"microsecond": 1, "millisecond": 1_000,
+               "second": 1_000_000, "minute": 60_000_000,
+               "hour": 3_600_000_000, "day": 86_400_000_000,
+               "week": 7 * 86_400_000_000}.get(freq)
+    if freq_us is None:
+        raise ValueError(
+            f"theil_sen_slope: freq {freq!r} has no fixed duration — "
+            f"use microsecond/millisecond/second/minute/hour/day/week")
+    us = merged["b"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    days = ((us - us[0]) // freq_us).astype(np.float64)
     dx = x[None, :] - x[:, None]
     dd = days[None, :] - days[:, None]
     iu = np.triu_indices(n, 1)

@@ -173,27 +173,36 @@ def golden_record(ds, key_cols: list[str], order_col: str,
     entity-resolution merge step after duplicate detection; plain
     keep-one dedup would throw away a newer row's only-filled field.
 
-    One hash-partitioned ``groupby(key).map_groups`` with a vectorized
-    column-wise first-valid pass per group (ties in ``order_col``
-    break by the remaining columns for determinism). Returns a Dataset
-    with key_cols + value_cols, one row per distinct key."""
-    from ..tuning import shuffle_partitions
+    One uniform key-hash BUCKET shuffle (``events.bucketed_by_key`` on
+    a combined null-safe key), then inside each bucket ONE stable sort
+    by (key, order desc, values asc) + pandas' Cython
+    ``groupby(...).first()`` (first NON-NULL per column, vectorized
+    across ALL the bucket's keys) — entity resolution is exactly the
+    high-cardinality-key workload where one Python call per key would
+    be interpreter-bound; here Python cost is one call per bucket.
+    Ties in ``order_col`` break by the remaining columns for
+    determinism. Returns a Dataset with key_cols + value_cols, one row
+    per distinct key."""
+    from .events import bucketed_by_key
+    from .grouped import _restore_null_keys, _with_shuffle_key_multi
 
-    def per_key(df: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
+    cols = list(dict.fromkeys(key_cols + [order_col] + value_cols))
 
-        rows = df.sort_values([order_col] + value_cols,
-                              ascending=[not descending]
-                              + [True] * len(value_cols),
-                              kind="mergesort")
-        out = {k: [rows[k].iloc[0]] for k in key_cols}
-        for c in value_cols:
-            nn = rows[c].dropna()
-            out[c] = [nn.iloc[0] if len(nn) else None]
-        return pd.DataFrame(out)
+    def project(b: pa.Table) -> pa.Table:
+        return _with_shuffle_key_multi(b.select(cols), key_cols)
 
-    cols = key_cols + [order_col] + value_cols
-    return (ds.map_batches(lambda b, c=tuple(cols): b.select(list(c)),
-                           batch_format="pyarrow", batch_size=None)
-            .groupby(key_cols, num_partitions=shuffle_partitions())
-            .map_groups(per_key, batch_format="pandas"))
+    pre = ds.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        rows = df.drop(columns="__gkey").sort_values(
+            key_cols + [order_col] + value_cols,
+            ascending=[True] * len(key_cols) + [not descending]
+            + [True] * len(value_cols),
+            kind="mergesort")
+        # rows of a key are contiguous and priority-ordered, so
+        # groupby.first() == first non-null per column per key
+        out = rows.groupby(key_cols, sort=False, dropna=False)[
+            value_cols].first().reset_index()
+        return _restore_null_keys(out, key_cols)[key_cols + value_cols]
+
+    return bucketed_by_key(pre, "__gkey", per_bucket)

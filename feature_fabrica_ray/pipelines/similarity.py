@@ -689,6 +689,14 @@ def knn_graph(ds, k: int = 10, vec_col: str = "embedding",
     # (parquet sources answer count() from metadata)
     n_total = ds.count()
     if n_total is not None and n_total > max_broadcast_rows:
+        import warnings
+        warnings.warn(
+            f"knn_graph: corpus has {n_total} rows > max_broadcast_rows"
+            f"={max_broadcast_rows}; dispatching to the APPROXIMATE "
+            f"IVF-sharded path (knn_graph_sharded) — recall is no "
+            f"longer exact. Raise max_broadcast_rows to keep the exact "
+            f"contract, or call knn_graph_sharded directly to silence.",
+            RuntimeWarning, stacklevel=2)
         return knn_graph_sharded(ds, k=k, vec_col=vec_col,
                                  id_col=id_col).to_pandas() \
             .sort_values(["src_id", "rank"], kind="mergesort") \

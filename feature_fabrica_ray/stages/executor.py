@@ -339,15 +339,28 @@ class FeatureEngine:
                     ds = res
                     broadcast_done = True
             if not broadcast_done:
-                def per_group(df: pd.DataFrame, gr=gr, tmp_in=tmp_in,
-                              tmp_out=tmp_out) -> pd.DataFrame:
+                # holistic (median/mode/concat) or past-the-guard
+                # algebraic reduces: one uniform key-hash BUCKET shuffle
+                # (events.bucketed_by_key), never one Python/Ray call per
+                # key — each bucket resolves ALL its keys in one call;
+                # the common aggs use pandas' Cython transform kernels
+                from ..pipelines.events import bucketed_by_key
+
+                cython = {"sum": "sum", "mean": "mean", "min": "min",
+                          "max": "max", "median": "median",
+                          "count": "size"}.get(gr.agg)
+
+                def per_bucket(df: pd.DataFrame, gr=gr, key_col=key_col,
+                               tmp_in=tmp_in, tmp_out=tmp_out,
+                               cython=cython) -> pd.DataFrame:
                     df = df.copy()
-                    df[tmp_out] = gr.reduce_group(df[tmp_in])
+                    g = df.groupby(key_col, sort=False,
+                                   dropna=False)[tmp_in]
+                    df[tmp_out] = g.transform(cython if cython is not None
+                                              else gr.reduce_group)
                     return df
 
-                from ..tuning import shuffle_partitions
-                ds = ds.groupby(key_col, num_partitions=shuffle_partitions()) \
-                       .map_groups(per_group, batch_format="pandas")
+                ds = bucketed_by_key(ds, key_col, per_bucket)
             # drop the temp input AND strip pandas schema metadata that the
             # pandas map_groups round trip attaches (keeps schemas hashable
             # for Ray's block-schema dedup)

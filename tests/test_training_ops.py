@@ -1645,7 +1645,58 @@ def test_spearman_corr(ray_session):
     assert empty["n"].iloc[0] == 0 and pd.isna(empty["spearman_rho"].iloc[0])
 
     with pytest.raises(ValueError, match="distinct"):
-        spearman_corr(_ds(mono), "x", "y", max_distinct_broadcast=10)
+        spearman_corr(_ds(mono), "x", "y", max_distinct_broadcast=10,
+                      exact=True)
+    # past the guard WITHOUT exact=True: loud degrade to the t-digest
+    # path, monotone pair still reads ~1
+    with pytest.warns(RuntimeWarning, match="t-digest"):
+        deg = spearman_corr(_ds(mono, blocks=3), "x", "y",
+                            max_distinct_broadcast=10)
+    assert deg["n"].iloc[0] == 50
+    assert deg["spearman_rho"].iloc[0] == pytest.approx(1.0, abs=0.05)
+
+
+def test_spearman_kendall_approx(ray_session):
+    """The t-digest scale path for continuous high-cardinality domains
+    (every value distinct — the domain the exact broadcast path is
+    guarded against): spearman_corr_approx tracks the exact average-rank
+    Spearman and kendall_tau_approx tracks the exact tau-b within the
+    sketch/binning resolution; both are layout-invariant given the
+    deterministic per-block sketch merge order."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from feature_fabrica_ray.pipelines import (kendall_tau,
+                                               kendall_tau_approx,
+                                               spearman_corr_approx)
+
+    rng = np.random.default_rng(77)
+    n = 20_000
+    x = rng.normal(0, 1, n)
+    y = 0.7 * x + rng.normal(0, 0.7, n)
+    df = pd.DataFrame({"x": x, "y": y})
+
+    exact_rho = df["x"].rank(method="average") \
+        .corr(df["y"].rank(method="average"))
+    got = spearman_corr_approx(_ds(df, blocks=4), "x", "y")
+    assert got["n"].iloc[0] == n
+    assert got["spearman_rho"].iloc[0] == pytest.approx(exact_rho,
+                                                        abs=0.01)
+
+    # exact kendall still works here (occupancy n << cell guard) — the
+    # approx path must land within the quantile-bin resolution of it
+    exact_tau = kendall_tau(_ds(df, blocks=4), "x", "y")
+    approx_tau = kendall_tau_approx(_ds(df, blocks=4), "x", "y",
+                                    bins=256)
+    assert approx_tau["n"].iloc[0] == n
+    assert approx_tau["kendall_tau"].iloc[0] == pytest.approx(
+        exact_tau["kendall_tau"].iloc[0], abs=0.02)
+
+    # empty input degrades to (0, NaN), no raise
+    empty = spearman_corr_approx(
+        _ds(pd.DataFrame({"x": [np.nan], "y": [1.0]})), "x", "y")
+    assert empty["n"].iloc[0] == 0
+    assert pd.isna(empty["spearman_rho"].iloc[0])
 
 
 def test_partial_corr(ray_session):
@@ -5819,11 +5870,13 @@ def test_jsd_segments_properties(ray_session):
 
 
 def test_mad_outliers_reference(ray_session):
-    """MAD fences match the closed form on a planted-outlier series;
-    NULLs never flag; degenerate MAD=0 flags nothing."""
+    """MAD fences match the closed form on a planted-outlier series
+    (MAD > 0); NULLs never flag; degenerate MAD=0 flags nothing — BOTH
+    when every value ties on the median and when only >=50% do (the
+    mz = ±inf case the finite-guard exists for)."""
     from feature_fabrica_ray.pipelines import mad_outliers
 
-    base = np.array([10.0] * 20 + [11, 9, 12, 8, 10.5, 9.5, 1000.0,
+    base = np.array([10.0] * 8 + [11, 9, 12, 8, 10.5, 9.5, 1000.0,
                      -500.0])
     df = pd.DataFrame({"event_id": np.arange(base.size, dtype=np.int64),
                        "value": base})
@@ -5832,6 +5885,7 @@ def test_mad_outliers_reference(ray_session):
                        k=3.5).to_pandas().sort_values("event_id")
     med = np.nanmedian(df["value"])
     mad = np.nanmedian(np.abs(df["value"] - med))
+    assert mad > 0
     mz = 0.6745 * (df["value"] - med) / mad
     exp = df[(np.abs(mz) > 3.5) & df["value"].notna()]
     assert sorted(out["event_id"]) == sorted(exp["event_id"])
@@ -5841,6 +5895,15 @@ def test_mad_outliers_reference(ray_session):
                           "value": np.full(5, 7.0)})
     r = mad_outliers(_ds(const), "value", ["event_id"]).to_pandas()
     assert len(r) == 0
+
+    # MAD == 0 with values != median (>=50% tie on the median): mz is
+    # ±inf there — the documented contract flags NOTHING, not everything
+    half = pd.DataFrame({"event_id": np.arange(10, dtype=np.int64),
+                         "value": np.array([7.0] * 6
+                                           + [1.0, 2.0, 3.0, 100.0])})
+    r2 = mad_outliers(_ds(half, blocks=2), "value",
+                      ["event_id"]).to_pandas()
+    assert len(r2) == 0
 
 
 def test_zonemap_stats_skip_rate(ray_session):
@@ -6039,3 +6102,97 @@ def test_winnowing_copy_detection(ray_session):
     a = set(fps[fps["doc_id"] == 0]["fp"])
     b = set(fps[fps["doc_id"] == 3]["fp"])
     assert a == b                   # identical docs -> identical prints
+
+
+def test_golden_record_bucketed_shape(ray_session, monkeypatch):
+    """golden_record runs through events.bucketed_by_key on the
+    combined null-safe key (one Python call per hash bucket, never one
+    map_groups call per entity key): the spy proves the route, and a
+    5000-key frame resolves to exactly one survivor row per key with
+    per-column first-non-null survivorship intact."""
+    from feature_fabrica_ray.pipelines import events, setops
+
+    captured = {}
+    real = events.bucketed_by_key
+
+    def spy(ds, key_col, per_bucket, n_buckets=None):
+        captured["key_col"] = key_col
+        return real(ds, key_col, per_bucket, n_buckets)
+
+    monkeypatch.setattr(events, "bucketed_by_key", spy)
+
+    rng = np.random.default_rng(41)
+    n_keys = 5000
+    k = np.repeat(np.arange(n_keys, dtype=np.int64), 2)
+    prio = np.tile(np.array([2, 1], np.int64), n_keys)
+    email = np.where(np.arange(2 * n_keys) % 2 == 0, None, "low@x")
+    out = setops.golden_record(
+        _ds(pd.DataFrame({"k": k, "prio": prio, "email": email}),
+            blocks=4), ["k"], "prio", ["email"]).to_pandas()
+    assert captured["key_col"] == "__gkey"
+    assert len(out) == n_keys
+    # high-prio row's email is null everywhere -> survivor must fall
+    # through to the low-prio row's value for every key
+    assert (out["email"] == "low@x").all()
+
+
+def test_winnowing_short_block_multi_doc(ray_session):
+    """A block whose COMBINED k-gram count is < w but holds several
+    short docs gives every doc its own fingerprint (the n < w branch
+    must apply the per-doc rightmost-min rule, not one global min)."""
+    from feature_fabrica_ray.pipelines import winnowing_fingerprints
+
+    # k=8 -> an 8-char doc has exactly 1 k-gram; two docs -> n=2 < w=4
+    df = pd.DataFrame({"doc_id": np.array([1, 2], np.int64),
+                       "text": ["abcdefgh", "zyxwvuts"]})
+    out = winnowing_fingerprints(_ds(df, blocks=1), "text", "doc_id",
+                                 k=8, w=4).to_pandas()
+    assert sorted(out["doc_id"].unique()) == [1, 2]
+    assert len(out) == 2
+    # and the fingerprints differ (different content)
+    assert out.groupby("doc_id")["fp"].first().nunique() == 2
+
+
+def test_minicodec_png_filters_1_3_4():
+    """_decode_png reconstructs rows filtered with Sub/Up/Average/Paeth
+    (the vectorized unfilter paths) bit-exactly: a PNG is hand-built
+    with one filter type per row from the scalar PNG-spec ENCODE
+    direction, then decoded and compared to the source pixels."""
+    import struct
+    import zlib
+
+    from feature_fabrica_ray.pipelines._minicodec import (_chunk,
+                                                          _decode_png)
+
+    rng = np.random.default_rng(99)
+    h, w, ch = 8, 13, 3
+    px = rng.integers(0, 256, (h, w * ch), dtype=np.int64)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        if pa_ <= pb_ and pa_ <= pc_:
+            return a
+        return b if pb_ <= pc_ else c
+
+    filters = [0, 1, 2, 3, 4, 1, 3, 4]       # every type, repeated
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y]
+        raw.append(f)
+        for i in range(w * ch):
+            a = px[y, i - ch] if i >= ch else 0
+            b = px[y - 1, i] if y > 0 else 0
+            c = px[y - 1, i - ch] if (y > 0 and i >= ch) else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2,
+                    4: paeth(a, b, c)}[f]
+            raw.append((px[y, i] - pred) & 0xFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)   # RGB
+    png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + _chunk(b"IEND", b""))
+    img = _decode_png(png)
+    assert img.mode == "RGB"
+    assert np.array_equal(np.asarray(img.arr, np.int64),
+                          px.reshape(h, w, ch))

@@ -86,20 +86,24 @@ def main() -> int:
             print(f"FAIL {name}: cols {list(got.columns)} != {list(exp.columns)}")
             failures += 1
             continue
-        # dtype-KIND parity before canon's normalizing casts: OUR int64
-        # column drifting to float64 (pandas null upcast through a bucket
-        # stage) hashes differently in the driver even when values are
-        # bit-identical (the jn_asof r2 red row). The REVERSE direction
-        # (got int, oracle float) is a DuckDB fetchdf artifact — nullable
-        # BIGINT comes back float64 — and is proven harmless in the
-        # driver, so only the our-side-float direction fails.
-        kinds_got = {c: raw_got[c].dtype.kind for c in raw_got.columns}
-        kinds_exp = {c: raw_exp[c].dtype.kind for c in raw_exp.columns}
+        # dtype-KIND parity before canon's normalizing casts, BOTH
+        # directions: the driver hashes stringified values, so an int64
+        # column on one side and float64 on the other ("512" vs "512.0")
+        # hash-mismatch even when numerically identical.  Round 2 proved
+        # the ours-float direction red (jn_asof); round 4 disproved the
+        # "oracle-side float is harmless" carve-out (sp_pack/tp_curate:
+        # DuckDB window sum() returns HUGEINT, fetchdf -> float64).  Any
+        # kind divergence now fails, so local green implies driver green;
+        # fix the oracle SQL with explicit CASTs, never this gate.
+        def _kind(k: str) -> str:
+            return {"i": "int", "u": "int", "f": "float",
+                    "b": "bool"}.get(k, "obj")
+        kinds_got = {c: _kind(raw_got[c].dtype.kind) for c in raw_got.columns}
+        kinds_exp = {c: _kind(raw_exp[c].dtype.kind) for c in raw_exp.columns}
         drift = {c: (kinds_got[c], kinds_exp[c]) for c in kinds_got
-                 if kinds_got[c] == "f" and kinds_exp[c] in ("i", "u", "b")}
+                 if kinds_got[c] != kinds_exp[c]}
         if drift:
-            print(f"FAIL {name}: dtype kind drift (ours float, oracle "
-                  f"int/bool) {drift}")
+            print(f"FAIL {name}: dtype kind drift (ours, oracle) {drift}")
             failures += 1
             continue
         eq = True
