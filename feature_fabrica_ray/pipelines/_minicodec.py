@@ -105,10 +105,15 @@ class MiniImage:
             return _decode_png(data)
         if data[:2] == b"BM":
             return _decode_bmp(data)
+        if data[:2] == b"\xFF\xD8":
+            from ._minijpeg import decode_jpeg
+
+            arr, mode = decode_jpeg(data)
+            return cls(arr, mode)
         raise ValueError(
-            "minicodec: unsupported image format (only PNG and 24-bit "
-            "BMP are decodable without PIL) — install pillow for "
-            "JPEG/GIF/&c.")
+            "minicodec: unsupported image format (only PNG, 24-bit "
+            "BMP and baseline JPEG are decodable without PIL) — "
+            "install pillow for GIF/progressive-JPEG/&c.")
 
     # -- PIL-compatible surface ----------------------------------------
     @property
@@ -140,12 +145,16 @@ class MiniImage:
             for c in range(self.arr.shape[2])]
         return MiniImage(np.stack(chans, axis=2), self.mode)
 
-    def save(self, fp, format: str = "PNG") -> None:
+    def save(self, fp, format: str = "PNG", quality: int = 75) -> None:
         fmt = format.upper()
         if fmt == "PNG":
             fp.write(_encode_png(self.arr))
         elif fmt == "BMP":
             fp.write(_encode_bmp(self.arr))
+        elif fmt in ("JPEG", "JPG"):
+            from ._minijpeg import encode_jpeg
+
+            fp.write(encode_jpeg(self.arr, quality=quality))
         else:
             raise ValueError(f"minicodec: unsupported save format {format!r}")
 

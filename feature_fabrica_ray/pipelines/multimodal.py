@@ -4,10 +4,12 @@ decode / feature-extract / resize / frame-sample as ACTOR-POOL
 
 The Ray-side plumbing is real and tested: schema, actor signature
 (state loaded once in ``__init__``, per-batch work in ``__call__``),
-byte-budgeted batch sizes, output layout. The actual image/audio codecs
-are not installed in this container, so the decode kernel is gated:
-``PIL``/``soundfile`` when importable, else a deterministic fake decoder
-(documented below) — NOT a silent no-op.
+byte-budgeted batch sizes, output layout. The decode kernel is gated:
+``PIL``/``soundfile`` when importable, else the pure-stdlib
+``_minicodec`` (real PNG / 24-bit BMP / baseline JPEG via
+``_minijpeg`` / PCM WAV decode; GIF / progressive JPEG / FLAC fail
+loud), else — for payloads with no real codec magic — a deterministic
+fake decoder (documented below). NOT a silent no-op anywhere.
 
 Fake-decode contract (deterministic, test-asserted): the payload's first
 8 bytes are a header ``u32 width, u32 height`` (little-endian); "pixels"
@@ -127,7 +129,8 @@ class DecodeImageFeatures:
             self._pil = Image
         except ImportError:
             # pure-stdlib PNG/BMP fallback — same Image surface;
-            # unsupported formats (JPEG/GIF) raise loud inside open()
+            # formats past the fallback (GIF, progressive JPEG)
+            # raise loud inside open()
             from ._minicodec import MiniImage
 
             self._pil = MiniImage
@@ -164,7 +167,8 @@ class DecodeImageFeatures:
         if real.any():
             # payloads carrying a real codec magic never fall through
             # to the fake-header parse; formats outside the decoder's
-            # reach (JPEG/GIF without PIL) raise loud inside open()
+            # reach (GIF / progressive JPEG without PIL) raise
+            # loud inside open()
             widths = np.zeros(n, np.int64)
             heights = np.zeros(n, np.int64)
             means = np.zeros(n, np.float64)

@@ -3486,8 +3486,9 @@ def test_real_codec_audio_decode(ray_session):
 
 def test_real_image_unsupported_format_raises(ray_session):
     """A payload carrying a real codec magic the installed decoder
-    cannot handle (JPEG without PIL) must fail LOUD, never fall
-    through to the fake-header parse (silent garbage width/height)."""
+    cannot handle (GIF without PIL — baseline JPEG now decodes via
+    _minijpeg) must fail LOUD, never fall through to the fake-header
+    parse (silent garbage width/height)."""
     from feature_fabrica_ray.pipelines import (DecodeImageFeatures,
                                                PHashImage)
 
@@ -3498,9 +3499,9 @@ def test_real_image_unsupported_format_raises(ray_session):
         pytest.skip("pillow installed — every real format decodes")
     except ImportError:
         pass
-    jpg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    gif_magic = b"GIF89a" + b"\x00" * 32
     t = pa.table({"media_id": pa.array([1], pa.int64()),
-                  "payload": pa.array([jpg_magic], pa.binary())})
+                  "payload": pa.array([gif_magic], pa.binary())})
     for cls in (DecodeImageFeatures, PHashImage):
         with pytest.raises(Exception) as ei:
             ray.data.from_arrow(t).map_batches(
@@ -6196,3 +6197,112 @@ def test_minicodec_png_filters_1_3_4():
     assert img.mode == "RGB"
     assert np.array_equal(np.asarray(img.arr, np.int64),
                           px.reshape(h, w, ch))
+
+
+def test_minijpeg_spec_bitstream_decode():
+    """The JPEG decoder reproduces a HAND-BUILT baseline bitstream from
+    the T.81 spec alone (no round-trip with our own encoder): one 8x8
+    grayscale block, quant table all ones, a 1-bit DC Huffman code for
+    size 7 followed by the 7 magnitude bits of coefficient 64, 1-bit
+    EOB — the DC-only IDCT gives 64/8 + 128 = a constant 136 plane."""
+    import struct
+
+    from feature_fabrica_ray.pipelines._minijpeg import decode_jpeg
+
+    def seg(marker, body):
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    jpg = b"\xFF\xD8"
+    jpg += seg(b"\xFF\xDB", b"\x00" + bytes([1] * 64))
+    jpg += seg(b"\xFF\xC0", struct.pack(">BHHB", 8, 8, 8, 1)
+               + bytes([1, 0x11, 0]))
+    jpg += seg(b"\xFF\xC4", bytes([0x00]) + bytes([1] + [0] * 15)
+               + bytes([7]))
+    jpg += seg(b"\xFF\xC4", bytes([0x10]) + bytes([1] + [0] * 15)
+               + bytes([0]))
+    jpg += seg(b"\xFF\xDA", bytes([1, 1, 0x00]) + b"\x00\x3F\x00")
+    jpg += bytes([0b01000000, 0b01111111])     # DC('0'+1000000) EOB('0')
+    jpg += b"\xFF\xD9"
+    arr, mode = decode_jpeg(jpg)
+    assert mode == "L" and arr.shape == (8, 8)
+    assert np.unique(arr).tolist() == [136]
+
+
+def test_minijpeg_roundtrip_and_guards():
+    """Baseline JPEG encode->decode round trip: constant images are
+    exact, a smooth gradient lands within quantization error at q95,
+    odd (non-multiple-of-8) sizes pad/crop correctly, and progressive
+    (SOF2) input fails loud with the profile named."""
+    from feature_fabrica_ray.pipelines._minijpeg import (decode_jpeg,
+                                                         encode_jpeg)
+
+    a = np.full((16, 24), 128, np.uint8)
+    arr, mode = decode_jpeg(encode_jpeg(a, 90))
+    assert mode == "L" and np.array_equal(arr, a)
+
+    h, w = 32, 48
+    g = np.zeros((h, w, 3), np.uint8)
+    g[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    g[:, :, 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    g[:, :, 2] = 77
+    arr, mode = decode_jpeg(encode_jpeg(g, 95))
+    assert mode == "RGB" and arr.shape == g.shape
+    assert np.abs(arr.astype(int) - g.astype(int)).max() <= 4
+
+    rng = np.random.default_rng(6)
+    o = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    arr, mode = decode_jpeg(encode_jpeg(o, 90))
+    assert arr.shape == (13, 21)
+
+    prog = bytearray(encode_jpeg(a, 75))
+    idx = bytes(prog).find(b"\xFF\xC0")
+    prog[idx + 1] = 0xC2                      # flip SOF0 -> SOF2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(prog))
+
+
+def test_real_codec_jpeg_decode(ray_session):
+    """DecodeImageFeatures / PHashImage on an actual baseline JPEG
+    payload (the majority real-world format): width/height are exact
+    and mean/entropy match the decoded-pixel reference; the JPEG's
+    dHash lands within hamming 6 of the lossless PNG of the same
+    pixels."""
+    import io
+
+    import pyarrow as pa
+
+    from feature_fabrica_ray.pipelines import (DecodeImageFeatures,
+                                               PHashImage)
+    from feature_fabrica_ray.pipelines._minicodec import MiniImage
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    px[:, :, 0] = np.linspace(0, 255, 40, dtype=np.uint8)[None, :]
+    img = MiniImage.fromarray(px, "RGB")
+    jpg_buf, png_buf = io.BytesIO(), io.BytesIO()
+    img.save(jpg_buf, format="JPEG", quality=95)
+    img.save(png_buf, format="PNG")
+
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([jpg_buf.getvalue(),
+                                       png_buf.getvalue()], pa.binary())})
+    out = ray.data.from_arrow(t).map_batches(
+        DecodeImageFeatures, concurrency=1, batch_size=None,
+        batch_format="pyarrow").to_pandas().sort_values("media_id")
+    assert (out["width"] == 40).all() and (out["height"] == 24).all()
+
+    dec = MiniImage.open(io.BytesIO(jpg_buf.getvalue()))
+    gray = np.asarray(dec.convert("L"), dtype=np.float64)
+    p = np.bincount(gray.astype(np.int64).ravel(), minlength=256) / gray.size
+    ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
+    row = out[out["media_id"] == 1].iloc[0]
+    assert row["mean_byte"] == pytest.approx(gray.mean(), abs=1e-6)
+    assert row["byte_entropy"] == pytest.approx(ent, abs=1e-6)
+
+    ph = ray.data.from_arrow(t).map_batches(
+        PHashImage, concurrency=1, batch_size=None,
+        batch_format="pyarrow").to_pandas() \
+        .sort_values("media_id")["phash"].tolist()
+    ham = bin(int(np.uint64(ph[0])) ^ int(np.uint64(ph[1]))).count("1")
+    assert ham <= 6            # same pixels up to q95 loss
+    assert ph[0] != 0
