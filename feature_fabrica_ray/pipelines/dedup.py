@@ -476,13 +476,29 @@ def minhash_lsh_pairs_distributed(ds, text_col: str = "text",
         return tag_pairs, tag_shingles
 
     def join_side(pairs_in, side_col: str, out_col: str, carry: list[str]):
+        # bucketed co-group (NOT one map_groups call per doc id): rows
+        # shuffle on hash(key) % n_shuffle and each bucket resolves ALL
+        # its keys in one Arrow call via a dict join — the same
+        # per-bucket shape as events.bucketed_by_key; the only per-row
+        # Python is over the candidate-PAIR rows (output scale, same as
+        # the verify kernel downstream)
+        from ..state import hash64
+
         tag_pairs, tag_shingles = attach(side_col, carry)
+
+        def bucketize(t: pa.Table) -> pa.Table:
+            h = hash64(t.column("key"))
+            return t.append_column("__bkt", pa.array(
+                (h % np.uint64(n_shuffle)).astype(np.int32), pa.int32()))
+
         tagged = pairs_in.map_batches(tag_pairs, batch_format="pyarrow",
                                       batch_size=None).union(
             shingles.map_batches(tag_shingles, batch_format="pyarrow",
-                                 batch_size=None))
+                                 batch_size=None)) \
+            .map_batches(bucketize, batch_format="pyarrow",
+                         batch_size=None)
 
-        def per_key(t: pa.Table) -> pa.Table:
+        def per_bucket(t: pa.Table) -> pa.Table:
             side = t.column("side").to_numpy(zero_copy_only=False)
             sh_rows = t.filter(pa.array(side == 0))
             pr = t.filter(pa.array(side == 1))
@@ -493,17 +509,19 @@ def minhash_lsh_pairs_distributed(ds, text_col: str = "text",
                 for c in carry:
                     out[c] = pa.array([], pa.list_(pa.int64()))
                 return pa.table(out)
-            sh = (sh_rows.column("sh")[0] if sh_rows.num_rows else
-                  pa.scalar([], pa.list_(pa.int64())))
+            m = dict(zip(sh_rows.column("key").to_numpy(
+                zero_copy_only=False).tolist(),
+                sh_rows.column("sh").to_pylist()))
+            pkeys = pr.column("key").to_numpy(zero_copy_only=False)
+            vals = [m.get(k, []) for k in pkeys.tolist()]
             out = {"id_a": pr.column("id_a"), "id_b": pr.column("id_b"),
-                   out_col: pa.array([sh.as_py()] * pr.num_rows,
-                                     pa.list_(pa.int64()))}
+                   out_col: pa.array(vals, pa.list_(pa.int64()))}
             for c in carry:
                 out[c] = pr.column(c)
             return pa.table(out)
 
-        return tagged.groupby("key", num_partitions=n_shuffle) \
-            .map_groups(per_key, batch_format="pyarrow")
+        return tagged.groupby("__bkt", num_partitions=n_shuffle) \
+            .map_groups(per_bucket, batch_format="pyarrow")
 
     with_a = join_side(pairs_ds, "id_a", "sh_a", [])
     with_ab = join_side(with_a, "id_b", "sh_b", ["sh_a"])

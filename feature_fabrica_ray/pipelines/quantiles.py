@@ -1003,8 +1003,35 @@ def mann_kendall(ds, ts_col: str, *, freq: str = "day",
                          "trend": [trend]})
 
 
+def _column_digest(ds, col: str, delta: float = 500.0,
+                   center: float | None = None):
+    """Merged t-digest over one numeric column (nulls/NaN dropped); with
+    ``center`` set, sketches |x − center| instead (the MAD second
+    pass). One per-block sketch partial (a ~delta-centroid blob per
+    block, KBs), driver merge — raw values never leave the blocks."""
+    import pyarrow.compute as pc
+
+    from ..state import TDigest
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).cast(pa.float64())
+        x = pa.table({"v": v}).filter(pc.is_valid(v)) \
+            .column("v").to_numpy(zero_copy_only=False)
+        if center is not None:
+            x = np.abs(x - center)
+        return pa.table({"d": pa.array(
+            [TDigest.from_array(x, delta).to_bytes()], pa.binary())})
+
+    sk = ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+    if sk.empty or "d" not in sk.columns:
+        return TDigest(delta)
+    return TDigest.merge_bytes(list(sk["d"]))
+
+
 def mad_outliers(ds, col: str, id_cols: list[str], k: float = 3.5,
-                 max_distinct: int = 5_000_000):
+                 max_distinct: int = 5_000_000, exact: bool = False,
+                 delta: float = 500.0):
     """Robust global outlier ROWS via the modified z-score
     (Iglewicz-Hoaglin): |0.6745·(x − median) / MAD| > ``k`` — the
     MAD-based dual of the mean/std and IQR fences whose cutoff
@@ -1016,9 +1043,16 @@ def mad_outliers(ds, col: str, id_cols: list[str], k: float = 3.5,
     Two streaming phases, no raw-row shuffle: the value-histogram
     combiner fits the exact interpolated median and MAD (distinct
     (value, count) rows only — bounded by the value domain, guarded
-    at ``max_distinct``), the two scalars broadcast, and a stateless
-    vectorized filter emits only the violating rows + their ``mz``
-    (rounded to 6). Returns a Dataset of (id_cols..., col, mz)."""
+    at ``max_distinct``; the guard is decided from materialized block
+    metadata, nothing is collected past it), the two scalars
+    broadcast, and a stateless vectorized filter emits only the
+    violating rows + their ``mz`` (rounded to 6). Continuous domains
+    past the guard DEGRADE loudly to two t-digest sketch passes
+    (median, then median absolute deviation) — approximate fences,
+    same output contract — or raise when ``exact=True``. Returns a
+    Dataset of (id_cols..., col, mz)."""
+    import warnings
+
     import pyarrow.compute as pc
     import ray
 
@@ -1031,21 +1065,34 @@ def mad_outliers(ds, col: str, id_cols: list[str], k: float = 3.5,
         return pa.table({"v": g.column("v"),
                          "c": g.column("count_all").cast(pa.int64())})
 
-    hist = (ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=None)
-            .groupby("v", num_partitions=shuffle_partitions())
-            .sum("c").to_pandas())
-    if len(hist) > max_distinct:
-        raise ValueError(
-            f"mad_outliers: {len(hist)} distinct values — quantize "
-            f"first at this cardinality")
-    if hist.empty:
-        med = mad = np.nan
+    hist_ds = (ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+               .groupby("v", num_partitions=shuffle_partitions())
+               .sum("c").materialize())
+    n_distinct = hist_ds.count()
+    if n_distinct > max_distinct:
+        if exact:
+            raise ValueError(
+                f"mad_outliers: {n_distinct} distinct values — "
+                f"quantize first at this cardinality")
+        warnings.warn(
+            f"mad_outliers: {n_distinct} distinct values exceed the "
+            f"exact-histogram guard; degrading to approximate t-digest "
+            f"median/MAD fences (pass exact=True to forbid)",
+            RuntimeWarning, stacklevel=2)
+        d1 = _column_digest(ds, col, delta)
+        med = d1.quantile(0.5) if d1.count else np.nan
+        d2 = _column_digest(ds, col, delta, center=med)
+        mad = d2.quantile(0.5) if d2.count else np.nan
     else:
-        vals = hist["v"].to_numpy(np.float64)
-        cnts = hist["sum(c)"].to_numpy(np.int64)
-        med = _weighted_quantile(vals, cnts, (0.5,))[0]
-        mad = _weighted_quantile(np.abs(vals - med), cnts, (0.5,))[0]
+        hist = hist_ds.to_pandas()
+        if hist.empty:
+            med = mad = np.nan
+        else:
+            vals = hist["v"].to_numpy(np.float64)
+            cnts = hist["sum(c)"].to_numpy(np.int64)
+            med = _weighted_quantile(vals, cnts, (0.5,))[0]
+            mad = _weighted_quantile(np.abs(vals - med), cnts, (0.5,))[0]
     ref = ray.put((med, mad))
 
     def flag(batch: pa.Table) -> pa.Table:
@@ -1225,7 +1272,8 @@ def theil_sen_slope(ds, ts_col: str, *, freq: str = "day",
 
 
 def robust_scale(ds, col: str, out_col: str = "robust",
-                 max_distinct: int = 5_000_000):
+                 max_distinct: int = 5_000_000, exact: bool = False,
+                 delta: float = 500.0):
     """Robust scaling ``(x − median) / IQR`` — sklearn RobustScaler
     semantics: the center/spread fit that outliers cannot drag (the
     fitted-transform sibling of z_score/min_max, which the reference
@@ -1234,9 +1282,14 @@ def robust_scale(ds, col: str, out_col: str = "robust",
 
     Same two-phase shape as ``mad_outliers``: the value-histogram
     combiner fits the exact interpolated median/q25/q75 (distinct
-    (value, count) rows only, guarded), the three scalars broadcast,
-    and the transform is one stateless vectorized stamp. Appends
-    ``out_col`` rounded to 6."""
+    (value, count) rows only, guarded from materialized metadata —
+    nothing is collected past the bound), the three scalars broadcast,
+    and the transform is one stateless vectorized stamp. Continuous
+    domains past the guard DEGRADE loudly to one t-digest sketch pass
+    (approximate q25/median/q75, same output contract), or raise when
+    ``exact=True``. Appends ``out_col`` rounded to 6."""
+    import warnings
+
     import pyarrow.compute as pc
     import ray
 
@@ -1249,22 +1302,37 @@ def robust_scale(ds, col: str, out_col: str = "robust",
         return pa.table({"v": g.column("v"),
                          "c": g.column("count_all").cast(pa.int64())})
 
-    hist = (ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=None)
-            .groupby("v", num_partitions=shuffle_partitions())
-            .sum("c").to_pandas())
-    if len(hist) > max_distinct:
-        raise ValueError(
-            f"robust_scale: {len(hist)} distinct values — use the "
-            f"t-digest sketch path for continuous domains")
-    if hist.empty:
-        med, iqr = np.nan, np.nan
+    hist_ds = (ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+               .groupby("v", num_partitions=shuffle_partitions())
+               .sum("c").materialize())
+    n_distinct = hist_ds.count()
+    if n_distinct > max_distinct:
+        if exact:
+            raise ValueError(
+                f"robust_scale: {n_distinct} distinct values — use "
+                f"the t-digest sketch path for continuous domains")
+        warnings.warn(
+            f"robust_scale: {n_distinct} distinct values exceed the "
+            f"exact-histogram guard; degrading to the approximate "
+            f"t-digest quantile fit (pass exact=True to forbid)",
+            RuntimeWarning, stacklevel=2)
+        d = _column_digest(ds, col, delta)
+        if d.count:
+            q25, med, q75 = d.quantiles((0.25, 0.5, 0.75))
+            iqr = q75 - q25
+        else:
+            med, iqr = np.nan, np.nan
     else:
-        vals = hist["v"].to_numpy(np.float64)
-        cnts = hist["sum(c)"].to_numpy(np.int64)
-        q25, med, q75 = _weighted_quantile(vals, cnts,
-                                           (0.25, 0.5, 0.75))
-        iqr = q75 - q25
+        hist = hist_ds.to_pandas()
+        if hist.empty:
+            med, iqr = np.nan, np.nan
+        else:
+            vals = hist["v"].to_numpy(np.float64)
+            cnts = hist["sum(c)"].to_numpy(np.int64)
+            q25, med, q75 = _weighted_quantile(vals, cnts,
+                                               (0.25, 0.5, 0.75))
+            iqr = q75 - q25
     ref = ray.put((med, iqr))
 
     def stamp(batch: pa.Table) -> pa.Table:

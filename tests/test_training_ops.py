@@ -6306,3 +6306,46 @@ def test_real_codec_jpeg_decode(ray_session):
     ham = bin(int(np.uint64(ph[0])) ^ int(np.uint64(ph[1]))).count("1")
     assert ham <= 6            # same pixels up to q95 loss
     assert ph[0] != 0
+
+
+def test_mad_robust_tdigest_degrade(ray_session):
+    """mad_outliers / robust_scale past the distinct-value guard:
+    exact=True raises unchanged; the default degrades LOUDLY to the
+    t-digest fit and lands within sketch resolution of the exact
+    answer on a continuous all-distinct corpus."""
+    from feature_fabrica_ray.pipelines import mad_outliers, robust_scale
+
+    rng = np.random.default_rng(17)
+    n = 30_000
+    x = rng.normal(50, 10, n)
+    x[:30] += 500.0                               # planted outliers
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64),
+                       "value": x})
+
+    with pytest.raises(ValueError, match="distinct"):
+        mad_outliers(_ds(df), "value", ["event_id"], max_distinct=100,
+                     exact=True)
+    with pytest.raises(ValueError, match="distinct"):
+        robust_scale(_ds(df), "value", max_distinct=100, exact=True)
+
+    med = np.median(x)
+    mad = np.median(np.abs(x - med))
+    mz = 0.6745 * (x - med) / mad
+    exact_ids = set(df.loc[np.abs(mz) > 3.5, "event_id"])
+    with pytest.warns(RuntimeWarning, match="t-digest"):
+        out = mad_outliers(_ds(df, blocks=4), "value", ["event_id"],
+                           k=3.5, max_distinct=100).to_pandas()
+    got_ids = set(out["event_id"])
+    # sketch fences may flip rows hugging the cutoff, never the planted
+    # +500 spikes, and the symmetric difference stays tiny
+    assert set(range(30)) <= got_ids
+    assert len(got_ids ^ exact_ids) <= max(3, n // 1000)
+
+    with pytest.warns(RuntimeWarning, match="t-digest"):
+        rs = robust_scale(_ds(df, blocks=4), "value",
+                          max_distinct=100).to_pandas()
+    q25, q75 = np.percentile(x, [25, 75])
+    exact_rs = (x - med) / (q75 - q25)
+    err = np.abs(rs.sort_values("event_id")["robust"].to_numpy()
+                 - exact_rs)
+    assert np.nanmax(err) < 0.05
