@@ -335,11 +335,28 @@ def _decode_scan(scan: bytes, frame, scan_comps, qt, huff,
         raise ValueError(
             f"minijpeg: {len(comps)}-component JPEG unsupported "
             f"(grayscale or YCbCr only; CMYK needs pillow)")
+    if len(scan_comps) != len(comps):
+        # legal baseline (separate per-component scans) but outside
+        # this decoder's single-interleaved-scan support — fail with
+        # the promised precise message, never a KeyError downstream
+        raise ValueError(
+            f"minijpeg: non-interleaved JPEG unsupported (scan covers "
+            f"{len(scan_comps)} of {len(comps)} components; this "
+            f"decoder handles one interleaved scan) — install pillow")
+    if len(comps) == 1:
+        # a single-component scan is non-interleaved by definition
+        # (T.81 A.2.2: the data unit is one 8x8 block; declared
+        # sampling factors do not tile the MCU)
+        cid, _hs, _vs, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     tables = {cid: (dc, ac) for cid, dc, ac in scan_comps}
+    if set(tables) != {c[0] for c in comps}:
+        raise ValueError(
+            "minijpeg: scan component ids do not match the frame's")
 
     # per-component coefficient storage: (blocks_y, blocks_x, 64)
     planes = {}

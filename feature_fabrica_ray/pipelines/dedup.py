@@ -482,14 +482,12 @@ def minhash_lsh_pairs_distributed(ds, text_col: str = "text",
         # per-bucket shape as events.bucketed_by_key; the only per-row
         # Python is over the candidate-PAIR rows (output scale, same as
         # the verify kernel downstream)
-        from ..state import hash64
+        from .events import stamp_bucket
 
         tag_pairs, tag_shingles = attach(side_col, carry)
 
         def bucketize(t: pa.Table) -> pa.Table:
-            h = hash64(t.column("key"))
-            return t.append_column("__bkt", pa.array(
-                (h % np.uint64(n_shuffle)).astype(np.int32), pa.int32()))
+            return stamp_bucket(t, "key", n_shuffle)
 
         tagged = pairs_in.map_batches(tag_pairs, batch_format="pyarrow",
                                       batch_size=None).union(

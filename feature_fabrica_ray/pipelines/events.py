@@ -214,6 +214,19 @@ def percent_rank_window(ds, key_col: str, value_col: str):
     return bucketed_by_key(ds, key_col, per_bucket)
 
 
+def stamp_bucket(batch: pa.Table, key_col: str, n: int) -> pa.Table:
+    """Append the uniform key-hash bucket column ``__bkt`` =
+    ``hash64(key) % n`` (int32) — the ONE definition of the engine's
+    bucket assignment, shared by ``bucketed_by_key`` and every ad-hoc
+    bucketed co-group (e.g. dedup's shingle join) so hashing/dtype/null
+    behavior can never diverge between sites."""
+    from ..state import hash64
+
+    h = hash64(batch.column(key_col))
+    return batch.append_column("__bkt", pa.array(
+        (h % np.uint64(n)).astype(np.int32), pa.int32()))
+
+
 def bucketed_by_key(ds, key_col: str, per_bucket,
                     n_buckets: int | None = None):
     """Run ``per_bucket(df)`` once per uniform key-hash BUCKET with every
@@ -228,14 +241,10 @@ def bucketed_by_key(ds, key_col: str, per_bucket,
     bucket (the same bound the per-key form has). Null keys form one
     group (SQL PARTITION BY semantics) — pass ``dropna=False`` to any
     pandas groupby inside ``per_bucket``."""
-    from ..state import hash64
-
     n = n_buckets or shuffle_partitions()
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        h = hash64(batch.column(key_col))
-        return batch.append_column("__bkt", pa.array(
-            (h % np.uint64(n)).astype(np.int32), pa.int32()))
+        return stamp_bucket(batch, key_col, n)
 
     def run(df: pd.DataFrame):
         out = per_bucket(df.drop(columns="__bkt"))

@@ -240,26 +240,15 @@ def spearman_corr(ds, x_col: str, y_col: str,
     the bound. Returns one row (n, spearman_rho), rho unrounded."""
     import warnings
 
-    import pyarrow.compute as pc
     import ray
 
     from ..tuning import shuffle_partitions
 
-    def pairs_only(batch: pa.Table) -> pa.Table:
-        x = batch.column(x_col).cast(pa.float64())
-        y = batch.column(y_col).cast(pa.float64())
-        t = pa.table({"x": x, "y": y})
-        # Arrow treats float NaN as VALID, but NaN keys need not merge
-        # across the rank-histogram shuffle (NaN != NaN) — exclude them
-        # like nulls (pairwise-complete semantics either way)
-        ok = pc.and_(
-            pc.and_(pc.is_valid(x), pc.is_valid(y)),
-            pc.invert(pc.or_(pc.is_nan(pc.fill_null(x, 0.0)),
-                             pc.is_nan(pc.fill_null(y, 0.0)))))
-        return t.filter(ok)
-
-    pairs = ds.map_batches(pairs_only, batch_format="pyarrow",
-                           batch_size=None).materialize()
+    # null/NaN-free pair set: Arrow treats float NaN as VALID, but NaN
+    # keys need not merge across the rank-histogram shuffle (NaN !=
+    # NaN) — _clean_pairs excludes them like nulls (pairwise-complete
+    # semantics either way; the SAME filter feeds the approx path)
+    pairs = _clean_pairs(ds, x_col, y_col).materialize()
 
     def avg_rank_fit(col: str):
         def partial(batch: pa.Table) -> pa.Table:
@@ -291,7 +280,7 @@ def spearman_corr(ds, x_col: str, y_col: str,
         yv, yr = avg_rank_fit("y")
     except _DomainTooLarge as ex:
         if exact:
-            raise ValueError(str(ex)) from None
+            raise        # _DomainTooLarge is-a ValueError; keep frames
         warnings.warn(
             f"spearman_corr: {ex}; degrading to the approximate "
             f"t-digest rank path (pass exact=True to forbid)",
@@ -1101,10 +1090,14 @@ def mad_outliers(ds, col: str, id_cols: list[str], k: float = 3.5,
         with np.errstate(invalid="ignore", divide="ignore"):
             mz = 0.6745 * (x - med) / mad
         keep = np.abs(mz) > k
+        keep &= ~np.isnan(mz)
         # degenerate MAD == 0 makes mz = ±inf for any x != median (when
         # >=50% of values tie on the median); the documented contract is
-        # that a zero-MAD column flags NOTHING, so drop non-finite mz
-        keep &= np.isfinite(mz)
+        # that a zero-MAD column flags NOTHING. Condition on mad itself
+        # so a genuine +/-inf VALUE (mz = inf with mad > 0 — the most
+        # extreme outlier possible) still flags
+        if mad == 0:
+            keep &= False
         mz = np.floor(np.abs(mz) * 1e6 + 0.5) / 1e6 * np.sign(mz)
         out = batch.select(id_cols + [col])             .append_column("mz", pa.array(mz, pa.float64()))
         return out.filter(pa.array(keep.astype(bool)))
@@ -1225,6 +1218,19 @@ def theil_sen_slope(ds, ts_col: str, *, freq: str = "day",
 
     from ..tuning import shuffle_partitions
 
+    # time axis in BUCKET units, not hard-coded days: sub-daily freqs
+    # truncated to datetime64[D] would give Δt = 0 for same-day pairs
+    # (inf/NaN slopes corrupting the median). Validated BEFORE the
+    # distributed pass so a calendar freq fails fast, not after a scan
+    freq_us = {"microsecond": 1, "millisecond": 1_000,
+               "second": 1_000_000, "minute": 60_000_000,
+               "hour": 3_600_000_000, "day": 86_400_000_000,
+               "week": 7 * 86_400_000_000}.get(freq)
+    if freq_us is None:
+        raise ValueError(
+            f"theil_sen_slope: freq {freq!r} has no fixed duration — "
+            f"use microsecond/millisecond/second/minute/hour/day/week")
+
     def partial(batch: pa.Table) -> pa.Table:
         day = pc.floor_temporal(batch.column(ts_col), unit=freq)
         g = pa.table({"b": day}).group_by(["b"])             .aggregate([([], "count_all")])
@@ -1246,17 +1252,6 @@ def theil_sen_slope(ds, ts_col: str, *, freq: str = "day",
                              "slope": [np.nan],
                              "n_pairs": np.array([0], np.int64)})
     x = merged["sum(c)"].to_numpy(np.int64).astype(np.float64)
-    # time axis in BUCKET units, not hard-coded days: sub-daily freqs
-    # truncated to datetime64[D] would give Δt = 0 for same-day pairs
-    # (inf/NaN slopes corrupting the median)
-    freq_us = {"microsecond": 1, "millisecond": 1_000,
-               "second": 1_000_000, "minute": 60_000_000,
-               "hour": 3_600_000_000, "day": 86_400_000_000,
-               "week": 7 * 86_400_000_000}.get(freq)
-    if freq_us is None:
-        raise ValueError(
-            f"theil_sen_slope: freq {freq!r} has no fixed duration — "
-            f"use microsecond/millisecond/second/minute/hour/day/week")
     us = merged["b"].to_numpy().astype("datetime64[us]").astype(np.int64)
     days = ((us - us[0]) // freq_us).astype(np.float64)
     dx = x[None, :] - x[:, None]

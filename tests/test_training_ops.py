@@ -6349,3 +6349,37 @@ def test_mad_robust_tdigest_degrade(ray_session):
     err = np.abs(rs.sort_values("event_id")["robust"].to_numpy()
                  - exact_rs)
     assert np.nanmax(err) < 0.05
+
+
+def test_minijpeg_noninterleaved_fails_loud():
+    """A legal baseline stream whose SOS covers fewer components than
+    the frame (separate per-component scans) must raise the documented
+    precise ValueError, never a bare KeyError from the MCU loop."""
+    from feature_fabrica_ray.pipelines._minijpeg import (decode_jpeg,
+                                                         encode_jpeg)
+
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    data = bytearray(encode_jpeg(rgb, 75))
+    # rewrite the SOS to cover ONLY component 1 (Y): find FFDA segment
+    i = bytes(data).find(b"\xFF\xDA")
+    # original SOS body: [len2][ns=3][1,0x00][2,0x11][3,0x11][ss se ah]
+    new_body = bytes([0, 8, 1, 1, 0x00, 0x00, 0x3F, 0x00])
+    data[i + 2:i + 2 + 12] = new_body
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(bytes(data))
+
+
+def test_mad_outliers_inf_value_still_flags(ray_session):
+    """A genuine +/-inf VALUE with MAD > 0 is the most extreme outlier
+    possible and must flag (the MAD==0 degenerate guard is conditioned
+    on the fitted MAD, not on mz finiteness)."""
+    from feature_fabrica_ray.pipelines import mad_outliers
+
+    df = pd.DataFrame({"event_id": np.arange(7, dtype=np.int64),
+                       "value": [1.0, 2.0, 3.0, 4.0, 5.0, np.inf,
+                                 100.0]})
+    out = mad_outliers(_ds(df, blocks=2), "value", ["event_id"],
+                       k=3.5).to_pandas()
+    got = set(out["event_id"])
+    assert 5 in got and 6 in got        # inf AND the finite outlier
+    assert not ({0, 1, 2, 3, 4} & got)
