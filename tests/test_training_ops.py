@@ -6383,3 +6383,36 @@ def test_mad_outliers_inf_value_still_flags(ray_session):
     got = set(out["event_id"])
     assert 5 in got and 6 in got        # inf AND the finite outlier
     assert not ({0, 1, 2, 3, 4} & got)
+
+
+def test_minijpeg_roundtrip_property():
+    """Property: for ANY uint8 image (gray or RGB, any size 1..40 on a
+    side incl. non-multiples of 8) and any quality, encode->decode
+    preserves shape and mode, output is valid uint8, and at q=100 a
+    SMOOTH image (constant) is reconstructed exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from feature_fabrica_ray.pipelines._minijpeg import (decode_jpeg,
+                                                         encode_jpeg)
+
+    @settings(max_examples=25, deadline=None)
+    @given(h=st.integers(1, 40), w=st.integers(1, 40),
+           ch=st.sampled_from([1, 3]), q=st.integers(1, 100),
+           seed=st.integers(0, 2**31 - 1))
+    def inner(h, w, ch, q, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, 3)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        arr, mode = decode_jpeg(encode_jpeg(img, q))
+        assert arr.shape == shape
+        assert mode == ("L" if ch == 1 else "RGB")
+        assert arr.dtype == np.uint8
+        const = np.full(shape, int(rng.integers(0, 256)), np.uint8)
+        carr, _ = decode_jpeg(encode_jpeg(const, 100))
+        # constant blocks are DC-only: quantization of a pure-DC block
+        # at q=100 (flat table of 1s) reproduces the level exactly up
+        # to the +-1 of the DC rounding
+        assert np.abs(carr.astype(int) - const.astype(int)).max() <= 1
+
+    inner()
