@@ -110,10 +110,15 @@ class MiniImage:
 
             arr, mode = decode_jpeg(data)
             return cls(arr, mode)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            from ._minigif import decode_gif
+
+            arr, mode = decode_gif(data)
+            return cls(arr, mode)
         raise ValueError(
-            "minicodec: unsupported image format (only PNG, 24-bit "
-            "BMP and baseline JPEG are decodable without PIL) — "
-            "install pillow for GIF/progressive-JPEG/&c.")
+            "minicodec: unsupported image format (PNG, 24-bit BMP, "
+            "baseline JPEG and GIF decode without PIL) — install "
+            "pillow for progressive-JPEG/TIFF/WebP/&c.")
 
     # -- PIL-compatible surface ----------------------------------------
     @property
@@ -155,6 +160,10 @@ class MiniImage:
             from ._minijpeg import encode_jpeg
 
             fp.write(encode_jpeg(self.arr, quality=quality))
+        elif fmt == "GIF":
+            from ._minigif import encode_gif
+
+            fp.write(encode_gif(self.arr))
         else:
             raise ValueError(f"minicodec: unsupported save format {format!r}")
 

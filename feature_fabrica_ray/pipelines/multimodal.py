@@ -7,8 +7,8 @@ The Ray-side plumbing is real and tested: schema, actor signature
 byte-budgeted batch sizes, output layout. The decode kernel is gated:
 ``PIL``/``soundfile`` when importable, else the pure-stdlib
 ``_minicodec`` (real PNG / 24-bit BMP / baseline JPEG via
-``_minijpeg`` / PCM WAV decode; GIF / progressive JPEG / FLAC fail
-loud), else — for payloads with no real codec magic — a deterministic
+``_minijpeg`` / GIF via ``_minigif`` / PCM WAV decode; progressive
+JPEG / FLAC fail loud), else — for payloads with no real codec magic — a deterministic
 fake decoder (documented below). NOT a silent no-op anywhere.
 
 Fake-decode contract (deterministic, test-asserted): the payload's first
@@ -129,8 +129,8 @@ class DecodeImageFeatures:
             self._pil = Image
         except ImportError:
             # pure-stdlib PNG/BMP fallback — same Image surface;
-            # formats past the fallback (GIF, progressive JPEG)
-            # raise loud inside open()
+            # formats past the fallback (progressive JPEG, TIFF,
+            # WebP) raise loud inside open()
             from ._minicodec import MiniImage
 
             self._pil = MiniImage
@@ -167,8 +167,8 @@ class DecodeImageFeatures:
         if real.any():
             # payloads carrying a real codec magic never fall through
             # to the fake-header parse; formats outside the decoder's
-            # reach (GIF / progressive JPEG without PIL) raise
-            # loud inside open()
+            # reach (progressive JPEG / TIFF / WebP without PIL)
+            # raise loud inside open()
             widths = np.zeros(n, np.int64)
             heights = np.zeros(n, np.int64)
             means = np.zeros(n, np.float64)

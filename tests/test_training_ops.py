@@ -3486,11 +3486,12 @@ def test_real_codec_audio_decode(ray_session):
 
 def test_real_image_unsupported_format_raises(ray_session):
     """A payload carrying a real codec magic the installed decoder
-    cannot handle (GIF without PIL — baseline JPEG now decodes via
-    _minijpeg) must fail LOUD, never fall through to the fake-header
-    parse (silent garbage width/height)."""
+    cannot handle (progressive JPEG without PIL — baseline JPEG and
+    GIF now decode via _minijpeg/_minigif) must fail LOUD, never fall
+    through to the fake-header parse (silent garbage width/height)."""
     from feature_fabrica_ray.pipelines import (DecodeImageFeatures,
                                                PHashImage)
+    from feature_fabrica_ray.pipelines._minijpeg import encode_jpeg
 
     import pyarrow as pa
 
@@ -3499,15 +3500,17 @@ def test_real_image_unsupported_format_raises(ray_session):
         pytest.skip("pillow installed — every real format decodes")
     except ImportError:
         pass
-    gif_magic = b"GIF89a" + b"\x00" * 32
+    prog = bytearray(encode_jpeg(np.full((8, 8), 99, np.uint8), 75))
+    idx = bytes(prog).find(b"\xFF\xC0")
+    prog[idx + 1] = 0xC2                       # flip SOF0 -> SOF2
     t = pa.table({"media_id": pa.array([1], pa.int64()),
-                  "payload": pa.array([gif_magic], pa.binary())})
+                  "payload": pa.array([bytes(prog)], pa.binary())})
     for cls in (DecodeImageFeatures, PHashImage):
         with pytest.raises(Exception) as ei:
             ray.data.from_arrow(t).map_batches(
                 cls, concurrency=1, batch_size=None,
                 batch_format="pyarrow").to_pandas()
-        assert "unsupported image format" in str(ei.value)
+        assert "progressive" in str(ei.value)
 
 
 def test_ohlc_bars_vs_pandas(ray_session):
@@ -6416,3 +6419,142 @@ def test_minijpeg_roundtrip_property():
         assert np.abs(carr.astype(int) - const.astype(int)).max() <= 1
 
     inner()
+
+
+def _lzw_encode_ref(idx, min_code):
+    """Independent reference GIF-LZW encoder (dictionary growth, width
+    escalation, 4096 reset) — so decoder tests don't round-trip through
+    the trivial clear-code-per-symbol encoder."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    codes = [(clear, width)]
+    cur = b""
+    for v in idx:
+        nxt = cur + bytes([v])
+        if nxt in table:
+            cur = nxt
+            continue
+        codes.append((table[cur], width))
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code == 4097:
+            codes.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        cur = bytes([v])
+    if cur:
+        codes.append((table[cur], width))
+    codes.append((end, width))
+    bitbuf = nbits = 0
+    out = bytearray()
+    for c, wdt in codes:
+        bitbuf |= c << nbits
+        nbits += wdt
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _wrap_gif(body, pal, w, h, iflags=0, left=0, top=0, fw=None,
+              fh=None, min_code=3, screen=None):
+    import struct
+    fw = w if fw is None else fw
+    fh = h if fh is None else fh
+    sw, sh = screen or (w, h)
+    bits = max(int(np.ceil(np.log2(len(pal)))), 1)
+    gif = bytearray(b"GIF89a") + struct.pack(
+        "<HHBBB", sw, sh, 0x80 | (bits - 1), 0, 0) + pal.tobytes()
+    gif += b"\x2C" + struct.pack("<HHHHB", left, top, fw, fh, iflags) \
+        + bytes([min_code])
+    for i in range(0, len(body), 255):
+        c = body[i:i + 255]
+        gif.append(len(c))
+        gif += c
+    gif += b"\x00\x3B"
+    return bytes(gif)
+
+
+def test_minigif_decode_spec_paths():
+    """GIF decoder against an INDEPENDENT reference LZW encoder (real
+    dictionary growth + width escalation, not the trivial clear-per-
+    symbol stream): exact pixels, interlaced row order restored, a
+    subframe composites onto the background color, >256-color encode
+    and truncated streams fail loud."""
+    from feature_fabrica_ray.pipelines._minigif import (decode_gif,
+                                                        encode_gif)
+
+    rng = np.random.default_rng(3)
+    pal = np.zeros((8, 3), np.uint8)
+    pal[:5] = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    h, w = 31, 37
+    idx = rng.integers(0, 5, (h, w)).astype(np.uint8)
+    body = _lzw_encode_ref(idx.ravel().tolist(), 3)
+    arr, mode = decode_gif(_wrap_gif(body, pal, w, h))
+    assert mode == "RGB" and np.array_equal(arr, pal[idx])
+
+    # interlaced: rows stored in 8/8/4/2 pass order
+    order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                            np.arange(2, h, 4), np.arange(1, h, 2)])
+    body_i = _lzw_encode_ref(idx[order].ravel().tolist(), 3)
+    arr_i, _ = decode_gif(_wrap_gif(body_i, pal, w, h, iflags=0x40))
+    assert np.array_equal(arr_i, pal[idx])
+
+    # subframe at (3, 2) on a 12x9 screen -> background fills the rest
+    sub = idx[:4, :5]
+    body_s = _lzw_encode_ref(sub.ravel().tolist(), 3)
+    arr_s, _ = decode_gif(_wrap_gif(body_s, pal, w, h, left=3, top=2,
+                                    fw=5, fh=4, screen=(12, 9)))
+    assert arr_s.shape == (9, 12, 3)
+    assert np.array_equal(arr_s[2:6, 3:8], pal[sub])
+    assert (arr_s[0, 0] == pal[0]).all()       # bg color index 0
+
+    with pytest.raises(ValueError, match="256"):
+        p = np.arange(24 * 24, dtype=np.int64)
+        many = np.stack([p % 256, p // 256, np.full_like(p, 7)],
+                        axis=1).astype(np.uint8).reshape(24, 24, 3)
+        encode_gif(many)                       # 576 distinct colors
+
+    with pytest.raises(ValueError, match="ended after"):
+        decode_gif(_wrap_gif(body[: len(body) // 4], pal, w, h))
+
+
+def test_minigif_roundtrip_and_decode_stage(ray_session):
+    """Lossless encode->decode round trip for any <=256-color image,
+    and a GIF payload flows through the actor-pool DecodeImageFeatures
+    stage with exact width/height and decoded-pixel stats."""
+    import io
+
+    import pyarrow as pa
+
+    from feature_fabrica_ray.pipelines import DecodeImageFeatures
+    from feature_fabrica_ray.pipelines._minicodec import MiniImage
+    from feature_fabrica_ray.pipelines._minigif import (decode_gif,
+                                                        encode_gif)
+
+    rng = np.random.default_rng(8)
+    palette = rng.integers(0, 256, (11, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 11, (24, 40))]
+    arr, mode = decode_gif(encode_gif(img))
+    assert mode == "RGB" and np.array_equal(arr, img)
+
+    buf = io.BytesIO()
+    MiniImage.fromarray(img, "RGB").save(buf, format="GIF")
+    t = pa.table({"media_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([buf.getvalue()], pa.binary())})
+    out = ray.data.from_arrow(t).map_batches(
+        DecodeImageFeatures, concurrency=1, batch_size=None,
+        batch_format="pyarrow").to_pandas()
+    assert (out["width"].iloc[0], out["height"].iloc[0]) == (40, 24)
+    gray = np.asarray(MiniImage.fromarray(img, "RGB").convert("L"),
+                      dtype=np.float64)
+    assert out["mean_byte"].iloc[0] == pytest.approx(gray.mean(),
+                                                     abs=1e-6)
