@@ -6339,6 +6339,104 @@ def q_pr_kendall_approx(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_pr_curves(sf_dir: str) -> pd.DataFrame:
+    """Model-evaluation curves at every distinct score threshold:
+    treating o_totalprice as a score for the binary outcome
+    "order fulfilled" (o_orderstatus = 'F'), one row per threshold
+    with tp/fp/tpr/fpr/precision/lift/frac_targeted — ROC +
+    precision-recall + cumulative-gains in ONE histogram-combiner
+    pass, exact (thresholds are the observed scores; no binning, no
+    tie-break) and layout invariant
+    (pipelines/classify.py::score_curves)."""
+    from feature_fabrica_ray.pipelines import score_curves
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderstatus", "o_totalprice"])
+
+    def lab(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "y": pc.equal(b.column("o_orderstatus"), "F").cast(pa.int64()),
+            "s": b.column("o_totalprice")})
+
+    return score_curves(
+        ds.map_batches(lab, batch_format="pyarrow", batch_size=None),
+        "y", "s")
+
+
+_CURVES_ORACLE = """
+WITH d AS (
+  SELECT o_totalprice AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+g AS (SELECT s, CAST(sum(lab) AS BIGINT) AS pos,
+             count(*) AS tot
+      FROM d GROUP BY s),
+c AS (SELECT s,
+        CAST(sum(pos) OVER w AS BIGINT) AS ctp,
+        CAST(sum(tot) OVER w AS BIGINT) AS call
+      FROM g WINDOW w AS (ORDER BY s DESC)),
+t AS (SELECT CAST(sum(pos) AS BIGINT) AS p_all,
+             CAST(sum(tot) AS BIGINT) AS t_all FROM g)
+SELECT s AS thr, ctp AS tp, CAST(call - ctp AS BIGINT) AS fp,
+  round(ctp / CAST(p_all AS DOUBLE), 6) AS tpr,
+  round((call - ctp) / CAST(t_all - p_all AS DOUBLE), 6) AS fpr,
+  round(ctp / CAST(call AS DOUBLE), 6) AS "precision",
+  round((ctp / CAST(call AS DOUBLE))
+        / (p_all / CAST(t_all AS DOUBLE)), 6) AS lift,
+  round(call / CAST(t_all AS DOUBLE), 6) AS frac_targeted
+FROM c, t
+"""
+
+
+def q_pr_scoreauc(sf_dir: str) -> pd.DataFrame:
+    """Scalar model-eval summary of the pr_curves profile: trapezoid
+    ROC AUC (Mann-Whitney with half-credit ties) + step-interpolated
+    average precision over the (o_totalprice, o_orderstatus='F')
+    scored outcome — one histogram-combiner pass, one output row
+    (pipelines/classify.py::score_summary)."""
+    from feature_fabrica_ray.pipelines import score_summary
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderstatus", "o_totalprice"])
+
+    def lab(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "y": pc.equal(b.column("o_orderstatus"), "F").cast(pa.int64()),
+            "s": b.column("o_totalprice")})
+
+    return score_summary(
+        ds.map_batches(lab, batch_format="pyarrow", batch_size=None),
+        "y", "s")
+
+
+_SCOREAUC_ORACLE = """
+WITH d AS (
+  SELECT o_totalprice AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+g AS (SELECT s, CAST(sum(lab) AS BIGINT) AS pos, count(*) AS tot
+      FROM d GROUP BY s),
+c AS (SELECT s,
+        CAST(sum(pos) OVER w AS BIGINT) AS ctp,
+        CAST(sum(tot) OVER w AS BIGINT) AS call
+      FROM g WINDOW w AS (ORDER BY s DESC)),
+e AS (SELECT ctp, call, call - ctp AS cfp,
+        coalesce(lag(ctp) OVER w, 0) AS ptp,
+        coalesce(lag(call - ctp) OVER w, 0) AS pfp
+      FROM c WINDOW w AS (ORDER BY s DESC)),
+t AS (SELECT CAST(sum(pos) AS BIGINT) AS p_all,
+             CAST(sum(tot) AS BIGINT) AS t_all FROM g)
+SELECT t_all AS n, p_all AS n_pos,
+  round(sum((cfp - pfp) * (ctp + ptp) / 2.0)
+        / (CAST(p_all AS DOUBLE) * (t_all - p_all)), 6) AS roc_auc,
+  round(sum((ctp - ptp) / CAST(p_all AS DOUBLE)
+            * (ctp / CAST(call AS DOUBLE))), 6) AS avg_precision
+FROM e, t GROUP BY t_all, p_all
+"""
+
+
 def q_pr_partial(sf_dir: str) -> pd.DataFrame:
     """Partial Pearson correlation of (l_quantity, l_extendedprice)
     controlling for l_discount — the confounder screen; one algebraic
@@ -12622,6 +12720,8 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "pr_spearman_approx": q_pr_spearman_approx,
         "pr_kendall": q_pr_kendall,
         "pr_kendall_approx": q_pr_kendall_approx,
+        "pr_curves": q_pr_curves,
+        "pr_scoreauc": q_pr_scoreauc,
         "pr_partial": q_pr_partial,
         "pr_regression": q_pr_regression,
         "agg_wavg": q_agg_wavg,
@@ -12942,6 +13042,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_json": _EV_JSON_ORACLE,
         "pr_correlation": _CORRELATION_ORACLE,
         "pr_spearman": _SPEARMAN_ORACLE,
+        "pr_curves": _CURVES_ORACLE,
+        "pr_scoreauc": _SCOREAUC_ORACLE,
         "pr_kendall": _KENDALL_ORACLE,
         "pr_partial": _PARTIAL_CORR_ORACLE,
         "pr_regression": _REGRESSION_ORACLE,

@@ -26,7 +26,8 @@ import pyarrow.compute as pc
 
 from .textstats import fill_utf8
 
-__all__ = ["nb_train", "nb_score", "logreg_train", "logreg_score"]
+__all__ = ["nb_train", "nb_score", "logreg_train", "logreg_score",
+           "score_curves", "score_summary"]
 
 _MAX_MODEL_ROWS = 5_000_000  # (class, token) rows the driver may hold
 
@@ -270,3 +271,148 @@ def logreg_score(ds, model: dict, text_col: str = "text",
                          "prob": pa.array(p, pa.float64())})
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def _score_hist(ds, label_col: str, score_col: str,
+                max_distinct: int, caller: str):
+    """Merged (score, n_pos, n_total) distinct-score histogram sorted
+    score-DESC — the shared combiner for score_curves/score_summary.
+    Null/NaN rows excluded; guarded from materialized metadata."""
+    import pyarrow.compute as pc
+
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_col).cast(pa.float64())
+        lab = batch.column(label_col).cast(pa.int64())
+        ok = pc.and_(
+            pc.and_(pc.is_valid(s), pc.is_valid(lab)),
+            pc.invert(pc.is_nan(pc.fill_null(s, 0.0))))
+        t = pa.table({"s": s, "lab": lab}).filter(ok)
+        g = t.group_by(["s"]).aggregate([("lab", "sum"),
+                                         ([], "count_all")])
+        return pa.table({"s": g.column("s"),
+                         "pos": g.column("lab_sum").cast(pa.int64()),
+                         "tot": g.column("count_all").cast(pa.int64())})
+
+    hist_ds = (ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+               .groupby("s", num_partitions=shuffle_partitions())
+               .sum(["pos", "tot"]).materialize())
+    if hist_ds.count() > max_distinct:
+        raise ValueError(
+            f"{caller}: {hist_ds.count()} distinct scores — quantize "
+            f"the score column first (equidepth_buckets)")
+    hist = hist_ds.to_pandas()
+    if hist.empty:
+        return hist
+    return hist.sort_values("s", ascending=False).reset_index(drop=True)
+
+
+def score_curves(ds, label_col: str, score_col: str,
+                 max_distinct: int = 5_000_000) -> "pd.DataFrame":
+    """Model-evaluation curves at EVERY distinct score threshold: for
+    the rule "predict positive when score >= thr", one row per distinct
+    score with (tp, fp, tpr, fpr, precision, lift, frac_targeted) —
+    the ROC, precision-recall and cumulative-gains/lift views of a
+    scored binary outcome in one pass, exact and oracle-checkable
+    (no quantile binning, no id tie-breaking: thresholds ARE the
+    observed score values, so the result is layout/rerun invariant).
+
+    Scale shape: one per-block (score, label) count combiner (distinct
+    pairs per block — bounded by the score domain, guarded at
+    ``max_distinct`` from materialized metadata), one keyed merge, and
+    a driver-side cumulative sum over the distinct-score table. Rows
+    where score or label is null are excluded. ``label_col`` may be
+    boolean or numeric 0/1. Continuous all-distinct score domains are
+    the guard's business: quantize scores first (e.g.
+    ``equidepth_buckets``) — the curve at millions of thresholds is
+    not a useful artifact. Returns a pandas DataFrame sorted by
+    threshold DESC; ratios rounded to 6 (half-away, SQL ROUND
+    parity); lift is NULL when no rows are targeted and when there
+    are no positives."""
+    import pandas as pd
+
+    hist = _score_hist(ds, label_col, score_col, max_distinct,
+                       "score_curves")
+    cols = ["thr", "tp", "fp", "tpr", "fpr", "precision", "lift",
+            "frac_targeted"]
+    if hist.empty:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype="int64" if c in ("tp", "fp") else "float64")
+            for c in cols})
+    pos = hist["sum(pos)"].to_numpy(np.int64)
+    tot = hist["sum(tot)"].to_numpy(np.int64)
+    ctp = np.cumsum(pos)
+    call = np.cumsum(tot)
+    cfp = call - ctp
+    P = int(ctp[-1])
+    N = int(call[-1] - P)
+    T = int(call[-1])
+
+    def r6(x):
+        x = np.asarray(x, np.float64)
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        tpr = ctp / P if P else np.full(len(hist), np.nan)
+        fpr = cfp / N if N else np.full(len(hist), np.nan)
+        prec = ctp / call
+        lift = (prec / (P / T)) if P else np.full(len(hist), np.nan)
+    return pd.DataFrame({
+        "thr": hist["s"].to_numpy(np.float64),
+        "tp": ctp.astype(np.int64),
+        "fp": cfp.astype(np.int64),
+        "tpr": r6(tpr), "fpr": r6(fpr),
+        "precision": r6(prec), "lift": r6(lift),
+        "frac_targeted": r6(call / T)})
+
+
+def score_summary(ds, label_col: str, score_col: str,
+                  max_distinct: int = 5_000_000) -> "pd.DataFrame":
+    """One-row scalar summary of a scored binary outcome: ``roc_auc``
+    (trapezoid over the distinct-threshold ROC — Mann-Whitney with
+    half-credit ties) and ``avg_precision`` (step-interpolated AP,
+    Σ Δrecall·precision over thresholds) plus (n, n_pos) — the
+    headline numbers of ``score_curves`` without materializing the
+    per-threshold table anywhere downstream.
+
+    Same single histogram-combiner pass and distinct-score guard as
+    ``score_curves``. Returns one row; ratios rounded to 6; AUC/AP are
+    NULL when either class is absent."""
+    import pandas as pd
+
+    hist = _score_hist(ds, label_col, score_col, max_distinct,
+                       "score_summary")
+    if hist.empty:
+        return pd.DataFrame({"n": np.array([0], np.int64),
+                             "n_pos": np.array([0], np.int64),
+                             "roc_auc": [np.nan],
+                             "avg_precision": [np.nan]})
+    pos = hist["sum(pos)"].to_numpy(np.int64)
+    tot = hist["sum(tot)"].to_numpy(np.int64)
+    ctp = np.cumsum(pos).astype(np.float64)
+    call = np.cumsum(tot).astype(np.float64)
+    cfp = call - ctp
+    P = float(ctp[-1])
+    N = float(cfp[-1])
+    T = int(call[-1])
+    ptp = np.concatenate([[0.0], ctp[:-1]])
+    pfp = np.concatenate([[0.0], cfp[:-1]])
+    if P > 0 and N > 0:
+        auc = float(((cfp - pfp) * (ctp + ptp) / 2.0).sum() / (P * N))
+    else:
+        auc = np.nan
+    if P > 0:
+        ap = float(((ctp - ptp) / P * (ctp / call)).sum())
+    else:
+        ap = np.nan
+
+    def r6(v):
+        return (np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+                if np.isfinite(v) else v)
+
+    return pd.DataFrame({"n": np.array([T], np.int64),
+                         "n_pos": np.array([int(P)], np.int64),
+                         "roc_auc": [r6(auc)],
+                         "avg_precision": [r6(ap)]})

@@ -6558,3 +6558,99 @@ def test_minigif_roundtrip_and_decode_stage(ray_session):
                       dtype=np.float64)
     assert out["mean_byte"].iloc[0] == pytest.approx(gray.mean(),
                                                      abs=1e-6)
+
+
+def test_score_curves_reference(ray_session):
+    """score_curves matches a brute-force threshold sweep exactly
+    (tp/fp/tpr/fpr/precision/lift at every distinct score), excludes
+    null rows, is layout invariant, and handles the degenerate
+    no-positives input (NaN tpr/lift, fpr still defined)."""
+    from feature_fabrica_ray.pipelines import score_curves
+
+    rng = np.random.default_rng(12)
+    n = 400
+    score = np.round(rng.uniform(0, 1, n), 2)   # ties guaranteed
+    y = (rng.uniform(0, 1, n) < score).astype(np.int64)  # informative
+    df = pd.DataFrame({"y": y, "s": score})
+    df.loc[5, "s"] = np.nan
+    df.loc[7, "y"] = None
+    ok = df.dropna()
+    P = int(ok["y"].sum())
+    N = len(ok) - P
+    T = len(ok)
+
+    for blocks in (1, 4):
+        out = score_curves(_ds(df, blocks=blocks), "y", "s") \
+            .reset_index(drop=True)
+        thrs = np.sort(ok["s"].unique())[::-1]
+        assert out["thr"].tolist() == thrs.tolist()
+        for _, row in out.iloc[[0, len(out) // 2, -1]].iterrows():
+            sel = ok[ok["s"] >= row["thr"]]
+            tp = int(sel["y"].sum())
+            fp = len(sel) - tp
+            assert (row["tp"], row["fp"]) == (tp, fp)
+            assert row["tpr"] == pytest.approx(tp / P, abs=1e-6)
+            assert row["fpr"] == pytest.approx(fp / N, abs=1e-6)
+            assert row["precision"] == pytest.approx(tp / len(sel),
+                                                     abs=1e-6)
+            assert row["lift"] == pytest.approx(
+                (tp / len(sel)) / (P / T), abs=1e-6)
+        # curve endpoints: last row targets everything
+        assert out["frac_targeted"].iloc[-1] == 1.0
+        assert out["tp"].iloc[-1] == P and out["fp"].iloc[-1] == N
+
+    nopos = pd.DataFrame({"y": np.zeros(10, np.int64),
+                          "s": np.arange(10, dtype=np.float64)})
+    out0 = score_curves(_ds(nopos), "y", "s")
+    assert out0["tpr"].isna().all() and out0["lift"].isna().all()
+    assert out0["fpr"].iloc[-1] == 1.0
+
+    with pytest.raises(ValueError, match="distinct"):
+        score_curves(_ds(df), "y", "s", max_distinct=3)
+
+
+def test_score_summary_reference(ray_session):
+    """score_summary's AUC equals the Mann-Whitney probability (ties
+    half-credit) computed brute-force, AP equals the sklearn-style
+    step sum, perfect/anti-perfect scores give 1/0, and a single-class
+    input degrades to NULL metrics."""
+    from feature_fabrica_ray.pipelines import score_summary
+
+    rng = np.random.default_rng(44)
+    n = 300
+    s = np.round(rng.uniform(0, 1, n), 2)
+    y = (rng.uniform(0, 1, n) < s).astype(np.int64)
+    df = pd.DataFrame({"y": y, "s": s})
+    out = score_summary(_ds(df, blocks=3), "y", "s")
+
+    pos_s = s[y == 1]
+    neg_s = s[y == 0]
+    gt = (pos_s[:, None] > neg_s[None, :]).sum()
+    eq = (pos_s[:, None] == neg_s[None, :]).sum()
+    auc_ref = (gt + 0.5 * eq) / (len(pos_s) * len(neg_s))
+    assert out["roc_auc"].iloc[0] == pytest.approx(auc_ref, abs=1e-6)
+
+    # AP reference: precision at each positive's rank over desc scores
+    thrs = np.sort(np.unique(s))[::-1]
+    P = int(y.sum())
+    prev_tp, ap_ref = 0, 0.0
+    for t in thrs:
+        sel = s >= t
+        tp = int(y[sel].sum())
+        ap_ref += (tp - prev_tp) / P * (tp / sel.sum())
+        prev_tp = tp
+    assert out["avg_precision"].iloc[0] == pytest.approx(ap_ref,
+                                                         abs=1e-6)
+    assert out["n"].iloc[0] == n and out["n_pos"].iloc[0] == P
+
+    sep = pd.DataFrame({"y": [0] * 5 + [1] * 5,
+                        "s": np.arange(10, dtype=np.float64)})
+    assert score_summary(_ds(sep), "y", "s")["roc_auc"].iloc[0] == 1.0
+    anti = sep.assign(s=sep["s"].iloc[::-1].to_numpy())
+    assert score_summary(_ds(anti), "y", "s")["roc_auc"].iloc[0] == 0.0
+
+    onecls = pd.DataFrame({"y": np.ones(6, np.int64),
+                           "s": np.arange(6, dtype=np.float64)})
+    r = score_summary(_ds(onecls), "y", "s")
+    assert pd.isna(r["roc_auc"].iloc[0])
+    assert r["avg_precision"].iloc[0] == 1.0
