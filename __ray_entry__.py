@@ -6437,6 +6437,60 @@ FROM e, t GROUP BY t_all, p_all
 """
 
 
+def q_pr_scoreauc_seg(sf_dir: str) -> pd.DataFrame:
+    """Per-SEGMENT model-eval summary (the fairness/debug view of
+    pr_scoreauc): ROC AUC + average precision of the (value,
+    user_id%2) scored outcome within every event_type — one (group,
+    score) count combiner, the bucketed merge engine (one vectorized
+    pandas call per hash bucket, Cython per-group cumsums — never one
+    Python call per group)
+    (pipelines/classify.py::score_summary_by_group)."""
+    from feature_fabrica_ray.pipelines import score_summary_by_group
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id", "value"])
+
+    def lab(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "y": _pc.cast(_pc.bit_wise_and(b.column("user_id"), 1),
+                          pa.int64()),
+            "s": b.column("value")})
+
+    return score_summary_by_group(
+        ds.map_batches(lab, batch_format="pyarrow", batch_size=None),
+        "event_type", "y", "s")
+
+
+_SCOREAUC_SEG_ORACLE = """
+WITH d AS (
+  SELECT event_type AS seg, value AS s,
+         CAST(user_id % 2 AS BIGINT) AS lab
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL),
+hg AS (SELECT seg, s, CAST(sum(lab) AS BIGINT) AS pos, count(*) AS tot
+       FROM d GROUP BY seg, s),
+c AS (SELECT seg, s,
+        CAST(sum(pos) OVER w AS BIGINT) AS ctp,
+        CAST(sum(tot) OVER w AS BIGINT) AS call
+      FROM hg WINDOW w AS (PARTITION BY seg ORDER BY s DESC)),
+e AS (SELECT seg, ctp, call, call - ctp AS cfp,
+        coalesce(lag(ctp) OVER w, 0) AS ptp,
+        coalesce(lag(call - ctp) OVER w, 0) AS pfp
+      FROM c WINDOW w AS (PARTITION BY seg ORDER BY s DESC)),
+t AS (SELECT seg, CAST(sum(pos) AS BIGINT) AS p_all,
+             CAST(sum(tot) AS BIGINT) AS t_all
+      FROM hg GROUP BY seg)
+SELECT e.seg AS event_type, t_all AS n, p_all AS n_pos,
+  round(sum((cfp - pfp) * (ctp + ptp) / 2.0)
+        / (CAST(p_all AS DOUBLE) * (t_all - p_all)), 6) AS roc_auc,
+  round(sum((ctp - ptp) / CAST(p_all AS DOUBLE)
+            * (ctp / CAST(call AS DOUBLE))), 6) AS avg_precision
+FROM e JOIN t USING (seg) GROUP BY e.seg, t_all, p_all
+"""
+
+
 def q_pr_partial(sf_dir: str) -> pd.DataFrame:
     """Partial Pearson correlation of (l_quantity, l_extendedprice)
     controlling for l_discount — the confounder screen; one algebraic
@@ -12722,6 +12776,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "pr_kendall_approx": q_pr_kendall_approx,
         "pr_curves": q_pr_curves,
         "pr_scoreauc": q_pr_scoreauc,
+        "pr_scoreauc_seg": q_pr_scoreauc_seg,
         "pr_partial": q_pr_partial,
         "pr_regression": q_pr_regression,
         "agg_wavg": q_agg_wavg,
@@ -13044,6 +13099,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_spearman": _SPEARMAN_ORACLE,
         "pr_curves": _CURVES_ORACLE,
         "pr_scoreauc": _SCOREAUC_ORACLE,
+        "pr_scoreauc_seg": _SCOREAUC_SEG_ORACLE,
         "pr_kendall": _KENDALL_ORACLE,
         "pr_partial": _PARTIAL_CORR_ORACLE,
         "pr_regression": _REGRESSION_ORACLE,

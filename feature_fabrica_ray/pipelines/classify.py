@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 from .textstats import fill_utf8
 
 __all__ = ["nb_train", "nb_score", "logreg_train", "logreg_score",
-           "score_curves", "score_summary"]
+           "score_curves", "score_summary", "score_summary_by_group"]
 
 _MAX_MODEL_ROWS = 5_000_000  # (class, token) rows the driver may hold
 
@@ -416,3 +416,97 @@ def score_summary(ds, label_col: str, score_col: str,
                          "n_pos": np.array([int(P)], np.int64),
                          "roc_auc": [r6(auc)],
                          "avg_precision": [r6(ap)]})
+
+
+def score_summary_by_group(ds, group_col: str, label_col: str,
+                           score_col: str) -> "pd.DataFrame":
+    """Per-GROUP model-evaluation summary: ``roc_auc`` and
+    ``avg_precision`` of a scored binary outcome within every segment
+    (which language/source/slice does the quality model actually
+    discriminate on — the fairness/debug view of ``score_summary``).
+
+    Scale shape: one per-block (group, score) count combiner, the
+    engine's bucketed merge (``grouped._bucketed_merge``: rows shuffle
+    on hash(group) % B, ONE vectorized pandas call per bucket — the
+    per-group cumulative sums, trapezoid AUC and step AP are Cython
+    groupby kernels across ALL of a bucket's groups at once, never one
+    Python call per group). Null groups form a group (SQL GROUP BY);
+    null/NaN scores and null labels are excluded per group. Returns
+    one row per group (group, n, n_pos, roc_auc, avg_precision)
+    sorted by group; AUC is NULL for single-class groups; ratios
+    rounded to 6."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .grouped import _bucketed_merge, _restore_null_keys
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_col).cast(pa.float64())
+        lab = batch.column(label_col).cast(pa.int64())
+        ok = pc.and_(
+            pc.and_(pc.is_valid(s), pc.is_valid(lab)),
+            pc.invert(pc.is_nan(pc.fill_null(s, 0.0))))
+        gk = pc.fill_null(pc.cast(batch.column(group_col), pa.string()),
+                          "\0null")
+        t = pa.table({"grp": gk, "s": s, "lab": lab}).filter(ok)
+        g = t.group_by(["grp", "s"]).aggregate(
+            [("lab", "sum"), ([], "count_all")])
+        out_t = pa.table({"grp": g.column("grp"),
+                          "s": g.column("s"),
+                          "pos": g.column("lab_sum").cast(pa.int64()),
+                          "tot": g.column("count_all").cast(pa.int64())})
+        # __gkey is the shuffle key (dropped by _bucketed_merge); grp
+        # rides along as the data column the merge groups on
+        return out_t.append_column("__gkey", out_t.column("grp"))
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["grp", "s"], sort=False)[["pos", "tot"]] \
+            .sum().reset_index()
+        agg = agg.sort_values(["grp", "s"], ascending=[True, False],
+                              kind="mergesort").reset_index(drop=True)
+        g = agg.groupby("grp", sort=False)
+        pos = agg["pos"].to_numpy(np.float64)
+        tot = agg["tot"].to_numpy(np.float64)
+        ctp = g["pos"].cumsum().to_numpy(np.float64)
+        call = g["tot"].cumsum().to_numpy(np.float64)
+        cfp = call - ctp
+        ptp = ctp - pos
+        pfp = cfp - (tot - pos)
+        P = g["pos"].transform("sum").to_numpy(np.float64)
+        T = g["tot"].transform("sum").to_numpy(np.float64)
+        N = T - P
+        with np.errstate(invalid="ignore", divide="ignore"):
+            auc_t = (cfp - pfp) * (ctp + ptp) / 2.0 / (P * N)
+            ap_t = pos / P * (ctp / call)
+        out = pd.DataFrame({
+            "grp": agg["grp"], "auc_t": auc_t, "ap_t": ap_t,
+            "pos": agg["pos"], "tot": agg["tot"]})
+        per = out.groupby("grp", sort=False).agg(
+            n=("tot", "sum"), n_pos=("pos", "sum"),
+            roc_auc=("auc_t", "sum"),
+            avg_precision=("ap_t", "sum")).reset_index()
+        # single-class groups: the per-row terms are 0/0 = NaN and
+        # pandas' sum SKIPS NaN (all-NaN sums to 0.0), so the NULL
+        # contract is set explicitly from the class counts — AUC is
+        # undefined without both classes, AP without positives
+        single = (per["n_pos"] == 0) | (per["n_pos"] == per["n"])
+        per.loc[single, "roc_auc"] = np.nan
+        per.loc[per["n_pos"] == 0, "avg_precision"] = np.nan
+        per.loc[~np.isfinite(per["roc_auc"]), "roc_auc"] = np.nan
+        per.loc[~np.isfinite(per["avg_precision"]),
+                "avg_precision"] = np.nan
+        return per
+
+    out = _bucketed_merge(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=None), merge_bucket)
+    for c in ("roc_auc", "avg_precision"):
+        v = out[c].to_numpy(np.float64)
+        out[c] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+    out["n"] = out["n"].astype(np.int64)
+    out["n_pos"] = out["n_pos"].astype(np.int64)
+    out = out.rename(columns={"grp": group_col})
+    out[group_col] = out[group_col].where(out[group_col] != "\0null",
+                                          None)
+    out = _restore_null_keys(out, [group_col])
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -6654,3 +6654,42 @@ def test_score_summary_reference(ray_session):
     r = score_summary(_ds(onecls), "y", "s")
     assert pd.isna(r["roc_auc"].iloc[0])
     assert r["avg_precision"].iloc[0] == 1.0
+
+
+def test_score_summary_by_group(ray_session):
+    """Per-group AUC/AP equals score_summary run on each slice, null
+    groups form their own group, single-class groups give NULL AUC,
+    and the result is layout invariant."""
+    from feature_fabrica_ray.pipelines import (score_summary,
+                                               score_summary_by_group)
+
+    rng = np.random.default_rng(9)
+    n = 1200
+    g = rng.choice(["a", "b"], n).astype(object)
+    g[:40] = None                           # planted null group
+    s = np.round(rng.uniform(0, 1, n), 2)
+    y = (rng.uniform(0, 1, n) < np.where(
+        pd.isna(g), 0.5, np.where(g == "a", s, 0.5))).astype(np.int64)
+    df = pd.DataFrame({"g": g, "y": y, "s": s})
+
+    outs = [score_summary_by_group(_ds(df, blocks=b), "g", "y", "s")
+            for b in (1, 4)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    assert out["g"].isna().sum() == 1       # null group present
+    for key in ("a", "b"):
+        ref = score_summary(_ds(df[df["g"] == key]), "y", "s")
+        row = out[out["g"] == key].iloc[0]
+        assert row["roc_auc"] == ref["roc_auc"].iloc[0]
+        assert row["avg_precision"] == ref["avg_precision"].iloc[0]
+        assert row["n"] == len(df[df["g"] == key])
+    nrow = out[out["g"].isna()].iloc[0]
+    refn = score_summary(_ds(df[df["g"].isna()]), "y", "s")
+    assert nrow["roc_auc"] == refn["roc_auc"].iloc[0]
+
+    onec = pd.DataFrame({"g": ["x"] * 6 + ["z"] * 6,
+                         "y": [1] * 6 + [0, 1, 0, 1, 0, 1],
+                         "s": np.arange(12, dtype=np.float64)})
+    r = score_summary_by_group(_ds(onec, blocks=2), "g", "y", "s")
+    assert pd.isna(r[r["g"] == "x"]["roc_auc"].iloc[0])
+    assert np.isfinite(r[r["g"] == "z"]["roc_auc"].iloc[0])
