@@ -6491,6 +6491,50 @@ FROM e JOIN t USING (seg) GROUP BY e.seg, t_all, p_all
 """
 
 
+def q_ev_attribution(sf_dir: str):
+    """Last-touch conversion attribution: for every purchase event, the
+    most recent preceding non-purchase event of the same user within
+    24 h — channel + lag seconds, NULL when no qualifying touch. One
+    user-hash bucket shuffle, one vectorized accumulate per bucket
+    (pipelines/events.py::last_touch_attribution); oracle is the
+    last_value(... IGNORE NULLS) ROWS window with exact-microsecond
+    lag arithmetic."""
+    from feature_fabrica_ray.pipelines import last_touch_attribution
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    out = last_touch_attribution(ds, "user_id", "ts", "event_type",
+                                 "event_id", conv_type="purchase",
+                                 window_s=86_400)
+    return _select(out, ["event_id", "channel", "lag_s"])
+
+
+_ATTRIBUTION_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_type, event_id FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+w AS (
+  SELECT event_id, event_type, ts,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER win AS channel,
+    last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+               IGNORE NULLS) OVER win AS touch_ts
+  FROM e
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id,
+  CASE WHEN touch_ts IS NOT NULL
+        AND date_diff('microsecond', touch_ts, ts) <= 86400000000
+       THEN channel END AS channel,
+  CASE WHEN touch_ts IS NOT NULL
+        AND date_diff('microsecond', touch_ts, ts) <= 86400000000
+       THEN CAST(date_diff('microsecond', touch_ts, ts) // 1000000
+                 AS DOUBLE) END AS lag_s
+FROM w WHERE event_type = 'purchase'
+"""
+
+
 def q_pr_partial(sf_dir: str) -> pd.DataFrame:
     """Partial Pearson correlation of (l_quantity, l_extendedprice)
     controlling for l_discount — the confounder screen; one algebraic
@@ -12632,6 +12676,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "jn_left": q_jn_left,
         "jn_fuzzy": q_jn_fuzzy,
         "ev_sliding": q_ev_sliding,
+        "ev_attribution": q_ev_attribution,
         "vl_drift": q_vl_drift,
         "ta_textstats": q_ta_textstats,
         "ta_quality": q_ta_quality,
@@ -12973,6 +13018,7 @@ def oracle_sql() -> dict[str, str]:
         "jn_semi": _SEMI_ORACLE,
         "jn_left": _LEFT_ORACLE,
         "ev_sliding": _SLIDING_ORACLE,
+        "ev_attribution": _ATTRIBUTION_ORACLE,
         "ev_dense": _EV_DENSE_ORACLE,
         "ev_cumsum": _CUMSUM_ORACLE,
         "ev_rolling": _ROLLING_ORACLE,

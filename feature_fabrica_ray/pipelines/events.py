@@ -2306,3 +2306,69 @@ def watermark_late_events(ds, ts_col: str, key_col: str,
     return bucketed_by_key(
         parts.map_batches(add_gkey, batch_format="pyarrow",
                           batch_size=None), "__gk2", final_bucket)
+
+
+def last_touch_attribution(ds, user_col: str, ts_col: str,
+                           type_col: str, id_col: str,
+                           conv_type: str, window_s: int = 86_400):
+    """Last-touch conversion attribution: for every ``conv_type`` event,
+    the most recent PRECEDING non-conversion event of the same user
+    within ``window_s`` seconds — the channel that "gets credit" in
+    marketing/funnel analytics (SQL: ``last_value(... IGNORE NULLS)
+    OVER (PARTITION BY user ORDER BY ts, id ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` + the window cutoff). Conversions with
+    no qualifying touch attribute to NULL with NULL lag.
+
+    Scale shape: one uniform user-hash BUCKET shuffle
+    (``bucketed_by_key``), then per bucket ONE vectorized pass over
+    all users at once — sort by (user, ts, id), a running ``maximum
+    .accumulate`` over non-conversion row indices (user-segment safety
+    by the global-index monotonicity argument: an accumulated index
+    from an earlier user is always below the current segment's start,
+    so it is detected and nulled), and a gather for the channel/lag.
+    Returns a Dataset (id_col, channel, lag_s) with one row per
+    conversion event; lag_s is int64 seconds (null when unattributed),
+    ties on ts break by id (deterministic)."""
+    if window_s < 0:
+        raise ValueError(f"window_s must be >= 0, got {window_s}")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[user_col], use_na_sentinel=False)
+        t = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        df = df.iloc[order]
+        codes, t, ids = codes[order], t[order], ids[order]
+        types = df[type_col].to_numpy()
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({id_col: df[id_col],
+                                 "channel": pd.Series([], dtype=object),
+                                 "lag_s": pd.Series([], dtype="float64")})
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = codes[1:] != codes[:-1]
+        seg_id = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        is_conv = types == conv_type
+        idx = np.arange(n, dtype=np.int64)
+        carry = np.where(~is_conv, idx, np.int64(-1))
+        # prefix of the accumulate EXCLUDING the current row
+        acc = np.maximum.accumulate(carry)
+        prev_acc = np.concatenate([[np.int64(-1)], acc[:-1]])
+        # an index accumulated from an EARLIER user segment is always
+        # below this row's segment start — null it
+        valid = prev_acc >= starts[seg_id]
+        conv_rows = np.flatnonzero(is_conv)
+        src = prev_acc[conv_rows]
+        ok = valid[conv_rows]
+        lag_us = np.where(ok, t[conv_rows] - t[np.maximum(src, 0)], -1)
+        ok &= lag_us <= np.int64(window_s) * 1_000_000
+        channel = np.where(ok, types[np.maximum(src, 0)], None)
+        lag = np.where(ok, lag_us // 1_000_000, -1).astype(np.float64)
+        lag[~ok] = np.nan
+        return pd.DataFrame({id_col: ids[conv_rows],
+                             "channel": channel,
+                             "lag_s": lag})
+
+    return bucketed_by_key(ds, user_col, per_bucket)

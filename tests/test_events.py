@@ -1166,3 +1166,52 @@ def test_time_rolling_agg_bucketed_shape(ray_session, monkeypatch):
                   local):
         assert np.allclose(frame["tsum"], want["bsum"])
         assert frame["tcnt"].tolist() == want["bcnt"].tolist()
+
+
+def test_last_touch_attribution(ray_session):
+    """Hand-planted attribution scenarios: most-recent preceding
+    non-conversion wins, the window cutoff nulls stale touches,
+    conversions with no touch attribute to NULL, a conversion never
+    attributes to another conversion, same-ts ties break by id
+    (smaller id counts as preceding), users are isolated, and the
+    result is layout invariant."""
+    from feature_fabrica_ray.pipelines import last_touch_attribution
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def ev(eid, uid, secs, typ):
+        return {"event_id": eid, "user_id": uid,
+                "ts": base + np.timedelta64(int(secs * 1_000_000), "us"),
+                "event_type": typ}
+
+    rows = [
+        ev(1, 1, 0, "view"), ev(2, 1, 10, "click"),
+        ev(3, 1, 20, "purchase"),            # -> click, lag 10
+        ev(4, 1, 25, "purchase"),            # -> click (not purchase 3)
+        ev(5, 2, 0, "purchase"),             # no touch -> NULL
+        ev(6, 3, 0, "view"),
+        ev(7, 3, 4000, "purchase"),          # window 3600 -> NULL
+        ev(8, 4, 50, "click"),
+        ev(9, 4, 50, "purchase"),            # same ts, id 8 < 9 -> click
+        ev(10, 5, 0, "click"),               # other user: isolated
+    ]
+    df = pd.DataFrame(rows)
+    for blocks in (1, 3):
+        out = last_touch_attribution(
+            _ds(df, blocks=blocks), "user_id", "ts", "event_type",
+            "event_id", conv_type="purchase", window_s=3600) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert out["event_id"].tolist() == [3, 4, 5, 7, 9]
+        assert out["channel"].tolist()[0] == "click"
+        assert out["lag_s"].iloc[0] == 10.0
+        assert out["channel"].iloc[1] == "click"   # skips purchase 3
+        assert out["lag_s"].iloc[1] == 15.0
+        assert pd.isna(out["channel"].iloc[2])     # no touch
+        assert pd.isna(out["channel"].iloc[3])     # outside window
+        assert out["channel"].iloc[4] == "click"   # tie by id
+        assert out["lag_s"].iloc[4] == 0.0
+
+    with pytest.raises(ValueError):
+        last_touch_attribution(_ds(df), "user_id", "ts", "event_type",
+                               "event_id", conv_type="purchase",
+                               window_s=-1)
