@@ -6535,6 +6535,130 @@ FROM w WHERE event_type = 'purchase'
 """
 
 
+def q_tq_nationflow(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape (volume shipping between nation pairs): revenue
+    flowing NATION_8 <-> NATION_13 per (supplier nation, customer
+    nation, ship year) over a two-year ship-date band.
+
+    Plan: the nation pair is a DRIVER-SIDE dict (the nation table is
+    KB); supplier and customer project to (key, nation-name) with
+    map-side is_in filters — TYPED even when a scale slice has zero
+    participating rows, so the empty case degrades to an empty result,
+    never a schema error; lineitem reads only the date band via
+    parquet predicate pushdown; the two small sides broadcast-join
+    into the scans; ONE shuffle join (sized_join) on the order key;
+    the cross-pair predicate and year extraction run post-join
+    map-side; revenue folds through per-block partials on the 4-row
+    key — no second shuffle."""
+    import pyarrow.dataset as pds
+
+    from feature_fabrica_ray.pipelines import broadcast_join, sized_join
+
+    n1, n2 = "NATION_8", "NATION_13"
+    lo = _dt.datetime.fromisoformat("1995-01-01")
+    hi = _dt.datetime.fromisoformat("1997-01-01")
+
+    npd = read_parquet_clean(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"]) \
+        .to_pandas()
+    nmap = {int(k): v for k, v in zip(npd["n_nationkey"], npd["n_name"])
+            if v in (n1, n2)}
+    keys = pa.array(sorted(nmap), pa.int64())
+
+    def project(key_col: str, nation_col: str, out_key: str):
+        def fn(b: pa.Table) -> pa.Table:
+            sel = b.filter(pc.is_in(
+                b.column(nation_col).cast(pa.int64()), value_set=keys))
+            names = pa.array(
+                [nmap[k] for k in sel.column(nation_col).to_pylist()],
+                pa.string())
+            return pa.table({out_key: sel.column(key_col),
+                             f"{out_key[0]}_nation": names})
+        return fn
+
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"]) \
+        .map_batches(project("s_suppkey", "s_nationkey", "s_suppkey"),
+                     batch_format="pyarrow", batch_size=None)
+
+    li_r = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=((pds.field("l_shipdate") >= lo)
+                & (pds.field("l_shipdate") < hi)))
+    li = broadcast_join(li_r, supp, left_on="l_suppkey",
+                        right_on="s_suppkey")
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(project("c_custkey", "c_nationkey", "c_custkey"),
+                     batch_format="pyarrow", batch_size=None)
+    orders = broadcast_join(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"]),
+        cust, left_on="o_custkey", right_on="c_custkey")
+    orders = orders.map_batches(
+        lambda b: b.select(["o_orderkey", "c_nation"]),
+        batch_format="pyarrow", batch_size=None)
+
+    joined = sized_join(li, orders, on="l_orderkey",
+                        right_on="o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        sn = b.column("s_nation")
+        cn = b.column("c_nation")
+        keep = pc.or_(pc.and_(pc.equal(sn, n1), pc.equal(cn, n2)),
+                      pc.and_(pc.equal(sn, n2), pc.equal(cn, n1)))
+        t = b.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"supp_nation": pa.array([], pa.string()),
+                             "cust_nation": pa.array([], pa.string()),
+                             "l_year": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        year = pc.year(t.column("l_shipdate")).cast(pa.int64())
+        vol = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        g = pa.table({"supp_nation": t.column("s_nation"),
+                      "cust_nation": t.column("c_nation"),
+                      "l_year": year, "rev": vol}) \
+            .group_by(["supp_nation", "cust_nation", "l_year"]) \
+            .aggregate([("rev", "sum")])
+        return g.rename_columns(["supp_nation", "cust_nation",
+                                 "l_year", "rev"])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype=object),
+            "cust_nation": pd.Series([], dtype=object),
+            "l_year": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64")})
+    out = parts.groupby(["supp_nation", "cust_nation", "l_year"],
+                        as_index=False)["rev"].sum()
+    out["revenue"] = _round_away(out.pop("rev"), 2)
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+
+
+_TQ_NATIONFLOW_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_13')
+    OR (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_8'))
+  AND l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
 def q_pr_partial(sf_dir: str) -> pd.DataFrame:
     """Partial Pearson correlation of (l_quantity, l_extendedprice)
     controlling for l_discount — the confounder screen; one algebraic
@@ -12712,6 +12836,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "tq_custdist": q_tq_custdist,
         "tq_inactive": q_tq_inactive,
         "tq_brandrev": q_tq_brandrev,
+        "tq_nationflow": q_tq_nationflow,
         "dd_exact": q_dd_exact,
         "dd_editdist": q_dd_editdist,
         "dd_damerau": q_dd_damerau,
@@ -13084,6 +13209,7 @@ def oracle_sql() -> dict[str, str]:
         "tq_custdist": _TQ_CUSTDIST_ORACLE,
         "tq_inactive": _TQ_INACTIVE_ORACLE,
         "tq_brandrev": _TQ_BRANDREV_ORACLE,
+        "tq_nationflow": _TQ_NATIONFLOW_ORACLE,
         "dd_exact": _DD_EXACT_ORACLE,
         "dd_editdist": _DD_EDITDIST_ORACLE,
         "dd_damerau": _DD_DAMERAU_ORACLE,
