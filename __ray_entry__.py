@@ -6454,8 +6454,9 @@ def q_pr_scoreauc_seg(sf_dir: str) -> pd.DataFrame:
         import pyarrow.compute as _pc
         return pa.table({
             "event_type": b.column("event_type"),
-            "y": _pc.cast(_pc.bit_wise_and(b.column("user_id"), 1),
-                          pa.int64()),
+            "y": _pc.cast(_pc.not_equal(
+                _pc.bit_wise_and(b.column("user_id"), 1), 0),
+                pa.int64()),
             "s": b.column("value")})
 
     return score_summary_by_group(
@@ -6466,7 +6467,7 @@ def q_pr_scoreauc_seg(sf_dir: str) -> pd.DataFrame:
 _SCOREAUC_SEG_ORACLE = """
 WITH d AS (
   SELECT event_type AS seg, value AS s,
-         CAST(user_id % 2 AS BIGINT) AS lab
+         CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END AS lab
   FROM events
   WHERE value IS NOT NULL AND user_id IS NOT NULL),
 hg AS (SELECT seg, s, CAST(sum(lab) AS BIGINT) AS pos, count(*) AS tot
@@ -6561,19 +6562,21 @@ def q_tq_nationflow(sf_dir: str) -> pd.DataFrame:
     npd = read_parquet_clean(f"{sf_dir}/nation.parquet",
                              columns=["n_nationkey", "n_name"]) \
         .to_pandas()
-    nmap = {int(k): v for k, v in zip(npd["n_nationkey"], npd["n_name"])
-            if v in (n1, n2)}
-    keys = pa.array(sorted(nmap), pa.int64())
+    sel_pd = npd[npd["n_name"].isin([n1, n2])]
+    keys = pa.array(sel_pd["n_nationkey"].astype("int64"), pa.int64())
+    names_lut = pa.array(sel_pd["n_name"], pa.string())
 
     def project(key_col: str, nation_col: str, out_key: str):
         def fn(b: pa.Table) -> pa.Table:
-            sel = b.filter(pc.is_in(
-                b.column(nation_col).cast(pa.int64()), value_set=keys))
-            names = pa.array(
-                [nmap[k] for k in sel.column(nation_col).to_pylist()],
-                pa.string())
+            nk = b.column(nation_col).cast(pa.int64())
+            sel = b.filter(pc.is_in(nk, value_set=keys))
+            # vectorized key -> name: index_in against the 2-row LUT +
+            # take (no per-row Python)
+            pos = pc.index_in(sel.column(nation_col).cast(pa.int64()),
+                              value_set=keys)
             return pa.table({out_key: sel.column(key_col),
-                             f"{out_key[0]}_nation": names})
+                             f"{out_key[0]}_nation":
+                                 pc.take(names_lut, pos)})
         return fn
 
     supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",

@@ -32,6 +32,13 @@ __all__ = ["nb_train", "nb_score", "logreg_train", "logreg_score",
 _MAX_MODEL_ROWS = 5_000_000  # (class, token) rows the driver may hold
 
 
+def _round6(x):
+    """Round half AWAY from zero at 6 decimals (SQL ROUND parity —
+    np.round is banker's). One definition for every classify metric."""
+    x = np.asarray(x, np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def _flat_tokens(batch: pa.Table, text_col: str):
     """(token, row-index) arrays for a batch: whitespace split, empties
     dropped. Pure Arrow kernels."""
@@ -350,9 +357,7 @@ def score_curves(ds, label_col: str, score_col: str,
     N = int(call[-1] - P)
     T = int(call[-1])
 
-    def r6(x):
-        x = np.asarray(x, np.float64)
-        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+    r6 = _round6
 
     with np.errstate(invalid="ignore", divide="ignore"):
         tpr = ctp / P if P else np.full(len(hist), np.nan)
@@ -409,8 +414,7 @@ def score_summary(ds, label_col: str, score_col: str,
         ap = np.nan
 
     def r6(v):
-        return (np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
-                if np.isfinite(v) else v)
+        return float(_round6(v)) if np.isfinite(v) else v
 
     return pd.DataFrame({"n": np.array([T], np.int64),
                          "n_pos": np.array([int(P)], np.int64),
@@ -430,11 +434,14 @@ def score_summary_by_group(ds, group_col: str, label_col: str,
     on hash(group) % B, ONE vectorized pandas call per bucket — the
     per-group cumulative sums, trapezoid AUC and step AP are Cython
     groupby kernels across ALL of a bucket's groups at once, never one
-    Python call per group). Null groups form a group (SQL GROUP BY);
-    null/NaN scores and null labels are excluded per group. Returns
-    one row per group (group, n, n_pos, roc_auc, avg_precision)
-    sorted by group; AUC is NULL for single-class groups; ratios
-    rounded to 6."""
+    Python call per group). The group column keeps its ORIGINAL dtype
+    (the null-safe string sentinel is only the shuffle key; the typed
+    column rides along, the ``_with_shuffle_key`` convention). Null
+    groups form a group (SQL GROUP BY); null/NaN scores and null
+    labels are excluded per group. Returns one row per group (group,
+    n, n_pos, roc_auc, avg_precision) sorted by group value (nulls
+    last); AUC is NULL for single-class groups; ratios rounded to
+    6."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -446,25 +453,27 @@ def score_summary_by_group(ds, group_col: str, label_col: str,
         ok = pc.and_(
             pc.and_(pc.is_valid(s), pc.is_valid(lab)),
             pc.invert(pc.is_nan(pc.fill_null(s, 0.0))))
-        gk = pc.fill_null(pc.cast(batch.column(group_col), pa.string()),
-                          "\0null")
-        t = pa.table({"grp": gk, "s": s, "lab": lab}).filter(ok)
+        # Arrow group_by treats nulls as a key, so the TYPED group
+        # column survives; the string sentinel is only the shuffle key
+        t = pa.table({"grp": batch.column(group_col), "s": s,
+                      "lab": lab}).filter(ok)
         g = t.group_by(["grp", "s"]).aggregate(
             [("lab", "sum"), ([], "count_all")])
         out_t = pa.table({"grp": g.column("grp"),
                           "s": g.column("s"),
                           "pos": g.column("lab_sum").cast(pa.int64()),
                           "tot": g.column("count_all").cast(pa.int64())})
-        # __gkey is the shuffle key (dropped by _bucketed_merge); grp
-        # rides along as the data column the merge groups on
-        return out_t.append_column("__gkey", out_t.column("grp"))
+        gk = pc.fill_null(pc.cast(out_t.column("grp"), pa.string()),
+                          "\0null")
+        return out_t.append_column("__gkey", gk)
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        agg = df.groupby(["grp", "s"], sort=False)[["pos", "tot"]] \
+        agg = df.groupby(["grp", "s"], sort=False,
+                         dropna=False)[["pos", "tot"]] \
             .sum().reset_index()
         agg = agg.sort_values(["grp", "s"], ascending=[True, False],
                               kind="mergesort").reset_index(drop=True)
-        g = agg.groupby("grp", sort=False)
+        g = agg.groupby("grp", sort=False, dropna=False)
         pos = agg["pos"].to_numpy(np.float64)
         tot = agg["tot"].to_numpy(np.float64)
         ctp = g["pos"].cumsum().to_numpy(np.float64)
@@ -481,7 +490,7 @@ def score_summary_by_group(ds, group_col: str, label_col: str,
         out = pd.DataFrame({
             "grp": agg["grp"], "auc_t": auc_t, "ap_t": ap_t,
             "pos": agg["pos"], "tot": agg["tot"]})
-        per = out.groupby("grp", sort=False).agg(
+        per = out.groupby("grp", sort=False, dropna=False).agg(
             n=("tot", "sum"), n_pos=("pos", "sum"),
             roc_auc=("auc_t", "sum"),
             avg_precision=("ap_t", "sum")).reset_index()
@@ -501,12 +510,10 @@ def score_summary_by_group(ds, group_col: str, label_col: str,
         ds.map_batches(partial, batch_format="pyarrow",
                        batch_size=None), merge_bucket)
     for c in ("roc_auc", "avg_precision"):
-        v = out[c].to_numpy(np.float64)
-        out[c] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        out[c] = _round6(out[c].to_numpy(np.float64))
     out["n"] = out["n"].astype(np.int64)
     out["n_pos"] = out["n_pos"].astype(np.int64)
     out = out.rename(columns={"grp": group_col})
-    out[group_col] = out[group_col].where(out[group_col] != "\0null",
-                                          None)
     out = _restore_null_keys(out, [group_col])
-    return out.sort_values(group_col).reset_index(drop=True)
+    return out.sort_values(group_col, na_position="last") \
+        .reset_index(drop=True)

@@ -251,7 +251,12 @@ def bucketed_by_key(ds, key_col: str, per_bucket,
         # hand back a metadata-free Arrow table: pandas conversion embeds
         # a dict in the schema metadata, which makes every bucket's schema
         # distinct/unhashable to Ray's dedup ("Failed to hash the
-        # schemas" reduce-worker warnings) and non-canonical downstream
+        # schemas" reduce-worker warnings) and non-canonical downstream.
+        # per_bucket may return an Arrow table directly when it needs
+        # EXPLICIT types (an all-None object column would otherwise be
+        # inferred as type null, giving buckets divergent schemas)
+        if isinstance(out, pa.Table):
+            return out.replace_schema_metadata(None)
         return pa.Table.from_pandas(out, preserve_index=False) \
             .replace_schema_metadata(None)
 
@@ -2326,13 +2331,18 @@ def last_touch_attribution(ds, user_col: str, ts_col: str,
     by the global-index monotonicity argument: an accumulated index
     from an earlier user is always below the current segment's start,
     so it is detected and nulled), and a gather for the channel/lag.
-    Returns a Dataset (id_col, channel, lag_s) with one row per
-    conversion event; lag_s is int64 seconds (null when unattributed),
-    ties on ts break by id (deterministic)."""
+    Rows with a null user or null timestamp are EXCLUDED (they can
+    neither convert nor give credit — matching the SQL form's WHERE);
+    a null event_type is neither a conversion nor a touch (the SQL
+    CASE maps it to NULL, which IGNORE NULLS skips). Returns a Dataset
+    (id_col, channel, lag_s) with one row per conversion event; lag_s
+    is float64 seconds (null when unattributed), ties on ts break by
+    id (deterministic)."""
     if window_s < 0:
         raise ValueError(f"window_s must be >= 0, got {window_s}")
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df[df[ts_col].notna() & df[user_col].notna()]
         codes, _ = pd.factorize(df[user_col], use_na_sentinel=False)
         t = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
         ids = df[id_col].to_numpy()
@@ -2341,18 +2351,22 @@ def last_touch_attribution(ds, user_col: str, ts_col: str,
         codes, t, ids = codes[order], t[order], ids[order]
         types = df[type_col].to_numpy()
         n = len(df)
+        id_type = pa.Array.from_pandas(df[id_col].iloc[:1]).type
+        empty = pa.table({id_col: pa.array([], id_type),
+                          "channel": pa.array([], pa.string()),
+                          "lag_s": pa.array([], pa.float64())})
         if n == 0:
-            return pd.DataFrame({id_col: df[id_col],
-                                 "channel": pd.Series([], dtype=object),
-                                 "lag_s": pd.Series([], dtype="float64")})
+            return empty
         change = np.empty(n, bool)
         change[0] = True
         change[1:] = codes[1:] != codes[:-1]
         seg_id = np.cumsum(change) - 1
         starts = np.flatnonzero(change)
         is_conv = types == conv_type
+        # a null type is neither a conversion nor a touch
+        is_touch = pd.notna(types) & ~is_conv
         idx = np.arange(n, dtype=np.int64)
-        carry = np.where(~is_conv, idx, np.int64(-1))
+        carry = np.where(is_touch, idx, np.int64(-1))
         # prefix of the accumulate EXCLUDING the current row
         acc = np.maximum.accumulate(carry)
         prev_acc = np.concatenate([[np.int64(-1)], acc[:-1]])
@@ -2360,6 +2374,8 @@ def last_touch_attribution(ds, user_col: str, ts_col: str,
         # below this row's segment start — null it
         valid = prev_acc >= starts[seg_id]
         conv_rows = np.flatnonzero(is_conv)
+        if conv_rows.size == 0:
+            return empty
         src = prev_acc[conv_rows]
         ok = valid[conv_rows]
         lag_us = np.where(ok, t[conv_rows] - t[np.maximum(src, 0)], -1)
@@ -2367,8 +2383,11 @@ def last_touch_attribution(ds, user_col: str, ts_col: str,
         channel = np.where(ok, types[np.maximum(src, 0)], None)
         lag = np.where(ok, lag_us // 1_000_000, -1).astype(np.float64)
         lag[~ok] = np.nan
-        return pd.DataFrame({id_col: ids[conv_rows],
-                             "channel": channel,
-                             "lag_s": lag})
+        # explicit Arrow types: an all-unattributed bucket's channel
+        # must still be string, never inferred null
+        return pa.table({
+            id_col: pa.array(ids[conv_rows], id_type),
+            "channel": pa.array(channel.tolist(), pa.string()),
+            "lag_s": pa.array(lag, pa.float64())})
 
     return bucketed_by_key(ds, user_col, per_bucket)

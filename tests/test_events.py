@@ -1215,3 +1215,55 @@ def test_last_touch_attribution(ray_session):
         last_touch_attribution(_ds(df), "user_id", "ts", "event_type",
                                "event_id", conv_type="purchase",
                                window_s=-1)
+
+
+def test_last_touch_attribution_nulls(ray_session):
+    """Null semantics match the SQL form: null-user or null-ts rows are
+    excluded entirely (a NaT touch must never attribute with a wrapped
+    negative lag), and a null event_type is neither a touch nor a
+    conversion; an all-unattributed layout still yields a STRING
+    channel column (typed empty, not inferred null)."""
+    from feature_fabrica_ray.pipelines import last_touch_attribution
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame([
+        # user 1: only touch has NULL ts -> purchase must be NULL-attr
+        {"event_id": 1, "user_id": 1, "ts": pd.NaT, "event_type": "click"},
+        {"event_id": 2, "user_id": 1, "ts": base, "event_type": "purchase"},
+        # user 2: null-TYPE event is not a touch
+        {"event_id": 3, "user_id": 2, "ts": base, "event_type": None},
+        {"event_id": 4, "user_id": 2,
+         "ts": base + np.timedelta64(5, "s"), "event_type": "purchase"},
+        # null user: excluded entirely (its purchase emits no row)
+        {"event_id": 5, "user_id": None, "ts": base,
+         "event_type": "purchase"},
+        # user 3: a real touch still works
+        {"event_id": 6, "user_id": 3, "ts": base, "event_type": "view"},
+        {"event_id": 7, "user_id": 3,
+         "ts": base + np.timedelta64(2, "s"), "event_type": "purchase"},
+    ])
+    for blocks in (1, 3):
+        out = last_touch_attribution(
+            _ds(df, blocks=blocks), "user_id", "ts", "event_type",
+            "event_id", conv_type="purchase", window_s=3600) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert out["event_id"].tolist() == [2, 4, 7]
+        assert pd.isna(out["channel"].iloc[0])      # NaT touch ignored
+        assert pd.isna(out["lag_s"].iloc[0])
+        assert pd.isna(out["channel"].iloc[1])      # null type not a touch
+        assert out["channel"].iloc[2] == "view"
+        assert out["lag_s"].iloc[2] == 2.0
+
+    # all-unattributed input: channel column still string-typed
+    solo = pd.DataFrame([{"event_id": 1, "user_id": 1, "ts": base,
+                          "event_type": "purchase"},
+                         {"event_id": 2, "user_id": 2, "ts": base,
+                          "event_type": "purchase"}])
+    ds_out = last_touch_attribution(_ds(solo, blocks=2), "user_id",
+                                    "ts", "event_type", "event_id",
+                                    conv_type="purchase")
+    import pyarrow as pa_
+    assert ds_out.schema().base_schema.field("channel").type == \
+        pa_.string()
+    got = ds_out.to_pandas()
+    assert len(got) == 2 and got["channel"].isna().all()

@@ -6693,3 +6693,23 @@ def test_score_summary_by_group(ray_session):
     r = score_summary_by_group(_ds(onec, blocks=2), "g", "y", "s")
     assert pd.isna(r[r["g"] == "x"]["roc_auc"].iloc[0])
     assert np.isfinite(r[r["g"] == "z"]["roc_auc"].iloc[0])
+
+
+def test_score_summary_by_group_typed_key(ray_session):
+    """The group column keeps its ORIGINAL dtype: an int64 segment key
+    comes back int64 and numerically sorted (2 before 10), never
+    stringified/lexicographic."""
+    from feature_fabrica_ray.pipelines import (score_summary,
+                                               score_summary_by_group)
+
+    rng = np.random.default_rng(5)
+    n = 400
+    g = rng.choice([2, 10], n).astype(np.int64)
+    s = np.round(rng.uniform(0, 1, n), 2)
+    y = (rng.uniform(0, 1, n) < np.where(g == 2, s, 0.5)).astype(np.int64)
+    df = pd.DataFrame({"g": g, "y": y, "s": s})
+    out = score_summary_by_group(_ds(df, blocks=3), "g", "y", "s")
+    assert out["g"].dtype == np.int64
+    assert out["g"].tolist() == [2, 10]       # numeric order
+    ref = score_summary(_ds(df[df["g"] == 2]), "y", "s")
+    assert out.iloc[0]["roc_auc"] == ref["roc_auc"].iloc[0]
