@@ -6713,3 +6713,26 @@ def test_score_summary_by_group_typed_key(ray_session):
     assert out["g"].tolist() == [2, 10]       # numeric order
     ref = score_summary(_ds(df[df["g"] == 2]), "y", "s")
     assert out.iloc[0]["roc_auc"] == ref["roc_auc"].iloc[0]
+
+
+def test_minigif_lzw_property():
+    """Property: decode inverts an independent spec LZW encoder for
+    random index streams (random alphabet sizes force the width-growth
+    and 4096-reset paths at larger n)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from feature_fabrica_ray.pipelines._minigif import _lzw_decode
+
+    @settings(max_examples=30, deadline=None)
+    @given(ncolors=st.integers(2, 64), n=st.integers(1, 4000),
+           seed=st.integers(0, 2**31 - 1))
+    def inner(ncolors, n, seed):
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, ncolors, n).astype(np.uint8).tolist()
+        min_code = max(2, int(np.ceil(np.log2(ncolors))))
+        body = _lzw_encode_ref(idx, min_code)
+        out = _lzw_decode(min_code, body, n)
+        assert out.tolist() == idx
+
+    inner()
