@@ -6662,6 +6662,50 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_sp_budget(sf_dir: str):
+    """Token-budget corpus selection: keep the best
+    word-density-per-char documents until a 60k-char global budget is
+    spent — greedy value/cost ranking + inclusive running-cost cutoff
+    (``WHERE sum(cost) OVER (ORDER BY ratio DESC, doc_id) <=
+    budget``). One range-exchange sort + two raw-task passes (per-block
+    cost sums to the driver, offset-stamped prefix filter) —
+    the global_row_number escape-hatch pattern
+    (pipelines/reshape.py::budget_select)."""
+    from feature_fabrica_ray.pipelines import budget_select
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "n_chars"])
+
+    def add_words(b: pa.Table) -> pa.Table:
+        # vectorized \S+ match count — exact parity with the oracle's
+        # len(regexp_extract_all(text, '\S+'))
+        n = pc.count_substring_regex(b.column("text"), r"\S+") \
+            .cast(pa.int64())
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_words": n, "n_chars": b.column("n_chars")})
+
+    pre = ds.map_batches(add_words, batch_format="pyarrow",
+                         batch_size=None)
+    out = budget_select(pre, "n_words", "n_chars", budget=60_000,
+                        tiebreak_col="doc_id")
+    return _select(out, ["doc_id", "n_chars", "cum_cost"])
+
+
+_SP_BUDGET_ORACLE = r"""
+WITH r AS (
+  SELECT doc_id, n_chars,
+         len(regexp_extract_all(text, '\S+'))
+           / CAST(greatest(n_chars, 1) AS DOUBLE) AS ratio
+  FROM documents
+  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+c AS (SELECT doc_id, n_chars,
+        CAST(sum(n_chars) OVER (ORDER BY ratio DESC, doc_id)
+             AS DOUBLE) AS cum_cost
+      FROM r)
+SELECT doc_id, n_chars, cum_cost FROM c WHERE cum_cost <= 60000
+"""
+
+
 def q_pr_partial(sf_dir: str) -> pd.DataFrame:
     """Partial Pearson correlation of (l_quantity, l_extendedprice)
     controlling for l_discount — the confounder screen; one algebraic
@@ -12820,6 +12864,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "agg_entropy": q_agg_entropy,
         "agg_quantiles_approx": q_agg_quantiles_approx,
         "sp_pack": q_sp_pack,
+        "sp_budget": q_sp_budget,
         "sp_shuffle": q_sp_shuffle,
         "ss_kmeans": q_ss_kmeans,
         "dd_decontaminate": q_dd_decontaminate,
@@ -13161,6 +13206,7 @@ def oracle_sql() -> dict[str, str]:
         "gr_hits": _HITS_ORACLE,
         "gr_adamic": _ADAMIC_ORACLE,
         "sp_pack": _SP_PACK_ORACLE,
+        "sp_budget": _SP_BUDGET_ORACLE,
         "gr_kcore": _KCORE_ORACLE,
         "tp_curate": _TP_CURATE_ORACLE,
         "ev_rank": _RANK_ORACLE,

@@ -199,3 +199,85 @@ def list_column_stats(ds, list_col: str, out_prefix: str = ""):
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def budget_select(ds, value_col: str, cost_col: str, budget: float,
+                  tiebreak_col: str, cum_col: str = "cum_cost"):
+    """Greedy data selection under a GLOBAL cost budget: rows are
+    ranked by value-per-cost ratio (descending, ties broken by
+    ``tiebreak_col``) and kept while the running cost total stays
+    within ``budget`` — the token-budget corpus-selection step of a
+    training-data pipeline ("best quality-per-token documents until
+    the budget is spent"), i.e. ``WHERE sum(cost) OVER (ORDER BY
+    value/cost DESC, tiebreak) <= budget`` with the inclusive SQL
+    frame. Rows with null value or cost are excluded; cost is floored
+    at 1 in the ratio so zero-cost rows rank by raw value instead of
+    dividing by zero.
+
+    Scale shape: ONE range-exchange sort on the ratio (Ray samples
+    boundaries; the same unavoidable all-to-all ``global_row_number``
+    documents), then two raw-task passes over the sorted blocks — a
+    per-block cost SUM (one float per block to the driver, the
+    ``global_row_number`` offsets pattern) and a per-block prefix
+    cumsum + filter stamped with the shipped offsets. Blocks whose
+    offset already exceeds the budget are skipped without being
+    touched. Appends ``cum_col`` (float64 running cost including the
+    row). Raw tasks are the documented Dataset-API escape hatch: a
+    batch UDF cannot know its block's global position."""
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+
+    def add_ratio(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).cast(pa.float64())
+        c = b.column(cost_col).cast(pa.float64())
+        ok = pc.and_(pc.is_valid(v), pc.is_valid(c))
+        t = b.filter(ok)
+        v = t.column(value_col).cast(pa.float64())
+        c = t.column(cost_col).cast(pa.float64())
+        r = pc.divide(v, pc.max_element_wise(c, 1.0))
+        return t.append_column("__ratio", r)
+
+    srt = ds.map_batches(add_ratio, batch_format="pyarrow",
+                         batch_size=None) \
+        .sort(["__ratio", tiebreak_col],
+              descending=[True, False]).materialize()
+
+    @ray.remote
+    def cost_sum(block) -> float:
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        s = pc.sum(block.column(cost_col).cast(pa.float64())).as_py()
+        return float(s or 0.0)
+
+    @ray.remote
+    def select(block, start: float, budget: float) -> pa.Table:
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        c = block.column(cost_col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        cum = start + np.cumsum(c)
+        t = block.append_column(cum_col, pa.array(cum, pa.float64()))
+        return t.filter(pa.array(cum <= budget)) \
+            .drop_columns(["__ratio"])
+
+    block_refs = [block_ref
+                  for bundle in srt.iter_internal_ref_bundles()
+                  for block_ref, _meta in bundle.blocks]
+    sums = ray.get([cost_sum.remote(br) for br in block_refs])
+    offsets = np.concatenate([[0.0], np.cumsum(sums)[:-1]]) \
+        if sums else np.zeros(0)
+    keep = [(br, off) for br, off in zip(block_refs, offsets)
+            if off <= budget]
+    if not keep:
+        # empty result with the input schema + cum_col
+        schema = srt.schema().base_schema
+        cols = {f.name: pa.array([], f.type) for f in schema
+                if f.name != "__ratio"}
+        cols[cum_col] = pa.array([], pa.float64())
+        return ray.data.from_arrow(pa.table(cols))
+    return ray.data.from_arrow_refs(
+        [select.remote(br, off, float(budget)) for br, off in keep])

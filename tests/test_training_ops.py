@@ -6736,3 +6736,46 @@ def test_minigif_lzw_property():
         assert out.tolist() == idx
 
     inner()
+
+
+def test_budget_select(ray_session):
+    """Greedy budget selection matches the brute-force sort+cumsum
+    reference (inclusive cutoff), excludes null value/cost rows,
+    floors zero costs in the ratio, keeps nothing at budget=0, and is
+    layout invariant."""
+    from feature_fabrica_ray.pipelines import budget_select
+
+    rng = np.random.default_rng(31)
+    n = 500
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "val": rng.integers(1, 50, n).astype("float64"),
+        "cost": rng.integers(1, 200, n).astype("float64")})
+    df.loc[3, "val"] = np.nan
+    df.loc[7, "cost"] = np.nan
+    df.loc[11, "cost"] = 0.0               # ratio floor at 1
+    budget = 5000.0
+
+    ok = df.dropna().copy()
+    ok["ratio"] = ok["val"] / np.maximum(ok["cost"], 1.0)
+    ok = ok.sort_values(["ratio", "id"], ascending=[False, True],
+                        kind="mergesort")
+    ok["cum"] = ok["cost"].cumsum()
+    want = ok[ok["cum"] <= budget]
+
+    for blocks in (1, 4):
+        out = budget_select(_ds(df, blocks=blocks), "val", "cost",
+                            budget, "id").to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        ref = want.sort_values("id").reset_index(drop=True)
+        assert out["id"].tolist() == ref["id"].tolist()
+        assert np.allclose(
+            out.set_index("id")["cum_cost"],
+            want.set_index("id")["cum"].reindex(out["id"]).values)
+    assert 3 not in out["id"].values and 7 not in out["id"].values
+
+    empty = budget_select(_ds(df), "val", "cost", 0.0, "id").to_pandas()
+    assert len(empty) == 0
+
+    with pytest.raises(ValueError):
+        budget_select(_ds(df), "val", "cost", -1.0, "id")
