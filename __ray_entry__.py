@@ -6706,6 +6706,34 @@ SELECT doc_id, n_chars, cum_cost FROM c WHERE cum_cost <= 60000
 """
 
 
+def q_ft_winsor(sf_dir: str):
+    """Global winsorization of l_extendedprice at [p05, p95]: the
+    clip-at-percentile fitted transform (keeps every row, bounds
+    leverage) — exact quantile_cont cut points from the value-histogram
+    combiner, broadcast once, stateless vectorized clamp
+    (pipelines/quantiles.py::winsorize)."""
+    from feature_fabrica_ray.pipelines import winsorize
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_extendedprice"])
+    out = winsorize(ds, "l_extendedprice", p_lo=0.05, p_hi=0.95)
+    out = _round_cols(out, {"winsor": 6})
+    return _select(out, ["l_orderkey", "l_linenumber", "winsor"])
+
+
+_WINSOR_ORACLE = """
+WITH q AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+                  quantile_cont(l_extendedprice, 0.95) AS hi
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_extendedprice IS NULL THEN NULL
+            ELSE round(least(greatest(l_extendedprice, lo), hi), 6)
+       END AS winsor
+FROM lineitem, q
+"""
+
+
 def q_pr_partial(sf_dir: str) -> pd.DataFrame:
     """Partial Pearson correlation of (l_quantity, l_extendedprice)
     controlling for l_discount — the confounder screen; one algebraic
@@ -13080,6 +13108,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "ta_confusion": q_ta_confusion,
         "ss_clusters": q_ss_clusters,
         "ft_robust": q_ft_robust,
+        "ft_winsor": q_ft_winsor,
         "gr_reciprocity": q_gr_reciprocity,
         "vl_quantile_timeline": q_vl_quantile_timeline,
         "pr_hhi": q_pr_hhi,
@@ -13380,6 +13409,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_confusion": _CONFUSION_ORACLE,
         "ss_clusters": _SS_CLUSTERS_ORACLE,
         "ft_robust": _ROBUST_ORACLE,
+        "ft_winsor": _WINSOR_ORACLE,
         "gr_reciprocity": _RECIPROCITY_ORACLE,
         "vl_quantile_timeline": _QUANTILE_TIMELINE_ORACLE,
         "pr_hhi": _HHI_ORACLE,

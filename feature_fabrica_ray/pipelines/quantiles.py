@@ -26,7 +26,7 @@ __all__ = ["group_quantiles", "rank_normalize", "equidepth_buckets",
            "spearman_corr", "spearman_corr_approx", "kendall_tau",
            "kendall_tau_approx", "mann_kendall", "mad_outliers",
            "cusum_changepoint", "volume_peaks", "theil_sen_slope",
-           "robust_scale"]
+           "robust_scale", "winsorize"]
 
 
 def _weighted_quantile(values: np.ndarray, counts: np.ndarray,
@@ -1341,4 +1341,83 @@ def robust_scale(ds, col: str, out_col: str = "robust",
         return batch.append_column(out_col, pa.array(r, pa.float64()))
 
     return ds.map_batches(stamp, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def winsorize(ds, col: str, p_lo: float = 0.01, p_hi: float = 0.99,
+              out_col: str = "winsor", max_distinct: int = 5_000_000,
+              exact: bool = False, delta: float = 500.0):
+    """Winsorization: clip ``col`` to its GLOBAL [p_lo, p_hi]
+    interpolated quantiles — the outlier-robust transform that keeps
+    every row (unlike a fence filter) while bounding leverage; the
+    clip-at-percentile sibling of ``robust_scale``. Nulls pass through
+    as null.
+
+    Same two-phase shape as ``robust_scale``: the value-histogram
+    combiner fits the exact quantile_cont cut points (distinct
+    (value, count) rows, guarded from materialized metadata), the two
+    scalars broadcast, one stateless vectorized clamp. Continuous
+    domains past the guard DEGRADE loudly to the t-digest quantile fit
+    (``exact=True`` preserves the raise). Appends ``out_col``
+    (float64, unrounded — clipping is exact arithmetic)."""
+    import warnings
+
+    import pyarrow.compute as pc
+    import ray
+
+    from ..tuning import shuffle_partitions
+
+    if not 0.0 <= p_lo <= p_hi <= 1.0:
+        raise ValueError(
+            f"need 0 <= p_lo <= p_hi <= 1, got ({p_lo}, {p_hi})")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).cast(pa.float64())
+        t = pa.table({"v": v}).filter(pc.is_valid(v))
+        g = t.group_by(["v"]).aggregate([([], "count_all")])
+        return pa.table({"v": g.column("v"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    hist_ds = (ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+               .groupby("v", num_partitions=shuffle_partitions())
+               .sum("c").materialize())
+    n_distinct = hist_ds.count()
+    if n_distinct > max_distinct:
+        if exact:
+            raise ValueError(
+                f"winsorize: {n_distinct} distinct values — use the "
+                f"t-digest sketch path for continuous domains")
+        warnings.warn(
+            f"winsorize: {n_distinct} distinct values exceed the "
+            f"exact-histogram guard; degrading to the approximate "
+            f"t-digest quantile fit (pass exact=True to forbid)",
+            RuntimeWarning, stacklevel=2)
+        d = _column_digest(ds, col, delta)
+        lo, hi = (d.quantiles((p_lo, p_hi)) if d.count
+                  else (np.nan, np.nan))
+    else:
+        hist = hist_ds.to_pandas()
+        if hist.empty:
+            lo = hi = np.nan
+        else:
+            vals = hist["v"].to_numpy(np.float64)
+            cnts = hist["sum(c)"].to_numpy(np.int64)
+            lo, hi = _weighted_quantile(vals, cnts, (p_lo, p_hi))
+    ref = ray.put((lo, hi))
+
+    def clamp(batch: pa.Table) -> pa.Table:
+        lo, hi = ray.get(ref)
+        x = batch.column(col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        if np.isnan(lo):
+            w = np.full(x.size, np.nan)
+        else:
+            w = np.clip(x, lo, hi)
+        mask = np.isnan(x)
+        return batch.append_column(
+            out_col, pa.array(np.where(mask, 0.0, w), pa.float64(),
+                              mask=mask))
+
+    return ds.map_batches(clamp, batch_format="pyarrow",
                           batch_size=None)

@@ -6779,3 +6779,38 @@ def test_budget_select(ray_session):
 
     with pytest.raises(ValueError):
         budget_select(_ds(df), "val", "cost", -1.0, "id")
+
+
+def test_winsorize(ray_session):
+    """Winsorize matches numpy's interpolated-percentile clip, nulls
+    pass through as null, the t-digest degrade lands within sketch
+    error, exact=True raises past the guard, and bad percentiles
+    raise."""
+    from feature_fabrica_ray.pipelines import winsorize
+
+    rng = np.random.default_rng(19)
+    x = np.round(rng.normal(100, 25, 4000), 1)   # ties, bounded domain
+    df = pd.DataFrame({"i": np.arange(x.size, dtype=np.int64), "v": x})
+    df.loc[5, "v"] = np.nan
+    lo, hi = np.percentile(df["v"].dropna(), [5, 95])
+    want = np.clip(df["v"], lo, hi)
+
+    for blocks in (1, 4):
+        out = winsorize(_ds(df, blocks=blocks), "v",
+                        p_lo=0.05, p_hi=0.95).to_pandas() \
+            .sort_values("i").reset_index(drop=True)
+        assert np.allclose(out["winsor"].dropna(),
+                           want.dropna(), atol=1e-9)
+        assert pd.isna(out.loc[5, "winsor"])
+
+    with pytest.warns(RuntimeWarning, match="t-digest"):
+        deg = winsorize(_ds(df, blocks=4), "v", p_lo=0.05, p_hi=0.95,
+                        max_distinct=10).to_pandas() \
+            .sort_values("i").reset_index(drop=True)
+    err = np.abs(deg["winsor"].dropna() - want.dropna())
+    assert err.max() < 3.0                      # sketch resolution
+
+    with pytest.raises(ValueError, match="distinct"):
+        winsorize(_ds(df), "v", max_distinct=10, exact=True)
+    with pytest.raises(ValueError, match="p_lo"):
+        winsorize(_ds(df), "v", p_lo=0.9, p_hi=0.1)
