@@ -6734,6 +6734,34 @@ FROM lineitem, q
 """
 
 
+def q_ft_group_winsor(sf_dir: str):
+    """Per-segment winsorization: clip each event's value to its OWN
+    event_type's [p10, p90] interpolated quantiles — exact per-segment
+    cut points via the value-histogram combiner, broadcast, stateless
+    clamp (pipelines/grouped.py::grouped_winsorize)."""
+    from feature_fabrica_ray.pipelines import grouped_winsorize
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+    out = grouped_winsorize(ds, "event_type", "value",
+                            p_lo=0.10, p_hi=0.90)
+    out = _round_cols(out, {"winsor": 6})
+    return _select(out, ["event_id", "event_type", "winsor"])
+
+
+_GROUP_WINSOR_ORACLE = """
+WITH q AS (SELECT event_type,
+                  quantile_cont(value, 0.10) AS lo,
+                  quantile_cont(value, 0.90) AS hi
+           FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       CASE WHEN e.value IS NULL THEN NULL
+            ELSE round(least(greatest(e.value, q.lo), q.hi), 6)
+       END AS winsor
+FROM events e LEFT JOIN q USING (event_type)
+"""
+
+
 def q_pr_partial(sf_dir: str) -> pd.DataFrame:
     """Partial Pearson correlation of (l_quantity, l_extendedprice)
     controlling for l_discount — the confounder screen; one algebraic
@@ -13109,6 +13137,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "ss_clusters": q_ss_clusters,
         "ft_robust": q_ft_robust,
         "ft_winsor": q_ft_winsor,
+        "ft_group_winsor": q_ft_group_winsor,
         "gr_reciprocity": q_gr_reciprocity,
         "vl_quantile_timeline": q_vl_quantile_timeline,
         "pr_hhi": q_pr_hhi,
@@ -13410,6 +13439,7 @@ def oracle_sql() -> dict[str, str]:
         "ss_clusters": _SS_CLUSTERS_ORACLE,
         "ft_robust": _ROBUST_ORACLE,
         "ft_winsor": _WINSOR_ORACLE,
+        "ft_group_winsor": _GROUP_WINSOR_ORACLE,
         "gr_reciprocity": _RECIPROCITY_ORACLE,
         "vl_quantile_timeline": _QUANTILE_TIMELINE_ORACLE,
         "pr_hhi": _HHI_ORACLE,

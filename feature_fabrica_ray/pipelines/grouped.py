@@ -2752,3 +2752,63 @@ def target_encode_smoothed(ds, key_col: str, val_col: str,
                         "mean": np.round(mean, 6),
                         "enc": np.round(enc, 6)})
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def grouped_winsorize(ds, group_col: str, val_col: str,
+                      p_lo: float = 0.05, p_hi: float = 0.95,
+                      out_col: str = "winsor"):
+    """Per-SEGMENT winsorization: clip ``val`` to its own segment's
+    [p_lo, p_hi] interpolated quantiles — the keeps-every-row dual of
+    ``grouped_outliers_iqr``'s fence filter (a global clip would let a
+    heavy segment's tails survive inside lighter segments).
+
+    Same two-phase fitted-transform shape: EXACT per-segment quantiles
+    via the mergeable value-histogram combiner
+    (``quantiles.group_quantiles`` — distinct (segment, value) rows
+    only), the |segments|-row cut-point table broadcasts via
+    ``ray.put``, one stateless vectorized clamp. Rows with a NULL
+    value keep a NULL ``out_col``; rows whose segment is NULL (or
+    unseen) also yield NULL (SQL join semantics). Appends ``out_col``
+    float64, unrounded."""
+    import ray
+
+    from .quantiles import group_quantiles
+
+    if not 0.0 <= p_lo <= p_hi <= 1.0:
+        raise ValueError(
+            f"need 0 <= p_lo <= p_hi <= 1, got ({p_lo}, {p_hi})")
+    # null segments never receive a cut point (their clip is NULL), so
+    # drop them BEFORE the fit — Ray's sort-based groupby cannot
+    # compare None with real keys
+    fit_ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column(group_col))),
+        batch_format="pyarrow", batch_size=None)
+    qs_df = group_quantiles(fit_ds, group_col, val_col, qs=(p_lo, p_hi))
+    qs_df = qs_df[qs_df[group_col].notna()]
+    lo_name = f"q_{int(p_lo * 100)}"
+    hi_name = f"q_{int(p_hi * 100)}"
+    cuts = pa.table({
+        group_col: pa.array(qs_df[group_col]),
+        "lo": pa.array(qs_df[lo_name].to_numpy(np.float64),
+                       pa.float64()),
+        "hi": pa.array(qs_df[hi_name].to_numpy(np.float64),
+                       pa.float64())})
+    ref = ray.put(cuts)
+
+    def clamp(batch: pa.Table) -> pa.Table:
+        f = ray.get(ref)
+        idx = pc.index_in(batch.column(group_col),
+                          value_set=f.column(group_col).combine_chunks())
+        lo = f.column("lo").take(idx)
+        hi = f.column("hi").take(idx)
+        v = batch.column(val_col).cast(pa.float64())
+        # skip_nulls=False so a null value OR null/unseen segment
+        # propagates to a null clip (SQL join semantics) instead of
+        # Arrow's default skip-null fallback to the other operand
+        w = pc.min_element_wise(
+            pc.max_element_wise(v, lo, skip_nulls=False), hi,
+            skip_nulls=False)
+        return batch.append_column(out_col, w)
+
+    return ds.map_batches(clamp, batch_format="pyarrow",
+                          batch_size=None)

@@ -6814,3 +6814,38 @@ def test_winsorize(ray_session):
         winsorize(_ds(df), "v", max_distinct=10, exact=True)
     with pytest.raises(ValueError, match="p_lo"):
         winsorize(_ds(df), "v", p_lo=0.9, p_hi=0.1)
+
+
+def test_grouped_winsorize(ray_session):
+    """Per-segment clip matches numpy per-group percentiles; null
+    values and null/unseen segments yield NULL (skip_nulls=False path);
+    layout invariant; bad percentiles raise."""
+    from feature_fabrica_ray.pipelines import grouped_winsorize
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    g = rng.choice(["a", "b", "c"], n).astype(object)
+    v = np.round(np.where(g == "a", rng.normal(10, 2, n),
+                          rng.normal(100, 30, n)), 2)
+    df = pd.DataFrame({"i": np.arange(n, dtype=np.int64),
+                       "g": g, "v": v})
+    df.loc[4, "v"] = np.nan
+    df.loc[9, "g"] = None
+
+    want = df["v"].copy()
+    for key, sub in df.dropna(subset=["g", "v"]).groupby("g"):
+        lo, hi = np.percentile(sub["v"], [10, 90])
+        m = (df["g"] == key) & df["v"].notna()
+        want[m] = np.clip(df.loc[m, "v"], lo, hi)
+
+    for blocks in (1, 4):
+        out = grouped_winsorize(_ds(df, blocks=blocks), "g", "v",
+                                p_lo=0.10, p_hi=0.90).to_pandas() \
+            .sort_values("i").reset_index(drop=True)
+        ok = df["g"].notna() & df["v"].notna()
+        assert np.allclose(out.loc[ok, "winsor"], want[ok], atol=1e-9)
+        assert pd.isna(out.loc[4, "winsor"])   # null value
+        assert pd.isna(out.loc[9, "winsor"])   # null segment
+
+    with pytest.raises(ValueError, match="p_lo"):
+        grouped_winsorize(_ds(df), "g", "v", p_lo=0.9, p_hi=0.1)
