@@ -6722,7 +6722,7 @@ def q_ft_winsor(sf_dir: str):
     return _select(out, ["l_orderkey", "l_linenumber", "winsor"])
 
 
-_WINSOR_ORACLE = """
+_FT_WINSOR_ORACLE = """
 WITH q AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
                   quantile_cont(l_extendedprice, 0.95) AS hi
            FROM lineitem)
@@ -13438,7 +13438,7 @@ def oracle_sql() -> dict[str, str]:
         "ta_confusion": _CONFUSION_ORACLE,
         "ss_clusters": _SS_CLUSTERS_ORACLE,
         "ft_robust": _ROBUST_ORACLE,
-        "ft_winsor": _WINSOR_ORACLE,
+        "ft_winsor": _FT_WINSOR_ORACLE,
         "ft_group_winsor": _GROUP_WINSOR_ORACLE,
         "gr_reciprocity": _RECIPROCITY_ORACLE,
         "vl_quantile_timeline": _QUANTILE_TIMELINE_ORACLE,
