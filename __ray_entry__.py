@@ -6755,7 +6755,7 @@ WITH q AS (SELECT event_type,
                   quantile_cont(value, 0.90) AS hi
            FROM events GROUP BY event_type)
 SELECT e.event_id, e.event_type,
-       CASE WHEN e.value IS NULL THEN NULL
+       CASE WHEN e.value IS NULL OR q.lo IS NULL THEN NULL
             ELSE round(least(greatest(e.value, q.lo), q.hi), 6)
        END AS winsor
 FROM events e LEFT JOIN q USING (event_type)

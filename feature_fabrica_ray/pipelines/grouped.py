@@ -2762,14 +2762,17 @@ def grouped_winsorize(ds, group_col: str, val_col: str,
     ``grouped_outliers_iqr``'s fence filter (a global clip would let a
     heavy segment's tails survive inside lighter segments).
 
-    Same two-phase fitted-transform shape: EXACT per-segment quantiles
-    via the mergeable value-histogram combiner
+    Same two-phase fitted-transform shape: per-segment quantile_cont
+    cut points via the mergeable value-histogram combiner
     (``quantiles.group_quantiles`` — distinct (segment, value) rows
     only), the |segments|-row cut-point table broadcasts via
     ``ray.put``, one stateless vectorized clamp. Rows with a NULL
     value keep a NULL ``out_col``; rows whose segment is NULL (or
     unseen) also yield NULL (SQL join semantics). Appends ``out_col``
-    float64, unrounded."""
+    float64; cut points carry ``group_quantiles``' 1e-6 rounding (the
+    clamp output is exact arithmetic on those rounded cut points —
+    callers needing sub-1e-6 cut precision should fit their own
+    quantiles)."""
     import ray
 
     from .quantiles import group_quantiles
@@ -2785,8 +2788,15 @@ def grouped_winsorize(ds, group_col: str, val_col: str,
         batch_format="pyarrow", batch_size=None)
     qs_df = group_quantiles(fit_ds, group_col, val_col, qs=(p_lo, p_hi))
     qs_df = qs_df[qs_df[group_col].notna()]
-    lo_name = f"q_{int(p_lo * 100)}"
-    hi_name = f"q_{int(p_hi * 100)}"
+    # match group_quantiles' column naming EXACTLY (int(round(q*100)))
+    # — plain int() truncates 0.29*100 == 28.999... to 28 -> KeyError
+    lo_name = f"q_{int(round(p_lo * 100))}"
+    hi_name = f"q_{int(round(p_hi * 100))}"
+    if lo_name == hi_name and p_lo != p_hi:
+        raise ValueError(
+            f"p_lo={p_lo} and p_hi={p_hi} collapse to the same "
+            f"whole-percent quantile column {lo_name!r} — "
+            f"group_quantiles resolves at 1% granularity")
     cuts = pa.table({
         group_col: pa.array(qs_df[group_col]),
         "lo": pa.array(qs_df[lo_name].to_numpy(np.float64),

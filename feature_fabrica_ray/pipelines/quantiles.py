@@ -1018,6 +1018,51 @@ def _column_digest(ds, col: str, delta: float = 500.0,
     return TDigest.merge_bytes(list(sk["d"]))
 
 
+def _global_value_fit(ds, col: str, max_distinct: int, exact: bool,
+                      delta: float, caller: str, degrade_msg: str,
+                      raise_msg: str):
+    """Shared global single-column fit for the fitted transforms
+    (mad_outliers / robust_scale / winsorize): the distinct-value
+    histogram when it fits the guard (decided from materialized block
+    metadata — nothing collected past the bound), else a LOUD t-digest
+    degrade (``exact=True`` preserves the raise).
+
+    Returns ``("exact", values, counts)`` with float64/int64 arrays,
+    ``("approx", digest)``, or ``("empty",)`` for an all-null column."""
+    import warnings
+
+    import pyarrow.compute as pc
+
+    from ..tuning import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).cast(pa.float64())
+        t = pa.table({"v": v}).filter(pc.is_valid(v))
+        g = t.group_by(["v"]).aggregate([([], "count_all")])
+        return pa.table({"v": g.column("v"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    hist_ds = (ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+               .groupby("v", num_partitions=shuffle_partitions())
+               .sum("c").materialize())
+    n_distinct = hist_ds.count()
+    if n_distinct > max_distinct:
+        if exact:
+            raise ValueError(
+                f"{caller}: {n_distinct} distinct values — {raise_msg}")
+        warnings.warn(
+            f"{caller}: {n_distinct} distinct values exceed the "
+            f"exact-histogram guard; {degrade_msg} (pass exact=True "
+            f"to forbid)", RuntimeWarning, stacklevel=3)
+        return ("approx", _column_digest(ds, col, delta))
+    hist = hist_ds.to_pandas()
+    if hist.empty:
+        return ("empty",)
+    return ("exact", hist["v"].to_numpy(np.float64),
+            hist["sum(c)"].to_numpy(np.int64))
+
+
 def mad_outliers(ds, col: str, id_cols: list[str], k: float = 3.5,
                  max_distinct: int = 5_000_000, exact: bool = False,
                  delta: float = 500.0):
@@ -1040,48 +1085,23 @@ def mad_outliers(ds, col: str, id_cols: list[str], k: float = 3.5,
     (median, then median absolute deviation) — approximate fences,
     same output contract — or raise when ``exact=True``. Returns a
     Dataset of (id_cols..., col, mz)."""
-    import warnings
-
-    import pyarrow.compute as pc
     import ray
 
-    from ..tuning import shuffle_partitions
-
-    def partial(batch: pa.Table) -> pa.Table:
-        v = batch.column(col).cast(pa.float64())
-        t = pa.table({"v": v}).filter(pc.is_valid(v))
-        g = t.group_by(["v"]).aggregate([([], "count_all")])
-        return pa.table({"v": g.column("v"),
-                         "c": g.column("count_all").cast(pa.int64())})
-
-    hist_ds = (ds.map_batches(partial, batch_format="pyarrow",
-                              batch_size=None)
-               .groupby("v", num_partitions=shuffle_partitions())
-               .sum("c").materialize())
-    n_distinct = hist_ds.count()
-    if n_distinct > max_distinct:
-        if exact:
-            raise ValueError(
-                f"mad_outliers: {n_distinct} distinct values — "
-                f"quantize first at this cardinality")
-        warnings.warn(
-            f"mad_outliers: {n_distinct} distinct values exceed the "
-            f"exact-histogram guard; degrading to approximate t-digest "
-            f"median/MAD fences (pass exact=True to forbid)",
-            RuntimeWarning, stacklevel=2)
-        d1 = _column_digest(ds, col, delta)
+    fit = _global_value_fit(
+        ds, col, max_distinct, exact, delta, "mad_outliers",
+        "degrading to approximate t-digest median/MAD fences",
+        "quantize first at this cardinality")
+    if fit[0] == "approx":
+        d1 = fit[1]
         med = d1.quantile(0.5) if d1.count else np.nan
         d2 = _column_digest(ds, col, delta, center=med)
         mad = d2.quantile(0.5) if d2.count else np.nan
+    elif fit[0] == "empty":
+        med = mad = np.nan
     else:
-        hist = hist_ds.to_pandas()
-        if hist.empty:
-            med = mad = np.nan
-        else:
-            vals = hist["v"].to_numpy(np.float64)
-            cnts = hist["sum(c)"].to_numpy(np.int64)
-            med = _weighted_quantile(vals, cnts, (0.5,))[0]
-            mad = _weighted_quantile(np.abs(vals - med), cnts, (0.5,))[0]
+        _, vals, cnts = fit
+        med = _weighted_quantile(vals, cnts, (0.5,))[0]
+        mad = _weighted_quantile(np.abs(vals - med), cnts, (0.5,))[0]
     ref = ray.put((med, mad))
 
     def flag(batch: pa.Table) -> pa.Table:
@@ -1283,51 +1303,26 @@ def robust_scale(ds, col: str, out_col: str = "robust",
     domains past the guard DEGRADE loudly to one t-digest sketch pass
     (approximate q25/median/q75, same output contract), or raise when
     ``exact=True``. Appends ``out_col`` rounded to 6."""
-    import warnings
-
-    import pyarrow.compute as pc
     import ray
 
-    from ..tuning import shuffle_partitions
-
-    def partial(batch: pa.Table) -> pa.Table:
-        v = batch.column(col).cast(pa.float64())
-        t = pa.table({"v": v}).filter(pc.is_valid(v))
-        g = t.group_by(["v"]).aggregate([([], "count_all")])
-        return pa.table({"v": g.column("v"),
-                         "c": g.column("count_all").cast(pa.int64())})
-
-    hist_ds = (ds.map_batches(partial, batch_format="pyarrow",
-                              batch_size=None)
-               .groupby("v", num_partitions=shuffle_partitions())
-               .sum("c").materialize())
-    n_distinct = hist_ds.count()
-    if n_distinct > max_distinct:
-        if exact:
-            raise ValueError(
-                f"robust_scale: {n_distinct} distinct values — use "
-                f"the t-digest sketch path for continuous domains")
-        warnings.warn(
-            f"robust_scale: {n_distinct} distinct values exceed the "
-            f"exact-histogram guard; degrading to the approximate "
-            f"t-digest quantile fit (pass exact=True to forbid)",
-            RuntimeWarning, stacklevel=2)
-        d = _column_digest(ds, col, delta)
+    fit = _global_value_fit(
+        ds, col, max_distinct, exact, delta, "robust_scale",
+        "degrading to the approximate t-digest quantile fit",
+        "use the t-digest sketch path for continuous domains")
+    if fit[0] == "approx":
+        d = fit[1]
         if d.count:
             q25, med, q75 = d.quantiles((0.25, 0.5, 0.75))
             iqr = q75 - q25
         else:
             med, iqr = np.nan, np.nan
+    elif fit[0] == "empty":
+        med, iqr = np.nan, np.nan
     else:
-        hist = hist_ds.to_pandas()
-        if hist.empty:
-            med, iqr = np.nan, np.nan
-        else:
-            vals = hist["v"].to_numpy(np.float64)
-            cnts = hist["sum(c)"].to_numpy(np.int64)
-            q25, med, q75 = _weighted_quantile(vals, cnts,
-                                               (0.25, 0.5, 0.75))
-            iqr = q75 - q25
+        _, vals, cnts = fit
+        q25, med, q75 = _weighted_quantile(vals, cnts,
+                                           (0.25, 0.5, 0.75))
+        iqr = q75 - q25
     ref = ray.put((med, iqr))
 
     def stamp(batch: pa.Table) -> pa.Table:
@@ -1360,50 +1355,25 @@ def winsorize(ds, col: str, p_lo: float = 0.01, p_hi: float = 0.99,
     domains past the guard DEGRADE loudly to the t-digest quantile fit
     (``exact=True`` preserves the raise). Appends ``out_col``
     (float64, unrounded — clipping is exact arithmetic)."""
-    import warnings
-
-    import pyarrow.compute as pc
     import ray
-
-    from ..tuning import shuffle_partitions
 
     if not 0.0 <= p_lo <= p_hi <= 1.0:
         raise ValueError(
             f"need 0 <= p_lo <= p_hi <= 1, got ({p_lo}, {p_hi})")
 
-    def partial(batch: pa.Table) -> pa.Table:
-        v = batch.column(col).cast(pa.float64())
-        t = pa.table({"v": v}).filter(pc.is_valid(v))
-        g = t.group_by(["v"]).aggregate([([], "count_all")])
-        return pa.table({"v": g.column("v"),
-                         "c": g.column("count_all").cast(pa.int64())})
-
-    hist_ds = (ds.map_batches(partial, batch_format="pyarrow",
-                              batch_size=None)
-               .groupby("v", num_partitions=shuffle_partitions())
-               .sum("c").materialize())
-    n_distinct = hist_ds.count()
-    if n_distinct > max_distinct:
-        if exact:
-            raise ValueError(
-                f"winsorize: {n_distinct} distinct values — use the "
-                f"t-digest sketch path for continuous domains")
-        warnings.warn(
-            f"winsorize: {n_distinct} distinct values exceed the "
-            f"exact-histogram guard; degrading to the approximate "
-            f"t-digest quantile fit (pass exact=True to forbid)",
-            RuntimeWarning, stacklevel=2)
-        d = _column_digest(ds, col, delta)
+    fit = _global_value_fit(
+        ds, col, max_distinct, exact, delta, "winsorize",
+        "degrading to the approximate t-digest quantile fit",
+        "use the t-digest sketch path for continuous domains")
+    if fit[0] == "approx":
+        d = fit[1]
         lo, hi = (d.quantiles((p_lo, p_hi)) if d.count
                   else (np.nan, np.nan))
+    elif fit[0] == "empty":
+        lo = hi = np.nan
     else:
-        hist = hist_ds.to_pandas()
-        if hist.empty:
-            lo = hi = np.nan
-        else:
-            vals = hist["v"].to_numpy(np.float64)
-            cnts = hist["sum(c)"].to_numpy(np.int64)
-            lo, hi = _weighted_quantile(vals, cnts, (p_lo, p_hi))
+        _, vals, cnts = fit
+        lo, hi = _weighted_quantile(vals, cnts, (p_lo, p_hi))
     ref = ray.put((lo, hi))
 
     def clamp(batch: pa.Table) -> pa.Table:

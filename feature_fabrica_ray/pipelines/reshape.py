@@ -238,6 +238,12 @@ def budget_select(ds, value_col: str, cost_col: str, budget: float,
         t = b.filter(ok)
         v = t.column(value_col).cast(pa.float64())
         c = t.column(cost_col).cast(pa.float64())
+        # the past-budget block skip assumes a monotone running cost,
+        # which requires non-negative costs — fail fast, not silently
+        if t.num_rows and pc.min(c).as_py() < 0:
+            raise ValueError(
+                "budget_select: negative cost encountered — the "
+                "running-budget cutoff requires cost >= 0")
         r = pc.divide(v, pc.max_element_wise(c, 1.0))
         return t.append_column("__ratio", r)
 
