@@ -6762,6 +6762,41 @@ FROM events e LEFT JOIN q USING (event_type)
 """
 
 
+def q_ft_group_robust(sf_dir: str):
+    """Per-segment robust scaling (value − segment median) / segment
+    MAD — the modified-z transform per event_type; per-segment
+    (median, MAD) fit on the distinct-(segment, value) histogram,
+    broadcast, stateless stamp; zero-MAD / null segments yield NULL
+    (pipelines/grouped.py::grouped_robust_scale)."""
+    from feature_fabrica_ray.pipelines import grouped_robust_scale
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+    out = grouped_robust_scale(ds, "event_type", "value")
+    return _select(out, ["event_id", "event_type", "robust"])
+
+
+_GROUP_ROBUST_ORACLE = """
+WITH medr AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS medraw
+  FROM events GROUP BY event_type),
+madt AS (
+  -- MAD evaluates against the UNROUNDED median (group_mad parity);
+  -- only the published med/mad round to 6
+  SELECT e.event_type,
+         round(quantile_cont(abs(e.value - m.medraw), 0.5), 6) AS mad
+  FROM events e JOIN medr m USING (event_type)
+  GROUP BY e.event_type),
+f AS (SELECT m.event_type, round(m.medraw, 6) AS med, d.mad
+      FROM medr m JOIN madt d USING (event_type))
+SELECT e.event_id, e.event_type,
+       CASE WHEN e.value IS NULL OR f.med IS NULL OR f.mad IS NULL
+                 OR f.mad <= 0 THEN NULL
+            ELSE round((e.value - f.med) / f.mad, 6) END AS robust
+FROM events e LEFT JOIN f USING (event_type)
+"""
+
+
 def q_pr_partial(sf_dir: str) -> pd.DataFrame:
     """Partial Pearson correlation of (l_quantity, l_extendedprice)
     controlling for l_discount — the confounder screen; one algebraic
@@ -13138,6 +13173,7 @@ def _queries_by_family() -> dict[str, Callable[[str], Any]]:
         "ft_robust": q_ft_robust,
         "ft_winsor": q_ft_winsor,
         "ft_group_winsor": q_ft_group_winsor,
+        "ft_group_robust": q_ft_group_robust,
         "gr_reciprocity": q_gr_reciprocity,
         "vl_quantile_timeline": q_vl_quantile_timeline,
         "pr_hhi": q_pr_hhi,
@@ -13440,6 +13476,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_robust": _ROBUST_ORACLE,
         "ft_winsor": _FT_WINSOR_ORACLE,
         "ft_group_winsor": _GROUP_WINSOR_ORACLE,
+        "ft_group_robust": _GROUP_ROBUST_ORACLE,
         "gr_reciprocity": _RECIPROCITY_ORACLE,
         "vl_quantile_timeline": _QUANTILE_TIMELINE_ORACLE,
         "pr_hhi": _HHI_ORACLE,

@@ -2822,3 +2822,56 @@ def grouped_winsorize(ds, group_col: str, val_col: str,
 
     return ds.map_batches(clamp, batch_format="pyarrow",
                           batch_size=None)
+
+
+def grouped_robust_scale(ds, group_col: str, val_col: str,
+                         out_col: str = "robust"):
+    """Per-SEGMENT robust scaling ``(x − segment_median) /
+    segment_MAD`` — the modified-z transform whose center/spread a
+    segment's own outliers cannot drag; the per-group sibling of
+    ``quantiles.robust_scale`` and the transform dual of the
+    ``vl_outliers_mad`` fence (same fit, applied as a scale instead of
+    a filter).
+
+    Two phases like every fitted transform here: the per-segment
+    (median, MAD) fit rides the SAME distinct-(segment, value)
+    histogram exchange as ``group_quantiles`` (``quantiles.group_mad``
+    — null segments dropped before the fit, they scale to NULL by join
+    semantics), the |segments|-row table broadcasts via ``ray.put``,
+    one stateless vectorized stamp. NULL value, NULL/unseen segment,
+    or a zero-MAD segment (undefined scale) all yield NULL. Appends
+    ``out_col`` float64 rounded to 6; the fitted med/mad carry
+    ``group_mad``'s 1e-6 rounding (SQL ROUND parity on both ends)."""
+    import ray
+
+    from .quantiles import group_mad
+
+    fit_ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column(group_col))),
+        batch_format="pyarrow", batch_size=None)
+    fit = group_mad(fit_ds, group_col, val_col)
+    fit = fit[fit[group_col].notna()]
+    cuts = pa.table({
+        group_col: pa.array(fit[group_col]),
+        "med": pa.array(fit["med"].to_numpy(np.float64), pa.float64()),
+        "mad": pa.array(fit["mad"].to_numpy(np.float64), pa.float64())})
+    ref = ray.put(cuts)
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        f = ray.get(ref)
+        idx = pc.index_in(batch.column(group_col),
+                          value_set=f.column(group_col).combine_chunks())
+        med = f.column("med").take(idx).to_numpy(zero_copy_only=False)
+        mad = f.column("mad").take(idx).to_numpy(zero_copy_only=False)
+        v = batch.column(val_col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = (v - med) / np.where(mad > 0, mad, np.nan)
+        r = np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6
+        mask = ~np.isfinite(r)
+        return batch.append_column(
+            out_col, pa.array(np.where(mask, 0.0, r), pa.float64(),
+                              mask=mask))
+
+    return ds.map_batches(stamp, batch_format="pyarrow",
+                          batch_size=None)

@@ -6849,3 +6849,45 @@ def test_grouped_winsorize(ray_session):
 
     with pytest.raises(ValueError, match="p_lo"):
         grouped_winsorize(_ds(df), "g", "v", p_lo=0.9, p_hi=0.1)
+
+
+def test_grouped_robust_scale(ray_session):
+    """Per-segment modified-z matches the numpy reference (MAD against
+    the unrounded median, both published stats 1e-6-rounded), null
+    value / null segment / zero-MAD segment all yield NULL, layout
+    invariant."""
+    from feature_fabrica_ray.pipelines import grouped_robust_scale
+
+    rng = np.random.default_rng(29)
+    n = 2000
+    g = rng.choice(["a", "b"], n).astype(object)
+    v = np.round(np.where(g == "a", rng.normal(10, 2, n),
+                          rng.normal(50, 9, n)), 2)
+    df = pd.DataFrame({"i": np.arange(n, dtype=np.int64),
+                       "g": g, "v": v})
+    df.loc[2, "v"] = np.nan
+    df.loc[6, "g"] = None
+    # planted zero-MAD segment
+    zm = pd.DataFrame({"i": np.arange(n, n + 6, dtype=np.int64),
+                       "g": ["z"] * 6, "v": [7.0] * 6})
+    df = pd.concat([df, zm], ignore_index=True)
+
+    want = pd.Series(np.nan, index=df.index)
+    for key, sub in df.dropna(subset=["g", "v"]).groupby("g"):
+        med = np.percentile(sub["v"], 50)
+        mad = np.percentile(np.abs(sub["v"] - med), 50)
+        if mad > 0:
+            m = (df["g"] == key) & df["v"].notna()
+            med6 = np.floor(med * 1e6 + 0.5) / 1e6
+            mad6 = np.floor(mad * 1e6 + 0.5) / 1e6
+            r = (df.loc[m, "v"] - med6) / mad6
+            want[m] = np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6
+
+    for blocks in (1, 4):
+        out = grouped_robust_scale(_ds(df, blocks=blocks), "g", "v") \
+            .to_pandas().sort_values("i").reset_index(drop=True)
+        ok = want.notna()
+        assert np.allclose(out.loc[ok, "robust"], want[ok], atol=1e-9)
+        assert pd.isna(out.loc[2, "robust"])        # null value
+        assert pd.isna(out.loc[6, "robust"])        # null segment
+        assert out.loc[out["g"] == "z", "robust"].isna().all()  # MAD=0
